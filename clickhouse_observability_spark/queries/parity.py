@@ -1,0 +1,115 @@
+"""Reference-parity queries (SURVEY.md §2.2/§2.6/§2.4/§2.8) over `events`.
+
+The driver testdata maps the logs domain onto events (FIXTURES.md §2):
+event_type ≅ service/level, props ≅ attrs (JSON string), user_id ≅
+attrs.user, ts ≅ ts. Each query shape below is one the reference
+actually executes (db.go:81-99 template and README.md:88-107 ad-hoc
+queries), re-expressed declaratively.
+
+All events data spans 2024-01; ranges below hit every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.operators.query_logs import (
+    query_events,
+    query_events_between,
+)
+from clickhouse_observability_spark.registry import register, table
+
+_EV_COLS = "event_id, ts, user_id, event_type, value, props"
+
+# P1-P3 + O1-O3: required filters, fixed projection, desc sort, limit.
+@register(
+    "logs_basic",
+    oracle=f"""
+    SELECT {_EV_COLS} FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+)
+def logs_basic(spark, sf_dir):
+    return query_events(
+        table(spark, sf_dir, "events"),
+        "click",
+        "2024-01-05 00:00:00",
+        "2024-01-20 00:00:00",
+        limit=100,
+    )
+
+
+# + P4 analog (second equality filter: user_id).
+@register(
+    "logs_user_filter",
+    oracle=f"""
+    SELECT {_EV_COLS} FROM events
+    WHERE event_type = 'view'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+      AND user_id = 7
+    ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+)
+def logs_user_filter(spark, sf_dir):
+    return query_events(
+        table(spark, sf_dir, "events"),
+        "view",
+        "2024-01-01 00:00:00",
+        "2024-02-01 00:00:00",
+        user_id=7,
+        limit=100,
+    )
+
+
+# + P5: JSON-path predicate (JSONExtractString ≅ get_json_object, F1).
+@register(
+    "logs_json_attr",
+    oracle=f"""
+    SELECT {_EV_COLS} FROM events
+    WHERE event_type = 'error'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+      AND json_extract_string(props, '$.k') = '42'
+    ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+)
+def logs_json_attr(spark, sf_dir):
+    return query_events(
+        table(spark, sf_dir, "events"),
+        "error",
+        "2024-01-01 00:00:00",
+        "2024-02-01 00:00:00",
+        prop_key="k",
+        prop_value="42",
+        limit=100,
+    )
+
+
+# P6: closed-range BETWEEN variant (README.md:94,104).
+@register(
+    "logs_between",
+    oracle=f"""
+    SELECT {_EV_COLS} FROM events
+    WHERE event_type = 'purchase'
+      AND ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-28 00:00:00'
+    ORDER BY ts DESC, event_id DESC LIMIT 50
+    """,
+)
+def logs_between(spark, sf_dir):
+    return query_events_between(
+        table(spark, sf_dir, "events"),
+        "purchase",
+        "2024-01-03 00:00:00",
+        "2024-01-28 00:00:00",
+        limit=50,
+    )
+
+
+# A1: COUNT(*) full table (README.md:91-92).
+@register("logs_count", oracle="SELECT count(*) AS n FROM events")
+def logs_count(spark, sf_dir):
+    return table(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n"))

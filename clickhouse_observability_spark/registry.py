@@ -1,0 +1,86 @@
+"""Driver-contract registry: named queries + DuckDB oracle SQL.
+
+Each entry pairs a Spark callable `(spark, sf_dir) -> DataFrame` with
+an equivalent ANSI-SQL string DuckDB runs over the same parquet
+(views: region nation customer supplier part orders lineitem events
+documents embeddings). The driver hash-compares them order-insensitively
+at sf=0.01 (BASELINE.md), so:
+
+- every computed column is aliased IDENTICALLY on both sides;
+- floating aggregates are rounded IDENTICALLY on both sides (summation
+  order differs between engines; rounding removes ulp noise);
+- every LIMIT is preceded by a total deterministic ORDER BY (unique
+  tie-break column) so both engines select the same rows.
+
+Entries without oracle SQL (genuinely non-SQL-expressible: hash-seeded
+LSH internals, streaming) get the driver's weaker rows-only check and
+are verified in pytest instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_observability_spark.session import ensure_utc
+from clickhouse_observability_spark.sources.parquet import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_utc(spark)
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    import clickhouse_observability_spark.queries.parity  # noqa: F401
+
+    for mod in (
+        "analytics",
+        "joins",
+        "windows",
+        "setops",
+        "dedup",
+        "similarity",
+        "text",
+    ):
+        try:
+            __import__(f"clickhouse_observability_spark.queries.{mod}")
+        except ImportError:
+            pass  # module lands in a later milestone
+    _LOADED = True
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)

@@ -1,0 +1,52 @@
+"""SparkSession bootstrap.
+
+The reference pins all time handling to UTC (internal/api/api.go:66-67,
+internal/service/service.go:24); we pin the Spark session timezone the
+same way. Everything else is scale-oriented defaults: AQE on (runtime
+shuffle-partition coalescing + skew-join splitting), parquet filter
+pushdown on, Arrow enabled for the few Pandas-UDF code paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "clickhouse-observability-spark"
+
+
+def get_spark(app_name: str = APP_NAME, cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (driver contract) or all
+    local cores. On a real cluster the master/config come from
+    spark-submit; these settings are safe there too.
+    """
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or "*"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
+    return builder.getOrCreate()
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone to UTC (runtime-settable).
+
+    Called at the top of every public query entry point so results are
+    stable even when the caller built the session without
+    ``get_spark`` (e.g. the correctness driver).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

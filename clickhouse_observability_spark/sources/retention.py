@@ -1,0 +1,94 @@
+"""TTL retention + compaction jobs (S4 in SURVEY.md §2.1, §4).
+
+The reference arms a ClickHouse TTL — `ALTER TABLE logs MODIFY TTL
+ts + INTERVAL <N> DAY DELETE` driven by $RETENTION_DAYS
+(internal/db/db.go:59-66) — and relies on MergeTree background merges
+(db.go:50). Spark equivalents are explicit jobs:
+
+- retention: drop whole month partition directories strictly older
+  than the cutoff month (cheap, no data rewrite — the 100 TB path),
+  then exactly delete the in-boundary-month rows older than the
+  cutoff by rewriting just that one partition;
+- compaction: rewrite a partition's small files into few large ones
+  (row-group sized), preserving the (service, ts) sort.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.schema import LOGS_COLUMNS, PARTITION_COLUMN
+
+
+def _partition_months(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith(f"{PARTITION_COLUMN}="):
+            try:
+                out.append(int(d.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def apply_retention(
+    spark: SparkSession,
+    path: str,
+    retention_days: int,
+    now: dt.datetime | None = None,
+    exact: bool = True,
+) -> dict:
+    """Delete rows with ts older than now - retention_days (db.go:60-65).
+
+    Whole months below the cutoff month are dropped as directories
+    (metadata-only at scale: ALTER TABLE ... DROP PARTITION); the
+    boundary month is rewritten with an exact ts filter when
+    ``exact``. Returns {"dropped_months": [...], "rewritten": month|None}.
+    """
+    now = now or dt.datetime.now(dt.timezone.utc)
+    cutoff = now - dt.timedelta(days=int(retention_days))
+    cutoff_month = cutoff.year * 100 + cutoff.month
+    dropped, rewritten = [], None
+    for m in _partition_months(path):
+        if m < cutoff_month:
+            shutil.rmtree(os.path.join(path, f"{PARTITION_COLUMN}={m}"))
+            dropped.append(m)
+    if exact and cutoff_month in _partition_months(path):
+        part_dir = os.path.join(path, f"{PARTITION_COLUMN}={cutoff_month}")
+        kept = (
+            spark.read.parquet(part_dir)
+            .filter(F.col("ts") >= F.lit(cutoff.replace(tzinfo=None)))
+            .sortWithinPartitions("service", "ts")
+        )
+        tmp = part_dir + ".tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+        rewritten = cutoff_month
+    return {"dropped_months": dropped, "rewritten": rewritten}
+
+
+def compact_partition(spark: SparkSession, path: str, month: int, target_files: int = 1) -> int:
+    """MergeTree-style merge: coalesce a month's small files
+    (db.go:50's background merges, done explicitly). Returns the
+    number of input files merged."""
+    part_dir = os.path.join(path, f"{PARTITION_COLUMN}={month}")
+    files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    df = spark.read.parquet(part_dir).select([c for c in LOGS_COLUMNS if c != PARTITION_COLUMN])
+    tmp = part_dir + ".tmp"
+    (
+        df.repartition(target_files)
+        .sortWithinPartitions("service", "ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.rmtree(part_dir)
+    os.rename(tmp, part_dir)
+    return len(files)

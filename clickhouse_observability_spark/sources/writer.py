@@ -1,0 +1,113 @@
+"""Write path: the `logs` table at rest (S2/S3 in SURVEY.md §2.1).
+
+The reference's storage semantics come from its DDL
+(internal/db/db.go:39-57): MergeTree, PARTITION BY toYYYYMM(ts),
+ORDER BY (service, ts), LowCardinality dictionary encoding. The
+Spark-native equivalents:
+
+- monthly directory partitioning  -> `partitionBy("month")` + pruning;
+- (service, ts) sparse index      -> `sortWithinPartitions` before the
+  write, so Parquet row-group min/max stats give equivalent granule
+  skipping under predicate pushdown;
+- LowCardinality                  -> Parquet dictionary encoding (automatic);
+- batch INSERT (db.go:147-173)    -> a single distributed append; the
+  reference's row-at-a-time prepared statement and 50-connection pool
+  have no Spark counterpart because executors write in parallel.
+
+`ingest_batch` is the S1 ingestion entry point: it accepts wire-form
+rows (proto/log.proto:6-14), normalizes them (ts fallback parse
+service.go:27-34; attrs map->JSON db.go:160-165) and returns the
+ACCEPTED count before the sink commit completes — the reference's
+BatchWrite contract (service.go:45-46 replies before any DB write).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.functions.json_attrs import attrs_to_json
+from clickhouse_observability_spark.functions.timeparse import (
+    month_of,
+    parse_ts_with_fallback,
+)
+from clickhouse_observability_spark.schema import (
+    INGEST_SCHEMA,
+    LOGS_COLUMNS,
+    LOGS_SCHEMA,
+    PARTITION_COLUMN,
+)
+
+
+def normalize_ingest(df: DataFrame) -> DataFrame:
+    """Wire-form -> at-rest form (F3/F4/F7, ST6).
+
+    ts: RFC3339[Nano] string parsed with fallback to ingest time
+    (service.go:27-34); attrs: map -> canonical JSON string
+    (db.go:160-165; keys sorted like Go's json.Marshal so at-rest
+    bytes are deterministic).
+    """
+    return df.select(
+        parse_ts_with_fallback("ts").alias("ts"),
+        F.coalesce(F.col("service"), F.lit("")).alias("service"),
+        F.coalesce(F.col("level"), F.lit("")).alias("level"),
+        F.col("msg"),
+        attrs_to_json(F.col("attrs")).alias("attrs"),
+        F.col("trace_id"),
+        F.col("span_id"),
+    )
+
+
+class LogsTable:
+    """The partitioned, sorted Parquet `logs` table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- S2: DDL bootstrap (db.go:39-57) --------------------------------
+    def init_schema(self) -> None:
+        """CREATE TABLE IF NOT EXISTS: first write creates the path;
+        an explicit empty write pins the schema for readers."""
+        if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
+            empty = self.spark.createDataFrame([], LOGS_SCHEMA)
+            self._write(empty, mode="append")
+
+    # -- S3: batch insert (db.go:147-173) -------------------------------
+    def insert(self, df: DataFrame) -> None:
+        """Append at-rest rows; adds the month partition column and
+        sorts within partitions on (service, ts) per the DDL ORDER BY."""
+        self._write(df.select(*LOGS_COLUMNS), mode="append")
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        (
+            df.withColumn(PARTITION_COLUMN, month_of("ts"))
+            .sortWithinPartitions("service", "ts")
+            .write.mode(mode)
+            .partitionBy(PARTITION_COLUMN)
+            .parquet(self.path)
+        )
+
+    # -- read side ------------------------------------------------------
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    # -- S1: ingestion entry point (service.go:21-47) -------------------
+    def ingest_batch(self, rows: Iterable[Mapping]) -> int:
+        """BatchWrite: normalize + enqueue a batch, return the count
+        of entries ACCEPTED (not persisted) — service.go:45-46 replies
+        `written=len(out)` before the DB write happens. The write here
+        is synchronous (Spark has no detached fire-and-forget write),
+        which upgrades the reference's at-most-once to effectively
+        at-least-once; SURVEY.md §2.9 ST3 documents the divergence.
+        """
+        rows = list(rows)
+        if not rows:
+            return 0
+        df = self.spark.createDataFrame(rows, INGEST_SCHEMA)
+        accepted = len(rows)
+        self.insert(normalize_ingest(df))
+        return accepted
