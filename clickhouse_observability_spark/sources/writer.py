@@ -84,8 +84,12 @@ class LogsTable:
 
     def _write(self, df: DataFrame, mode: str) -> None:
         (
+            # Leading the sort with the partition column satisfies the
+            # partitioned writer's required ordering, so Spark keeps OUR
+            # (service, ts) order instead of inserting its own month-only
+            # sort that would destroy it.
             df.withColumn(PARTITION_COLUMN, month_of("ts"))
-            .sortWithinPartitions("service", "ts")
+            .sortWithinPartitions(PARTITION_COLUMN, "service", "ts")
             .write.mode(mode)
             .partitionBy(PARTITION_COLUMN)
             .parquet(self.path)
@@ -93,7 +97,15 @@ class LogsTable:
 
     # -- read side ------------------------------------------------------
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        """Scan with the declared schema (the table has a fixed DDL,
+        db.go:41-49) — no inference listing, and an empty table reads
+        as zero rows instead of failing."""
+        from pyspark.sql import types as T
+
+        full = T.StructType(
+            LOGS_SCHEMA.fields + [T.StructField(PARTITION_COLUMN, T.IntegerType())]
+        )
+        return self.spark.read.schema(full).parquet(self.path)
 
     # -- S1: ingestion entry point (service.go:21-47) -------------------
     def ingest_batch(self, rows: Iterable[Mapping]) -> int:

@@ -1,0 +1,115 @@
+"""Streaming ingest — the reference's micro-batcher, Spark-native.
+
+Reference semantics (internal/batcher/batcher.go, SURVEY.md §2.9):
+
+  ST1 size-or-time trigger: flush at >=500 buffered entries OR every
+      100 ms tick (batcher.go:62-75; defaults main.go:28-29).
+  ST2 bounded-buffer backpressure: channel cap 4x batch (batcher.go:28).
+  ST3 fire-and-forget flush: detached goroutine, errors discarded ->
+      at-most-once (batcher.go:51-60).
+  ST4 reply = accepted count, before persistence (service.go:45-46).
+  ST5 flush-on-shutdown (batcher.go:63-65, main.go:91-97).
+  ST6 malformed ts -> ingest time (service.go:24-34).
+
+Spark mapping: Structured Streaming has no compound size-OR-time
+trigger, so we use the idiomatic equivalent — a 100 ms processing-time
+trigger with a per-trigger size cap on the source (maxFilesPerTrigger
+here; maxOffsetsPerTrigger on Kafka). Backpressure (ST2) is source-side
+rate limiting rather than a user-space buffer. foreachBatch writes are
+synchronous and checkpointed, so delivery is AT-LEAST-ONCE — a
+deliberate upgrade over the reference's silent data loss; the
+divergence is documented rather than emulated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from clickhouse_observability_spark.schema import INGEST_SCHEMA
+from clickhouse_observability_spark.sources.writer import LogsTable, normalize_ingest
+
+DEFAULT_FLUSH_EVERY_MS = 100  # main.go:29 INGEST_MAX_DELAY_MS
+DEFAULT_FLUSH_SIZE = 500  # main.go:28 INGEST_BATCH_SIZE
+
+
+class IngestStream:
+    """File-fed streaming ingest into a LogsTable.
+
+    Producers drop wire-format JSONL files into `inbox_dir` (the
+    Spark-native stand-in for the gRPC enqueue boundary); the stream
+    micro-batches them into the partitioned logs table.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LogsTable,
+        inbox_dir: str,
+        checkpoint_dir: str,
+        flush_every_ms: int = DEFAULT_FLUSH_EVERY_MS,
+        max_files_per_trigger: int = 4,  # ST2: per-trigger size cap
+    ):
+        self.spark = spark
+        self.table = table
+        self.inbox_dir = inbox_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.flush_every_ms = flush_every_ms
+        self.max_files_per_trigger = max_files_per_trigger
+        self.query: StreamingQuery | None = None
+        os.makedirs(inbox_dir, exist_ok=True)
+
+    # -- producer side (ST4) -------------------------------------------
+    def submit_many(self, rows: Iterable[Mapping]) -> int:
+        """Enqueue a batch; returns the ACCEPTED count immediately,
+        before any flush happens (service.go:45-46 contract)."""
+        rows = list(rows)
+        if not rows:
+            return 0
+        name = uuid.uuid4().hex
+        tmp = os.path.join(self.inbox_dir, f".{name}.jsonl.tmp")
+        dst = os.path.join(self.inbox_dir, f"{name}.jsonl")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(r)) + "\n")
+        os.rename(tmp, dst)  # atomic publish so the source never reads partials
+        return len(rows)
+
+    # -- stream lifecycle (ST1/ST5) ------------------------------------
+    def start(self) -> StreamingQuery:
+        src = (
+            self.spark.readStream.schema(INGEST_SCHEMA)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            # Unparseable lines are rejected, not ingested as all-NULL
+            # rows — the analog of the reference gRPC layer refusing a
+            # malformed BatchWriteRequest before it reaches the batcher.
+            .option("mode", "DROPMALFORMED")
+            .json(self.inbox_dir)
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # Synchronous, checkpointed write: at-least-once (ST3 note).
+            self.table.insert(normalize_ingest(batch_df))
+
+        self.query = (
+            src.writeStream.trigger(processingTime=f"{self.flush_every_ms} milliseconds")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .foreachBatch(write_batch)
+            .start()
+        )
+        return self.query
+
+    def stop(self, drain: bool = True) -> None:
+        """Graceful shutdown: final flush then stop (ST5; the
+        reference drains for 5 s, main.go:91-97)."""
+        if self.query is None:
+            return
+        if drain:
+            self.query.processAllAvailable()
+        self.query.stop()
+        self.query = None

@@ -1,0 +1,90 @@
+"""Streaming ingest (ST1-ST6) — SURVEY.md §2.9."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+
+from clickhouse_observability_spark.sources.writer import LogsTable
+from clickhouse_observability_spark.streaming.batcher import IngestStream
+
+
+@pytest.fixture()
+def stream(spark, tmp_path):
+    table = LogsTable(spark, str(tmp_path / "logs"))
+    table.init_schema()
+    s = IngestStream(
+        spark,
+        table,
+        inbox_dir=str(tmp_path / "inbox"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    yield s
+    s.stop(drain=False)
+
+
+def _wire(i, ts="2025-09-01T10:00:00Z"):
+    return {
+        "ts": ts, "service": "orders", "level": "INFO", "msg": f"m{i}",
+        "attrs": {"user": "u"}, "trace_id": f"t{i}", "span_id": f"s{i}",
+    }
+
+
+def test_submit_returns_accepted_before_flush(stream):
+    # ST4: accepted count returned with no stream running at all.
+    assert stream.submit_many([_wire(i) for i in range(5)]) == 5
+
+
+def test_stream_flushes_by_time(stream):
+    q = stream.start()
+    accepted = stream.submit_many([_wire(i) for i in range(10)])
+    assert accepted == 10
+    q.processAllAvailable()  # drain (ST5 analog for tests)
+    got = stream.table.read()
+    assert got.count() == 10
+    msgs = {r.msg for r in got.collect()}
+    assert msgs == {f"m{i}" for i in range(10)}
+
+
+def test_malformed_ts_falls_back_to_ingest_time(stream):
+    q = stream.start()
+    stream.submit_many([_wire(0, ts="garbage"), _wire(1)])
+    q.processAllAvailable()
+    rows = {r.msg: r for r in stream.table.read().collect()}
+    assert rows["m1"].ts == dt.datetime(2025, 9, 1, 10, 0, 0)
+    assert abs((rows["m0"].ts - dt.datetime.utcnow()).total_seconds()) < 300  # ST6
+
+
+def test_flush_on_shutdown_then_resume(spark, tmp_path):
+    # ST5: stop() drains; checkpoint makes restart not re-deliver.
+    table = LogsTable(spark, str(tmp_path / "logs"))
+    table.init_schema()
+    s = IngestStream(spark, table, str(tmp_path / "inbox"), str(tmp_path / "ckpt"))
+    s.start()
+    s.submit_many([_wire(i) for i in range(3)])
+    s.stop()  # graceful: final flush
+    assert table.read().count() == 3
+    # restart from checkpoint; submit more — old files not re-ingested
+    s2 = IngestStream(spark, table, str(tmp_path / "inbox"), str(tmp_path / "ckpt"))
+    q = s2.start()
+    s2.submit_many([_wire(i + 100) for i in range(2)])
+    q.processAllAvailable()
+    s2.stop(drain=False)
+    assert table.read().count() == 5  # exactly once across restart here
+
+
+def test_per_trigger_size_cap(stream):
+    # ST1/ST2: maxFilesPerTrigger bounds each micro-batch (size cap);
+    # many small files still all arrive, just over multiple triggers.
+    for i in range(6):
+        stream.submit_many([_wire(i * 10 + j) for j in range(2)])
+    q = stream.start()
+    deadline = time.time() + 60
+    while time.time() < deadline and stream.table.read().count() < 12:
+        time.sleep(0.5)
+    assert stream.table.read().count() == 12
+    # progress shows batches bounded by the cap (4 files -> ≤8 rows each)
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 2
