@@ -1,0 +1,126 @@
+"""EXT join operators over the star schema (SURVEY.md §2.3 EXT).
+
+The reference is single-table (zero joins: verified across db.go /
+api.go / README). These exercise the full Spark join surface the
+engine exposes — inner/left/semi/anti, dimension broadcast, multi-way
+star joins — expressed so Catalyst picks the physical strategy:
+
+- dimension tables (region 5, nation 25, supplier 100, customer 1.5k
+  per sf0.01) sit far under the broadcast threshold -> BroadcastHashJoin,
+  no shuffle of the fact side;
+- fact⋈fact (lineitem⋈orders) shuffles on the join key; AQE handles
+  skew splitting at runtime. At 100 TB co-locating both facts by
+  bucketing on orderkey would eliminate that shuffle entirely — the
+  write-side convention, not a query change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def orders_enriched(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame,
+    limit: int = 100,
+) -> DataFrame:
+    """Top orders by price, enriched through the dim chain
+    customer->nation->region (all broadcast)."""
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "o_orderkey", "o_totalprice", "o_orderdate",
+            "c_name", "n_name", "r_name",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(limit)
+    )
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical partial-agg
+    showcase (5 aggregates over 2 grouping keys of cardinality ~6 —
+    the shuffle moves a handful of rows regardless of input size)."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    segment: str = "BUILDING", date: str = "1996-03-15", limit: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped: top revenue orders for a market segment.
+    customer broadcasts; lineitem⋈orders shuffles on orderkey."""
+    c = customer.filter(F.col("c_mktsegment") == segment)
+    o = orders.filter(F.col("o_orderdate") < F.lit(date).cast("timestamp"))
+    l = lineitem.filter(F.col("l_shipdate") > F.lit(date).cast("timestamp"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(limit)
+    )
+
+
+def nation_revenue(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+    supplier: DataFrame, nation: DataFrame,
+    frm: str = "1996-01-01", to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue by nation where
+    the customer and supplier share a nation. Two broadcast dims +
+    one fact-fact shuffle."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(frm).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(to).cast("timestamp"))
+    )
+    return (
+        lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(customer), o.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT SEMI join: customers having >=1 order, counted per
+    segment. Semi joins short-circuit (no fan-out on multi-matches)."""
+    has = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    )
+    return has.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT ANTI join: customers with no orders, per segment."""
+    none = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return none.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))

@@ -1,0 +1,119 @@
+"""EXT text-analysis operators over `documents` (north-star surface).
+
+Language-ID, quality scoring, token stats, fingerprinting — all pure
+pyspark.sql.functions (JVM-side, whole-stage codegen; zero Python
+UDFs). Each has an exactly-equivalent ANSI-SQL formulation so the
+DuckDB oracle can hash-match: ratios are integer/integer divisions
+(bit-identical across engines) and hashes are md5 hex strings.
+
+At 100 TB these are embarrassingly parallel map-only operators — no
+shuffle at all; they scale with scan bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists for the language-ID heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+    "es": ("el", "los", "las", "y", "es", "un", "en"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, empty strings dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form: trimmed, lowercased, whitespace collapsed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (md5 emits
+    identical lowercase hex in Spark and DuckDB)."""
+    return F.md5(normalized_text(col))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc token statistics (token counting for training-data
+    budgeting: whitespace tokens ~ BPE tokens × constant)."""
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(n_nonspace / n_tokens, 4).alias("avg_token_len"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length bounds, token shape, stopword
+    density, digit density — the standard pre-training filters."""
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    n_digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    avg_len = F.length(F.regexp_replace(F.col("text"), r"\s", "")) / n_tokens
+    return documents.select(
+        "doc_id",
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(n_digits / n_chars, 4).alias("digit_ratio"),
+        (
+            (n_tokens >= 5)
+            & (n_tokens <= 100000)
+            & (avg_len >= 2)
+            & (avg_len <= 15)
+        ).alias("passes_quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """N-gram-free language ID: stopword-hit counts per language,
+    deterministic argmax with fixed priority en>de>fr>es, 'und' when
+    nothing matches. Pure expression — identical CASE chain runs in
+    the oracle."""
+    toks = tokens(F.lower(F.col("text")))
+    scores = {}
+    for lang, words in LANG_STOPWORDS.items():
+        wl = F.array([F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    pred = (
+        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), "und")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return documents.select(
+        "doc_id",
+        en.alias("score_en"),
+        de.alias("score_de"),
+        fr.alias("score_fr"),
+        es.alias("score_es"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """md5 doc fingerprint + sorted-token-set fingerprint (the
+    bag-of-words identity used by exact-after-normalization dedup)."""
+    tok_sorted = F.array_sort(F.array_distinct(tokens(normalized_text("text"))))
+    return documents.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp_md5"),
+        F.md5(F.concat_ws(" ", tok_sorted)).alias("fp_tokenset"),
+    )

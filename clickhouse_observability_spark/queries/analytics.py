@@ -1,0 +1,78 @@
+"""EXT aggregation queries with DuckDB oracles (SURVEY.md §2.4 EXT)."""
+
+from __future__ import annotations
+
+from clickhouse_observability_spark.operators import analytics as A
+from clickhouse_observability_spark.registry import register, table
+
+
+@register(
+    "agg_counts_by_type",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def agg_counts_by_type(spark, sf_dir):
+    return A.counts_by_type(table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def agg_hourly(spark, sf_dir):
+    return A.hourly_counts(table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_month_buckets",
+    oracle="""
+    SELECT (year(ts) * 100 + month(ts))::INT AS month, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def agg_month_buckets(spark, sf_dir):
+    return A.month_buckets(table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct_users(spark, sf_dir):
+    return A.distinct_users(table(spark, sf_dir, "events"))
+
+
+# HLL sketch — engine-specific, rows-only check; accuracy asserted in pytest.
+@register("agg_approx_distinct_users")
+def agg_approx_distinct_users(spark, sf_dir):
+    return A.approx_distinct_users(table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_value_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value, round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_value_stats(spark, sf_dir):
+    return A.value_stats(table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_median_value",
+    oracle="""
+    SELECT event_type, round(quantile_cont(value, 0.5)::DOUBLE, 4) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_median_value(spark, sf_dir):
+    return A.median_value(table(spark, sf_dir, "events"))

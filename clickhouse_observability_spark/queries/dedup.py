@@ -1,0 +1,123 @@
+"""EXT dedup queries with DuckDB oracles (hash-internals ones are
+rows-only + pytest-verified)."""
+
+from __future__ import annotations
+
+from clickhouse_observability_spark.operators import dedup as D
+from clickhouse_observability_spark.registry import register, table
+
+_NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+_NTOKS = rf"list_filter(regexp_split_to_array({_NORM}, '\s+'), x -> x <> '')"
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    return D.exact_dedup_groups(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_tokenset_groups",
+    oracle=f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_NTOKS})), ' ')) AS fp,
+           count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_tokenset_groups(spark, sf_dir):
+    return D.tokenset_dedup_groups(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_keep_first",
+    oracle=f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id IN (
+        SELECT min(doc_id) FROM documents GROUP BY md5({_NORM})
+    )
+    """,
+)
+def dedup_keep_first(spark, sf_dir):
+    return D.dedup_keep_first(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({_NTOKS})) AS tok FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.95
+    """,
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    return D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.95)
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    grams AS (
+        SELECT doc_id, list_distinct([
+            array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))
+        ]) AS gs FROM t WHERE len(toks) >= 2
+    ),
+    g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    return D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.8, ngram=2)
+
+
+# MinHash/LSH + SimHash: seeded hash internals are engine-specific ->
+# rows-only driver check; recall/precision asserted in pytest.
+@register("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark, sf_dir):
+    return D.minhash_dedup_pairs(table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@register("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark, sf_dir):
+    return D.simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "dedup_embedding_pairs",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 4) >= 0.45
+    """,
+)
+def dedup_embedding_pairs(spark, sf_dir):
+    return D.embedding_neardup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.45)

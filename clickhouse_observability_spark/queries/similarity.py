@@ -1,0 +1,42 @@
+"""EXT similarity-search queries. Brute-force top-k has a DuckDB
+oracle; LSH/IVF are seeded-index internals -> rows-only + pytest
+recall checks."""
+
+from __future__ import annotations
+
+from clickhouse_observability_spark.operators import similarity as S
+from clickhouse_observability_spark.registry import register, table
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle="""
+    SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   e.embedding::DOUBLE[]) DESC,
+                            e.vec_id ASC
+               ) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id IN (0, 1, 2, 3, 4)
+    ) WHERE rank <= 10
+    """,
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    return S.brute_force_topk(table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10)
+
+
+@register("sim_topk_lsh")
+def sim_topk_lsh(spark, sf_dir):
+    return S.lsh_topk(table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10)
+
+
+@register("sim_topk_ivf")
+def sim_topk_ivf(spark, sf_dir):
+    return S.ivf_topk(table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10)

@@ -1,0 +1,98 @@
+"""EXT text-analysis queries with DuckDB oracles.
+
+Every ratio is integer/integer (bit-identical across engines); hashes
+are md5 hex strings; the lang-ID CASE chain is written identically on
+both sides so ties break the same way.
+"""
+
+from __future__ import annotations
+
+from clickhouse_observability_spark.operators import text_analysis as TX
+from clickhouse_observability_spark.registry import register, table
+
+# DuckDB fragment: non-empty whitespace tokens of text.
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+_NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+_NTOKS = rf"list_filter(regexp_split_to_array({_NORM}, '\s+'), x -> x <> '')"
+
+
+@register(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_TOKS}) AS n_tokens,
+           len(list_distinct({_TOKS})) AS n_distinct_tokens,
+           round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                 / len({_TOKS}), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    return TX.token_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    oracle=rf"""
+    SELECT doc_id,
+           round(len(list_filter({_TOKS},
+                 x -> list_contains(['the','a','of','and','to','in','is'], lower(x))))
+                 * 1.0 / len({_TOKS}), 4) AS stopword_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                 / length(text), 4) AS digit_ratio,
+           (len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000
+            AND length(regexp_replace(text, '\s', '', 'g')) * 1.0 / len({_TOKS}) >= 2
+            AND length(regexp_replace(text, '\s', '', 'g')) * 1.0 / len({_TOKS}) <= 15)
+           AS passes_quality
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    return TX.quality_scores(table(spark, sf_dir, "documents"))
+
+
+def _score(words: str) -> str:
+    return (
+        r"len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'),"
+        rf" x -> x <> ''), x -> list_contains([{words}], x)))"
+    )
+
+
+_EN = _score("'the','a','of','and','to','in','is'")
+_DE = _score("'der','die','das','und','ist','ein','zu'")
+_FR = _score("'le','la','et','les','des','un','est'")
+_ES = _score("'el','los','las','y','es','un','en'")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           {_EN} AS score_en, {_DE} AS score_de,
+           {_FR} AS score_fr, {_ES} AS score_es,
+           CASE
+             WHEN {_EN} = 0 AND {_DE} = 0 AND {_FR} = 0 AND {_ES} = 0 THEN 'und'
+             WHEN {_EN} >= {_DE} AND {_EN} >= {_FR} AND {_EN} >= {_ES} THEN 'en'
+             WHEN {_DE} >= {_FR} AND {_DE} >= {_ES} THEN 'de'
+             WHEN {_FR} >= {_ES} THEN 'fr'
+             ELSE 'es'
+           END AS lang_pred
+    FROM documents
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    return TX.lang_id(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    oracle=rf"""
+    SELECT doc_id,
+           md5({_NORM}) AS fp_md5,
+           md5(array_to_string(list_sort(list_distinct({_NTOKS})), ' ')) AS fp_tokenset
+    FROM documents
+    """,
+)
+def text_fingerprints(spark, sf_dir):
+    return TX.fingerprints(table(spark, sf_dir, "documents"))

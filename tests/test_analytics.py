@@ -1,0 +1,80 @@
+"""EXT aggregation/window/as-of operator tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.operators import analytics as A
+from clickhouse_observability_spark.sources.parquet import load_table
+
+
+def _ev(i, t, u, typ, v):
+    return (i, dt.datetime.fromisoformat(t), u, typ, float(v), "{}")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        _ev(1, "2024-01-01T10:00:00", 1, "click", 1.0),
+        _ev(2, "2024-01-01T10:30:00", 1, "click", 2.0),
+        _ev(3, "2024-01-01T11:00:00", 1, "purchase", 50.0),
+        _ev(4, "2024-01-01T12:00:00", 2, "purchase", 30.0),  # no prior click
+        _ev(5, "2024-01-01T09:00:00", 2, "click", 1.0),
+        _ev(6, "2024-01-02T09:30:00", 2, "purchase", 10.0),
+        _ev(7, "2024-01-01T11:00:00", 3, "click", 1.0),  # tie ts w/ purchase
+        _ev(8, "2024-01-01T11:00:00", 3, "purchase", 5.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_asof_join_backward(events):
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    out = {
+        r.event_id: r.last_click_id
+        for r in A.asof_join_last_event(
+            purchases, clicks, on="user_id", right_value="event_id",
+            alias="last_click_id",
+        ).collect()
+    }
+    assert out[3] == 2  # latest click before 11:00 for user 1
+    assert out[4] == 5  # user 2: 09:00 click (12:00 purchase)
+    assert out[6] == 5  # next-day purchase still sees old click
+    assert out[8] == 7  # tie: click at exactly purchase ts counts (<=)
+
+
+def test_top_n_per_type(events):
+    out = A.top_n_per_type(events, n=1).collect()
+    got = {r.event_type: r.event_id for r in out}
+    assert got == {"click": 7, "purchase": 6}
+
+
+def test_user_gaps(events):
+    out = {r.event_id: r.gap_us for r in A.user_activity_gaps(events, "click").collect()}
+    assert out[1] is None  # first click of user 1
+    assert out[2] == 30 * 60 * 1_000_000
+
+
+def test_hourly_counts(events):
+    out = {r.bucket: r.n for r in A.hourly_counts(events).collect()}
+    assert out[dt.datetime(2024, 1, 1, 10, 0)] == 2  # ids 1, 2
+    assert out[dt.datetime(2024, 1, 1, 11, 0)] == 3  # ids 3, 7, 8
+
+
+def test_approx_distinct_close_to_exact(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    exact = {r.event_type: r.users for r in A.distinct_users(ev).collect()}
+    approx = {r.event_type: r.users_approx for r in A.approx_distinct_users(ev).collect()}
+    for t, n in exact.items():
+        assert abs(approx[t] - n) / n < 0.05

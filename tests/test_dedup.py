@@ -1,0 +1,114 @@
+"""Dedup operator tests (EXT north-star; SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.operators import dedup as D
+from clickhouse_observability_spark.sources.parquet import load_table
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "The  quick brown fox jumps over the lazy dog"),  # ws/case only
+    (2, "the quick brown fox jumps over the lazy cat"),  # 1 token differs
+    (3, "lorem ipsum dolor sit amet consectetur adipiscing"),
+    (4, "dog lazy the over jumps fox brown quick the"),  # reordered
+    (5, "completely different content about spark engines"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_exact_dedup_normalized(docs):
+    groups = D.exact_dedup_groups(docs, normalized=True).collect()
+    dup = [g for g in groups if g.n_docs > 1]
+    assert len(dup) == 1 and dup[0].n_docs == 2 and dup[0].keep_id == 0  # 0≡1
+    kept = D.dedup_keep_first(docs).select("doc_id").collect()
+    assert {r.doc_id for r in kept} == {0, 2, 3, 4, 5}
+
+
+def test_tokenset_dedup_catches_reorder(docs):
+    groups = D.tokenset_dedup_groups(docs).collect()
+    by_keep = {g.keep_id: g.n_docs for g in groups}
+    assert by_keep[0] == 3  # 0, 1, 4 share the token set
+
+
+def test_jaccard_pairs_threshold(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             D.jaccard_pairs(docs, threshold=0.7).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 4) in pairs and pairs[(0, 4)] == 1.0
+    assert (0, 2) in pairs  # 7/9 ≈ 0.78
+    assert not any(5 in p for p in pairs)
+
+
+def test_jaccard_max_df_prunes_common_shingles(docs):
+    # 'the' appears in most docs; df-capping at 1 kills every shared
+    # shingle between docs 0-2, so no pairs survive.
+    pairs = D.jaccard_pairs(docs, threshold=0.7, max_df=1).collect()
+    assert pairs == []
+
+
+def test_minhash_recall_vs_exact(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in
+             D.jaccard_pairs(docs, threshold=0.9).collect()}
+    cand = {(r.doc_a, r.doc_b) for r in
+            D.minhash_lsh_candidates(docs).collect()}
+    assert exact, "fixture should contain high-jaccard pairs"
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall}"
+
+
+def test_minhash_dedup_pairs_subset_of_exact(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    got = {(r.doc_a, r.doc_b) for r in
+           D.minhash_dedup_pairs(docs, threshold=0.9).collect()}
+    exact = {(r.doc_a, r.doc_b) for r in
+             D.jaccard_pairs(docs, threshold=0.9).collect()}
+    assert got <= exact  # re-rank filters false positives exactly
+
+
+def test_simhash_hamming_reflects_similarity(spark, docs):
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+
+    def ham(a, b):
+        return bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+
+    assert ham(0, 1) == 0  # normalized-identical
+    assert ham(0, 4) == 0  # same token set
+    assert ham(0, 2) < ham(0, 5)  # near-dup closer than unrelated
+    assert ham(0, 3) > 10  # disjoint vocab is far
+
+
+def test_simhash_pairs_bucketing(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in D.simhash_pairs(docs, max_hamming=3).collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    assert not any(p in pairs for p in [(0, 3), (3, 5)])
+
+
+def test_embedding_neardup_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    emb = load_table(spark, sf_small, "embeddings")
+    got = {(r.vec_a, r.vec_b): r.cosine for r in
+           D.embedding_neardup_pairs(emb, threshold=0.45).collect()}
+    rows = emb.orderBy("vec_id").collect()
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    expect = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            c = round(float(sims[i, j]), 4)
+            if c >= 0.45:
+                expect[(ids[i], ids[j])] = c
+    assert got == expect

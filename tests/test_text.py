@@ -1,0 +1,61 @@
+"""Text-analysis operator tests (EXT north-star)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_observability_spark.operators import text_analysis as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat and the dog of a house in the garden is big"),
+        (1, "der hund und die katze das ist ein haus und der garten"),
+        (2, "le chat et la maison les arbres des fleurs un jardin est"),
+        (3, "el gato y los perros las casas es un jardin en madrid"),
+        (4, "xyzzy plugh quux"),
+        (5, "  Spaced   OUT    text  42 here  "),
+    ]
+    return spark.createDataFrame(
+        [(i, t, "??", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_lang_id_heuristic(docs):
+    got = {r.doc_id: r.lang_pred for r in TX.lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "es"
+    assert got[4] == "und"
+
+
+def test_token_stats(docs):
+    r = {x.doc_id: x for x in TX.token_stats(docs).collect()}
+    assert r[5].n_tokens == 5  # Spaced OUT text 42 here
+    assert r[4].n_tokens == 3 and r[4].n_distinct_tokens == 3
+    assert r[0].n_chars == 51
+
+
+def test_quality_scores(docs):
+    r = {x.doc_id: x for x in TX.quality_scores(docs).collect()}
+    assert r[0].passes_quality  # normal prose
+    assert not r[4].passes_quality  # only 3 tokens
+    assert r[0].stopword_ratio > 0.3  # the/and/of/a/in/is heavy
+    assert r[5].digit_ratio > 0
+
+
+def test_fingerprint_invariance(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "Hello   World", "x", "s", 1),
+            (1, "  hello world ", "x", "s", 1),
+            (2, "hello world!", "x", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fps = {r.doc_id: r.fp_md5 for r in TX.fingerprints(df).collect()}
+    assert fps[0] == fps[1]  # case + whitespace normalize away
+    assert fps[0] != fps[2]  # punctuation is content
