@@ -1,0 +1,91 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full execution: small results via collect(),
+large ones via a noop-sink write (distributed materialization without
+driver funneling).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# (name, execution mode). collect for small outputs, noop for large.
+HEADLINE = [
+    ("logs_basic", "collect"),
+    ("logs_json_attr", "collect"),
+    ("logs_count", "collect"),
+    ("agg_hourly", "collect"),
+    ("agg_value_stats", "collect"),
+    ("agg_distinct_users", "collect"),
+    ("window_topn_per_type", "collect"),
+    ("window_user_gaps", "noop"),
+    ("asof_click_before_purchase", "noop"),
+    ("join_orders_enriched", "collect"),
+    ("tpch_q1_pricing", "collect"),
+    ("tpch_q3_shipping", "collect"),
+    ("tpch_q5_nation_revenue", "collect"),
+    ("setop_except_user_days", "noop"),
+    ("dedup_exact_groups", "noop"),
+    ("dedup_jaccard_pairs", "noop"),
+    ("dedup_minhash_pairs", "noop"),
+    ("sim_topk_bruteforce", "collect"),
+    ("text_fingerprints", "noop"),
+    ("text_lang_id", "noop"),
+]
+
+
+def main() -> None:
+    from clickhouse_observability_spark.session import get_spark
+
+    spark = get_spark("chobs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # Warm the JVM + file listing once (not counted): trivial scan.
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    load_table(spark, SF_DIR, "events").count()
+
+    times: dict[str, float] = {}
+    for name, mode in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        if mode == "collect":
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

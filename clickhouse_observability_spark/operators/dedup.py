@@ -87,17 +87,36 @@ def jaccard_pairs(
     threshold: float = 0.8,
     ngram: int = 1,
     max_df: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold.
 
-    Inverted-index join: only pairs sharing >=1 shingle are generated,
-    |A∩B| falls out of a count per pair, and |A|,|B| broadcast back in.
+    Two physical strategies, picked adaptively (the LowCardinality
+    idea applied to set similarity):
+
+    - "bitmask" (vocab <= 64 distinct shingles): each doc's shingle
+      set becomes one int64; dedup to DISTINCT masks, compare mask
+      pairs with popcount arithmetic (|A∩B| = bit_count(a&b)), then
+      expand qualifying mask-pairs back to doc pairs. Work is
+      O(M² ) integer ops on M distinct masks — on low-cardinality
+      corpora M ≪ n and this beats the index join by orders of
+      magnitude (77s -> ~2s at sf0.1 here).
+    - "index": inverted-index join — only pairs sharing >=1 shingle
+      are generated, |A∩B| falls out of a count per pair. `max_df`
+      drops shingles appearing in more than that many docs
+      (df-capping bounds the join fan-out at scale).
+
     Jaccard = c/(|A|+|B|-c) is a ratio of small ints — bit-identical
-    in any engine, so the threshold compare is exact. `max_df` drops
-    shingles appearing in more than that many docs (df-capping: a
-    shingle in half the corpus contributes O(df²) candidate pairs and
-    ~zero information; capping bounds the join output at scale).
+    in any engine, so the threshold compare matches the SQL oracle
+    exactly under either strategy.
     """
+    if strategy == "auto":
+        strategy = "bitmask" if ngram == 1 and max_df is None else "index"
+    if strategy == "bitmask":
+        masks = _token_masks(documents, ngram)
+        if masks is not None:
+            return _jaccard_pairs_bitmask(masks, threshold)
+        strategy = "index"
     sh = documents.select(
         "doc_id", F.explode(_shingles(ngram)).alias("shingle")
     )
@@ -127,6 +146,94 @@ def jaccard_pairs(
         .withColumn("jaccard", F.round(j, 4))
         .filter(j >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _token_masks(documents: DataFrame, ngram: int = 1) -> DataFrame | None:
+    """(doc_id, mask) with each shingle mapped to one bit, or None if
+    the shingle vocabulary exceeds 64. The vocab is tiny by
+    construction -> collected once and broadcast as a literal map."""
+    sh = documents.select("doc_id", F.explode(_shingles(ngram)).alias("shingle"))
+    vocab = [r.shingle for r in sh.select("shingle").distinct().limit(65).collect()]
+    if len(vocab) > 64:
+        return None
+    bit_of = {s: i for i, s in enumerate(sorted(vocab))}
+    mapping = F.create_map(
+        *[x for s, i in bit_of.items() for x in (F.lit(s), F.lit(i))]
+    )
+    return (
+        sh.select("doc_id", mapping[F.col("shingle")].alias("bit"))
+        .groupBy("doc_id")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("mask"))
+    )
+
+
+def _jaccard_pairs_bitmask(masks: DataFrame, threshold: float) -> DataFrame:
+    """Pairwise Jaccard over DISTINCT masks (popcount arithmetic),
+    expanded back to doc pairs. Mask-groups are tiny relative to
+    docs; the M×M compare broadcasts one side."""
+    groups = masks.groupBy("mask").agg(F.collect_list("doc_id").alias("ids"))
+    g1 = groups.select(F.col("mask").alias("m1"), F.col("ids").alias("ids1"))
+    g2 = groups.select(F.col("mask").alias("m2"), F.col("ids").alias("ids2"))
+    inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2")))
+    union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
+    j = inter / union
+    cross = (
+        g1.join(F.broadcast(g2), F.col("m1") < F.col("m2"))
+        .filter(j >= threshold)
+        .select(
+            F.explode("ids1").alias("id1"), F.col("ids2"), F.round(j, 4).alias("jaccard")
+        )
+        .select(
+            F.col("id1"), F.explode("ids2").alias("id2"), "jaccard"
+        )
+        .select(
+            F.least("id1", "id2").alias("doc_a"),
+            F.greatest("id1", "id2").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id1"), F.col("ids"))
+        .select("id1", F.explode("ids").alias("id2"))
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            F.col("id1").alias("doc_a"),
+            F.col("id2").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    out = cross.unionByName(within)
+    return out if 1.0 >= threshold else cross
+
+
+def jaccard_for_candidates(
+    documents: DataFrame, candidates: DataFrame, ngram: int = 1
+) -> DataFrame:
+    """Exact Jaccard for a given (doc_a, doc_b) candidate frame only —
+    linear in candidates, never all-pairs. Bitmask fast path when the
+    vocab fits 64 bits; token-array intersection otherwise."""
+    masks = _token_masks(documents, ngram)
+    if masks is not None:
+        ma = masks.select(F.col("doc_id").alias("doc_a"), F.col("mask").alias("_ma"))
+        mb = masks.select(F.col("doc_id").alias("doc_b"), F.col("mask").alias("_mb"))
+        inter = F.bit_count(F.col("_ma").bitwiseAND(F.col("_mb")))
+        union = F.bit_count(F.col("_ma").bitwiseOR(F.col("_mb")))
+        return (
+            candidates.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        )
+    sets = documents.select("doc_id", _shingles(ngram).alias("toks"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("_ta"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size(F.array_union("_ta", "_tb"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
     )
 
 
@@ -185,7 +292,19 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on all
     rows of any band land in the same bucket. O(n·bands) bucket rows;
-    pairs generated per-bucket (bucket-mates only, never all-pairs)."""
+    pairs generated per-bucket (bucket-mates only, never all-pairs).
+
+    Fast path: when many docs share identical shingle sets (low-
+    cardinality corpora), banding directly over docs creates giant
+    buckets — identical sets always collide. Signature-level dedup
+    first (band over DISTINCT sets, expand groups afterwards) makes
+    bucket joins run over set-representatives; identical-set doc
+    pairs are emitted directly. Same output, bucket join shrinks from
+    n to #distinct-sets rows.
+    """
+    masks = _token_masks(documents, ngram=1)
+    if masks is not None:
+        return _lsh_candidates_grouped(documents, masks, num_hashes, bands, seed)
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, seed)
     band_cols = F.array(
@@ -216,6 +335,112 @@ def minhash_lsh_candidates(
     )
 
 
+def _lsh_candidates_grouped(
+    documents: DataFrame,
+    masks: DataFrame,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    min_jaccard: float | None = None,
+    with_jaccard: bool = False,
+) -> DataFrame:
+    """LSH banding over distinct shingle-set masks (vocab <= 64).
+
+    Signatures are computed per MASK from the per-bit token hashes
+    (vocab is tiny -> token base hashes collected once, embedded as a
+    bit->hash literal map); banding and bucket self-join run over the
+    distinct masks only. Doc pairs = expanded qualifying mask pairs +
+    all pairs within each identical-mask group.
+    """
+    spark = documents.sparkSession
+    rows_per_band = num_hashes // bands
+    params = _perm_params(num_hashes, seed)
+
+    # vocab bit -> permuted-base hash, computed the same way the
+    # generic path hashes tokens (xxhash64 then mod P).
+    sh = documents.select(F.explode(_shingles(1)).alias("shingle")).distinct()
+    vocab_rows = sh.select(
+        "shingle", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h")
+    ).collect()
+    bit_h = {i: r.h for i, r in enumerate(sorted(vocab_rows, key=lambda r: r.shingle))}
+
+    # SQL-side lambdas: shiftright/map lookup with a column bit index
+    bits_of = F.expr("filter(sequence(0, 63), j -> (shiftright(mask, j) & 1) = 1)")
+    hmap = F.create_map(*[x for k, v in bit_h.items() for x in (F.lit(k), F.lit(v))])
+    groups = masks.groupBy("mask").agg(F.collect_list("doc_id").alias("ids"))
+    with_bits = groups.select("mask", "ids", bits_of.alias("bits"), hmap.alias("hm"))
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(bits, j -> "
+            f"pmod(element_at(hm, j) * {a}L + {b}L, {_MERSENNE}L)))"
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = with_bits.select("mask", "ids", *sig_cols)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bd).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"m{bd * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for bd in range(bands)
+        ]
+    )
+    buckets = sig.select("mask", F.explode(band_cols).alias("bb")).select(
+        "mask", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    # distinct FIRST on the (m1, m2) longs — a mask pair colliding in
+    # many bands must not fan out before dedup.
+    mask_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.mask") < F.col("b.mask")),
+        )
+        .select(F.col("a.mask").alias("m1"), F.col("b.mask").alias("m2"))
+        .distinct()
+    )
+    if min_jaccard is not None:
+        inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2")))
+        union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
+        mask_pairs = mask_pairs.filter(inter / union >= min_jaccard)
+    g1 = groups.select(F.col("mask").alias("m1"), F.col("ids").alias("ids1"))
+    g2 = groups.select(F.col("mask").alias("m2"), F.col("ids").alias("ids2"))
+    inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2")))
+    union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
+    cross = (
+        mask_pairs.join(g1, "m1")
+        .join(g2, "m2")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .select(F.explode("ids1").alias("id1"), "ids2", "jaccard")
+        .select("id1", F.explode("ids2").alias("id2"), "jaccard")
+        .select(
+            F.least("id1", "id2").alias("doc_a"),
+            F.greatest("id1", "id2").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id1"), "ids")
+        .select("id1", F.explode("ids").alias("id2"))
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            F.col("id1").alias("doc_a"),
+            F.col("id2").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # cross and within are disjoint by construction (a doc has exactly
+    # one mask), so no final distinct is needed.
+    out = cross.unionByName(within)
+    return out if with_jaccard else out.select("doc_a", "doc_b")
+
+
 def minhash_dedup_pairs(
     documents: DataFrame,
     threshold: float = 0.9,
@@ -224,13 +449,20 @@ def minhash_dedup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """LSH candidates re-ranked by exact Jaccard (candidate-only — the
-    expensive exact check runs on bucket-mates, not all pairs)."""
+    expensive exact check runs on bucket-mates, not all pairs). On
+    low-cardinality corpora the threshold is applied at the mask
+    level BEFORE group expansion, so non-qualifying candidates never
+    fan out to doc pairs."""
+    masks = _token_masks(documents, ngram=1)
+    if masks is not None:
+        return _lsh_candidates_grouped(
+            documents, masks, num_hashes, bands, seed,
+            min_jaccard=threshold, with_jaccard=True,
+        )
     cand = minhash_lsh_candidates(documents, num_hashes, bands, seed)
-    exact = jaccard_pairs(documents, threshold=0.0, ngram=1)
-    return (
-        cand.join(exact, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    ranked = jaccard_for_candidates(documents, cand)
+    return ranked.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
     )
 
 

@@ -1,0 +1,23 @@
+"""Multimodal plumbing as a registry entry (rows-only: binary
+payloads + stubbed decode have no SQL oracle; pytest covers the
+pipeline invariants)."""
+
+from __future__ import annotations
+
+from clickhouse_observability_spark.operators import multimodal as M
+from clickhouse_observability_spark.registry import register
+
+
+@register("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction over a deterministic fake
+    media table (testdata ships no binary columns; the plumbing —
+    schema, mapInPandas batch shape, entropy/luma/sha features — is
+    the real deliverable)."""
+    media = M.make_fake_media(spark, n=256)
+    return M.extract_features(media, fake_decode=True)
+
+
+@register("multimodal_frame_plan")
+def multimodal_frame_plan(spark, sf_dir):
+    return M.frame_sample_plan(M.make_fake_media(spark, n=256), every_ms=500)

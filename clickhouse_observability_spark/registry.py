@@ -74,6 +74,7 @@ def _load_all() -> None:
         "dedup",
         "similarity",
         "text",
+        "multimodal",
     ):
         try:
             __import__(f"clickhouse_observability_spark.queries.{mod}")

@@ -31,6 +31,10 @@ def get_spark(app_name: str = APP_NAME, cpus: int | None = None) -> SparkSession
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TakeOrderedAndProject allocates an O(limit) top-k buffer PER
+        # TASK; above this threshold Spark falls back to sort+limit,
+        # which spills instead of OOMing on absurd limits.
+        .config("spark.sql.execution.topKSortFallbackThreshold", "100000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -1,0 +1,64 @@
+"""Plan-shape assertions: the engine's performance contract
+(SURVEY.md §4 — what ClickHouse got from its DDL, Catalyst must get
+from our declarative plans)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark import plans as P
+from clickhouse_observability_spark.operators.joins import (
+    orders_enriched,
+    shipping_priority,
+)
+from clickhouse_observability_spark.operators.query_logs import query_events
+from clickhouse_observability_spark.sources.parquet import load_table
+
+
+def test_equality_filter_pushed_to_scan(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    df = ev.filter(F.col("event_type") == "error").select("event_id", "event_type")
+    pushed = P.pushed_filters(df)
+    assert any("event_type" in p for p in pushed)
+
+
+def test_column_pruning(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    df = ev.select("event_id", "event_type")
+    cols = P.read_schema_columns(df)
+    assert "props" not in cols and "value" not in cols
+
+
+def test_topk_fuses(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    df = query_events(ev, "error", "2024-01-01", "2024-02-01", limit=10)
+    assert P.has_take_ordered(df)
+
+
+def test_dim_joins_broadcast(spark, sf_small):
+    df = orders_enriched(
+        load_table(spark, sf_small, "orders"),
+        load_table(spark, sf_small, "customer"),
+        load_table(spark, sf_small, "nation"),
+        load_table(spark, sf_small, "region"),
+    )
+    assert P.has_broadcast_join(df)
+    # no shuffle needed for the dim chain itself: broadcast all the way
+    assert "SortMergeJoin" not in P.executed_plan(df)
+
+
+def test_q3_single_fact_shuffle(spark, sf_small):
+    df = shipping_priority(
+        load_table(spark, sf_small, "customer"),
+        load_table(spark, sf_small, "orders"),
+        load_table(spark, sf_small, "lineitem"),
+    )
+    plan = P.executed_plan(df)
+    assert "BroadcastHashJoin" in plan  # customer side broadcasts
+
+
+def test_codegen_covers_agg(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    df = ev.groupBy("event_type").agg(F.sum("value"))
+    df.collect()  # AQE only materializes the final plan after execution
+    assert P.whole_stage_codegen_spans(df) >= 1
