@@ -108,6 +108,67 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization: word pieces OR single non-space symbols —
+# the standard byte-pair pre-split (\w+ runs and isolated punctuation).
+# Double-backslashed for embedding in SQL string literals.
+_BPE_SPLIT_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+# SQL fragment mirror of normalized_text for expr-string contexts.
+_NORM_SQL = r"lower(regexp_replace(trim(text), '\\s+', ' '))"
+
+
+def bpe_token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting for training budgets: whitespace tokens plus a
+    BPE-ish regex pre-tokenization count (regexp_extract_all — pure
+    JVM). Ratio of the two approximates subword inflation."""
+    ws = F.size(tokens("text"))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_SPLIT_SQL}', 0)"))
+    return documents.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe / ws, 4).alias("inflation"),
+    )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): hash every
+    k-gram of the normalized text, take the min hash of each sliding
+    window of `window` consecutive k-grams, keep the distinct mins.
+
+    Everything is expressible as positions -> substrings -> md5 -> a
+    sliding-window MIN over a window frame — identical SQL runs as the
+    DuckDB oracle (md5 hex strings compare lexicographically the same
+    everywhere). Output: per doc, the fingerprint count and the
+    smallest fingerprint (stable digest of the selected set).
+    """
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty —
+    # short docs must be guarded to an empty gram array explicitly.
+    grams = F.expr(
+        f"CASE WHEN length({_NORM_SQL}) >= {k} THEN "
+        f"transform(sequence(1, length({_NORM_SQL}) - {k} + 1), "
+        f"i -> md5(substring({_NORM_SQL}, i, {k}))) "
+        f"ELSE array() END"
+    )
+    d = documents.select("doc_id", grams.alias("gs")).select(
+        "doc_id", F.posexplode("gs").alias("pos", "g")
+    )
+    from pyspark.sql import Window as W
+
+    win = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    )
+    sel = d.select("doc_id", "pos", F.min("g").over(win).alias("fp")).filter(
+        F.col("pos") >= window - 1
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count_distinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """md5 doc fingerprint + sorted-token-set fingerprint (the
     bag-of-words identity used by exact-after-normalization dedup)."""

@@ -86,6 +86,53 @@ def text_lang_id(spark, sf_dir):
 
 
 @register(
+    "text_bpe_tokens",
+    oracle=rf"""
+    SELECT doc_id,
+           len({_TOKS}) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]', 0)) AS bpe_tokens,
+           round(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]', 0)) * 1.0
+                 / len({_TOKS}), 4) AS inflation
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    return TX.bpe_token_counts(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_winnowing",
+    oracle=rf"""
+    WITH gl AS (
+        SELECT doc_id,
+               [md5(substring({_NORM}, i, 5))
+                FOR i IN range(1, greatest(length({_NORM}) - 4, 0) + 1)] AS gs
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) AS pos FROM gl
+    ),
+    sel AS (
+        SELECT doc_id, pos,
+               min(g) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ) AS fp
+        FROM grams
+    )
+    SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp
+    FROM sel WHERE pos >= 4 GROUP BY doc_id
+    """,
+)
+def text_winnowing(spark, sf_dir):
+    """Winnowing fingerprint (k=5 char-grams, window=4). The oracle's
+    positions are 1-based (range + substring) and Spark's posexplode
+    is 0-based — the WHERE pos >= w-1 guard is offset accordingly on
+    each side."""
+    return TX.winnowing_fingerprints(table(spark, sf_dir, "documents"), k=5, window=4)
+
+
+@register(
     "text_fingerprints",
     oracle=rf"""
     SELECT doc_id,

@@ -1,0 +1,111 @@
+"""EXT streaming-window tests: event-time windows honor event time
+(not arrival order), watermark bounds state, streaming dedup drops
+in-horizon duplicates."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import uuid
+
+import pytest
+
+from clickhouse_observability_spark.schema import INGEST_SCHEMA
+from clickhouse_observability_spark.sources.writer import normalize_ingest
+from clickhouse_observability_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_windows,
+    windowed_counts,
+)
+
+
+def _write_batch(inbox: str, rows: list[dict]) -> None:
+    os.makedirs(inbox, exist_ok=True)
+    p = os.path.join(inbox, f"{uuid.uuid4().hex}.jsonl")
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _wire(ts, service="orders", trace="t1", span=None):
+    return {
+        "ts": ts, "service": service, "level": "INFO", "msg": "m",
+        "attrs": {}, "trace_id": trace, "span_id": span or uuid.uuid4().hex,
+    }
+
+
+def _stream(spark, inbox):
+    raw = spark.readStream.schema(INGEST_SCHEMA).json(inbox)
+    return normalize_ingest(raw)
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def test_windowed_counts_event_time(spark, tmp_path):
+    inbox = str(tmp_path / "in")
+    # out-of-order arrival: 10:00 batch arrives AFTER 10:01 batch
+    _write_batch(inbox, [
+        _wire("2025-09-01T10:01:10Z"), _wire("2025-09-01T10:01:20Z"),
+    ])
+    _write_batch(inbox, [
+        _wire("2025-09-01T10:00:30Z", service="payments"),
+        _wire("2025-09-01T10:00:40Z"),
+    ])
+    out = windowed_counts(_stream(spark, inbox), "1 minute", "2 minutes")
+    q = _run_to_memory(out, "wc", mode="complete")
+    try:
+        rows = {
+            (r.window_start.minute, r.service): r.n
+            for r in spark.table("wc").collect()
+        }
+        assert rows[(1, "orders")] == 2
+        assert rows[(0, "orders")] == 1  # late-arriving but within watermark
+        assert rows[(0, "payments")] == 1
+    finally:
+        q.stop()
+
+
+def test_session_window_gap(spark, tmp_path):
+    inbox = str(tmp_path / "in")
+    _write_batch(inbox, [
+        _wire("2025-09-01T10:00:00Z", trace="a"),
+        _wire("2025-09-01T10:02:00Z", trace="a"),   # same session (< 5 min gap)
+        _wire("2025-09-01T10:30:00Z", trace="a"),   # new session
+        _wire("2025-09-01T10:00:00Z", trace="b"),
+    ])
+    out = session_windows(_stream(spark, inbox), gap="5 minutes")
+    q = _run_to_memory(out, "sess", mode="complete")
+    try:
+        rows = [
+            (r.trace_id, r.n_events) for r in spark.table("sess").collect()
+        ]
+        assert sorted(rows) == [("a", 1), ("a", 2), ("b", 1)]
+    finally:
+        q.stop()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    inbox = str(tmp_path / "in")
+    _write_batch(inbox, [
+        _wire("2025-09-01T10:00:00Z", trace="t", span="s1"),
+        _wire("2025-09-01T10:00:01Z", trace="t", span="s1"),  # dup key
+        _wire("2025-09-01T10:00:02Z", trace="t", span="s2"),
+    ])
+    out = dedup_within_watermark(_stream(spark, inbox))
+    q = _run_to_memory(out, "dd")
+    try:
+        spans = sorted(r.span_id for r in spark.table("dd").collect())
+        assert spans == ["s1", "s2"]
+    finally:
+        q.stop()
