@@ -72,6 +72,48 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
+    # Ingest-path throughput: write-path normalize + partitioned sorted
+    # append of 100k wire rows (reference floor: 5,000 rows/s,
+    # BASELINE.md). Synthetic rows are generated distributed.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as Fn
+
+    from clickhouse_observability_spark.sources.writer import (
+        LogsTable,
+        normalize_ingest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="chobs-ingest-bench-")
+    try:
+        n_rows = 100_000
+        wire = spark.range(n_rows).select(
+            Fn.concat(
+                Fn.lit("2025-0"),
+                (Fn.col("id") % 2 + 7).cast("string"),
+                Fn.lit("-15T10:"),
+                Fn.lpad((Fn.col("id") % 60).cast("string"), 2, "0"),
+                Fn.lit(":00Z"),
+            ).alias("ts"),
+            Fn.concat(Fn.lit("svc-"), (Fn.col("id") % 8).cast("string")).alias("service"),
+            Fn.element_at(
+                Fn.array(Fn.lit("INFO"), Fn.lit("WARN"), Fn.lit("ERROR")),
+                (Fn.col("id") % 3 + 1).cast("int"),
+            ).alias("level"),
+            Fn.concat(Fn.lit("msg-"), Fn.col("id").cast("string")).alias("msg"),
+            Fn.create_map(Fn.lit("user"), Fn.concat(Fn.lit("u"), (Fn.col("id") % 100).cast("string"))).alias("attrs"),
+            Fn.concat(Fn.lit("trace-"), (Fn.col("id") % 1000).cast("string")).alias("trace_id"),
+            Fn.concat(Fn.lit("span-"), Fn.col("id").cast("string")).alias("span_id"),
+        )
+        table = LogsTable(spark, tmp + "/logs")
+        t0 = time.time()
+        table.insert(normalize_ingest(wire))
+        dt_ingest = time.time() - t0
+        times["ingest_100k_rows"] = round(dt_ingest, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -155,6 +155,60 @@ def lsh_topk(
     )
 
 
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via LSH bucketing — the O(n) alternative to the
+    brute-force O(n²) pair scan: only bucket-mates (any table) are
+    compared; exact cosine filters the candidates. Recall vs brute
+    force is pytest-asserted; misses are pairs whose sign patterns
+    differ in every table."""
+    e0 = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sigs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        e = e0
+        for i, p in enumerate(planes):
+            e = e.withColumn(f"_plane_{i}", F.array(*[F.lit(x) for x in p]))
+        sigs.append(
+            e.select(
+                "vec_id", "v", F.lit(t).alias("tbl"),
+                lsh_signature_col("v", planes).alias("sig"),
+            )
+        )
+    bucketed = sigs[0]
+    for s in sigs[1:]:
+        bucketed = bucketed.unionByName(s)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cs = _cosine("va", "vb")
+    return (
+        cand.select("vec_a", "vec_b", F.round(cs, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],

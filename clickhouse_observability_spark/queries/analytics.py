@@ -68,6 +68,54 @@ def agg_value_stats(spark, sf_dir):
 
 
 @register(
+    "agg_rollup_day_type",
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (day, event_type)
+    """,
+)
+def agg_rollup_day_type(spark, sf_dir):
+    """Hierarchical totals (day -> type -> grand total) in one pass —
+    ROLLUP expands to grouping sets; Spark plans a single Expand +
+    aggregate, no multi-scan."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "value"
+        )
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "agg_cube_type_user_bucket",
+    oracle="""
+    SELECT event_type, user_id % 10 AS user_bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, user_bucket)
+    """,
+)
+def agg_cube_type_user_bucket(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", (F.col("user_id") % 10).alias("user_bucket"))
+        .cube("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "agg_median_value",
     oracle="""
     SELECT event_type, round(quantile_cont(value, 0.5)::DOUBLE, 4) AS median_value

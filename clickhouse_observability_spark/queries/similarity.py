@@ -40,3 +40,8 @@ def sim_topk_lsh(spark, sf_dir):
 @register("sim_topk_ivf")
 def sim_topk_ivf(spark, sf_dir):
     return S.ivf_topk(table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10)
+
+
+@register("sim_neardup_lsh")
+def sim_neardup_lsh(spark, sf_dir):
+    return S.embedding_neardup_lsh(table(spark, sf_dir, "embeddings"), threshold=0.45)

@@ -42,6 +42,84 @@ def window_user_gaps(spark, sf_dir):
 
 
 @register(
+    "window_rank_suite",
+    oracle="""
+    SELECT event_id, event_type,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(cume_dist() OVER w, 6) AS cdist,
+           round(value - avg(value) OVER (PARTITION BY event_type), 4) AS delta_from_mean
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+    """,
+)
+def window_rank_suite(spark, sf_dir):
+    """The full ranking-function family over one window, plus an
+    unbounded-frame analytic (delta from the partition mean) — one
+    shuffle on the partition key serves all six functions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    wa = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.col("value") - F.avg("value").over(wa), 4).alias("delta_from_mean"),
+    )
+
+
+@register(
+    "join_trace_correlation",
+    oracle="""
+    SELECT e.event_id AS error_id, e.ts AS error_ts, e.user_id,
+           count(*) AS n_context_events
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+     AND c.event_type <> 'error'
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.ts, e.user_id
+    """,
+)
+def join_trace_correlation(spark, sf_dir):
+    """Trace-correlation self-join (SURVEY.md §2.3 EXT): for each
+    error, count the same user's activity in the 5 minutes before —
+    the logs.join(logs, trace_id) pattern with a bounded time range.
+    Equi-join on user_id carries the range predicate as a post-join
+    filter; the bounded window keeps fan-out linear in activity rate."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        "user_id",
+    )
+    ctx = ev.filter(F.col("event_type") != "error").select(
+        "user_id", F.col("ts").alias("ctx_ts")
+    )
+    return (
+        err.join(ctx, "user_id")
+        .filter(
+            (F.col("ctx_ts") >= F.col("error_ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("ctx_ts") < F.col("error_ts"))
+        )
+        .groupBy("error_id", "error_ts", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_context_events"))
+    )
+
+
+@register(
     "asof_click_before_purchase",
     oracle="""
     WITH tagged AS (

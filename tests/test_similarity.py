@@ -69,6 +69,21 @@ def test_ivf_recall_and_pruning(emb, bf_sets):
     assert recall >= 0.4, f"IVF recall {recall} (probes 4/10 partitions)"
 
 
+def test_lsh_neardup_recall(emb):
+    from clickhouse_observability_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    exact = {(r.vec_a, r.vec_b) for r in
+             embedding_neardup_pairs(emb, threshold=0.45).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in
+           S.embedding_neardup_lsh(emb, threshold=0.45).collect()}
+    assert lsh <= exact  # exact re-rank: no false positives
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.5, f"LSH near-dup recall {recall}"
+
+
 def test_lsh_candidates_subset_ranked_exactly(emb, bf_sets):
     # every (query, neighbor) LSH returns must carry the true cosine:
     # spot-check rank-1 rows agree with brute force when present.
