@@ -18,8 +18,17 @@ from clickhouse_observability_spark.operators.query_logs import (
     query_events_between,
 )
 from clickhouse_observability_spark.registry import register, table
+from clickhouse_observability_spark.sources.parquet import load_table_ts_range
 
 _EV_COLS = "event_id, ts, user_id, event_type, value, props"
+
+
+def _events_range(spark, sf_dir, frm, to):
+    """events scan with the time bounds pushed onto the raw nanos
+    column (row-group skipping; see load_table_ts_range). The query
+    template re-applies the same bounds post-conversion — a no-op for
+    correctness, pruning for the scan."""
+    return load_table_ts_range(spark, sf_dir, "events", "ts", frm, to)
 
 # P1-P3 + O1-O3: required filters, fixed projection, desc sort, limit.
 @register(
@@ -33,12 +42,9 @@ _EV_COLS = "event_id, ts, user_id, event_type, value, props"
     """,
 )
 def logs_basic(spark, sf_dir):
+    ev = _events_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-20 00:00:00")
     return query_events(
-        table(spark, sf_dir, "events"),
-        "click",
-        "2024-01-05 00:00:00",
-        "2024-01-20 00:00:00",
-        limit=100,
+        ev, "click", "2024-01-05 00:00:00", "2024-01-20 00:00:00", limit=100
     )
 
 
@@ -55,13 +61,10 @@ def logs_basic(spark, sf_dir):
     """,
 )
 def logs_user_filter(spark, sf_dir):
+    ev = _events_range(spark, sf_dir, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
     return query_events(
-        table(spark, sf_dir, "events"),
-        "view",
-        "2024-01-01 00:00:00",
-        "2024-02-01 00:00:00",
-        user_id=7,
-        limit=100,
+        ev, "view", "2024-01-01 00:00:00", "2024-02-01 00:00:00",
+        user_id=7, limit=100,
     )
 
 
@@ -78,14 +81,10 @@ def logs_user_filter(spark, sf_dir):
     """,
 )
 def logs_json_attr(spark, sf_dir):
+    ev = _events_range(spark, sf_dir, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
     return query_events(
-        table(spark, sf_dir, "events"),
-        "error",
-        "2024-01-01 00:00:00",
-        "2024-02-01 00:00:00",
-        prop_key="k",
-        prop_value="42",
-        limit=100,
+        ev, "error", "2024-01-01 00:00:00", "2024-02-01 00:00:00",
+        prop_key="k", prop_value="42", limit=100,
     )
 
 

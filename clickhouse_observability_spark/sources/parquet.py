@@ -42,3 +42,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def load_table_ts_range(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_col: str,
+    frm: str | None = None,
+    to: str | None = None,
+) -> DataFrame:
+    """Scan with the time-range predicate applied to the RAW int64
+    nanos column BEFORE timestamp conversion.
+
+    A filter on `timestamp_micros(ts div 1000)` cannot reach the
+    parquet reader; the same bounds expressed on the raw long column
+    push down to row-group min/max stats (PushedFilters shows
+    GreaterThanOrEqual/LessThan on the nanos), so months outside the
+    range are never decoded. This is the testdata equivalent of the
+    month-partition pruning the at-rest LogsTable gets for free.
+    Bounds are closed-open [frm, to), matching the query template.
+    """
+    import datetime as dt
+
+    def _nanos(v: str) -> int:
+        d = dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+        if d.tzinfo is not None:
+            d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        # integer arithmetic from epoch; float seconds would lose ns
+        return ((d - dt.datetime(1970, 1, 1)).days * 86_400_000_000
+                + (d - dt.datetime(1970, 1, 1)).seconds * 1_000_000
+                + (d - dt.datetime(1970, 1, 1)).microseconds) * 1000
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        if frm is not None:
+            df = df.filter(F.col(ts_col) >= F.lit(_nanos(frm)))
+        if to is not None:
+            df = df.filter(F.col(ts_col) < F.lit(_nanos(to)))
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    else:
+        if frm is not None:
+            df = df.filter(F.col(ts_col) >= F.to_timestamp(F.lit(frm)))
+        if to is not None:
+            df = df.filter(F.col(ts_col) < F.to_timestamp(F.lit(to)))
+    return df
