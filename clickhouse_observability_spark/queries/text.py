@@ -133,6 +133,51 @@ def text_winnowing(spark, sf_dir):
 
 
 @register(
+    "text_search_grep",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE text ILIKE '%window%join%'
+       OR regexp_matches(text, 'agg\\s+(row|scan)')
+    """,
+)
+def text_search_grep(spark, sf_dir):
+    """Grep-style log/document search: case-insensitive multi-wildcard
+    LIKE plus a regexp — both stay inside whole-stage codegen and the
+    LIKE prefix/suffix forms push into the scan where possible."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("text").ilike("%window%join%")
+        | F.col("text").rlike(r"agg\s+(row|scan)")
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "text_train_val_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < '1a'
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def text_train_val_split(spark, sf_dir):
+    """Deterministic, engine-independent train/val split: bucket by
+    the md5 of the stable id (first byte < 0x1a ≈ 10.2% val). The
+    reproducible-split idiom for training pipelines — no rand(), no
+    seed coordination, stable under re-partitioning and retries."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(bucket < "1a", "val").otherwise("train").alias("split"),
+    )
+
+
+@register(
     "text_fingerprints",
     oracle=rf"""
     SELECT doc_id,
