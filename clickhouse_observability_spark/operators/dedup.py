@@ -392,22 +392,22 @@ def _lsh_candidates_grouped(
         "mask", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
-    # distinct FIRST on the (m1, m2) longs — a mask pair colliding in
-    # many bands must not fan out before dedup.
-    mask_pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.mask") < F.col("b.mask")),
-        )
-        .select(F.col("a.mask").alias("m1"), F.col("b.mask").alias("m2"))
-        .distinct()
-    )
+    # Dedup band collisions on the (m1, m2) longs — never fan doc
+    # lists out first. The popcount jaccard filter (when given) runs
+    # BEFORE the distinct: it's a per-row integer op, and dropping
+    # non-qualifying collisions there shrinks the distinct's shuffle
+    # by the selectivity of the threshold.
+    mask_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.mask") < F.col("b.mask")),
+    ).select(F.col("a.mask").alias("m1"), F.col("b.mask").alias("m2"))
     if min_jaccard is not None:
         inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2")))
         union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
         mask_pairs = mask_pairs.filter(inter / union >= min_jaccard)
+    mask_pairs = mask_pairs.distinct()
     g1 = groups.select(F.col("mask").alias("m1"), F.col("ids").alias("ids1"))
     g2 = groups.select(F.col("mask").alias("m2"), F.col("ids").alias("ids2"))
     inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2")))

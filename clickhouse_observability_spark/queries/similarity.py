@@ -42,6 +42,31 @@ def sim_topk_ivf(spark, sf_dir):
     return S.ivf_topk(table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10)
 
 
+# IVF with n_probe = all partitions degenerates to exact search — the
+# correctness proof of the probing machinery, checkable against the
+# same oracle as brute force.
+@register(
+    "sim_topk_ivf_exhaustive",
+    oracle="""
+    SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   e.embedding::DOUBLE[]) DESC,
+                            e.vec_id ASC
+               ) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id IN (0, 1, 2, 3, 4)
+    ) WHERE rank <= 10
+    """,
+)
+def sim_topk_ivf_exhaustive(spark, sf_dir):
+    return S.ivf_topk(table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10, n_probe=10)
+
+
 @register("sim_neardup_lsh")
 def sim_neardup_lsh(spark, sf_dir):
     return S.embedding_neardup_lsh(table(spark, sf_dir, "embeddings"), threshold=0.45)
