@@ -116,6 +116,34 @@ def agg_cube_type_user_bucket(spark, sf_dir):
 
 
 @register(
+    "dedup_first_event_per_user_type",
+    oracle="""
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+    FROM events e
+    JOIN (
+        SELECT user_id, event_type, min(event_id) AS event_id
+        FROM events GROUP BY user_id, event_type
+    ) k USING (user_id, event_type, event_id)
+    """,
+)
+def dedup_first_event_per_user_type(spark, sf_dir):
+    """Deterministic dropDuplicates: ONE canonical row per (user,
+    event_type) — row_number over an explicit order, not
+    dropDuplicates() whose survivor is partitioning-dependent. The
+    row_number filter plans as a single shuffle on the group key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register(
     "agg_median_value",
     oracle="""
     SELECT event_type, round(quantile_cont(value, 0.5)::DOUBLE, 4) AS median_value
