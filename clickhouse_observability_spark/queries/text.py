@@ -133,6 +133,33 @@ def text_winnowing(spark, sf_dir):
 
 
 @register(
+    "text_top_terms",
+    oracle=rf"""
+    SELECT tok, count(*) AS n FROM (
+        SELECT unnest({_TOKS}) AS tok FROM documents
+    ) GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+    """,
+)
+def text_top_terms(spark, sf_dir):
+    """Top-k frequent terms (the 'top error messages' observability
+    staple): explode -> count -> top-k. Partial aggregation collapses
+    each task to |vocab| rows before the shuffle; the top-k is
+    TakeOrderedAndProject over the tiny aggregate."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators.text_analysis import tokens
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+@register(
     "text_search_grep",
     oracle="""
     SELECT doc_id, lang, source FROM documents

@@ -57,6 +57,40 @@ def test_q3_single_fact_shuffle(spark, sf_small):
     assert "BroadcastHashJoin" in plan  # customer side broadcasts
 
 
+def test_asof_join_single_shuffle(spark, sf_small):
+    # SCALING.md claim: the as-of union+window pattern shuffles ONCE
+    # on the key (no range cross-join, no extra exchanges).
+    from clickhouse_observability_spark.operators.analytics import (
+        asof_join_last_event,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    out = asof_join_last_event(purchases, clicks, on="user_id")
+    from clickhouse_observability_spark.plans.explain import shuffle_count
+
+    assert shuffle_count(out) == 1
+    assert "Join" not in P.executed_plan(out)  # no join operator at all
+
+
+def test_bitmask_jaccard_no_shuffle_join(spark, sf_small):
+    # SCALING.md claim: the bitmask strategy never runs the
+    # shingle-level SortMergeJoin; the only join is the broadcast
+    # mask-pair compare.
+    from clickhouse_observability_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_small, "documents")
+    out = jaccard_pairs(docs, threshold=0.95)
+    plan = P.executed_plan(out)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_codegen_covers_agg(spark, sf_small):
     ev = load_table(spark, sf_small, "events")
     df = ev.groupBy("event_type").agg(F.sum("value"))
