@@ -82,6 +82,62 @@ def median_value(events: DataFrame) -> DataFrame:
     )
 
 
+def error_rate_hourly(events: DataFrame, error_type: str = "error") -> DataFrame:
+    """Windowed error-rate (the alerting query): per hour, error
+    events / total events. Conditional aggregation — one pass, one
+    tiny shuffle; the ratio of two ints is engine-exact."""
+    is_err = (F.col("event_type") == error_type).cast("long")
+    return (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(is_err).alias("n_errors"),
+        )
+        .withColumn(
+            "error_rate", F.round(F.col("n_errors") / F.col("n_total"), 6)
+        )
+    )
+
+
+def latency_percentiles(events: DataFrame) -> DataFrame:
+    """p50/p95/p99 of the numeric payload per type (the latency-SLO
+    query). Exact interpolated percentiles (== quantile_cont); the
+    documented 100 TB swap is percentile_approx with the same call
+    shape."""
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Generic data-quality profile: per column — null count, distinct
+    count, min/max (as strings for type-uniformity). One aggregate
+    pass over the table (all stats computed together), then a tiny
+    unpivot; the training-data 'sanity sweep' operator."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs, F.count(F.lit(1)).alias("__n"))
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n").alias("n_rows"),
+    )
+
+
 def top_n_per_type(events: DataFrame, n: int = 5) -> DataFrame:
     """Top-N newest events per type via row_number — subsumes the
     reference's per-service ORDER BY ts DESC LIMIT pattern in one

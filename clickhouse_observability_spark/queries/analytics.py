@@ -48,6 +48,62 @@ def agg_distinct_users(spark, sf_dir):
     return A.distinct_users(table(spark, sf_dir, "events"))
 
 
+@register(
+    "agg_error_rate_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket,
+           count(*) AS n_total,
+           count(*) FILTER (event_type = 'error') AS n_errors,
+           round(count(*) FILTER (event_type = 'error') * 1.0 / count(*), 6)
+               AS error_rate
+    FROM events GROUP BY 1
+    """,
+)
+def agg_error_rate_hourly(spark, sf_dir):
+    return A.error_rate_hourly(table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_latency_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50)::DOUBLE, 4) AS p50,
+           round(quantile_cont(value, 0.95)::DOUBLE, 4) AS p95,
+           round(quantile_cont(value, 0.99)::DOUBLE, 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_latency_percentiles(spark, sf_dir):
+    return A.latency_percentiles(table(spark, sf_dir, "events"))
+
+
+@register(
+    "profile_events",
+    oracle="""
+    WITH w AS (
+        SELECT sum((event_id IS NULL)::BIGINT) AS a1, count(DISTINCT event_id) AS a2,
+               min(event_id)::VARCHAR AS a3, max(event_id)::VARCHAR AS a4,
+               sum((user_id IS NULL)::BIGINT) AS b1, count(DISTINCT user_id) AS b2,
+               min(user_id)::VARCHAR AS b3, max(user_id)::VARCHAR AS b4,
+               sum((event_type IS NULL)::BIGINT) AS c1, count(DISTINCT event_type) AS c2,
+               min(event_type) AS c3, max(event_type) AS c4,
+               count(*) AS n
+        FROM events
+    )
+    SELECT 'event_id' AS column_name, a1 AS n_nulls, a2 AS n_distinct,
+           a3 AS min_value, a4 AS max_value, n AS n_rows FROM w
+    UNION ALL
+    SELECT 'user_id', b1, b2, b3, b4, n FROM w
+    UNION ALL
+    SELECT 'event_type', c1, c2, c3, c4, n FROM w
+    """,
+)
+def profile_events(spark, sf_dir):
+    return A.profile_table(
+        table(spark, sf_dir, "events"), ["event_id", "user_id", "event_type"]
+    )
+
+
 # HLL sketch — engine-specific, rows-only check; accuracy asserted in pytest.
 @register("agg_approx_distinct_users")
 def agg_approx_distinct_users(spark, sf_dir):
