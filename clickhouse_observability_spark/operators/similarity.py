@@ -209,17 +209,46 @@ def embedding_neardup_lsh(
     )
 
 
+def build_kmeans_ivf(
+    embeddings: DataFrame, n_clusters: int = 10, seed: int = 42
+) -> DataFrame:
+    """IVF index build: k-means coarse quantizer over the embedding
+    column (pyspark.ml, fixed seed -> deterministic). Returns
+    (vec_id, label) assignments in the same shape as the testdata's
+    precomputed `label`, so `ivf_topk` consumes either.
+
+    At rest the assignments become the partition column of the
+    vector table: `df.write.partitionBy("label")` gives the
+    directory-pruned ANN layout; rebuilds are periodic batch jobs.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
+    return (
+        model.transform(feats)
+        .select("vec_id", F.col("prediction").cast("int").alias("label"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     n_probe: int = 3,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style search over a coarse partition column (`label` here;
     a k-means assignment in a real index). Centroids are computed
     once (tiny: one row per partition), the query probes its n_probe
     nearest centroids, and exact search runs only inside those
     partitions — the partition-pruning story for ANN at rest."""
+    if assignments is not None:
+        embeddings = embeddings.drop("label").join(assignments, "vec_id")
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )

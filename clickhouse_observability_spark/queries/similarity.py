@@ -67,6 +67,17 @@ def sim_topk_ivf_exhaustive(spark, sf_dir):
     return S.ivf_topk(table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10, n_probe=10)
 
 
+@register("sim_topk_ivf_kmeans")
+def sim_topk_ivf_kmeans(spark, sf_dir):
+    """IVF over a k-means coarse quantizer built on the fly
+    (deterministic seed) instead of the precomputed label column —
+    the real index-build path. Rows-only: k-means internals are
+    engine-specific; pytest asserts recall vs brute force."""
+    emb = table(spark, sf_dir, "embeddings")
+    assign = S.build_kmeans_ivf(emb, n_clusters=10)
+    return S.ivf_topk(emb, _QUERY_IDS, k=10, n_probe=4, assignments=assign)
+
+
 @register("sim_neardup_lsh")
 def sim_neardup_lsh(spark, sf_dir):
     return S.embedding_neardup_lsh(table(spark, sf_dir, "embeddings"), threshold=0.45)

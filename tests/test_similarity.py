@@ -84,6 +84,21 @@ def test_lsh_neardup_recall(emb):
         assert recall >= 0.5, f"LSH near-dup recall {recall}"
 
 
+def test_kmeans_ivf_recall(emb, bf_sets):
+    assign = S.build_kmeans_ivf(emb, n_clusters=10)
+    # assignments are a proper partition of the corpus
+    assert assign.count() == emb.count()
+    assert assign.select("label").distinct().count() <= 10
+    got = {}
+    for r in S.ivf_topk(emb, QIDS, k=10, n_probe=4, assignments=assign).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(bf_sets[q] & got.get(q, set())) for q in QIDS)
+    recall = hits / sum(len(v) for v in bf_sets.values())
+    # k-means partitions align with cosine structure better than the
+    # testdata's labels; expect at least comparable recall
+    assert recall >= 0.4, f"k-means IVF recall {recall}"
+
+
 def test_lsh_candidates_subset_ranked_exactly(emb, bf_sets):
     # every (query, neighbor) LSH returns must carry the true cosine:
     # spot-check rank-1 rows agree with brute force when present.
