@@ -28,7 +28,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-from clickhouse_observability_spark.functions.timeparse import format_rfc3339
+
 from clickhouse_observability_spark.operators.query_logs import query_logs
 
 DEFAULT_LIMIT = 100  # api.go:73

@@ -19,7 +19,6 @@ Approximate-nearest-neighbor over an array<float> column:
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame, Window
