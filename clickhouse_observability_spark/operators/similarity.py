@@ -82,6 +82,34 @@ def lsh_signature_col(v: str, planes: list[list[float]]):
     return sig
 
 
+def _bucketed_signatures(
+    e0: DataFrame, n_planes: int, n_tables: int, dim: int, seed: int
+) -> DataFrame:
+    """(vec_id, v, tbl, sig) for all tables in ONE pass and ONE
+    expression tree: all hyperplanes ship as a single nested-array
+    literal, per-table signatures come from a nested aggregate, and
+    posexplode replaces the former n_tables-way union. Cuts plan
+    analysis from O(tables × planes) literal columns to one."""
+    all_planes = [
+        p
+        for t in range(n_tables)
+        for p in _hyperplanes(dim, n_planes, seed + 1000 * t)
+    ]
+    planes_sql = "array(" + ",".join(
+        "array(" + ",".join(repr(x) + "D" for x in p) + ")" for p in all_planes
+    ) + ")"
+    sigs_sql = (
+        f"transform(sequence(0, {n_tables - 1}), t -> "
+        f"  aggregate(sequence(0, {n_planes - 1}), 0L, (acc, i) -> acc + "
+        f"    IF(aggregate(zip_with(v, element_at({planes_sql}, t * {n_planes} + i + 1),"
+        f"                 (x, y) -> x * y), 0D, (a, x) -> a + x) > 0,"
+        f"       shiftleft(1L, i), 0L)))"
+    )
+    return e0.select(
+        "vec_id", "v", F.posexplode(F.expr(sigs_sql)).alias("tbl", "sig")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -105,23 +133,7 @@ def lsh_topk(
     e0 = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sigs = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        e = e0
-        for i, p in enumerate(planes):
-            e = e.withColumn(f"_plane_{i}", F.array(*[F.lit(x) for x in p]))
-        sigs.append(
-            e.select(
-                "vec_id",
-                "v",
-                F.lit(t).alias("tbl"),
-                lsh_signature_col("v", planes).alias("sig"),
-            )
-        )
-    bucketed = sigs[0]
-    for s in sigs[1:]:
-        bucketed = bucketed.unionByName(s)
+    bucketed = _bucketed_signatures(e0, n_planes, n_tables, dim, seed)
 
     probes = [F.col("sig")]
     if multiprobe:
@@ -170,21 +182,7 @@ def embedding_neardup_lsh(
     e0 = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sigs = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        e = e0
-        for i, p in enumerate(planes):
-            e = e.withColumn(f"_plane_{i}", F.array(*[F.lit(x) for x in p]))
-        sigs.append(
-            e.select(
-                "vec_id", "v", F.lit(t).alias("tbl"),
-                lsh_signature_col("v", planes).alias("sig"),
-            )
-        )
-    bucketed = sigs[0]
-    for s in sigs[1:]:
-        bucketed = bucketed.unionByName(s)
+    bucketed = _bucketed_signatures(e0, n_planes, n_tables, dim, seed)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         a.join(
