@@ -44,18 +44,25 @@ def apply_retention(
     retention_days: int,
     now: dt.datetime | None = None,
     exact: bool = True,
+    dry_run: bool = False,
 ) -> dict:
     """Delete rows with ts older than now - retention_days (db.go:60-65).
 
     Whole months below the cutoff month are dropped as directories
     (metadata-only at scale: ALTER TABLE ... DROP PARTITION); the
     boundary month is rewritten with an exact ts filter when
-    ``exact``. Returns {"dropped_months": [...], "rewritten": month|None}.
+    ``exact``. ``dry_run`` reports what WOULD be dropped/rewritten
+    without touching data. Returns {"dropped_months": [...],
+    "rewritten": month|None}.
     """
     now = now or dt.datetime.now(dt.timezone.utc)
     cutoff = now - dt.timedelta(days=int(retention_days))
     cutoff_month = cutoff.year * 100 + cutoff.month
     dropped, rewritten = [], None
+    if dry_run:
+        dropped = [m for m in _partition_months(path) if m < cutoff_month]
+        boundary = cutoff_month if cutoff_month in _partition_months(path) else None
+        return {"dropped_months": dropped, "rewritten": boundary, "dry_run": True}
     for m in _partition_months(path):
         if m < cutoff_month:
             shutil.rmtree(os.path.join(path, f"{PARTITION_COLUMN}={m}"))

@@ -92,6 +92,11 @@ class LogsTable:
             .sortWithinPartitions(PARTITION_COLUMN, "service", "ts")
             .write.mode(mode)
             .partitionBy(PARTITION_COLUMN)
+            # zstd: ~30% smaller than snappy at comparable scan speed —
+            # at 100 TB the scan is IO-bound, so smaller wins (the
+            # reference's ClickHouse uses LZ4 on the wire; codec choice
+            # is an at-rest concern here).
+            .option("compression", "zstd")
             .parquet(self.path)
         )
 

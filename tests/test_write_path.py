@@ -99,6 +99,18 @@ def test_retention_exact_boundary(spark, table):
     assert all(r.ts >= dt.datetime(2025, 9, 10) for r in rows)
 
 
+def test_retention_dry_run(spark, table):
+    table.ingest_batch(WIRE_ROWS)
+    before = table.read().count()
+    res = apply_retention(
+        spark, table.path, retention_days=10,
+        now=dt.datetime(2025, 9, 20, tzinfo=dt.timezone.utc), dry_run=True,
+    )
+    assert res["dry_run"] and res["dropped_months"] == [202508]
+    assert res["rewritten"] == 202509
+    assert table.read().count() == before  # nothing touched
+
+
 def test_compaction_merges_files(spark, table):
     for _ in range(3):
         table.ingest_batch([WIRE_ROWS[0]])
