@@ -82,12 +82,26 @@ def _shingles(n: int) -> Column:
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
 
 
+def _char_shingles(k: int) -> Column:
+    """Character k-gram shingles of the normalized text — the
+    finest-grained near-dup signal (robust to tokenization)."""
+    # NOTE: sequence(1, 0) would be DESCENDING, not empty — guard.
+    norm_sql = r"lower(regexp_replace(trim(text), '\\s+', ' '))"
+    return F.expr(
+        f"CASE WHEN length({norm_sql}) >= {k} THEN "
+        f"array_distinct(transform(sequence(1, length({norm_sql}) - {k} + 1), "
+        f"i -> substring({norm_sql}, i, {k}))) "
+        f"ELSE array() END"
+    )
+
+
 def jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.8,
     ngram: int = 1,
     max_df: int | None = None,
     strategy: str = "auto",
+    char_k: int | None = None,
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold.
 
@@ -111,14 +125,19 @@ def jaccard_pairs(
     exactly under either strategy.
     """
     if strategy == "auto":
-        strategy = "bitmask" if ngram == 1 and max_df is None else "index"
+        strategy = (
+            "bitmask" if ngram == 1 and max_df is None and char_k is None else "index"
+        )
     if strategy == "bitmask":
         masks = _token_masks(documents, ngram)
         if masks is not None:
             return _jaccard_pairs_bitmask(masks, threshold)
         strategy = "index"
     sh = documents.select(
-        "doc_id", F.explode(_shingles(ngram)).alias("shingle")
+        "doc_id",
+        F.explode(
+            _char_shingles(char_k) if char_k else _shingles(ngram)
+        ).alias("shingle"),
     )
     if max_df is not None:
         rare = (

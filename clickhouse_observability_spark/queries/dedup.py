@@ -96,6 +96,37 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
     return D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.8, ngram=2)
 
 
+@register(
+    "dedup_char_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH gl AS (
+        SELECT doc_id,
+               list_distinct([substring({_NORM}, i, 4)
+                FOR i IN range(1, greatest(length({_NORM}) - 3, 0) + 1)]) AS gs
+        FROM documents
+    ),
+    g AS (SELECT doc_id, unnest(gs) AS gram FROM gl),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.9
+    """,
+)
+def dedup_char_ngram_jaccard_pairs(spark, sf_dir):
+    """Character 4-gram Jaccard near-dup (tokenization-robust, the
+    finest grain of the n-gram family)."""
+    return D.jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.9, char_k=4
+    )
+
+
 # MinHash/LSH + SimHash: seeded hash internals are engine-specific ->
 # rows-only driver check; recall/precision asserted in pytest.
 @register("dedup_minhash_pairs")
