@@ -8,7 +8,13 @@ a DuckDB oracle where SQL-expressible.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives beside this file; make the import robust
+# to whatever cwd the driver launches from
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
