@@ -81,11 +81,13 @@ def agg_latency_percentiles(spark, sf_dir):
     "profile_events",
     oracle="""
     WITH w AS (
-        SELECT sum((event_id IS NULL)::BIGINT) AS a1, count(DISTINCT event_id) AS a2,
+        -- sum() over integers widens to HUGEINT in DuckDB; cast the
+        -- RESULT back to BIGINT so the value hash matches Spark's long.
+        SELECT sum((event_id IS NULL)::BIGINT)::BIGINT AS a1, count(DISTINCT event_id) AS a2,
                min(event_id)::VARCHAR AS a3, max(event_id)::VARCHAR AS a4,
-               sum((user_id IS NULL)::BIGINT) AS b1, count(DISTINCT user_id) AS b2,
+               sum((user_id IS NULL)::BIGINT)::BIGINT AS b1, count(DISTINCT user_id) AS b2,
                min(user_id)::VARCHAR AS b3, max(user_id)::VARCHAR AS b4,
-               sum((event_type IS NULL)::BIGINT) AS c1, count(DISTINCT event_type) AS c2,
+               sum((event_type IS NULL)::BIGINT)::BIGINT AS c1, count(DISTINCT event_type) AS c2,
                min(event_type) AS c3, max(event_type) AS c4,
                count(*) AS n
         FROM events

@@ -53,10 +53,12 @@ def window_user_gaps(spark, sf_dir):
     ),
     sess AS (
         SELECT user_id, event_id, ts,
-               sum(new_sess) OVER (
+               -- windowed sum() widens to HUGEINT in DuckDB; cast the
+               -- result to BIGINT to hash-match Spark's long.
+               (sum(new_sess) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_no
+               ))::BIGINT AS session_no
         FROM flagged
     )
     SELECT user_id, session_no, count(*) AS n_events,
