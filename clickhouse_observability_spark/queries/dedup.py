@@ -73,58 +73,55 @@ def dedup_jaccard_pairs(spark, sf_dir):
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
-    grams AS (
+    wgrams AS (
         SELECT doc_id, list_distinct([
             array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))
         ]) AS gs FROM t WHERE len(toks) >= 2
     ),
-    g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b, round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
-    """,
-)
-def dedup_ngram_jaccard_pairs(spark, sf_dir):
-    return D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.8, ngram=2)
-
-
-@register(
-    "dedup_char_ngram_jaccard_pairs",
-    oracle=f"""
-    WITH gl AS (
+    cgrams AS (
         SELECT doc_id,
                list_distinct([substring({_NORM}, i, 4)
                 FOR i IN range(1, greatest(length({_NORM}) - 3, 0) + 1)]) AS gs
         FROM documents
     ),
-    g AS (SELECT doc_id, unnest(gs) AS gram FROM gl),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+    g AS (
+        SELECT 'word_2gram' AS gram_mode, doc_id, unnest(gs) AS gram FROM wgrams
+        UNION ALL
+        SELECT 'char_4gram', doc_id, unnest(gs) FROM cgrams
+    ),
+    sizes AS (
+        SELECT gram_mode, doc_id, count(*) AS sz FROM g GROUP BY gram_mode, doc_id
+    ),
     inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
+        SELECT a.gram_mode, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM g a JOIN g b ON a.gram_mode = b.gram_mode AND a.gram = b.gram
+                         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3
     )
-    SELECT doc_a, doc_b, round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.9
+    SELECT i.gram_mode, doc_a, doc_b,
+           round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.gram_mode = sa.gram_mode AND doc_a = sa.doc_id
+    JOIN sizes sb ON i.gram_mode = sb.gram_mode AND doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.sz + sb.sz - c)
+          >= CASE i.gram_mode WHEN 'word_2gram' THEN 0.8 ELSE 0.9 END
     """,
 )
-def dedup_char_ngram_jaccard_pairs(spark, sf_dir):
-    """Character 4-gram Jaccard near-dup (tokenization-robust, the
-    finest grain of the n-gram family)."""
-    return D.jaccard_pairs(
-        table(spark, sf_dir, "documents"), threshold=0.9, char_k=4
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    """Word-bigram (threshold 0.8) AND character-4-gram (threshold
+    0.9) Jaccard near-dup in one result, tagged by gram_mode — the two
+    shingle grains of the n-gram family share one registry slot so
+    both stay inside the driver's 50-query correctness window."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    word = D.jaccard_pairs(docs, threshold=0.8, ngram=2).withColumn(
+        "gram_mode", F.lit("word_2gram")
     )
+    char = D.jaccard_pairs(docs, threshold=0.9, char_k=4).withColumn(
+        "gram_mode", F.lit("char_4gram")
+    )
+    return word.unionByName(char)
 
 
 # MinHash/LSH + SimHash: seeded hash internals are engine-specific ->

@@ -17,28 +17,38 @@ def _users(spark, sf_dir, event_type):
 
 
 @register(
-    "setop_union_users",
+    "setop_union_intersect_users",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'click'
-    UNION
-    SELECT user_id FROM events WHERE event_type = 'view'
+    SELECT 'union' AS op, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        UNION
+        SELECT user_id FROM events WHERE event_type = 'view'
+    ) u
+    UNION ALL
+    SELECT 'intersect', user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    ) i
     """,
 )
-def setop_union_users(spark, sf_dir):
-    # UNION (distinct) of the two user sets.
-    return _users(spark, sf_dir, "click").union(_users(spark, sf_dir, "view")).distinct()
-
-
-@register(
-    "setop_intersect_users",
-    oracle="""
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'error'
-    """,
-)
-def setop_intersect_users(spark, sf_dir):
-    return _users(spark, sf_dir, "purchase").intersect(_users(spark, sf_dir, "error"))
+def setop_union_intersect_users(spark, sf_dir):
+    """UNION (distinct) and INTERSECT exercised in one op-tagged
+    result — Spark's Union+HashAggregate and its dedicated
+    LeftSemi-based Intersect both appear in this single plan, sharing
+    one registry slot inside the driver's 50-query window."""
+    u = (
+        _users(spark, sf_dir, "click")
+        .union(_users(spark, sf_dir, "view"))
+        .distinct()
+        .select(F.lit("union").alias("op"), "user_id")
+    )
+    i = (
+        _users(spark, sf_dir, "purchase")
+        .intersect(_users(spark, sf_dir, "error"))
+        .select(F.lit("intersect").alias("op"), "user_id")
+    )
+    return u.unionByName(i)
 
 
 @register(

@@ -47,8 +47,18 @@ def register(name: str, oracle: str | None = None):
 
 
 def queries() -> dict[str, QueryFn]:
+    """All registered queries, ORACLE-BACKED ENTRIES FIRST.
+
+    The driver adjudicates registry entries in iteration order and
+    caps how many get a CORRECTNESS row (50 in round 1), so every
+    query with a DuckDB oracle must land inside that window; entries
+    with only the weaker rows-only check follow. Within each class,
+    registration order is preserved.
+    """
     _load_all()
-    return dict(_QUERIES)
+    ordered = {n: f for n, f in _QUERIES.items() if n in _ORACLES}
+    ordered.update({n: f for n, f in _QUERIES.items() if n not in _ORACLES})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
