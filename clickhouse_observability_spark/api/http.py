@@ -90,19 +90,23 @@ class LogsApi:
                     raise ApiError(400, f"limit too large (max {MAX_LIMIT})")
             level = params.get("level") or None
             user = params.get("user") or None
+            df = query_logs(
+                self._provider(),
+                service,
+                frm.replace(tzinfo=None),
+                to.replace(tzinfo=None),
+                level=level,
+                user=user,
+                limit=limit,
+            )
+            rows = self._collect_with_timeout(df)
         except ApiError as e:
+            # covers validation 400s AND the 504 query timeout raised
+            # by _collect_with_timeout (api.go:95-96 behavior)
             return e.status, {"error": e.message}
-
-        df = query_logs(
-            self._provider(),
-            service,
-            frm.replace(tzinfo=None),
-            to.replace(tzinfo=None),
-            level=level,
-            user=user,
-            limit=limit,
-        )
-        rows = self._collect_with_timeout(df)
+        except Exception:
+            # execution failure -> 500 envelope, never a crashed request
+            return 500, {"error": "internal error"}
         logs = [
             {
                 "Ts": r["ts"].isoformat() + "Z",

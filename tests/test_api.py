@@ -90,6 +90,30 @@ def test_tz_normalization(api):
     assert status == 200 and body["count"] == 2
 
 
+def test_query_timeout_504_envelope(api, monkeypatch):
+    # A timeout must come back as the documented 504 JSON envelope,
+    # not crash the request (api.go:95-96).
+    from clickhouse_observability_spark.api.http import ApiError, LogsApi
+
+    def boom(df, timeout_s=30):
+        raise ApiError(504, "query timeout")
+
+    monkeypatch.setattr(LogsApi, "_collect_with_timeout", staticmethod(boom))
+    status, body = api.query_logs_handler(dict(BASE))
+    assert status == 504 and body["error"] == "query timeout"
+
+
+def test_execution_failure_500_envelope(api, monkeypatch):
+    from clickhouse_observability_spark.api.http import LogsApi
+
+    def boom(df, timeout_s=30):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(LogsApi, "_collect_with_timeout", staticmethod(boom))
+    status, body = api.query_logs_handler(dict(BASE))
+    assert status == 500 and "error" in body
+
+
 def test_ping_live_ready(api):
     assert api.ping_handler() == (200, "pong")
     assert api.live_handler()[0] == 200
