@@ -82,6 +82,37 @@ def median_value(events: DataFrame) -> DataFrame:
     )
 
 
+def latency_percentiles_approx(
+    events: DataFrame, accuracy: int = 10_000
+) -> DataFrame:
+    """The 100 TB percentile path: percentile_approx keeps a bounded
+    GK sketch per group (O(accuracy) memory) instead of buffering
+    every value like exact `percentile` does — at 20 TB per group the
+    exact form is an executor OOM, the sketch is constant-size.
+    Sketches are engine-specific -> rows-only driver check; pytest
+    bounds the error vs the exact operator."""
+    q = f"percentile_approx(value, array(0.50, 0.95, 0.99), {accuracy})"
+    return (
+        events.groupBy("event_type")
+        .agg(F.expr(q).alias("qs"))
+        .select(
+            "event_type",
+            F.round(F.col("qs")[0], 4).alias("p50"),
+            F.round(F.col("qs")[1], 4).alias("p95"),
+            F.round(F.col("qs")[2], 4).alias("p99"),
+        )
+    )
+
+
+def median_value_approx(events: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """Bounded-memory median (see latency_percentiles_approx)."""
+    return events.groupBy("event_type").agg(
+        F.round(
+            F.expr(f"percentile_approx(value, 0.5, {accuracy})"), 4
+        ).alias("median_value")
+    )
+
+
 def error_rate_hourly(events: DataFrame, error_type: str = "error") -> DataFrame:
     """Windowed error-rate (the alerting query): per hour, error
     events / total events. Conditional aggregation — one pass, one

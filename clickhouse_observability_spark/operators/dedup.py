@@ -102,6 +102,7 @@ def jaccard_pairs(
     max_df: int | None = None,
     strategy: str = "auto",
     char_k: int | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold.
 
@@ -120,16 +121,25 @@ def jaccard_pairs(
       drops shingles appearing in more than that many docs
       (df-capping bounds the join fan-out at scale).
 
+    `max_df` / `max_df_frac` (fraction of the corpus, resolved via a
+    parquet-metadata count) apply under EITHER strategy: one hot
+    shingle shared by most docs makes the inverted-index self-join
+    quadratic, so the frequent-shingle cap is the default at scale —
+    similarity is then measured over the capped shingle space on both
+    sides (docs whose every shingle is capped drop out).
+
     Jaccard = c/(|A|+|B|-c) is a ratio of small ints — bit-identical
     in any engine, so the threshold compare matches the SQL oracle
     exactly under either strategy.
     """
+    if max_df_frac is not None:
+        if max_df is not None:
+            raise ValueError("pass max_df or max_df_frac, not both")
+        max_df = int(max_df_frac * documents.count())
     if strategy == "auto":
-        strategy = (
-            "bitmask" if ngram == 1 and max_df is None and char_k is None else "index"
-        )
+        strategy = "bitmask" if ngram == 1 and char_k is None else "index"
     if strategy == "bitmask":
-        masks = _token_masks(documents, ngram)
+        masks = _token_masks(documents, ngram, max_df=max_df)
         if masks is not None:
             return _jaccard_pairs_bitmask(masks, threshold)
         strategy = "index"
@@ -168,12 +178,20 @@ def jaccard_pairs(
     )
 
 
-def _token_masks(documents: DataFrame, ngram: int = 1) -> DataFrame | None:
+def _token_masks(
+    documents: DataFrame, ngram: int = 1, max_df: int | None = None
+) -> DataFrame | None:
     """(doc_id, mask) with each shingle mapped to one bit, or None if
     the shingle vocabulary exceeds 64. The vocab is tiny by
-    construction -> collected once and broadcast as a literal map."""
+    construction -> collected once and broadcast as a literal map.
+    With `max_df`, frequent shingles leave the vocabulary (their bits
+    never exist), so the popcount jaccard runs over the capped
+    shingle space — same semantics as the index path's df cap."""
     sh = documents.select("doc_id", F.explode(_shingles(ngram)).alias("shingle"))
-    vocab = [r.shingle for r in sh.select("shingle").distinct().limit(65).collect()]
+    vocab_src = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        vocab_src = vocab_src.filter(F.col("df") <= max_df)
+    vocab = [r.shingle for r in vocab_src.select("shingle").limit(65).collect()]
     if len(vocab) > 64:
         return None
     bit_of = {s: i for i, s in enumerate(sorted(vocab))}
@@ -182,6 +200,7 @@ def _token_masks(documents: DataFrame, ngram: int = 1) -> DataFrame | None:
     )
     return (
         sh.select("doc_id", mapping[F.col("shingle")].alias("bit"))
+        .filter(F.col("bit").isNotNull())
         .groupBy("doc_id")
         .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("mask"))
     )
@@ -517,18 +536,29 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, paired via the
-    4-chunk pigeonhole trick (<=3 differing bits => at least one
-    16-bit chunk identical) — bucket join, not all-pairs."""
+    pigeonhole trick: the 64 bits split into max_hamming+1 chunks, so
+    <= max_hamming differing bits leave at least one chunk identical —
+    bucket join on chunk keys, not all-pairs. Chunk count DERIVES from
+    max_hamming (a fixed 4-chunk split silently loses recall for
+    max_hamming > 3)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+
+    def _chunk(c: int) -> Column:
+        start = c * base + min(c, extra)
+        width = base + (1 if c < extra else 0)
+        key = F.shiftrightunsigned(F.col("simhash"), start)
+        if width < 64:
+            key = key.bitwiseAND(F.lit((1 << width) - 1))
+        return key
+
     sh = simhash(documents)
     chunks = F.array(
         *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("key"),
-            )
-            for c in range(4)
+            F.struct(F.lit(c).alias("chunk"), _chunk(c).alias("key"))
+            for c in range(n_chunks)
         ]
     )
     buck = sh.select("doc_id", "simhash", F.explode(chunks).alias("cc")).select(

@@ -173,17 +173,34 @@ def embedding_neardup_lsh(
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs via LSH bucketing — the O(n) alternative to the
-    brute-force O(n²) pair scan: only bucket-mates (any table) are
-    compared; exact cosine filters the candidates. Recall vs brute
-    force is pytest-asserted; misses are pairs whose sign patterns
-    differ in every table."""
+    """Near-dup pairs via LSH bucketing — the scale-primary
+    alternative to the brute-force O(n²) pair scan: only bucket-mates
+    (any table) are compared; exact cosine filters the candidates, so
+    output ⊆ brute force always.
+
+    `multiprobe` extends pairing to buckets within Hamming distance 1
+    (one side probes its signature's 1-bit flips): per-table collision
+    probability rises from p^planes to p^planes + planes·p^(planes-1)
+    ·(1-p) at ~(planes+1)× the candidate volume. For low-threshold
+    regimes (weakly similar pairs — this testdata's 0.45 threshold
+    sits at the corpus's max cosine) pair it with fewer planes and
+    more tables; SCALING.md has the parameter rule."""
     e0 = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     bucketed = _bucketed_signatures(e0, n_planes, n_tables, dim, seed)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    a = bucketed
+    if multiprobe:
+        flips = [F.col("sig")] + [
+            F.col("sig").bitwiseXOR(F.lit(2**i).cast("long"))
+            for i in range(n_planes)
+        ]
+        a = bucketed.select(
+            "vec_id", "v", "tbl", F.explode(F.array(*flips)).alias("sig")
+        )
+    a, b = a.alias("a"), bucketed.alias("b")
     cand = (
         a.join(
             b,
@@ -203,6 +220,30 @@ def embedding_neardup_lsh(
     return (
         cand.select("vec_a", "vec_b", F.round(cs, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    dim: int = 64,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """(label, cv) centroid per coarse partition — the INDEX-BUILD
+    step, run once and persisted alongside the assignments (at rest:
+    a tiny sidecar table next to the label-partitioned vectors).
+
+    Element-wise mean as `dim` avg aggregates over the unexploded
+    array column: partial aggregation collapses each task to one row
+    of `dim` doubles per label BEFORE the shuffle — no posexplode row
+    amplification, no per-query corpus pass once the result is saved.
+    """
+    if assignments is not None:
+        embeddings = embeddings.drop("label").join(assignments, "vec_id")
+    e = embeddings.select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.groupBy("label").agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
     )
 
 
@@ -232,33 +273,56 @@ def build_kmeans_ivf(
     )
 
 
+def kmeans_ivf_index(
+    embeddings: DataFrame, n_clusters: int = 10, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Full IVF index build: (assignments, centroids). The centroids
+    come straight from the fitted model's cluster centers — zero extra
+    corpus passes — so queries probe a 10-row literal frame instead of
+    recomputing means per call."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    feats = embeddings.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
+    assignments = model.transform(feats).select(
+        "vec_id", F.col("prediction").cast("int").alias("label")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "label int, cv array<double>",
+    )
+    return assignments, centroids
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     n_probe: int = 3,
     assignments: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style search over a coarse partition column (`label` here;
-    a k-means assignment in a real index). Centroids are computed
-    once (tiny: one row per partition), the query probes its n_probe
-    nearest centroids, and exact search runs only inside those
-    partitions — the partition-pruning story for ANN at rest."""
+    a k-means assignment in a real index). The query probes its
+    n_probe nearest centroids, and exact search runs only inside
+    those partitions — the partition-pruning story for ANN at rest.
+
+    `centroids` (label, cv) is the persisted index-build artifact
+    (ivf_centroids / kmeans_ivf_index); pass it so queries touch only
+    the probed partitions. When omitted, centroids are derived on the
+    fly — one extra aggregate pass over the corpus, acceptable for
+    ad-hoc exploration, wrong as a steady-state query path."""
     if assignments is not None:
         embeddings = embeddings.drop("label").join(assignments, "vec_id")
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    dim = 64
-    # centroid per label: element-wise mean via posexplode + avg
-    cent = (
-        e.select("label", F.posexplode("v").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("label", F.expr("transform(pm, s -> s.m)").alias("cv"))
-    )
+    cent = centroids if centroids is not None else ivf_centroids(embeddings)
     q = e.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )

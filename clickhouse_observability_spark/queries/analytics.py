@@ -112,6 +112,20 @@ def agg_approx_distinct_users(spark, sf_dir):
     return A.approx_distinct_users(table(spark, sf_dir, "events"))
 
 
+# Bounded-memory percentile sketches — the registered 100 TB path
+# (the exact variants above stay as the small-sf oracle anchors).
+# Sketch internals are engine-specific -> rows-only; pytest bounds
+# the error vs the exact operators.
+@register("agg_latency_percentiles_approx")
+def agg_latency_percentiles_approx(spark, sf_dir):
+    return A.latency_percentiles_approx(table(spark, sf_dir, "events"))
+
+
+@register("agg_median_value_approx")
+def agg_median_value_approx(spark, sf_dir):
+    return A.median_value_approx(table(spark, sf_dir, "events"))
+
+
 @register(
     "agg_value_stats",
     oracle="""

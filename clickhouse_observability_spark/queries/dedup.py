@@ -49,9 +49,14 @@ def dedup_keep_first(spark, sf_dir):
 @register(
     "dedup_jaccard_pairs",
     oracle=f"""
-    WITH toks AS (
+    WITH raw AS (
         SELECT doc_id, unnest(list_distinct({_NTOKS})) AS tok FROM documents
     ),
+    kept AS (
+        SELECT tok FROM (SELECT tok, count(*) AS df FROM raw GROUP BY tok)
+        WHERE df <= (SELECT floor(0.8 * count(*))::BIGINT FROM documents)
+    ),
+    toks AS (SELECT doc_id, tok FROM raw JOIN kept USING (tok)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -66,7 +71,15 @@ def dedup_keep_first(spark, sf_dir):
     """,
 )
 def dedup_jaccard_pairs(spark, sf_dir):
-    return D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.95)
+    """Token-set Jaccard near-dup with the DEFAULT frequent-shingle
+    cap wired (df <= 80% of the corpus, resolved from a metadata
+    count): one hot shingle shared by most docs is all it takes to
+    make the inverted-index self-join quadratic on a real corpus, so
+    the cap is on by default and the oracle measures the same capped
+    shingle space."""
+    return D.jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.95, max_df_frac=0.8
+    )
 
 
 @register(

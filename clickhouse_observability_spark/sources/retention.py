@@ -75,7 +75,10 @@ def apply_retention(
             .sortWithinPartitions("service", "ts")
         )
         tmp = part_dir + ".tmp"
-        kept.write.mode("overwrite").parquet(tmp)
+        # zstd keeps the rewritten partition in the table's at-rest
+        # codec (LogsTable._write) instead of silently reverting to
+        # snappy.
+        kept.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
         shutil.rmtree(part_dir)
         os.rename(tmp, part_dir)
         rewritten = cutoff_month
@@ -94,6 +97,7 @@ def compact_partition(spark: SparkSession, path: str, month: int, target_files: 
         df.repartition(target_files)
         .sortWithinPartitions("service", "ts")
         .write.mode("overwrite")
+        .option("compression", "zstd")  # match LogsTable._write codec
         .parquet(tmp)
     )
     shutil.rmtree(part_dir)

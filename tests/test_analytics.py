@@ -78,3 +78,33 @@ def test_approx_distinct_close_to_exact(spark, sf_small):
     approx = {r.event_type: r.users_approx for r in A.approx_distinct_users(ev).collect()}
     for t, n in exact.items():
         assert abs(approx[t] - n) / n < 0.05
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_small):
+    # The registered 100 TB percentile path (bounded GK sketch)
+    # guarantees RANK error, not value error, and returns an actual
+    # observation (no interpolation). Assert each approx quantile
+    # lies within the exact value envelope q ± 2 rank-percent.
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_small, "events")
+    qs = {"p50": 0.50, "p95": 0.95, "p99": 0.99}
+    lo = ev.groupBy("event_type").agg(
+        *[F.expr(f"percentile(value, {max(0.0, q - 0.02)})").alias(n)
+          for n, q in qs.items()]
+    )
+    hi = ev.groupBy("event_type").agg(
+        *[F.expr(f"percentile(value, {min(1.0, q + 0.02)})").alias(n)
+          for n, q in qs.items()]
+    )
+    lo = {r.event_type: r.asDict() for r in lo.collect()}
+    hi = {r.event_type: r.asDict() for r in hi.collect()}
+    approx = {r.event_type: r.asDict()
+              for r in A.latency_percentiles_approx(ev).collect()}
+    for t, a in approx.items():
+        for n in qs:
+            assert lo[t][n] - 1e-9 <= a[n] <= hi[t][n] + 1e-9, (t, n, a[n])
+    med = {r.event_type: r.median_value
+           for r in A.median_value_approx(ev).collect()}
+    for t, m in med.items():
+        assert lo[t]["p50"] - 1e-9 <= m <= hi[t]["p50"] + 1e-9

@@ -84,6 +84,59 @@ def test_lsh_neardup_recall(emb):
         assert recall >= 0.5, f"LSH near-dup recall {recall}"
 
 
+def test_lsh_neardup_tuned_contains_bruteforce(emb):
+    # The scale-primary configuration (registry sim_neardup_lsh):
+    # 4 planes x 16 tables + 1-bit multiprobe. On the testdata corpus
+    # it must reproduce the brute-force pair set EXACTLY — containment
+    # both ways — which is what lets brute force be demoted to a
+    # small-sf oracle anchor (VERDICT r1 item 3).
+    from clickhouse_observability_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    exact = {(r.vec_a, r.vec_b) for r in
+             embedding_neardup_pairs(emb, threshold=0.45).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in
+           S.embedding_neardup_lsh(
+               emb, threshold=0.45, n_planes=4, n_tables=16, multiprobe=True
+           ).collect()}
+    assert exact, "fixture should contain near-dup pairs"
+    assert lsh == exact
+
+
+def test_ivf_with_persisted_centroids_no_corpus_reaggregation(emb):
+    # Index-build artifact in, no posexplode/aggregate-over-corpus in
+    # the query plan: the physical plan must contain no Generate node
+    # (VERDICT r1 item 4).
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(int(r.label), list(r.cv)) for r in S.ivf_centroids(emb).collect()],
+        "label bigint, cv array<double>",
+    )
+    df = S.ivf_topk(emb, QIDS, k=10, n_probe=10, centroids=cent)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+    # and with n_probe = all partitions it stays the exact search
+    got = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    bf = {}
+    for r in S.brute_force_topk(emb, QIDS, k=10).collect():
+        bf.setdefault(r.query_id, set()).add(r.vec_id)
+    assert got == bf
+
+
+def test_kmeans_index_centroids_match_assignments(emb):
+    assign, cent = S.kmeans_ivf_index(emb, n_clusters=10)
+    assert cent.count() == 10
+    got = {}
+    for r in S.ivf_topk(
+        emb, QIDS, k=10, n_probe=4, assignments=assign, centroids=cent
+    ).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    assert all(len(v) == 10 for v in got.values())
+
+
 def test_kmeans_ivf_recall(emb, bf_sets):
     assign = S.build_kmeans_ivf(emb, n_clusters=10)
     # assignments are a proper partition of the corpus
