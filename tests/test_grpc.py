@@ -1,0 +1,136 @@
+"""gRPC BatchWrite transport tests (SURVEY.md §2.11; proto/log.proto:19-21).
+
+Codec round-trips + a live gRPC-Web e2e: socket client -> framed
+protobuf -> handler -> parquet logs table -> visible to query_logs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import threading
+
+import pytest
+
+from clickhouse_observability_spark.api import grpc_transport as G
+
+
+# ---------------------------------------------------------------------------
+# codec
+# ---------------------------------------------------------------------------
+
+def test_codec_round_trip_canonical_row():
+    entries, wire = G.canonical_example()
+    assert G.decode_batch_write_request(wire) == entries
+
+
+def test_codec_round_trip_edge_cases():
+    entries = [
+        {"ts": "", "service": "", "level": "", "msg": "",
+         "attrs": {}, "trace_id": "", "span_id": ""},
+        {"ts": "not-a-time", "service": "s" * 300, "level": "INFO",
+         "msg": "π unicode ✓", "attrs": {"a": "1", "b": "2", "": "empty-key"},
+         "trace_id": "t", "span_id": ""},
+    ]
+    got = G.decode_batch_write_request(G.encode_batch_write_request(entries))
+    assert got == entries
+
+
+@pytest.mark.parametrize("n", [0, 1, 127, 128, 300, 2**32, 2**63 - 1])
+def test_response_varint_round_trip(n):
+    assert G.decode_batch_write_response(G.encode_batch_write_response(n)) == n
+
+
+def test_proto3_default_elision():
+    # empty strings / empty response serialize to zero bytes
+    assert G.encode_log_entry({"ts": "", "attrs": {}}) == b""
+    assert G.encode_batch_write_response(0) == b""
+
+
+def test_wire_bytes_match_proto3_spec():
+    # hand-check one entry against the proto3 encoding rules:
+    # field 1 (ts) tag = 0x0A, length-prefixed utf-8
+    wire = G.encode_log_entry({"ts": "Z", "attrs": {}})
+    assert wire == b"\x0a\x01Z"
+    # map field 5 entry: tag 0x2A, submessage {1: "k", 2: "v"}
+    wire = G.encode_log_entry({"attrs": {"k": "v"}})
+    assert wire == b"\x2a\x06\x0a\x01k\x12\x01v"
+    # response field 1 varint: tag 0x08
+    assert G.encode_batch_write_response(5) == b"\x08\x05"
+
+
+# ---------------------------------------------------------------------------
+# live gRPC-Web e2e
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def grpc_web(spark, tmp_path):
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    table = LogsTable(spark, str(tmp_path / "logs"))
+    handler = G.LogServiceHandler(table.ingest_batch)
+    server = G.serve_grpc_web(handler, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield table, port
+    finally:
+        server.shutdown()
+
+
+def test_grpc_web_end_to_end(spark, grpc_web):
+    from clickhouse_observability_spark.operators.query_logs import query_logs
+
+    table, port = grpc_web
+    entries, _ = G.canonical_example()
+    entries = entries + [
+        {"ts": "bad-timestamp", "service": "orders", "level": "ERROR",
+         "msg": "boom", "attrs": {}, "trace_id": "t2", "span_id": "s2"},
+    ]
+    written = G.grpc_web_call("127.0.0.1", port, entries)
+    assert written == 2  # accepted count (service.go:45-46)
+
+    df = table.read()
+    assert df.count() == 2
+    # canonical row lands queryable through the read-path template
+    got = query_logs(
+        df, "orders",
+        dt.datetime(2025, 9, 1), dt.datetime(2025, 9, 2),
+        level="WARN", user="jane.smith",
+    ).collect()
+    assert len(got) == 1 and got[0]["msg"] == "order pending"
+    # malformed ts fell back to ingest time (ST6/service.go:27-34):
+    # present in the table with a recent timestamp, not dropped
+    bad = df.filter(df.msg == "boom").collect()
+    assert len(bad) == 1
+    assert bad[0]["ts"].year >= 2026
+
+
+def test_grpc_web_empty_batch(grpc_web):
+    _, port = grpc_web
+    assert G.grpc_web_call("127.0.0.1", port, []) == 0
+
+
+def test_grpc_web_unknown_method_unimplemented(grpc_web):
+    import http.client
+
+    _, port = grpc_web
+    conn = http.client.HTTPConnection("127.0.0.1", port)
+    conn.request("POST", "/logs.v1.LogService/Nope", body=b"",
+                 headers={"Content-Type": "application/grpc-web+proto"})
+    frames = G.unframe(conn.getresponse().read())
+    conn.close()
+    trailers = b"".join(p for f, p in frames if f & 0x80).decode()
+    assert "grpc-status: 12" in trailers  # UNIMPLEMENTED
+
+
+def test_native_grpc_gated_without_grpcio():
+    handler = G.LogServiceHandler(lambda rows: len(rows))
+    try:
+        import grpc  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="grpcio"):
+            G.serve_grpc_native(handler)
+    else:  # pragma: no cover - env-dependent
+        server = G.serve_grpc_native(handler, address="127.0.0.1:0")
+        assert server is not None
