@@ -114,6 +114,48 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # Streaming-path throughput: the full micro-batch pipeline
+    # (submit -> JSONL inbox -> file source -> foreachBatch -> sorted
+    # partitioned parquet) at the reference's 500-entry batch size.
+    # Reference steady-state floor: 5,000 rows/s (batcher.go:62-75).
+    from clickhouse_observability_spark.streaming.batcher import IngestStream
+
+    tmp2 = tempfile.mkdtemp(prefix="chobs-stream-bench-")
+    try:
+        n_stream = 50_000
+        wire_rows = [
+            {
+                "ts": f"2025-07-15T10:{i % 60:02d}:00Z",
+                "service": f"svc-{i % 8}",
+                "level": ("INFO", "WARN", "ERROR")[i % 3],
+                "msg": f"msg-{i}",
+                "attrs": {"user": f"u{i % 100}"},
+                "trace_id": f"trace-{i % 1000}",
+                "span_id": f"span-{i}",
+            }
+            for i in range(n_stream)
+        ]
+        stable = LogsTable(spark, tmp2 + "/logs")
+        stream = IngestStream(
+            spark,
+            stable,
+            inbox_dir=tmp2 + "/inbox",
+            checkpoint_dir=tmp2 + "/ckpt",
+            flush_size=500,  # reference INGEST_BATCH_SIZE default
+            max_files_per_trigger=16,
+        )
+        stream.submit_many(wire_rows)
+        t0 = time.time()
+        stream.start()
+        stream.query.processAllAvailable()
+        dt_stream = time.time() - t0
+        stream.stop(drain=False)
+        assert stable.read().count() == n_stream
+        times["streaming_ingest_50k_rows"] = round(dt_stream, 3)
+        streaming_rps = round(n_stream / dt_stream, 1)
+    finally:
+        shutil.rmtree(tmp2, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -123,6 +165,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "streaming_ingest_rows_per_sec": streaming_rps,
                 "sf": float(sf) if sf else None,
             }
         )

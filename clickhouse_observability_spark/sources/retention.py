@@ -41,12 +41,17 @@ def _partition_months(path: str) -> list[int]:
 def apply_retention(
     spark: SparkSession,
     path: str,
-    retention_days: int,
+    retention_days: int | None = None,
     now: dt.datetime | None = None,
     exact: bool = True,
     dry_run: bool = False,
 ) -> dict:
     """Delete rows with ts older than now - retention_days (db.go:60-65).
+
+    ``retention_days=None`` reads $RETENTION_DAYS — the reference's
+    config surface (cmd/server/main.go:25-27): TTL is armed only when
+    the env var is set, so with neither argument nor env the job is a
+    no-op, exactly like the reference skipping the ALTER TTL.
 
     Whole months below the cutoff month are dropped as directories
     (metadata-only at scale: ALTER TABLE ... DROP PARTITION); the
@@ -55,6 +60,11 @@ def apply_retention(
     without touching data. Returns {"dropped_months": [...],
     "rewritten": month|None}.
     """
+    if retention_days is None:
+        raw = os.environ.get("RETENTION_DAYS", "")
+        if not raw.strip().isdigit():
+            return {"dropped_months": [], "rewritten": None, "skipped": True}
+        retention_days = int(raw)
     now = now or dt.datetime.now(dt.timezone.utc)
     cutoff = now - dt.timedelta(days=int(retention_days))
     cutoff_month = cutoff.year * 100 + cutoff.month

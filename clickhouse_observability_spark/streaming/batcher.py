@@ -38,6 +38,15 @@ DEFAULT_FLUSH_EVERY_MS = 100  # main.go:29 INGEST_MAX_DELAY_MS
 DEFAULT_FLUSH_SIZE = 500  # main.go:28 INGEST_BATCH_SIZE
 
 
+def _env_int(name: str, default: int) -> int:
+    """Reference config parity (cmd/server/main.go:25-29): knobs come
+    from env vars with code defaults; malformed values fall back."""
+    try:
+        return int(os.environ.get(name, ""))
+    except ValueError:
+        return default
+
+
 class IngestStream:
     """File-fed streaming ingest into a LogsTable.
 
@@ -52,14 +61,30 @@ class IngestStream:
         table: LogsTable,
         inbox_dir: str,
         checkpoint_dir: str,
-        flush_every_ms: int = DEFAULT_FLUSH_EVERY_MS,
+        flush_every_ms: int | None = None,
         max_files_per_trigger: int = 4,  # ST2: per-trigger size cap
+        flush_size: int | None = None,
     ):
+        """Knob defaults follow the reference's env-var config
+        (cmd/server/main.go:25-29): INGEST_MAX_DELAY_MS -> trigger
+        interval, INGEST_BATCH_SIZE -> rows per inbox file (one file ≅
+        one batch, so maxFilesPerTrigger=4 caps a trigger at 4 batches
+        — the reference's channel capacity, batcher.go:28). Explicit
+        arguments win over env."""
         self.spark = spark
         self.table = table
         self.inbox_dir = inbox_dir
         self.checkpoint_dir = checkpoint_dir
-        self.flush_every_ms = flush_every_ms
+        self.flush_every_ms = (
+            flush_every_ms
+            if flush_every_ms is not None
+            else _env_int("INGEST_MAX_DELAY_MS", DEFAULT_FLUSH_EVERY_MS)
+        )
+        self.flush_size = (
+            flush_size
+            if flush_size is not None
+            else _env_int("INGEST_BATCH_SIZE", DEFAULT_FLUSH_SIZE)
+        )
         self.max_files_per_trigger = max_files_per_trigger
         self.query: StreamingQuery | None = None
         os.makedirs(inbox_dir, exist_ok=True)
@@ -67,17 +92,21 @@ class IngestStream:
     # -- producer side (ST4) -------------------------------------------
     def submit_many(self, rows: Iterable[Mapping]) -> int:
         """Enqueue a batch; returns the ACCEPTED count immediately,
-        before any flush happens (service.go:45-46 contract)."""
+        before any flush happens (service.go:45-46 contract). Large
+        submissions split into flush_size-row files so the per-trigger
+        file cap translates to the reference's entry-count batching."""
         rows = list(rows)
         if not rows:
             return 0
-        name = uuid.uuid4().hex
-        tmp = os.path.join(self.inbox_dir, f".{name}.jsonl.tmp")
-        dst = os.path.join(self.inbox_dir, f"{name}.jsonl")
-        with open(tmp, "w") as f:
-            for r in rows:
-                f.write(json.dumps(dict(r)) + "\n")
-        os.rename(tmp, dst)  # atomic publish so the source never reads partials
+        for i in range(0, len(rows), self.flush_size):
+            chunk = rows[i:i + self.flush_size]
+            name = uuid.uuid4().hex
+            tmp = os.path.join(self.inbox_dir, f".{name}.jsonl.tmp")
+            dst = os.path.join(self.inbox_dir, f"{name}.jsonl")
+            with open(tmp, "w") as f:
+                for r in chunk:
+                    f.write(json.dumps(dict(r)) + "\n")
+            os.rename(tmp, dst)  # atomic publish: the source never reads partials
         return len(rows)
 
     # -- stream lifecycle (ST1/ST5) ------------------------------------

@@ -37,6 +37,39 @@ def test_submit_returns_accepted_before_flush(stream):
     assert stream.submit_many([_wire(i) for i in range(5)]) == 5
 
 
+def test_env_config_parity(spark, tmp_path, monkeypatch):
+    # cmd/server/main.go:25-29: knobs come from env vars; explicit
+    # arguments win; malformed values fall back to code defaults.
+    import os
+
+    from clickhouse_observability_spark.streaming.batcher import (
+        DEFAULT_FLUSH_EVERY_MS,
+        DEFAULT_FLUSH_SIZE,
+    )
+
+    table = LogsTable(spark, str(tmp_path / "logs"))
+    monkeypatch.setenv("INGEST_MAX_DELAY_MS", "250")
+    monkeypatch.setenv("INGEST_BATCH_SIZE", "3")
+    s = IngestStream(spark, table, str(tmp_path / "in"), str(tmp_path / "ck"))
+    assert s.flush_every_ms == 250 and s.flush_size == 3
+    # batch-size chunking: 7 rows at size 3 -> 3 inbox files
+    assert s.submit_many([_wire(i) for i in range(7)]) == 7
+    files = [f for f in os.listdir(s.inbox_dir) if f.endswith(".jsonl")]
+    assert len(files) == 3
+
+    s2 = IngestStream(
+        spark, table, str(tmp_path / "in2"), str(tmp_path / "ck2"),
+        flush_every_ms=50, flush_size=10,
+    )
+    assert s2.flush_every_ms == 50 and s2.flush_size == 10
+
+    monkeypatch.setenv("INGEST_MAX_DELAY_MS", "not-a-number")
+    monkeypatch.delenv("INGEST_BATCH_SIZE")
+    s3 = IngestStream(spark, table, str(tmp_path / "in3"), str(tmp_path / "ck3"))
+    assert s3.flush_every_ms == DEFAULT_FLUSH_EVERY_MS
+    assert s3.flush_size == DEFAULT_FLUSH_SIZE
+
+
 def test_stream_flushes_by_time(stream):
     q = stream.start()
     accepted = stream.submit_many([_wire(i) for i in range(10)])

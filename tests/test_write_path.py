@@ -111,6 +111,31 @@ def test_retention_dry_run(spark, table):
     assert table.read().count() == before  # nothing touched
 
 
+def test_retention_env_var_parity(spark, table, monkeypatch):
+    # db.go:59-66 / main.go:25-27: TTL armed only when $RETENTION_DAYS
+    # is set; unset (or garbage) -> no-op, set -> same as the argument.
+    table.ingest_batch(WIRE_ROWS)
+    before = table.read().count()
+    monkeypatch.delenv("RETENTION_DAYS", raising=False)
+    res = apply_retention(
+        spark, table.path,
+        now=dt.datetime(2025, 9, 20, tzinfo=dt.timezone.utc),
+    )
+    assert res.get("skipped") and table.read().count() == before
+    monkeypatch.setenv("RETENTION_DAYS", "ten")
+    res = apply_retention(
+        spark, table.path,
+        now=dt.datetime(2025, 9, 20, tzinfo=dt.timezone.utc),
+    )
+    assert res.get("skipped")
+    monkeypatch.setenv("RETENTION_DAYS", "10")
+    res = apply_retention(
+        spark, table.path,
+        now=dt.datetime(2025, 9, 20, tzinfo=dt.timezone.utc),
+    )
+    assert res["dropped_months"] == [202508] and res["rewritten"] == 202509
+
+
 def test_compaction_merges_files(spark, table):
     for _ in range(3):
         table.ingest_batch([WIRE_ROWS[0]])
