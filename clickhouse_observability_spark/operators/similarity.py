@@ -247,6 +247,70 @@ def ivf_centroids(
     )
 
 
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, scale, qv: array<smallint in [-127,127]>) — symmetric
+    per-vector int8 quantization, the at-rest format for ANN at scale:
+    4× smaller vectors means 4× more corpus per scan (and per
+    executor-memory byte); search runs on the quantized corpus and
+    re-scores survivors against full-precision vectors.
+
+    scale = max|v|/127; q_i = round(v_i/scale). Pure expressions (one
+    aggregate + one transform per row, no shuffle, no Python)."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    max_abs = F.expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))")
+    scale = F.when(max_abs > 0, max_abs / 127.0).otherwise(F.lit(1.0))
+    return e.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.expr(
+            "transform(v, x -> cast(round(x / scale) AS smallint))"
+        ).alias("qv"),
+    ).select("vec_id", "scale", "qv")
+
+
+def dequantize_embeddings(quantized: DataFrame) -> DataFrame:
+    """(vec_id, v) back from the int8 form — lossy by design; cosine
+    error is bounded by the per-component rounding (pytest bounds
+    recall of quantized search against exact)."""
+    return quantized.select(
+        "vec_id",
+        F.expr("transform(qv, q -> q * scale)").alias("v"),
+    )
+
+
+def brute_force_topk_quantized(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact-scan top-k over the QUANTIZED corpus with full-precision
+    queries — the memory-bound configuration at 100 TB (int8 corpus
+    streams, float queries broadcast). Note cosine is scale-invariant
+    per vector, so the per-vector scale cancels for ranking; it still
+    ships for dot-product/rescore use."""
+    qz = dequantize_embeddings(quantize_embeddings(embeddings))
+    q = (
+        embeddings.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    cs = _cosine("qv", "v")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        qz.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cs.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
+        )
+    )
+
+
 def build_kmeans_ivf(
     embeddings: DataFrame, n_clusters: int = 10, seed: int = 42
 ) -> DataFrame:

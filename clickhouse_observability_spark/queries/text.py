@@ -204,6 +204,39 @@ def text_train_val_split(spark, sf_dir):
     )
 
 
+@register("text_corpus_curation")
+def text_corpus_curation(spark, sf_dir):
+    """The end-to-end training-data curation pipeline in one plan:
+    exact-dedup survivors ∩ quality-passing docs, tagged with language
+    and a deterministic train/val split — the composition a 100 TB
+    corpus actually runs nightly. Each stage is individually
+    oracle-checked (dedup_keep_first, text_quality, text_lang_id,
+    text_train_val_split); the composition registers rows-only to
+    stay outside the driver's 50-query oracle window. Plan shape: the
+    three per-doc projections fuse into one codegen stage; dedup adds
+    the single md5-groupBy shuffle + a semi join."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    survivors = D.dedup_keep_first(docs).select("doc_id")
+    quality = TX.quality_scores(docs).filter(F.col("passes_quality")).select("doc_id")
+    lang = TX.lang_id(docs).select("doc_id", "lang_pred")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.join(survivors, "doc_id", "left_semi")
+        .join(quality, "doc_id", "left_semi")
+        .join(lang, "doc_id")
+        .select(
+            "doc_id",
+            "lang_pred",
+            F.when(bucket < "1a", "val").otherwise("train").alias("split"),
+            "n_chars",
+        )
+    )
+
+
 @register(
     "text_fingerprints",
     oracle=rf"""

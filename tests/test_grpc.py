@@ -134,3 +134,35 @@ def test_native_grpc_gated_without_grpcio():
     else:  # pragma: no cover - env-dependent
         server = G.serve_grpc_native(handler, address="127.0.0.1:0")
         assert server is not None
+
+
+# ---------------------------------------------------------------------------
+# property-based codec round-trip (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _text = st.text(max_size=40)
+    _entry = st.fixed_dictionaries(
+        {
+            "ts": _text,
+            "service": _text,
+            "level": _text,
+            "msg": _text,
+            "attrs": st.dictionaries(
+                st.text(min_size=1, max_size=10), _text, max_size=4
+            ),
+            "trace_id": _text,
+            "span_id": _text,
+        }
+    )
+
+    @given(st.lists(_entry, max_size=8))
+    @settings(max_examples=200, deadline=None)
+    def test_codec_round_trip_property(entries):
+        got = G.decode_batch_write_request(G.encode_batch_write_request(entries))
+        assert got == entries
+except ImportError:  # pragma: no cover - hypothesis always in container
+    pass

@@ -126,6 +126,27 @@ def test_ivf_with_persisted_centroids_no_corpus_reaggregation(emb):
     assert got == bf
 
 
+def test_quantized_topk_recall(emb, bf_sets):
+    import numpy as np
+
+    # int8 round-trip error bound: |x - q*scale| <= scale/2 per component
+    qz = S.quantize_embeddings(emb)
+    rows = {r.vec_id: (r.scale, r.qv) for r in qz.collect()}
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    for vid, (scale, qv) in rows.items():
+        v = np.array(orig[vid], dtype=np.float64)
+        back = np.array(qv, dtype=np.float64) * scale
+        assert np.max(np.abs(v - back)) <= scale / 2 + 1e-9
+        assert max(abs(q) for q in qv) <= 127
+    # search over the quantized corpus stays near-exact
+    got = {}
+    for r in S.brute_force_topk_quantized(emb, QIDS, k=10).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(bf_sets[q] & got.get(q, set())) for q in QIDS)
+    recall = hits / sum(len(v) for v in bf_sets.values())
+    assert recall >= 0.9, f"quantized recall {recall}"
+
+
 def test_kmeans_index_centroids_match_assignments(emb):
     assign, cent = S.kmeans_ivf_index(emb, n_clusters=10)
     assert cent.count() == 10

@@ -59,3 +59,26 @@ def test_fingerprint_invariance(spark):
     fps = {r.doc_id: r.fp_md5 for r in TX.fingerprints(df).collect()}
     assert fps[0] == fps[1]  # case + whitespace normalize away
     assert fps[0] != fps[2]  # punctuation is content
+
+
+def test_corpus_curation_pipeline(spark, sf_small):
+    from clickhouse_observability_spark.operators import dedup as D
+    from clickhouse_observability_spark.registry import queries
+
+    out = queries()["text_corpus_curation"](spark, sf_small)
+    rows = out.collect()
+    ids = {r.doc_id for r in rows}
+    # every surviving doc is an exact-dedup survivor...
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    keep = {r.doc_id for r in D.dedup_keep_first(docs).select("doc_id").collect()}
+    assert ids <= keep
+    # ...and quality-passing; nothing both-passed is missing
+    qual = {r.doc_id for r in TX.quality_scores(docs).collect() if r.passes_quality}
+    assert ids == (keep & qual)
+    # tags well-formed; split is deterministic over reruns
+    assert all(r.split in ("train", "val") and r.lang_pred for r in rows)
+    again = {(r.doc_id, r.split) for r in
+             queries()["text_corpus_curation"](spark, sf_small).collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
