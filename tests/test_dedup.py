@@ -56,6 +56,36 @@ def test_jaccard_max_df_prunes_common_shingles(docs):
     assert pairs == []
 
 
+def test_jaccard_df_cap_strategy_parity(spark):
+    # The cap measures the SAME capped shingle space under both
+    # physical strategies, and docs reduced to nothing drop out.
+    rows = [
+        (0, "common alpha beta"),
+        (1, "common alpha beta"),
+        (2, "common gamma delta"),
+        (3, "common"),  # only the hot token -> drops out entirely
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    expect = {(0, 1): 1.0}  # after 'common' (df=4 > 3) is capped away
+    for strategy in ("bitmask", "index"):
+        got = {(r.doc_a, r.doc_b): r.jaccard for r in
+               D.jaccard_pairs(docs, threshold=0.99, max_df=3,
+                               strategy=strategy).collect()}
+        assert got == expect, strategy
+    # frac form resolves against the corpus size (0.8 * 4 = 3.2 -> 3)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in
+           D.jaccard_pairs(docs, threshold=0.99, max_df_frac=0.8).collect()}
+    assert got == expect
+    # and the capped bitmask path really is the bitmask plan
+    plan = D.jaccard_pairs(
+        docs, threshold=0.99, max_df=3, strategy="bitmask"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "bit_count" in plan
+
+
 def test_minhash_recall_vs_exact(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     exact = {(r.doc_a, r.doc_b) for r in
