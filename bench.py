@@ -41,8 +41,10 @@ HEADLINE = [
     ("dedup_jaccard_pairs", "noop"),
     ("dedup_minhash_pairs", "noop"),
     ("sim_topk_bruteforce", "collect"),
+    ("sim_topk_ivf", "collect"),
     ("text_fingerprints", "noop"),
     ("text_lang_id", "noop"),
+    ("text_corpus_curation", "noop"),
 ]
 
 
