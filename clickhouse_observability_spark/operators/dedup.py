@@ -95,6 +95,15 @@ def _char_shingles(k: int) -> Column:
     )
 
 
+# Strategy-probe cache: whether a corpus fits the 64-bit bitmask path
+# (and its vocab->bit map) is an INDEX artifact of the corpus, not of
+# the query — probing it costs one distinct-scan over all shingles, so
+# callers that query the same immutable corpus repeatedly pass a
+# cache_key (e.g. the table path) and pay that scan once.
+_VOCAB_CACHE: dict[tuple, list | None] = {}
+_COUNT_CACHE: dict[str, int] = {}
+
+
 def jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.8,
@@ -103,6 +112,7 @@ def jaccard_pairs(
     strategy: str = "auto",
     char_k: int | None = None,
     max_df_frac: float | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold.
 
@@ -135,11 +145,17 @@ def jaccard_pairs(
     if max_df_frac is not None:
         if max_df is not None:
             raise ValueError("pass max_df or max_df_frac, not both")
-        max_df = int(max_df_frac * documents.count())
+        if cache_key is not None and cache_key in _COUNT_CACHE:
+            n_docs = _COUNT_CACHE[cache_key]
+        else:
+            n_docs = documents.count()
+            if cache_key is not None:
+                _COUNT_CACHE[cache_key] = n_docs
+        max_df = int(max_df_frac * n_docs)
     if strategy == "auto":
         strategy = "bitmask" if ngram == 1 and char_k is None else "index"
     if strategy == "bitmask":
-        masks = _token_masks(documents, ngram, max_df=max_df)
+        masks = _token_masks(documents, ngram, max_df=max_df, cache_key=cache_key)
         if masks is not None:
             return _jaccard_pairs_bitmask(masks, threshold)
         strategy = "index"
@@ -178,21 +194,39 @@ def jaccard_pairs(
     )
 
 
+def _probe_vocab(sh: DataFrame, max_df: int | None) -> list | None:
+    """Distinct-shingle probe: the (df-capped) vocabulary if it fits
+    in 64 entries, else None. One shuffle over all shingles."""
+    vocab_src = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        vocab_src = vocab_src.filter(F.col("df") <= max_df)
+    vocab = [r.shingle for r in vocab_src.select("shingle").limit(65).collect()]
+    return None if len(vocab) > 64 else vocab
+
+
 def _token_masks(
-    documents: DataFrame, ngram: int = 1, max_df: int | None = None
+    documents: DataFrame,
+    ngram: int = 1,
+    max_df: int | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame | None:
     """(doc_id, mask) with each shingle mapped to one bit, or None if
     the shingle vocabulary exceeds 64. The vocab is tiny by
     construction -> collected once and broadcast as a literal map.
     With `max_df`, frequent shingles leave the vocabulary (their bits
     never exist), so the popcount jaccard runs over the capped
-    shingle space — same semantics as the index path's df cap."""
+    shingle space — same semantics as the index path's df cap.
+    With `cache_key`, the probe's verdict (vocab or doesn't-fit) is
+    reused across calls on the same corpus."""
     sh = documents.select("doc_id", F.explode(_shingles(ngram)).alias("shingle"))
-    vocab_src = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    if max_df is not None:
-        vocab_src = vocab_src.filter(F.col("df") <= max_df)
-    vocab = [r.shingle for r in vocab_src.select("shingle").limit(65).collect()]
-    if len(vocab) > 64:
+    ck = (cache_key, ngram, max_df) if cache_key is not None else None
+    if ck is not None and ck in _VOCAB_CACHE:
+        vocab = _VOCAB_CACHE[ck]
+    else:
+        vocab = _probe_vocab(sh, max_df)
+        if ck is not None:
+            _VOCAB_CACHE[ck] = vocab
+    if vocab is None:
         return None
     bit_of = {s: i for i, s in enumerate(sorted(vocab))}
     mapping = F.create_map(

@@ -78,7 +78,10 @@ def dedup_jaccard_pairs(spark, sf_dir):
     the cap is on by default and the oracle measures the same capped
     shingle space."""
     return D.jaccard_pairs(
-        table(spark, sf_dir, "documents"), threshold=0.95, max_df_frac=0.8
+        table(spark, sf_dir, "documents"),
+        threshold=0.95,
+        max_df_frac=0.8,
+        cache_key=f"{sf_dir}/documents",
     )
 
 

@@ -86,6 +86,26 @@ def test_jaccard_df_cap_strategy_parity(spark):
     assert "bit_count" in plan
 
 
+def test_jaccard_probe_cache_skips_rescan(spark, monkeypatch, docs):
+    # With cache_key, the strategy probe (one distinct-scan over all
+    # shingles) and the max_df_frac corpus count run ONCE per corpus.
+    D._VOCAB_CACHE.clear()
+    D._COUNT_CACHE.clear()
+    first = {(r.doc_a, r.doc_b): r.jaccard for r in
+             D.jaccard_pairs(docs, threshold=0.7, max_df_frac=0.9,
+                             cache_key="t").collect()}
+
+    def boom(*a, **k):
+        raise AssertionError("probe re-ran despite cache_key")
+
+    monkeypatch.setattr(D, "_probe_vocab", boom)
+    monkeypatch.setattr(docs.__class__, "count", boom, raising=True)
+    second = {(r.doc_a, r.doc_b): r.jaccard for r in
+              D.jaccard_pairs(docs, threshold=0.7, max_df_frac=0.9,
+                              cache_key="t").collect()}
+    assert first == second and first
+
+
 def test_minhash_recall_vs_exact(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     exact = {(r.doc_a, r.doc_b) for r in
