@@ -204,17 +204,17 @@ def _probe_vocab(sh: DataFrame, max_df: int | None) -> list | None:
     return None if len(vocab) > 64 else vocab
 
 
-def _token_masks(
+def _masks_and_vocab(
     documents: DataFrame,
     ngram: int = 1,
     max_df: int | None = None,
     cache_key: str | None = None,
-) -> DataFrame | None:
-    """(doc_id, mask) with each shingle mapped to one bit, or None if
-    the shingle vocabulary exceeds 64. The vocab is tiny by
-    construction -> collected once and broadcast as a literal map.
-    With `max_df`, frequent shingles leave the vocabulary (their bits
-    never exist), so the popcount jaccard runs over the capped
+) -> tuple[DataFrame | None, list | None]:
+    """((doc_id, mask), vocab) with each shingle mapped to one bit, or
+    (None, None) if the shingle vocabulary exceeds 64. The vocab is
+    tiny by construction -> collected once and broadcast as a literal
+    map. With `max_df`, frequent shingles leave the vocabulary (their
+    bits never exist), so the popcount jaccard runs over the capped
     shingle space — same semantics as the index path's df cap.
     With `cache_key`, the probe's verdict (vocab or doesn't-fit) is
     reused across calls on the same corpus."""
@@ -227,7 +227,7 @@ def _token_masks(
         if ck is not None:
             _VOCAB_CACHE[ck] = vocab
     if vocab is None:
-        return None
+        return None, None
     bit_of = {s: i for i, s in enumerate(sorted(vocab))}
     mapping = F.create_map(
         *[x for s, i in bit_of.items() for x in (F.lit(s), F.lit(i))]
@@ -237,13 +237,24 @@ def _token_masks(
         .filter(F.col("bit").isNotNull())
         .groupBy("doc_id")
         .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("mask"))
-    )
+    ), vocab
+
+
+def _token_masks(
+    documents: DataFrame,
+    ngram: int = 1,
+    max_df: int | None = None,
+    cache_key: str | None = None,
+) -> DataFrame | None:
+    return _masks_and_vocab(documents, ngram, max_df, cache_key)[0]
 
 
 def _jaccard_pairs_bitmask(masks: DataFrame, threshold: float) -> DataFrame:
     """Pairwise Jaccard over DISTINCT masks (popcount arithmetic),
     expanded back to doc pairs. Mask-groups are tiny relative to
-    docs; the M×M compare broadcasts one side."""
+    docs; the M×M compare broadcasts one side. (groups feeds only two
+    branches here, one of them broadcast — measured, persisting it
+    costs more in cache materialization than the saved scan.)"""
     groups = masks.groupBy("mask").agg(F.collect_list("doc_id").alias("ids"))
     g1 = groups.select(F.col("mask").alias("m1"), F.col("ids").alias("ids1"))
     g2 = groups.select(F.col("mask").alias("m2"), F.col("ids").alias("ids2"))
@@ -361,6 +372,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 8,
     seed: int = 42,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on all
     rows of any band land in the same bucket. O(n·bands) bucket rows;
@@ -374,9 +386,11 @@ def minhash_lsh_candidates(
     pairs are emitted directly. Same output, bucket join shrinks from
     n to #distinct-sets rows.
     """
-    masks = _token_masks(documents, ngram=1)
+    masks, vocab = _masks_and_vocab(documents, ngram=1, cache_key=cache_key)
     if masks is not None:
-        return _lsh_candidates_grouped(documents, masks, num_hashes, bands, seed)
+        return _lsh_candidates_grouped(
+            documents, masks, num_hashes, bands, seed, vocab=vocab
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, seed)
     band_cols = F.array(
@@ -415,6 +429,7 @@ def _lsh_candidates_grouped(
     seed: int,
     min_jaccard: float | None = None,
     with_jaccard: bool = False,
+    vocab: list | None = None,
 ) -> DataFrame:
     """LSH banding over distinct shingle-set masks (vocab <= 64).
 
@@ -429,17 +444,34 @@ def _lsh_candidates_grouped(
     params = _perm_params(num_hashes, seed)
 
     # vocab bit -> permuted-base hash, computed the same way the
-    # generic path hashes tokens (xxhash64 then mod P).
-    sh = documents.select(F.explode(_shingles(1)).alias("shingle")).distinct()
-    vocab_rows = sh.select(
-        "shingle", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h")
-    ).collect()
+    # generic path hashes tokens (xxhash64 then mod P). With the probe
+    # vocab in hand, hash the <=64 literal shingles in one local job —
+    # no second corpus scan; bit order (sorted) matches the mask bits.
+    if vocab is not None:
+        lit_frame = spark.createDataFrame(
+            [(s,) for s in sorted(vocab)], "shingle string"
+        )
+        vocab_rows = lit_frame.select(
+            "shingle", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h")
+        ).collect()
+    else:
+        sh = documents.select(F.explode(_shingles(1)).alias("shingle")).distinct()
+        vocab_rows = sh.select(
+            "shingle", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h")
+        ).collect()
     bit_h = {i: r.h for i, r in enumerate(sorted(vocab_rows, key=lambda r: r.shingle))}
 
     # SQL-side lambdas: shiftright/map lookup with a column bit index
     bits_of = F.expr("filter(sequence(0, 63), j -> (shiftright(mask, j) & 1) = 1)")
     hmap = F.create_map(*[x for k, v in bit_h.items() for x in (F.lit(k), F.lit(v))])
-    groups = masks.groupBy("mask").agg(F.collect_list("doc_id").alias("ids"))
+    # groups feeds the bucket join AND both expansion joins AND the
+    # within-group pairs — four subtree evaluations without reuse
+    # (ReusedExchange doesn't fire across these shapes), each one a
+    # full corpus explode+shuffle. The frame is O(n) ids total ->
+    # persist it; repeat calls share the cache via plan matching.
+    groups = masks.groupBy("mask").agg(
+        F.collect_list("doc_id").alias("ids")
+    ).persist()
     with_bits = groups.select("mask", "ids", bits_of.alias("bits"), hmap.alias("hm"))
     sig_cols = [
         F.expr(
@@ -519,6 +551,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 8,
     seed: int = 42,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """LSH candidates re-ranked by exact Jaccard (candidate-only — the
     expensive exact check runs on bucket-mates, not all pairs). On
@@ -530,13 +563,13 @@ def minhash_dedup_pairs(
     steeper collision curve (1-(1-s^8)^8) cuts band-collision volume
     ~3× on an everything-similar corpus at ≥99.6% recall measured vs
     16×4 at threshold 0.9 (s=0.9 theoretical collision 0.989)."""
-    masks = _token_masks(documents, ngram=1)
+    masks, vocab = _masks_and_vocab(documents, ngram=1, cache_key=cache_key)
     if masks is not None:
         return _lsh_candidates_grouped(
             documents, masks, num_hashes, bands, seed,
-            min_jaccard=threshold, with_jaccard=True,
+            min_jaccard=threshold, with_jaccard=True, vocab=vocab,
         )
-    cand = minhash_lsh_candidates(documents, num_hashes, bands, seed)
+    cand = minhash_lsh_candidates(documents, num_hashes, bands, seed, cache_key)
     ranked = jaccard_for_candidates(documents, cand)
     return ranked.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"

@@ -144,7 +144,11 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 # rows-only driver check; recall/precision asserted in pytest.
 @register("dedup_minhash_pairs")
 def dedup_minhash_pairs(spark, sf_dir):
-    return D.minhash_dedup_pairs(table(spark, sf_dir, "documents"), threshold=0.9)
+    return D.minhash_dedup_pairs(
+        table(spark, sf_dir, "documents"),
+        threshold=0.9,
+        cache_key=f"{sf_dir}/documents",
+    )
 
 
 @register("dedup_simhash_pairs")
