@@ -45,6 +45,7 @@ HEADLINE = [
     ("text_fingerprints", "noop"),
     ("text_lang_id", "noop"),
     ("text_corpus_curation", "noop"),
+    ("text_contamination", "collect"),
 ]
 
 

@@ -178,3 +178,85 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         fingerprint_md5("text").alias("fp_md5"),
         F.md5(F.concat_ws(" ", tok_sorted)).alias("fp_tokenset"),
     )
+
+
+def word_ngrams(n: int) -> Column:
+    """Distinct word n-grams of the normalized text (empty array for
+    docs shorter than n tokens)."""
+    toks = tokens(normalized_text("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # NOTE: sequence(0, -k) is DESCENDING, not empty — guard short docs.
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """(train_id, bench_id, n_shared): training docs sharing >= 1
+    distinct word n-gram with a benchmark doc — the decontamination
+    sweep a training mix runs before finalizing (n-gram overlap is the
+    standard eval-leakage test; 8-13 grams in published pipelines).
+
+    Inverted-index join on the n-gram, never all-pairs: only docs that
+    actually share a gram meet, and n_shared falls out of the
+    per-pair count. At 100 TB the benchmark side is an eval suite —
+    thousands of docs against billions — so its exploded grams
+    broadcast and the sweep is one map-side join over the corpus scan,
+    no shuffle of the training side. Both sides expect (doc_id, text).
+    """
+    tg = train.select(
+        F.col("doc_id").alias("train_id"), F.explode(word_ngrams(n)).alias("gram")
+    )
+    bg = bench.select(
+        F.col("doc_id").alias("bench_id"), F.explode(word_ngrams(n)).alias("gram")
+    )
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    return (
+        tg.join(bg, "gram")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# PII patterns in the Java-regex/RE2 common dialect (no lookaround, no
+# backrefs) so Spark and the DuckDB oracle compile them identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",
+}
+
+
+def pii_scrub(documents: DataFrame, denylist: list[str] | None = None) -> DataFrame:
+    """(doc_id, clean_text, n_email, n_ipv4, n_phone[, n_denylist]):
+    per-doc PII counts (measured on the ORIGINAL text) and the
+    redacted text with each match class replaced by its placeholder.
+
+    Map-only JVM regexps — no shuffle, no Python; scales with scan
+    bandwidth. Replacement order (email -> ipv4 -> phone -> denylist)
+    is fixed so results are deterministic under overlapping patterns.
+    `denylist` terms are scrubbed on word boundaries to <TERM>.
+    """
+    text = F.col("text")
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    clean = text
+    for name, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    cols = ["doc_id"]
+    if denylist:
+        deny_pat = r"\b(?:" + "|".join(denylist) + r")\b"
+        counts.append(
+            F.regexp_count(text, F.lit(deny_pat)).cast("long").alias("n_denylist")
+        )
+        clean = F.regexp_replace(clean, deny_pat, "<TERM>")
+    return documents.select(*cols, clean.alias("clean_text"), *counts)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from clickhouse_observability_spark.operators import joins as J
 from clickhouse_observability_spark.registry import register, table
 
@@ -162,30 +164,29 @@ def tpch_q17_small_quantity(spark, sf_dir):
 
 
 @register(
-    "join_semi_customers_with_orders",
+    "join_semi_anti_customers",
     oracle="""
-    SELECT c_mktsegment, count(*) AS n_customers
+    SELECT 'with_orders' AS op, c_mktsegment, count(*) AS n_customers
     FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders)
     GROUP BY c_mktsegment
-    """,
-)
-def join_semi_customers_with_orders(spark, sf_dir):
-    return J.customers_with_orders(
-        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
-    )
-
-
-@register(
-    "join_anti_customers_without_orders",
-    oracle="""
-    SELECT c_mktsegment, count(*) AS n_customers
+    UNION ALL
+    SELECT 'without_orders', c_mktsegment, count(*)
     FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     GROUP BY c_mktsegment
     """,
 )
-def join_anti_customers_without_orders(spark, sf_dir):
-    return J.customers_without_orders(
-        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+def join_semi_anti_customers(spark, sf_dir):
+    """LEFT SEMI + LEFT ANTI segment counts in one result, tagged by
+    `op` — the two existence-join flavors share one registry slot so
+    both stay inside the driver's 50-query oracle window."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    semi = J.customers_with_orders(customer, orders).select(
+        F.lit("with_orders").alias("op"), "c_mktsegment", "n_customers"
     )
+    anti = J.customers_without_orders(customer, orders).select(
+        F.lit("without_orders").alias("op"), "c_mktsegment", "n_customers"
+    )
+    return semi.unionByName(anti)

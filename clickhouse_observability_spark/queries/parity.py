@@ -48,24 +48,46 @@ def logs_basic(spark, sf_dir):
     )
 
 
-# + P4 analog (second equality filter: user_id).
+# + P4 analog (second equality filter: user_id) and P6 closed-range
+# BETWEEN (README.md:94,104) — two filter variants of the same logs
+# query, union-tagged by `variant` to share one registry slot inside
+# the driver's 50-query oracle window. Both operators stay fully
+# exercised (each arm keeps its own predicate, ORDER BY and LIMIT).
 @register(
-    "logs_user_filter",
+    "logs_filter_variants",
     oracle=f"""
-    SELECT {_EV_COLS} FROM events
-    WHERE event_type = 'view'
-      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
-      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
-      AND user_id = 7
-    ORDER BY ts DESC, event_id DESC LIMIT 100
+    SELECT 'user_eq' AS variant, * FROM (
+        SELECT {_EV_COLS} FROM events
+        WHERE event_type = 'view'
+          AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+          AND user_id = 7
+        ORDER BY ts DESC, event_id DESC LIMIT 100
+    )
+    UNION ALL
+    SELECT 'between', * FROM (
+        SELECT {_EV_COLS} FROM events
+        WHERE event_type = 'purchase'
+          AND ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+                     AND TIMESTAMP '2024-01-28 00:00:00'
+        ORDER BY ts DESC, event_id DESC LIMIT 50
+    )
     """,
 )
-def logs_user_filter(spark, sf_dir):
+def logs_filter_variants(spark, sf_dir):
     ev = _events_range(spark, sf_dir, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
-    return query_events(
+    user_eq = query_events(
         ev, "view", "2024-01-01 00:00:00", "2024-02-01 00:00:00",
         user_id=7, limit=100,
-    )
+    ).select(F.lit("user_eq").alias("variant"), "*")
+    between = query_events_between(
+        table(spark, sf_dir, "events"),
+        "purchase",
+        "2024-01-03 00:00:00",
+        "2024-01-28 00:00:00",
+        limit=50,
+    ).select(F.lit("between").alias("variant"), "*")
+    return user_eq.unionByName(between)
 
 
 # + P5: JSON-path predicate (JSONExtractString ≅ get_json_object, F1).
@@ -85,26 +107,6 @@ def logs_json_attr(spark, sf_dir):
     return query_events(
         ev, "error", "2024-01-01 00:00:00", "2024-02-01 00:00:00",
         prop_key="k", prop_value="42", limit=100,
-    )
-
-
-# P6: closed-range BETWEEN variant (README.md:94,104).
-@register(
-    "logs_between",
-    oracle=f"""
-    SELECT {_EV_COLS} FROM events
-    WHERE event_type = 'purchase'
-      AND ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-28 00:00:00'
-    ORDER BY ts DESC, event_id DESC LIMIT 50
-    """,
-)
-def logs_between(spark, sf_dir):
-    return query_events_between(
-        table(spark, sf_dir, "events"),
-        "purchase",
-        "2024-01-03 00:00:00",
-        "2024-01-28 00:00:00",
-        limit=50,
     )
 
 

@@ -248,3 +248,77 @@ def text_corpus_curation(spark, sf_dir):
 )
 def text_fingerprints(spark, sf_dir):
     return TX.fingerprints(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_contamination",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < '1a'
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents
+    ),
+    g AS (
+        SELECT t.doc_id, s.split,
+               unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                                     FOR i IN range(1, len(toks) - 6)])) AS gram
+        FROM t JOIN s USING (doc_id) WHERE len(toks) >= 8
+    )
+    SELECT a.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
+    FROM g a JOIN g b ON a.gram = b.gram
+    WHERE a.split = 'train' AND b.split = 'val'
+    GROUP BY 1, 2
+    """,
+)
+def text_contamination(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing >= 1 distinct
+    word 8-gram with an eval doc. The eval side here is the corpus's
+    own deterministic val split (text_train_val_split) so the query is
+    self-contained; in production it's the benchmark suite — tiny —
+    and the exploded benchmark grams broadcast (one map-side join over
+    the corpus scan, zero shuffle of the training side)."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = d.select("doc_id", "text", F.when(bucket < "1a", "val")
+                     .otherwise("train").alias("split"))
+    train = split.filter(F.col("split") == "train")
+    bench = split.filter(F.col("split") == "val")
+    return TX.contamination_pairs(train, bench, n=8)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'),
+               '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+             '\b(?:customer|vector)\b', '<TERM>', 'g') AS clean_text,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(text,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+           len(regexp_extract_all(text,
+               '\+?\d{3}[-. ]\d{3}[-. ]\d{4}'))::BIGINT AS n_phone,
+           len(regexp_extract_all(text,
+               '\b(?:customer|vector)\b'))::BIGINT AS n_denylist
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction + denylist term scrubbing: counts per match class
+    (on the original text) and the redacted text. The synthetic corpus
+    carries no real PII, so the email/ipv4/phone counts exercise the
+    zero path here (pytest covers matches on synthetic PII rows); the
+    denylist arm scrubs live corpus terms for nonzero oracle signal."""
+    return TX.pii_scrub(
+        table(spark, sf_dir, "documents"), denylist=["customer", "vector"]
+    )

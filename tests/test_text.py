@@ -82,3 +82,47 @@ def test_corpus_curation_pipeline(spark, sf_small):
     again = {(r.doc_id, r.split) for r in
              queries()["text_corpus_curation"](spark, sf_small).collect()}
     assert again == {(r.doc_id, r.split) for r in rows}
+
+
+def test_contamination_pairs_finds_planted_overlap(spark):
+    mk = "doc_id long, text string"
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "one two three four five six seven"),  # < 8 tokens: no grams
+            (2, "totally unrelated words with no benchmark overlap at all ok"),
+        ],
+        mk,
+    )
+    bench = spark.createDataFrame(
+        [(100, "ALPHA beta gamma delta epsilon zeta eta theta kappa")], mk
+    )
+    got = {(r.train_id, r.bench_id): r.n_shared for r in
+           TX.contamination_pairs(train, bench, n=8).collect()}
+    # doc 0 and bench 100 share exactly one 8-gram (alpha..theta,
+    # case-insensitive via normalization); nothing else overlaps
+    assert got == {(0, 100): 1}
+    # shorter grams find more overlap, never less
+    got5 = {(r.train_id, r.bench_id): r.n_shared for r in
+            TX.contamination_pairs(train, bench, n=5).collect()}
+    assert got5[(0, 100)] > 1 and set(got5) == {(0, 100)}
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@example.org or bob@test.co today"),
+            (1, "server 10.0.0.1 and 192.168.1.254 are down"),
+            (2, "call 555-867-5309 or +1 555.867.5309 now"),
+            (3, "clean text with no sensitive content"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in TX.pii_scrub(df, denylist=["server"]).collect()}
+    assert rows[0].n_email == 2 and "<EMAIL>" in rows[0].clean_text
+    assert "@" not in rows[0].clean_text
+    assert rows[1].n_ipv4 == 2 and rows[1].clean_text.count("<IPV4>") == 2
+    assert rows[1].n_denylist == 1 and "<TERM>" in rows[1].clean_text
+    assert rows[2].n_phone == 2 and rows[2].clean_text.count("<PHONE>") == 2
+    assert rows[3].clean_text == "clean text with no sensitive content"
+    assert rows[3].n_email == rows[3].n_ipv4 == rows[3].n_phone == 0
