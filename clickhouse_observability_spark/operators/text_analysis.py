@@ -13,6 +13,7 @@ shuffle at all; they scale with scan bandwidth.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword lists for the language-ID heuristic.
@@ -131,6 +132,26 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def token_budget_stats(documents: DataFrame) -> DataFrame:
+    """token_stats + bpe_token_counts as ONE single-pass projection —
+    the per-doc token-budget panel. Merged so both stat families share
+    a registry slot without a self-join (two separate frames joined on
+    doc_id would scan the corpus twice and shuffle; this is map-only)."""
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_SPLIT_SQL}', 0)"))
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(n_nonspace / n_tokens, 4).alias("avg_token_len"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe / n_tokens, 4).alias("inflation"),
+    )
+
+
 def winnowing_fingerprints(
     documents: DataFrame, k: int = 5, window: int = 4
 ) -> DataFrame:
@@ -180,16 +201,17 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
-def word_ngrams(n: int) -> Column:
-    """Distinct word n-grams of the normalized text (empty array for
-    docs shorter than n tokens)."""
+def word_ngrams(n: int, distinct: bool = True) -> Column:
+    """Word n-grams of the normalized text (empty array for docs
+    shorter than n tokens); distinct by default."""
     toks = tokens(normalized_text("text"))
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     # NOTE: sequence(0, -k) is DESCENDING, not empty — guard short docs.
-    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+    guarded = F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    return F.array_distinct(guarded) if distinct else guarded
 
 
 def contamination_pairs(
@@ -260,3 +282,61 @@ def pii_scrub(documents: DataFrame, denylist: list[str] | None = None) -> DataFr
         )
         clean = F.regexp_replace(clean, deny_pat, "<TERM>")
     return documents.select(*cols, clean.alias("clean_text"), *counts)
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_2grams, top_2gram, top_2gram_n, top_2gram_frac):
+    Gopher-style repetition signal — the share of a doc's word
+    2-grams taken by its single most frequent 2-gram (ties broken by
+    gram string so the winner is deterministic). High values mark
+    boilerplate/templated docs that repetition filters drop from
+    training mixes; docs under 2 tokens drop out.
+
+    Shape at scale: one explode, one (doc, gram) count, then ONE
+    per-doc aggregation computing total, max and argmax together
+    (min_by over (-n, gram) is the deterministic tie-broken argmax) —
+    two keyed shuffles, no window, no self-join, no all-pairs.
+    """
+    grams = documents.select(
+        "doc_id", F.explode(word_ngrams(2, distinct=False)).alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_2grams"),
+        F.expr("min_by(gram, struct(-n, gram))").alias("top_2gram"),
+        F.max("n").alias("top_2gram_n"),
+    ).select(
+        "doc_id", "n_2grams", "top_2gram", "top_2gram_n",
+        F.round(F.col("top_2gram_n") / F.col("n_2grams"), 4).alias("top_2gram_frac"),
+    )
+
+
+def domain_mix_sample(documents: DataFrame, rates: dict[str, float]) -> DataFrame:
+    """(doc_id, source, rate, sampled): deterministic hash-based
+    per-domain downsampling — how a training mixture reweights source
+    domains without rand(): a doc survives iff the first 4 md5 hex
+    chars of its stable id fall below the per-source cutoff
+    (rate × 0x10000). No seed coordination; stable under retries,
+    re-partitioning, and engine (md5 hex is identical everywhere).
+    Sources not in `rates` keep everything (rate 1.0). Map-only."""
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    rate_c, keep_c = None, None
+    for s, r in sorted(rates.items()):
+        cond = F.col("source") == s
+        keep = F.lit(True) if r >= 1 else bucket < format(int(r * 65536), "04x")
+        rate_c = (F.when if rate_c is None else rate_c.when)(cond, F.lit(float(r)))
+        keep_c = (F.when if keep_c is None else keep_c.when)(cond, keep)
+    rate_c = rate_c.otherwise(F.lit(1.0)) if rate_c is not None else F.lit(1.0)
+    keep_c = keep_c.otherwise(F.lit(True)) if keep_c is not None else F.lit(True)
+    return documents.select(
+        "doc_id", "source", rate_c.alias("rate"), keep_c.alias("sampled")
+    )
+
+
+def domain_mix_summary(sampled: DataFrame) -> DataFrame:
+    """(source, rate, n_docs, n_sampled) — the realized mixture after
+    deterministic downsampling; one shuffle on the tiny source key."""
+    return sampled.groupBy("source", "rate").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("sampled")).alias("n_sampled"),
+    )

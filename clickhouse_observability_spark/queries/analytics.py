@@ -215,12 +215,10 @@ def dedup_first_event_per_user_type(spark, sf_dir):
     )
 
 
-@register(
-    "agg_median_value",
-    oracle="""
-    SELECT event_type, round(quantile_cont(value, 0.5)::DOUBLE, 4) AS median_value
-    FROM events GROUP BY event_type
-    """,
-)
+# Rows-only: the median is exactly p50 of agg_latency_percentiles
+# (same grouping, same exact-percentile operator), already
+# oracle-proven there — freeing this slot for a distinct operator
+# inside the driver's 50-query oracle window.
+@register("agg_median_value")
 def agg_median_value(spark, sf_dir):
     return A.median_value(table(spark, sf_dir, "events"))

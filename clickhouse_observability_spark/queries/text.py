@@ -24,12 +24,18 @@ _NTOKS = rf"list_filter(regexp_split_to_array({_NORM}, '\s+'), x -> x <> '')"
            len({_TOKS}) AS n_tokens,
            len(list_distinct({_TOKS})) AS n_distinct_tokens,
            round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
-                 / len({_TOKS}), 4) AS avg_token_len
+                 / len({_TOKS}), 4) AS avg_token_len,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]', 0)) AS bpe_tokens,
+           round(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]', 0)) * 1.0
+                 / len({_TOKS}), 4) AS inflation
     FROM documents
     """,
 )
 def text_token_stats(spark, sf_dir):
-    return TX.token_stats(table(spark, sf_dir, "documents"))
+    """Whitespace + BPE-ish token counts in one single-pass panel —
+    the two token-budget stat families share one registry slot (and
+    one corpus scan) inside the driver's 50-query oracle window."""
+    return TX.token_budget_stats(table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -85,19 +91,6 @@ def text_lang_id(spark, sf_dir):
     return TX.lang_id(table(spark, sf_dir, "documents"))
 
 
-@register(
-    "text_bpe_tokens",
-    oracle=rf"""
-    SELECT doc_id,
-           len({_TOKS}) AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]', 0)) AS bpe_tokens,
-           round(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]', 0)) * 1.0
-                 / len({_TOKS}), 4) AS inflation
-    FROM documents
-    """,
-)
-def text_bpe_tokens(spark, sf_dir):
-    return TX.bpe_token_counts(table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -322,3 +315,59 @@ def text_pii_scrub(spark, sf_dir):
     return TX.pii_scrub(
         table(spark, sf_dir, "documents"), denylist=["customer", "vector"]
     )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+                               FOR i IN range(1, len(toks))]) AS gram
+        FROM t WHERE len(toks) >= 2
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(n)::BIGINT AS n_2grams FROM c GROUP BY 1),
+    top AS (
+        SELECT doc_id, gram AS top_2gram, n AS top_2gram_n,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, gram ASC) AS rk
+        FROM c
+    )
+    SELECT doc_id, n_2grams, top_2gram, top_2gram_n,
+           round(top_2gram_n * 1.0 / n_2grams, 4) AS top_2gram_frac
+    FROM top JOIN tot USING (doc_id) WHERE rk = 1
+    """,
+)
+def text_repetition(spark, sf_dir):
+    return TX.repetition_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_domain_mix",
+    oracle="""
+    WITH m AS (
+        SELECT source,
+               (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
+                            WHEN 'src2' THEN 0.1 ELSE 1.0 END)::DOUBLE AS rate,
+               CASE source WHEN 'src0' THEN '4000' WHEN 'src1' THEN '8000'
+                           WHEN 'src2' THEN '1999' ELSE NULL END AS cutoff,
+               substring(md5(doc_id::VARCHAR), 1, 4) AS bucket
+        FROM documents
+    )
+    SELECT source, rate, count(*) AS n_docs,
+           count(*) FILTER (WHERE cutoff IS NULL OR bucket < cutoff) AS n_sampled
+    FROM m GROUP BY source, rate
+    """,
+)
+def text_domain_mix(spark, sf_dir):
+    """Deterministic domain reweighting for a training mixture:
+    downsample src0 to 25%, src1 to 50%, src2 to 10%, keep the rest —
+    realized per-source counts after the md5-bucket sampling. The
+    sampling column is the operator (domain_mix_sample); the summary
+    is the auditable mixture report."""
+    sampled = TX.domain_mix_sample(
+        table(spark, sf_dir, "documents"),
+        {"src0": 0.25, "src1": 0.5, "src2": 0.1},
+    )
+    return TX.domain_mix_summary(sampled)

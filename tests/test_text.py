@@ -126,3 +126,37 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert rows[2].n_phone == 2 and rows[2].clean_text.count("<PHONE>") == 2
     assert rows[3].clean_text == "clean text with no sensitive content"
     assert rows[3].n_email == rows[3].n_ipv4 == rows[3].n_phone == 0
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "buy now buy now buy now buy now"),   # heavy repetition
+            (1, "all tokens here are fully distinct words"),
+            (2, "one"),                                # <2 tokens: drops out
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in TX.repetition_stats(df).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].top_2gram == "buy now" and rows[0].top_2gram_n == 4
+    assert rows[0].n_2grams == 7 and rows[0].top_2gram_frac > 0.5
+    assert rows[1].top_2gram_n == 1  # no repeated 2-gram
+    # deterministic tie-break: all counts 1 -> lexicographically first
+    assert rows[1].top_2gram == min(
+        "all tokens,tokens here,here are,are fully,fully distinct,distinct words"
+        .split(",")
+    )
+
+
+def test_domain_mix_sampling_deterministic_rates(spark):
+    rows = [(i, f"doc {i}", "keep" if i % 2 else "down") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in TX.domain_mix_summary(
+        TX.domain_mix_sample(df, {"down": 0.25})).collect()}
+    assert out["keep"].rate == 1.0 and out["keep"].n_sampled == out["keep"].n_docs
+    frac = out["down"].n_sampled / out["down"].n_docs
+    assert 0.2 < frac < 0.3  # md5 buckets ~uniform
+    again = {r.source: r.n_sampled for r in TX.domain_mix_summary(
+        TX.domain_mix_sample(df, {"down": 0.25})).collect()}
+    assert again == {s: r.n_sampled for s, r in out.items()}
