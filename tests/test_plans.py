@@ -96,3 +96,43 @@ def test_codegen_covers_agg(spark, sf_small):
     df = ev.groupBy("event_type").agg(F.sum("value"))
     df.collect()  # AQE only materializes the final plan after execution
     assert P.whole_stage_codegen_spans(df) >= 1
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_small):
+    # SCALING.md claim: the benchmark (eval-suite) gram side
+    # broadcasts — one map-side join over the corpus scan, no
+    # SortMergeJoin of the training side.
+    from clickhouse_observability_spark.registry import queries
+
+    out = queries()["text_contamination"](spark, sf_small)
+    out.collect()
+    plan = P.executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_is_map_only(spark, sf_small):
+    # SCALING.md claim: regex scrubbing is a pure projection — zero
+    # exchanges, scales with scan bandwidth.
+    from clickhouse_observability_spark.registry import queries
+
+    out = queries()["text_pii_scrub"](spark, sf_small)
+    from clickhouse_observability_spark.plans.explain import shuffle_count
+
+    assert shuffle_count(out) == 0
+
+
+def test_repetition_two_shuffles_one_scan(spark, sf_small):
+    # SCALING.md claim: (doc,gram) count + single min_by aggregate —
+    # two keyed shuffles, one corpus scan, no window, no self-join.
+    from clickhouse_observability_spark.registry import queries
+
+    out = queries()["text_repetition"](spark, sf_small)
+    plan = P.executed_plan(out)
+    from clickhouse_observability_spark.plans.explain import shuffle_count
+
+    # (pre-execution plan: AQE's post-run string repeats each
+    # Exchange in its Initial Plan section and would double-count)
+    assert shuffle_count(out) == 2
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan and "Join" not in plan
