@@ -133,3 +133,65 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
         F.sequence(F.lit(0), F.col("duration_ms"), F.lit(int(every_ms)))
     ).alias("frame_ms")
     return vids.select("media_id", "duration_ms", ts)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("dst_width", T.IntegerType(), False),
+        T.StructField("dst_height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("resized_sha", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    dst_width: int = 8,
+    dst_height: int = 8,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Arrow-batched image resize over the binary column.
+
+    Same plumbing contract as extract_features: images only (metadata
+    filter prunes BEFORE payload bytes are read), payloads arrive per
+    Arrow batch, numpy does a nearest-neighbor index-map resample of
+    the decoded tile, and the resized raster ships back as a binary
+    column plus a content sha. The DECODE step is the stub
+    (decode_image); the resample math, batch shape, schema and
+    partitioning behavior are real — swap the decode for Pillow and
+    nothing else changes.
+    """
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": pdf["media_id"],
+                "src_width": pdf["width"],
+                "src_height": pdf["height"],
+                "dst_width": [], "dst_height": [], "resized": [], "resized_sha": [],
+            }
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                tile = np.asarray(decode_image(b, fake=fake_decode), dtype=np.uint8)
+                sh, sw = tile.shape
+                # nearest-neighbor: integer index maps, pure numpy
+                rows = (np.arange(dst_height) * sh) // dst_height
+                cols = (np.arange(dst_width) * sw) // dst_width
+                resized = tile[np.ix_(rows, cols)]
+                raw = resized.tobytes()
+                out["dst_width"].append(dst_width)
+                out["dst_height"].append(dst_height)
+                out["resized"].append(bytearray(raw))
+                out["resized_sha"].append(hashlib.sha256(raw).hexdigest())
+            yield pd.DataFrame(out)
+
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id", "width", "height", "payload"
+    )
+    return imgs.mapInPandas(_batch, RESIZE_SCHEMA)

@@ -21,3 +21,10 @@ def multimodal_features(spark, sf_dir):
 @register("multimodal_frame_plan")
 def multimodal_frame_plan(spark, sf_dir):
     return M.frame_sample_plan(M.make_fake_media(spark, n=256), every_ms=500)
+
+
+@register("multimodal_resize")
+def multimodal_resize(spark, sf_dir):
+    """Nearest-neighbor resize of every image payload to 8x8 via the
+    Arrow mapInPandas path (decode stubbed, resample real)."""
+    return M.resize_images(M.make_fake_media(spark, n=256), 8, 8)

@@ -200,14 +200,17 @@ def text_train_val_split(spark, sf_dir):
 @register("text_corpus_curation")
 def text_corpus_curation(spark, sf_dir):
     """The end-to-end training-data curation pipeline in one plan:
-    exact-dedup survivors ∩ quality-passing docs, tagged with language
-    and a deterministic train/val split — the composition a 100 TB
+    exact-dedup survivors ∩ quality-passing ∩ non-boilerplate docs,
+    minus train docs contaminated by the val split, tagged with
+    language and the deterministic split — the composition a 100 TB
     corpus actually runs nightly. Each stage is individually
-    oracle-checked (dedup_keep_first, text_quality, text_lang_id,
-    text_train_val_split); the composition registers rows-only to
-    stay outside the driver's 50-query oracle window. Plan shape: the
-    three per-doc projections fuse into one codegen stage; dedup adds
-    the single md5-groupBy shuffle + a semi join."""
+    oracle-checked (dedup_keep_first, text_quality, text_repetition,
+    text_contamination, text_lang_id, text_train_val_split); the
+    composition registers rows-only to stay outside the driver's
+    50-query oracle window. Plan shape: the per-doc projections fuse
+    into one codegen stage; dedup adds the single md5-groupBy shuffle
+    + a semi join; repetition adds its two keyed shuffles; the
+    contamination anti-join's exclusion list is tiny and broadcasts."""
     from pyspark.sql import functions as F
 
     from clickhouse_observability_spark.operators import dedup as D
@@ -215,16 +218,32 @@ def text_corpus_curation(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     survivors = D.dedup_keep_first(docs).select("doc_id")
     quality = TX.quality_scores(docs).filter(F.col("passes_quality")).select("doc_id")
+    # Gopher-style repetition cut: drop docs whose single most common
+    # 2-gram covers more than 20% of all their 2-grams.
+    non_boiler = (
+        TX.repetition_stats(docs)
+        .filter(F.col("top_2gram_frac") <= 0.2)
+        .select("doc_id")
+    )
     lang = TX.lang_id(docs).select("doc_id", "lang_pred")
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(bucket < "1a", "val").otherwise("train")
+    tagged = docs.select("doc_id", "text", split.alias("split"))
+    contaminated = TX.contamination_pairs(
+        tagged.filter(F.col("split") == "train"),
+        tagged.filter(F.col("split") == "val"),
+        n=8,
+    ).select(F.col("train_id").alias("doc_id")).distinct()
     return (
         docs.join(survivors, "doc_id", "left_semi")
         .join(quality, "doc_id", "left_semi")
+        .join(non_boiler, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
         .join(lang, "doc_id")
         .select(
             "doc_id",
             "lang_pred",
-            F.when(bucket < "1a", "val").otherwise("train").alias("split"),
+            split.alias("split"),
             "n_chars",
         )
     )

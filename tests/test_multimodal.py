@@ -58,3 +58,31 @@ def test_frame_sample_plan(media):
     plan = M.frame_sample_plan(media, every_ms=500)
     rows = plan.filter("media_id = 2").collect()  # video, duration 1020
     assert [r.frame_ms for r in rows] == [0, 500, 1000]
+
+
+def test_resize_images_shapes_and_determinism(spark):
+    media = M.make_fake_media(spark, n=30)
+    out = M.resize_images(media, dst_width=4, dst_height=6).collect()
+    # images only (a third of the fake table), metadata intact
+    assert len(out) == len([r for r in media.collect() if r.kind == "image"])
+    for r in out:
+        assert r.dst_width == 4 and r.dst_height == 6
+        assert len(bytes(r.resized)) == 4 * 6  # one byte per gray pixel
+    again = {r.media_id: r.resized_sha for r in
+             M.resize_images(media, dst_width=4, dst_height=6).collect()}
+    assert again == {r.media_id: r.resized_sha for r in out}
+
+
+def test_resize_upscale_and_identity(spark):
+    media = M.make_fake_media(spark, n=9)
+    # identity-size resize of the 8x8 fake decode reproduces the tile
+    ident = {r.media_id: bytes(r.resized) for r in
+             M.resize_images(media, 8, 8).collect()}
+    for r in media.collect():
+        if r.kind != "image":
+            continue
+        tile = M.decode_image(bytes(r.payload), fake=True)
+        flat = bytes(b for row in tile for b in row)
+        assert ident[r.media_id] == flat
+    up = M.resize_images(media, 16, 16).collect()
+    assert all(len(bytes(r.resized)) == 256 for r in up)

@@ -74,9 +74,15 @@ def test_corpus_curation_pipeline(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     keep = {r.doc_id for r in D.dedup_keep_first(docs).select("doc_id").collect()}
     assert ids <= keep
-    # ...and quality-passing; nothing both-passed is missing
+    # ...and quality-passing and non-boilerplate, minus contaminated
+    # train docs; nothing that passes every stage is missing
     qual = {r.doc_id for r in TX.quality_scores(docs).collect() if r.passes_quality}
-    assert ids == (keep & qual)
+    rep = {r.doc_id for r in TX.repetition_stats(docs).collect()
+           if r.top_2gram_frac <= 0.2}
+    from clickhouse_observability_spark.registry import queries as _qs
+    contaminated = {r.train_id for r in
+                    _qs()["text_contamination"](spark, sf_small).collect()}
+    assert ids == (keep & qual & rep) - contaminated
     # tags well-formed; split is deterministic over reruns
     assert all(r.split in ("train", "val") and r.lang_pred for r in rows)
     again = {(r.doc_id, r.split) for r in
