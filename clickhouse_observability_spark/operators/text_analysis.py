@@ -247,6 +247,34 @@ def contamination_pairs(
     )
 
 
+def contamination_hits(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """(train_id, n_shared): how many of each training doc's distinct
+    word n-grams appear ANYWHERE in the benchmark corpus — the scale
+    form of the decontamination sweep. The benchmark side collapses to
+    a DISTINCT gram blocklist before the join, so fan-out is bounded
+    by the training side's own gram count: a doc duplicated t× in
+    train and v× in the benchmark contributes t join rows, never t×v
+    (the per-pair form blows up quadratically inside dup groups —
+    measured 7s vs ~2s at sf0.1). Use contamination_pairs when
+    per-benchmark-doc attribution is actually needed."""
+    tg = train.select(
+        F.col("doc_id").alias("train_id"), F.explode(word_ngrams(n)).alias("gram")
+    )
+    bg = bench.select(F.explode(word_ngrams(n)).alias("gram")).distinct()
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    return (
+        tg.join(bg, "gram")
+        .groupBy("train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 # PII patterns in the Java-regex/RE2 common dialect (no lookaround, no
 # backrefs) so Spark and the DuckDB oracle compile them identically.
 PII_PATTERNS: dict[str, str] = {

@@ -229,11 +229,11 @@ def text_corpus_curation(spark, sf_dir):
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = F.when(bucket < "1a", "val").otherwise("train")
     tagged = docs.select("doc_id", "text", split.alias("split"))
-    contaminated = TX.contamination_pairs(
+    contaminated = TX.contamination_hits(
         tagged.filter(F.col("split") == "train"),
         tagged.filter(F.col("split") == "val"),
         n=8,
-    ).select(F.col("train_id").alias("doc_id")).distinct()
+    ).select(F.col("train_id").alias("doc_id"))
     return (
         docs.join(survivors, "doc_id", "left_semi")
         .join(quality, "doc_id", "left_semi")
@@ -277,20 +277,23 @@ def text_fingerprints(spark, sf_dir):
                unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
                                      FOR i IN range(1, len(toks) - 6)])) AS gram
         FROM t JOIN s USING (doc_id) WHERE len(toks) >= 8
-    )
-    SELECT a.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
-    FROM g a JOIN g b ON a.gram = b.gram
-    WHERE a.split = 'train' AND b.split = 'val'
-    GROUP BY 1, 2
+    ),
+    b AS (SELECT DISTINCT gram FROM g WHERE split = 'val')
+    SELECT a.doc_id AS train_id, count(*) AS n_shared
+    FROM g a JOIN b USING (gram)
+    WHERE a.split = 'train'
+    GROUP BY 1
     """,
 )
 def text_contamination(spark, sf_dir):
-    """Benchmark decontamination: training docs sharing >= 1 distinct
-    word 8-gram with an eval doc. The eval side here is the corpus's
-    own deterministic val split (text_train_val_split) so the query is
-    self-contained; in production it's the benchmark suite — tiny —
-    and the exploded benchmark grams broadcast (one map-side join over
-    the corpus scan, zero shuffle of the training side)."""
+    """Benchmark decontamination: per training doc, how many of its
+    distinct word 8-grams appear in the eval set. The eval side here
+    is the corpus's own deterministic val split (text_train_val_split)
+    so the query is self-contained; in production it's the benchmark
+    suite — tiny — collapsed to a DISTINCT gram blocklist that
+    broadcasts: one map-side join over the corpus scan, zero shuffle
+    of the training side, fan-out bounded by each doc's own gram
+    count (never train-dups × val-dups)."""
     from pyspark.sql import functions as F
 
     d = table(spark, sf_dir, "documents")
@@ -299,7 +302,7 @@ def text_contamination(spark, sf_dir):
                      .otherwise("train").alias("split"))
     train = split.filter(F.col("split") == "train")
     bench = split.filter(F.col("split") == "val")
-    return TX.contamination_pairs(train, bench, n=8)
+    return TX.contamination_hits(train, bench, n=8)
 
 
 @register(

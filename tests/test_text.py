@@ -166,3 +166,31 @@ def test_domain_mix_sampling_deterministic_rates(spark):
     again = {r.source: r.n_sampled for r in TX.domain_mix_summary(
         TX.domain_mix_sample(df, {"down": 0.25})).collect()}
     assert again == {s: r.n_sampled for s, r in out.items()}
+
+
+def test_contamination_hits_matches_pairs_rollup(spark):
+    mk = "doc_id long, text string"
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),  # dup
+            (2, "totally unrelated words with no benchmark overlap at all ok"),
+        ],
+        mk,
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+            (101, "alpha beta gamma delta epsilon zeta eta theta kappa"),  # dup
+        ],
+        mk,
+    )
+    hits = {r.train_id: r.n_shared for r in
+            TX.contamination_hits(train, bench, n=8).collect()}
+    # per-doc DISTINCT grams vs the benchmark blocklist: dup bench
+    # docs do NOT multiply the count (the t×v blowup the blocklist
+    # form exists to avoid)
+    assert hits == {0: 1, 1: 1}
+    pairs = TX.contamination_pairs(train, bench, n=8).collect()
+    assert {r.train_id for r in pairs} == set(hits)
+    assert len(pairs) == 4  # attribution form: 2 train dups × 2 bench dups
