@@ -413,3 +413,143 @@ def ivf_topk(
             "query_id", "rank", "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+def pq_index(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 64,
+    dim: int = 64,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """PQ index build: (codes, codebooks).
+
+    Vectors are L2-normalized, split into `m` subvectors of dim/m;
+    each subspace gets its own `n_codes`-centroid k-means codebook
+    (pyspark.ml, seeded -> deterministic). A vector compresses to m
+    one-byte codes — 64 float64s (512 B) become 8 B, the 64× at-rest
+    shrink that lets a 100 TB corpus fit a scan budget; search never
+    touches the original vectors (asymmetric distance: full-precision
+    query vs codes).
+
+    codes: (vec_id, codes array<int> of length m). codebooks: python
+    list [m][n_codes][dim/m] — index metadata (m·n_codes·dim floats
+    total), shipped to queries as literals, NOT a DataFrame join.
+
+    Index build is m independent k-means fits over one cached
+    projection — a periodic batch job, like the IVF layout.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        "vec_id",
+        F.expr("transform(v, x -> x / " + _NORM.format(v="v") + ")").alias("nv"),
+    )
+    feats = e.select(
+        "vec_id",
+        *[
+            array_to_vector(F.slice("nv", j * sub + 1, sub)).alias(f"s{j}")
+            for j in range(m)
+        ],
+    ).persist()
+    codebooks: list[list[list[float]]] = []
+    coded = feats
+    for j in range(m):
+        model = KMeans(
+            k=n_codes, seed=seed + j, featuresCol=f"s{j}", predictionCol=f"c{j}"
+        ).fit(feats)
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+        coded = model.transform(coded)
+    codes = coded.select(
+        "vec_id",
+        F.array(*[F.col(f"c{j}").cast("int") for j in range(m)]).alias("codes"),
+    )
+    return codes, codebooks
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    codes: DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 8,
+    n_codes: int = 64,
+    dim: int = 64,
+    seed: int = 42,
+    rerank: int = 0,
+) -> DataFrame:
+    """ANN top-k by asymmetric PQ distance: the full-precision query
+    builds an m×n_codes lookup table of subspace dot products against
+    the codebooks (tiny, driver-side, embedded as a literal), and each
+    corpus vector scores as m array lookups summed — no vector math
+    per row, no shuffle of the corpus beyond the top-k.
+
+    approx_cosine(q, x) = Σ_j dot(q_j, codebook[j][codes_j]) — exact
+    cosine of the query against x's quantized reconstruction (both
+    sides normalized at index time). With `rerank` > 0, the top
+    `rerank` candidates per query re-score against the original
+    vectors (the standard PQ + re-rank configuration).
+    """
+    if codes is None or codebooks is None:
+        codes, codebooks = pq_index(embeddings, m, n_codes, dim, seed)
+    q = embeddings.filter(
+        F.col("vec_id").isin([int(i) for i in query_ids])
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("qv"))
+    sub = dim // m
+    rows = []
+    for r in q.collect():
+        v = r.qv
+        nrm = sum(x * x for x in v) ** 0.5 or 1.0
+        nq = [x / nrm for x in v]
+        table = [
+            sum(nq[j * sub + i] * codebooks[j][c][i] for i in range(sub))
+            for j in range(m)
+            for c in range(n_codes)
+        ]
+        rows.append((int(r.vec_id), table))
+    spark = embeddings.sparkSession
+    tables = spark.createDataFrame(rows, "query_id bigint, tbl array<double>")
+
+    score = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, "
+        f"(acc, j) -> acc + tbl[j * {n_codes} + codes[j]])"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("vec_id").asc()
+    )
+    scored = (
+        codes.join(F.broadcast(tables), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", score.alias("approx_cosine"))
+        .withColumn("rank", F.row_number().over(w))
+    )
+    if not rerank:
+        return scored.filter(F.col("rank") <= k).select(
+            "query_id", "rank", "vec_id",
+            F.round(F.col("approx_cosine"), 6).alias("approx_cosine"),
+        )
+    cand = scored.filter(F.col("rank") <= max(rerank, k)).select(
+        "query_id", "vec_id"
+    )
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qe = q.select(F.col("vec_id").alias("query_id"), "qv")
+    cs = _cosine("qv", "v")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select("query_id", "vec_id", cs.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
+    )

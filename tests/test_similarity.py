@@ -181,3 +181,30 @@ def test_lsh_candidates_subset_ranked_exactly(emb, bf_sets):
     for r in S.lsh_topk(emb, QIDS, k=10).collect():
         if (r.query_id, r.vec_id) in bf:
             assert abs(r.cosine - bf[(r.query_id, r.vec_id)]) < 1e-9
+
+
+def test_pq_topk_recall_with_rerank(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    codes, cbs = S.pq_index(emb)
+    # codes really are m small ints (the 8-byte at-rest form)
+    sample = codes.limit(5).collect()
+    assert all(len(r.codes) == 8 and all(0 <= c < 64 for c in r.codes)
+               for r in sample)
+    exact = {}
+    for r in S.brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in S.pq_topk(emb, [0, 1, 2, 3, 4], k=10, codes=codes,
+                       codebooks=cbs, rerank=50).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hit = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hit / sum(len(exact[q]) for q in exact)
+    assert recall >= 0.85, f"PQ+rerank recall {recall}"
+    # rerank output is exact cosine -> every returned (q, vec, cosine)
+    # matches the brute-force value for the same pair
+    bf = {(r.query_id, r.vec_id): r.cosine
+          for r in S.brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).collect()}
+    for r in S.pq_topk(emb, [0, 1, 2, 3, 4], k=10, codes=codes,
+                       codebooks=cbs, rerank=50).collect():
+        if (r.query_id, r.vec_id) in bf:
+            assert abs(r.cosine - bf[(r.query_id, r.vec_id)]) < 1e-9
