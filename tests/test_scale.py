@@ -92,3 +92,35 @@ def test_salted_aggregate_matches_plain(spark, sf_small):
         F.max("value").alias("max_v"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_bucketed_corpus_curation_joins_zero_shuffle(spark, sf_small, tmp_path_factory):
+    # The curation pipeline's doc_id joins (survivors ∩ quality ∩ ...)
+    # go shuffle-free when the corpus and its per-doc score tables are
+    # co-bucketed on doc_id at rest — the write-side convention for
+    # running nightly curation over a 100 TB corpus.
+    from clickhouse_observability_spark.operators.text_analysis import (
+        quality_scores,
+    )
+
+    base = tmp_path_factory.mktemp("corpus_buckets")
+    docs = load_table(spark, sf_small, "documents")
+    write_bucketed(docs, "b_documents", "doc_id", 4, path=str(base / "d"))
+    write_bucketed(
+        quality_scores(docs), "b_doc_quality", "doc_id", 4, path=str(base / "q")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = spark.table("b_documents")
+        q = spark.table("b_doc_quality").filter(F.col("passes_quality"))
+        out = d.join(q.select("doc_id"), "doc_id", "left_semi")
+        plan = executed_plan(out)
+        assert "Exchange" not in plan, plan
+        # parity with the unbucketed computation
+        expect = {r.doc_id for r in quality_scores(docs).collect()
+                  if r.passes_quality}
+        assert {r.doc_id for r in out.select("doc_id").collect()} == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS b_documents")
+        spark.sql("DROP TABLE IF EXISTS b_doc_quality")
