@@ -58,6 +58,19 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_pass_col() -> Column:
+    """The passes_quality predicate as a reusable Column (map-only —
+    pipelines inline it instead of semi-joining a score table)."""
+    n_tokens = F.size(tokens("text"))
+    avg_len = F.length(F.regexp_replace(F.col("text"), r"\s", "")) / n_tokens
+    return (
+        (n_tokens >= 5)
+        & (n_tokens <= 100000)
+        & (avg_len >= 2)
+        & (avg_len <= 15)
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Heuristic quality signals: length bounds, token shape, stopword
     density, digit density — the standard pre-training filters."""
@@ -67,17 +80,33 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
     n_digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
-    avg_len = F.length(F.regexp_replace(F.col("text"), r"\s", "")) / n_tokens
     return documents.select(
         "doc_id",
         F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
         F.round(n_digits / n_chars, 4).alias("digit_ratio"),
-        (
-            (n_tokens >= 5)
-            & (n_tokens <= 100000)
-            & (avg_len >= 2)
-            & (avg_len <= 15)
-        ).alias("passes_quality"),
+        quality_pass_col().alias("passes_quality"),
+    )
+
+
+def _lang_scores() -> dict[str, Column]:
+    toks = tokens(F.lower(F.col("text")))
+    scores = {}
+    for lang, words in LANG_STOPWORDS.items():
+        wl = F.array([F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+    return scores
+
+
+def lang_pred_col() -> Column:
+    """The lang-ID verdict as a reusable Column (map-only)."""
+    scores = _lang_scores()
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    return (
+        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), "und")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
     )
 
 
@@ -86,19 +115,9 @@ def lang_id(documents: DataFrame) -> DataFrame:
     deterministic argmax with fixed priority en>de>fr>es, 'und' when
     nothing matches. Pure expression — identical CASE chain runs in
     the oracle."""
-    toks = tokens(F.lower(F.col("text")))
-    scores = {}
-    for lang, words in LANG_STOPWORDS.items():
-        wl = F.array([F.lit(w) for w in words])
-        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+    scores = _lang_scores()
     en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
-    pred = (
-        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), "und")
-        .when((en >= de) & (en >= fr) & (en >= es), "en")
-        .when((de >= fr) & (de >= es), "de")
-        .when(fr >= es, "fr")
-        .otherwise("es")
-    )
+    pred = lang_pred_col()
     return documents.select(
         "doc_id",
         en.alias("score_en"),
@@ -214,6 +233,23 @@ def word_ngrams(n: int, distinct: bool = True) -> Column:
     return F.array_distinct(guarded) if distinct else guarded
 
 
+def _doc_gram_hashes(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gh): distinct word n-grams as 8-byte xxhash64 of the
+    token SLICE — the gram string is never materialized (concat_ws
+    over 5M slices measured 7× slower than hashing them at sf0.1),
+    and the downstream distinct/broadcast/join all run on longs.
+    Gram-hash equality stands in for gram equality (64-bit collisions
+    are ~1e-9 at billions of grams)."""
+    t = df.select(
+        "doc_id", tokens(normalized_text("text")).alias("toks")
+    ).filter(F.size("toks") >= n)
+    hv = F.expr(
+        f"array_distinct(transform(sequence(0, size(toks) - {n}), "
+        f"i -> xxhash64(slice(toks, i + 1, {n}))))"
+    )
+    return t.select("doc_id", F.explode(hv).alias("gh"))
+
+
 def contamination_pairs(
     train: DataFrame,
     bench: DataFrame,
@@ -259,17 +295,16 @@ def contamination_hits(
     a DISTINCT gram blocklist before the join, so fan-out is bounded
     by the training side's own gram count: a doc duplicated t× in
     train and v× in the benchmark contributes t join rows, never t×v
-    (the per-pair form blows up quadratically inside dup groups —
-    measured 7s vs ~2s at sf0.1). Use contamination_pairs when
+    (the per-pair form blows up quadratically inside dup groups).
+    Gram identity is the hashed token slice (_doc_gram_hashes) — no
+    gram strings anywhere in the plan. Use contamination_pairs when
     per-benchmark-doc attribution is actually needed."""
-    tg = train.select(
-        F.col("doc_id").alias("train_id"), F.explode(word_ngrams(n)).alias("gram")
-    )
-    bg = bench.select(F.explode(word_ngrams(n)).alias("gram")).distinct()
+    tg = _doc_gram_hashes(train, n).withColumnRenamed("doc_id", "train_id")
+    bg = _doc_gram_hashes(bench, n).select("gh").distinct()
     if broadcast_bench:
         bg = F.broadcast(bg)
     return (
-        tg.join(bg, "gram")
+        tg.join(bg, "gh")
         .groupBy("train_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -312,7 +347,9 @@ def pii_scrub(documents: DataFrame, denylist: list[str] | None = None) -> DataFr
     return documents.select(*cols, clean.alias("clean_text"), *counts)
 
 
-def repetition_stats(documents: DataFrame) -> DataFrame:
+def repetition_stats(
+    documents: DataFrame, with_gram: bool = True
+) -> DataFrame:
     """(doc_id, n_2grams, top_2gram, top_2gram_n, top_2gram_frac):
     Gopher-style repetition signal — the share of a doc's word
     2-grams taken by its single most frequent 2-gram (ties broken by
@@ -324,19 +361,37 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     per-doc aggregation computing total, max and argmax together
     (min_by over (-n, gram) is the deterministic tie-broken argmax) —
     two keyed shuffles, no window, no self-join, no all-pairs.
+
+    with_gram=False drops the gram string from the output AND the
+    plan: gram identity becomes the hashed token slice (xxhash64 over
+    longs, never concat_ws strings) — the form pipelines use when
+    they only need the fraction, not the offending gram.
     """
-    grams = documents.select(
-        "doc_id", F.explode(word_ngrams(2, distinct=False)).alias("gram")
-    )
+    if not with_gram:
+        t = documents.select(
+            "doc_id", tokens(normalized_text("text")).alias("toks")
+        ).filter(F.size("toks") >= 2)
+        hv = F.expr(
+            "transform(sequence(0, size(toks) - 2), "
+            "i -> xxhash64(slice(toks, i + 1, 2)))"
+        )
+        grams = t.select("doc_id", F.explode(hv).alias("gram"))
+    else:
+        grams = documents.select(
+            "doc_id", F.explode(word_ngrams(2, distinct=False)).alias("gram")
+        )
     counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
-    return counts.groupBy("doc_id").agg(
+    aggs = [
         F.sum("n").cast("long").alias("n_2grams"),
-        F.expr("min_by(gram, struct(-n, gram))").alias("top_2gram"),
         F.max("n").alias("top_2gram_n"),
-    ).select(
-        "doc_id", "n_2grams", "top_2gram", "top_2gram_n",
+    ]
+    if with_gram:
+        aggs.insert(1, F.expr("min_by(gram, struct(-n, gram))").alias("top_2gram"))
+    cols = ["doc_id", "n_2grams"] + (["top_2gram"] if with_gram else []) + [
+        "top_2gram_n",
         F.round(F.col("top_2gram_n") / F.col("n_2grams"), 4).alias("top_2gram_frac"),
-    )
+    ]
+    return counts.groupBy("doc_id").agg(*aggs).select(*cols)
 
 
 def domain_mix_sample(documents: DataFrame, rates: dict[str, float]) -> DataFrame:

@@ -217,15 +217,13 @@ def text_corpus_curation(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     survivors = D.dedup_keep_first(docs).select("doc_id")
-    quality = TX.quality_scores(docs).filter(F.col("passes_quality")).select("doc_id")
     # Gopher-style repetition cut: drop docs whose single most common
     # 2-gram covers more than 20% of all their 2-grams.
     non_boiler = (
-        TX.repetition_stats(docs)
+        TX.repetition_stats(docs, with_gram=False)
         .filter(F.col("top_2gram_frac") <= 0.2)
         .select("doc_id")
     )
-    lang = TX.lang_id(docs).select("doc_id", "lang_pred")
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = F.when(bucket < "1a", "val").otherwise("train")
     tagged = docs.select("doc_id", "text", split.alias("split"))
@@ -234,18 +232,19 @@ def text_corpus_curation(spark, sf_dir):
         tagged.filter(F.col("split") == "val"),
         n=8,
     ).select(F.col("train_id").alias("doc_id"))
+    # quality + lang-ID are map-only -> inline columns on the base
+    # scan, NOT score-table joins; only the stages that genuinely
+    # aggregate (dedup, repetition) or join (contamination) shuffle.
+    base = docs.filter(TX.quality_pass_col()).select(
+        "doc_id",
+        TX.lang_pred_col().alias("lang_pred"),
+        split.alias("split"),
+        "n_chars",
+    )
     return (
-        docs.join(survivors, "doc_id", "left_semi")
-        .join(quality, "doc_id", "left_semi")
+        base.join(survivors, "doc_id", "left_semi")
         .join(non_boiler, "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
-        .join(lang, "doc_id")
-        .select(
-            "doc_id",
-            "lang_pred",
-            split.alias("split"),
-            "n_chars",
-        )
     )
 
 

@@ -194,3 +194,14 @@ def test_contamination_hits_matches_pairs_rollup(spark):
     pairs = TX.contamination_pairs(train, bench, n=8).collect()
     assert {r.train_id for r in pairs} == set(hits)
     assert len(pairs) == 4  # attribution form: 2 train dups × 2 bench dups
+
+
+def test_repetition_hash_mode_matches_string_mode(spark, sf_small):
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    with_str = {(r.doc_id, r.n_2grams, r.top_2gram_n, r.top_2gram_frac)
+                for r in TX.repetition_stats(docs, with_gram=True).collect()}
+    hashed = {(r.doc_id, r.n_2grams, r.top_2gram_n, r.top_2gram_frac)
+              for r in TX.repetition_stats(docs, with_gram=False).collect()}
+    assert hashed == with_str  # same stats, no gram strings in the plan
