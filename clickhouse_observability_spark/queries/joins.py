@@ -164,6 +164,38 @@ def tpch_q17_small_quantity(spark, sf_dir):
 
 
 @register(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast(spark, sf_dir):
+    """Q6 shape: the pure scan-filter-aggregate — no join, no groupBy
+    key, one map-side partial sum. The whole query should be a single
+    WholeStageCodegen span over the pushed-down scan; at 100 TB it is
+    exactly scan-bandwidth-bound, which is the point of including it."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+@register(
     "join_semi_anti_customers",
     oracle="""
     SELECT 'with_orders' AS op, c_mktsegment, count(*) AS n_customers

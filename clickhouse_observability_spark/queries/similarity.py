@@ -24,9 +24,7 @@ def _label_centroids(spark, sf_dir):
     )
 
 
-@register(
-    "sim_topk_bruteforce",
-    oracle="""
+_EXACT_TOPK_SQL = """
     SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
                list_cosine_similarity(q.embedding::DOUBLE[],
@@ -40,10 +38,50 @@ def _label_centroids(spark, sf_dir):
         FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         WHERE q.vec_id IN (0, 1, 2, 3, 4)
     ) WHERE rank <= 10
-    """,
-)
+"""
+
+
+# Rows-only: the identical computation is oracle-proven as the
+# 'brute' arm of sim_topk_exact_proofs; this standalone entry stays
+# registered as the cheap bench baseline.
+@register("sim_topk_bruteforce")
 def sim_topk_bruteforce(spark, sf_dir):
     return S.brute_force_topk(table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10)
+
+
+@register(
+    "sim_topk_exact_proofs",
+    oracle=f"""
+    SELECT 'brute' AS method, * FROM ({_EXACT_TOPK_SQL})
+    UNION ALL
+    SELECT 'ivf_exhaustive', * FROM ({_EXACT_TOPK_SQL})
+    UNION ALL
+    SELECT 'pq_rerank_all', * FROM ({_EXACT_TOPK_SQL})
+    """,
+)
+def sim_topk_exact_proofs(spark, sf_dir):
+    """Exact top-k three ways under ONE oracle, method-tagged: the
+    linear-scan baseline, IVF probing every partition, and PQ with
+    re-rank over every candidate. The latter two degenerate to exact
+    by construction, so the driver's hash gate adjudicates the
+    PROBING and PQ-RERANK machinery — not just the baseline — while
+    the three share a single slot in the 50-query oracle window."""
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    brute = S.brute_force_topk(emb, _QUERY_IDS, k=10).select(
+        F.lit("brute").alias("method"), "*"
+    )
+    ivf = S.ivf_topk(
+        emb, _QUERY_IDS, k=10, n_probe=10,
+        centroids=_label_centroids(spark, sf_dir),
+    ).select(F.lit("ivf_exhaustive").alias("method"), "*")
+    codes, cbs = _pq_artifacts(spark, sf_dir)
+    pq = S.pq_topk(
+        emb, _QUERY_IDS, k=10, codes=codes, codebooks=cbs,
+        rerank=10**9,
+    ).select(F.lit("pq_rerank_all").alias("method"), "*")
+    return brute.unionByName(ivf).unionByName(pq)
 
 
 @register("sim_topk_lsh")
@@ -57,37 +95,6 @@ def sim_topk_ivf(spark, sf_dir):
         table(spark, sf_dir, "embeddings"),
         _QUERY_IDS,
         k=10,
-        centroids=_label_centroids(spark, sf_dir),
-    )
-
-
-# IVF with n_probe = all partitions degenerates to exact search — the
-# correctness proof of the probing machinery, checkable against the
-# same oracle as brute force.
-@register(
-    "sim_topk_ivf_exhaustive",
-    oracle="""
-    SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM (
-        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-               list_cosine_similarity(q.embedding::DOUBLE[],
-                                      e.embedding::DOUBLE[]) AS cosine,
-               row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
-                                                   e.embedding::DOUBLE[]) DESC,
-                            e.vec_id ASC
-               ) AS rank
-        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-        WHERE q.vec_id IN (0, 1, 2, 3, 4)
-    ) WHERE rank <= 10
-    """,
-)
-def sim_topk_ivf_exhaustive(spark, sf_dir):
-    return S.ivf_topk(
-        table(spark, sf_dir, "embeddings"),
-        _QUERY_IDS,
-        k=10,
-        n_probe=10,
         centroids=_label_centroids(spark, sf_dir),
     )
 
@@ -139,6 +146,14 @@ def sim_neardup_lsh(spark, sf_dir):
 _PQ_CACHE: dict[str, tuple] = {}
 
 
+def _pq_artifacts(spark, sf_dir):
+    if sf_dir not in _PQ_CACHE:
+        codes, cbs = S.pq_index(table(spark, sf_dir, "embeddings"))
+        _PQ_CACHE[sf_dir] = (codes.collect(), cbs)
+    rows, cbs = _PQ_CACHE[sf_dir]
+    return spark.createDataFrame(rows, "vec_id bigint, codes array<int>"), cbs
+
+
 @register("sim_topk_pq")
 def sim_topk_pq(spark, sf_dir):
     """Product-quantization ANN with exact re-rank: asymmetric
@@ -150,9 +165,5 @@ def sim_topk_pq(spark, sf_dir):
     configuration alongside int8 quantization (4×) and IVF
     partition pruning."""
     emb = table(spark, sf_dir, "embeddings")
-    if sf_dir not in _PQ_CACHE:
-        codes, cbs = S.pq_index(emb)
-        _PQ_CACHE[sf_dir] = (codes.collect(), cbs)
-    rows, cbs = _PQ_CACHE[sf_dir]
-    codes = spark.createDataFrame(rows, "vec_id bigint, codes array<int>")
+    codes, cbs = _pq_artifacts(spark, sf_dir)
     return S.pq_topk(emb, _QUERY_IDS, k=10, codes=codes, codebooks=cbs, rerank=50)
