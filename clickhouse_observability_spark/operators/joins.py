@@ -124,3 +124,43 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     )
     return none.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    bin_width_sec: int = 3600,
+    event_ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    how: str = "inner",
+) -> DataFrame:
+    """Events ⋈ intervals containing them (closed-open [start, end))
+    — the range-join problem, binned so it never degenerates to a
+    cross product: each event hashes to ONE time bin, each interval
+    explodes to the bins it overlaps, the join is an equi-join on the
+    bin plus a residual containment filter. Work is
+    |events| + Σ(interval span / bin_width) join rows — at 100 TB
+    pick bin_width on the order of the typical interval length so
+    intervals explode to O(1) bins each.
+
+    Catalyst cannot plan this rewrite itself (an inequality-only join
+    becomes BroadcastNestedLoop/Cartesian); the binning turns it into
+    a plain shuffled hash join on (bin). Dedup is unnecessary: an
+    event's single bin meets each overlapping interval exactly once.
+    """
+    ev_bin = F.floor(F.unix_timestamp(F.col(event_ts)) / bin_width_sec)
+    iv_bins = F.sequence(
+        F.floor(F.unix_timestamp(F.col(start)) / bin_width_sec),
+        F.floor((F.unix_timestamp(F.col(end)) - 1) / bin_width_sec),
+    )
+    e = events.withColumn("_bin", ev_bin)
+    # sequence(a, b) with b < a is DESCENDING, not empty — degenerate
+    # intervals (end <= start) must be dropped, not exploded.
+    i = intervals.filter(F.col(end) > F.col(start)).withColumn(
+        "_bin", F.explode(iv_bins)
+    )
+    out = e.join(i, "_bin", how).filter(
+        (F.col(event_ts) >= F.col(start)) & (F.col(event_ts) < F.col(end))
+    )
+    return out.drop("_bin")

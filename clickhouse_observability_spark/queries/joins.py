@@ -222,3 +222,44 @@ def join_semi_anti_customers(spark, sf_dir):
         F.lit("without_orders").alias("op"), "c_mktsegment", "n_customers"
     )
     return semi.unionByName(anti)
+
+
+@register("join_interval_error_bursts")
+def join_interval_error_bursts(spark, sf_dir):
+    """Range join, binned: count click traffic inside 'incident'
+    intervals (hours whose error count exceeds the 95th percentile of
+    hourly error counts — scale-free, so the query is meaningful at
+    any sf — widened ±30 min). The interval side derives from the
+    same events table so the query is self-contained; the operator
+    (interval_join) bins the time axis and equi-joins on the bin —
+    Catalyst would otherwise plan the pure-inequality join as a
+    nested-loop cross product. The percentile runs over the HOURLY
+    AGGREGATE (#hours rows, tiny at any scale), not raw events.
+    Rows-only: pytest asserts exact parity against the unbinned
+    theta-join on testdata, plus the no-cross-product plan shape."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    thr = hourly.agg(
+        F.expr("percentile(n_errors, 0.95)").alias("thr")
+    )
+    bursts = (
+        hourly.join(F.broadcast(thr))
+        .filter(F.col("n_errors") > F.col("thr"))
+        .select(
+            (F.col("hour_start") - F.expr("INTERVAL 30 MINUTES")).alias("start_ts"),
+            (F.col("hour_start") + F.expr("INTERVAL 90 MINUTES")).alias("end_ts"),
+            "n_errors",
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    joined = J.interval_join(clicks, bursts, bin_width_sec=3600)
+    return (
+        joined.groupBy("start_ts", "end_ts", "n_errors")
+        .agg(F.count(F.lit(1)).alias("n_clicks_during_burst"))
+    )

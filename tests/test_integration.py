@@ -53,3 +53,53 @@ def test_stream_to_query_to_api(spark, tmp_path):
         assert ts_list == sorted(ts_list, reverse=True)
     finally:
         stream.stop(drain=False)
+
+
+def test_interval_join_parity_and_plan(spark, sf_small):
+    # Binned range join == the naive theta-join, with no
+    # nested-loop/cartesian operator in the plan.
+    from clickhouse_observability_spark.operators.joins import interval_join
+    from clickhouse_observability_spark.plans.explain import executed_plan
+    from clickhouse_observability_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_small, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    iv = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 1)
+        .select(
+            (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("start_ts"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("end_ts"),
+        )
+    )
+    binned = interval_join(clicks, iv, bin_width_sec=3600)
+    naive = clicks.join(
+        iv, (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+    )
+    key = lambda r: (r.event_id, r.start_ts, r.end_ts)
+    assert sorted(map(key, binned.collect())) == sorted(map(key, naive.collect()))
+    assert binned.count() > 0  # fixture actually exercises overlap
+    plan = executed_plan(binned)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_boundary_semantics(spark):
+    from clickhouse_observability_spark.operators.joins import interval_join
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00"),
+         (3, "2024-01-01 00:59:59"), (4, "2023-12-31 23:59:59")],
+        "event_id long, ts string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts")
+    iv = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+         ("2024-01-01 02:00:00", "2024-01-01 02:00:00")],  # degenerate
+        "start_ts string, end_ts string",
+    ).selectExpr("cast(start_ts as timestamp) start_ts",
+                 "cast(end_ts as timestamp) end_ts")
+    got = {r.event_id for r in interval_join(ev, iv, 3600).collect()}
+    assert got == {1, 3}  # closed-open: start in, end out; degenerate dropped

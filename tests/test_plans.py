@@ -136,3 +136,29 @@ def test_repetition_two_shuffles_one_scan(spark, sf_small):
     assert shuffle_count(out) == 2
     assert plan.count("Scan parquet") == 1
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_q6_single_codegen_span_with_pushdown(spark, sf_small):
+    # Q6 is the pure scan-filter-aggregate: filters reach the scan and
+    # the whole query (scan -> filter -> partial agg) runs in fused
+    # codegen stages with a single exchange for the final 1-row agg.
+    from clickhouse_observability_spark.registry import queries
+
+    from clickhouse_observability_spark.plans.explain import (
+        pushed_filters,
+        shuffle_count,
+        whole_stage_codegen_spans,
+    )
+
+    # Q6 pushes 8 filters; the default 100-char metadata truncation
+    # would eat the closing bracket pushed_filters() parses for.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        out = queries()["tpch_q6_forecast"](spark, sf_small)
+        assert shuffle_count(out) <= 1  # single-partition agg exchange
+        pf = " ".join(pushed_filters(out))
+        assert "l_discount" in pf and "l_quantity" in pf
+        out.collect()  # AQE materializes codegen markers post-run
+        assert whole_stage_codegen_spans(out) >= 1
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
