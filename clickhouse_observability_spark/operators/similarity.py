@@ -553,3 +553,99 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 50,
+    codes: DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: DataFrame | None = None,
+    m: int = 8,
+    n_codes: int = 64,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF × PQ — the full billion-vector layout: the query probes its
+    n_probe nearest coarse partitions (directory pruning at rest),
+    asymmetric PQ distance scans ONLY the probed partitions' 8-byte
+    codes, and exact cosine re-ranks the top `rerank` survivors
+    against original vectors. Cost per query =
+    n_probe/n_partitions × corpus codes scanned + rerank vector reads
+    — both dials independent of corpus size growth in the other
+    partitions.
+
+    `codes` rides with the partition label (index-time join); both
+    index artifacts (codes, codebooks, centroids) are built once and
+    persisted, exactly like the standalone IVF and PQ paths.
+    """
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    if codes is None or codebooks is None:
+        codes, codebooks = pq_index(embeddings, m, n_codes, dim, seed)
+    cent = centroids if centroids is not None else ivf_centroids(embeddings)
+    labeled_codes = codes.join(e.select("vec_id", "label"), "vec_id")
+
+    q = e.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = q.join(F.broadcast(cent), F.lit(True)).select(
+        "query_id", "qv", "label", _cosine("qv", "cv").alias("ccos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc())
+    probed = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "label")
+    )
+
+    # per-query PQ lookup tables (tiny, driver-built literals)
+    sub = dim // m
+    rows = []
+    for r in q.collect():
+        v = r.qv
+        nrm = sum(x * x for x in v) ** 0.5 or 1.0
+        nq = [x / nrm for x in v]
+        table = [
+            sum(nq[j * sub + i] * codebooks[j][c][i] for i in range(sub))
+            for j in range(m)
+            for c in range(n_codes)
+        ]
+        rows.append((int(r.query_id), table))
+    tables = embeddings.sparkSession.createDataFrame(
+        rows, "query_id bigint, tbl array<double>"
+    )
+    score = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, "
+        f"(acc, j) -> acc + tbl[j * {n_codes} + codes[j]])"
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        labeled_codes.join(F.broadcast(probed), "label")
+        .join(F.broadcast(tables), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", score.alias("approx_cosine"))
+        .withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= max(rerank, k))
+        .select("query_id", "vec_id")
+    )
+    cs = _cosine("qv", "v")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.join(e.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cs.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
+        )
+    )

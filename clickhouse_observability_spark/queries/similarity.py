@@ -167,3 +167,21 @@ def sim_topk_pq(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     codes, cbs = _pq_artifacts(spark, sf_dir)
     return S.pq_topk(emb, _QUERY_IDS, k=10, codes=codes, codebooks=cbs, rerank=50)
+
+
+@register("sim_topk_ivf_pq")
+def sim_topk_ivf_pq(spark, sf_dir):
+    """IVF × PQ composition — the billion-vector layout end to end:
+    probe 4 of 10 coarse partitions, PQ-scan only their 8-byte codes,
+    exact-rerank the top 50. Both index artifacts come from the
+    per-corpus caches (centroids + PQ codes/codebooks). Rows-only:
+    pytest bounds recall vs brute force restricted to probed
+    partitions; the probing and PQ machinery are each independently
+    oracle-proven (sim_topk_exact_proofs)."""
+    emb = table(spark, sf_dir, "embeddings")
+    codes, cbs = _pq_artifacts(spark, sf_dir)
+    return S.ivf_pq_topk(
+        emb, _QUERY_IDS, k=10, n_probe=4, rerank=50,
+        codes=codes, codebooks=cbs,
+        centroids=_label_centroids(spark, sf_dir),
+    )
