@@ -392,3 +392,26 @@ def text_domain_mix(spark, sf_dir):
         {"src0": 0.25, "src1": 0.5, "src2": 0.1},
     )
     return TX.domain_mix_summary(sampled)
+
+
+@register("text_corpus_stats")
+def text_corpus_stats(spark, sf_dir):
+    """Mixture/budget report: per (source, lang) doc counts, token and
+    char budgets, with ROLLUP subtotals — what a training-mix planner
+    reads before setting domain weights. One partial-aggregated
+    shuffle on a tiny key space; rows-only (counts, sums and rollup
+    are each oracle-proven in their own entries)."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(TX.tokens(F.col("text")))
+    return (
+        d.select("source", "lang", F.col("n_chars").alias("nc"), toks.alias("nt"))
+        .rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("nc").alias("total_chars"),
+            F.round(F.avg("nc"), 2).alias("avg_chars"),
+        )
+    )
