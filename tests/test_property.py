@@ -81,3 +81,88 @@ def test_query_logs_matches_model(spark, rows, service, level, user, window, lim
     # and the returned order is ts-descending
     ts_list = [r.ts for r in got]
     assert ts_list == sorted(ts_list, reverse=True)
+
+
+@st.composite
+def interval_fixture(draw):
+    n_ev = draw(st.integers(min_value=0, max_value=30))
+    n_iv = draw(st.integers(min_value=0, max_value=8))
+    evs = [
+        (i, BASE + dt.timedelta(minutes=draw(st.integers(0, 2000))))
+        for i in range(n_ev)
+    ]
+    ivs = []
+    for _ in range(n_iv):
+        s = draw(st.integers(0, 2000))
+        e = draw(st.integers(-30, 2000))  # may be degenerate/inverted
+        ivs.append(
+            (BASE + dt.timedelta(minutes=s), BASE + dt.timedelta(minutes=s + e))
+        )
+    width = draw(st.sampled_from([60, 600, 3600, 7200]))
+    return evs, ivs, width
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(fx=interval_fixture())
+def test_interval_join_matches_python_model(spark, fx):
+    # Binned rewrite == brute-force containment for ALL inputs, any
+    # bin width, including empty sides and degenerate intervals.
+    from clickhouse_observability_spark.operators.joins import interval_join
+
+    evs, ivs, width = fx
+    ev_df = spark.createDataFrame(evs or [(0, BASE)], "event_id long, ts timestamp")
+    if not evs:
+        ev_df = ev_df.filter("event_id < 0")
+    iv_df = spark.createDataFrame(
+        ivs or [(BASE, BASE)], "start_ts timestamp, end_ts timestamp"
+    )
+    if not ivs:
+        iv_df = iv_df.filter("start_ts IS NULL")
+    got = sorted(
+        (r.event_id, r.start_ts, r.end_ts)
+        for r in interval_join(ev_df, iv_df, bin_width_sec=width).collect()
+    )
+    expect = sorted(
+        (eid, s, e)
+        for eid, ts in evs
+        for s, e in ivs
+        if s <= ts < e
+    )
+    assert got == expect
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abc @.19-xyz_ ",
+            min_size=0, max_size=60,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_pii_counts_match_python_re(spark, texts):
+    # Spark regexp_count == Python re on the same pattern class for
+    # arbitrary noisy text (shared RE2/Java-compatible dialect).
+    import re
+
+    from clickhouse_observability_spark.operators.text_analysis import (
+        PII_PATTERNS,
+        pii_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    for i, t in enumerate(texts):
+        for name, pat in PII_PATTERNS.items():
+            assert getattr(rows[i], f"n_{name}") == len(re.findall(pat, t)), (
+                name, t
+            )
