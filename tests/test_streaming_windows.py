@@ -109,3 +109,51 @@ def test_dedup_within_watermark(spark, tmp_path):
         assert spans == ["s1", "s2"]
     finally:
         q.stop()
+
+
+def test_streaming_document_dedup_on_fingerprint(spark, tmp_path):
+    # Streaming corpus ingestion with online content dedup: crawled
+    # docs stream in, the content fingerprint (md5 of normalized
+    # text) keys dropDuplicatesWithinWatermark — re-crawls and
+    # whitespace/case variants are dropped online, state bounded by
+    # the watermark horizon. Same operator as the logs stream dedup;
+    # keyed on content, not identity.
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from clickhouse_observability_spark.operators.text_analysis import (
+        fingerprint_md5,
+    )
+
+    inbox = str(tmp_path / "docs_in")
+    os.makedirs(inbox, exist_ok=True)
+    docs = [
+        {"doc_id": 0, "ts": "2025-09-01T10:00:00Z", "text": "the quick brown fox"},
+        {"doc_id": 1, "ts": "2025-09-01T10:00:01Z", "text": "The  QUICK brown fox"},
+        {"doc_id": 2, "ts": "2025-09-01T10:00:02Z", "text": "something else"},
+        {"doc_id": 3, "ts": "2025-09-01T10:00:03Z", "text": "the quick brown fox"},
+    ]
+    with open(os.path.join(inbox, "batch.jsonl"), "w") as f:
+        for d in docs:
+            f.write(_json.dumps(d) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    raw = (
+        spark.readStream.schema(schema).json(inbox)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withColumn("fp", fingerprint_md5("text"))
+    )
+    out = dedup_within_watermark(raw, keys=["fp"], watermark="10 minutes")
+    q = _run_to_memory(out, "doc_dd")
+    try:
+        kept = sorted(r.doc_id for r in spark.table("doc_dd").collect())
+        # one survivor per content fingerprint (0≡1≡3 normalize equal)
+        assert len(kept) == 2 and 2 in kept
+        assert len({0, 1, 3} & set(kept)) == 1
+    finally:
+        q.stop()
