@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from clickhouse_observability_spark.operators.text_analysis import (
+    fingerprint_md5,
     normalized_text,
     tokens,
 )
@@ -682,4 +683,67 @@ def embedding_neardup_pairs(
             F.round(cs, 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def corpus_index(
+    documents: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """One-pass per-doc dedup index: (doc_id, fp_md5, fp_tokenset,
+    n_tokens, minhash sig, simhash) — every artifact the dedup
+    families key on, built together.
+
+    Scan-sharing is the point: minhash_signatures and simhash each
+    explode the token set and run 64 conditional aggregates over the
+    same (doc_id, token-hash) rows — fused, the 128 aggregates share
+    ONE explode and ONE groupBy (partial-aggregated map-side), and the
+    map-only fingerprints ride the same groupBy via first(). For the
+    nightly 100 TB index build that halves both the corpus scans and
+    the shuffles vs running the operators separately. Outputs are
+    bit-identical to the standalone operators (pytest-asserted).
+    """
+    params = _perm_params(num_hashes, seed)
+    toks = documents.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp_md5"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(tokens(normalized_text("text"))))
+            )
+        ).alias("fp_tokenset"),
+        F.explode(F.array_distinct(tokens(normalized_text("text")))).alias("tok"),
+    ).select(
+        "doc_id", "fp_md5", "fp_tokenset",
+        F.xxhash64("tok").alias("h64"),
+        F.pmod(F.xxhash64("tok"), F.lit(_MERSENNE)).alias("h"),
+    )
+    min_aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sim_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h64"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(
+        F.first("fp_md5").alias("fp_md5"),
+        F.first("fp_tokenset").alias("fp_tokenset"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        *min_aggs,
+        *sim_aggs,
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        weight = 2**j if j < 63 else -(2**63)
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(
+        "doc_id", "fp_md5", "fp_tokenset", "n_tokens",
+        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+        sim.alias("simhash"),
     )

@@ -169,3 +169,14 @@ def dedup_simhash_pairs(spark, sf_dir):
 )
 def dedup_embedding_pairs(spark, sf_dir):
     return D.embedding_neardup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@register("dedup_corpus_index")
+def dedup_corpus_index(spark, sf_dir):
+    """The nightly one-pass dedup index build: md5 + token-set
+    fingerprints, 64 MinHash mins and the 64-bit SimHash for every
+    doc in ONE scan and ONE shuffle (128 aggregates fused over a
+    shared explode+groupBy). Rows-only: sketch internals; pytest
+    asserts bit-identical outputs vs the standalone operators and
+    pins the 1-scan/1-exchange plan."""
+    return D.corpus_index(table(spark, sf_dir, "documents"))

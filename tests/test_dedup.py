@@ -162,3 +162,28 @@ def test_embedding_neardup_matches_numpy(spark, sf_small):
             if c >= 0.45:
                 expect[(ids[i], ids[j])] = c
     assert got == expect
+
+
+def test_corpus_index_matches_standalone_operators(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    idx = {r.doc_id: r for r in D.corpus_index(docs).collect()}
+    # fused outputs are bit-identical to each standalone operator
+    sigs = {r.doc_id: list(r.sig) for r in D.minhash_signatures(docs).collect()}
+    sims = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    from clickhouse_observability_spark.operators.text_analysis import fingerprints
+
+    fps = {r.doc_id: (r.fp_md5, r.fp_tokenset) for r in fingerprints(docs).collect()}
+    assert set(idx) == set(sigs) == set(sims)
+    for d, r in idx.items():
+        assert list(r.sig) == sigs[d]
+        assert r.simhash == sims[d]
+        assert (r.fp_md5, r.fp_tokenset) == fps[d]
+    # ONE scan, ONE exchange in the fused plan
+    from clickhouse_observability_spark.plans.explain import (
+        executed_plan,
+        shuffle_count,
+    )
+
+    fused = D.corpus_index(docs)
+    assert shuffle_count(fused) == 1
+    assert executed_plan(fused).count("Scan parquet") == 1
