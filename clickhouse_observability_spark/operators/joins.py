@@ -134,6 +134,7 @@ def interval_join(
     start: str = "start_ts",
     end: str = "end_ts",
     how: str = "inner",
+    on: list[str] | None = None,
 ) -> DataFrame:
     """Events ⋈ intervals containing them (closed-open [start, end))
     — the range-join problem, binned so it never degenerates to a
@@ -148,6 +149,10 @@ def interval_join(
     becomes BroadcastNestedLoop/Cartesian); the binning turns it into
     a plain shuffled hash join on (bin). Dedup is unnecessary: an
     event's single bin meets each overlapping interval exactly once.
+
+    `on` adds equi-keys to the bin (per-service maintenance windows,
+    per-host incidents): the shuffle key becomes (keys..., bin), which
+    also spreads a globally-hot time bin across key partitions.
     """
     ev_bin = F.floor(F.unix_timestamp(F.col(event_ts)) / bin_width_sec)
     iv_bins = F.sequence(
@@ -160,7 +165,7 @@ def interval_join(
     i = intervals.filter(F.col(end) > F.col(start)).withColumn(
         "_bin", F.explode(iv_bins)
     )
-    out = e.join(i, "_bin", how).filter(
+    out = e.join(i, (on or []) + ["_bin"], how).filter(
         (F.col(event_ts) >= F.col(start)) & (F.col(event_ts) < F.col(end))
     )
     return out.drop("_bin")

@@ -103,3 +103,22 @@ def test_interval_join_boundary_semantics(spark):
                  "cast(end_ts as timestamp) end_ts")
     got = {r.event_id for r in interval_join(ev, iv, 3600).collect()}
     assert got == {1, 3}  # closed-open: start in, end out; degenerate dropped
+
+
+def test_interval_join_with_equi_keys(spark):
+    # per-service incidents: events only join intervals of THEIR key
+    from clickhouse_observability_spark.operators.joins import interval_join
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:30:00"), (2, "b", "2024-01-01 00:30:00")],
+        "event_id long, service string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    iv = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "service string, start_ts string, end_ts string",
+    ).select("service", F.to_timestamp("start_ts").alias("start_ts"),
+             F.to_timestamp("end_ts").alias("end_ts"))
+    got = {r.event_id for r in
+           interval_join(ev, iv, 3600, on=["service"]).collect()}
+    assert got == {1}  # service b's event is in-window but wrong key
