@@ -223,10 +223,33 @@ def _masks_and_vocab(
     ck = (cache_key, ngram, max_df) if cache_key is not None else None
     if ck is not None and ck in _VOCAB_CACHE:
         vocab = _VOCAB_CACHE[ck]
+    elif cache_key is not None:
+        # One UNFILTERED probe (with df counts) settles every df-cap
+        # variant of this corpus at once: if the full vocab fits 64,
+        # any capped vocab is derivable driver-side — so the capped
+        # jaccard and the uncapped minhash probes share one scan.
+        rows = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .limit(65)
+            .collect()
+        )
+        if len(rows) <= 64:
+            _VOCAB_CACHE[(cache_key, ngram, None)] = sorted(r.shingle for r in rows)
+            if max_df is not None:
+                _VOCAB_CACHE[ck] = sorted(
+                    r.shingle for r in rows if r.df <= max_df
+                )
+            vocab = _VOCAB_CACHE[ck]
+        else:
+            _VOCAB_CACHE[(cache_key, ngram, None)] = None
+            if max_df is not None:
+                vocab = _probe_vocab(sh, max_df)
+                _VOCAB_CACHE[ck] = vocab
+            else:
+                vocab = None
     else:
         vocab = _probe_vocab(sh, max_df)
-        if ck is not None:
-            _VOCAB_CACHE[ck] = vocab
     if vocab is None:
         return None, None
     bit_of = {s: i for i, s in enumerate(sorted(vocab))}
