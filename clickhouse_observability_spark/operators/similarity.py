@@ -649,3 +649,33 @@ def ivf_pq_topk(
             "query_id", "rank", "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
         )
     )
+
+
+def embedding_audit(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """One-row corpus health report for the vector table — the gate a
+    pipeline runs before (re)building ANN indexes: row/dim counts,
+    NaN/null/zero-norm vectors, norm distribution. One map-side
+    aggregation, no shuffle beyond the single-row combine."""
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.expr(
+        "aggregate(transform(cast(embedding as array<double>), x -> x * x), "
+        "0D, (acc, x) -> acc + x)"
+    ))
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    ok_norm = F.when(
+        v.isNotNull() & ~has_nan & (F.size(v) == dim), norm
+    )  # defective rows are counted, not folded into the norm stats
+    return embeddings.select(
+        v.alias("v"), has_nan.alias("bad"), ok_norm.alias("nrm"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count_if(F.col("v").isNull()).alias("n_null"),
+        F.count_if(F.col("v").isNotNull() & (F.size("v") != dim)).alias(
+            "n_wrong_dim"
+        ),
+        F.count_if(F.col("bad")).alias("n_nan"),
+        F.count_if(F.col("nrm") == 0).alias("n_zero_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )

@@ -423,3 +423,21 @@ def domain_mix_summary(sampled: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count_if(F.col("sampled")).alias("n_sampled"),
     )
+
+
+def corpus_audit(documents: DataFrame) -> DataFrame:
+    """One-row corpus health report for the document table — the gate
+    a pipeline runs before curation: row count, null/empty/whitespace
+    text, n_chars disagreements with the actual text, id duplication.
+    One aggregation pass; the duplicate-id check is count - distinct
+    count inside the same aggregate (no extra shuffle)."""
+    t = F.col("text")
+    return documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(t.isNull()).alias("n_null_text"),
+        F.count_if(F.trim(t) == "").alias("n_blank_text"),
+        F.count_if(F.length(t) != F.col("n_chars")).alias("n_chars_mismatch"),
+        (F.count(F.lit(1)) - F.count_distinct("doc_id")).alias("n_dup_ids"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+    )

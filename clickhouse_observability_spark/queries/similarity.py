@@ -185,3 +185,9 @@ def sim_topk_ivf_pq(spark, sf_dir):
         codes=codes, codebooks=cbs,
         centroids=_label_centroids(spark, sf_dir),
     )
+
+
+@register("sim_embedding_audit")
+def sim_embedding_audit(spark, sf_dir):
+    """Pre-index-build data-quality gate for the vector table."""
+    return S.embedding_audit(table(spark, sf_dir, "embeddings"))

@@ -415,3 +415,9 @@ def text_corpus_stats(spark, sf_dir):
             F.round(F.avg("nc"), 2).alias("avg_chars"),
         )
     )
+
+
+@register("text_corpus_audit")
+def text_corpus_audit(spark, sf_dir):
+    """Pre-curation data-quality gate (one aggregation pass)."""
+    return TX.corpus_audit(table(spark, sf_dir, "documents"))

@@ -233,3 +233,19 @@ def test_ivf_pq_recall_vs_probed_exact(spark, sf_small):
     # asserts >= 0.4 for the same 4/10 probing) — PQ+rerank inside the
     # probed partitions loses almost nothing on top
     assert recall >= 0.4, f"IVF×PQ recall {recall}"
+
+
+def test_embedding_audit_flags_defects(spark):
+    rows = [
+        (0, [1.0] * 64),
+        (1, [0.0] * 64),            # zero norm
+        (2, [float("nan")] * 64),   # NaN
+        (3, [1.0] * 10),            # wrong dim
+        (4, None),                  # null
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = S.embedding_audit(df).collect()[0]
+    assert r.n_vectors == 5 and r.n_null == 1 and r.n_wrong_dim == 1
+    assert r.n_nan == 1 and r.n_zero_norm == 1
+    # norm stats exclude defective rows (NaN must not poison them)
+    assert r.max_norm == 8.0 and r.min_norm == 0.0  # sqrt(64); zero vec

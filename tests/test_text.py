@@ -205,3 +205,20 @@ def test_repetition_hash_mode_matches_string_mode(spark, sf_small):
     hashed = {(r.doc_id, r.n_2grams, r.top_2gram_n, r.top_2gram_frac)
               for r in TX.repetition_stats(docs, with_gram=False).collect()}
     assert hashed == with_str  # same stats, no gram strings in the plan
+
+
+def test_corpus_audit_flags_defects(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "good text here", "en", "s", 14),
+            (0, "dup id", "en", "s", 6),          # duplicate doc_id
+            (1, "   ", "en", "s", 3),              # blank
+            (2, None, "en", "s", 0),               # null text
+            (3, "length lies", "de", "t", 99),     # n_chars mismatch
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = TX.corpus_audit(df).collect()[0]
+    assert r.n_docs == 5 and r.n_null_text == 1 and r.n_blank_text == 1
+    assert r.n_dup_ids == 1 and r.n_chars_mismatch == 1
+    assert r.n_sources == 2 and r.n_langs == 2
