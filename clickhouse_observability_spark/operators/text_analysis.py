@@ -441,3 +441,94 @@ def corpus_audit(documents: DataFrame) -> DataFrame:
         F.count_distinct("source").alias("n_sources"),
         F.count_distinct("lang").alias("n_langs"),
     )
+
+
+def _apply_merge_sql(symbols_col: str, a: str, b: str) -> str:
+    """SQL expr applying ONE BPE merge (a,b)->ab left-to-right,
+    non-overlapping, over a symbols array — a single-pass aggregate
+    with a one-symbol lookbehind accumulator."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    qm = (a + b).replace("'", "''")
+    return (
+        f"aggregate({symbols_col}, "
+        f"named_struct('out', cast(array() as array<string>), "
+        f"'p', cast(null as string)), "
+        f"(acc, x) -> IF(acc.p IS NULL, "
+        f"named_struct('out', acc.out, 'p', x), "
+        f"IF(acc.p = '{qa}' AND x = '{qb}', "
+        f"named_struct('out', concat(acc.out, array('{qm}')), "
+        f"'p', cast(null as string)), "
+        f"named_struct('out', concat(acc.out, array(acc.p)), 'p', x))), "
+        f"acc -> IF(acc.p IS NULL, acc.out, concat(acc.out, array(acc.p))))"
+    )
+
+
+def bpe_learn(
+    documents: DataFrame, n_merges: int = 10
+) -> list[tuple[str, str, int]]:
+    """Learn BPE merges ON-CORPUS — the iterative index-build job a
+    tokenizer-training pipeline runs (the one genuinely iterative
+    algorithm in this engine): start from characters, repeatedly count
+    adjacent symbol pairs (frequency-weighted over distinct words) and
+    merge the most frequent pair (ties break lexicographically, so the
+    result is deterministic).
+
+    Each iteration is two tiny jobs over the DISTINCT-WORD frame
+    (vocab-sized, not corpus-sized — the corpus collapses to
+    (word, freq) once): a pair-count aggregate and a merge-apply
+    projection. Returns [(left, right, freq), ...] in merge order —
+    the index artifact a tokenizer ships.
+    """
+    words = (
+        documents.select(F.explode(tokens(normalized_text("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.expr("split(w, '')").alias("s"), "freq")
+    ).persist()
+    merges: list[tuple[str, str, int]] = []
+    cur = words
+    for _ in range(n_merges):
+        pair = (
+            cur.select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(s, 1, size(s) - 1), "
+                        "slice(s, 2, size(s) - 1), "
+                        "(x, y) -> named_struct('a', x, 'b', y))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pair:
+            break
+        a, b, n = pair[0].p.a, pair[0].p.b, int(pair[0].n)
+        merges.append((a, b, n))
+        cur = cur.select(
+            F.expr(_apply_merge_sql("s", a, b)).alias("s"), "freq"
+        ).persist()
+    words.unpersist()
+    return merges
+
+
+def bpe_segment(documents: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """(doc_id, n_tokens, n_bpe_pieces): apply learned merges to every
+    doc and count the resulting pieces — the real subword-budget
+    counter (vs the regex approximation in bpe_token_counts). Merge
+    application chains n_merges single-pass array aggregates; map-only."""
+    toks = tokens(normalized_text("text"))
+    d = documents.select(
+        "doc_id", F.size(toks).alias("n_tokens"), F.explode(toks).alias("w")
+    ).select("doc_id", "n_tokens", F.expr("split(w, '')").alias("s"))
+    col = "s"
+    for a, b, _ in merges:
+        d = d.select("doc_id", "n_tokens", F.expr(_apply_merge_sql(col, a, b)).alias("s"))
+    return d.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.sum(F.size("s")).cast("long").alias("n_bpe_pieces"),
+    )

@@ -421,3 +421,19 @@ def text_corpus_stats(spark, sf_dir):
 def text_corpus_audit(spark, sf_dir):
     """Pre-curation data-quality gate (one aggregation pass)."""
     return TX.corpus_audit(table(spark, sf_dir, "documents"))
+
+
+@register("text_bpe_learned")
+def text_bpe_learned(spark, sf_dir):
+    """On-corpus BPE tokenizer training (10 merges): the engine's one
+    genuinely iterative job — per iteration, a frequency-weighted
+    adjacent-pair count over the DISTINCT-WORD frame picks the next
+    merge (deterministic tie-break). Rows-only: iterative/driver-loop
+    algorithms have no single SQL equivalent; pytest matches a pure-
+    Python BPE reference exactly. Output is the shipped index
+    artifact: the ordered merge table."""
+    merges = TX.bpe_learn(table(spark, sf_dir, "documents"), n_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, merged string, freq bigint",
+    )

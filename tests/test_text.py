@@ -222,3 +222,53 @@ def test_corpus_audit_flags_defects(spark):
     assert r.n_docs == 5 and r.n_null_text == 1 and r.n_blank_text == 1
     assert r.n_dup_ids == 1 and r.n_chars_mismatch == 1
     assert r.n_sources == 2 and r.n_langs == 2
+
+
+def _py_bpe(word_freqs, n_merges):
+    # pure-Python reference BPE (left-to-right non-overlapping merges,
+    # lexicographic tie-break on (pair))
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in words.items():
+            for i in range(len(w) - 1):
+                counts[(w[i], w[i + 1])] = counts.get((w[i], w[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append((best[0], best[1], counts[best]))
+        new = {}
+        for w, f in words.items():
+            out, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and (w[i], w[i + 1]) == best:
+                    out.append(w[i] + w[i + 1]); i += 2
+                else:
+                    out.append(w[i]); i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        words = new
+    return merges
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    rows = [
+        (0, "low low low lower lower newest newest newest newest widest"),
+        (1, "low lower newest widest widest newest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = TX.bpe_learn(df, n_merges=6)
+    from collections import Counter
+
+    freqs = Counter(
+        w for _, t in rows for w in t.split()
+    )
+    expect = _py_bpe(freqs, 6)
+    assert got == expect
+    # segmentation with the learned merges shrinks piece counts and
+    # stays deterministic
+    seg = {r.doc_id: r.n_bpe_pieces for r in TX.bpe_segment(df, got).collect()}
+    chars = {i: sum(len(w) for w in t.split()) for i, t in rows}
+    assert all(seg[i] < chars[i] for i in seg)
+    again = {r.doc_id: r.n_bpe_pieces for r in TX.bpe_segment(df, got).collect()}
+    assert again == seg
