@@ -272,3 +272,17 @@ def test_bpe_learn_matches_python_reference(spark):
     assert all(seg[i] < chars[i] for i in seg)
     again = {r.doc_id: r.n_bpe_pieces for r in TX.bpe_segment(df, got).collect()}
     assert again == seg
+
+
+def test_corpus_stats_rollup_totals(spark, sf_small):
+    from clickhouse_observability_spark.registry import queries
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    rows = queries()["text_corpus_stats"](spark, sf_small).collect()
+    docs = load_table(spark, sf_small, "documents").collect()
+    grand = [r for r in rows if r.source is None and r.lang is None]
+    assert len(grand) == 1 and grand[0].n_docs == len(docs)
+    assert grand[0].total_chars == sum(d.n_chars for d in docs)
+    # per-source subtotals sum to the grand total
+    subs = [r for r in rows if r.source is not None and r.lang is None]
+    assert sum(r.n_docs for r in subs) == len(docs)
