@@ -713,8 +713,8 @@ def corpus_index(
     documents: DataFrame, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
     """One-pass per-doc dedup index: (doc_id, fp_md5, fp_tokenset,
-    n_tokens, minhash sig, simhash) — every artifact the dedup
-    families key on, built together.
+    n_distinct_tokens, minhash sig, simhash) — every artifact the
+    dedup families key on, built together.
 
     Scan-sharing is the point: minhash_signatures and simhash each
     explode the token set and run 64 conditional aggregates over the
@@ -755,7 +755,10 @@ def corpus_index(
     agg = toks.groupBy("doc_id").agg(
         F.first("fp_md5").alias("fp_md5"),
         F.first("fp_tokenset").alias("fp_tokenset"),
-        F.count(F.lit(1)).alias("n_tokens"),
+        # the explode is over the DISTINCT token set (the sketch
+        # input), so this is the distinct count — named accordingly
+        # to match token_stats' convention
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
         *min_aggs,
         *sim_aggs,
     )
@@ -766,7 +769,7 @@ def corpus_index(
             F.lit(0).cast("long")
         )
     return agg.select(
-        "doc_id", "fp_md5", "fp_tokenset", "n_tokens",
+        "doc_id", "fp_md5", "fp_tokenset", "n_distinct_tokens",
         F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
         sim.alias("simhash"),
     )

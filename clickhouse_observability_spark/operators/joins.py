@@ -133,7 +133,6 @@ def interval_join(
     event_ts: str = "ts",
     start: str = "start_ts",
     end: str = "end_ts",
-    how: str = "inner",
     on: list[str] | None = None,
 ) -> DataFrame:
     """Events ⋈ intervals containing them (closed-open [start, end))
@@ -153,11 +152,20 @@ def interval_join(
     `on` adds equi-keys to the bin (per-service maintenance windows,
     per-host incidents): the shuffle key becomes (keys..., bin), which
     also spreads a globally-hot time bin across key partitions.
+
+    Inner-join semantics only: the containment re-check runs after
+    the bin join, so an outer variant would silently degenerate to
+    inner — better not offered than offered wrong.
     """
-    ev_bin = F.floor(F.unix_timestamp(F.col(event_ts)) / bin_width_sec)
+    # Bin on MICROsecond precision: unix_timestamp() truncates to
+    # whole seconds, which would place an interval ending at
+    # 01:00:00.500 entirely in the previous bin and lose its last
+    # sub-second of coverage (false negatives vs the theta-join).
+    width_us = bin_width_sec * 1_000_000
+    ev_bin = F.floor(F.unix_micros(F.col(event_ts)) / width_us)
     iv_bins = F.sequence(
-        F.floor(F.unix_timestamp(F.col(start)) / bin_width_sec),
-        F.floor((F.unix_timestamp(F.col(end)) - 1) / bin_width_sec),
+        F.floor(F.unix_micros(F.col(start)) / width_us),
+        F.floor((F.unix_micros(F.col(end)) - 1) / width_us),
     )
     e = events.withColumn("_bin", ev_bin)
     # sequence(a, b) with b < a is DESCENDING, not empty — degenerate
@@ -165,7 +173,7 @@ def interval_join(
     i = intervals.filter(F.col(end) > F.col(start)).withColumn(
         "_bin", F.explode(iv_bins)
     )
-    out = e.join(i, (on or []) + ["_bin"], how).filter(
+    out = e.join(i, (on or []) + ["_bin"]).filter(
         (F.col(event_ts) >= F.col(start)) & (F.col(event_ts) < F.col(end))
     )
     return out.drop("_bin")

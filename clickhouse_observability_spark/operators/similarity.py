@@ -468,10 +468,15 @@ def pq_index(
         ).fit(feats)
         codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
         coded = model.transform(coded)
+    # persist the SMALL artifact (n x m ints) and release the big
+    # normalized-subvector projection — otherwise the whole corpus
+    # stays in storage memory for the session after the build.
     codes = coded.select(
         "vec_id",
         F.array(*[F.col(f"c{j}").cast("int") for j in range(m)]).alias("codes"),
-    )
+    ).persist()
+    codes.count()
+    feats.unpersist()
     return codes, codebooks
 
 

@@ -13,7 +13,6 @@ shuffle at all; they scale with scan bandwidth.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword lists for the language-ID heuristic.
@@ -339,7 +338,11 @@ def pii_scrub(documents: DataFrame, denylist: list[str] | None = None) -> DataFr
         clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
     cols = ["doc_id"]
     if denylist:
-        deny_pat = r"\b(?:" + "|".join(denylist) + r")\b"
+        import re as _re
+
+        # terms are literals — escape them so 'c++' or 'a.corp' can't
+        # break (or over-match) the compiled pattern
+        deny_pat = r"\b(?:" + "|".join(_re.escape(t) for t in denylist) + r")\b"
         counts.append(
             F.regexp_count(text, F.lit(deny_pat)).cast("long").alias("n_denylist")
         )
@@ -509,10 +512,20 @@ def bpe_learn(
             break
         a, b, n = pair[0].p.a, pair[0].p.b, int(pair[0].n)
         merges.append((a, b, n))
-        cur = cur.select(
+        # materialize the merged frame, THEN release the previous one
+        # (unpersisting first would recompute the whole merge chain);
+        # without the release, n_merges frames stay cached for the
+        # session lifetime.
+        nxt = cur.select(
             F.expr(_apply_merge_sql("s", a, b)).alias("s"), "freq"
         ).persist()
+        nxt.count()
+        if cur is not words:
+            cur.unpersist()
+        cur = nxt
     words.unpersist()
+    if cur is not words:
+        cur.unpersist()
     return merges
 
 

@@ -122,3 +122,23 @@ def test_interval_join_with_equi_keys(spark):
     got = {r.event_id for r in
            interval_join(ev, iv, 3600, on=["service"]).collect()}
     assert got == {1}  # service b's event is in-window but wrong key
+
+
+def test_interval_join_subsecond_boundaries(spark):
+    # binning is microsecond-precise: an interval ending at
+    # 01:00:00.500 covers events in the NEXT whole-second bin
+    # (unix_timestamp()'s second-truncation lost them before)
+    from clickhouse_observability_spark.operators.joins import interval_join
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00.200"), (2, "2024-01-01 01:00:00.600")],
+        "event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    iv = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00.500")],
+        "start_ts string, end_ts string",
+    ).select(F.to_timestamp("start_ts").alias("start_ts"),
+             F.to_timestamp("end_ts").alias("end_ts"))
+    got = {r.event_id for r in interval_join(ev, iv, 3600).collect()}
+    assert got == {1}  # 01:00:00.200 inside; .600 past the end
