@@ -287,6 +287,7 @@ def contamination_hits(
     bench: DataFrame,
     n: int = 8,
     broadcast_bench: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(train_id, n_shared): how many of each training doc's distinct
     word n-grams appear ANYWHERE in the benchmark corpus — the scale
@@ -297,8 +298,21 @@ def contamination_hits(
     (the per-pair form blows up quadratically inside dup groups).
     Gram identity is the hashed token slice (_doc_gram_hashes) — no
     gram strings anywhere in the plan. Use contamination_pairs when
-    per-benchmark-doc attribution is actually needed."""
+    per-benchmark-doc attribution is actually needed.
+
+    `max_df` drops grams appearing in more than that many TRAIN docs
+    before the join — the frequent-shingle cap for hostile corpora:
+    a boilerplate gram shared by millions of train docs contributes
+    millions of join rows while carrying no leakage signal."""
     tg = _doc_gram_hashes(train, n).withColumnRenamed("doc_id", "train_id")
+    if max_df is not None:
+        rare = (
+            tg.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("gh")
+        )
+        tg = tg.join(rare, "gh")
     bg = _doc_gram_hashes(bench, n).select("gh").distinct()
     if broadcast_bench:
         bg = F.broadcast(bg)

@@ -286,3 +286,37 @@ def test_corpus_stats_rollup_totals(spark, sf_small):
     # per-source subtotals sum to the grand total
     subs = [r for r in rows if r.source is not None and r.lang is None]
     assert sum(r.n_docs for r in subs) == len(docs)
+
+
+def test_contamination_df_cap_drops_boilerplate_gram(spark):
+    mk = "doc_id long, text string"
+    boiler = "all rights reserved by the example corp inc"
+    train = spark.createDataFrame(
+        [(i, boiler) for i in range(5)] + [(9, "alpha beta gamma delta "
+                                              "epsilon zeta eta theta")],
+        mk,
+    )
+    bench = spark.createDataFrame(
+        [(100, boiler), (101, "alpha beta gamma delta epsilon zeta eta theta")],
+        mk,
+    )
+    uncapped = {r.train_id for r in
+                TX.contamination_hits(train, bench, n=8).collect()}
+    assert uncapped == {0, 1, 2, 3, 4, 9}
+    capped = {r.train_id for r in
+              TX.contamination_hits(train, bench, n=8, max_df=2).collect()}
+    # the 5x-duplicated boilerplate gram (df=5 > 2) is dropped; the
+    # genuine unique leak survives
+    assert capped == {9}
+
+
+def test_domain_mix_rates_nest(spark):
+    # md5-cutoff sampling nests: the 10% sample is a subset of the
+    # 50% sample for the same source (reproducible sub-sampling).
+    rows = [(i, "t", "s") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    take = lambda r: {x.doc_id for x in
+                      TX.domain_mix_sample(df, {"s": r}).collect() if x.sampled}
+    s10, s50 = take(0.1), take(0.5)
+    assert s10 < s50
+    assert 0.05 < len(s10) / 3000 < 0.15 and 0.45 < len(s50) / 3000 < 0.55
