@@ -394,13 +394,19 @@ def minhash_signatures(
 def minhash_lsh_candidates(
     documents: DataFrame,
     num_hashes: int = 64,
-    bands: int = 8,
+    bands: int = 16,
     seed: int = 42,
     cache_key: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on all
     rows of any band land in the same bucket. O(n·bands) bucket rows;
     pairs generated per-bucket (bucket-mates only, never all-pairs).
+
+    Generic default stays 16 bands × 4 rows: a shallow collision
+    curve (1-(1-s^4)^16) that keeps recall high for moderately
+    similar pairs (~0.99 at s=0.7). Callers that re-rank against a
+    high threshold can pass steeper banding explicitly — see
+    minhash_dedup_pairs, which uses 8×8 for threshold 0.9.
 
     Fast path: when many docs share identical shingle sets (low-
     cardinality corpora), banding directly over docs creates giant
@@ -413,7 +419,8 @@ def minhash_lsh_candidates(
     masks, vocab = _masks_and_vocab(documents, ngram=1, cache_key=cache_key)
     if masks is not None:
         return _lsh_candidates_grouped(
-            documents, masks, num_hashes, bands, seed, vocab=vocab
+            documents, masks, num_hashes, bands, seed, vocab=vocab,
+            cache_key=cache_key,
         )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, seed)
@@ -445,6 +452,38 @@ def minhash_lsh_candidates(
     )
 
 
+#: Persisted (mask -> ids) frames, keyed by the caller's cache_key (or
+#: a single default slot when none is given). Persisting a new corpus
+#: under an occupied key unpersists the old frame first, so a session
+#: that queries many distinct corpora holds at most one cached groups
+#: frame per key instead of leaking one per call. release_lsh_caches()
+#: is the explicit eviction hook (mirrors the BPE/PQ lifecycles).
+_GROUPS_PERSISTED: dict[str, DataFrame] = {}
+
+
+def _persist_groups(cache_key: str | None, groups: DataFrame) -> DataFrame:
+    key = cache_key if cache_key is not None else "__uncached__"
+    old = _GROUPS_PERSISTED.get(key)
+    if old is not None and old is not groups:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    groups = groups.persist()
+    _GROUPS_PERSISTED[key] = groups
+    return groups
+
+
+def release_lsh_caches() -> None:
+    """Unpersist every cached (mask -> ids) groups frame."""
+    for df in _GROUPS_PERSISTED.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _GROUPS_PERSISTED.clear()
+
+
 def _lsh_candidates_grouped(
     documents: DataFrame,
     masks: DataFrame,
@@ -454,6 +493,7 @@ def _lsh_candidates_grouped(
     min_jaccard: float | None = None,
     with_jaccard: bool = False,
     vocab: list | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """LSH banding over distinct shingle-set masks (vocab <= 64).
 
@@ -492,10 +532,13 @@ def _lsh_candidates_grouped(
     # within-group pairs — four subtree evaluations without reuse
     # (ReusedExchange doesn't fire across these shapes), each one a
     # full corpus explode+shuffle. The frame is O(n) ids total ->
-    # persist it; repeat calls share the cache via plan matching.
-    groups = masks.groupBy("mask").agg(
-        F.collect_list("doc_id").alias("ids")
-    ).persist()
+    # persist it; repeat calls share the cache via plan matching, and
+    # the keyed registry evicts the previous corpus's frame so
+    # distinct corpora don't accumulate cached frames for the session.
+    groups = _persist_groups(
+        cache_key,
+        masks.groupBy("mask").agg(F.collect_list("doc_id").alias("ids")),
+    )
     with_bits = groups.select("mask", "ids", bits_of.alias("bits"), hmap.alias("hm"))
     sig_cols = [
         F.expr(
@@ -592,6 +635,7 @@ def minhash_dedup_pairs(
         return _lsh_candidates_grouped(
             documents, masks, num_hashes, bands, seed,
             min_jaccard=threshold, with_jaccard=True, vocab=vocab,
+            cache_key=cache_key,
         )
     cand = minhash_lsh_candidates(documents, num_hashes, bands, seed, cache_key)
     ranked = jaccard_for_candidates(documents, cand)

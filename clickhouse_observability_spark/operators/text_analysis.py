@@ -61,7 +61,12 @@ def quality_pass_col() -> Column:
     """The passes_quality predicate as a reusable Column (map-only —
     pipelines inline it instead of semi-joining a score table)."""
     n_tokens = F.size(tokens("text"))
-    avg_len = F.length(F.regexp_replace(F.col("text"), r"\s", "")) / n_tokens
+    # Zero-token docs: NULL avg_len (never a divide-by-zero under ANSI
+    # mode); false & NULL = false, so empty docs fail quality cleanly.
+    avg_len = F.when(
+        n_tokens > 0,
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")) / n_tokens,
+    )
     return (
         (n_tokens >= 5)
         & (n_tokens <= 100000)
@@ -79,10 +84,12 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
     n_digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    # NULL ratios (not divide-by-zero / NaN) for empty docs — mirrors
+    # the oracle's NULLIF-guarded denominators so hashes stay parity.
     return documents.select(
         "doc_id",
-        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
-        F.round(n_digits / n_chars, 4).alias("digit_ratio"),
+        F.round(F.when(n_tokens > 0, n_stop / n_tokens), 4).alias("stopword_ratio"),
+        F.round(F.when(n_chars > 0, n_digits / n_chars), 4).alias("digit_ratio"),
         quality_pass_col().alias("passes_quality"),
     )
 
@@ -146,7 +153,7 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
         "doc_id",
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
-        F.round(bpe / ws, 4).alias("inflation"),
+        F.round(F.when(ws > 0, bpe / ws), 4).alias("inflation"),
     )
 
 
@@ -164,9 +171,9 @@ def token_budget_stats(documents: DataFrame) -> DataFrame:
         F.length("text").alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.round(n_nonspace / n_tokens, 4).alias("avg_token_len"),
+        F.round(F.when(n_tokens > 0, n_nonspace / n_tokens), 4).alias("avg_token_len"),
         bpe.alias("bpe_tokens"),
-        F.round(bpe / n_tokens, 4).alias("inflation"),
+        F.round(F.when(n_tokens > 0, bpe / n_tokens), 4).alias("inflation"),
     )
 
 

@@ -24,10 +24,10 @@ _NTOKS = rf"list_filter(regexp_split_to_array({_NORM}, '\s+'), x -> x <> '')"
            len({_TOKS}) AS n_tokens,
            len(list_distinct({_TOKS})) AS n_distinct_tokens,
            round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
-                 / len({_TOKS}), 4) AS avg_token_len,
+                 / NULLIF(len({_TOKS}), 0), 4) AS avg_token_len,
            len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]', 0)) AS bpe_tokens,
            round(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]', 0)) * 1.0
-                 / len({_TOKS}), 4) AS inflation
+                 / NULLIF(len({_TOKS}), 0), 4) AS inflation
     FROM documents
     """,
 )
@@ -44,9 +44,9 @@ def text_token_stats(spark, sf_dir):
     SELECT doc_id,
            round(len(list_filter({_TOKS},
                  x -> list_contains(['the','a','of','and','to','in','is'], lower(x))))
-                 * 1.0 / len({_TOKS}), 4) AS stopword_ratio,
+                 * 1.0 / NULLIF(len({_TOKS}), 0), 4) AS stopword_ratio,
            round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-                 / length(text), 4) AS digit_ratio,
+                 / NULLIF(length(text), 0), 4) AS digit_ratio,
            (len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000
             AND length(regexp_replace(text, '\s', '', 'g')) * 1.0 / len({_TOKS}) >= 2
             AND length(regexp_replace(text, '\s', '', 'g')) * 1.0 / len({_TOKS}) <= 15)

@@ -80,10 +80,13 @@ class IngestStream:
             if flush_every_ms is not None
             else _env_int("INGEST_MAX_DELAY_MS", DEFAULT_FLUSH_EVERY_MS)
         )
-        self.flush_size = (
+        # Clamp: INGEST_BATCH_SIZE=0 (or negative) would make the
+        # submit_many chunking step raise on every call.
+        self.flush_size = max(
+            1,
             flush_size
             if flush_size is not None
-            else _env_int("INGEST_BATCH_SIZE", DEFAULT_FLUSH_SIZE)
+            else _env_int("INGEST_BATCH_SIZE", DEFAULT_FLUSH_SIZE),
         )
         self.max_files_per_trigger = max_files_per_trigger
         self.query: StreamingQuery | None = None

@@ -69,6 +69,13 @@ def test_env_config_parity(spark, tmp_path, monkeypatch):
     assert s3.flush_every_ms == DEFAULT_FLUSH_EVERY_MS
     assert s3.flush_size == DEFAULT_FLUSH_SIZE
 
+    # INGEST_BATCH_SIZE=0 parses fine but would break the chunking
+    # step of every submit — clamp to 1, ingest path stays alive.
+    monkeypatch.setenv("INGEST_BATCH_SIZE", "0")
+    s4 = IngestStream(spark, table, str(tmp_path / "in4"), str(tmp_path / "ck4"))
+    assert s4.flush_size == 1
+    assert s4.submit_many([_wire(i) for i in range(3)]) == 3
+
 
 def test_stream_flushes_by_time(stream):
     q = stream.start()

@@ -320,3 +320,54 @@ def test_domain_mix_rates_nest(spark):
     s10, s50 = take(0.1), take(0.5)
     assert s10 < s50
     assert 0.05 < len(s10) / 3000 < 0.15 and 0.45 < len(s50) / 3000 < 0.55
+
+
+def test_empty_doc_ratio_parity_with_oracle(spark, tmp_path):
+    """Zero-token docs: Spark emits NULL ratios; the NULLIF-guarded
+    oracles must hash identically (DuckDB would otherwise produce
+    inf/NaN from float division by zero). Guards ADVICE r2 item 4."""
+    import duckdb
+
+    from clickhouse_observability_spark.registry import oracle_sql, queries
+
+    rows = [
+        (0, "", "en", "s", 0),
+        (1, "   \t  ", "en", "s", 6),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    sf_dir = str(tmp_path / "sf_empty")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "docs_pq"))
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(sf_dir)
+    src = glob.glob(str(tmp_path / "docs_pq" / "*.parquet"))[0]
+    shutil.copy(src, os.path.join(sf_dir, "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    qs, oracles = queries(), oracle_sql()
+    for name in ("text_token_stats", "text_quality"):
+        sdf = qs[name](spark, sf_dir)
+        srows = {tuple(str(v) for v in r) for r in sdf.collect()}
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        assert sorted(sdf.columns) == sorted(dcols)
+        # align column order to spark's before comparing
+        idx = [dcols.index(c) for c in sdf.columns]
+        drows = set()
+        for r in res.fetchall():
+            vals = []
+            for i in idx:
+                v = r[i]
+                if isinstance(v, float):
+                    v = round(v, 4)
+                vals.append(str(v))
+            drows.add(tuple(vals))
+        assert srows == drows, f"{name}: {srows ^ drows}"
