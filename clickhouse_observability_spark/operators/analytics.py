@@ -25,6 +25,16 @@ def counts_by_type(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+def type_panel(events: DataFrame) -> DataFrame:
+    """Row count + exact distinct users per event_type in ONE groupBy
+    — the two per-type profiling aggregates share a single shuffle
+    (and a single registry slot in the oracle window)."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("users"),
+    )
+
+
 def hourly_counts(events: DataFrame) -> DataFrame:
     """Time-bucketed counts (the classic logs dashboard query).
     date_trunc keeps the bucket a native timestamp: groupable,

@@ -8,10 +8,17 @@ from clickhouse_observability_spark.registry import register, table
 
 @register(
     "agg_counts_by_type",
-    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    oracle="""
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users
+    FROM events GROUP BY event_type
+    """,
 )
 def agg_counts_by_type(spark, sf_dir):
-    return A.counts_by_type(table(spark, sf_dir, "events"))
+    """Per-type row count + exact distinct users, merged into one
+    groupBy (one shuffle) so both per-type profiling aggregates share
+    a single slot in the driver's 50-query oracle window (the r3 slot
+    went to promoting a previously rows-only entry)."""
+    return A.type_panel(table(spark, sf_dir, "events"))
 
 
 @register(
@@ -37,13 +44,10 @@ def agg_month_buckets(spark, sf_dir):
     return A.month_buckets(table(spark, sf_dir, "events"))
 
 
-@register(
-    "agg_distinct_users",
-    oracle="""
-    SELECT event_type, count(DISTINCT user_id) AS users
-    FROM events GROUP BY event_type
-    """,
-)
+# Rows-only since r3: the exact-distinct aggregate is adjudicated
+# inside agg_counts_by_type's merged panel; the standalone operator
+# stays registered for bench/API use.
+@register("agg_distinct_users")
 def agg_distinct_users(spark, sf_dir):
     return A.distinct_users(table(spark, sf_dir, "events"))
 

@@ -13,22 +13,37 @@ _NTOKS = rf"list_filter(regexp_split_to_array({_NORM}, '\s+'), x -> x <> '')"
 @register(
     "dedup_exact_groups",
     oracle=f"""
-    SELECT md5({_NORM}) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
-    FROM documents GROUP BY 1
+    SELECT 'norm_md5' AS fp_mode, md5({_NORM}) AS fp,
+           count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'tokenset',
+           md5(array_to_string(list_sort(list_distinct({_NTOKS})), ' ')),
+           count(*), min(doc_id)
+    FROM documents GROUP BY 2
     """,
 )
 def dedup_exact_groups(spark, sf_dir):
-    return D.exact_dedup_groups(table(spark, sf_dir, "documents"))
+    """Exact (normalized-md5) AND token-set dedup groups in one
+    result, tagged by fp_mode — the two fingerprint grains share one
+    registry slot (same groupBy shape, identical schema) so both stay
+    inside the driver's 50-query oracle window (r3: the freed slot
+    promoted a previously rows-only entry)."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    exact = D.exact_dedup_groups(docs).select(
+        F.lit("norm_md5").alias("fp_mode"), "fp", "n_docs", "keep_id"
+    )
+    tokenset = D.tokenset_dedup_groups(docs).select(
+        F.lit("tokenset").alias("fp_mode"), "fp", "n_docs", "keep_id"
+    )
+    return exact.unionByName(tokenset)
 
 
-@register(
-    "dedup_tokenset_groups",
-    oracle=f"""
-    SELECT md5(array_to_string(list_sort(list_distinct({_NTOKS})), ' ')) AS fp,
-           count(*) AS n_docs, min(doc_id) AS keep_id
-    FROM documents GROUP BY 1
-    """,
-)
+# Rows-only since r3: adjudicated as the 'tokenset' arm of
+# dedup_exact_groups; the standalone operator stays registered.
+@register("dedup_tokenset_groups")
 def dedup_tokenset_groups(spark, sf_dir):
     return D.tokenset_dedup_groups(table(spark, sf_dir, "documents"))
 

@@ -224,7 +224,26 @@ def join_semi_anti_customers(spark, sf_dir):
     return semi.unionByName(anti)
 
 
-@register("join_interval_error_bursts")
+@register(
+    "join_interval_error_bursts",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    thr AS (SELECT quantile_cont(n_errors, 0.95) AS thr FROM hourly),
+    bursts AS (
+        SELECT hour_start - INTERVAL 30 MINUTE AS start_ts,
+               hour_start + INTERVAL 90 MINUTE AS end_ts, n_errors
+        FROM hourly, thr WHERE n_errors > thr
+    )
+    SELECT b.start_ts, b.end_ts, b.n_errors,
+           count(*) AS n_clicks_during_burst
+    FROM bursts b JOIN events e
+      ON e.event_type = 'click' AND e.ts >= b.start_ts AND e.ts < b.end_ts
+    GROUP BY 1, 2, 3
+    """,
+)
 def join_interval_error_bursts(spark, sf_dir):
     """Range join, binned: count click traffic inside 'incident'
     intervals (hours whose error count exceeds the 95th percentile of
@@ -235,8 +254,10 @@ def join_interval_error_bursts(spark, sf_dir):
     Catalyst would otherwise plan the pure-inequality join as a
     nested-loop cross product. The percentile runs over the HOURLY
     AGGREGATE (#hours rows, tiny at any scale), not raw events.
-    Rows-only: pytest asserts exact parity against the unbinned
-    theta-join on testdata, plus the no-cross-product plan shape."""
+    Oracle-backed since r3 (DuckDB runs the plain theta-join — a fine
+    oracle at sf0.01 even though it would be a cross-product disaster
+    at scale); pytest additionally asserts exact parity against the
+    unbinned theta-join plus the no-cross-product plan shape."""
     from pyspark.sql import functions as F
 
     ev = table(spark, sf_dir, "events")

@@ -93,30 +93,9 @@ def text_lang_id(spark, sf_dir):
 
 
 
-@register(
-    "text_winnowing",
-    oracle=rf"""
-    WITH gl AS (
-        SELECT doc_id,
-               [md5(substring({_NORM}, i, 5))
-                FOR i IN range(1, greatest(length({_NORM}) - 4, 0) + 1)] AS gs
-        FROM documents
-    ),
-    grams AS (
-        SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) AS pos FROM gl
-    ),
-    sel AS (
-        SELECT doc_id, pos,
-               min(g) OVER (
-                   PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
-               ) AS fp
-        FROM grams
-    )
-    SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp
-    FROM sel WHERE pos >= 4 GROUP BY doc_id
-    """,
-)
+# Rows-only since r3: adjudicated inside text_fingerprints' merged
+# panel; the standalone operator entry stays registered.
+@register("text_winnowing")
 def text_winnowing(spark, sf_dir):
     """Winnowing fingerprint (k=5 char-grams, window=4). The oracle's
     positions are 1-based (range + substring) and Spark's posexplode
@@ -251,14 +230,48 @@ def text_corpus_curation(spark, sf_dir):
 @register(
     "text_fingerprints",
     oracle=rf"""
-    SELECT doc_id,
+    WITH gl AS (
+        SELECT doc_id,
+               [md5(substring({_NORM}, i, 5))
+                FOR i IN range(1, greatest(length({_NORM}) - 4, 0) + 1)] AS gs
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) AS pos FROM gl
+    ),
+    sel AS (
+        SELECT doc_id, pos,
+               min(g) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ) AS fp
+        FROM grams
+    ),
+    winnow AS (
+        SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp
+        FROM sel WHERE pos >= 4 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
            md5({_NORM}) AS fp_md5,
-           md5(array_to_string(list_sort(list_distinct({_NTOKS})), ' ')) AS fp_tokenset
-    FROM documents
+           md5(array_to_string(list_sort(list_distinct({_NTOKS})), ' ')) AS fp_tokenset,
+           w.n_fingerprints, w.min_fp
+    FROM documents d LEFT JOIN winnow w ON d.doc_id = w.doc_id
     """,
 )
 def text_fingerprints(spark, sf_dir):
-    return TX.fingerprints(table(spark, sf_dir, "documents"))
+    """Per-doc fingerprint panel: whole-doc md5 + token-set hash
+    (map-only) PLUS the winnowing fingerprint summary (k=5 char-grams,
+    window=4) — the exact and locality-sensitive fingerprint families
+    share one registry slot. Winnowing positions: the oracle's are
+    1-based (range + substring), Spark's posexplode is 0-based — the
+    WHERE pos >= w-1 guard is offset accordingly on each side. LEFT
+    join keeps docs too short to yield a single k-gram (NULL winnow
+    columns on both sides)."""
+    docs = table(spark, sf_dir, "documents")
+    winnow = TX.winnowing_fingerprints(docs, k=5, window=4).select(
+        "doc_id", "n_fingerprints", "min_fp"
+    )
+    return TX.fingerprints(docs).join(winnow, "doc_id", "left")
 
 
 @register(
@@ -394,13 +407,22 @@ def text_domain_mix(spark, sf_dir):
     return TX.domain_mix_summary(sampled)
 
 
-@register("text_corpus_stats")
+@register(
+    "text_corpus_stats",
+    oracle=f"""
+    SELECT source, lang, count(*) AS n_docs,
+           sum(len({_TOKS}))::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY ROLLUP(source, lang)
+    """,
+)
 def text_corpus_stats(spark, sf_dir):
     """Mixture/budget report: per (source, lang) doc counts, token and
     char budgets, with ROLLUP subtotals — what a training-mix planner
     reads before setting domain weights. One partial-aggregated
-    shuffle on a tiny key space; rows-only (counts, sums and rollup
-    are each oracle-proven in their own entries)."""
+    shuffle on a tiny key space. Oracle-backed since r3 (VERDICT r2
+    item 2)."""
     from pyspark.sql import functions as F
 
     d = table(spark, sf_dir, "documents")
