@@ -70,19 +70,205 @@ def make_fake_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
-    """Decode an image payload to pixel rows.
+def make_real_image_media(spark: SparkSession, n: int = 24, seed: int = 7) -> DataFrame:
+    """Media table whose payloads are REAL image bytes (PPM/BMP mix) —
+    deterministic RGB gradients of varying geometry, encoded with the
+    pure-stdlib encoders below, so the decode→resize path exercises
+    actual pixels end-to-end."""
+    rows = []
+    for i in range(n):
+        w, h = 5 + (i % 4), 4 + (i % 3)
+        rgb = [
+            [
+                (
+                    (r * 37 + c * 11 + i * 13 + seed) % 256,
+                    (r * 5 + c * 29 + i * 7) % 256,
+                    (r * 17 + c * 3 + i * 23) % 256,
+                )
+                for c in range(w)
+            ]
+            for r in range(h)
+        ]
+        payload = encode_ppm(rgb) if i % 2 == 0 else encode_bmp24(rgb)
+        rows.append((i, "image", bytearray(payload), w, h, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
-    STUB: real decoding needs an image library not present in this
-    container. With fake=True a deterministic pseudo-decode (bytes ->
-    8x8 gray tile) keeps the pipeline testable.
+
+def _luma(r: int, g: int, b: int) -> int:
+    """ITU-R BT.601 luma in pure integer math (deterministic)."""
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _parse_pnm(b: bytes) -> list[list[int]]:
+    """Decode PPM/PGM (P6/P5 binary, P3/P2 ASCII) to gray pixel rows.
+
+    Pure-stdlib parse of the public Netpbm formats: whitespace-separated
+    header tokens (magic, width, height, maxval) with '#' comments,
+    then raster data — binary (one/three bytes per sample for
+    maxval<256) or ASCII decimal samples."""
+    magic = b[:2]
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        # skip whitespace and comments
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        tokens.append(int(b[start:pos]))
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0 or not (0 < maxval < 256):
+        raise ValueError(f"unsupported PNM geometry {width}x{height} maxval={maxval}")
+    if magic in (b"P6", b"P5"):
+        pos += 1  # exactly one whitespace byte after maxval, then raster
+        ch = 3 if magic == b"P6" else 1
+        need = width * height * ch
+        raster = b[pos : pos + need]
+        if len(raster) < need:
+            raise ValueError("truncated PNM raster")
+        if ch == 3:
+            return [
+                [
+                    _luma(raster[i], raster[i + 1], raster[i + 2])
+                    for i in range(r * width * 3, (r + 1) * width * 3, 3)
+                ]
+                for r in range(height)
+            ]
+        return [list(raster[r * width : (r + 1) * width]) for r in range(height)]
+    # ASCII P3/P2: remaining tokens are decimal samples
+    samples = b[pos:].split()
+    ch = 3 if magic == b"P3" else 1
+    need = width * height * ch
+    if len(samples) < need:
+        raise ValueError("truncated PNM raster")
+    vals = [int(s) for s in samples[:need]]
+    if ch == 3:
+        return [
+            [
+                _luma(vals[i], vals[i + 1], vals[i + 2])
+                for i in range(r * width * 3, (r + 1) * width * 3, 3)
+            ]
+            for r in range(height)
+        ]
+    return [vals[r * width : (r + 1) * width] for r in range(height)]
+
+
+def _parse_bmp(b: bytes) -> list[list[int]]:
+    """Decode uncompressed (BI_RGB) 8/24/32-bit BMP to gray pixel rows.
+
+    Public Windows BITMAPINFOHEADER layout: pixel-data offset at byte
+    10, width/height at 18/22 (negative height = top-down), bpp at 28,
+    compression at 30. Rows are 4-byte aligned; 24/32-bit pixels are
+    BGR(A); 8-bit indexes a BGRA palette following the header."""
+    import struct
+
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError("bad BMP geometry")
+    stride = ((bpp * width + 31) // 32) * 4
+    palette: list[int] | None = None
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", b, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        palette = [
+            _luma(b[pal_off + 4 * i + 2], b[pal_off + 4 * i + 1], b[pal_off + 4 * i])
+            for i in range(n_colors)
+        ]
+    rows: list[list[int]] = []
+    for ri in range(height):
+        src = ri if top_down else height - 1 - ri
+        off = data_off + src * stride
+        if bpp == 8:
+            assert palette is not None
+            rows.append([palette[b[off + c]] for c in range(width)])
+        else:
+            step = bpp // 8
+            rows.append(
+                [
+                    _luma(b[off + c * step + 2], b[off + c * step + 1], b[off + c * step])
+                    for c in range(width)
+                ]
+            )
+    return rows
+
+
+def encode_ppm(rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode RGB pixel rows as a binary P6 PPM (test/sink helper)."""
+    h = len(rgb_rows)
+    w = len(rgb_rows[0]) if h else 0
+    raster = bytes(v for row in rgb_rows for (r, g, bl) in row for v in (r, g, bl))
+    return b"P6\n%d %d\n255\n" % (w, h) + raster
+
+
+def encode_bmp24(rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode RGB pixel rows as an uncompressed 24-bit BMP (test/sink helper)."""
+    import struct
+
+    h = len(rgb_rows)
+    w = len(rgb_rows[0]) if h else 0
+    stride = ((24 * w + 31) // 32) * 4
+    raster = bytearray()
+    for row in reversed(rgb_rows):  # bottom-up
+        line = bytearray()
+        for r, g, bl in row:
+            line += bytes((bl, g, r))
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    data_off = 54
+    file_size = data_off + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + dib + bytes(raster)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
+    """Decode an image payload to gray pixel rows.
+
+    REAL for uncompressed public formats — PPM/PGM (P6/P5/P3/P2) and
+    BMP (BI_RGB 8/24/32-bit) — via pure-stdlib byte parsing; RGB is
+    collapsed to BT.601 integer luma. Compressed formats (PNG/JPEG/...)
+    still need a codec library not present in this container: they
+    raise NotImplementedError unless fake=True, in which case a
+    deterministic hash-seeded 8x8 tile stands in so downstream
+    plumbing stays testable with arbitrary bytes.
     """
+    b = bytes(payload or b"")
+    if b[:2] in (b"P6", b"P5", b"P3", b"P2") and len(b) > 2 and b[2:3].isspace():
+        return _parse_pnm(b)
+    if b[:2] == b"BM" and len(b) >= 54:
+        try:
+            return _parse_bmp(b)
+        except ValueError:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an image library not installed here; "
-            "pass fake=True for the deterministic test decode"
+            "compressed image formats require a codec library not installed "
+            "here; supported real formats are PPM/PGM/BMP — or pass fake=True "
+            "for the deterministic test decode"
         )
-    h = hashlib.sha256(payload or b"").digest()
+    h = hashlib.sha256(b).digest()
     return [[h[(r * 8 + c) % 32] for c in range(8)] for r in range(8)]
 
 

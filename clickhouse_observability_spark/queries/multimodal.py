@@ -26,5 +26,7 @@ def multimodal_frame_plan(spark, sf_dir):
 @register("multimodal_resize")
 def multimodal_resize(spark, sf_dir):
     """Nearest-neighbor resize of every image payload to 8x8 via the
-    Arrow mapInPandas path (decode stubbed, resample real)."""
-    return M.resize_images(M.make_fake_media(spark, n=256), 8, 8)
+    Arrow mapInPandas path — REAL pixels: the media table carries
+    actual PPM/BMP bytes decoded by the pure-stdlib parsers (no fake
+    fallback needed on this path)."""
+    return M.resize_images(M.make_real_image_media(spark, n=256), 8, 8, fake_decode=False)

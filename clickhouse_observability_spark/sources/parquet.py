@@ -4,12 +4,14 @@
 handles column pruning + predicate pushdown into the vectorized
 reader; nothing custom is needed or wanted here.
 
-One wrinkle: the driver testdata stores timestamps as parquet
-TIMESTAMP(NANOS), which Spark's reader rejects outright. We read them
-as raw int64 nanos (`spark.sql.legacy.parquet.nanosAsLong`) and
-convert to TimestampType with exact integer division (`div 1000`,
-truncating to µs exactly like DuckDB does), so both engines see
-identical microsecond values.
+One wrinkle: driver testdata timestamp physical types have varied
+across rounds — TIMESTAMP(NANOS) (which Spark's reader rejects; read
+as raw int64 nanos via `spark.sql.legacy.parquet.nanosAsLong` and
+divided to µs exactly like DuckDB does) and plain TIMESTAMP(MICROS)
+with isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ).
+Both are normalized to TimestampType (LTZ) here under the UTC session
+(`ensure_utc`), so every downstream operator sees one timestamp
+dtype with identical microsecond values to what DuckDB sees.
 """
 
 from __future__ import annotations
@@ -37,6 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # int64 nanos -> µs (exact integer division; float div would
             # lose ulps at 2^60 magnitudes) -> timestamp.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            # TIMESTAMP_NTZ wall-clock == the UTC instant under the
+            # UTC session; one dtype downstream (unix_micros & friends
+            # require TimestampType).
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -52,23 +60,28 @@ def load_table_ts_range(
     frm: str | None = None,
     to: str | None = None,
 ) -> DataFrame:
-    """Scan with the time-range predicate applied to the RAW int64
-    nanos column BEFORE timestamp conversion.
+    """Scan with the time-range predicate applied to the RAW stored
+    column type BEFORE any dtype normalization.
 
-    A filter on `timestamp_micros(ts div 1000)` cannot reach the
-    parquet reader; the same bounds expressed on the raw long column
-    push down to row-group min/max stats (PushedFilters shows
-    GreaterThanOrEqual/LessThan on the nanos), so months outside the
-    range are never decoded. This is the testdata equivalent of the
+    A filter on a converted/cast column cannot reach the parquet
+    reader; the same bounds expressed in the column's native type
+    (int64 nanos, or a TIMESTAMP_NTZ literal for µs-NTZ storage) push
+    down to row-group min/max stats (PushedFilters shows
+    GreaterThanOrEqual/LessThan), so months outside the range are
+    never decoded. This is the testdata equivalent of the
     month-partition pruning the at-rest LogsTable gets for free.
     Bounds are closed-open [frm, to), matching the query template.
     """
     import datetime as dt
 
-    def _nanos(v: str) -> int:
+    def _naive_utc(v: str) -> dt.datetime:
         d = dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
         if d.tzinfo is not None:
             d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return d
+
+    def _nanos(v: str) -> int:
+        d = _naive_utc(v)
         # integer arithmetic from epoch; float seconds would lose ns
         return ((d - dt.datetime(1970, 1, 1)).days * 86_400_000_000
                 + (d - dt.datetime(1970, 1, 1)).seconds * 1_000_000
@@ -76,12 +89,24 @@ def load_table_ts_range(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if dict(df.dtypes).get(ts_col) == "bigint":
+    stored = dict(df.dtypes).get(ts_col)
+    if stored == "bigint":
         if frm is not None:
             df = df.filter(F.col(ts_col) >= F.lit(_nanos(frm)))
         if to is not None:
             df = df.filter(F.col(ts_col) < F.lit(_nanos(to)))
         df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    elif stored == "timestamp_ntz":
+        # NTZ-typed literals keep the comparison in the stored type so
+        # it pushes down; the cast to LTZ happens after the filter.
+        def _ntz_lit(v: str):
+            return F.expr(f"TIMESTAMP_NTZ '{_naive_utc(v).isoformat(sep=' ')}'")
+
+        if frm is not None:
+            df = df.filter(F.col(ts_col) >= _ntz_lit(frm))
+        if to is not None:
+            df = df.filter(F.col(ts_col) < _ntz_lit(to))
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     else:
         if frm is not None:
             df = df.filter(F.col(ts_col) >= F.to_timestamp(F.lit(frm)))

@@ -19,11 +19,81 @@ def test_media_schema(media):
 
 
 def test_decode_stub_is_gated():
+    # non-image bytes: still gated for real decode, fake tile otherwise
     with pytest.raises(NotImplementedError):
         M.decode_image(b"abc", fake=False)
     tile = M.decode_image(b"abc", fake=True)
     assert len(tile) == 8 and len(tile[0]) == 8
     assert tile == M.decode_image(b"abc", fake=True)  # deterministic
+
+
+RGB_3x2 = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(0, 0, 0), (255, 255, 255), (10, 20, 30)],
+]
+# BT.601 integer luma of each pixel
+LUMA_3x2 = [[76, 149, 29], [0, 255, 18]]
+
+
+def test_decode_ppm_p6_real_pixels():
+    assert M.decode_image(M.encode_ppm(RGB_3x2)) == LUMA_3x2
+
+
+def test_decode_ppm_ascii_with_comments():
+    body = " ".join(str(v) for row in RGB_3x2 for px in row for v in px)
+    raw = f"P3\n# a comment\n3 2\n# another\n255\n{body}\n".encode()
+    assert M.decode_image(raw) == LUMA_3x2
+
+
+def test_decode_pgm_gray():
+    vals = [9, 18, 27, 36, 45, 54]
+    p5 = b"P5\n3 2\n255\n" + bytes(vals)
+    p2 = ("P2\n3 2\n255\n" + " ".join(map(str, vals))).encode()
+    expect = [[9, 18, 27], [36, 45, 54]]
+    assert M.decode_image(p5) == expect
+    assert M.decode_image(p2) == expect
+
+
+def test_decode_bmp_matches_ppm():
+    # same RGB content through both encoders -> identical gray rows;
+    # width 3 exercises the 4-byte row-stride padding
+    assert M.decode_image(M.encode_bmp24(RGB_3x2)) == LUMA_3x2
+
+
+def test_decode_bmp_rejects_compressed():
+    import struct
+
+    b = bytearray(M.encode_bmp24(RGB_3x2))
+    struct.pack_into("<I", b, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError):
+        M.decode_image(bytes(b))
+
+
+def test_resize_real_ppm_end_to_end(spark):
+    # real pixels: decode -> NN resample -> exact expected bytes
+    import numpy as np
+
+    media = M.make_real_image_media(spark, n=8)
+    out = {r.media_id: r for r in M.resize_images(media, 4, 4, fake_decode=False).collect()}
+    assert len(out) == 8
+    for src in media.collect():
+        tile = np.asarray(M.decode_image(bytes(src.payload)), dtype=np.uint8)
+        sh, sw = tile.shape
+        assert (sh, sw) == (src.height, src.width)  # decode honors geometry
+        rows = (np.arange(4) * sh) // 4
+        cols = (np.arange(4) * sw) // 4
+        expect = tile[np.ix_(rows, cols)].tobytes()
+        assert bytes(out[src.media_id].resized) == expect
+
+
+def test_feature_extraction_real_luma(spark):
+    import numpy as np
+
+    media = M.make_real_image_media(spark, n=6)
+    feats = {r.media_id: r for r in M.extract_features(media, fake_decode=False).collect()}
+    for src in media.collect():
+        tile = M.decode_image(bytes(src.payload))
+        assert feats[src.media_id].mean_luma == pytest.approx(float(np.mean(tile)))
 
 
 def test_feature_extraction(media):
