@@ -184,34 +184,47 @@ def winnowing_fingerprints(
     k-gram of the normalized text, take the min hash of each sliding
     window of `window` consecutive k-grams, keep the distinct mins.
 
-    Everything is expressible as positions -> substrings -> md5 -> a
-    sliding-window MIN over a window frame — identical SQL runs as the
-    DuckDB oracle (md5 hex strings compare lexicographically the same
-    everywhere). Output: per doc, the fingerprint count and the
-    smallest fingerprint (stable digest of the selected set).
+    Entirely per-doc array math — grams, window-mins, distinct and
+    count all happen inside one projection, so the operator is
+    MAP-ONLY: no explode, no window shuffle, no aggregation. (The
+    explode + window-frame formulation this replaced shuffled ~|text|
+    rows per doc AND tripped Spark's generator codegen into
+    re-evaluating the gram array per emitted element — 0.4s vs 50s at
+    sf0.1.) md5 hex strings compare lexicographically the same
+    everywhere, so the DuckDB oracle can mirror the semantics with its
+    own window formulation. Output: per doc with >= 1 fingerprint, the
+    fingerprint count and the smallest fingerprint (stable digest of
+    the selected set).
     """
     # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty —
     # short docs must be guarded to an empty gram array explicitly.
-    grams = F.expr(
-        f"CASE WHEN length({_NORM_SQL}) >= {k} THEN "
-        f"transform(sequence(1, length({_NORM_SQL}) - {k} + 1), "
-        f"i -> md5(substring({_NORM_SQL}, i, {k}))) "
-        f"ELSE array() END"
+    # `norm` and `gs` are let-bound via single-element
+    # transform(array(expr), var -> ...): referencing the raw
+    # expressions inside a nested lambda makes CollapseProject inline
+    # and re-evaluate them PER ELEMENT (O(|text|^2) regexp calls per
+    # doc — measured as a hang at sf0.1); a lambda variable is bound
+    # once per row.
+    summary = F.expr(
+        f"""flatten(transform(array({_NORM_SQL}), norm ->
+            flatten(transform(array(CASE WHEN length(norm) >= {k} THEN
+                transform(sequence(1, length(norm) - {k} + 1),
+                          i -> md5(substring(norm, i, {k})))
+                ELSE array() END), gs ->
+              flatten(transform(array(CASE WHEN size(gs) >= {window} THEN
+                  transform(sequence({window - 1}, size(gs) - 1),
+                            p -> array_min(slice(gs, p - {window} + 2, {window})))
+                ELSE array() END), fps ->
+                CASE WHEN size(fps) > 0 THEN
+                  array(named_struct(
+                      'n_fingerprints', cast(size(array_distinct(fps)) AS bigint),
+                      'min_fp', array_min(fps)))
+                ELSE array() END))))))"""
     )
-    d = documents.select("doc_id", grams.alias("gs")).select(
-        "doc_id", F.posexplode("gs").alias("pos", "g")
-    )
-    from pyspark.sql import Window as W
-
-    win = (
-        W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), 0)
-    )
-    sel = d.select("doc_id", "pos", F.min("g").over(win).alias("fp")).filter(
-        F.col("pos") >= window - 1
-    )
-    return sel.groupBy("doc_id").agg(
-        F.count_distinct("fp").alias("n_fingerprints"),
-        F.min("fp").alias("min_fp"),
+    # 0/1-element explode: Generate evaluates the whole chain once per
+    # row (a plain filter+select over the alias would re-evaluate it
+    # per reference after CollapseProject) and drops too-short docs.
+    return documents.select("doc_id", F.explode(summary).alias("r")).select(
+        "doc_id", "r.n_fingerprints", "r.min_fp"
     )
 
 
