@@ -310,6 +310,71 @@ def test_contamination_df_cap_drops_boilerplate_gram(spark):
     assert capped == {9}
 
 
+def test_contamination_hot_gram_in_every_doc_bounds_candidates(spark):
+    # Adversarial corpus: ONE boilerplate gram in EVERY train doc.
+    # Uncapped, the blocklist join touches every doc (candidate volume
+    # O(corpus)); with the df cap the hot gram is dropped before the
+    # join, so candidates collapse to the genuine leak set no matter
+    # how large the corpus grows (SCALING.md decontamination note).
+    from pyspark.sql import functions as F
+
+    mk = "doc_id long, text string"
+    boiler = "zero one two three four five six seven"  # exactly 8 tokens
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+
+    def corpus(n_docs):
+        rows = [(i, f"{boiler} pad{i}x pad{i}y") for i in range(n_docs)]
+        rows[3] = (3, f"{boiler} {leak}")
+        return spark.createDataFrame(rows, mk)
+
+    bench = spark.createDataFrame([(1000, boiler), (1001, leak)], mk)
+    for n_docs in (20, 80):
+        train = corpus(n_docs)
+        uncapped = {r.train_id for r in
+                    TX.contamination_hits(train, bench, n=8).collect()}
+        assert len(uncapped) == n_docs  # hot gram implicates everyone
+        capped = {r.train_id for r in
+                  TX.contamination_hits(train, bench, n=8, max_df=5).collect()}
+        assert capped == {3}  # independent of corpus size
+        # candidate volume bound, measured at the join input: with the
+        # cap, only rare-gram rows survive to meet the blocklist.
+        tg = TX._doc_gram_hashes(train, 8).withColumnRenamed("doc_id", "train_id")
+        rare = (tg.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+                .filter("df <= 5").select("gh"))
+        bg = TX._doc_gram_hashes(bench, 8).select("gh").distinct()
+        n_candidates = tg.join(rare, "gh").join(bg, "gh").count()
+        assert n_candidates <= len(leak.split())  # bounded, not O(n_docs)
+
+
+def test_winnowing_matches_python_reference(spark, sf_small):
+    # map-only winnowing (no explode/window) == the direct per-doc
+    # python computation, doc for doc, over real testdata
+    import hashlib
+    import re
+
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    got = {r.doc_id: (r.n_fingerprints, r.min_fp)
+           for r in TX.winnowing_fingerprints(docs, k=5, window=4).collect()}
+
+    def pyref(text, k=5, window=4):
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        if len(norm) < k:
+            return None
+        gs = [hashlib.md5(norm[i : i + k].encode()).hexdigest()
+              for i in range(len(norm) - k + 1)]
+        if len(gs) < window:
+            return None
+        fps = [min(gs[p - window + 1 : p + 1]) for p in range(window - 1, len(gs))]
+        return (len(set(fps)), min(fps))
+
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) > 0
+    for r in rows:
+        assert got.get(r.doc_id) == pyref(r.text), r.doc_id
+
+
 def test_domain_mix_rates_nest(spark):
     # md5-cutoff sampling nests: the 10% sample is a subset of the
     # 50% sample for the same source (reproducible sub-sampling).
