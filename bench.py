@@ -73,16 +73,25 @@ def main() -> None:
     QS._label_centroids(spark, SF_DIR)
     ivf_build_sec = round(time.time() - t0, 3)
 
+    # min-of-N per query for host-noise-robust comparisons (±30% noise
+    # documented in SCALING notes); `queries` keeps FIRST-run times so
+    # totals stay comparable with earlier rounds' single-run bench.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
+    times_min: dict[str, float] = {}
     for name, mode in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        if mode == "collect":
-            df.collect()
-        else:
-            df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            if mode == "collect":
+                df.collect()
+            else:
+                df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        times[name] = round(samples[0], 3)
+        times_min[name] = round(min(samples), 3)
 
     # Ingest-path throughput: write-path normalize + partitioned sorted
     # append of 100k wire rows (reference floor: 5,000 rows/s,
@@ -168,6 +177,35 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp2, ignore_errors=True)
 
+    # Tuned streaming config: same pipeline, larger batches + slower
+    # trigger (500ms / 5000 rows / 16 files-per-trigger). The parity
+    # entry above keeps the reference's 100ms/500 defaults (ST1); this
+    # one measures the engine's actual streaming ceiling when the
+    # operator is free to size batches.
+    tmp3 = tempfile.mkdtemp(prefix="chobs-stream-tuned-")
+    try:
+        stable3 = LogsTable(spark, tmp3 + "/logs")
+        stream3 = IngestStream(
+            spark,
+            stable3,
+            inbox_dir=tmp3 + "/inbox",
+            checkpoint_dir=tmp3 + "/ckpt",
+            flush_every_ms=500,
+            flush_size=5000,
+            max_files_per_trigger=16,
+        )
+        stream3.submit_many(wire_rows)
+        t0 = time.time()
+        stream3.start()
+        stream3.query.processAllAvailable()
+        dt_tuned = time.time() - t0
+        stream3.stop(drain=False)
+        assert stable3.read().count() == n_stream
+        times["streaming_ingest_50k_rows_tuned"] = round(dt_tuned, 3)
+        streaming_rps_tuned = round(n_stream / dt_tuned, 1)
+    finally:
+        shutil.rmtree(tmp3, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -177,7 +215,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_min_of_n": times_min,
+                "bench_runs": n_runs,
                 "streaming_ingest_rows_per_sec": streaming_rps,
+                "streaming_ingest_rows_per_sec_tuned": streaming_rps_tuned,
                 "ivf_index_build_sec": ivf_build_sec,
                 "sf": float(sf) if sf else None,
             }

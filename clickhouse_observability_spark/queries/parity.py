@@ -114,3 +114,16 @@ def logs_json_attr(spark, sf_dir):
 @register("logs_count", oracle="SELECT count(*) AS n FROM events")
 def logs_count(spark, sf_dir):
     return table(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n"))
+
+
+# DESCRIBE-style schema query (reference README.md:97-98 `DESCRIBE
+# logs`): column name/type/position as a result set from the engine's
+# own schema metadata. Rows-only by design — a 51st oracle entry would
+# push an existing one out of the driver's 50-row window; the pytest
+# runs the identical DuckDB information_schema comparison instead
+# (test_query_logs.test_schema_describe_matches_duckdb).
+@register("schema_describe_events")
+def schema_describe_events(spark, sf_dir):
+    df = table(spark, sf_dir, "events")
+    rows = [(n, t, i + 1) for i, (n, t) in enumerate(df.dtypes)]
+    return spark.createDataFrame(rows, "name string, type string, pos long")

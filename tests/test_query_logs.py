@@ -103,3 +103,27 @@ def test_filter_pushdown_reaches_scan(spark, sf_small):
     out = events.filter(F.col("event_type") == "error").select("event_id", "event_type")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_schema_describe_matches_duckdb(spark, sf_small):
+    # DESCRIBE parity (reference README.md:97-98): the engine's schema
+    # result set equals DuckDB's information_schema over the same
+    # parquet, modulo the documented type-name mapping.
+    import duckdb
+
+    from clickhouse_observability_spark.queries.parity import schema_describe_events
+
+    got = [(r.name, r.type, r.pos)
+           for r in schema_describe_events(spark, sf_small).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    duck_to_spark = {"BIGINT": "bigint", "VARCHAR": "string",
+                     "DOUBLE": "double", "TIMESTAMP": "timestamp"}
+    exp = [(name, duck_to_spark[dtype], pos) for name, dtype, pos in con.execute(
+        "SELECT column_name, data_type, ordinal_position::BIGINT "
+        "FROM information_schema.columns WHERE table_name = 'events' "
+        "ORDER BY 3"
+    ).fetchall()]
+    assert got == exp
