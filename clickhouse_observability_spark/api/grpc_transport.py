@@ -242,8 +242,23 @@ def serve_grpc_web(handler: LogServiceHandler, host: str = "127.0.0.1", port: in
     BatchWriteResponse bytes + one 0x80 trailers frame carrying
     `grpc-status: 0`. Errors map to grpc-status 2 (UNKNOWN) /
     12 (UNIMPLEMENTED for unknown methods), matching grpc codes.
+
+    Server reflection is registered alongside LogService (reference
+    cmd/server/main.go:79-81): grpc.reflection.v1alpha list/describe
+    requests are answered from the hand-encoded log.proto descriptor
+    (api/grpc_reflection.py).
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from clickhouse_observability_spark.api.grpc_reflection import (
+        REFLECTION_METHOD_PATH,
+        handle_reflection,
+    )
+
+    methods: dict[str, Callable[[bytes], bytes]] = {
+        METHOD_PATH: handler.batch_write,
+        REFLECTION_METHOD_PATH: handle_reflection,
+    }
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -263,14 +278,15 @@ def serve_grpc_web(handler: LogServiceHandler, host: str = "127.0.0.1", port: in
             self.wfile.write(body)
 
         def do_POST(self):
-            if self.path != METHOD_PATH:
+            method = methods.get(self.path)
+            if method is None:
                 self._reply(b"", 12, "unknown method")  # UNIMPLEMENTED
                 return
             ln = int(self.headers.get("Content-Length", "0"))
             frames = unframe(self.rfile.read(ln))
             data = b"".join(p for f, p in frames if f == 0)
             try:
-                resp = handler.batch_write(data)
+                resp = method(data)
             except Exception as e:  # UNKNOWN
                 self._reply(b"", 2, type(e).__name__)
                 return
