@@ -204,6 +204,16 @@ def winnowing_fingerprints(
     # and re-evaluate them PER ELEMENT (O(|text|^2) regexp calls per
     # doc — measured as a hang at sf0.1); a lambda variable is bound
     # once per row.
+    # Compute-heavy map stage: ~|text| md5 + window-min evaluations
+    # per doc. A small-file corpus (testdata: ONE parquet row group)
+    # scans as a single task, serializing all that arithmetic; re-
+    # spread it when the input has fewer partitions than the cluster
+    # has slots. At real scale the corpus arrives in many files and
+    # this is a no-op — no shuffle added.
+    sc = documents.sparkSession.sparkContext
+    slots = sc.defaultParallelism
+    if documents.rdd.getNumPartitions() < max(2, slots // 2):
+        documents = documents.repartition(slots)
     summary = F.expr(
         f"""flatten(transform(array({_NORM_SQL}), norm ->
             flatten(transform(array(CASE WHEN length(norm) >= {k} THEN
