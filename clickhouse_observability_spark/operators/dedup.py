@@ -817,3 +817,83 @@ def corpus_index(
         F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
         sim.alias("simhash"),
     )
+
+
+def neardup_components(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(doc_id, component_id): connected components of a near-dup pair
+    graph — the clustering step between "these docs look alike"
+    (pair generators above) and "keep one canonical doc per group"
+    (canonical_per_component).
+
+    Min-label propagation: every node starts as its own label; each
+    round, a node adopts the smallest label among itself and its
+    neighbors; fixpoint = components labeled by their smallest doc_id.
+    Rounds are whole-graph joins (one shuffle each) and the round
+    count is bounded by the cluster DIAMETER — for dedup graphs that
+    is small (near-dup clusters are dense blobs, not long chains), so
+    at 100 TB this is a handful of shuffles, each the size of the
+    (already LSH-pruned) edge list. Each round is localCheckpoint-ed:
+    `labels` feeds BOTH sides of the next round's join, so without
+    lineage truncation the logical plan doubles per iteration
+    (2^rounds analyzer nodes — an OOM long before the data is big).
+    Convergence is an exact changed-row count (0 -> stop).
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+    ).localCheckpoint(eager=True)
+    edges = edges.persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+                (F.col("nbr_min") < F.col("component_id")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def canonical_per_component(
+    documents: DataFrame, components: DataFrame
+) -> DataFrame:
+    """One keeper per near-dup component (smallest doc_id — swap the
+    ordering struct for a quality score to keep the best instead),
+    plus every unpaired doc (a component of one). The LLM-pipeline
+    "dedup keep-list": LEFT join corpus -> component, default
+    component = self, min_by per component."""
+    with_comp = documents.join(components, "doc_id", "left").withColumn(
+        "component_id", F.coalesce(F.col("component_id"), F.col("doc_id"))
+    )
+    return (
+        with_comp.groupBy("component_id")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("component_size"),
+        )
+    )

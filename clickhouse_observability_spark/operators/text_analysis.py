@@ -589,3 +589,53 @@ def bpe_segment(documents: DataFrame, merges: list[tuple[str, str, int]]) -> Dat
         F.first("n_tokens").alias("n_tokens"),
         F.sum(F.size("s")).cast("long").alias("n_bpe_pieces"),
     )
+
+
+def pack_training_chunks(
+    documents: DataFrame, budget: int = 2048, order_by: str = "doc_id"
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out as one
+    deterministic token stream (docs in `order_by` order) and cut it
+    into fixed-`budget` training chunks — the standard packed-sequence
+    layout (docs may span a chunk boundary; the trainer separates them
+    with EOS). Output: one row per (doc, chunk) overlap with the
+    token span each side contributes —
+
+        doc_id, chunk_id, doc_tok_start, chunk_tok_start, n_toks
+
+    All column math over ONE window cumsum: a doc spanning chunks
+    floor(start/budget)..floor((end-1)/budget) emits one row per
+    spanned chunk via a bounded sequence/explode (fan-out =
+    ceil(doc_tokens/budget) + 1, never corpus-sized). The single
+    global window is the deterministic-layout contract; for
+    per-source streams, group first and pack per group.
+    """
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        "doc_id", F.size(tokens(normalized_text("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = W.orderBy(F.col(order_by).asc())
+    spans = toks.select(
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start"),
+    )
+    chunk = F.explode(
+        F.sequence(
+            F.floor(F.col("tok_start") / budget),
+            F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / budget),
+        )
+    ).alias("chunk_id")
+    out = spans.select("doc_id", "n_tokens", "tok_start", chunk)
+    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * budget)
+    hi = F.least(
+        F.col("tok_start") + F.col("n_tokens"), (F.col("chunk_id") + 1) * budget
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (lo - F.col("tok_start")).cast("long").alias("doc_tok_start"),
+        (lo - F.col("chunk_id") * budget).cast("long").alias("chunk_tok_start"),
+        (hi - lo).cast("long").alias("n_toks"),
+    )

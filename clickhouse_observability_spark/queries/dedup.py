@@ -195,3 +195,21 @@ def dedup_corpus_index(spark, sf_dir):
     asserts bit-identical outputs vs the standalone operators and
     pins the 1-scan/1-exchange plan."""
     return D.corpus_index(table(spark, sf_dir, "documents"))
+
+
+@register("dedup_neardup_clusters")
+def dedup_neardup_clusters(spark, sf_dir):
+    """Pairs -> clusters -> keep-list: connected components over the
+    MinHash near-dup pair graph (min-label propagation, rounds bounded
+    by cluster diameter), then one canonical keeper per component plus
+    every unpaired doc as its own singleton. The step an LLM-data
+    pipeline actually acts on — a dedupe KEEP-LIST, not a pair dump.
+    Rows-only: iterative fixpoint (non-SQL-expressible in the oracle
+    harness); pytest pins exact parity against a python union-find
+    over the same pairs."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        docs, threshold=0.9, cache_key=f"{sf_dir}/documents"
+    )
+    comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
+    return D.canonical_per_component(docs, comps)

@@ -459,3 +459,15 @@ def text_bpe_learned(spark, sf_dir):
         [(i + 1, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, merged string, freq bigint",
     )
+
+
+@register("text_pack_chunks")
+def text_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing over the corpus (budget 512):
+    the packed-sequence layout a trainer consumes, one row per
+    (doc, chunk) overlap with both-side offsets. Rows-only: the
+    single-window cumsum layout is pinned by pytest invariants
+    (token conservation, exact fill, python-reference parity)."""
+    return TX.pack_training_chunks(
+        table(spark, sf_dir, "documents"), budget=512
+    )

@@ -187,3 +187,77 @@ def test_corpus_index_matches_standalone_operators(spark, sf_small):
     fused = D.corpus_index(docs)
     assert shuffle_count(fused) == 1
     assert executed_plan(fused).count("Scan parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# near-dup connected components + canonical keep-list
+# ---------------------------------------------------------------------------
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member of each set
+    return {x: find(x) for x in parent}
+
+
+def test_components_match_union_find_random_graph(spark):
+    import random
+
+    rnd = random.Random(7)
+    edges = sorted({(rnd.randrange(60), rnd.randrange(60)) for _ in range(80)
+                    if True})
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    from clickhouse_observability_spark.operators.dedup import neardup_components
+
+    got = {r.doc_id: r.component_id for r in neardup_components(pairs).collect()}
+    exp = _union_find_components(edges)
+    # python union-find path-compresses to the same min-label canonical
+    exp = {k: exp[k] for k in exp}
+    assert got == exp
+
+
+def test_components_long_chain_converges(spark):
+    # worst-case diameter: a 30-node path; min label must reach the end
+    edges = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    from clickhouse_observability_spark.operators.dedup import neardup_components
+
+    got = {r.doc_id: r.component_id for r in
+           neardup_components(pairs, max_iterations=40).collect()}
+    assert got == {i: 0 for i in range(31)}
+
+
+def test_canonical_keep_list_on_testdata(spark, sf_small):
+    # end-to-end over real pairs: every doc appears exactly once across
+    # components (keepers + members), keeper = min doc_id of component
+    from clickhouse_observability_spark.operators.dedup import (
+        canonical_per_component,
+        minhash_dedup_pairs,
+        neardup_components,
+    )
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.9)
+    comps = neardup_components(pairs, a="doc_a", b="doc_b")
+    keep = canonical_per_component(docs, comps).collect()
+    n_docs = docs.count()
+    assert sum(r.component_size for r in keep) == n_docs
+    assert all(r.keep_doc_id == r.component_id for r in keep)
+    # exact parity with python union-find over the same pairs
+    edge_list = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    exp = _union_find_components(edge_list)
+    got = {r.doc_id: r.component_id for r in comps.collect()}
+    assert got == exp

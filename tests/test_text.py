@@ -436,3 +436,43 @@ def test_empty_doc_ratio_parity_with_oracle(spark, tmp_path):
                 vals.append(str(v))
             drows.add(tuple(vals))
         assert srows == drows, f"{name}: {srows ^ drows}"
+
+
+def test_pack_training_chunks_invariants_and_reference(spark, sf_small):
+    # concat-and-chunk packing: token conservation, exact fill of all
+    # non-final chunks, contiguous spans, python-reference parity
+    import re
+
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    budget = 256
+    docs = load_table(spark, sf_small, "documents")
+    rows = TX.pack_training_chunks(docs, budget=budget).collect()
+
+    # python reference: same deterministic doc order, one token stream
+    stream = []
+    for d in sorted(docs.select("doc_id", "text").collect(),
+                    key=lambda r: r.doc_id):
+        n = len([t for t in re.split(r"\s+", d.text.strip().lower()) if t])
+        if n:
+            stream.append((d.doc_id, n))
+    exp = []
+    pos = 0
+    for doc_id, n in stream:
+        start = pos
+        for chunk in range(start // budget, (start + n - 1) // budget + 1):
+            lo = max(start, chunk * budget)
+            hi = min(start + n, (chunk + 1) * budget)
+            exp.append((doc_id, chunk, lo - start, lo - chunk * budget, hi - lo))
+        pos += n
+    assert sorted((r.doc_id, r.chunk_id, r.doc_tok_start, r.chunk_tok_start,
+                   r.n_toks) for r in rows) == sorted(exp)
+
+    total = sum(n for _, n in stream)
+    assert sum(r.n_toks for r in rows) == total  # conservation
+    fill = {}
+    for r in rows:
+        fill[r.chunk_id] = fill.get(r.chunk_id, 0) + r.n_toks
+    last = max(fill)
+    assert all(v == budget for k, v in fill.items() if k != last)
+    assert 0 < fill[last] <= budget
