@@ -142,3 +142,27 @@ def test_interval_join_subsecond_boundaries(spark):
              F.to_timestamp("end_ts").alias("end_ts"))
     got = {r.event_id for r in interval_join(ev, iv, 3600).collect()}
     assert got == {1}  # 01:00:00.200 inside; .600 past the end
+
+
+def test_registry_results_stable_under_hostile_session_tz(spark, sf_small):
+    # A driver-built session may carry any session timezone; every
+    # registry entry pins UTC via ensure_utc, so ts-bearing results
+    # must hash identically before/after a hostile setting.
+    from clickhouse_observability_spark.registry import queries
+
+    qs = queries()
+    names = ("logs_basic", "agg_hourly", "window_sessionize")
+
+    def snapshot():
+        out = {}
+        for n in names:
+            rows = qs[n](spark, sf_small).collect()
+            out[n] = sorted(tuple(str(v) for v in r) for r in rows)
+        return out
+
+    baseline = snapshot()
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+    try:
+        assert snapshot() == baseline
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
