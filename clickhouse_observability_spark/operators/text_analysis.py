@@ -595,7 +595,8 @@ def pack_training_chunks(
     documents: DataFrame, budget: int = 2048, order_by: str = "doc_id"
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: lay the corpus out as one
-    deterministic token stream (docs in `order_by` order) and cut it
+    deterministic token stream (docs in `order_by` order — must be a
+    UNIQUE key for the layout to be well-defined) and cut it
     into fixed-`budget` training chunks — the standard packed-sequence
     layout (docs may span a chunk boundary; the trainer separates them
     with EOS). Output: one row per (doc, chunk) overlap with the
@@ -603,23 +604,53 @@ def pack_training_chunks(
 
         doc_id, chunk_id, doc_tok_start, chunk_tok_start, n_toks
 
-    All column math over ONE window cumsum: a doc spanning chunks
-    floor(start/budget)..floor((end-1)/budget) emits one row per
-    spanned chunk via a bounded sequence/explode (fan-out =
-    ceil(doc_tokens/budget) + 1, never corpus-sized). The single
-    global window is the deterministic-layout contract; for
-    per-source streams, group first and pack per group.
+    The global cumsum is a DISTRIBUTED PREFIX SUM, not a global
+    window: an unpartitioned `Window.orderBy(...)` funnels the whole
+    corpus through one task. Instead, range-partition on the layout
+    key, cumsum per partition in parallel, then add each partition's
+    starting offset — computed from the per-partition subtotals, a
+    #partitions-sized (bounded) driver list turned into a literal
+    lookup map. The result depends only on the global `order_by`
+    order, not on where the range boundaries land. A doc spanning
+    chunks floor(start/budget)..floor((end-1)/budget) emits one row
+    per spanned chunk via a bounded sequence/explode (fan-out =
+    ceil(doc_tokens/budget) + 1, never corpus-sized).
     """
     from pyspark.sql import Window as W
 
+    sc = documents.sparkSession.sparkContext
+    nparts = max(2, sc.defaultParallelism)
     toks = documents.select(
         "doc_id", F.size(tokens(normalized_text("text"))).alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
-    w = W.orderBy(F.col(order_by).asc())
-    spans = toks.select(
+    t = (
+        toks.repartitionByRange(nparts, F.col(order_by).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        # one materialization serves both the subtotal collect and the
+        # final plan; lineage truncated so neither recomputes the sort
+        .localCheckpoint(eager=True)
+    )
+    w_local = W.partitionBy("_pid").orderBy(F.col(order_by).asc())
+    local = t.withColumn(
+        "_local_start", F.sum("n_tokens").over(w_local) - F.col("n_tokens")
+    )
+    subtotals = dict(
+        (r._pid, r.total)
+        for r in t.groupBy("_pid").agg(F.sum("n_tokens").alias("total")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(subtotals):
+        offsets[pid] = acc
+        acc += subtotals[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    )
+    spans = local.select(
         "doc_id",
         "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start"),
+        (F.col("_local_start")
+         + F.coalesce(F.element_at(offset_map, F.col("_pid")), F.lit(0))
+         ).alias("tok_start"),
     )
     chunk = F.explode(
         F.sequence(

@@ -476,3 +476,18 @@ def test_pack_training_chunks_invariants_and_reference(spark, sf_small):
     last = max(fill)
     assert all(v == budget for k, v in fill.items() if k != last)
     assert 0 < fill[last] <= budget
+
+
+def test_pack_training_chunks_no_global_window(spark, sf_small):
+    # the cumsum must be a distributed prefix sum: windows partition on
+    # the range-partition id — never an unpartitioned (single-task)
+    # global window
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    plan = (
+        TX.pack_training_chunks(docs, budget=512)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(_pid" in plan
+    assert "SinglePartition" not in plan
