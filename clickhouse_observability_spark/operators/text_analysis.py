@@ -670,3 +670,79 @@ def pack_training_chunks(
         (lo - F.col("chunk_id") * budget).cast("long").alias("chunk_tok_start"),
         (hi - lo).cast("long").alias("n_toks"),
     )
+
+
+def token_distribution_drift(a: DataFrame, b: DataFrame) -> DataFrame:
+    """One-row drift report between two corpora's token distributions
+    — the data-quality gate a pipeline runs between corpus snapshots
+    (did the crawl shift?) or between train and held-out splits (is
+    the split representative?). Both inputs are (doc_id, text).
+
+    Output: token totals and vocab sizes per side, out-of-vocabulary
+    mass in each direction, and the add-one-smoothed KL divergences +
+    Jensen-Shannon divergence over the joint vocabulary.
+
+    Shape at scale: each side collapses to its (token, count) frame
+    (one shuffle each, map-side partial aggregation), a full outer
+    join aligns the two VOCAB-sized frames (never corpus-sized), and
+    one global aggregate folds the divergence sums. log() is natural
+    log in both Spark and DuckDB, but float summation order differs —
+    divergences are rounded for any cross-engine comparison.
+    """
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(normalized_text("text"))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca, cb = _counts(a, "ca"), _counts(b, "cb")
+    joint = ca.join(cb, "tok", "full_outer").select(
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    # totals folded in the same aggregate pass via sum windows-free
+    # arithmetic: smoothing needs vocab size + totals, so aggregate
+    # twice over the (vocab-sized) joint frame — both jobs are tiny.
+    tot = joint.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.when(F.col("cb") == 0, F.col("ca")).otherwise(0)).alias("oov_b_mass"),
+        F.sum(F.when(F.col("ca") == 0, F.col("cb")).otherwise(0)).alias("oov_a_mass"),
+    ).collect()[0]
+    na, nb, v = tot.na or 0, tot.nb or 0, tot.v or 0
+    if v == 0:
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("n_tokens_a", T.LongType()),
+            T.StructField("n_tokens_b", T.LongType()),
+            T.StructField("vocab_joint", T.LongType()),
+            T.StructField("oov_frac_a_in_b", T.DoubleType()),
+            T.StructField("oov_frac_b_in_a", T.DoubleType()),
+            T.StructField("kl_a_b", T.DoubleType()),
+            T.StructField("kl_b_a", T.DoubleType()),
+            T.StructField("js", T.DoubleType()),
+        ])
+        return a.sparkSession.createDataFrame(
+            [(0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0)], schema)
+    pa = (F.col("ca") + 1) / F.lit(float(na + v))  # add-one smoothing
+    pb = (F.col("cb") + 1) / F.lit(float(nb + v))
+    pm = (pa + pb) / 2
+    agg = joint.agg(
+        F.sum(pa * F.log(pa / pb)).alias("kl_a_b"),
+        F.sum(pb * F.log(pb / pa)).alias("kl_b_a"),
+        (F.sum(pa * F.log(pa / pm)) / 2
+         + F.sum(pb * F.log(pb / pm)) / 2).alias("js"),
+    )
+    return agg.select(
+        F.lit(na).cast("long").alias("n_tokens_a"),
+        F.lit(nb).cast("long").alias("n_tokens_b"),
+        F.lit(v).cast("long").alias("vocab_joint"),
+        F.round(F.lit(tot.oov_a_mass / nb if nb else 0.0), 6).alias("oov_frac_a_in_b"),
+        F.round(F.lit(tot.oov_b_mass / na if na else 0.0), 6).alias("oov_frac_b_in_a"),
+        F.round(F.col("kl_a_b"), 6).alias("kl_a_b"),
+        F.round(F.col("kl_b_a"), 6).alias("kl_b_a"),
+        F.round(F.col("js"), 6).alias("js"),
+    )

@@ -505,3 +505,24 @@ def text_pack_chunks(spark, sf_dir):
     return TX.pack_training_chunks(
         table(spark, sf_dir, "documents"), budget=512
     )
+
+
+@register("text_split_drift")
+def text_split_drift(spark, sf_dir):
+    """Train-vs-val token-distribution drift over the corpus's own
+    deterministic md5 split — smoothed KL both ways + JS divergence +
+    OOV mass. A representative split should sit near zero; a crawl
+    shift between snapshots shows up here before it shows up in loss
+    curves. Rows-only: float log-sum ordering differs across engines;
+    pytest pins a python reference on a fixed corpus."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a", "val"
+    ).otherwise("train")
+    tagged = docs.withColumn("split", split)
+    return TX.token_distribution_drift(
+        tagged.filter("split = 'train'").select("doc_id", "text"),
+        tagged.filter("split = 'val'").select("doc_id", "text"),
+    )

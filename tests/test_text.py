@@ -491,3 +491,42 @@ def test_pack_training_chunks_no_global_window(spark, sf_small):
     )
     assert "windowspecdefinition(_pid" in plan
     assert "SinglePartition" not in plan
+
+
+def test_token_distribution_drift_matches_python(spark):
+    import math
+    import re
+    from collections import Counter
+
+    a_rows = [(0, "the cat sat on the mat"), (1, "a dog and a cat play")]
+    b_rows = [(10, "the cat ran to the dog"), (11, "birds fly high above")]
+    mk = "doc_id long, text string"
+    a = spark.createDataFrame(a_rows, mk)
+    b = spark.createDataFrame(b_rows, mk)
+    got = TX.token_distribution_drift(a, b).collect()[0]
+
+    def toks(rows):
+        c = Counter()
+        for _, t in rows:
+            c.update(x for x in re.split(r"\s+", t.strip().lower()) if x)
+        return c
+
+    ca, cb = toks(a_rows), toks(b_rows)
+    vocab = set(ca) | set(cb)
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    pa = {t: (ca.get(t, 0) + 1) / (na + v) for t in vocab}
+    pb = {t: (cb.get(t, 0) + 1) / (nb + v) for t in vocab}
+    kl_ab = sum(pa[t] * math.log(pa[t] / pb[t]) for t in vocab)
+    kl_ba = sum(pb[t] * math.log(pb[t] / pa[t]) for t in vocab)
+    js = (sum(pa[t] * math.log(pa[t] / ((pa[t] + pb[t]) / 2)) for t in vocab)
+          + sum(pb[t] * math.log(pb[t] / ((pa[t] + pb[t]) / 2)) for t in vocab)) / 2
+    assert (got.n_tokens_a, got.n_tokens_b, got.vocab_joint) == (na, nb, v)
+    assert got.kl_a_b == pytest.approx(kl_ab, abs=1e-5)
+    assert got.kl_b_a == pytest.approx(kl_ba, abs=1e-5)
+    assert got.js == pytest.approx(js, abs=1e-5)
+    oov_b_mass = sum(n for t, n in ca.items() if t not in cb)
+    assert got.oov_frac_b_in_a == pytest.approx(oov_b_mass / na, abs=1e-5)
+    # identical corpora -> zero drift
+    same = TX.token_distribution_drift(a, a).collect()[0]
+    assert same.kl_a_b == same.kl_b_a == same.js == 0.0
+    assert same.oov_frac_a_in_b == 0.0
