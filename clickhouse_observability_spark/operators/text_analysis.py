@@ -746,3 +746,37 @@ def token_distribution_drift(a: DataFrame, b: DataFrame) -> DataFrame:
         F.round(F.col("kl_b_a"), 6).alias("kl_b_a"),
         F.round(F.col("js"), 6).alias("js"),
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """CCNet-style unigram LM scoring: train an add-one-smoothed
+    unigram model on the corpus itself, score every doc by its average
+    token log-probability. Low scores = statistical outliers (gibberish,
+    boilerplate, wrong-language) — the classic cheap perplexity filter
+    run before an expensive model-based one.
+
+    Shape: one explode -> (token, count) aggregate (vocab-sized, map-
+    side combine); corpus totals ride along as a broadcast one-row
+    frame (no driver collect); token probabilities join back to the
+    exploded stream on the token key; one per-doc aggregate. Two
+    shuffles total, both on bounded-width keys.
+    """
+    tk = documents.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    counts = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.log((F.col("c") + 1) / (F.col("n_total") + F.col("v"))).alias("lp"),
+    )
+    return (
+        tk.join(probs, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+        )
+    )

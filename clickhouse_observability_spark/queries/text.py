@@ -526,3 +526,25 @@ def text_split_drift(spark, sf_dir):
         tagged.filter("split = 'train'").select("doc_id", "text"),
         tagged.filter("split = 'val'").select("doc_id", "text"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    # oracle entries registered after the established 50 only ADD
+    # adjudicated rows (registry iteration order); natural log on both
+    # sides, per-doc mean rounded to absorb float summation order
+    oracle=rf"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+    t AS (SELECT sum(c) AS n_total, count(*) AS v FROM c),
+    p AS (SELECT tok, ln((c + 1.0) / (t.n_total + t.v)) AS lp FROM c, t)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(lp) / count(*), 4) AS avg_logprob
+    FROM tk JOIN p USING (tok) GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Self-trained unigram LM quality score per doc (the cheap
+    perplexity filter): average token log-probability under the
+    corpus's own add-one-smoothed unigram distribution."""
+    return TX.unigram_logprob(table(spark, sf_dir, "documents"))

@@ -530,3 +530,26 @@ def test_token_distribution_drift_matches_python(spark):
     same = TX.token_distribution_drift(a, a).collect()[0]
     assert same.kl_a_b == same.kl_b_a == same.js == 0.0
     assert same.oov_frac_a_in_b == 0.0
+
+
+def test_unigram_logprob_ranks_outliers_low(spark):
+    rows = [(i, "the cat and the dog in the house") for i in range(8)]
+    rows.append((100, "zqx jvw pfk qqq"))  # gibberish: all-rare tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_logprob for r in TX.unigram_logprob(df).collect()}
+    common = got[0]
+    assert got[100] < common  # outlier scores strictly lower
+    assert all(got[i] == common for i in range(8))  # identical docs tie
+    # python reference on the same corpus
+    import math
+    import re
+    from collections import Counter
+
+    c = Counter()
+    docs = {i: [t for t in re.split(r"\s+", t.strip()) if t] for i, t in rows}
+    for ts in docs.values():
+        c.update(ts)
+    n, v = sum(c.values()), len(c)
+    for i, ts in docs.items():
+        exp = sum(math.log((c[t] + 1) / (n + v)) for t in ts) / len(ts)
+        assert got[i] == pytest.approx(round(exp, 4), abs=2e-4)
