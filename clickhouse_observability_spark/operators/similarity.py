@@ -684,3 +684,65 @@ def embedding_audit(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         F.round(F.avg("nrm"), 6).alias("avg_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+def knn_join_lsh(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Batch k-NN self-join: for EVERY vector, its approximate top-k
+    neighbors — the all-vectors generalization of the per-query ANN
+    (lsh_topk) and the ranked cousin of the thresholded near-dup pair
+    scan. Feeds diversity sampling, cluster seeding, graph-based
+    curation.
+
+    Candidates are LSH bucket-mates (any of n_tables tables, optional
+    1-bit multiprobe on the LEFT side so each direction of a pair can
+    recover it), scored with exact cosine, ranked per source vector.
+    Never all-pairs: candidate volume is the bucket collision volume,
+    sub-quadratic at scale for spread-out corpora. Output columns
+    (query_id, rank, vec_id, cosine) match brute_force_topk so recall
+    is directly measurable (pytest)."""
+    e0 = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucketed = _bucketed_signatures(e0, n_planes, n_tables, dim, seed)
+    a = bucketed
+    if multiprobe:
+        flips = [F.col("sig")] + [
+            F.col("sig").bitwiseXOR(F.lit(2**i).cast("long"))
+            for i in range(n_planes)
+        ]
+        a = bucketed.select(
+            "vec_id", "v", "tbl", F.explode(F.array(*flips)).alias("sig")
+        )
+    a, b = a.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.select("query_id", "vec_id", _cosine("va", "vb").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
+    )

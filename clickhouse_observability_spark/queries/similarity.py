@@ -262,3 +262,12 @@ def sim_topk_ivf_pq(spark, sf_dir):
 def sim_embedding_audit(spark, sf_dir):
     """Pre-index-build data-quality gate for the vector table."""
     return S.embedding_audit(table(spark, sf_dir, "embeddings"))
+
+
+@register("sim_knn_join")
+def sim_knn_join(spark, sf_dir):
+    """Approximate k-NN self-join (top-10 neighbors for every vector)
+    via LSH bucket candidates + exact cosine rank. Rows-only: seeded
+    LSH internals; pytest measures recall vs the brute-force ranking
+    on the query subset."""
+    return S.knn_join_lsh(table(spark, sf_dir, "embeddings"), k=10)

@@ -249,3 +249,25 @@ def test_embedding_audit_flags_defects(spark):
     assert r.n_nan == 1 and r.n_zero_norm == 1
     # norm stats exclude defective rows (NaN must not poison them)
     assert r.max_norm == 8.0 and r.min_norm == 0.0  # sqrt(64); zero vec
+
+
+def test_knn_join_recall_vs_brute(spark, sf_small):
+    # batch k-NN join: recall against the exact ranking, measured over
+    # EVERY vector (sf0.001 keeps the brute reference tractable)
+    from clickhouse_observability_spark.operators import similarity as S
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    all_ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    knn = S.knn_join_lsh(emb, k=10)
+    got = {(r.query_id, r.vec_id) for r in knn.collect()}
+    exp = {(r.query_id, r.vec_id)
+           for r in S.brute_force_topk(emb, all_ids, k=10).collect()}
+    assert len({q for q, _ in got}) == len(all_ids)  # every vector served
+    recall = len(got & exp) / len(exp)
+    assert recall >= 0.9, recall
+    # per-query k bound and rank sanity
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in got)
+    assert max(per_q.values()) <= 10
