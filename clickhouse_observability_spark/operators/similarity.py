@@ -694,6 +694,7 @@ def knn_join_lsh(
     dim: int = 64,
     seed: int = 42,
     multiprobe: bool = True,
+    max_bucket_frac: float | None = None,
 ) -> DataFrame:
     """Batch k-NN self-join: for EVERY vector, its approximate top-k
     neighbors — the all-vectors generalization of the per-query ANN
@@ -705,13 +706,30 @@ def knn_join_lsh(
     1-bit multiprobe on the LEFT side so each direction of a pair can
     recover it), scored with exact cosine, ranked per source vector.
     Never all-pairs: candidate volume is the bucket collision volume,
-    sub-quadratic at scale for spread-out corpora. Output columns
-    (query_id, rank, vec_id, cosine) match brute_force_topk so recall
-    is directly measurable (pytest)."""
+    sub-quadratic at scale for spread-out corpora. A DEGENERATE corpus
+    (near-identical vectors) collapses into mega-buckets and the join
+    trends quadratic — `max_bucket_frac` is the guard: buckets holding
+    more than that fraction of the corpus are dropped before the join
+    (a mega-bucket carries no ranking signal, same spirit as the
+    jaccard/contamination df-caps; prefer MORE PLANES to refine real
+    corpora — the cap is the hostile-input bound, off by default
+    because top-k needs candidates). Output columns (query_id, rank,
+    vec_id, cosine) match brute_force_topk so recall is directly
+    measurable (pytest)."""
     e0 = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     bucketed = _bucketed_signatures(e0, n_planes, n_tables, dim, seed)
+    if max_bucket_frac is not None:
+        n_vec = e0.count()
+        cap = max(k + 1, int(n_vec * max_bucket_frac))
+        small = (
+            bucketed.groupBy("tbl", "sig")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= cap)
+            .select("tbl", "sig")
+        )
+        bucketed = bucketed.join(small, ["tbl", "sig"], "left_semi")
     a = bucketed
     if multiprobe:
         flips = [F.col("sig")] + [

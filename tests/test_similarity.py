@@ -271,3 +271,24 @@ def test_knn_join_recall_vs_brute(spark, sf_small):
 
     per_q = Counter(q for q, _ in got)
     assert max(per_q.values()) <= 10
+
+
+def test_knn_join_bucket_cap_bounds_degenerate_corpus(spark):
+    # adversarial: every vector identical -> every table has ONE
+    # mega-bucket. With the cap, candidate volume collapses instead of
+    # going quadratic; without it, all pairs collide.
+    from clickhouse_observability_spark.operators import similarity as S
+    from pyspark.sql import types as T
+
+    n = 120
+    rows = [(i, [1.0] * 8 , 0) for i in range(n)]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    emb = spark.createDataFrame(rows, schema)
+    uncapped = S.knn_join_lsh(emb, k=5, dim=8).count()
+    assert uncapped == n * 5  # quadratic candidates, capped only by k
+    capped = S.knn_join_lsh(emb, k=5, dim=8, max_bucket_frac=0.1)
+    assert capped.count() == 0  # the one mega-bucket is dropped wholesale
