@@ -780,3 +780,82 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
             F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
         )
     )
+
+
+def pack_training_chunks_grouped(
+    documents: DataFrame,
+    budget: int = 2048,
+    group_by: str = "source",
+    order_by: str = "doc_id",
+) -> DataFrame:
+    """Per-group sequence packing: an independent concat-and-chunk
+    token stream per `group_by` value (per-source / per-shard packing
+    — chunks never mix sources). Same distributed-prefix-sum shape as
+    pack_training_chunks with the group key prepended everywhere:
+    range-partition on (group, key), per-partition cumsum, offsets
+    from the (groups x partitions)-row subtotal collect — bounded for
+    a bounded group cardinality (sources, shards), which is the
+    contract; don't pass a high-cardinality group.
+
+    Output adds the group column; chunk_id counts from 0 WITHIN each
+    group."""
+    from pyspark.sql import Window as W
+
+    sc = documents.sparkSession.sparkContext
+    nparts = max(2, sc.defaultParallelism)
+    toks = documents.select(
+        F.col(group_by).alias("grp"),
+        "doc_id",
+        F.size(tokens(normalized_text("text"))).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    t = (
+        toks.repartitionByRange(nparts, F.col("grp").asc(), F.col(order_by).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = W.partitionBy("grp", "_pid").orderBy(F.col(order_by).asc())
+    local = t.withColumn(
+        "_local_start", F.sum("n_tokens").over(w_local) - F.col("n_tokens")
+    )
+    subtotal_rows = (
+        t.groupBy("grp", "_pid").agg(F.sum("n_tokens").alias("total")).collect()
+    )
+    offsets: dict[tuple, int] = {}
+    acc: dict = {}
+    for r in sorted(subtotal_rows, key=lambda r: (str(r.grp), r._pid)):
+        offsets[(r.grp, r._pid)] = acc.get(r.grp, 0)
+        acc[r.grp] = acc.get(r.grp, 0) + r.total
+    offset_map = F.create_map(
+        *[
+            F.lit(x)
+            for (g, pid), off in offsets.items()
+            for x in (f"{g}\x01{pid}", off)
+        ]
+    ) if offsets else F.create_map()
+    key = F.concat_ws("\x01", F.col("grp"), F.col("_pid").cast("string"))
+    spans = local.select(
+        "grp",
+        "doc_id",
+        "n_tokens",
+        (F.col("_local_start")
+         + F.coalesce(F.element_at(offset_map, key), F.lit(0))).alias("tok_start"),
+    )
+    chunk = F.explode(
+        F.sequence(
+            F.floor(F.col("tok_start") / budget),
+            F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / budget),
+        )
+    ).alias("chunk_id")
+    out = spans.select("grp", "doc_id", "n_tokens", "tok_start", chunk)
+    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * budget)
+    hi = F.least(
+        F.col("tok_start") + F.col("n_tokens"), (F.col("chunk_id") + 1) * budget
+    )
+    return out.select(
+        F.col("grp").alias(group_by),
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (lo - F.col("tok_start")).cast("long").alias("doc_tok_start"),
+        (lo - F.col("chunk_id") * budget).cast("long").alias("chunk_tok_start"),
+        (hi - lo).cast("long").alias("n_toks"),
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
 from clickhouse_observability_spark.operators import text_analysis as TX
 
 
@@ -553,3 +554,24 @@ def test_unigram_logprob_ranks_outliers_low(spark):
     for i, ts in docs.items():
         exp = sum(math.log((c[t] + 1) / (n + v)) for t in ts) / len(ts)
         assert got[i] == pytest.approx(round(exp, 4), abs=2e-4)
+
+
+def test_pack_grouped_equals_per_group_global_pack(spark, sf_small):
+    # per-source packing == running the global packer on each source's
+    # sub-corpus independently
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    got = sorted(
+        (r.source, r.doc_id, r.chunk_id, r.doc_tok_start, r.chunk_tok_start,
+         r.n_toks)
+        for r in TX.pack_training_chunks_grouped(
+            docs, budget=256, group_by="source").collect()
+    )
+    exp = []
+    for src in [r.source for r in docs.select("source").distinct().collect()]:
+        sub = docs.filter(F.col("source") == src)
+        for r in TX.pack_training_chunks(sub, budget=256).collect():
+            exp.append((src, r.doc_id, r.chunk_id, r.doc_tok_start,
+                        r.chunk_tok_start, r.n_toks))
+    assert got == sorted(exp)
