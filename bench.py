@@ -46,6 +46,9 @@ HEADLINE = [
     ("text_lang_id", "noop"),
     ("text_corpus_curation", "noop"),
     ("text_contamination", "collect"),
+    ("text_pack_chunks", "noop"),
+    ("text_unigram_logprob", "noop"),
+    ("text_split_drift", "collect"),
 ]
 
 
