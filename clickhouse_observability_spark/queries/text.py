@@ -97,10 +97,10 @@ def text_lang_id(spark, sf_dir):
 # panel; the standalone operator entry stays registered.
 @register("text_winnowing")
 def text_winnowing(spark, sf_dir):
-    """Winnowing fingerprint (k=5 char-grams, window=4). The oracle's
-    positions are 1-based (range + substring) and Spark's posexplode
-    is 0-based — the WHERE pos >= w-1 guard is offset accordingly on
-    each side."""
+    """Winnowing fingerprint (k=5 char-grams, window=4) — map-only
+    per-doc array math since r3 (no explode/window shuffle); values
+    adjudicated inside text_fingerprints' merged oracle panel and
+    pinned doc-for-doc against a python reference in pytest."""
     return TX.winnowing_fingerprints(table(spark, sf_dir, "documents"), k=5, window=4)
 
 
