@@ -859,3 +859,41 @@ def pack_training_chunks_grouped(
         (lo - F.col("chunk_id") * budget).cast("long").alias("chunk_tok_start"),
         (hi - lo).cast("long").alias("n_toks"),
     )
+
+
+def quality_weighted_sample(
+    documents: DataFrame, scale: float = 1.0
+) -> DataFrame:
+    """(doc_id, weight, sampled): per-DOC importance sampling — each
+    doc survives with probability proportional to its quality weight
+    (clamped to [0,1] after `scale`), decided by the same
+    deterministic md5-fraction idiom as domain mixing (no rand(); a
+    doc's fate is a pure function of its id, so retries, re-partitions
+    and engines agree, and raising `scale` strictly GROWS the sample —
+    nested like the domain-mix rates).
+
+    The weight here is a simple quality proxy (stopword-coverage ×
+    length window); swap in a model score column at will — the
+    sampling math is the deliverable. Map-only."""
+    n_tokens = F.size(tokens("text"))
+    sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(tokens("text"), lambda t: F.array_contains(sw, F.lower(t))))
+    # weight in [0,1]: stopword share capped at 0.5 (×2), zeroed
+    # outside the sane length window
+    raw_w = F.when(
+        (n_tokens >= 5) & (n_tokens <= 100000),
+        F.least(F.lit(1.0), n_stop * 2.0 / n_tokens),
+    ).otherwise(F.lit(0.0))
+    weight = F.least(F.lit(1.0), F.round(raw_w * scale, 6))
+    # acceptance decided in INTEGER space on both engines: first 6 md5
+    # hex chars as an int vs floor(weight * 16^6) — no float-compare
+    # boundary ambiguity
+    frac_int = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    cutoff = F.floor(weight * F.lit(float(16**6))).cast("long")
+    return documents.select(
+        "doc_id",
+        weight.alias("weight"),
+        (frac_int < cutoff).alias("sampled"),
+    )

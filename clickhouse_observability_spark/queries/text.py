@@ -548,3 +548,31 @@ def text_unigram_logprob(spark, sf_dir):
     perplexity filter): average token log-probability under the
     corpus's own add-one-smoothed unigram distribution."""
     return TX.unigram_logprob(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_sample",
+    # oracle #53: appended after the established window (see
+    # text_pack_chunks note)
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000
+                    THEN least(1.0, round(least(1.0,
+                         len(list_filter({_TOKS}, x -> list_contains(
+                             ['the','a','of','and','to','in','is'], lower(x))))
+                         * 2.0 / len({_TOKS})), 6))
+                    ELSE 0.0 END AS weight
+        FROM documents
+    )
+    SELECT doc_id, weight,
+           ('0x' || substring(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+             < floor(weight * 16777216.0)::BIGINT AS sampled
+    FROM w
+    """,
+)
+def text_quality_sample(spark, sf_dir):
+    """Deterministic per-doc importance sampling by quality weight
+    (md5-fraction acceptance — domain mixing generalized from
+    per-source rates to per-doc weights)."""
+    return TX.quality_weighted_sample(table(spark, sf_dir, "documents"))

@@ -575,3 +575,24 @@ def test_pack_grouped_equals_per_group_global_pack(spark, sf_small):
             exp.append((src, r.doc_id, r.chunk_id, r.doc_tok_start,
                         r.chunk_tok_start, r.n_toks))
     assert got == sorted(exp)
+
+
+def test_quality_weighted_sample_nests_and_is_deterministic(spark, sf_small):
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    s1 = {r.doc_id: r.sampled for r in
+          TX.quality_weighted_sample(docs, scale=0.5).collect()}
+    s2 = {r.doc_id: r.sampled for r in
+          TX.quality_weighted_sample(docs, scale=1.0).collect()}
+    # raising scale strictly grows the sample (nested acceptance)
+    assert all(s2[d] for d, kept in s1.items() if kept)
+    assert sum(s2.values()) >= sum(s1.values()) > 0
+    # deterministic across runs
+    again = {r.doc_id: r.sampled for r in
+             TX.quality_weighted_sample(docs, scale=0.5).collect()}
+    assert again == s1
+    # zero-weight docs (outside length window) never sampled
+    w = {r.doc_id: r.weight for r in
+         TX.quality_weighted_sample(docs, scale=1.0).collect()}
+    assert all(not s2[d] for d, wt in w.items() if wt == 0.0)
