@@ -1,0 +1,142 @@
+"""EXT incremental corpus ingestion with FULL-HISTORY online dedup.
+
+`dedup_within_watermark` (streaming/windows.py) suppresses duplicates
+inside the watermark horizon — bounded state, but a doc resubmitted a
+week later sails through. This module is the other half a training-
+corpus pipeline needs: every micro-batch is exact-deduped against the
+AT-REST fingerprint index of everything ever admitted, so the corpus
+stays duplicate-free across the stream's whole lifetime without any
+unbounded in-memory state. The index is a parquet table of md5
+fingerprints — the same normalize+md5 identity the batch dedup
+operators use (operators/dedup.py), so batch and streaming admission
+agree on what "duplicate" means.
+
+Per micro-batch (foreachBatch):
+  1. fingerprint the incoming docs (fp_md5 of normalized text);
+  2. collapse duplicates WITHIN the batch (min doc_id per fp — same
+     keep-first rule as batch dedup);
+  3. anti-join against the at-rest fingerprint index;
+  4. append surviving fingerprints to the index, THEN the surviving
+     docs to the corpus.
+
+Delivery note (mirrors the batcher's ST3 at-least-once divergence):
+the two appends are not one transaction. Fingerprints land first, so
+a crash between the writes can LOSE that batch's docs but can never
+ADMIT a duplicate — for training corpora the right failure side
+(a missing doc costs a sliver of data; a duplicated doc biases the
+model and defeats the dedup contract). A retried batch re-anti-joins
+against the already-updated index and becomes a no-op.
+
+Scale: the anti-join is a join of the micro-batch (small) against the
+fingerprint index (corpus-sized but 16 bytes/doc — ~1.6 TB per 10^11
+docs, a normal shuffle-join partner, and bucketable on fp_md5 to make
+admission a map-side join).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from clickhouse_observability_spark.operators.text_analysis import fingerprint_md5
+
+DOC_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+class CorpusIngest:
+    """File-fed streaming corpus ingestion with at-rest-index dedup."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus_dir: str,
+        inbox_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 8,
+        trigger_ms: int = 100,
+    ):
+        self.spark = spark
+        self.docs_dir = os.path.join(corpus_dir, "docs")
+        self.index_dir = os.path.join(corpus_dir, "_index", "fingerprints")
+        self.inbox_dir = inbox_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self.trigger_ms = trigger_ms
+        self.query: StreamingQuery | None = None
+        os.makedirs(inbox_dir, exist_ok=True)
+
+    # -- producer side --------------------------------------------------
+    def submit_many(self, docs: Iterable[Mapping]) -> int:
+        docs = list(docs)
+        if not docs:
+            return 0
+        name = uuid.uuid4().hex
+        tmp = os.path.join(self.inbox_dir, f".{name}.jsonl.tmp")
+        dst = os.path.join(self.inbox_dir, f"{name}.jsonl")
+        with open(tmp, "w") as f:
+            for d in docs:
+                f.write(json.dumps(dict(d)) + "\n")
+        os.rename(tmp, dst)  # atomic publish
+        return len(docs)
+
+    # -- admission ------------------------------------------------------
+    def _known_fps(self) -> DataFrame | None:
+        if not os.path.exists(self.index_dir):
+            return None
+        return self.spark.read.parquet(self.index_dir)
+
+    def _admit(self, batch_df: DataFrame, batch_id: int) -> None:
+        fp = batch_df.withColumn("fp_md5", fingerprint_md5("text"))
+        # within-batch keep-first: one winner per fingerprint
+        first = fp.groupBy("fp_md5").agg(
+            F.min(F.struct("doc_id", "text", "source")).alias("r")
+        ).select("fp_md5", "r.doc_id", "r.text", "r.source")
+        known = self._known_fps()
+        if known is not None:
+            first = first.join(known, "fp_md5", "left_anti")
+        # fingerprints first (see delivery note): duplicates can never
+        # be admitted, even on crash-retry
+        first.select("fp_md5").write.mode("append").parquet(self.index_dir)
+        first.select("doc_id", "text", "source").write.mode("append").parquet(
+            self.docs_dir
+        )
+
+    # -- stream lifecycle ----------------------------------------------
+    def start(self) -> StreamingQuery:
+        src = (
+            self.spark.readStream.schema(DOC_WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .option("mode", "DROPMALFORMED")
+            .json(self.inbox_dir)
+        )
+        self.query = (
+            src.writeStream.trigger(processingTime=f"{self.trigger_ms} milliseconds")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .foreachBatch(self._admit)
+            .start()
+        )
+        return self.query
+
+    def stop(self, drain: bool = True) -> None:
+        if self.query is None:
+            return
+        if drain:
+            self.query.processAllAvailable()
+        self.query.stop()
+        self.query = None
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.docs_dir)

@@ -128,3 +128,63 @@ def test_per_trigger_size_cap(stream):
     # progress shows batches bounded by the cap (4 files -> ≤8 rows each)
     n_batches = len(q.recentProgress)
     assert n_batches >= 2
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus ingestion with full-history dedup
+# ---------------------------------------------------------------------------
+
+def test_corpus_ingest_dedups_across_batches(spark, tmp_path):
+    from clickhouse_observability_spark.streaming.corpus_ingest import CorpusIngest
+
+    ing = CorpusIngest(
+        spark,
+        corpus_dir=str(tmp_path / "corpus"),
+        inbox_dir=str(tmp_path / "inbox"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch_a = [
+        {"doc_id": 1, "text": "the quick brown fox", "source": "web"},
+        {"doc_id": 2, "text": "jumps over the lazy dog", "source": "web"},
+        {"doc_id": 3, "text": "The  Quick   Brown Fox ", "source": "x"},  # dup of 1
+    ]
+    ing.submit_many(batch_a)
+    ing.start()
+    ing.query.processAllAvailable()
+    got = {r.doc_id for r in ing.read().collect()}
+    assert got == {1, 2}  # within-batch dup collapsed, keep-first
+
+    # a LATER batch resubmitting old content (beyond any watermark
+    # horizon) is still rejected by the at-rest index
+    batch_b = [
+        {"doc_id": 10, "text": "the quick brown fox", "source": "crawl"},  # dup of 1
+        {"doc_id": 11, "text": "a genuinely new document", "source": "crawl"},
+    ]
+    ing.submit_many(batch_b)
+    ing.query.processAllAvailable()
+    ing.stop(drain=False)
+    rows = ing.read().collect()
+    assert {r.doc_id for r in rows} == {1, 2, 11}
+    # fingerprint index matches corpus 1:1
+    fps = spark.read.parquet(str(tmp_path / "corpus" / "_index" / "fingerprints"))
+    assert fps.count() == 3 and fps.distinct().count() == 3
+
+
+def test_corpus_ingest_restart_is_idempotent(spark, tmp_path):
+    from clickhouse_observability_spark.streaming.corpus_ingest import CorpusIngest
+
+    kw = dict(
+        corpus_dir=str(tmp_path / "corpus"),
+        inbox_dir=str(tmp_path / "inbox"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ing = CorpusIngest(spark, **kw)
+    ing.submit_many([{"doc_id": 1, "text": "alpha beta", "source": "s"}])
+    ing.start(); ing.query.processAllAvailable(); ing.stop(drain=False)
+
+    # restart from the same checkpoint; resubmit identical content
+    ing2 = CorpusIngest(spark, **kw)
+    ing2.submit_many([{"doc_id": 2, "text": "ALPHA  beta", "source": "s"}])
+    ing2.start(); ing2.query.processAllAvailable(); ing2.stop(drain=False)
+    rows = ing2.read().collect()
+    assert [r.doc_id for r in rows] == [1]
