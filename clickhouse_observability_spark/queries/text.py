@@ -576,3 +576,48 @@ def text_quality_sample(spark, sf_dir):
     (md5-fraction acceptance — domain mixing generalized from
     per-source rates to per-doc weights)."""
     return TX.quality_weighted_sample(table(spark, sf_dir, "documents"))
+
+
+@register("text_training_pipeline")
+def text_training_pipeline(spark, sf_dir):
+    """The FULL corpus -> trainer handoff in one plan — the flagship
+    composition of the LLM-pipeline surface:
+
+      1. curation (exact-dedup ∩ quality ∩ non-repetitive −
+         contaminated, lang + split tagged — text_corpus_curation);
+      2. near-dup collapse: MinHash pairs -> connected components ->
+         one canonical keeper per cluster (dedup_neardup_clusters);
+      3. sequence packing of the surviving train split into
+         fixed-budget chunks (text_pack_chunks layout).
+
+    Output: one row per (doc, chunk) span of the FINAL curated,
+    near-dup-free train corpus. Rows-only (every constituent stage is
+    individually adjudicated — oracle or union-find/python-reference
+    pytest); pytest pins the composition invariants."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    curated = queries_ref()["text_corpus_curation"](spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(
+        docs, threshold=0.9, cache_key=f"{sf_dir}/documents"
+    )
+    comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
+    keepers = D.canonical_per_component(docs, comps).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    train_ids = (
+        curated.filter(F.col("split") == "train")
+        .join(keepers, "doc_id", "left_semi")
+        .select("doc_id")
+    )
+    final_docs = docs.join(train_ids, "doc_id", "left_semi")
+    return TX.pack_training_chunks(final_docs, budget=512)
+
+
+def queries_ref():
+    """Late import to avoid a registry import cycle."""
+    from clickhouse_observability_spark.registry import queries
+
+    return queries()

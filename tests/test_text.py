@@ -596,3 +596,31 @@ def test_quality_weighted_sample_nests_and_is_deterministic(spark, sf_small):
     w = {r.doc_id: r.weight for r in
          TX.quality_weighted_sample(docs, scale=1.0).collect()}
     assert all(not s2[d] for d, wt in w.items() if wt == 0.0)
+
+
+def test_training_pipeline_composition_invariants(spark, sf_small):
+    from clickhouse_observability_spark.operators import dedup as D
+    from clickhouse_observability_spark.registry import queries
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    qs = queries()
+    packed = qs["text_training_pipeline"](spark, sf_small).collect()
+    assert len(packed) > 0
+    packed_ids = {r.doc_id for r in packed}
+    # every packed doc survived curation AND is its cluster's keeper
+    curated = qs["text_corpus_curation"](spark, sf_small)
+    train = {r.doc_id for r in curated.collect() if r.split == "train"}
+    assert packed_ids <= train
+    docs = load_table(spark, sf_small, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.9)
+    comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
+    keepers = {r.keep_doc_id for r in
+               D.canonical_per_component(docs, comps).collect()}
+    assert packed_ids <= keepers
+    assert packed_ids == train & keepers
+    # chunk stream well-formed: full chunks except the last
+    fill = {}
+    for r in packed:
+        fill[r.chunk_id] = fill.get(r.chunk_id, 0) + r.n_toks
+    last = max(fill)
+    assert all(v == 512 for k, v in fill.items() if k != last)
