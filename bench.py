@@ -209,6 +209,48 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp3, ignore_errors=True)
 
+    # Corpus-admission throughput: the full-history online-dedup
+    # streaming path (fingerprint -> within-batch keep-first ->
+    # anti-join vs at-rest index -> index+docs append), 20k docs at a
+    # 25% duplicate rate.
+    from clickhouse_observability_spark.streaming.corpus_ingest import CorpusIngest
+
+    tmp4 = tempfile.mkdtemp(prefix="chobs-corpus-ingest-")
+    try:
+        n_docs = 20_000
+        docs_wire = [
+            {
+                "doc_id": i,
+                # every 4th doc repeats an earlier text -> exercised dedup
+                "text": f"document body {i if i % 4 else i // 4} "
+                        f"with some shared tokens and id tail {i if i % 4 else i // 4}",
+                "source": f"src-{i % 5}",
+            }
+            for i in range(n_docs)
+        ]
+        ci = CorpusIngest(
+            spark,
+            corpus_dir=tmp4 + "/corpus",
+            inbox_dir=tmp4 + "/inbox",
+            checkpoint_dir=tmp4 + "/ckpt",
+            max_files_per_trigger=16,
+            trigger_ms=500,
+        )
+        # 4 inbox files of 5k docs each
+        for i in range(0, n_docs, 5000):
+            ci.submit_many(docs_wire[i:i + 5000])
+        t0 = time.time()
+        ci.start()
+        ci.query.processAllAvailable()
+        dt_corpus = time.time() - t0
+        ci.stop(drain=False)
+        admitted = ci.read().count()
+        assert admitted < n_docs  # dedup actually rejected the repeats
+        times["corpus_ingest_20k_docs"] = round(dt_corpus, 3)
+        corpus_ingest_dps = round(n_docs / dt_corpus, 1)
+    finally:
+        shutil.rmtree(tmp4, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -222,6 +264,7 @@ def main() -> None:
                 "bench_runs": n_runs,
                 "streaming_ingest_rows_per_sec": streaming_rps,
                 "streaming_ingest_rows_per_sec_tuned": streaming_rps_tuned,
+                "corpus_ingest_docs_per_sec": corpus_ingest_dps,
                 "ivf_index_build_sec": ivf_build_sec,
                 "sf": float(sf) if sf else None,
             }
