@@ -162,3 +162,47 @@ def test_q6_single_codegen_span_with_pushdown(spark, sf_small):
         assert whole_stage_codegen_spans(out) >= 1
     finally:
         spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+def test_winnowing_is_map_only(spark, sf_small):
+    # map-only claim: per-doc array math, zero Exchange anywhere
+    # (except the adaptive small-corpus respread, which is itself the
+    # only allowed exchange)
+    from clickhouse_observability_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+    from clickhouse_observability_spark.plans.explain import shuffle_count
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = winnowing_fingerprints(docs, k=5, window=4)
+    assert shuffle_count(out) <= 1  # 0 on many-file corpora; 1 = respread
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Generate" in plan  # 0/1-elem explode
+
+
+def test_unigram_logprob_two_keyed_shuffles(spark, sf_small):
+    # token-count aggregate + per-doc aggregate; the totals frame rides
+    # as a broadcast, never a driver collect
+    from clickhouse_observability_spark.operators.text_analysis import (
+        unigram_logprob,
+    )
+    from clickhouse_observability_spark.plans.explain import shuffle_count
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = unigram_logprob(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # one-row totals + (small-corpus) probs side
+    assert shuffle_count(out) <= 4
+
+
+def test_quality_sample_is_map_only(spark, sf_small):
+    from clickhouse_observability_spark.operators.text_analysis import (
+        quality_weighted_sample,
+    )
+    from clickhouse_observability_spark.plans.explain import shuffle_count
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    assert shuffle_count(quality_weighted_sample(docs)) == 0
