@@ -166,3 +166,92 @@ def test_pii_counts_match_python_re(spark, texts):
             assert getattr(rows[i], f"n_{name}") == len(re.findall(pat, t)), (
                 name, t
             )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing vs python reference on randomized corpora
+# ---------------------------------------------------------------------------
+
+words = st.sampled_from(["alpha", "beta", "gamma", "x", "token"])
+
+
+@st.composite
+def doc_corpus(draw):
+    n = draw(st.integers(min_value=0, max_value=18))
+    rows = []
+    for i in range(n):
+        n_words = draw(st.integers(0, 40))
+        text = " ".join(draw(words) for _ in range(n_words))
+        # whitespace-noise variants exercise the tokenizer edge cases
+        if draw(st.booleans()):
+            text = "  " + text.replace(" ", "   ", 1) if text else "   "
+        rows.append((i, text))
+    return rows
+
+
+@given(doc_corpus(), st.sampled_from([3, 7, 16]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_chunks_property_matches_reference(spark, rows, budget):
+    import re
+
+    from clickhouse_observability_spark.operators.text_analysis import (
+        pack_training_chunks,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows else \
+        spark.createDataFrame([], "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.doc_tok_start, r.chunk_tok_start, r.n_toks)
+        for r in pack_training_chunks(df, budget=budget).collect()
+    )
+    exp = []
+    pos = 0
+    for doc_id, text in sorted(rows):
+        n = len([t for t in re.split(r"\s+", text.strip().lower()) if t])
+        if not n:
+            continue
+        start = pos
+        for chunk in range(start // budget, (start + n - 1) // budget + 1):
+            lo = max(start, chunk * budget)
+            hi = min(start + n, (chunk + 1) * budget)
+            exp.append((doc_id, chunk, lo - start, lo - chunk * budget, hi - lo))
+        pos += n
+    assert got == sorted(exp)
+
+
+@given(st.lists(st.text(alphabet="ab c\n\t", min_size=0, max_size=30),
+                min_size=0, max_size=8))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnowing_property_matches_reference(spark, texts):
+    import hashlib
+    import re
+
+    from clickhouse_observability_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows else \
+        spark.createDataFrame([], "doc_id long, text string")
+    got = {r.doc_id: (r.n_fingerprints, r.min_fp)
+           for r in winnowing_fingerprints(df, k=3, window=2).collect()}
+
+    def ref(text, k=3, window=2):
+        # SQL trim strips SPACES only (both engines agree); a python
+        # str.strip() here would diverge on edge \n/\t — found by this
+        # very property test
+        norm = re.sub(r"\s+", " ", text.strip(" ")).lower()
+        if len(norm) < k:
+            return None
+        gs = [hashlib.md5(norm[i:i + k].encode()).hexdigest()
+              for i in range(len(norm) - k + 1)]
+        if len(gs) < window:
+            return None
+        fps = [min(gs[p - window + 1:p + 1]) for p in range(window - 1, len(gs))]
+        return (len(set(fps)), min(fps))
+
+    exp = {i: ref(t) for i, t in rows}
+    exp = {i: v for i, v in exp.items() if v is not None}
+    assert got == exp
