@@ -823,25 +823,28 @@ def neardup_components(
     pairs: DataFrame,
     a: str = "a",
     b: str = "b",
-    max_iterations: int = 20,
+    max_iterations: int = 30,
 ) -> DataFrame:
     """(doc_id, component_id): connected components of a near-dup pair
     graph — the clustering step between "these docs look alike"
     (pair generators above) and "keep one canonical doc per group"
     (canonical_per_component).
 
-    Min-label propagation: every node starts as its own label; each
-    round, a node adopts the smallest label among itself and its
-    neighbors; fixpoint = components labeled by their smallest doc_id.
-    Rounds are whole-graph joins (one shuffle each) and the round
-    count is bounded by the cluster DIAMETER — for dedup graphs that
-    is small (near-dup clusters are dense blobs, not long chains), so
-    at 100 TB this is a handful of shuffles, each the size of the
-    (already LSH-pruned) edge list. Each round is localCheckpoint-ed:
-    `labels` feeds BOTH sides of the next round's join, so without
-    lineage truncation the logical plan doubles per iteration
-    (2^rounds analyzer nodes — an OOM long before the data is big).
-    Convergence is an exact changed-row count (0 -> stop).
+    Min-label propagation with POINTER JUMPING: every node starts as
+    its own label; each round it (1) adopts the smallest label among
+    itself and its neighbors, then (2) adopts its label's label (path
+    halving). Fixpoint = components labeled by their smallest doc_id,
+    reached in O(log diameter) rounds — worst-case chains included,
+    not just the dense blobs dedup graphs usually form. Rounds are
+    whole-graph joins (one shuffle each) over the (already LSH-pruned)
+    edge list. Each round is localCheckpoint-ed: `labels` feeds BOTH
+    sides of the next round's joins, so without lineage truncation the
+    logical plan doubles per iteration (2^rounds analyzer nodes — an
+    OOM long before the data is big). Convergence is an exact
+    changed-row count (0 -> stop); exhausting max_iterations without
+    converging RAISES rather than silently returning partial labels
+    (merged-cluster output that under-deduped would be a correctness
+    bug downstream).
     """
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -875,6 +878,23 @@ def neardup_components(
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
+        # pointer jump: label <- label[label] (path halving)
+        l1, l2 = labels.alias("l1"), labels.alias("l2")
+        labels = (
+            l1.join(
+                l2, F.col("l1.component_id") == F.col("l2.doc_id"), "left"
+            ).select(
+                F.col("l1.doc_id").alias("doc_id"),
+                F.coalesce(
+                    F.col("l2.component_id"), F.col("l1.component_id")
+                ).alias("component_id"),
+            )
+        ).localCheckpoint(eager=True)
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iterations} rounds"
+        )
     edges.unpersist()
     return labels
 

@@ -261,3 +261,26 @@ def test_canonical_keep_list_on_testdata(spark, sf_small):
     exp = _union_find_components(edge_list)
     got = {r.doc_id: r.component_id for r in comps.collect()}
     assert got == exp
+
+
+def test_components_chain_converges_in_log_rounds(spark):
+    # pointer jumping: a 60-node path converges well under 60 rounds —
+    # max_iterations=10 suffices for log2(60)+slack
+    edges = [(i, i + 1) for i in range(60)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    from clickhouse_observability_spark.operators.dedup import neardup_components
+
+    got = {r.doc_id: r.component_id for r in
+           neardup_components(pairs, max_iterations=10).collect()}
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from clickhouse_observability_spark.operators.dedup import neardup_components
+
+    edges = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(pairs, max_iterations=1)
