@@ -53,6 +53,18 @@ HEADLINE = [
 
 
 def main() -> None:
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    # Fresh index warehouse per bench run (unless the caller pinned
+    # one): the sidecar store persists across processes, so a reused
+    # warehouse would make ivf_index_build_sec measure a parquet
+    # read-back instead of an index build from the second run on.
+    owned_warehouse = None
+    if "SPARK_GRAFT_WAREHOUSE" not in os.environ:
+        owned_warehouse = _tempfile.mkdtemp(prefix="chobs-bench-warehouse-")
+        os.environ["SPARK_GRAFT_WAREHOUSE"] = owned_warehouse
+
     from clickhouse_observability_spark.session import get_spark
 
     spark = get_spark("chobs-bench")
@@ -270,6 +282,8 @@ def main() -> None:
             }
         )
     )
+    if owned_warehouse:
+        _shutil.rmtree(owned_warehouse, ignore_errors=True)
 
 
 if __name__ == "__main__":

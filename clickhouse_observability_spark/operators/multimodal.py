@@ -255,7 +255,11 @@ def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
     """
     b = bytes(payload or b"")
     if b[:2] in (b"P6", b"P5", b"P3", b"P2") and len(b) > 2 and b[2:3].isspace():
-        return _parse_pnm(b)
+        try:
+            return _parse_pnm(b)
+        except ValueError:
+            if not fake:
+                raise  # with fake=True, malformed PNM falls through to the tile
     if b[:2] == b"BM" and len(b) >= 54:
         try:
             return _parse_bmp(b)

@@ -53,7 +53,11 @@ def token_stats(documents: DataFrame) -> DataFrame:
         F.length("text").alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.round(n_nonspace / n_tokens, 4).alias("avg_token_len"),
+        # NULL (not ANSI DIVIDE_BY_ZERO) for zero-token docs, like the
+        # other ratio columns in this module
+        F.round(F.when(n_tokens > 0, n_nonspace / n_tokens), 4).alias(
+            "avg_token_len"
+        ),
     )
 
 
@@ -697,10 +701,13 @@ def token_distribution_drift(a: DataFrame, b: DataFrame) -> DataFrame:
         )
 
     ca, cb = _counts(a, "ca"), _counts(b, "cb")
+    # persisted: the joint vocab frame feeds two aggregates (totals
+    # for smoothing, then the divergence sums) — without it both
+    # corpora's token aggregations and the outer join run twice
     joint = ca.join(cb, "tok", "full_outer").select(
         F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
         F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
-    )
+    ).persist()
     # totals folded in the same aggregate pass via sum windows-free
     # arithmetic: smoothing needs vocab size + totals, so aggregate
     # twice over the (vocab-sized) joint frame — both jobs are tiny.
@@ -712,39 +719,46 @@ def token_distribution_drift(a: DataFrame, b: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("ca") == 0, F.col("cb")).otherwise(0)).alias("oov_a_mass"),
     ).collect()[0]
     na, nb, v = tot.na or 0, tot.nb or 0, tot.v or 0
-    if v == 0:
-        from pyspark.sql import types as T
+    from pyspark.sql import types as T
 
-        schema = T.StructType([
-            T.StructField("n_tokens_a", T.LongType()),
-            T.StructField("n_tokens_b", T.LongType()),
-            T.StructField("vocab_joint", T.LongType()),
-            T.StructField("oov_frac_a_in_b", T.DoubleType()),
-            T.StructField("oov_frac_b_in_a", T.DoubleType()),
-            T.StructField("kl_a_b", T.DoubleType()),
-            T.StructField("kl_b_a", T.DoubleType()),
-            T.StructField("js", T.DoubleType()),
-        ])
+    schema = T.StructType([
+        T.StructField("n_tokens_a", T.LongType()),
+        T.StructField("n_tokens_b", T.LongType()),
+        T.StructField("vocab_joint", T.LongType()),
+        T.StructField("oov_frac_a_in_b", T.DoubleType()),
+        T.StructField("oov_frac_b_in_a", T.DoubleType()),
+        T.StructField("kl_a_b", T.DoubleType()),
+        T.StructField("kl_b_a", T.DoubleType()),
+        T.StructField("js", T.DoubleType()),
+    ])
+    if v == 0:
+        joint.unpersist()
         return a.sparkSession.createDataFrame(
             [(0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0)], schema)
     pa = (F.col("ca") + 1) / F.lit(float(na + v))  # add-one smoothing
     pb = (F.col("cb") + 1) / F.lit(float(nb + v))
     pm = (pa + pb) / 2
-    agg = joint.agg(
+    kl = joint.agg(
         F.sum(pa * F.log(pa / pb)).alias("kl_a_b"),
         F.sum(pb * F.log(pb / pa)).alias("kl_b_a"),
         (F.sum(pa * F.log(pa / pm)) / 2
          + F.sum(pb * F.log(pb / pm)) / 2).alias("js"),
-    )
-    return agg.select(
-        F.lit(na).cast("long").alias("n_tokens_a"),
-        F.lit(nb).cast("long").alias("n_tokens_b"),
-        F.lit(v).cast("long").alias("vocab_joint"),
-        F.round(F.lit(tot.oov_a_mass / nb if nb else 0.0), 6).alias("oov_frac_a_in_b"),
-        F.round(F.lit(tot.oov_b_mass / na if na else 0.0), 6).alias("oov_frac_b_in_a"),
-        F.round(F.col("kl_a_b"), 6).alias("kl_a_b"),
-        F.round(F.col("kl_b_a"), 6).alias("kl_b_a"),
-        F.round(F.col("js"), 6).alias("js"),
+    ).collect()[0]
+    joint.unpersist()
+    # the report is ONE bounded row — materialized so the persisted
+    # joint frame can be released before returning
+
+    def _r6(x: float) -> float:
+        return float(f"{x:.6f}")
+
+    return a.sparkSession.createDataFrame(
+        [(
+            int(na), int(nb), int(v),
+            _r6(tot.oov_a_mass / nb if nb else 0.0),
+            _r6(tot.oov_b_mass / na if na else 0.0),
+            _r6(kl.kl_a_b), _r6(kl.kl_b_a), _r6(kl.js),
+        )],
+        schema,
     )
 
 
@@ -820,11 +834,21 @@ def pack_training_chunks_grouped(
     subtotal_rows = (
         t.groupBy("grp", "_pid").agg(F.sum("n_tokens").alias("total")).collect()
     )
+    # NULL groups need an explicit sentinel on BOTH sides of the
+    # lookup: concat_ws silently skips NULL columns, which would
+    # collapse the runtime key to the bare pid while the driver map
+    # says "None\x01pid" — every NULL-group partition would then fall
+    # back to offset 0 and overlap.
+    _NULL_GRP = "\x00<NULL>"
+
+    def _gkey(g) -> str:
+        return _NULL_GRP if g is None else str(g)
+
     offsets: dict[tuple, int] = {}
     acc: dict = {}
-    for r in sorted(subtotal_rows, key=lambda r: (str(r.grp), r._pid)):
-        offsets[(r.grp, r._pid)] = acc.get(r.grp, 0)
-        acc[r.grp] = acc.get(r.grp, 0) + r.total
+    for r in sorted(subtotal_rows, key=lambda r: (_gkey(r.grp), r._pid)):
+        offsets[(_gkey(r.grp), r._pid)] = acc.get(_gkey(r.grp), 0)
+        acc[_gkey(r.grp)] = acc.get(_gkey(r.grp), 0) + r.total
     offset_map = F.create_map(
         *[
             F.lit(x)
@@ -832,7 +856,11 @@ def pack_training_chunks_grouped(
             for x in (f"{g}\x01{pid}", off)
         ]
     ) if offsets else F.create_map()
-    key = F.concat_ws("\x01", F.col("grp"), F.col("_pid").cast("string"))
+    key = F.concat_ws(
+        "\x01",
+        F.coalesce(F.col("grp").cast("string"), F.lit(_NULL_GRP)),
+        F.col("_pid").cast("string"),
+    )
     spans = local.select(
         "grp",
         "doc_id",

@@ -604,13 +604,14 @@ def text_training_pipeline(spark, sf_dir):
         docs, threshold=0.9, cache_key=f"{sf_dir}/documents"
     )
     comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
-    keepers = D.canonical_per_component(docs, comps).select(
+    # Keeper election runs over the CURATED TRAIN SURVIVORS, not the
+    # raw corpus: if a cluster's global-min doc was itself curated
+    # away (contaminated / low quality / val split), the cluster must
+    # still keep its best surviving member — electing keepers on the
+    # raw corpus would silently drop the whole cluster.
+    train_docs = curated.filter(F.col("split") == "train").select("doc_id")
+    train_ids = D.canonical_per_component(train_docs, comps).select(
         F.col("keep_doc_id").alias("doc_id")
-    )
-    train_ids = (
-        curated.filter(F.col("split") == "train")
-        .join(keepers, "doc_id", "left_semi")
-        .select("doc_id")
     )
     final_docs = docs.join(train_ids, "doc_id", "left_semi")
     return TX.pack_training_chunks(final_docs, budget=512)

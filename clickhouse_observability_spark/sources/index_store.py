@@ -20,8 +20,12 @@ own `_SUCCESS` marker: an interrupted write leaves no marker and the
 next build overwrites it.
 
 Scale note: a real deployment points SPARK_GRAFT_WAREHOUSE at shared
-storage (object store / DFS); nothing here assumes a local FS beyond
-what `spark.read.parquet` already requires.
+storage (object store / DFS). The parquet reads/writes are already
+storage-agnostic; the ONE local-FS assumption is the `_SUCCESS` probe
+in `has_artifact` (os.path.exists) — a DFS deployment swaps that probe
+for the filesystem client's exists() (e.g. Hadoop FileSystem via the
+JVM gateway). Kept driver-local here because this environment runs
+local[*] and the probe must not require a SparkSession.
 """
 
 from __future__ import annotations

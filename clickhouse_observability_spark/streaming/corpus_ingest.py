@@ -107,8 +107,18 @@ class CorpusIngest:
         known = self._known_fps()
         if known is not None:
             first = first.join(known, "fp_md5", "left_anti")
-        # fingerprints first (see delivery note): duplicates can never
-        # be admitted, even on crash-retry
+        # localCheckpoint (NOT persist) before the two appends: the
+        # admitted rows must be materialized with the index scan CUT
+        # OUT of the lineage. A persisted frame is invalidated by
+        # Spark's recacheByPath the moment the fingerprint append
+        # touches the index path — the docs write then RE-RUNS the
+        # anti-join against the refreshed index (now containing this
+        # batch's own fingerprints) and silently admits nothing. The
+        # checkpoint also means the dedup plan runs once per batch,
+        # not once per write.
+        first = first.localCheckpoint(eager=True)
+        # fingerprints first (see delivery note): duplicates can
+        # never be admitted, even on crash-retry
         first.select("fp_md5").write.mode("append").parquet(self.index_dir)
         first.select("doc_id", "text", "source").write.mode("append").parquet(
             self.docs_dir

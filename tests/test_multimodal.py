@@ -156,3 +156,13 @@ def test_resize_upscale_and_identity(spark):
         assert ident[r.media_id] == flat
     up = M.resize_images(media, 16, 16).collect()
     assert all(len(bytes(r.resized)) == 256 for r in up)
+
+
+def test_malformed_pnm_falls_back_with_fake(spark):
+    # fake=True must survive arbitrary bytes EVEN when they start with
+    # a PNM magic: malformed headers fall through to the hash tile
+    bad = b"P6 garbage that is not a header"
+    with pytest.raises(ValueError):
+        M.decode_image(bad)
+    tile = M.decode_image(bad, fake=True)
+    assert len(tile) == 8 and len(tile[0]) == 8

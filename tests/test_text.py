@@ -607,20 +607,45 @@ def test_training_pipeline_composition_invariants(spark, sf_small):
     packed = qs["text_training_pipeline"](spark, sf_small).collect()
     assert len(packed) > 0
     packed_ids = {r.doc_id for r in packed}
-    # every packed doc survived curation AND is its cluster's keeper
+    # every packed doc survived curation; exactly ONE survivor (the
+    # min surviving doc_id) is kept per near-dup component — keeper
+    # election runs over the curated-train survivors, so a cluster
+    # whose raw-corpus minimum was curated away still keeps its best
+    # surviving member
     curated = qs["text_corpus_curation"](spark, sf_small)
     train = {r.doc_id for r in curated.collect() if r.split == "train"}
     assert packed_ids <= train
     docs = load_table(spark, sf_small, "documents")
     pairs = D.minhash_dedup_pairs(docs, threshold=0.9)
-    comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
-    keepers = {r.keep_doc_id for r in
-               D.canonical_per_component(docs, comps).collect()}
-    assert packed_ids <= keepers
-    assert packed_ids == train & keepers
+    comps = {r.doc_id: r.component_id for r in
+             D.neardup_components(pairs, a="doc_a", b="doc_b").collect()}
+    by_comp = {}
+    for d in train:
+        by_comp.setdefault(comps.get(d, d), []).append(d)
+    expected = {min(ds) for ds in by_comp.values()}
+    assert packed_ids == expected
     # chunk stream well-formed: full chunks except the last
     fill = {}
     for r in packed:
         fill[r.chunk_id] = fill.get(r.chunk_id, 0) + r.n_toks
     last = max(fill)
     assert all(v == 512 for k, v in fill.items() if k != last)
+
+
+def test_pack_grouped_null_group_spanning_partitions(spark):
+    # regression: NULL group values must get a real offset-map key —
+    # concat_ws silently drops NULL columns, which previously reset
+    # every NULL-group partition's cumsum to zero
+    rows = [(i, "tok " * 20, None if i % 2 else "src") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = TX.pack_training_chunks_grouped(df, budget=64, group_by="source")
+    rows_out = out.collect()
+    null_rows = [r for r in rows_out if r.source is None]
+    assert null_rows
+    # token conservation + non-overlapping spans within the NULL group
+    fill = {}
+    for r in null_rows:
+        fill[r.chunk_id] = fill.get(r.chunk_id, 0) + r.n_toks
+    last = max(fill)
+    assert all(v == 64 for k, v in fill.items() if k != last)
+    assert sum(fill.values()) == 200 * 20  # every NULL-group token once
