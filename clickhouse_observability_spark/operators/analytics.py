@@ -26,12 +26,19 @@ def counts_by_type(events: DataFrame) -> DataFrame:
 
 
 def type_panel(events: DataFrame) -> DataFrame:
-    """Row count + exact distinct users per event_type in ONE groupBy
-    — the two per-type profiling aggregates share a single shuffle
-    (and a single registry slot in the oracle window)."""
+    """Row count + exact distinct users + full numeric value profile
+    per event_type in ONE groupBy — every per-type profiling aggregate
+    shares a single shuffle (and a single registry slot in the oracle
+    window; the value-stats columns were folded in r4 to free the
+    standalone agg_value_stats slot). Float sums rounded (2dp/4dp)
+    because summation order differs across engines."""
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
     )
 
 

@@ -817,6 +817,12 @@ def pack_training_chunks_grouped(
 
     sc = documents.sparkSession.sparkContext
     nparts = max(2, sc.defaultParallelism)
+    # NULL groups need an explicit sentinel on BOTH sides of the
+    # lookup: concat_ws silently skips NULL columns, which would
+    # collapse the runtime key to the bare pid while the driver map
+    # says "None\x01pid" — every NULL-group partition would then fall
+    # back to offset 0 and overlap.
+    _NULL_GRP = "\x00<NULL>"
     toks = documents.select(
         F.col(group_by).alias("grp"),
         "doc_id",
@@ -825,6 +831,16 @@ def pack_training_chunks_grouped(
     t = (
         toks.repartitionByRange(nparts, F.col("grp").asc(), F.col(order_by).asc())
         .withColumn("_pid", F.spark_partition_id())
+        # the group-as-string lookup key is computed by SPARK's cast on
+        # both sides (collected here for the driver map, reused below
+        # for the runtime lookup) — a python str(g) would diverge from
+        # Spark's rendering for booleans ('True' vs 'true'), floats in
+        # scientific notation, timestamps, ..., silently coalescing
+        # every lookup to offset 0 (the NULL-group bug generalized).
+        .withColumn(
+            "_gkey",
+            F.coalesce(F.col("grp").cast("string"), F.lit(_NULL_GRP)),
+        )
         .localCheckpoint(eager=True)
     )
     w_local = W.partitionBy("grp", "_pid").orderBy(F.col(order_by).asc())
@@ -832,23 +848,13 @@ def pack_training_chunks_grouped(
         "_local_start", F.sum("n_tokens").over(w_local) - F.col("n_tokens")
     )
     subtotal_rows = (
-        t.groupBy("grp", "_pid").agg(F.sum("n_tokens").alias("total")).collect()
+        t.groupBy("_gkey", "_pid").agg(F.sum("n_tokens").alias("total")).collect()
     )
-    # NULL groups need an explicit sentinel on BOTH sides of the
-    # lookup: concat_ws silently skips NULL columns, which would
-    # collapse the runtime key to the bare pid while the driver map
-    # says "None\x01pid" — every NULL-group partition would then fall
-    # back to offset 0 and overlap.
-    _NULL_GRP = "\x00<NULL>"
-
-    def _gkey(g) -> str:
-        return _NULL_GRP if g is None else str(g)
-
     offsets: dict[tuple, int] = {}
     acc: dict = {}
-    for r in sorted(subtotal_rows, key=lambda r: (_gkey(r.grp), r._pid)):
-        offsets[(_gkey(r.grp), r._pid)] = acc.get(_gkey(r.grp), 0)
-        acc[_gkey(r.grp)] = acc.get(_gkey(r.grp), 0) + r.total
+    for r in sorted(subtotal_rows, key=lambda r: (r._gkey, r._pid)):
+        offsets[(r._gkey, r._pid)] = acc.get(r._gkey, 0)
+        acc[r._gkey] = acc.get(r._gkey, 0) + r.total
     offset_map = F.create_map(
         *[
             F.lit(x)
@@ -857,9 +863,7 @@ def pack_training_chunks_grouped(
         ]
     ) if offsets else F.create_map()
     key = F.concat_ws(
-        "\x01",
-        F.coalesce(F.col("grp").cast("string"), F.lit(_NULL_GRP)),
-        F.col("_pid").cast("string"),
+        "\x01", F.col("_gkey"), F.col("_pid").cast("string")
     )
     spans = local.select(
         "grp",

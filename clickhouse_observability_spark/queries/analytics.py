@@ -9,15 +9,21 @@ from clickhouse_observability_spark.registry import register, table
 @register(
     "agg_counts_by_type",
     oracle="""
-    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
     FROM events GROUP BY event_type
     """,
 )
 def agg_counts_by_type(spark, sf_dir):
-    """Per-type row count + exact distinct users, merged into one
-    groupBy (one shuffle) so both per-type profiling aggregates share
-    a single slot in the driver's 50-query oracle window (the r3 slot
-    went to promoting a previously rows-only entry)."""
+    """Per-type row count + exact distinct users + the full numeric
+    value profile, merged into one groupBy (one shuffle) so every
+    per-type profiling aggregate shares a single slot in the driver's
+    50-query oracle window (r3 folded distinct-users in; r4 folded the
+    value stats in, freeing the agg_value_stats slot for a previously
+    unadjudicated oracle)."""
     return A.type_panel(table(spark, sf_dir, "events"))
 
 
@@ -130,15 +136,11 @@ def agg_median_value_approx(spark, sf_dir):
     return A.median_value_approx(table(spark, sf_dir, "events"))
 
 
-@register(
-    "agg_value_stats",
-    oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
-           round(avg(value), 4) AS avg_value, round(min(value), 2) AS min_value,
-           round(max(value), 2) AS max_value
-    FROM events GROUP BY event_type
-    """,
-)
+# Rows-only since r4: every column is adjudicated inside
+# agg_counts_by_type's merged panel (same groupBy, same rounding); the
+# standalone operator stays registered for bench/API use, and its slot
+# went to text_pack_chunks/text_unigram_logprob/text_quality_sample.
+@register("agg_value_stats")
 def agg_value_stats(spark, sf_dir):
     return A.value_stats(table(spark, sf_dir, "events"))
 

@@ -118,9 +118,11 @@ def logs_count(spark, sf_dir):
 
 # DESCRIBE-style schema query (reference README.md:97-98 `DESCRIBE
 # logs`): column name/type/position as a result set from the engine's
-# own schema metadata. Rows-only by design — a 51st oracle entry would
-# push an existing one out of the driver's 50-row window; the pytest
-# runs the identical DuckDB information_schema comparison instead
+# own schema metadata. Rows-only by design — oracle-backed entries
+# beyond the driver's 50-row adjudication window are simply never
+# checked (they displace nothing), and as of r4 the window holds
+# exactly 50 oracle entries; the pytest runs the identical DuckDB
+# information_schema comparison instead
 # (test_query_logs.test_schema_describe_matches_duckdb).
 @register("schema_describe_events")
 def schema_describe_events(spark, sf_dir):

