@@ -105,3 +105,38 @@ def test_pq_query_correct_from_sidecars(spark, sf_small, warehouse):
         )
     assert by_method["brute"] == by_method["pq_rerank_all"]
     assert by_method["brute"] == by_method["ivf_exhaustive"]
+
+
+def test_kmeans_index_built_once_and_reused(
+    spark, sf_small, warehouse, monkeypatch
+):
+    """VERDICT r3 item 3: the k-means IVF index is an at-rest sidecar
+    — the fit runs exactly once per corpus (the build job); the
+    steady-state query path reaches no KMeans.fit at all."""
+    fits = {"n": 0}
+    real = S.kmeans_ivf_index
+
+    def counting(*a, **kw):
+        fits["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(S, "kmeans_ivf_index", counting)
+    first = sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in QS.sim_topk_ivf_kmeans(spark, sf_small).collect()
+    )
+    assert len(first) == 50 and fits["n"] == 1
+    key = IX.corpus_key(sf_small)
+    for name in ("kmeans_assignments", "kmeans_centroids"):
+        assert IX.has_artifact(os.path.join(warehouse, key, name)), name
+
+    # steady state: any fit attempt is a hard failure, query still runs
+    def forbidden(*a, **kw):
+        raise AssertionError("KMeans.fit reached from the query path")
+
+    monkeypatch.setattr(S, "kmeans_ivf_index", forbidden)
+    second = sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in QS.sim_topk_ivf_kmeans(spark, sf_small).collect()
+    )
+    assert second == first

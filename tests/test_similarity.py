@@ -292,3 +292,23 @@ def test_knn_join_bucket_cap_bounds_degenerate_corpus(spark):
     assert uncapped == n * 5  # quadratic candidates, capped only by k
     capped = S.knn_join_lsh(emb, k=5, dim=8, max_bucket_frac=0.1)
     assert capped.count() == 0  # the one mega-bucket is dropped wholesale
+
+
+def test_knn_join_registered_cap_keeps_real_corpus_recall(spark, sf_small):
+    # the REGISTERED configuration (max_bucket_frac=0.25) on the real
+    # corpus: the cap must drop no real bucket (measured worst real
+    # bucket ~11%), so coverage and recall match the uncapped join.
+    from clickhouse_observability_spark.operators import similarity as S
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    all_ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    capped = {
+        (r.query_id, r.vec_id)
+        for r in S.knn_join_lsh(emb, k=10, max_bucket_frac=0.25).collect()
+    }
+    uncapped = {
+        (r.query_id, r.vec_id) for r in S.knn_join_lsh(emb, k=10).collect()
+    }
+    assert capped == uncapped
+    assert len({q for q, _ in capped}) == len(all_ids)
