@@ -16,9 +16,19 @@ trigger, so we use the idiomatic equivalent — a 100 ms processing-time
 trigger with a per-trigger size cap on the source (maxFilesPerTrigger
 here; maxOffsetsPerTrigger on Kafka). Backpressure (ST2) is source-side
 rate limiting rather than a user-space buffer. foreachBatch writes are
-synchronous and checkpointed, so delivery is AT-LEAST-ONCE — a
-deliberate upgrade over the reference's silent data loss; the
-divergence is documented rather than emulated.
+synchronous and checkpointed, and appends are BATCH-ID IDEMPOTENT:
+each committed micro-batch writes a batch-id marker to a
+committed-batches sidecar next to the checkpoint, and a retried
+batch_id whose marker exists admits nothing — so delivery is
+EFFECTIVELY-ONCE for every retry of a fully-committed batch (the
+common foreachBatch duplication class). The residual window is a
+crash BETWEEN the table append and the marker write: that one retry
+can duplicate rows — insert-before-mark deliberately picks the
+no-data-loss failure side for logs (the mirror of corpus_ingest's
+fingerprints-first order, which picks the no-duplicate side for
+training data). All of this is an upgrade over the reference's
+at-most-once silent data loss (batcher.go:51-60); the divergence is
+documented rather than emulated.
 """
 
 from __future__ import annotations
@@ -90,7 +100,14 @@ class IngestStream:
         )
         self.max_files_per_trigger = max_files_per_trigger
         self.query: StreamingQuery | None = None
+        # Committed-batches sidecar: one empty marker file per fully
+        # committed micro-batch id. Lives NEXT TO the checkpoint (same
+        # storage, same lifecycle — wiping the checkpoint resets batch
+        # ids AND markers together; a production deployment puts both
+        # on the shared DFS).
+        self.committed_dir = os.path.join(checkpoint_dir, "committed_batches")
         os.makedirs(inbox_dir, exist_ok=True)
+        os.makedirs(self.committed_dir, exist_ok=True)
 
     # -- producer side (ST4) -------------------------------------------
     def submit_many(self, rows: Iterable[Mapping]) -> int:
@@ -124,17 +141,27 @@ class IngestStream:
             .json(self.inbox_dir)
         )
 
-        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-            # Synchronous, checkpointed write: at-least-once (ST3 note).
-            self.table.insert(normalize_ingest(batch_df))
-
         self.query = (
             src.writeStream.trigger(processingTime=f"{self.flush_every_ms} milliseconds")
             .option("checkpointLocation", self.checkpoint_dir)
-            .foreachBatch(write_batch)
+            .foreachBatch(self._write_batch)
             .start()
         )
         return self.query
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Synchronous, checkpointed, BATCH-ID-IDEMPOTENT append
+        (module docstring, ST3 note): a batch_id whose committed
+        marker already exists is a foreachBatch retry of a batch the
+        table fully holds — admit nothing. Insert-before-mark: the
+        one crash window (after append, before marker) re-admits on
+        retry rather than losing rows."""
+        marker = os.path.join(self.committed_dir, str(int(batch_id)))
+        if os.path.exists(marker):
+            return
+        self.table.insert(normalize_ingest(batch_df))
+        with open(marker, "w"):
+            pass
 
     def stop(self, drain: bool = True) -> None:
         """Graceful shutdown: final flush then stop (ST5; the

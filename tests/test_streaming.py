@@ -115,6 +115,33 @@ def test_flush_on_shutdown_then_resume(spark, tmp_path):
     assert table.read().count() == 5  # exactly once across restart here
 
 
+def test_batch_retry_admits_no_duplicates(spark, tmp_path):
+    # Effectively-once (VERDICT r3 item 5): a foreachBatch RETRY of an
+    # already-committed batch_id — Spark replays the same id after a
+    # crash-before-checkpoint — must admit zero duplicate rows.
+    from clickhouse_observability_spark.schema import INGEST_SCHEMA
+
+    table = LogsTable(spark, str(tmp_path / "logs"))
+    table.init_schema()
+    s = IngestStream(spark, table, str(tmp_path / "inbox"), str(tmp_path / "ckpt"))
+    s.start()
+    s.submit_many([_wire(i) for i in range(4)])
+    s.stop()  # drains; every delivered batch has its committed marker
+    assert table.read().count() == 4
+
+    import os
+
+    committed = sorted(int(x) for x in os.listdir(s.committed_dir))
+    assert committed  # at least one batch landed a marker
+    # simulate the retry: re-invoke the handler with a committed id
+    replay = spark.createDataFrame([_wire(0)], INGEST_SCHEMA)
+    s._write_batch(replay, committed[-1])
+    assert table.read().count() == 4  # retried batch admitted nothing
+    # a genuinely NEW batch id still appends
+    s._write_batch(replay, max(committed) + 1000)
+    assert table.read().count() == 5
+
+
 def test_per_trigger_size_cap(stream):
     # ST1/ST2: maxFilesPerTrigger bounds each micro-batch (size cap);
     # many small files still all arrive, just over multiple triggers.
