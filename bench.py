@@ -42,6 +42,10 @@ HEADLINE = [
     ("dedup_minhash_pairs", "noop"),
     ("sim_topk_bruteforce", "collect"),
     ("sim_topk_ivf", "collect"),
+    # winnowing timed ALONE (it dominates the merged fingerprint
+    # panel): regressions in the cheap md5/tokenset path of
+    # text_fingerprints stay visible instead of being masked.
+    ("text_winnowing", "noop"),
     ("text_fingerprints", "noop"),
     ("text_lang_id", "noop"),
     ("text_corpus_curation", "noop"),
@@ -64,7 +68,17 @@ def main() -> None:
     if "SPARK_GRAFT_WAREHOUSE" not in os.environ:
         owned_warehouse = _tempfile.mkdtemp(prefix="chobs-bench-warehouse-")
         os.environ["SPARK_GRAFT_WAREHOUSE"] = owned_warehouse
+    try:
+        _run_bench()
+    finally:
+        # cleanup must survive any mid-bench failure (a leaked
+        # warehouse would also poison the NEXT run's index-build
+        # timing by serving prebuilt sidecars)
+        if owned_warehouse:
+            _shutil.rmtree(owned_warehouse, ignore_errors=True)
 
+
+def _run_bench() -> None:
     from clickhouse_observability_spark.session import get_spark
 
     spark = get_spark("chobs-bench")
@@ -263,7 +277,14 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp4, ignore_errors=True)
 
-    total = round(sum(times.values()), 3)
+    # headline total = the query surface + the two ORIGINAL ingest
+    # timings (the r1/r2 definition, kept so totals stay comparable
+    # across rounds); the r3-added auxiliary timings (tuned streaming
+    # ceiling, corpus admission) are reported but NOT summed — r3's
+    # BENCH_r03 total included them, so compare r3 on the common query
+    # subset only.
+    aux = {"streaming_ingest_50k_rows_tuned", "corpus_ingest_20k_docs"}
+    total = round(sum(v for k, v in times.items() if k not in aux), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -274,6 +295,7 @@ def main() -> None:
                 "queries": times,
                 "queries_min_of_n": times_min,
                 "bench_runs": n_runs,
+                "total_excludes": sorted(aux),
                 "streaming_ingest_rows_per_sec": streaming_rps,
                 "streaming_ingest_rows_per_sec_tuned": streaming_rps_tuned,
                 "corpus_ingest_docs_per_sec": corpus_ingest_dps,
@@ -282,8 +304,6 @@ def main() -> None:
             }
         )
     )
-    if owned_warehouse:
-        _shutil.rmtree(owned_warehouse, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -187,14 +187,27 @@ def _parse_bmp(b: bytes) -> list[list[int]]:
     if width <= 0 or height == 0:
         raise ValueError("bad BMP geometry")
     stride = ((bpp * width + 31) // 32) * 4
+    # up-front truncation checks: a plausible header over a cut-off
+    # payload must fail as ValueError (the error type decode_image's
+    # fake=True contract catches), never as an IndexError from deep
+    # inside the pixel loops.
+    if data_off + height * stride > len(b):
+        raise ValueError("truncated BMP raster")
     palette: list[int] | None = None
     if bpp == 8:
         n_colors = struct.unpack_from("<I", b, 46)[0] or 256
         pal_off = 14 + hdr_size
+        if n_colors > 256:
+            raise ValueError(f"bad BMP palette size {n_colors}")
+        if pal_off + 4 * n_colors > len(b):
+            raise ValueError("truncated BMP palette")
         palette = [
             _luma(b[pal_off + 4 * i + 2], b[pal_off + 4 * i + 1], b[pal_off + 4 * i])
             for i in range(n_colors)
         ]
+        # raster bytes may index past a short declared palette; pad
+        # deterministically (black) instead of IndexError-ing per pixel
+        palette += [0] * (256 - len(palette))
     rows: list[list[int]] = []
     for ri in range(height):
         src = ri if top_down else height - 1 - ri

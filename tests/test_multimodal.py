@@ -166,3 +166,36 @@ def test_malformed_pnm_falls_back_with_fake(spark):
         M.decode_image(bad)
     tile = M.decode_image(bad, fake=True)
     assert len(tile) == 8 and len(tile[0]) == 8
+
+
+def test_decode_bmp_truncated_raster_is_valueerror():
+    # ADVICE r3: a plausible 'BM' header over cut-off pixel data must
+    # surface as ValueError (so decode_image's fake=True fallback
+    # catches it), never an IndexError from inside the pixel loops.
+    import pytest
+
+    full = M.encode_bmp24(RGB_3x2)
+    cut = full[: len(full) - 3]  # drop tail raster bytes
+    with pytest.raises(ValueError):
+        M.decode_image(cut, fake=False)
+    tile = M.decode_image(cut, fake=True)  # contract: still testable
+    assert len(tile) == 8 and len(tile[0]) == 8
+
+
+def test_decode_bmp_short_palette_indices_do_not_crash():
+    # 8-bit BMP whose raster indexes past the declared palette: padded
+    # deterministically (black), not a per-pixel IndexError.
+    import struct
+
+    w = h = 2
+    n_colors = 2
+    stride = ((8 * w + 31) // 32) * 4
+    pal = bytes((10, 10, 10, 0)) + bytes((200, 200, 200, 0))
+    raster = bytes((0, 1, 0, 0)) + bytes((1, 250, 0, 0))  # 250 > palette
+    data_off = 54 + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(raster),
+                      2835, 2835, n_colors, 0)
+    rows = M.decode_image(header + dib + pal + raster, fake=False)
+    flat = {v for row in rows for v in row}
+    assert flat <= {10, 200, 0}  # real palette lumas + black padding
