@@ -401,12 +401,16 @@ def pii_scrub(documents: DataFrame, denylist: list[str] | None = None) -> DataFr
 def repetition_stats(
     documents: DataFrame, with_gram: bool = True
 ) -> DataFrame:
-    """(doc_id, n_2grams, top_2gram, top_2gram_n, top_2gram_frac):
-    Gopher-style repetition signal — the share of a doc's word
-    2-grams taken by its single most frequent 2-gram (ties broken by
-    gram string so the winner is deterministic). High values mark
-    boilerplate/templated docs that repetition filters drop from
-    training mixes; docs under 2 tokens drop out.
+    """(doc_id, n_2grams, top_2gram, top_2gram_n, top_2gram_frac,
+    n_distinct_2grams, dup_2gram_frac): Gopher-style repetition
+    signals — the share of a doc's word 2-grams taken by its single
+    most frequent 2-gram (ties broken by gram string so the winner is
+    deterministic), plus the duplicate-n-gram fraction (share of
+    2-gram OCCURRENCES that are repeats of an earlier one, the Gopher
+    dup-n-gram rule — catches diffuse repetition a single top gram
+    misses). High values mark boilerplate/templated docs that
+    repetition filters drop from training mixes; docs under 2 tokens
+    drop out.
 
     Shape at scale: one explode, one (doc, gram) count, then ONE
     per-doc aggregation computing total, max and argmax together
@@ -435,12 +439,17 @@ def repetition_stats(
     aggs = [
         F.sum("n").cast("long").alias("n_2grams"),
         F.max("n").alias("top_2gram_n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_2grams"),
     ]
     if with_gram:
         aggs.insert(1, F.expr("min_by(gram, struct(-n, gram))").alias("top_2gram"))
     cols = ["doc_id", "n_2grams"] + (["top_2gram"] if with_gram else []) + [
         "top_2gram_n",
         F.round(F.col("top_2gram_n") / F.col("n_2grams"), 4).alias("top_2gram_frac"),
+        "n_distinct_2grams",
+        F.round(
+            (F.col("n_2grams") - F.col("n_distinct_2grams")) / F.col("n_2grams"), 4
+        ).alias("dup_2gram_frac"),
     ]
     return counts.groupBy("doc_id").agg(*aggs).select(*cols)
 

@@ -361,7 +361,9 @@ def text_pii_scrub(spark, sf_dir):
         FROM t WHERE len(toks) >= 2
     ),
     c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
-    tot AS (SELECT doc_id, sum(n)::BIGINT AS n_2grams FROM c GROUP BY 1),
+    tot AS (SELECT doc_id, sum(n)::BIGINT AS n_2grams,
+                   count(*)::BIGINT AS n_distinct_2grams
+            FROM c GROUP BY 1),
     top AS (
         SELECT doc_id, gram AS top_2gram, n AS top_2gram_n,
                row_number() OVER (PARTITION BY doc_id
@@ -369,11 +371,17 @@ def text_pii_scrub(spark, sf_dir):
         FROM c
     )
     SELECT doc_id, n_2grams, top_2gram, top_2gram_n,
-           round(top_2gram_n * 1.0 / n_2grams, 4) AS top_2gram_frac
+           round(top_2gram_n * 1.0 / n_2grams, 4) AS top_2gram_frac,
+           n_distinct_2grams,
+           round((n_2grams - n_distinct_2grams) * 1.0 / n_2grams, 4)
+               AS dup_2gram_frac
     FROM top JOIN tot USING (doc_id) WHERE rk = 1
     """,
 )
 def text_repetition(spark, sf_dir):
+    """Per-doc Gopher repetition panel: top-2-gram share + the
+    duplicate-2-gram occurrence fraction (r4), both adjudicated under
+    the one existing oracle slot."""
     return TX.repetition_stats(table(spark, sf_dir, "documents"))
 
 

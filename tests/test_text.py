@@ -148,7 +148,11 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert set(rows) == {0, 1}
     assert rows[0].top_2gram == "buy now" and rows[0].top_2gram_n == 4
     assert rows[0].n_2grams == 7 and rows[0].top_2gram_frac > 0.5
+    # dup-2gram fraction (Gopher): 7 occurrences over 2 distinct grams
+    assert rows[0].n_distinct_2grams == 2
+    assert rows[0].dup_2gram_frac == round(5 / 7, 4)
     assert rows[1].top_2gram_n == 1  # no repeated 2-gram
+    assert rows[1].dup_2gram_frac == 0.0  # all 2-grams distinct
     # deterministic tie-break: all counts 1 -> lexicographically first
     assert rows[1].top_2gram == min(
         "all tokens,tokens here,here are,are fully,fully distinct,distinct words"
@@ -201,9 +205,11 @@ def test_repetition_hash_mode_matches_string_mode(spark, sf_small):
     from clickhouse_observability_spark.sources.parquet import load_table
 
     docs = load_table(spark, sf_small, "documents")
-    with_str = {(r.doc_id, r.n_2grams, r.top_2gram_n, r.top_2gram_frac)
+    with_str = {(r.doc_id, r.n_2grams, r.top_2gram_n, r.top_2gram_frac,
+                 r.n_distinct_2grams, r.dup_2gram_frac)
                 for r in TX.repetition_stats(docs, with_gram=True).collect()}
-    hashed = {(r.doc_id, r.n_2grams, r.top_2gram_n, r.top_2gram_frac)
+    hashed = {(r.doc_id, r.n_2grams, r.top_2gram_n, r.top_2gram_frac,
+               r.n_distinct_2grams, r.dup_2gram_frac)
               for r in TX.repetition_stats(docs, with_gram=False).collect()}
     assert hashed == with_str  # same stats, no gram strings in the plan
 
