@@ -604,8 +604,26 @@ def bpe_segment(documents: DataFrame, merges: list[tuple[str, str, int]]) -> Dat
     )
 
 
+def pack_token_counts(
+    documents: DataFrame, *extra_cols: str
+) -> DataFrame:
+    """(extra_cols..., doc_id, n_tokens) for the packers below, zero-
+    token docs dropped. Compute ONCE (and localCheckpoint) when
+    feeding several packing layouts: tokenization is the corpus-scan-
+    dominant cost at scale, and the packers accept this frame via
+    `counts=` so one scan serves every arm."""
+    return documents.select(
+        *extra_cols,
+        "doc_id",
+        F.size(tokens(normalized_text("text"))).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+
 def pack_training_chunks(
-    documents: DataFrame, budget: int = 2048, order_by: str = "doc_id"
+    documents: DataFrame,
+    budget: int = 2048,
+    order_by: str = "doc_id",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: lay the corpus out as one
     deterministic token stream (docs in `order_by` order — must be a
@@ -628,14 +646,19 @@ def pack_training_chunks(
     chunks floor(start/budget)..floor((end-1)/budget) emits one row
     per spanned chunk via a bounded sequence/explode (fan-out =
     ceil(doc_tokens/budget) + 1, never corpus-sized).
+
+    `counts` (pack_token_counts frame) substitutes a precomputed
+    (doc_id, n_tokens) for the tokenization scan.
     """
     from pyspark.sql import Window as W
 
     sc = documents.sparkSession.sparkContext
     nparts = max(2, sc.defaultParallelism)
-    toks = documents.select(
-        "doc_id", F.size(tokens(normalized_text("text"))).alias("n_tokens")
-    ).filter(F.col("n_tokens") > 0)
+    toks = (
+        counts.select("doc_id", "n_tokens")
+        if counts is not None
+        else pack_token_counts(documents)
+    )
     t = (
         toks.repartitionByRange(nparts, F.col(order_by).asc())
         .withColumn("_pid", F.spark_partition_id())
@@ -682,6 +705,57 @@ def pack_training_chunks(
         (lo - F.col("tok_start")).cast("long").alias("doc_tok_start"),
         (lo - F.col("chunk_id") * budget).cast("long").alias("chunk_tok_start"),
         (hi - lo).cast("long").alias("n_toks"),
+    )
+
+
+def chunk_documents_overlap(
+    documents: DataFrame,
+    budget: int = 512,
+    stride: int | None = None,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-DOC sliding-window chunking with overlap — the third
+    packing layout next to the global/grouped concat-and-chunk
+    packers: each doc yields independent windows of up to `budget`
+    tokens starting every `stride` tokens (consecutive windows share
+    budget - stride tokens of context). The retrieval / long-doc-eval
+    layout: chunks never cross doc boundaries and carry overlap so no
+    span loses its left context.
+
+        doc_id, chunk_id (0-based per doc), doc_tok_start,
+        chunk_tok_start (always 0 — each window IS its own sequence),
+        n_toks
+
+    A doc of n tokens yields 1 window when n <= budget, else
+    ceil((n - budget) / stride) + 1 — the last window may be short but
+    always reaches the doc's end. MAP-ONLY: no shuffle anywhere, the
+    per-doc fan-out is a bounded sequence/explode (ceil(n/stride)
+    rows), so this scales with scan bandwidth alone. `counts` as in
+    pack_training_chunks."""
+    if stride is None:
+        stride = budget // 2
+    if not (0 < stride <= budget):
+        raise ValueError(f"need 0 < stride({stride}) <= budget({budget})")
+    toks = (
+        counts.select("doc_id", "n_tokens")
+        if counts is not None
+        else pack_token_counts(documents)
+    )
+    n = F.col("n_tokens")
+    n_chunks = F.when(n <= budget, F.lit(1)).otherwise(
+        F.ceil((n - budget) / F.lit(stride)) + 1
+    )
+    i = F.explode(F.sequence(F.lit(0), n_chunks.cast("long") - 1)).alias("i")
+    out = toks.select("doc_id", "n_tokens", i)
+    start = F.col("i") * stride
+    return out.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        start.cast("long").alias("doc_tok_start"),
+        F.lit(0).cast("long").alias("chunk_tok_start"),
+        (F.least(F.col("n_tokens"), start + budget) - start)
+        .cast("long")
+        .alias("n_toks"),
     )
 
 
@@ -810,6 +884,7 @@ def pack_training_chunks_grouped(
     budget: int = 2048,
     group_by: str = "source",
     order_by: str = "doc_id",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group sequence packing: an independent concat-and-chunk
     token stream per `group_by` value (per-source / per-shard packing
@@ -821,7 +896,9 @@ def pack_training_chunks_grouped(
     contract; don't pass a high-cardinality group.
 
     Output adds the group column; chunk_id counts from 0 WITHIN each
-    group."""
+    group. `counts` (pack_token_counts frame carrying the group
+    column) substitutes a precomputed frame for the tokenization
+    scan."""
     from pyspark.sql import Window as W
 
     sc = documents.sparkSession.sparkContext
@@ -832,11 +909,13 @@ def pack_training_chunks_grouped(
     # says "None\x01pid" — every NULL-group partition would then fall
     # back to offset 0 and overlap.
     _NULL_GRP = "\x00<NULL>"
-    toks = documents.select(
-        F.col(group_by).alias("grp"),
-        "doc_id",
-        F.size(tokens(normalized_text("text"))).alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    toks = (
+        counts.select(F.col(group_by).alias("grp"), "doc_id", "n_tokens")
+        if counts is not None
+        else pack_token_counts(documents, group_by).select(
+            F.col(group_by).alias("grp"), "doc_id", "n_tokens"
+        )
+    )
     t = (
         toks.repartitionByRange(nparts, F.col("grp").asc(), F.col(order_by).asc())
         .withColumn("_pid", F.spark_partition_id())

@@ -531,6 +531,11 @@ def text_bpe_learned(spark, sf_dir):
                unnest(range(tok_start // 512,
                             (tok_start + n - 1) // 512 + 1)) AS chunk_id
         FROM u
+    ), ov AS (
+        SELECT doc_id, n,
+               unnest(range(0, CASE WHEN n <= 32 THEN 1
+                                    ELSE (n - 32 + 23) // 24 + 1 END)) AS i
+        FROM s
     )
     SELECT mode, source, doc_id,
            chunk_id::BIGINT AS chunk_id,
@@ -541,31 +546,52 @@ def text_bpe_learned(spark, sf_dir):
            (least(tok_start + n, (chunk_id + 1) * 512)
             - greatest(tok_start, chunk_id * 512))::BIGINT AS n_toks
     FROM c
+    UNION ALL
+    SELECT 'doc_overlap', NULL, doc_id,
+           i::BIGINT, (i * 24)::BIGINT, 0::BIGINT,
+           (least(n, i * 24 + 32) - i * 24)::BIGINT
+    FROM ov
     """,
 )
 def text_pack_chunks(spark, sf_dir):
-    """Concat-and-chunk sequence packing over the corpus (budget 512):
-    the packed-sequence layout a trainer consumes, one row per
-    (doc, chunk) overlap with both-side offsets, in both the global
-    and the per-source (grouped) layout. The oracle mirrors the
-    cumsum + bounded chunk fan-out of each arm; pytest additionally
-    pins token conservation, exact fill and a python reference."""
+    """Sequence-layout panel, mode-tagged under ONE oracle: (1) global
+    concat-and-chunk packing (budget 512) — the packed-sequence layout
+    a trainer consumes; (2) the per-source variant (chunks never mix
+    sources); (3) per-doc sliding-window chunking with overlap
+    (budget 32 / stride 24 — sized to the corpus's doc lengths so the
+    multi-window path is exercised) — the retrieval / long-doc-eval
+    layout. One tokenization scan serves all three arms. The oracle
+    mirrors the cumsum + bounded chunk fan-out of each packing arm and
+    the windowing arithmetic of the overlap arm; pytest additionally
+    pins token conservation, exact fill and python references."""
     from pyspark.sql import functions as F
 
     docs = table(spark, sf_dir, "documents")
-    g = TX.pack_training_chunks(docs, budget=512).select(
+    # tokenize ONCE for both arms: the regex tokenization scan is the
+    # corpus-dominant cost at scale; the checkpointed counts frame is
+    # (source, doc_id, n_tokens) — tiny — and each packer re-partitions
+    # it for its own prefix sum.
+    counts = TX.pack_token_counts(docs, "source").localCheckpoint(eager=True)
+    g = TX.pack_training_chunks(docs, budget=512, counts=counts).select(
         F.lit("global").alias("mode"),
         F.lit(None).cast("string").alias("source"),
         "doc_id", "chunk_id", "doc_tok_start", "chunk_tok_start", "n_toks",
     )
     s = TX.pack_training_chunks_grouped(
-        docs, budget=512, group_by="source"
+        docs, budget=512, group_by="source", counts=counts
     ).select(
         F.lit("by_source").alias("mode"),
         "source",
         "doc_id", "chunk_id", "doc_tok_start", "chunk_tok_start", "n_toks",
     )
-    return g.unionByName(s)
+    ov = TX.chunk_documents_overlap(
+        docs, budget=32, stride=24, counts=counts
+    ).select(
+        F.lit("doc_overlap").alias("mode"),
+        F.lit(None).cast("string").alias("source"),
+        "doc_id", "chunk_id", "doc_tok_start", "chunk_tok_start", "n_toks",
+    )
+    return g.unionByName(s).unionByName(ov)
 
 
 @register("text_split_drift")

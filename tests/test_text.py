@@ -666,3 +666,52 @@ def test_pack_grouped_null_group_spanning_partitions(spark):
     last = max(fill)
     assert all(v == 64 for k, v in fill.items() if k != last)
     assert sum(fill.values()) == 200 * 20  # every NULL-group token once
+
+
+def test_chunk_documents_overlap_matches_reference(spark):
+    # sliding-window chunking: python reference + coverage invariants
+    import re
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(57))),   # 3 windows
+        (1, " ".join(f"t{i}" for i in range(32))),   # exactly budget
+        (2, " ".join(f"t{i}" for i in range(33))),   # budget + 1
+        (3, "one two"),                               # short doc
+        (4, ""),                                      # empty: drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.doc_tok_start, r.chunk_tok_start, r.n_toks)
+        for r in TX.chunk_documents_overlap(df, budget=32, stride=24).collect()
+    )
+    exp = []
+    for doc_id, text in rows:
+        n = len([t for t in re.split(r"\s+", text.strip().lower()) if t])
+        if not n:
+            continue
+        n_chunks = 1 if n <= 32 else -(-(n - 32) // 24) + 1
+        for i in range(n_chunks):
+            exp.append((doc_id, i, i * 24, 0, min(n, i * 24 + 32) - i * 24))
+    assert got == sorted(exp)
+    # invariants: every window non-empty, last window reaches doc end,
+    # consecutive windows overlap by budget - stride
+    per_doc = {}
+    for d, i, s, _, k in got:
+        assert k > 0
+        per_doc.setdefault(d, []).append((i, s, k))
+    for d, ws in per_doc.items():
+        ws.sort()
+        n = max(s + k for _, s, k in ws)
+        assert ws[-1][1] + ws[-1][2] == n
+        for (i1, s1, k1), (i2, s2, k2) in zip(ws, ws[1:]):
+            assert s2 == s1 + 24 and s1 + k1 - s2 in (8, k1 - 24)
+
+
+def test_chunk_documents_overlap_rejects_bad_stride(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        TX.chunk_documents_overlap(df, budget=8, stride=0)
+    with pytest.raises(ValueError):
+        TX.chunk_documents_overlap(df, budget=8, stride=9)
