@@ -44,7 +44,10 @@ HEADLINE = [
     ("sim_topk_ivf", "collect"),
     # winnowing timed ALONE (it dominates the merged fingerprint
     # panel): regressions in the cheap md5/tokenset path of
-    # text_fingerprints stay visible instead of being masked.
+    # text_fingerprints stay visible instead of being masked. Reported
+    # but EXCLUDED from headline_total_sec — the same computation runs
+    # inside text_fingerprints, and a new entry would inflate the
+    # total vs earlier rounds.
     ("text_winnowing", "noop"),
     ("text_fingerprints", "noop"),
     ("text_lang_id", "noop"),
@@ -283,7 +286,11 @@ def _run_bench() -> None:
     # ceiling, corpus admission) are reported but NOT summed — r3's
     # BENCH_r03 total included them, so compare r3 on the common query
     # subset only.
-    aux = {"streaming_ingest_50k_rows_tuned", "corpus_ingest_20k_docs"}
+    aux = {
+        "streaming_ingest_50k_rows_tuned",
+        "corpus_ingest_20k_docs",
+        "text_winnowing",  # diagnostic split; already inside text_fingerprints
+    }
     total = round(sum(v for k, v in times.items() if k not in aux), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

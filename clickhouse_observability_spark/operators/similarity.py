@@ -721,11 +721,22 @@ def knn_join_lsh(
     )
     bucketed = _bucketed_signatures(e0, n_planes, n_tables, dim, seed)
     if max_bucket_frac is not None:
-        n_vec = e0.count()
-        cap = max(k + 1, int(n_vec * max_bucket_frac))
+        # corpus size derived INSIDE the bucket-size aggregation
+        # (sum of bucket counts / n_tables — every vector sits in
+        # exactly one bucket per table), not via a separate count()
+        # action: the cap must not cost an extra corpus pass per call.
+        sizes = bucketed.groupBy("tbl", "sig").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        totals = sizes.agg(
+            (F.sum("bn") / n_tables).alias("n_vec")
+        )
+        cap = F.greatest(
+            F.lit(k + 1),
+            F.floor(F.col("n_vec") * max_bucket_frac),
+        ).cast("long")
         small = (
-            bucketed.groupBy("tbl", "sig")
-            .agg(F.count(F.lit(1)).alias("bn"))
+            sizes.crossJoin(F.broadcast(totals))
             .filter(F.col("bn") <= cap)
             .select("tbl", "sig")
         )

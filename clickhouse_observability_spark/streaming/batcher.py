@@ -65,6 +65,8 @@ class IngestStream:
     micro-batches them into the partitioned logs table.
     """
 
+    MARKER_RETENTION = 1000  # committed-batch markers kept behind the head
+
     def __init__(
         self,
         spark: SparkSession,
@@ -162,6 +164,25 @@ class IngestStream:
         self.table.insert(normalize_ingest(batch_df))
         with open(marker, "w"):
             pass
+        # Retention: Spark only ever replays ids at/after the last
+        # checkpointed offset, so markers far behind the current id are
+        # dead weight — without pruning, a 100 ms trigger writes ~864k
+        # files/day and eventually exhausts inodes (mirrors the
+        # retention Spark applies to its own checkpoint logs). The
+        # directory stays ~MARKER_RETENTION files, so the listdir here
+        # is cheap.
+        floor_id = int(batch_id) - self.MARKER_RETENTION
+        if floor_id > 0:
+            for name in os.listdir(self.committed_dir):
+                try:
+                    stale = int(name) < floor_id
+                except ValueError:
+                    continue
+                if stale:
+                    try:
+                        os.remove(os.path.join(self.committed_dir, name))
+                    except OSError:
+                        pass  # concurrent prune / already gone
 
     def stop(self, drain: bool = True) -> None:
         """Graceful shutdown: final flush then stop (ST5; the

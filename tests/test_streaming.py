@@ -215,3 +215,28 @@ def test_corpus_ingest_restart_is_idempotent(spark, tmp_path):
     ing2.start(); ing2.query.processAllAvailable(); ing2.stop(drain=False)
     rows = ing2.read().collect()
     assert [r.doc_id for r in rows] == [1]
+
+
+def test_committed_marker_retention_prunes_old_ids(spark, tmp_path):
+    # the marker sidecar must not grow forever: ids far behind the
+    # head are unreachable for retry and get pruned on commit.
+    import os
+
+    from clickhouse_observability_spark.schema import INGEST_SCHEMA
+
+    table = LogsTable(spark, str(tmp_path / "logs"))
+    table.init_schema()
+    s = IngestStream(spark, table, str(tmp_path / "inbox"), str(tmp_path / "ckpt"))
+    df = spark.createDataFrame([_wire(0)], INGEST_SCHEMA)
+    # plant stale markers an old run would have left behind
+    for bid in (1, 2, 3):
+        open(os.path.join(s.committed_dir, str(bid)), "w").close()
+    head = 3 + s.MARKER_RETENTION + 5
+    s._write_batch(df, head)
+    names = {int(x) for x in os.listdir(s.committed_dir)}
+    assert head in names
+    assert names.isdisjoint({1, 2, 3})  # stale ids pruned
+    # a replay of the still-retained head admits nothing
+    before = table.read().count()
+    s._write_batch(df, head)
+    assert table.read().count() == before

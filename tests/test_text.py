@@ -694,7 +694,8 @@ def test_chunk_documents_overlap_matches_reference(spark):
             exp.append((doc_id, i, i * 24, 0, min(n, i * 24 + 32) - i * 24))
     assert got == sorted(exp)
     # invariants: every window non-empty, last window reaches doc end,
-    # consecutive windows overlap by budget - stride
+    # interior windows are full-budget so consecutive windows overlap
+    # by exactly budget - stride tokens
     per_doc = {}
     for d, i, s, _, k in got:
         assert k > 0
@@ -704,7 +705,9 @@ def test_chunk_documents_overlap_matches_reference(spark):
         n = max(s + k for _, s, k in ws)
         assert ws[-1][1] + ws[-1][2] == n
         for (i1, s1, k1), (i2, s2, k2) in zip(ws, ws[1:]):
-            assert s2 == s1 + 24 and s1 + k1 - s2 in (8, k1 - 24)
+            assert s2 == s1 + 24  # stride
+            assert k1 == 32  # interior windows carry the full budget
+            assert s1 + k1 - s2 == 8  # overlap = budget - stride
 
 
 def test_chunk_documents_overlap_rejects_bad_stride(spark):
