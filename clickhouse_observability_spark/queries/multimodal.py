@@ -30,3 +30,14 @@ def multimodal_resize(spark, sf_dir):
     actual PPM/BMP bytes decoded by the pure-stdlib parsers (no fake
     fallback needed on this path)."""
     return M.resize_images(M.make_real_image_media(spark, n=256), 8, 8, fake_decode=False)
+
+
+@register("multimodal_audio_features")
+def multimodal_audio_features(spark, sf_dir):
+    """Audio triage features (duration/RMS/peak/zero-cross) over REAL
+    RIFF/WAVE PCM payloads decoded by the pure-stdlib parser — the
+    audio analog of multimodal_resize's real-pixel path (r4; no fake
+    fallback on this path)."""
+    return M.extract_audio_features(
+        M.make_real_audio_media(spark, n=256), fake_decode=False
+    )

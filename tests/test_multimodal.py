@@ -199,3 +199,61 @@ def test_decode_bmp_short_palette_indices_do_not_crash():
     rows = M.decode_image(header + dib + pal + raster, fake=False)
     flat = {v for row in rows for v in row}
     assert flat <= {10, 200, 0}  # real palette lumas + black padding
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    # encode -> decode recovers the samples (PCM16 exact up to 1/32768)
+    import math
+
+    samples = [int(12000 * math.sin(0.07 * t)) for t in range(300)]
+    rate, mono = M.decode_audio(M.encode_wav(samples, 8000))
+    assert rate == 8000 and len(mono) == 300
+    assert max(abs(mono[t] - samples[t] / 32768.0) for t in range(300)) < 1e-9
+    # stereo with identical channels downmixes to the same signal
+    inter = [v for s in samples for v in (s, s)]
+    rate2, mixed = M.decode_audio(M.encode_wav(inter, 8000, n_channels=2))
+    assert rate2 == 8000 and len(mixed) == 300
+    assert mixed == mono
+
+
+def test_wav_truncation_and_gating():
+    import pytest
+
+    full = M.encode_wav([100, -100, 200, -200] * 50, 16000)
+    with pytest.raises(ValueError):
+        M.decode_audio(full[:-7], fake=False)  # cut mid data chunk
+    rate, fake = M.decode_audio(full[:-7], fake=True)
+    assert rate == 16000 and len(fake) == 256  # deterministic stand-in
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"\xff\xfbmp3-ish-bytes", fake=False)  # compressed
+
+
+def test_audio_features_real_pcm(spark):
+    import math
+
+    import numpy as np
+
+    media = M.make_real_audio_media(spark, n=12)
+    rows = {r.media_id: r for r in
+            M.extract_audio_features(media, fake_decode=False).collect()}
+    assert len(rows) == 12
+    src = {r.media_id: r for r in media.collect()}
+    for i, r in rows.items():
+        # recompute with the local decoder as the reference
+        rate, samples = M.decode_audio(bytes(src[i].payload))
+        arr = np.asarray(samples)
+        assert r.sample_rate == rate == src[i].sample_rate
+        assert r.n_samples == len(arr)
+        assert r.duration_ms == src[i].duration_ms
+        assert math.isclose(r.rms, float(np.sqrt(np.mean(arr * arr))),
+                            rel_tol=1e-9)
+        assert 0.0 < r.peak <= 1.0
+        assert 0.0 < r.zero_cross_rate < 1.0  # a tone crosses zero often
+
+
+def test_audio_features_prune_non_audio(spark):
+    # metadata filter: image/video rows never reach the decoder
+    media = M.make_fake_media(spark, n=30)  # kinds cycle image/audio/video
+    out = M.extract_audio_features(media, fake_decode=True)
+    n_audio = media.filter("kind = 'audio'").count()
+    assert out.count() == n_audio
