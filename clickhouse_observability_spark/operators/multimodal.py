@@ -479,6 +479,189 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFr
     return clips.mapInPandas(_batch, AUDIO_FEATURE_SCHEMA)
 
 
+def encode_y4m(
+    frames: list[list[list[int]]], fps_num: int = 25, fps_den: int = 1
+) -> bytes:
+    """Encode gray frames (pixel rows, all same geometry) as a
+    YUV4MPEG2 4:2:0 payload (U/V planes at the 128 midpoint) —
+    pure-stdlib test/sink helper, the video analog of encode_ppm."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = len(frames[0]), len(frames[0][0])
+    if w % 2 or h % 2:
+        raise ValueError("4:2:0 needs even frame dimensions")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C420\n"
+    uv = bytes([128]) * ((w // 2) * (h // 2))
+    out = [head.encode()]
+    for fr in frames:
+        if len(fr) != h or any(len(r) != w for r in fr):
+            raise ValueError("inconsistent frame geometry")
+        y = bytes(v & 0xFF for row in fr for v in row)
+        out.append(b"FRAME\n" + y + uv + uv)
+    return b"".join(out)
+
+
+def _parse_y4m(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
+    """Decode a YUV4MPEG2 4:2:0 payload to (fps_num, fps_den, gray
+    frames as Y-plane pixel rows). Public y4m layout: one ASCII header
+    line 'YUV4MPEG2 W<w> H<h> F<num>:<den> ...', then per frame a
+    'FRAME...' line + planar YUV bytes. Chroma is dropped (the gray
+    pipeline consumes luma, as with the image decoders). Truncation
+    -> ValueError, matching the PNM/BMP/WAV parsers."""
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    for tok in b[:nl].split()[1:]:
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F" and ":" in t:
+            fps_num, fps_den = (int(x) for x in t[1:].split(":"))
+        elif t[0] == "C" and t not in ("C420", "C420jpeg", "C420paldv"):
+            raise ValueError(f"unsupported y4m chroma {t}")
+    if not w or not h or w % 2 or h % 2:
+        raise ValueError("bad y4m geometry")
+    if fps_num <= 0 or fps_den <= 0:
+        raise ValueError("bad y4m frame rate")
+    y_size, uv_size = w * h, (w // 2) * (h // 2)
+    frames: list[list[list[int]]] = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or b[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad y4m frame marker")
+        data_start = fnl + 1
+        if data_start + y_size + 2 * uv_size > len(b):
+            raise ValueError("truncated y4m frame")
+        y = b[data_start : data_start + y_size]
+        frames.append(
+            [list(y[r * w : (r + 1) * w]) for r in range(h)]
+        )
+        pos = data_start + y_size + 2 * uv_size
+    if not frames:
+        raise ValueError("y4m payload with zero frames")
+    return fps_num, fps_den, frames
+
+
+def decode_video(
+    payload: bytes, fake: bool = False
+) -> tuple[int, int, list[list[list[int]]]]:
+    """Decode a video payload to (fps_num, fps_den, gray frames).
+
+    REAL for the uncompressed public format — YUV4MPEG2 4:2:0 — via
+    pure-stdlib byte parsing (luma plane only, like the image
+    decoders). Compressed codecs (H.264/VP9/AV1 in MP4/WebM/...) need
+    decoder libraries not in this container: they raise
+    NotImplementedError unless fake=True, which yields a
+    deterministic hash-seeded 4-frame 8x8 clip at 25 fps — the same
+    gating contract as decode_image/decode_audio."""
+    b = bytes(payload or b"")
+    if b.startswith(b"YUV4MPEG2"):
+        try:
+            return _parse_y4m(b)
+        except ValueError:
+            if not fake:
+                raise
+    if not fake:
+        raise NotImplementedError(
+            "compressed video formats require a codec library not installed "
+            "here; the supported real format is YUV4MPEG2 — or pass "
+            "fake=True for the deterministic test decode"
+        )
+    h = hashlib.sha256(b).digest()
+    return 25, 1, [
+        [[h[(f * 11 + r * 8 + c) % 32] for c in range(8)] for r in range(8)]
+        for f in range(4)
+    ]
+
+
+def make_real_video_media(
+    spark: SparkSession, n: int = 24, seed: int = 5
+) -> DataFrame:
+    """Media table whose payloads are REAL y4m bytes — deterministic
+    moving-gradient clips of varying geometry/length/rate — so frame
+    extraction runs on actual decoded frames end-to-end."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + 2 * (i % 3), 6 + 2 * (i % 2)
+        fps = (10, 25)[i % 2]
+        n_frames = 4 + i % 5
+        frames = [
+            [
+                [(r * 31 + c * 7 + f * 41 + seed + i) % 256 for c in range(w)]
+                for r in range(h)
+            ]
+            for f in range(n_frames)
+        ]
+        payload = encode_y4m(frames, fps_num=fps)
+        rows.append(
+            (i, "video", bytearray(payload), w, h, None,
+             int(n_frames * 1000 / fps))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ms", T.IntegerType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("frame_sha", T.StringType(), True),
+    ]
+)
+
+
+def extract_frames(
+    media: DataFrame, every_ms: int = 500, fake_decode: bool = True
+) -> DataFrame:
+    """REAL frame sampling: decode each video payload, pick the frame
+    at each `every_ms` timestamp (index = floor(ms * fps / 1000),
+    clamped to the clip), and emit its geometry, mean luma and
+    content sha — the materialization of frame_sample_plan's pure
+    column plan, over actual decoded frames for y4m payloads.
+
+    Same Arrow plumbing contract as the other extractors: videos
+    only, metadata prunes before payloads move, per-clip work is
+    bounded by clip length, no shuffle anywhere."""
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [], "frame_ms": [], "frame_idx": [],
+                "width": [], "height": [], "mean_luma": [], "frame_sha": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                fps_num, fps_den, frames = decode_video(b, fake=fake_decode)
+                n = len(frames)
+                dur_ms = int(n * 1000 * fps_den / fps_num)
+                for ms in range(0, max(dur_ms, 1), int(every_ms)):
+                    idx = min(n - 1, ms * fps_num // (1000 * fps_den))
+                    fr = np.asarray(frames[idx], dtype=np.uint8)
+                    out["media_id"].append(mid)
+                    out["frame_ms"].append(ms)
+                    out["frame_idx"].append(idx)
+                    out["height"].append(fr.shape[0])
+                    out["width"].append(fr.shape[1])
+                    out["mean_luma"].append(float(fr.mean()))
+                    out["frame_sha"].append(
+                        hashlib.sha256(fr.tobytes()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    vids = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    return vids.mapInPandas(_batch, FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
@@ -519,8 +702,8 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling plan: one row per frame timestamp to
-    extract — pure column math (sequence/explode), no decoding. The
-    decode of each planned frame is the stubbed step."""
+    extract — pure column math (sequence/explode), no decoding.
+    extract_frames is the materialization (real for y4m payloads)."""
     vids = media.filter(F.col("kind") == "video")
     ts = F.explode(
         F.sequence(F.lit(0), F.col("duration_ms"), F.lit(int(every_ms)))

@@ -32,6 +32,17 @@ def multimodal_resize(spark, sf_dir):
     return M.resize_images(M.make_real_image_media(spark, n=256), 8, 8, fake_decode=False)
 
 
+@register("multimodal_frame_extract")
+def multimodal_frame_extract(spark, sf_dir):
+    """REAL frame sampling over YUV4MPEG2 payloads (r4): decode, pick
+    the frame at each 200 ms mark, emit geometry + mean luma + sha —
+    frame_sample_plan materialized over actual decoded frames (no
+    fake fallback on this path)."""
+    return M.extract_frames(
+        M.make_real_video_media(spark, n=256), every_ms=200, fake_decode=False
+    )
+
+
 @register("multimodal_audio_features")
 def multimodal_audio_features(spark, sf_dir):
     """Audio triage features (duration/RMS/peak/zero-cross) over REAL

@@ -257,3 +257,44 @@ def test_audio_features_prune_non_audio(spark):
     out = M.extract_audio_features(media, fake_decode=True)
     n_audio = media.filter("kind = 'audio'").count()
     assert out.count() == n_audio
+
+
+def test_y4m_roundtrip_and_gating():
+    import pytest
+
+    frames = [[[(r * 3 + c + f) % 256 for c in range(6)] for r in range(4)]
+              for f in range(3)]
+    payload = M.encode_y4m(frames, fps_num=10)
+    num, den, got = M.decode_video(payload, fake=False)
+    assert (num, den) == (10, 1) and got == frames
+    with pytest.raises(ValueError):
+        M.decode_video(payload[:-5], fake=False)  # truncated last frame
+    with pytest.raises(NotImplementedError):
+        M.decode_video(b"\x00\x00\x00\x18ftypmp42", fake=False)  # mp4-ish
+    n, d, fake = M.decode_video(payload[:-5], fake=True)
+    assert len(fake) == 4 and len(fake[0]) == 8  # deterministic stand-in
+
+
+def test_frame_extract_real_y4m(spark):
+    media = M.make_real_video_media(spark, n=10)
+    rows = M.extract_frames(media, every_ms=200, fake_decode=False).collect()
+    src = {r.media_id: r for r in media.collect()}
+    per_clip = {}
+    for r in rows:
+        per_clip.setdefault(r.media_id, []).append(r)
+    assert set(per_clip) == set(src)
+    for mid, frs in per_clip.items():
+        num, den, frames = M.decode_video(bytes(src[mid].payload))
+        dur_ms = int(len(frames) * 1000 * den / num)
+        assert len(frs) == max(1, -(-dur_ms // 200))  # every 200ms incl. t=0
+        for r in sorted(frs, key=lambda x: x.frame_ms):
+            assert r.width == src[mid].width and r.height == src[mid].height
+            assert r.frame_idx == min(len(frames) - 1,
+                                      r.frame_ms * num // (1000 * den))
+            import hashlib as H
+
+            import numpy as np
+
+            fr = np.asarray(frames[r.frame_idx], dtype=np.uint8)
+            assert r.frame_sha == H.sha256(fr.tobytes()).hexdigest()
+            assert abs(r.mean_luma - float(fr.mean())) < 1e-9
