@@ -501,13 +501,16 @@ def encode_y4m(
     return b"".join(out)
 
 
-def _parse_y4m(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
-    """Decode a YUV4MPEG2 4:2:0 payload to (fps_num, fps_den, gray
-    frames as Y-plane pixel rows). Public y4m layout: one ASCII header
-    line 'YUV4MPEG2 W<w> H<h> F<num>:<den> ...', then per frame a
-    'FRAME...' line + planar YUV bytes. Chroma is dropped (the gray
-    pipeline consumes luma, as with the image decoders). Truncation
-    -> ValueError, matching the PNM/BMP/WAV parsers."""
+def _parse_y4m_planes(b: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """Decode a YUV4MPEG2 4:2:0 payload to (fps_num, fps_den, w, h,
+    per-frame Y-plane byte slices). Public y4m layout: one ASCII
+    header line 'YUV4MPEG2 W<w> H<h> F<num>:<den> ...', then per
+    frame a 'FRAME...' line + planar YUV bytes. Chroma is dropped
+    (the gray pipeline consumes luma, as with the image decoders).
+    Planes stay BYTES — a frame-sampling consumer materializes only
+    the frames it actually uses (a nested-int-list frame costs ~28
+    bytes/pixel; the plane slice costs 1). Truncation -> ValueError,
+    matching the PNM/BMP/WAV parsers."""
     nl = b.find(b"\n")
     if nl < 0 or not b.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload")
@@ -521,14 +524,19 @@ def _parse_y4m(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
             h = int(t[1:])
         elif t[0] == "F" and ":" in t:
             fps_num, fps_den = (int(x) for x in t[1:].split(":"))
-        elif t[0] == "C" and t not in ("C420", "C420jpeg", "C420paldv"):
+        elif t[0] == "C" and t not in (
+            "C420", "C420jpeg", "C420paldv", "C420mpeg2",  # same plane layout
+        ):
             raise ValueError(f"unsupported y4m chroma {t}")
-    if not w or not h or w % 2 or h % 2:
+    # strictly positive AND even: a negative even width passes a bare
+    # parity check (-2 % 2 == 0) and drives the frame cursor BACKWARD
+    # -> infinite loop; the PNM/BMP parsers make the same demand
+    if not w or not h or w <= 0 or h <= 0 or w % 2 or h % 2:
         raise ValueError("bad y4m geometry")
     if fps_num <= 0 or fps_den <= 0:
         raise ValueError("bad y4m frame rate")
     y_size, uv_size = w * h, (w // 2) * (h // 2)
-    frames: list[list[list[int]]] = []
+    planes: list[bytes] = []
     pos = nl + 1
     while pos < len(b):
         fnl = b.find(b"\n", pos)
@@ -537,13 +545,19 @@ def _parse_y4m(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
         data_start = fnl + 1
         if data_start + y_size + 2 * uv_size > len(b):
             raise ValueError("truncated y4m frame")
-        y = b[data_start : data_start + y_size]
-        frames.append(
-            [list(y[r * w : (r + 1) * w]) for r in range(h)]
-        )
+        planes.append(b[data_start : data_start + y_size])
         pos = data_start + y_size + 2 * uv_size
-    if not frames:
+    if not planes:
         raise ValueError("y4m payload with zero frames")
+    return fps_num, fps_den, w, h, planes
+
+
+def _parse_y4m(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
+    """decode_video's list-of-rows form of _parse_y4m_planes."""
+    fps_num, fps_den, w, h, planes = _parse_y4m_planes(b)
+    frames = [
+        [list(y[r * w : (r + 1) * w]) for r in range(h)] for y in planes
+    ]
     return fps_num, fps_den, frames
 
 
@@ -629,7 +643,15 @@ def extract_frames(
 
     Same Arrow plumbing contract as the other extractors: videos
     only, metadata prunes before payloads move, per-clip work is
-    bounded by clip length, no shuffle anywhere."""
+    bounded by clip length, no shuffle anywhere. Timestamps are
+    endpoint-INCLUSIVE (0, every_ms, ..., duration_ms) to match
+    frame_sample_plan's F.sequence exactly — a consumer joining plan
+    rows to extracted frames must find every one. For real y4m
+    payloads only the SAMPLED frames materialize (zero-copy plane
+    slices -> np.frombuffer), never the whole clip."""
+    every_ms = int(every_ms)
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -641,12 +663,32 @@ def extract_frames(
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                fps_num, fps_den, frames = decode_video(b, fake=fake_decode)
-                n = len(frames)
+                try:
+                    fps_num, fps_den, w, h, planes = _parse_y4m_planes(b)
+
+                    def fr_at(idx, _w=w, _h=h, _p=planes):
+                        return np.frombuffer(_p[idx], dtype=np.uint8).reshape(
+                            _h, _w
+                        )
+
+                    n = len(planes)
+                except ValueError:
+                    if not fake_decode:
+                        # canonical gating errors: ValueError for a
+                        # malformed y4m, NotImplementedError for a
+                        # compressed/unknown container
+                        decode_video(b, fake=False)
+                        raise
+                    fps_num, fps_den, frames = decode_video(b, fake=True)
+
+                    def fr_at(idx, _f=frames):
+                        return np.asarray(_f[idx], dtype=np.uint8)
+
+                    n = len(frames)
                 dur_ms = int(n * 1000 * fps_den / fps_num)
-                for ms in range(0, max(dur_ms, 1), int(every_ms)):
+                for ms in range(0, dur_ms + 1, every_ms):
                     idx = min(n - 1, ms * fps_num // (1000 * fps_den))
-                    fr = np.asarray(frames[idx], dtype=np.uint8)
+                    fr = fr_at(idx)
                     out["media_id"].append(mid)
                     out["frame_ms"].append(ms)
                     out["frame_idx"].append(idx)
@@ -704,6 +746,8 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling plan: one row per frame timestamp to
     extract — pure column math (sequence/explode), no decoding.
     extract_frames is the materialization (real for y4m payloads)."""
+    if int(every_ms) <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     vids = media.filter(F.col("kind") == "video")
     ts = F.explode(
         F.sequence(F.lit(0), F.col("duration_ms"), F.lit(int(every_ms)))

@@ -286,7 +286,9 @@ def test_frame_extract_real_y4m(spark):
     for mid, frs in per_clip.items():
         num, den, frames = M.decode_video(bytes(src[mid].payload))
         dur_ms = int(len(frames) * 1000 * den / num)
-        assert len(frs) == max(1, -(-dur_ms // 200))  # every 200ms incl. t=0
+        # endpoint-INCLUSIVE timestamps, matching frame_sample_plan's
+        # F.sequence(0, duration_ms, step)
+        assert len(frs) == dur_ms // 200 + 1
         for r in sorted(frs, key=lambda x: x.frame_ms):
             assert r.width == src[mid].width and r.height == src[mid].height
             assert r.frame_idx == min(len(frames) - 1,
@@ -298,3 +300,33 @@ def test_frame_extract_real_y4m(spark):
             fr = np.asarray(frames[r.frame_idx], dtype=np.uint8)
             assert r.frame_sha == H.sha256(fr.tobytes()).hexdigest()
             assert abs(r.mean_luma - float(fr.mean())) < 1e-9
+
+
+def test_y4m_adversarial_geometry_and_step_validation(spark):
+    import pytest
+
+    # negative even dimensions must be rejected, not loop forever
+    evil = b"YUV4MPEG2 W-2 H2 F25:1\nFRAME\n"
+    with pytest.raises(ValueError):
+        M.decode_video(evil, fake=False)
+    # ffmpeg's default chroma tag decodes fine (identical layout)
+    frames = [[[1, 2], [3, 4]]]
+    tagged = M.encode_y4m(frames).replace(b" C420\n", b" C420mpeg2\n")
+    assert M.decode_video(tagged)[2] == frames
+    # non-positive sampling step fails fast on the driver
+    media = M.make_real_video_media(spark, n=2)
+    with pytest.raises(ValueError):
+        M.extract_frames(media, every_ms=0)
+    with pytest.raises(ValueError):
+        M.frame_sample_plan(media, every_ms=0)
+
+
+def test_frame_extract_matches_plan_timestamps(spark):
+    # the materialization must cover EXACTLY the plan's timestamps
+    media = M.make_real_video_media(spark, n=8)
+    plan = {(r.media_id, r.frame_ms)
+            for r in M.frame_sample_plan(media, every_ms=200).collect()}
+    got = {(r.media_id, r.frame_ms)
+           for r in M.extract_frames(media, every_ms=200,
+                                     fake_decode=False).collect()}
+    assert got == plan
