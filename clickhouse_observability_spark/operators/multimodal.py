@@ -3,10 +3,11 @@
 Image/audio/video payloads are opaque `binary` columns with typed
 metadata; the Spark-side machinery — schema, partition-friendly
 layout, Arrow-batched mapInPandas transforms, batch shapes — is real
-and tested. Decoding is REAL for the uncompressed public formats a
-stdlib parser can handle: PPM/PGM/BMP images (`decode_image`, since
-r3) and RIFF/WAVE PCM audio (`decode_audio`, since r4). Compressed
-codecs (PNG/JPEG, MP3/AAC, video) need libraries not in this
+and tested. Decoding is REAL for the public formats a stdlib parser
+can handle: PPM/PGM/BMP images (`decode_image`, since r3), full
+baseline PNG via stdlib zlib (since r4), RIFF/WAVE PCM audio
+(`decode_audio`, since r4), and YUV4MPEG2 video. Remaining
+codecs (JPEG, MP3/AAC, compressed video) need libraries not in this
 container: those paths raise NotImplementedError unless `fake=True`,
 in which case a deterministic hash-seeded decode stands in so
 downstream feature extraction is testable end-to-end.
@@ -74,10 +75,11 @@ def make_fake_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
 
 
 def make_real_image_media(spark: SparkSession, n: int = 24, seed: int = 7) -> DataFrame:
-    """Media table whose payloads are REAL image bytes (PPM/BMP mix) —
-    deterministic RGB gradients of varying geometry, encoded with the
-    pure-stdlib encoders below, so the decode→resize path exercises
-    actual pixels end-to-end."""
+    """Media table whose payloads are REAL image bytes (PPM/BMP/PNG
+    mix) — deterministic RGB gradients of varying geometry, encoded
+    with the pure-stdlib encoders below, so the decode→resize path
+    exercises actual pixels (including DEFLATE round-trips)
+    end-to-end."""
     rows = []
     for i in range(n):
         w, h = 5 + (i % 4), 4 + (i % 3)
@@ -92,7 +94,7 @@ def make_real_image_media(spark: SparkSession, n: int = 24, seed: int = 7) -> Da
             ]
             for r in range(h)
         ]
-        payload = encode_ppm(rgb) if i % 2 == 0 else encode_bmp24(rgb)
+        payload = (encode_ppm, encode_bmp24, encode_png)[i % 3](rgb)
         rows.append((i, "image", bytearray(payload), w, h, None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -258,14 +260,240 @@ def encode_bmp24(rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
     return header + dib + bytes(raster)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Adam7 interlace pass geometry: (x_start, y_start, x_step, y_step).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, pos: int, height: int, bpp: int, stride: int
+) -> tuple[list[bytes], int]:
+    """Undo PNG per-scanline filtering (types 0-4: None/Sub/Up/Average/
+    Paeth, spec §9) over `height` scanlines of `stride` bytes starting
+    at `raw[pos]`; returns (unfiltered rows, position after raster)."""
+    rows: list[bytes] = []
+    prev = bytes(stride)
+    for _ in range(height):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("truncated PNG raster")
+        ft = raw[pos]
+        pos += 1
+        cur = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        done = bytes(cur)
+        rows.append(done)
+        prev = done
+    return rows, pos
+
+
+def _parse_png(b: bytes) -> list[list[int]]:
+    """Decode a PNG payload to gray pixel rows — pure stdlib (zlib).
+
+    Full baseline coverage of the public spec (RFC 2083 / W3C PNG):
+    chunked container with CRC-32 verification, IHDR geometry, all five
+    scanline filters, grayscale (bit depth 1/2/4/8/16), truecolor
+    (8/16), palette (1/2/4/8 + PLTE), gray+alpha and RGBA (8/16), and
+    both interlace methods (none + Adam7). Alpha is ignored (no
+    compositing target); 16-bit samples use the high byte; sub-byte
+    grays scale to 0-255; RGB collapses to BT.601 integer luma."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos = 8
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    idat = bytearray()
+    saw_iend = False
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(b):
+            raise ValueError("truncated PNG chunk")
+        data = b[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG {ctype!r} chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        # ancillary chunks (tRNS, gAMA, tEXt, ...) are CRC-checked and skipped
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing or malformed PNG IHDR")
+    if not saw_iend:
+        raise ValueError("truncated PNG: no IEND")
+    width, height, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("unsupported PNG compression/filter/interlace method")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if channels is None or depth not in valid_depths[ct]:
+        raise ValueError(f"bad PNG color type {ct} / bit depth {depth}")
+    if width == 0 or height == 0 or width * height > 1 << 26:
+        raise ValueError(f"bad PNG geometry {width}x{height}")
+    pal: list[int] | None = None
+    if ct == 3:
+        if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError("missing or malformed PNG PLTE")
+        pal = [
+            _luma(plte[3 * i], plte[3 * i + 1], plte[3 * i + 2])
+            for i in range(len(plte) // 3)
+        ]
+        pal += [0] * (256 - len(pal))  # out-of-range indexes decode black
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG zlib stream: {e}") from None
+
+    maxval = (1 << depth) - 1
+
+    def px_luma(s: tuple[int, ...]) -> int:
+        if ct == 2 or ct == 6:  # truecolor (+alpha): 8-bit samples by now
+            return _luma(s[0], s[1], s[2])
+        if ct == 3:
+            assert pal is not None
+            return pal[s[0]]
+        # grayscale (+alpha): scale sub-byte depths to 0-255
+        return s[0] if depth >= 8 else s[0] * 255 // maxval
+
+    def row_pixels(rb: bytes, wp: int) -> list[int]:
+        if depth == 8:
+            return [
+                px_luma(tuple(rb[i * channels : (i + 1) * channels]))
+                for i in range(wp)
+            ]
+        if depth == 16:  # high byte of each big-endian sample
+            return [
+                px_luma(tuple(rb[(i * channels + c) * 2] for c in range(channels)))
+                for i in range(wp)
+            ]
+        per, shift0 = 8 // depth, 8 - depth
+        return [
+            px_luma(((rb[i // per] >> (shift0 - depth * (i % per))) & maxval,))
+            for i in range(wp)
+        ]
+
+    def decode_pass(pos: int, wp: int, hp: int) -> tuple[list[list[int]], int]:
+        stride = (depth * channels * wp + 7) // 8
+        bpp = max(1, depth * channels // 8)
+        rows, pos = _png_unfilter(raw, pos, hp, bpp, stride)
+        return [row_pixels(r, wp) for r in rows], pos
+
+    rpos = 0
+    if interlace == 0:
+        out, rpos = decode_pass(0, width, height)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        out = [[0] * width for _ in range(height)]
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, rpos = decode_pass(rpos, wp, hp)
+            for ry in range(hp):
+                orow = out[y0 + ry * dy]
+                srow = sub[ry]
+                for rx in range(wp):
+                    orow[x0 + rx * dx] = srow[rx]
+    if rpos != len(raw):
+        raise ValueError("PNG raster length mismatch")
+    return out
+
+
+def encode_png(
+    rgb_rows: list[list[tuple[int, int, int]]], interlace: int = 0
+) -> bytes:
+    """Encode RGB pixel rows as an 8-bit truecolor PNG (filter 0 per
+    scanline, optional Adam7 interlace) — pure-stdlib test/sink helper,
+    the compressed-format analog of encode_ppm/encode_bmp24."""
+    import struct
+    import zlib
+
+    h = len(rgb_rows)
+    w = len(rgb_rows[0]) if h else 0
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if not interlace:
+        raster = b"".join(
+            b"\x00" + bytes(v for px in row for v in px) for row in rgb_rows
+        )
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            for ry in range(hp):
+                row = rgb_rows[y0 + ry * dy]
+                parts.append(
+                    b"\x00" + bytes(v for rx in range(wp) for v in row[x0 + rx * dx])
+                )
+        raster = b"".join(parts)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
     """Decode an image payload to gray pixel rows.
 
-    REAL for uncompressed public formats — PPM/PGM (P6/P5/P3/P2) and
-    BMP (BI_RGB 8/24/32-bit) — via pure-stdlib byte parsing; RGB is
-    collapsed to BT.601 integer luma. Compressed formats (PNG/JPEG/...)
-    still need a codec library not present in this container: they
-    raise NotImplementedError unless fake=True, in which case a
+    REAL for the public formats a stdlib parser can handle — PPM/PGM
+    (P6/P5/P3/P2), BMP (BI_RGB 8/24/32-bit), and PNG (full baseline:
+    all color types, bit depths 1-16, all five filters, Adam7; DEFLATE
+    via stdlib zlib) — RGB collapsed to BT.601 integer luma. JPEG and
+    other codecs still need libraries not present in this container:
+    they raise NotImplementedError unless fake=True, in which case a
     deterministic hash-seeded 8x8 tile stands in so downstream
     plumbing stays testable with arbitrary bytes.
     """
@@ -282,11 +510,18 @@ def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
         except ValueError:
             if not fake:
                 raise
+    if b[:8] == _PNG_SIG:
+        try:
+            return _parse_png(b)
+        except ValueError:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
-            "compressed image formats require a codec library not installed "
-            "here; supported real formats are PPM/PGM/BMP — or pass fake=True "
-            "for the deterministic test decode"
+            "remaining compressed image formats (JPEG/...) require a codec "
+            "library not installed here; supported real formats are "
+            "PPM/PGM/BMP/PNG — or pass fake=True for the deterministic "
+            "test decode"
         )
     h = hashlib.sha256(b).digest()
     return [[h[(r * 8 + c) % 32] for c in range(8)] for r in range(8)]

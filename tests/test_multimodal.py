@@ -330,3 +330,182 @@ def test_frame_extract_matches_plan_timestamps(spark):
            for r in M.extract_frames(media, every_ms=200,
                                      fake_decode=False).collect()}
     assert got == plan
+
+
+# ---------------------------------------------------------------- PNG
+
+def _png_chunk(t: bytes, d: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(d)) + t + d
+        + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    )
+
+
+def _png_build(ihdr: tuple, raster: bytes, plte: bytes | None = None) -> bytes:
+    """Hand-assemble a PNG from IHDR fields + pre-filtered raster —
+    independent of encode_png, so decode is tested against the spec's
+    byte layout, not our own encoder's idea of it."""
+    import struct
+    import zlib
+
+    out = M._PNG_SIG + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr))
+    if plte:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raster)) + _png_chunk(b"IEND", b"")
+
+
+def test_decode_png_matches_ppm():
+    assert M.decode_image(M.encode_png(RGB_3x2)) == LUMA_3x2
+
+
+def test_decode_png_adam7_equals_progressive():
+    import random
+
+    rnd = random.Random(11)
+    for w, h in [(1, 1), (7, 5), (8, 8), (9, 3), (16, 11), (3, 17)]:
+        rgb = [
+            [tuple(rnd.randrange(256) for _ in range(3)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        ref = M.decode_image(M.encode_ppm(rgb))
+        assert M.decode_image(M.encode_png(rgb)) == ref
+        assert M.decode_image(M.encode_png(rgb, interlace=1)) == ref
+
+
+def test_decode_png_all_filter_types():
+    # one scanline per filter type (0..4), hand-filtered grayscale
+    w, h = 6, 5
+    gray = [[(r * 40 + c * 11) % 256 for c in range(w)] for r in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raster = b""
+    prev = bytes(w)
+    for ri, row in enumerate(gray):
+        cur = bytes(row)
+        ft = ri % 5
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = bytes((cur[i] - (cur[i - 1] if i else 0)) & 0xFF for i in range(w))
+        elif ft == 2:
+            enc = bytes((cur[i] - prev[i]) & 0xFF for i in range(w))
+        elif ft == 3:
+            enc = bytes(
+                (cur[i] - (((cur[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(w)
+            )
+        else:
+            enc = bytes(
+                (cur[i] - paeth(cur[i - 1] if i else 0, prev[i],
+                                prev[i - 1] if i else 0)) & 0xFF
+                for i in range(w)
+            )
+        raster += bytes([ft]) + enc
+        prev = cur
+    assert M.decode_image(_png_build((w, h, 8, 0, 0, 0, 0), raster)) == gray
+
+
+def test_decode_png_palette_and_subbyte_depths():
+    # 4-bit palette: two indexes per byte, MSB first
+    pal = b""
+    lum = []
+    for i in range(16):
+        r, g, b = (i * 16) % 256, (255 - i * 16) % 256, (i * 7) % 256
+        pal += bytes((r, g, b))
+        lum.append(M._luma(r, g, b))
+    w, h = 5, 3
+    idx = [[(r * 3 + c) % 16 for c in range(w)] for r in range(h)]
+    raster = b""
+    for row in idx:
+        packed = bytearray()
+        for i in range(0, w, 2):
+            packed.append((row[i] << 4) | (row[i + 1] if i + 1 < w else 0))
+        raster += b"\x00" + bytes(packed)
+    got = M.decode_image(_png_build((w, h, 4, 3, 0, 0, 0), raster, plte=pal))
+    assert got == [[lum[v] for v in row] for row in idx]
+
+    # 1-bit grayscale: 9 wide forces a ragged final byte
+    bits = [[1, 0, 1, 0, 1, 1, 0, 0, 1], [0] * 9]
+    raster = b""
+    for row in bits:
+        packed = bytearray()
+        for i in range(0, 9, 8):
+            byte = 0
+            for j, v in enumerate(row[i : i + 8]):
+                byte |= v << (7 - j)
+            packed.append(byte)
+        raster += b"\x00" + bytes(packed)
+    got = M.decode_image(_png_build((9, 2, 1, 0, 0, 0, 0), raster))
+    assert got == [[v * 255 for v in row] for row in bits]
+
+
+def test_decode_png_16bit_alpha_variants():
+    import struct
+
+    # 16-bit truecolor: high byte wins
+    w, h = 4, 2
+    rgb16 = [
+        [((c * 1000 + r) % 65536, (c * 2000) % 65536, (r * 3000) % 65536)
+         for c in range(w)]
+        for r in range(h)
+    ]
+    raster = b"".join(
+        b"\x00" + b"".join(struct.pack(">HHH", *px) for px in row) for row in rgb16
+    )
+    got = M.decode_image(_png_build((w, h, 16, 2, 0, 0, 0), raster))
+    assert got == [
+        [M._luma(px[0] >> 8, px[1] >> 8, px[2] >> 8) for px in row] for row in rgb16
+    ]
+
+    # RGBA and gray+alpha: alpha ignored
+    w, h = 3, 2
+    rgba = [[(10 * c + r, 20 * c, 30 * c, 128) for c in range(w)] for r in range(h)]
+    raster = b"".join(
+        b"\x00" + bytes(v for px in row for v in px) for row in rgba
+    )
+    got = M.decode_image(_png_build((w, h, 8, 6, 0, 0, 0), raster))
+    assert got == [[M._luma(*px[:3]) for px in row] for row in rgba]
+    ga = [[(40 * c + r, 200) for c in range(w)] for r in range(h)]
+    raster = b"".join(b"\x00" + bytes(v for px in row for v in px) for row in ga)
+    got = M.decode_image(_png_build((w, h, 8, 4, 0, 0, 0), raster))
+    assert got == [[px[0] for px in row] for row in ga]
+
+
+def test_decode_png_rejects_malformed():
+    good = M.encode_png(RGB_3x2)
+    # flipped byte inside IHDR data -> CRC catches it
+    bad = bytearray(good)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_image(bytes(bad))
+    # truncated file: IEND never arrives
+    with pytest.raises(ValueError):
+        M.decode_image(good[:-20])
+    # short raster inside a VALID zlib stream
+    with pytest.raises(ValueError, match="truncated PNG raster"):
+        M.decode_image(_png_build((6, 5, 8, 0, 0, 0, 0), b"\x00" + bytes(6)))
+    # surplus raster bytes
+    with pytest.raises(ValueError, match="length mismatch"):
+        M.decode_image(_png_build((2, 1, 8, 0, 0, 0, 0), b"\x00\x01\x02\x99"))
+    # corrupt DEFLATE stream
+    raw = (
+        M._PNG_SIG
+        + _png_chunk(b"IHDR", b"\x00\x00\x00\x02\x00\x00\x00\x01\x08\x00\x00\x00\x00")
+        + _png_chunk(b"IDAT", b"notzlib")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="zlib"):
+        M.decode_image(raw)
+    # undefined filter type
+    with pytest.raises(ValueError, match="filter type"):
+        M.decode_image(_png_build((2, 1, 8, 0, 0, 0, 0), b"\x07\x01\x02"))
+    # fake=True still falls back to the deterministic tile on malformed PNG
+    tile = M.decode_image(bytes(bad), fake=True)
+    assert len(tile) == 8 and tile == M.decode_image(bytes(bad), fake=True)
