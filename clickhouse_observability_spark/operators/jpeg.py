@@ -1,0 +1,594 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) codec — pure Python + numpy.
+
+Decoder: baseline sequential DCT (SOF0/SOF1), 8-bit samples, any
+sampling factors (4:4:4 / 4:2:2 / 4:2:0 / grayscale), restart
+intervals, stuffed bytes, stream-supplied DQT/DHT tables. Entropy
+decoding is a Python bit-loop (payloads are Arrow-batched and small);
+dequantize + IDCT run vectorized over ALL blocks at once in numpy.
+Output is the Y (BT.601 luma) plane at full resolution — the same
+gray-rows contract as the PNM/BMP/PNG parsers in `multimodal.py`, so
+chroma planes are entropy-decoded (the bitstream demands it) but
+Cb/Cr IDCT work is skipped.
+
+Encoder: the matching baseline writer (Annex K quantization + Huffman
+tables with libjpeg-style quality scaling, optional 2x2 chroma
+subsampling, optional restart intervals) used as the round-trip test
+anchor and binary-sink helper — this container has no image library,
+so tests encode with this and decode with the parser above.
+
+Progressive (SOF2), arithmetic coding, 12-bit precision and
+hierarchical modes raise ValueError — callers (decode_image) surface
+that as the documented fake-tile fallback path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan: raster index of each of the 64 scan positions
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K.1 base quantization tables (raster order)
+QUANT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+QUANT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# Annex K.3 typical Huffman tables: (16 code-length counts, symbols)
+HUFF_DC_LUMA = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+HUFF_DC_CHROMA = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+HUFF_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+HUFF_AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """8x8 DCT-II basis A with A[u,x] = c(u)/2 * cos((2x+1)u*pi/16):
+    forward F = A f A^T, inverse f = A^T F A."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = cu / 2 * np.cos((2 * x + 1) * u * np.pi / 16)
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+def _canonical_codes(counts: tuple, symbols: tuple) -> dict[tuple[int, int], int]:
+    """(bit length, code) -> symbol for a canonical JPEG Huffman table."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    it = iter(symbols)
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            try:
+                table[(ln, code)] = next(it)
+            except StopIteration:
+                raise ValueError("DHT symbol count mismatch") from None
+            code += 1
+        code <<= 1
+    return table
+
+
+def _encode_codes(counts: tuple, symbols: tuple) -> dict[int, tuple[int, int]]:
+    """symbol -> (bit length, code), the encoder-side view."""
+    return {sym: (ln, code) for (ln, code), sym in
+            _canonical_codes(counts, symbols).items()}
+
+
+class _BitReader:
+    """Entropy-segment bit reader: honors 0xFF00 stuffing, stops at
+    markers, byte-aligns across restart markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG entropy data")
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:  # stuffed
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError("unexpected JPEG restart marker mid-block")
+            else:
+                raise ValueError("JPEG entropy data ran into marker")
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad JPEG Huffman code")
+
+    def restart(self, n_expected: int) -> None:
+        """Byte-align and consume the RSTn marker."""
+        self.bits = 0
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            raise ValueError("missing JPEG restart marker")
+        m = d[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7) or (m - 0xD0) != n_expected % 8:
+            raise ValueError("bad JPEG restart marker sequence")
+        self.pos += 2
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_luma(b: bytes) -> list[list[int]]:
+    """Decode a baseline JPEG to gray pixel rows (the Y plane).
+
+    Stream-driven: quantization and Huffman tables come from the
+    file's own DQT/DHT segments, so decode correctness is independent
+    of the Annex K constants above (those are encoder-side)."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    frame = None  # (w, h, comps)
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            break
+        (seg_len,) = struct.unpack_from(">H", b, pos + 2)
+        seg = b[pos + 4 : pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                sp += 1
+                n = 64 * (2 if pq else 1)
+                if sp + n > len(seg):
+                    raise ValueError("truncated JPEG DQT")
+                vals = (
+                    np.frombuffer(seg, ">u2", 64, sp).astype(np.int32)
+                    if pq
+                    else np.frombuffer(seg, np.uint8, 64, sp).astype(np.int32)
+                )
+                tbl = np.zeros(64, np.int32)
+                tbl[list(ZIGZAG)] = vals
+                qt[tq] = tbl
+                sp += n
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp + 17 <= len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                counts = tuple(seg[sp + 1 : sp + 17])
+                n = sum(counts)
+                symbols = tuple(seg[sp + 17 : sp + 17 + n])
+                if len(symbols) != n:
+                    raise ValueError("truncated JPEG DHT")
+                huff[(tc, th)] = _canonical_codes(counts, symbols)
+                sp += 17 + n
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF")
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF")
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if w == 0 or h == 0 or nc not in (1, 3):
+                raise ValueError("bad JPEG frame header")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG mode (progressive/arithmetic/hierarchical)"
+            )
+        elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI")
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if not seg or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("truncated JPEG SOS")
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel[cs] = (tables >> 4, tables & 0xF)
+            scan = sel
+            pos = pos + 2 + seg_len
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("missing JPEG SOF/SOS")
+    w, h, comps = frame
+    for c in comps:
+        if c["id"] not in scan:
+            raise ValueError("JPEG scan does not cover all components")
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError("bad JPEG sampling factors")
+        if c["tq"] not in qt:
+            raise ValueError("JPEG component references missing DQT")
+        dc_id, ac_id = scan[c["id"]]
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("JPEG scan references missing DHT")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+
+    reader = _BitReader(b, pos)
+    # entropy-decode every block; collect only Y (first component) coeffs
+    y_comp = comps[0]
+    yh, yv = y_comp["h"], y_comp["v"]
+    y_coeffs = np.zeros((n_mcus * yh * yv, 64), np.int32)
+    pred = {c["id"]: 0 for c in comps}
+    zig = list(ZIGZAG)
+    n_y = 0
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.restart(mcu // restart_interval - 1)
+            pred = {c["id"]: 0 for c in comps}
+        for ci, c in enumerate(comps):
+            dc_tab = huff[(0, scan[c["id"]][0])]
+            ac_tab = huff[(1, scan[c["id"]][1])]
+            for _ in range(c["h"] * c["v"]):
+                blk = [0] * 64
+                s = reader.decode_huff(dc_tab)
+                if s > 11:
+                    raise ValueError("bad JPEG DC category")
+                diff = _extend(reader.receive(s), s)
+                pred[c["id"]] += diff
+                blk[0] = pred[c["id"]]
+                k = 1
+                while k < 64:
+                    rs = reader.decode_huff(ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflows block")
+                    blk[zig[k]] = _extend(reader.receive(s), s)
+                    k += 1
+                if ci == 0:
+                    y_coeffs[n_y] = blk
+                    n_y += 1
+    # dequantize + IDCT all Y blocks at once
+    q = qt[y_comp["tq"]].astype(np.float64)
+    spatial = np.einsum(
+        "ux,nuv,vy->nxy",
+        _DCT_A,
+        (y_coeffs * q).reshape(-1, 8, 8),
+        _DCT_A,
+        optimize=True,
+    )
+    pixels = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+    # assemble the Y plane from MCU-ordered blocks
+    plane_w, plane_h = 8 * yh * mcus_x, 8 * yv * mcus_y
+    plane = np.zeros((plane_h, plane_w), np.uint8)
+    bi = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(yv):
+                for bx in range(yh):
+                    plane[
+                        8 * (my * yv + by) : 8 * (my * yv + by) + 8,
+                        8 * (mx * yh + bx) : 8 * (mx * yh + bx) + 8,
+                    ] = pixels[bi]
+                    bi += 1
+    # Y at less-than-max sampling (rare): nearest-upsample to full res
+    if yh < hmax or yv < vmax:
+        plane = np.repeat(np.repeat(plane, vmax // yv, 0), hmax // yh, 1)
+    return plane[:h, :w].tolist()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg-style quality scaling of the Annex K base tables."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (QUANT_LUMA, QUANT_CHROMA):
+        t = (np.array(base, np.int64) * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, code: int, n: int) -> None:
+        self.acc = (self.acc << n) | (code & ((1 << n) - 1))
+        self.nacc += n
+        while self.nacc >= 8:
+            self.nacc -= 8
+            byte = (self.acc >> self.nacc) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+        self.acc &= (1 << self.nacc) - 1
+
+    def flush(self) -> None:
+        if self.nacc:  # pad to a byte boundary with 1-bits (T.81 B.2.1)
+            pad = 8 - self.nacc
+            self.write((1 << pad) - 1, pad)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(category ssss, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, v if v > 0 else v + (1 << s) - 1
+
+
+def encode_jpeg(
+    rgb_rows: list[list[tuple[int, int, int]]],
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    grayscale: bool = False,
+) -> bytes:
+    """Encode RGB pixel rows as a baseline JFIF JPEG (test/sink
+    helper): Annex K tables at the given quality, optional 2x2 chroma
+    subsampling and restart intervals, standard Huffman coding."""
+    h = len(rgb_rows)
+    w = len(rgb_rows[0]) if h else 0
+    if w == 0 or h == 0:
+        raise ValueError("empty image")
+    rgb = np.array(rgb_rows, np.float64)  # h x w x 3
+    r, g, bl = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * bl
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128
+    qy, qc = _quality_tables(quality)
+
+    dc_l = _encode_codes(*HUFF_DC_LUMA)
+    ac_l = _encode_codes(*HUFF_AC_LUMA)
+    dc_c = _encode_codes(*HUFF_DC_CHROMA)
+    ac_c = _encode_codes(*HUFF_AC_CHROMA)
+
+    if grayscale:
+        comps = [("Y", y, 1, 1, 0, dc_l, ac_l, qy)]
+        hmax = vmax = 1
+    elif subsample:
+        comps = [
+            ("Y", y, 2, 2, 0, dc_l, ac_l, qy),
+            ("Cb", _box2(cb), 1, 1, 1, dc_c, ac_c, qc),
+            ("Cr", _box2(cr), 1, 1, 1, dc_c, ac_c, qc),
+        ]
+        hmax = vmax = 2
+    else:
+        comps = [
+            ("Y", y, 1, 1, 0, dc_l, ac_l, qy),
+            ("Cb", cb, 1, 1, 1, dc_c, ac_c, qc),
+            ("Cr", cr, 1, 1, 1, dc_c, ac_c, qc),
+        ]
+        hmax = vmax = 1
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # pad each plane (edge-replicate) to its MCU-covered size
+    planes = []
+    for name, plane, ch, cv, tq, dct, act, q in comps:
+        ph, pw = 8 * cv * mcus_y, 8 * ch * mcus_x
+        plane = _pad_edge(plane, ph, pw)
+        planes.append((name, plane, ch, cv, tq, dct, act, q))
+
+    writer = _BitWriter()
+    zig = list(ZIGZAG)
+    pred = {name: 0 for name, *_ in planes}
+    n_mcus = mcus_x * mcus_y
+    rst_n = 0
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.flush()
+            writer.out += bytes((0xFF, 0xD0 + rst_n % 8))
+            rst_n += 1
+            pred = {name: 0 for name, *_ in planes}
+        my, mx = divmod(mcu, mcus_x)
+        for name, plane, ch, cv, tq, dct, act, q in planes:
+            for by in range(cv):
+                for bx in range(ch):
+                    y0 = 8 * (my * cv + by)
+                    x0 = 8 * (mx * ch + bx)
+                    blk = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coef = _DCT_A @ blk @ _DCT_A.T
+                    qz = np.round(coef.reshape(64) / q).astype(np.int64)
+                    diff = int(qz[0]) - pred[name]
+                    pred[name] = int(qz[0])
+                    s, bits = _mag_bits(diff)
+                    ln, code = dct[s]
+                    writer.write(code, ln)
+                    if s:
+                        writer.write(bits, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(qz[zig[k]])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = act[0xF0]  # ZRL
+                            writer.write(code, ln)
+                            run -= 16
+                        s, bits = _mag_bits(v)
+                        if s > 10:
+                            raise ValueError(
+                                "JPEG coefficient out of standard-table range"
+                            )
+                        ln, code = act[(run << 4) | s]
+                        writer.write(code, ln)
+                        writer.write(bits, s)
+                        run = 0
+                    if run:
+                        ln, code = act[0x00]  # EOB
+                        writer.write(code, ln)
+    writer.flush()
+
+    # ---- container segments
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in [(0, qy)] + ([] if grayscale else [(1, qc)]):
+        zz = bytes(int(q[i]) for i in ZIGZAG)
+        out += seg(0xDB, bytes([tq]) + zz)
+    ncomp = 1 if grayscale else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (name, plane, ch, cv, tq, *_rest) in enumerate(planes):
+        sof += struct.pack(">BBB", i + 1, (ch << 4) | cv, tq)
+    out += seg(0xC0, sof)
+    tables = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if not grayscale:
+        tables += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    for tid, (counts, symbols) in tables:
+        out += seg(0xC4, bytes([tid]) + bytes(counts) + bytes(symbols))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _box2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-average downsample (edge-replicated to even dims)."""
+    h, w = plane.shape
+    plane = _pad_edge(plane, h + h % 2, w + w % 2)
+    return (
+        plane[0::2, 0::2] + plane[1::2, 0::2] + plane[0::2, 1::2] + plane[1::2, 1::2]
+    ) / 4.0
+
+
+def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")

@@ -5,10 +5,11 @@ metadata; the Spark-side machinery — schema, partition-friendly
 layout, Arrow-batched mapInPandas transforms, batch shapes — is real
 and tested. Decoding is REAL for the public formats a stdlib parser
 can handle: PPM/PGM/BMP images (`decode_image`, since r3), full
-baseline PNG via stdlib zlib (since r4), RIFF/WAVE PCM audio
-(`decode_audio`, since r4), and YUV4MPEG2 video. Remaining
-codecs (JPEG, MP3/AAC, compressed video) need libraries not in this
-container: those paths raise NotImplementedError unless `fake=True`,
+baseline PNG via stdlib zlib and baseline JPEG via numpy (since r4,
+see `jpeg.py`), RIFF/WAVE PCM audio (`decode_audio`, since r4), and
+YUV4MPEG2 video. Remaining codecs (GIF/WebP, MP3/AAC, compressed
+video) need libraries not in this container: those paths raise
+NotImplementedError unless `fake=True`,
 in which case a deterministic hash-seeded decode stands in so
 downstream feature extraction is testable end-to-end.
 
@@ -94,7 +95,15 @@ def make_real_image_media(spark: SparkSession, n: int = 24, seed: int = 7) -> Da
             ]
             for r in range(h)
         ]
-        payload = (encode_ppm, encode_bmp24, encode_png)[i % 3](rgb)
+        if i % 4 == 3:
+            from .jpeg import encode_jpeg
+
+            # near-lossless: the resize/feature tests compare pipeline
+            # output against decode_image of the same payload, so lossy
+            # is fine; q=100 keeps the pixels visually identical anyway
+            payload = encode_jpeg(rgb, quality=100)
+        else:
+            payload = (encode_ppm, encode_bmp24, encode_png)[i % 4](rgb)
         rows.append((i, "image", bytearray(payload), w, h, None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -488,12 +497,14 @@ def encode_png(
 def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
     """Decode an image payload to gray pixel rows.
 
-    REAL for the public formats a stdlib parser can handle — PPM/PGM
-    (P6/P5/P3/P2), BMP (BI_RGB 8/24/32-bit), and PNG (full baseline:
-    all color types, bit depths 1-16, all five filters, Adam7; DEFLATE
-    via stdlib zlib) — RGB collapsed to BT.601 integer luma. JPEG and
-    other codecs still need libraries not present in this container:
-    they raise NotImplementedError unless fake=True, in which case a
+    REAL for the public formats a stdlib(+numpy) parser can handle —
+    PPM/PGM (P6/P5/P3/P2), BMP (BI_RGB 8/24/32-bit), PNG (full
+    baseline: all color types, bit depths 1-16, all five filters,
+    Adam7; DEFLATE via stdlib zlib), and baseline JPEG (SOF0/SOF1,
+    any chroma subsampling, restart intervals; see `jpeg.py`) — RGB
+    collapsed to BT.601 integer luma (for JPEG that IS the Y plane).
+    Remaining formats (GIF/WebP/progressive JPEG/...) raise
+    NotImplementedError unless fake=True, in which case a
     deterministic hash-seeded 8x8 tile stands in so downstream
     plumbing stays testable with arbitrary bytes.
     """
@@ -516,12 +527,20 @@ def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
         except ValueError:
             if not fake:
                 raise
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_luma
+
+        try:
+            return decode_jpeg_luma(b)
+        except ValueError:
+            if not fake:
+                raise  # progressive/arithmetic modes land here too
     if not fake:
         raise NotImplementedError(
-            "remaining compressed image formats (JPEG/...) require a codec "
-            "library not installed here; supported real formats are "
-            "PPM/PGM/BMP/PNG — or pass fake=True for the deterministic "
-            "test decode"
+            "remaining image formats (GIF/WebP/TIFF/...) require codec "
+            "libraries not installed here; supported real formats are "
+            "PPM/PGM/BMP/PNG and baseline JPEG — or pass fake=True for "
+            "the deterministic test decode"
         )
     h = hashlib.sha256(b).digest()
     return [[h[(r * 8 + c) % 32] for c in range(8)] for r in range(8)]

@@ -1,0 +1,155 @@
+"""Baseline JPEG codec tests: encoder->decoder round trips at known
+error bounds, configuration coverage (subsampling, restarts,
+grayscale), container/entropy error paths, and the decode_image
+dispatch. No image library exists in this container, so the encoder
+is the test anchor; decode correctness for foreign files rests on the
+stream-supplied DQT/DHT path these round trips exercise."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from clickhouse_observability_spark.operators import jpeg as J
+from clickhouse_observability_spark.operators import multimodal as M
+
+
+def _smooth(w: int, h: int) -> list[list[tuple[int, int, int]]]:
+    return [
+        [((r * 3 + c * 2) % 256, (r * 2 + c * 5) % 256, (r + c * 3) % 256)
+         for c in range(w)]
+        for r in range(h)
+    ]
+
+
+def _luma(rgb) -> np.ndarray:
+    r = np.array(rgb, float)
+    return 0.299 * r[..., 0] + 0.587 * r[..., 1] + 0.114 * r[..., 2]
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (17, 9), (32, 24), (5, 5), (1, 1)])
+def test_jpeg_roundtrip_near_lossless(w, h):
+    rgb = _smooth(w, h)
+    got = np.array(J.decode_jpeg_luma(J.encode_jpeg(rgb, quality=100)), float)
+    assert got.shape == (h, w)
+    err = np.abs(got - _luma(rgb))
+    assert err.max() <= 2.0 and err.mean() <= 0.6
+
+
+def test_jpeg_roundtrip_configurations():
+    rgb = _smooth(40, 28)
+    y = _luma(rgb)
+    for kw, tol in [
+        (dict(subsample=True, quality=90), 4.0),
+        (dict(restart_interval=2, quality=95), 3.0),
+        (dict(grayscale=True, quality=100), 2.0),
+        (dict(subsample=True, restart_interval=1, quality=85), 6.0),
+    ]:
+        got = np.array(J.decode_jpeg_luma(J.encode_jpeg(rgb, **kw)), float)
+        err = np.abs(got - y)
+        assert err.max() <= tol and err.mean() <= tol / 2, kw
+
+
+def test_jpeg_roundtrip_noise_quality100():
+    # pure noise maximizes coefficient magnitudes; q=100 quant is all
+    # ones, so this pins the full DC-diff/AC-magnitude coding range
+    rnd = random.Random(5)
+    rgb = [
+        [tuple(rnd.randrange(256) for _ in range(3)) for _ in range(24)]
+        for _ in range(16)
+    ]
+    got = np.array(J.decode_jpeg_luma(J.encode_jpeg(rgb, quality=100)), float)
+    err = np.abs(got - _luma(rgb))
+    assert err.max() <= 2.0
+
+
+def test_jpeg_lossy_still_correlates():
+    rnd = random.Random(9)
+    rgb = [
+        [tuple(rnd.randrange(256) for _ in range(3)) for _ in range(32)]
+        for _ in range(32)
+    ]
+    y = _luma(rgb)
+    got = np.array(J.decode_jpeg_luma(J.encode_jpeg(rgb, quality=50)), float)
+    assert np.corrcoef(got.ravel(), y.ravel())[0, 1] > 0.85
+
+
+def test_jpeg_rejects_malformed():
+    enc = J.encode_jpeg(_smooth(16, 16), quality=90)
+    with pytest.raises(ValueError):
+        J.decode_jpeg_luma(enc[: len(enc) // 2])  # truncated entropy/segments
+    with pytest.raises(ValueError):
+        J.decode_jpeg_luma(enc[:30])
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg_luma(b"\x00\x11" + enc[2:])
+    # flip SOF0 -> SOF2: progressive must be rejected, not mis-decoded
+    b = bytearray(enc)
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos + 1] == 0xC0:
+            b[pos + 1] = 0xC2
+            break
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        pos += 2 + ln
+    with pytest.raises(ValueError, match="progressive"):
+        J.decode_jpeg_luma(bytes(b))
+
+
+def test_jpeg_huffman_tables_are_canonical():
+    # every encoder symbol must decode back through the decoder tables
+    for enc_tbl, dec_src in [
+        (J._encode_codes(*J.HUFF_DC_LUMA), J.HUFF_DC_LUMA),
+        (J._encode_codes(*J.HUFF_AC_LUMA), J.HUFF_AC_LUMA),
+        (J._encode_codes(*J.HUFF_DC_CHROMA), J.HUFF_DC_CHROMA),
+        (J._encode_codes(*J.HUFF_AC_CHROMA), J.HUFF_AC_CHROMA),
+    ]:
+        dec_tbl = J._canonical_codes(*dec_src)
+        assert len(enc_tbl) == len(dec_src[1])
+        for sym, (ln, code) in enc_tbl.items():
+            assert dec_tbl[(ln, code)] == sym
+        # prefix-free: no code is a prefix of a longer one
+        codes = sorted(dec_tbl, key=lambda lc: lc[0])
+        for i, (l1, c1) in enumerate(codes):
+            for l2, c2 in codes[i + 1 :]:
+                if l2 > l1:
+                    assert (c2 >> (l2 - l1)) != c1
+
+
+def test_decode_image_dispatches_jpeg():
+    rgb = _smooth(12, 10)
+    enc = J.encode_jpeg(rgb, quality=100)
+    got = np.array(M.decode_image(enc), float)
+    assert got.shape == (10, 12)
+    assert np.abs(got - _luma(rgb)).max() <= 2.0
+    # malformed JPEG: ValueError (never an untyped crash) without
+    # fake, deterministic tile with fake=True
+    bad = bytearray(enc)
+    bad[40] ^= 0xFF  # corrupt a table segment
+    try:
+        M.decode_image(bytes(bad))
+    except ValueError:
+        pass  # rejecting is equally legal — the contract is the TYPE
+    tile = M.decode_image(b"\xff\xd8\xff\xe0trunc", fake=True)
+    assert len(tile) == 8
+    with pytest.raises(ValueError):
+        M.decode_image(b"\xff\xd8\xff\xe0trunc", fake=False)
+
+
+def test_jpeg_through_spark_pipeline(spark):
+    # make_real_image_media mixes JPEG payloads (i % 4 == 3); the
+    # resize/feature mapInPandas paths must handle them like the rest
+    media = M.make_real_image_media(spark, n=12)
+    kinds = [bytes(r.payload)[:2] for r in media.collect()]
+    assert sum(1 for k in kinds if k == b"\xff\xd8") == 3
+    out = M.resize_images(media, 4, 4, fake_decode=False).collect()
+    assert len(out) == 12
+    feats = {r.media_id: r for r in
+             M.extract_features(media, fake_decode=False).collect()}
+    for src in media.collect():
+        tile = M.decode_image(bytes(src.payload))
+        assert feats[src.media_id].mean_luma == pytest.approx(
+            float(np.mean(tile))
+        )
