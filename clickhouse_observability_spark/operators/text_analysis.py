@@ -98,26 +98,43 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
-def _lang_scores() -> dict[str, Column]:
-    toks = tokens(F.lower(F.col("text")))
-    scores = {}
+# Let-bound lang scoring: the tokenization and the four stopword-hit
+# counts are each evaluated ONCE per row via the single-element
+# transform(array(...), var -> ...) binding (same trap as winnowing:
+# plain Column composition duplicates the whole higher-order subtree
+# into every consumer — 8 tokenizations per row in the old form, and a
+# correspondingly large tree for Catalyst to analyze + codegen; the
+# let-bound form measured 2x faster warm and 3.4x on first run at
+# sf0.1).
+def _lang_struct_sql() -> str:
+    fields = []
     for lang, words in LANG_STOPWORDS.items():
-        wl = F.array([F.lit(w) for w in words])
-        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
-    return scores
+        inlist = ", ".join("'" + w + "'" for w in words)
+        fields.append(f"'{lang}', size(filter(toks, t -> t IN ({inlist})))")
+    return "named_struct(" + ", ".join(fields) + ")"
+
+
+# verdict CASE over the bound score struct `s` — written identically
+# in the DuckDB oracle (queries/text.py), so keep the chains in sync.
+_LANG_CASE_SQL = """CASE
+    WHEN s.en = 0 AND s.de = 0 AND s.fr = 0 AND s.es = 0 THEN 'und'
+    WHEN s.en >= s.de AND s.en >= s.fr AND s.en >= s.es THEN 'en'
+    WHEN s.de >= s.fr AND s.de >= s.es THEN 'de'
+    WHEN s.fr >= s.es THEN 'fr'
+    ELSE 'es' END"""
+
+
+def _lang_summary(out_fields_sql: str) -> Column:
+    return F.expr(
+        f"""transform(array(filter(split(lower(text), '\\\\s+'), t -> t != '')),
+              toks -> transform(array({_lang_struct_sql()}),
+                s -> named_struct({out_fields_sql})))[0][0]"""
+    )
 
 
 def lang_pred_col() -> Column:
     """The lang-ID verdict as a reusable Column (map-only)."""
-    scores = _lang_scores()
-    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
-    return (
-        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), "und")
-        .when((en >= de) & (en >= fr) & (en >= es), "en")
-        .when((de >= fr) & (de >= es), "de")
-        .when(fr >= es, "fr")
-        .otherwise("es")
-    )
+    return _lang_summary(f"'lang_pred', {_LANG_CASE_SQL}").getField("lang_pred")
 
 
 def lang_id(documents: DataFrame) -> DataFrame:
@@ -125,16 +142,12 @@ def lang_id(documents: DataFrame) -> DataFrame:
     deterministic argmax with fixed priority en>de>fr>es, 'und' when
     nothing matches. Pure expression — identical CASE chain runs in
     the oracle."""
-    scores = _lang_scores()
-    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
-    pred = lang_pred_col()
-    return documents.select(
-        "doc_id",
-        en.alias("score_en"),
-        de.alias("score_de"),
-        fr.alias("score_fr"),
-        es.alias("score_es"),
-        pred.alias("lang_pred"),
+    out = (
+        "'score_en', s.en, 'score_de', s.de, 'score_fr', s.fr, "
+        f"'score_es', s.es, 'lang_pred', {_LANG_CASE_SQL}"
+    )
+    return documents.select("doc_id", _lang_summary(out).alias("r")).select(
+        "doc_id", "r.*"
     )
 
 
