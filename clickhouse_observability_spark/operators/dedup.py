@@ -917,3 +917,134 @@ def canonical_per_component(
             F.count(F.lit(1)).alias("component_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+# SQL fragment: whitespace tokens of the normalized text (mirrors
+# text_analysis.tokens(normalized_text(...)) for expr-string contexts).
+_TOKS_SQL = (
+    r"filter(split(lower(regexp_replace(trim(text), '\\s+', ' ')), ' '),"
+    r" t -> t != '')"
+)
+
+
+def duplicated_spans(
+    documents: DataFrame, k: int = 8, min_df: int = 2
+) -> DataFrame:
+    """Exact duplicated-SPAN detection: maximal token ranges in which
+    every k-token window recurs elsewhere in the corpus (including
+    elsewhere in the same document) at least `min_df` times total.
+
+    The substring-level complement to whole-doc dedup — the
+    distributed re-expression of suffix-array ExactSubstr dedup (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): boilerplate headers, license blocks and quoted chunks
+    are invisible to document-hash dedup but dominate memorization.
+
+    Plan (all linear in total tokens, the price of exact substring
+    matching): one let-bound map stage emits (doc_id, pos,
+    md5(k-gram)) per window position — the gram STRING never
+    shuffles, only its 16-byte digest (md5 collisions at 2^-64 are
+    the accepted trade, same as the fingerprint operators); one
+    partial-agg groupBy counts gram frequency; one semi-join keeps
+    duplicated positions (no occurrence-list fan-out — the join is
+    row-per-position on both sides); adjacent/overlapping windows
+    merge into maximal spans with doc-keyed window functions (the
+    doc_id Exchange is shared by the sort and the final group).
+
+    Output: (doc_id, span_start, span_end, n_grams) — 1-based
+    inclusive TOKEN coordinates of maximal duplicated runs, n_grams =
+    duplicated windows merged into the span. Span length is always
+    >= k.
+    """
+    from pyspark.sql import Window
+
+    # pos+digest per window, toks let-bound so the tokenization runs
+    # once per row and each slice/md5 once per element (winnowing's
+    # codegen trap, documented at text_analysis.winnowing_fingerprints)
+    grams_expr = F.expr(
+        f"""flatten(transform(array({_TOKS_SQL}), toks ->
+            CASE WHEN size(toks) >= {k} THEN
+              transform(sequence(1, size(toks) - {k} + 1),
+                        i -> named_struct(
+                            'pos', cast(i AS bigint),
+                            'gh', md5(concat_ws(' ', slice(toks, i, {k})))))
+            ELSE array() END))"""
+    )
+    grams = documents.select(
+        "doc_id", F.explode(grams_expr).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    dup_gh = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gh")
+    )
+    dup_pos = grams.join(dup_gh, "gh", "leftsemi")
+    # gaps-and-islands: windows of width k starting at sorted
+    # positions merge when the next start lands inside (or adjacent
+    # to) the previous window's span
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.lag("pos").over(w) + k, 1
+    ).otherwise(F.when(F.lag("pos").over(w).isNull(), 1).otherwise(0))
+    grp = F.sum(brk).over(
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return (
+        dup_pos.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
+def remove_duplicated_spans(
+    documents: DataFrame, spans: DataFrame
+) -> DataFrame:
+    """Drop every token covered by a duplicated span: (doc_id,
+    clean_text, n_tokens_removed). Removal policy is drop-ALL-copies
+    (vs the suffix-array formulation's keep-one) — the simple policy
+    the ExactSubstr paper notes performs equivalently, and the only
+    one with a clean distributed form when overlapping spans span
+    documents. Spans per doc are bounded by doc length, so the
+    per-doc interval array is safe to aggregate; coverage is tested
+    per token with an exists() over that array (map-only after the
+    one doc-keyed join). Docs with no spans pass through unchanged
+    via the left join's empty-array coalesce. Removal can butt
+    previously-distant tokens together and mint NEW k-grams; one
+    re-run of detect+remove converges in practice (pytest pins the
+    single-pass contract: all ORIGINAL duplicated windows are gone).
+    """
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("iv")
+    )
+    joined = documents.join(per_doc, "doc_id", "left").withColumn(
+        "iv", F.coalesce(F.col("iv"), F.array())
+    )
+    # toks and the kept subset each bound once; transform's (t, i)
+    # index is 0-based while spans are 1-based, hence i + 1
+    summary = F.expr(
+        f"""transform(array({_TOKS_SQL}), toks ->
+              transform(array(filter(transform(toks, (t, i) ->
+                    CASE WHEN exists(iv, s -> i + 1 >= s.span_start
+                                          AND i + 1 <= s.span_end)
+                         THEN NULL ELSE t END),
+                  t -> t IS NOT NULL)), kept ->
+                named_struct(
+                    'clean_text', concat_ws(' ', kept),
+                    'n_tokens_removed',
+                    size(toks) - size(kept))))[0][0]"""
+    )
+    return joined.select("doc_id", summary.alias("r")).select(
+        "doc_id", "r.clean_text", "r.n_tokens_removed"
+    )

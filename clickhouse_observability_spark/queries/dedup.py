@@ -213,3 +213,4 @@ def dedup_neardup_clusters(spark, sf_dir):
     )
     comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
     return D.canonical_per_component(docs, comps)
+

@@ -85,6 +85,9 @@ def _load_all() -> None:
         "similarity",
         "text",
         "multimodal",
+        # spans registers oracle-backed entries that must sort AFTER
+        # the 50 adjudicated slots — keep it last
+        "spans",
     ):
         try:
             __import__(f"clickhouse_observability_spark.queries.{mod}")
