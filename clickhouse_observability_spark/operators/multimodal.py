@@ -76,11 +76,11 @@ def make_fake_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
 
 
 def make_real_image_media(spark: SparkSession, n: int = 24, seed: int = 7) -> DataFrame:
-    """Media table whose payloads are REAL image bytes (PPM/BMP/PNG
-    mix) — deterministic RGB gradients of varying geometry, encoded
-    with the pure-stdlib encoders below, so the decode→resize path
-    exercises actual pixels (including DEFLATE round-trips)
-    end-to-end."""
+    """Media table whose payloads are REAL image bytes (PPM, BMP,
+    PNG, baseline JPEG and GIF in rotation) — deterministic RGB
+    gradients of varying geometry, encoded with the in-repo encoders,
+    so the decode→resize path exercises actual pixels (including
+    DEFLATE, DCT and LZW round-trips) end-to-end."""
     rows = []
     for i in range(n):
         w, h = 5 + (i % 4), 4 + (i % 3)
@@ -95,15 +95,19 @@ def make_real_image_media(spark: SparkSession, n: int = 24, seed: int = 7) -> Da
             ]
             for r in range(h)
         ]
-        if i % 4 == 3:
+        if i % 5 == 3:
             from .jpeg import encode_jpeg
 
             # near-lossless: the resize/feature tests compare pipeline
             # output against decode_image of the same payload, so lossy
             # is fine; q=100 keeps the pixels visually identical anyway
             payload = encode_jpeg(rgb, quality=100)
+        elif i % 5 == 4:
+            from .gif import encode_gif
+
+            payload = encode_gif(rgb, interlace=bool(i % 2))
         else:
-            payload = (encode_ppm, encode_bmp24, encode_png)[i % 4](rgb)
+            payload = (encode_ppm, encode_bmp24, encode_png)[i % 5](rgb)
         rows.append((i, "image", bytearray(payload), w, h, None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -535,12 +539,20 @@ def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
         except ValueError:
             if not fake:
                 raise  # progressive/arithmetic modes land here too
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_luma
+
+        try:
+            return decode_gif_luma(b)
+        except ValueError:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
-            "remaining image formats (GIF/WebP/TIFF/...) require codec "
+            "remaining image formats (WebP/TIFF/...) require codec "
             "libraries not installed here; supported real formats are "
-            "PPM/PGM/BMP/PNG and baseline JPEG — or pass fake=True for "
-            "the deterministic test decode"
+            "PPM/PGM/BMP/PNG/GIF and baseline JPEG — or pass fake=True "
+            "for the deterministic test decode"
         )
     h = hashlib.sha256(b).digest()
     return [[h[(r * 8 + c) % 32] for c in range(8)] for r in range(8)]

@@ -139,11 +139,13 @@ def test_decode_image_dispatches_jpeg():
 
 
 def test_jpeg_through_spark_pipeline(spark):
-    # make_real_image_media mixes JPEG payloads (i % 4 == 3); the
-    # resize/feature mapInPandas paths must handle them like the rest
+    # make_real_image_media rotates through all five encoders; the
+    # resize/feature mapInPandas paths must handle every format alike
     media = M.make_real_image_media(spark, n=12)
-    kinds = [bytes(r.payload)[:2] for r in media.collect()]
-    assert sum(1 for k in kinds if k == b"\xff\xd8") == 3
+    magics = [bytes(r.payload)[:6] for r in media.collect()]
+    assert sum(1 for m in magics if m[:2] == b"\xff\xd8") >= 2  # JPEG
+    assert sum(1 for m in magics if m in (b"GIF87a", b"GIF89a")) >= 2
+    assert sum(1 for m in magics if m[:2] == b"\x89P") >= 2  # PNG
     out = M.resize_images(media, 4, 4, fake_decode=False).collect()
     assert len(out) == 12
     feats = {r.media_id: r for r in
