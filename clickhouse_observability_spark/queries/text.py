@@ -672,13 +672,19 @@ def text_training_pipeline(spark, sf_dir):
          contaminated, lang + split tagged — text_corpus_curation);
       2. near-dup collapse: MinHash pairs -> connected components ->
          one canonical keeper per cluster (dedup_neardup_clusters);
-      3. sequence packing of the surviving train split into
+      3. duplicated-SPAN removal over the surviving docs (the
+         ExactSubstr pass, dedup_exact_spans/dedup_span_removal —
+         doc-level dedup first, then substring-level, the standard
+         order: collapsing near-dup docs first shrinks the gram table
+         the span pass must build);
+      4. sequence packing of the cleaned train corpus into
          fixed-budget chunks (text_pack_chunks layout).
 
     Output: one row per (doc, chunk) span of the FINAL curated,
-    near-dup-free train corpus. Rows-only (every constituent stage is
-    individually adjudicated — oracle or union-find/python-reference
-    pytest); pytest pins the composition invariants."""
+    near-dup-free, span-cleaned train corpus. Rows-only (every
+    constituent stage is individually adjudicated — oracle or
+    union-find/python-reference pytest); pytest pins the composition
+    invariants."""
     from pyspark.sql import functions as F
 
     from clickhouse_observability_spark.operators import dedup as D
@@ -699,7 +705,13 @@ def text_training_pipeline(spark, sf_dir):
         F.col("keep_doc_id").alias("doc_id")
     )
     final_docs = docs.join(train_ids, "doc_id", "left_semi")
-    return TX.pack_training_chunks(final_docs, budget=512)
+    spans = D.duplicated_spans(final_docs, k=8)
+    cleaned = D.remove_duplicated_spans(final_docs, spans).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    # fully-hollowed docs (every token sat in a duplicated span) have
+    # n=0 and drop out of the packing layout by its own WHERE n > 0
+    return TX.pack_training_chunks(cleaned, budget=512)
 
 
 def queries_ref():

@@ -640,7 +640,31 @@ def test_training_pipeline_composition_invariants(spark, sf_small):
     for d in train:
         by_comp.setdefault(comps.get(d, d), []).append(d)
     expected = {min(ds) for ds in by_comp.values()}
-    assert packed_ids == expected
+    # r4: the span-removal stage sits between keeper election and
+    # packing — survivors whose every token fell inside a duplicated
+    # span pack zero chunks, so packed ⊆ keepers with the hollowed
+    # docs (clean token count 0) as the only permitted gap
+    assert packed_ids <= expected
+    keepers = docs.join(
+        spark.createDataFrame([(d,) for d in expected], "doc_id long"),
+        "doc_id",
+        "left_semi",
+    )
+    spans = D.duplicated_spans(keepers, k=8)
+    cleaned = {
+        r.doc_id: r.clean_text
+        for r in D.remove_duplicated_spans(keepers, spans).collect()
+    }
+    hollow = {d for d, t in cleaned.items() if not t.strip()}
+    assert packed_ids == expected - hollow
+    # packed token budget per doc equals its CLEANED token count
+    from collections import Counter
+
+    per_doc = Counter()
+    for r in packed:
+        per_doc[r.doc_id] += r.n_toks
+    for d, total in per_doc.items():
+        assert total == len([t for t in cleaned[d].split(" ") if t]), d
     # chunk stream well-formed: full chunks except the last
     fill = {}
     for r in packed:
