@@ -206,3 +206,20 @@ def test_quality_sample_is_map_only(spark, sf_small):
 
     docs = load_table(spark, sf_small, "documents")
     assert shuffle_count(quality_weighted_sample(docs)) == 0
+
+
+def test_tpch_extra_plan_shapes(spark, sf_small):
+    """r4 TPC-H extension: dimensions broadcast, top-N fuses."""
+    from clickhouse_observability_spark.registry import queries
+
+    qs = queries()
+    # Q10/Q18 carry ORDER BY + LIMIT: must fuse to TakeOrderedAndProject
+    for name in ("tpch_q10_returned_items", "tpch_q18_large_orders"):
+        assert P.has_take_ordered(qs[name](spark, sf_small)), name
+    # Q7/Q8/Q14: every dimension side broadcasts
+    for name in (
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q14_promo_revenue",
+    ):
+        assert P.has_broadcast_join(qs[name](spark, sf_small)), name
