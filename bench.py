@@ -56,6 +56,10 @@ HEADLINE = [
     ("text_pack_chunks", "noop"),
     ("text_unigram_logprob", "noop"),
     ("text_split_drift", "collect"),
+    # r4 additions — reported but EXCLUDED from headline_total_sec so
+    # totals stay comparable with earlier rounds (aux set below)
+    ("dedup_exact_spans", "noop"),
+    ("tpch_q18_large_orders", "collect"),
 ]
 
 
@@ -290,6 +294,8 @@ def _run_bench() -> None:
         "streaming_ingest_50k_rows_tuned",
         "corpus_ingest_20k_docs",
         "text_winnowing",  # diagnostic split; already inside text_fingerprints
+        "dedup_exact_spans",  # r4 additions: reported, not summed
+        "tpch_q18_large_orders",
     }
     total = round(sum(v for k, v in times.items() if k not in aux), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
