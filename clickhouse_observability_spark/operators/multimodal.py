@@ -577,14 +577,41 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _ulaw_expand(v: int) -> float:
+    """G.711 mu-law byte -> linear in [-1, 1] (ITU-T G.711 decode)."""
+    v = ~v & 0xFF
+    sign = v & 0x80
+    exp = (v >> 4) & 0x07
+    mant = v & 0x0F
+    mag = ((mant << 3) + 0x84 << exp) - 0x84
+    return (-mag if sign else mag) / 32124.0
+
+
+def _alaw_expand(v: int) -> float:
+    """G.711 A-law byte -> linear in [-1, 1] (ITU-T G.711 decode;
+    note the A-law sign convention is INVERTED vs mu-law: bit 7 SET
+    means positive)."""
+    v ^= 0x55
+    sign = v & 0x80
+    exp = (v >> 4) & 0x07
+    mant = v & 0x0F
+    if exp == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (exp - 1)
+    return (mag if sign else -mag) / 32768.0
+
+
 def _parse_wav(b: bytes) -> tuple[int, int, list[float]]:
-    """Decode RIFF/WAVE PCM (format 1, 8/16-bit, any channel count) to
-    (sample_rate, n_channels, mono float samples in [-1, 1]; stereo+
-    downmixed by channel mean). Public RIFF layout: 'RIFF' size 'WAVE'
-    then tagged chunks; 'fmt ' carries the format fields, 'data' the
-    interleaved frames. Truncation anywhere -> ValueError (the type
-    decode_audio's fake=True contract catches), same contract as the
-    PNM/BMP parsers."""
+    """Decode RIFF/WAVE audio to (sample_rate, n_channels, mono float
+    samples in [-1, 1]; stereo+ downmixed by channel mean). Formats:
+    integer PCM (tag 1, 8/16-bit), IEEE float (tag 3, 32/64-bit), and
+    the G.711 telephony companders A-law (tag 6) / mu-law (tag 7) —
+    all from the public RIFF/WAVE + G.711 specs. RIFF layout: 'RIFF'
+    size 'WAVE' then tagged chunks; 'fmt ' carries the format fields,
+    'data' the interleaved frames. Truncation anywhere -> ValueError
+    (the type decode_audio's fake=True contract catches), same
+    contract as the image parsers."""
     import struct
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -605,37 +632,48 @@ def _parse_wav(b: bytes) -> tuple[int, int, list[float]]:
     if fmt_chunk is None or data is None:
         raise ValueError("missing fmt /data chunk")
     audio_format, n_ch, rate, _byte_rate, block_align, bits = fmt_chunk
-    if audio_format != 1:
-        raise ValueError(f"unsupported WAV format {audio_format} (PCM only)")
-    if bits not in (8, 16) or n_ch < 1:
+    valid = {1: (8, 16), 3: (32, 64), 6: (8,), 7: (8,)}
+    if audio_format not in valid:
+        raise ValueError(
+            f"unsupported WAV format {audio_format} (PCM/float/G.711 only)"
+        )
+    if bits not in valid[audio_format] or n_ch < 1:
         raise ValueError(f"unsupported WAV layout: {bits}-bit, {n_ch}ch")
     if block_align != n_ch * bits // 8:
         raise ValueError("inconsistent WAV block alignment")
     n_frames = len(data) // block_align
+    n = n_frames * n_ch
+    vals: list[float]
+    if audio_format == 1 and bits == 16:
+        vals = [v / 32768.0 for v in struct.unpack_from(f"<{n}h", data)]
+    elif audio_format == 1:  # 8-bit PCM is unsigned, midpoint 128
+        vals = [(v - 128) / 128.0 for v in data[:n]]
+    elif audio_format == 3:
+        kind = "f" if bits == 32 else "d"
+        vals = list(struct.unpack_from(f"<{n}{kind}", data))
+    elif audio_format == 6:
+        vals = [_alaw_expand(v) for v in data[:n]]
+    else:  # 7: mu-law
+        vals = [_ulaw_expand(v) for v in data[:n]]
     out: list[float] = []
-    if bits == 16:
-        vals = struct.unpack_from(f"<{n_frames * n_ch}h", data)
-        scale = 32768.0
-    else:  # 8-bit WAV is unsigned, midpoint 128
-        vals = [v - 128 for v in data[: n_frames * n_ch]]
-        scale = 128.0
     for f in range(n_frames):
         frame = vals[f * n_ch : (f + 1) * n_ch]
-        out.append(sum(frame) / n_ch / scale)
+        out.append(sum(frame) / n_ch)
     return rate, n_ch, out
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> tuple[int, list[float]]:
     """Decode an audio payload to (sample_rate, mono float samples).
 
-    REAL for the uncompressed public format — RIFF/WAVE PCM 8/16-bit,
+    REAL for the public RIFF/WAVE family — integer PCM 8/16-bit, IEEE
+    float 32/64-bit, and G.711 A-law/mu-law telephony companding (r4),
     any channel count (downmixed) — via pure-stdlib byte parsing.
-    Compressed codecs (MP3/AAC/Opus/...) need a decoder library not
+    Perceptual codecs (MP3/AAC/Opus/...) need a decoder library not
     present in this container: they raise NotImplementedError unless
     fake=True, in which case a deterministic hash-seeded 256-sample
     clip stands in so downstream plumbing stays testable with
     arbitrary bytes — the exact contract decode_image has for
-    PNG/JPEG."""
+    unsupported image formats."""
     b = bytes(payload or b"")
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         try:

@@ -509,3 +509,47 @@ def test_decode_png_rejects_malformed():
     # fake=True still falls back to the deterministic tile on malformed PNG
     tile = M.decode_image(bytes(bad), fake=True)
     assert len(tile) == 8 and tile == M.decode_image(bytes(bad), fake=True)
+
+
+def _wav_container(fmt: int, n_ch: int, rate: int, bits: int, data: bytes) -> bytes:
+    import struct
+
+    block = n_ch * bits // 8
+    fmt_chunk = struct.pack("<HHIIHH", fmt, n_ch, rate, rate * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_float_and_g711_formats():
+    import struct
+
+    # IEEE float32/float64 (format 3): exact round trip
+    samples = [0.0, 0.5, -0.5, 0.25, -1.0, 1.0]
+    for bits, kind in ((32, "f"), (64, "d")):
+        data = b"".join(struct.pack(f"<{kind}", s) for s in samples)
+        rate, n_ch, got = M._parse_wav(_wav_container(3, 1, 8000, bits, data))
+        assert (rate, n_ch) == (8000, 1)
+        assert got == pytest.approx(samples, abs=1e-6)
+
+    # G.711 expanders: verified bytewise against the public Sun/CCITT
+    # compressors (invertibility over all 256 codes); here: anchors +
+    # container plumbing
+    assert M._ulaw_expand(0xFF) == 0.0  # +0
+    assert M._ulaw_expand(0x7F) == 0.0  # -0
+    assert M._ulaw_expand(0x80) == pytest.approx(1.0)  # +max (complemented)
+    assert M._ulaw_expand(0x00) == pytest.approx(-1.0)  # -max
+    assert M._alaw_expand(0xD5) == pytest.approx(8 / 32768.0)  # +min step
+    assert M._alaw_expand(0x55) == pytest.approx(-8 / 32768.0)  # -min step
+    assert M._alaw_expand(0xAA) == pytest.approx(32256 / 32768.0)  # +max
+    assert M._alaw_expand(0x2A) == pytest.approx(-32256 / 32768.0)  # -max
+    rate, n_ch, got = M._parse_wav(_wav_container(7, 1, 8000, 8, bytes([0xFF, 0x00])))
+    assert got[0] == 0.0 and got[1] == pytest.approx(-1.0)
+    rate, n_ch, got = M._parse_wav(_wav_container(6, 2, 8000, 8, bytes([0xD5, 0x55])))
+    assert n_ch == 2 and got == [0.0]  # stereo downmix of +8/-8
+
+    # unsupported format tag still ValueError
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        M._parse_wav(_wav_container(2, 1, 8000, 8, b"\x00"))
+    with pytest.raises(ValueError, match="layout"):
+        M._parse_wav(_wav_container(3, 1, 8000, 16, b"\x00\x00"))
