@@ -1,24 +1,29 @@
-"""Baseline JPEG (ITU-T T.81 / JFIF) codec — pure Python + numpy.
+"""JPEG (ITU-T T.81 / JFIF) codec — pure Python + numpy.
 
-Decoder: baseline sequential DCT (SOF0/SOF1), 8-bit samples, any
-sampling factors (4:4:4 / 4:2:2 / 4:2:0 / grayscale), restart
-intervals, stuffed bytes, stream-supplied DQT/DHT tables. Entropy
-decoding is a Python bit-loop (payloads are Arrow-batched and small);
-dequantize + IDCT run vectorized over ALL blocks at once in numpy.
-Output is the Y (BT.601 luma) plane at full resolution — the same
-gray-rows contract as the PNM/BMP/PNG parsers in `multimodal.py`, so
-chroma planes are entropy-decoded (the bitstream demands it) but
+Decoder: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+(SOF2, since r4: spectral selection, successive approximation, EOB
+runs, per-scan DHT/DQT redefinition), 8-bit samples, any sampling
+factors (4:4:4 / 4:2:2 / 4:2:0 / grayscale), restart intervals,
+stuffed bytes, stream-supplied tables. Entropy decoding is a Python
+bit-loop over per-component coefficient grids (payloads are
+Arrow-batched and small); dequantize + IDCT run vectorized over ALL
+blocks at once in numpy. Output is the Y (BT.601 luma) plane at full
+resolution — the same gray-rows contract as the PNM/BMP/PNG/GIF
+parsers — so chroma scans are entropy-decoded (the bitstream is
+sequential and refinement bits depend on coefficient state) but
 Cb/Cr IDCT work is skipped.
 
-Encoder: the matching baseline writer (Annex K quantization + Huffman
-tables with libjpeg-style quality scaling, optional 2x2 chroma
-subsampling, optional restart intervals) used as the round-trip test
-anchor and binary-sink helper — this container has no image library,
-so tests encode with this and decode with the parser above.
+Encoder: the matching writer (Annex K quantization + Huffman tables
+with libjpeg-style quality scaling, optional 2x2 chroma subsampling,
+optional restart intervals, and a progressive mode whose scan script
+reconstructs coefficients BIT-IDENTICALLY to the baseline encoding)
+used as the round-trip test anchor and binary-sink helper — this
+container has no image library, so tests encode with this and decode
+with the parser above.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and
-hierarchical modes raise ValueError — callers (decode_image) surface
-that as the documented fake-tile fallback path.
+Arithmetic coding, 12-bit precision, lossless and hierarchical modes
+raise ValueError — callers (decode_image) surface that as the
+documented fake-tile fallback path.
 """
 
 from __future__ import annotations
@@ -117,6 +122,19 @@ HUFF_AC_CHROMA = (
         0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
         0xF9, 0xFA,
     ),
+)
+
+
+# Progressive scans need EOBn (r<<4 | 0) symbols that the Annex K
+# BASELINE tables do not contain (real encoders build per-scan
+# optimal tables). A near-flat canonical table — 255 symbols at 9
+# bits plus one at 10 (DHT counts are single bytes, so 256-at-one-
+# length is inexpressible; no code is all-ones) — is spec-valid and
+# exercises the decoder's full symbol range; compression is not the
+# point of the test anchor.
+HUFF_AC_FLAT = (
+    (0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0),
+    tuple(range(256)),
 )
 
 
@@ -225,25 +243,231 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _sof_parse(seg: bytes) -> tuple[int, int, list[dict]]:
+    if len(seg) < 6:
+        raise ValueError("truncated JPEG SOF")
+    prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+    if len(seg) < 6 + 3 * nc:
+        raise ValueError("truncated JPEG SOF")
+    if prec != 8:
+        raise ValueError(f"unsupported JPEG precision {prec}")
+    if w == 0 or h == 0 or nc not in (1, 3):
+        raise ValueError("bad JPEG frame header")
+    comps = []
+    for i in range(nc):
+        cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+        comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+    return w, h, comps
+
+
+def _resync(b: bytes, pos: int) -> int:
+    """After a scan's entropy data: step to the next marker (skipping
+    stuffed 0xFF00 pairs that belong to entropy padding)."""
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG: no marker after scan")
+
+
+_ZIG = list(ZIGZAG)
+
+
+def _decode_baseline_scan(
+    reader, comps, scan, huff, coef, mcus_x, mcus_y, restart_interval
+):
+    """Sequential DCT scan: DC + all 63 AC per block, interleaved over
+    the padded MCU grid, written into the per-component grids."""
+    pred = {c["id"]: 0 for c in comps}
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.restart(mcu // restart_interval - 1)
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for c in comps:
+            dc_tab = huff[(0, scan[c["id"]][0])]
+            ac_tab = huff[(1, scan[c["id"]][1])]
+            grid = coef[c["id"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = grid[my * c["v"] + by, mx * c["h"] + bx]
+                    s = reader.decode_huff(dc_tab)
+                    if s > 11:
+                        raise ValueError("bad JPEG DC category")
+                    pred[c["id"]] += _extend(reader.receive(s), s)
+                    blk[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_huff(ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run overflows block")
+                        blk[_ZIG[k]] = _extend(reader.receive(s), s)
+                        k += 1
+
+
+def _scan_blocks(c, w, h, hmax, vmax):
+    """Non-interleaved scan order: the component's REAL block grid
+    (ceil of its own pixel dims), row-major — T.81 A.2.2."""
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_progressive_scan(
+    reader, frame, scan_comps, scan, huff, coef, state,
+    ss, se, ah, al, mcus_x, mcus_y, restart_interval,
+):
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved
+    over the padded MCU grid) or AC first/refine (single component,
+    real block grid), with EOB-run bookkeeping and restart support."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    state["eobrun"] = 0
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        pred = {c["id"]: 0 for c in scan_comps}
+        n_units = mcus_x * mcus_y
+        for mcu in range(n_units):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.restart(mcu // restart_interval - 1)
+                pred = {c["id"]: 0 for c in scan_comps}
+            my, mx = divmod(mcu, mcus_x)
+            for c in scan_comps:
+                grid = coef[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = grid[my * c["v"] + by, mx * c["h"] + bx]
+                        if ah == 0:
+                            dc_tab = huff.get((0, scan[c["id"]][0]))
+                            if dc_tab is None:
+                                raise ValueError("missing DC table")
+                            s = reader.decode_huff(dc_tab)
+                            if s > 11:
+                                raise ValueError("bad JPEG DC category")
+                            pred[c["id"]] += _extend(reader.receive(s), s)
+                            blk[0] = pred[c["id"]] << al
+                        elif reader.read_bit():
+                            blk[0] = int(blk[0]) | (1 << al)
+        return
+    # AC scans: exactly one component (T.81 G.1.1.1.1)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    c = scan_comps[0]
+    ac_tab = huff.get((1, scan[c["id"]][1]))
+    if ac_tab is None:
+        raise ValueError("missing AC table")
+    grid = coef[c["id"]]
+    bw, bh = _scan_blocks(c, w, h, hmax, vmax)
+    p1, m1 = 1 << al, -1 << al
+    for unit in range(bw * bh):
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.restart(unit // restart_interval - 1)
+            state["eobrun"] = 0
+        uy, ux = divmod(unit, bw)
+        blk = grid[uy, ux]
+        if ah == 0:  # AC first (G.1.2.2)
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode_huff(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += reader.receive(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC run overflows band")
+                blk[_ZIG[k]] = _extend(reader.receive(s), s) << al
+                k += 1
+        else:  # AC refinement (G.1.2.3)
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = reader.decode_huff(ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            state["eobrun"] = 1 << r
+                            if r:
+                                state["eobrun"] += reader.receive(r)
+                            break  # rest handled by the EOB sweep below
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "refinement scan with magnitude > 1"
+                            )
+                        newval = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        z = _ZIG[k]
+                        cur = int(blk[z])
+                        if cur != 0:
+                            if reader.read_bit() and (cur & p1) == 0:
+                                blk[z] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            if r == 0:
+                                if newval:
+                                    blk[z] = newval
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if state["eobrun"] > 0:
+                while k <= se:
+                    z = _ZIG[k]
+                    cur = int(blk[z])
+                    if cur != 0 and reader.read_bit() and (cur & p1) == 0:
+                        blk[z] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                state["eobrun"] -= 1
+
+
 def decode_jpeg_luma(b: bytes) -> list[list[int]]:
-    """Decode a baseline JPEG to gray pixel rows (the Y plane).
+    """Decode a baseline OR progressive JPEG to gray pixel rows (the
+    Y plane at full resolution).
 
     Stream-driven: quantization and Huffman tables come from the
-    file's own DQT/DHT segments, so decode correctness is independent
-    of the Annex K constants above (those are encoder-side)."""
+    file's own DQT/DHT segments (redefinable between scans), so
+    decode correctness is independent of the Annex K constants above
+    (those are encoder-side). Progressive streams (SOF2) accumulate
+    per-component coefficient grids across spectral-selection and
+    successive-approximation scans — chroma scans are fully entropy-
+    decoded (the bitstream is sequential and refinement bits depend
+    on coefficient state) but only the Y grid pays for IDCT."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG SOI")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None  # (w, h, comps)
+    progressive = False
     restart_interval = 0
-    scan = None
+    coef: dict[int, np.ndarray] = {}  # comp id -> (bh, bw, 64) grid
+    mcus_x = mcus_y = 0
+    state: dict[str, int] = {}
+    saw_scan = False
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = b[pos + 1]
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
             break
         (seg_len,) = struct.unpack_from(">H", b, pos + 2)
         seg = b[pos + 4 : pos + 2 + seg_len]
@@ -263,7 +487,7 @@ def decode_jpeg_luma(b: bytes) -> list[list[int]]:
                     else np.frombuffer(seg, np.uint8, 64, sp).astype(np.int32)
                 )
                 tbl = np.zeros(64, np.int32)
-                tbl[list(ZIGZAG)] = vals
+                tbl[_ZIG] = vals
                 qt[tq] = tbl
                 sp += n
         elif marker == 0xC4:  # DHT
@@ -277,127 +501,104 @@ def decode_jpeg_luma(b: bytes) -> list[list[int]]:
                     raise ValueError("truncated JPEG DHT")
                 huff[(tc, th)] = _canonical_codes(counts, symbols)
                 sp += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
-            if len(seg) < 6:
-                raise ValueError("truncated JPEG SOF")
-            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if len(seg) < 6 + 3 * nc:
-                raise ValueError("truncated JPEG SOF")
-            if prec != 8:
-                raise ValueError(f"unsupported JPEG precision {prec}")
-            if w == 0 or h == 0 or nc not in (1, 3):
-                raise ValueError("bad JPEG frame header")
-            comps = []
-            for i in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC0, 0xC1, 0xC2):
+            if frame is not None:
+                raise ValueError("multiple JPEG frames")
+            frame = _sof_parse(seg)
+            progressive = marker == 0xC2
+            w, h, comps = frame
+            for c in comps:
+                if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+                    raise ValueError("bad JPEG sampling factors")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            if mcus_x * mcus_y > 1 << 22:
+                raise ValueError("JPEG geometry too large")
+            for c in comps:
+                coef[c["id"]] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), np.int32
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG mode (progressive/arithmetic/hierarchical)"
+                "unsupported JPEG mode (lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("truncated JPEG DRI")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
-            if not seg or len(seg) < 1 + 2 * seg[0]:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if not seg or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated JPEG SOS")
             ns = seg[0]
-            sel = {}
+            w, h, comps = frame
+            by_id = {c["id"]: c for c in comps}
+            scan = {}
+            scan_comps = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                sel[cs] = (tables >> 4, tables & 0xF)
-            scan = sel
-            pos = pos + 2 + seg_len
-            break
+                if cs not in by_id:
+                    raise ValueError("JPEG scan names unknown component")
+                scan[cs] = (tables >> 4, tables & 0xF)
+                scan_comps.append(by_id[cs])
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            for c in comps:
+                if c["tq"] not in qt:
+                    raise ValueError("JPEG component references missing DQT")
+            reader = _BitReader(b, pos + 2 + seg_len)
+            if not progressive:
+                if ns != len(comps) or ss != 0 or se != 63:
+                    raise ValueError("bad sequential JPEG scan header")
+                for c in comps:
+                    if (0, scan[c["id"]][0]) not in huff or (
+                        1, scan[c["id"]][1]
+                    ) not in huff:
+                        raise ValueError("JPEG scan references missing DHT")
+                _decode_baseline_scan(
+                    reader, comps, scan, huff, coef,
+                    mcus_x, mcus_y, restart_interval,
+                )
+                saw_scan = True
+                pos = _resync(b, reader.pos)
+                continue
+            if se > 63 or ss > se or ah > 13 or al > 13:
+                raise ValueError("bad progressive JPEG scan header")
+            _decode_progressive_scan(
+                reader, frame, scan_comps, scan, huff, coef, state,
+                ss, se, ah, al, mcus_x, mcus_y, restart_interval,
+            )
+            saw_scan = True
+            pos = _resync(b, reader.pos)
+            continue
         # APPn / COM / others: skip
         pos += 2 + seg_len
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("missing JPEG SOF/SOS")
     w, h, comps = frame
-    for c in comps:
-        if c["id"] not in scan:
-            raise ValueError("JPEG scan does not cover all components")
-        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
-            raise ValueError("bad JPEG sampling factors")
-        if c["tq"] not in qt:
-            raise ValueError("JPEG component references missing DQT")
-        dc_id, ac_id = scan[c["id"]]
-        if (0, dc_id) not in huff or (1, ac_id) not in huff:
-            raise ValueError("JPEG scan references missing DHT")
-
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
-
-    reader = _BitReader(b, pos)
-    # entropy-decode every block; collect only Y (first component) coeffs
     y_comp = comps[0]
-    yh, yv = y_comp["h"], y_comp["v"]
-    y_coeffs = np.zeros((n_mcus * yh * yv, 64), np.int32)
-    pred = {c["id"]: 0 for c in comps}
-    zig = list(ZIGZAG)
-    n_y = 0
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            reader.restart(mcu // restart_interval - 1)
-            pred = {c["id"]: 0 for c in comps}
-        for ci, c in enumerate(comps):
-            dc_tab = huff[(0, scan[c["id"]][0])]
-            ac_tab = huff[(1, scan[c["id"]][1])]
-            for _ in range(c["h"] * c["v"]):
-                blk = [0] * 64
-                s = reader.decode_huff(dc_tab)
-                if s > 11:
-                    raise ValueError("bad JPEG DC category")
-                diff = _extend(reader.receive(s), s)
-                pred[c["id"]] += diff
-                blk[0] = pred[c["id"]]
-                k = 1
-                while k < 64:
-                    rs = reader.decode_huff(ac_tab)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC run overflows block")
-                    blk[zig[k]] = _extend(reader.receive(s), s)
-                    k += 1
-                if ci == 0:
-                    y_coeffs[n_y] = blk
-                    n_y += 1
-    # dequantize + IDCT all Y blocks at once
+    grid = coef[y_comp["id"]]
+    bh, bw = grid.shape[0], grid.shape[1]
     q = qt[y_comp["tq"]].astype(np.float64)
     spatial = np.einsum(
         "ux,nuv,vy->nxy",
         _DCT_A,
-        (y_coeffs * q).reshape(-1, 8, 8),
+        (grid.reshape(-1, 64) * q).reshape(-1, 8, 8),
         _DCT_A,
         optimize=True,
     )
     pixels = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
-    # assemble the Y plane from MCU-ordered blocks
-    plane_w, plane_h = 8 * yh * mcus_x, 8 * yv * mcus_y
-    plane = np.zeros((plane_h, plane_w), np.uint8)
-    bi = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for by in range(yv):
-                for bx in range(yh):
-                    plane[
-                        8 * (my * yv + by) : 8 * (my * yv + by) + 8,
-                        8 * (mx * yh + bx) : 8 * (mx * yh + bx) + 8,
-                    ] = pixels[bi]
-                    bi += 1
-    # Y at less-than-max sampling (rare): nearest-upsample to full res
+    plane = (
+        pixels.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    )
+    yh, yv = y_comp["h"], y_comp["v"]
     if yh < hmax or yv < vmax:
         plane = np.repeat(np.repeat(plane, vmax // yv, 0), hmax // yh, 1)
     return plane[:h, :w].tolist()
@@ -445,16 +646,125 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return s, v if v > 0 else v + (1 << s) - 1
 
 
+def _emit_eobrun(wr, act, state):
+    """Emit a pending EOB run + the correction bits attached to it.
+
+    Correction bits live in TWO pools (the T.81/libjpeg structure):
+    state["be"] — bits from prior blocks folded into the pending EOB
+    run, read by the decoder during those blocks' EOB sweeps, flushed
+    here right after the EOBn symbol — and the CURRENT block's bits,
+    which the caller flushes after its own symbol/sign."""
+    if state["eobrun"] > 0:
+        nbits = state["eobrun"].bit_length() - 1
+        ln, code = act[nbits << 4]
+        wr.write(code, ln)
+        if nbits:
+            wr.write(state["eobrun"] - (1 << nbits), nbits)
+        state["eobrun"] = 0
+        for bit in state["be"]:
+            wr.write(bit, 1)
+        state["be"] = []
+
+
+def _emit_ac_first(wr, blocks, act, ss, se, al):
+    """Progressive AC first scan (Ah=0): point-transformed run-length
+    coding with cross-block EOB runs (T.81 G.1.2.2)."""
+    state = {"eobrun": 0, "be": []}
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[ZIGZAG[k]])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            _emit_eobrun(wr, act, state)
+            while r > 15:
+                ln, code = act[0xF0]
+                wr.write(code, ln)
+                r -= 16
+            s, bits = _mag_bits(t if v > 0 else -t)
+            if s > 10:
+                raise ValueError("JPEG coefficient out of standard-table range")
+            ln, code = act[(r << 4) | s]
+            wr.write(code, ln)
+            wr.write(bits, s)
+            r = 0
+        if r > 0:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _emit_eobrun(wr, act, state)
+    _emit_eobrun(wr, act, state)
+
+
+def _emit_ac_refine(wr, blocks, act, ss, se, al):
+    """Progressive AC refinement scan (Ah=Al+1): newly-significant
+    coefficients as (run,1) symbols + sign, correction bits for
+    already-significant ones buffered and flushed after the next
+    symbol / EOB run (T.81 G.1.2.3, libjpeg emission order)."""
+    state = {"eobrun": 0, "be": []}
+    for blk in blocks:
+        absvals = {}
+        eobpos = ss - 1
+        for k in range(ss, se + 1):
+            v = int(blk[ZIGZAG[k]])
+            t = abs(v) >> al
+            absvals[k] = (v, t)
+            if t == 1:
+                eobpos = k  # newly significant (Ah = Al+1 invariant)
+        r = 0
+        br: list[int] = []  # current block's correction bits
+        for k in range(ss, se + 1):
+            v, t = absvals[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eobpos:
+                _emit_eobrun(wr, act, state)
+                ln, code = act[0xF0]
+                wr.write(code, ln)
+                r -= 16
+                for bit in br:
+                    wr.write(bit, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)  # correction bit, rides the next symbol
+                continue
+            _emit_eobrun(wr, act, state)
+            ln, code = act[(r << 4) | 1]
+            wr.write(code, ln)
+            wr.write(1 if v > 0 else 0, 1)
+            for bit in br:
+                wr.write(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            # block tail joins the EOB run; its correction bits move
+            # to the run-attached pool (decoder reads them in this
+            # block's EOB sweep)
+            state["eobrun"] += 1
+            state["be"] += br
+            if state["eobrun"] == 0x7FFF or len(state["be"]) > 900:
+                _emit_eobrun(wr, act, state)
+    _emit_eobrun(wr, act, state)
+
+
 def encode_jpeg(
     rgb_rows: list[list[tuple[int, int, int]]],
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
     grayscale: bool = False,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode RGB pixel rows as a baseline JFIF JPEG (test/sink
-    helper): Annex K tables at the given quality, optional 2x2 chroma
-    subsampling and restart intervals, standard Huffman coding."""
+    """Encode RGB pixel rows as a JFIF JPEG (test/sink helper): Annex
+    K tables at the given quality, optional 2x2 chroma subsampling
+    and restart intervals (baseline mode), standard Huffman coding.
+    progressive=True emits an SOF2 stream — DC-first at Al=1, per-
+    component spectral-selection AC scans at Al=2, then DC and AC
+    refinement scans down to Al=0, so the final coefficients are
+    BIT-IDENTICAL to the baseline encoding (the decoder-parity test
+    anchor)."""
     h = len(rgb_rows)
     w = len(rgb_rows[0]) if h else 0
     if w == 0 or h == 0:
@@ -491,63 +801,159 @@ def encode_jpeg(
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    # pad each plane (edge-replicate) to its MCU-covered size
-    planes = []
+    # quantized coefficient grids over each component's padded MCU
+    # grid (edge-replicated), plus its REAL block dims for the
+    # non-interleaved progressive AC scans
+    grids = []
     for name, plane, ch, cv, tq, dct, act, q in comps:
-        ph, pw = 8 * cv * mcus_y, 8 * ch * mcus_x
-        plane = _pad_edge(plane, ph, pw)
-        planes.append((name, plane, ch, cv, tq, dct, act, q))
+        bph, bpw = cv * mcus_y, ch * mcus_x
+        plane = _pad_edge(plane, bph * 8, bpw * 8)
+        grid = np.zeros((bph, bpw, 64), np.int64)
+        for by in range(bph):
+            for bx in range(bpw):
+                blk = plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
+                coefs = _DCT_A @ blk @ _DCT_A.T
+                grid[by, bx] = np.round(coefs.reshape(64) / q).astype(np.int64)
+        rw = -(-(-(-w * ch // hmax)) // 8)
+        rh = -(-(-(-h * cv // vmax)) // 8)
+        grids.append(
+            {"name": name, "grid": grid, "h": ch, "v": cv, "tq": tq,
+             "dc": dct, "ac": act, "q": q, "bw_real": rw, "bh_real": rh}
+        )
 
     writer = _BitWriter()
-    zig = list(ZIGZAG)
-    pred = {name: 0 for name, *_ in planes}
-    n_mcus = mcus_x * mcus_y
-    rst_n = 0
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            writer.flush()
-            writer.out += bytes((0xFF, 0xD0 + rst_n % 8))
-            rst_n += 1
-            pred = {name: 0 for name, *_ in planes}
-        my, mx = divmod(mcu, mcus_x)
-        for name, plane, ch, cv, tq, dct, act, q in planes:
-            for by in range(cv):
-                for bx in range(ch):
-                    y0 = 8 * (my * cv + by)
-                    x0 = 8 * (mx * ch + bx)
-                    blk = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                    coef = _DCT_A @ blk @ _DCT_A.T
-                    qz = np.round(coef.reshape(64) / q).astype(np.int64)
-                    diff = int(qz[0]) - pred[name]
-                    pred[name] = int(qz[0])
-                    s, bits = _mag_bits(diff)
-                    ln, code = dct[s]
-                    writer.write(code, ln)
-                    if s:
-                        writer.write(bits, s)
-                    run = 0
-                    for k in range(1, 64):
-                        v = int(qz[zig[k]])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            ln, code = act[0xF0]  # ZRL
-                            writer.write(code, ln)
-                            run -= 16
-                        s, bits = _mag_bits(v)
-                        if s > 10:
-                            raise ValueError(
-                                "JPEG coefficient out of standard-table range"
-                            )
-                        ln, code = act[(run << 4) | s]
+    scans: list[bytes] = []  # (SOS header payload, entropy bytes) pairs
+
+    def mcu_blocks(g):
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for by in range(g["v"]):
+                for bx in range(g["h"]):
+                    yield g["grid"][my * g["v"] + by, mx * g["h"] + bx]
+
+    def sos_header(scan_comps, ss, se, ah, al, table_ids):
+        p = bytes([len(scan_comps)])
+        for gi, tid in zip(scan_comps, table_ids):
+            p += bytes([gi + 1, tid])
+        return p + bytes([ss, se, (ah << 4) | al])
+
+    if not progressive:
+        pred = [0] * len(grids)
+        rst_n = 0
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes((0xFF, 0xD0 + rst_n % 8))
+                rst_n += 1
+                pred = [0] * len(grids)
+            my, mx = divmod(mcu, mcus_x)
+            for gi, g in enumerate(grids):
+                for by in range(g["v"]):
+                    for bx in range(g["h"]):
+                        qz = g["grid"][my * g["v"] + by, mx * g["h"] + bx]
+                        diff = int(qz[0]) - pred[gi]
+                        pred[gi] = int(qz[0])
+                        s, bits = _mag_bits(diff)
+                        ln, code = g["dc"][s]
                         writer.write(code, ln)
-                        writer.write(bits, s)
+                        if s:
+                            writer.write(bits, s)
                         run = 0
-                    if run:
-                        ln, code = act[0x00]  # EOB
-                        writer.write(code, ln)
-    writer.flush()
+                        for k in range(1, 64):
+                            v = int(qz[ZIGZAG[k]])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = g["ac"][0xF0]
+                                writer.write(code, ln)
+                                run -= 16
+                            s, bits = _mag_bits(v)
+                            if s > 10:
+                                raise ValueError(
+                                    "JPEG coefficient out of standard-table range"
+                                )
+                            ln, code = g["ac"][(run << 4) | s]
+                            writer.write(code, ln)
+                            writer.write(bits, s)
+                            run = 0
+                        if run:
+                            ln, code = g["ac"][0x00]
+                            writer.write(code, ln)
+        writer.flush()
+        scans.append(
+            (sos_header(range(len(grids)), 0, 63,
+                        0, 0,
+                        [0x00 if i == 0 else 0x11 for i in range(len(grids))]),
+             bytes(writer.out))
+        )
+    else:
+        def real_blocks(g):
+            for by in range(g["bh_real"]):
+                for bx in range(g["bw_real"]):
+                    yield g["grid"][by, bx]
+
+        n = len(grids)
+        dc_tid = [0x00 if i == 0 else 0x10 for i in range(n)]
+
+        # 1. DC first, interleaved, Al=1
+        wr = _BitWriter()
+        pred = [0] * n
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for gi, g in enumerate(grids):
+                for by in range(g["v"]):
+                    for bx in range(g["h"]):
+                        v = int(g["grid"][my * g["v"] + by, mx * g["h"] + bx][0]) >> 1
+                        s, bits = _mag_bits(v - pred[gi])
+                        pred[gi] = v
+                        ln, code = g["dc"][s]
+                        wr.write(code, ln)
+                        if s:
+                            wr.write(bits, s)
+        wr.flush()
+        scans.append((sos_header(range(n), 0, 0, 0, 1, dc_tid), bytes(wr.out)))
+
+        # 2. AC first per component: two spectral bands for Y, one for
+        # chroma — exercises band splits; Al=2. AC table id 2 = the
+        # flat progressive table (EOBn symbols live there).
+        flat_ac = _encode_codes(*HUFF_AC_FLAT)
+        for gi, g in enumerate(grids):
+            bands = [(1, 5), (6, 63)] if gi == 0 else [(1, 63)]
+            for ss, se in bands:
+                wr = _BitWriter()
+                _emit_ac_first(wr, real_blocks(g), flat_ac, ss, se, 2)
+                wr.flush()
+                scans.append(
+                    (sos_header([gi], ss, se, 0, 2, [0x02]),
+                     bytes(wr.out))
+                )
+
+        # 3. DC refinement to Al=0 (raw bits, no Huffman)
+        wr = _BitWriter()
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for g in grids:
+                for by in range(g["v"]):
+                    for bx in range(g["h"]):
+                        wr.write(
+                            int(g["grid"][my * g["v"] + by, mx * g["h"] + bx][0])
+                            & 1,
+                            1,
+                        )
+        wr.flush()
+        scans.append((sos_header(range(n), 0, 0, 1, 0, dc_tid), bytes(wr.out)))
+
+        # 4. AC refinement: Al 2 -> 1 -> 0
+        for ah, al in ((2, 1), (1, 0)):
+            for gi, g in enumerate(grids):
+                wr = _BitWriter()
+                _emit_ac_refine(wr, real_blocks(g), flat_ac, 1, 63, al)
+                wr.flush()
+                scans.append(
+                    (sos_header([gi], 1, 63, ah, al, [0x02]),
+                     bytes(wr.out))
+                )
 
     # ---- container segments
     def seg(marker: int, payload: bytes) -> bytes:
@@ -558,24 +964,23 @@ def encode_jpeg(
     for tq, q in [(0, qy)] + ([] if grayscale else [(1, qc)]):
         zz = bytes(int(q[i]) for i in ZIGZAG)
         out += seg(0xDB, bytes([tq]) + zz)
-    ncomp = 1 if grayscale else 3
+    ncomp = len(grids)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for i, (name, plane, ch, cv, tq, *_rest) in enumerate(planes):
-        sof += struct.pack(">BBB", i + 1, (ch << 4) | cv, tq)
-    out += seg(0xC0, sof)
+    for i, g in enumerate(grids):
+        sof += struct.pack(">BBB", i + 1, (g["h"] << 4) | g["v"], g["tq"])
+    out += seg(0xC2 if progressive else 0xC0, sof)
     tables = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
     if not grayscale:
         tables += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    if progressive:
+        tables.append((0x12, HUFF_AC_FLAT))
     for tid, (counts, symbols) in tables:
         out += seg(0xC4, bytes([tid]) + bytes(counts) + bytes(symbols))
-    if restart_interval:
+    if restart_interval and not progressive:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for i in range(ncomp):
-        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
-    out += writer.out
+    for header, entropy in scans:
+        out += seg(0xDA, header)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -504,13 +504,14 @@ def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
     REAL for the public formats a stdlib(+numpy) parser can handle —
     PPM/PGM (P6/P5/P3/P2), BMP (BI_RGB 8/24/32-bit), PNG (full
     baseline: all color types, bit depths 1-16, all five filters,
-    Adam7; DEFLATE via stdlib zlib), and baseline JPEG (SOF0/SOF1,
-    any chroma subsampling, restart intervals; see `jpeg.py`) — RGB
+    Adam7; DEFLATE via stdlib zlib), JPEG (baseline SOF0/SOF1 AND
+    progressive SOF2, any chroma subsampling, restart intervals; see
+    `jpeg.py`), and GIF87a/89a (full LZW; see `gif.py`) — RGB
     collapsed to BT.601 integer luma (for JPEG that IS the Y plane).
-    Remaining formats (GIF/WebP/progressive JPEG/...) raise
-    NotImplementedError unless fake=True, in which case a
-    deterministic hash-seeded 8x8 tile stands in so downstream
-    plumbing stays testable with arbitrary bytes.
+    Remaining formats (WebP/TIFF/...) raise NotImplementedError
+    unless fake=True, in which case a deterministic hash-seeded 8x8
+    tile stands in so downstream plumbing stays testable with
+    arbitrary bytes.
     """
     b = bytes(payload or b"")
     if b[:2] in (b"P6", b"P5", b"P3", b"P2") and len(b) > 2 and b[2:3].isspace():
@@ -538,7 +539,7 @@ def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
             return decode_jpeg_luma(b)
         except ValueError:
             if not fake:
-                raise  # progressive/arithmetic modes land here too
+                raise  # arithmetic/lossless/12-bit modes land here too
     if b[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import decode_gif_luma
 

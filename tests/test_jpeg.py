@@ -85,7 +85,8 @@ def test_jpeg_rejects_malformed():
         J.decode_jpeg_luma(enc[:30])
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg_luma(b"\x00\x11" + enc[2:])
-    # flip SOF0 -> SOF2: progressive must be rejected, not mis-decoded
+    # flip SOF0 -> SOF2: the sequential scan header (Ss=0, Se=63) is
+    # ILLEGAL under a progressive frame — typed rejection, no misdecode
     b = bytearray(enc)
     pos = 2
     while pos + 4 <= len(b):
@@ -94,7 +95,18 @@ def test_jpeg_rejects_malformed():
             break
         (ln,) = struct.unpack_from(">H", b, pos + 2)
         pos += 2 + ln
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError):
+        J.decode_jpeg_luma(bytes(b))
+    # flip to SOF9 (arithmetic sequential): unsupported mode
+    b = bytearray(enc)
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos + 1] == 0xC0:
+            b[pos + 1] = 0xC9
+            break
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        pos += 2 + ln
+    with pytest.raises(ValueError, match="unsupported JPEG mode"):
         J.decode_jpeg_luma(bytes(b))
 
 
@@ -155,3 +167,86 @@ def test_jpeg_through_spark_pipeline(spark):
         assert feats[src.media_id].mean_luma == pytest.approx(
             float(np.mean(tile))
         )
+
+
+# ------------------------------------------------------ progressive
+
+def _noise(rnd, w, h):
+    return [
+        [tuple(rnd.randrange(256) for _ in range(3)) for _ in range(w)]
+        for _ in range(h)
+    ]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(quality=90),
+        dict(quality=100),
+        dict(quality=50),
+        dict(quality=85, subsample=True),
+        dict(quality=95, grayscale=True),
+    ],
+)
+def test_progressive_decodes_identical_to_baseline(kw):
+    """The progressive scan script refines coefficients all the way
+    back to the baseline quantization — decoded pixels must be
+    BIT-IDENTICAL, pinning DC/AC first+refinement scans, EOB runs and
+    the two correction-bit pools against each other."""
+    rnd = random.Random(5)
+    for w, h in [(17, 9), (32, 24), (8, 8), (1, 1)]:
+        rgb = _noise(rnd, w, h)
+        base = J.decode_jpeg_luma(J.encode_jpeg(rgb, **kw))
+        prog = J.decode_jpeg_luma(J.encode_jpeg(rgb, progressive=True, **kw))
+        assert base == prog, (w, h, kw)
+
+
+def test_progressive_stream_is_sof2_multiscan():
+    enc = J.encode_jpeg(_smooth(16, 16), quality=90, progressive=True)
+    pos, markers = 2, []
+    while pos + 4 <= len(enc):
+        if enc[pos] != 0xFF:
+            pos += 1
+            continue
+        m = enc[pos + 1]
+        if m == 0xD9:
+            break
+        markers.append(m)
+        (ln,) = struct.unpack_from(">H", enc, pos + 2)
+        if m == 0xDA:  # skip entropy to next marker
+            p = pos + 2 + ln
+            while p + 1 < len(enc) and not (
+                enc[p] == 0xFF and enc[p + 1] != 0x00
+            ):
+                p += 1
+            pos = p
+            continue
+        pos += 2 + ln
+    assert 0xC2 in markers and 0xC0 not in markers
+    assert markers.count(0xDA) == 12  # DC + 4 AC first + DC ref + 6 AC ref
+
+
+def test_progressive_fuzz_only_typed_errors():
+    rnd = random.Random(7)
+    enc = J.encode_jpeg(
+        _noise(rnd, 24, 16), quality=85, subsample=True, progressive=True
+    )
+    for t in range(200):
+        b = bytearray(enc)
+        if t % 2 == 0:
+            b = b[: rnd.randrange(len(b))]
+        else:
+            for _ in range(rnd.randrange(1, 4)):
+                b[rnd.randrange(len(b))] ^= rnd.randrange(1, 256)
+        try:
+            J.decode_jpeg_luma(bytes(b))
+        except ValueError:
+            pass  # the only legal failure type
+
+
+def test_decode_image_dispatches_progressive_jpeg():
+    rgb = _smooth(12, 10)
+    enc = J.encode_jpeg(rgb, quality=100, progressive=True)
+    got = np.array(M.decode_image(enc), float)
+    assert got.shape == (10, 12)
+    assert np.abs(got - _luma(rgb)).max() <= 2.0
