@@ -674,13 +674,21 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", out.alias("simhash"))
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, paired via the
+def hamming_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """GENERIC near-dup pairing over any 64-bit sketch column via the
     pigeonhole trick: the 64 bits split into max_hamming+1 chunks, so
     <= max_hamming differing bits leave at least one chunk identical —
     bucket join on chunk keys, not all-pairs. Chunk count DERIVES from
     max_hamming (a fixed 4-chunk split silently loses recall for
-    max_hamming > 3)."""
+    max_hamming > 3). Shared by text simhash and image pHash
+    (operators/multimodal.image_neardup_pairs)."""
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
     n_chunks = max_hamming + 1
@@ -689,37 +697,44 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     def _chunk(c: int) -> Column:
         start = c * base + min(c, extra)
         width = base + (1 if c < extra else 0)
-        key = F.shiftrightunsigned(F.col("simhash"), start)
+        key = F.shiftrightunsigned(F.col(hash_col), start)
         if width < 64:
             key = key.bitwiseAND(F.lit((1 << width) - 1))
         return key
 
-    sh = simhash(documents)
     chunks = F.array(
         *[
             F.struct(F.lit(c).alias("chunk"), _chunk(c).alias("key"))
             for c in range(n_chunks)
         ]
     )
-    buck = sh.select("doc_id", "simhash", F.explode(chunks).alias("cc")).select(
-        "doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key")
+    buck = hashes.select(id_col, hash_col, F.explode(chunks).alias("cc")).select(
+        id_col, hash_col, F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key")
     )
     a, b = buck.alias("a"), buck.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
     return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(ham <= max_hamming)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
             ham.alias("hamming"),
         )
         .distinct()
+    )
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance (pigeonhole bucket
+    join — see hamming_pairs)."""
+    return hamming_pairs(
+        simhash(documents), "doc_id", "simhash", max_hamming
     )
 
 

@@ -5,11 +5,12 @@ metadata; the Spark-side machinery — schema, partition-friendly
 layout, Arrow-batched mapInPandas transforms, batch shapes — is real
 and tested. Decoding is REAL for the public formats a stdlib parser
 can handle: PPM/PGM/BMP images (`decode_image`, since r3), full
-baseline PNG via stdlib zlib and baseline JPEG via numpy (since r4,
-see `jpeg.py`), RIFF/WAVE PCM audio (`decode_audio`, since r4), and
-YUV4MPEG2 video. Remaining codecs (GIF/WebP, MP3/AAC, compressed
-video) need libraries not in this container: those paths raise
-NotImplementedError unless `fake=True`,
+baseline PNG via stdlib zlib, baseline + progressive JPEG via numpy
+(`jpeg.py`), GIF87a/89a with full LZW (`gif.py`), RIFF/WAVE audio
+(integer PCM, IEEE float, G.711 A-law/mu-law — `decode_audio`), and
+YUV4MPEG2 video — all since r4. Remaining codecs (WebP/TIFF,
+MP3/AAC, compressed video) need libraries not in this container:
+those paths raise NotImplementedError unless `fake=True`,
 in which case a deterministic hash-seeded decode stands in so
 downstream feature extraction is testable end-to-end.
 
@@ -1120,3 +1121,132 @@ def resize_images(
         "media_id", "width", "height", "payload"
     )
     return imgs.mapInPandas(_batch, RESIZE_SCHEMA)
+
+
+def _dct_m(n: int):
+    """n x n DCT-II basis (same normalization as jpeg._dct_matrix but
+    any size): F = A f A^T."""
+    import numpy as np
+
+    a = np.zeros((n, n))
+    for u in range(n):
+        cu = (1.0 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(n):
+            a[u, x] = cu * np.sqrt(2.0 / n) * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    return a
+
+
+def phash64(tile) -> int:
+    """Classic 64-bit perceptual hash of a gray tile: NN-resample to
+    32x32, 2D DCT, keep the top-left 8x8 low-frequency block, bit i =
+    coefficient > median of the 63 non-DC coefficients. Deterministic
+    pure numpy — robust to re-encoding (PNG vs JPEG q85 of the same
+    image lands within a few bits) while distinct images diverge."""
+    import numpy as np
+
+    t = np.asarray(tile, dtype=np.float64)
+    sh, sw = t.shape
+    rows = (np.arange(32) * sh) // 32
+    cols = (np.arange(32) * sw) // 32
+    t32 = t[np.ix_(rows, cols)]
+    a = _dct_m(32)
+    d = (a @ t32 @ a.T)[:8, :8].reshape(64)
+    med = np.median(d[1:])  # exclude DC from the threshold
+    bits = d > med
+    h = 0
+    for i in range(64):
+        if bits[i]:
+            h |= 1 << i
+    # two's-complement into a signed 64-bit long (Spark LongType)
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def image_phash(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """(media_id, phash) over the image rows — Arrow-batched decode +
+    pHash, map-only (metadata prunes non-images before payload bytes
+    move)."""
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                tile = decode_image(b, fake=fake_decode)
+                hashes.append(phash64(tile))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": hashes})
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(_batch, PHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    media: DataFrame, max_hamming: int = 6, fake_decode: bool = True
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual hash + the same
+    pigeonhole hamming bucket join the text simhash path uses
+    (operators/dedup.hamming_pairs) — multimodal dedup with the
+    dedup tier's scale story: one map stage, one bucket join, never
+    all-pairs. Catches re-encodes (format/quality changes) of the
+    same picture; crops/rotations need richer features and are out of
+    scope."""
+    from clickhouse_observability_spark.operators.dedup import hamming_pairs
+
+    return hamming_pairs(
+        image_phash(media, fake_decode=fake_decode),
+        "media_id",
+        "phash",
+        max_hamming,
+        out_a="media_a",
+        out_b="media_b",
+    )
+
+
+def make_neardup_image_media(
+    spark: SparkSession, n_groups: int = 12, seed: int = 31
+) -> DataFrame:
+    """Media table with PLANTED near-duplicate images: each group is
+    one smooth synthetic picture (gaussian blobs — pHash needs
+    natural-image statistics, not modular-arithmetic noise) stored
+    three times — lossless PPM, lossless PNG, and lossy JPEG q85.
+    media_id = group * 3 + copy, so group membership is recoverable
+    in tests. Distinct groups differ by tens of pHash bits; copies
+    within a group differ by <= a few."""
+    import math
+    import random
+
+    from .jpeg import encode_jpeg
+
+    w, h = 64, 48
+    rows = []
+    for g in range(n_groups):
+        rs = random.Random(seed + g)
+        blobs = [
+            (rs.uniform(0, w), rs.uniform(0, h), rs.uniform(8, 20),
+             rs.randrange(60, 200))
+            for _ in range(5)
+        ]
+        rgb = []
+        for r in range(h):
+            row = []
+            for c in range(w):
+                v = 40.0
+                for bx, by, s, amp in blobs:
+                    v += amp * math.exp(
+                        -(((c - bx) / s) ** 2 + ((r - by) / s) ** 2)
+                    )
+                v = int(max(0, min(255, v)))
+                row.append((v, int(v * 0.8), int(v * 0.6)))
+            rgb.append(row)
+        for ci, payload in enumerate(
+            (encode_ppm(rgb), encode_png(rgb), encode_jpeg(rgb, quality=85))
+        ):
+            rows.append((g * 3 + ci, "image", bytearray(payload), w, h, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

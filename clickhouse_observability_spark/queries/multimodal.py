@@ -52,3 +52,15 @@ def multimodal_audio_features(spark, sf_dir):
     return M.extract_audio_features(
         M.make_real_audio_media(spark, n=256), fake_decode=False
     )
+
+
+@register("multimodal_phash_pairs")
+def multimodal_phash_pairs(spark, sf_dir):
+    """Near-duplicate IMAGE detection (r4): perceptual hash (decode ->
+    32x32 -> DCT -> median-threshold 64-bit sketch) over REAL decoded
+    pixels, paired with the dedup tier's pigeonhole hamming bucket
+    join — the multimodal x dedup bridge. The media table plants
+    re-encoded duplicates (PPM/PNG/JPEG of the same picture); the
+    result is exactly the within-group pairs, pinned by pytest."""
+    media = M.make_neardup_image_media(spark, n_groups=48)
+    return M.image_neardup_pairs(media, max_hamming=6, fake_decode=False)

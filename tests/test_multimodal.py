@@ -553,3 +553,62 @@ def test_wav_float_and_g711_formats():
         M._parse_wav(_wav_container(2, 1, 8000, 8, b"\x00"))
     with pytest.raises(ValueError, match="layout"):
         M._parse_wav(_wav_container(3, 1, 8000, 16, b"\x00\x00"))
+
+
+# ------------------------------------------------------- pHash dedup
+
+def test_phash_stable_across_encodings():
+    import math
+    import random
+
+    from clickhouse_observability_spark.operators.jpeg import encode_jpeg
+
+    def smoothimg(seed, w=64, h=48):
+        rs = random.Random(seed)
+        blobs = [(rs.uniform(0, w), rs.uniform(0, h), rs.uniform(8, 20),
+                  rs.randrange(60, 200)) for _ in range(5)]
+        img = []
+        for r in range(h):
+            row = []
+            for c in range(w):
+                v = 40.0
+                for bx, by, s, amp in blobs:
+                    v += amp * math.exp(-(((c - bx) / s) ** 2 + ((r - by) / s) ** 2))
+                v = int(max(0, min(255, v)))
+                row.append((v, int(v * 0.8), int(v * 0.6)))
+            img.append(row)
+        return img
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    a = smoothimg(1)
+    pa = M.phash64(M.decode_image(M.encode_ppm(a)))
+    assert ham(pa, M.phash64(M.decode_image(M.encode_png(a)))) == 0
+    assert ham(pa, M.phash64(M.decode_image(encode_jpeg(a, quality=85)))) <= 6
+    assert ham(pa, M.phash64(M.decode_image(
+        encode_jpeg(a, quality=50, subsample=True)))) <= 8
+    for s in (2, 3, 4):
+        other = M.phash64(M.decode_image(M.encode_ppm(smoothimg(s))))
+        assert ham(pa, other) > 16, s
+
+
+def test_image_neardup_pairs_find_planted_groups(spark):
+    media = M.make_neardup_image_media(spark, n_groups=10)
+    pairs = M.image_neardup_pairs(media, max_hamming=6, fake_decode=False)
+    got = {(r.media_a, r.media_b) for r in pairs.collect()}
+    expected = set()
+    for g in range(10):
+        ids = [g * 3, g * 3 + 1, g * 3 + 2]
+        expected |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+    assert got == expected
+    # brute-force hamming agreement (recall AND precision of the
+    # pigeonhole bucket join)
+    hashes = {r.media_id: r.phash for r in
+              M.image_phash(media, fake_decode=False).collect()}
+    brute = {
+        (a, b)
+        for a in hashes for b in hashes if a < b
+        and bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 6
+    }
+    assert got == brute
