@@ -1250,3 +1250,168 @@ def make_neardup_image_media(
         ):
             rows.append((g * 3 + ci, "image", bytearray(payload), w, h, None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def audio_fingerprint64(samples: list[float], sample_rate: int) -> int:
+    """64-bit spectral-peak audio fingerprint: 4 time blocks x 16
+    log-spaced FFT bands, with the TOP-2 energy bands of each block
+    one-hot set (a clip-level constellation sketch — the
+    dominant-peak idea behind published audio-ID systems, reduced to
+    one word). Peak-band identity is far more stable under re-encode
+    noise than energy-delta signs (the Haitsma-Kalker bitstream
+    construction flips near-zero deltas under G.711 companding —
+    measured during r4); format/gain changes of the same clip move
+    0-2 bits while different non-stationary material differs by 4+.
+    Honest limitation, shared by any top-peak sketch: narrowband
+    STATIONARY clips whose dominant bands coincide can collide — the
+    pytest corpus is non-stationary (chirps + envelopes) like real
+    audio. Deterministic pure numpy; clips under 64 samples hash to
+    0. Amplitude-invariant via peak normalization."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size < 64:
+        return 0
+    peak = np.max(np.abs(x))
+    if peak > 0:
+        x = x / peak
+    n_t, n_b, top_k = 4, 16, 2
+    win = max(64, x.size // n_t)
+    bits = 0
+    for t in range(n_t):
+        seg = x[t * (x.size - win) // max(1, n_t - 1) :][:win]
+        if seg.size < win:
+            seg = np.pad(seg, (0, win - seg.size))
+        seg = seg * np.hanning(win)
+        mag = np.abs(np.fft.rfft(seg)) ** 2
+        # log-spaced band edges over [2, len(mag))
+        edges = np.unique(
+            np.round(np.geomspace(2, mag.size - 1, n_b + 1)).astype(int)
+        )
+        while edges.size < n_b + 1:  # tiny windows: pad edges upward
+            edges = np.append(edges, edges[-1] + 1)
+        energy = np.array(
+            [
+                float(np.sum(mag[edges[b] : max(edges[b] + 1, edges[b + 1])]))
+                for b in range(n_b)
+            ]
+        )
+        for b in np.argsort(energy)[-top_k:]:
+            bits |= 1 << (t * n_b + int(b))
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("audio_fp", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprints(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """(media_id, audio_fp) over the audio rows — Arrow-batched decode
+    + spectral fingerprint, map-only."""
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                rate, samples = decode_audio(b, fake=fake_decode)
+                fps.append(audio_fingerprint64(samples, rate))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "audio_fp": fps})
+
+    clips = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return clips.mapInPandas(_batch, AUDIO_FP_SCHEMA)
+
+
+def audio_neardup_pairs(
+    media: DataFrame, max_hamming: int = 2, fake_decode: bool = True
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: spectral-peak fingerprint + the
+    shared pigeonhole hamming bucket join
+    (operators/dedup.hamming_pairs). Catches sample-format re-encodes
+    (PCM16 vs float vs G.711) of the same material, which move <= 2
+    of the 8 set peak bits; time-shifted/clipped copies need
+    subfingerprint sequences and are out of scope."""
+    from clickhouse_observability_spark.operators.dedup import hamming_pairs
+
+    return hamming_pairs(
+        audio_fingerprints(media, fake_decode=fake_decode),
+        "media_id",
+        "audio_fp",
+        max_hamming,
+        out_a="media_a",
+        out_b="media_b",
+    )
+
+
+def make_neardup_audio_media(
+    spark: SparkSession, n_groups: int = 12, seed: int = 17
+) -> DataFrame:
+    """Media table with PLANTED near-duplicate audio: each group is
+    one non-stationary clip (chirps + amplitude envelopes — the
+    fingerprint's honest operating regime) stored three times: PCM16,
+    IEEE float32 at a different gain, and G.711 mu-law. media_id =
+    group * 3 + copy."""
+    import math
+    import random
+    import struct
+
+    rate, n = 8000, 4000
+    rows = []
+    for g in range(n_groups):
+        rs = random.Random(seed + g)
+        parts = [
+            (rs.uniform(100, 1800), rs.uniform(100, 1800),
+             rs.uniform(0.2, 1.0), rs.uniform(0, 6))
+            for _ in range(3)
+        ]
+        x = []
+        for t in range(n):
+            u = t / n
+            v = 0.0
+            for f0, f1, a, ph in parts:
+                f = f0 + (f1 - f0) * u
+                env = a * (0.3 + 0.7 * abs(math.sin(math.pi * u * 2 + ph)))
+                v += env * math.sin(2 * math.pi * f * t / rate + ph)
+            x.append(v / 3)
+        pcm = encode_wav(
+            [int(max(-1.0, min(1.0, v)) * 12000) for v in x], sample_rate=rate
+        )
+        fdata = b"".join(struct.pack("<f", v * 0.37) for v in x)
+        fmt = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+        f32 = (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fdata))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(fdata)) + fdata
+        )
+
+        def _ulaw_byte(s: int) -> int:
+            bias, clip_ = 0x84, 32635
+            sign = 0x80 if s < 0 else 0
+            s = min(abs(s), clip_) + bias
+            exp, mask = 7, 0x4000
+            while exp > 0 and not (s & mask):
+                exp -= 1
+                mask >>= 1
+            return ~(sign | (exp << 4) | ((s >> (exp + 3)) & 0x0F)) & 0xFF
+
+        udata = bytes(
+            _ulaw_byte(int(max(-1.0, min(1.0, v)) * 12000)) for v in x
+        )
+        ufmt = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+        ulaw = (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(ufmt) + 8 + len(udata))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(ufmt)) + ufmt
+            + b"data" + struct.pack("<I", len(udata)) + udata
+        )
+        dur = int(n * 1000 / rate)
+        for ci, payload in enumerate((pcm, f32, ulaw)):
+            rows.append(
+                (g * 3 + ci, "audio", bytearray(payload), None, None, rate, dur)
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

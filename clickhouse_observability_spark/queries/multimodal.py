@@ -64,3 +64,14 @@ def multimodal_phash_pairs(spark, sf_dir):
     result is exactly the within-group pairs, pinned by pytest."""
     media = M.make_neardup_image_media(spark, n_groups=48)
     return M.image_neardup_pairs(media, max_hamming=6, fake_decode=False)
+
+
+@register("multimodal_audio_fp_pairs")
+def multimodal_audio_fp_pairs(spark, sf_dir):
+    """Near-duplicate AUDIO detection (r4): spectral-peak fingerprint
+    over REAL decoded WAV samples (PCM16 / IEEE-float / G.711 mu-law
+    re-encodes of the same clips), paired with the shared pigeonhole
+    hamming bucket join — the audio arm of the multimodal x dedup
+    bridge. Within-group pairs pinned by pytest."""
+    media = M.make_neardup_audio_media(spark, n_groups=48)
+    return M.audio_neardup_pairs(media, max_hamming=2, fake_decode=False)

@@ -612,3 +612,43 @@ def test_image_neardup_pairs_find_planted_groups(spark):
         and bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 6
     }
     assert got == brute
+
+
+def test_audio_neardup_pairs_find_planted_groups(spark):
+    media = M.make_neardup_audio_media(spark, n_groups=10)
+    pairs = M.audio_neardup_pairs(media, max_hamming=2, fake_decode=False)
+    got = {(r.media_a, r.media_b) for r in pairs.collect()}
+    expected = set()
+    for g in range(10):
+        ids = [g * 3, g * 3 + 1, g * 3 + 2]
+        expected |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+    assert expected <= got  # every planted re-encode group found
+    # no cross-group pair below the brute-force hamming bar, and the
+    # bucket join agrees exactly with brute force
+    fps = {r.media_id: r.audio_fp for r in
+           M.audio_fingerprints(media, fake_decode=False).collect()}
+    brute = {
+        (a, b)
+        for a in fps for b in fps if a < b
+        and bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 2
+    }
+    assert got == brute
+    cross = [(a, b) for (a, b) in got if a // 3 != b // 3]
+    assert len(cross) <= 2  # collisions are rare on non-stationary material
+
+
+def test_audio_fingerprint_stability_anchors():
+    # format re-encodes of one clip: <= 2 bits; silence/short: 0
+    assert M.audio_fingerprint64([0.0] * 10, 8000) == 0
+    assert M.audio_fingerprint64([], 8000) == 0
+    import math
+
+    x = [math.sin(2 * math.pi * (300 + 400 * t / 4000) * t / 8000)
+         for t in range(4000)]  # chirp
+    f1 = M.audio_fingerprint64(x, 8000)
+    f2 = M.audio_fingerprint64([v * 0.1 for v in x], 8000)  # gain-invariant
+    assert f1 == f2
+    q = [int(v * 12000) / 12000 for v in x]  # 16-bit-ish quantization
+    f3 = M.audio_fingerprint64(q, 8000)
+    assert bin((f1 ^ f3) & ((1 << 64) - 1)).count("1") <= 2
+    assert bin(f1 & ((1 << 64) - 1)).count("1") == 8  # 2 peaks x 4 blocks
