@@ -1415,3 +1415,166 @@ def make_neardup_audio_media(
                 (g * 3 + ci, "audio", bytearray(payload), None, None, rate, dur)
             )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+FRAME_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("fphash", T.LongType(), True),
+    ]
+)
+
+
+def frame_phashes(
+    media: DataFrame, every_ms: int = 500, fake_decode: bool = True
+) -> DataFrame:
+    """(media_id, frame_idx, fphash): perceptual hash of each SAMPLED
+    video frame (same timestamp grid as extract_frames, deduped to
+    distinct frame indexes) — the per-frame identity video dedup
+    matches on. Same Arrow plumbing contract as extract_frames."""
+    every_ms = int(every_ms)
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "fphash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    fps_num, fps_den, w, h, planes = _parse_y4m_planes(b)
+
+                    def fr_at(idx, _w=w, _h=h, _p=planes):
+                        return np.frombuffer(_p[idx], dtype=np.uint8).reshape(
+                            _h, _w
+                        )
+
+                    n = len(planes)
+                except ValueError:
+                    if not fake_decode:
+                        decode_video(b, fake=False)
+                        raise
+                    fps_num, fps_den, frames = decode_video(b, fake=True)
+
+                    def fr_at(idx, _f=frames):
+                        return np.asarray(_f[idx], dtype=np.uint8)
+
+                    n = len(frames)
+                dur_ms = int(n * 1000 * fps_den / fps_num)
+                seen: set[int] = set()
+                for ms in range(0, dur_ms + 1, every_ms):
+                    idx = min(n - 1, ms * fps_num // (1000 * fps_den))
+                    if idx in seen:
+                        continue
+                    seen.add(idx)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["fphash"].append(phash64(fr_at(idx)))
+            yield pd.DataFrame(out)
+
+    vids = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    return vids.mapInPandas(_batch, FRAME_PHASH_SCHEMA)
+
+
+def video_neardup_pairs(
+    media: DataFrame,
+    every_ms: int = 500,
+    min_shared_frac: float = 0.5,
+    fake_decode: bool = True,
+    max_df: int = 64,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs: two clips pair when the fraction of
+    shared sampled-frame pHashes (relative to the SMALLER clip's
+    sample count) reaches `min_shared_frac` — catching re-encodes,
+    fps-metadata changes and head/tail trims of the same material.
+
+    The video arm of the multimodal x dedup bridge, shaped like the
+    text inverted-index join: explode per-clip frame-hash sets, join
+    clips on exact fphash (identical pixels hash identically; mildly
+    re-encoded frames land within a couple of bits — exact match is
+    the y4m-lossless anchor), df-cap drops boilerplate frames (black/
+    title cards shared by everything) so no hash fans out more than
+    max_df ways, count shared per pair, threshold on overlap
+    fraction. Never all-pairs."""
+    fp = frame_phashes(media, every_ms=every_ms, fake_decode=fake_decode)
+    sets = fp.select("media_id", "fphash").distinct()
+    n_frames = sets.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    hot = (
+        sets.groupBy("fphash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("fphash")
+    )
+    pruned = sets.join(F.broadcast(hot), "fphash", "left_anti")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fphash") == F.col("b.fphash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = n_frames.select(
+        F.col("media_id").alias("media_a"), F.col("n_frames").alias("na")
+    )
+    nb = n_frames.select(
+        F.col("media_id").alias("media_b"), F.col("n_frames").alias("nb")
+    )
+    return (
+        shared.join(F.broadcast(na), "media_a")
+        .join(F.broadcast(nb), "media_b")
+        .withColumn(
+            "shared_frac", F.round(F.col("n_shared") / F.least("na", "nb"), 4)
+        )
+        .filter(F.col("shared_frac") >= min_shared_frac)
+        .select("media_a", "media_b", "n_shared", "shared_frac")
+    )
+
+
+def make_neardup_video_media(
+    spark: SparkSession, n_groups: int = 8, seed: int = 23
+) -> DataFrame:
+    """Media table with PLANTED near-duplicate videos: each group is
+    one deterministic frame sequence stored three ways — the full
+    clip, a head-trimmed copy (first two frames dropped), and the
+    same frames under a different fps header. media_id = group * 3 +
+    copy."""
+    rows = []
+    w, h, n_fr = 24, 16, 10
+    for g in range(n_groups):
+        # group-dependent STRIPE FREQUENCIES, not a constant offset —
+        # pHash is DC-invariant, so groups must differ structurally
+        frames = [
+            [
+                [
+                    (r * (13 + 7 * g) + c * (5 + 3 * g) + f * 53 + seed) % 256
+                    for c in range(w)
+                ]
+                for r in range(h)
+            ]
+            for f in range(n_fr)
+        ]
+        variants = (
+            encode_y4m(frames, fps_num=10),
+            encode_y4m(frames[2:], fps_num=10),
+            encode_y4m(frames, fps_num=5),
+        )
+        for ci, payload in enumerate(variants):
+            n = n_fr if ci != 1 else n_fr - 2
+            fps = 10 if ci != 2 else 5
+            rows.append(
+                (g * 3 + ci, "video", bytearray(payload), w, h, None,
+                 int(n * 1000 / fps))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

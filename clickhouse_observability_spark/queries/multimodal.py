@@ -75,3 +75,17 @@ def multimodal_audio_fp_pairs(spark, sf_dir):
     bridge. Within-group pairs pinned by pytest."""
     media = M.make_neardup_audio_media(spark, n_groups=48)
     return M.audio_neardup_pairs(media, max_hamming=2, fake_decode=False)
+
+
+@register("multimodal_video_fp_pairs")
+def multimodal_video_fp_pairs(spark, sf_dir):
+    """Near-duplicate VIDEO detection (r4): per-frame perceptual
+    hashes over real YUV4MPEG2 decode, inverted-index join on frame
+    identity with a df-cap, overlap-fraction threshold — catches
+    re-encodes, fps-header changes and head/tail trims. The video arm
+    of the multimodal x dedup bridge; planted groups pinned by
+    pytest."""
+    media = M.make_neardup_video_media(spark, n_groups=32)
+    return M.video_neardup_pairs(
+        media, every_ms=100, min_shared_frac=0.5, fake_decode=False
+    )

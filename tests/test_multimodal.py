@@ -652,3 +652,39 @@ def test_audio_fingerprint_stability_anchors():
     f3 = M.audio_fingerprint64(q, 8000)
     assert bin((f1 ^ f3) & ((1 << 64) - 1)).count("1") <= 2
     assert bin(f1 & ((1 << 64) - 1)).count("1") == 8  # 2 peaks x 4 blocks
+
+
+def test_video_neardup_pairs_find_planted_groups(spark):
+    media = M.make_neardup_video_media(spark, n_groups=8)
+    pairs = M.video_neardup_pairs(
+        media, every_ms=100, min_shared_frac=0.5, fake_decode=False
+    ).collect()
+    got = {(r.media_a, r.media_b) for r in pairs}
+    expected = set()
+    for g in range(8):
+        ids = [g * 3, g * 3 + 1, g * 3 + 2]
+        expected |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+    assert got == expected  # exactly the planted groups, no cross-group
+    by_pair = {(r.media_a, r.media_b): r for r in pairs}
+    for g in range(8):
+        full, trimmed, refps = g * 3, g * 3 + 1, g * 3 + 2
+        # full vs re-fps share every frame; trims share all THEIR frames
+        assert by_pair[(full, refps)].shared_frac == 1.0
+        assert by_pair[(full, trimmed)].shared_frac == 1.0
+
+
+def test_frame_phashes_dedupe_and_match_decode(spark):
+    media = M.make_neardup_video_media(spark, n_groups=2)
+    fp = M.frame_phashes(media, every_ms=100, fake_decode=False).collect()
+    # distinct frame indexes only
+    seen = {}
+    for r in fp:
+        assert (r.media_id, r.frame_idx) not in seen
+        seen[(r.media_id, r.frame_idx)] = r.fphash
+    # phash of the decoded frame matches the pipeline output
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    import numpy as np
+
+    for (mid, idx), hp in list(seen.items())[:6]:
+        _, _, frames = M.decode_video(src[mid], fake=False)
+        assert hp == M.phash64(np.asarray(frames[idx], dtype=np.uint8))
