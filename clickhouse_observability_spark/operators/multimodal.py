@@ -78,10 +78,10 @@ def make_fake_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
 
 def make_real_image_media(spark: SparkSession, n: int = 24, seed: int = 7) -> DataFrame:
     """Media table whose payloads are REAL image bytes (PPM, BMP,
-    PNG, baseline JPEG and GIF in rotation) — deterministic RGB
+    PNG, baseline JPEG, GIF and TIFF in rotation) — deterministic RGB
     gradients of varying geometry, encoded with the in-repo encoders,
     so the decode→resize path exercises actual pixels (including
-    DEFLATE, DCT and LZW round-trips) end-to-end."""
+    DEFLATE, DCT, LZW and PackBits round-trips) end-to-end."""
     rows = []
     for i in range(n):
         w, h = 5 + (i % 4), 4 + (i % 3)
@@ -96,19 +96,23 @@ def make_real_image_media(spark: SparkSession, n: int = 24, seed: int = 7) -> Da
             ]
             for r in range(h)
         ]
-        if i % 5 == 3:
+        if i % 6 == 3:
             from .jpeg import encode_jpeg
 
             # near-lossless: the resize/feature tests compare pipeline
             # output against decode_image of the same payload, so lossy
             # is fine; q=100 keeps the pixels visually identical anyway
             payload = encode_jpeg(rgb, quality=100)
-        elif i % 5 == 4:
+        elif i % 6 == 4:
             from .gif import encode_gif
 
             payload = encode_gif(rgb, interlace=bool(i % 2))
+        elif i % 6 == 5:
+            from .tiff import encode_tiff
+
+            payload = encode_tiff(rgb, compression=(1, 5, 32773)[i % 3])
         else:
-            payload = (encode_ppm, encode_bmp24, encode_png)[i % 5](rgb)
+            payload = (encode_ppm, encode_bmp24, encode_png)[i % 6](rgb)
         rows.append((i, "image", bytearray(payload), w, h, None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -549,12 +553,20 @@ def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
         except ValueError:
             if not fake:
                 raise
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff_luma
+
+        try:
+            return decode_tiff_luma(b)
+        except ValueError:
+            if not fake:
+                raise  # tiled/fax/JPEG-in-TIFF variants land here too
     if not fake:
         raise NotImplementedError(
-            "remaining image formats (WebP/TIFF/...) require codec "
-            "libraries not installed here; supported real formats are "
-            "PPM/PGM/BMP/PNG/GIF and baseline JPEG — or pass fake=True "
-            "for the deterministic test decode"
+            "remaining image formats (WebP/...) require codec libraries "
+            "not installed here; supported real formats are "
+            "PPM/PGM/BMP/PNG/GIF/TIFF and JPEG (baseline + progressive) "
+            "— or pass fake=True for the deterministic test decode"
         )
     h = hashlib.sha256(b).digest()
     return [[h[(r * 8 + c) % 32] for c in range(8)] for r in range(8)]
