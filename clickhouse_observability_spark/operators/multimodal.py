@@ -6,9 +6,10 @@ layout, Arrow-batched mapInPandas transforms, batch shapes — is real
 and tested. Decoding is REAL for the public formats a stdlib parser
 can handle: PPM/PGM/BMP images (`decode_image`, since r3), full
 baseline PNG via stdlib zlib, baseline + progressive JPEG via numpy
-(`jpeg.py`), GIF87a/89a with full LZW (`gif.py`), RIFF/WAVE audio
+(`jpeg.py`), GIF87a/89a with full LZW (`gif.py`), TIFF 6.0
+(`tiff.py`), lossless WebP/VP8L (`webp.py`), RIFF/WAVE audio
 (integer PCM, IEEE float, G.711 A-law/mu-law — `decode_audio`), and
-YUV4MPEG2 video — all since r4. Remaining codecs (WebP/TIFF,
+YUV4MPEG2 video — all since r4. Remaining codecs (lossy WebP,
 MP3/AAC, compressed video) need libraries not in this container:
 those paths raise NotImplementedError unless `fake=True`,
 in which case a deterministic hash-seeded decode stands in so
@@ -78,10 +79,11 @@ def make_fake_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
 
 def make_real_image_media(spark: SparkSession, n: int = 24, seed: int = 7) -> DataFrame:
     """Media table whose payloads are REAL image bytes (PPM, BMP,
-    PNG, baseline JPEG, GIF and TIFF in rotation) — deterministic RGB
-    gradients of varying geometry, encoded with the in-repo encoders,
-    so the decode→resize path exercises actual pixels (including
-    DEFLATE, DCT, LZW and PackBits round-trips) end-to-end."""
+    PNG, JPEG, GIF, TIFF and lossless WebP in rotation) —
+    deterministic RGB gradients of varying geometry, encoded with the
+    in-repo encoders, so the decode→resize path exercises actual
+    pixels (including DEFLATE, DCT, LZW, PackBits and VP8L
+    round-trips) end-to-end."""
     rows = []
     for i in range(n):
         w, h = 5 + (i % 4), 4 + (i % 3)
@@ -96,23 +98,27 @@ def make_real_image_media(spark: SparkSession, n: int = 24, seed: int = 7) -> Da
             ]
             for r in range(h)
         ]
-        if i % 6 == 3:
+        if i % 7 == 3:
             from .jpeg import encode_jpeg
 
             # near-lossless: the resize/feature tests compare pipeline
             # output against decode_image of the same payload, so lossy
             # is fine; q=100 keeps the pixels visually identical anyway
             payload = encode_jpeg(rgb, quality=100)
-        elif i % 6 == 4:
+        elif i % 7 == 4:
             from .gif import encode_gif
 
             payload = encode_gif(rgb, interlace=bool(i % 2))
-        elif i % 6 == 5:
+        elif i % 7 == 5:
             from .tiff import encode_tiff
 
             payload = encode_tiff(rgb, compression=(1, 5, 32773)[i % 3])
+        elif i % 7 == 6:
+            from .webp import encode_webp
+
+            payload = encode_webp(rgb, subtract_green=bool(i % 2))
         else:
-            payload = (encode_ppm, encode_bmp24, encode_png)[i % 6](rgb)
+            payload = (encode_ppm, encode_bmp24, encode_png)[i % 7](rgb)
         rows.append((i, "image", bytearray(payload), w, h, None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -561,12 +567,21 @@ def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
         except ValueError:
             if not fake:
                 raise  # tiled/fax/JPEG-in-TIFF variants land here too
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from .webp import decode_webp_luma
+
+        try:
+            return decode_webp_luma(b)
+        except ValueError:
+            if not fake:
+                raise  # lossy VP8 / extended VP8X land here too
     if not fake:
         raise NotImplementedError(
-            "remaining image formats (WebP/...) require codec libraries "
-            "not installed here; supported real formats are "
-            "PPM/PGM/BMP/PNG/GIF/TIFF and JPEG (baseline + progressive) "
-            "— or pass fake=True for the deterministic test decode"
+            "remaining image formats (lossy WebP, AVIF/HEIC, ...) need "
+            "codec libraries not installed here; supported real formats "
+            "are PPM/PGM/BMP/PNG/GIF/TIFF, JPEG (baseline + progressive) "
+            "and lossless WebP — or pass fake=True for the deterministic "
+            "test decode"
         )
     h = hashlib.sha256(b).digest()
     return [[h[(r * 8 + c) % 32] for c in range(8)] for r in range(8)]
