@@ -674,6 +674,22 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", out.alias("simhash"))
 
 
+def pigeonhole_chunk_key(hash_col: str, c: int, n_chunks: int) -> Column:
+    """Chunk c of a 64-bit sketch split into n_chunks pigeonhole keys.
+
+    THE single source of the chunk derivation: batch pairing
+    (hamming_pairs) and the streaming media-ingest at-rest index
+    (streaming/media_ingest.py) both call this — the index durably
+    stores these keys, so any change here must rebuild it."""
+    base, extra = divmod(64, n_chunks)
+    start = c * base + min(c, extra)
+    width = base + (1 if c < extra else 0)
+    key = F.shiftrightunsigned(F.col(hash_col), start)
+    if width < 64:
+        key = key.bitwiseAND(F.lit((1 << width) - 1))
+    return key
+
+
 def hamming_pairs(
     hashes: DataFrame,
     id_col: str,
@@ -692,19 +708,12 @@ def hamming_pairs(
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
     n_chunks = max_hamming + 1
-    base, extra = divmod(64, n_chunks)
-
-    def _chunk(c: int) -> Column:
-        start = c * base + min(c, extra)
-        width = base + (1 if c < extra else 0)
-        key = F.shiftrightunsigned(F.col(hash_col), start)
-        if width < 64:
-            key = key.bitwiseAND(F.lit((1 << width) - 1))
-        return key
-
     chunks = F.array(
         *[
-            F.struct(F.lit(c).alias("chunk"), _chunk(c).alias("key"))
+            F.struct(
+                F.lit(c).alias("chunk"),
+                pigeonhole_chunk_key(hash_col, c, n_chunks).alias("key"),
+            )
             for c in range(n_chunks)
         ]
     )

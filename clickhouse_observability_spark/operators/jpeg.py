@@ -274,42 +274,62 @@ _ZIG = list(ZIGZAG)
 
 
 def _decode_baseline_scan(
-    reader, comps, scan, huff, coef, mcus_x, mcus_y, restart_interval
+    reader, frame, scan_comps, scan, huff, coef,
+    mcus_x, mcus_y, restart_interval,
 ):
-    """Sequential DCT scan: DC + all 63 AC per block, interleaved over
-    the padded MCU grid, written into the per-component grids."""
-    pred = {c["id"]: 0 for c in comps}
+    """Sequential DCT scan: DC + all 63 AC per data unit. T.81 allows
+    a scan to cover any component subset: multi-component scans
+    interleave over the padded MCU grid; a single-component scan runs
+    raster over that component's REAL block grid (A.2.2)."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    pred = {c["id"]: 0 for c in scan_comps}
+
+    def unit(c, blk):
+        dc_tab = huff[(0, scan[c["id"]][0])]
+        ac_tab = huff[(1, scan[c["id"]][1])]
+        s = reader.decode_huff(dc_tab)
+        if s > 11:
+            raise ValueError("bad JPEG DC category")
+        pred[c["id"]] += _extend(reader.receive(s), s)
+        blk[0] = pred[c["id"]]
+        k = 1
+        while k < 64:
+            rs = reader.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run overflows block")
+            blk[_ZIG[k]] = _extend(reader.receive(s), s)
+            k += 1
+
+    if len(scan_comps) == 1:
+        c = scan_comps[0]
+        grid = coef[c["id"]]
+        bw, bh = _scan_blocks(c, w, h, hmax, vmax)
+        for u in range(bw * bh):
+            if restart_interval and u and u % restart_interval == 0:
+                reader.restart(u // restart_interval - 1)
+                pred = {c["id"]: 0}
+            uy, ux = divmod(u, bw)
+            unit(c, grid[uy, ux])
+        return
     for mcu in range(mcus_x * mcus_y):
         if restart_interval and mcu and mcu % restart_interval == 0:
             reader.restart(mcu // restart_interval - 1)
-            pred = {c["id"]: 0 for c in comps}
+            pred = {c["id"]: 0 for c in scan_comps}
         my, mx = divmod(mcu, mcus_x)
-        for c in comps:
-            dc_tab = huff[(0, scan[c["id"]][0])]
-            ac_tab = huff[(1, scan[c["id"]][1])]
+        for c in scan_comps:
             grid = coef[c["id"]]
             for by in range(c["v"]):
                 for bx in range(c["h"]):
-                    blk = grid[my * c["v"] + by, mx * c["h"] + bx]
-                    s = reader.decode_huff(dc_tab)
-                    if s > 11:
-                        raise ValueError("bad JPEG DC category")
-                    pred[c["id"]] += _extend(reader.receive(s), s)
-                    blk[0] = pred[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_huff(ac_tab)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run overflows block")
-                        blk[_ZIG[k]] = _extend(reader.receive(s), s)
-                        k += 1
+                    unit(c, grid[my * c["v"] + by, mx * c["h"] + bx])
 
 
 def _scan_blocks(c, w, h, hmax, vmax):
@@ -324,9 +344,12 @@ def _decode_progressive_scan(
     reader, frame, scan_comps, scan, huff, coef, state,
     ss, se, ah, al, mcus_x, mcus_y, restart_interval,
 ):
-    """One progressive scan (T.81 G.2): DC first/refine (interleaved
-    over the padded MCU grid) or AC first/refine (single component,
-    real block grid), with EOB-run bookkeeping and restart support."""
+    """One progressive scan (T.81 G.2): DC first/refine — interleaved
+    over the padded MCU grid when the scan covers several components,
+    raster over the component's REAL block grid when ns == 1 (A.2.2:
+    non-interleaved data-unit order, NOT MCU order) — or AC
+    first/refine (single component, real block grid), with EOB-run
+    bookkeeping and restart support."""
     w, h, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -335,8 +358,32 @@ def _decode_progressive_scan(
         if se != 0:
             raise ValueError("progressive DC scan with Se != 0")
         pred = {c["id"]: 0 for c in scan_comps}
-        n_units = mcus_x * mcus_y
-        for mcu in range(n_units):
+
+        def dc_unit(c, blk):
+            if ah == 0:
+                dc_tab = huff.get((0, scan[c["id"]][0]))
+                if dc_tab is None:
+                    raise ValueError("missing DC table")
+                s = reader.decode_huff(dc_tab)
+                if s > 11:
+                    raise ValueError("bad JPEG DC category")
+                pred[c["id"]] += _extend(reader.receive(s), s)
+                blk[0] = pred[c["id"]] << al
+            elif reader.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+
+        if len(scan_comps) == 1:
+            c = scan_comps[0]
+            grid = coef[c["id"]]
+            bw, bh = _scan_blocks(c, w, h, hmax, vmax)
+            for unit in range(bw * bh):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.restart(unit // restart_interval - 1)
+                    pred = {c["id"]: 0}
+                uy, ux = divmod(unit, bw)
+                dc_unit(c, grid[uy, ux])
+            return
+        for mcu in range(mcus_x * mcus_y):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reader.restart(mcu // restart_interval - 1)
                 pred = {c["id"]: 0 for c in scan_comps}
@@ -345,18 +392,7 @@ def _decode_progressive_scan(
                 grid = coef[c["id"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        blk = grid[my * c["v"] + by, mx * c["h"] + bx]
-                        if ah == 0:
-                            dc_tab = huff.get((0, scan[c["id"]][0]))
-                            if dc_tab is None:
-                                raise ValueError("missing DC table")
-                            s = reader.decode_huff(dc_tab)
-                            if s > 11:
-                                raise ValueError("bad JPEG DC category")
-                            pred[c["id"]] += _extend(reader.receive(s), s)
-                            blk[0] = pred[c["id"]] << al
-                        elif reader.read_bit():
-                            blk[0] = int(blk[0]) | (1 << al)
+                        dc_unit(c, grid[my * c["v"] + by, mx * c["h"] + bx])
         return
     # AC scans: exactly one component (T.81 G.1.1.1.1)
     if len(scan_comps) != 1:
@@ -553,15 +589,17 @@ def decode_jpeg_luma(b: bytes) -> list[list[int]]:
                     raise ValueError("JPEG component references missing DQT")
             reader = _BitReader(b, pos + 2 + seg_len)
             if not progressive:
-                if ns != len(comps) or ss != 0 or se != 63:
+                # T.81 allows sequential scans over any component
+                # SUBSET (per-component multi-scan baseline files)
+                if ss != 0 or se != 63 or ah != 0 or al != 0:
                     raise ValueError("bad sequential JPEG scan header")
-                for c in comps:
+                for c in scan_comps:
                     if (0, scan[c["id"]][0]) not in huff or (
                         1, scan[c["id"]][1]
                     ) not in huff:
                         raise ValueError("JPEG scan references missing DHT")
                 _decode_baseline_scan(
-                    reader, comps, scan, huff, coef,
+                    reader, frame, scan_comps, scan, huff, coef,
                     mcus_x, mcus_y, restart_interval,
                 )
                 saw_scan = True
@@ -600,7 +638,13 @@ def decode_jpeg_luma(b: bytes) -> list[list[int]]:
     )
     yh, yv = y_comp["h"], y_comp["v"]
     if yh < hmax or yv < vmax:
-        plane = np.repeat(np.repeat(plane, vmax // yv, 0), hmax // yh, 1)
+        # nearest INDEX MAP, not np.repeat: integer repeat factors
+        # silently undersize the plane for non-divisor ratios (Y 2x2
+        # under a 3x3 max is legal per T.81)
+        full_h, full_w = 8 * vmax * mcus_y, 8 * hmax * mcus_x
+        rows = (np.arange(full_h) * yv) // vmax
+        cols = (np.arange(full_w) * yh) // hmax
+        plane = plane[np.ix_(rows, cols)]
     return plane[:h, :w].tolist()
 
 
@@ -756,6 +800,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     grayscale: bool = False,
     progressive: bool = False,
+    per_component_scans: bool = False,
 ) -> bytes:
     """Encode RGB pixel rows as a JFIF JPEG (test/sink helper): Annex
     K tables at the given quality, optional 2x2 chroma subsampling
@@ -837,7 +882,51 @@ def encode_jpeg(
             p += bytes([gi + 1, tid])
         return p + bytes([ss, se, (ah << 4) | al])
 
-    if not progressive:
+    if not progressive and per_component_scans:
+        # T.81 multi-scan sequential: one full DC+AC scan per
+        # component, non-interleaved data-unit (raster) order over the
+        # component's REAL block grid
+        for gi, g in enumerate(grids):
+            wr = _BitWriter()
+            pred0 = 0
+            for by in range(g["bh_real"]):
+                for bx in range(g["bw_real"]):
+                    qz = g["grid"][by, bx]
+                    s, bits = _mag_bits(int(qz[0]) - pred0)
+                    pred0 = int(qz[0])
+                    ln, code = g["dc"][s]
+                    wr.write(code, ln)
+                    if s:
+                        wr.write(bits, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(qz[ZIGZAG[k]])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = g["ac"][0xF0]
+                            wr.write(code, ln)
+                            run -= 16
+                        s, bits = _mag_bits(v)
+                        if s > 10:
+                            raise ValueError(
+                                "JPEG coefficient out of standard-table range"
+                            )
+                        ln, code = g["ac"][(run << 4) | s]
+                        wr.write(code, ln)
+                        wr.write(bits, s)
+                        run = 0
+                    if run:
+                        ln, code = g["ac"][0x00]
+                        wr.write(code, ln)
+            wr.flush()
+            scans.append(
+                (sos_header([gi], 0, 63, 0, 0,
+                            [0x00 if gi == 0 else 0x11]),
+                 bytes(wr.out))
+            )
+    elif not progressive:
         pred = [0] * len(grids)
         rst_n = 0
         for mcu in range(mcus_x * mcus_y):
@@ -896,23 +985,48 @@ def encode_jpeg(
         n = len(grids)
         dc_tid = [0x00 if i == 0 else 0x10 for i in range(n)]
 
-        # 1. DC first, interleaved, Al=1
-        wr = _BitWriter()
-        pred = [0] * n
-        for mcu in range(mcus_x * mcus_y):
-            my, mx = divmod(mcu, mcus_x)
+        # 1. DC first at Al=1 — interleaved over the MCU grid, or one
+        # NON-INTERLEAVED scan per component (raster over the real
+        # block grid, T.81 A.2.2) when per_component_scans is set
+        if per_component_scans:
             for gi, g in enumerate(grids):
-                for by in range(g["v"]):
-                    for bx in range(g["h"]):
-                        v = int(g["grid"][my * g["v"] + by, mx * g["h"] + bx][0]) >> 1
-                        s, bits = _mag_bits(v - pred[gi])
-                        pred[gi] = v
+                wr = _BitWriter()
+                pred0 = 0
+                for by in range(g["bh_real"]):
+                    for bx in range(g["bw_real"]):
+                        v = int(g["grid"][by, bx][0]) >> 1
+                        s, bits = _mag_bits(v - pred0)
+                        pred0 = v
                         ln, code = g["dc"][s]
                         wr.write(code, ln)
                         if s:
                             wr.write(bits, s)
-        wr.flush()
-        scans.append((sos_header(range(n), 0, 0, 0, 1, dc_tid), bytes(wr.out)))
+                wr.flush()
+                scans.append(
+                    (sos_header([gi], 0, 0, 0, 1, [dc_tid[gi]]),
+                     bytes(wr.out))
+                )
+        else:
+            wr = _BitWriter()
+            pred = [0] * n
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                for gi, g in enumerate(grids):
+                    for by in range(g["v"]):
+                        for bx in range(g["h"]):
+                            v = int(
+                                g["grid"][my * g["v"] + by, mx * g["h"] + bx][0]
+                            ) >> 1
+                            s, bits = _mag_bits(v - pred[gi])
+                            pred[gi] = v
+                            ln, code = g["dc"][s]
+                            wr.write(code, ln)
+                            if s:
+                                wr.write(bits, s)
+            wr.flush()
+            scans.append(
+                (sos_header(range(n), 0, 0, 0, 1, dc_tid), bytes(wr.out))
+            )
 
         # 2. AC first per component: two spectral bands for Y, one for
         # chroma — exercises band splits; Al=2. AC table id 2 = the

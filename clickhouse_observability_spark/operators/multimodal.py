@@ -679,7 +679,12 @@ def _parse_wav(b: bytes) -> tuple[int, int, list[float]]:
         vals = [(v - 128) / 128.0 for v in data[:n]]
     elif audio_format == 3:
         kind = "f" if bits == 32 else "d"
-        vals = list(struct.unpack_from(f"<{n}{kind}", data))
+        # unnormalized float masters can exceed full scale; clamp so
+        # the documented [-1, 1] contract holds on every format path
+        vals = [
+            -1.0 if v < -1.0 else (1.0 if v > 1.0 else v)
+            for v in struct.unpack_from(f"<{n}{kind}", data)
+        ]
     elif audio_format == 6:
         vals = [_alaw_expand(v) for v in data[:n]]
     else:  # 7: mu-law

@@ -291,6 +291,9 @@ def _parse_tiff(b: bytes) -> list[list[int]]:
         if depth == 1:
             for c in range(width):
                 bit = (raster[base + c // 8] >> (7 - c % 8)) & 1
+                if pal is not None:  # 1-bit PALETTE image: ColorMap wins
+                    row.append(pal[bit])
+                    continue
                 v = bit * 255
                 if photometric == 0:  # white-is-zero
                     v = 255 - v
@@ -424,9 +427,9 @@ def encode_tiff(
     for tag, typ, cnt, val in entries:
         ent = struct.pack(f"{e}HHI", tag, typ, cnt)
         if typ == 3 and cnt == 1:
-            ent += struct.pack(f"{e}HH", val, 0) if e == "<" else struct.pack(
-                f"{e}HH", val, 0
-            )
+            # a single SHORT sits in the FIRST two value bytes for
+            # both byte orders (the {e} format handles endianness)
+            ent += struct.pack(f"{e}HH", val, 0)
         else:
             ent += struct.pack(f"{e}I", val)
         out += ent

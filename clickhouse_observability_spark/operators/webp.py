@@ -612,7 +612,10 @@ def _encode_entropy_image(
             for _hy in range(hh)
             for hx in range(hw)
         ]
-        groups = 2
+        # decoders derive the group count from the huffman image's
+        # MAX group id — a narrow image (hw == 1) has only group 0,
+        # so writing 2 code sets would desync the stream
+        groups = max((p >> 8) & 0xFFFF for p in himg) + 1
         _encode_entropy_image(bw, himg, hw, hh)
     green_n = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
     gl = _flat_lengths(green_n)

@@ -37,6 +37,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+# the chunk-key derivation lives in operators/dedup.py: the at-rest
+# index durably stores those keys, so batch pairing and this probe
+# MUST share one implementation
+from clickhouse_observability_spark.operators.dedup import (
+    pigeonhole_chunk_key as _chunk_key,
+)
+
 MEDIA_WIRE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -44,16 +51,6 @@ MEDIA_WIRE_SCHEMA = T.StructType(
         T.StructField("payload_b64", T.StringType(), True),
     ]
 )
-
-
-def _chunk_key(hash_col: str, c: int, n_chunks: int) -> F.Column:
-    base, extra = divmod(64, n_chunks)
-    start = c * base + min(c, extra)
-    width = base + (1 if c < extra else 0)
-    key = F.shiftrightunsigned(F.col(hash_col), start)
-    if width < 64:
-        key = key.bitwiseAND(F.lit((1 << width) - 1))
-    return key
 
 
 class MediaIngest:

@@ -250,3 +250,24 @@ def test_decode_image_dispatches_progressive_jpeg():
     got = np.array(M.decode_image(enc), float)
     assert got.shape == (10, 12)
     assert np.abs(got - _luma(rgb)).max() <= 2.0
+
+
+def test_per_component_scan_orders():
+    """Review r4: T.81 A.2.2 — single-component scans use the
+    component's REAL block grid in raster order, not the padded MCU
+    grid. Pinned for both multi-scan BASELINE files and progressive
+    per-component DC scans, with subsampling so real != padded."""
+    rnd = random.Random(2)
+    for w, h, sub in [(17, 9, False), (24, 16, True), (33, 17, True)]:
+        rgb = _noise(rnd, w, h)
+        ref = J.decode_jpeg_luma(J.encode_jpeg(rgb, quality=95, subsample=sub))
+        seq = J.decode_jpeg_luma(
+            J.encode_jpeg(rgb, quality=95, subsample=sub,
+                          per_component_scans=True)
+        )
+        assert seq == ref, ("baseline multi-scan", w, h, sub)
+        prog = J.decode_jpeg_luma(
+            J.encode_jpeg(rgb, quality=95, subsample=sub,
+                          progressive=True, per_component_scans=True)
+        )
+        assert prog == ref, ("progressive per-component DC", w, h, sub)

@@ -158,3 +158,23 @@ def test_decode_image_dispatches_tiff():
         M.decode_image(bad, fake=False)
     tile = M.decode_image(bad, fake=True)
     assert len(tile) == 8
+
+
+def test_tiff_1bit_palette_uses_colormap():
+    """Review r4: depth-1 palette TIFFs must resolve through the
+    ColorMap, not decode as bilevel black/white."""
+    w, h = 4, 1
+    raster = bytes([0b01100000])
+    n = 2
+    cmap = b""
+    for luma16 in ((140 << 8, 190 << 8),) * 3:  # same value per channel
+        for v in luma16:
+            cmap += struct.pack("<H", v)
+    base = 8 + 2 + 12 * 8 + 4
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 1), (259, 3, 1, 1),
+        (262, 3, 1, 3), (273, 4, 1, base + len(cmap)),
+        (279, 4, 1, len(raster)), (320, 3, 3 * n, base),
+    ]
+    got = Tf.decode_tiff_luma(_ifd(entries, extra=cmap, data=raster))
+    assert got == [[140, 190, 190, 140]]

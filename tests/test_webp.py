@@ -166,3 +166,12 @@ def test_decode_image_dispatches_webp():
         M.decode_image(enc[:20], fake=False)
     tile = M.decode_image(enc[:20], fake=True)
     assert len(tile) == 8
+
+
+def test_webp_meta_on_narrow_image():
+    """Review r4: meta_bits on an image narrower than one huffman
+    block produced a 2-group header over a 1-group huffman image —
+    desynced stream. The group count now derives from the image."""
+    rgb = [[(r * 9 % 256, 30, 60)] * 3 for r in range(8)]
+    enc = W.encode_webp(rgb, meta_bits=2)
+    assert W.decode_webp_luma(enc) == _lum(rgb)
