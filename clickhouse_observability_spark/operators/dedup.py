@@ -995,7 +995,8 @@ def duplicated_spans(
               transform(sequence(1, size(toks) - {k} + 1),
                         i -> named_struct(
                             'pos', cast(i AS bigint),
-                            'gh', md5(concat_ws(' ', slice(toks, i, {k})))))
+                            'gh', unhex(md5(concat_ws(' ',
+                                                      slice(toks, i, {k}))))))
             ELSE array() END))"""
     )
     grams = documents.select(
