@@ -701,18 +701,27 @@ def decode_audio(payload: bytes, fake: bool = False) -> tuple[int, list[float]]:
 
     REAL for the public RIFF/WAVE family — integer PCM 8/16-bit, IEEE
     float 32/64-bit, and G.711 A-law/mu-law telephony companding (r4),
-    any channel count (downmixed) — via pure-stdlib byte parsing.
-    Perceptual codecs (MP3/AAC/Opus/...) need a decoder library not
-    present in this container: they raise NotImplementedError unless
-    fake=True, in which case a deterministic hash-seeded 256-sample
-    clip stands in so downstream plumbing stays testable with
-    arbitrary bytes — the exact contract decode_image has for
-    unsupported image formats."""
+    any channel count (downmixed) — and for FLAC (fixed + LPC
+    predictors, Rice partitions, every stereo decorrelation; see
+    `flac.py`), via pure-stdlib byte parsing. Perceptual codecs
+    (MP3/AAC/Opus/...) need a decoder library not present in this
+    container: they raise NotImplementedError unless fake=True, in
+    which case a deterministic hash-seeded 256-sample clip stands in
+    so downstream plumbing stays testable with arbitrary bytes — the
+    exact contract decode_image has for unsupported image formats."""
     b = bytes(payload or b"")
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         try:
             rate, _n_ch, samples = _parse_wav(b)
             return rate, samples
+        except ValueError:
+            if not fake:
+                raise
+    if b[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        try:
+            return decode_flac(b)
         except ValueError:
             if not fake:
                 raise
@@ -729,10 +738,11 @@ def decode_audio(payload: bytes, fake: bool = False) -> tuple[int, list[float]]:
 def make_real_audio_media(
     spark: SparkSession, n: int = 24, seed: int = 11
 ) -> DataFrame:
-    """Media table whose payloads are REAL WAV bytes — deterministic
-    integer sine-ish tones of varying length/rate/channels, encoded
-    with encode_wav, so the decode→features path runs on actual PCM
-    end-to-end."""
+    """Media table whose payloads are REAL audio bytes — WAV PCM and
+    FLAC in rotation (every 4th clip) — deterministic integer
+    sine-ish tones of varying length/rate/channels, so the
+    decode→features path runs on actual samples (including Rice/
+    fixed-predictor round-trips) end-to-end."""
     import math
 
     rows = []
@@ -745,7 +755,15 @@ def make_real_audio_media(
         for t in range(n_frames):
             v = int(12000 * math.sin(2 * math.pi * freq * t / rate))
             samples.extend([v] * n_ch)  # identical channels: downmix-exact
-        payload = encode_wav(samples, sample_rate=rate, n_channels=n_ch)
+        if i % 4 == 3:
+            from .flac import encode_flac
+
+            payload = encode_flac(
+                samples, sample_rate=rate, channels=n_ch,
+                stereo_mode="mid_side" if n_ch == 2 else "independent",
+            )
+        else:
+            payload = encode_wav(samples, sample_rate=rate, n_channels=n_ch)
         rows.append(
             (i, "audio", bytearray(payload), None, None, rate,
              int(n_frames * 1000 / rate))
