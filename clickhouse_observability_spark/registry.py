@@ -85,11 +85,12 @@ def _load_all() -> None:
         "similarity",
         "text",
         "multimodal",
-        # spans/tpch_extra register oracle-backed entries that must
-        # sort AFTER the 50 adjudicated slots — keep them last (any
-        # future module adding oracle entries goes here too)
+        # spans/tpch_extra/behavioral register oracle-backed entries
+        # that must sort AFTER the 50 adjudicated slots — keep them
+        # last (any future module adding oracle entries goes here too)
         "spans",
         "tpch_extra",
+        "behavioral",
     ):
         try:
             __import__(f"clickhouse_observability_spark.queries.{mod}")
