@@ -299,3 +299,25 @@ def sim_knn_join(spark, sf_dir):
     return S.knn_join_lsh(
         table(spark, sf_dir, "embeddings"), k=10, max_bucket_frac=0.25
     )
+
+
+@register("sim_neardup_clusters")
+def sim_neardup_clusters(spark, sf_dir):
+    """SEMANTIC dedup keep-list (r4): embedding near-dup pairs (the
+    scale-primary LSH path) -> connected components -> one canonical
+    keeper per cluster + singletons — the embedding-space analog of
+    dedup_neardup_clusters, closing the pipeline loop for corpora
+    deduplicated by MEANING rather than token overlap. Rows-only
+    (iterative fixpoint); the component/keeper machinery is
+    union-find-parity-tested on the MinHash path and shared here."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators import dedup as D
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_neardup_lsh(
+        emb, threshold=0.45, n_planes=4, n_tables=16, multiprobe=True
+    )
+    comps = D.neardup_components(pairs, a="vec_a", b="vec_b")
+    docs = emb.select(F.col("vec_id").alias("doc_id"))
+    return D.canonical_per_component(docs, comps)

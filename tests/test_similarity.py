@@ -312,3 +312,35 @@ def test_knn_join_registered_cap_keeps_real_corpus_recall(spark, sf_small):
     }
     assert capped == uncapped
     assert len({q for q, _ in capped}) == len(all_ids)
+
+
+def test_semantic_cluster_keep_list(spark, sf_small):
+    """sim_neardup_clusters: every LSH pair lands in one component,
+    keepers are component minima, and unpaired vectors are singletons."""
+    from clickhouse_observability_spark.operators import dedup as D
+    from clickhouse_observability_spark.registry import queries
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    out = {r.component_id: r for r in
+           queries()["sim_neardup_clusters"](spark, sf_small).collect()}
+    emb = load_table(spark, sf_small, "embeddings")
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in S.embedding_neardup_lsh(
+            emb, threshold=0.45, n_planes=4, n_tables=16, multiprobe=True
+        ).collect()
+    ]
+    comps = {r.doc_id: r.component_id for r in D.neardup_components(
+        spark.createDataFrame(pairs, "vec_a long, vec_b long"),
+        a="vec_a", b="vec_b",
+    ).collect()}
+    for a, b in pairs:
+        assert comps[a] == comps[b]
+    # keepers: min id per component; total keep-list covers the corpus
+    n_vecs = emb.count()
+    assert sum(r.component_size for r in out.values()) == n_vecs
+    by_comp: dict[int, list[int]] = {}
+    for vid, cid in comps.items():
+        by_comp.setdefault(cid, []).append(vid)
+    for cid, members in by_comp.items():
+        assert out[cid].keep_doc_id == min(members)
