@@ -60,6 +60,7 @@ HEADLINE = [
     # totals stay comparable with earlier rounds (aux set below)
     ("dedup_exact_spans", "noop"),
     ("tpch_q18_large_orders", "collect"),
+    ("behavior_window_funnel", "collect"),
 ]
 
 
@@ -296,6 +297,7 @@ def _run_bench() -> None:
         "text_winnowing",  # diagnostic split; already inside text_fingerprints
         "dedup_exact_spans",  # r4 additions: reported, not summed
         "tpch_q18_large_orders",
+        "behavior_window_funnel",
     }
     total = round(sum(v for k, v in times.items() if k not in aux), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
