@@ -89,3 +89,27 @@ def multimodal_video_fp_pairs(spark, sf_dir):
     return M.video_neardup_pairs(
         media, every_ms=100, min_shared_frac=0.5, fake_decode=False
     )
+
+
+@register("multimodal_training_pipeline")
+def multimodal_training_pipeline(spark, sf_dir):
+    """The media corpus -> trainer handoff in one plan — the
+    multimodal counterpart of text_training_pipeline:
+
+      1. near-dup collapse: pHash pairs over REAL decoded pixels ->
+         greedy keep-first (drop any image pairing with a smaller-id
+         mate — the same policy streaming admission uses);
+      2. uniform tensorization of the survivors: decode -> 16x16
+         nearest-neighbor resample via the Arrow mapInPandas path.
+
+    Output: one row per SURVIVING image with its training tensor
+    bytes + content sha. Rows-only (binary payloads); pytest pins the
+    composition invariants (survivors == keep-list, tensors match
+    standalone resize)."""
+    from pyspark.sql import functions as F
+
+    media = M.make_neardup_image_media(spark, n_groups=48)
+    dups = M.image_neardup_pairs(media, max_hamming=6, fake_decode=False)
+    drop = dups.select(F.col("media_b").alias("media_id")).distinct()
+    keepers = media.join(drop, "media_id", "left_anti")
+    return M.resize_images(keepers, 16, 16, fake_decode=False)
