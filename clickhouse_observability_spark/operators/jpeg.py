@@ -475,6 +475,56 @@ def _decode_progressive_scan(
                 state["eobrun"] -= 1
 
 
+def _exif_orientation(seg: bytes) -> int:
+    """Extract the Exif Orientation tag (0x0112) from an APP1 payload
+    — a tiny TIFF IFD walk (full TIFF decode lives in tiff.py; Exif
+    only needs IFD0's SHORT tags). Returns 1 (normal) when absent or
+    malformed: orientation is advisory metadata, never a reason to
+    fail the decode."""
+    if seg[:6] != b"Exif\x00\x00":
+        return 1
+    t = seg[6:]
+    try:
+        if t[:4] == b"II*\x00":
+            e = "<"
+        elif t[:4] == b"MM\x00*":
+            e = ">"
+        else:
+            return 1
+        (ifd_off,) = struct.unpack_from(f"{e}I", t, 4)
+        (n_tags,) = struct.unpack_from(f"{e}H", t, ifd_off)
+        for i in range(n_tags):
+            tag, typ, _cnt = struct.unpack_from(
+                f"{e}HHI", t, ifd_off + 2 + 12 * i
+            )
+            if tag == 0x0112 and typ == 3:
+                (v,) = struct.unpack_from(f"{e}H", t, ifd_off + 2 + 12 * i + 8)
+                return v if 1 <= v <= 8 else 1
+        return 1
+    except struct.error:
+        return 1
+
+
+def _apply_orientation(plane: np.ndarray, orientation: int) -> np.ndarray:
+    """Undo the Exif orientation so output pixels are upright (the
+    standard camera-metadata transforms, values 2-8)."""
+    if orientation == 2:
+        return plane[:, ::-1]
+    if orientation == 3:
+        return plane[::-1, ::-1]
+    if orientation == 4:
+        return plane[::-1, :]
+    if orientation == 5:
+        return plane.T
+    if orientation == 6:  # stored rotated 90 CCW -> rotate CW back
+        return plane.T[:, ::-1]
+    if orientation == 7:
+        return plane.T[::-1, ::-1]
+    if orientation == 8:
+        return plane.T[::-1, :]
+    return plane
+
+
 def decode_jpeg_luma(b: bytes) -> list[list[int]]:
     """Decode a baseline OR progressive JPEG to gray pixel rows (the
     Y plane at full resolution).
@@ -495,6 +545,7 @@ def decode_jpeg_luma(b: bytes) -> list[list[int]]:
     frame = None  # (w, h, comps)
     progressive = False
     restart_interval = 0
+    orientation = 1
     coef: dict[int, np.ndarray] = {}  # comp id -> (bh, bw, 64) grid
     mcus_x = mcus_y = 0
     state: dict[str, int] = {}
@@ -614,7 +665,9 @@ def decode_jpeg_luma(b: bytes) -> list[list[int]]:
             saw_scan = True
             pos = _resync(b, reader.pos)
             continue
-        # APPn / COM / others: skip
+        elif marker == 0xE1:  # APP1: Exif orientation (advisory)
+            orientation = _exif_orientation(seg)
+        # other APPn / COM: skip
         pos += 2 + seg_len
     if frame is None or not saw_scan:
         raise ValueError("missing JPEG SOF/SOS")
@@ -645,7 +698,7 @@ def decode_jpeg_luma(b: bytes) -> list[list[int]]:
         rows = (np.arange(full_h) * yv) // vmax
         cols = (np.arange(full_w) * yh) // hmax
         plane = plane[np.ix_(rows, cols)]
-    return plane[:h, :w].tolist()
+    return _apply_orientation(plane[:h, :w], orientation).tolist()
 
 
 def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:

@@ -271,3 +271,34 @@ def test_per_component_scan_orders():
                           progressive=True, per_component_scans=True)
         )
         assert prog == ref, ("progressive per-component DC", w, h, sub)
+
+
+def test_exif_orientation_applied():
+    """Scraped JPEGs carry rotation as Exif metadata; ignoring it
+    breaks pHash dedup of rotated re-encodes. All 8 orientation
+    values must decode to upright pixels; malformed Exif is advisory
+    (never fails the decode)."""
+    rgb = [[((r * 11 + c * 3) % 256, (c * 7) % 256, (r * 5) % 256)
+            for c in range(12)] for r in range(9)]
+    enc = J.encode_jpeg(rgb, quality=100)
+    base = np.array(J.decode_jpeg_luma(enc))
+
+    def with_exif(orient):
+        tiff = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+                + struct.pack("<HHIHH", 0x0112, 3, 1, orient, 0)
+                + struct.pack("<I", 0))
+        app1 = b"Exif\x00\x00" + tiff
+        seg = struct.pack(">BBH", 0xFF, 0xE1, len(app1) + 2) + app1
+        return enc[:2] + seg + enc[2:]
+
+    expect = {
+        1: base, 2: base[:, ::-1], 3: base[::-1, ::-1], 4: base[::-1, :],
+        5: base.T, 6: base.T[:, ::-1], 7: base.T[::-1, ::-1],
+        8: base.T[::-1, :],
+    }
+    for o in range(1, 9):
+        got = np.array(J.decode_jpeg_luma(with_exif(o)))
+        assert (got == expect[o]).all(), o
+    bad = (enc[:2] + struct.pack(">BBH", 0xFF, 0xE1, 8)
+           + b"Exif\x00\x00" + enc[2:])
+    assert (np.array(J.decode_jpeg_luma(bad)) == base).all()
