@@ -646,6 +646,7 @@ def _parse_wav(b: bytes) -> tuple[int, int, list[float]]:
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt_chunk, data = 12, None, None
+    fact_samples = None
     while pos + 8 <= len(b):
         tag = b[pos : pos + 4]
         (size,) = struct.unpack_from("<I", b, pos + 4)
@@ -655,16 +656,31 @@ def _parse_wav(b: bytes) -> tuple[int, int, list[float]]:
             if size < 16:
                 raise ValueError("short fmt chunk")
             fmt_chunk = struct.unpack_from("<HHIIHH", b, pos + 8)
+            fmt_raw = b[pos + 8 : pos + 8 + size]
+        elif tag == b"fact" and size >= 4:
+            fact_samples = struct.unpack_from("<I", b, pos + 8)[0]
         elif tag == b"data":
             data = b[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt_chunk is None or data is None:
         raise ValueError("missing fmt /data chunk")
     audio_format, n_ch, rate, _byte_rate, block_align, bits = fmt_chunk
+    if audio_format == 0x11:  # IMA ADPCM: block-structured, own path
+        if bits != 4:
+            raise ValueError("IMA ADPCM must be 4-bit")
+        # wSamplesPerBlock rides in the fmt extension (cbSize=2)
+        spb = 1 + (block_align - 4 * n_ch) * 2 // n_ch
+        if len(fmt_raw) >= 20:
+            spb = struct.unpack_from("<H", fmt_raw, 18)[0]
+        decoded = _parse_wav_ima_adpcm(data, n_ch, block_align, spb)
+        if fact_samples is not None:  # trim final-block padding
+            decoded = decoded[:fact_samples]
+        return rate, n_ch, decoded
     valid = {1: (8, 16), 3: (32, 64), 6: (8,), 7: (8,)}
     if audio_format not in valid:
         raise ValueError(
-            f"unsupported WAV format {audio_format} (PCM/float/G.711 only)"
+            f"unsupported WAV format {audio_format} (PCM/float/G.711/"
+            "IMA-ADPCM only)"
         )
     if bits not in valid[audio_format] or n_ch < 1:
         raise ValueError(f"unsupported WAV layout: {bits}-bit, {n_ch}ch")
@@ -1628,3 +1644,121 @@ def make_neardup_video_media(
                  int(n * 1000 / fps))
             )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# IMA/DVI ADPCM tables (public, from the IMA ADPCM reference algorithm)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode_nibble(nib: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA ADPCM step: (new predictor, new step index)."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    if nib & 8:
+        pred -= diff
+    else:
+        pred += diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+    return pred, idx
+
+
+def _ima_encode_sample(s: int, pred: int, idx: int) -> tuple[int, int, int]:
+    """One IMA ADPCM compression step: (nibble, new pred, new idx)."""
+    step = _IMA_STEPS[idx]
+    diff = s - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    pred, idx = _ima_decode_nibble(nib, pred, idx)
+    return nib, pred, idx
+
+
+def encode_wav_ima_adpcm(
+    samples: list[int], sample_rate: int = 8000, block_frames: int = 505
+) -> bytes:
+    """Encode mono PCM16 samples as an IMA ADPCM WAV (format 0x11) —
+    the deterministic 4-bit codec test anchor; ~4x smaller than
+    PCM16."""
+    import struct
+
+    block_align = 4 + (block_frames - 1 + 1) // 2  # header + nibbles
+    data = bytearray()
+    i = 0
+    pred, idx = 0, 0
+    while i < len(samples):
+        blk = samples[i : i + block_frames]
+        pred = max(-32768, min(32767, blk[0]))
+        data += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for s in blk[1:]:
+            nib, pred, idx = _ima_encode_sample(s, pred, idx)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for a, b2 in zip(nibbles[0::2], nibbles[1::2]):
+            data.append(a | (b2 << 4))  # LOW nibble first
+        # pad short (final) blocks to block_align
+        pad = block_align - 4 - len(nibbles) // 2
+        data += b"\x00" * pad
+        i += block_frames
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        sample_rate * block_align // block_frames, block_align, 4,
+        2, block_frames,
+    )
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, len(samples))
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_wav_ima_adpcm(
+    data: bytes, n_ch: int, block_align: int, samples_per_block: int
+) -> list[float]:
+    import struct
+
+    if n_ch != 1:
+        raise ValueError("IMA ADPCM decode supports mono only")
+    if block_align < 5:
+        raise ValueError("bad IMA ADPCM block alignment")
+    out: list[float] = []
+    for off in range(0, len(data) - block_align + 1, block_align):
+        pred, idx, _res = struct.unpack_from("<hBB", data, off)
+        if idx > 88:
+            raise ValueError("bad IMA ADPCM step index")
+        out.append(pred / 32768.0)
+        produced = 1
+        for bi in range(off + 4, off + block_align):
+            byte = data[bi]
+            for nib in (byte & 0x0F, byte >> 4):  # LOW nibble first
+                if produced >= samples_per_block:
+                    break
+                pred, idx = _ima_decode_nibble(nib, pred, idx)
+                out.append(pred / 32768.0)
+                produced += 1
+    return out
