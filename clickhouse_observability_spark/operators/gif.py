@@ -275,3 +275,102 @@ def encode_gif(
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def decode_gif_video(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
+    """Animated GIF as a video source: (fps_num, fps_den, gray
+    frames). Frame timing comes from the FIRST Graphic Control
+    Extension's delay (centiseconds; GIF allows per-frame delays —
+    the uniform-rate approximation is what a frame-sampling pipeline
+    needs); no GCE or a zero delay defaults to 10 fps."""
+    delay_cs = _first_gce_delay(b)
+    frames = decode_gif_frames(b)
+    if delay_cs and delay_cs > 0:
+        return 100, delay_cs, frames
+    return 10, 1, frames
+
+
+def _first_gce_delay(b: bytes) -> int | None:
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    packed = b[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    while pos + 1 < len(b):
+        block = b[pos]
+        pos += 1
+        if block != 0x21:
+            return None  # image descriptor (or trailer) before any GCE
+        label = b[pos]
+        pos += 1
+        if label == 0xF9 and pos + 5 <= len(b) and b[pos] == 4:
+            return b[pos + 2] | (b[pos + 3] << 8)
+        try:
+            _, pos = _read_subblocks(b, pos)
+        except ValueError:
+            return None
+    return None
+
+
+def encode_gif_animation(
+    frames_rgb: list[list[list[tuple[int, int, int]]]],
+    delay_cs: int = 10,
+    interlace: bool = False,
+) -> bytes:
+    """Encode RGB frame sequences as an animated GIF89a: one global
+    palette across all frames (<=256 distinct colors total), a
+    Graphic Control Extension with the uniform delay before every
+    frame. Lossless — the video-pipeline test anchor."""
+    if not frames_rgb:
+        raise ValueError("no frames")
+    h = len(frames_rgb[0])
+    w = len(frames_rgb[0][0]) if h else 0
+    if w == 0 or h == 0:
+        raise ValueError("empty frame")
+    palette: list[tuple[int, int, int]] = []
+    pal_index: dict[tuple[int, int, int], int] = {}
+    for fr in frames_rgb:
+        if len(fr) != h or any(len(row) != w for row in fr):
+            raise ValueError("frames must share one geometry")
+        for row in fr:
+            for px in row:
+                if px not in pal_index:
+                    pal_index[px] = len(palette)
+                    palette.append(px)
+    if len(palette) > 256:
+        raise ValueError("encode_gif_animation needs <=256 distinct colors")
+    depth = max(1, (len(palette) - 1).bit_length())
+    min_code = max(2, depth)
+    n = 1 << min_code
+    gct = bytearray()
+    for px in palette:
+        gct += bytes(px)
+    gct += b"\x00\x00\x00" * (n - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (min_code - 1), 0, 0)
+    out += gct
+    for fr in frames_rgb:
+        # GCE: disposal none, uniform delay, no transparency
+        out += bytes((0x21, 0xF9, 4, 0x00))
+        out += struct.pack("<H", delay_cs)
+        out += bytes((0x00, 0x00))
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0x00
+        )
+        if interlace:
+            order = [
+                y for start, step in _INTERLACE for y in range(start, h, step)
+            ]
+        else:
+            order = list(range(h))
+        idx = [pal_index[px] for y in order for px in fr[y]]
+        body = _lzw_encode(min_code, idx)
+        out.append(min_code)
+        for i in range(0, len(body), 255):
+            chunk = body[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

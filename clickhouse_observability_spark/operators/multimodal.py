@@ -938,13 +938,15 @@ def decode_video(
 ) -> tuple[int, int, list[list[list[int]]]]:
     """Decode a video payload to (fps_num, fps_den, gray frames).
 
-    REAL for the uncompressed public format — YUV4MPEG2 4:2:0 — via
-    pure-stdlib byte parsing (luma plane only, like the image
-    decoders). Compressed codecs (H.264/VP9/AV1 in MP4/WebM/...) need
-    decoder libraries not in this container: they raise
-    NotImplementedError unless fake=True, which yields a
-    deterministic hash-seeded 4-frame 8x8 clip at 25 fps — the same
-    gating contract as decode_image/decode_audio."""
+    REAL for the public formats a stdlib parser can handle —
+    YUV4MPEG2 4:2:0 (luma plane only, like the image decoders) and
+    animated GIF (full LZW; fps from the first Graphic Control
+    Extension's delay — see gif.decode_gif_video, r4). Compressed
+    codecs (H.264/VP9/AV1 in MP4/WebM/...) need decoder libraries not
+    in this container: they raise NotImplementedError unless
+    fake=True, which yields a deterministic hash-seeded 4-frame 8x8
+    clip at 25 fps — the same gating contract as
+    decode_image/decode_audio."""
     b = bytes(payload or b"")
     if b.startswith(b"YUV4MPEG2"):
         try:
@@ -952,11 +954,19 @@ def decode_video(
         except ValueError:
             if not fake:
                 raise
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_video
+
+        try:
+            return decode_gif_video(b)
+        except ValueError:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
             "compressed video formats require a codec library not installed "
-            "here; the supported real format is YUV4MPEG2 — or pass "
-            "fake=True for the deterministic test decode"
+            "here; supported real formats are YUV4MPEG2 and animated GIF — "
+            "or pass fake=True for the deterministic test decode"
         )
     h = hashlib.sha256(b).digest()
     return 25, 1, [
@@ -968,8 +978,9 @@ def decode_video(
 def make_real_video_media(
     spark: SparkSession, n: int = 24, seed: int = 5
 ) -> DataFrame:
-    """Media table whose payloads are REAL y4m bytes — deterministic
-    moving-gradient clips of varying geometry/length/rate — so frame
+    """Media table whose payloads are REAL video bytes — y4m with
+    animated GIF every 4th clip (since r4) — deterministic
+    moving-gradient clips of varying geometry/length/rate, so frame
     extraction runs on actual decoded frames end-to-end."""
     rows = []
     for i in range(n):
@@ -983,7 +994,16 @@ def make_real_video_media(
             ]
             for f in range(n_frames)
         ]
-        payload = encode_y4m(frames, fps_num=fps)
+        if i % 4 == 3:
+            from .gif import encode_gif_animation
+
+            # gray frames as (v, v, v): <=256 palette entries always
+            payload = encode_gif_animation(
+                [[[(v, v, v) for v in row] for row in fr] for fr in frames],
+                delay_cs=100 // fps,
+            )
+        else:
+            payload = encode_y4m(frames, fps_num=fps)
         rows.append(
             (i, "video", bytearray(payload), w, h, None,
              int(n_frames * 1000 / fps))
@@ -1045,13 +1065,14 @@ def extract_frames(
 
                     n = len(planes)
                 except ValueError:
-                    if not fake_decode:
-                        # canonical gating errors: ValueError for a
-                        # malformed y4m, NotImplementedError for a
-                        # compressed/unknown container
-                        decode_video(b, fake=False)
-                        raise
-                    fps_num, fps_den, frames = decode_video(b, fake=True)
+                    # not (valid) y4m: decode_video handles animated
+                    # GIF for real (r4) and raises the canonical
+                    # gating errors otherwise — ValueError for a
+                    # malformed y4m, NotImplementedError for a
+                    # compressed/unknown container
+                    fps_num, fps_den, frames = decode_video(
+                        b, fake=fake_decode
+                    )
 
                     def fr_at(idx, _f=frames):
                         return np.asarray(_f[idx], dtype=np.uint8)
@@ -1520,10 +1541,11 @@ def frame_phashes(
 
                     n = len(planes)
                 except ValueError:
-                    if not fake_decode:
-                        decode_video(b, fake=False)
-                        raise
-                    fps_num, fps_den, frames = decode_video(b, fake=True)
+                    # not (valid) y4m: decode_video handles animated
+                    # GIF for real (r4), gates the rest canonically
+                    fps_num, fps_den, frames = decode_video(
+                        b, fake=fake_decode
+                    )
 
                     def fr_at(idx, _f=frames):
                         return np.asarray(_f[idx], dtype=np.uint8)

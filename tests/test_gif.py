@@ -94,3 +94,46 @@ def test_decode_image_dispatches_gif():
         M.decode_image(enc[:15], fake=False)
     tile = M.decode_image(enc[:15], fake=True)
     assert len(tile) == 8
+
+
+def test_gif_animation_roundtrip_with_timing():
+    frames = [
+        [[((r + f) % 4 * 64, c % 4 * 64, (r + c) % 4 * 64)
+          for c in range(10)] for r in range(8)]
+        for f in range(5)
+    ]
+    lum = [[[G._luma(*px) for px in row] for row in fr] for fr in frames]
+    for delay, interlace in ((20, False), (5, True)):
+        enc = G.encode_gif_animation(frames, delay_cs=delay,
+                                     interlace=interlace)
+        num, den, got = G.decode_gif_video(enc)
+        assert (num, den) == (100, delay) and got == lum
+    # single-frame GIF without a GCE: default 10 fps
+    num, den, got = G.decode_gif_video(G.encode_gif(frames[0]))
+    assert (num, den) == (10, 1) and got == [lum[0]]
+
+
+def test_gif_video_through_frame_pipeline(spark):
+    from clickhouse_observability_spark.operators import multimodal as M
+
+    frames = [
+        [[(((r + f) % 4) * 64, (c % 4) * 64, ((r + c) % 4) * 64)
+          for c in range(16)] for r in range(12)]
+        for f in range(6)
+    ]
+    payload = G.encode_gif_animation(frames, delay_cs=10)  # 10 fps
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(payload), 16, 12, None, 600)],
+        M.MEDIA_SCHEMA,
+    )
+    out = M.extract_frames(media, every_ms=200, fake_decode=False).collect()
+    assert [(r.frame_ms, r.frame_idx) for r in out] == [
+        (0, 0), (200, 2), (400, 4), (600, 5)
+    ]
+    import numpy as np
+
+    lum = [[[G._luma(*px) for px in row] for row in fr] for fr in frames]
+    fp = {r.frame_idx: r.fphash for r in
+          M.frame_phashes(media, every_ms=200, fake_decode=False).collect()}
+    for idx, hp in fp.items():
+        assert hp == M.phash64(np.asarray(lum[idx], dtype=np.uint8))
