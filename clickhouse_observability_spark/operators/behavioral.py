@@ -3,24 +3,16 @@ of the reference (a ClickHouse-backed service) reaches for:
 windowFunnel, retention and sequence counting, re-expressed as
 Spark aggregations.
 
-Scale shapes: every operator here is per-user conditional
-aggregation — ONE shuffle on user_id with map-side partial
-aggregation, no self-joins, no per-user windows. windowFunnel's
-chained "step k within `window` of step 1 and after step k-1" is a
-fold over conditional MINs: step k's anchor timestamp is
-min(ts | type = step_k, ts > anchor_{k-1}, ts <= anchor_1 + window),
-computed as k conditional aggregates in one groupBy (each references
-the previous via a post-aggregation expression, so Catalyst still
-plans a single hash aggregate over the events scan).
-
-The fold needs each anchor as a COLUMN before the next can filter on
-it, which a single agg cannot express — so anchors are computed as k
-min-aggregates over a per-user COLLECTED (ts, type) event list and
-folded with array expressions. The list is bounded per user by their
-event count; for observability data (thousands of events per user,
-not billions) that is the standard funnel trade — the same one
-ClickHouse's windowFunnel makes, which also buffers each user's
-events in memory during aggregation.
+Scale shapes: every operator here is ONE shuffle on user_id with
+map-side partial aggregation — no self-joins, no per-user window
+Exchanges. windowFunnel and sequenceCount are SEQUENTIAL algorithms
+(ClickHouse's own implementations fold over each user's time-sorted
+events), so they run as `aggregate()` folds over a per-user collected
+event list; the list is bounded per user by their event count — for
+observability data (thousands of events per user, not billions) that
+is the standard trade, the same one ClickHouse makes by buffering
+each user's events in memory during aggregation. retention is plain
+conditional-max aggregates.
 """
 
 from __future__ import annotations
@@ -37,63 +29,63 @@ def window_funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """ClickHouse windowFunnel: per user, the deepest funnel level
-    reached — step 1 anywhere, each later step strictly after the
-    previous one and within `window_seconds` of step 1's timestamp
-    (the earliest step-1 event is the anchor, ClickHouse's default
-    mode). Output: (user, level) with level 0 for users who never
-    performed step 1."""
+    """ClickHouse windowFunnel (default mode): per user, the deepest
+    funnel level reached. The REAL ClickHouse algorithm is a
+    sequential fold over the time-sorted events — for each level k it
+    tracks the chain-start timestamp of the best chain reaching k,
+    RE-ANCHORING at every step-1 event (the latest one wins), and a
+    step-k event advances a chain when it falls within
+    `window_seconds` of that chain's start (no strict-ordering
+    constraint between equal timestamps; ties sort by step index, so
+    a same-timestamp later step still advances — deterministic where
+    ClickHouse's same-timestamp order is unspecified). A single
+    earliest-anchor pass (conditional mins) UNDERREPORTS levels when
+    a later step-1 event starts a faster chain — review r4 found the
+    first draft doing exactly that. Output: (user, level); users with
+    no funnel-step events do not appear."""
     if not steps:
         raise ValueError("windowFunnel needs at least one step")
+    step_idx = F.array(*[F.lit(s) for s in steps])
     ev = events.select(
         F.col(user_col).alias("user"),
         F.unix_micros(F.col(ts_col)).alias("us"),
-        F.col(type_col).alias("etype"),
-    ).filter(F.col("etype").isin(list(steps)))
+        (F.array_position(step_idx, F.col(type_col)) - 1).alias("step"),
+    ).filter(F.col("step") >= 0)
     per_user = ev.groupBy("user").agg(
-        F.sort_array(F.collect_list(F.struct("us", "etype"))).alias("evs")
+        F.sort_array(F.collect_list(F.struct("us", "step"))).alias("evs")
     )
     win_us = window_seconds * 1_000_000
-    # fold the anchor chain with let-bound array expressions: anchor_1
-    # = min ts of step 1; anchor_k = first step-k event after
-    # anchor_{k-1} and within window of anchor_1
-    expr = "transform(array(evs), es -> "
-    closing = ")[0]"
-    anchor_prev = None
-    anchor_exprs = []
-    for k, step in enumerate(steps):
-        s = step.replace("'", "''")
-        if k == 0:
-            a = (
-                f"array_min(transform(filter(es, e -> e.etype = '{s}'),"
-                " e -> e.us))"
-            )
-        else:
-            a = (
-                f"array_min(transform(filter(es, e -> e.etype = '{s}'"
-                f" AND e.us > a{k - 1} AND e.us <= a0 + {win_us}L),"
-                " e -> e.us))"
-            )
-        anchor_exprs.append(a)
-        anchor_prev = f"a{k}"
-    _ = anchor_prev
-    # nest the let-bindings: each anchor becomes a lambda variable the
-    # next can reference (same single-evaluation trick as lang-ID)
-    body = (
-        "CASE "
-        + " ".join(
-            f"WHEN a{k} IS NULL THEN {k}" for k in range(len(steps))
-        )
-        + f" ELSE {len(steps)} END"
+    k = len(steps)
+    # accumulator: chain-start timestamp per level (NULL = unreached)
+    # + best level so far; the fold is the ClickHouse
+    # AggregateFunctionWindowFunnel loop verbatim
+    init_fields = ", ".join(
+        f"'t{i}', CAST(NULL AS BIGINT)" for i in range(k)
     )
-    for k in range(len(steps) - 1, -1, -1):
-        body = (
-            f"transform(array({anchor_exprs[k]}), a{k} -> {body})[0]"
+    def set_fields(assign: dict[int, str], lvl: str) -> str:
+        parts = []
+        for i in range(k):
+            parts.append(f"'t{i}', {assign.get(i, f'acc.t{i}')}")
+        parts.append(f"'lvl', {lvl}")
+        return "named_struct(" + ", ".join(parts) + ")"
+
+    branches = [
+        "WHEN e.step = 0 THEN "
+        + set_fields({0: "e.us"}, "greatest(acc.lvl, 1)")
+    ]
+    for i in range(1, k):
+        branches.append(
+            f"WHEN e.step = {i} AND acc.t{i - 1} IS NOT NULL "
+            f"AND e.us <= acc.t{i - 1} + {win_us}L THEN "
+            + set_fields({i: f"acc.t{i - 1}"}, f"greatest(acc.lvl, {i + 1})")
         )
-    level = F.expr(expr + body + closing)
-    return per_user.select(
-        "user", F.coalesce(level, F.lit(0)).cast("int").alias("level")
+    fold = F.expr(
+        f"""aggregate(evs,
+              named_struct({init_fields}, 'lvl', 0),
+              (acc, e) -> CASE {' '.join(branches)} ELSE acc END,
+              acc -> acc.lvl)"""
     )
+    return per_user.select("user", fold.cast("int").alias("level"))
 
 
 def retention(
@@ -129,12 +121,13 @@ def sequence_count(
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """ClickHouse sequenceCount('(?1)(?2)') shape: per user, how many
-    times `then_type` follows `first_type` (each first event matched
-    to the count of later then-events is NOT the semantic — the
-    non-overlapping pair count is: walk the merged timeline, a
-    then-event closes the earliest open first-event). Computed with a
-    per-user sorted fold (aggregate over the collected list)."""
+    """ClickHouse sequenceCount('(?1)(?2)'): per user, the number of
+    NON-OVERLAPPING first->then matches, scanning the sorted timeline
+    greedily — find a first-event, then the next then-event after it,
+    count one match, resume AFTER the then-event. (An earliest-open
+    bipartite matching overcounts: v,v,p,p is ONE ClickHouse match,
+    not two — review r4 caught the first draft doing that.) Computed
+    with a per-user sorted fold."""
     ev = events.select(
         F.col(user_col).alias("user"),
         F.unix_micros(F.col(ts_col)).alias("us"),
@@ -147,12 +140,12 @@ def sequence_count(
     t = then_type.replace("'", "''")
     fold = F.expr(
         f"""aggregate(evs,
-              named_struct('open', 0, 'pairs', 0),
+              named_struct('armed', false, 'pairs', 0),
               (acc, e) -> CASE
-                  WHEN e.etype = '{f}' THEN
-                      named_struct('open', acc.open + 1, 'pairs', acc.pairs)
-                  WHEN acc.open > 0 THEN
-                      named_struct('open', acc.open - 1,
+                  WHEN NOT acc.armed AND e.etype = '{f}' THEN
+                      named_struct('armed', true, 'pairs', acc.pairs)
+                  WHEN acc.armed AND e.etype = '{t}' THEN
+                      named_struct('armed', false,
                                    'pairs', acc.pairs + 1)
                   ELSE acc END,
               acc -> acc.pairs)"""

@@ -228,25 +228,19 @@ def _lzw_encode(min_code_size: int, indexes: list[int]) -> bytes:
     return bytes(out)
 
 
-def encode_gif(
-    rgb_rows: list[list[tuple[int, int, int]]], interlace: bool = False
-) -> bytes:
-    """Encode RGB pixel rows as a single-frame GIF89a (exact palette,
-    <=256 distinct colors, real LZW). Lossless — the round-trip test
-    anchor for the decoder."""
-    h = len(rgb_rows)
-    w = len(rgb_rows[0]) if h else 0
-    if w == 0 or h == 0:
-        raise ValueError("empty image")
+def _build_palette(
+    frames_rgb: list[list[list[tuple[int, int, int]]]], what: str
+) -> tuple[list[tuple[int, int, int]], dict, int, bytes]:
     palette: list[tuple[int, int, int]] = []
     pal_index: dict[tuple[int, int, int], int] = {}
-    for row in rgb_rows:
-        for px in row:
-            if px not in pal_index:
-                pal_index[px] = len(palette)
-                palette.append(px)
+    for fr in frames_rgb:
+        for row in fr:
+            for px in row:
+                if px not in pal_index:
+                    pal_index[px] = len(palette)
+                    palette.append(px)
     if len(palette) > 256:
-        raise ValueError("encode_gif needs <=256 distinct colors")
+        raise ValueError(f"{what} needs <=256 distinct colors")
     depth = max(1, (len(palette) - 1).bit_length())
     min_code = max(2, depth)
     n = 1 << min_code
@@ -254,27 +248,73 @@ def encode_gif(
     for px in palette:
         gct += bytes(px)
     gct += b"\x00\x00\x00" * (n - len(palette))
-    if interlace:
-        order = [
-            y for start, step in _INTERLACE for y in range(start, h, step)
-        ]
-    else:
-        order = list(range(h))
-    idx = [pal_index[px] for y in order for px in rgb_rows[y]]
-    body = _lzw_encode(min_code, idx)
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | (min_code - 1), 0, 0)
-    out += gct
+    return palette, pal_index, min_code, bytes(gct)
+
+
+def _emit_frame(
+    out: bytearray,
+    fr: list[list[tuple[int, int, int]]],
+    pal_index: dict,
+    min_code: int,
+    w: int,
+    h: int,
+    interlace: bool,
+) -> None:
     out += struct.pack(
         "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0x00
     )
+    if interlace:
+        order = [y for start, step in _INTERLACE for y in range(start, h, step)]
+    else:
+        order = list(range(h))
+    idx = [pal_index[px] for y in order for px in fr[y]]
+    body = _lzw_encode(min_code, idx)
     out.append(min_code)
     for i in range(0, len(body), 255):
         chunk = body[i : i + 255]
         out.append(len(chunk))
         out += chunk
-    out += b"\x00\x3b"
+    out += b"\x00"
+
+
+def _encode_gif_frames(
+    frames_rgb: list[list[list[tuple[int, int, int]]]],
+    delay_cs: int | None,
+    interlace: bool,
+    what: str,
+) -> bytes:
+    """Shared GIF89a writer: one global palette across all frames,
+    an optional Graphic Control Extension (delay) before each."""
+    if not frames_rgb:
+        raise ValueError("no frames")
+    h = len(frames_rgb[0])
+    w = len(frames_rgb[0][0]) if h else 0
+    if w == 0 or h == 0:
+        raise ValueError("empty image")
+    for fr in frames_rgb:
+        if len(fr) != h or any(len(row) != w for row in fr):
+            raise ValueError("frames must share one geometry")
+    _palette, pal_index, min_code, gct = _build_palette(frames_rgb, what)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (min_code - 1), 0, 0)
+    out += gct
+    for fr in frames_rgb:
+        if delay_cs is not None:
+            out += bytes((0x21, 0xF9, 4, 0x00))
+            out += struct.pack("<H", delay_cs)
+            out += bytes((0x00, 0x00))
+        _emit_frame(out, fr, pal_index, min_code, w, h, interlace)
+    out += b"\x3b"
     return bytes(out)
+
+
+def encode_gif(
+    rgb_rows: list[list[tuple[int, int, int]]], interlace: bool = False
+) -> bytes:
+    """Encode RGB pixel rows as a single-frame GIF89a (exact palette,
+    <=256 distinct colors, real LZW). Lossless — the round-trip test
+    anchor for the decoder."""
+    return _encode_gif_frames([rgb_rows], None, interlace, "encode_gif")
 
 
 def decode_gif_video(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
@@ -322,55 +362,6 @@ def encode_gif_animation(
     palette across all frames (<=256 distinct colors total), a
     Graphic Control Extension with the uniform delay before every
     frame. Lossless — the video-pipeline test anchor."""
-    if not frames_rgb:
-        raise ValueError("no frames")
-    h = len(frames_rgb[0])
-    w = len(frames_rgb[0][0]) if h else 0
-    if w == 0 or h == 0:
-        raise ValueError("empty frame")
-    palette: list[tuple[int, int, int]] = []
-    pal_index: dict[tuple[int, int, int], int] = {}
-    for fr in frames_rgb:
-        if len(fr) != h or any(len(row) != w for row in fr):
-            raise ValueError("frames must share one geometry")
-        for row in fr:
-            for px in row:
-                if px not in pal_index:
-                    pal_index[px] = len(palette)
-                    palette.append(px)
-    if len(palette) > 256:
-        raise ValueError("encode_gif_animation needs <=256 distinct colors")
-    depth = max(1, (len(palette) - 1).bit_length())
-    min_code = max(2, depth)
-    n = 1 << min_code
-    gct = bytearray()
-    for px in palette:
-        gct += bytes(px)
-    gct += b"\x00\x00\x00" * (n - len(palette))
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | (min_code - 1), 0, 0)
-    out += gct
-    for fr in frames_rgb:
-        # GCE: disposal none, uniform delay, no transparency
-        out += bytes((0x21, 0xF9, 4, 0x00))
-        out += struct.pack("<H", delay_cs)
-        out += bytes((0x00, 0x00))
-        out += struct.pack(
-            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0x00
-        )
-        if interlace:
-            order = [
-                y for start, step in _INTERLACE for y in range(start, h, step)
-            ]
-        else:
-            order = list(range(h))
-        idx = [pal_index[px] for y in order for px in fr[y]]
-        body = _lzw_encode(min_code, idx)
-        out.append(min_code)
-        for i in range(0, len(body), 255):
-            chunk = body[i : i + 255]
-            out.append(len(chunk))
-            out += chunk
-        out += b"\x00"
-    out += b"\x3b"
-    return bytes(out)
+    return _encode_gif_frames(
+        frames_rgb, delay_cs, interlace, "encode_gif_animation"
+    )

@@ -665,7 +665,10 @@ def decode_jpeg_luma(b: bytes) -> list[list[int]]:
             saw_scan = True
             pos = _resync(b, reader.pos)
             continue
-        elif marker == 0xE1:  # APP1: Exif orientation (advisory)
+        elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            # APP1 carrying Exif (advisory); real files often follow
+            # it with an XMP APP1 — only the Exif one may set (or
+            # keep) the orientation
             orientation = _exif_orientation(seg)
         # other APPn / COM: skip
         pos += 2 + seg_len

@@ -657,7 +657,7 @@ def _parse_wav(b: bytes) -> tuple[int, int, list[float]]:
                 raise ValueError("short fmt chunk")
             fmt_chunk = struct.unpack_from("<HHIIHH", b, pos + 8)
             fmt_raw = b[pos + 8 : pos + 8 + size]
-        elif tag == b"fact" and size >= 4:
+        elif tag == b"fact" and size >= 4 and pos + 12 <= len(b):
             fact_samples = struct.unpack_from("<I", b, pos + 8)[0]
         elif tag == b"data":
             data = b[pos + 8 : pos + 8 + size]
@@ -1769,13 +1769,18 @@ def _parse_wav_ima_adpcm(
     if block_align < 5:
         raise ValueError("bad IMA ADPCM block alignment")
     out: list[float] = []
-    for off in range(0, len(data) - block_align + 1, block_align):
+    for off in range(0, len(data), block_align):
+        blk_len = min(block_align, len(data) - off)
+        if blk_len < 5:
+            # a final fragment too short for header + any nibbles is
+            # truncation, not a legal short block
+            raise ValueError("truncated IMA ADPCM block")
         pred, idx, _res = struct.unpack_from("<hBB", data, off)
         if idx > 88:
             raise ValueError("bad IMA ADPCM step index")
         out.append(pred / 32768.0)
         produced = 1
-        for bi in range(off + 4, off + block_align):
+        for bi in range(off + 4, off + blk_len):
             byte = data[bi]
             for nib in (byte & 0x0F, byte >> 4):  # LOW nibble first
                 if produced >= samples_per_block:

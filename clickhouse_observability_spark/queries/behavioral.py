@@ -18,46 +18,15 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 _FUNNEL_WINDOW_S = 6 * 3600
 
 
-@register(
-    "behavior_window_funnel",
-    oracle=f"""
-    WITH stepped AS (
-        SELECT user_id FROM events
-        WHERE event_type IN ('view', 'click', 'purchase')
-        GROUP BY user_id
-    ),
-    s0 AS (SELECT user_id, min(ts) AS t0 FROM events
-           WHERE event_type = 'view' GROUP BY user_id),
-    s1 AS (SELECT e.user_id, min(e.ts) AS t1
-           FROM events e JOIN s0 ON e.user_id = s0.user_id
-           WHERE e.event_type = 'click' AND e.ts > s0.t0
-             AND e.ts <= s0.t0 + INTERVAL {_FUNNEL_WINDOW_S} SECOND
-           GROUP BY e.user_id),
-    s2 AS (SELECT e.user_id, min(e.ts) AS t2
-           FROM events e
-           JOIN s0 ON e.user_id = s0.user_id
-           JOIN s1 ON e.user_id = s1.user_id
-           WHERE e.event_type = 'purchase' AND e.ts > s1.t1
-             AND e.ts <= s0.t0 + INTERVAL {_FUNNEL_WINDOW_S} SECOND
-           GROUP BY e.user_id)
-    SELECT stepped.user_id AS user,
-           CASE WHEN t0 IS NULL THEN 0
-                WHEN t1 IS NULL THEN 1
-                WHEN t2 IS NULL THEN 2
-                ELSE 3 END AS level
-    FROM stepped
-    LEFT JOIN s0 ON stepped.user_id = s0.user_id
-    LEFT JOIN s1 ON stepped.user_id = s1.user_id
-    LEFT JOIN s2 ON stepped.user_id = s2.user_id
-    """,
-)
+@register("behavior_window_funnel")
 def behavior_window_funnel(spark, sf_dir):
     """ClickHouse windowFunnel('6h')(view -> click -> purchase): the
-    deepest funnel level per user, later steps strictly after the
-    previous one and inside the window anchored at the FIRST step-1
-    event. One shuffle on user_id; the anchor chain folds over the
-    per-user sorted event list with let-bound array expressions (see
-    operators/behavioral.py for the scale notes)."""
+    deepest funnel level per user, computed with the REAL ClickHouse
+    sequential fold (re-anchoring at every step-1 event — see
+    operators/behavioral.py). Rows-only: the stateful fold has no
+    clean SQL mirror (DuckDB's list_reduce lacks an initial-value
+    form); pytest pins an exact python replay of the ClickHouse
+    algorithm on crafted timelines AND on the real events table."""
     return B.window_funnel(
         table(spark, sf_dir, "events"),
         steps=list(_FUNNEL_STEPS),
