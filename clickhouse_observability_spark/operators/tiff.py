@@ -226,8 +226,7 @@ def _parse_tiff(b: bytes) -> list[list[int]]:
     rows_per_strip = one(278, height)
     if one(284, 1) != 1:
         raise ValueError("unsupported TIFF planar configuration")
-    if 322 in tags or 323 in tags:
-        raise ValueError("unsupported tiled TIFF")
+    tiled = 322 in tags or 323 in tags
     if compression not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
     if any(v not in (1, 8) for v in bits) or len(set(bits)) != 1:
@@ -235,36 +234,79 @@ def _parse_tiff(b: bytes) -> list[list[int]]:
     depth = bits[0]
     if depth == 1 and spp != 1:
         raise ValueError("bilevel TIFF must be single-sample")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing strip layout")
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
 
-    row_bytes = (width * spp * depth + 7) // 8
-    raster = bytearray()
-    remaining_rows = height
-    for off, cnt in zip(offsets, counts):
-        if off + cnt > len(b):
-            raise ValueError("truncated TIFF strip")
-        n_rows = min(rows_per_strip, remaining_rows)
-        need = n_rows * row_bytes
-        chunk = b[off : off + cnt]
+    def decompress(chunk: bytes, need: int) -> bytes:
         if compression == 1:
             if len(chunk) < need:
-                raise ValueError("truncated TIFF strip data")
-            raster += chunk[:need]
-        elif compression == 5:
-            raster += _tiff_lzw_decode(chunk, need)
-        else:
-            raster += _packbits_decode(chunk, need)
-        remaining_rows -= n_rows
-    if remaining_rows > 0:
-        raise ValueError("TIFF strips do not cover the image")
+                raise ValueError("truncated TIFF segment data")
+            return chunk[:need]
+        if compression == 5:
+            return _tiff_lzw_decode(chunk, need)
+        return _packbits_decode(chunk, need)
 
-    if predictor == 2:
+    row_bytes = (width * spp * depth + 7) // 8
+    if tiled:
+        tw = one(322)
+        tl = one(323)
+        if tw == 0 or tl == 0 or tw % 16 or tl % 16:
+            raise ValueError("bad TIFF tile geometry")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        tiles_x = -(-width // tw)
+        tiles_y = -(-height // tl)
+        if (not offsets or not counts
+                or len(offsets) != len(counts)
+                or len(offsets) < tiles_x * tiles_y):
+            raise ValueError("TIFF missing tile layout")
+        tile_row = (tw * spp * depth + 7) // 8
+        if depth < 8 and tw % (8 // depth):
+            raise ValueError("sub-byte tiles must byte-align")
+        raster = bytearray(height * row_bytes)
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                ti = ty * tiles_x + tx
+                off, cnt = offsets[ti], counts[ti]
+                if off + cnt > len(b):
+                    raise ValueError("truncated TIFF tile")
+                td = decompress(b[off : off + cnt], tl * tile_row)
+                # predictor runs per tile ROW before placement
+                if predictor == 2:
+                    if depth != 8:
+                        raise ValueError("TIFF predictor needs 8-bit samples")
+                    td = bytearray(td)
+                    for r in range(tl):
+                        base = r * tile_row
+                        for c in range(spp, tile_row):
+                            td[base + c] = (
+                                td[base + c] + td[base + c - spp]
+                            ) & 0xFF
+                x_bytes = tx * (tw * spp * depth) // 8
+                copy_w = min(tile_row, row_bytes - x_bytes)
+                for r in range(min(tl, height - ty * tl)):
+                    dst = (ty * tl + r) * row_bytes + x_bytes
+                    raster[dst : dst + copy_w] = td[
+                        r * tile_row : r * tile_row + copy_w
+                    ]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip layout")
+        raster = bytearray()
+        remaining_rows = height
+        for off, cnt in zip(offsets, counts):
+            if off + cnt > len(b):
+                raise ValueError("truncated TIFF strip")
+            n_rows = min(rows_per_strip, remaining_rows)
+            raster += decompress(b[off : off + cnt], n_rows * row_bytes)
+            remaining_rows -= n_rows
+        if remaining_rows > 0:
+            raise ValueError("TIFF strips do not cover the image")
+
+    if predictor == 2 and not tiled:  # tiles already undid it per row
         if depth != 8:
             raise ValueError("TIFF predictor needs 8-bit samples")
         for r in range(height):
@@ -438,4 +480,87 @@ def encode_tiff(
     assert len(out) == strip_data_off
     for s in strips:
         out += s
+    return bytes(out)
+
+
+def encode_tiff_tiled(
+    rgb_rows: list[list[tuple[int, int, int]]],
+    tile_width: int = 16,
+    tile_length: int = 16,
+    compression: int = 1,
+    big_endian: bool = False,
+) -> bytes:
+    """Encode RGB pixel rows as a TILED TIFF (tags 322-325; tiles are
+    edge-padded to the 16-multiple tile grid per the spec) — the
+    round-trip anchor for the tiled decode path."""
+    h = len(rgb_rows)
+    w = len(rgb_rows[0]) if h else 0
+    if w == 0 or h == 0:
+        raise ValueError("empty image")
+    if tile_width % 16 or tile_length % 16:
+        raise ValueError("TIFF tiles must be multiples of 16")
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"bad compression {compression}")
+    e = ">" if big_endian else "<"
+    tiles_x = -(-w // tile_width)
+    tiles_y = -(-h // tile_length)
+    tiles: list[bytes] = []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            raw = bytearray()
+            for r in range(tile_length):
+                y = min(h - 1, ty * tile_length + r)  # edge-replicate pad
+                for c in range(tile_width):
+                    x = min(w - 1, tx * tile_width + c)
+                    raw += bytes(rgb_rows[y][x])
+            if compression == 1:
+                tiles.append(bytes(raw))
+            elif compression == 5:
+                tiles.append(_tiff_lzw_encode(bytes(raw)))
+            else:
+                tiles.append(_packbits_encode(bytes(raw)))
+
+    n_tiles = len(tiles)
+    n_tags = 11
+    ifd_off = 8
+    extra_off = ifd_off + 2 + 12 * n_tags + 4
+    extra = bytearray()
+    extra += struct.pack(f"{e}3H", 8, 8, 8)  # BitsPerSample
+    bps_off = extra_off
+    to_off = extra_off + len(extra)
+    extra += b"\x00" * (4 * n_tiles)  # tile offsets placeholder
+    tc_off = extra_off + len(extra)
+    for t in tiles:
+        extra += struct.pack(f"{e}I", len(t))
+    data_off = extra_off + len(extra)
+    offs = []
+    o = data_off
+    for t in tiles:
+        offs.append(o)
+        o += len(t)
+    struct.pack_into(f"{e}{n_tiles}I", extra, to_off - extra_off, *offs)
+    if n_tiles == 1:  # single tile: value fits inline
+        to_val, tc_val = offs[0], len(tiles[0])
+    else:
+        to_val, tc_val = to_off, tc_off
+    entries = sorted([
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 3, bps_off),
+        (259, 3, 1, compression), (262, 3, 1, 2), (277, 3, 1, 3),
+        (284, 3, 1, 1), (322, 4, 1, tile_width), (323, 4, 1, tile_length),
+        (324, 4, n_tiles, to_val), (325, 4, n_tiles, tc_val),
+    ])
+    out = bytearray(b"II*\x00" if e == "<" else b"MM\x00*")
+    out += struct.pack(f"{e}I", ifd_off)
+    out += struct.pack(f"{e}H", n_tags)
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(f"{e}HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            out += struct.pack(f"{e}HH", val, 0)
+        else:
+            out += struct.pack(f"{e}I", val)
+    out += struct.pack(f"{e}I", 0)
+    out += extra
+    assert len(out) == data_off
+    for t in tiles:
+        out += t
     return bytes(out)
