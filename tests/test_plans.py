@@ -223,3 +223,35 @@ def test_tpch_extra_plan_shapes(spark, sf_small):
         "tpch_q14_promo_revenue",
     ):
         assert P.has_broadcast_join(qs[name](spark, sf_small)), name
+
+
+def test_tpch_r5_plan_shapes(spark, sf_small):
+    """r5 TPC-H completion: the remaining shapes keep their scale
+    story — dimensions/exclusion-sets broadcast, semi/anti joins stay
+    joins (no subquery re-execution), scalar subqueries are 1-row
+    broadcasts, top-N fuses."""
+    from clickhouse_observability_spark.registry import queries
+
+    qs = queries()
+    for name in (
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_product_profit",
+        "tpch_q11_important_values",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_diversity",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q20_excess_shippers",
+        "tpch_q22_dormant_customers",
+    ):
+        assert P.has_broadcast_join(qs[name](spark, sf_small)), name
+    # Q2/Q21 carry ORDER BY + LIMIT over small results
+    for name in ("tpch_q2_min_cost_supplier", "tpch_q21_waiting_suppliers"):
+        assert P.has_take_ordered(qs[name](spark, sf_small)), name
+    # Q21's EXISTS/NOT EXISTS decorrelate to one semi + one anti join
+    plan = P.executed_plan(qs["tpch_q21_waiting_suppliers"](spark, sf_small))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # Q19's part-only disjunction (brand/size bounds) pushes to the scan
+    pushed = " ".join(
+        P.pushed_filters(qs["tpch_q19_disjunctive_revenue"](spark, sf_small))
+    )
+    assert "p_brand" in pushed or "Or" in pushed
