@@ -61,6 +61,11 @@ HEADLINE = [
     ("dedup_exact_spans", "noop"),
     ("tpch_q18_large_orders", "collect"),
     ("behavior_window_funnel", "collect"),
+    # r5 additions — reported, excluded from headline_total_sec
+    ("tpch_q21_waiting_suppliers", "collect"),
+    ("text_dsir_weights", "noop"),
+    ("text_perplexity_buckets", "noop"),
+    ("text_gopher_rules", "noop"),
 ]
 
 
@@ -298,6 +303,10 @@ def _run_bench() -> None:
         "dedup_exact_spans",  # r4 additions: reported, not summed
         "tpch_q18_large_orders",
         "behavior_window_funnel",
+        "tpch_q21_waiting_suppliers",  # r5 additions: reported, not summed
+        "text_dsir_weights",
+        "text_perplexity_buckets",
+        "text_gopher_rules",
     }
     total = round(sum(v for k, v in times.items() if k not in aux), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

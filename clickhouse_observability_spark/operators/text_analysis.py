@@ -1030,3 +1030,234 @@ def quality_weighted_sample(
         weight.alias("weight"),
         (frac_int < cutoff).alias("sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r5: data-selection operators (DSIR, CCNet buckets, Gopher rules)
+# ---------------------------------------------------------------------------
+
+def _md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Portable hash bucket: first 14 md5 hex digits as an integer,
+    mod n_buckets. 14 hex digits < 2^56 fit a signed BIGINT on both
+    engines, so Spark and DuckDB compute the identical bucket
+    (('0x' || substr(md5(x),1,14))::BIGINT % B on the DuckDB side)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long") % n_buckets
+
+
+def _hashed_gram_features(documents: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, bucket) stream of hashed word uni+bigram features over
+    the normalized text — the DSIR feature space. The token array is
+    let-bound (evaluated once per row) before fanning into unigrams
+    and bigrams."""
+    def with_bigrams(t: Column) -> Column:
+        bi = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(t, bi)
+
+    feats = F.element_at(
+        F.transform(F.array(tokens(normalized_text("text"))), with_bigrams), 1
+    )
+    return documents.select(
+        "doc_id", F.explode(feats).alias("feat")
+    ).select("doc_id", _md5_bucket(F.col("feat"), n_buckets).alias("b"))
+
+
+def dsir_importance(
+    documents: DataFrame, target: DataFrame, n_buckets: int = 1024
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    doc by how much more likely its hashed-n-gram features are under
+    the TARGET distribution than under the RAW distribution —
+    log p_target(doc)/p_raw(doc), length-normalized. Docs resembling
+    the target domain score high; selecting by weight (or sampling
+    through quality_weighted_sample) tilts the corpus toward the
+    target without training a model.
+
+    Both "LMs" are bag-of-hashed-feature multinomials with add-one
+    smoothing over the n_buckets feature space — exactly the paper's
+    estimator. Hashing makes the vocabulary a FIXED-width table.
+
+    Shape at scale: two (bucket, count) aggregates — each at most
+    n_buckets rows after map-side combine — merged into one
+    log-ratio table that BROADCASTS (n_buckets ≤ a few thousand);
+    the per-doc score is then one explode + broadcast-join + per-doc
+    aggregate: a single corpus shuffle on doc_id, independent of
+    corpus size. No driver collect anywhere.
+    """
+    raw_feats = _hashed_gram_features(documents, n_buckets)
+    tgt_feats = _hashed_gram_features(target, n_buckets)
+    raw_counts = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_counts = tgt_feats.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    # every doc feature exists in raw_counts by construction (raw =
+    # the scored corpus), so a left join loses nothing; target-only
+    # buckets influence only the normalizer totals
+    totals = raw_counts.agg(F.sum("cr").alias("nr")).crossJoin(
+        tgt_counts.agg(F.sum("ct").alias("nt"))
+    )
+    lam = (
+        raw_counts.join(tgt_counts, "b", "left_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.col("nt") + F.lit(float(n_buckets)))
+                )
+                - F.log((F.col("cr") + 1) / (F.col("nr") + F.lit(float(n_buckets))))
+            ).alias("lam"),
+        )
+    )
+    return (
+        raw_feats.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lam") / F.count(F.lit(1)), 4).alias("dsir_logratio"),
+        )
+    )
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020):
+    score each doc with the corpus-self-trained unigram LM
+    (unigram_logprob — the cheap perplexity stand-in), then split each
+    language into terciles: head = most-fluent third (highest average
+    log-probability), tail = least. Downstream pipelines keep head+
+    middle or reweight by bucket.
+
+    Buckets are ntile(3) over the TOTAL order (score desc, doc_id) —
+    row-count-exact and engine-independent, unlike interpolated
+    percentile thresholds (Spark's percentile() and DuckDB's
+    quantile_cont disagree in the last ulp around heavy score ties,
+    flipping boundary docs). The per-language window sorts one
+    language per partition — fine for real language cardinalities at
+    this stage's input size (post-curation scores, one row per doc);
+    at extreme scale swap the ntile for a two-pass approx-threshold
+    assignment and accept approximate cut points.
+    """
+    from pyspark.sql import Window as W
+
+    scored = unigram_logprob(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    w = W.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.ntile(3).over(w),
+        ).alias("bucket"),
+    )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """The Gopher quality-rule panel (Rae et al. 2021, §A1.1) — the
+    rule family the paper applies BEFORE repetition filtering (which
+    `text_repetition` already covers). Per doc, one flag per rule plus
+    the conjunction:
+
+    - word count in [50, 100000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ≤ 0.1 (hash '#' and ellipsis '...')
+    - ≤ 90% of lines start with a bullet ('-', '*', '•')
+    - ≤ 30% of lines end with an ellipsis
+    - ≥ 80% of words contain at least one alphabetic character
+    - at least 2 distinct Gopher stopwords appear
+
+    Pure column expressions (map-only, whole-stage codegen; the token
+    array is let-bound once per row). Ratios are integer/integer so
+    the DuckDB oracle hashes identically; zero-word/zero-line docs
+    fail their flags via NULL-safe coalesce, never divide-by-zero.
+    """
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+
+    def flags(t: Column) -> Column:
+        n_words = F.size(t)
+        total_wl = F.aggregate(
+            F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x
+        )
+        mean_wl = total_wl / n_words
+        n_sym = F.size(
+            F.filter(
+                t,
+                lambda w: w.contains("#") | w.contains("...") | w.contains("…"),
+            )
+        )
+        n_alpha = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+        # count DISTINCT stopwords present by filtering the 8-word
+        # list (array_intersect's dedup semantics differ between
+        # engines; this form is unambiguous on both)
+        n_stop = F.size(
+            F.filter(sw, lambda s: F.array_contains(F.transform(t, F.lower), s))
+        )
+        return F.struct(
+            ((n_words >= 50) & (n_words <= 100000)).alias("flag_word_count"),
+            F.coalesce(
+                F.when(n_words > 0, (mean_wl >= 3.0) & (mean_wl <= 10.0)),
+                F.lit(False),
+            ).alias("flag_mean_word_len"),
+            F.coalesce(
+                F.when(n_words > 0, n_sym / n_words <= 0.1), F.lit(False)
+            ).alias("flag_symbol_ratio"),
+            (n_stop >= 2).alias("flag_stopwords"),
+            F.coalesce(
+                F.when(n_words > 0, n_alpha / n_words >= 0.8), F.lit(False)
+            ).alias("flag_alpha_words"),
+        )
+
+    def line_flags(lines: Column) -> Column:
+        nonblank = F.filter(lines, lambda ln: F.trim(ln) != "")
+        n_lines = F.size(nonblank)
+        n_bullet = F.size(
+            F.filter(
+                nonblank,
+                lambda ln: F.trim(ln).rlike("^[-*•]"),
+            )
+        )
+        n_ellipsis = F.size(
+            F.filter(
+                nonblank,
+                lambda ln: F.trim(ln).rlike("(\\.\\.\\.|…)$"),
+            )
+        )
+        return F.struct(
+            F.coalesce(
+                F.when(n_lines > 0, n_bullet / n_lines <= 0.9), F.lit(True)
+            ).alias("flag_bullet_lines"),
+            F.coalesce(
+                F.when(n_lines > 0, n_ellipsis / n_lines <= 0.3), F.lit(True)
+            ).alias("flag_ellipsis_lines"),
+        )
+
+    wf = F.element_at(F.transform(F.array(tokens("text")), flags), 1)
+    lf = F.element_at(
+        F.transform(F.array(F.split(F.col("text"), "\n")), line_flags), 1
+    )
+    out = documents.select("doc_id", wf.alias("w"), lf.alias("l"))
+    cols = [
+        F.col("w.flag_word_count").alias("flag_word_count"),
+        F.col("w.flag_mean_word_len").alias("flag_mean_word_len"),
+        F.col("w.flag_symbol_ratio").alias("flag_symbol_ratio"),
+        F.col("w.flag_stopwords").alias("flag_stopwords"),
+        F.col("w.flag_alpha_words").alias("flag_alpha_words"),
+        F.col("l.flag_bullet_lines").alias("flag_bullet_lines"),
+        F.col("l.flag_ellipsis_lines").alias("flag_ellipsis_lines"),
+    ]
+    passes = cols[0]
+    for c in cols[1:]:
+        passes = passes & c
+    return out.select("doc_id", *cols, passes.alias("passes_gopher"))

@@ -1,0 +1,180 @@
+"""EXT data-selection queries (r5): DSIR importance weights, CCNet
+perplexity buckets, Gopher quality rules — the selection tier a
+training-data pipeline runs between raw curation and sampling.
+
+In a late-loaded module (after `behavioral` in registry._load_all) so
+the oracle-backed entries register AFTER the driver's 50-entry
+adjudication window — oracle-ready without displacing adjudicated
+slots; the SQL is executed against DuckDB by
+tests/test_selection.py::test_selection_oracles_match_duckdb.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.operators import text_analysis as TX
+from clickhouse_observability_spark.registry import register, table
+
+# DuckDB fragments shared with queries/text.py (kept literal here so
+# each oracle stays self-contained for the driver).
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+_NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+_NTOKS = rf"list_filter(regexp_split_to_array({_NORM}, '\s+'), x -> x <> '')"
+
+# hashed uni+bigram features of the normalized tokens, as a
+# (doc_id, b) stream — the DuckDB mirror of _hashed_gram_features
+_FEATS = rf"""
+    SELECT doc_id, ('0x' || substring(md5(f), 1, 14))::BIGINT %% 512 AS b
+    FROM (
+        SELECT doc_id,
+               unnest(list_concat(t, CASE WHEN len(t) >= 2
+                   THEN list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1])
+                   ELSE []::VARCHAR[] END)) AS f
+        FROM (SELECT doc_id, {_NTOKS} AS t FROM documents %s)
+    )
+"""
+
+
+@register(
+    "text_dsir_weights",
+    oracle=rf"""
+    WITH rawf AS ({_FEATS % ""}),
+    tgtf AS ({_FEATS % "WHERE lang = 'en'"}),
+    rc AS (SELECT b, count(*) AS cr FROM rawf GROUP BY b),
+    tc AS (SELECT b, count(*) AS ct FROM tgtf GROUP BY b),
+    tot AS (SELECT (SELECT sum(cr) FROM rc) AS nr,
+                   (SELECT sum(ct) FROM tc) AS nt),
+    lam AS (
+        SELECT rc.b,
+               ln((coalesce(ct, 0) + 1) / (nt + 512.0))
+             - ln((cr + 1) / (nr + 512.0)) AS lam
+        FROM rc LEFT JOIN tc USING (b), tot
+    )
+    SELECT doc_id, count(*) AS n_feats,
+           round(sum(lam) / count(*), 4) AS dsir_logratio
+    FROM rawf JOIN lam USING (b)
+    GROUP BY doc_id
+    """,
+)
+def text_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023) with the corpus's
+    English slice as the target domain: per-doc average log ratio of
+    hashed uni+bigram feature likelihoods target-vs-raw. High = looks
+    like the target; feed the weights to quality_weighted_sample to
+    resample. The 512-bucket log-ratio table broadcasts; one corpus
+    shuffle (per-doc aggregate)."""
+    docs = table(spark, sf_dir, "documents")
+    return TX.dsir_importance(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=512
+    )
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle=rf"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+    t AS (SELECT sum(c) AS n_total, count(*) AS v FROM c),
+    p AS (SELECT tok, ln((c + 1.0) / (t.n_total + t.v)) AS lp FROM c, t),
+    scored AS (
+        SELECT doc_id, round(sum(lp) / count(*), 4) AS avg_logprob
+        FROM tk JOIN p USING (tok) GROUP BY doc_id
+    ),
+    sl AS (
+        SELECT s.doc_id, d.lang, s.avg_logprob
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, avg_logprob,
+           (['head', 'middle', 'tail'])[
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY avg_logprob DESC, doc_id)
+           ] AS bucket
+    FROM sl
+    """,
+)
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail terciles per language over the unigram-LM
+    score (Wenzek et al. 2020). ntile(3) over the total order
+    (score desc, doc_id) — row-count-exact on both engines, immune to
+    percentile-interpolation ulp divergence around score ties."""
+    return TX.perplexity_buckets(table(spark, sf_dir, "documents"))
+
+
+_GOPHER_SW = "['the','be','to','of','and','that','have','with']"
+
+
+@register(
+    "text_gopher_rules",
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS} AS t,
+               list_filter(string_split(text, chr(10)),
+                           ln -> trim(ln) <> '') AS nb
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(t) AS n_words,
+               CASE WHEN len(t) > 0
+                    THEN list_sum(list_transform(t, w -> length(w)))
+                    ELSE 0 END AS total_wl,
+               len(list_filter(t, w -> contains(w, '#')
+                               OR contains(w, '...')
+                               OR contains(w, '…'))) AS n_sym,
+               len(list_filter(t,
+                               w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+               len(list_filter({_GOPHER_SW},
+                   s -> list_contains(list_transform(t, w -> lower(w)), s)))
+                   AS n_stop,
+               len(nb) AS n_lines,
+               len(list_filter(nb,
+                   ln -> regexp_matches(trim(ln), '^[-*•]'))) AS n_bullet,
+               len(list_filter(nb,
+                   ln -> regexp_matches(trim(ln), '(\.\.\.|…)$')))
+                   AS n_ellipsis
+        FROM base
+    )
+    SELECT doc_id,
+           n_words >= 50 AND n_words <= 100000 AS flag_word_count,
+           coalesce(CASE WHEN n_words > 0
+                    THEN total_wl / n_words >= 3.0
+                         AND total_wl / n_words <= 10.0 END,
+                    false) AS flag_mean_word_len,
+           coalesce(CASE WHEN n_words > 0
+                    THEN n_sym / n_words <= 0.1 END, false)
+               AS flag_symbol_ratio,
+           n_stop >= 2 AS flag_stopwords,
+           coalesce(CASE WHEN n_words > 0
+                    THEN n_alpha / n_words >= 0.8 END, false)
+               AS flag_alpha_words,
+           coalesce(CASE WHEN n_lines > 0
+                    THEN n_bullet / n_lines <= 0.9 END, true)
+               AS flag_bullet_lines,
+           coalesce(CASE WHEN n_lines > 0
+                    THEN n_ellipsis / n_lines <= 0.3 END, true)
+               AS flag_ellipsis_lines,
+           (n_words >= 50 AND n_words <= 100000)
+           AND coalesce(CASE WHEN n_words > 0
+                        THEN total_wl / n_words >= 3.0
+                             AND total_wl / n_words <= 10.0 END, false)
+           AND coalesce(CASE WHEN n_words > 0
+                        THEN n_sym / n_words <= 0.1 END, false)
+           AND n_stop >= 2
+           AND coalesce(CASE WHEN n_words > 0
+                        THEN n_alpha / n_words >= 0.8 END, false)
+           AND coalesce(CASE WHEN n_lines > 0
+                        THEN n_bullet / n_lines <= 0.9 END, true)
+           AND coalesce(CASE WHEN n_lines > 0
+                        THEN n_ellipsis / n_lines <= 0.3 END, true)
+               AS passes_gopher
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """The Gopher §A1.1 quality-rule panel (word-count window, mean
+    word length, symbol ratio, bullet/ellipsis line ratios, alpha-word
+    fraction, stopword presence) as per-doc flags + the conjunction.
+    Map-only column expressions; `text_repetition` covers the paper's
+    companion repetition family."""
+    return TX.gopher_rules(table(spark, sf_dir, "documents"))

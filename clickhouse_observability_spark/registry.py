@@ -91,6 +91,7 @@ def _load_all() -> None:
         "spans",
         "tpch_extra",
         "behavioral",
+        "selection",
     ):
         try:
             __import__(f"clickhouse_observability_spark.queries.{mod}")

@@ -1,0 +1,179 @@
+"""Data-selection tier (r5): DSIR weights, perplexity buckets, Gopher
+rules — semantics on hand-built corpora + oracle execution + plan
+shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.operators import text_analysis as TX
+from clickhouse_observability_spark.plans import explain as P
+from clickhouse_observability_spark.sources.parquet import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    # target: fruit domain; raw corpus: fruit + code domains. The
+    # fruit docs must out-score the code docs.
+    fruit = [
+        (i, "apple banana cherry apple banana plum pear", "en")
+        for i in range(8)
+    ]
+    code = [
+        (100 + i, "malloc pointer segfault kernel compile linker", "en")
+        for i in range(8)
+    ]
+    docs = _docs(spark, fruit + code)
+    target = _docs(spark, fruit)
+    w = {
+        r.doc_id: r.dsir_logratio
+        for r in TX.dsir_importance(docs, target, n_buckets=256).collect()
+    }
+    worst_fruit = min(w[i] for i, *_ in fruit)
+    best_code = max(w[i] for i, *_ in code)
+    assert worst_fruit > best_code
+    # weights are per-feature averages: bounded by the max |log ratio|
+    assert all(abs(v) < 20 for v in w.values())
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    rows = [
+        (1, "a b c a", "en"),
+        (2, "b c d", "en"),
+        (3, "x y z x y", "de"),
+        (4, "a x b y", "fr"),
+    ]
+    docs = _docs(spark, rows)
+    target = _docs(spark, rows[:2])
+    B = 64
+
+    def feats(text):
+        toks = [t for t in " ".join(text.lower().split()).split(" ") if t]
+        grams = toks + [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:14], 16) % B
+            for g in grams
+        ]
+
+    raw = [b for _, text, _ in rows for b in feats(text)]
+    tgt = [b for _, text, _ in rows[:2] for b in feats(text)]
+    cr = {b: raw.count(b) for b in set(raw)}
+    ct = {b: tgt.count(b) for b in set(tgt)}
+    nr, nt = len(raw), len(tgt)
+
+    def lam(b):
+        return math.log((ct.get(b, 0) + 1) / (nt + B)) - math.log(
+            (cr[b] + 1) / (nr + B)
+        )
+
+    expected = {}
+    for doc_id, text, _ in rows:
+        fs = feats(text)
+        expected[doc_id] = round(sum(lam(b) for b in fs) / len(fs), 4)
+
+    got = {
+        r.doc_id: r.dsir_logratio
+        for r in TX.dsir_importance(docs, target, n_buckets=B).collect()
+    }
+    assert got == expected
+
+
+def test_perplexity_buckets_are_terciles_per_lang(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    out = TX.perplexity_buckets(docs)
+    sizes = {
+        (r.lang, r.bucket): r.n
+        for r in out.groupBy("lang", "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    langs = {lang for lang, _ in sizes}
+    for lang in langs:
+        ns = [sizes.get((lang, b), 0) for b in ("head", "middle", "tail")]
+        assert max(ns) - min(ns) <= 1, (lang, ns)
+    # head must contain the best-scoring doc of each language
+    rows = out.collect()
+    for lang in langs:
+        best = max(
+            (r for r in rows if r.lang == lang),
+            key=lambda r: (r.avg_logprob, -r.doc_id),
+        )
+        assert best.bucket == "head", (lang, best)
+
+
+def test_gopher_rules_flags(spark):
+    long_good = " ".join(
+        ["the quick brown fox jumps over lazy dogs that have with"] * 6
+    )  # 60 words, all alpha, stopwords {the, that, have, with} >= 2
+    rows = [
+        (1, long_good, "en"),
+        (2, "short doc", "en"),  # fails word count
+        (3, " ".join(["####"] * 60), "en"),  # symbol ratio + alpha fail
+        (4, "\n".join(["- bullet point here"] * 10), "en"),  # all bullets
+        (5, "\n".join(["trailing line..."] * 10), "en"),  # all ellipses
+        (6, " ".join(["a"] * 60), "en"),  # mean word length < 3
+    ]
+    out = {
+        r.doc_id: r
+        for r in TX.gopher_rules(_docs(spark, rows)).collect()
+    }
+    assert out[1].passes_gopher
+    assert not out[2].flag_word_count and not out[2].passes_gopher
+    assert not out[3].flag_symbol_ratio and not out[3].flag_alpha_words
+    assert not out[4].flag_bullet_lines
+    assert not out[5].flag_ellipsis_lines
+    assert not out[6].flag_mean_word_len
+    # empty doc: every denominator guarded, no divide-by-zero
+    empty = TX.gopher_rules(_docs(spark, [(9, "", "en")])).collect()[0]
+    assert not empty.passes_gopher
+
+
+def test_selection_plan_shapes(spark, sf_small):
+    from clickhouse_observability_spark.registry import queries
+
+    qs = queries()
+    # gopher rules: pure map — zero shuffles
+    assert P.shuffle_count(qs["text_gopher_rules"](spark, sf_small)) == 0
+    # DSIR: the lambda table broadcasts into the per-doc aggregate
+    assert P.has_broadcast_join(qs["text_dsir_weights"](spark, sf_small))
+
+
+def test_selection_oracles_match_duckdb(spark, sf_small):
+    """Execute the r5 selection oracle strings against DuckDB on real
+    testdata (after-window entries: pytest is their oracle gate)."""
+    import duckdb
+
+    from clickhouse_observability_spark.registry import oracle_sql, queries
+
+    qs, oracles = queries(), oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_small}/documents.parquet'"
+    )
+    for name in (
+        "text_dsir_weights",
+        "text_perplexity_buckets",
+        "text_gopher_rules",
+    ):
+        sdf = qs[name](spark, sf_small)
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        assert sorted(sdf.columns) == sorted(dcols), name
+        idx = [dcols.index(c) for c in sdf.columns]
+
+        def norm(v):
+            return f"{v:.6g}" if isinstance(v, float) else str(v)
+
+        drows = sorted(tuple(norm(r[i]) for i in idx) for r in res.fetchall())
+        srows = sorted(tuple(norm(v) for v in r) for r in sdf.collect())
+        assert srows == drows, name
+        assert srows, name
