@@ -775,3 +775,53 @@ def knn_join_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
     )
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    assignments: DataFrame,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
+    CLUSTER-SCOPED exact cosine — partition the embedding space with a
+    k-means coarse quantizer (the at-rest IVF assignments double as
+    the SemDeDup partition), then compare pairs only WITHIN each
+    cluster. The published trade-off: pairwise cost drops from O(n²)
+    to Σ|cluster|², and pairs straddling a cluster boundary are
+    missed (the paper accepts this; `embedding_neardup_lsh` is the
+    complementary boundary-free path).
+
+    Shape at scale: one co-partitioned self-join — both sides shuffle
+    ONCE on the cluster label, each cluster's pairs are generated
+    locally, nothing is broadcast. With k clusters sized n/k the work
+    is n²/k, the paper's knob: scale k with the corpus.
+
+    Output: (vec_a, vec_b, cosine) with vec_a < vec_b.
+    """
+    e = (
+        embeddings.drop("label")
+        .join(assignments, "vec_id")
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    a = e.select(
+        F.col("label").alias("la"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+    )
+    b = e.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+    )
+    cs = _cosine("va", "vb")
+    return (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", cs.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1261,3 +1261,55 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
     for c in cols[1:]:
         passes = passes & c
     return out.select("doc_id", *cols, passes.alias("passes_gopher"))
+
+
+def mixture_plan(
+    documents: DataFrame,
+    token_budget: int = 30000,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Mixture planning: per-source sampling rates that realize a
+    target domain mixture under a token budget — the planning step in
+    front of `domain_mix`/`quality_weighted_sample` (which EXECUTE
+    rates; this one derives them). For each source:
+
+        alloc  = target_share × budget         (tokens wanted)
+        rate   = min(1, alloc / n_tokens)      (can't sample above 1)
+        planned_tokens = floor(rate × n_tokens)
+        deficit = alloc > n_tokens             (source can't fill its share)
+
+    Default target is the uniform mixture over observed sources.
+    Deficit redistribution (water-filling) is a planner-loop concern —
+    a production planner reruns this frame with shares renormalized
+    over non-deficit sources; the frame is source-cardinality-sized,
+    so iterating it costs nothing.
+
+    Shape at scale: one per-source aggregate over the corpus (the
+    only shuffle; map-side combined), then pure arithmetic on the
+    #sources-row frame with the source count broadcast as one row.
+    """
+    per_src = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    if target_shares is None:
+        n_src = per_src.agg(F.count(F.lit(1)).alias("n_sources"))
+        share = F.lit(1.0) / F.col("n_sources")
+        planned = per_src.crossJoin(F.broadcast(n_src))
+    else:
+        share_map = F.create_map(
+            *[F.lit(x) for kv in target_shares.items() for x in kv]
+        )
+        share = F.coalesce(share_map[F.col("source")], F.lit(0.0))
+        planned = per_src
+    alloc = share * F.lit(float(token_budget))
+    rate = F.least(F.lit(1.0), alloc / F.col("n_tokens"))
+    return planned.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("target_share"),
+        F.round(rate, 6).alias("rate"),
+        F.floor(rate * F.col("n_tokens")).cast("long").alias("planned_tokens"),
+        (alloc > F.col("n_tokens")).alias("deficit"),
+    ).orderBy("source")

@@ -178,3 +178,31 @@ def text_gopher_rules(spark, sf_dir):
     Map-only column expressions; `text_repetition` covers the paper's
     companion repetition family."""
     return TX.gopher_rules(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_mixture_plan",
+    oracle=rf"""
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len({_TOKS})) AS n_tokens
+        FROM documents GROUP BY source
+    ), n AS (SELECT count(*) AS n_sources FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           round(1.0 / n_sources, 6) AS target_share,
+           round(least(1.0, (1.0 / n_sources) * 30000.0 / n_tokens), 6)
+               AS rate,
+           floor(least(1.0, (1.0 / n_sources) * 30000.0 / n_tokens)
+                 * n_tokens)::BIGINT AS planned_tokens,
+           (1.0 / n_sources) * 30000.0 > n_tokens AS deficit
+    FROM per_src, n
+    ORDER BY source
+    """,
+)
+def text_mixture_plan(spark, sf_dir):
+    """Mixture planning (r5): per-source sampling rates realizing the
+    uniform target mixture under a 30k-token budget — the planning
+    step in front of domain_mix / quality_weighted_sample. One
+    per-source aggregate (the only shuffle), then arithmetic on the
+    #sources-row frame."""
+    return TX.mixture_plan(table(spark, sf_dir, "documents"), token_budget=30000)

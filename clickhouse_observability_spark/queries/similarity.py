@@ -321,3 +321,37 @@ def sim_neardup_clusters(spark, sf_dir):
     comps = D.neardup_components(pairs, a="vec_a", b="vec_b")
     docs = emb.select(F.col("vec_id").alias("doc_id"))
     return D.canonical_per_component(docs, comps)
+
+
+@register("sim_semdedup_pairs")
+def sim_semdedup_pairs(spark, sf_dir):
+    """SemDeDup (r5, Abbas et al. 2023): semantic near-dup pairs by
+    cluster-scoped exact cosine over the at-rest k-means partition
+    (the IVF assignments sidecar doubles as the SemDeDup partition).
+    One co-partitioned self-join on the cluster label — n²/k work,
+    the paper's scaling knob. Boundary-straddling pairs are the
+    documented miss; `sim_neardup_lsh` is the boundary-free
+    complement. Rows-only: k-means internals are engine-specific;
+    pytest pins planted-duplicate recall and same-cluster agreement
+    with brute force."""
+    emb = table(spark, sf_dir, "embeddings")
+    assign, _ = _kmeans_artifacts(spark, sf_dir)
+    return S.semdedup_pairs(emb, assign, threshold=0.45)
+
+
+@register("sim_semdedup_keeplist")
+def sim_semdedup_keeplist(spark, sf_dir):
+    """SemDeDup pairs -> connected components -> one canonical keeper
+    per semantic cluster + singletons: the cluster-partitioned
+    alternative keep-list to `sim_neardup_clusters` (LSH pairs), same
+    shared component/keeper machinery."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators import dedup as D
+
+    emb = table(spark, sf_dir, "embeddings")
+    assign, _ = _kmeans_artifacts(spark, sf_dir)
+    pairs = S.semdedup_pairs(emb, assign, threshold=0.45)
+    comps = D.neardup_components(pairs, a="vec_a", b="vec_b")
+    docs = emb.select(F.col("vec_id").alias("doc_id"))
+    return D.canonical_per_component(docs, comps)

@@ -177,3 +177,34 @@ def test_selection_oracles_match_duckdb(spark, sf_small):
         srows = sorted(tuple(norm(v) for v in r) for r in sdf.collect())
         assert srows == drows, name
         assert srows, name
+
+
+def test_mixture_plan_semantics(spark):
+    rows = [
+        (1, "a b c d e f g h i j", "en", "big"),    # 10 tokens
+        (2, "a b c d e f g h i j", "en", "big"),    # big: 20 tokens
+        (3, "a b", "en", "small"),                  # small: 2 tokens
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {
+        r.source: r
+        for r in TX.mixture_plan(docs, token_budget=10).collect()
+    }
+    # uniform target: 5 tokens wanted per source
+    big, small = out["big"], out["small"]
+    assert big.n_tokens == 20 and small.n_tokens == 2
+    assert abs(big.rate - 0.25) < 1e-9 and big.planned_tokens == 5
+    assert not big.deficit
+    # small can't fill its 5-token share: rate caps at 1, deficit set
+    assert small.rate == 1.0 and small.planned_tokens == 2 and small.deficit
+    # explicit target shares: all budget to one source
+    out2 = {
+        r.source: r
+        for r in TX.mixture_plan(
+            docs, token_budget=10, target_shares={"big": 1.0}
+        ).collect()
+    }
+    assert out2["big"].planned_tokens == 10
+    assert out2["small"].rate == 0.0 and out2["small"].planned_tokens == 0

@@ -344,3 +344,77 @@ def test_semantic_cluster_keep_list(spark, sf_small):
         by_comp.setdefault(cid, []).append(vid)
     for cid, members in by_comp.items():
         assert out[cid].keep_doc_id == min(members)
+
+
+def test_semdedup_finds_planted_duplicates(spark):
+    """Planted near-identical vectors co-cluster under k-means and
+    must surface as SemDeDup pairs; the keep-list keeps exactly one
+    per duplicate group."""
+    import random
+
+    from clickhouse_observability_spark.operators import dedup as D
+    from clickhouse_observability_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    rows = []
+    # two tight duplicate groups far apart + background noise
+    for gid, base in ((0, 1.0), (1, -1.0)):
+        anchor = [base * (1.0 + 0.05 * d) for d in range(8)]
+        for j in range(3):
+            rows.append(
+                (
+                    gid * 10 + j,
+                    [x + rng.uniform(-0.001, 0.001) for x in anchor],
+                    0,
+                )
+            )
+    for i in range(20):
+        rows.append(
+            (100 + i, [rng.uniform(-1, 1) for _ in range(8)], 0)
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    assign, cent = S.kmeans_ivf_index(emb, n_clusters=4)
+    pairs = S.semdedup_pairs(emb, assign, threshold=0.999)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    for g in (0, 10):
+        for a, b in ((g, g + 1), (g, g + 2), (g + 1, g + 2)):
+            assert (a, b) in got, (a, b, got)
+    # keep-list: one keeper (the smallest id) per planted group
+    from pyspark.sql import functions as F
+
+    comps = D.neardup_components(pairs, a="vec_a", b="vec_b")
+    keep = D.canonical_per_component(
+        emb.select(F.col("vec_id").alias("doc_id")), comps
+    )
+    keepers = {r.keep_doc_id for r in keep.collect()}
+    assert keepers & {0, 1, 2} == {0}
+    assert keepers & {10, 11, 12} == {10}
+    # noise vectors all survive as their own components
+    assert all(100 + i in keepers for i in range(20))
+
+
+def test_semdedup_agrees_with_brute_force_within_clusters(spark, sf_small):
+    """Every SemDeDup pair is a true >=threshold pair, and every
+    brute-force pair whose endpoints share a cluster is found."""
+    from clickhouse_observability_spark.operators import dedup as D
+    from clickhouse_observability_spark.operators import similarity as S
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    assign, _ = S.kmeans_ivf_index(emb, n_clusters=5)
+    labels = {r.vec_id: r.label for r in assign.collect()}
+    sem = {
+        (r.vec_a, r.vec_b)
+        for r in S.semdedup_pairs(emb, assign, threshold=0.4).collect()
+    }
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in D.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    same_cluster = {
+        (a, b) for a, b in brute if labels[a] == labels[b]
+    }
+    assert sem == same_cluster
+    assert sem <= brute
