@@ -64,6 +64,8 @@ class EngineServer:
         self.stream: IngestStream | None = None
         self._http_server = None
         self._grpc_server = None
+        self._grpc_stop = None
+        self._grpc_port = None
         self._threads: list[threading.Thread] = []
 
     # -- lifecycle ------------------------------------------------------
@@ -86,10 +88,29 @@ class EngineServer:
         api = LogsApi(self.table.read)
         self._http_server = api.serve(*self.http_addr)
         # gRPC entry point: BatchWrite feeds the SAME batcher inbox
-        # (service.go:21-47 enqueues; accepted-count reply)
+        # (service.go:21-47 enqueues; accepted-count reply).
+        # GRPC_TRANSPORT selects the wire flavor: "h2c" = native
+        # application/grpc over hand-rolled HTTP/2 (main.go:74-88
+        # parity, api/http2_transport), default = gRPC-Web framing
+        # over HTTP/1.1 (browser/proxy-friendly, the r2-r4 surface).
         handler = LogServiceHandler(self.stream.submit_many)
-        self._grpc_server = serve_grpc_web(handler, *self.grpc_addr)
-        for srv in (self._http_server, self._grpc_server):
+        if os.environ.get("GRPC_TRANSPORT", "web") == "h2c":
+            from clickhouse_observability_spark.api.http2_transport import (
+                serve_grpc_http2,
+            )
+
+            self._grpc_stop, self._grpc_port = serve_grpc_http2(
+                handler, *self.grpc_addr
+            )
+            self._grpc_server = None
+        else:
+            self._grpc_server = serve_grpc_web(handler, *self.grpc_addr)
+            self._grpc_stop = self._grpc_server.shutdown
+            self._grpc_port = self._grpc_server.server_address[1]
+        servers = [self._http_server]
+        if self._grpc_server is not None:
+            servers.append(self._grpc_server)
+        for srv in servers:
             t = threading.Thread(target=srv.serve_forever, daemon=True)
             t.start()
             self._threads.append(t)
@@ -98,16 +119,13 @@ class EngineServer:
     @property
     def ports(self) -> tuple[int, int]:
         """(http_port, grpc_port) actually bound — for :0 ephemeral."""
-        return (
-            self._http_server.server_address[1],
-            self._grpc_server.server_address[1],
-        )
+        return (self._http_server.server_address[1], self._grpc_port)
 
     def stop(self) -> None:
         """Graceful stop (main.go:91-97): stop accepting, drain the
         batcher's final flush (ST5), then stop transports."""
-        if self._grpc_server is not None:
-            self._grpc_server.shutdown()
+        if self._grpc_stop is not None:
+            self._grpc_stop()
         if self.stream is not None:
             self.stream.stop(drain=True)  # final flush before exit
         if self._http_server is not None:

@@ -332,3 +332,164 @@ def test_native_grpc_glue_with_fake_channel(monkeypatch):
     assert G.decode_batch_write_response(out) == 1
     assert accepted[0]["msg"] == "order pending"
     assert accepted[0]["attrs"] == {"user": "jane.smith"}
+
+
+# ---------------------------------------------------------------------------
+# native HTTP/2 (h2c) gRPC — hand-rolled RFC 7540/7541 transport
+# ---------------------------------------------------------------------------
+
+def test_hpack_huffman_matches_rfc7541_vectors():
+    """The Appendix B code table, pinned by the RFC's own Appendix C
+    request/response examples — encoder and decoder both bit-exact."""
+    from clickhouse_observability_spark.api import http2_transport as H
+
+    vectors = {
+        b"www.example.com": "f1e3c2e5f23a6ba0ab90f4ff",            # C.4.1
+        b"no-cache": "a8eb10649cbf",                                # C.4.2
+        b"custom-key": "25a849e95ba97d7f",                          # C.4.3
+        b"custom-value": "25a849e95bb8e8b4bf",                      # C.4.3
+        b"302": "6402",                                             # C.6.1
+        b"private": "aec3771a4b",                                   # C.6.1
+        b"Mon, 21 Oct 2013 20:13:21 GMT":
+            "d07abe941054d444a8200595040b8166e082a62d1bff",         # C.6.1
+        b"https://www.example.com": "9d29ad171863c78f0b97c8e9ae82ae43d3",
+        b"307": "640eff",                                           # C.6.2
+        b"gzip": "9bd9ab",                                          # C.6.3
+        b"foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1":
+            "94e7821dd7f2e6c7b335dfdfcd5b3960d5af27087f3672c1ab27"
+            "0fb5291f9587316065c003ed4ee5b1063d5007",               # C.6.3
+    }
+    for raw, hexexp in vectors.items():
+        assert H.huffman_encode(raw).hex() == hexexp, raw
+        assert H.huffman_decode(bytes.fromhex(hexexp)) == raw
+
+
+def test_hpack_decoder_rfc7541_c3_request_sequence():
+    """RFC 7541 C.3: three requests on one connection WITH incremental
+    indexing — exercises the dynamic table across header blocks."""
+    from clickhouse_observability_spark.api import http2_transport as H
+
+    dec = H.HpackDecoder()
+    first = bytes.fromhex("828684410f7777772e6578616d706c652e636f6d")
+    assert dec.decode(first) == [
+        (":method", "GET"), (":scheme", "http"), (":path", "/"),
+        (":authority", "www.example.com"),
+    ]
+    second = bytes.fromhex("828684be58086e6f2d6361636865")
+    assert dec.decode(second) == [
+        (":method", "GET"), (":scheme", "http"), (":path", "/"),
+        (":authority", "www.example.com"), ("cache-control", "no-cache"),
+    ]
+    third = bytes.fromhex(
+        "828785bf400a637573746f6d2d6b65790c637573746f6d2d76616c7565"
+    )
+    assert dec.decode(third) == [
+        (":method", "GET"), (":scheme", "https"), (":path", "/index.html"),
+        (":authority", "www.example.com"), ("custom-key", "custom-value"),
+    ]
+
+
+def test_hpack_decoder_rfc7541_c4_huffman_request_sequence():
+    """RFC 7541 C.4: the same three requests with Huffman-coded
+    literals — the encoding a stock gRPC client actually sends."""
+    from clickhouse_observability_spark.api import http2_transport as H
+
+    dec = H.HpackDecoder()
+    first = bytes.fromhex("828684418cf1e3c2e5f23a6ba0ab90f4ff")
+    assert dec.decode(first)[-1] == (":authority", "www.example.com")
+    second = bytes.fromhex("828684be5886a8eb10649cbf")
+    assert dec.decode(second)[-1] == ("cache-control", "no-cache")
+    third = bytes.fromhex(
+        "828785bf408825a849e95ba97d7f8925a849e95bb8e8b4bf"
+    )
+    assert dec.decode(third)[-1] == ("custom-key", "custom-value")
+
+
+def test_hpack_encoder_decoder_round_trip():
+    from clickhouse_observability_spark.api import http2_transport as H
+
+    headers = [
+        (":method", "POST"), (":path", "/logs.v1.LogService/BatchWrite"),
+        ("content-type", "application/grpc"), ("x-custom", "π ✓ value"),
+    ]
+    for huffman in (False, True):
+        enc = H.HpackEncoder(huffman=huffman).encode(headers)
+        assert H.HpackDecoder().decode(enc) == headers
+
+
+@pytest.fixture()
+def grpc_h2(spark, tmp_path):
+    from clickhouse_observability_spark.api import http2_transport as H
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    table = LogsTable(spark, str(tmp_path / "logs"))
+    handler = G.LogServiceHandler(table.ingest_batch)
+    stop, port = H.serve_grpc_http2(handler, port=0)
+    try:
+        yield table, port
+    finally:
+        stop()
+
+
+def test_grpc_http2_end_to_end(spark, grpc_h2):
+    """A genuine HTTP/2 exchange: preface, SETTINGS, HPACK headers,
+    DATA, trailers — canonical row lands queryable in parquet."""
+    from clickhouse_observability_spark.api import http2_transport as H
+    from clickhouse_observability_spark.operators.query_logs import query_logs
+
+    table, port = grpc_h2
+    entries, _ = G.canonical_example()
+    written = H.batch_write_http2("127.0.0.1", port, entries)
+    assert written == 1
+    got = query_logs(
+        table.read(), "orders",
+        dt.datetime(2025, 9, 1), dt.datetime(2025, 9, 2),
+        level="WARN", user="jane.smith",
+    ).collect()
+    assert len(got) == 1 and got[0]["msg"] == "order pending"
+
+
+def test_grpc_http2_huffman_request_headers(grpc_h2):
+    """The server's HPACK decoder handles Huffman-coded request
+    headers (what stock clients emit when shorter)."""
+    from clickhouse_observability_spark.api import http2_transport as H
+
+    _, port = grpc_h2
+    entries, _ = G.canonical_example()
+    assert H.batch_write_http2("127.0.0.1", port, entries, huffman=True) == 1
+
+
+def test_grpc_http2_sequential_streams_one_connection(grpc_h2):
+    """Two unary calls over separate connections + empty batch."""
+    from clickhouse_observability_spark.api import http2_transport as H
+
+    _, port = grpc_h2
+    entries, _ = G.canonical_example()
+    assert H.batch_write_http2("127.0.0.1", port, entries) == 1
+    assert H.batch_write_http2("127.0.0.1", port, []) == 0
+
+
+def test_grpc_http2_unknown_method_unimplemented(grpc_h2):
+    from clickhouse_observability_spark.api import http2_transport as H
+
+    _, port = grpc_h2
+    resp, status, msg = H.grpc_http2_call(
+        "127.0.0.1", port, "/logs.v1.LogService/Nope", b""
+    )
+    assert status == 12 and resp == b""
+
+
+def test_grpc_http2_reflection_list_services(grpc_h2):
+    """Server reflection served over the native h2c transport too."""
+    from clickhouse_observability_spark.api import grpc_reflection as R
+    from clickhouse_observability_spark.api import http2_transport as H
+
+    _, port = grpc_h2
+    # ListServices request: field 7 (list_services) = ""
+    req = b"\x3a\x00"
+    resp, status, _ = H.grpc_http2_call(
+        "127.0.0.1", port, "/" + R.REFLECTION_METHOD_PATH, req
+    )
+    assert status == 0
+    assert b"logs.v1.LogService" in resp
+    assert R.REFLECTION_SERVICE_FULL.encode() in resp

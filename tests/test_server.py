@@ -74,3 +74,30 @@ def test_graceful_stop_drains(spark, tmp_path):
     assert grpc_web_call("127.0.0.1", grpc_port, entries) == 7
     srv.stop()  # ST5: final flush before exit (batcher.go:63-65)
     assert srv.table.read().count() == 7
+
+
+def test_server_native_h2c_transport(spark, tmp_path, monkeypatch):
+    """GRPC_TRANSPORT=h2c serves application/grpc over real HTTP/2:
+    the full lifecycle (bootstrap -> batcher -> h2c BatchWrite ->
+    drain -> rows queryable) with the hand-rolled transport."""
+    from clickhouse_observability_spark.api import grpc_transport as G
+    from clickhouse_observability_spark.api.http2_transport import (
+        batch_write_http2,
+    )
+    from clickhouse_observability_spark.server import EngineServer
+
+    monkeypatch.setenv("GRPC_TRANSPORT", "h2c")
+    srv = EngineServer(
+        spark,
+        data_dir=str(tmp_path / "data"),
+        http_addr="127.0.0.1:0",
+        grpc_addr="127.0.0.1:0",
+    ).start()
+    try:
+        _, grpc_port = srv.ports
+        entries, _ = G.canonical_example()
+        assert batch_write_http2("127.0.0.1", grpc_port, entries) == 1
+    finally:
+        srv.stop()
+    rows = srv.table.read().collect()
+    assert len(rows) == 1 and rows[0]["msg"] == "order pending"
