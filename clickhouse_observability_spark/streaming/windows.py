@@ -74,3 +74,57 @@ def dedup_within_watermark(
     return logs_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def stream_stream_trace_join(
+    requests: DataFrame,
+    errors: DataFrame,
+    max_lag: str = "2 minutes",
+    watermark: str = "4 minutes",
+) -> DataFrame:
+    """Stream-stream join (r5): correlate a live error stream with the
+    REQUEST that preceded it on the same trace, within an event-time
+    bound — the trace-correlation query (§2.3 EXT) upgraded to two
+    unbounded streams.
+
+    Spark buffers both sides in state; the two ingredients that keep
+    that state bounded (and that this operator therefore REQUIRES) are
+    a watermark on each side and an event-time RANGE in the join
+    condition — together they let the engine evict any buffered row
+    that can no longer match (errors older than the watermark,
+    requests older than watermark + max_lag). Without the range bound
+    Spark would buffer both streams forever.
+
+    Output: one row per (request, error) pair with the lag between
+    them; append-mode emits once both sides' watermarks pass the pair.
+    """
+    req = requests.withWatermark("ts", watermark).select(
+        F.col("trace_id").alias("req_trace"),
+        F.col("ts").alias("req_ts"),
+        F.col("service").alias("req_service"),
+        F.col("msg").alias("req_msg"),
+    )
+    err = errors.withWatermark("ts", watermark).select(
+        F.col("trace_id").alias("err_trace"),
+        F.col("ts").alias("err_ts"),
+        F.col("service").alias("err_service"),
+        F.col("msg").alias("err_msg"),
+    )
+    lag = f"INTERVAL {max_lag}"
+    joined = req.join(
+        err,
+        (F.col("req_trace") == F.col("err_trace"))
+        & (F.col("err_ts") >= F.col("req_ts"))
+        & (F.col("err_ts") <= F.col("req_ts") + F.expr(lag)),
+        "inner",
+    )
+    return joined.select(
+        F.col("req_trace").alias("trace_id"),
+        "req_service",
+        "req_msg",
+        "err_service",
+        "err_msg",
+        "req_ts",
+        "err_ts",
+        (F.unix_millis("err_ts") - F.unix_millis("req_ts")).alias("lag_ms"),
+    )

@@ -157,3 +157,39 @@ def test_streaming_document_dedup_on_fingerprint(spark, tmp_path):
         assert len({0, 1, 3} & set(kept)) == 1
     finally:
         q.stop()
+
+
+def test_stream_stream_trace_join(spark, tmp_path):
+    """Two live streams joined on trace within an event-time bound:
+    in-window pairs emit, out-of-window and cross-trace pairs don't."""
+    from clickhouse_observability_spark.streaming.windows import (
+        stream_stream_trace_join,
+    )
+
+    req_in, err_in = str(tmp_path / "req"), str(tmp_path / "err")
+    _write_batch(req_in, [
+        _wire("2025-09-01T10:00:00Z", service="gw", trace="a"),
+        _wire("2025-09-01T10:00:00Z", service="gw", trace="b"),
+        _wire("2025-09-01T10:00:00Z", service="gw", trace="c"),
+    ])
+    _write_batch(err_in, [
+        _wire("2025-09-01T10:01:00Z", service="db", trace="a"),  # in window
+        _wire("2025-09-01T10:05:00Z", service="db", trace="b"),  # > max_lag
+        _wire("2025-09-01T10:01:00Z", service="db", trace="zz"),  # no req
+    ])
+    out = stream_stream_trace_join(
+        _stream(spark, req_in), _stream(spark, err_in), max_lag="2 minutes"
+    )
+    q = _run_to_memory(out, "ssj", mode="append")
+    try:
+        # advance both watermarks past the pairs so append emits them
+        _write_batch(req_in, [_wire("2025-09-01T11:00:00Z", trace="wm1")])
+        _write_batch(err_in, [_wire("2025-09-01T11:00:00Z", trace="wm1")])
+        q.processAllAvailable()
+        rows = spark.table("ssj").collect()
+        got = {(r.trace_id, r.lag_ms) for r in rows}
+        assert ("a", 60_000) in got
+        traces = {r.trace_id for r in rows}
+        assert "b" not in traces and "zz" not in traces
+    finally:
+        q.stop()
