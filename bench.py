@@ -66,6 +66,9 @@ HEADLINE = [
     ("text_dsir_weights", "noop"),
     ("text_perplexity_buckets", "noop"),
     ("text_gopher_rules", "noop"),
+    # r4-continuation: mergeable-state rollup panel (build fine states
+    # + merge-on-read, end-to-end); reported, excluded from total
+    ("rollup_day_type_panel", "collect"),
 ]
 
 
@@ -290,6 +293,29 @@ def _run_bench() -> None:
     finally:
         shutil.rmtree(tmp4, ignore_errors=True)
 
+    # Rollup maintenance vs merge-on-read split: building the at-rest
+    # hourly states is the one-time/ingest-side cost; the day-grain
+    # panel answered FROM those states is what a dashboard pays. At
+    # 100 TB the second number is the one that matters (state rows
+    # ~ #hours x #dims, independent of event count).
+    from clickhouse_observability_spark.operators import rollup as RU
+
+    tmp5 = tempfile.mkdtemp(prefix="chobs-rollup-bench-")
+    try:
+        ev = load_table(spark, SF_DIR, "events")
+        t0 = time.time()
+        RU.append_increment(ev, tmp5 + "/rollup", "hour", ("event_type",))
+        rollup_build_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        RU.finalize(
+            RU.merge_states(
+                RU.read_rollup(spark, tmp5 + "/rollup"),
+                ("event_type",), "day")
+        ).collect()
+        rollup_query_sec = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp5, ignore_errors=True)
+
     # headline total = the query surface + the two ORIGINAL ingest
     # timings (the r1/r2 definition, kept so totals stay comparable
     # across rounds); the r3-added auxiliary timings (tuned streaming
@@ -307,6 +333,7 @@ def _run_bench() -> None:
         "text_dsir_weights",
         "text_perplexity_buckets",
         "text_gopher_rules",
+        "rollup_day_type_panel",  # r4-continuation: reported, not summed
     }
     total = round(sum(v for k, v in times.items() if k not in aux), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -324,6 +351,8 @@ def _run_bench() -> None:
                 "streaming_ingest_rows_per_sec_tuned": streaming_rps_tuned,
                 "corpus_ingest_docs_per_sec": corpus_ingest_dps,
                 "ivf_index_build_sec": ivf_build_sec,
+                "rollup_build_sec": rollup_build_sec,
+                "rollup_query_sec": rollup_query_sec,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -1,0 +1,263 @@
+"""Materialized rollups with MERGEABLE partial aggregate states.
+
+ClickHouse counterpart: `AggregatingMergeTree` + the `-State` /
+`-Merge` combinator pair (the reference's storage engine family —
+its `logs` table is a MergeTree, `internal/db/db.go:39-67`; CH users
+layer materialized views with AggregateFunction columns on top for
+dashboard-speed rollups). That is THE technique a 100 TB
+observability store relies on: raw events are aggregated ONCE into
+per-(time-bucket, dims) partial states that are
+
+- **additive / mergeable**: two state rows for the same key can be
+  combined without touching raw data, so ingestion appends state
+  rows (no read-modify-write), background compaction collapses
+  them, and queries at ANY coarser time grain or dim subset are
+  answered by re-merging states;
+- **tiny**: per key the state is O(1) scalars + an HLL sketch
+  (Apache DataSketches via Spark's `hll_sketch_agg`, JVM-side) + a
+  DDSketch-style log-bucket histogram for quantiles, whose size is
+  O(log(dynamic range)/log gamma) ~ 1k entries worst-case —
+  independent of row count.
+
+Spark-first mapping:
+
+| CH concept                       | here                               |
+|----------------------------------|------------------------------------|
+| AggregateFunction(uniq, ...)     | binary HLL sketch column           |
+| AggregateFunction(quantile, ...) | array<struct<b,c>> log-histogram   |
+| -State during INSERT             | `build_rollup`                     |
+| background part merge            | `compact_rollup`                   |
+| -Merge at SELECT                 | `merge_states` (merge-on-read)     |
+| GROUP BY over the view           | `finalize`                         |
+
+Append-only correctness: the query path ALWAYS applies
+`merge_states` first, so duplicate state rows for one key (from
+multiple increments) are semantically a non-issue — exactly how
+AggregatingMergeTree parts behave before a background merge.
+
+Quantile sketch: DDSketch (Masson, Rim, Lee — VLDB'19, public
+paper) with gamma = 1.02: positive x maps to bucket
+ceil(ln x / ln gamma); the bucket midpoint 2*gamma^b/(gamma+1)
+is a relative-error <= (gamma-1)/(gamma+1) ~ 0.99% estimate.
+Zero and negative values get a reserved index and a mirrored
+negative range so the index order is the value order.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GAMMA = 1.02
+_LN_GAMMA = math.log(GAMMA)
+# Reserved histogram indices: value==0 sits at ZERO_IDX; negative
+# values map below it (idx = -NEG_OFF - bucket(|x|), monotone in x).
+ZERO_IDX = -1_000_000
+NEG_OFF = 2_000_000
+# DataSketches HLL lgConfigK: 2^12 registers ~ 1.6% rel. std. error.
+HLL_LGK = 12
+
+STATE_COLS = ("cnt", "sum_value", "min_value", "max_value",
+              "uniq_users", "value_hist")
+
+
+def value_bucket(x: Column) -> Column:
+    """Order-preserving DDSketch bucket index for any double."""
+    pos = F.ceil(F.log(x) / F.lit(_LN_GAMMA)).cast("int")
+    neg = (-F.lit(NEG_OFF) - F.ceil(F.log(-x) / F.lit(_LN_GAMMA))).cast("int")
+    return (
+        F.when(x > 0, pos)
+        .when(x < 0, neg)
+        .otherwise(F.lit(ZERO_IDX))
+    )
+
+
+def bucket_midpoint(b: Column) -> Column:
+    """Inverse of `value_bucket`: representative value for an index."""
+    mid = F.lit(2.0 / (GAMMA + 1.0))
+    pos = F.pow(F.lit(GAMMA), b.cast("double")) * mid
+    neg = -F.pow(F.lit(GAMMA), (-b - F.lit(NEG_OFF)).cast("double")) * mid
+    return (
+        F.when(b == ZERO_IDX, F.lit(0.0))
+        .when(b < ZERO_IDX, neg)
+        .otherwise(pos)
+    )
+
+
+def build_rollup(
+    events: DataFrame,
+    granularity: str = "hour",
+    dims: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Raw events -> one partial-state row per (bucket_ts, dims).
+
+    Two shuffles, both map-side combined and the second already
+    rollup-sized: level 1 groups at (key, value-bucket) grain so the
+    histogram is built by plain counts; level 2 collapses the
+    value-bucket into a sorted array and unions the HLL sketches.
+    """
+    key = [F.date_trunc(granularity, F.col(ts_col)).alias("bucket_ts"),
+           *[F.col(d) for d in dims]]
+    lvl1 = events.groupBy(*key, value_bucket(F.col(value_col)).alias("__vb")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.hll_sketch_agg(F.col(user_col), F.lit(HLL_LGK)).alias("uniq_users"),
+    )
+    return lvl1.groupBy("bucket_ts", *dims).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.hll_union_agg("uniq_users").alias("uniq_users"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__vb").alias("b"),
+                                    F.col("cnt").alias("c")))
+        ).alias("value_hist"),
+    )
+
+
+def merge_states(
+    states: DataFrame,
+    dims: tuple[str, ...],
+    granularity: str | None = None,
+) -> DataFrame:
+    """Re-merge partial states to a coarser key (the -Merge step).
+
+    `dims` must be a subset of the state's dim columns; passing a
+    `granularity` coarsens the time bucket (hour -> day etc.).
+    Scalars and sketches merge in one grouped pass; the histograms
+    merge via explode + regroup (state-sized, never raw-sized), and
+    the two rollup-sized frames join back on the key.
+    """
+    bucket = (F.date_trunc(granularity, F.col("bucket_ts"))
+              if granularity else F.col("bucket_ts")).alias("bucket_ts")
+    key = ["bucket_ts", *dims]
+    scalars = states.groupBy(bucket, *[F.col(d) for d in dims]).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.hll_union_agg("uniq_users").alias("uniq_users"),
+    )
+    hist = (
+        states.select(bucket, *[F.col(d) for d in dims],
+                      F.explode("value_hist").alias("e"))
+        .groupBy(*key, F.col("e.b").alias("b"))
+        .agg(F.sum("e.c").alias("c"))
+        .groupBy(*key)
+        .agg(F.sort_array(F.collect_list(F.struct("b", "c")))
+             .alias("value_hist"))
+    )
+    return scalars.join(hist, on=key, how="inner")
+
+
+def _hist_quantile(q: float) -> Column:
+    """Quantile from the per-row histogram array — pure JVM fold.
+
+    Walks the sorted (bucket, count) array with `F.aggregate`,
+    latching the first bucket whose cumulative count reaches
+    ceil(q * cnt), then maps the bucket back to its midpoint.
+    """
+    rank = F.greatest(F.lit(1).cast("long"),
+                      F.ceil(F.lit(q) * F.col("cnt")).cast("long"))
+    found = F.aggregate(
+        F.col("value_hist"),
+        F.struct(F.lit(0).cast("long").alias("cum"),
+                 F.lit(None).cast("int").alias("b")),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when(acc["b"].isNotNull(), acc["b"])
+            .when(acc["cum"] + x["c"] >= rank, x["b"])
+            .alias("b"),
+        ),
+        lambda acc: acc["b"],
+    )
+    return bucket_midpoint(found)
+
+
+def finalize(
+    states: DataFrame,
+    quantiles: dict[str, float] | None = None,
+) -> DataFrame:
+    """Partial states -> human-readable answers (the SELECT step)."""
+    qs = {"p50": 0.50, "p95": 0.95, "p99": 0.99} if quantiles is None else quantiles
+    keep = [c for c in states.columns if c not in STATE_COLS]
+    return states.select(
+        *keep,
+        F.col("cnt"),
+        F.col("sum_value"),
+        (F.col("sum_value") / F.col("cnt")).alias("avg_value"),
+        F.col("min_value"),
+        F.col("max_value"),
+        F.round(F.hll_sketch_estimate("uniq_users")).cast("long")
+        .alias("uniq_users_est"),
+        *[_hist_quantile(q).alias(n) for n, q in qs.items()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# At-rest store: append-only increments + background compaction.
+# ---------------------------------------------------------------------------
+
+def write_rollup(states: DataFrame, path: str, mode: str = "append") -> None:
+    """Append partial-state rows, partitioned by bucket month.
+
+    Append-only is safe because every reader merges states first —
+    AggregatingMergeTree's multiple-parts-per-key invariant.
+    """
+    (states
+     .withColumn("part_month", F.date_format("bucket_ts", "yyyyMM"))
+     .repartition("part_month")
+     .write.mode(mode)
+     .option("compression", "zstd")
+     .partitionBy("part_month")
+     .parquet(path))
+
+
+def append_increment(
+    new_events: DataFrame,
+    path: str,
+    granularity: str = "hour",
+    dims: tuple[str, ...] = ("event_type",),
+    **kw,
+) -> None:
+    """Ingest-side maintenance: aggregate ONLY the new slice and
+    append its states. No read-modify-write against history — the
+    at-rest table grows by O(new keys) rows per increment."""
+    write_rollup(build_rollup(new_events, granularity, dims, **kw), path)
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("part_month")
+
+
+def compact_rollup(
+    spark: SparkSession, path: str, dims: tuple[str, ...]
+) -> None:
+    """Background-merge analogue: collapse duplicate-key state rows.
+
+    Rewrites the table to exactly one row per (bucket_ts, dims).
+    Queries are correct before, during (readers see the old dir
+    until the swap), and after. Local-FS two-phase swap mirrors
+    `sources/retention.compact_partition`.
+    """
+    merged = merge_states(read_rollup(spark, path), dims)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    write_rollup(merged, tmp, mode="overwrite")
+    old = path.rstrip("/") + ".compact.old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

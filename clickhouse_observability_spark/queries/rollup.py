@@ -1,0 +1,64 @@
+"""Registry entries for the mergeable-state materialized rollup.
+
+The adjudicated panel answers day-grain questions THROUGH the rollup
+path — build hour x (event_type, user_bucket) partial states, then
+merge-on-read to two coarser grains — and must equal DuckDB's direct
+aggregation of the raw events. That makes the whole -State/-Merge
+machinery (operators/rollup.py) oracle-verified end-to-end for every
+additive measure; the approximate state columns (HLL uniques,
+DDSketch quantiles) are accuracy-bounded in tests/test_rollup.py.
+
+Registers AFTER the 50-slot adjudication window (registry.py order);
+the oracle is executed in pytest like the tpch_* entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.operators import rollup as R
+from clickhouse_observability_spark.registry import register, table
+
+
+@register(
+    "rollup_day_type_panel",
+    oracle="""
+    WITH base AS (SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+                         event_type, value
+                  FROM events)
+    SELECT bucket_ts, event_type, count(*) AS cnt,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM base GROUP BY 1, 2
+    UNION ALL
+    SELECT bucket_ts, '(all)' AS event_type, count(*) AS cnt,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM base GROUP BY 1
+    """,
+)
+def rollup_day_type_panel(spark, sf_dir):
+    """Day-grain per-type + all-types panel answered from partial
+    states built at a STRICTLY finer grain (hour x type x
+    user-bucket), so both the time coarsening and the dim-subset
+    paths of `merge_states` are on the adjudicated path."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("int"))
+    fine = R.build_rollup(ev, "hour", ("event_type", "user_bucket"))
+
+    def panel(states):
+        return states.select(
+            "bucket_ts", "event_type", "cnt",
+            F.round("sum_value", 2).alias("sum_value"),
+            F.round(F.col("sum_value") / F.col("cnt"), 4).alias("avg_value"),
+            "min_value", "max_value",
+        )
+
+    per_type = panel(R.merge_states(fine, ("event_type",), "day"))
+    all_types = panel(
+        R.merge_states(fine, (), "day")
+        .withColumn("event_type", F.lit("(all)"))
+    )
+    return per_type.unionByName(all_types)

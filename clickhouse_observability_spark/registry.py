@@ -92,6 +92,7 @@ def _load_all() -> None:
         "tpch_extra",
         "behavioral",
         "selection",
+        "rollup",
     ):
         try:
             __import__(f"clickhouse_observability_spark.queries.{mod}")

@@ -1,0 +1,194 @@
+"""Mergeable-state materialized rollups (operators/rollup.py).
+
+Pins the AggregatingMergeTree-style invariants: merge-on-read over
+append-only partial states equals a direct aggregation of the raw
+events, at any coarser grain; the DDSketch histogram's quantiles are
+within the documented relative error; compaction changes layout but
+never answers.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import clickhouse_observability_spark.operators.rollup as R
+from clickhouse_observability_spark.sources.parquet import load_table
+
+
+def _answers(df):
+    rows = {}
+    for r in df.collect():
+        rows[(r["bucket_ts"], r["event_type"])] = r
+    return rows
+
+
+def test_merge_to_coarser_equals_direct_build(spark, sf_med):
+    ev = load_table(spark, sf_med, "events")
+    # extra dim forces real state merging on the read path
+    ev2 = ev.withColumn("user_bucket", (F.col("user_id") % 4).cast("int"))
+    fine = R.build_rollup(ev2, "hour", ("event_type", "user_bucket"))
+    merged = R.merge_states(fine, ("event_type",), granularity="day")
+    direct = R.build_rollup(ev2, "day", ("event_type",))
+    a, b = _answers(R.finalize(merged)), _answers(R.finalize(direct))
+    assert set(a) == set(b) and len(a) > 0
+    for k in a:
+        ra, rb = a[k], b[k]
+        assert ra["cnt"] == rb["cnt"]
+        assert ra["sum_value"] == pytest.approx(rb["sum_value"], rel=1e-12)
+        assert ra["min_value"] == rb["min_value"]
+        assert ra["max_value"] == rb["max_value"]
+        # HLL union of sub-sketches == sketch of the union
+        assert ra["uniq_users_est"] == rb["uniq_users_est"]
+        # identical histograms => identical quantiles
+        for q in ("p50", "p95", "p99"):
+            assert ra[q] == rb[q]
+
+
+def test_quantiles_within_ddsketch_error(spark, sf_med):
+    ev = load_table(spark, sf_med, "events")
+    states = R.build_rollup(ev, "month", ("event_type",))
+    approx = _answers(R.finalize(states))
+    exact = _answers(
+        ev.groupBy(F.date_trunc("month", "ts").alias("bucket_ts"),
+                   "event_type")
+        # percentile_disc (not the interpolating percentile): the
+        # sketch estimates the ceil(q*n)-th order statistic itself
+        .agg(*[F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)")
+               .alias(n)
+               for n, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))])
+    )
+    tol = (R.GAMMA - 1) / (R.GAMMA + 1) + 1e-6
+    for k, e in exact.items():
+        for q in ("p50", "p95", "p99"):
+            assert abs(approx[k][q] - e[q]) <= tol * abs(e[q]) + 1e-9, (
+                k, q, approx[k][q], e[q])
+
+
+def test_uniq_estimate_tracks_exact(spark, sf_med):
+    ev = load_table(spark, sf_med, "events")
+    est = _answers(R.finalize(R.build_rollup(ev, "month", ("event_type",))))
+    ex = _answers(
+        ev.groupBy(F.date_trunc("month", "ts").alias("bucket_ts"),
+                   "event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+    )
+    for k, r in ex.items():
+        # lgK=12 => ~1.6% std error; allow 5%
+        assert abs(est[k]["uniq_users_est"] - r["u"]) <= max(3, 0.05 * r["u"])
+
+
+def test_zero_and_negative_values(spark):
+    vals = [-250.0, -1.0, -0.5, 0.0, 0.0, 0.25, 1.0, 3.0, 1000.0]
+    df = spark.createDataFrame(
+        [Row(ts="2024-01-01 00:00:00", event_type="t", user_id=i,
+             value=v) for i, v in enumerate(vals)]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    fin = R.finalize(
+        R.build_rollup(df, "hour", ("event_type",)),
+        quantiles={"p50": 0.5},
+    ).collect()[0]
+    assert fin["min_value"] == -250.0 and fin["max_value"] == 1000.0
+    # p50 of 9 values = 5th = 0.0; zero has an exact reserved bucket
+    assert fin["p50"] == 0.0
+    # bucket index order == value order (mirrored negative range)
+    b = (df.select(R.value_bucket(F.col("value")).alias("b"),
+                   "value").orderBy("value").collect())
+    idx = [r["b"] for r in b]
+    assert idx == sorted(idx)
+    # midpoint inverts within relative error
+    mids = df.select(
+        R.bucket_midpoint(R.value_bucket(F.col("value"))).alias("m"),
+        "value").collect()
+    tol = (R.GAMMA - 1) / (R.GAMMA + 1) + 1e-9
+    for r in mids:
+        assert abs(r["m"] - r["value"]) <= tol * abs(r["value"]) + 1e-12
+
+
+def test_append_increments_then_compact(spark, sf_med, tmp_path):
+    ev = load_table(spark, sf_med, "events")
+    path = str(tmp_path / "rollup")
+    # three disjoint time slices appended independently, as an
+    # incremental ingest would
+    for lo, hi in (("2024-01-01", "2024-01-11"),
+                   ("2024-01-11", "2024-01-21"),
+                   ("2024-01-21", "2024-02-01")):
+        R.append_increment(
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+            path, "hour", ("event_type",))
+    direct = _answers(R.finalize(R.build_rollup(ev, "day", ("event_type",))))
+
+    def read_answers():
+        states = R.read_rollup(spark, path)
+        return _answers(
+            R.finalize(R.merge_states(states, ("event_type",), "day")))
+
+    before = read_answers()
+    assert set(before) == set(direct)
+    for k in direct:
+        assert before[k]["cnt"] == direct[k]["cnt"]
+        assert before[k]["sum_value"] == pytest.approx(
+            direct[k]["sum_value"], rel=1e-12)
+        assert before[k]["p95"] == direct[k]["p95"]
+        assert before[k]["uniq_users_est"] == direct[k]["uniq_users_est"]
+
+    # hour-grain keys that straddle increments do NOT straddle these
+    # slice boundaries, so pre-compaction each key appears once per
+    # covering slice; compaction must collapse to one row per key and
+    # keep every answer identical.
+    states = R.read_rollup(spark, path)
+    n_rows = states.count()
+    n_keys = states.select("bucket_ts", "event_type").distinct().count()
+    R.compact_rollup(spark, path, ("event_type",))
+    compacted = R.read_rollup(spark, path)
+    assert compacted.count() == n_keys <= n_rows
+    after = read_answers()
+    for k in direct:
+        assert after[k]["cnt"] == before[k]["cnt"]
+        assert after[k]["p99"] == before[k]["p99"]
+        assert after[k]["uniq_users_est"] == before[k]["uniq_users_est"]
+
+
+def test_rollup_oracles_match_duckdb(spark, sf_med):
+    """Executes every rollup_* oracle string against DuckDB at the
+    driver's adjudication scale (these entries register after the
+    50-slot window, so pytest is their oracle gate — the tpch_*
+    pattern)."""
+    import duckdb
+
+    from clickhouse_observability_spark.registry import oracle_sql, queries
+
+    qs, oracles = queries(), oracle_sql()
+    names = sorted(n for n in oracles if n.startswith("rollup_"))
+    assert names, "rollup entries must be registered"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_med}/events.parquet'")
+    for name in names:
+        sdf = qs[name](spark, sf_med)
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        assert sorted(sdf.columns) == sorted(dcols), name
+        idx = [dcols.index(c) for c in sdf.columns]
+
+        def norm(rows):
+            return sorted(
+                tuple(str(v) for v in r) for r in rows)
+
+        srows = norm(tuple(r) for r in sdf.collect())
+        drows = norm(tuple(r[i] for i in idx) for r in res.fetchall())
+        assert srows == drows, name
+
+
+def test_state_size_is_bounded(spark, sf_med):
+    """The whole point at 100 TB: state size ~ O(log dynamic range),
+    not O(rows). For values in (0.01, 500] at gamma=1.02 that is
+    <= ln(5e4)/ln(1.02) ~ 547 buckets."""
+    ev = load_table(spark, sf_med, "events")
+    states = R.build_rollup(ev, "month", ("event_type",))
+    bound = int(math.log(5e4) / math.log(R.GAMMA)) + 2
+    mx = states.select(F.max(F.size("value_hist")).alias("s")).collect()[0]["s"]
+    assert 0 < mx <= bound
