@@ -69,6 +69,7 @@ HEADLINE = [
     # r4-continuation: mergeable-state rollup panel (build fine states
     # + merge-on-read, end-to-end); reported, excluded from total
     ("rollup_day_type_panel", "collect"),
+    ("agg_ch_functions_panel", "collect"),
 ]
 
 
@@ -334,6 +335,7 @@ def _run_bench() -> None:
         "text_perplexity_buckets",
         "text_gopher_rules",
         "rollup_day_type_panel",  # r4-continuation: reported, not summed
+        "agg_ch_functions_panel",
     }
     total = round(sum(v for k, v in times.items() if k not in aux), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

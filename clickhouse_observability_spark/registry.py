@@ -93,6 +93,7 @@ def _load_all() -> None:
         "behavioral",
         "selection",
         "rollup",
+        "chfuncs",
     ):
         try:
             __import__(f"clickhouse_observability_spark.queries.{mod}")
