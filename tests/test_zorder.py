@@ -1,0 +1,122 @@
+"""Z-order layout (sources/zorder.py): bit math vs a python
+reference, and the pruning property the layout exists for."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import clickhouse_observability_spark.sources.zorder as Z
+from clickhouse_observability_spark.sources.parquet import load_table
+
+
+def _py_spread(x: int, stride: int) -> int:
+    out = 0
+    for i in range(21 if stride == 3 else 16):
+        if x >> i & 1:
+            out |= 1 << (i * stride)
+    return out
+
+
+@pytest.mark.parametrize("stride", [2, 3])
+def test_spread_bits_matches_python_reference(spark, stride):
+    vals = [0, 1, 2, 3, 0xFFFF, 0xAAAA, 0x5555, 12345, 54321, 65535]
+    df = spark.createDataFrame([Row(x=v) for v in vals])
+    got = {r["x"]: r["s"] for r in df.select(
+        "x", Z._spread_bits(F.col("x"), stride).alias("s")).collect()}
+    for v in vals:
+        assert got[v] == _py_spread(v, stride), (v, stride)
+
+
+def test_zvalue_interleaves_both_columns(spark):
+    # 2-D morton of bucketed values == python interleave of buckets
+    rows = [Row(a=float(i * 37 % 100), b=float(i * 61 % 100))
+            for i in range(200)]
+    df = spark.createDataFrame(rows)
+    z = {(r["a"], r["b"]): r["z"] for r in df.select(
+        "a", "b", Z.zvalue(df, ["a", "b"]).alias("z")).collect()}
+    lo_a, hi_a = 0.0, max(r.a for r in rows)
+    lo_b, hi_b = 0.0, max(r.b for r in rows)
+
+    def bucket(v, lo, hi):
+        return min(Z._MAX_BUCKET,
+                   max(0, int((v - lo) / (hi - lo) * (Z._MAX_BUCKET + 1))))
+
+    for r in rows:
+        expect = (_py_spread(bucket(r.a, lo_a, hi_a), 2)
+                  | _py_spread(bucket(r.b, lo_b, hi_b), 2) << 1)
+        assert z[(r.a, r.b)] == expect
+
+
+def _file_stats(path, cols):
+    """Per-file [min, max] of each col from parquet footer stats."""
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    st = col.statistics
+                    lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                    hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+        out.append({c: (lo[c], hi[c]) for c in cols})
+    return out
+
+
+def test_zorder_layout_prunes_second_dim(spark, sf_med, tmp_path):
+    ev = (load_table(spark, sf_med, "events")
+          .withColumn("tsd", F.col("ts").cast("double")))
+    cols = ["tsd", "user_id"]
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "lex")
+    Z.write_zordered(ev, zpath, cols, n_files=16)
+    (ev.repartitionByRange(16, "tsd", "user_id")
+       .sortWithinPartitions("tsd", "user_id")
+       .write.option("compression", "zstd").parquet(lpath))
+
+    bounds = ev.agg(
+        F.min("tsd"), F.max("tsd"),
+        F.min("user_id"), F.max("user_id")).collect()[0]
+    t_lo, t_hi, u_lo, u_hi = [float(v) for v in bounds]
+
+    def mean_span(stats, col, lo, hi):
+        spans = [(s[col][1] - s[col][0]) / (hi - lo)
+                 for s in stats if s[col][0] is not None]
+        return sum(spans) / len(spans)
+
+    zs = _file_stats(zpath, cols)
+    ls = _file_stats(lpath, cols)
+    assert len(zs) == len(ls) == 16
+    # lexicographic: user_id spans ~the full range in every file;
+    # z-order: both dims shrink to ~range/sqrt(16)
+    z_user, l_user = (mean_span(zs, "user_id", u_lo, u_hi),
+                      mean_span(ls, "user_id", u_lo, u_hi))
+    assert z_user < 0.5 * l_user, (z_user, l_user)
+    assert mean_span(zs, "tsd", t_lo, t_hi) < 0.6
+
+    # a user-band-only predicate (the second sort key): file-level
+    # min/max stats must let most z-order files be skipped while the
+    # lexicographic layout reads everything
+    band = (u_lo + 0.45 * (u_hi - u_lo), u_lo + 0.55 * (u_hi - u_lo))
+
+    def touched(stats):
+        return sum(1 for s in stats
+                   if s["user_id"][0] <= band[1]
+                   and s["user_id"][1] >= band[0])
+
+    assert touched(ls) == 16
+    # range partitioning tiles CONTIGUOUS curve segments, which are
+    # not perfect hyper-rectangles — segments straddling a quadrant
+    # boundary span wide user ranges, so the skip rate is real but
+    # not grid-perfect (observed 10/16 touched; grows ~sqrt(files)
+    # better with file count at scale)
+    assert touched(zs) <= 12, touched(zs)
