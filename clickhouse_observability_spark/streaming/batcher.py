@@ -76,6 +76,7 @@ class IngestStream:
         flush_every_ms: int | None = None,
         max_files_per_trigger: int = 4,  # ST2: per-trigger size cap
         flush_size: int | None = None,
+        views: list | None = None,  # RollupView-likes, applied per batch
     ):
         """Knob defaults follow the reference's env-var config
         (cmd/server/main.go:25-29): INGEST_MAX_DELAY_MS -> trigger
@@ -101,6 +102,7 @@ class IngestStream:
             else _env_int("INGEST_BATCH_SIZE", DEFAULT_FLUSH_SIZE),
         )
         self.max_files_per_trigger = max_files_per_trigger
+        self.views = list(views or ())
         self.query: StreamingQuery | None = None
         # Committed-batches sidecar: one empty marker file per fully
         # committed micro-batch id. Lives NEXT TO the checkpoint (same
@@ -161,7 +163,14 @@ class IngestStream:
         marker = os.path.join(self.committed_dir, str(int(batch_id)))
         if os.path.exists(marker):
             return
-        self.table.insert(normalize_ingest(batch_df))
+        normalized = normalize_ingest(batch_df)
+        self.table.insert(normalized)
+        # Materialized views (CH `CREATE MATERIALIZED VIEW` analogue):
+        # each writes this batch's partial states under an
+        # inc=b<batch_id> dir with OVERWRITE — idempotent on retry
+        # even inside the crash window below, unlike the raw append.
+        for view in self.views:
+            view.apply(normalized, batch_id)
         with open(marker, "w"):
             pass
         # Retention: Spark only ever replays ids at/after the last

@@ -1,0 +1,108 @@
+"""Continuously-maintained rollups on the ingest stream — the
+ClickHouse MATERIALIZED VIEW analogue.
+
+In the reference's deployment model, CH users hang
+`CREATE MATERIALIZED VIEW ... ENGINE = AggregatingMergeTree` off the
+`logs` MergeTree (`internal/db/db.go:39-57`): every INSERT also
+produces partial-aggregate rows in the view. Here the same trigger
+point is the ingest stream's foreachBatch (`streaming/batcher.py`):
+after the micro-batch lands in the logs table, each attached
+`RollupView` aggregates THAT BATCH ONLY into mergeable states
+(`operators/rollup.py`) and appends them.
+
+Idempotence, stronger than the logs append: each batch's states land
+under an `inc=b<batch_id>` subdirectory written with OVERWRITE, so a
+foreachBatch retry — including the crash window between table append
+and committed-marker that can re-admit log rows — rewrites the SAME
+directory instead of double-counting. The view is exactly-once per
+batch id by construction; no marker needed.
+
+Readers always `merge_states` first (AggregatingMergeTree's
+invariant), so concurrent increments are invisible. `compact()`
+collapses increments into one generation directory; run it like the
+retention job, while the stream is quiesced.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.operators import rollup as R
+
+
+class RollupView:
+    """One materialized rollup over the normalized logs stream.
+
+    Defaults give the dashboard staple: per (hour, service, level) —
+    row counts, message-size stats/quantiles, distinct traces.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        granularity: str = "hour",
+        dims: tuple[str, ...] = ("service", "level"),
+        value_expr: Column | None = None,
+        user_col: str = "trace_id",
+    ):
+        self.path = path
+        self.granularity = granularity
+        self.dims = dims
+        self.value_expr = (
+            value_expr if value_expr is not None
+            else F.length("msg").cast("double")
+        )
+        self.user_col = user_col
+
+    # -- maintenance (called from foreachBatch) ------------------------
+    def apply(self, normalized: DataFrame, batch_id: int) -> None:
+        states = R.build_rollup(
+            normalized.withColumn("__value", self.value_expr),
+            self.granularity,
+            self.dims,
+            value_col="__value",
+            user_col=self.user_col,
+        )
+        inc = os.path.join(self.path, f"inc=b{int(batch_id)}")
+        states.write.mode("overwrite").option(
+            "compression", "zstd").parquet(inc)
+
+    # -- read side -----------------------------------------------------
+    def states(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self.path).parquet(
+            os.path.join(self.path, "inc=*")).drop("inc")
+
+    def query(
+        self,
+        spark: SparkSession,
+        dims: tuple[str, ...] | None = None,
+        granularity: str | None = None,
+    ) -> DataFrame:
+        """Merge-on-read at any coarser grain, finalized."""
+        merged = R.merge_states(
+            self.states(spark),
+            self.dims if dims is None else dims,
+            granularity,
+        )
+        return R.finalize(merged)
+
+    # -- background merge ----------------------------------------------
+    def compact(self, spark: SparkSession) -> None:
+        """Collapse all increments into one generation dir. Quiesce
+        the stream first (same operational contract as retention):
+        the swap would drop an increment written mid-compaction."""
+        merged = R.merge_states(self.states(spark), self.dims)
+        gen = os.path.join(self.path, f"inc=c{uuid.uuid4().hex[:12]}")
+        tmp = gen + ".tmp"
+        merged.write.mode("overwrite").option(
+            "compression", "zstd").parquet(tmp)
+        old = glob.glob(os.path.join(self.path, "inc=*"))
+        os.rename(tmp, gen)
+        for d in old:
+            shutil.rmtree(d, ignore_errors=True)
