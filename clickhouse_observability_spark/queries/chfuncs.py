@@ -97,6 +97,35 @@ def agg_ch_functions_panel(spark, sf_dir):
 
 
 @register(
+    "ch_dialect_hourly_panel",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           count(*) FILTER (value > 250) AS high,
+           count(DISTINCT user_id) AS users,
+           round(sum(value) FILTER (value <= 250), 2) AS low_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ch_dialect_hourly_panel(spark, sf_dir):
+    """Runs VERBATIM ClickHouse SQL through the dialect shim
+    (functions/ch_dialect.py) inside the adjudicated path — the
+    translated text must be semantically identical to the ANSI
+    oracle, not merely parseable."""
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+
+    ev = table(spark, sf_dir, "events")
+    return ch_sql(
+        spark,
+        "SELECT toStartOfHour(ts) AS bucket, event_type, "
+        "countIf(value > 250) AS high, "
+        "uniqExact(user_id) AS users, "
+        "round(sumIf(value, value <= 250), 2) AS low_sum "
+        "FROM events GROUP BY toStartOfHour(ts), event_type",
+        views={"events": ev},
+    )
+
+
+@register(
     "agg_ch_summap",
     oracle="""
     SELECT event_type, map_key, round(sum(v), 2) AS map_sum FROM (

@@ -72,8 +72,9 @@ def test_chfuncs_oracles_match_duckdb(spark, sf_med):
     from clickhouse_observability_spark.registry import oracle_sql, queries
 
     qs, oracles = queries(), oracle_sql()
-    names = sorted(n for n in oracles if n.startswith("agg_ch_"))
-    assert len(names) == 2
+    names = sorted(n for n in oracles
+                   if n.startswith(("agg_ch_", "ch_dialect_")))
+    assert len(names) == 3
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{sf_med}/events.parquet'")
