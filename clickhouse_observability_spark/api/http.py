@@ -58,12 +58,28 @@ def _parse_rfc3339(name: str, raw: str | None) -> dt.datetime:
     return d.astimezone(dt.timezone.utc)  # api.go:66-67 .UTC()
 
 
+MAX_QUERY_ROWS = 10_000  # /v1/query result cap (one-request OOM guard)
+
+# Spark -> ClickHouse type names for the /v1/query meta block (the
+# public CH HTTP FORMAT JSON shape: {"meta", "data", "rows"}).
+_CH_TYPE = {
+    "string": "String", "bigint": "Int64", "int": "Int32",
+    "double": "Float64", "float": "Float32", "boolean": "Bool",
+    "timestamp": "DateTime64(6)", "date": "Date",
+}
+
+
 class LogsApi:
     """Transport-agnostic handler over a logs DataFrame provider."""
 
-    def __init__(self, logs_df_provider):
-        """logs_df_provider: () -> DataFrame with the logs schema."""
+    def __init__(self, logs_df_provider, logs_table=None, rollup_view=None):
+        """logs_df_provider: () -> DataFrame with the logs schema.
+        logs_table: optional LogsTable — enables INSERT via /v1/query.
+        rollup_view: optional streaming RollupView — enables /v1/stats.
+        """
         self._provider = logs_df_provider
+        self._table = logs_table
+        self._view = rollup_view
 
     # -- GET /v1/logs ---------------------------------------------------
     def query_logs_handler(self, params: dict, method: str = "GET") -> tuple[int, dict]:
@@ -160,6 +176,100 @@ class LogsApi:
             raise error[0]
         return result
 
+    # -- GET/POST /v1/query (ClickHouse HTTP interface analogue) -------
+    def query_handler(self, q: str | None) -> tuple[int, dict]:
+        """Execute one ClickHouse-dialect SQL statement — the engine's
+        analogue of CH's HTTP interface (`:8123/?query=`), which the
+        reference's docker-exec client commands (README.md:86-107)
+        ultimately hit. SELECT/DESCRIBE return the public CH
+        FORMAT JSON envelope {meta, data, rows}; INSERT routes through
+        the write path and returns {inserted}."""
+        from clickhouse_observability_spark.functions.ch_dialect import (
+            ChDialectError,
+            ch_sql,
+        )
+
+        if not q or not q.strip():
+            return 400, {"error": "missing query"}
+        try:
+            df = self._provider()
+            res = ch_sql(df.sparkSession, q, logs=self._table,
+                         views={"logs": df})
+            if isinstance(res, int):
+                return 200, {"inserted": res}
+            limited = res.limit(MAX_QUERY_ROWS)
+            rows = self._collect_with_timeout(limited)
+        except ChDialectError as e:
+            return 400, {"error": str(e)}
+        except ApiError as e:
+            return e.status, {"error": e.message}
+        except Exception as e:
+            # analysis errors (unknown column/table) are client errors
+            name = type(e).__name__
+            if "Analysis" in name or "Parse" in name:
+                return 400, {"error": str(e).split("\n")[0][:500]}
+            return 500, {"error": "internal error"}
+        meta = [
+            {"name": f.name,
+             "type": _CH_TYPE.get(f.dataType.simpleString(),
+                                  f.dataType.simpleString())}
+            for f in limited.schema
+        ]
+        data = [
+            {k: (v.isoformat() + "Z" if isinstance(v, dt.datetime) else v)
+             for k, v in row.asDict(recursive=True).items()}
+            for row in rows
+        ]
+        return 200, {"meta": meta, "data": data, "rows": len(data)}
+
+    # -- GET /v1/stats (served from the streaming rollup view) ---------
+    def stats_handler(self, params: dict) -> tuple[int, dict]:
+        """Dashboard aggregates answered from MERGEABLE STATES — the
+        at-scale read path: touches |buckets| x |dims| state rows,
+        never the raw logs table."""
+        if self._view is None:
+            return 404, {"error": "stats view not configured"}
+        try:
+            gran = params.get("granularity", "hour")
+            if gran not in ("hour", "day"):
+                raise ApiError(400, "granularity must be hour or day")
+            spark = self._provider().sparkSession
+            df = self._view.query(spark, granularity=gran)
+            service = params.get("service")
+            level = params.get("level")
+            if service:
+                df = df.filter(df["service"] == service)
+            if level:
+                df = df.filter(df["level"] == level)
+            if params.get("from"):
+                df = df.filter(
+                    df["bucket_ts"]
+                    >= _parse_rfc3339("from", params["from"]).replace(tzinfo=None))
+            if params.get("to"):
+                df = df.filter(
+                    df["bucket_ts"]
+                    < _parse_rfc3339("to", params["to"]).replace(tzinfo=None))
+            rows = self._collect_with_timeout(df.orderBy("bucket_ts"))
+        except ApiError as e:
+            return e.status, {"error": e.message}
+        except Exception:
+            return 500, {"error": "internal error"}
+        stats = [
+            {
+                "Bucket": r["bucket_ts"].isoformat() + "Z",
+                "Service": r["service"],
+                "Level": r["level"],
+                "Count": r["cnt"],
+                "UniqTraces": r["uniq_users_est"],
+                "MsgLenP50": r["p50"],
+                "MsgLenP95": r["p95"],
+                "MsgLenP99": r["p99"],
+            }
+            for r in (row.asDict() for row in rows)
+        ]
+        return 200, {"stats": stats, "count": len(stats),
+                     "granularity": gran}
+
     # -- ops endpoints --------------------------------------------------
     @staticmethod
     def ping_handler() -> tuple[int, str]:
@@ -204,6 +314,11 @@ class LogsApi:
                 if u.path == "/v1/logs":
                     status, body = api.query_logs_handler(dict(parse_qsl(u.query)))
                     self._send(status, body)
+                elif u.path == "/v1/query":
+                    q = dict(parse_qsl(u.query)).get("q")
+                    self._send(*api.query_handler(q))
+                elif u.path == "/v1/stats":
+                    self._send(*api.stats_handler(dict(parse_qsl(u.query))))
                 elif u.path == "/api/ping":
                     self._send(*api.ping_handler(), content_type="text/plain")
                 elif u.path == "/live":
@@ -217,6 +332,12 @@ class LogsApi:
                 u = urlparse(self.path)
                 if u.path == "/v1/logs":
                     self._send(405, {"error": "method not allowed"})
+                elif u.path == "/v1/query":
+                    # CH HTTP interface also accepts the query as the
+                    # POST body
+                    n = int(self.headers.get("Content-Length") or 0)
+                    q = self.rfile.read(n).decode("utf-8", "replace")
+                    self._send(*api.query_handler(q))
                 else:
                     self._send(404, {"error": "not found"})
 

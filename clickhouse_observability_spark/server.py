@@ -77,15 +77,26 @@ class EngineServer:
         apply_retention(self.spark, self.table.path)
         # batcher (main.go:46-51): micro-batched streaming ingest;
         # knobs come from INGEST_* env inside IngestStream.
+        # materialized rollup view, continuously maintained by the
+        # batcher (CH `CREATE MATERIALIZED VIEW` analogue) and served
+        # by /v1/stats
+        from clickhouse_observability_spark.streaming.rollup_view import (
+            RollupView,
+        )
+
+        view = RollupView(os.path.join(self.data_dir, "mv", "logs_hourly"))
         self.stream = IngestStream(
             self.spark,
             self.table,
             inbox_dir=os.path.join(self.data_dir, "inbox"),
             checkpoint_dir=os.path.join(self.data_dir, "checkpoint"),
+            views=[view],
         )
         self.stream.start()
-        # HTTP: /live /ready (main.go:58-59) + api routes (api.go)
-        api = LogsApi(self.table.read)
+        # HTTP: /live /ready (main.go:58-59) + api routes (api.go) +
+        # /v1/query (CH HTTP interface analogue) + /v1/stats (MV-backed)
+        api = LogsApi(self.table.read, logs_table=self.table,
+                      rollup_view=view)
         self._http_server = api.serve(*self.http_addr)
         # gRPC entry point: BatchWrite feeds the SAME batcher inbox
         # (service.go:21-47 enqueues; accepted-count reply).

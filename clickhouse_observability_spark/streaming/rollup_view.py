@@ -75,6 +75,25 @@ class RollupView:
 
     # -- read side -----------------------------------------------------
     def states(self, spark: SparkSession) -> DataFrame:
+        if not glob.glob(os.path.join(self.path, "inc=*")):
+            # view exists but nothing ingested yet: typed empty states
+            # so merge/finalize/filters still analyze
+            from pyspark.sql import types as T
+
+            fields = [T.StructField("bucket_ts", T.TimestampType())]
+            fields += [T.StructField(d, T.StringType()) for d in self.dims]
+            fields += [
+                T.StructField("cnt", T.LongType()),
+                T.StructField("sum_value", T.DoubleType()),
+                T.StructField("min_value", T.DoubleType()),
+                T.StructField("max_value", T.DoubleType()),
+                T.StructField("uniq_users", T.BinaryType()),
+                T.StructField("value_hist", T.ArrayType(T.StructType([
+                    T.StructField("b", T.IntegerType()),
+                    T.StructField("c", T.LongType()),
+                ]))),
+            ]
+            return spark.createDataFrame([], T.StructType(fields))
         return spark.read.option("basePath", self.path).parquet(
             os.path.join(self.path, "inc=*")).drop("inc")
 

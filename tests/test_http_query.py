@@ -1,0 +1,131 @@
+"""/v1/query (CH HTTP interface analogue) + /v1/stats (MV-backed):
+handler-level contracts and a live-server e2e through EngineServer.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from clickhouse_observability_spark.api.http import LogsApi
+from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+from clickhouse_observability_spark.server import EngineServer
+from clickhouse_observability_spark.sources.writer import LogsTable
+
+
+@pytest.fixture()
+def logs(spark, tmp_path):
+    t = LogsTable(spark, str(tmp_path / "logs"))
+    t.init_schema()
+    ch_sql(
+        spark,
+        "INSERT INTO logs (ts, service, level, msg, attrs) VALUES "
+        "('2025-09-01 10:00:00', 'orders', 'WARN', 'w1', '{\"user\": \"u1\"}'), "
+        "('2025-09-01 11:00:00', 'orders', 'INFO', 'i1', '{\"user\": \"u2\"}'), "
+        "('2025-09-01 12:00:00', 'billing', 'ERROR', 'e1', '{}')",
+        logs=t,
+    )
+    return t
+
+
+def test_query_handler_select(spark, logs):
+    api = LogsApi(logs.read, logs_table=logs)
+    status, body = api.query_handler(
+        "SELECT service, countIf(level = 'WARN') AS warns "
+        "FROM logs GROUP BY service ORDER BY service")
+    assert status == 200
+    assert body["rows"] == 2
+    assert body["meta"][0] == {"name": "service", "type": "String"}
+    assert body["meta"][1]["type"] == "Int64"
+    assert body["data"][0] == {"service": "billing", "warns": 0}
+    assert body["data"][1] == {"service": "orders", "warns": 1}
+
+
+def test_query_handler_insert_and_errors(spark, logs):
+    api = LogsApi(logs.read, logs_table=logs)
+    status, body = api.query_handler(
+        "INSERT INTO logs (ts, service, level) VALUES (now(), 'x', 'INFO')")
+    assert (status, body) == (200, {"inserted": 1})
+    assert logs.read().count() == 4
+
+    assert api.query_handler(None)[0] == 400
+    assert api.query_handler("SELECT arrayJoin(a) FROM logs")[0] == 400
+    assert api.query_handler("SELECT nope FROM logs")[0] == 400
+    # INSERT without a write path configured is a client error
+    ro = LogsApi(logs.read)
+    assert ro.query_handler(
+        "INSERT INTO logs (ts) VALUES (now())")[0] == 400
+
+
+def test_query_handler_timestamps_serialize(spark, logs):
+    api = LogsApi(logs.read, logs_table=logs)
+    status, body = api.query_handler(
+        "SELECT toStartOfDay(ts) AS d, count(*) AS n FROM logs GROUP BY d")
+    assert status == 200
+    assert body["meta"][0]["type"] == "DateTime64(6)"
+    assert body["data"][0]["d"].endswith("Z")
+
+
+def test_live_server_query_and_stats(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("INGEST_MAX_DELAY_MS", "100")
+    monkeypatch.delenv("RETENTION_DAYS", raising=False)
+    srv = EngineServer(
+        spark, data_dir=str(tmp_path), http_addr=":0", grpc_addr=":0"
+    ).start()
+    try:
+        http_port, _ = srv.ports
+        # ingest through the stream so the MATERIALIZED VIEW fills
+        srv.stream.submit_many([
+            {"ts": f"2025-09-01T10:{i:02d}:00Z", "service": "orders",
+             "level": "WARN" if i % 2 else "INFO", "msg": "x" * (i + 1),
+             "attrs": {}, "trace_id": f"t{i % 3}", "span_id": f"s{i}"}
+            for i in range(20)
+        ])
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{http_port}/v1/stats?granularity=hour"
+            ) as r:
+                stats = json.loads(r.read())
+            if stats.get("count") and sum(
+                    s["Count"] for s in stats["stats"]) == 20:
+                break
+            time.sleep(0.3)
+        assert sum(s["Count"] for s in stats["stats"]) == 20
+        warn = [s for s in stats["stats"] if s["Level"] == "WARN"]
+        assert warn and warn[0]["Count"] == 10
+        assert warn[0]["UniqTraces"] == 3
+
+        # GET /v1/query
+        q = urllib.parse.quote(
+            "SELECT level, count(*) AS n FROM logs GROUP BY level")
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{http_port}/v1/query?q={q}"
+        ) as r:
+            body = json.loads(r.read())
+        assert body["rows"] == 2
+        assert {d["level"]: d["n"] for d in body["data"]} == \
+            {"WARN": 10, "INFO": 10}
+
+        # POST /v1/query (CH also accepts the body form)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{http_port}/v1/query",
+            data=b"SELECT uniqExact(trace_id) AS u FROM logs",
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert body["data"][0]["u"] == 3
+
+        # stats filter arm
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{http_port}/v1/stats?level=INFO"
+        ) as r:
+            only = json.loads(r.read())
+        assert all(s["Level"] == "INFO" for s in only["stats"])
+    finally:
+        srv.stop()
