@@ -53,6 +53,11 @@ HEADLINE = [
     ("text_lang_id", "noop"),
     ("text_corpus_curation", "noop"),
     ("text_contamination", "collect"),
+    # NOTE cross-round comparison: r3's entry packed ONE global
+    # stream; since r4 the same name runs three mode-tagged arms
+    # (global + per-source + sliding-window overlap) over one shared
+    # tokenization scan — scope growth, not a slowdown (the r3-shaped
+    # global arm alone is ~60% of the merged panel's time).
     ("text_pack_chunks", "noop"),
     ("text_unigram_logprob", "noop"),
     ("text_split_drift", "collect"),

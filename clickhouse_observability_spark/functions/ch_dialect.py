@@ -155,6 +155,25 @@ _FUNCS = {
     "tostartofday": _trunc("day"),
     "tostartofweek": _trunc("week"),
     "tostartofmonth": _trunc("month"),
+    "tostartofquarter": _trunc("quarter"),
+    "tostartofyear": _trunc("year"),
+    "tohour": lambda a: f"hour({a[0]})",
+    "tominute": lambda a: f"minute({a[0]})",
+    "tosecond": lambda a: f"second({a[0]})",
+    "todayofmonth": lambda a: f"day({a[0]})",
+    "todayofweek": lambda a: f"weekday({a[0]}) + 1",  # CH: Mon=1
+    "todayofyear": lambda a: f"dayofyear({a[0]})",
+    "tomonth": lambda a: f"month({a[0]})",
+    "toyear": lambda a: f"year({a[0]})",
+    "tounixtimestamp": lambda a: f"unix_timestamp({a[0]})",
+    "fromunixtimestamp": lambda a: f"timestamp_seconds({a[0]})",
+    "adddays": lambda a: f"({a[0]} + make_interval(0, 0, 0, {a[1]}))",
+    "subtractdays": lambda a: f"({a[0]} - make_interval(0, 0, 0, {a[1]}))",
+    "datediff": lambda a: (
+        f"timestampdiff({_string_value(a[0]).upper()}, {a[1]}, {a[2]})"
+        if a and a[0].startswith("'") else
+        (_ for _ in ()).throw(ChDialectError(
+            "dateDiff unit must be a string literal"))),
     "toyyyymm": _fmt_int("yyyyMM"),
     "toyyyymmdd": _fmt_int("yyyyMMdd"),
     "todate": lambda a: f"to_date({a[0]})",
@@ -200,6 +219,27 @@ _FUNCS = {
     "splitbychar": lambda a: f"split({a[1]}, {a[0]})",
     "intdiv": lambda a: f"({a[0]} DIV {a[1]})",
     "modulo": lambda a: f"({a[0]} % {a[1]})",
+    "startswith": lambda a: f"startswith({a[0]}, {a[1]})",
+    "endswith": lambda a: f"endswith({a[0]}, {a[1]})",
+    "lcase": lambda a: f"lower({a[0]})",
+    "ucase": lambda a: f"upper({a[0]})",
+    "substringutf8": lambda a: f"substring({', '.join(a)})",
+    "lengthutf8": lambda a: f"char_length({a[0]})",
+    "match": lambda a: f"({a[0]} RLIKE {a[1]})",
+    "extract": lambda a: f"regexp_extract({a[0]}, {a[1]}, 1)",
+    "replaceall": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    "replaceregexpall": lambda a:
+        f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+    "concatws": lambda a: f"concat_ws({', '.join(a)})",
+    "arraylength": lambda a: f"size({a[0]})",
+    "arraysort": lambda a: f"array_sort({a[0]})",
+    "arraydistinct": lambda a: f"array_distinct({a[0]})",
+    "arrayconcat": lambda a: f"concat({', '.join(a)})",
+    "arrayslice": lambda a: f"slice({', '.join(a)})",
+    "greatest": lambda a: f"greatest({', '.join(a)})",
+    "least": lambda a: f"least({', '.join(a)})",
+    "isnull": lambda a: f"({a[0]} IS NULL)",
+    "isnotnull": lambda a: f"({a[0]} IS NOT NULL)",
     "arrayjoin": _unsupported(
         "arrayJoin", "use LATERAL VIEW explode via the DataFrame API"),
 }

@@ -69,9 +69,17 @@ class RollupView:
             value_col="__value",
             user_col=self.user_col,
         )
+        # write to a dot-dir (invisible to the reader's inc=* glob)
+        # and ATOMICALLY rename into place: a concurrent /v1/stats
+        # read never sees a half-written increment (Spark's
+        # _temporary phase), and a retry replaces the old dir whole.
         inc = os.path.join(self.path, f"inc=b{int(batch_id)}")
+        tmp = os.path.join(self.path, f".inc-b{int(batch_id)}.tmp")
         states.write.mode("overwrite").option(
-            "compression", "zstd").parquet(inc)
+            "compression", "zstd").parquet(tmp)
+        if os.path.exists(inc):
+            shutil.rmtree(inc)
+        os.rename(tmp, inc)
 
     # -- read side -----------------------------------------------------
     def states(self, spark: SparkSession) -> DataFrame:

@@ -51,6 +51,27 @@ def test_translate_vocabulary():
         assert want in translate(src), (src, translate(src))
 
 
+def test_translate_extended_vocabulary():
+    cases = {
+        "SELECT toHour(ts), toDayOfWeek(ts) FROM t":
+            ["hour(ts)", "weekday(ts) + 1"],
+        "SELECT dateDiff('day', a, b) FROM t": ["timestampdiff(DAY, a, b)"],
+        "SELECT match(msg, '^err') FROM t": ["msg RLIKE '^err'"],
+        "SELECT replaceRegexpAll(msg, '[0-9]+', '#') FROM t":
+            ["regexp_replace(msg, '[0-9]+', '#')"],
+        "SELECT toUnixTimestamp(ts) FROM t": ["unix_timestamp(ts)"],
+        "SELECT arrayDistinct(arraySort(xs)) FROM t":
+            ["array_distinct(array_sort(xs))"],
+        "SELECT isNotNull(u) FROM t": ["u IS NOT NULL"],
+    }
+    for src, wants in cases.items():
+        out = translate(src)
+        for w in wants:
+            assert w in out, (src, out)
+    with pytest.raises(ChDialectError):
+        translate("SELECT dateDiff(unit_col, a, b) FROM t")
+
+
 def test_translate_string_literal_safety():
     out = translate("SELECT 'toStartOfHour(x)' AS s, now() FROM t")
     assert "'toStartOfHour(x)'" in out
