@@ -59,6 +59,49 @@ def _parse_rfc3339(name: str, raw: str | None) -> dt.datetime:
 
 
 MAX_QUERY_ROWS = 10_000  # /v1/query result cap (one-request OOM guard)
+# /v1/query result cache (CH `use_query_cache` analogue): dashboards
+# re-issue identical statements every refresh tick; serving repeats
+# from memory keeps the cluster for real work. Entries are keyed by
+# (statement, logs-table fingerprint), so ANY ingest invalidates —
+# correctness first, hit rate second. QUERY_CACHE_TTL_S=0 disables.
+QUERY_CACHE_TTL_S = 60
+QUERY_CACHE_MAX_ENTRIES = 128
+
+
+class _QueryCache:
+    """Tiny LRU with TTL; keys carry the data fingerprint so stale
+    results are unreachable, TTL just bounds memory residency."""
+
+    def __init__(self, ttl_s: float, max_entries: int):
+        import collections
+
+        self.ttl_s = ttl_s
+        self.max_entries = max_entries
+        self._d: "collections.OrderedDict[tuple, tuple[float, object]]" = (
+            collections.OrderedDict())
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        import time
+
+        ent = self._d.get(key)
+        if ent is None or time.monotonic() - ent[0] > self.ttl_s:
+            if ent is not None:
+                del self._d[key]
+            self.misses += 1
+            return None
+        self._d.move_to_end(key)
+        self.hits += 1
+        return ent[1]
+
+    def put(self, key, value):
+        import time
+
+        self._d[key] = (time.monotonic(), value)
+        self._d.move_to_end(key)
+        while len(self._d) > self.max_entries:
+            self._d.popitem(last=False)
 
 # Spark -> ClickHouse type names for the /v1/query meta block (the
 # public CH HTTP FORMAT JSON shape: {"meta", "data", "rows"}).
@@ -80,6 +123,34 @@ class LogsApi:
         self._provider = logs_df_provider
         self._table = logs_table
         self._view = rollup_view
+        import os as _os
+
+        try:
+            ttl = float(_os.environ.get("QUERY_CACHE_TTL_S",
+                                        QUERY_CACHE_TTL_S))
+        except ValueError:
+            ttl = QUERY_CACHE_TTL_S
+        self._cache = (_QueryCache(ttl, QUERY_CACHE_MAX_ENTRIES)
+                       if ttl > 0 else None)
+
+    def _table_fingerprint(self) -> tuple:
+        """Cheap change detector for the logs table: one listdir of
+        the table root + per-partition-dir mtimes (appends create
+        part files, bumping their partition dir). O(#partitions),
+        never O(#files)."""
+        import os as _os
+
+        if self._table is None:
+            return ("no-table",)
+        root = self._table.path
+        try:
+            entries = sorted(_os.listdir(root))
+            return tuple(
+                (e, _os.stat(_os.path.join(root, e)).st_mtime_ns)
+                for e in entries
+            )
+        except OSError:
+            return ("missing",)
 
     # -- GET /v1/logs ---------------------------------------------------
     def query_logs_handler(self, params: dict, method: str = "GET") -> tuple[int, dict]:
@@ -191,6 +262,12 @@ class LogsApi:
 
         if not q or not q.strip():
             return 400, {"error": "missing query"}
+        cache_key = None
+        if self._cache is not None:
+            cache_key = (q.strip(), self._table_fingerprint())
+            cached = self._cache.get(cache_key)
+            if cached is not None:
+                return 200, cached
         try:
             df = self._provider()
             res = ch_sql(df.sparkSession, q, logs=self._table,
@@ -220,7 +297,10 @@ class LogsApi:
              for k, v in row.asDict(recursive=True).items()}
             for row in rows
         ]
-        return 200, {"meta": meta, "data": data, "rows": len(data)}
+        envelope = {"meta": meta, "data": data, "rows": len(data)}
+        if cache_key is not None:
+            self._cache.put(cache_key, envelope)
+        return 200, envelope
 
     # -- GET /v1/stats (served from the streaming rollup view) ---------
     def stats_handler(self, params: dict) -> tuple[int, dict]:

@@ -70,6 +70,38 @@ def test_query_handler_timestamps_serialize(spark, logs):
     assert body["data"][0]["d"].endswith("Z")
 
 
+def test_query_cache_hits_and_invalidates(spark, logs, monkeypatch):
+    import clickhouse_observability_spark.api.http as H
+
+    calls = {"n": 0}
+    import clickhouse_observability_spark.functions.ch_dialect as D
+    real = D.ch_sql
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(D, "ch_sql", counting)
+    api = H.LogsApi(logs.read, logs_table=logs)
+    q = "SELECT count(*) AS n FROM logs"
+    first = api.query_handler(q)
+    second = api.query_handler(q)  # repeat: served from cache
+    assert first == second and calls["n"] == 1
+    assert api._cache.hits == 1
+
+    # ingest invalidates via the table fingerprint — the repeat
+    # re-executes and sees the new row
+    api.query_handler(
+        "INSERT INTO logs (ts, service, level) VALUES (now(), 'z', 'INFO')")
+    third = api.query_handler(q)
+    assert third[1]["data"][0]["n"] == first[1]["data"][0]["n"] + 1
+
+    # TTL 0 disables caching entirely
+    monkeypatch.setenv("QUERY_CACHE_TTL_S", "0")
+    off = H.LogsApi(logs.read, logs_table=logs)
+    assert off._cache is None
+
+
 def test_live_server_query_and_stats(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("INGEST_MAX_DELAY_MS", "100")
     monkeypatch.delenv("RETENTION_DAYS", raising=False)
