@@ -242,6 +242,8 @@ _FUNCS = {
     "isnotnull": lambda a: f"({a[0]} IS NOT NULL)",
     "arrayjoin": _unsupported(
         "arrayJoin", "use LATERAL VIEW explode via the DataFrame API"),
+    # table function: FROM numbers(N) — CH's row generator
+    "numbers": lambda a: f"(SELECT id AS number FROM range({a[0]}))",
 }
 
 # name(params)(args) parameterized aggregates

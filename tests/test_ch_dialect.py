@@ -139,6 +139,16 @@ def test_readme_statements_verbatim(spark, logs):
     assert {r[0] for r in desc} >= {"ts", "service", "level", "msg"}
 
 
+def test_numbers_table_function_and_explain(spark, logs):
+    rows = ch_sql(
+        spark, "SELECT sum(number) AS s FROM numbers(10)").collect()
+    assert rows[0]["s"] == 45
+    # EXPLAIN passes through to Spark's planner
+    plan = ch_sql(spark, "EXPLAIN SELECT countIf(level = 'ERROR') "
+                  "FROM logs", logs=logs).collect()[0][0]
+    assert "count_if" in plan or "Aggregate" in plan
+
+
 def test_insert_fills_missing_columns(spark, logs):
     n = ch_sql(
         spark,
