@@ -70,38 +70,81 @@ QUERY_CACHE_MAX_ENTRIES = 128
 
 class _QueryCache:
     """Tiny LRU with TTL; keys carry the data fingerprint so stale
-    results are unreachable, TTL just bounds memory residency."""
+    results are unreachable, TTL just bounds memory residency.
+    Thread-safe: ThreadingHTTPServer calls get/put concurrently."""
 
     def __init__(self, ttl_s: float, max_entries: int):
         import collections
+        import threading
 
         self.ttl_s = ttl_s
         self.max_entries = max_entries
         self._d: "collections.OrderedDict[tuple, tuple[float, object]]" = (
             collections.OrderedDict())
+        self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
 
     def get(self, key):
         import time
 
-        ent = self._d.get(key)
-        if ent is None or time.monotonic() - ent[0] > self.ttl_s:
-            if ent is not None:
-                del self._d[key]
-            self.misses += 1
-            return None
-        self._d.move_to_end(key)
-        self.hits += 1
-        return ent[1]
+        with self._lock:
+            ent = self._d.get(key)
+            if ent is None or time.monotonic() - ent[0] > self.ttl_s:
+                self._d.pop(key, None)
+                self.misses += 1
+                return None
+            self._d.move_to_end(key)
+            self.hits += 1
+            return ent[1]
 
     def put(self, key, value):
         import time
 
-        self._d[key] = (time.monotonic(), value)
-        self._d.move_to_end(key)
-        while len(self._d) > self.max_entries:
-            self._d.popitem(last=False)
+        with self._lock:
+            self._d[key] = (time.monotonic(), value)
+            self._d.move_to_end(key)
+            while len(self._d) > self.max_entries:
+                self._d.popitem(last=False)
+
+
+# CH's use_query_cache refuses nondeterministic statements for the
+# same reason we must: a cached now() freezes time for TTL seconds.
+_NONDETERMINISTIC = ("now", "today", "yesterday", "rand",
+                     "current_timestamp", "current_date", "uuid")
+_NONDET_RE = None
+
+
+def _is_cacheable(q: str) -> bool:
+    global _NONDET_RE
+    import re as _re
+
+    if _NONDET_RE is None:
+        _NONDET_RE = _re.compile(
+            r"\b(" + "|".join(_NONDETERMINISTIC) + r")\s*\(",
+            _re.IGNORECASE)
+    return _NONDET_RE.search(q) is None
+
+
+def _json_safe(v):
+    """Row values -> JSON-encodable, recursively (dates, Decimal,
+    bytes, and datetimes nested in arrays/structs/maps)."""
+    import base64
+    import decimal
+
+    if isinstance(v, dt.datetime):
+        return v.isoformat() + "Z"
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode()
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    return v
 
 # Spark -> ClickHouse type names for the /v1/query meta block (the
 # public CH HTTP FORMAT JSON shape: {"meta", "data", "rows"}).
@@ -263,7 +306,10 @@ class LogsApi:
         if not q or not q.strip():
             return 400, {"error": "missing query"}
         cache_key = None
-        if self._cache is not None:
+        # cacheable only when invalidation is possible (a table to
+        # fingerprint) and the statement is deterministic
+        if (self._cache is not None and self._table is not None
+                and _is_cacheable(q)):
             cache_key = (q.strip(), self._table_fingerprint())
             cached = self._cache.get(cache_key)
             if cached is not None:
@@ -293,7 +339,7 @@ class LogsApi:
             for f in limited.schema
         ]
         data = [
-            {k: (v.isoformat() + "Z" if isinstance(v, dt.datetime) else v)
+            {k: _json_safe(v)
              for k, v in row.asDict(recursive=True).items()}
             for row in rows
         ]

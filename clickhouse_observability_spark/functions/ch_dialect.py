@@ -135,6 +135,16 @@ def _ch_date_format(args):
     return f"date_format({args[0]}, {_q(fmt)})"
 
 
+def _split_by_char(args):
+    """CH's separator is a LITERAL char; Spark split() takes a regex,
+    so escape metacharacters ('.', '|', '+', ...) — otherwise '.'
+    would split on every character."""
+    if len(args) != 2 or not args[0].startswith("'"):
+        raise ChDialectError(
+            "splitByChar separator must be a string literal")
+    return f"split({args[1]}, {_q(re.escape(_string_value(args[0])))})"
+
+
 def _unsupported(name: str, hint: str):
     def fn(args):
         raise ChDialectError(f"{name} has no Spark SQL equivalent; {hint}")
@@ -153,7 +163,12 @@ _FUNCS = {
     "tostartofminute": _trunc("minute"),
     "tostartofhour": _trunc("hour"),
     "tostartofday": _trunc("day"),
-    "tostartofweek": _trunc("week"),
+    # CH default mode 0 is SUNDAY-start (Spark's date_trunc week is
+    # Monday-start); modes 1/3 select Monday. Returns Date, like CH.
+    "tostartofweek": lambda a: (
+        f"date_trunc('week', {a[0]})"
+        if len(a) > 1 and a[1].strip() in ("1", "3") else
+        f"date_sub(to_date({a[0]}), dayofweek({a[0]}) - 1)"),
     "tostartofmonth": _trunc("month"),
     "tostartofquarter": _trunc("quarter"),
     "tostartofyear": _trunc("year"),
@@ -183,8 +198,14 @@ _FUNCS = {
     "now": lambda a: "current_timestamp()",
     "today": lambda a: "current_date()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
-    # conditional aggregates
-    "countif": lambda a: f"count_if({a[0]})",
+    # conditional aggregates. countIf has both CH forms: countIf(cond)
+    # and countIf(x, cond) (count rows where cond holds AND x is
+    # non-null).
+    "countif": lambda a: (
+        f"count_if({a[0]})" if len(a) == 1
+        else f"count(IF({a[1]}, {a[0]}, NULL))" if len(a) == 2
+        else (_ for _ in ()).throw(
+            ChDialectError("countIf takes 1 or 2 args"))),
     "sumif": _agg_if("sum"),
     "avgif": _agg_if("avg"),
     "minif": _agg_if("min"),
@@ -216,7 +237,7 @@ _FUNCS = {
     "notempty": lambda a: f"(length({a[0]}) > 0)",
     "has": lambda a: f"array_contains({a[0]}, {a[1]})",
     "position": lambda a: f"instr({a[0]}, {a[1]})",
-    "splitbychar": lambda a: f"split({a[1]}, {a[0]})",
+    "splitbychar": lambda a: _split_by_char(a),
     "intdiv": lambda a: f"({a[0]} DIV {a[1]})",
     "modulo": lambda a: f"({a[0]} % {a[1]})",
     "startswith": lambda a: f"startswith({a[0]}, {a[1]})",
@@ -226,7 +247,12 @@ _FUNCS = {
     "substringutf8": lambda a: f"substring({', '.join(a)})",
     "lengthutf8": lambda a: f"char_length({a[0]})",
     "match": lambda a: f"({a[0]} RLIKE {a[1]})",
-    "extract": lambda a: f"regexp_extract({a[0]}, {a[1]}, 1)",
+    # `extract` is both CH's regex extractor (2 args) and standard
+    # SQL EXTRACT(unit FROM ts) (1 arg containing FROM) — pass the
+    # standard form through untouched.
+    "extract": lambda a: (
+        f"extract({a[0]})" if len(a) == 1
+        else f"regexp_extract({a[0]}, {a[1]}, 1)"),
     "replaceall": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
     "replaceregexpall": lambda a:
         f"regexp_replace({a[0]}, {a[1]}, {a[2]})",

@@ -237,18 +237,29 @@ def append_increment(
 
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    # recover a compaction that crashed between its two renames (the
+    # table dir momentarily absent, data intact under .compact.old)
+    old = path.rstrip("/") + ".compact.old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     return spark.read.parquet(path).drop("part_month")
 
 
 def compact_rollup(
     spark: SparkSession, path: str, dims: tuple[str, ...]
 ) -> None:
-    """Background-merge analogue: collapse duplicate-key state rows.
+    """Background-merge analogue: collapse duplicate-key state rows
+    to exactly one row per (bucket_ts, dims).
 
-    Rewrites the table to exactly one row per (bucket_ts, dims).
-    Queries are correct before, during (readers see the old dir
-    until the swap), and after. Local-FS two-phase swap mirrors
-    `sources/retention.compact_partition`.
+    OPERATIONAL CONTRACT (same as `sources/retention`): run while
+    writers AND readers of this store are quiesced — POSIX cannot
+    atomically swap directories, so there is a window between the
+    two renames where the path is absent, and in-flight DataFrames
+    that listed the old files would hit deleted parts. A crash
+    inside the window is recoverable: `read_rollup` restores the
+    intact `.compact.old` copy. (The streaming RollupView store
+    avoids this entirely with its MANIFEST pointer; this batch-side
+    tool keeps the simpler layout.)
     """
     merged = merge_states(read_rollup(spark, path), dims)
     tmp = path.rstrip("/") + ".compact.tmp"

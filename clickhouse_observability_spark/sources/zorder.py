@@ -69,23 +69,36 @@ def _bucketize(col: Column, lo: float, hi: float) -> Column:
     )
 
 
+def _as_numeric(df: DataFrame, col: str) -> Column:
+    """Numeric view of any z-order key: numerics pass through,
+    timestamps/dates become epoch seconds/days (range locality
+    preserved), strings/binary hash via xxhash64 (locality traded
+    for spread — equality predicates still prune via the bucket)."""
+    t = dict(df.dtypes)[col]
+    c = F.col(col)
+    if t in ("timestamp", "timestamp_ntz", "date"):
+        return c.cast("double")
+    if t in ("string", "binary"):
+        return F.xxhash64(c).cast("double")
+    return c.cast("double")
+
+
 def zvalue(df: DataFrame, cols: list[str]) -> Column:
-    """Morton z-value over 2 or 3 numeric columns.
+    """Morton z-value over 2 or 3 columns (numeric, timestamp/date,
+    or string — see `_as_numeric`).
 
     Column ranges come from one min/max aggregate — 2k scalars
     through the driver, injected back as literals (bounded collect).
-    Non-numeric columns: hash them to a numeric first
-    (`F.xxhash64`), trading range locality for spread — still
-    prunes equality predicates via the bucket value.
     """
     if len(cols) not in (2, 3):
         raise ValueError("zvalue supports 2 or 3 columns")
-    stats = df.agg(*[f(c).alias(f"{n}_{i}")
+    nums = {c: _as_numeric(df, c) for c in cols}
+    stats = df.agg(*[f(nums[c]).alias(f"{n}_{i}")
                      for i, c in enumerate(cols)
                      for n, f in (("lo", F.min), ("hi", F.max))]).collect()[0]
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
-        b = _bucketize(F.col(c), float(stats[f"lo_{i}"]),
+        b = _bucketize(nums[c], float(stats[f"lo_{i}"]),
                        float(stats[f"hi_{i}"]))
         z = z.bitwiseOR(F.shiftleft(_spread_bits(b, len(cols)), i))
     return z

@@ -69,21 +69,52 @@ class RollupView:
             value_col="__value",
             user_col=self.user_col,
         )
-        # write to a dot-dir (invisible to the reader's inc=* glob)
-        # and ATOMICALLY rename into place: a concurrent /v1/stats
-        # read never sees a half-written increment (Spark's
-        # _temporary phase), and a retry replaces the old dir whole.
-        inc = os.path.join(self.path, f"inc=b{int(batch_id)}")
+        # write to a dot-dir (invisible to readers), ATOMICALLY
+        # rename into place, then publish in the MANIFEST: a
+        # concurrent /v1/stats read never sees a half-written
+        # increment (Spark's _temporary phase), and a retry replaces
+        # the old dir whole before the manifest union (idempotent).
+        name = f"inc=b{int(batch_id)}"
+        inc = os.path.join(self.path, name)
         tmp = os.path.join(self.path, f".inc-b{int(batch_id)}.tmp")
         states.write.mode("overwrite").option(
             "compression", "zstd").parquet(tmp)
         if os.path.exists(inc):
             shutil.rmtree(inc)
         os.rename(tmp, inc)
+        self._publish(sorted(set(self._manifest()) | {name}))
+
+    # -- manifest: the snapshot pointer ---------------------------------
+    # Readers resolve the active increment set through ONE atomically-
+    # replaced file, so compaction can never double-count (a reader
+    # sees either the old generation list or the new one, never both)
+    # and a crashed compaction leaves only unreferenced orphan dirs.
+    # Writers (the foreachBatch thread; compact under the documented
+    # quiesce contract) are single at any moment.
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "MANIFEST")
+
+    def _manifest(self) -> list[str]:
+        try:
+            with open(self._manifest_path()) as f:
+                return [ln.strip() for ln in f if ln.strip()]
+        except OSError:
+            # pre-manifest layout (or first batch): every visible inc
+            return sorted(
+                os.path.basename(d)
+                for d in glob.glob(os.path.join(self.path, "inc=*")))
+
+    def _publish(self, names: list[str]) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(names) + "\n")
+        os.replace(tmp, self._manifest_path())
 
     # -- read side -----------------------------------------------------
     def states(self, spark: SparkSession) -> DataFrame:
-        if not glob.glob(os.path.join(self.path, "inc=*")):
+        names = [n for n in self._manifest()
+                 if os.path.exists(os.path.join(self.path, n))]
+        if not names:
             # view exists but nothing ingested yet: typed empty states
             # so merge/finalize/filters still analyze
             from pyspark.sql import types as T
@@ -102,8 +133,8 @@ class RollupView:
                 ]))),
             ]
             return spark.createDataFrame([], T.StructType(fields))
-        return spark.read.option("basePath", self.path).parquet(
-            os.path.join(self.path, "inc=*")).drop("inc")
+        return spark.read.parquet(
+            *[os.path.join(self.path, n) for n in names]).drop("inc")
 
     def query(
         self,
@@ -121,15 +152,29 @@ class RollupView:
 
     # -- background merge ----------------------------------------------
     def compact(self, spark: SparkSession) -> None:
-        """Collapse all increments into one generation dir. Quiesce
-        the stream first (same operational contract as retention):
-        the swap would drop an increment written mid-compaction."""
+        """Collapse the current increment set into one generation
+        dir, then swap the MANIFEST pointer atomically. Quiesce the
+        STREAM first (manifest writers must not race); concurrent
+        READERS are safe — each resolves one manifest generation, so
+        no read ever mixes old increments with the merged copy. A
+        crash at any point leaves a readable table: before the swap
+        the old manifest still governs (the half-built generation is
+        an unreferenced orphan, removed by the next compact); after
+        it, the old dirs are the orphans."""
+        snapshot = [n for n in self._manifest()
+                    if os.path.exists(os.path.join(self.path, n))]
+        if not snapshot:
+            return
         merged = R.merge_states(self.states(spark), self.dims)
-        gen = os.path.join(self.path, f"inc=c{uuid.uuid4().hex[:12]}")
-        tmp = gen + ".tmp"
+        gen_name = f"inc=c{uuid.uuid4().hex[:12]}"
+        gen = os.path.join(self.path, gen_name)
+        tmp = os.path.join(self.path, f".{gen_name}.tmp")
         merged.write.mode("overwrite").option(
             "compression", "zstd").parquet(tmp)
-        old = glob.glob(os.path.join(self.path, "inc=*"))
         os.rename(tmp, gen)
-        for d in old:
-            shutil.rmtree(d, ignore_errors=True)
+        self._publish([gen_name])
+        # drop everything unreferenced: the snapshot we merged plus
+        # orphans from any crashed earlier compaction
+        for d in glob.glob(os.path.join(self.path, "inc=*")):
+            if os.path.basename(d) != gen_name:
+                shutil.rmtree(d, ignore_errors=True)

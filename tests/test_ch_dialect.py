@@ -72,6 +72,34 @@ def test_translate_extended_vocabulary():
         translate("SELECT dateDiff(unit_col, a, b) FROM t")
 
 
+def test_translate_review_fixes(spark):
+    # splitByChar: literal separator is regex-escaped
+    out = translate("SELECT splitByChar('.', msg) FROM t")
+    assert "split(msg, '\\\\.')" in out or "split(msg, '\\.')" in out
+    assert spark.sql(
+        translate("SELECT splitByChar('.', 'a.b.c') AS p")
+    ).collect()[0]["p"] == ["a", "b", "c"]
+    with pytest.raises(ChDialectError):
+        translate("SELECT splitByChar(sep, msg) FROM t")
+
+    # standard SQL EXTRACT passes through untouched
+    assert spark.sql(
+        translate("SELECT EXTRACT(YEAR FROM TIMESTAMP '2024-03-01 00:00:00')"
+                  " AS y")).collect()[0]["y"] == 2024
+
+    # countIf two-arg form keeps the condition
+    out = translate("SELECT countIf(u, level = 'E') FROM t")
+    assert "count(IF(level = 'E', u, NULL))" in out
+
+    # toStartOfWeek: CH mode 0 = Sunday start (2024-03-03 is a Sunday)
+    r = spark.sql(translate(
+        "SELECT toStartOfWeek(TIMESTAMP '2024-03-06 12:00:00') AS w0, "
+        "toStartOfWeek(TIMESTAMP '2024-03-06 12:00:00', 1) AS w1"
+    )).collect()[0]
+    assert str(r["w0"]) == "2024-03-03"
+    assert str(r["w1"]).startswith("2024-03-04")
+
+
 def test_translate_string_literal_safety():
     out = translate("SELECT 'toStartOfHour(x)' AS s, now() FROM t")
     assert "'toStartOfHour(x)'" in out

@@ -70,6 +70,49 @@ def test_query_handler_timestamps_serialize(spark, logs):
     assert body["data"][0]["d"].endswith("Z")
 
 
+def test_query_handler_json_safe_values(spark, logs):
+    """DATE results, datetimes nested in arrays, and today() must
+    serialize — and the whole envelope must be json.dumps-able (the
+    transport encodes after the handler returns)."""
+    import json as _json
+
+    api = LogsApi(logs.read, logs_table=logs)
+    status, body = api.query_handler(
+        "SELECT today() AS d, toDate(now()) AS d2, "
+        "groupArray(ts) AS times FROM logs")
+    assert status == 200
+    _json.dumps(body)
+    assert body["data"][0]["d"].startswith("20")
+    assert all(t.endswith("Z") for t in body["data"][0]["times"])
+
+
+def test_cache_guards(spark, logs, monkeypatch):
+    import clickhouse_observability_spark.api.http as H
+    import clickhouse_observability_spark.functions.ch_dialect as D
+
+    calls = {"n": 0}
+    real = D.ch_sql
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(D, "ch_sql", counting)
+    # no logs_table => no fingerprint => never cached
+    ro = H.LogsApi(logs.read)
+    q = "SELECT count(*) AS n FROM logs"
+    ro.query_handler(q)
+    ro.query_handler(q)
+    assert calls["n"] == 2
+    # nondeterministic statements are never cached
+    calls["n"] = 0
+    api = H.LogsApi(logs.read, logs_table=logs)
+    nq = "SELECT countIf(ts > now() - INTERVAL 5 MINUTE) AS n FROM logs"
+    api.query_handler(nq)
+    api.query_handler(nq)
+    assert calls["n"] == 2
+
+
 def test_query_cache_hits_and_invalidates(spark, logs, monkeypatch):
     import clickhouse_observability_spark.api.http as H
 

@@ -152,6 +152,20 @@ def test_append_increments_then_compact(spark, sf_med, tmp_path):
         assert after[k]["uniq_users_est"] == before[k]["uniq_users_est"]
 
 
+def test_compact_crash_recovery(spark, sf_med, tmp_path):
+    """A compaction that died between its two renames leaves the data
+    under .compact.old; the next read restores it."""
+    ev = load_table(spark, sf_med, "events")
+    path = str(tmp_path / "rollup")
+    R.append_increment(ev, path, "day", ("event_type",))
+    want = R.read_rollup(spark, path).count()
+    import os
+
+    os.rename(path, path + ".compact.old")  # simulated crash window
+    assert R.read_rollup(spark, path).count() == want
+    assert os.path.exists(path)
+
+
 def test_rollup_oracles_match_duckdb(spark, sf_med):
     """Executes every rollup_* oracle string against DuckDB at the
     driver's adjudication scale (these entries register after the

@@ -140,9 +140,17 @@ def test_compact_preserves_answers(spark, stream):
     n_incs = len([d for d in os.listdir(view.path)
                   if d.startswith("inc=")])
     assert n_incs >= 2  # multiple increments actually landed
+    # manifest governs reads: an unreferenced orphan dir (as left by
+    # a crashed compaction) must be invisible...
+    orphan = os.path.join(view.path, "inc=c0000deadbeef")
+    os.makedirs(orphan)
+    assert _by_key(view.query(spark)) == before
     view.compact(spark)
     incs = [d for d in os.listdir(view.path) if d.startswith("inc=")]
+    # ...and swept by the next compact
     assert len(incs) == 1 and incs[0].startswith("inc=c")
+    with open(os.path.join(view.path, "MANIFEST")) as f:
+        assert f.read().strip() == incs[0]
     after = _by_key(view.query(spark))
     assert set(after) == set(before)
     for k in before:

@@ -53,6 +53,19 @@ def test_zvalue_interleaves_both_columns(spark):
         assert z[(r.a, r.b)] == expect
 
 
+def test_zvalue_accepts_timestamp_and_string_columns(spark, sf_med,
+                                                     tmp_path):
+    """The advertised ts+service use case: no pre-casting required."""
+    ev = load_table(spark, sf_med, "events")
+    z = ev.select(Z.zvalue(ev, ["ts", "event_type"]).alias("z"))
+    vals = z.agg(F.countDistinct("z")).collect()[0][0]
+    assert vals > 100  # real spread, not a constant
+    Z.write_zordered(ev, str(tmp_path / "zts"), ["ts", "event_type"],
+                     n_files=4)
+    assert (spark.read.parquet(str(tmp_path / "zts")).count()
+            == ev.count())
+
+
 def _file_stats(path, cols):
     """Per-file [min, max] of each col from parquet footer stats."""
     out = []
