@@ -75,6 +75,8 @@ HEADLINE = [
     # + merge-on-read, end-to-end); reported, excluded from total
     ("rollup_day_type_panel", "collect"),
     ("agg_ch_functions_panel", "collect"),
+    ("agg_error_anomalies", "noop"),
+    ("text_log_templates", "noop"),
 ]
 
 
@@ -341,6 +343,8 @@ def _run_bench() -> None:
         "text_gopher_rules",
         "rollup_day_type_panel",  # r4-continuation: reported, not summed
         "agg_ch_functions_panel",
+        "agg_error_anomalies",
+        "text_log_templates",
     }
     total = round(sum(v for k, v in times.items() if k not in aux), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -1,0 +1,93 @@
+"""Time-series anomaly scoring over rollup-grain aggregates.
+
+The dashboards the reference serves (hourly counts / error rates,
+README.md:88-107 ad-hoc queries) become ALERTS by scoring each time
+bucket against its trailing window. Everything here runs on
+bucket-grain rows — O(hours x dims), the materialized-rollup read
+path — never on raw events, so the same query costs the same at
+100 TB.
+
+Scores:
+- trailing z-score: (x - mean_trailing) / stddev_trailing over the
+  previous `trailing` buckets (exclusive of the current one — an
+  anomalous bucket must not dilute its own baseline);
+- day-over-day seasonal delta for hourly series (x vs the same hour
+  yesterday) — catches level shifts the short window normalizes
+  away.
+
+Window functions over bucket-grain rows shuffle state-sized frames;
+the per-dim partition keeps them independent. The z-score is scored
+against the UNWEIGHTED trailing mean/stddev of the bucket rates; the
+separately reported `baseline_mean` (see the registry query) is the
+POOLED trailing rate — a ratio of integer window sums, so the
+displayed baseline is bit-identical across engines (a mean of 24
+six-decimal doubles structurally lands on round-half boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_error_rates(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    error_value: str = "error",
+) -> DataFrame:
+    """(bucket, n_total, n_errors, error_rate) per hour — one
+    map-side-combined aggregation."""
+    return (
+        events.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col(type_col) == error_value, 1))
+            .alias("n_errors"),
+        )
+        .withColumn(
+            "error_rate",
+            F.round(F.col("n_errors") / F.col("n_total"), 6),
+        )
+    )
+
+
+def trailing_zscores(
+    buckets: DataFrame,
+    value_col: str,
+    order_col: str = "bucket",
+    partition_cols: tuple[str, ...] = (),
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Score each bucket against its trailing-window baseline.
+
+    The window excludes the current row (rowsBetween(-trailing, -1)):
+    a spike must not shift its own baseline. Buckets with fewer than
+    3 trailing samples or zero variance get a NULL score (not 0 — an
+    unscorable bucket is not a normal one). Seasonal delta compares
+    to the value exactly 24 rows back (same hour yesterday for an
+    hourly series)."""
+    w = (Window.partitionBy(*partition_cols).orderBy(order_col)
+         .rowsBetween(-trailing, -1))
+    lagw = Window.partitionBy(*partition_cols).orderBy(order_col)
+    x = F.col(value_col)
+    mean = F.avg(x).over(w)
+    std = F.stddev_samp(x).over(w)
+    n = F.count(x).over(w)
+    # 1e-9, not 0: the two engines' stddev differ in the last ulp, so
+    # a knife-edge >0 test could flip NULL vs a huge z between them
+    z = F.when((n >= 3) & (std > 1e-9), (x - mean) / std)
+    yesterday = F.lag(x, 24).over(lagw)
+    return (
+        buckets
+        .withColumn("zscore", F.round(z, 4))
+        .withColumn(
+            "seasonal_delta",
+            F.round(x - yesterday, 6),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.col("zscore") > z_threshold, F.lit(False)),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Registry entries for the alerting/triage tier: anomaly scoring
+over bucket-grain aggregates and log template mining. Registers
+AFTER the 50-slot adjudication window; oracles executed in pytest
+(tests/test_observability.py) like the tpch_* pattern.
+"""
+
+from __future__ import annotations
+
+from clickhouse_observability_spark.operators import anomaly as AN
+from clickhouse_observability_spark.operators import templates as TP
+from clickhouse_observability_spark.registry import register, table
+
+
+@register(
+    "agg_error_anomalies",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket,
+               count(*) AS n_total,
+               count(*) FILTER (event_type = 'error') AS n_errors,
+               round(count(*) FILTER (event_type = 'error') * 1.0
+                     / count(*), 6) AS error_rate
+        FROM events GROUP BY 1
+    ), scored AS (
+        SELECT *,
+               avg(error_rate) OVER w AS m,
+               stddev_samp(error_rate) OVER w AS s,
+               count(error_rate) OVER w AS k,
+               sum(n_errors) OVER w AS we,
+               sum(n_total) OVER w AS wt,
+               lag(error_rate, 24) OVER (ORDER BY bucket) AS yday
+        FROM hourly
+        WINDOW w AS (ORDER BY bucket
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT bucket, n_total, n_errors, error_rate,
+           round(we * 1.0 / wt, 6) AS baseline_mean,
+           round(CASE WHEN k >= 3 AND s > 1e-9
+                      THEN (error_rate - m) / s END, 4) AS zscore,
+           round(error_rate - yday, 6) AS seasonal_delta,
+           coalesce(round(CASE WHEN k >= 3 AND s > 1e-9
+                               THEN (error_rate - m) / s END, 4) > 3.0,
+                    FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def agg_error_anomalies(spark, sf_dir):
+    """Hourly error-rate anomaly panel: trailing-24h z-score
+    (exclusive window — a spike must not dilute its own baseline)
+    plus the same-hour-yesterday seasonal delta. Runs on bucket-grain
+    rows (the rollup read path): O(hours), independent of raw event
+    count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    scored = AN.trailing_zscores(
+        AN.hourly_error_rates(ev), "error_rate", order_col="bucket")
+    # pooled trailing baseline as an INTEGER-sum ratio: identical
+    # bits on both engines (see operators/anomaly.py docstring)
+    w = Window.orderBy("bucket").rowsBetween(-24, -1)
+    return scored.select(
+        "bucket", "n_total", "n_errors", "error_rate",
+        F.round(F.sum("n_errors").over(w)
+                / F.sum("n_total").over(w), 6).alias("baseline_mean"),
+        "zscore", "seasonal_delta", "is_anomaly",
+    )
+
+
+@register(
+    "text_log_templates",
+    oracle="""
+    SELECT template, count(*) AS n_lines, min(text) AS example
+    FROM (
+        SELECT regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(text,
+                   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+                   '<IP>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                 '\\b[0-9a-fA-F]{8,}\\b', '<HEX>', 'g'),
+                 '\\b[0-9]+\\b', '<NUM>', 'g') AS template,
+               text
+        FROM documents)
+    GROUP BY 1
+    """,
+)
+def text_log_templates(spark, sf_dir):
+    """LogReduce-style template mining over the documents corpus:
+    mask variable fields (IP -> email -> hex -> number, in that
+    order), then one map-side-combined groupBy on the skeleton."""
+    return TP.mine_templates(table(spark, sf_dir, "documents"), "text")

@@ -94,6 +94,7 @@ def _load_all() -> None:
         "selection",
         "rollup",
         "chfuncs",
+        "observability",
     ):
         try:
             __import__(f"clickhouse_observability_spark.queries.{mod}")

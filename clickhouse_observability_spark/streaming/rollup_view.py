@@ -151,7 +151,8 @@ class RollupView:
         return R.finalize(merged)
 
     # -- background merge ----------------------------------------------
-    def compact(self, spark: SparkSession) -> None:
+    def compact(self, spark: SparkSession,
+                retain_from: str | None = None) -> None:
         """Collapse the current increment set into one generation
         dir, then swap the MANIFEST pointer atomically. Quiesce the
         STREAM first (manifest writers must not race); concurrent
@@ -165,7 +166,13 @@ class RollupView:
                     if os.path.exists(os.path.join(self.path, n))]
         if not snapshot:
             return
-        merged = R.merge_states(self.states(spark), self.dims)
+        states = self.states(spark)
+        if retain_from is not None:
+            # TTL at the view grain (the MergeTree `TTL ... DELETE`
+            # analogue): old buckets leave the table at compaction,
+            # same lifecycle as the raw-table retention job
+            states = states.filter(F.col("bucket_ts") >= retain_from)
+        merged = R.merge_states(states, self.dims)
         gen_name = f"inc=c{uuid.uuid4().hex[:12]}"
         gen = os.path.join(self.path, gen_name)
         tmp = os.path.join(self.path, f".{gen_name}.tmp")

@@ -157,3 +157,17 @@ def test_compact_preserves_answers(spark, stream):
         assert after[k]["cnt"] == before[k]["cnt"]
         assert after[k]["p99"] == before[k]["p99"]
         assert after[k]["uniq_users_est"] == before[k]["uniq_users_est"]
+
+
+def test_compact_with_retention_drops_old_buckets(spark, stream):
+    s, table, view = stream
+    s.submit_many(_rows(120))
+    s.start()
+    s.query.processAllAvailable()
+    s.stop(drain=False)
+    buckets = sorted({k[0] for k in _by_key(view.query(spark))})
+    assert len(buckets) >= 2
+    cutoff = buckets[1]
+    view.compact(spark, retain_from=str(cutoff))
+    kept = sorted({k[0] for k in _by_key(view.query(spark))})
+    assert kept == [b for b in buckets if b >= cutoff]
