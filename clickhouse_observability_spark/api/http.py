@@ -316,8 +316,13 @@ class LogsApi:
                 return 200, cached
         try:
             df = self._provider()
+            views = {"logs": df}
+            # `system.parts` analogue (dot-free name — Spark temp
+            # views are flat): file-level layout metadata over SQL
+            if self._table is not None and "system_parts" in q:
+                views["system_parts"] = self._table.parts_df()
             res = ch_sql(df.sparkSession, q, logs=self._table,
-                         views={"logs": df})
+                         views=views)
             if isinstance(res, int):
                 return 200, {"inserted": res}
             limited = res.limit(MAX_QUERY_ROWS)

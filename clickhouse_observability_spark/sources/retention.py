@@ -95,21 +95,49 @@ def apply_retention(
     return {"dropped_months": dropped, "rewritten": rewritten}
 
 
-def compact_partition(spark: SparkSession, path: str, month: int, target_files: int = 1) -> int:
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    month: int,
+    target_files: int = 1,
+    zorder: list[str] | None = None,
+) -> int:
     """MergeTree-style merge: coalesce a month's small files
     (db.go:50's background merges, done explicitly). Returns the
-    number of input files merged."""
+    number of input files merged.
+
+    `zorder`: optionally re-cluster the partition along a Morton
+    curve over the given columns (`sources/zorder.py`) instead of
+    the (service, ts) lexicographic order — after this, BOTH a
+    service-only and a time-only predicate prune files/row-groups
+    via footer stats, where the lexicographic layout prunes only
+    its leading key. The natural background-merge hook for layout
+    optimization (Delta's OPTIMIZE ZORDER runs at the same point in
+    the lifecycle)."""
     part_dir = os.path.join(path, f"{PARTITION_COLUMN}={month}")
     files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
     df = spark.read.parquet(part_dir).select([c for c in LOGS_COLUMNS if c != PARTITION_COLUMN])
     tmp = part_dir + ".tmp"
-    (
-        df.repartition(target_files)
-        .sortWithinPartitions("service", "ts")
-        .write.mode("overwrite")
-        .option("compression", "zstd")  # match LogsTable._write codec
-        .parquet(tmp)
-    )
+    if zorder:
+        from clickhouse_observability_spark.sources.zorder import zvalue
+
+        (
+            df.withColumn("__z", zvalue(df, zorder))
+            .repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(tmp)
+        )
+    else:
+        (
+            df.repartition(target_files)
+            .sortWithinPartitions("service", "ts")
+            .write.mode("overwrite")
+            .option("compression", "zstd")  # match LogsTable._write codec
+            .parquet(tmp)
+        )
     shutil.rmtree(part_dir)
     os.rename(tmp, part_dir)
     return len(files)

@@ -112,6 +112,57 @@ class LogsTable:
         )
         return self.spark.read.schema(full).parquet(self.path)
 
+    def parts(self) -> list[dict]:
+        """`system.parts` analogue: one row per at-rest parquet file
+        with partition, row count, bytes, and the (service, ts)
+        min/max the sort order gives it — the metadata an operator
+        reads to judge layout health (file sizes, merge pressure,
+        pruning potential). Footer-only: reads O(#files) metadata
+        pages, never data — the same cost class as CH's parts table.
+        """
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        out = []
+        for f in sorted(
+            _glob.glob(os.path.join(self.path, f"{PARTITION_COLUMN}=*",
+                                    "*.parquet"))
+        ):
+            md = _pq.ParquetFile(f).metadata
+            lo: dict = {}
+            hi: dict = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in ("service", "ts") and col.statistics:
+                        st = col.statistics
+                        lo[name] = (st.min if name not in lo
+                                    else min(lo[name], st.min))
+                        hi[name] = (st.max if name not in hi
+                                    else max(hi[name], st.max))
+            part = os.path.basename(os.path.dirname(f))
+            out.append({
+                "partition": int(part.split("=", 1)[1]),
+                "file": os.path.basename(f),
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(f),
+                "min_service": lo.get("service"),
+                "max_service": hi.get("service"),
+                "min_ts": str(lo.get("ts")),
+                "max_ts": str(hi.get("ts")),
+            })
+        return out
+
+    def parts_df(self) -> DataFrame:
+        rows = self.parts()
+        schema = ("partition int, file string, rows bigint, bytes bigint, "
+                  "min_service string, max_service string, "
+                  "min_ts string, max_ts string")
+        return self.spark.createDataFrame(rows, schema)
+
     # -- S1: ingestion entry point (service.go:21-47) -------------------
     def ingest_batch(self, rows: Iterable[Mapping]) -> int:
         """BatchWrite: normalize + enqueue a batch, return the count

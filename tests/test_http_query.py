@@ -86,6 +86,17 @@ def test_query_handler_json_safe_values(spark, logs):
     assert all(t.endswith("Z") for t in body["data"][0]["times"])
 
 
+def test_system_parts_over_sql(spark, logs):
+    api = LogsApi(logs.read, logs_table=logs)
+    status, body = api.query_handler(
+        "SELECT partition, sum(rows) AS r, count(*) AS files, "
+        "min(min_service) AS lo FROM system_parts GROUP BY partition")
+    assert status == 200 and body["rows"] >= 1
+    total = sum(d["r"] for d in body["data"])
+    assert total == logs.read().count()
+    assert all(d["files"] >= 1 for d in body["data"])
+
+
 def test_cache_guards(spark, logs, monkeypatch):
     import clickhouse_observability_spark.api.http as H
     import clickhouse_observability_spark.functions.ch_dialect as D

@@ -66,6 +66,48 @@ def test_zvalue_accepts_timestamp_and_string_columns(spark, sf_med,
             == ev.count())
 
 
+def test_compact_partition_zorder_option(spark, tmp_path):
+    """Retention compaction can rewrite a month z-ordered: data is
+    preserved and each file holds a strict SUBSET of services AND a
+    strict subset of days (the lexicographic layout clusters only
+    its leading key)."""
+    import pyarrow.parquet as pq
+
+    from clickhouse_observability_spark.sources.retention import (
+        compact_partition,
+    )
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    t = LogsTable(spark, str(tmp_path / "logs"))
+    t.ingest_batch([
+        {"ts": f"2025-07-{1 + i % 28:02d}T10:00:00Z",
+         "service": f"svc-{i % 12}", "level": "INFO", "msg": f"m{i}",
+         "attrs": {}, "trace_id": f"t{i}", "span_id": f"s{i}"}
+        for i in range(2000)
+    ])
+    n = t.read().count()
+    part = str(tmp_path / "logs" / "month=202507")
+
+    compact_partition(spark, str(tmp_path / "logs"), 202507,
+                      target_files=4, zorder=["service", "ts"])
+    assert t.read().count() == n
+    files = sorted(glob.glob(os.path.join(part, "*.parquet")))
+    assert len(files) == 4
+    per_file = []
+    for f in files:
+        tbl = pq.read_table(f, columns=["service", "ts"])
+        services = set(tbl.column("service").to_pylist())
+        days = {x.day for x in tbl.column("ts").to_pylist()}
+        per_file.append((len(services), len(days)))
+    # every file must be a real subset in BOTH dims
+    assert all(s < 12 for s, _ in per_file), per_file
+    assert all(d < 28 for _, d in per_file), per_file
+
+    # round-trips cleanly back to the default layout
+    compact_partition(spark, str(tmp_path / "logs"), 202507)
+    assert t.read().count() == n
+
+
 def _file_stats(path, cols):
     """Per-file [min, max] of each col from parquet footer stats."""
     out = []
