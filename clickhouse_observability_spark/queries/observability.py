@@ -68,6 +68,56 @@ def agg_error_anomalies(spark, sf_dir):
 
 
 @register(
+    "sim_contrastive_mining",
+    oracle="""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]) AS cosine
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id IN (0, 1, 2, 3, 4)
+    ), labeled AS (
+        SELECT query_id, vec_id, cosine,
+               CASE WHEN cosine >= 0.95 THEN 'positive'
+                    ELSE 'hard_negative' END AS label
+        FROM scored
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id, label
+                   ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM labeled
+    )
+    SELECT query_id, label, rank, vec_id, round(cosine, 6) AS cosine
+    FROM ranked
+    WHERE rank <= CASE WHEN label = 'positive' THEN 3 ELSE 5 END
+    """,
+)
+def sim_contrastive_mining(spark, sf_dir):
+    """Contrastive-pair mining for retriever training: per anchor,
+    positives (cosine >= 0.95 near-dups) and the top hard negatives
+    (most similar NON-duplicates — where the gradient signal lives),
+    labeled and ranked from ONE neighbor scan. This exact-path entry
+    is the oracle anchor (anchors broadcast over one corpus pass);
+    the LSH-candidate scale path is `sim_contrastive_mining_lsh`
+    with recall pinned in pytest."""
+    from clickhouse_observability_spark.operators import mining as M
+
+    return M.mine_contrastive_exact(
+        table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4])
+
+
+# Rows-only: seeded LSH internals (the 100 TB candidate generator).
+@register("sim_contrastive_mining_lsh")
+def sim_contrastive_mining_lsh(spark, sf_dir):
+    from clickhouse_observability_spark.operators import mining as M
+    from clickhouse_observability_spark.operators import similarity as S
+
+    cands = S.knn_join_lsh(
+        table(spark, sf_dir, "embeddings"), k=16, max_bucket_frac=0.25)
+    return M.label_candidates(cands)
+
+
+@register(
     "text_log_templates",
     oracle="""
     SELECT template, count(*) AS n_lines, min(text) AS example
