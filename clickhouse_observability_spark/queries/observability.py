@@ -106,6 +106,49 @@ def sim_contrastive_mining(spark, sf_dir):
         table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4])
 
 
+@register(
+    "pipeline_retrieval",
+    oracle="""
+    WITH topk AS (
+        SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   list_cosine_similarity(q.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    q.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id IN (0, 1, 2, 3, 4)
+        ) WHERE rank <= 5)
+    SELECT t.query_id, t.rank, t.vec_id AS doc_id, t.cosine,
+           d.source, substr(d.text, 1, 80) AS snippet
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    """,
+)
+def pipeline_retrieval(spark, sf_dir):
+    """End-to-end retrieval composition: embedding top-k (the ANN
+    tier) joined back to the document store for source + snippet —
+    what a RAG serving path returns. The doc-side projection is two
+    small columns (pruned at the scan); the join side is the top-k
+    result (|anchors| x k rows), broadcast."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators import similarity as S
+
+    topk = S.brute_force_topk(
+        table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 80).alias("snippet"))
+    return (
+        docs.join(F.broadcast(topk), docs["doc_id"] == topk["vec_id"])
+        .select("query_id", "rank", "doc_id", "cosine", "source",
+                "snippet")
+    )
+
+
 # Rows-only: seeded LSH internals (the 100 TB candidate generator).
 @register("sim_contrastive_mining_lsh")
 def sim_contrastive_mining_lsh(spark, sf_dir):

@@ -46,7 +46,12 @@ def rollup_day_type_panel(spark, sf_dir):
     paths of `merge_states` are on the adjudicated path."""
     ev = table(spark, sf_dir, "events").withColumn(
         "user_bucket", (F.col("user_id") % 4).cast("int"))
-    fine = R.build_rollup(ev, "hour", ("event_type", "user_bucket"))
+    # materialize the ROLLUP-SIZED states once (hours x 5 x 4 rows):
+    # both merge arms re-read them instead of re-aggregating the raw
+    # corpus (plan audit: 14 -> 6 exchanges, one corpus scan)
+    fine = R.build_rollup(
+        ev, "hour", ("event_type", "user_bucket")
+    ).localCheckpoint(eager=True)
 
     def panel(states):
         return states.select(

@@ -50,6 +50,25 @@ def test_lsh_candidates_recover_exact_labels(spark, sf_med):
     assert recall >= 0.7, recall
 
 
+def test_retrieval_pipeline_returns_snippets(spark, sf_med):
+    from clickhouse_observability_spark.registry import queries
+
+    out = queries()["pipeline_retrieval"](spark, sf_med).collect()
+    assert len(out) == 25  # 5 anchors x top-5
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["snippet"] and len(r["snippet"]) <= 80
+        assert r["source"]
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        # ranked by similarity descending
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in ordered]
+        assert cosines == sorted(cosines, reverse=True)
+
+
 def test_mining_oracle_matches_duckdb(spark, sf_med):
     import duckdb
 
