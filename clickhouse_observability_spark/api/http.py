@@ -301,10 +301,19 @@ class LogsApi:
         from clickhouse_observability_spark.functions.ch_dialect import (
             ChDialectError,
             ch_sql,
+            split_format_clause,
         )
 
         if not q or not q.strip():
             return 400, {"error": "missing query"}
+        # CH clients suffix `FORMAT <name>`: honor the common output
+        # shapes (translate() strips the clause for execution either
+        # way; the envelope is rendered per format below)
+        _, fmt = split_format_clause(q)
+        fmt_l = (fmt or "json").lower()
+        if fmt_l not in ("json", "jsoneachrow", "tsv", "tabseparated",
+                        "csv"):
+            return 400, {"error": f"unsupported FORMAT {fmt}"}
         cache_key = None
         # cacheable only when invalidation is possible (a table to
         # fingerprint) and the statement is deterministic
@@ -348,7 +357,17 @@ class LogsApi:
              for k, v in row.asDict(recursive=True).items()}
             for row in rows
         ]
-        envelope = {"meta": meta, "data": data, "rows": len(data)}
+        if fmt_l == "jsoneachrow":
+            envelope = "\n".join(json.dumps(d) for d in data) + (
+                "\n" if data else "")
+        elif fmt_l in ("tsv", "tabseparated", "csv"):
+            sep = "\t" if fmt_l != "csv" else ","
+            envelope = "".join(
+                sep.join("" if d[m["name"]] is None else str(d[m["name"]])
+                         for m in meta) + "\n"
+                for d in data)
+        else:
+            envelope = {"meta": meta, "data": data, "rows": len(data)}
         if cache_key is not None:
             self._cache.put(cache_key, envelope)
         return 200, envelope
@@ -447,7 +466,11 @@ class LogsApi:
                     self._send(status, body)
                 elif u.path == "/v1/query":
                     q = dict(parse_qsl(u.query)).get("q")
-                    self._send(*api.query_handler(q))
+                    status, body = api.query_handler(q)
+                    self._send(status, body,
+                               content_type="text/plain; charset=utf-8"
+                               if isinstance(body, str)
+                               else "application/json")
                 elif u.path == "/v1/stats":
                     self._send(*api.stats_handler(dict(parse_qsl(u.query))))
                 elif u.path == "/api/ping":
@@ -468,7 +491,11 @@ class LogsApi:
                     # POST body
                     n = int(self.headers.get("Content-Length") or 0)
                     q = self.rfile.read(n).decode("utf-8", "replace")
-                    self._send(*api.query_handler(q))
+                    status, body = api.query_handler(q)
+                    self._send(status, body,
+                               content_type="text/plain; charset=utf-8"
+                               if isinstance(body, str)
+                               else "application/json")
                 else:
                     self._send(404, {"error": "not found"})
 

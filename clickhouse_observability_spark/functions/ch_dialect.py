@@ -349,9 +349,65 @@ def _emit(tokens: list[str]) -> str:
     return " ".join(out)
 
 
+def split_format_clause(sql: str) -> tuple[str, str | None]:
+    """Strip a trailing CH `FORMAT <name>` clause (the client-side
+    output format — transport concern, not query semantics). Returns
+    (sql_without_clause, format_name_or_None)."""
+    m = re.search(r"\bFORMAT\s+([A-Za-z][A-Za-z0-9]*)\s*;?\s*$", sql,
+                  re.IGNORECASE)
+    if not m:
+        return sql, None
+    return sql[: m.start()].rstrip(), m.group(1)
+
+
+def _rewrite_prewhere(tokens: list[str]) -> list[str]:
+    """CH PREWHERE is an execution hint (filter before reading the
+    remaining columns) — semantically a plain WHERE conjunct, and
+    Spark's pushdown already does the optimization. PREWHERE alone
+    becomes WHERE; PREWHERE + WHERE merge into one conjunction (CH
+    applies both)."""
+    lows = [t.lower() for t in tokens]
+    if "prewhere" not in lows:
+        return tokens
+    pi = lows.index("prewhere")
+    # find a top-level WHERE after it (same subquery depth)
+    depth = 0
+    wi = None
+    for i in range(pi + 1, len(tokens)):
+        if tokens[i] == "(":
+            depth += 1
+        elif tokens[i] == ")":
+            depth -= 1
+        elif depth == 0 and lows[i] == "where":
+            wi = i
+            break
+    if wi is None:
+        out = tokens[:pi] + ["WHERE"] + tokens[pi + 1:]
+    else:
+        pre = tokens[pi + 1:wi]
+        rest = tokens[wi + 1:]
+        # WHERE ends at the next top-level clause keyword
+        enders = {"group", "order", "limit", "having", "window",
+                  "union", "qualify"}
+        depth = 0
+        end = len(rest)
+        for i, t in enumerate(rest):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and t.lower() in enders:
+                end = i
+                break
+        out = (tokens[:pi] + ["WHERE", "("] + pre + [")", "AND", "("]
+               + rest[:end] + [")"] + rest[end:])
+    return _rewrite_prewhere(out)  # handle any further PREWHEREs
+
+
 def translate(sql: str) -> str:
     """ClickHouse SQL text -> Spark SQL text."""
-    return _emit(_tokenize(sql))
+    sql, _fmt = split_format_clause(sql)
+    return _emit(_rewrite_prewhere(_tokenize(sql)))
 
 
 # ---------------------------------------------------------------------------

@@ -100,6 +100,42 @@ def test_translate_review_fixes(spark):
     assert str(r["w1"]).startswith("2024-03-04")
 
 
+def test_prewhere_and_format_clause(spark, logs):
+    from clickhouse_observability_spark.functions.ch_dialect import (
+        split_format_clause,
+    )
+
+    assert split_format_clause("SELECT 1 FORMAT JSON") == ("SELECT 1",
+                                                           "JSON")
+    assert split_format_clause("SELECT 'FORMAT JSON'")[1] is None
+
+    # PREWHERE alone -> WHERE
+    out = translate("SELECT count(*) FROM logs PREWHERE level = 'E'")
+    assert "PREWHERE" not in out and "WHERE" in out
+    # PREWHERE + WHERE merge into a conjunction, clause tail intact
+    out = translate(
+        "SELECT service, count(*) FROM logs PREWHERE level = 'E' "
+        "WHERE service != 'x' GROUP BY service")
+    assert "PREWHERE" not in out
+    assert "AND" in out and "GROUP BY" in out.upper()
+
+    ch_sql(
+        spark,
+        "INSERT INTO logs (ts, service, level) VALUES "
+        "('2025-01-01 00:00:00', 'a', 'E'), "
+        "('2025-01-02 00:00:00', 'a', 'I'), "
+        "('2025-01-03 00:00:00', 'b', 'E')",
+        logs=logs,
+    )
+    rows = ch_sql(
+        spark,
+        "SELECT service, count(*) AS n FROM logs PREWHERE level = 'E' "
+        "WHERE service = 'a' GROUP BY service FORMAT TSV",
+        logs=logs,
+    ).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 1
+
+
 def test_translate_string_literal_safety():
     out = translate("SELECT 'toStartOfHour(x)' AS s, now() FROM t")
     assert "'toStartOfHour(x)'" in out

@@ -86,6 +86,21 @@ def test_query_handler_json_safe_values(spark, logs):
     assert all(t.endswith("Z") for t in body["data"][0]["times"])
 
 
+def test_query_handler_formats(spark, logs):
+    api = LogsApi(logs.read, logs_table=logs)
+    q = ("SELECT service, count(*) AS n FROM logs "
+         "GROUP BY service ORDER BY service")
+    status, tsv = api.query_handler(q + " FORMAT TSV")
+    assert status == 200 and isinstance(tsv, str)
+    assert tsv.splitlines()[0] == "billing\t1"
+    status, csv = api.query_handler(q + " FORMAT CSV")
+    assert csv.splitlines()[1] == "orders,2"
+    status, jer = api.query_handler(q + " FORMAT JSONEachRow")
+    assert json.loads(jer.splitlines()[0]) == {"service": "billing",
+                                               "n": 1}
+    assert api.query_handler(q + " FORMAT Parquet")[0] == 400
+
+
 def test_system_parts_over_sql(spark, logs):
     api = LogsApi(logs.read, logs_table=logs)
     status, body = api.query_handler(
