@@ -825,3 +825,139 @@ def semdedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def binary_index(
+    embeddings: DataFrame, dim: int = 64
+) -> tuple[list[float], DataFrame]:
+    """Binary (1-bit) quantization index build: (means, codes) — the
+    Lucene/Elasticsearch-style BQ layout. Each dimension keeps one
+    sign bit relative to the corpus per-dimension mean, packed into
+    ``ceil(dim/64)`` bigints — 64 float64 dims (512 B) become 8 B,
+    the same 64× at-rest shrink as PQ with a far cheaper build (one
+    avg aggregate, no k-means) and a distance that is pure popcount.
+
+    means: python list of `dim` doubles — index METADATA (one row),
+    embedded in build/query expressions as literals. codes:
+    (vec_id, bq array<bigint>) — corpus-sized, written to an at-rest
+    sidecar by callers, never through the driver.
+
+    Bit i of word w is set iff v[w*64+i] > mean[w*64+i]; packing is a
+    JVM-side fold (bitwise OR of shifted bits — OR, not +, so the
+    sign bit 63 needs no overflow carve-out under ANSI mode).
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    means_row = e.agg(
+        *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
+    ).collect()[0]
+    means = [float(means_row[i]) for i in range(dim)]
+    codes = binary_codes(embeddings, means, dim=dim)
+    return means, codes
+
+
+def binary_codes(
+    embeddings: DataFrame, means: list[float], dim: int = 64
+) -> DataFrame:
+    """(vec_id, bq array<bigint>) packed sign-bit codes against the
+    given per-dimension means (index metadata, shipped as a literal —
+    no join)."""
+    nwords = (dim + 63) // 64
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bqm", F.array(*[F.lit(float(x)) for x in means]))
+    pack = F.expr(
+        f"transform(sequence(0, {nwords - 1}), w -> "
+        f"aggregate(sequence(0, 63), 0L, (acc, i) -> "
+        f"CASE WHEN w * 64 + i < {dim} AND v[w * 64 + i] > bqm[w * 64 + i] "
+        f"THEN acc | shiftleft(1L, i) ELSE acc END))"
+    )
+    return e.select("vec_id", pack.alias("bq"))
+
+
+def _pack_bits_py(v: list[float], means: list[float], dim: int) -> list[int]:
+    """Driver-side packing for QUERY vectors (bounded: len(query_ids)
+    rows) — bit-identical to `binary_codes`, including the signed
+    64-bit wrap of bit 63."""
+    words = []
+    for w in range((dim + 63) // 64):
+        acc = 0
+        for i in range(64):
+            j = w * 64 + i
+            if j < dim and v[j] > means[j]:
+                acc |= 1 << i
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        words.append(acc)
+    return words
+
+
+def binary_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    codes: DataFrame | None = None,
+    means: list[float] | None = None,
+    dim: int = 64,
+    rerank: int = 50,
+) -> DataFrame:
+    """ANN top-k via binary-quantized hamming pre-rank + exact cosine
+    re-rank. The corpus side is the 8-byte-per-vector codes frame —
+    score = Σ_w bit_count(bq[w] XOR query_code[w]), one popcount per
+    word inside whole-stage codegen, no vector math per row — and only
+    the top `rerank` hamming candidates per query touch the
+    full-precision vectors. With ``rerank`` ≥ corpus size the result
+    degenerates to exact brute-force top-k (the oracle-adjudicated
+    proof arm), independent of code quality.
+
+    Hamming ties at the candidate cut break by vec_id ASC — stable,
+    but which true neighbors survive the cut is the approximation;
+    recall vs brute force is pytest-bounded on the testdata corpus.
+    """
+    if codes is None or means is None:
+        means, codes = binary_index(embeddings, dim=dim)
+    nwords = (dim + 63) // 64
+    q = embeddings.filter(
+        F.col("vec_id").isin([int(i) for i in query_ids])
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("qv"))
+    rows = [
+        (int(r.vec_id), _pack_bits_py(list(r.qv), means, dim))
+        for r in q.collect()
+    ]
+    spark = embeddings.sparkSession
+    qcodes = spark.createDataFrame(rows, "query_id bigint, qc array<bigint>")
+
+    ham = F.expr(
+        f"aggregate(sequence(0, {nwords - 1}), 0, "
+        f"(acc, w) -> acc + bit_count(bq[w] ^ qc[w]))"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        codes.join(F.broadcast(qcodes), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham.alias("hamming"))
+        .withColumn("hrank", F.row_number().over(w))
+        .filter(F.col("hrank") <= max(rerank, k))
+        .select("query_id", "vec_id")
+    )
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qe = q.select(F.col("vec_id").alias("query_id"), "qv")
+    cs = _cosine("qv", "v")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select("query_id", "vec_id", cs.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "vec_id",
+            F.round(F.col("cosine"), 6).alias("cosine"),
+        )
+    )

@@ -59,15 +59,19 @@ def sim_topk_bruteforce(spark, sf_dir):
     SELECT 'ivf_exhaustive', * FROM ({_EXACT_TOPK_SQL})
     UNION ALL
     SELECT 'pq_rerank_all', * FROM ({_EXACT_TOPK_SQL})
+    UNION ALL
+    SELECT 'bq_rerank_all', * FROM ({_EXACT_TOPK_SQL})
     """,
 )
 def sim_topk_exact_proofs(spark, sf_dir):
-    """Exact top-k three ways under ONE oracle, method-tagged: the
-    linear-scan baseline, IVF probing every partition, and PQ with
-    re-rank over every candidate. The latter two degenerate to exact
-    by construction, so the driver's hash gate adjudicates the
-    PROBING and PQ-RERANK machinery — not just the baseline — while
-    the three share a single slot in the 50-query oracle window."""
+    """Exact top-k four ways under ONE oracle, method-tagged: the
+    linear-scan baseline, IVF probing every partition, PQ with
+    re-rank over every candidate, and binary quantization with
+    re-rank over every candidate. The latter three degenerate to
+    exact by construction, so the driver's hash gate adjudicates the
+    PROBING, PQ-RERANK and BQ-HAMMING machinery — not just the
+    baseline — while all four share a single slot in the 50-query
+    oracle window."""
     from pyspark.sql import functions as F
 
     emb = table(spark, sf_dir, "embeddings")
@@ -83,7 +87,12 @@ def sim_topk_exact_proofs(spark, sf_dir):
         emb, _QUERY_IDS, k=10, codes=codes, codebooks=cbs,
         rerank=10**9,
     ).select(F.lit("pq_rerank_all").alias("method"), "*")
-    return brute.unionByName(ivf).unionByName(pq)
+    bmeans, bcodes = _binary_artifacts(spark, sf_dir)
+    bq = S.binary_topk(
+        emb, _QUERY_IDS, k=10, codes=bcodes, means=bmeans,
+        rerank=10**9,
+    ).select(F.lit("bq_rerank_all").alias("method"), "*")
+    return brute.unionByName(ivf).unionByName(pq).unionByName(bq)
 
 
 @register("sim_topk_lsh")
@@ -245,6 +254,56 @@ def _pq_artifacts(spark, sf_dir):
     return IX.load_artifact(spark, codes_path), _CODEBOOK_META[cbs_path]
 
 
+# Per-dimension means for binary quantization: index METADATA (dim
+# doubles, one sidecar row), cached by sidecar path like the PQ
+# codebooks. BOUNDED, never corpus-sized.
+_BQ_MEANS_META: dict[str, list[float]] = {}
+
+
+def _binary_artifacts(spark, sf_dir):
+    """Binary-quantization index as AT-REST parquet sidecars: means
+    (one row of `dim` doubles — metadata) + packed sign-bit codes
+    (corpus-sized, one bigint word per 64 dims per vector — written
+    straight to the warehouse, never through the driver). Built once
+    per corpus by the first caller; every query after, across
+    processes, reads the sidecars."""
+    means_path = IX.artifact_path(sf_dir, "bq_means")
+    codes_path = IX.artifact_path(sf_dir, "bq_codes")
+    if not (IX.has_artifact(means_path) and IX.has_artifact(codes_path)):
+        means, codes = S.binary_index(table(spark, sf_dir, "embeddings"))
+        IX.write_artifact(
+            spark.createDataFrame([(means,)], "mv array<double>"),
+            means_path,
+            coalesce=1,
+        )
+        IX.write_artifact(codes, codes_path)
+        _BQ_MEANS_META.pop(means_path, None)
+    if means_path not in _BQ_MEANS_META:
+        _BQ_MEANS_META[means_path] = list(
+            IX.load_artifact(spark, means_path).collect()[0].mv
+        )
+    return _BQ_MEANS_META[means_path], IX.load_artifact(spark, codes_path)
+
+
+@register("sim_topk_binary")
+def sim_topk_binary(spark, sf_dir):
+    """Binary-quantization ANN (the Lucene/Elasticsearch BQ shape):
+    per-dimension sign bits against the corpus means packed into one
+    bigint per 64 dims — 64× smaller than the float vectors, like PQ,
+    but the build is one avg aggregate (no k-means) and the scan
+    distance is pure popcount (bit_count over XOR, whole-stage
+    codegen). Top-50 hamming candidates per query re-rank by exact
+    cosine. Rows-only: the hamming candidate cut is the
+    approximation; pytest bounds recall vs brute force, and the
+    rerank-all degeneration is oracle-adjudicated inside
+    sim_topk_exact_proofs (bq_rerank_all arm)."""
+    emb = table(spark, sf_dir, "embeddings")
+    means, codes = _binary_artifacts(spark, sf_dir)
+    return S.binary_topk(
+        emb, _QUERY_IDS, k=10, codes=codes, means=means, rerank=50
+    )
+
+
 @register("sim_topk_pq")
 def sim_topk_pq(spark, sf_dir):
     """Product-quantization ANN with exact re-rank: asymmetric
@@ -355,3 +414,69 @@ def sim_semdedup_keeplist(spark, sf_dir):
     comps = D.neardup_components(pairs, a="vec_a", b="vec_b")
     docs = emb.select(F.col("vec_id").alias("doc_id"))
     return D.canonical_per_component(docs, comps)
+
+
+@register("sim_ann_recall_report")
+def sim_ann_recall_report(spark, sf_dir):
+    """Recall@10 of every registered ANN configuration against the
+    exact scan, one row per method — the index-quality dashboard an
+    operator reads before switching a corpus from brute force to an
+    index (and after every index rebuild). Ground truth and candidate
+    sets are (query_id, vec_id) frames; recall = |hit ∩ truth| /
+    |truth| via an inner join + two tiny aggregates per method — at
+    scale the truth side is a sampled query panel, so every join is a
+    broadcast. Rows-only: the report quantifies seeded-index
+    internals (the exact arms are oracle-proven in
+    sim_topk_exact_proofs)."""
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    truth = S.brute_force_topk(emb, _QUERY_IDS, k=10).select(
+        "query_id", "vec_id"
+    )
+    pq_codes, cbs = _pq_artifacts(spark, sf_dir)
+    bmeans, bcodes = _binary_artifacts(spark, sf_dir)
+    kassign, kcent = _kmeans_artifacts(spark, sf_dir)
+    methods = {
+        "lsh_multiprobe": S.lsh_topk(emb, _QUERY_IDS, k=10),
+        "ivf_probe3": S.ivf_topk(
+            emb, _QUERY_IDS, k=10,
+            centroids=_label_centroids(spark, sf_dir),
+        ),
+        "ivf_kmeans_probe4": S.ivf_topk(
+            emb, _QUERY_IDS, k=10, n_probe=4,
+            assignments=kassign, centroids=kcent,
+        ),
+        "int8_quantized": S.brute_force_topk_quantized(
+            emb, _QUERY_IDS, k=10
+        ),
+        "pq_rerank50": S.pq_topk(
+            emb, _QUERY_IDS, k=10, codes=pq_codes, codebooks=cbs, rerank=50
+        ),
+        "ivf_pq_probe4_rerank50": S.ivf_pq_topk(
+            emb, _QUERY_IDS, k=10, n_probe=4, rerank=50,
+            codes=pq_codes, codebooks=cbs,
+            centroids=_label_centroids(spark, sf_dir),
+        ),
+        "binary_rerank50": S.binary_topk(
+            emb, _QUERY_IDS, k=10, codes=bcodes, means=bmeans, rerank=50
+        ),
+    }
+    n_truth = F.lit(len(_QUERY_IDS) * 10)
+    reports = []
+    for name, df in methods.items():
+        hits = df.select("query_id", "vec_id").join(
+            truth, ["query_id", "vec_id"]
+        )
+        reports.append(
+            hits.agg(
+                F.lit(name).alias("method"),
+                (F.count(F.lit(1)) / n_truth).alias("recall_at_10"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "method", F.round("recall_at_10", 4).alias("recall_at_10")
+    )

@@ -418,3 +418,51 @@ def test_semdedup_agrees_with_brute_force_within_clusters(spark, sf_small):
     }
     assert sem == same_cluster
     assert sem <= brute
+
+
+def test_binary_codes_bit_parity_with_python(emb):
+    # Spark-side packing == driver-side packing (bit 63 sign wrap
+    # included) for every corpus vector.
+    means, codes = S.binary_index(emb)
+    got = {r.vec_id: list(r.bq) for r in codes.collect()}
+    for r in emb.collect():
+        exp = S._pack_bits_py(
+            [float(x) for x in r.embedding], means, len(means)
+        )
+        assert got[r.vec_id] == exp, r.vec_id
+
+
+def test_binary_rerank_all_degenerates_to_exact(emb, bf_sets):
+    got = {}
+    for r in S.binary_topk(emb, QIDS, k=10, rerank=10**9).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    assert got == bf_sets
+
+
+def test_binary_topk_recall_with_rerank(emb, bf_sets):
+    # 64 sign bits + top-50 hamming rerank on the weakly-similar
+    # testdata corpus: the approximation must keep most of the true
+    # top-10 (bound measured on the seeded corpus with slack).
+    got = {}
+    for r in S.binary_topk(emb, QIDS, k=10, rerank=50).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(bf_sets[q] & got.get(q, set())) for q in QIDS)
+    recall = hits / sum(len(v) for v in bf_sets.values())
+    assert recall >= 0.5, f"binary-quantization recall {recall}"
+
+
+def test_ann_recall_report_shape_and_anchors(spark, sf_small, tmp_path, monkeypatch):
+    # One row per method, recalls in [0,1]; the int8 arm is a
+    # (near-)exact scan, so it anchors the top of the report.
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    import __spark_entry__ as em
+
+    rows = {r.method: r.recall_at_10
+            for r in em.queries()["sim_ann_recall_report"](spark, sf_small).collect()}
+    assert set(rows) == {
+        "lsh_multiprobe", "ivf_probe3", "ivf_kmeans_probe4",
+        "int8_quantized", "pq_rerank50", "ivf_pq_probe4_rerank50",
+        "binary_rerank50",
+    }
+    assert all(0.0 <= v <= 1.0 for v in rows.values()), rows
+    assert rows["int8_quantized"] >= 0.9, rows
