@@ -1313,3 +1313,53 @@ def mixture_plan(
         F.floor(rate * F.col("n_tokens")).cast("long").alias("planned_tokens"),
         (alloc > F.col("n_tokens")).alias("deficit"),
     ).orderBy("source")
+
+
+def epoch_shard_plan(
+    chunks: DataFrame,
+    n_epochs: int = 2,
+    n_shards: int = 4,
+    key_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    carry_cols: tuple[str, ...] = ("n_toks",),
+) -> DataFrame:
+    """Multi-epoch training data order: for every epoch, a
+    DETERMINISTIC reshuffle of the chunk set into `n_shards` reader
+    shards with a per-shard consumption order —
+
+        epoch, shard, position, *key_cols, *carry_cols
+
+    Trainers need a different order each epoch, reproducible across
+    job restarts and engines: the order key is md5(key..:epoch), so
+    epoch e's permutation is a pure function of the chunk identity —
+    no rand(), no zipWithIndex. The shard is an independent salt
+    ('shard:'-prefixed hash) mod n_shards, so a chunk's shard ALSO
+    changes per epoch (shard-local overfitting noise doesn't repeat).
+    Positions are contiguous 0..n-1 within each (epoch, shard).
+
+    Scale shape: epochs fan out via one bounded explode (n_epochs×
+    rows); positions come from a window partitioned by (epoch, shard)
+    — at production shard counts each partition is corpus/n_shards,
+    never a global funnel. Everything is hash arithmetic inside
+    codegen; one shuffle (the window's) total.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in key_cols]
+    e = chunks.select(
+        *key_cols, *carry_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
+    )
+    okey = F.md5(F.concat_ws(":", *keys, F.col("epoch")))
+    skey = F.md5(F.concat_ws(":", F.lit("shard"), *keys, F.col("epoch")))
+    shard = (
+        F.conv(F.substring(skey, 1, 14), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("_okey").asc(), *[k.asc() for k in keys]
+    )
+    return (
+        e.withColumn("_okey", okey)
+        .withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w) - 1)
+        .select("epoch", "shard", "position", *key_cols, *carry_cols)
+    )

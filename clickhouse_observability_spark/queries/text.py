@@ -719,3 +719,64 @@ def queries_ref():
     from clickhouse_observability_spark.registry import queries
 
     return queries()
+
+
+@register(
+    "text_epoch_shards",
+    # Registered after the 50-slot window; the oracle SQL is executed
+    # against DuckDB in tests/test_text.py (r4+ convention for
+    # post-window entries).
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '')) AS n
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n,
+               (sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n)::BIGINT AS tok_start
+        FROM t WHERE n > 0
+    ), c AS (
+        SELECT doc_id, tok_start, n,
+               unnest(range(tok_start // 512,
+                            (tok_start + n - 1) // 512 + 1)) AS chunk_id
+        FROM s
+    ), k AS (
+        SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+               (least(tok_start + n, (chunk_id + 1) * 512)
+                - greatest(tok_start, chunk_id * 512))::BIGINT AS n_toks
+        FROM c
+    ), e AS (
+        SELECT doc_id, chunk_id, n_toks, unnest(range(0, 2)) AS epoch
+        FROM k
+    ), h AS (
+        SELECT doc_id, chunk_id, n_toks, epoch,
+               md5(concat_ws(':', doc_id, chunk_id, epoch)) AS okey,
+               (('0x' || substring(md5(concat_ws(':', 'shard', doc_id,
+                                                 chunk_id, epoch)), 1, 14)
+                )::BIGINT % 4)::INTEGER AS shard
+        FROM e
+    )
+    SELECT epoch::INTEGER AS epoch, shard,
+           (row_number() OVER (PARTITION BY epoch, shard
+                               ORDER BY okey, doc_id, chunk_id)
+            - 1)::INTEGER AS position,
+           doc_id, chunk_id, n_toks
+    FROM h
+    """,
+)
+def text_epoch_shards(spark, sf_dir):
+    """Multi-epoch data-order plan over the packed corpus: each epoch
+    deterministically reshuffles the budget-512 training chunks into 4
+    reader shards with contiguous per-shard positions — the
+    chunk-to-reader assignment a multi-epoch trainer consumes. The
+    permutation and shard are pure md5 functions of (chunk identity,
+    epoch): reproducible across restarts and engines, different every
+    epoch, no rand(). Oracle mirrors the packing cumsum then the hash
+    arithmetic verbatim; pytest pins coverage (every chunk exactly
+    once per epoch), contiguity, cross-epoch permutation inequality
+    and cross-call determinism."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = TX.pack_training_chunks(docs, budget=512)
+    return TX.epoch_shard_plan(chunks, n_epochs=2, n_shards=4)

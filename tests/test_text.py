@@ -742,3 +742,53 @@ def test_chunk_documents_overlap_rejects_bad_stride(spark):
         TX.chunk_documents_overlap(df, budget=8, stride=0)
     with pytest.raises(ValueError):
         TX.chunk_documents_overlap(df, budget=8, stride=9)
+
+
+def test_epoch_shard_plan_invariants(spark):
+    rows = [(i, f"doc {i} " + "tok " * (3 + i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = TX.pack_training_chunks(df, budget=16)
+    n_chunks = chunks.count()
+    plan = TX.epoch_shard_plan(chunks, n_epochs=3, n_shards=4).collect()
+    # every chunk exactly once per epoch
+    assert len(plan) == 3 * n_chunks
+    per_epoch = {}
+    for r in plan:
+        per_epoch.setdefault(r.epoch, []).append(r)
+    key = lambda r: (r.doc_id, r.chunk_id)
+    base_keys = sorted(key(r) for r in per_epoch[0])
+    for e, rs in per_epoch.items():
+        assert sorted(key(r) for r in rs) == base_keys
+        # positions contiguous 0..n-1 within each shard
+        by_shard = {}
+        for r in rs:
+            by_shard.setdefault(r.shard, []).append(r.position)
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(len(ps))), (e, shard)
+    # different epochs produce different orders (and shard maps)
+    order = lambda e: [key(r) for r in sorted(per_epoch[e],
+                                              key=lambda r: (r.shard, r.position))]
+    assert order(0) != order(1) and order(1) != order(2)
+    # deterministic across calls
+    again = TX.epoch_shard_plan(chunks, n_epochs=3, n_shards=4).collect()
+    assert sorted(map(tuple, plan)) == sorted(map(tuple, again))
+
+
+def test_epoch_shards_oracle_matches_duckdb(spark, sf_small):
+    import duckdb
+
+    from clickhouse_observability_spark.registry import oracle_sql, queries
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    name = "text_epoch_shards"
+    sdf = queries()[name](spark, sf_small)
+    cols = sdf.columns
+    got = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+    ores = con.execute(oracle_sql()[name]).fetchall()
+    ocols = [d[0] for d in con.execute(oracle_sql()[name]).description]
+    idx = [ocols.index(c) for c in cols]
+    exp = sorted(tuple(r[i] for i in idx) for r in ores)
+    assert got == exp
