@@ -1,0 +1,163 @@
+"""Incremental embedding ingestion with online ANN-index maintenance
+(streaming/vector_ingest.py): audit gate, full-history id dedup,
+frozen-artifact assignment/coding, crash-retry idempotency, rebuild."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from clickhouse_observability_spark.operators import similarity as S
+from clickhouse_observability_spark.streaming.vector_ingest import VectorIngest
+
+DIM = 8
+
+
+def _vec(rnd):
+    return [round(rnd.uniform(-1, 1), 6) for _ in range(DIM)]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    rnd = random.Random(7)
+    seed = [(i, _vec(rnd)) for i in range(40)]
+    emb = spark.createDataFrame(seed, "vec_id long, embedding array<double>")
+    vi = VectorIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        inbox_dir=str(tmp_path / "inbox"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dim=DIM,
+        n_clusters=4,
+    )
+    vi.bootstrap(emb)
+    return vi, seed, rnd
+
+
+def test_bootstrap_artifacts_consistent(spark, store):
+    vi, seed, _ = store
+    assert vi.read().count() == 40
+    assert vi.assignments().count() == 40
+    assert vi.codes().count() == 40
+    assert vi.centroids().count() == 4
+    assert vi.staleness()["stale_frac"] == 0.0
+
+
+def test_streamed_admission_dedup_audit_and_index(spark, store):
+    vi, seed, rnd = store
+    new = [(100 + i, _vec(rnd)) for i in range(20)]
+    batch = (
+        [{"vec_id": i, "embedding": v} for i, v in new]
+        # resubmits of seed vectors: must be rejected by the id index
+        + [{"vec_id": 3, "embedding": seed[3][1]},
+           {"vec_id": 5, "embedding": seed[5][1]}]
+        # defect rows: must land in quarantine with a reason
+        + [{"vec_id": 200, "embedding": None},
+           {"vec_id": 201, "embedding": [1.0] * (DIM - 1)},
+           {"vec_id": 202, "embedding": [float("nan")] + [0.0] * (DIM - 1)},
+           {"vec_id": 203, "embedding": [0.0] * DIM}]
+    )
+    vi.submit_many(batch)
+    vi.start()
+    vi.query.processAllAvailable()
+    vi.stop(drain=False)
+
+    assert vi.read().count() == 60  # 40 seed + 20 new, no dups
+    ids = {r.vec_id for r in vi.read().select("vec_id").collect()}
+    assert set(range(40)) | {100 + i for i in range(20)} == ids
+    reasons = {r.vec_id: r.reject_reason for r in vi.rejected().collect()}
+    assert reasons == {
+        200: "null_embedding", 201: "wrong_dim",
+        202: "non_finite", 203: "zero_norm",
+    }
+    # every admitted vector is indexed: assignment + code present
+    assert vi.assignments().count() == 60
+    assert vi.codes().count() == 60
+    st = vi.staleness()
+    assert st["n_total"] == 60 and st["n_at_build"] == 40
+    assert abs(st["stale_frac"] - 20 / 60) < 1e-6
+
+
+def test_incremental_assignment_agrees_with_model(spark, store):
+    # nearest-centroid fold == what a full rebuild of the SEED corpus
+    # assigns (frozen centroids, same vectors => identical labels)
+    vi, seed, rnd = store
+    before = {r.vec_id: r.label for r in vi.assignments().collect()}
+    new = [(300 + i, _vec(rnd)) for i in range(15)]
+    vi.submit_many([{"vec_id": i, "embedding": v} for i, v in new])
+    vi.start()
+    vi.query.processAllAvailable()
+    vi.stop(drain=False)
+    after = {r.vec_id: r.label for r in vi.assignments().collect()}
+    # python reference: L2-nearest frozen centroid, ties to lower label
+    cents = [list(r.cv) for r in sorted(
+        vi.centroids().collect(), key=lambda r: r.label
+    )]
+    for vid, v in new:
+        dists = [sum((x - y) ** 2 for x, y in zip(v, c)) for c in cents]
+        assert after[vid] == dists.index(min(dists)), vid
+    # seed assignments untouched
+    assert all(after[k] == v for k, v in before.items())
+    # codes bit-identical to the batch operator under the frozen means
+    import pyspark.sql.functions as F
+
+    means = list(spark.read.parquet(vi.means_dir).collect()[0].mv)
+    emb = vi.read().filter(F.col("vec_id") >= 300)
+    exp = {r.vec_id: list(r.bq)
+           for r in S.binary_codes(emb, means, dim=DIM).collect()}
+    got = {r.vec_id: list(r.bq)
+           for r in vi.codes().filter(F.col("vec_id") >= 300).collect()}
+    assert got == exp
+
+
+def test_crash_retry_admits_nothing(spark, store):
+    # re-running the same foreachBatch payload (Spark retries a batch
+    # after a crash between appends) must be a no-op for ids/vectors
+    vi, seed, rnd = store
+    rows = [(500 + i, _vec(rnd)) for i in range(5)]
+    batch = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vi._admit(batch, batch_id=1)
+    n1 = (vi.read().count(), vi.assignments().count(), vi.codes().count())
+    vi._admit(batch, batch_id=1)  # retry
+    n2 = (vi.read().count(), vi.assignments().count(), vi.codes().count())
+    assert n1 == n2 == (45, 45, 45)
+
+
+def test_rebuild_resets_staleness_and_reindexes_all(spark, store):
+    vi, seed, rnd = store
+    vi.submit_many(
+        [{"vec_id": 700 + i, "embedding": _vec(rnd)} for i in range(20)]
+    )
+    vi.start()
+    vi.query.processAllAvailable()
+    vi.stop(drain=False)
+    assert vi.staleness()["stale_frac"] > 0
+    vi.rebuild()
+    st = vi.staleness()
+    assert st["stale_frac"] == 0.0 and st["n_at_build"] == 60
+    assert vi.assignments().count() == 60
+    assert vi.codes().count() == 60
+    # rebuilt assignments are the k-means optimum of the GROWN corpus:
+    # every vector sits with its nearest NEW centroid
+    cents = [list(r.cv) for r in sorted(
+        vi.centroids().collect(), key=lambda r: r.label
+    )]
+    labels = {r.vec_id: r.label for r in vi.assignments().collect()}
+    for r in vi.read().collect():
+        dists = [sum((x - y) ** 2 for x, y in zip(r.embedding, c))
+                 for c in cents]
+        assert labels[r.vec_id] == dists.index(min(dists)), r.vec_id
+    # and search over the maintained index works end to end
+    import pyspark.sql.functions as F
+
+    cent_df = vi.centroids().select(
+        F.col("label").cast("long").alias("label"), "cv"
+    )
+    got = S.ivf_topk(
+        vi.read(), [0, 1], k=5,
+        assignments=vi.assignments(),
+        centroids=cent_df,
+        n_probe=4,
+    ).collect()
+    assert len(got) == 10
