@@ -112,3 +112,86 @@ def sum_map(
     if round_to is not None:
         s = F.round(s, round_to)
     return ex.groupBy(group, "map_key").agg(s.alias("map_sum"))
+
+
+def segment_overlap_exact(
+    df: DataFrame, segment: str = "event_type", id_col: str = "user_id"
+) -> DataFrame:
+    """Exact pairwise audience overlap between segments — for every
+    segment pair (a < b): distinct-id counts of each side, the
+    intersection, the union (inclusion–exclusion), and Jaccard. The
+    ClickHouse-users' uniq-across-segments analysis, done exactly.
+
+    Shape: ONE distinct pass (segment, id) — a single shuffle on the
+    pair — then a self-join on the id to count co-membership; the
+    per-segment totals are a tiny aggregate broadcast onto the
+    #segments² result. The id-keyed self-join is the exact-answer
+    cost: each id's segment list fans out |segments(id)|² — fine
+    while ids belong to few segments. `segment_overlap_theta` is the
+    registered approximation for when it isn't.
+    """
+    d = df.select(F.col(segment).alias("seg"), F.col(id_col).alias("id")).distinct()
+    totals = d.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("seg").alias("seg_a"), "id")
+    b = d.select(F.col("seg").alias("seg_b"), "id")
+    inter = (
+        a.join(b, "id")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ta = totals.select(F.col("seg").alias("seg_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("seg").alias("seg_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ta), "seg_a")
+        .join(F.broadcast(tb), "seg_b")
+        .select(
+            "seg_a", "seg_b", "n_a", "n_b", "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def segment_overlap_theta(
+    df: DataFrame, segment: str = "event_type", id_col: str = "user_id"
+) -> DataFrame:
+    """Approximate pairwise audience overlap via DataSketches THETA
+    sketches (the CH `uniqTheta` family: uniqTheta + intersect/union
+    over sketch states) — the 100 TB path. One aggregation builds a
+    per-segment sketch (KB-sized mergeable state, map-side combined:
+    the ids themselves never shuffle); the #segments-row sketch table
+    self-joins (tiny, broadcast) and every pair's union/intersection
+    estimate is pure sketch arithmetic. The exact twin costs an
+    id-keyed self-join whose fan-out is quadratic in segments-per-id;
+    this one's cost is ONE scan regardless of overlap structure.
+
+    Estimates are engine-specific -> rows-only; pytest bounds the
+    relative error against `segment_overlap_exact`.
+    """
+    sk = df.groupBy(F.col(segment).alias("seg")).agg(
+        F.expr(f"theta_sketch_agg({id_col})").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    a = sk.select(
+        F.col("seg").alias("seg_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("seg").alias("seg_b"), F.col("sk").alias("sk_b")
+    )
+    est = lambda c: F.round(F.expr(f"theta_sketch_estimate({c})"), 1)
+    return (
+        a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+        .select(
+            "seg_a",
+            "seg_b",
+            est("sk_a").alias("est_a"),
+            est("sk_b").alias("est_b"),
+            est("theta_intersection(sk_a, sk_b)").alias("est_inter"),
+            est("theta_union(sk_a, sk_b)").alias("est_union"),
+        )
+    )

@@ -145,3 +145,47 @@ def agg_ch_summap(spark, sf_dir):
         F.col("value"),
     )
     return CH.sum_map(ev, "event_type", m, round_to=2)
+
+
+@register(
+    "agg_segment_overlap",
+    # Registered after the 50-slot window; oracle executed against
+    # DuckDB in tests/test_chfuncs.py (r4+ convention).
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT event_type AS seg, user_id AS id FROM events
+    ), t AS (
+        SELECT seg, count(*) AS n FROM d GROUP BY seg
+    ), i AS (
+        SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS n_inter
+        FROM d a JOIN d b ON a.id = b.id AND a.seg < b.seg
+        GROUP BY a.seg, b.seg
+    )
+    SELECT seg_a, seg_b, ta.n AS n_a, tb.n AS n_b, n_inter,
+           ta.n + tb.n - n_inter AS n_union,
+           round(n_inter / (ta.n + tb.n - n_inter), 6) AS jaccard
+    FROM i JOIN t ta ON ta.seg = i.seg_a JOIN t tb ON tb.seg = i.seg_b
+    """,
+)
+def agg_segment_overlap(spark, sf_dir):
+    """Exact pairwise audience overlap between event-type segments:
+    distinct users per side, intersection, union, Jaccard — the
+    which-audiences-share-users analysis. One distinct pass + an
+    id-keyed self-join (the exact-answer cost; `agg_theta_overlap` is
+    the sketch-based scale path whose cost is one scan)."""
+    return CH.segment_overlap_exact(
+        table(spark, sf_dir, "events")
+    ).orderBy("seg_a", "seg_b")
+
+
+@register("agg_theta_overlap")
+def agg_theta_overlap(spark, sf_dir):
+    """Approximate audience overlap via DataSketches theta sketches
+    (the ClickHouse uniqTheta/intersect/union family): per-segment
+    KB-sized mergeable sketch states — ids never shuffle — then pure
+    sketch arithmetic on the broadcast #segments-row table. Rows-only:
+    sketch estimates are engine-specific; pytest bounds relative
+    error against the exact twin."""
+    return CH.segment_overlap_theta(
+        table(spark, sf_dir, "events")
+    ).orderBy("seg_a", "seg_b")

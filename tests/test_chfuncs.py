@@ -73,8 +73,8 @@ def test_chfuncs_oracles_match_duckdb(spark, sf_med):
 
     qs, oracles = queries(), oracle_sql()
     names = sorted(n for n in oracles
-                   if n.startswith(("agg_ch_", "ch_dialect_")))
-    assert len(names) == 3
+                   if n.startswith(("agg_ch_", "ch_dialect_", "agg_segment_")))
+    assert len(names) == 4
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{sf_med}/events.parquet'")
@@ -88,3 +88,45 @@ def test_chfuncs_oracles_match_duckdb(spark, sf_med):
         drows = sorted(tuple(str(r[i]) for i in idx)
                        for r in res.fetchall())
         assert srows == drows, name
+
+
+def test_segment_overlap_exact_matches_python(spark):
+    rows = [("a", 1), ("a", 2), ("a", 3), ("a", 3),
+            ("b", 2), ("b", 3), ("b", 9),
+            ("c", 7)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    got = {(r.seg_a, r.seg_b): (r.n_a, r.n_b, r.n_inter, r.n_union, r.jaccard)
+           for r in CH.segment_overlap_exact(df).collect()}
+    # c shares no users: pairs with zero intersection are absent (the
+    # inner join semantics the oracle mirrors)
+    assert set(got) == {("a", "b")}
+    assert got[("a", "b")] == (3, 3, 2, 4, 0.5)
+
+
+def test_segment_overlap_theta_error_bounded(spark, sf_med):
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_med, "events")
+    exact = {(r.seg_a, r.seg_b): r for r in CH.segment_overlap_exact(ev).collect()}
+    approx = {(r.seg_a, r.seg_b): r for r in CH.segment_overlap_theta(ev).collect()}
+    assert set(approx) >= set(exact)
+    # theta sketches at default lgNomEntries=12 are exact below ~4k
+    # uniques and within a few percent far beyond; 5% is generous
+    for k, e in exact.items():
+        a = approx[k]
+        for ef, af in ((e.n_a, a.est_a), (e.n_b, a.est_b),
+                       (e.n_inter, a.est_inter), (e.n_union, a.est_union)):
+            assert abs(af - ef) <= max(1.0, 0.05 * ef), (k, ef, af)
+
+
+def test_segment_overlap_theta_plan_never_shuffles_ids(spark, sf_med):
+    """The scale contract: ids fold into per-segment sketch states
+    map-side; the only exchanges are the #segments-key aggregation
+    and the broadcast pair join — no id-keyed Exchange."""
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_med, "events")
+    plan = CH.segment_overlap_theta(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(user_id" not in plan
+    assert "hashpartitioning(id" not in plan
