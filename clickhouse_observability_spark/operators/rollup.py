@@ -62,7 +62,10 @@ NEG_OFF = 2_000_000
 HLL_LGK = 12
 
 STATE_COLS = ("cnt", "sum_value", "min_value", "max_value",
-              "uniq_users", "value_hist")
+              "uniq_users", "value_hist", "top_items")
+# approx_top_k state capacity: exact while a key's distinct items
+# stay under this; the CH topK default K is 10 with ~100 tracked.
+TOPK_MAX_TRACKED = 100
 
 
 def value_bucket(x: Column) -> Column:
@@ -95,6 +98,7 @@ def build_rollup(
     ts_col: str = "ts",
     value_col: str = "value",
     user_col: str = "user_id",
+    topk_col: str | None = None,
 ) -> DataFrame:
     """Raw events -> one partial-state row per (bucket_ts, dims).
 
@@ -102,15 +106,36 @@ def build_rollup(
     rollup-sized: level 1 groups at (key, value-bucket) grain so the
     histogram is built by plain counts; level 2 collapses the
     value-bucket into a sorted array and unions the HLL sketches.
+
+    `topk_col` (opt-in, schema-preserving when absent) adds a
+    MERGEABLE top-k state over that column — the CH `topKState`
+    analogue, Spark's native `approx_top_k_accumulate`/`_combine`
+    (DataSketches frequent-items): bounded-size state per key, exact
+    while a key's distinct items stay under TOPK_MAX_TRACKED,
+    approximate with counted error beyond. Finalize with
+    `top_items_est` / `approx_top_k_estimate`.
     """
     key = [F.date_trunc(granularity, F.col(ts_col)).alias("bucket_ts"),
            *[F.col(d) for d in dims]]
+    topk1 = (
+        [F.expr(
+            f"approx_top_k_accumulate({topk_col}, {TOPK_MAX_TRACKED})"
+         ).alias("top_items")]
+        if topk_col else []
+    )
+    topk2 = (
+        [F.expr(
+            f"approx_top_k_combine(top_items, {TOPK_MAX_TRACKED})"
+         ).alias("top_items")]
+        if topk_col else []
+    )
     lvl1 = events.groupBy(*key, value_bucket(F.col(value_col)).alias("__vb")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(value_col).alias("sum_value"),
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
         F.hll_sketch_agg(F.col(user_col), F.lit(HLL_LGK)).alias("uniq_users"),
+        *topk1,
     )
     return lvl1.groupBy("bucket_ts", *dims).agg(
         F.sum("cnt").alias("cnt"),
@@ -122,6 +147,7 @@ def build_rollup(
             F.collect_list(F.struct(F.col("__vb").alias("b"),
                                     F.col("cnt").alias("c")))
         ).alias("value_hist"),
+        *topk2,
     )
 
 
@@ -141,12 +167,19 @@ def merge_states(
     bucket = (F.date_trunc(granularity, F.col("bucket_ts"))
               if granularity else F.col("bucket_ts")).alias("bucket_ts")
     key = ["bucket_ts", *dims]
+    topk = (
+        [F.expr(
+            f"approx_top_k_combine(top_items, {TOPK_MAX_TRACKED})"
+         ).alias("top_items")]
+        if "top_items" in states.columns else []
+    )
     scalars = states.groupBy(bucket, *[F.col(d) for d in dims]).agg(
         F.sum("cnt").alias("cnt"),
         F.sum("sum_value").alias("sum_value"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
         F.hll_union_agg("uniq_users").alias("uniq_users"),
+        *topk,
     )
     hist = (
         states.select(bucket, *[F.col(d) for d in dims],
@@ -187,10 +220,16 @@ def _hist_quantile(q: float) -> Column:
 def finalize(
     states: DataFrame,
     quantiles: dict[str, float] | None = None,
+    topk_k: int = 5,
 ) -> DataFrame:
     """Partial states -> human-readable answers (the SELECT step)."""
     qs = {"p50": 0.50, "p95": 0.95, "p99": 0.99} if quantiles is None else quantiles
     keep = [c for c in states.columns if c not in STATE_COLS]
+    topk = (
+        [F.expr(f"approx_top_k_estimate(top_items, {topk_k})")
+         .alias("top_items_est")]
+        if "top_items" in states.columns else []
+    )
     return states.select(
         *keep,
         F.col("cnt"),
@@ -201,6 +240,7 @@ def finalize(
         F.round(F.hll_sketch_estimate("uniq_users")).cast("long")
         .alias("uniq_users_est"),
         *[_hist_quantile(q).alias(n) for n, q in qs.items()],
+        *topk,
     )
 
 

@@ -67,3 +67,32 @@ def rollup_day_type_panel(spark, sf_dir):
         .withColumn("event_type", F.lit("(all)"))
     )
     return per_type.unionByName(all_types)
+
+
+@register("rollup_topk_users")
+def rollup_topk_users(spark, sf_dir):
+    """Top-3 most active users per (day, event_type), answered from
+    the MERGEABLE top-k state (CH `topKState`/`topKMerge` ≅ Spark's
+    native approx_top_k accumulate/combine — DataSketches
+    frequent-items): hour-grain states built once, merged on read to
+    day grain, estimated and exploded to ranked rows. Rows-only:
+    frequent-items tie order and over-capacity estimates are
+    engine-specific; pytest pins exactness under capacity and
+    merge-path invariance."""
+    ev = table(spark, sf_dir, "events")
+    fine = R.build_rollup(ev, "hour", ("event_type",), topk_col="user_id")
+    day = R.merge_states(fine, ("event_type",), "day")
+    fin = R.finalize(day, topk_k=3)
+    return fin.select(
+        "bucket_ts",
+        "event_type",
+        "cnt",
+        F.posexplode("top_items_est").alias("pos", "e"),
+    ).select(
+        "bucket_ts",
+        "event_type",
+        "cnt",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("e.item").alias("user_id"),
+        F.col("e.count").alias("n_events"),
+    )

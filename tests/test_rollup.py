@@ -206,3 +206,77 @@ def test_state_size_is_bounded(spark, sf_med):
     bound = int(math.log(5e4) / math.log(R.GAMMA)) + 2
     mx = states.select(F.max(F.size("value_hist")).alias("s")).collect()[0]["s"]
     assert 0 < mx <= bound
+
+
+def test_topk_state_exact_under_capacity_and_merge_invariant(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    base = dt.datetime(2025, 9, 1)
+    # 2 types x 2 days x 3 hours, 12 users: well under TOPK_MAX_TRACKED
+    for d in range(2):
+        for h in range(3):
+            for et in ("a", "b"):
+                for u in range(12):
+                    for _ in range((u + d + h) % 5 + 1):
+                        rows.append(
+                            (base + dt.timedelta(days=d, hours=h), et,
+                             float(u), u)
+                        )
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double, user_id long"
+    )
+    fine = R.build_rollup(ev, "hour", ("event_type",), topk_col="user_id")
+    merged = R.merge_states(fine, ("event_type",), "day")
+    got = {}
+    for r in R.finalize(merged, topk_k=3).collect():
+        got[(r.bucket_ts, r.event_type)] = {
+            (e["item"], e["count"]) for e in r.top_items_est
+        }
+    # exact reference: under capacity the sketch IS the exact counts
+    exact = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("d"), "event_type", "user_id"
+        )
+        .count()
+        .collect()
+    )
+    ref = {}
+    for r in exact:
+        ref.setdefault((r.d, r.event_type), []).append((r.user_id, r["count"]))
+    for k, pairs in ref.items():
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        cut = pairs[2][1]  # count of rank-3: ties may swap membership
+        top = {p for p in pairs if p[1] >= cut}
+        assert got[k] <= top and len(got[k]) == 3, k
+    # merge-on-read == direct build at the coarse grain
+    direct = R.build_rollup(ev, "day", ("event_type",), topk_col="user_id")
+    got2 = {
+        (r.bucket_ts, r.event_type): {
+            (e["item"], e["count"]) for e in r.top_items_est
+        }
+        for r in R.finalize(direct, topk_k=3).collect()
+    }
+    assert set(got2) == set(got)
+    for k in got:
+        # same counts either path (exact regime); membership may only
+        # differ inside an exact tie at the cut
+        assert sorted(c for _, c in got[k]) == sorted(c for _, c in got2[k]), k
+
+
+def test_rollup_topk_users_entry(spark, sf_small, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    import __spark_entry__ as em
+
+    rows = em.queries()["rollup_topk_users"](spark, sf_small).collect()
+    assert rows and all(1 <= r.rank <= 3 for r in rows)
+    # ranks are count-descending within each (day, type)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.bucket_ts, r.event_type), []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r.rank)
+        counts = [r.n_events for r in rs]
+        assert counts == sorted(counts, reverse=True), k
