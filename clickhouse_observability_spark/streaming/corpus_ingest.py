@@ -120,8 +120,17 @@ class CorpusIngest:
         # fingerprints first (see delivery note): duplicates can
         # never be admitted, even on crash-retry
         first.select("fp_md5").write.mode("append").parquet(self.index_dir)
-        first.select("doc_id", "text", "source").write.mode("append").parquet(
-            self.docs_dir
+        # docs land under an ingest_batch=<id> partition: every commit
+        # is a VERSION, so a training run can pin `read_as_of(n)` and
+        # reproduce its exact corpus later (partition pruning makes
+        # the as-of read skip newer directories at the listing, not
+        # by scanning). Zero-admission retries create no partition.
+        (
+            first.select("doc_id", "text", "source")
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.mode("append")
+            .partitionBy("ingest_batch")
+            .parquet(self.docs_dir)
         )
 
     # -- stream lifecycle ----------------------------------------------
@@ -149,4 +158,37 @@ class CorpusIngest:
         self.query = None
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.docs_dir)
+        """The full current corpus (version column dropped — the
+        pre-versioning schema, so downstream consumers are
+        unchanged)."""
+        return self.spark.read.parquet(self.docs_dir).drop("ingest_batch")
+
+    # -- dataset versioning --------------------------------------------
+    def versions(self) -> list[int]:
+        """Committed corpus versions (ascending ingest batch ids) —
+        an O(#batches) directory listing, no data read."""
+        if not os.path.exists(self.docs_dir):
+            return []
+        out = []
+        for name in os.listdir(self.docs_dir):
+            if name.startswith("ingest_batch="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def read_as_of(self, batch_id: int) -> DataFrame:
+        """The corpus exactly as it stood after `batch_id` committed —
+        the reproducible-training-run pin. Partition-pruned: newer
+        batches are skipped at file listing."""
+        df = self.spark.read.parquet(self.docs_dir)
+        return df.filter(F.col("ingest_batch") <= int(batch_id)).drop(
+            "ingest_batch"
+        )
+
+    def diff(self, from_batch: int, to_batch: int) -> DataFrame:
+        """Docs admitted in (from_batch, to_batch] — what a resumed
+        training job must ingest to catch up from its pinned version."""
+        df = self.spark.read.parquet(self.docs_dir)
+        return df.filter(
+            (F.col("ingest_batch") > int(from_batch))
+            & (F.col("ingest_batch") <= int(to_batch))
+        ).drop("ingest_batch")

@@ -322,3 +322,38 @@ def test_media_ingest_online_neardup_admission(spark, tmp_path):
         assert sorted(got) == [1, 3, 5, 10]  # still exactly once
     finally:
         mi.stop()
+
+
+def test_corpus_versions_time_travel_and_diff(spark, tmp_path):
+    from clickhouse_observability_spark.streaming.corpus_ingest import CorpusIngest
+
+    ing = CorpusIngest(
+        spark,
+        corpus_dir=str(tmp_path / "corpus"),
+        inbox_dir=str(tmp_path / "inbox"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    mk = lambda i: {"doc_id": i, "text": f"doc number {i}", "source": "s"}
+    b1 = spark.createDataFrame([mk(1), mk(2)], "doc_id long, text string, source string")
+    b2 = spark.createDataFrame([mk(3), mk(2)], "doc_id long, text string, source string")
+    b3 = spark.createDataFrame([mk(4)], "doc_id long, text string, source string")
+    ing._admit(b1, batch_id=0)
+    ing._admit(b2, batch_id=1)  # doc 2 deduped away
+    ing._admit(b3, batch_id=2)
+    assert ing.versions() == [0, 1, 2]
+    ids = lambda df: sorted(r.doc_id for r in df.collect())
+    # each pinned version reproduces its exact prefix
+    assert ids(ing.read_as_of(0)) == [1, 2]
+    assert ids(ing.read_as_of(1)) == [1, 2, 3]
+    assert ids(ing.read_as_of(2)) == [1, 2, 3, 4]
+    assert ids(ing.read()) == [1, 2, 3, 4]
+    assert "ingest_batch" not in ing.read().columns
+    # catch-up delta between two pins
+    assert ids(ing.diff(0, 2)) == [3, 4]
+    # a fully-deduped retry commits no version directory
+    ing._admit(b1, batch_id=3)
+    assert ing.versions() == [0, 1, 2]
+    # as-of read prunes newer partitions at the source (scan shows a
+    # partition filter, not a post-scan filter over all files)
+    plan = ing.read_as_of(0)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ingest_batch" in plan
