@@ -50,6 +50,7 @@ class RollupView:
         dims: tuple[str, ...] = ("service", "level"),
         value_expr: Column | None = None,
         user_col: str = "trace_id",
+        topk_col: str | None = None,
     ):
         self.path = path
         self.granularity = granularity
@@ -59,6 +60,10 @@ class RollupView:
             else F.length("msg").cast("double")
         )
         self.user_col = user_col
+        # opt-in mergeable top-k state (CH topKState on the view):
+        # e.g. topk_col="trace_id" keeps the hottest traces per
+        # (hour, service, level) live on the ingest path
+        self.topk_col = topk_col
 
     # -- maintenance (called from foreachBatch) ------------------------
     def apply(self, normalized: DataFrame, batch_id: int) -> None:
@@ -68,6 +73,7 @@ class RollupView:
             self.dims,
             value_col="__value",
             user_col=self.user_col,
+            topk_col=self.topk_col,
         )
         # write to a dot-dir (invisible to readers), ATOMICALLY
         # rename into place, then publish in the MANIFEST: a

@@ -171,3 +171,36 @@ def test_compact_with_retention_drops_old_buckets(spark, stream):
     view.compact(spark, retain_from=str(cutoff))
     kept = sorted({k[0] for k in _by_key(view.query(spark))})
     assert kept == [b for b in buckets if b >= cutoff]
+
+
+def test_view_with_topk_state_tracks_hot_traces(spark, tmp_path):
+    from clickhouse_observability_spark.sources.writer import normalize_ingest
+
+    view = RollupView(str(tmp_path / "mv_topk"), topk_col="trace_id")
+    rows = _rows(120)
+    wire = spark.createDataFrame(rows)
+    norm = normalize_ingest(wire)
+    # two increments through the maintenance hook, as foreachBatch would
+    half = norm.limit(60).localCheckpoint(eager=True)
+    rest = norm.exceptAll(half).localCheckpoint(eager=True)
+    view.apply(half, batch_id=0)
+    view.apply(rest, batch_id=1)
+    out = view.query(spark)
+    assert "top_items_est" in out.columns
+    # per key: estimated top traces == exact top traces (11 distinct
+    # trace ids — far under capacity, so the sketch is exact)
+    exact = {}
+    for r in (
+        norm.groupBy(
+            F.date_trunc("hour", "ts").alias("b"), "service", "level", "trace_id"
+        ).count().collect()
+    ):
+        exact.setdefault((r.b, r.service, r.level), {})[r.trace_id] = r["count"]
+    for r in out.collect():
+        key = (r.bucket_ts, r.service, r.level)
+        got = {(e["item"], e["count"]) for e in r.top_items_est}
+        ref = sorted(exact[key].items(), key=lambda p: (-p[1], p[0]))
+        cut = ref[min(4, len(ref) - 1)][1]
+        allowed = {p for p in ref if p[1] >= cut}
+        assert got <= allowed, (key, got, allowed)
+        assert len(got) == min(5, len(ref))
