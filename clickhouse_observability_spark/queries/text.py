@@ -780,3 +780,25 @@ def text_epoch_shards(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     chunks = TX.pack_training_chunks(docs, budget=512)
     return TX.epoch_shard_plan(chunks, n_epochs=2, n_shards=4)
+
+
+@register("text_pack_chunks_bpe")
+def text_pack_chunks_bpe(spark, sf_dir):
+    """Packing under the LEARNED tokenizer: the budget a trainer cares
+    about is model pieces, not whitespace words — so the chunk layout
+    must count what the tokenizer will actually emit. Composes the
+    engine's own pieces: `bpe_learn` (the shipped merge table,
+    oracle-entry text_bpe_learned) -> `bpe_segment` (per-doc piece
+    counts) -> the distributed prefix-sum packer via its `counts=`
+    seam, with n_tokens = n_bpe_pieces. Rows-only (the merge table is
+    an iterative artifact); pytest pins token conservation against
+    bpe_segment's counts and that layouts differ from the whitespace
+    packing exactly where piece counts differ."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    merges = TX.bpe_learn(docs, n_merges=10)
+    counts = TX.bpe_segment(docs, merges).select(
+        "doc_id", F.col("n_bpe_pieces").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return TX.pack_training_chunks(docs, budget=512, counts=counts)

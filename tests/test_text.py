@@ -792,3 +792,28 @@ def test_epoch_shards_oracle_matches_duckdb(spark, sf_small):
     idx = [ocols.index(c) for c in cols]
     exp = sorted(tuple(r[i] for i in idx) for r in ores)
     assert got == exp
+
+
+def test_pack_chunks_bpe_conserves_pieces(spark):
+    rows = [(i, ("lowest newest widest " * (i + 1)).strip()) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = TX.bpe_learn(docs, n_merges=6)
+    seg = {r.doc_id: r.n_bpe_pieces for r in TX.bpe_segment(docs, merges).collect()}
+    counts = TX.bpe_segment(docs, merges).selectExpr(
+        "doc_id", "n_bpe_pieces AS n_tokens"
+    ).filter("n_tokens > 0")
+    packed = TX.pack_training_chunks(docs, budget=7, counts=counts).collect()
+    # token conservation: every doc's chunks cover exactly its pieces
+    per_doc = {}
+    for r in packed:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_toks
+    assert per_doc == {k: v for k, v in seg.items() if v > 0}
+    # the stream is contiguous: chunk fills sum to the corpus total
+    total = sum(seg.values())
+    by_chunk = {}
+    for r in packed:
+        by_chunk[r.chunk_id] = by_chunk.get(r.chunk_id, 0) + r.n_toks
+    assert sum(by_chunk.values()) == total
+    full, last = divmod(total, 7)
+    for cid, fill in by_chunk.items():
+        assert fill == (7 if cid < full else last), (cid, fill)
