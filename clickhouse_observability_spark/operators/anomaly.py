@@ -91,3 +91,42 @@ def trailing_zscores(
             F.coalesce(F.col("zscore") > z_threshold, F.lit(False)),
         )
     )
+
+
+def slo_burn_rates(
+    rates: DataFrame,
+    target: float = 0.2,
+    long_window_buckets: int = 6,
+    threshold: float = 6.0,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the SRE-workbook rule)
+    over hourly (bucket, n_total, n_errors) rows: burn = observed
+    error rate / error budget (`target`); a page fires only when the
+    LONG window burns hot (sustained budget loss, here 6 h of
+    buckets) AND the SHORT window still does (the incident is live,
+    not a stale tail) — the pairing that keeps pages actionable.
+
+    Bucket-grain input (the rollup read path): the trailing sums are
+    a RANGE window over epoch seconds — missing buckets leave the
+    window, so sparse hours don't stretch the long window's span the
+    way a ROWS frame would. O(hours) rows end to end.
+    """
+    span = long_window_buckets * 3600 - 1
+    w = Window.orderBy(F.col("es")).rangeBetween(-span, 0)
+    es = F.unix_timestamp("bucket").cast("long")
+    short_rate = F.col("n_errors") / F.col("n_total")
+    long_rate = F.sum("n_errors").over(w) / F.sum("n_total").over(w)
+    burn_s = F.round(short_rate / F.lit(target), 4)
+    burn_l = F.round(long_rate / F.lit(target), 4)
+    return (
+        rates.select("bucket", "n_total", "n_errors")
+        .withColumn("es", es)
+        .select(
+            "bucket",
+            "n_total",
+            "n_errors",
+            burn_s.alias("burn_short"),
+            burn_l.alias("burn_long"),
+            ((burn_s >= threshold) & (burn_l >= threshold)).alias("page"),
+        )
+    )

@@ -182,3 +182,43 @@ def text_log_templates(spark, sf_dir):
     mask variable fields (IP -> email -> hex -> number, in that
     order), then one map-side-combined groupBy on the skeleton."""
     return TP.mine_templates(table(spark, sf_dir, "documents"), "text")
+
+
+@register(
+    "agg_slo_burn_rate",
+    # After the 50-slot window; oracle executed in
+    # tests/test_observability.py like the anomaly panel.
+    oracle="""
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS bucket,
+               epoch(date_trunc('hour', ts))::BIGINT AS es,
+               count(*) AS n_total,
+               count(*) FILTER (event_type = 'error') AS n_errors
+        FROM events GROUP BY 1, 2
+    ), w AS (
+        SELECT bucket, n_total, n_errors,
+               sum(n_total) OVER win AS t_long,
+               sum(n_errors) OVER win AS e_long
+        FROM h
+        WINDOW win AS (ORDER BY es RANGE BETWEEN 21599 PRECEDING
+                       AND CURRENT ROW)
+    )
+    SELECT bucket, n_total, n_errors,
+           round(n_errors * 1.0 / n_total / 0.2, 4) AS burn_short,
+           round(e_long * 1.0 / t_long / 0.2, 4) AS burn_long,
+           (round(n_errors * 1.0 / n_total / 0.2, 4) >= 6.0
+            AND round(e_long * 1.0 / t_long / 0.2, 4) >= 6.0) AS page
+    FROM w
+    """,
+)
+def agg_slo_burn_rate(spark, sf_dir):
+    """SLO error-budget burn-rate panel per hour: short-window (1 h)
+    and long-window (6 h trailing, range-windowed over epoch seconds
+    so gaps don't stretch the span) burn rates against a 20% error
+    budget, paging only when BOTH exceed 6x — sustained burn that is
+    still live. Bucket-grain all the way (the rollup read path)."""
+    ev = table(spark, sf_dir, "events")
+    return AN.slo_burn_rates(
+        AN.hourly_error_rates(ev), target=0.2,
+        long_window_buckets=6, threshold=6.0,
+    )

@@ -91,7 +91,8 @@ def test_observability_oracles_match_duckdb(spark, sf_med):
     for t in ("events", "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_med}/{t}.parquet'")
-    for name in ("agg_error_anomalies", "text_log_templates"):
+    for name in ("agg_error_anomalies", "text_log_templates",
+                 "agg_slo_burn_rate"):
         sdf = qs[name](spark, sf_med)
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
@@ -101,3 +102,45 @@ def test_observability_oracles_match_duckdb(spark, sf_med):
         drows = sorted(tuple(str(r[i]) for i in idx)
                        for r in res.fetchall())
         assert srows == drows, name
+
+
+def test_slo_burn_rate_pages_only_when_sustained_and_live(spark):
+    import datetime as dt
+
+    from clickhouse_observability_spark.operators import anomaly as AN
+
+    base = dt.datetime(2025, 9, 1)
+    rows = []
+    # 12 quiet hours at the budget (20 errors / 100 = burn 1.0), then
+    # ONE spike hour at 100% errors (burn 5... make it 100/100 = burn
+    # 5.0 < 6): use 120 errors of 120 -> burn 5.0; need >= 6x: budget
+    # 0.2 so 100% errors = burn 5. Lower the quiet rate instead: use
+    # threshold-crossing spikes of rate 1.0 against target 1/6? Keep
+    # target 0.1 here: quiet 10%, spike 100% = burn 10.
+    for h in range(12):
+        rows += [(base + dt.timedelta(hours=h, minutes=m % 60), "error")
+                 for m in range(10)]
+        rows += [(base + dt.timedelta(hours=h, minutes=m % 60), "view")
+                 for m in range(90)]
+    # hour 12: single-hour full outage (short burns hot, long diluted)
+    rows += [(base + dt.timedelta(hours=12, minutes=m % 60), "error")
+             for m in range(100)]
+    # hours 13-18: sustained outage -> long window heats up too
+    for h in range(13, 19):
+        rows += [(base + dt.timedelta(hours=h, minutes=m % 60), "error")
+                 for m in range(100)]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r.bucket.hour: r for r in AN.slo_burn_rates(
+        AN.hourly_error_rates(ev), target=0.1,
+        long_window_buckets=6, threshold=6.0,
+    ).collect()}
+    # quiet hours: burn ~1, no page
+    assert not out[5].page and abs(out[5].burn_short - 1.0) < 0.01
+    # first outage hour: short window hot (burn 10) but the 6h long
+    # window still holds 5 quiet hours -> diluted below 6 -> NO page
+    assert abs(out[12].burn_short - 10.0) < 0.01
+    assert out[12].burn_long < 6.0 and not out[12].page
+    # sustained outage: by hour 17 the long window is all-outage
+    assert out[17].page and out[18].page
+    # and after enough hot hours the page is already firing earlier
+    assert any(out[h].page for h in (14, 15, 16))
