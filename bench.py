@@ -77,6 +77,13 @@ HEADLINE = [
     ("agg_ch_functions_panel", "collect"),
     ("agg_error_anomalies", "noop"),
     ("text_log_templates", "noop"),
+    # r4 second-continuation additions — reported, excluded from total
+    ("sim_topk_binary", "collect"),
+    ("text_epoch_shards", "noop"),
+    ("agg_segment_overlap", "collect"),
+    ("agg_theta_overlap", "collect"),
+    ("agg_slo_burn_rate", "noop"),
+    ("rollup_topk_users", "noop"),
 ]
 
 
@@ -345,6 +352,12 @@ def _run_bench() -> None:
         "agg_ch_functions_panel",
         "agg_error_anomalies",
         "text_log_templates",
+        "sim_topk_binary",  # r4 second continuation: reported, not summed
+        "text_epoch_shards",
+        "agg_segment_overlap",
+        "agg_theta_overlap",
+        "agg_slo_burn_rate",
+        "rollup_topk_users",
     }
     total = round(sum(v for k, v in times.items() if k not in aux), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

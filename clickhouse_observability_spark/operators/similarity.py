@@ -961,3 +961,84 @@ def binary_topk(
             F.round(F.col("cosine"), 6).alias("cosine"),
         )
     )
+
+
+def cross_neardup_exact(
+    left: DataFrame, right: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Exact two-table semantic near-dup scan — every (left, right)
+    pair with cosine >= threshold; the semantic-decontamination
+    ground truth (benchmark side `left`, training corpus `right`).
+    `left` is expected to be the small side (a benchmark suite) and
+    broadcasts: the corpus streams once, no shuffle. Output:
+    (left_id, right_id, cosine). O(|left|·|right|) comparisons — the
+    small-sf oracle anchor; `cross_neardup_lsh` is the scale path."""
+    a = left.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = right.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    cs = F.round(_cosine("va", "vb"), 4)
+    return (
+        b.join(F.broadcast(a), F.lit(True))
+        .select("left_id", "right_id", cs.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cross_neardup_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Two-table semantic near-dup via shared-plane LSH buckets — the
+    scale path for semantic decontamination: both tables hash against
+    the SAME hyperplanes, only (tbl, sig) bucket-mates compare, exact
+    cosine confirms (output ⊆ cross_neardup_exact always). Multiprobe
+    fans the LEFT (benchmark, small) side to its 1-bit flips, so the
+    candidate blow-up lands on the side that is tiny by construction.
+    Same parameter regime as embedding_neardup_lsh (low-threshold:
+    few planes × many tables; SCALING.md)."""
+    a0 = left.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b0 = right.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ab = _bucketed_signatures(a0, n_planes, n_tables, dim, seed)
+    bb = _bucketed_signatures(b0, n_planes, n_tables, dim, seed)
+    if multiprobe:
+        flips = [F.col("sig")] + [
+            F.col("sig").bitwiseXOR(F.lit(2**i).cast("long"))
+            for i in range(n_planes)
+        ]
+        ab = ab.select(
+            "vec_id", "v", "tbl", F.explode(F.array(*flips)).alias("sig")
+        )
+    a, b = ab.alias("a"), bb.alias("b")
+    cand = (
+        b.join(
+            F.broadcast(a),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col("a.vec_id").alias("left_id"),
+            F.col("b.vec_id").alias("right_id"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    cs = F.round(_cosine("va", "vb"), 4)
+    return cand.select("left_id", "right_id", cs.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

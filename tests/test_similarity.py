@@ -466,3 +466,60 @@ def test_ann_recall_report_shape_and_anchors(spark, sf_small, tmp_path, monkeypa
     }
     assert all(0.0 <= v <= 1.0 for v in rows.values()), rows
     assert rows["int8_quantized"] >= 0.9, rows
+
+
+def test_semantic_contamination_lsh_subset_and_recall(spark, sf_small):
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_small, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    # plant paraphrase-grade leakage: perturbed copies of benchmark
+    # vectors inside the corpus (the weakly-similar testdata alone
+    # yields no cross pairs at this sf)
+    planted = bench.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + CASE WHEN i % 2 = 0 "
+            "THEN 0.02 ELSE -0.02 END)"
+        ).alias("embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 0).select(
+        "vec_id", "embedding"
+    ).unionByName(planted)
+    exact = {(r.left_id, r.right_id): r.cosine
+             for r in S.cross_neardup_exact(bench, corpus, 0.45).collect()}
+    lsh = {(r.left_id, r.right_id): r.cosine
+           for r in S.cross_neardup_lsh(
+               bench, corpus, 0.45, n_planes=4, n_tables=16, multiprobe=True
+           ).collect()}
+    assert set(lsh) <= set(exact)  # cosine-confirmed: no false pairs
+    # every benchmark vector's planted copy is in the ground truth
+    n_bench = bench.count()
+    assert len(exact) >= n_bench
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"semantic-contamination LSH recall {recall}"
+    # the planted (bench, bench+100000) pairs specifically must be hit
+    planted_hits = sum(1 for (a, b) in lsh if b == a + 100000)
+    assert planted_hits >= 0.9 * n_bench
+    for k, v in lsh.items():
+        assert v == exact[k]
+
+
+def test_semantic_contamination_oracle_matches_duckdb(spark, sf_small):
+    import duckdb
+
+    from clickhouse_observability_spark.registry import oracle_sql, queries
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_small}/embeddings.parquet'"
+    )
+    name = "sim_semantic_contamination"
+    sdf = queries()[name](spark, sf_small)
+    cols = sdf.columns
+    got = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    res = con.execute(oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    idx = [ocols.index(c) for c in cols]
+    exp = sorted(tuple(str(r[i]) for i in idx) for r in res.fetchall())
+    assert got == exp
