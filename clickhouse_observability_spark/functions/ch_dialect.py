@@ -215,6 +215,13 @@ _FUNCS = {
     "uniqcombined": lambda a: f"approx_count_distinct({', '.join(a)})",
     "uniqhll12": lambda a: f"approx_count_distinct({', '.join(a)})",
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    # CH's DataSketches theta family -> Spark's native theta functions
+    "uniqtheta": lambda a:
+        f"theta_sketch_estimate(theta_sketch_agg({a[0]}))",
+    # plain topK(x) = CH's topK with the default k=10; returns the
+    # VALUE array like CH (counts dropped), frequency-descending
+    "topk": lambda a:
+        f"transform(approx_top_k({a[0]}, 10), s -> s.item)",
     # extremes / misc aggregates
     "argmax": lambda a: f"max_by({a[0]}, {a[1]})",
     "argmin": lambda a: f"min_by({a[0]}, {a[1]})",
@@ -280,8 +287,12 @@ _PARAM_FUNCS = {
         f"percentile_approx({a[0]}, array({', '.join(p)}))",
     "quantilesexact": lambda p, a:
         f"percentile({a[0]}, array({', '.join(p)}))",
-    "topk": lambda p, a: (_ for _ in ()).throw(ChDialectError(
-        "topK has no Spark SQL aggregate; use "
+    # CH topK(k)(x) -> Spark's native approx_top_k (both are
+    # frequent-items sketches); CH returns just the value array
+    "topk": lambda p, a:
+        f"transform(approx_top_k({a[0]}, {p[0]}), s -> s.item)",
+    "topkweighted": lambda p, a: (_ for _ in ()).throw(ChDialectError(
+        "topKWeighted has no Spark SQL aggregate; use "
         "operators.ch_functions.top_k_by_freq")),
 }
 
@@ -329,7 +340,8 @@ def _emit(tokens: list[str]) -> str:
                 low in _FUNCS or low in _PARAM_FUNCS):
             args, j = _parse_args(tokens, i + 1)
             arg_strs = [_emit(a) for a in args]
-            if low in _PARAM_FUNCS:
+            if low in _PARAM_FUNCS and not (
+                    low in _FUNCS and not (j < n and tokens[j] == "(")):
                 if j < n and tokens[j] == "(":
                     args2, j = _parse_args(tokens, j)
                     out.append(_PARAM_FUNCS[low](

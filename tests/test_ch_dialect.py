@@ -153,7 +153,23 @@ def test_unsupported_raises():
     with pytest.raises(ChDialectError):
         translate("SELECT arrayJoin(xs) FROM t")
     with pytest.raises(ChDialectError):
-        translate("SELECT topK(3)(u) FROM t")
+        translate("SELECT topKWeighted(3)(u, w) FROM t")
+
+
+def test_sketch_family_executes(spark):
+    # uniqTheta and topK map to Spark's native DataSketches
+    # functions and EXECUTE correctly (small-cardinality = exact)
+    out = translate("SELECT uniqTheta(u) FROM t")
+    assert "theta_sketch_estimate(theta_sketch_agg(u))" in out
+    r = spark.sql(
+        translate(
+            "SELECT uniqTheta(u) AS nu, topK(2)(u) AS hot, topK(u) AS hot10 "
+            "FROM (SELECT explode(array('a','a','a','b','b','c')) AS u)"
+        )
+    ).collect()[0]
+    assert r.nu == 3
+    assert list(r.hot) == ["a", "b"]
+    assert list(r.hot10) == ["a", "b", "c"]
 
 
 @pytest.fixture()
