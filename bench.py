@@ -133,6 +133,13 @@ def _run_bench() -> None:
     QS._label_centroids(spark, SF_DIR)
     ivf_build_sec = round(time.time() - t0, 3)
 
+    # Binary-quantization index build (means + packed codes sidecars)
+    # is likewise a one-time INDEX cost: timed separately so
+    # sim_topk_binary below measures warm-index search.
+    t0 = time.time()
+    QS._binary_artifacts(spark, SF_DIR)
+    bq_build_sec = round(time.time() - t0, 3)
+
     # min-of-N per query for host-noise-robust comparisons (±30% noise
     # documented in SCALING notes); `queries` keeps FIRST-run times so
     # totals stay comparable with earlier rounds' single-run bench.
@@ -375,6 +382,7 @@ def _run_bench() -> None:
                 "streaming_ingest_rows_per_sec_tuned": streaming_rps_tuned,
                 "corpus_ingest_docs_per_sec": corpus_ingest_dps,
                 "ivf_index_build_sec": ivf_build_sec,
+                "bq_index_build_sec": bq_build_sec,
                 "rollup_build_sec": rollup_build_sec,
                 "rollup_query_sec": rollup_query_sec,
                 "sf": float(sf) if sf else None,
