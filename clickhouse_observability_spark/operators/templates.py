@@ -57,3 +57,27 @@ def mine_templates(
     if min_count > 1:
         out = out.filter(F.col("n_lines") >= min_count)
     return out
+
+
+def new_templates(
+    current: DataFrame,
+    baseline: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Templates present in `current` but NEVER seen in `baseline` —
+    the "a new error shape just appeared" alert (and, for a training
+    corpus, "the new crawl snapshot contains novel content shapes").
+    Both sides mask map-only; the baseline collapses to its DISTINCT
+    template set (template-cardinality-sized — thousands of rows at
+    any corpus scale) before a left-anti join on the skeleton, so the
+    one shuffle carries (template, partial count) rows, never lines.
+
+    Output: (template, n_lines, example) for the novel templates,
+    counted over `current`.
+    """
+    cur = mine_templates(current, text_col)
+    base = (
+        baseline.select(mask_template(F.col(text_col)).alias("template"))
+        .distinct()
+    )
+    return cur.join(base, "template", "left_anti")

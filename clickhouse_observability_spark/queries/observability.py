@@ -222,3 +222,47 @@ def agg_slo_burn_rate(spark, sf_dir):
         AN.hourly_error_rates(ev), target=0.2,
         long_window_buckets=6, threshold=6.0,
     )
+
+
+@register(
+    "text_new_templates",
+    # After the 50-slot window; oracle executed in
+    # tests/test_observability.py.
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(text,
+                   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+                   '<IP>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                 '\\b[0-9a-fA-F]{8,}\\b', '<HEX>', 'g'),
+                 '\\b[0-9]+\\b', '<NUM>', 'g') AS template,
+               text
+        FROM documents
+    ), cur AS (
+        SELECT template, count(*) AS n_lines, min(text) AS example
+        FROM m WHERE doc_id % 4 = 0 GROUP BY 1
+    )
+    SELECT c.template, c.n_lines, c.example
+    FROM cur c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM m b WHERE b.doc_id % 4 <> 0
+          AND b.template = c.template
+    )
+    """,
+)
+def text_new_templates(spark, sf_dir):
+    """Novel-template detection: content shapes present in the new
+    snapshot (every 4th doc — the arriving slice stand-in) that the
+    baseline corpus has never produced — the "new error shape just
+    appeared" alert, and for training data the novelty report on an
+    incoming crawl. Baseline collapses to its distinct template set
+    before a left-anti join on the skeleton; the shuffle carries
+    template-cardinality rows only."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    current = docs.filter(F.col("doc_id") % 4 == 0)
+    baseline = docs.filter(F.col("doc_id") % 4 != 0)
+    return TP.new_templates(current, baseline)

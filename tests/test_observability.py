@@ -92,7 +92,7 @@ def test_observability_oracles_match_duckdb(spark, sf_med):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_med}/{t}.parquet'")
     for name in ("agg_error_anomalies", "text_log_templates",
-                 "agg_slo_burn_rate"):
+                 "agg_slo_burn_rate", "text_new_templates"):
         sdf = qs[name](spark, sf_med)
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
@@ -144,3 +144,24 @@ def test_slo_burn_rate_pages_only_when_sustained_and_live(spark):
     assert out[17].page and out[18].page
     # and after enough hot hours the page is already firing earlier
     assert any(out[h].page for h in (14, 15, 16))
+
+
+def test_new_templates_flags_only_novel_shapes(spark):
+    from clickhouse_observability_spark.operators import templates as TP
+
+    base = spark.createDataFrame(
+        [(1, "user 17 logged in from 10.0.0.1"),
+         (2, "user 39 logged in from 10.0.0.2"),
+         (3, "order 123 created")],
+        "doc_id long, text string",
+    )
+    cur = spark.createDataFrame(
+        [(10, "user 55 logged in from 10.9.9.9"),      # known shape
+         (11, "order 999 created"),                    # known shape
+         (12, "disk 1 failed with code 5"),            # NOVEL
+         (13, "disk 2 failed with code 7")],           # same novel shape
+        "doc_id long, text string",
+    )
+    got = {r.template: r.n_lines
+           for r in TP.new_templates(cur, base).collect()}
+    assert got == {"disk <NUM> failed with code <NUM>": 2}
