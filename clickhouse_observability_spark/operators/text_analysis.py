@@ -1363,3 +1363,103 @@ def epoch_shard_plan(
         .withColumn("position", F.row_number().over(w) - 1)
         .select("epoch", "shard", "position", *key_cols, *carry_cols)
     )
+
+
+def _doc_feature_entries(documents: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, entries array<struct<b int, frac double>>, n_feats):
+    per-doc hashed-gram bucket frequencies, length-normalized — the
+    shared input of classifier training and scoring. One shuffle
+    (per-doc aggregate over the feature stream)."""
+    counts = (
+        _hashed_gram_features(documents, n_buckets)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("b", "c")).alias("raw"),
+            F.sum("c").alias("n_feats"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.expr(
+                "transform(raw, e -> named_struct("
+                "'b', e.b, 'frac', e.c / CAST(n_feats AS DOUBLE)))"
+            ).alias("entries"),
+        )
+    )
+
+
+def train_quality_classifier(
+    documents: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 512,
+    seed: int = 42,
+) -> tuple[float, list[float]]:
+    """GPT-3-style quality classifier, trained on weak domain labels:
+    positives = docs in `target` (the reference/high-quality slice),
+    negatives = the rest of the corpus. Features are the same hashed
+    uni+bigram buckets as DSIR, length-normalized; the model is
+    pyspark.ml LogisticRegression — the INDEX-BUILD job, run once per
+    corpus. Returns (intercept, weights[n_buckets]) — bounded model
+    metadata (513 doubles) that scoring embeds as literals, so the
+    steady-state score path is pure expression arithmetic with no ML
+    runtime at all."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    entries = _doc_feature_entries(documents, n_buckets)
+    tgt_ids = target.select("doc_id").distinct().withColumn(
+        "_is_t", F.lit(1.0)
+    )
+    dense = F.expr(
+        f"transform(sequence(0, {n_buckets - 1}), i -> "
+        f"coalesce(element_at(mp, i), 0D))"
+    )
+    labeled = (
+        entries.join(tgt_ids, "doc_id", "left")
+        .withColumn(
+            "mp", F.expr("map_from_entries(transform(entries, e -> (e.b, e.frac)))")
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_is_t"), F.lit(0.0)).alias("label"),
+            array_to_vector(dense).alias("features"),
+        )
+    )
+    lr = LogisticRegression(
+        maxIter=50, regParam=1e-3, featuresCol="features", labelCol="label"
+    )
+    model = lr.fit(labeled)
+    return float(model.intercept), [float(w) for w in model.coefficients]
+
+
+def score_quality_classifier(
+    documents: DataFrame,
+    intercept: float,
+    weights: list[float],
+    n_buckets: int = 512,
+) -> DataFrame:
+    """(doc_id, n_feats, quality_prob): P(target-quality | doc) under
+    the trained classifier — the resampling weight feed
+    (quality_weighted_sample accepts any score column). Map-shaped
+    after the one per-doc feature aggregate: the fold visits only the
+    doc's OWN feature entries (never the n_buckets array), weights
+    ship as one literal array."""
+    w_lit = F.array(*[F.lit(float(x)) for x in weights])
+    z = F.expr(
+        f"aggregate(entries, {float(intercept)}D, "
+        f"(acc, e) -> acc + element_at(_w, CAST(e.b + 1 AS INT)) * e.frac)"
+    )
+    return (
+        _doc_feature_entries(documents, n_buckets)
+        .withColumn("_w", w_lit)
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+            .alias("quality_prob"),
+        )
+    )

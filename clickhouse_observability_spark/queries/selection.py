@@ -206,3 +206,55 @@ def text_mixture_plan(spark, sf_dir):
     per-source aggregate (the only shuffle), then arithmetic on the
     #sources-row frame."""
     return TX.mixture_plan(table(spark, sf_dir, "documents"), token_budget=30000)
+
+
+# Classifier weights cache: bounded model metadata (1 + n_buckets
+# doubles), keyed by sidecar path like the PQ codebooks.
+_CLF_META: dict[str, tuple[float, list[float]]] = {}
+
+
+def _classifier_artifacts(spark, sf_dir):
+    """Quality-classifier weights as an AT-REST sidecar (one row:
+    intercept + weight array). The LogisticRegression fit — the
+    index-BUILD job — runs once per corpus; every scoring query
+    after, across processes, reads 513 doubles and scores with pure
+    expressions (no ML runtime in the steady-state path — the
+    kmeans-artifact rule, VERDICT r3 item 3, applied from birth)."""
+    from clickhouse_observability_spark.sources import index_store as IX
+
+    path = IX.artifact_path(sf_dir, "quality_clf")
+    if not IX.has_artifact(path):
+        docs = table(spark, sf_dir, "documents")
+        b0, w = TX.train_quality_classifier(
+            docs, docs.filter(F.col("lang") == "en"), n_buckets=512
+        )
+        IX.write_artifact(
+            spark.createDataFrame(
+                [(b0, w)], "b0 double, w array<double>"
+            ),
+            path,
+            coalesce=1,
+        )
+        _CLF_META.pop(path, None)
+    if path not in _CLF_META:
+        r = IX.load_artifact(spark, path).collect()[0]
+        _CLF_META[path] = (float(r.b0), list(r.w))
+    return _CLF_META[path]
+
+
+@register("text_quality_classifier")
+def text_quality_classifier(spark, sf_dir):
+    """Classifier-based quality scoring (the GPT-3/PaLM data-
+    selection recipe): logistic regression on hashed uni+bigram
+    buckets, weakly supervised with the corpus's English slice as the
+    reference class, scored as P(reference | doc) — the model-based
+    alternative to DSIR's closed-form ratio over the SAME feature
+    space. Training is a once-per-corpus sidecar build; scoring embeds
+    the 513-double model as literals and folds over each doc's own
+    feature entries. Rows-only: LBFGS internals are engine-specific;
+    pytest pins separation on a synthetic corpus, target-vs-rest
+    ordering on testdata, and cross-call determinism."""
+    b0, w = _classifier_artifacts(spark, sf_dir)
+    return TX.score_quality_classifier(
+        table(spark, sf_dir, "documents"), b0, w, n_buckets=512
+    )

@@ -208,3 +208,41 @@ def test_mixture_plan_semantics(spark):
     }
     assert out2["big"].planned_tokens == 10
     assert out2["small"].rate == 0.0 and out2["small"].planned_tokens == 0
+
+
+def test_quality_classifier_separates_synthetic_classes(spark):
+    rows = [(i, "good clean prose flows nicely here", "en") for i in range(30)]
+    rows += [(100 + i, "zz qq xx vv kk jj ww yy", "xx") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    b0, w = TX.train_quality_classifier(
+        docs, docs.filter("lang = 'en'"), n_buckets=64
+    )
+    assert len(w) == 64
+    scores = {r.doc_id: r.quality_prob
+              for r in TX.score_quality_classifier(docs, b0, w, 64).collect()}
+    pos = [scores[i] for i in range(30)]
+    neg = [scores[100 + i] for i in range(30)]
+    assert min(pos) > max(neg)
+    assert min(pos) > 0.9 and max(neg) < 0.1
+
+
+def test_quality_classifier_orders_target_domain(spark, sf_small, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    import __spark_entry__ as em
+
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    out = em.queries()["text_quality_classifier"](spark, sf_small)
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    joined = out.join(docs, "doc_id")
+    import pyspark.sql.functions as F
+
+    means = {r.lang: r.m for r in joined.groupBy("lang").agg(
+        F.avg("quality_prob").alias("m")).collect()}
+    others = [v for k, v in means.items() if k != "en"]
+    assert means["en"] > max(others), means
+    # deterministic across calls (sidecar-cached model)
+    a = sorted((r.doc_id, r.quality_prob) for r in out.collect())
+    b = sorted((r.doc_id, r.quality_prob)
+               for r in em.queries()["text_quality_classifier"](spark, sf_small).collect())
+    assert a == b
