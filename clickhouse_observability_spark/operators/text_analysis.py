@@ -1463,3 +1463,36 @@ def score_quality_classifier(
             .alias("quality_prob"),
         )
     )
+
+
+def shard_manifest(plan: DataFrame) -> DataFrame:
+    """(epoch, shard, n_chunks, n_toks, content_md5) — the manifest a
+    trainer validates before consuming a shard: the md5 runs over the
+    position-ordered "doc:chunk:len" lines, so any missing, extra,
+    re-ordered or re-sized chunk changes the digest. One per-shard
+    aggregate over the (already shard-partitioned) plan; the digest
+    folds a sorted collect_list per key — shard-sized, bounded by the
+    packing layout, never corpus-concatenated."""
+    line = F.concat_ws(
+        ":", F.col("doc_id"), F.col("chunk_id"), F.col("n_toks")
+    )
+    return (
+        plan.select(
+            "epoch", "shard", "position", "n_toks", line.alias("line")
+        )
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_toks").alias("n_toks"),
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "named_struct('p', position, 'l', line))), e -> e.l)"
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+        .orderBy("epoch", "shard")
+    )

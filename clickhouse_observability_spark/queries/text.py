@@ -802,3 +802,64 @@ def text_pack_chunks_bpe(spark, sf_dir):
         "doc_id", F.col("n_bpe_pieces").alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
     return TX.pack_training_chunks(docs, budget=512, counts=counts)
+
+
+@register(
+    "text_shard_manifest",
+    # After the 50-slot window; oracle executed in tests/test_text.py.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '')) AS n
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n,
+               (sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n)::BIGINT AS tok_start
+        FROM t WHERE n > 0
+    ), c AS (
+        SELECT doc_id, tok_start, n,
+               unnest(range(tok_start // 512,
+                            (tok_start + n - 1) // 512 + 1)) AS chunk_id
+        FROM s
+    ), k AS (
+        SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+               (least(tok_start + n, (chunk_id + 1) * 512)
+                - greatest(tok_start, chunk_id * 512))::BIGINT AS n_toks
+        FROM c
+    ), e AS (
+        SELECT doc_id, chunk_id, n_toks, unnest(range(0, 2)) AS epoch
+        FROM k
+    ), h AS (
+        SELECT doc_id, chunk_id, n_toks, epoch,
+               md5(concat_ws(':', doc_id, chunk_id, epoch)) AS okey,
+               (('0x' || substring(md5(concat_ws(':', 'shard', doc_id,
+                                                 chunk_id, epoch)), 1, 14)
+                )::BIGINT % 4)::INTEGER AS shard
+        FROM e
+    ), p AS (
+        SELECT epoch::INTEGER AS epoch, shard, doc_id, chunk_id, n_toks,
+               (row_number() OVER (PARTITION BY epoch, shard
+                                   ORDER BY okey, doc_id, chunk_id)
+                - 1) AS position
+        FROM h
+    )
+    SELECT epoch, shard, count(*) AS n_chunks, sum(n_toks)::BIGINT AS n_toks,
+           md5(string_agg(concat_ws(':', doc_id, chunk_id, n_toks),
+                          chr(10) ORDER BY position)) AS content_md5
+    FROM p GROUP BY epoch, shard ORDER BY epoch, shard
+    """,
+)
+def text_shard_manifest(spark, sf_dir):
+    """Shard manifest over the epoch-shard plan: per (epoch, shard)
+    the chunk count, token total, and a position-ordered content
+    digest — what a trainer validates before consuming a shard, and
+    what makes two independently-produced plans provably identical
+    (the digest is a pure function of the deterministic layout, so it
+    matches across engines: DuckDB computes the SAME md5). Composes
+    text_epoch_shards' plan; one per-shard aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = TX.pack_training_chunks(docs, budget=512)
+    plan = TX.epoch_shard_plan(chunks, n_epochs=2, n_shards=4)
+    return TX.shard_manifest(plan)

@@ -783,15 +783,15 @@ def test_epoch_shards_oracle_matches_duckdb(spark, sf_small):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
     )
-    name = "text_epoch_shards"
-    sdf = queries()[name](spark, sf_small)
-    cols = sdf.columns
-    got = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
-    ores = con.execute(oracle_sql()[name]).fetchall()
-    ocols = [d[0] for d in con.execute(oracle_sql()[name]).description]
-    idx = [ocols.index(c) for c in cols]
-    exp = sorted(tuple(r[i] for i in idx) for r in ores)
-    assert got == exp
+    for name in ("text_epoch_shards", "text_shard_manifest"):
+        sdf = queries()[name](spark, sf_small)
+        cols = sdf.columns
+        got = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+        ores = con.execute(oracle_sql()[name]).fetchall()
+        ocols = [d[0] for d in con.execute(oracle_sql()[name]).description]
+        idx = [ocols.index(c) for c in cols]
+        exp = sorted(tuple(r[i] for i in idx) for r in ores)
+        assert got == exp, name
 
 
 def test_pack_chunks_bpe_conserves_pieces(spark):
@@ -817,3 +817,40 @@ def test_pack_chunks_bpe_conserves_pieces(spark):
     full, last = divmod(total, 7)
     for cid, fill in by_chunk.items():
         assert fill == (7 if cid < full else last), (cid, fill)
+
+
+def test_shard_manifest_detects_any_layout_change(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(i, "tok " * (4 + i % 5)) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = TX.pack_training_chunks(docs, budget=8)
+    plan = TX.epoch_shard_plan(chunks, n_epochs=2, n_shards=3)
+    m1 = {(r.epoch, r.shard): (r.n_chunks, r.n_toks, r.content_md5)
+          for r in TX.shard_manifest(plan).collect()}
+    # stable across calls
+    m2 = {(r.epoch, r.shard): (r.n_chunks, r.n_toks, r.content_md5)
+          for r in TX.shard_manifest(plan).collect()}
+    assert m1 == m2
+    # totals conserve the packed corpus per epoch
+    total = sum(r.n_toks for r in chunks.collect())
+    for e in (0, 1):
+        assert sum(v[1] for k, v in m1.items() if k[0] == e) == total
+    # tampering with ONE chunk's length flips exactly the digests of
+    # the shards holding it (per epoch), nothing else
+    tampered = plan.withColumn(
+        "n_toks",
+        F.when(F.col("doc_id") == 7, F.col("n_toks") + 1)
+        .otherwise(F.col("n_toks")),
+    )
+    m3 = {(r.epoch, r.shard): v
+          for r in TX.shard_manifest(tampered).collect()
+          for v in [(r.n_chunks, r.n_toks, r.content_md5)]}
+    hit_shards = {(r.epoch, r.shard)
+                  for r in plan.filter(F.col("doc_id") == 7).collect()}
+    assert hit_shards
+    for k in m1:
+        if k in hit_shards:
+            assert m3[k][2] != m1[k][2], k
+        else:
+            assert m3[k] == m1[k], k
