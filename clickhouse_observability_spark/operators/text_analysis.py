@@ -1496,3 +1496,65 @@ def shard_manifest(plan: DataFrame) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """BM25 ranking of the corpus for a bag-of-words query — the
+    LEXICAL retrieval arm (Robertson/Lucene scoring):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+        idf(t)   = ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
+
+    Corpus statistics (N, avgdl, per-term document frequencies) come
+    from ONE tiny aggregate — |terms|+2 numbers — broadcast onto the
+    scoring scan; tf per (doc, term) is an array filter over the
+    let-bound token array. Zero shuffles beyond the stats row and the
+    fused top-N. Output: (rank, doc_id, bm25), score rounded to 6 and
+    ties broken by doc_id so the ranking is a total order both
+    engines agree on.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(normalized_text("text"))
+    d = documents.select("doc_id", toks.alias("t"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.avg(F.size("t")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("t", term).cast("long")).alias(f"df_{i}")
+            for i, term in enumerate(query_terms)
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    def _tf(term: str) -> Column:
+        # single-arg lambda: a two-arg one would receive (x, index)
+        return F.size(F.filter(F.col("t"), lambda x: x == F.lit(term)))
+
+    parts = []
+    for i, term in enumerate(query_terms):
+        tf = _tf(term)
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("N") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        denom = tf + k1 * (1.0 - b + b * F.size("t") / F.col("avgdl"))
+        parts.append(idf * tf * (k1 + 1.0) / denom)
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    ranked = (
+        scored.select("doc_id", F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "bm25"
+    )

@@ -266,3 +266,114 @@ def text_new_templates(spark, sf_dir):
     current = docs.filter(F.col("doc_id") % 4 == 0)
     baseline = docs.filter(F.col("doc_id") % 4 != 0)
     return TP.new_templates(current, baseline)
+
+
+@register(
+    "pipeline_hybrid_retrieval",
+    # After the 50-slot window; oracle executed in
+    # tests/test_observability.py.
+    oracle="""
+    WITH vec AS (
+        SELECT vec_id AS doc_id, rank AS rank_vec FROM (
+            SELECT e.vec_id,
+                   row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                                    q.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id = 0
+        ) WHERE rank <= 20
+    ), d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(
+                   lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                   '\\s+'), x -> x <> '') AS t
+        FROM documents
+    ), st AS (
+        SELECT count(*) AS N, avg(len(t)) AS avgdl,
+               sum(list_contains(t, 'vector')::BIGINT) AS df0,
+               sum(list_contains(t, 'join')::BIGINT) AS df1,
+               sum(list_contains(t, 'window')::BIGINT) AS df2
+        FROM d
+    ), sc AS (
+        SELECT doc_id,
+               ln(1 + (N - df0 + 0.5) / (df0 + 0.5))
+                 * len(list_filter(t, x -> x = 'vector')) * 2.2
+                 / (len(list_filter(t, x -> x = 'vector'))
+                    + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+             + ln(1 + (N - df1 + 0.5) / (df1 + 0.5))
+                 * len(list_filter(t, x -> x = 'join')) * 2.2
+                 / (len(list_filter(t, x -> x = 'join'))
+                    + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+             + ln(1 + (N - df2 + 0.5) / (df2 + 0.5))
+                 * len(list_filter(t, x -> x = 'window')) * 2.2
+                 / (len(list_filter(t, x -> x = 'window'))
+                    + 1.2 * (0.25 + 0.75 * len(t) / avgdl)) AS s
+        FROM d, st
+    ), lex AS (
+        SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                   AS rank_lex,
+               doc_id
+        FROM (SELECT doc_id, round(s, 6) AS bm25 FROM sc
+              WHERE round(s, 6) > 0)
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    )
+    SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
+           doc_id, rrf, rank_vec, rank_lex
+    FROM (
+        SELECT coalesce(v.doc_id, l.doc_id) AS doc_id,
+               round(coalesce(1.0 / (60 + rank_vec), 0)
+                     + coalesce(1.0 / (60 + rank_lex), 0), 6) AS rrf,
+               rank_vec, rank_lex
+        FROM vec v FULL OUTER JOIN lex l ON v.doc_id = l.doc_id
+    )
+    ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
+)
+def pipeline_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion: the embedding
+    arm (exact cosine top-20 for query vector 0) and the lexical arm
+    (BM25 top-20 for {vector, join, window}) fuse as
+    Σ 1/(60 + rank_arm) — the standard RRF that needs no score
+    calibration between arms. Both arms are exact and deterministic,
+    so the FUSED ranking is oracle-adjudicable end to end. Both
+    inputs are top-k frames (tiny): the fusion join and final rank
+    cost nothing at any corpus scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators import similarity as S
+    from clickhouse_observability_spark.operators import text_analysis as TX2
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    vec = (
+        S.brute_force_topk(emb, [0], k=20)
+        .select(F.col("vec_id").alias("doc_id"),
+                F.col("rank").alias("rank_vec"))
+    )
+    lex = (
+        TX2.bm25_search(docs, ["vector", "join", "window"], top_n=20)
+        .select("doc_id", F.col("rank").alias("rank_lex"))
+    )
+    fused = (
+        vec.join(lex, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("rank_vec")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rank_lex")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            "rank_vec",
+            "rank_lex",
+        )
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "rrf", "rank_vec", "rank_lex")
+    )

@@ -863,3 +863,55 @@ def text_shard_manifest(spark, sf_dir):
     chunks = TX.pack_training_chunks(docs, budget=512)
     plan = TX.epoch_shard_plan(chunks, n_epochs=2, n_shards=4)
     return TX.shard_manifest(plan)
+
+
+_BM25_TERMS = ("vector", "join", "window")
+
+
+@register(
+    "text_bm25_search",
+    # After the 50-slot window; oracle executed in tests/test_text.py.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(
+                   lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                   '\\s+'), x -> x <> '') AS t
+        FROM documents
+    ), st AS (
+        SELECT count(*) AS N, avg(len(t)) AS avgdl,
+               sum(list_contains(t, 'vector')::BIGINT) AS df0,
+               sum(list_contains(t, 'join')::BIGINT) AS df1,
+               sum(list_contains(t, 'window')::BIGINT) AS df2
+        FROM d
+    ), sc AS (
+        SELECT doc_id,
+               ln(1 + (N - df0 + 0.5) / (df0 + 0.5))
+                 * len(list_filter(t, x -> x = 'vector')) * 2.2
+                 / (len(list_filter(t, x -> x = 'vector'))
+                    + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+             + ln(1 + (N - df1 + 0.5) / (df1 + 0.5))
+                 * len(list_filter(t, x -> x = 'join')) * 2.2
+                 / (len(list_filter(t, x -> x = 'join'))
+                    + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+             + ln(1 + (N - df2 + 0.5) / (df2 + 0.5))
+                 * len(list_filter(t, x -> x = 'window')) * 2.2
+                 / (len(list_filter(t, x -> x = 'window'))
+                    + 1.2 * (0.25 + 0.75 * len(t) / avgdl)) AS s
+        FROM d, st
+    )
+    SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank,
+           doc_id, bm25
+    FROM (SELECT doc_id, round(s, 6) AS bm25 FROM sc WHERE round(s, 6) > 0)
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def text_bm25_search(spark, sf_dir):
+    """BM25 lexical retrieval for the query {vector, join, window}:
+    Robertson/Lucene scoring with corpus stats (N, avgdl, per-term
+    df) from one broadcast aggregate row — the lexical arm the hybrid
+    pipeline fuses with the embedding arm. Score rounded + doc_id
+    tie-break makes the ranking a cross-engine total order."""
+    return TX.bm25_search(
+        table(spark, sf_dir, "documents"), list(_BM25_TERMS), top_n=10
+    )

@@ -88,11 +88,12 @@ def test_observability_oracles_match_duckdb(spark, sf_med):
 
     qs, oracles = queries(), oracle_sql()
     con = duckdb.connect()
-    for t in ("events", "documents"):
+    for t in ("events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_med}/{t}.parquet'")
     for name in ("agg_error_anomalies", "text_log_templates",
-                 "agg_slo_burn_rate", "text_new_templates"):
+                 "agg_slo_burn_rate", "text_new_templates",
+                 "pipeline_hybrid_retrieval"):
         sdf = qs[name](spark, sf_med)
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]

@@ -783,7 +783,8 @@ def test_epoch_shards_oracle_matches_duckdb(spark, sf_small):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
     )
-    for name in ("text_epoch_shards", "text_shard_manifest"):
+    for name in ("text_epoch_shards", "text_shard_manifest",
+                 "text_bm25_search"):
         sdf = queries()[name](spark, sf_small)
         cols = sdf.columns
         got = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
@@ -854,3 +855,32 @@ def test_shard_manifest_detects_any_layout_change(spark):
             assert m3[k][2] != m1[k][2], k
         else:
             assert m3[k] == m1[k], k
+
+
+def test_bm25_matches_hand_computation(spark):
+    import math
+
+    docs = [
+        (0, "cat dog"),
+        (1, "cat cat cat fish"),
+        (2, "dog dog bird"),
+        (3, "fish"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.rank, r.bm25)
+           for r in TX.bm25_search(df, ["cat"], k1=1.2, b=0.75).collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    N, avgdl = 4, sum(len(t) for t in toks.values()) / 4
+    dfreq = sum(1 for t in toks.values() if "cat" in t)
+    idf = math.log(1 + (N - dfreq + 0.5) / (dfreq + 0.5))
+    exp = {}
+    for i, t in toks.items():
+        tf = t.count("cat")
+        if tf:
+            s = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(t) / avgdl))
+            exp[i] = round(s, 6)
+    order = sorted(exp, key=lambda i: (-exp[i], i))
+    assert set(got) == set(exp)
+    for rank, i in enumerate(order, 1):
+        assert got[i] == (rank, exp[i]), i
