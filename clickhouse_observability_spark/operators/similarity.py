@@ -1042,3 +1042,84 @@ def cross_neardup_lsh(
     return cand.select("left_id", "right_id", cs.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_candidates: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank: per query, greedily pick k
+    results maximizing λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) —
+    relevance tempered by redundancy, the diversification step a RAG
+    serving path runs after top-k (near-duplicate passages waste the
+    context budget).
+
+    Greedy MMR is inherently sequential IN k, so it cannot be a join/
+    window composition — this is the legitimate applyInPandas case:
+    the exact top-`n_candidates` per query (a DataFrame stage) group
+    by query_id into Arrow batches of n_candidates rows, and the
+    per-group numpy loop is O(k·n_candidates) on a ~50-row matrix.
+    Work scales with |queries|·n_candidates, never corpus size;
+    determinism: ties break toward the lower vec_id.
+
+    Output: (query_id, mmr_rank, vec_id, cosine, mmr_score).
+    """
+    import pandas as pd
+
+    cand = brute_force_topk(embeddings, query_ids, k=n_candidates)
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    with_vec = cand.join(e, "vec_id")
+
+    schema = (
+        "query_id long, mmr_rank int, vec_id long, "
+        "cosine double, mmr_score double"
+    )
+
+    def _mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(["rank"]).reset_index(drop=True)
+        V = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        rel = pdf["cosine"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(n))
+        sim_to_sel = np.full(n, -np.inf)
+        for _ in range(min(k, n)):
+            best_i, best_s = None, None
+            for i in remaining:
+                red = 0.0 if not selected else sim_to_sel[i]
+                s = lam * rel[i] - (1.0 - lam) * red
+                if (
+                    best_s is None
+                    or s > best_s
+                    or (s == best_s and ids[i] < ids[best_i])
+                ):
+                    best_i, best_s = i, s
+            selected.append(best_i)
+            scores.append(float(best_s))
+            remaining.remove(best_i)
+            sims = V @ V[best_i]
+            sim_to_sel = np.maximum(
+                np.where(np.isneginf(sim_to_sel), -np.inf, sim_to_sel), sims
+            )
+            sim_to_sel[selected] = np.inf  # never re-picked anyway
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype="int32"),
+                "vec_id": ids[selected],
+                "cosine": rel[selected],
+                "mmr_score": np.round(scores, 6),
+            }
+        )
+
+    return with_vec.groupBy("query_id").applyInPandas(_mmr, schema)

@@ -531,3 +531,19 @@ def sim_semantic_contamination_lsh(spark, sf_dir):
         bench, corpus, threshold=0.45, n_planes=4, n_tables=16,
         multiprobe=True,
     )
+
+
+@register("sim_mmr_rerank")
+def sim_mmr_rerank(spark, sf_dir):
+    """MMR-diversified retrieval: exact top-50 candidates per query
+    re-ranked by maximal marginal relevance (λ=0.7) — the redundancy-
+    aware serving layout (near-duplicate passages waste a RAG context
+    budget). The greedy selection is sequential in k, so it runs as
+    an Arrow applyInPandas over per-query candidate groups (~50 rows
+    each) — the documented legitimate-pandas-path case. Rows-only:
+    pytest pins an exact pure-python MMR reference and the
+    diversification property on a clustered corpus."""
+    return S.mmr_rerank(
+        table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10,
+        n_candidates=50, lam=0.7,
+    )

@@ -523,3 +523,74 @@ def test_semantic_contamination_oracle_matches_duckdb(spark, sf_small):
     idx = [ocols.index(c) for c in cols]
     exp = sorted(tuple(str(r[i]) for i in idx) for r in res.fetchall())
     assert got == exp
+
+
+def _mmr_reference(cands, k, lam):
+    # cands: list of (vec_id, cosine, vec); pure-python greedy MMR
+    import math
+
+    def norm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    vs = {i: norm(v) for i, (i_, c, v) in zip(
+        [c[0] for c in cands], cands)}
+    rel = {c[0]: c[1] for c in cands}
+    remaining = [c[0] for c in cands]
+    out = []
+    while remaining and len(out) < k:
+        best, best_s = None, None
+        for i in remaining:
+            red = max(
+                (sum(a * b for a, b in zip(vs[i], vs[j])) for j, _ in out),
+                default=0.0,
+            )
+            s = lam * rel[i] - (1 - lam) * red
+            if best_s is None or s > best_s or (s == best_s and i < best):
+                best, best_s = i, s
+        out.append((best, best_s))
+        remaining.remove(best)
+    return [i for i, _ in out]
+
+
+def test_mmr_matches_python_reference(emb):
+    got = {}
+    for r in S.mmr_rerank(emb, QIDS, k=8, n_candidates=30, lam=0.7).collect():
+        got.setdefault(r.query_id, []).append((r.mmr_rank, r.vec_id))
+    cand = S.brute_force_topk(emb, QIDS, k=30)
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    by_q = {}
+    for r in cand.collect():
+        by_q.setdefault(r.query_id, []).append(
+            (r.vec_id, r.cosine, vecs[r.vec_id]))
+    for q, cands in by_q.items():
+        cands.sort(key=lambda c: c[1], reverse=True)
+        ref = _mmr_reference(cands, k=8, lam=0.7)
+        mine = [v for _, v in sorted(got[q])]
+        assert mine == ref, q
+
+
+def test_mmr_diversifies_clustered_candidates(spark):
+    # query q = e0; cluster A hugs q AND itself; cluster B is slightly
+    # less relevant but orthogonal to A. Pure relevance ranks all of A
+    # first; MMR must interleave B early.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    q = np.zeros(8); q[0] = 1.0
+    rows = [(0, q.tolist())]
+    for i in range(1, 5):  # cluster A: ~q + e1 wiggle
+        v = q + 0.08 * rng.standard_normal(8); v[1] += 0.3
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for i in range(5, 9):  # cluster B: relevant via e0, spread on e2
+        v = 0.8 * q; v[2] = 0.6 + 0.05 * rng.standard_normal()
+        rows.append((100 + i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pure = [r.vec_id for r in S.brute_force_topk(df, [0], k=4)
+            .orderBy("rank").collect()]
+    mmr = [r.vec_id for r in S.mmr_rerank(df, [0], k=4, n_candidates=8,
+                                          lam=0.5)
+           .orderBy("mmr_rank").collect()]
+    a_ids = set(range(1, 5))
+    assert set(pure[:3]) <= a_ids  # relevance-only: A dominates
+    assert any(v > 100 for v in mmr[:2]), mmr  # MMR pulls B in early
