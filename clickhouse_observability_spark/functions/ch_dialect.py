@@ -416,10 +416,61 @@ def _rewrite_prewhere(tokens: list[str]) -> list[str]:
     return _rewrite_prewhere(out)  # handle any further PREWHEREs
 
 
+def _is_number(tok: str) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
+
+
+def _rewrite_sample(tokens: list[str]) -> list[str]:
+    """CH `FROM t SAMPLE k [OFFSET m]` (fractional form): rows whose
+    sampling-key hash falls in the [m, m+k) window of the hash space.
+    The logs table declares no SAMPLE BY key, so the key here is the
+    whole row — `xxhash64(to_json(struct(*)))` — which keeps CH's two
+    load-bearing properties: deterministic (the same statement reads
+    the same subset forever) and NESTED (SAMPLE 0.2 ⊇ SAMPLE 0.1,
+    prefix windows of one hash space). The integer form (approximate
+    row COUNT) needs table statistics and raises."""
+    lows = [t.lower() for t in tokens]
+    for i in range(1, len(tokens) - 1):
+        if (
+            lows[i] == "sample"
+            and _is_number(tokens[i + 1])
+            and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tokens[i - 1])
+            and lows[i - 1] not in ("select", "from", "where", "and", "or")
+        ):
+            k = float(tokens[i + 1])
+            if k >= 1:
+                raise ChDialectError(
+                    "SAMPLE <n> (approximate row count) needs table "
+                    "statistics; use the fractional form SAMPLE 0.x"
+                )
+            j = i + 2
+            m = 0.0
+            if j + 1 < len(tokens) and lows[j] == "offset" \
+                    and _is_number(tokens[j + 1]):
+                m = float(tokens[j + 1])
+                j += 2
+            tbl = tokens[i - 1]
+            lo = int(m * 1_000_000)
+            hi = int((m + k) * 1_000_000)
+            sub = (
+                f"( SELECT * FROM {tbl} WHERE "
+                f"pmod(xxhash64(to_json(struct(*))), 1000000) >= {lo} "
+                f"AND pmod(xxhash64(to_json(struct(*))), 1000000) < {hi} "
+                f") AS {tbl}"
+            )
+            out = tokens[: i - 1] + _tokenize(sub) + tokens[j:]
+            return _rewrite_sample(out)
+    return tokens
+
+
 def translate(sql: str) -> str:
     """ClickHouse SQL text -> Spark SQL text."""
     sql, _fmt = split_format_clause(sql)
-    return _emit(_rewrite_prewhere(_tokenize(sql)))
+    return _emit(_rewrite_sample(_rewrite_prewhere(_tokenize(sql))))
 
 
 # ---------------------------------------------------------------------------

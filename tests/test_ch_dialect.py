@@ -271,3 +271,27 @@ def test_dialect_aggregates_match_duckdb(spark, sf_med):
         g = got[k]
         assert (g["high"], g["users"], g["med"], g["first_month"]) == \
             (w[1], w[2], w[3], w[4]), k
+
+
+def test_sample_clause_semantics(spark):
+    rows = [(i, f"m{i}") for i in range(400)]
+    spark.createDataFrame(rows, "id long, msg string").createOrReplaceTempView(
+        "tsample")
+    run = lambda q: {r.id for r in spark.sql(translate(q)).collect()}
+    s10 = run("SELECT id FROM tsample SAMPLE 0.1")
+    s20 = run("SELECT id FROM tsample SAMPLE 0.2")
+    # roughly proportional, deterministic, NESTED (prefix windows)
+    assert 15 <= len(s10) <= 70 and 50 <= len(s20) <= 120
+    assert s10 == run("SELECT id FROM tsample SAMPLE 0.1")
+    assert s10 <= s20
+    # OFFSET shifts to a disjoint window
+    s10b = run("SELECT id FROM tsample SAMPLE 0.1 OFFSET 0.5")
+    assert s10b and not (s10 & s10b)
+    # composes with WHERE / aggregates
+    n = spark.sql(translate(
+        "SELECT count(*) AS n FROM tsample SAMPLE 0.2 WHERE id < 200"
+    )).collect()[0].n
+    assert 0 < n < 120
+    # integer (row-count) form is honestly rejected
+    with pytest.raises(ChDialectError):
+        translate("SELECT * FROM tsample SAMPLE 1000")
