@@ -215,9 +215,13 @@ _FUNCS = {
     "uniqcombined": lambda a: f"approx_count_distinct({', '.join(a)})",
     "uniqhll12": lambda a: f"approx_count_distinct({', '.join(a)})",
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
-    # CH's DataSketches theta family -> Spark's native theta functions
-    "uniqtheta": lambda a:
-        f"theta_sketch_estimate(theta_sketch_agg({a[0]}))",
+    # CH's DataSketches theta family -> Spark's native theta
+    # functions; multi-arg form counts distinct TUPLES (like CH) by
+    # sketching the tuple hash
+    "uniqtheta": lambda a: (
+        f"theta_sketch_estimate(theta_sketch_agg({a[0]}))" if len(a) == 1
+        else f"theta_sketch_estimate(theta_sketch_agg("
+             f"xxhash64({', '.join(a)})))"),
     # plain topK(x) = CH's topK with the default k=10; returns the
     # VALUE array like CH (counts dropped), frequency-descending
     "topk": lambda a:
@@ -432,38 +436,62 @@ def _rewrite_sample(tokens: list[str]) -> list[str]:
     load-bearing properties: deterministic (the same statement reads
     the same subset forever) and NESTED (SAMPLE 0.2 ⊇ SAMPLE 0.1,
     prefix windows of one hash space). The integer form (approximate
-    row COUNT) needs table statistics and raises."""
+    row COUNT) needs table statistics and raises.
+
+    Handles the full table-reference grammar before SAMPLE:
+    `db.tbl`, `tbl AS x`, `db.tbl AS x`, and bare-alias `tbl x` —
+    the subquery keeps the qualified name inside and the alias (or
+    the last name segment) outside."""
+    _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+    _KEYWORDS = {
+        "select", "from", "where", "and", "or", "join", "on", "as",
+        "group", "order", "by", "limit", "having", "union", "inner",
+        "left", "right", "full", "cross", "outer",
+    }
+
+    def _is_ident(t: str) -> bool:
+        return bool(_IDENT.fullmatch(t)) and t.lower() not in _KEYWORDS
+
     lows = [t.lower() for t in tokens]
     for i in range(1, len(tokens) - 1):
-        if (
-            lows[i] == "sample"
-            and _is_number(tokens[i + 1])
-            and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tokens[i - 1])
-            and lows[i - 1] not in ("select", "from", "where", "and", "or")
-        ):
-            k = float(tokens[i + 1])
-            if k >= 1:
-                raise ChDialectError(
-                    "SAMPLE <n> (approximate row count) needs table "
-                    "statistics; use the fractional form SAMPLE 0.x"
-                )
-            j = i + 2
-            m = 0.0
-            if j + 1 < len(tokens) and lows[j] == "offset" \
-                    and _is_number(tokens[j + 1]):
-                m = float(tokens[j + 1])
-                j += 2
-            tbl = tokens[i - 1]
-            lo = int(m * 1_000_000)
-            hi = int((m + k) * 1_000_000)
-            sub = (
-                f"( SELECT * FROM {tbl} WHERE "
-                f"pmod(xxhash64(to_json(struct(*))), 1000000) >= {lo} "
-                f"AND pmod(xxhash64(to_json(struct(*))), 1000000) < {hi} "
-                f") AS {tbl}"
+        if not (lows[i] == "sample" and _is_number(tokens[i + 1])
+                and _is_ident(tokens[i - 1])):
+            continue
+        k = float(tokens[i + 1])
+        if k >= 1:
+            raise ChDialectError(
+                "SAMPLE <n> (approximate row count) needs table "
+                "statistics; use the fractional form SAMPLE 0.x"
             )
-            out = tokens[: i - 1] + _tokenize(sub) + tokens[j:]
-            return _rewrite_sample(out)
+        j = i + 2
+        m = 0.0
+        if j + 1 < len(tokens) and lows[j] == "offset" \
+                and _is_number(tokens[j + 1]):
+            m = float(tokens[j + 1])
+            j += 2
+        # walk back over [db .]* tbl [AS? alias]
+        p = i - 1          # last token of the table reference
+        alias = None
+        if p >= 2 and lows[p - 1] == "as" and _is_ident(tokens[p - 2]):
+            alias, p = tokens[p], p - 2
+        elif p >= 1 and _is_ident(tokens[p - 1]):
+            alias, p = tokens[p], p - 1  # bare alias: `tbl x SAMPLE`
+        start = p
+        while start >= 2 and tokens[start - 1] == "." \
+                and _is_ident(tokens[start - 2]):
+            start -= 2
+        name = "".join(tokens[start:p + 1])
+        out_alias = alias or tokens[p]
+        lo = int(m * 1_000_000)
+        hi = int((m + k) * 1_000_000)
+        sub = (
+            f"( SELECT * FROM {name} WHERE "
+            f"pmod(xxhash64(to_json(struct(*))), 1000000) >= {lo} "
+            f"AND pmod(xxhash64(to_json(struct(*))), 1000000) < {hi} "
+            f") AS {out_alias}"
+        )
+        out = tokens[:start] + _tokenize(sub) + tokens[j:]
+        return _rewrite_sample(out)
     return tokens
 
 

@@ -114,10 +114,19 @@ def slo_burn_rates(
     span = long_window_buckets * 3600 - 1
     w = Window.orderBy(F.col("es")).rangeBetween(-span, 0)
     es = F.unix_timestamp("bucket").cast("long")
-    short_rate = F.col("n_errors") / F.col("n_total")
-    long_rate = F.sum("n_errors").over(w) / F.sum("n_total").over(w)
-    burn_s = F.round(short_rate / F.lit(target), 4)
-    burn_l = F.round(long_rate / F.lit(target), 4)
+    # zero-event buckets (a dense zero-filled spine is the natural SLO
+    # input) must yield NULL burns and page=False — an unguarded
+    # division would crash the whole query under Spark 4's default
+    # ANSI mode, not produce a quiet row
+    t_short, t_long = F.col("n_total"), F.sum("n_total").over(w)
+    burn_s = F.when(
+        t_short > 0,
+        F.round(F.col("n_errors") / t_short / F.lit(target), 4),
+    )
+    burn_l = F.when(
+        t_long > 0,
+        F.round(F.sum("n_errors").over(w) / t_long / F.lit(target), 4),
+    )
     return (
         rates.select("bucket", "n_total", "n_errors")
         .withColumn("es", es)
@@ -127,6 +136,8 @@ def slo_burn_rates(
             "n_errors",
             burn_s.alias("burn_short"),
             burn_l.alias("burn_long"),
-            ((burn_s >= threshold) & (burn_l >= threshold)).alias("page"),
+            F.coalesce(
+                (burn_s >= threshold) & (burn_l >= threshold), F.lit(False)
+            ).alias("page"),
         )
     )

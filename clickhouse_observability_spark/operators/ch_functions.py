@@ -118,9 +118,13 @@ def segment_overlap_exact(
     df: DataFrame, segment: str = "event_type", id_col: str = "user_id"
 ) -> DataFrame:
     """Exact pairwise audience overlap between segments — for every
-    segment pair (a < b): distinct-id counts of each side, the
-    intersection, the union (inclusion–exclusion), and Jaccard. The
-    ClickHouse-users' uniq-across-segments analysis, done exactly.
+    segment pair (a < b) that SHARES at least one id: distinct-id
+    counts of each side, the intersection, the union
+    (inclusion–exclusion), and Jaccard. Fully-disjoint pairs emit no
+    row (inner-join semantics, mirrored by the oracle); the theta
+    twin emits every pair, so diffing the two entries must treat an
+    absent exact row as intersection 0. The ClickHouse-users'
+    uniq-across-segments analysis, done exactly.
 
     Shape: ONE distinct pass (segment, id) — a single shuffle on the
     pair — then a self-join on the id to count co-membership; the
@@ -171,11 +175,12 @@ def segment_overlap_theta(
     this one's cost is ONE scan regardless of overlap structure.
 
     Estimates are engine-specific -> rows-only; pytest bounds the
-    relative error against `segment_overlap_exact`.
+    relative error against `segment_overlap_exact`. Unlike the exact
+    twin, EVERY (a < b) pair gets a row — disjoint segments report
+    est_inter ≈ 0 instead of being absent.
     """
     sk = df.groupBy(F.col(segment).alias("seg")).agg(
         F.expr(f"theta_sketch_agg({id_col})").alias("sk"),
-        F.count(F.lit(1)).alias("n_rows"),
     )
     a = sk.select(
         F.col("seg").alias("seg_a"), F.col("sk").alias("sk_a")

@@ -1107,11 +1107,8 @@ def mmr_rerank(
             selected.append(best_i)
             scores.append(float(best_s))
             remaining.remove(best_i)
-            sims = V @ V[best_i]
-            sim_to_sel = np.maximum(
-                np.where(np.isneginf(sim_to_sel), -np.inf, sim_to_sel), sims
-            )
-            sim_to_sel[selected] = np.inf  # never re-picked anyway
+            # running max over selected; -inf sentinel loses to any sim
+            sim_to_sel = np.maximum(sim_to_sel, V @ V[best_i])
         return pd.DataFrame(
             {
                 "query_id": pdf["query_id"].iloc[0],

@@ -1465,25 +1465,34 @@ def score_quality_classifier(
     )
 
 
-def shard_manifest(plan: DataFrame) -> DataFrame:
+def shard_manifest(
+    plan: DataFrame,
+    key_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    size_col: str = "n_toks",
+) -> DataFrame:
     """(epoch, shard, n_chunks, n_toks, content_md5) — the manifest a
     trainer validates before consuming a shard: the md5 runs over the
-    position-ordered "doc:chunk:len" lines, so any missing, extra,
+    position-ordered "key..:len" lines, so any missing, extra,
     re-ordered or re-sized chunk changes the digest. One per-shard
     aggregate over the (already shard-partitioned) plan; the digest
     folds a sorted collect_list per key — shard-sized, bounded by the
-    packing layout, never corpus-concatenated."""
+    packing layout, never corpus-concatenated.
+
+    `key_cols`/`size_col` mirror epoch_shard_plan's key_cols/
+    carry_cols, so manifests work for any plan the sharder can emit.
+    """
     line = F.concat_ws(
-        ":", F.col("doc_id"), F.col("chunk_id"), F.col("n_toks")
+        ":", *[F.col(c) for c in key_cols], F.col(size_col)
     )
     return (
         plan.select(
-            "epoch", "shard", "position", "n_toks", line.alias("line")
+            "epoch", "shard", "position",
+            F.col(size_col).alias("_size"), line.alias("line"),
         )
         .groupBy("epoch", "shard")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("n_toks").alias("n_toks"),
+            F.sum("_size").alias("n_toks"),
             F.md5(
                 F.concat_ws(
                     "\n",

@@ -180,6 +180,11 @@ class VectorIngest:
 
     def _admit(self, batch_df: DataFrame, batch_id: int) -> None:
         v = F.col("embedding")
+        # three-valued-logic trap: forall/isnan over a NULL element
+        # yields NULL, not false, which would skip every when() branch
+        # and ADMIT the row — so null elements get their own check
+        # first, and the finite check runs on a null-free array
+        has_null_elem = F.exists(v, lambda x: x.isNull())
         finite = F.forall(v, lambda x: ~F.isnan(x) & ~x.isin(
             float("inf"), float("-inf")
         ))
@@ -187,14 +192,22 @@ class VectorIngest:
             F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
         )
         reason = (
-            F.when(v.isNull(), "null_embedding")
+            F.when(F.col("vec_id").isNull(), "null_id")
+            .when(v.isNull(), "null_embedding")
             .when(F.size(v) != self.dim, "wrong_dim")
+            .when(has_null_elem, "null_element")
             .when(~finite, "non_finite")
             .when(norm2 == 0.0, "zero_norm")
         )
         gated = batch_df.withColumn("reject_reason", reason)
         bad = gated.filter(F.col("reject_reason").isNotNull())
-        bad.write.mode("append").parquet(self.reject_dir)
+        # quarantine keyed by batch dir + OVERWRITE: a Spark retry of
+        # the same batch replaces its own rejects instead of
+        # double-counting them (admission is already idempotent via
+        # the id index; the reject side must match)
+        bad.write.mode("overwrite").parquet(
+            os.path.join(self.reject_dir, f"batch={int(batch_id)}")
+        )
         ok = gated.filter(F.col("reject_reason").isNull()).drop("reject_reason")
 
         # within-batch collapse on vec_id (one winner per id; a batch
@@ -286,4 +299,6 @@ class VectorIngest:
         return self.spark.read.parquet(self.cent_dir)
 
     def rejected(self) -> DataFrame:
-        return self.spark.read.parquet(self.reject_dir)
+        return self.spark.read.option("basePath", self.reject_dir).parquet(
+            self.reject_dir + "/batch=*"
+        ).drop("batch")

@@ -295,3 +295,35 @@ def test_sample_clause_semantics(spark):
     # integer (row-count) form is honestly rejected
     with pytest.raises(ChDialectError):
         translate("SELECT * FROM tsample SAMPLE 1000")
+
+
+def test_sample_qualified_and_aliased_tables(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS dbx")
+    spark.createDataFrame(
+        [(i,) for i in range(300)], "id long"
+    ).write.mode("overwrite").saveAsTable("dbx.tq")
+    try:
+        n_all = 300
+        run = lambda q: spark.sql(translate(q)).collect()
+        n1 = run("SELECT count(*) AS n FROM dbx.tq SAMPLE 0.2")[0].n
+        assert 20 < n1 < 120
+        # alias survives (referenced in projection), AS and bare forms
+        r = run("SELECT x.id FROM dbx.tq AS x SAMPLE 0.2 WHERE x.id >= 0")
+        assert 20 < len(r) < 120
+        r2 = run("SELECT y.id FROM dbx.tq y SAMPLE 0.2")
+        assert {row.id for row in r} == {row.id for row in r2}
+        assert n1 < n_all
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dbx.tq")
+        spark.sql("DROP DATABASE IF EXISTS dbx")
+
+
+def test_uniqtheta_multiarg_counts_tuples(spark):
+    spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 1)], "a int, b int"
+    ).createOrReplaceTempView("tpairs")
+    r = spark.sql(translate(
+        "SELECT uniqTheta(a, b) AS nt, uniqTheta(a) AS na FROM tpairs"
+    )).collect()[0]
+    assert r.nt == 3  # distinct tuples, not distinct a
+    assert r.na == 2

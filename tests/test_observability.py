@@ -112,12 +112,8 @@ def test_slo_burn_rate_pages_only_when_sustained_and_live(spark):
 
     base = dt.datetime(2025, 9, 1)
     rows = []
-    # 12 quiet hours at the budget (20 errors / 100 = burn 1.0), then
-    # ONE spike hour at 100% errors (burn 5... make it 100/100 = burn
-    # 5.0 < 6): use 120 errors of 120 -> burn 5.0; need >= 6x: budget
-    # 0.2 so 100% errors = burn 5. Lower the quiet rate instead: use
-    # threshold-crossing spikes of rate 1.0 against target 1/6? Keep
-    # target 0.1 here: quiet 10%, spike 100% = burn 10.
+    # target 0.1: quiet hours run at 10% errors (burn 1.0); outage
+    # hours at 100% (burn 10 >= the 6x threshold)
     for h in range(12):
         rows += [(base + dt.timedelta(hours=h, minutes=m % 60), "error")
                  for m in range(10)]
@@ -166,3 +162,19 @@ def test_new_templates_flags_only_novel_shapes(spark):
     got = {r.template: r.n_lines
            for r in TP.new_templates(cur, base).collect()}
     assert got == {"disk <NUM> failed with code <NUM>": 2}
+
+
+def test_slo_burn_rate_zero_bucket_is_quiet_not_crash(spark):
+    import datetime as dt
+
+    base = dt.datetime(2025, 9, 1)
+    rows = [(base, 10, 2), (base + dt.timedelta(hours=1), 0, 0),
+            (base + dt.timedelta(hours=2), 10, 2)]
+    rates = spark.createDataFrame(
+        rows, "bucket timestamp, n_total long, n_errors long")
+    out = {r.bucket.hour: r for r in AN.slo_burn_rates(
+        rates, target=0.2, long_window_buckets=6, threshold=6.0
+    ).collect()}
+    assert out[1].burn_short is None and out[1].page is False
+    # surrounding buckets still score (long window skips the empty one)
+    assert out[2].burn_short == 1.0 and out[2].burn_long == 1.0

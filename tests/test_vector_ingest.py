@@ -56,7 +56,11 @@ def test_streamed_admission_dedup_audit_and_index(spark, store):
         + [{"vec_id": 200, "embedding": None},
            {"vec_id": 201, "embedding": [1.0] * (DIM - 1)},
            {"vec_id": 202, "embedding": [float("nan")] + [0.0] * (DIM - 1)},
-           {"vec_id": 203, "embedding": [0.0] * DIM}]
+           {"vec_id": 203, "embedding": [0.0] * DIM},
+           # three-valued-logic traps: a null ELEMENT (right length)
+           # and a null id must be rejected, not silently admitted
+           {"vec_id": 204, "embedding": [1.0, None] + [0.0] * (DIM - 2)},
+           {"vec_id": None, "embedding": [1.0] * DIM}]
     )
     vi.submit_many(batch)
     vi.start()
@@ -70,6 +74,7 @@ def test_streamed_admission_dedup_audit_and_index(spark, store):
     assert reasons == {
         200: "null_embedding", 201: "wrong_dim",
         202: "non_finite", 203: "zero_norm",
+        204: "null_element", None: "null_id",
     }
     # every admitted vector is indexed: assignment + code present
     assert vi.assignments().count() == 60
@@ -116,12 +121,16 @@ def test_crash_retry_admits_nothing(spark, store):
     # after a crash between appends) must be a no-op for ids/vectors
     vi, seed, rnd = store
     rows = [(500 + i, _vec(rnd)) for i in range(5)]
+    rows.append((506, [0.0] * DIM))  # one quarantined row in the batch
     batch = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     vi._admit(batch, batch_id=1)
-    n1 = (vi.read().count(), vi.assignments().count(), vi.codes().count())
+    n1 = (vi.read().count(), vi.assignments().count(), vi.codes().count(),
+          vi.rejected().count())
     vi._admit(batch, batch_id=1)  # retry
-    n2 = (vi.read().count(), vi.assignments().count(), vi.codes().count())
-    assert n1 == n2 == (45, 45, 45)
+    n2 = (vi.read().count(), vi.assignments().count(), vi.codes().count(),
+          vi.rejected().count())
+    # quarantine must not double-count on retry either
+    assert n1 == n2 == (45, 45, 45, 1)
 
 
 def test_rebuild_resets_staleness_and_reindexes_all(spark, store):
