@@ -1073,3 +1073,45 @@ def remove_duplicated_spans(
     return joined.select("doc_id", summary.alias("r")).select(
         "doc_id", "r.clean_text", "r.n_tokens_removed"
     )
+
+
+def cluster_report(n_total_docs: int, components: DataFrame) -> DataFrame:
+    """Cluster-size histogram + keep-fraction summary over a
+    (doc_id, component_id) frame (neardup_components output).
+
+    'clusters' rows: one per observed cluster size — how many
+    clusters, how many docs they hold, and the keep fraction a
+    one-keeper-per-cluster policy yields at that size. 'summary' row:
+    totals over the whole corpus (keepers = clusters + singletons).
+    Aggregates run over the component frame only; the corpus
+    contributes a single precomputed count."""
+    spark = components.sparkSession
+    sizes = components.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
+        .select(
+            F.lit("clusters").alias("section"),
+            "cluster_size", "n_clusters", "n_docs",
+            F.round(F.col("n_clusters") / F.col("n_docs"), 6)
+            .alias("keep_frac"),
+        )
+    )
+    agg = sizes.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_comp"),
+        F.coalesce(F.sum("cluster_size"), F.lit(0)).alias("n_in_comp"),
+    ).collect()[0]  # bounded: one row
+    n_singletons = int(n_total_docs) - int(agg.n_in_comp)
+    n_keepers = int(agg.n_comp) + n_singletons
+    summary = spark.createDataFrame(
+        [(
+            "summary", None, n_keepers, int(n_total_docs),
+            round(n_keepers / n_total_docs, 6) if n_total_docs else None,
+        )],
+        "section string, cluster_size long, n_clusters long, "
+        "n_docs long, keep_frac double",
+    )
+    return hist.unionByName(summary).orderBy("section", "cluster_size")

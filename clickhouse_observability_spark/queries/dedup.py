@@ -214,3 +214,22 @@ def dedup_neardup_clusters(spark, sf_dir):
     comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
     return D.canonical_per_component(docs, comps)
 
+
+
+@register("dedup_cluster_report")
+def dedup_cluster_report(spark, sf_dir):
+    """Near-dup cluster-structure report — the number an operator
+    actually quotes about a corpus ("dedup removes X%, biggest
+    cluster is Y"): per cluster-size row counts over the MinHash
+    near-dup components, plus a summary row with the keep fraction
+    (keepers = one per cluster + every unpaired singleton). All
+    aggregation runs over the component frame (docs-in-clusters
+    sized), never the corpus. Rows-only: components are an iterative
+    fixpoint; the size-histogram arithmetic is pinned on a planted
+    cluster structure in pytest."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        docs, threshold=0.9, cache_key=f"{sf_dir}/documents"
+    )
+    comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
+    return D.cluster_report(docs.count(), comps)

@@ -420,3 +420,20 @@ def test_span_oracles_match_duckdb(spark, sf_small):
         drows = sorted(tuple(str(r[i]) for i in idx) for r in res.fetchall())
         srows = sorted(tuple(str(v) for v in r) for r in sdf.collect())
         assert srows == drows, name
+
+
+def test_cluster_report_on_planted_structure(spark):
+    # clusters {1,2,3} and {5,6}; docs 7, 8 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
+    rows = {(r.section, r.cluster_size): r
+            for r in D.cluster_report(7, comps).collect()}
+    c3 = rows[("clusters", 3)]
+    assert (c3.n_clusters, c3.n_docs) == (1, 3)
+    c2 = rows[("clusters", 2)]
+    assert (c2.n_clusters, c2.n_docs) == (1, 2)
+    s = rows[("summary", None)]
+    # keepers = 2 clusters + 2 singletons = 4 of 7 docs
+    assert (s.n_clusters, s.n_docs) == (4, 7)
+    assert s.keep_frac == round(4 / 7, 6)
