@@ -27,6 +27,7 @@ import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 from clickhouse_observability_spark.operators.query_logs import query_logs
@@ -420,6 +421,74 @@ class LogsApi:
         return 200, {"stats": stats, "count": len(stats),
                      "granularity": gran}
 
+    # -- GET /v1/alerts (SLO burn rate over the view's states) ---------
+    def alerts_handler(self, params: dict) -> tuple[int, dict]:
+        """Per-service error-budget burn panel answered from the
+        MATERIALIZED VIEW's hour-grain states (never the raw logs):
+        n_total/n_errors per (hour, service) come from the merged
+        (service, level) state rows, then the multi-window burn-rate
+        scorer runs per service. `?all=1` returns every scored
+        bucket; default returns only paging rows (the alert feed)."""
+        if self._view is None:
+            return 404, {"error": "alerts view not configured"}
+        try:
+            try:
+                target = float(params.get("target", "0.05"))
+                threshold = float(params.get("threshold", "6"))
+                window = int(params.get("window", "6"))
+            except ValueError:
+                raise ApiError(400, "target/threshold/window malformed")
+            if not (0 < target <= 1) or threshold <= 0 or window < 1:
+                raise ApiError(
+                    400, "need 0 < target <= 1, threshold > 0, window >= 1")
+            from clickhouse_observability_spark.operators import (
+                anomaly as AN,
+            )
+
+            spark = self._provider().sparkSession
+            states = self._view.query(spark, granularity="hour")
+            rates = states.groupBy(
+                F.col("bucket_ts").alias("bucket"), "service"
+            ).agg(
+                F.sum("cnt").alias("n_total"),
+                F.sum(
+                    F.when(F.col("level") == "ERROR", F.col("cnt"))
+                    .otherwise(F.lit(0))
+                ).alias("n_errors"),
+            )
+            if params.get("service"):
+                rates = rates.filter(
+                    F.col("service") == params["service"])
+            scored = AN.slo_burn_rates(
+                rates, target=target, long_window_buckets=window,
+                threshold=threshold, dims=("service",),
+            )
+            if params.get("all") != "1":
+                scored = scored.filter(F.col("page"))
+            rows = self._collect_with_timeout(
+                scored.orderBy("bucket", "service"))
+        except ApiError as e:
+            return e.status, {"error": e.message}
+        except Exception:
+            return 500, {"error": "internal error"}
+        alerts = [
+            {
+                "Bucket": r["bucket"].isoformat() + "Z",
+                "Service": r["service"],
+                "Total": r["n_total"],
+                "Errors": r["n_errors"],
+                "BurnShort": r["burn_short"],
+                "BurnLong": r["burn_long"],
+                "Page": r["page"],
+            }
+            for r in (row.asDict() for row in rows)
+        ]
+        return 200, {
+            "alerts": alerts, "count": len(alerts),
+            "target": target, "threshold": threshold,
+            "window_hours": window,
+        }
+
     # -- ops endpoints --------------------------------------------------
     @staticmethod
     def ping_handler() -> tuple[int, str]:
@@ -473,6 +542,8 @@ class LogsApi:
                                else "application/json")
                 elif u.path == "/v1/stats":
                     self._send(*api.stats_handler(dict(parse_qsl(u.query))))
+                elif u.path == "/v1/alerts":
+                    self._send(*api.alerts_handler(dict(parse_qsl(u.query))))
                 elif u.path == "/api/ping":
                     self._send(*api.ping_handler(), content_type="text/plain")
                 elif u.path == "/live":

@@ -98,6 +98,7 @@ def slo_burn_rates(
     target: float = 0.2,
     long_window_buckets: int = 6,
     threshold: float = 6.0,
+    dims: tuple[str, ...] = (),
 ) -> DataFrame:
     """Multi-window SLO burn-rate alerting (the SRE-workbook rule)
     over hourly (bucket, n_total, n_errors) rows: burn = observed
@@ -109,10 +110,15 @@ def slo_burn_rates(
     Bucket-grain input (the rollup read path): the trailing sums are
     a RANGE window over epoch seconds — missing buckets leave the
     window, so sparse hours don't stretch the long window's span the
-    way a ROWS frame would. O(hours) rows end to end.
+    way a ROWS frame would. O(hours) rows end to end. `dims` scores
+    each dimension's series independently (per-service SLOs): the
+    window partitions on them, so the frame stays
+    O(hours × |dims-values|) with no cross-series bleed.
     """
     span = long_window_buckets * 3600 - 1
-    w = Window.orderBy(F.col("es")).rangeBetween(-span, 0)
+    w = Window.partitionBy(*[F.col(d) for d in dims]).orderBy(
+        F.col("es")
+    ).rangeBetween(-span, 0)
     es = F.unix_timestamp("bucket").cast("long")
     # zero-event buckets (a dense zero-filled spine is the natural SLO
     # input) must yield NULL burns and page=False — an unguarded
@@ -128,10 +134,11 @@ def slo_burn_rates(
         F.round(F.sum("n_errors").over(w) / t_long / F.lit(target), 4),
     )
     return (
-        rates.select("bucket", "n_total", "n_errors")
+        rates.select("bucket", *dims, "n_total", "n_errors")
         .withColumn("es", es)
         .select(
             "bucket",
+            *dims,
             "n_total",
             "n_errors",
             burn_s.alias("burn_short"),

@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 import time
 import urllib.parse
+import urllib.error
 import urllib.request
 
 import pytest
@@ -228,5 +229,76 @@ def test_live_server_query_and_stats(spark, tmp_path, monkeypatch):
         ) as r:
             only = json.loads(r.read())
         assert all(s["Level"] == "INFO" for s in only["stats"])
+    finally:
+        srv.stop()
+
+
+def test_live_server_alerts_burn_rate(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("INGEST_MAX_DELAY_MS", "100")
+    monkeypatch.delenv("RETENTION_DAYS", raising=False)
+    srv = EngineServer(
+        spark, data_dir=str(tmp_path), http_addr=":0", grpc_addr=":0"
+    ).start()
+    try:
+        http_port, _ = srv.ports
+        rows = []
+        # svc-ok: 10% errors for 8 hours (within a 20% budget);
+        # svc-bad: total outage through the back 6 hours
+        for h in range(8):
+            for i in range(10):
+                rows.append({
+                    "ts": f"2025-09-01T{10 + h:02d}:{i:02d}:00Z",
+                    "service": "svc-ok",
+                    "level": "ERROR" if i == 0 else "INFO",
+                    "msg": "m", "attrs": {}, "trace_id": "t",
+                    "span_id": f"a{h}-{i}"})
+                rows.append({
+                    "ts": f"2025-09-01T{10 + h:02d}:{i:02d}:30Z",
+                    "service": "svc-bad",
+                    "level": "ERROR" if h >= 2 else "INFO",
+                    "msg": "m", "attrs": {}, "trace_id": "t",
+                    "span_id": f"b{h}-{i}"})
+        srv.stream.submit_many(rows)
+        n_rows = len(rows)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{http_port}/v1/stats?granularity=hour"
+            ) as r:
+                stats = json.loads(r.read())
+            if sum(s["Count"] for s in stats.get("stats", [])) == n_rows:
+                break
+            time.sleep(0.3)
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{http_port}/v1/alerts?target=0.2"
+        ) as r:
+            feed = json.loads(r.read())
+        # only the outage service pages, and only once the long
+        # window has heated (burn 5x needs >= threshold 6? no:
+        # target 0.2 -> 100% errors = burn 5; set threshold via param)
+        assert feed["count"] == 0  # burn 5.0 < default threshold 6
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{http_port}/v1/alerts?target=0.2&threshold=4"
+        ) as r:
+            feed = json.loads(r.read())
+        assert feed["count"] > 0
+        assert {a["Service"] for a in feed["alerts"]} == {"svc-bad"}
+        assert all(a["Page"] for a in feed["alerts"])
+        # the full panel exposes the quiet service too
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{http_port}/v1/alerts?target=0.2&all=1"
+        ) as r:
+            panel = json.loads(r.read())
+        ok = [a for a in panel["alerts"] if a["Service"] == "svc-ok"]
+        assert ok and all(not a["Page"] for a in ok)
+        assert all(abs(a["BurnShort"] - 0.5) < 0.01 for a in ok)
+        # validation arm
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{http_port}/v1/alerts?target=2")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         srv.stop()
