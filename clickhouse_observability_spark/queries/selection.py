@@ -222,7 +222,10 @@ def _classifier_artifacts(spark, sf_dir):
     kmeans-artifact rule, VERDICT r3 item 3, applied from birth)."""
     from clickhouse_observability_spark.sources import index_store as IX
 
-    path = IX.artifact_path(sf_dir, "quality_clf")
+    # keyed by the DOCUMENTS file (the training input), not the
+    # default embeddings key — a regenerated documents corpus must
+    # invalidate the model sidecar
+    path = IX.artifact_path(sf_dir, "quality_clf", source_table="documents")
     if not IX.has_artifact(path):
         docs = table(spark, sf_dir, "documents")
         b0, w = TX.train_quality_classifier(
