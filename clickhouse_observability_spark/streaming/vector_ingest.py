@@ -77,10 +77,16 @@ class VectorIngest:
         n_clusters: int = 10,
         max_files_per_trigger: int = 8,
         trigger_ms: int = 100,
+        neardup_hamming: int | None = None,
     ):
         self.spark = spark
         self.dim = dim
         self.n_clusters = n_clusters
+        # optional SEMANTIC admission: reject vectors whose 64-bit BQ
+        # code is within this hamming radius of anything already
+        # admitted (probe = pigeonhole chunk-index bucket join, like
+        # media_ingest's pHash path; None = id dedup only)
+        self.neardup_hamming = neardup_hamming
         self.vectors_dir = os.path.join(store_dir, "vectors")
         self.reject_dir = os.path.join(store_dir, "rejected")
         ix = os.path.join(store_dir, "_index")
@@ -88,6 +94,7 @@ class VectorIngest:
         self.assign_dir = os.path.join(ix, "assignments")
         self.codes_dir = os.path.join(ix, "bq_codes")
         self.cent_dir = os.path.join(ix, "centroids")
+        self.chunks_dir = os.path.join(ix, "bq_chunks")
         self.means_dir = os.path.join(ix, "bq_means")
         self.meta_path = os.path.join(ix, "build_meta.json")
         self.inbox_dir = inbox_dir
@@ -124,6 +131,11 @@ class VectorIngest:
             [(means,)], "mv array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(self.means_dir)
         emb.select("vec_id").write.mode("append").parquet(self.ids_dir)
+        if self.neardup_hamming is not None:
+            # seed the near-dup probe index so near-dups of SEED
+            # vectors are rejected from the very first batch
+            self._append_chunk_index(
+                codes.select(F.col("bq")[0].alias("code")))
         assign.write.mode("append").parquet(self.assign_dir)
         codes.write.mode("append").parquet(self.codes_dir)
         emb.write.mode("append").parquet(self.vectors_dir)
@@ -146,6 +158,13 @@ class VectorIngest:
         ).coalesce(1).write.mode("overwrite").parquet(self.means_dir)
         assign.write.mode("overwrite").parquet(self.assign_dir)
         codes.write.mode("overwrite").parquet(self.codes_dir)
+        if self.neardup_hamming is not None:
+            # refit moves the BQ means, so every chunk key changes:
+            # rewrite the probe index from the new codes whole
+            self._append_chunk_index(
+                codes.select(F.col("bq")[0].alias("code")),
+                mode="overwrite",
+            )
         self._write_meta(n_at_build=emb.count())
 
     def _write_meta(self, n_at_build: int) -> None:
@@ -204,10 +223,7 @@ class VectorIngest:
         # quarantine keyed by batch dir + OVERWRITE: a Spark retry of
         # the same batch replaces its own rejects instead of
         # double-counting them (admission is already idempotent via
-        # the id index; the reject side must match)
-        bad.write.mode("overwrite").parquet(
-            os.path.join(self.reject_dir, f"batch={int(batch_id)}")
-        )
+        # the id/chunk indexes; the reject side must match)
         ok = gated.filter(F.col("reject_reason").isNull()).drop("reject_reason")
 
         # within-batch collapse on vec_id (one winner per id; a batch
@@ -220,6 +236,70 @@ class VectorIngest:
             first = first.join(known, "vec_id", "left_anti")
 
         centroids, means = self._frozen_artifacts()
+        coded = S.binary_codes(
+            first.select("vec_id", "embedding"), means, dim=self.dim
+        )
+
+        # -- SEMANTIC admission (optional): reject vectors whose BQ
+        # code sits within `neardup_hamming` of anything already
+        # admitted — within this batch (greedy, smaller id wins) or
+        # in the at-rest chunk index (pigeonhole bucket probe, the
+        # media_ingest pHash shape; never a scan)
+        if self.neardup_hamming is not None:
+            from clickhouse_observability_spark.operators.dedup import (
+                hamming_pairs,
+                pigeonhole_chunk_key,
+            )
+
+            r = self.neardup_hamming
+            n_chunks = r + 1
+            c64 = coded.withColumn("code", F.col("bq")[0])
+            batch_dups = hamming_pairs(
+                c64, "vec_id", "code", r, out_a="keep", out_b="drop"
+            ).select(F.col("drop").alias("vec_id")).distinct()
+            dup_ids = batch_dups
+            if os.path.exists(self.chunks_dir):
+                idx = self.spark.read.parquet(self.chunks_dir)
+                probes = c64.select(
+                    "vec_id", "code",
+                    F.explode(F.array(*[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            pigeonhole_chunk_key("code", c, n_chunks)
+                            .alias("key"),
+                        )
+                        for c in range(n_chunks)
+                    ])).alias("cc"),
+                ).select(
+                    "vec_id", "code",
+                    F.col("cc.chunk").alias("chunk"),
+                    F.col("cc.key").alias("key"),
+                )
+                ham = F.bit_count(
+                    F.col("code").bitwiseXOR(F.col("idx_code")))
+                hist_dups = (
+                    probes.join(
+                        idx.withColumnRenamed("code", "idx_code"),
+                        ["chunk", "key"],
+                    )
+                    .filter(ham <= r)
+                    .select("vec_id")
+                    .distinct()
+                )
+                dup_ids = dup_ids.unionByName(hist_dups).distinct()
+            dup_ids = dup_ids.localCheckpoint(eager=True)
+            bad = bad.unionByName(
+                first.join(dup_ids, "vec_id", "left_semi")
+                .withColumn("reject_reason", F.lit("near_duplicate"))
+                .select(*bad.columns)
+            )
+            first = first.join(dup_ids, "vec_id", "left_anti")
+            coded = coded.join(dup_ids, "vec_id", "left_anti")
+
+        bad.write.mode("overwrite").parquet(
+            os.path.join(self.reject_dir, f"batch={int(batch_id)}")
+        )
+
         cents = F.array(
             *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
         )
@@ -234,9 +314,6 @@ class VectorIngest:
             f"(acc, c) -> CASE WHEN {dist} < acc.d "
             f"THEN named_struct('d', {dist}, 'l', c) ELSE acc END).l"
         ).cast("int")
-        coded = S.binary_codes(
-            first.select("vec_id", "embedding"), means, dim=self.dim
-        )
         admitted = (
             first.withColumn("_cents", cents)
             .withColumn("label", label)
@@ -247,8 +324,17 @@ class VectorIngest:
             # against this batch's own ids — corpus_ingest bug class)
             .localCheckpoint(eager=True)
         )
-        # ids first: duplicates unadmittable even on crash-retry
+        # ids first, then the near-dup chunk index, then payloads:
+        # duplicates (exact OR semantic) unadmittable even on
+        # crash-retry
         admitted.select("vec_id").write.mode("append").parquet(self.ids_dir)
+        if self.neardup_hamming is not None:
+            from clickhouse_observability_spark.operators.dedup import (
+                pigeonhole_chunk_key,
+            )
+
+            self._append_chunk_index(
+                admitted.select(F.col("bq")[0].alias("code")))
         admitted.select("vec_id", "label").write.mode("append").parquet(
             self.assign_dir
         )
@@ -258,6 +344,32 @@ class VectorIngest:
         admitted.select("vec_id", "embedding").write.mode("append").parquet(
             self.vectors_dir
         )
+
+    def _append_chunk_index(
+        self, codes64: DataFrame, mode: str = "append"
+    ) -> None:
+        """(chunk, key, code) rows for the at-rest near-dup probe
+        index — one row per pigeonhole chunk per admitted code."""
+        from clickhouse_observability_spark.operators.dedup import (
+            pigeonhole_chunk_key,
+        )
+
+        n_chunks = self.neardup_hamming + 1
+        rows = codes64.select(
+            "code",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    pigeonhole_chunk_key("code", c, n_chunks).alias("key"),
+                )
+                for c in range(n_chunks)
+            ])).alias("cc"),
+        ).select(
+            F.col("cc.chunk").alias("chunk"),
+            F.col("cc.key").alias("key"),
+            "code",
+        )
+        rows.write.mode(mode).parquet(self.chunks_dir)
 
     # -- stream lifecycle ----------------------------------------------
     def start(self) -> StreamingQuery:

@@ -170,3 +170,52 @@ def test_rebuild_resets_staleness_and_reindexes_all(spark, store):
         n_probe=4,
     ).collect()
     assert len(got) == 10
+
+
+def test_semantic_neardup_admission(spark, tmp_path):
+    # dim 64: random sign codes sit ~32 bits apart, so hamming<=2
+    # collisions between genuinely different vectors are impossible in
+    # practice, while a copied payload hits hamming 0 exactly
+    dim = 64
+    rnd = random.Random(11)
+    mk = lambda: [round(rnd.uniform(-1, 1), 6) for _ in range(dim)]
+    seed = [(i, mk()) for i in range(30)]
+    emb = spark.createDataFrame(seed, "vec_id long, embedding array<double>")
+    vi = VectorIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        inbox_dir=str(tmp_path / "inbox"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dim=dim,
+        n_clusters=4,
+        neardup_hamming=2,
+    )
+    vi.bootstrap(emb)
+    # the case id-dedup alone cannot catch: a seed vector's PAYLOAD
+    # resubmitted under a brand-new id; plus a genuinely new vector
+    batch = spark.createDataFrame(
+        [(900, list(seed[3][1])), (901, mk())],
+        "vec_id long, embedding array<double>",
+    )
+    vi._admit(batch, batch_id=1)
+    ids = {r.vec_id for r in vi.read().select("vec_id").collect()}
+    reasons = {r.vec_id: r.reject_reason for r in vi.rejected().collect()}
+    assert 900 not in ids and reasons.get(900) == "near_duplicate"
+    assert 901 in ids
+    # within-batch semantic dedup: the same new payload under two new
+    # ids in ONE batch -> smaller id wins
+    v = mk()
+    vi._admit(spark.createDataFrame(
+        [(910, v), (911, list(v))], "vec_id long, embedding array<double>"
+    ), batch_id=2)
+    ids = {r.vec_id for r in vi.read().select("vec_id").collect()}
+    assert 910 in ids and 911 not in ids
+    # cross-batch: the batch-2 admit is now in the chunk index
+    batch3 = spark.createDataFrame(
+        [(920, list(v))], "vec_id long, embedding array<double>")
+    vi._admit(batch3, batch_id=3)
+    assert 920 not in {r.vec_id for r in vi.read().select("vec_id").collect()}
+    # retry of batch 3 is a no-op everywhere (incl. quarantine)
+    before = (vi.read().count(), vi.rejected().count())
+    vi._admit(batch3, batch_id=3)
+    assert (vi.read().count(), vi.rejected().count()) == before
