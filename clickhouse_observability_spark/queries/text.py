@@ -915,3 +915,53 @@ def text_bm25_search(spark, sf_dir):
     return TX.bm25_search(
         table(spark, sf_dir, "documents"), list(_BM25_TERMS), top_n=10
     )
+
+
+@register("text_dataset_card")
+def text_dataset_card(spark, sf_dir):
+    """The corpus DATA CARD in one section-tagged frame — the summary
+    page a dataset release ships: corpus totals (docs/tokens), the
+    language and source composition, the quality-gate pass rate, and
+    the exact-dedup keep fraction. Every number is a composition of
+    individually oracle-proven or pytest-pinned stages; the panel
+    itself is rows-only. Cost: one token-stats scan + one md5-groupBy
+    (the dedup count) + tiny-key aggregates."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    stats = TX.token_stats(docs).localCheckpoint(eager=True)
+    n_docs = docs.count()
+
+    def row(section, key, n, frac):
+        return spark.createDataFrame(
+            [(section, key, int(n), round(frac, 6) if frac is not None else None)],
+            "section string, key string, n long, frac double",
+        )
+
+    totals = stats.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n_tokens").alias("nt")
+    ).collect()[0]
+    out = row("corpus", "docs", totals.nd, 1.0).unionByName(
+        row("corpus", "tokens", totals.nt, None)
+    )
+    for dim in ("lang", "source"):
+        comp = docs.groupBy(dim).agg(F.count(F.lit(1)).alias("n"))
+        out = out.unionByName(
+            comp.select(
+                F.lit(dim).alias("section"),
+                F.col(dim).alias("key"),
+                F.col("n"),
+                F.round(F.col("n") / F.lit(n_docs), 6).alias("frac"),
+            )
+        )
+    n_quality = TX.quality_scores(docs).filter("passes_quality").count()
+    out = out.unionByName(
+        row("quality", "passes", n_quality, n_quality / n_docs)
+    )
+    n_keep = D.dedup_keep_first(docs).count()
+    out = out.unionByName(
+        row("dedup", "exact_keepers", n_keep, n_keep / n_docs)
+    )
+    return out.orderBy("section", "key")

@@ -884,3 +884,22 @@ def test_bm25_matches_hand_computation(spark):
     assert set(got) == set(exp)
     for rank, i in enumerate(order, 1):
         assert got[i] == (rank, exp[i]), i
+
+
+def test_dataset_card_internally_consistent(spark, sf_small):
+    from clickhouse_observability_spark.registry import queries
+
+    rows = queries()["text_dataset_card"](spark, sf_small).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.section, {})[r.key] = (r.n, r.frac)
+    n_docs = by["corpus"]["docs"][0]
+    assert n_docs > 0 and by["corpus"]["docs"][1] == 1.0
+    assert by["corpus"]["tokens"][0] > n_docs  # multi-token docs
+    for dim in ("lang", "source"):
+        assert sum(n for n, _ in by[dim].values()) == n_docs
+        assert abs(sum(f for _, f in by[dim].values()) - 1.0) < 1e-4
+    qn, qf = by["quality"]["passes"]
+    assert 0 < qn <= n_docs and abs(qf - qn / n_docs) < 1e-6
+    kn, kf = by["dedup"]["exact_keepers"]
+    assert 0 < kn <= n_docs and abs(kf - kn / n_docs) < 1e-6
