@@ -377,3 +377,63 @@ def pipeline_hybrid_retrieval(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "rrf", "rank_vec", "rank_lex")
     )
+
+# -- semantic decontamination (registered HERE, in a late-loaded
+# module, so the ORACLE-backed exact arm sorts AFTER the driver's
+# 50-slot window: queries/similarity loads before queries/text, and
+# an oracle entry appended there displaces an adjudicated slot —
+# found when text_quality_sample slipped to position 51) -------------
+
+@register(
+    "sim_semantic_contamination",
+    # After the 50-slot window; oracle executed in
+    # tests/test_similarity.py (r4+ convention).
+    oracle="""
+    SELECT b.vec_id AS left_id, c.vec_id AS right_id,
+           round(list_cosine_similarity(b.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings b JOIN embeddings c ON c.vec_id % 20 <> 0
+    WHERE b.vec_id % 20 = 0
+      AND round(list_cosine_similarity(b.embedding::DOUBLE[],
+                                       c.embedding::DOUBLE[]), 4) >= 0.45
+    """,
+)
+def sim_semantic_contamination(spark, sf_dir):
+    """SEMANTIC decontamination, exact arm: which training-corpus
+    vectors are near-duplicates of a benchmark vector — catches the
+    paraphrased leakage the 8-gram text decontamination
+    (text_contamination) cannot see. Benchmark = every 20th vector
+    (the held-out suite stand-in), corpus = the rest; the benchmark
+    side broadcasts, the corpus streams once. The oracle-adjudicated
+    exact anchor; `sim_semantic_contamination_lsh` is the registered
+    scale path."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    return S.cross_neardup_exact(bench, corpus, threshold=0.45)
+
+
+@register("sim_semantic_contamination_lsh")
+def sim_semantic_contamination_lsh(spark, sf_dir):
+    """Scale path for semantic decontamination: both tables hash
+    against SHARED hyperplanes (4 planes × 16 tables + 1-bit
+    multiprobe on the small benchmark side), only bucket-mates
+    compare, exact cosine confirms — candidates ∝ benchmark size ×
+    bucket density instead of |bench| × |corpus|. Rows-only: seeded
+    LSH internals; pytest pins recall vs the exact arm and the
+    subset property."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    return S.cross_neardup_lsh(
+        bench, corpus, threshold=0.45, n_planes=4, n_tables=16,
+        multiprobe=True,
+    )

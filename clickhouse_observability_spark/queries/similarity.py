@@ -482,57 +482,6 @@ def sim_ann_recall_report(spark, sf_dir):
     )
 
 
-@register(
-    "sim_semantic_contamination",
-    # After the 50-slot window; oracle executed in
-    # tests/test_similarity.py (r4+ convention).
-    oracle="""
-    SELECT b.vec_id AS left_id, c.vec_id AS right_id,
-           round(list_cosine_similarity(b.embedding::DOUBLE[],
-                                        c.embedding::DOUBLE[]), 4) AS cosine
-    FROM embeddings b JOIN embeddings c ON c.vec_id % 20 <> 0
-    WHERE b.vec_id % 20 = 0
-      AND round(list_cosine_similarity(b.embedding::DOUBLE[],
-                                       c.embedding::DOUBLE[]), 4) >= 0.45
-    """,
-)
-def sim_semantic_contamination(spark, sf_dir):
-    """SEMANTIC decontamination, exact arm: which training-corpus
-    vectors are near-duplicates of a benchmark vector — catches the
-    paraphrased leakage the 8-gram text decontamination
-    (text_contamination) cannot see. Benchmark = every 20th vector
-    (the held-out suite stand-in), corpus = the rest; the benchmark
-    side broadcasts, the corpus streams once. The oracle-adjudicated
-    exact anchor; `sim_semantic_contamination_lsh` is the registered
-    scale path."""
-    emb = table(spark, sf_dir, "embeddings")
-    from pyspark.sql import functions as F
-
-    bench = emb.filter(F.col("vec_id") % 20 == 0)
-    corpus = emb.filter(F.col("vec_id") % 20 != 0)
-    return S.cross_neardup_exact(bench, corpus, threshold=0.45)
-
-
-@register("sim_semantic_contamination_lsh")
-def sim_semantic_contamination_lsh(spark, sf_dir):
-    """Scale path for semantic decontamination: both tables hash
-    against SHARED hyperplanes (4 planes × 16 tables + 1-bit
-    multiprobe on the small benchmark side), only bucket-mates
-    compare, exact cosine confirms — candidates ∝ benchmark size ×
-    bucket density instead of |bench| × |corpus|. Rows-only: seeded
-    LSH internals; pytest pins recall vs the exact arm and the
-    subset property."""
-    emb = table(spark, sf_dir, "embeddings")
-    from pyspark.sql import functions as F
-
-    bench = emb.filter(F.col("vec_id") % 20 == 0)
-    corpus = emb.filter(F.col("vec_id") % 20 != 0)
-    return S.cross_neardup_lsh(
-        bench, corpus, threshold=0.45, n_planes=4, n_tables=16,
-        multiprobe=True,
-    )
-
-
 @register("sim_mmr_rerank")
 def sim_mmr_rerank(spark, sf_dir):
     """MMR-diversified retrieval: exact top-50 candidates per query
