@@ -3,10 +3,9 @@ sequenceCount, the ClickHouse-signature functions of the reference's
 backing engine (coverage context: the reference delegates ad-hoc
 analytics of this class to ClickHouse, README.md:82-107).
 
-Late-loaded (after `tpch_extra` in registry._load_all) so the
-oracle-backed entries register AFTER the driver's 50-slot
-adjudication window; the oracle SQL is executed against DuckDB by
-tests/test_behavioral.py.
+`behavior_window_funnel` sits inside the driver's 50-slot
+adjudication window (registry._WINDOW_ORDER, r5); the other entries'
+oracle SQL is executed against DuckDB by tests/test_behavioral.py.
 """
 
 from __future__ import annotations
@@ -18,15 +17,54 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 _FUNNEL_WINDOW_S = 6 * 3600
 
 
-@register("behavior_window_funnel")
+_W_US = _FUNNEL_WINDOW_S * 1_000_000
+
+
+@register(
+    "behavior_window_funnel",
+    # The fold and the EXISTS formulation are provably equivalent:
+    # the fold keeps, per level k, the MAX chain-start timestamp over
+    # chains reaching k (t0 re-anchors to the latest step-1 event and
+    # is monotone, so each later assignment t_k := t_{k-1} never
+    # shrinks the anchor), and extending from the max anchor is
+    # optimal — hence level >= L iff EXISTS a non-strictly
+    # ts-ordered chain of the step types within the window of its
+    # first event. That EXISTS form is plain SQL:
+    oracle=f"""
+    WITH fe AS (
+        SELECT user_id AS user, epoch_us(ts) AS us, event_type AS t
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    lvl2 AS (
+        SELECT DISTINCT v.user FROM fe v JOIN fe c
+          ON c.user = v.user AND c.t = 'click'
+         AND c.us >= v.us AND c.us <= v.us + {_W_US}
+        WHERE v.t = 'view'
+    ),
+    lvl3 AS (
+        SELECT DISTINCT v.user FROM fe v
+        JOIN fe c ON c.user = v.user AND c.t = 'click'
+                 AND c.us >= v.us AND c.us <= v.us + {_W_US}
+        JOIN fe p ON p.user = v.user AND p.t = 'purchase'
+                 AND p.us >= c.us AND p.us <= v.us + {_W_US}
+        WHERE v.t = 'view'
+    )
+    SELECT u.user,
+           CASE WHEN u.user IN (SELECT user FROM lvl3) THEN 3
+                WHEN u.user IN (SELECT user FROM lvl2) THEN 2
+                WHEN u.user IN (SELECT user FROM fe WHERE t = 'view') THEN 1
+                ELSE 0 END AS level
+    FROM (SELECT DISTINCT user FROM fe) u
+    """,
+)
 def behavior_window_funnel(spark, sf_dir):
     """ClickHouse windowFunnel('6h')(view -> click -> purchase): the
     deepest funnel level per user, computed with the REAL ClickHouse
     sequential fold (re-anchoring at every step-1 event — see
-    operators/behavioral.py). Rows-only: the stateful fold has no
-    clean SQL mirror (DuckDB's list_reduce lacks an initial-value
-    form); pytest pins an exact python replay of the ClickHouse
-    algorithm on crafted timelines AND on the real events table."""
+    operators/behavioral.py). The oracle is the equivalent EXISTS
+    formulation (equivalence argument above; pytest additionally pins
+    an exact python replay of the ClickHouse algorithm on crafted
+    timelines AND on the real events table)."""
     return B.window_funnel(
         table(spark, sf_dir, "events"),
         steps=list(_FUNNEL_STEPS),

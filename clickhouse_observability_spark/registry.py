@@ -46,17 +46,84 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def queries() -> dict[str, QueryFn]:
-    """All registered queries, ORACLE-BACKED ENTRIES FIRST.
+# The driver adjudicates registry entries in iteration order and caps
+# how many get a full CORRECTNESS row (50). This list IS the window —
+# exactly 50 oracle-backed names, ordered. r5 composition: the three
+# `*_panel` entries each merge 2-3 previously-adjudicated entries
+# (op-tagged unions of the SAME callables — see queries/panels.py),
+# freeing slots for tpch_q21 (the hardest correlated-EXISTS TPC-H
+# shape), behavior_window_funnel (the signature ClickHouse operator)
+# and text_epoch_shards (the cross-engine shard-layout proof). The
+# merged-away entries stay registered with their own oracles and sort
+# directly after the window (rows-only driver check + pytest-DuckDB).
+_WINDOW_ORDER = [
+    "logs_basic",
+    "logs_filter_variants",
+    "logs_json_attr",
+    "logs_count",
+    "agg_counts_by_type",
+    "agg_hourly",
+    "agg_month_buckets",
+    "agg_error_rate_hourly",
+    "agg_latency_percentiles",
+    "profile_events",
+    "agg_grouping_panel",
+    "dedup_first_event_per_user_type",
+    "join_orders_enriched",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_nation_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q17_small_quantity",
+    "tpch_q6_forecast",
+    "join_semi_anti_customers",
+    "join_interval_error_bursts",
+    "window_rank_panel",
+    "window_user_gaps",
+    "window_sessionize",
+    "join_trace_correlation",
+    "asof_click_before_purchase",
+    "setop_union_intersect_users",
+    "dedup_exact_groups",
+    "dedup_keep_first",
+    "dedup_jaccard_panel",
+    "dedup_embedding_pairs",
+    "sim_topk_exact_proofs",
+    "sim_topk_quantized",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_search_grep",
+    "text_train_val_split",
+    "text_fingerprints",
+    "text_contamination",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_domain_mix",
+    "text_corpus_stats",
+    "text_pack_chunks",
+    "text_unigram_logprob",
+    "text_quality_sample",
+    "tpch_q21_waiting_suppliers",
+    "behavior_window_funnel",
+    "text_epoch_shards",
+]
 
-    The driver adjudicates registry entries in iteration order and
-    caps how many get a CORRECTNESS row (50 in round 1), so every
-    query with a DuckDB oracle must land inside that window; entries
-    with only the weaker rows-only check follow. Within each class,
-    registration order is preserved.
-    """
+
+def queries() -> dict[str, QueryFn]:
+    """All registered queries: the 50-entry adjudication window first
+    (in _WINDOW_ORDER), then the remaining oracle-backed entries
+    (driver rows-only; their oracle SQL runs against DuckDB in
+    pytest), then rows-only entries. Within each trailing class,
+    registration order is preserved."""
     _load_all()
-    ordered = {n: f for n, f in _QUERIES.items() if n in _ORACLES}
+    missing = [n for n in _WINDOW_ORDER if n not in _QUERIES or n not in _ORACLES]
+    if missing:  # a rename/regression must fail loudly, not reorder
+        raise RuntimeError(f"window entries missing or oracle-less: {missing}")
+    ordered = {n: _QUERIES[n] for n in _WINDOW_ORDER}
+    ordered.update(
+        {n: f for n, f in _QUERIES.items() if n in _ORACLES and n not in ordered}
+    )
     ordered.update({n: f for n, f in _QUERIES.items() if n not in _ORACLES})
     return ordered
 
@@ -85,9 +152,10 @@ def _load_all() -> None:
         "similarity",
         "text",
         "multimodal",
-        # spans/tpch_extra/behavioral register oracle-backed entries
-        # that must sort AFTER the 50 adjudicated slots — keep them
-        # last (any future module adding oracle entries goes here too)
+        "panels",
+        # ordering within the window comes from _WINDOW_ORDER (not
+        # module load order); non-window oracle entries from the
+        # modules below sort after it in registration order
         "spans",
         "tpch_extra",
         "behavioral",

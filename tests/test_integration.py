@@ -166,3 +166,78 @@ def test_registry_results_stable_under_hostile_session_tz(spark, sf_small):
         assert snapshot() == baseline
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_adjudication_window_composition():
+    """The driver adjudicates exactly the first 50 oracle-backed
+    registry entries; pin that window to _WINDOW_ORDER so a module
+    rename or import-order change can't silently rotate an entry out
+    of the correctness gate. Also pins the r5 slot-merge contract:
+    the three panels are in, their source entries remain registered
+    with oracles (pytest-adjudicated) right after the window."""
+    from clickhouse_observability_spark import registry
+
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    oracle_names = [n for n in qs if n in oracles]
+    assert len(registry._WINDOW_ORDER) == 50
+    assert len(set(registry._WINDOW_ORDER)) == 50
+    assert oracle_names[:50] == registry._WINDOW_ORDER
+    # r5 rotations: flagship entries now under the driver's gate
+    for flagship in (
+        "tpch_q21_waiting_suppliers",
+        "behavior_window_funnel",
+        "text_epoch_shards",
+        "agg_grouping_panel",
+        "window_rank_panel",
+        "dedup_jaccard_panel",
+    ):
+        assert flagship in registry._WINDOW_ORDER, flagship
+    # merged-away entries keep their oracles (no semantics dropped)
+    for merged in (
+        "agg_rollup_day_type",
+        "agg_cube_type_user_bucket",
+        "window_topn_per_type",
+        "window_rank_suite",
+        "dedup_jaccard_pairs",
+        "dedup_ngram_jaccard_pairs",
+    ):
+        assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
+
+
+def test_panel_arms_equal_source_entries(spark, sf_small):
+    """Each r5 panel is an op-tagged union of its source entries:
+    assert per-arm row counts equal the standalone entries' counts
+    (the arms ARE the same callables; this pins the union wiring —
+    a dropped arm or wrong tag fails here)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark import registry
+
+    qs = registry.queries()
+    panel = qs["agg_grouping_panel"](spark, sf_small)
+    assert (
+        panel.filter(F.col("op") == "rollup_day_type").count()
+        == qs["agg_rollup_day_type"](spark, sf_small).count()
+    )
+    assert (
+        panel.filter(F.col("op") == "cube_type_user_bucket").count()
+        == qs["agg_cube_type_user_bucket"](spark, sf_small).count()
+    )
+    rank = qs["window_rank_panel"](spark, sf_small)
+    assert (
+        rank.filter(F.col("op") == "topn_per_type").count()
+        == qs["window_topn_per_type"](spark, sf_small).count()
+    )
+    assert (
+        rank.filter(F.col("op") == "rank_suite_purchase").count()
+        == qs["window_rank_suite"](spark, sf_small).count()
+    )
+    jac = qs["dedup_jaccard_panel"](spark, sf_small)
+    assert (
+        jac.filter(F.col("mode") == "tokenset").count()
+        == qs["dedup_jaccard_pairs"](spark, sf_small).count()
+    )
+    assert (
+        jac.filter(F.col("mode").isin("word_2gram", "char_4gram")).count()
+        == qs["dedup_ngram_jaccard_pairs"](spark, sf_small).count()
+    )
