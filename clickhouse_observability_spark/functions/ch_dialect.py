@@ -480,6 +480,14 @@ def _rewrite_sample(tokens: list[str]) -> list[str]:
         while start >= 2 and tokens[start - 1] == "." \
                 and _is_ident(tokens[start - 2]):
             start -= 2
+        # anchored: a real SAMPLE clause's table reference directly
+        # follows FROM / JOIN / a FROM-list comma. An identifier that
+        # merely precedes the word SAMPLE elsewhere in the statement
+        # is NOT rewritten — it falls through to the survivors check
+        # at the end, which raises instead of emitting SQL Spark will
+        # choke on downstream.
+        if start == 0 or lows[start - 1] not in {"from", "join", ","}:
+            continue
         name = "".join(tokens[start:p + 1])
         out_alias = alias or tokens[p]
         lo = int(m * 1_000_000)
@@ -492,6 +500,22 @@ def _rewrite_sample(tokens: list[str]) -> list[str]:
         )
         out = tokens[:start] + _tokenize(sub) + tokens[j:]
         return _rewrite_sample(out)
+    # survivors: any remaining clause-shaped SAMPLE (preceded by an
+    # identifier or a closing paren, followed by a number) was a
+    # placement this rewriter doesn't support — e.g. SAMPLE after a
+    # parenthesized subquery. Fail HERE with a dialect error instead
+    # of leaving raw CH syntax for Spark's parser to trip over.
+    # (`sample` as a plain column name — keyword/punct before it —
+    # still passes through untouched.)
+    for i in range(1, len(tokens) - 1):
+        if lows[i] == "sample" and _is_number(tokens[i + 1]) and (
+            tokens[i - 1] == ")" or _is_ident(tokens[i - 1])
+        ):
+            raise ChDialectError(
+                "unsupported SAMPLE placement: SAMPLE is supported "
+                "directly after a table reference (FROM/JOIN), not "
+                "after a subquery"
+            )
     return tokens
 
 

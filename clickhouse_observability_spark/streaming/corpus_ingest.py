@@ -92,6 +92,31 @@ class CorpusIngest:
         os.rename(tmp, dst)  # atomic publish
         return len(docs)
 
+    # -- legacy layout migration ----------------------------------------
+    def _migrate_legacy_layout(self) -> None:
+        """Docs written before corpus versioning landed sit as root-level
+        part files in docs_dir; one partitioned append on top of those
+        makes the whole store unreadable (Spark: 'conflicting directory
+        structures') and versions()/read_as_of() would silently omit
+        every pre-upgrade doc. On any touch of the store, adopt such
+        files into an `ingest_batch=0` partition — a pure rename, no
+        data read: parquet part files are self-contained and the
+        partition value comes from the directory name, so the legacy
+        corpus becomes version 0 and as-of reads include it."""
+        if not os.path.isdir(self.docs_dir):
+            return
+        legacy = [
+            n
+            for n in os.listdir(self.docs_dir)
+            if not n.startswith((".", "_")) and not n.startswith("ingest_batch=")
+        ]
+        if not legacy:
+            return
+        v0 = os.path.join(self.docs_dir, "ingest_batch=0")
+        os.makedirs(v0, exist_ok=True)
+        for n in legacy:
+            os.rename(os.path.join(self.docs_dir, n), os.path.join(v0, n))
+
     # -- admission ------------------------------------------------------
     def _known_fps(self) -> DataFrame | None:
         if not os.path.exists(self.index_dir):
@@ -99,6 +124,7 @@ class CorpusIngest:
         return self.spark.read.parquet(self.index_dir)
 
     def _admit(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._migrate_legacy_layout()
         fp = batch_df.withColumn("fp_md5", fingerprint_md5("text"))
         # within-batch keep-first: one winner per fingerprint
         first = fp.groupBy("fp_md5").agg(
@@ -161,12 +187,14 @@ class CorpusIngest:
         """The full current corpus (version column dropped — the
         pre-versioning schema, so downstream consumers are
         unchanged)."""
+        self._migrate_legacy_layout()
         return self.spark.read.parquet(self.docs_dir).drop("ingest_batch")
 
     # -- dataset versioning --------------------------------------------
     def versions(self) -> list[int]:
         """Committed corpus versions (ascending ingest batch ids) —
         an O(#batches) directory listing, no data read."""
+        self._migrate_legacy_layout()
         if not os.path.exists(self.docs_dir):
             return []
         out = []
@@ -179,6 +207,7 @@ class CorpusIngest:
         """The corpus exactly as it stood after `batch_id` committed —
         the reproducible-training-run pin. Partition-pruned: newer
         batches are skipped at file listing."""
+        self._migrate_legacy_layout()
         df = self.spark.read.parquet(self.docs_dir)
         return df.filter(F.col("ingest_batch") <= int(batch_id)).drop(
             "ingest_batch"
@@ -187,6 +216,7 @@ class CorpusIngest:
     def diff(self, from_batch: int, to_batch: int) -> DataFrame:
         """Docs admitted in (from_batch, to_batch] — what a resumed
         training job must ingest to catch up from its pinned version."""
+        self._migrate_legacy_layout()
         df = self.spark.read.parquet(self.docs_dir)
         return df.filter(
             (F.col("ingest_batch") > int(from_batch))

@@ -134,8 +134,7 @@ class VectorIngest:
         if self.neardup_hamming is not None:
             # seed the near-dup probe index so near-dups of SEED
             # vectors are rejected from the very first batch
-            self._append_chunk_index(
-                codes.select(F.col("bq")[0].alias("code")))
+            self._append_chunk_index(codes.select("bq"))
         assign.write.mode("append").parquet(self.assign_dir)
         codes.write.mode("append").parquet(self.codes_dir)
         emb.write.mode("append").parquet(self.vectors_dir)
@@ -145,7 +144,19 @@ class VectorIngest:
         """Periodic full refit over everything admitted so far, then
         sidecar swap: assignments/codes are rewritten for the WHOLE
         corpus under the new artifacts (overwrite), the id index and
-        vectors are untouched. Resets staleness to 0."""
+        vectors are untouched. Resets staleness to 0.
+
+        The stream must be stopped first: the rewrite derives from a
+        snapshot read(), so a batch admitted between the snapshot and
+        the overwrite would lose its index rows permanently, and a
+        concurrent _admit could read half-swapped centroid/means
+        sidecars. Enforced, not documented-only."""
+        if self.query is not None:
+            raise RuntimeError(
+                "rebuild() requires the ingest stream to be stopped "
+                "(call stop() first): a concurrent _admit would race "
+                "the sidecar swap and lose its index rows"
+            )
         emb = self.read()
         assign, cent = S.kmeans_ivf_index(emb, n_clusters=self.n_clusters)
         means, codes = S.binary_index(emb, dim=self.dim)
@@ -161,10 +172,7 @@ class VectorIngest:
         if self.neardup_hamming is not None:
             # refit moves the BQ means, so every chunk key changes:
             # rewrite the probe index from the new codes whole
-            self._append_chunk_index(
-                codes.select(F.col("bq")[0].alias("code")),
-                mode="overwrite",
-            )
+            self._append_chunk_index(codes.select("bq"), mode="overwrite")
         self._write_meta(n_at_build=emb.count())
 
     def _write_meta(self, n_at_build: int) -> None:
@@ -242,52 +250,130 @@ class VectorIngest:
 
         # -- SEMANTIC admission (optional): reject vectors whose BQ
         # code sits within `neardup_hamming` of anything already
-        # admitted — within this batch (greedy, smaller id wins) or
-        # in the at-rest chunk index (pigeonhole bucket probe, the
-        # media_ingest pHash shape; never a scan)
+        # admitted — in the at-rest chunk index (pigeonhole bucket
+        # probe, the media_ingest pHash shape; never a scan) or
+        # within this batch (greedy in id order).
+        #
+        # Distance is over the FULL code (every word of bq): with
+        # dim > 64 a word-0-only distance falsely rejects vectors
+        # that differ only in dims >= 64. Chunk keys still derive
+        # from word 0 alone and pigeonhole stays SOUND: full-code
+        # distance <= r implies word-0 distance <= r implies some
+        # word-0 chunk is equal, so word-0 buckets generate a
+        # candidate superset and the full-code distance decides.
         if self.neardup_hamming is not None:
             from clickhouse_observability_spark.operators.dedup import (
-                hamming_pairs,
                 pigeonhole_chunk_key,
             )
 
             r = self.neardup_hamming
             n_chunks = r + 1
+
+            def full_ham(bq_a, bq_b):
+                return F.aggregate(
+                    F.zip_with(
+                        bq_a, bq_b, lambda x, y: F.bit_count(x.bitwiseXOR(y))
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+
+            chunk_keys = F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    pigeonhole_chunk_key("code", c, n_chunks).alias("key"),
+                )
+                for c in range(n_chunks)
+            ])
             c64 = coded.withColumn("code", F.col("bq")[0])
-            batch_dups = hamming_pairs(
-                c64, "vec_id", "code", r, out_a="keep", out_b="drop"
-            ).select(F.col("drop").alias("vec_id")).distinct()
-            dup_ids = batch_dups
+
+            # history FIRST: anything near an already-admitted vector
+            # is rejected outright; excluding these from the batch
+            # pair graph below is what makes the greedy admission
+            # semantics exact (a batch vector whose only conflict is
+            # itself-rejected must not be dragged down with it)
             if os.path.exists(self.chunks_dir):
-                idx = self.spark.read.parquet(self.chunks_dir)
+                self._migrate_chunk_index()
+                idx = (
+                    self.spark.read.parquet(self.chunks_dir)
+                    .withColumnRenamed("bq", "idx_bq")
+                    .drop("code")
+                )
                 probes = c64.select(
-                    "vec_id", "code",
-                    F.explode(F.array(*[
-                        F.struct(
-                            F.lit(c).alias("chunk"),
-                            pigeonhole_chunk_key("code", c, n_chunks)
-                            .alias("key"),
-                        )
-                        for c in range(n_chunks)
-                    ])).alias("cc"),
+                    "vec_id", "bq", F.explode(chunk_keys).alias("cc")
                 ).select(
-                    "vec_id", "code",
+                    "vec_id", "bq",
                     F.col("cc.chunk").alias("chunk"),
                     F.col("cc.key").alias("key"),
                 )
-                ham = F.bit_count(
-                    F.col("code").bitwiseXOR(F.col("idx_code")))
                 hist_dups = (
-                    probes.join(
-                        idx.withColumnRenamed("code", "idx_code"),
-                        ["chunk", "key"],
-                    )
-                    .filter(ham <= r)
+                    probes.join(idx, ["chunk", "key"])
+                    .filter(full_ham(F.col("bq"), F.col("idx_bq")) <= r)
                     .select("vec_id")
                     .distinct()
                 )
-                dup_ids = dup_ids.unionByName(hist_dups).distinct()
-            dup_ids = dup_ids.localCheckpoint(eager=True)
+            else:
+                hist_dups = c64.select("vec_id").limit(0)
+
+            # within-batch: candidate pairs via word-0 chunk buckets,
+            # verified on full-code distance, then GREEDY admission in
+            # ascending id order — admit v iff no ADMITTED neighbor
+            # precedes it. In a chain A~B~C (A not~ C): B rejected,
+            # C admitted; the old "drop every pair's larger id" would
+            # over-reject C transitively. The pair graph is collected
+            # to the driver — bounded: near-dup pairs WITHIN one
+            # micro-batch, capped below with a conservative fallback.
+            cand = c64.join(hist_dups, "vec_id", "left_anti")
+            buck = cand.select(
+                "vec_id", "bq", F.explode(chunk_keys).alias("cc")
+            ).select(
+                "vec_id", "bq",
+                F.col("cc.chunk").alias("chunk"),
+                F.col("cc.key").alias("key"),
+            )
+            a, b = buck.alias("a"), buck.alias("b")
+            pair_df = (
+                a.join(
+                    b,
+                    (F.col("a.chunk") == F.col("b.chunk"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")),
+                )
+                .filter(full_ham(F.col("a.bq"), F.col("b.bq")) <= r)
+                .select(
+                    F.col("a.vec_id").alias("pa"), F.col("b.vec_id").alias("pb")
+                )
+                .distinct()
+            )
+            PAIR_CAP = 200_000
+            pair_rows = pair_df.limit(PAIR_CAP + 1).collect()
+            if len(pair_rows) > PAIR_CAP:
+                # pathological batch (~all-identical): fall back to
+                # the conservative drop-larger-of-every-pair, which
+                # over-rejects but stays O(1) driver-side
+                batch_drop_df = pair_df.select(
+                    F.col("pb").alias("vec_id")
+                ).distinct()
+            else:
+                adj: dict[int, list[int]] = {}
+                for p in pair_rows:
+                    adj.setdefault(p.pa, []).append(p.pb)
+                    adj.setdefault(p.pb, []).append(p.pa)
+                admitted_set: set[int] = set()
+                drops: list[int] = []
+                for vid in sorted(adj):
+                    if any(n in admitted_set for n in adj[vid]):
+                        drops.append(vid)
+                    else:
+                        admitted_set.add(vid)
+                batch_drop_df = self.spark.createDataFrame(
+                    [(int(d),) for d in drops], "vec_id long"
+                )
+            dup_ids = (
+                hist_dups.unionByName(batch_drop_df)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
             bad = bad.unionByName(
                 first.join(dup_ids, "vec_id", "left_semi")
                 .withColumn("reject_reason", F.lit("near_duplicate"))
@@ -329,12 +415,7 @@ class VectorIngest:
         # crash-retry
         admitted.select("vec_id").write.mode("append").parquet(self.ids_dir)
         if self.neardup_hamming is not None:
-            from clickhouse_observability_spark.operators.dedup import (
-                pigeonhole_chunk_key,
-            )
-
-            self._append_chunk_index(
-                admitted.select(F.col("bq")[0].alias("code")))
+            self._append_chunk_index(admitted.select("bq"))
         admitted.select("vec_id", "label").write.mode("append").parquet(
             self.assign_dir
         )
@@ -346,17 +427,21 @@ class VectorIngest:
         )
 
     def _append_chunk_index(
-        self, codes64: DataFrame, mode: str = "append"
+        self, codes: DataFrame, mode: str = "append"
     ) -> None:
-        """(chunk, key, code) rows for the at-rest near-dup probe
-        index — one row per pigeonhole chunk per admitted code."""
+        """(chunk, key, code, bq) rows for the at-rest near-dup probe
+        index — one row per pigeonhole chunk per admitted code. Keys
+        derive from word 0 (`code`); the FULL bq array rides along so
+        probes verify distance over every word (dim > 64 correct)."""
         from clickhouse_observability_spark.operators.dedup import (
             pigeonhole_chunk_key,
         )
 
         n_chunks = self.neardup_hamming + 1
-        rows = codes64.select(
+        codes = codes.select(F.col("bq")[0].alias("code"), "bq")
+        rows = codes.select(
             "code",
+            "bq",
             F.explode(F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
@@ -368,8 +453,25 @@ class VectorIngest:
             F.col("cc.chunk").alias("chunk"),
             F.col("cc.key").alias("key"),
             "code",
+            "bq",
         )
         rows.write.mode(mode).parquet(self.chunks_dir)
+
+    def _migrate_chunk_index(self) -> None:
+        """Pre-r5 chunk indexes stored only the 64-bit word-0 `code`;
+        the full-code distance needs the whole bq array at rest. A
+        legacy index (no `bq` column) is rewritten once with
+        bq = [code] — exactly correct, because a legacy index can
+        only describe the first 64 dims it actually stored."""
+        if not os.path.exists(self.chunks_dir):
+            return
+        idx = self.spark.read.parquet(self.chunks_dir)
+        if "bq" in idx.columns:
+            return
+        migrated = idx.withColumn("bq", F.array("code")).localCheckpoint(
+            eager=True
+        )
+        migrated.write.mode("overwrite").parquet(self.chunks_dir)
 
     # -- stream lifecycle ----------------------------------------------
     def start(self) -> StreamingQuery:

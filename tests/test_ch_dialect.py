@@ -327,3 +327,28 @@ def test_uniqtheta_multiarg_counts_tuples(spark):
     )).collect()[0]
     assert r.nt == 3  # distinct tuples, not distinct a
     assert r.na == 2
+
+
+def test_sample_after_subquery_raises_dialect_error():
+    # SAMPLE following a parenthesized subquery used to pass through
+    # untranslated and surface as a Spark parse error downstream; it
+    # must fail at translate() with a dialect error instead.
+    with pytest.raises(ChDialectError, match="SAMPLE"):
+        translate(
+            "SELECT count() FROM (SELECT * FROM logs) SAMPLE 0.1"
+        )
+
+
+def test_sample_as_column_name_passes_through(spark):
+    # `sample` used as an ordinary identifier is not a SAMPLE clause
+    # and must survive translation untouched.
+    out = translate("SELECT sample FROM t WHERE sample > 3")
+    assert "pmod" not in out and "sample" in out.lower()
+
+
+def test_sample_requires_from_or_join_anchor():
+    # an `ident SAMPLE <num>` shape NOT anchored to FROM/JOIN must not
+    # be rewritten as a table sample; it raises rather than emitting
+    # broken SQL.
+    with pytest.raises(ChDialectError, match="SAMPLE"):
+        translate("SELECT a b SAMPLE 0.5 FROM t")

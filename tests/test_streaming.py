@@ -357,3 +357,57 @@ def test_corpus_versions_time_travel_and_diff(spark, tmp_path):
     # partition filter, not a post-scan filter over all files)
     plan = ing.read_as_of(0)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ingest_batch" in plan
+
+
+def test_corpus_legacy_flat_layout_migrates_to_version_zero(spark, tmp_path):
+    # a store written by the pre-versioning code (flat part files under
+    # docs/, no ingest_batch= dirs) must keep working after the layout
+    # change: on first touch the legacy files are adopted as version 0,
+    # so a partitioned append neither corrupts the store ('conflicting
+    # directory structures') nor hides the pre-upgrade docs from
+    # versions()/read_as_of().
+    from clickhouse_observability_spark.streaming.corpus_ingest import CorpusIngest
+
+    corpus = tmp_path / "corpus"
+    legacy = [
+        {"doc_id": 1, "text": "pre upgrade doc one", "source": "old"},
+        {"doc_id": 2, "text": "pre upgrade doc two", "source": "old"},
+    ]
+    spark.createDataFrame(
+        legacy, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(corpus / "docs"))
+    # pre-versioning stores also had the fingerprint index
+    from clickhouse_observability_spark.operators.text_analysis import fingerprint_md5
+
+    spark.createDataFrame(legacy, "doc_id long, text string, source string").select(
+        fingerprint_md5("text").alias("fp_md5")
+    ).write.parquet(str(corpus / "_index" / "fingerprints"))
+
+    ing = CorpusIngest(
+        spark,
+        corpus_dir=str(corpus),
+        inbox_dir=str(tmp_path / "inbox"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    newb = spark.createDataFrame(
+        [
+            {"doc_id": 3, "text": "post upgrade doc", "source": "new"},
+            {"doc_id": 4, "text": "pre upgrade doc one", "source": "new"},  # dup
+        ],
+        "doc_id long, text string, source string",
+    )
+    ing._admit(newb, batch_id=7)
+    ids = lambda df: sorted(r.doc_id for r in df.collect())
+    assert ids(ing.read()) == [1, 2, 3]  # nothing lost, dup still rejected
+    assert ing.versions() == [0, 7]  # legacy corpus became version 0
+    assert ids(ing.read_as_of(0)) == [1, 2]
+    assert ids(ing.diff(0, 7)) == [3]
+    # migration is a rename: no root-level part files remain
+    import os as _os
+
+    root = [
+        n
+        for n in _os.listdir(str(corpus / "docs"))
+        if not n.startswith((".", "_"))
+    ]
+    assert all(n.startswith("ingest_batch=") for n in root)

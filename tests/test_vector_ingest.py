@@ -219,3 +219,126 @@ def test_semantic_neardup_admission(spark, tmp_path):
     before = (vi.read().count(), vi.rejected().count())
     vi._admit(batch3, batch_id=3)
     assert (vi.read().count(), vi.rejected().count()) == before
+
+
+def _mk_vi(spark, tmp_path, sub, dim, hamming):
+    return VectorIngest(
+        spark,
+        store_dir=str(tmp_path / sub / "store"),
+        inbox_dir=str(tmp_path / sub / "inbox"),
+        checkpoint_dir=str(tmp_path / sub / "ckpt"),
+        dim=dim,
+        n_clusters=2,
+        neardup_hamming=hamming,
+    )
+
+
+def test_neardup_full_code_distance_beyond_64_dims(spark, tmp_path):
+    # dim 128 -> bq has two 64-bit words. A vector that MATCHES an
+    # admitted vector on the first 64 dims but flips EVERY dim >= 64
+    # is 64 bits away on the full code — it must be admitted. (The
+    # pre-fix word-0-only distance saw hamming 0 and falsely rejected
+    # it.) A true near-dup differing in 1 bit of the SECOND word must
+    # still be rejected.
+    dim = 128
+    rnd = random.Random(23)
+    sv = lambda: [float(rnd.choice((-1, 1))) for _ in range(dim)]
+    seed = [(i, sv()) for i in range(30)]
+    vi = _mk_vi(spark, tmp_path, "w2", dim, hamming=2)
+    vi.bootstrap(
+        spark.createDataFrame(seed, "vec_id long, embedding array<double>")
+    )
+    base = seed[5][1]
+    tail_flipped = base[:64] + [-x for x in base[64:]]
+    one_bit_w2 = list(base)
+    one_bit_w2[100] = -one_bit_w2[100]
+    vi._admit(
+        spark.createDataFrame(
+            [(800, tail_flipped), (801, one_bit_w2)],
+            "vec_id long, embedding array<double>",
+        ),
+        batch_id=1,
+    )
+    ids = {r.vec_id for r in vi.read().select("vec_id").collect()}
+    reasons = {r.vec_id: r.reject_reason for r in vi.rejected().collect()}
+    assert 800 in ids, "differs in 64 of 128 dims; not a near-dup"
+    assert 801 not in ids and reasons.get(801) == "near_duplicate"
+
+
+def test_neardup_within_batch_greedy_not_transitive(spark, tmp_path):
+    # chain A~B~C with A not~ C (r=2): greedy in id order admits A,
+    # rejects B (near A), and ADMITS C — its only conflict B was
+    # itself rejected. The old drop-larger-of-every-pair rejected C.
+    dim = 64
+    rnd = random.Random(31)
+    sv = lambda: [float(rnd.choice((-1, 1))) for _ in range(dim)]
+    seed = [(i, sv()) for i in range(30)]
+    vi = _mk_vi(spark, tmp_path, "chain", dim, hamming=2)
+    vi.bootstrap(
+        spark.createDataFrame(seed, "vec_id long, embedding array<double>")
+    )
+    a = sv()
+    b = list(a); b[0] = -b[0]; b[1] = -b[1]          # 2 bits from a
+    c = list(b); c[2] = -c[2]; c[3] = -c[3]          # 2 from b, 4 from a
+    vi._admit(
+        spark.createDataFrame(
+            [(901, a), (902, b), (903, c)],
+            "vec_id long, embedding array<double>",
+        ),
+        batch_id=1,
+    )
+    ids = {r.vec_id for r in vi.read().select("vec_id").collect()}
+    assert 901 in ids and 902 not in ids and 903 in ids
+
+
+def test_rebuild_refuses_while_stream_running(spark, tmp_path):
+    rnd = random.Random(5)
+    seed = [(i, _vec(rnd)) for i in range(20)]
+    vi = VectorIngest(
+        spark,
+        store_dir=str(tmp_path / "store"),
+        inbox_dir=str(tmp_path / "inbox"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dim=DIM,
+        n_clusters=2,
+    )
+    vi.bootstrap(
+        spark.createDataFrame(seed, "vec_id long, embedding array<double>")
+    )
+    vi.start()
+    try:
+        with pytest.raises(RuntimeError, match="stopped"):
+            vi.rebuild()
+    finally:
+        vi.stop(drain=False)
+    vi.rebuild()  # fine once stopped
+
+
+def test_legacy_chunk_index_without_bq_migrates(spark, tmp_path):
+    # a pre-r5 chunk index has no `bq` column; on first probe it is
+    # rewritten once with bq=[code] and admission still rejects
+    # near-dups of seed payloads.
+    dim = 64
+    rnd = random.Random(47)
+    sv = lambda: [float(rnd.choice((-1, 1))) for _ in range(dim)]
+    seed = [(i, sv()) for i in range(30)]
+    vi = _mk_vi(spark, tmp_path, "legacy", dim, hamming=2)
+    vi.bootstrap(
+        spark.createDataFrame(seed, "vec_id long, embedding array<double>")
+    )
+    from pyspark.sql import functions as F
+
+    legacy = (
+        spark.read.parquet(vi.chunks_dir).drop("bq").localCheckpoint(eager=True)
+    )
+    legacy.write.mode("overwrite").parquet(vi.chunks_dir)
+    vi._admit(
+        spark.createDataFrame(
+            [(700, list(seed[4][1])), (701, sv())],
+            "vec_id long, embedding array<double>",
+        ),
+        batch_id=1,
+    )
+    ids = {r.vec_id for r in vi.read().select("vec_id").collect()}
+    assert 700 not in ids and 701 in ids
+    assert "bq" in spark.read.parquet(vi.chunks_dir).columns
