@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_observability_spark.operators import text_analysis as TX
 from clickhouse_observability_spark.registry import register, table
+from clickhouse_observability_spark.session import local_df
 
 # DuckDB fragments shared with queries/text.py (kept literal here so
 # each oracle stays self-contained for the driver).
@@ -232,11 +233,7 @@ def _classifier_artifacts(spark, sf_dir):
             docs, docs.filter(F.col("lang") == "en"), n_buckets=512
         )
         IX.write_artifact(
-            spark.createDataFrame(
-                [(b0, w)], "b0 double, w array<double>"
-            ),
-            path,
-            coalesce=1,
+            local_df(spark, [(b0, w)], "b0 double, w array<double>"), path
         )
         _CLF_META.pop(path, None)
     if path not in _CLF_META:

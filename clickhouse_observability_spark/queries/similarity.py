@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from clickhouse_observability_spark.operators import similarity as S
 from clickhouse_observability_spark.registry import register, table
+from clickhouse_observability_spark.session import local_df
 from clickhouse_observability_spark.sources import index_store as IX
 
 _QUERY_IDS = [0, 1, 2, 3, 4]
@@ -230,7 +231,8 @@ def _pq_artifacts(spark, sf_dir):
         codes, cbs = S.pq_index(table(spark, sf_dir, "embeddings"))
         IX.write_artifact(codes, codes_path)
         IX.write_artifact(
-            spark.createDataFrame(
+            local_df(
+                spark,
                 [
                     (j, c, centroid)
                     for j, book in enumerate(cbs)
@@ -239,7 +241,6 @@ def _pq_artifacts(spark, sf_dir):
                 "j int, c int, cv array<double>",
             ),
             cbs_path,
-            coalesce=1,
         )
         codes.unpersist()  # at-rest copy supersedes the build cache
         _CODEBOOK_META.pop(cbs_path, None)
@@ -272,9 +273,7 @@ def _binary_artifacts(spark, sf_dir):
     if not (IX.has_artifact(means_path) and IX.has_artifact(codes_path)):
         means, codes = S.binary_index(table(spark, sf_dir, "embeddings"))
         IX.write_artifact(
-            spark.createDataFrame([(means,)], "mv array<double>"),
-            means_path,
-            coalesce=1,
+            local_df(spark, [(means,)], "mv array<double>"), means_path
         )
         IX.write_artifact(codes, codes_path)
         _BQ_MEANS_META.pop(means_path, None)
@@ -480,6 +479,75 @@ def sim_ann_recall_report(spark, sf_dir):
     return out.select(
         "method", F.round("recall_at_10", 4).alias("recall_at_10")
     )
+
+
+@register("sim_ann_recall_sweep")
+def sim_ann_recall_sweep(spark, sf_dir):
+    """Recall-vs-cost CURVES for the two tunable index families —
+    IVF (n_probe ∈ 1,2,4,8) and binary quantization (rerank ∈
+    10,25,50,100) — against the exact top-10, one row per setting:
+    (method, knob, setting, cost_frac, recall_at_10). cost_frac is
+    the fraction of the corpus the setting touches beyond the cheap
+    scan: probed cells / total cells for IVF (the share of vectors
+    whose exact distance is computed), full-precision re-ranks /
+    corpus size for BQ (the candidate popcount scan is the whole
+    codes table at every setting). This is the table an operator
+    reads to pick an operating point — the recall/latency trade as
+    data, not a fixed-point assertion; pytest pins monotonicity
+    (a larger setting never lowers recall). Rows-only: quantifies
+    seeded-index internals, exact arms oracle-proven in
+    sim_topk_exact_proofs."""
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    truth = S.brute_force_topk(emb, _QUERY_IDS, k=10).select(
+        "query_id", "vec_id"
+    )
+    bmeans, bcodes = _binary_artifacts(spark, sf_dir)
+    kassign, kcent = _kmeans_artifacts(spark, sf_dir)
+    n_cells = kcent.count()  # index metadata: n_clusters rows
+    corpus_n = emb.count()
+    configs = [
+        (
+            "ivf_kmeans", "n_probe", p, p / n_cells,
+            S.ivf_topk(
+                emb, _QUERY_IDS, k=10, n_probe=p,
+                assignments=kassign, centroids=kcent,
+            ),
+        )
+        # full probe (p = n_cells) anchors the top of the curve at
+        # the exact scan — recall 1.0 by construction
+        for p in sorted({1, 2, 4, min(8, n_cells), n_cells})
+    ] + [
+        (
+            "binary", "rerank", r, min(1.0, r / corpus_n),
+            S.binary_topk(
+                emb, _QUERY_IDS, k=10, codes=bcodes, means=bmeans, rerank=r
+            ),
+        )
+        for r in (10, 25, 50, 100)
+    ]
+    n_truth = F.lit(len(_QUERY_IDS) * 10)
+    reports = []
+    for method, knob, setting, cost, df in configs:
+        hits = df.select("query_id", "vec_id").join(
+            truth, ["query_id", "vec_id"]
+        )
+        reports.append(
+            hits.agg(
+                F.lit(method).alias("method"),
+                F.lit(knob).alias("knob"),
+                F.lit(int(setting)).alias("setting"),
+                F.round(F.lit(float(cost)), 6).alias("cost_frac"),
+                F.round(F.count(F.lit(1)) / n_truth, 4).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 @register("sim_mmr_rerank")

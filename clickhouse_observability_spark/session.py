@@ -54,3 +54,19 @@ def ensure_utc(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+def local_df(spark: SparkSession, rows, schema):
+    """DataFrame from driver-local rows in ONE partition.
+
+    `createDataFrame(list)` slices local data into defaultParallelism
+    (32) pickled partitions; a later `.coalesce(1)` then makes ONE
+    task evaluate all 32 Python sub-partitions SEQUENTIALLY (~150 ms
+    of Python-runner round-trip each — measured ~5 s per tiny sidecar
+    write, r5). Parallelizing with numSlices=1 up front makes the
+    same write ~0.3 s. Use for index METADATA frames (means rows,
+    codebooks, drop-lists) — anything corpus-sized stays on the
+    normal distributed path."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema
+    )

@@ -54,6 +54,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from clickhouse_observability_spark.operators import similarity as S
+from clickhouse_observability_spark.session import local_df
 
 VEC_WIRE_SCHEMA = T.StructType(
     [
@@ -127,9 +128,9 @@ class VectorIngest:
         assign, cent = S.kmeans_ivf_index(emb, n_clusters=self.n_clusters)
         means, codes = S.binary_index(emb, dim=self.dim)
         cent.coalesce(1).write.mode("overwrite").parquet(self.cent_dir)
-        self.spark.createDataFrame(
-            [(means,)], "mv array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(self.means_dir)
+        local_df(self.spark, [(means,)], "mv array<double>").write.mode(
+            "overwrite"
+        ).parquet(self.means_dir)
         emb.select("vec_id").write.mode("append").parquet(self.ids_dir)
         if self.neardup_hamming is not None:
             # seed the near-dup probe index so near-dups of SEED
@@ -164,9 +165,9 @@ class VectorIngest:
         assign = assign.localCheckpoint(eager=True)
         codes = codes.localCheckpoint(eager=True)
         cent.coalesce(1).write.mode("overwrite").parquet(self.cent_dir)
-        self.spark.createDataFrame(
-            [(means,)], "mv array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(self.means_dir)
+        local_df(self.spark, [(means,)], "mv array<double>").write.mode(
+            "overwrite"
+        ).parquet(self.means_dir)
         assign.write.mode("overwrite").parquet(self.assign_dir)
         codes.write.mode("overwrite").parquet(self.codes_dir)
         if self.neardup_hamming is not None:
@@ -197,12 +198,26 @@ class VectorIngest:
 
     # -- admission ------------------------------------------------------
     def _frozen_artifacts(self) -> tuple[list[list[float]], list[float]]:
+        """Centroids + BQ means (bounded index METADATA: n_clusters
+        rows + one means row). Cached per sidecar mtime so the steady
+        state is zero parquet reads per micro-batch — the artifacts
+        only change on rebuild(), which bumps the mtime and
+        invalidates the cache (and rebuild() cannot run concurrently
+        with the stream, so a stale hit is impossible)."""
+        key = (
+            os.stat(self.cent_dir).st_mtime_ns,
+            os.stat(self.means_dir).st_mtime_ns,
+        )
+        cached = getattr(self, "_frozen_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         cent_rows = sorted(
             self.spark.read.parquet(self.cent_dir).collect(),
             key=lambda r: r.label,
         )
         centroids = [list(r.cv) for r in cent_rows]
         means = list(self.spark.read.parquet(self.means_dir).collect()[0].mv)
+        self._frozen_cache = (key, (centroids, means))
         return centroids, means
 
     def _admit(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -366,8 +381,8 @@ class VectorIngest:
                         drops.append(vid)
                     else:
                         admitted_set.add(vid)
-                batch_drop_df = self.spark.createDataFrame(
-                    [(int(d),) for d in drops], "vec_id long"
+                batch_drop_df = local_df(
+                    self.spark, [(int(d),) for d in drops], "vec_id long"
                 )
             dup_ids = (
                 hist_dups.unionByName(batch_drop_df)

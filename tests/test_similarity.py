@@ -594,3 +594,28 @@ def test_mmr_diversifies_clustered_candidates(spark):
     a_ids = set(range(1, 5))
     assert set(pure[:3]) <= a_ids  # relevance-only: A dominates
     assert any(v > 100 for v in mmr[:2]), mmr  # MMR pulls B in early
+
+
+def test_ann_recall_sweep_monotone_in_cost(spark, sf_small, tmp_path, monkeypatch):
+    # the recall/cost curve an operator actually reads: within each
+    # method, spending more (probes / re-ranks) never LOWERS recall,
+    # and the generous end of each curve reaches the exact top-k on
+    # this corpus.
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    import __spark_entry__ as em
+
+    rows = em.queries()["sim_ann_recall_sweep"](spark, sf_small).collect()
+    by_method = {}
+    for r in rows:
+        by_method.setdefault(r.method, []).append(r)
+    assert set(by_method) == {"ivf_kmeans", "binary"}
+    for method, rs in by_method.items():
+        rs.sort(key=lambda r: r.setting)
+        recalls = [r.recall_at_10 for r in rs]
+        costs = [r.cost_frac for r in rs]
+        assert all(0.0 <= v <= 1.0 for v in recalls), (method, recalls)
+        assert recalls == sorted(recalls), (method, recalls)
+        assert costs == sorted(costs), (method, costs)
+    # full-probe IVF == exact partition-complete scan
+    ivf = by_method["ivf_kmeans"]
+    assert ivf[-1].recall_at_10 == 1.0, ivf
