@@ -176,6 +176,13 @@ class LogsApi:
             ttl = QUERY_CACHE_TTL_S
         self._cache = (_QueryCache(ttl, QUERY_CACHE_MAX_ENTRIES)
                        if ttl > 0 else None)
+        from clickhouse_observability_spark.api.query_log import QueryLog
+
+        # the system.query_log analogue: every handler invocation is
+        # recorded (route, detail, status, duration, rows) in a
+        # bounded in-memory buffer — O(1) on the request path, flushed
+        # to an at-rest parquet table by a periodic job
+        self.query_log = QueryLog()
 
     def _table_fingerprint(self) -> tuple:
         """Cheap change detector for the logs table: one listdir of
@@ -198,6 +205,17 @@ class LogsApi:
 
     # -- GET /v1/logs ---------------------------------------------------
     def query_logs_handler(self, params: dict, method: str = "GET") -> tuple[int, dict]:
+        with self.query_log.timed(
+            "/v1/logs", detail=params.get("service") or ""
+        ) as t:
+            status, body = self._query_logs_impl(params, method)
+            t.status = status
+            if isinstance(body, dict):
+                t.result_rows = body.get("count")
+                t.error = body.get("error")
+        return status, body
+
+    def _query_logs_impl(self, params: dict, method: str = "GET") -> tuple[int, dict]:
         if method != "GET":
             return 405, {"error": "method not allowed"}  # api.go:32-36
         try:
@@ -293,6 +311,15 @@ class LogsApi:
 
     # -- GET/POST /v1/query (ClickHouse HTTP interface analogue) -------
     def query_handler(self, q: str | None) -> tuple[int, dict]:
+        with self.query_log.timed("/v1/query", detail=(q or "")[:500]) as t:
+            status, body = self._query_impl(q)
+            t.status = status
+            if isinstance(body, dict):
+                t.result_rows = body.get("rows")
+                t.error = body.get("error")
+        return status, body
+
+    def _query_impl(self, q: str | None) -> tuple[int, dict]:
         """Execute one ClickHouse-dialect SQL statement — the engine's
         analogue of CH's HTTP interface (`:8123/?query=`), which the
         reference's docker-exec client commands (README.md:86-107)
@@ -375,6 +402,17 @@ class LogsApi:
 
     # -- GET /v1/stats (served from the streaming rollup view) ---------
     def stats_handler(self, params: dict) -> tuple[int, dict]:
+        with self.query_log.timed(
+            "/v1/stats", detail=params.get("granularity", "hour")
+        ) as t:
+            status, body = self._stats_impl(params)
+            t.status = status
+            if isinstance(body, dict):
+                t.result_rows = body.get("count")
+                t.error = body.get("error")
+        return status, body
+
+    def _stats_impl(self, params: dict) -> tuple[int, dict]:
         """Dashboard aggregates answered from MERGEABLE STATES — the
         at-scale read path: touches |buckets| x |dims| state rows,
         never the raw logs table."""
@@ -423,6 +461,17 @@ class LogsApi:
 
     # -- GET /v1/alerts (SLO burn rate over the view's states) ---------
     def alerts_handler(self, params: dict) -> tuple[int, dict]:
+        with self.query_log.timed(
+            "/v1/alerts", detail=params.get("service") or ""
+        ) as t:
+            status, body = self._alerts_impl(params)
+            t.status = status
+            if isinstance(body, dict):
+                t.result_rows = body.get("count")
+                t.error = body.get("error")
+        return status, body
+
+    def _alerts_impl(self, params: dict) -> tuple[int, dict]:
         """Per-service error-budget burn panel answered from the
         MATERIALIZED VIEW's hour-grain states (never the raw logs):
         n_total/n_errors per (hour, service) come from the merged
@@ -489,6 +538,34 @@ class LogsApi:
             "window_hours": window,
         }
 
+    # -- GET /v1/query_log (system.query_log analogue) -----------------
+    def query_log_handler(self, params: dict) -> tuple[int, dict]:
+        """Recent API requests with timing and outcome — the engine
+        observing itself. Served from the in-memory buffer (never a
+        Spark job); this meta-route is deliberately NOT self-recorded
+        so polling the log doesn't fill the log."""
+        try:
+            limit = int(params.get("limit", "100"))
+        except (TypeError, ValueError):
+            return 400, {"error": "limit must be an integer"}
+        if limit <= 0:
+            return 400, {"error": "limit must be a positive integer"}
+        rows = self.query_log.snapshot()[-limit:]
+        recs = [
+            {
+                "Ts": ts.isoformat() + "Z",
+                "Route": route,
+                "Detail": detail,
+                "Status": status,
+                "DurationMs": round(duration_ms, 3),
+                "ResultRows": result_rows,
+                "Error": error,
+            }
+            for (ts, route, detail, status, duration_ms,
+                 result_rows, error) in rows
+        ]
+        return 200, {"queries": recs, "count": len(recs)}
+
     # -- ops endpoints --------------------------------------------------
     @staticmethod
     def ping_handler() -> tuple[int, str]:
@@ -544,6 +621,8 @@ class LogsApi:
                     self._send(*api.stats_handler(dict(parse_qsl(u.query))))
                 elif u.path == "/v1/alerts":
                     self._send(*api.alerts_handler(dict(parse_qsl(u.query))))
+                elif u.path == "/v1/query_log":
+                    self._send(*api.query_log_handler(dict(parse_qsl(u.query))))
                 elif u.path == "/api/ping":
                     self._send(*api.ping_handler(), content_type="text/plain")
                 elif u.path == "/live":

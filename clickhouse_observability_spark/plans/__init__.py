@@ -6,6 +6,7 @@ from clickhouse_observability_spark.plans.explain import (
     read_schema_columns,
     whole_stage_codegen_spans,
 )
+from clickhouse_observability_spark.plans.lint import lint_errors, plan_lint
 
 __all__ = [
     "executed_plan",
@@ -14,4 +15,6 @@ __all__ = [
     "pushed_filters",
     "read_schema_columns",
     "whole_stage_codegen_spans",
+    "plan_lint",
+    "lint_errors",
 ]

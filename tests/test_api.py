@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import threading
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -140,5 +141,93 @@ def test_http_server_end_to_end(api):
             assert False, "expected 405"
         except urllib.error.HTTPError as e:
             assert e.code == 405
+    finally:
+        server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# /v1/query_log — the system.query_log analogue (engine self-observability)
+# ---------------------------------------------------------------------------
+
+def test_query_log_records_requests_and_errors(spark):
+    rows = [
+        (dt.datetime(2025, 9, 1, 20, 5), "orders", "WARN", "pending",
+         '{"user":"jane.smith"}', "t1", "s1"),
+    ]
+    df = spark.createDataFrame(rows, LOGS_SCHEMA)
+    api2 = LogsApi(lambda: df)
+    assert len(api2.query_log) == 0
+    s, _ = api2.query_logs_handler(dict(BASE))
+    assert s == 200
+    s, _ = api2.query_logs_handler({"service": "orders"})  # missing from/to
+    assert s == 400
+    s, body = api2.query_log_handler({})
+    assert s == 200 and body["count"] == 2
+    ok, bad = body["queries"]
+    assert ok["Route"] == "/v1/logs" and ok["Status"] == 200
+    assert ok["Detail"] == "orders" and ok["ResultRows"] == 1
+    assert ok["DurationMs"] > 0 and ok["Error"] is None
+    assert bad["Status"] == 400 and bad["Error"]
+    # the meta-route itself is not self-recorded
+    api2.query_log_handler({})
+    assert len(api2.query_log) == 2
+    # limit validation + windowing
+    assert api2.query_log_handler({"limit": "x"})[0] == 400
+    assert api2.query_log_handler({"limit": "0"})[0] == 400
+    assert api2.query_log_handler({"limit": "1"})[1]["count"] == 1
+
+
+def test_query_log_flush_to_parquet_and_alerting_shape(spark, tmp_path):
+    # flush turns the buffer into an at-rest table the engine's own
+    # operators can query — closing the self-observability loop
+    rows = [
+        (dt.datetime(2025, 9, 1, 20, 5), "orders", "WARN", "pending",
+         "", "t1", "s1"),
+    ]
+    df = spark.createDataFrame(rows, LOGS_SCHEMA)
+    api2 = LogsApi(lambda: df)
+    for _ in range(3):
+        api2.query_logs_handler(dict(BASE))
+    api2.query_handler("SELECT 1 AS x")
+    path = str(tmp_path / "query_log")
+    n = api2.query_log.flush(spark, path)
+    assert n == 4 and len(api2.query_log) == 0
+    at_rest = spark.read.parquet(path)
+    assert at_rest.count() == 4
+    assert set(at_rest.columns) == {
+        "ts", "route", "detail", "status", "duration_ms",
+        "result_rows", "error",
+    }
+    # per-route latency rollup — the meta-monitoring read
+    from pyspark.sql import functions as F
+
+    agg = {r["route"]: r for r in at_rest.groupBy("route").agg(
+        F.count("*").alias("n"),
+        F.max("duration_ms").alias("mx"),
+    ).collect()}
+    assert agg["/v1/logs"]["n"] == 3 and agg["/v1/logs"]["mx"] > 0
+    assert agg["/v1/query"]["n"] == 1
+    # second flush of an empty buffer is a no-op
+    assert api2.query_log.flush(spark, path) == 0
+
+
+def test_query_log_served_over_http(api):
+    server = api.serve(port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        q = urllib.parse.urlencode(BASE)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/logs?{q}"
+        ) as r:
+            assert r.status == 200
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/query_log?limit=5"
+        ) as r:
+            body = json.loads(r.read())
+        assert body["count"] >= 1
+        assert body["queries"][-1]["Route"] == "/v1/logs"
+        assert body["queries"][-1]["Status"] == 200
     finally:
         server.shutdown()
