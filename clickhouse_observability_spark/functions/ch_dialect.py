@@ -48,7 +48,7 @@ _TOKEN_RE = re.compile(
     (?P<string>'(?:[^'\\]|\\.|'')*')
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
-  | (?P<op><=|>=|!=|<>|\|\||.)
+  | (?P<op><=|>=|!=|<>|->|\|\||.)
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -277,8 +277,44 @@ _FUNCS = {
     "least": lambda a: f"least({', '.join(a)})",
     "isnull": lambda a: f"({a[0]} IS NULL)",
     "isnotnull": lambda a: f"({a[0]} IS NOT NULL)",
-    "arrayjoin": _unsupported(
-        "arrayJoin", "use LATERAL VIEW explode via the DataFrame API"),
+    # CH's row-multiplying array expansion. Spark's explode() is the
+    # same generator when it appears in the projection; Spark allows
+    # ONE generator per SELECT, so multiple arrayJoins (CH semantics:
+    # cartesian) are rejected up front in translate().
+    "arrayjoin": lambda a: f"explode({a[0]})",
+    # higher-order array family: CH puts the lambda FIRST
+    # (arrayMap(x -> f, arr)), Spark SQL puts it last — and the
+    # lambda syntax itself (`x -> expr`, `(x, y) -> expr`) is
+    # IDENTICAL in both dialects, so translation is an argument swap.
+    "arraymap": lambda a: (
+        f"transform({a[1]}, {a[0]})" if len(a) == 2
+        else f"zip_with({a[1]}, {a[2]}, {a[0]})" if len(a) == 3
+        else (_ for _ in ()).throw(ChDialectError(
+            "arrayMap supports 1 or 2 array args in the Spark "
+            "translation"))),
+    "arrayfilter": lambda a: f"filter({a[1]}, {a[0]})",
+    "arrayexists": lambda a: f"exists({a[1]}, {a[0]})",
+    "arrayall": lambda a: f"forall({a[1]}, {a[0]})",
+    "arraycount": lambda a: (
+        f"size(filter({a[1]}, {a[0]}))" if len(a) == 2
+        else f"size(filter({a[0]}, x -> x != 0))"),
+    "arraysum": lambda a: (
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        if len(a) == 1 else
+        f"aggregate(transform({a[1]}, {a[0]}), CAST(0 AS DOUBLE), "
+        f"(acc, x) -> acc + x)"),
+    "arrayreverse": lambda a: f"reverse({a[0]})",
+    "arrayflatten": lambda a: f"flatten({a[0]})",
+    "arraystringconcat": lambda a: (
+        f"array_join({a[0]}, {a[1] if len(a) > 1 else _q('')})"),
+    "indexof": lambda a: f"array_position({a[0]}, {a[1]})",
+    # `any(x)` the aggregate is NOT mapped: the call shape collides
+    # with standard SQL's `> ANY (subquery)` quantifier and a
+    # mistranslation there would corrupt predicates silently.
+    "anylast": lambda a: f"last({a[0]})",
+    "anyheavy": lambda a: f"any_value({a[0]})",
+    "leftpad": lambda a: f"lpad({', '.join(a)})",
+    "rightpad": lambda a: f"rpad({', '.join(a)})",
     # table function: FROM numbers(N) — CH's row generator
     "numbers": lambda a: f"(SELECT id AS number FROM range({a[0]}))",
 }
@@ -286,6 +322,10 @@ _FUNCS = {
 # name(params)(args) parameterized aggregates
 _PARAM_FUNCS = {
     "quantile": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
+    # CH's timing variant is an internal-representation optimization
+    # over millisecond-scale values; the observable contract is an
+    # approximate quantile — same mapping as quantile.
+    "quantiletiming": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
     "quantileexact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantiles": lambda p, a:
         f"percentile_approx({a[0]}, array({', '.join(p)}))",
@@ -330,6 +370,53 @@ def _parse_args(tokens: list[str], i: int) -> tuple[list[list[str]], int]:
     if args == [[]]:
         args = []
     return args, i
+
+
+_SUBSCRIPT_BLOCKERS = {
+    # keywords that can directly precede an array LITERAL — an ident
+    # in this set before '[' means "[...]" is a fresh expression, not
+    # a subscript of that ident
+    "select", "where", "and", "or", "not", "in", "when", "then",
+    "else", "values", "having", "on", "limit", "by", "union", "all",
+    "distinct", "case", "as", "from", "return",
+}
+
+
+def _rewrite_array_literals(tokens: list[str]) -> list[str]:
+    """CH array literals `[a, b, c]` -> Spark `array(a, b, c)`.
+
+    Disambiguation (same rule CH's own lexer uses): a '[' directly
+    after an identifier, ')', ']' or a string is a SUBSCRIPT
+    (`arr[1]` — valid Spark syntax too, left untouched); anywhere
+    else it opens a literal. Nesting tracked with a stack so
+    `[[1,2],[3]]` becomes array(array(1,2), array(3)) while the
+    subscript in `arrayMap(x -> x[1], [[1],[2]])` survives."""
+    out: list[str] = []
+    stack: list[bool] = []
+    for t in tokens:
+        if t == "[":
+            prev = out[-1] if out else None
+            subscript = prev is not None and (
+                prev in (")", "]")
+                or _is_string(prev)
+                or (
+                    (prev[0].isalpha() or prev[0] == "_")
+                    and prev.lower() not in _SUBSCRIPT_BLOCKERS
+                )
+            )
+            if subscript:
+                out.append("[")
+                stack.append(False)
+            else:
+                # two tokens so downstream paren-depth tracking
+                # (_parse_args / clause scanners) stays correct
+                out.extend(("array", "("))
+                stack.append(True)
+        elif t == "]" and stack:
+            out.append(")" if stack.pop() else "]")
+        else:
+            out.append(t)
+    return out
 
 
 def _emit(tokens: list[str]) -> str:
@@ -522,7 +609,20 @@ def _rewrite_sample(tokens: list[str]) -> list[str]:
 def translate(sql: str) -> str:
     """ClickHouse SQL text -> Spark SQL text."""
     sql, _fmt = split_format_clause(sql)
-    return _emit(_rewrite_sample(_rewrite_prewhere(_tokenize(sql))))
+    tokens = _tokenize(sql)
+    # CH allows several arrayJoins per SELECT (cartesian expansion);
+    # Spark allows one generator per projection — reject the
+    # untranslatable shape here, not as a downstream analyzer error.
+    if sum(1 for t in tokens if t.lower() == "arrayjoin") > 1:
+        raise ChDialectError(
+            "only one arrayJoin per statement is supported by the "
+            "Spark translation (Spark allows a single generator per "
+            "SELECT); rewrite extra arrayJoins as LATERAL VIEW "
+            "explode via the DataFrame API"
+        )
+    return _emit(
+        _rewrite_sample(_rewrite_prewhere(_rewrite_array_literals(tokens)))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -151,9 +151,11 @@ def test_translate_nested_calls():
 
 def test_unsupported_raises():
     with pytest.raises(ChDialectError):
-        translate("SELECT arrayJoin(xs) FROM t")
-    with pytest.raises(ChDialectError):
         translate("SELECT topKWeighted(3)(u, w) FROM t")
+    # arrayJoin maps since r5, but CH's multi-arrayJoin cartesian has
+    # no single-generator Spark translation — reject, don't garble
+    with pytest.raises(ChDialectError, match="one arrayJoin"):
+        translate("SELECT arrayJoin(xs), arrayJoin(ys) FROM t")
 
 
 def test_sketch_family_executes(spark):
@@ -352,3 +354,41 @@ def test_sample_requires_from_or_join_anchor():
     # broken SQL.
     with pytest.raises(ChDialectError, match="SAMPLE"):
         translate("SELECT a b SAMPLE 0.5 FROM t")
+
+
+def test_array_function_family_executes(spark):
+    # CH's lambda syntax is identical to Spark's; arrayMap/Filter/...
+    # translate by swapping the lambda to the last argument
+    r = spark.sql(translate(
+        "SELECT arrayMap(x -> x * 2, [1, 2, 3]) AS m, "
+        "arrayFilter(x -> x > 1, [1, 2, 3]) AS f, "
+        "arrayExists(x -> x = 2, [1, 2, 3]) AS e, "
+        "arrayAll(x -> x > 0, [1, 2, 3]) AS a, "
+        "arrayCount(x -> x > 1, [1, 2, 3]) AS c, "
+        "arraySum([1, 2, 3]) AS s, "
+        "arraySum(x -> x * x, [1, 2, 3]) AS s2, "
+        "arrayMap((x, y) -> x + y, [1, 2], [10, 20]) AS z, "
+        "arrayStringConcat(['a', 'b'], '-') AS j, "
+        "indexOf([7, 8, 9], 8) AS i, "
+        "arrayReverse([1, 2]) AS rv"
+    )).collect()[0]
+    assert r["m"] == [2, 4, 6] and r["f"] == [2, 3]
+    assert r["e"] is True and r["a"] is True and r["c"] == 2
+    assert r["s"] == 6.0 and r["s2"] == 14.0
+    assert r["z"] == [11, 22]
+    assert r["j"] == "a-b" and r["i"] == 2 and r["rv"] == [2, 1]
+
+
+def test_array_join_explodes_rows(spark):
+    # single arrayJoin = Spark's explode generator: row multiplication
+    rows = spark.sql(translate(
+        "SELECT arrayJoin([1, 2, 3]) AS v"
+    )).collect()
+    assert [r["v"] for r in rows] == [1, 2, 3]
+
+
+def test_anylast_quantiletiming_translate(spark):
+    out = translate("SELECT anyLast(x), anyHeavy(y) FROM t GROUP BY g")
+    assert "last(x)" in out and "any_value(y)" in out
+    out = translate("SELECT quantileTiming(0.95)(ms) FROM t")
+    assert "percentile_approx(ms, 0.95)" in out
