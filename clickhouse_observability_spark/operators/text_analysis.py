@@ -1263,6 +1263,79 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
     return out.select("doc_id", *cols, passes.alias("passes_gopher"))
 
 
+def c4_filters(documents: DataFrame) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2) — the other
+    canonical public web-curation recipe beside Gopher. Line level:
+    retain only lines that end in a terminal punctuation mark, carry
+    at least 5 words, and do not mention 'javascript'. Page level:
+    drop pages containing 'lorem ipsum' or a '{' (code), and pages
+    left with fewer than 3 sentences after line cleaning.
+
+    Output per doc: line/sentence counters, the retained-text length,
+    one flag per page rule, and the conjunction `passes_c4`. Map-only
+    column expressions (let-bound arrays, whole-stage codegen), same
+    shape as gopher_rules; integer/integer arithmetic only, so the
+    DuckDB mirror hashes identically.
+
+    (The sf testdata corpus carries no punctuation or newlines, so
+    every doc degenerates to kept=0 there — the behavioral coverage
+    lives in pytest over realistic synthetic pages, cross-checked
+    against DuckDB on the same frame.)"""
+
+    def per_doc(lines: Column) -> Column:
+        nonblank = F.filter(lines, lambda ln: F.trim(ln) != "")
+        kept = F.filter(
+            nonblank,
+            lambda ln: F.trim(ln).rlike('[.!?"]$')
+            & (
+                F.size(
+                    F.filter(
+                        F.split(F.trim(ln), r"\s+"), lambda w: w != ""
+                    )
+                )
+                >= 5
+            )
+            & ~F.lower(ln).contains("javascript"),
+        )
+        clean = F.array_join(kept, "\n")
+        n_sentences = F.size(
+            F.filter(F.split(clean, r"[.!?]"), lambda s: F.trim(s) != "")
+        )
+        return F.struct(
+            F.size(nonblank).alias("n_lines"),
+            F.size(kept).alias("n_kept_lines"),
+            n_sentences.alias("n_sentences"),
+            F.length(clean).alias("clean_len"),
+        )
+
+    stats = F.element_at(
+        F.transform(F.array(F.split(F.col("text"), "\n")), per_doc), 1
+    )
+    low = F.lower(F.col("text"))
+    out = documents.select(
+        "doc_id",
+        stats.alias("s"),
+        (~low.contains("lorem ipsum")).alias("flag_no_lorem"),
+        (~low.contains("{")).alias("flag_no_brace"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("s.n_lines").alias("n_lines"),
+        F.col("s.n_kept_lines").alias("n_kept_lines"),
+        F.col("s.n_sentences").alias("n_sentences"),
+        F.col("s.clean_len").alias("clean_len"),
+        "flag_no_lorem",
+        "flag_no_brace",
+        (F.col("s.n_sentences") >= 3).alias("flag_min_sentences"),
+        (
+            F.col("flag_no_lorem")
+            & F.col("flag_no_brace")
+            & (F.col("s.n_sentences") >= 3)
+            & (F.col("s.n_kept_lines") > 0)
+        ).alias("passes_c4"),
+    )
+
+
 def mixture_plan(
     documents: DataFrame,
     token_budget: int = 30000,

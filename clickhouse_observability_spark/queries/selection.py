@@ -258,3 +258,70 @@ def text_quality_classifier(spark, sf_dir):
     return TX.score_quality_classifier(
         table(spark, sf_dir, "documents"), b0, w, n_buckets=512
     )
+
+
+@register(
+    "text_c4_filters",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS text,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                           ln -> trim(ln) <> '') AS nb
+        FROM documents
+    ), k AS (
+        SELECT doc_id, text, nb,
+               list_filter(nb, ln ->
+                   regexp_matches(trim(ln), '[.!?"]$')
+                   AND len(list_filter(
+                       string_split_regex(trim(ln), '\s+'),
+                       w -> w <> '')) >= 5
+                   AND NOT contains(lower(ln), 'javascript')) AS kept
+        FROM base
+    ), c AS (
+        SELECT doc_id, text, nb, kept,
+               -- DuckDB's array_to_string([]) is NULL, Spark's
+               -- array_join([]) is '' — pin the Spark semantics
+               coalesce(array_to_string(kept, chr(10)), '') AS clean
+        FROM k
+    ), s AS (
+        SELECT doc_id, text, nb, kept, clean,
+               len(list_filter(string_split_regex(clean, '[.!?]'),
+                               x -> trim(x) <> '')) AS n_sentences
+        FROM c
+    )
+    SELECT doc_id,
+           len(nb)::BIGINT AS n_lines,
+           len(kept)::BIGINT AS n_kept_lines,
+           n_sentences::BIGINT AS n_sentences,
+           length(clean)::BIGINT AS clean_len,
+           NOT contains(lower(text), 'lorem ipsum') AS flag_no_lorem,
+           NOT contains(lower(text), '{') AS flag_no_brace,
+           n_sentences >= 3 AS flag_min_sentences,
+           (NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(lower(text), '{')
+            AND n_sentences >= 3
+            AND len(kept) > 0) AS passes_c4
+    FROM s
+    """,
+)
+def text_c4_filters(spark, sf_dir):
+    """The C4 cleaning-rule panel (Raffel et al. 2020 §2.2):
+    terminal-punctuation + ≥5-word + no-'javascript' line retention,
+    lorem-ipsum / curly-brace / <3-sentence page drops. Counters cast
+    to BIGINT for cross-engine schema parity. The sf corpus carries
+    no punctuation, so every testdata doc degenerates to kept=0 —
+    the behavioral coverage is the realistic-page pytest
+    (tests/test_selection.py), DuckDB-cross-checked on the same
+    synthetic frame."""
+    from pyspark.sql import functions as FF
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text", FF.coalesce(FF.col("text"), FF.lit(""))
+    )
+    out = TX.c4_filters(docs)
+    return out.select(
+        "doc_id",
+        *[FF.col(c).cast("bigint").alias(c)
+          for c in ("n_lines", "n_kept_lines", "n_sentences", "clean_len")],
+        "flag_no_lorem", "flag_no_brace", "flag_min_sentences", "passes_c4",
+    )

@@ -163,6 +163,7 @@ def test_selection_oracles_match_duckdb(spark, sf_small):
         "text_dsir_weights",
         "text_perplexity_buckets",
         "text_gopher_rules",
+        "text_c4_filters",
     ):
         sdf = qs[name](spark, sf_small)
         res = con.execute(oracles[name])
@@ -246,3 +247,72 @@ def test_quality_classifier_orders_target_domain(spark, sf_small, tmp_path, monk
     b = sorted((r.doc_id, r.quality_prob)
                for r in em.queries()["text_quality_classifier"](spark, sf_small).collect())
     assert a == b
+
+
+def test_c4_filters_semantics(spark):
+    # realistic pages (the sf corpus has no punctuation, so behavior
+    # lives here): each C4 rule exercised, DuckDB cross-checked below
+    pages = [
+        # passes everything: 3 retained sentences of >= 5 words
+        (1, "The quick brown fox jumps over dogs.\n"
+            "A second proper sentence lives right here.\n"
+            "And here is yet another full sentence!"),
+        # line-level drops: short line, no terminal punct, javascript
+        (2, "Too short line.\n"
+            "this line has no terminal punctuation at all\n"
+            "Please enable javascript to view this page.\n"
+            "Only this one real sentence survives the line filters."),
+        # page-level: lorem ipsum
+        (3, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "A perfectly fine sentence follows the boilerplate here.\n"
+            "Another good sentence with enough words appears here.\n"
+            "And one more to clear the three sentence bar easily."),
+        # page-level: code brace
+        (4, "This sentence would otherwise be kept around here.\n"
+            "function f() { return 1; }\n"
+            "Another keepable sentence with plenty of words here.\n"
+            "A third keepable sentence rounds out the page nicely."),
+        # empty / null
+        (5, ""),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(pages, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    out = {r.doc_id: r for r in TX.c4_filters(
+        docs.withColumn("text", F.coalesce("text", F.lit("")))
+    ).collect()}
+    assert out[1].passes_c4 and out[1].n_kept_lines == 3
+    assert out[1].n_sentences == 3
+    # doc 2: 'Too short line.' (<5 words), bare line (no punct),
+    # javascript line all dropped; one survivor -> fails min-sentences
+    assert out[2].n_kept_lines == 1 and not out[2].flag_min_sentences
+    assert not out[2].passes_c4
+    # doc 3: lines fine, page killed by lorem ipsum
+    assert out[3].n_kept_lines == 4 and not out[3].flag_no_lorem
+    assert not out[3].passes_c4
+    # doc 4: brace kills the page; the brace line itself was dropped
+    # (no terminal punctuation) but the page-level rule still fires
+    assert not out[4].flag_no_brace and not out[4].passes_c4
+    assert out[5].n_kept_lines == 0 and not out[5].passes_c4
+    assert out[6].n_kept_lines == 0 and not out[6].passes_c4
+
+    # DuckDB cross-check of the same frame through the ORACLE SQL
+    import duckdb
+
+    import pandas as pd
+
+    from clickhouse_observability_spark.registry import oracle_sql
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(pages, columns=["doc_id", "text"])
+    con.register("documents", pdf)
+    res = con.execute(oracle_sql()["text_c4_filters"])
+    dcols = [d[0] for d in res.description]
+    drows = {r[dcols.index("doc_id")]: dict(zip(dcols, r))
+             for r in res.fetchall()}
+    for d, row in out.items():
+        for c in ("n_lines", "n_kept_lines", "n_sentences", "clean_len",
+                  "flag_no_lorem", "flag_no_brace", "flag_min_sentences",
+                  "passes_c4"):
+            assert row[c] == drows[d][c], (d, c, row[c], drows[d][c])
