@@ -419,6 +419,146 @@ def _rewrite_array_literals(tokens: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_array_join_clause(tokens: list[str]) -> list[str]:
+    """CH `FROM t [LEFT] ARRAY JOIN expr [AS x]` -> Spark
+    `FROM t LATERAL VIEW [OUTER] explode(expr) _aj AS x`.
+
+    The row-multiplying clause form every CH observability query uses
+    (`ARRAY JOIN attrs.keys AS k`). LEFT ARRAY JOIN (keep rows with
+    empty arrays, NULL-filled) maps to LATERAL VIEW OUTER. CH's
+    multi-array form (`ARRAY JOIN a AS x, b AS y` — ZIPPED, not
+    cartesian) has no direct Spark clause; it raises rather than
+    silently producing the cartesian LATERAL VIEW chain."""
+    lows = [t.lower() for t in tokens]
+    for i in range(len(tokens) - 1):
+        if lows[i] != "array" or lows[i + 1] != "join":
+            continue
+        left = i > 0 and lows[i - 1] == "left"
+        start = i - 1 if left else i
+        # expression runs until AS/alias/clause end at paren depth 0
+        j = i + 2
+        depth = 0
+        enders = {"where", "group", "order", "limit", "having",
+                  "union", "settings", "format", "inner", "left",
+                  "right", "full", "cross", "join", "prewhere"}
+        expr: list[str] = []
+        alias = None
+        while j < len(tokens):
+            t = tokens[j]
+            tl = t.lower()
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if depth == 0 and tl == "as":
+                alias = tokens[j + 1] if j + 1 < len(tokens) else None
+                j += 2
+                if j < len(tokens) and tokens[j] == ",":
+                    raise ChDialectError(
+                        "multi-array ARRAY JOIN is ZIPPED in "
+                        "ClickHouse and has no Spark clause "
+                        "translation; use arrayZip + a single ARRAY "
+                        "JOIN, or the DataFrame API"
+                    )
+                break
+            if depth == 0 and tl in enders:
+                break
+            if depth == 0 and t == ",":
+                raise ChDialectError(
+                    "multi-array ARRAY JOIN is ZIPPED in ClickHouse "
+                    "and has no Spark clause translation; use "
+                    "arrayZip + a single ARRAY JOIN, or the "
+                    "DataFrame API"
+                )
+            expr.append(t)
+            j += 1
+        if not expr:
+            raise ChDialectError("ARRAY JOIN requires an array expression")
+        if alias is None:
+            # CH allows `ARRAY JOIN arr` (the column keeps its name);
+            # that only works for a bare identifier
+            if len(expr) == 1 and _IDENT_RE.fullmatch(expr[0]):
+                alias = expr[0]
+            else:
+                raise ChDialectError(
+                    "ARRAY JOIN over an expression needs an AS alias"
+                )
+        if len(expr) == 1 and expr[0] == alias:
+            # CH SHADOWS the source column with its element; Spark's
+            # LATERAL VIEW would leave both visible and every later
+            # reference ambiguous. Reproduce the shadowing by hiding
+            # the array column at the source:
+            #   FROM (SELECT * EXCEPT (c), c AS _aj_src FROM <src>)
+            #   LATERAL VIEW explode(_aj_src) _aj AS c
+            col = alias
+            k = start - 1
+            depth = 0
+            from_idx = None
+            while k >= 0:
+                if tokens[k] == ")":
+                    depth += 1
+                elif tokens[k] == "(":
+                    depth -= 1
+                elif depth == 0 and lows[k] == "from":
+                    from_idx = k
+                    break
+                k -= 1
+            if from_idx is None:
+                raise ChDialectError("ARRAY JOIN requires a FROM clause")
+            src = tokens[from_idx + 1:start]
+            repl = (
+                ["(", "SELECT", "*", "EXCEPT", "(", col, ")", ",",
+                 col, "AS", "_aj_src", "FROM"] + src + [")", "_ajs",
+                 "LATERAL", "VIEW"]
+                + (["OUTER"] if left else [])
+                + ["explode", "(", "_aj_src", ")", "_aj", "AS", col]
+            )
+            out = tokens[:from_idx + 1] + repl + tokens[j:]
+            return _rewrite_array_join_clause(out)
+        repl = ["LATERAL", "VIEW"]
+        if left:
+            repl.append("OUTER")
+        repl += ["explode", "("] + expr + [")", "_aj", "AS", alias]
+        out = tokens[:start] + repl + tokens[j:]
+        return _rewrite_array_join_clause(out)
+    return tokens
+
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _strip_table_modifiers(tokens: list[str]) -> list[str]:
+    """Drop CH table-read modifiers with no Spark counterpart and no
+    semantic effect here: `FINAL` (this engine's tables are already
+    merge-complete at rest) directly after a FROM/JOIN table
+    reference, and `GLOBAL` before JOIN/IN (a ClickHouse distributed-
+    execution hint; Spark's optimizer owns that decision). Both are
+    anchored so columns named final/global survive."""
+    out: list[str] = []
+    lows = [t.lower() for t in tokens]
+    i = 0
+    while i < len(tokens):
+        t, tl = tokens[i], lows[i]
+        if tl == "global" and i + 1 < len(tokens) and lows[i + 1] in (
+            "join", "in", "any", "all", "left", "right", "inner",
+            "full", "semi", "anti", "not",
+        ):
+            i += 1
+            continue
+        if tl == "final" and out:
+            prev = out[-1].lower()
+            # anchored: ident directly after FROM/JOIN, then FINAL
+            if _IDENT_RE.fullmatch(out[-1]) and len(out) >= 2 and \
+                    out[-2].lower() in ("from", "join"):
+                i += 1
+                continue
+            if prev in ("from", "join"):  # pathological; leave it
+                pass
+        out.append(t)
+        i += 1
+    return out
+
+
 def _emit(tokens: list[str]) -> str:
     out: list[str] = []
     i = 0
@@ -620,9 +760,9 @@ def translate(sql: str) -> str:
             "SELECT); rewrite extra arrayJoins as LATERAL VIEW "
             "explode via the DataFrame API"
         )
-    return _emit(
-        _rewrite_sample(_rewrite_prewhere(_rewrite_array_literals(tokens)))
-    )
+    tokens = _rewrite_array_literals(_strip_table_modifiers(tokens))
+    tokens = _rewrite_array_join_clause(tokens)
+    return _emit(_rewrite_sample(_rewrite_prewhere(tokens)))
 
 
 # ---------------------------------------------------------------------------

@@ -392,3 +392,44 @@ def test_anylast_quantiletiming_translate(spark):
     assert "last(x)" in out and "any_value(y)" in out
     out = translate("SELECT quantileTiming(0.95)(ms) FROM t")
     assert "percentile_approx(ms, 0.95)" in out
+
+
+def test_array_join_clause(spark):
+    # the idiomatic CH row-multiplier: FROM t ARRAY JOIN arr AS x
+    rows = spark.sql(translate(
+        "SELECT id, x FROM (SELECT 1 AS id, [10, 20] AS arr) "
+        "ARRAY JOIN arr AS x ORDER BY x"
+    )).collect()
+    assert [(r["id"], r["x"]) for r in rows] == [(1, 10), (1, 20)]
+    # bare-identifier form keeps the column name
+    rows = spark.sql(translate(
+        "SELECT arr FROM (SELECT [1, 2] AS arr) ARRAY JOIN arr"
+    )).collect()
+    assert sorted(r["arr"] for r in rows) == [1, 2]
+    # LEFT ARRAY JOIN keeps empty-array rows (NULL-filled)
+    rows = spark.sql(translate(
+        "SELECT id, x FROM (SELECT 1 AS id, [1] AS a UNION ALL "
+        "SELECT 2, []) LEFT ARRAY JOIN a AS x"
+    )).collect()
+    got = sorted(
+        [(r["id"], r["x"]) for r in rows],
+        key=lambda p: (p[0], p[1] is None, p[1] or 0),
+    )
+    assert got == [(1, 1), (2, None)]
+    # zipped multi-array form: honest error, not a cartesian
+    with pytest.raises(ChDialectError, match="ZIPPED"):
+        translate("SELECT x, y FROM t ARRAY JOIN a AS x, b AS y")
+    with pytest.raises(ChDialectError, match="alias"):
+        translate("SELECT x FROM t ARRAY JOIN arrayConcat(a, b)")
+
+
+def test_final_and_global_modifiers_strip(spark):
+    out = translate("SELECT count(*) FROM logs FINAL WHERE level = 'E'")
+    assert "FINAL" not in out.upper().replace("FROM logs", "")
+    out = translate(
+        "SELECT a FROM t GLOBAL JOIN u ON t.k = u.k "
+        "WHERE x GLOBAL IN (SELECT k FROM v)")
+    assert "GLOBAL" not in out.upper()
+    # columns NAMED final/global survive
+    out = translate("SELECT final, global FROM t WHERE final > 1")
+    assert "final" in out and "global" in out
