@@ -774,6 +774,13 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+TABLE\s+(\w+)"
+    r"(?:\s+PARTITION\s+(\d+))?"
+    r"(?:\s+FINAL)?\s*$",
+    re.IGNORECASE,
+)
+
 _LOGS_DEFAULTS = {
     "ts": "current_timestamp()",
     "service": "''",
@@ -801,6 +808,35 @@ def ch_sql(
         df.createOrReplaceTempView(name)
     if logs is not None:
         logs.read().createOrReplaceTempView("logs")
+
+    mo = _OPTIMIZE_RE.match(sql)
+    if mo is not None:
+        # CH `OPTIMIZE TABLE t [PARTITION p] [FINAL]` forces the
+        # background MergeTree merge; the engine's counterpart is the
+        # explicit partition compaction (sources/retention.py).
+        # Returns the number of input files merged, like INSERT
+        # returns its row count.
+        import os as _os
+
+        from clickhouse_observability_spark.schema import PARTITION_COLUMN
+        from clickhouse_observability_spark.sources.retention import (
+            compact_partition,
+        )
+
+        tname, part = mo.groups()
+        if tname.lower() != "logs" or logs is None:
+            raise ChDialectError("OPTIMIZE supported for `logs` only")
+        if part is not None:
+            months = [int(part)]
+        else:
+            months = sorted(
+                int(d.split("=", 1)[1])
+                for d in _os.listdir(logs.path)
+                if d.startswith(f"{PARTITION_COLUMN}=")
+            )
+        return sum(
+            compact_partition(spark, logs.path, month) for month in months
+        )
 
     m = _INSERT_RE.match(sql)
     if m is None:

@@ -433,3 +433,40 @@ def test_final_and_global_modifiers_strip(spark):
     # columns NAMED final/global survive
     out = translate("SELECT final, global FROM t WHERE final > 1")
     assert "final" in out and "global" in out
+
+
+def test_optimize_table_compacts_partitions(spark, logs):
+    import glob
+    import os
+
+    # two inserts into the same month -> two part files; a second
+    # month gets one
+    for stmt in (
+        "INSERT INTO logs (ts, service, level) VALUES "
+        "('2025-03-01 00:00:00', 'a', 'I')",
+        "INSERT INTO logs (ts, service, level) VALUES "
+        "('2025-03-02 00:00:00', 'b', 'E')",
+        "INSERT INTO logs (ts, service, level) VALUES "
+        "('2025-04-01 00:00:00', 'c', 'I')",
+    ):
+        ch_sql(spark, stmt, logs=logs)
+
+    def files(month):
+        return glob.glob(
+            os.path.join(logs.path, f"month={month}", "*.parquet"))
+
+    assert len(files(202503)) == 2
+    # PARTITION form compacts just that month; returns files merged
+    assert ch_sql(spark, "OPTIMIZE TABLE logs PARTITION 202503",
+                  logs=logs) == 2
+    assert len(files(202503)) == 1
+    # bare form sweeps every partition; FINAL tolerated
+    merged = ch_sql(spark, "OPTIMIZE TABLE logs FINAL", logs=logs)
+    assert merged == 2  # 1 file in each of the two months re-merged
+    assert len(files(202503)) == 1 and len(files(202504)) == 1
+    # data intact after both compactions
+    rows = ch_sql(spark, "SELECT service FROM logs ORDER BY service",
+                  logs=logs).collect()
+    assert [r.service for r in rows] == ["a", "b", "c"]
+    with pytest.raises(ChDialectError):
+        ch_sql(spark, "OPTIMIZE TABLE other", logs=logs)
