@@ -97,6 +97,7 @@ class EngineServer:
         # /v1/query (CH HTTP interface analogue) + /v1/stats (MV-backed)
         api = LogsApi(self.table.read, logs_table=self.table,
                       rollup_view=view)
+        self._api = api
         self._http_server = api.serve(*self.http_addr)
         # gRPC entry point: BatchWrite feeds the SAME batcher inbox
         # (service.go:21-47 enqueues; accepted-count reply).
@@ -141,6 +142,16 @@ class EngineServer:
             self.stream.stop(drain=True)  # final flush before exit
         if self._http_server is not None:
             self._http_server.shutdown()
+        # persist the request log (system.query_log analogue) next to
+        # the data: meta-telemetry survives the process and becomes a
+        # normal table for the retention/alerting operators
+        if getattr(self, "_api", None) is not None:
+            try:
+                self._api.query_log.flush(
+                    self.spark, os.path.join(self.data_dir, "query_log")
+                )
+            except Exception:
+                pass  # best-effort: shutdown must not fail on telemetry
         for t in self._threads:
             t.join(timeout=5)  # the reference's 5 s drain budget
 

@@ -101,3 +101,27 @@ def test_server_native_h2c_transport(spark, tmp_path, monkeypatch):
         srv.stop()
     rows = srv.table.read().collect()
     assert len(rows) == 1 and rows[0]["msg"] == "order pending"
+
+
+def test_stop_flushes_query_log_to_data_dir(spark, tmp_path):
+    import json
+    import os
+    import urllib.request
+
+    from clickhouse_observability_spark.server import EngineServer
+
+    srv = EngineServer(
+        spark, data_dir=str(tmp_path / "data"), http_addr=":0",
+        grpc_addr=":0",
+    ).start()
+    try:
+        http_port, _ = srv.ports
+        url = (f"http://127.0.0.1:{http_port}/v1/logs?service=orders"
+               "&from=2025-09-01T00:00:00Z&to=2025-09-02T00:00:00Z")
+        with urllib.request.urlopen(url) as r:
+            assert r.status == 200
+    finally:
+        srv.stop()
+    at_rest = spark.read.parquet(str(tmp_path / "data" / "query_log"))
+    rows = at_rest.collect()
+    assert any(r.route == "/v1/logs" and r.status == 200 for r in rows)
