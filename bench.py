@@ -250,6 +250,26 @@ def _run_bench() -> None:
 
     load_table(spark, SF_DIR, "events").count()
 
+    # Host-speed calibration (r5): this box's single-thread speed
+    # drifts between rounds (shared hardware) — r5 measured an
+    # UNCHANGED pure-scan query +58% vs r4's recording on an idle
+    # host while another unchanged query matched exactly. Two fixed
+    # workloads per run let a cross-round reader normalize totals by
+    # host speed instead of mistaking host drift for plan changes:
+    # a pure-Python loop (driver single-thread) and a fixed JVM
+    # aggregate (codegen + 32-task scheduling).
+    t0 = time.time()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i
+    assert acc > 0
+    cpu_calib_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    spark.range(2_000_000_000, numPartitions=32).selectExpr(
+        "sum(id) AS s"
+    ).collect()
+    spark_calib_sec = round(time.time() - t0, 3)
+
     # IVF index build (centroid sidecar) is a one-time INDEX cost, not
     # query latency — timed separately so sim_topk_ivf below measures
     # warm-index probing, matching how the index is used at scale.
@@ -511,6 +531,8 @@ def _run_bench() -> None:
     this_common = round(sum(times_min[n] for n in common), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     scalars = {
+        "cpu_calib_sec": cpu_calib_sec,
+        "spark_calib_sec": spark_calib_sec,
         "headline_prev_common_sec": prev_common,
         "headline_common_sec": this_common,
         "common_n": len(common),
