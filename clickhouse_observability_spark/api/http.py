@@ -203,17 +203,24 @@ class LogsApi:
         except OSError:
             return ("missing",)
 
-    # -- GET /v1/logs ---------------------------------------------------
-    def query_logs_handler(self, params: dict, method: str = "GET") -> tuple[int, dict]:
-        with self.query_log.timed(
-            "/v1/logs", detail=params.get("service") or ""
-        ) as t:
-            status, body = self._query_logs_impl(params, method)
+    def _instrumented(self, route, detail, rows_key, impl, *args):
+        """Record one handler invocation in the query log around
+        `impl(*args)` — route, detail, status, duration, result rows
+        (pulled from the envelope's `rows_key`), and error."""
+        with self.query_log.timed(route, detail=detail) as t:
+            status, body = impl(*args)
             t.status = status
             if isinstance(body, dict):
-                t.result_rows = body.get("count")
+                t.result_rows = body.get(rows_key)
                 t.error = body.get("error")
         return status, body
+
+    # -- GET /v1/logs ---------------------------------------------------
+    def query_logs_handler(self, params: dict, method: str = "GET") -> tuple[int, dict]:
+        return self._instrumented(
+            "/v1/logs", params.get("service") or "", "count",
+            self._query_logs_impl, params, method,
+        )
 
     def _query_logs_impl(self, params: dict, method: str = "GET") -> tuple[int, dict]:
         if method != "GET":
@@ -311,13 +318,9 @@ class LogsApi:
 
     # -- GET/POST /v1/query (ClickHouse HTTP interface analogue) -------
     def query_handler(self, q: str | None) -> tuple[int, dict]:
-        with self.query_log.timed("/v1/query", detail=(q or "")[:500]) as t:
-            status, body = self._query_impl(q)
-            t.status = status
-            if isinstance(body, dict):
-                t.result_rows = body.get("rows")
-                t.error = body.get("error")
-        return status, body
+        return self._instrumented(
+            "/v1/query", (q or "")[:500], "rows", self._query_impl, q,
+        )
 
     def _query_impl(self, q: str | None) -> tuple[int, dict]:
         """Execute one ClickHouse-dialect SQL statement — the engine's
@@ -402,15 +405,10 @@ class LogsApi:
 
     # -- GET /v1/stats (served from the streaming rollup view) ---------
     def stats_handler(self, params: dict) -> tuple[int, dict]:
-        with self.query_log.timed(
-            "/v1/stats", detail=params.get("granularity", "hour")
-        ) as t:
-            status, body = self._stats_impl(params)
-            t.status = status
-            if isinstance(body, dict):
-                t.result_rows = body.get("count")
-                t.error = body.get("error")
-        return status, body
+        return self._instrumented(
+            "/v1/stats", params.get("granularity", "hour"), "count",
+            self._stats_impl, params,
+        )
 
     def _stats_impl(self, params: dict) -> tuple[int, dict]:
         """Dashboard aggregates answered from MERGEABLE STATES — the
@@ -461,15 +459,10 @@ class LogsApi:
 
     # -- GET /v1/alerts (SLO burn rate over the view's states) ---------
     def alerts_handler(self, params: dict) -> tuple[int, dict]:
-        with self.query_log.timed(
-            "/v1/alerts", detail=params.get("service") or ""
-        ) as t:
-            status, body = self._alerts_impl(params)
-            t.status = status
-            if isinstance(body, dict):
-                t.result_rows = body.get("count")
-                t.error = body.get("error")
-        return status, body
+        return self._instrumented(
+            "/v1/alerts", params.get("service") or "", "count",
+            self._alerts_impl, params,
+        )
 
     def _alerts_impl(self, params: dict) -> tuple[int, dict]:
         """Per-service error-budget burn panel answered from the

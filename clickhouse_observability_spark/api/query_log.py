@@ -86,14 +86,26 @@ class QueryLog:
         table: partition/retain/compact it with sources/retention like
         any other; alerting ops (SLO burn rate, z-score) run on it
         unchanged."""
-        with self._lock:
-            rows = list(self._buf)
-            self._buf.clear()
+        rows = self.snapshot()
         if not rows:
             return 0
+        # write FIRST, clear only what was written and only on
+        # success: a failed append (disk full, stopped session —
+        # exactly the conditions plausible during a best-effort
+        # shutdown flush) must not lose the buffered telemetry.
+        # Records that arrive DURING the write stay queued for the
+        # next flush; a crash between write and clear re-flushes
+        # them (duplicate rows in an at-rest log beat lost ones).
         local_df(spark, rows, QUERY_LOG_SCHEMA).write.mode("append").parquet(
             path
         )
+        with self._lock:
+            # remove exactly the rows that were written: they are a
+            # deque prefix unless ring eviction dropped some during
+            # the write (then they are simply gone already)
+            for r in rows:
+                if self._buf and self._buf[0] is r:
+                    self._buf.popleft()
         return len(rows)
 
     def timed(self, route: str, detail: str = ""):

@@ -379,6 +379,8 @@ _SUBSCRIPT_BLOCKERS = {
     "select", "where", "and", "or", "not", "in", "when", "then",
     "else", "values", "having", "on", "limit", "by", "union", "all",
     "distinct", "case", "as", "from", "return",
+    # `ARRAY JOIN [1, 2, 3] AS x`: the '[' after JOIN opens a literal
+    "join",
 }
 
 

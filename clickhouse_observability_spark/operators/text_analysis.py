@@ -1308,8 +1308,13 @@ def c4_filters(documents: DataFrame) -> DataFrame:
             F.length(clean).alias("clean_len"),
         )
 
+    # CRLF normalize before splitting: Java's default `$` matches
+    # BEFORE a trailing '\r' while DuckDB's RE2 `$` is end-of-string,
+    # so a Windows-lineending corpus would classify differently here
+    # vs the proven oracle — strip the divergence at the source.
+    norm_text = F.regexp_replace(F.col("text"), "\r\n?", "\n")
     stats = F.element_at(
-        F.transform(F.array(F.split(F.col("text"), "\n")), per_doc), 1
+        F.transform(F.array(F.split(norm_text, "\n")), per_doc), 1
     )
     low = F.lower(F.col("text"))
     out = documents.select(

@@ -46,8 +46,13 @@ def plan_lint(df: DataFrame, plan: str | None = None) -> list[dict]:
     # ERROR: a cartesian product that is NOT a broadcast nested-loop —
     # both sides shuffle-materialized and pair-scanned. (The sanctioned
     # pattern crossJoin(broadcast(tiny)) compiles to
-    # BroadcastNestedLoopJoin and does not trip this.)
-    for m in re.finditer(r"^\s*[+:*-]*\s*\(?\d*\)?\s*CartesianProduct", text, re.M):
+    # BroadcastNestedLoopJoin and does not trip this.) The prefix
+    # class must admit the FULL tree-drawing alphabet including
+    # interleaved spaces (e.g. ':  +- CartesianProduct' under a left
+    # branch) — a single punctuation-run pattern missed nested nodes.
+    for m in re.finditer(
+        r"^[\s+:*|-]*(?:\(\d+\)\s*)?CartesianProduct", text, re.M
+    ):
         add("cartesian_product", ERROR, m.group(0).strip())
 
     # ERROR: row-at-a-time Python UDF (pickled per-row round trips).

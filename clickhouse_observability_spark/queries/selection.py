@@ -264,9 +264,15 @@ def text_quality_classifier(spark, sf_dir):
     "text_c4_filters",
     oracle=r"""
     WITH base AS (
+        -- CRLF normalized like the Spark side: Java $ matches before
+        -- a trailing CR, RE2 $ does not; strip CRs before splitting
         SELECT doc_id, coalesce(text, '') AS text,
-               list_filter(string_split(coalesce(text, ''), chr(10)),
-                           ln -> trim(ln) <> '') AS nb
+               list_filter(
+                   string_split(
+                       regexp_replace(coalesce(text, ''),
+                                      '\r\n?', chr(10), 'g'),
+                       chr(10)),
+                   ln -> trim(ln) <> '') AS nb
         FROM documents
     ), k AS (
         SELECT doc_id, text, nb,

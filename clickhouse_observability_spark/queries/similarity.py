@@ -516,8 +516,12 @@ def sim_ann_recall_sweep(spark, sf_dir):
             ),
         )
         # full probe (p = n_cells) anchors the top of the curve at
-        # the exact scan — recall 1.0 by construction
-        for p in sorted({1, 2, 4, min(8, n_cells), n_cells})
+        # the exact scan — recall 1.0 by construction; every setting
+        # clamps to n_cells (k-means can return fewer cells than
+        # asked on tiny corpora) so cost_frac stays a true fraction
+        for p in sorted(
+            {min(p, n_cells) for p in (1, 2, 4, 8)} | {n_cells}
+        )
     ] + [
         (
             "binary", "rerank", r, min(1.0, r / corpus_n),

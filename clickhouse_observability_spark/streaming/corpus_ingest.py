@@ -99,10 +99,14 @@ class CorpusIngest:
         makes the whole store unreadable (Spark: 'conflicting directory
         structures') and versions()/read_as_of() would silently omit
         every pre-upgrade doc. On any touch of the store, adopt such
-        files into an `ingest_batch=0` partition — a pure rename, no
+        files into an `ingest_batch=-1` partition — a pure rename, no
         data read: parquet part files are self-contained and the
-        partition value comes from the directory name, so the legacy
-        corpus becomes version 0 and as-of reads include it."""
+        partition value comes from the directory name. The SENTINEL
+        -1 sits below any real micro-batch id (Structured Streaming
+        numbers batches from 0), so a fresh checkpoint's batch 0
+        cannot land in the legacy partition — read_as_of(-1) stays
+        the immutable pre-upgrade snapshot and diff(-1, n) is the
+        complete post-upgrade delta."""
         if not os.path.isdir(self.docs_dir):
             return
         legacy = [
@@ -112,7 +116,7 @@ class CorpusIngest:
         ]
         if not legacy:
             return
-        v0 = os.path.join(self.docs_dir, "ingest_batch=0")
+        v0 = os.path.join(self.docs_dir, "ingest_batch=-1")
         os.makedirs(v0, exist_ok=True)
         for n in legacy:
             os.rename(os.path.join(self.docs_dir, n), os.path.join(v0, n))

@@ -285,9 +285,22 @@ class VectorIngest:
             n_chunks = r + 1
 
             def full_ham(bq_a, bq_b):
+                # zip_with NULL-pads the shorter array; a migrated
+                # legacy index entry has ONE word while a dim>64
+                # batch code has several, and bit_count(x XOR NULL)
+                # would make the whole distance NULL — admitting
+                # every near-dup of a pre-upgrade vector (fails
+                # open). Coalescing each side with the OTHER makes a
+                # missing word contribute 0: distance over the
+                # common prefix, exactly what the legacy index can
+                # attest to (fail-closed, old-behavior-compatible).
                 return F.aggregate(
                     F.zip_with(
-                        bq_a, bq_b, lambda x, y: F.bit_count(x.bitwiseXOR(y))
+                        bq_a,
+                        bq_b,
+                        lambda x, y: F.bit_count(
+                            F.coalesce(x, y).bitwiseXOR(F.coalesce(y, x))
+                        ),
                     ),
                     F.lit(0),
                     lambda acc, x: acc + x,
@@ -326,6 +339,12 @@ class VectorIngest:
                     .filter(full_ham(F.col("bq"), F.col("idx_bq")) <= r)
                     .select("vec_id")
                     .distinct()
+                    # materialize once (bounded: rejected-id rows):
+                    # this frame feeds the cand anti-join, the final
+                    # union, and via cand the whole pair chain —
+                    # without the checkpoint the chunk-index probe
+                    # join re-executes per consumer
+                    .localCheckpoint(eager=True)
                 )
             else:
                 hist_dups = c64.select("vec_id").limit(0)
@@ -476,17 +495,22 @@ class VectorIngest:
         """Pre-r5 chunk indexes stored only the 64-bit word-0 `code`;
         the full-code distance needs the whole bq array at rest. A
         legacy index (no `bq` column) is rewritten once with
-        bq = [code] — exactly correct, because a legacy index can
-        only describe the first 64 dims it actually stored."""
+        bq = [code] — the first 64 dims it actually stored; probes
+        compare over the common word prefix (see full_ham). The
+        check is a footer read, so it is cached after the first call
+        — the admission hot path must stay at zero per-batch parquet
+        metadata reads (same rule as _frozen_artifacts)."""
+        if getattr(self, "_chunks_migrated", False):
+            return
         if not os.path.exists(self.chunks_dir):
             return
         idx = self.spark.read.parquet(self.chunks_dir)
-        if "bq" in idx.columns:
-            return
-        migrated = idx.withColumn("bq", F.array("code")).localCheckpoint(
-            eager=True
-        )
-        migrated.write.mode("overwrite").parquet(self.chunks_dir)
+        if "bq" not in idx.columns:
+            migrated = idx.withColumn(
+                "bq", F.array("code")
+            ).localCheckpoint(eager=True)
+            migrated.write.mode("overwrite").parquet(self.chunks_dir)
+        self._chunks_migrated = True
 
     # -- stream lifecycle ----------------------------------------------
     def start(self) -> StreamingQuery:

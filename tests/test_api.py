@@ -231,3 +231,25 @@ def test_query_log_served_over_http(api):
         assert body["queries"][-1]["Status"] == 200
     finally:
         server.shutdown()
+
+
+def test_query_log_flush_failure_keeps_rows(spark, tmp_path):
+    # a failed parquet append must not lose the buffered telemetry
+    rows = [
+        (dt.datetime(2025, 9, 1, 20, 5), "orders", "WARN", "pending",
+         "", "t1", "s1"),
+    ]
+    df = spark.createDataFrame(rows, LOGS_SCHEMA)
+    api2 = LogsApi(lambda: df)
+    api2.query_logs_handler(dict(BASE))
+    assert len(api2.query_log) == 1
+    # a FILE at the target path makes the parquet write raise
+    bad = tmp_path / "not-a-dir"
+    bad.write_text("x")
+    with pytest.raises(Exception):
+        api2.query_log.flush(spark, str(bad))
+    assert len(api2.query_log) == 1  # nothing lost
+    ok = tmp_path / "ql"
+    assert api2.query_log.flush(spark, str(ok)) == 1
+    assert len(api2.query_log) == 0
+    assert spark.read.parquet(str(ok)).count() == 1

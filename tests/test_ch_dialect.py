@@ -416,6 +416,11 @@ def test_array_join_clause(spark):
         key=lambda p: (p[0], p[1] is None, p[1] or 0),
     )
     assert got == [(1, 1), (2, None)]
+    # array LITERAL after ARRAY JOIN (the CH docs' own example form)
+    rows = spark.sql(translate(
+        "SELECT x FROM (SELECT 1 AS id) ARRAY JOIN [7, 8] AS x"
+    )).collect()
+    assert sorted(r["x"] for r in rows) == [7, 8]
     # zipped multi-array form: honest error, not a cartesian
     with pytest.raises(ChDialectError, match="ZIPPED"):
         translate("SELECT x, y FROM t ARRAY JOIN a AS x, b AS y")

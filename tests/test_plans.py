@@ -279,6 +279,16 @@ def test_plan_lint_flags_the_anti_patterns(spark, sf_small):
             f["rule"] for f in plan_lint(cart) if f["severity"] == "error"
         }
         assert "cartesian_product" in rules
+        # nested under a left tree branch (':  +- CartesianProduct'
+        # prefix) must also be caught — the single-punctuation-run
+        # regex missed it
+        nested = a.crossJoin(b).filter(F.col("id") > 1).union(
+            a.crossJoin(b)
+        )
+        rules = {
+            f["rule"] for f in plan_lint(nested) if f["severity"] == "error"
+        }
+        assert "cartesian_product" in rules
         ok = a.crossJoin(F.broadcast(b.limit(1)))
         assert not [f for f in plan_lint(ok) if f["severity"] == "error"]
     finally:

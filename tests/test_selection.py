@@ -275,6 +275,10 @@ def test_c4_filters_semantics(spark):
         # empty / null
         (5, ""),
         (6, None),
+        # CRLF endings: must classify exactly like LF (Java $ vs RE2 $)
+        (7, "A first proper sentence with enough words here.\r\n"
+            "A second proper sentence with enough words too.\r\n"
+            "A third proper sentence closes out the page now.\r\n"),
     ]
     docs = spark.createDataFrame(pages, "doc_id long, text string")
     from pyspark.sql import functions as F
@@ -296,6 +300,7 @@ def test_c4_filters_semantics(spark):
     assert not out[4].flag_no_brace and not out[4].passes_c4
     assert out[5].n_kept_lines == 0 and not out[5].passes_c4
     assert out[6].n_kept_lines == 0 and not out[6].passes_c4
+    assert out[7].passes_c4 and out[7].n_kept_lines == 3
 
     # DuckDB cross-check of the same frame through the ORACLE SQL
     import duckdb

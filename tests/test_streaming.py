@@ -396,12 +396,15 @@ def test_corpus_legacy_flat_layout_migrates_to_version_zero(spark, tmp_path):
         ],
         "doc_id long, text string, source string",
     )
-    ing._admit(newb, batch_id=7)
+    ing._admit(newb, batch_id=0)  # fresh checkpoint: first REAL batch is 0
     ids = lambda df: sorted(r.doc_id for r in df.collect())
     assert ids(ing.read()) == [1, 2, 3]  # nothing lost, dup still rejected
-    assert ing.versions() == [0, 7]  # legacy corpus became version 0
-    assert ids(ing.read_as_of(0)) == [1, 2]
-    assert ids(ing.diff(0, 7)) == [3]
+    # legacy corpus became the -1 SENTINEL version — batch 0 cannot
+    # collide with it, so the pre-upgrade snapshot stays immutable
+    assert ing.versions() == [-1, 0]
+    assert ids(ing.read_as_of(-1)) == [1, 2]
+    assert ids(ing.read_as_of(0)) == [1, 2, 3]
+    assert ids(ing.diff(-1, 0)) == [3]
     # migration is a rename: no root-level part files remain
     import os as _os
 

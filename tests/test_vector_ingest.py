@@ -342,3 +342,40 @@ def test_legacy_chunk_index_without_bq_migrates(spark, tmp_path):
     ids = {r.vec_id for r in vi.read().select("vec_id").collect()}
     assert 700 not in ids and 701 in ids
     assert "bq" in spark.read.parquet(vi.chunks_dir).columns
+
+
+def test_legacy_chunk_index_dim_over_64_prefix_semantics(spark, tmp_path):
+    # migrated legacy entries carry ONE word; with dim=128 the batch
+    # codes carry two. The distance must compare the common prefix
+    # (what the legacy index can attest to) — NOT null out and admit
+    # everything (the fail-open bug this test pins).
+    dim = 128
+    rnd = random.Random(61)
+    sv = lambda: [float(rnd.choice((-1, 1))) for _ in range(dim)]
+    seed = [(i, sv()) for i in range(30)]
+    vi = _mk_vi(spark, tmp_path, "legacy128", dim, hamming=2)
+    vi.bootstrap(
+        spark.createDataFrame(seed, "vec_id long, embedding array<double>")
+    )
+    from pyspark.sql import functions as F
+
+    legacy = (
+        spark.read.parquet(vi.chunks_dir).drop("bq").localCheckpoint(eager=True)
+    )
+    legacy.write.mode("overwrite").parquet(vi.chunks_dir)
+    base = seed[9][1]
+    # word-0 identical to an admitted vector, tail flipped: the
+    # legacy index only attests the first 64 dims -> near-dup, reject
+    prefix_dup = base[:64] + [-x for x in base[64:]]
+    fresh = sv()
+    vi._admit(
+        spark.createDataFrame(
+            [(600, prefix_dup), (601, fresh)],
+            "vec_id long, embedding array<double>",
+        ),
+        batch_id=1,
+    )
+    ids = {r.vec_id for r in vi.read().select("vec_id").collect()}
+    reasons = {r.vec_id: r.reject_reason for r in vi.rejected().collect()}
+    assert 600 not in ids and reasons.get(600) == "near_duplicate"
+    assert 601 in ids
