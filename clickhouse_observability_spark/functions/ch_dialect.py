@@ -198,6 +198,10 @@ _FUNCS = {
     "now": lambda a: "current_timestamp()",
     "today": lambda a: "current_date()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
+    # CH allows zero-arg count(); Spark requires count(*)
+    "count": lambda a: (
+        "count(*)" if not a or all(x.strip() == "" for x in a)
+        else f"count({', '.join(a)})"),
     # conditional aggregates. countIf has both CH forms: countIf(cond)
     # and countIf(x, cond) (count rows where cond holds AND x is
     # non-null).
@@ -657,6 +661,285 @@ def _is_number(tok: str) -> bool:
         return False
 
 
+def _rewrite_with_totals(tokens: list[str]) -> list[str]:
+    """`GROUP BY e1, e2 WITH TOTALS` -> `GROUP BY GROUPING SETS
+    ((e1, e2), ())` — the exact row set ClickHouse produces (each
+    group plus ONE overall-aggregate row; ROLLUP would add
+    intermediate subtotals for multi-expr keys, so it is NOT used).
+    Divergence, documented: CH carries the totals row out-of-band
+    with default-valued keys; the grouping-sets row has NULL keys,
+    the Spark-idiomatic in-band representation."""
+    lows = [t.lower() for t in tokens]
+    depth = 0
+    for i, t in enumerate(tokens):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif (lows[i] == "with" and i + 1 < len(tokens)
+              and lows[i + 1] == "totals" and not _is_string(t)):
+            # walk back to the GROUP BY that owns this modifier
+            # (same paren depth, scanning backwards)
+            d2, g = 0, None
+            for j in range(i - 1, 0, -1):
+                tj = tokens[j]
+                if tj == ")":
+                    d2 += 1
+                elif tj == "(":
+                    d2 -= 1
+                elif d2 == 0 and lows[j] == "by" and lows[j - 1] == "group":
+                    g = j
+                    break
+            if g is None:
+                raise ChDialectError("WITH TOTALS without a GROUP BY")
+            exprs = tokens[g + 1:i]
+            new = (tokens[:g + 1]
+                   + _tokenize("GROUPING SETS ( (")
+                   + exprs
+                   + _tokenize(") , ( ) )")
+                   + tokens[i + 2:])
+            return _rewrite_with_totals(new)
+    return tokens
+
+
+def _split_order_items(
+    exprs: list[str],
+) -> list[tuple[list[str], list[str]]]:
+    """Split an ORDER BY / BY token list at top-level commas into
+    (expression, direction-modifier) pairs, where the modifier is the
+    trailing `ASC|DESC [NULLS FIRST|LAST]` run (empty if absent)."""
+    items: list[list[str]] = []
+    cur: list[str] = []
+    d = 0
+    for t in exprs:
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        if t == "," and d == 0:
+            items.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        items.append(cur)
+    out = []
+    for it in items:
+        low = [x.lower() for x in it]
+        dirs: list[str] = []
+        if len(it) >= 2 and low[-2] == "nulls" and low[-1] in ("first", "last"):
+            dirs = it[-2:]
+            it, low = it[:-2], low[:-2]
+        if it and low[-1] in ("asc", "desc"):
+            dirs = [it[-1]] + dirs
+            it = it[:-1]
+        out.append((it, dirs))
+    return out
+
+
+def _join_items(items: list[tuple[list[str], list[str]]]) -> list[str]:
+    """Re-join (expr, dirs) pairs into a comma-separated token list."""
+    out: list[str] = []
+    for expr, dirs in items:
+        if out:
+            out.append(",")
+        out += expr + dirs
+    return out
+
+
+def _inject_passthrough(head, order_items, by_exprs):
+    """For a plain (no top-level GROUP BY / DISTINCT / set-op / HAVING)
+    statement, append the ORDER BY and BY expressions to the SELECT
+    list as hidden `__ch_obK` / `__ch_byK` passthrough columns so the
+    LIMIT BY wrapper can window and sort by un-projected source
+    columns, ClickHouse-style. Returns
+    (new_head, window_order, part_by, outer_order_exprs, hidden) or
+    None when injection is unsafe (the caller falls back to the
+    projected-columns-only wrapping)."""
+    lows = [t.lower() for t in head]
+    d = 0
+    sel = frm = None
+    for i, t in enumerate(head):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and not _is_string(t):
+            low = lows[i]
+            if low == "select" and sel is None:
+                sel = i
+            elif sel is not None and low in (
+                "group", "having", "union", "intersect", "except",
+            ):
+                return None
+            elif low == "distinct" and sel is not None and i == sel + 1:
+                return None
+            elif low == "from" and sel is not None and frm is None:
+                frm = i
+    if sel is None or frm is None:
+        return None
+    # bare-ordinal order items (ORDER BY 2) reference the projection
+    # positionally; injection would turn them into literals
+    for expr, _dirs in order_items:
+        if not expr or (len(expr) == 1 and _is_number(expr[0])):
+            return None
+    by_items = _split_order_items(by_exprs)
+    if any(not e for e, _ in by_items):
+        return None
+    inj: list[str] = []
+    hidden: list[str] = []
+    window_order: list[str] = []
+    outer_order_exprs: list[str] = []
+    for k, (expr, dirs) in enumerate(order_items):
+        name = f"__ch_ob{k}"
+        hidden.append(name)
+        inj += [","] + list(expr) + ["AS", name]
+        if window_order:
+            window_order.append(",")
+            outer_order_exprs.append(",")
+        window_order += [name] + dirs
+        outer_order_exprs += [name] + dirs
+    part_by: list[str] = []
+    for k, (expr, _dirs) in enumerate(by_items):
+        name = f"__ch_by{k}"
+        hidden.append(name)
+        inj += [","] + list(expr) + ["AS", name]
+        if part_by:
+            part_by.append(",")
+        part_by.append(name)
+    new_head = head[:frm] + inj + head[frm:]
+    return new_head, window_order, part_by, outer_order_exprs, hidden
+
+
+def _rewrite_limit_by(tokens: list[str]) -> list[str]:
+    """`[ORDER BY o] LIMIT n BY e1, e2 [LIMIT m]` -> a row_number
+    window over the wrapped statement: ClickHouse's first-n-rows-per-
+    group operator, translated to the PARTITION BY ... rn <= n idiom
+    (Catalyst plans one shuffle on the BY keys; with a following
+    global LIMIT it stays a TakeOrderedAndProject tail).
+
+    The ORDER BY (if present) governs both the window order and the
+    final order, matching CH's ordered-stream semantics. Without one,
+    the window orders by the BY expressions — CH's pick is
+    unspecified there; this pins a deterministic one.
+
+    Un-projected source columns in ORDER BY / BY (ClickHouse allows
+    them) are carried through the wrapper as injected hidden
+    passthrough columns (`expr AS __ch_obK` / `__ch_byK`, projected
+    away by the outer EXCEPT) — possible only when the statement has
+    no top-level GROUP BY / DISTINCT / set operator. For those
+    shapes the wrapper references the statement's own projection, so
+    the ORDER BY / BY expressions must be projected columns or
+    aliases (documented divergence; surfaces as UNRESOLVED_COLUMN —
+    add the column to the SELECT list)."""
+    lows = [t.lower() for t in tokens]
+    depth, hit = 0, None
+    for i, t in enumerate(tokens):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif lows[i] == "limit" and i + 2 < len(tokens):
+            if (_is_number(tokens[i + 1]) and tokens[i + 2] == ","
+                    and i + 4 < len(tokens) and _is_number(tokens[i + 3])
+                    and lows[i + 4] == "by"):
+                raise ChDialectError(
+                    "LIMIT offset, n BY is not supported; use LIMIT n BY "
+                    "or the DataFrame-level top_n_per_type operator")
+            if _is_number(tokens[i + 1]) and lows[i + 2] == "by":
+                if depth > 0:
+                    raise ChDialectError(
+                        "LIMIT BY inside a subquery is not supported; "
+                        "apply it at the statement's top level")
+                hit = i
+                break
+    if hit is None:
+        return tokens
+    i = hit
+    n_rows = tokens[i + 1]
+    # the BY expression list runs to a top-level LIMIT or statement end
+    j, d2 = i + 3, 0
+    while j < len(tokens):
+        t = tokens[j]
+        if t == "(":
+            d2 += 1
+        elif t == ")":
+            d2 -= 1
+        elif d2 == 0 and lows[j] == "limit":
+            break
+        j += 1
+    by_exprs = tokens[i + 3:j]
+    tail = tokens[j:]  # the optional global LIMIT, preserved verbatim
+    if not by_exprs:
+        raise ChDialectError("LIMIT n BY needs at least one expression")
+    # the ORDER BY immediately governing this LIMIT (same depth)
+    d3, o = 0, None
+    for p in range(i - 1, 0, -1):
+        t = tokens[p]
+        if t == ")":
+            d3 += 1
+        elif t == "(":
+            d3 -= 1
+        elif d3 == 0 and lows[p] == "by" and lows[p - 1] == "order":
+            o = p - 1
+            break
+    if o is not None:
+        head = tokens[:o]
+        order_items = _split_order_items(tokens[o + 2:i])
+        has_outer_order = True
+    else:
+        head = tokens[:i]
+        order_items = _split_order_items(by_exprs)
+        has_outer_order = False
+
+    injected = _inject_passthrough(head, order_items, by_exprs)
+    if injected is not None:
+        head, window_order, part_by, outer_order_exprs, hidden = injected
+    else:
+        # grouped / DISTINCT / set-op statement: reference the
+        # statement's own projection (documented restriction)
+        window_order = _join_items(order_items)
+        part_by = list(by_exprs)
+        outer_order_exprs = _join_items(order_items)
+        hidden = []
+    outer_order = (
+        _tokenize("ORDER BY") + outer_order_exprs if has_outer_order else []
+    )
+    except_cols = ["__ch_rn"]
+    for h in hidden:
+        except_cols += [",", h]
+    return (
+        _tokenize("SELECT * EXCEPT (")
+        + except_cols
+        + _tokenize(") FROM ( SELECT * , "
+                    "row_number ( ) OVER ( PARTITION BY")
+        + part_by
+        + _tokenize("ORDER BY")
+        + window_order
+        + _tokenize(") AS __ch_rn FROM (")
+        + list(head)
+        + _tokenize(") AS __ch_lb ) AS __ch_lbf WHERE __ch_rn <=")
+        + [n_rows]
+        + outer_order
+        + tail
+    )
+
+
+def _reject_with_fill(tokens: list[str]) -> None:
+    """ORDER BY ... WITH FILL is gap-filling the translation doesn't
+    carry — raise a dialect error instead of leaking CH syntax to
+    Spark's parser. (`WITH fill AS (...)` — a CTE that happens to be
+    named fill — is not rejected.)"""
+    lows = [t.lower() for t in tokens]
+    for i in range(len(tokens) - 1):
+        if (lows[i] == "with" and lows[i + 1] == "fill"
+                and not _is_string(tokens[i])
+                and (i + 2 >= len(tokens) or lows[i + 2] != "as")):
+            raise ChDialectError(
+                "ORDER BY ... WITH FILL is not supported; densify via "
+                "a calendar/sequence join in the DataFrame API")
+
+
 def _rewrite_sample(tokens: list[str]) -> list[str]:
     """CH `FROM t SAMPLE k [OFFSET m]` (fractional form): rows whose
     sampling-key hash falls in the [m, m+k) window of the hash space.
@@ -762,8 +1045,11 @@ def translate(sql: str) -> str:
             "SELECT); rewrite extra arrayJoins as LATERAL VIEW "
             "explode via the DataFrame API"
         )
+    _reject_with_fill(tokens)
     tokens = _rewrite_array_literals(_strip_table_modifiers(tokens))
     tokens = _rewrite_array_join_clause(tokens)
+    tokens = _rewrite_with_totals(tokens)
+    tokens = _rewrite_limit_by(tokens)
     return _emit(_rewrite_sample(_rewrite_prewhere(tokens)))
 
 

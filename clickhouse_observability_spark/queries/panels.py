@@ -29,12 +29,20 @@ from clickhouse_observability_spark.queries.analytics import (
 from clickhouse_observability_spark.queries.dedup import (
     _NORM,
     _NTOKS,
+    dedup_exact_groups,
     dedup_jaccard_pairs,
+    dedup_keep_first,
     dedup_ngram_jaccard_pairs,
+)
+from clickhouse_observability_spark.queries.joins import (
+    tpch_q6_forecast,
+    tpch_q17_small_quantity,
 )
 from clickhouse_observability_spark.queries.windows import (
     window_rank_suite,
+    window_sessionize,
     window_topn_per_type,
+    window_user_gaps,
 )
 from clickhouse_observability_spark.registry import register
 
@@ -211,3 +219,165 @@ def dedup_jaccard_panel(spark, sf_dir):
         F.col("gram_mode").alias("mode"), "doc_a", "doc_b", "jaccard"
     )
     return tok.unionByName(grams)
+
+
+@register(
+    "tpch_scalar_panel",
+    oracle="""
+    SELECT 'q6_forecast' AS op,
+           round(sum(l_extendedprice * l_discount), 2) AS value
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    UNION ALL
+    SELECT 'q17_small_quantity', round(sum(l_extendedprice) / 7.0, 2)
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def tpch_scalar_panel(spark, sf_dir):
+    """The two single-row scalar-aggregate TPC-H shapes op-tagged in
+    one slot: Q6 (pure scan-filter-agg, one WholeStageCodegen span)
+    and Q17 (correlated scalar subquery decorrelated into a
+    pre-aggregated broadcast join). Arms ARE the original adjudicated
+    callables; the union of two 1-row frames adds no shuffle."""
+    q6 = tpch_q6_forecast(spark, sf_dir).select(
+        F.lit("q6_forecast").alias("op"), F.col("revenue").alias("value")
+    )
+    q17 = tpch_q17_small_quantity(spark, sf_dir).select(
+        F.lit("q17_small_quantity").alias("op"),
+        F.col("avg_yearly").alias("value"),
+    )
+    return q6.unionByName(q17)
+
+
+@register(
+    "dedup_exact_panel",
+    oracle=f"""
+    SELECT 'groups' AS op, fp_mode, fp, n_docs, keep_id,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS text,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT) AS n_chars
+    FROM (
+        SELECT 'norm_md5' AS fp_mode, md5({_NORM}) AS fp,
+               count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM documents GROUP BY 2
+        UNION ALL
+        SELECT 'tokenset',
+               md5(array_to_string(list_sort(list_distinct({_NTOKS})), ' ')),
+               count(*), min(doc_id)
+        FROM documents GROUP BY 2
+    )
+    UNION ALL
+    SELECT 'keep_first', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           doc_id, text, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN (
+        SELECT min(doc_id) FROM documents GROUP BY md5({_NORM})
+    )
+    """,
+)
+def dedup_exact_panel(spark, sf_dir):
+    """Exact-dedup family in one slot: the fingerprint GROUPS view
+    (norm-md5 + token-set grains, already itself an op-tagged union)
+    and the KEEP-FIRST representative rows it implies. Both arms are
+    the original adjudicated callables; each is one shuffle on a
+    16-byte fingerprint key."""
+    groups = dedup_exact_groups(spark, sf_dir).select(
+        F.lit("groups").alias("op"),
+        "fp_mode",
+        "fp",
+        "n_docs",
+        "keep_id",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+    )
+    keep = dedup_keep_first(spark, sf_dir).select(
+        F.lit("keep_first").alias("op"),
+        F.lit(None).cast("string").alias("fp_mode"),
+        F.lit(None).cast("string").alias("fp"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("keep_id"),
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return groups.unionByName(keep)
+
+
+@register(
+    "window_session_panel",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts,
+               (sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ))::BIGINT AS session_no
+        FROM flagged
+    )
+    SELECT 'user_gaps' AS op, user_id, event_id, ts,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           )) AS gap_us,
+           CAST(NULL AS BIGINT) AS session_no,
+           CAST(NULL AS BIGINT) AS n_events,
+           CAST(NULL AS TIMESTAMP) AS session_start,
+           CAST(NULL AS TIMESTAMP) AS session_end
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'sessionize', user_id, CAST(NULL AS BIGINT),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+           session_no, count(*), min(ts), max(ts)
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def window_session_panel(spark, sf_dir):
+    """Session-analytics family in one slot: per-user inter-click
+    gaps (lag) and 30-minute-gap sessionization (lag + running sum +
+    per-session aggregate). Arms are the original adjudicated
+    callables; both shuffle once on user_id."""
+    gaps = window_user_gaps(spark, sf_dir).select(
+        F.lit("user_gaps").alias("op"),
+        "user_id",
+        "event_id",
+        "ts",
+        "gap_us",
+        F.lit(None).cast("long").alias("session_no"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("timestamp").alias("session_start"),
+        F.lit(None).cast("timestamp").alias("session_end"),
+    )
+    sess = window_sessionize(spark, sf_dir).select(
+        F.lit("sessionize").alias("op"),
+        "user_id",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("long").alias("gap_us"),
+        "session_no",
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+    return gaps.unionByName(sess)

@@ -48,12 +48,16 @@ def register(name: str, oracle: str | None = None):
 
 # The driver adjudicates registry entries in iteration order and caps
 # how many get a full CORRECTNESS row (50). This list IS the window —
-# exactly 50 oracle-backed names, ordered. r5 composition: the three
-# `*_panel` entries each merge 2-3 previously-adjudicated entries
-# (op-tagged unions of the SAME callables — see queries/panels.py),
-# freeing slots for tpch_q21 (the hardest correlated-EXISTS TPC-H
-# shape), behavior_window_funnel (the signature ClickHouse operator)
-# and text_epoch_shards (the cross-engine shard-layout proof). The
+# exactly 50 oracle-backed names, ordered. The six `*_panel` entries
+# each merge 2-3 previously-adjudicated entries (op-tagged unions of
+# the SAME callables — see queries/panels.py); the freed slots rotated
+# round-4/5 flagship work under the driver's gate: tpch_q21 (the
+# hardest correlated-EXISTS TPC-H shape), behavior_window_funnel (the
+# signature ClickHouse operator), text_epoch_shards (the cross-engine
+# shard-layout proof), rollup_day_type_panel (merge-on-read over
+# mergeable states — the AggregatingMergeTree analog),
+# agg_ch_functions_panel (argMax/topK/sumIf/histogram tier) and
+# text_dsir_weights (the DSIR importance-resampling weights). The
 # merged-away entries stay registered with their own oracles and sort
 # directly after the window (rows-only driver check + pytest-DuckDB).
 _WINDOW_ORDER = [
@@ -74,18 +78,15 @@ _WINDOW_ORDER = [
     "tpch_q3_shipping",
     "tpch_q5_nation_revenue",
     "tpch_q4_order_priority",
-    "tpch_q17_small_quantity",
-    "tpch_q6_forecast",
+    "tpch_scalar_panel",
     "join_semi_anti_customers",
     "join_interval_error_bursts",
     "window_rank_panel",
-    "window_user_gaps",
-    "window_sessionize",
+    "window_session_panel",
     "join_trace_correlation",
     "asof_click_before_purchase",
     "setop_union_intersect_users",
-    "dedup_exact_groups",
-    "dedup_keep_first",
+    "dedup_exact_panel",
     "dedup_jaccard_panel",
     "dedup_embedding_pairs",
     "sim_topk_exact_proofs",
@@ -107,6 +108,9 @@ _WINDOW_ORDER = [
     "tpch_q21_waiting_suppliers",
     "behavior_window_funnel",
     "text_epoch_shards",
+    "rollup_day_type_panel",
+    "agg_ch_functions_panel",
+    "text_dsir_weights",
 ]
 
 

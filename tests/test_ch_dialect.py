@@ -475,3 +475,81 @@ def test_optimize_table_compacts_partitions(spark, logs):
     assert [r.service for r in rows] == ["a", "b", "c"]
     with pytest.raises(ChDialectError):
         ch_sql(spark, "OPTIMIZE TABLE other", logs=logs)
+
+
+def test_limit_by_semantics(spark):
+    spark.createDataFrame(
+        [("api", "m1", 3), ("api", "m2", 2), ("api", "m3", 1),
+         ("web", "m4", 9), ("web", "m5", 8)],
+        "service string, msg string, pri int",
+    ).createOrReplaceTempView("tlb")
+    # first-n-per-group under the statement's ORDER BY
+    rows = spark.sql(translate(
+        "SELECT service, msg FROM tlb ORDER BY pri DESC LIMIT 1 BY service"
+    )).collect()
+    assert {(r.service, r.msg) for r in rows} == {("api", "m1"), ("web", "m4")}
+    # helper column is projected away
+    assert rows[0].asDict().keys() == {"service", "msg"}
+    # final order preserved (pri DESC -> web first)
+    rows2 = spark.sql(translate(
+        "SELECT service, msg, pri FROM tlb ORDER BY pri DESC "
+        "LIMIT 2 BY service"
+    )).collect()
+    assert [r.msg for r in rows2] == ["m4", "m5", "m1", "m2"]
+    # trailing global LIMIT survives
+    rows3 = spark.sql(translate(
+        "SELECT service, msg, pri FROM tlb ORDER BY pri DESC "
+        "LIMIT 2 BY service LIMIT 3"
+    )).collect()
+    assert [r.msg for r in rows3] == ["m4", "m5", "m1"]
+    # without ORDER BY: deterministic (BY-expr window order), one per group
+    rows4 = spark.sql(translate(
+        "SELECT service FROM tlb LIMIT 1 BY service")).collect()
+    assert sorted(r.service for r in rows4) == ["api", "web"]
+    # BY an aggregate alias works (LIMIT BY applies after projection)
+    rows5 = spark.sql(translate(
+        "SELECT service, count() AS n FROM tlb GROUP BY service "
+        "LIMIT 1 BY n")).collect()
+    assert {(r.service, r.n) for r in rows5} == {("api", 3), ("web", 2)}
+
+
+def test_limit_by_unsupported_forms():
+    with pytest.raises(ChDialectError, match="offset"):
+        translate("SELECT * FROM t LIMIT 2, 3 BY service")
+    with pytest.raises(ChDialectError, match="subquery"):
+        translate("SELECT * FROM (SELECT * FROM t LIMIT 2 BY s) q")
+    with pytest.raises(ChDialectError, match="expression"):
+        translate("SELECT * FROM t LIMIT 2 BY")
+
+
+def test_with_totals_grouping_sets(spark):
+    spark.createDataFrame(
+        [("api", "error"), ("api", "info"), ("api", "error"),
+         ("web", "info")],
+        "service string, level string",
+    ).createOrReplaceTempView("twt")
+    rows = spark.sql(translate(
+        "SELECT service, level, count() AS n FROM twt "
+        "GROUP BY service, level WITH TOTALS")).collect()
+    got = {(r.service, r.level, r.n) for r in rows}
+    # per-group rows plus exactly ONE overall-totals row (NULL keys) —
+    # GROUPING SETS ((service, level), ()), NOT rollup (no per-service
+    # subtotals)
+    assert got == {("api", "error", 2), ("api", "info", 1),
+                   ("web", "info", 1), (None, None, 4)}
+    with pytest.raises(ChDialectError, match="TOTALS"):
+        translate("SELECT count() FROM twt WITH TOTALS")
+
+
+def test_with_fill_rejected_cte_named_fill_ok():
+    with pytest.raises(ChDialectError, match="FILL"):
+        translate("SELECT d FROM t ORDER BY d WITH FILL")
+    # a CTE that happens to be named `fill` is not a WITH FILL clause
+    out = translate("WITH fill AS (SELECT 1 AS x) SELECT x FROM fill")
+    assert "fill" in out
+
+
+def test_parameterless_count_translates():
+    assert "count(*)" in translate("SELECT count() FROM t")
+    out = translate("SELECT count(msg) FROM t")
+    assert "count ( msg" in out or "count(msg" in out.replace(" ", "")

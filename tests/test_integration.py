@@ -190,6 +190,12 @@ def test_adjudication_window_composition():
         "agg_grouping_panel",
         "window_rank_panel",
         "dedup_jaccard_panel",
+        "tpch_scalar_panel",
+        "dedup_exact_panel",
+        "window_session_panel",
+        "rollup_day_type_panel",
+        "agg_ch_functions_panel",
+        "text_dsir_weights",
     ):
         assert flagship in registry._WINDOW_ORDER, flagship
     # merged-away entries keep their oracles (no semantics dropped)
@@ -200,6 +206,12 @@ def test_adjudication_window_composition():
         "window_rank_suite",
         "dedup_jaccard_pairs",
         "dedup_ngram_jaccard_pairs",
+        "tpch_q6_forecast",
+        "tpch_q17_small_quantity",
+        "dedup_exact_groups",
+        "dedup_keep_first",
+        "window_user_gaps",
+        "window_sessionize",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
@@ -240,4 +252,42 @@ def test_panel_arms_equal_source_entries(spark, sf_small):
     assert (
         jac.filter(F.col("mode").isin("word_2gram", "char_4gram")).count()
         == qs["dedup_ngram_jaccard_pairs"](spark, sf_small).count()
+    )
+
+
+def test_r5_panel_arms_equal_source_entries(spark, sf_small):
+    """Same contract for the second r5 rotation's panels: each arm's
+    rows equal the standalone adjudicated entry's rows (and for the
+    1-row scalar arms, the VALUES match, not just counts)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark import registry
+
+    qs = registry.queries()
+
+    scal = {r.op: r.value for r in qs["tpch_scalar_panel"](spark, sf_small).collect()}
+    assert scal["q6_forecast"] == qs["tpch_q6_forecast"](spark, sf_small).collect()[0].revenue
+    assert (
+        scal["q17_small_quantity"]
+        == qs["tpch_q17_small_quantity"](spark, sf_small).collect()[0].avg_yearly
+    )
+
+    dex = qs["dedup_exact_panel"](spark, sf_small)
+    assert (
+        dex.filter(F.col("op") == "groups").count()
+        == qs["dedup_exact_groups"](spark, sf_small).count()
+    )
+    assert (
+        dex.filter(F.col("op") == "keep_first").count()
+        == qs["dedup_keep_first"](spark, sf_small).count()
+    )
+
+    ses = qs["window_session_panel"](spark, sf_small)
+    assert (
+        ses.filter(F.col("op") == "user_gaps").count()
+        == qs["window_user_gaps"](spark, sf_small).count()
+    )
+    assert (
+        ses.filter(F.col("op") == "sessionize").count()
+        == qs["window_sessionize"](spark, sf_small).count()
     )
