@@ -926,18 +926,207 @@ def _rewrite_limit_by(tokens: list[str]) -> list[str]:
 
 
 def _reject_with_fill(tokens: list[str]) -> None:
-    """ORDER BY ... WITH FILL is gap-filling the translation doesn't
-    carry — raise a dialect error instead of leaking CH syntax to
-    Spark's parser. (`WITH fill AS (...)` — a CTE that happens to be
-    named fill — is not rejected.)"""
+    """ORDER BY ... WITH FILL is gap-filling that SQL-text translation
+    cannot carry (the filled rows' schema isn't knowable from tokens)
+    — `ch_sql()` executes it via the gap_fill operator; a bare
+    `translate()` caller gets a pointer there instead of leaked CH
+    syntax. (`WITH fill AS (...)` — a CTE that happens to be named
+    fill — is not rejected.)"""
     lows = [t.lower() for t in tokens]
     for i in range(len(tokens) - 1):
         if (lows[i] == "with" and lows[i + 1] == "fill"
                 and not _is_string(tokens[i])
                 and (i + 2 >= len(tokens) or lows[i + 2] != "as")):
             raise ChDialectError(
-                "ORDER BY ... WITH FILL is not supported; densify via "
-                "a calendar/sequence join in the DataFrame API")
+                "ORDER BY ... WITH FILL cannot be expressed as SQL "
+                "text; execute the statement through ch_sql() (routes "
+                "to operators.gapfill.gap_fill) instead of translate()")
+
+
+_FILL_KWS = {"from", "to", "step", "interpolate", "limit"}
+
+
+def _extract_with_fill(sql: str):
+    """Parse a top-level `ORDER BY ... WITH FILL` tail off a SELECT.
+
+    Returns None when the statement has no WITH FILL; else a spec:
+      inner        — SQL text with the ORDER BY tail + LIMIT removed
+      keys         — preceding ORDER BY columns (independent fill
+                     groups; each restarts its own fill sequence)
+      axis         — the fill column (must be a projected column or
+                     alias — CH allows arbitrary exprs; alias them)
+      descending   — axis direction
+      from_sql/to_sql — bound expressions as Spark SQL text (or None)
+      step         — positive number; axis-units for numeric axes,
+                     MICROSECONDS when step_is_interval
+      step_is_interval — STEP was an INTERVAL literal
+      interpolate  — tuple of column names, or "*" for the bare
+                     INTERPOLATE form (carry every non-key column)
+      limit        — trailing LIMIT n (applies AFTER filling), or None
+    """
+    tokens = _tokenize(sql)
+    lows = [t.lower() for t in tokens]
+    depth, hit = 0, None
+    for i, t in enumerate(tokens):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif (depth == 0 and lows[i] == "with" and i + 1 < len(tokens)
+                and lows[i + 1] == "fill" and not _is_string(t)
+                and (i + 2 >= len(tokens) or lows[i + 2] != "as")):
+            if hit is not None:
+                raise ChDialectError(
+                    "only one ORDER BY column may carry WITH FILL")
+            hit = i
+    if hit is None:
+        return None
+    i = hit
+    # the governing top-level ORDER BY
+    d, o = 0, None
+    for p in range(i - 1, 0, -1):
+        t = tokens[p]
+        if t == ")":
+            d += 1
+        elif t == "(":
+            d -= 1
+        elif d == 0 and lows[p] == "by" and lows[p - 1] == "order":
+            o = p - 1
+            break
+    if o is None:
+        raise ChDialectError("WITH FILL without a governing ORDER BY")
+    items = _split_order_items(tokens[o + 2:i])
+    if not items or any(not e for e, _ in items):
+        raise ChDialectError("empty ORDER BY expression before WITH FILL")
+    keys = []
+    for expr, dirs in items[:-1]:
+        if len(expr) != 1 or not re.fullmatch(r"[A-Za-z_]\w*", expr[0]):
+            raise ChDialectError(
+                "ORDER BY keys before a WITH FILL column must be "
+                "projected column names (alias the expression in the "
+                "SELECT list)")
+        if dirs:
+            raise ChDialectError(
+                "ASC/DESC on the grouping keys before WITH FILL is "
+                "not supported; the fill groups are unordered sets")
+        keys.append(expr[0])
+    axis_expr, axis_dirs = items[-1]
+    if len(axis_expr) != 1 or not re.fullmatch(r"[A-Za-z_]\w*",
+                                               axis_expr[0]):
+        raise ChDialectError(
+            "the WITH FILL column must be a projected column name "
+            "(alias the expression in the SELECT list)")
+    if any(x.lower() in ("nulls", "first", "last") for x in axis_dirs):
+        raise ChDialectError("NULLS FIRST/LAST with WITH FILL is not "
+                             "supported")
+    descending = bool(axis_dirs) and axis_dirs[0].lower() == "desc"
+
+    # modifiers after FILL
+    spec = {"from": None, "to": None, "step": None}
+    interpolate = ()
+    limit = None
+    j = i + 2
+    n = len(tokens)
+    while j < n:
+        kw = lows[j]
+        if kw in ("from", "to", "step"):
+            if spec[kw] is not None:
+                raise ChDialectError(f"duplicate WITH FILL {kw.upper()}")
+            k, d2 = j + 1, 0
+            while k < n:
+                tk = tokens[k]
+                if tk == "(":
+                    d2 += 1
+                elif tk == ")":
+                    d2 -= 1
+                elif d2 == 0 and lows[k] in _FILL_KWS:
+                    break
+                k += 1
+            expr = tokens[j + 1:k]
+            if not expr:
+                raise ChDialectError(f"WITH FILL {kw.upper()} needs an "
+                                     f"expression")
+            spec[kw] = expr
+            j = k
+        elif kw == "interpolate":
+            if j + 1 < n and tokens[j + 1] == "(":
+                args, j = _parse_args(tokens, j + 1)
+                cols = []
+                for a in args:
+                    if any(x.lower() == "as" for x in a):
+                        raise ChDialectError(
+                            "INTERPOLATE (col AS expr) expression "
+                            "interpolation is not supported; only the "
+                            "carry-previous-value form INTERPOLATE "
+                            "(col, ...)")
+                    if len(a) != 1 or not re.fullmatch(r"[A-Za-z_]\w*",
+                                                       a[0]):
+                        raise ChDialectError(
+                            "INTERPOLATE entries must be projected "
+                            "column names")
+                    cols.append(a[0])
+                interpolate = tuple(cols)
+            else:
+                interpolate = "*"
+                j += 1
+        elif kw == "limit":
+            if (j + 1 < n and _is_number(tokens[j + 1])
+                    and j + 2 == n):
+                limit = int(tokens[j + 1])
+                j = n
+            else:
+                raise ChDialectError(
+                    "only a trailing LIMIT n combines with WITH FILL "
+                    "(LIMIT BY / offset forms do not)")
+        else:
+            raise ChDialectError(
+                f"unexpected token {tokens[j]!r} after WITH FILL")
+    # step: a numeric literal or INTERVAL n unit
+    step, step_is_interval = None, False
+    st = spec["step"]
+    if st is not None:
+        neg = False
+        if st and st[0] == "-":
+            neg, st = True, st[1:]
+        if len(st) == 3 and st[0].lower() == "interval" and _is_number(st[1]):
+            from clickhouse_observability_spark.operators.gapfill import (
+                interval_to_micros,
+            )
+            try:
+                step = interval_to_micros(float(st[1]), st[2])
+            except ValueError as e:
+                raise ChDialectError(str(e)) from None
+            step_is_interval = True
+        elif len(st) == 1 and _is_number(st[0]):
+            step = float(st[0])
+            step = int(step) if step == int(step) else step
+        else:
+            raise ChDialectError(
+                "WITH FILL STEP must be a numeric literal or "
+                "INTERVAL n unit")
+        if neg and not descending:
+            raise ChDialectError(
+                "negative STEP requires ORDER BY ... DESC")
+        # DESC accepts either sign (CH writes STEP -1; the magnitude
+        # is what anchors the grid — direction comes from DESC)
+
+    def _expr_sql(toks):
+        if toks is None:
+            return None
+        return _emit(_rewrite_array_literals(list(toks)))
+
+    return {
+        "inner": " ".join(tokens[:o]),
+        "keys": keys,
+        "axis": axis_expr[0],
+        "descending": descending,
+        "from_sql": _expr_sql(spec["from"]),
+        "to_sql": _expr_sql(spec["to"]),
+        "step": step,
+        "step_is_interval": step_is_interval,
+        "interpolate": interpolate,
+        "limit": limit,
+    }
 
 
 def _rewrite_sample(tokens: list[str]) -> list[str]:
@@ -1057,6 +1246,65 @@ def translate(sql: str) -> str:
 # Statement execution.
 # ---------------------------------------------------------------------------
 
+
+def _run_with_fill(spark: SparkSession, fill: dict) -> DataFrame:
+    """Execute an extracted WITH FILL statement: translate + run the
+    inner SELECT, densify through the gap_fill operator, then apply
+    the statement's final order and post-fill LIMIT."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from clickhouse_observability_spark.operators.gapfill import gap_fill
+
+    df = spark.sql(translate(fill["inner"]))
+    axis = fill["axis"]
+    for c in (axis, *fill["keys"]):
+        if c not in df.columns:
+            raise ChDialectError(
+                f"WITH FILL references {c!r} which the statement does "
+                f"not project; add it to the SELECT list")
+    interp = fill["interpolate"]
+    if interp == "*":
+        interp = tuple(c for c in df.columns
+                       if c != axis and c not in fill["keys"])
+    else:
+        for c in interp:
+            if c not in df.columns:
+                raise ChDialectError(f"INTERPOLATE column {c!r} is not "
+                                     f"projected")
+    is_ts = isinstance(df.schema[axis].dataType,
+                       (T.TimestampType, T.TimestampNTZType))
+    step = fill["step"]
+    if step is None:
+        # CH default STEP 1 — one axis unit; one second on time axes
+        step = 1_000_000 if is_ts else 1
+    elif is_ts and not fill["step_is_interval"]:
+        # CH numeric STEP on DateTime counts seconds
+        step = int(step * 1_000_000)
+    elif not is_ts and fill["step_is_interval"]:
+        raise ChDialectError(
+            "INTERVAL STEP needs a timestamp fill column")
+    out = gap_fill(
+        df,
+        axis,
+        step,
+        from_value=(F.expr(fill["from_sql"])
+                    if fill["from_sql"] is not None else None),
+        to_value=(F.expr(fill["to_sql"])
+                  if fill["to_sql"] is not None else None),
+        partition_by=tuple(fill["keys"]),
+        interpolate=interp,
+        descending=fill["descending"],
+    )
+    order = [F.col(k) for k in fill["keys"]]
+    order.append(F.col(axis).desc() if fill["descending"]
+                 else F.col(axis).asc())
+    out = out.orderBy(*order)
+    if fill["limit"] is not None:
+        out = out.limit(fill["limit"])
+    return out
+
+
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s*\(([^)]*)\)\s*VALUES\s*(.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -1128,6 +1376,9 @@ def ch_sql(
 
     m = _INSERT_RE.match(sql)
     if m is None:
+        fill = _extract_with_fill(split_format_clause(sql)[0])
+        if fill is not None:
+            return _run_with_fill(spark, fill)
         return spark.sql(translate(sql))
 
     table_name, col_list, values = m.groups()

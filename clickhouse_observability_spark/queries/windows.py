@@ -205,3 +205,60 @@ def asof_click_before_purchase(spark, sf_dir):
         purchases, clicks, on="user_id", right_value="event_id",
         alias="last_click_id",
     ).select("event_id", "ts", "user_id", "value", "last_click_id")
+
+
+@register(
+    "window_gap_fill_hourly",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(hour) AS lo, max(hour) AS hi
+        FROM counts GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    )
+    SELECT g.event_type, g.hour, c.n,
+           CAST(last_value(c.n IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_carry
+    FROM grid g LEFT JOIN counts c USING (event_type, hour)
+    """,
+)
+def window_gap_fill_hourly(spark, sf_dir):
+    """CH `ORDER BY h WITH FILL STEP INTERVAL 1 HOUR INTERPOLATE (n)`
+    as a first-class operator (reference README.md panels are hourly
+    time series; gap filling is the densify idiom): per-type hourly
+    event counts densified onto the 1-hour grid between each type's
+    first and last bucket, with NULL counts on filled rows and a
+    carried-forward `n_carry` (the INTERPOLATE arm). Fill rows are
+    generated distributively — each real row explodes its own gap —
+    so the only shuffle is the partitioned window sort on
+    (event_type, hour), post-aggregation-sized."""
+    from clickhouse_observability_spark.operators.gapfill import (
+        gap_fill,
+        interval_to_micros,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("n_carry", F.col("n"))
+    )
+    return gap_fill(
+        hourly,
+        "hour",
+        interval_to_micros(1, "hour"),
+        partition_by=("event_type",),
+        interpolate=("n_carry",),
+    )
