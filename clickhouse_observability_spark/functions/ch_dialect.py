@@ -1310,6 +1310,158 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_MV_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+    r"(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?\s+)?(POPULATE\s+)?AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+(?:VIEW|TABLE)\s+(IF\s+EXISTS\s+)?(\w+)\s*$",
+    re.IGNORECASE,
+)
+
+# CH aggregate name -> MV agg kind (uniq* variants all land on the
+# HLL state; the estimate differs from CH's own algorithm only in
+# the approximation, both are ±~1% at lgK=12)
+_MV_AGG_MAP = {
+    "count": "count", "sum": "sum", "min": "min", "max": "max",
+    "avg": "avg", "uniq": "uniq", "uniqcombined": "uniq",
+    "uniqhll12": "uniq",
+}
+
+
+def _split_top_commas(toks: list[str]) -> list[list[str]]:
+    items, cur, d = [], [], 0
+    for t in toks:
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        if t == "," and d == 0:
+            items.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        items.append(cur)
+    return items
+
+
+def _parse_mv_select(select_sql: str) -> dict:
+    """Parse the SELECT of a CREATE MATERIALIZED VIEW into an
+    incremental-aggregation spec (sources/matview.py): projection
+    items split into GROUP BY dimensions and mergeable aggregates,
+    WHERE translated to a Spark predicate. Restrictions are raised,
+    not mistranslated: single source table `logs`, GROUP BY present,
+    every aggregate from the mergeable set and explicitly aliased,
+    no HAVING/ORDER/LIMIT (meaningless inside an insert trigger)."""
+    tokens = _tokenize(select_sql)
+    lows = [t.lower() for t in tokens]
+    if not tokens or lows[0] != "select":
+        raise ChDialectError("materialized view body must be a SELECT")
+    d, frm = 0, None
+    for i, t in enumerate(tokens):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and lows[i] == "from" and not _is_string(t):
+            frm = i
+            break
+    if frm is None:
+        raise ChDialectError("materialized view SELECT needs FROM logs")
+    if frm + 1 >= len(tokens) or lows[frm + 1] != "logs":
+        raise ChDialectError(
+            "materialized views are supported over the `logs` table")
+    rest = tokens[frm + 2:]
+    rlows = [t.lower() for t in rest]
+    d = 0
+    where_i = group_i = None
+    for i, t in enumerate(rest):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and not _is_string(t):
+            low = rlows[i]
+            if low == "where" and where_i is None:
+                where_i = i
+            elif (low == "group" and i + 1 < len(rest)
+                    and rlows[i + 1] == "by"):
+                group_i = i
+            elif low in ("having", "order", "limit", "join", "union"):
+                raise ChDialectError(
+                    f"{t.upper()} is not supported in a materialized "
+                    f"view body (the trigger aggregates one inserted "
+                    f"block; filter with WHERE, post-process on read)")
+    if group_i is None:
+        raise ChDialectError(
+            "materialized view needs a GROUP BY (the mergeable-state "
+            "contract; for raw-copy views use a plain TTL'd table)")
+    where_toks = rest[where_i + 1:group_i] if where_i is not None else None
+
+    dims, aggs = [], []
+    for item in _split_top_commas(tokens[1:frm]):
+        alias = None
+        if (len(item) >= 3 and item[-2].lower() == "as"
+                and re.fullmatch(r"[A-Za-z_]\w*", item[-1])):
+            alias, item = item[-1], item[:-2]
+        if (item and item[0].lower() in _MV_AGG_MAP and len(item) > 1
+                and item[1] == "("):
+            args, j = _parse_args(item, 1)
+            if j == len(item):
+                if alias is None:
+                    raise ChDialectError(
+                        f"alias every materialized-view aggregate "
+                        f"(`{_emit(item)} AS name`)")
+                if len(args) > 1:
+                    raise ChDialectError(
+                        "multi-argument aggregates are not supported "
+                        "in materialized views")
+                arg = args[0] if args and args[0] else None
+                aggs.append({
+                    "kind": _MV_AGG_MAP[item[0].lower()],
+                    "arg_sql": (_emit(_rewrite_array_literals(arg))
+                                if arg else None),
+                    "alias": alias,
+                })
+                continue
+        # a non-mergeable aggregate head is a spec error, not a dim
+        if item and item[0].lower() in (
+                "countif", "sumif", "avgif", "quantile", "median",
+                "uniqexact", "anylast", "argmax", "argmin", "topk"):
+            raise ChDialectError(
+                f"{item[0]} is not a mergeable materialized-view "
+                f"aggregate here; supported: count/sum/min/max/avg/"
+                f"uniq (rewrite *If forms as WHERE, quantiles via the "
+                f"DDSketch rollup layer)")
+        if alias is None:
+            if len(item) == 1 and re.fullmatch(r"[A-Za-z_]\w*", item[0]):
+                alias = item[0]
+            else:
+                raise ChDialectError(
+                    f"alias the dimension expression `{_emit(item)}`")
+        dims.append({
+            "sql": _emit(_rewrite_array_literals(item)),
+            "alias": alias,
+        })
+    if not aggs:
+        raise ChDialectError("materialized view needs at least one "
+                             "aggregate")
+    n_group = len(_split_top_commas(rest[group_i + 2:]))
+    if n_group != len(dims):
+        raise ChDialectError(
+            f"GROUP BY lists {n_group} expressions but the projection "
+            f"has {len(dims)} non-aggregate items — they must match "
+            f"(CH's own MV contract)")
+    return {
+        "dims": dims,
+        "aggs": aggs,
+        "where_sql": (_emit(_rewrite_array_literals(where_toks))
+                      if where_toks else None),
+    }
+
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+TABLE\s+(\w+)"
     r"(?:\s+PARTITION\s+(\d+))?"
@@ -1344,6 +1496,38 @@ def ch_sql(
         df.createOrReplaceTempView(name)
     if logs is not None:
         logs.read().createOrReplaceTempView("logs")
+        # attached materialized views are queryable by name — reads
+        # see the FINALIZED merge-on-read frame (documented
+        # divergence from CH's raw-state reads)
+        for mv in logs.materialized_views:
+            mv.read().createOrReplaceTempView(mv.name)
+
+    mc = _MV_CREATE_RE.match(sql)
+    if mc is not None:
+        if_not_exists, name, populate, select_sql = mc.groups()
+        if logs is None:
+            raise ChDialectError(
+                "CREATE MATERIALIZED VIEW needs the logs table")
+        if any(v.name == name for v in logs.materialized_views):
+            if if_not_exists:
+                return 0
+            raise ChDialectError(f"materialized view {name!r} already "
+                                 f"exists")
+        spec = _parse_mv_select(select_sql)
+        spec["name"] = name
+        mv = logs.create_materialized_view(spec)
+        if populate:
+            # CH POPULATE: backfill from the rows already at rest
+            mv.refresh(logs.read())
+        return 0
+
+    md = _DROP_VIEW_RE.match(sql)
+    if md is not None and logs is not None and any(
+            v.name == md.group(2) for v in logs.materialized_views):
+        logs.drop_materialized_view(md.group(2))
+        return 0
+    if md is not None and md.group(1):
+        return 0  # DROP VIEW IF EXISTS on an unknown name is a no-op
 
     mo = _OPTIMIZE_RE.match(sql)
     if mo is not None:

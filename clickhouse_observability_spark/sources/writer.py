@@ -67,6 +67,15 @@ class LogsTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # re-attach persisted materialized views (insert triggers);
+        # cheap listdir of <path>/_mv — absent on most tables
+        from clickhouse_observability_spark.sources.matview import (
+            MaterializedView,
+        )
+
+        self.materialized_views: list[MaterializedView] = (
+            MaterializedView.load_all(spark, path)
+        )
 
     # -- S2: DDL bootstrap (db.go:39-57) --------------------------------
     def init_schema(self) -> None:
@@ -79,8 +88,45 @@ class LogsTable:
     # -- S3: batch insert (db.go:147-173) -------------------------------
     def insert(self, df: DataFrame) -> None:
         """Append at-rest rows; adds the month partition column and
-        sorts within partitions on (service, ts) per the DDL ORDER BY."""
-        self._write(df.select(*LOGS_COLUMNS), mode="append")
+        sorts within partitions on (service, ts) per the DDL ORDER BY.
+
+        Attached materialized views fire afterwards, CH-style insert
+        triggers: each view aggregates ONLY this block (O(batch)) and
+        appends its partial states. Like ClickHouse, the view update
+        is not atomic with the insert — `MaterializedView.refresh()`
+        repairs a crash between the two."""
+        block = df.select(*LOGS_COLUMNS)
+        if self.materialized_views:
+            # the trigger re-reads the block; keep the lineage from
+            # recomputing any expensive upstream per view
+            block = block.localCheckpoint(eager=True)
+        self._write(block, mode="append")
+        for mv in self.materialized_views:
+            mv.apply(block)
+
+    def create_materialized_view(self, spec: dict):
+        """CREATE MATERIALIZED VIEW: persist + attach the trigger.
+        With populate_from not None (CH's POPULATE), backfills from
+        the given frame as the first increment."""
+        from clickhouse_observability_spark.sources.matview import (
+            MaterializedView,
+        )
+
+        if any(v.name == spec["name"] for v in self.materialized_views):
+            raise ValueError(f"materialized view {spec['name']!r} "
+                             f"already exists")
+        mv = MaterializedView(self.spark, self.path, spec)
+        mv.save()
+        self.materialized_views.append(mv)
+        return mv
+
+    def drop_materialized_view(self, name: str) -> None:
+        for v in list(self.materialized_views):
+            if v.name == name:
+                v.drop()
+                self.materialized_views.remove(v)
+                return
+        raise ValueError(f"no materialized view {name!r}")
 
     def _write(self, df: DataFrame, mode: str) -> None:
         (

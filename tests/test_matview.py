@@ -1,0 +1,154 @@
+"""Materialized views: CH insert-trigger incremental aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.functions.ch_dialect import (
+    ChDialectError,
+    ch_sql,
+)
+from clickhouse_observability_spark.sources.writer import LogsTable
+
+MV_DDL = (
+    "CREATE MATERIALIZED VIEW svc_hourly "
+    "ENGINE = AggregatingMergeTree() AS "
+    "SELECT toStartOfHour(ts) AS h, service, "
+    "count() AS n, avg(length(msg)) AS avg_len, "
+    "uniq(trace_id) AS traces, max(level) AS max_level "
+    "FROM logs WHERE level != 'DEBUG' GROUP BY h, service"
+)
+
+
+def _ins(spark, logs, ts, service, level, msg, trace):
+    ch_sql(spark, (
+        "INSERT INTO logs (ts, service, level, msg, attrs, trace_id, "
+        f"span_id) VALUES (toDateTime('{ts}'), '{service}', '{level}', "
+        f"'{msg}', '{{}}', '{trace}', 's1')"), logs=logs)
+
+
+@pytest.fixture()
+def logs(spark, tmp_path):
+    t = LogsTable(spark, str(tmp_path / "logs"))
+    t.init_schema()
+    return t
+
+
+def _expected(spark):
+    return {
+        (r.h, r.service): (r.n, r.avg_len, r.traces, r.max_level)
+        for r in spark.sql(
+            "SELECT date_trunc('hour', ts) AS h, service, "
+            "count(*) AS n, avg(length(msg)) AS avg_len, "
+            "count(DISTINCT trace_id) AS traces, max(level) AS max_level "
+            "FROM logs WHERE level != 'DEBUG' GROUP BY 1, 2"
+        ).collect()
+    }
+
+
+def _got(spark, logs):
+    return {
+        (r.h, r.service): (r.n, r.avg_len, r.traces, r.max_level)
+        for r in ch_sql(
+            spark,
+            "SELECT h, service, n, avg_len, traces, max_level "
+            "FROM svc_hourly", logs=logs,
+        ).collect()
+    }
+
+
+def test_mv_trigger_incremental_and_select(spark, logs):
+    assert ch_sql(spark, MV_DDL, logs=logs) == 0
+    _ins(spark, logs, "2024-03-01 10:05:00", "api", "INFO", "hello", "t1")
+    _ins(spark, logs, "2024-03-01 10:40:00", "api", "WARN", "warned!", "t2")
+    _ins(spark, logs, "2024-03-01 11:05:00", "web", "ERROR", "boom", "t3")
+    # filtered rows never reach the view
+    _ins(spark, logs, "2024-03-01 10:10:00", "api", "DEBUG", "noise", "t4")
+    assert _got(spark, logs) == _expected(spark)
+    # the store grew by increments, not rewrites: ≥2 state rows for
+    # the api@10h key before compaction
+    mv = logs.materialized_views[0]
+    states = mv.read_states()
+    assert states.filter(F.col("service") == "api").count() >= 2
+    # duplicate CREATE: plain raises, IF NOT EXISTS no-ops
+    with pytest.raises(ChDialectError, match="already exists"):
+        ch_sql(spark, MV_DDL, logs=logs)
+    assert ch_sql(spark, MV_DDL.replace(
+        "MATERIALIZED VIEW svc_hourly",
+        "MATERIALIZED VIEW IF NOT EXISTS svc_hourly"), logs=logs) == 0
+
+
+def test_mv_compact_preserves_reads(spark, logs):
+    ch_sql(spark, MV_DDL, logs=logs)
+    for k in range(4):
+        _ins(spark, logs, f"2024-03-01 10:0{k}:00", "api", "INFO",
+             f"m{k}", f"t{k}")
+    before = _got(spark, logs)
+    mv = logs.materialized_views[0]
+    mv.compact()
+    assert mv.read_states().count() == 1  # one state row per key
+    assert _got(spark, logs) == before
+
+
+def test_mv_populate_backfills(spark, logs):
+    _ins(spark, logs, "2024-03-01 09:00:00", "api", "INFO", "pre", "t0")
+    ch_sql(spark, MV_DDL.replace(" AS ", " POPULATE AS ", 1), logs=logs)
+    assert _got(spark, logs) == _expected(spark)
+
+
+def test_mv_persistence_reattaches(spark, logs):
+    ch_sql(spark, MV_DDL, logs=logs)
+    _ins(spark, logs, "2024-03-01 10:00:00", "api", "INFO", "x", "t1")
+    # a brand-new LogsTable over the same path sees the view AND the
+    # trigger keeps firing
+    t2 = LogsTable(spark, logs.path)
+    assert [v.name for v in t2.materialized_views] == ["svc_hourly"]
+    _ins(spark, t2, "2024-03-01 12:00:00", "web", "INFO", "y", "t2")
+    assert _got(spark, t2) == _expected(spark)
+    # DROP VIEW detaches and deletes
+    ch_sql(spark, "DROP VIEW svc_hourly", logs=t2)
+    assert t2.materialized_views == []
+    assert ch_sql(spark, "DROP VIEW IF EXISTS svc_hourly", logs=t2) == 0
+
+
+def test_mv_refresh_repairs(spark, logs):
+    ch_sql(spark, MV_DDL, logs=logs)
+    _ins(spark, logs, "2024-03-01 10:00:00", "api", "INFO", "x", "t1")
+    mv = logs.materialized_views[0]
+    # simulate the crash-between-appends: a block lands in logs while
+    # the trigger is detached
+    logs.materialized_views = []
+    _ins(spark, logs, "2024-03-01 11:00:00", "web", "INFO", "y", "t2")
+    logs.materialized_views = [mv]
+    assert _got(spark, logs) != _expected(spark)
+    mv.refresh(logs.read())
+    assert _got(spark, logs) == _expected(spark)
+
+
+def test_mv_spec_errors(spark, logs):
+    bad = {
+        "no GROUP BY": (
+            "CREATE MATERIALIZED VIEW v AS SELECT count() AS n FROM logs",
+            "GROUP BY"),
+        "unaliased agg": (
+            "CREATE MATERIALIZED VIEW v AS SELECT service, count() "
+            "FROM logs GROUP BY service", "alias every"),
+        "non-mergeable": (
+            "CREATE MATERIALIZED VIEW v AS SELECT service, "
+            "quantile(0.9)(length(msg)) AS p90 FROM logs "
+            "GROUP BY service", "mergeable"),
+        "HAVING": (
+            "CREATE MATERIALIZED VIEW v AS SELECT service, count() AS n "
+            "FROM logs GROUP BY service HAVING n > 1", "HAVING"),
+        "group mismatch": (
+            "CREATE MATERIALIZED VIEW v AS SELECT service, level, "
+            "count() AS n FROM logs GROUP BY service", "must match"),
+        "other table": (
+            "CREATE MATERIALIZED VIEW v AS SELECT x, count() AS n "
+            "FROM other GROUP BY x", "logs"),
+    }
+    for label, (ddl, msg) in bad.items():
+        with pytest.raises(ChDialectError, match=msg):
+            ch_sql(spark, ddl, logs=logs)
+        assert logs.materialized_views == [], label
