@@ -91,6 +91,8 @@ HEADLINE = [
     ("agg_theta_overlap", "collect"),
     ("agg_slo_burn_rate", "noop"),
     ("rollup_topk_users", "noop"),
+    # r5 second wave — reported, excluded from total
+    ("window_gap_fill_hourly", "noop"),
 ]
 
 # The driver's r4 capture, min-of-3 per query (the judge-verified
@@ -519,6 +521,7 @@ def _run_bench() -> None:
         "agg_theta_overlap",
         "agg_slo_burn_rate",
         "rollup_topk_users",
+        "window_gap_fill_hourly",  # r5 second wave: reported, not summed
     }
     media = _media_decode_bench(spark)
 

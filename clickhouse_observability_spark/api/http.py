@@ -357,12 +357,14 @@ class LogsApi:
         try:
             df = self._provider()
             views = {"logs": df}
-            # `system.parts` analogue (dot-free name — Spark temp
-            # views are flat): file-level layout metadata over SQL
+            # legacy dot-free spelling kept working; the CH-spelled
+            # `system.parts` / `system.columns` / `system.tables` /
+            # `system.query_log` are rewritten+registered inside
+            # ch_sql itself
             if self._table is not None and "system_parts" in q:
                 views["system_parts"] = self._table.parts_df()
             res = ch_sql(df.sparkSession, q, logs=self._table,
-                         views=views)
+                         views=views, query_log=self.query_log)
             if isinstance(res, int):
                 return 200, {"inserted": res}
             limited = res.limit(MAX_QUERY_ROWS)

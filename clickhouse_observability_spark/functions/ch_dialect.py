@@ -1480,17 +1480,79 @@ _LOGS_DEFAULTS = {
 }
 
 
+_SYSTEM_TABLES = ("parts", "columns", "tables", "query_log")
+
+
+def _rewrite_system_tables(spark, sql, logs, query_log):
+    """CH `system.*` introspection: rewrite `system.parts` etc. to
+    dot-free view names (token-level, so string literals survive) and
+    register ONLY the referenced views — parts reads parquet footers
+    (O(#files) metadata pages, CH's cost class), the rest are tiny
+    local frames. Returns the rewritten SQL text."""
+    tokens = _tokenize(sql)
+    lows = [t.lower() for t in tokens]
+    used, out, i = set(), [], 0
+    while i < len(tokens):
+        if (lows[i] == "system" and not _is_string(tokens[i])
+                and i + 2 < len(tokens) and tokens[i + 1] == "."
+                and lows[i + 2] in _SYSTEM_TABLES):
+            used.add(lows[i + 2])
+            out.append(f"system_{lows[i + 2]}")
+            i += 3
+        else:
+            out.append(tokens[i])
+            i += 1
+    if not used:
+        return sql
+    from clickhouse_observability_spark.session import local_df
+
+    if "parts" in used:
+        if logs is None:
+            raise ChDialectError("system.parts needs the logs table")
+        logs.parts_df().createOrReplaceTempView("system_parts")
+    if "columns" in used:
+        if logs is None:
+            raise ChDialectError("system.columns needs the logs table")
+        from clickhouse_observability_spark.schema import LOGS_SCHEMA
+        rows = [("logs", f.name, f.dataType.simpleString(), pos + 1)
+                for pos, f in enumerate(LOGS_SCHEMA.fields)]
+        local_df(
+            spark, rows,
+            "table string, name string, type string, position int",
+        ).createOrReplaceTempView("system_columns")
+    if "tables" in used:
+        if logs is None:
+            raise ChDialectError("system.tables needs the logs table")
+        rows = [("logs", "MergeTree", "toYYYYMM(ts)", "(service, ts)")]
+        rows += [(mv.name, "MaterializedView", "", "")
+                 for mv in logs.materialized_views]
+        local_df(
+            spark, rows,
+            "name string, engine string, partition_key string, "
+            "sorting_key string",
+        ).createOrReplaceTempView("system_tables")
+    if "query_log" in used:
+        if query_log is None:
+            raise ChDialectError(
+                "system.query_log needs a QueryLog (the API server "
+                "passes its own; standalone callers pass query_log=)")
+        query_log.to_df(spark).createOrReplaceTempView("system_query_log")
+    return " ".join(out)
+
+
 def ch_sql(
     spark: SparkSession,
     sql: str,
     logs=None,
     views: dict[str, DataFrame] | None = None,
+    query_log=None,
 ):
     """Execute one ClickHouse SQL statement.
 
     `logs`: a LogsTable — registered as view `logs` for SELECT /
     DESCRIBE and used as the write path for INSERT (returns the
     inserted-row count). `views`: extra name -> DataFrame mappings.
+    `query_log`: a QueryLog whose ring backs `system.query_log`.
     """
     for name, df in (views or {}).items():
         df.createOrReplaceTempView(name)
@@ -1560,6 +1622,7 @@ def ch_sql(
 
     m = _INSERT_RE.match(sql)
     if m is None:
+        sql = _rewrite_system_tables(spark, sql, logs, query_log)
         fill = _extract_with_fill(split_format_clause(sql)[0])
         if fill is not None:
             return _run_with_fill(spark, fill)

@@ -553,3 +553,44 @@ def test_parameterless_count_translates():
     assert "count(*)" in translate("SELECT count() FROM t")
     out = translate("SELECT count(msg) FROM t")
     assert "count ( msg" in out or "count(msg" in out.replace(" ", "")
+
+
+def test_system_tables_over_sql(spark, logs):
+    ch_sql(spark, README_INSERT, logs=logs)
+    ch_sql(spark, (
+        "CREATE MATERIALIZED VIEW mv1 AS SELECT service, count() AS n "
+        "FROM logs GROUP BY service"), logs=logs)
+    # system.parts: one row per at-rest file, CH-spelled
+    parts = ch_sql(
+        spark, "SELECT file, rows FROM system.parts WHERE rows > 0",
+        logs=logs).collect()
+    assert len(parts) >= 1 and all(r.rows >= 1 for r in parts)
+    # system.columns reflects the DDL schema in order
+    cols = ch_sql(
+        spark,
+        "SELECT name FROM system.columns WHERE table = 'logs' "
+        "ORDER BY position", logs=logs).collect()
+    assert [r.name for r in cols][:3] == ["ts", "service", "level"]
+    # system.tables lists the base table and attached views
+    tabs = {r.name: r.engine for r in ch_sql(
+        spark, "SELECT name, engine FROM system.tables", logs=logs
+    ).collect()}
+    assert tabs["logs"] == "MergeTree"
+    assert tabs["mv1"] == "MaterializedView"
+    ch_sql(spark, "DROP VIEW mv1", logs=logs)
+    # system.query_log rides the API's ring when passed through
+    from clickhouse_observability_spark.api.query_log import QueryLog
+
+    ql = QueryLog()
+    ql.record("query", "SELECT 1", status=200, duration_ms=1.5,
+              result_rows=1)
+    got = ch_sql(
+        spark,
+        "SELECT route, status FROM system.query_log", logs=logs,
+        query_log=ql).collect()
+    assert [(r.route, r.status) for r in got] == [("query", 200)]
+    with pytest.raises(ChDialectError, match="query_log"):
+        ch_sql(spark, "SELECT 1 FROM system.query_log", logs=logs)
+    # a string literal mentioning system.parts is NOT rewritten
+    lit = ch_sql(spark, "SELECT 'system.parts' AS s", logs=logs)
+    assert lit.collect()[0].s == "system.parts"
