@@ -124,6 +124,11 @@ def _is_cacheable(q: str) -> bool:
         _NONDET_RE = _re.compile(
             r"\b(" + "|".join(_NONDETERMINISTIC) + r")\s*\(",
             _re.IGNORECASE)
+    # system views mutate outside the logs-file fingerprint the cache
+    # keys on (query_log grows per request, tables changes on MV
+    # attach) — never cache statements that read them
+    if _re.search(r"\bsystem\s*[._]", q, _re.IGNORECASE):
+        return False
     return _NONDET_RE.search(q) is None
 
 
@@ -349,7 +354,11 @@ class LogsApi:
         # cacheable only when invalidation is possible (a table to
         # fingerprint) and the statement is deterministic
         if (self._cache is not None and self._table is not None
-                and _is_cacheable(q)):
+                and _is_cacheable(q)
+                # MV stores mutate on refresh/compact/drop+recreate
+                # without touching the logs files the key fingerprints
+                and not any(mv.name in q
+                            for mv in self._table.materialized_views)):
             cache_key = (q.strip(), self._table_fingerprint())
             cached = self._cache.get(cache_key)
             if cached is not None:

@@ -708,23 +708,8 @@ def _split_order_items(
     """Split an ORDER BY / BY token list at top-level commas into
     (expression, direction-modifier) pairs, where the modifier is the
     trailing `ASC|DESC [NULLS FIRST|LAST]` run (empty if absent)."""
-    items: list[list[str]] = []
-    cur: list[str] = []
-    d = 0
-    for t in exprs:
-        if t == "(":
-            d += 1
-        elif t == ")":
-            d -= 1
-        if t == "," and d == 0:
-            items.append(cur)
-            cur = []
-        else:
-            cur.append(t)
-    if cur:
-        items.append(cur)
     out = []
-    for it in items:
+    for it in _split_top_commas(exprs):
         low = [x.lower() for x in it]
         dirs: list[str] = []
         if len(it) >= 2 and low[-2] == "nulls" and low[-1] in ("first", "last"):
@@ -972,9 +957,14 @@ def _extract_with_fill(sql: str):
             depth += 1
         elif t == ")":
             depth -= 1
-        elif (depth == 0 and lows[i] == "with" and i + 1 < len(tokens)
+        elif (lows[i] == "with" and i + 1 < len(tokens)
                 and lows[i + 1] == "fill" and not _is_string(t)
                 and (i + 2 >= len(tokens) or lows[i + 2] != "as")):
+            if depth > 0:
+                raise ChDialectError(
+                    "WITH FILL inside a subquery is not supported; "
+                    "fill at the statement's top level (or call "
+                    "operators.gapfill.gap_fill on the inner frame)")
             if hit is not None:
                 raise ChDialectError(
                     "only one ORDER BY column may carry WITH FILL")
@@ -1272,18 +1262,26 @@ def _run_with_fill(spark: SparkSession, fill: dict) -> DataFrame:
             if c not in df.columns:
                 raise ChDialectError(f"INTERPOLATE column {c!r} is not "
                                      f"projected")
-    is_ts = isinstance(df.schema[axis].dataType,
-                       (T.TimestampType, T.TimestampNTZType))
+    adt = df.schema[axis].dataType
+    is_ts = isinstance(adt, (T.TimestampType, T.TimestampNTZType))
+    is_date = isinstance(adt, T.DateType)
     step = fill["step"]
+    _DAY_US = 86_400_000_000
     if step is None:
-        # CH default STEP 1 — one axis unit; one second on time axes
+        # CH default STEP 1 — one axis unit: a second on DateTime,
+        # a day on Date, one on numerics
         step = 1_000_000 if is_ts else 1
     elif is_ts and not fill["step_is_interval"]:
         # CH numeric STEP on DateTime counts seconds
         step = int(step * 1_000_000)
-    elif not is_ts and fill["step_is_interval"]:
+    elif is_date and fill["step_is_interval"]:
+        if step % _DAY_US:
+            raise ChDialectError(
+                "a Date fill column needs a whole-day STEP")
+        step //= _DAY_US
+    elif not (is_ts or is_date) and fill["step_is_interval"]:
         raise ChDialectError(
-            "INTERVAL STEP needs a timestamp fill column")
+            "INTERVAL STEP needs a date or timestamp fill column")
     out = gap_fill(
         df,
         axis,
@@ -1311,10 +1309,41 @@ _INSERT_RE = re.compile(
 )
 
 _MV_CREATE_RE = re.compile(
-    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
-    r"(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?\s+)?(POPULATE\s+)?AS\s+(.+)$",
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)"
+    r"(.*?)\bAS\s+(SELECT\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _check_mv_middle(middle: str) -> bool:
+    """Validate the DDL clauses between the view name and AS SELECT.
+
+    CH MergeTree-family MV DDL carries storage clauses — `ENGINE =
+    X(...)`, `ORDER BY (...)`, `PARTITION BY expr`, `TTL ...` — that
+    are that engine's physical-layout knobs; this store self-manages
+    layout (month-partitioned state parquet, merge-on-read), so they
+    are accepted and stripped. `TO target` changes SEMANTICS (write
+    into an existing table) and raises. Returns whether POPULATE was
+    present; unrecognizable clauses raise rather than being guessed
+    at."""
+    toks = _tokenize(middle)
+    lows = [t.lower() for t in toks]
+    if "to" in lows:
+        raise ChDialectError(
+            "CREATE MATERIALIZED VIEW ... TO <table> is not supported "
+            "— the view manages its own state store; query it by name")
+    populate = "populate" in lows
+    # everything else must look like storage clauses: ENGINE = ...,
+    # ORDER/PARTITION/PRIMARY KEY/SAMPLE BY, SETTINGS, TTL. The
+    # clause BODIES are arbitrary expressions we don't inspect; the
+    # guard is that the run opens with a recognized clause head.
+    allowed_heads = {"engine", "order", "partition", "primary",
+                     "sample", "settings", "ttl", "populate"}
+    if toks and lows[0] not in allowed_heads:
+        raise ChDialectError(
+            f"unrecognized clause before AS in CREATE MATERIALIZED "
+            f"VIEW: {middle.strip()!r}")
+    return populate
 
 _DROP_VIEW_RE = re.compile(
     r"^\s*DROP\s+(?:VIEW|TABLE)\s+(IF\s+EXISTS\s+)?(\w+)\s*$",
@@ -1449,12 +1478,31 @@ def _parse_mv_select(select_sql: str) -> dict:
     if not aggs:
         raise ChDialectError("materialized view needs at least one "
                              "aggregate")
-    n_group = len(_split_top_commas(rest[group_i + 2:]))
-    if n_group != len(dims):
+    # every GROUP BY item must BE one of the projection's dimensions
+    # — by alias, by identical (translated) expression text, or by
+    # ordinal — else the trigger would silently aggregate at the
+    # projection's grain instead of the stated one
+    group_items = _split_top_commas(rest[group_i + 2:])
+    if len(group_items) != len(dims):
         raise ChDialectError(
-            f"GROUP BY lists {n_group} expressions but the projection "
-            f"has {len(dims)} non-aggregate items — they must match "
-            f"(CH's own MV contract)")
+            f"GROUP BY lists {len(group_items)} expressions but the "
+            f"projection has {len(dims)} non-aggregate items — they "
+            f"must match (CH's own MV contract)")
+    dim_keys = {d["alias"].lower() for d in dims} | {
+        re.sub(r"\s+", "", d["sql"]).lower() for d in dims}
+    for k, item in enumerate(group_items):
+        if len(item) == 1 and _is_number(item[0]):
+            if not 1 <= int(item[0]) <= len(dims):
+                raise ChDialectError(
+                    f"GROUP BY ordinal {item[0]} out of range")
+            continue
+        txt = re.sub(r"\s+", "",
+                     _emit(_rewrite_array_literals(list(item)))).lower()
+        if txt not in dim_keys:
+            raise ChDialectError(
+                f"GROUP BY expression `{_emit(item)}` does not match "
+                f"any projected dimension (match by alias, identical "
+                f"expression, or ordinal)")
     return {
         "dims": dims,
         "aggs": aggs,
@@ -1560,16 +1608,28 @@ def ch_sql(
         logs.read().createOrReplaceTempView("logs")
         # attached materialized views are queryable by name — reads
         # see the FINALIZED merge-on-read frame (documented
-        # divergence from CH's raw-state reads)
-        for mv in logs.materialized_views:
-            mv.read().createOrReplaceTempView(mv.name)
+        # divergence from CH's raw-state reads). Registered lazily:
+        # only views the statement actually mentions pay the
+        # plan-construction cost (same policy as system.* below).
+        if logs.materialized_views:
+            mentioned = {w.lower()
+                         for w in re.findall(r"[A-Za-z_]\w*", sql)}
+            for mv in logs.materialized_views:
+                if mv.name.lower() in mentioned:
+                    mv.read().createOrReplaceTempView(mv.name)
 
     mc = _MV_CREATE_RE.match(sql)
     if mc is not None:
-        if_not_exists, name, populate, select_sql = mc.groups()
+        if_not_exists, name, middle, select_sql = mc.groups()
+        populate = _check_mv_middle(middle)
         if logs is None:
             raise ChDialectError(
                 "CREATE MATERIALIZED VIEW needs the logs table")
+        if (name.lower() in ("logs", "system")
+                or name.lower().startswith("system_")):
+            raise ChDialectError(
+                f"materialized view name {name!r} would shadow the "
+                f"base table / system views; pick another name")
         if any(v.name == name for v in logs.materialized_views):
             if if_not_exists:
                 return 0
@@ -1587,9 +1647,12 @@ def ch_sql(
     if md is not None and logs is not None and any(
             v.name == md.group(2) for v in logs.materialized_views):
         logs.drop_materialized_view(md.group(2))
+        # an earlier SELECT may have registered the view's frame as a
+        # temp view — drop that too or later reads would hit it stale
+        spark.catalog.dropTempView(md.group(2))
         return 0
-    if md is not None and md.group(1):
-        return 0  # DROP VIEW IF EXISTS on an unknown name is a no-op
+    # a non-MV DROP falls through to Spark, whose own IF EXISTS
+    # semantics handle temp views correctly
 
     mo = _OPTIMIZE_RE.match(sql)
     if mo is not None:

@@ -79,9 +79,10 @@ def gap_fill(
 ) -> DataFrame:
     """Insert rows so `axis` steps by `step` between neighbours.
 
-    axis: a numeric or timestamp column of `df`. step: a positive
-    number (numeric axis) or microseconds (timestamp axis — use
-    `interval_to_micros`). from_value/to_value: optional bounds in
+    axis: a numeric, date or timestamp column of `df`. step: a
+    positive number (numeric axis), microseconds (timestamp axis —
+    use `interval_to_micros`), or whole DAYS (date axis, the CH
+    convention for Date fills). from_value/to_value: optional bounds in
     the axis domain (python literal or Column); `from` prepends a
     lead-in grid before the first row, `to` (exclusive) extends the
     tail after the last. With `descending`, the stream is filled
@@ -97,15 +98,22 @@ def gap_fill(
         raise ValueError("axis cannot be a partition or interpolate key")
     dt = df.schema[axis].dataType
     is_ts = isinstance(dt, (T.TimestampType, T.TimestampNTZType))
+    is_date = isinstance(dt, T.DateType)
     is_frac = isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType))
+    if not (is_ts or is_date or is_frac
+            or isinstance(dt, T.NumericType)):
+        raise ValueError(f"gap_fill axis must be numeric, date or "
+                         f"timestamp, got {dt.simpleString()}")
     sign = -1 if descending else 1
 
     def num(c: Column) -> Column:
         # map the axis into an orderable arithmetic domain (micros
-        # for timestamps); descending negates so the ascending fill
-        # algebra below covers both directions
+        # for timestamps, days for dates); descending negates so the
+        # ascending fill algebra below covers both directions
         if is_ts:
             c = F.unix_micros(c.cast("timestamp"))
+        elif is_date:
+            c = F.unix_date(c.cast("date"))
         elif is_frac:
             c = c.cast("double")
         else:
@@ -116,6 +124,8 @@ def gap_fill(
         v = v * sign
         if is_ts:
             return F.timestamp_micros(v.cast("long")).cast(dt)
+        if is_date:
+            return F.date_from_unix_date(v.cast("int"))
         return v.cast(dt)
 
     if is_frac:

@@ -137,8 +137,13 @@ class MaterializedView:
         return batch.groupBy(*self._dim_cols()).agg(*self._partial_aggs())
 
     def apply(self, batch: DataFrame) -> None:
-        """The trigger body: append the block's states (O(batch))."""
+        """The trigger body: append the block's states (O(batch)).
+        One file per block — the increment is a single insert's
+        aggregate, rollup-sized by construction (refresh(), which
+        aggregates the WHOLE base table, keeps the distributed
+        write)."""
         (self.partial(batch)
+         .coalesce(1)
          .write.mode("append")
          .option("compression", "zstd")
          .parquet(self.data))

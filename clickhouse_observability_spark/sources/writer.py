@@ -96,13 +96,21 @@ class LogsTable:
         is not atomic with the insert — `MaterializedView.refresh()`
         repairs a crash between the two."""
         block = df.select(*LOGS_COLUMNS)
-        if self.materialized_views:
-            # the trigger re-reads the block; keep the lineage from
-            # recomputing any expensive upstream per view
-            block = block.localCheckpoint(eager=True)
-        self._write(block, mode="append")
-        for mv in self.materialized_views:
-            mv.apply(block)
+        if not self.materialized_views:
+            self._write(block, mode="append")
+            return
+        # the trigger re-reads the block; checkpoint so no expensive
+        # upstream recomputes per view — and release the storage
+        # blocks as soon as the last consumer is done (ContextCleaner
+        # would get there eventually, but a steady ingest loop would
+        # accumulate checkpointed blocks in the meantime)
+        block = block.localCheckpoint(eager=True)
+        try:
+            self._write(block, mode="append")
+            for mv in self.materialized_views:
+                mv.apply(block)
+        finally:
+            block.unpersist()
 
     def create_materialized_view(self, spec: dict):
         """CREATE MATERIALIZED VIEW: persist + attach the trigger.

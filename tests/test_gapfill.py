@@ -153,6 +153,9 @@ def test_dialect_with_fill_errors(spark):
                       "STEP INTERVAL 1 MONTH")
     with pytest.raises(ChDialectError, match="negative STEP"):
         ch_sql(spark, "SELECT x FROM twe ORDER BY x WITH FILL STEP -1")
+    with pytest.raises(ChDialectError, match="subquery"):
+        ch_sql(spark, "SELECT * FROM (SELECT x FROM twe "
+                      "ORDER BY x WITH FILL) q")
     # translate() alone still refuses (cannot express fill as text)
     with pytest.raises(ChDialectError, match="ch_sql"):
         translate("SELECT x FROM twe ORDER BY x WITH FILL")
@@ -167,3 +170,32 @@ def test_dialect_bare_interpolate_carries_all(spark):
     ).collect()
     assert [(r.x, r.s, r.v) for r in out] == [
         (1, "p", 5), (2, "p", 5), (3, "q", 9)]
+
+
+def test_date_axis_fill(spark):
+    import datetime as _dt
+
+    df = spark.createDataFrame(
+        [(_dt.date(2024, 3, 1), 1), (_dt.date(2024, 3, 4), 4)],
+        "x date, v int")
+    out = gap_fill(df, "x", 1, interpolate=("v",)).orderBy("x").collect()
+    assert [r.x for r in out] == [
+        _dt.date(2024, 3, 1) + _dt.timedelta(days=k) for k in range(4)]
+    assert [r.v for r in out] == [1, 1, 1, 4]
+    # dialect: Date axis takes whole-day INTERVAL or numeric-day STEP
+    spark.createDataFrame(
+        [(_dt.date(2024, 3, 1), 1), (_dt.date(2024, 3, 5), 5)],
+        "d date, v int").createOrReplaceTempView("twd")
+    got = ch_sql(spark, (
+        "SELECT d, v FROM twd ORDER BY d WITH FILL STEP INTERVAL 2 DAY"
+    )).collect()
+    assert [r.d for r in got] == [
+        _dt.date(2024, 3, 1), _dt.date(2024, 3, 3), _dt.date(2024, 3, 5)]
+    with pytest.raises(ChDialectError, match="whole-day"):
+        ch_sql(spark,
+               "SELECT d FROM twd ORDER BY d WITH FILL "
+               "STEP INTERVAL 1 HOUR")
+    # unsupported axis type raises the operator's message, not a
+    # raw cast error
+    with pytest.raises(Exception, match="numeric, date or timestamp"):
+        gap_fill(spark.createDataFrame([("a",)], "x string"), "x", 1)

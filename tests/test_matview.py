@@ -106,10 +106,13 @@ def test_mv_persistence_reattaches(spark, logs):
     assert [v.name for v in t2.materialized_views] == ["svc_hourly"]
     _ins(spark, t2, "2024-03-01 12:00:00", "web", "INFO", "y", "t2")
     assert _got(spark, t2) == _expected(spark)
-    # DROP VIEW detaches and deletes
+    # DROP VIEW detaches, deletes, and clears the lazy temp view so a
+    # later read can't hit a stale frame
     ch_sql(spark, "DROP VIEW svc_hourly", logs=t2)
     assert t2.materialized_views == []
-    assert ch_sql(spark, "DROP VIEW IF EXISTS svc_hourly", logs=t2) == 0
+    assert not spark.catalog.tableExists("svc_hourly")
+    # a second IF EXISTS drop falls through to Spark's no-op
+    ch_sql(spark, "DROP VIEW IF EXISTS svc_hourly", logs=t2)
 
 
 def test_mv_refresh_repairs(spark, logs):
@@ -152,3 +155,50 @@ def test_mv_spec_errors(spark, logs):
         with pytest.raises(ChDialectError, match=msg):
             ch_sql(spark, ddl, logs=logs)
         assert logs.materialized_views == [], label
+
+
+def test_mv_ddl_storage_clauses_and_guards(spark, logs):
+    # canonical CH DDL: ENGINE + ORDER BY storage clauses stripped
+    ch_sql(spark, (
+        "CREATE MATERIALIZED VIEW mv_full "
+        "ENGINE = AggregatingMergeTree() PARTITION BY toYYYYMM(h) "
+        "ORDER BY (h, service) AS "
+        "SELECT toStartOfHour(ts) AS h, service, count() AS n "
+        "FROM logs GROUP BY h, service"), logs=logs)
+    assert [v.name for v in logs.materialized_views] == ["mv_full"]
+    ch_sql(spark, "DROP VIEW mv_full", logs=logs)
+    # TO <table> changes semantics -> honest refusal
+    with pytest.raises(ChDialectError, match="TO"):
+        ch_sql(spark, (
+            "CREATE MATERIALIZED VIEW mv_to TO target AS "
+            "SELECT service, count() AS n FROM logs GROUP BY service"),
+            logs=logs)
+    # reserved names would shadow the base table / system views
+    for bad in ("logs", "system_parts"):
+        with pytest.raises(ChDialectError, match="shadow"):
+            ch_sql(spark, (
+                f"CREATE MATERIALIZED VIEW {bad} AS SELECT service, "
+                f"count() AS n FROM logs GROUP BY service"), logs=logs)
+    # GROUP BY must match the projected dims as expressions, not
+    # just by count
+    with pytest.raises(ChDialectError, match="does not match"):
+        ch_sql(spark, (
+            "CREATE MATERIALIZED VIEW mv_bad AS "
+            "SELECT toStartOfDay(ts) AS d, service, count() AS n "
+            "FROM logs GROUP BY toStartOfHour(ts), service"), logs=logs)
+    # ... matching by identical expression or ordinal is accepted
+    ch_sql(spark, (
+        "CREATE MATERIALIZED VIEW mv_expr AS "
+        "SELECT toStartOfDay(ts) AS d, service, count() AS n "
+        "FROM logs GROUP BY toStartOfDay(ts), 2"), logs=logs)
+    ch_sql(spark, "DROP VIEW mv_expr", logs=logs)
+    assert logs.materialized_views == []
+
+
+def test_drop_view_falls_through_to_spark(spark, logs):
+    spark.range(3).createOrReplaceTempView("plain_tmp")
+    ch_sql(spark, "DROP VIEW IF EXISTS plain_tmp", logs=logs)
+    assert not spark.catalog.tableExists("plain_tmp")
+    # IF EXISTS on a truly unknown name stays a no-op (Spark's own
+    # semantics)
+    ch_sql(spark, "DROP VIEW IF EXISTS never_was", logs=logs)
