@@ -81,6 +81,36 @@ def _q(value: str) -> str:
 # ALREADY-TRANSLATED argument strings.
 # ---------------------------------------------------------------------------
 
+def _dict_bad(sig: str):
+    raise ChDialectError(f"expected {sig}")
+
+
+def _dict_name(arg: str) -> str:
+    """The dictionary name must be a string literal naming a
+    registered view (`ch_sql(views={name: df})`)."""
+    m = re.fullmatch(r"\s*'([A-Za-z_]\w*)'\s*", arg)
+    if m is None:
+        raise ChDialectError(
+            f"dictGet* needs a quoted dictionary name (a registered "
+            f"view), got {arg!r}")
+    return m.group(1)
+
+
+def _dict_get(a: list[str]) -> str:
+    if len(a) != 3:
+        _dict_bad("dictGet(dict, attr, key)")
+    d = _dict_name(a[0])
+    m = re.fullmatch(r"\s*'([A-Za-z_]\w*)'\s*", a[1])
+    if m is None:
+        raise ChDialectError(
+            f"dictGet* needs a quoted attribute column name, got "
+            f"{a[1]!r}")
+    # max() guarantees the scalar-subquery single-row contract even
+    # if the dictionary has duplicate keys (CH would pick one too)
+    return (f"(SELECT max({m.group(1)}) FROM {d} "
+            f"WHERE {d}.key = ({a[2]}))")
+
+
 def _json_extract(cast_to: str | None):
     def fn(args):
         if len(args) != 2:
@@ -198,6 +228,24 @@ _FUNCS = {
     "now": lambda a: "current_timestamp()",
     "today": lambda a: "current_date()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
+    # dictionaries: CH's in-memory key->attr lookup tables. The
+    # analog is a registered view (ch_sql views=...) whose key column
+    # is named `key` (CH declares the PK in CREATE DICTIONARY; this
+    # convention replaces that declaration). dictGet becomes a
+    # correlated scalar subquery — Catalyst decorrelates it into a
+    # (broadcastable) left join, which IS the hash-dict lookup.
+    "dictget": lambda a: _dict_get(a),
+    "dictgetordefault": lambda a: (
+        f"coalesce({_dict_get(a[:3])}, {a[3]})" if len(a) == 4
+        else _dict_bad("dictGetOrDefault(dict, attr, key, default)")),
+    "dictgetstring": lambda a: f"CAST({_dict_get(a)} AS STRING)",
+    "dictgetint64": lambda a: f"CAST({_dict_get(a)} AS BIGINT)",
+    "dictgetuint64": lambda a: f"CAST({_dict_get(a)} AS BIGINT)",
+    "dictgetfloat64": lambda a: f"CAST({_dict_get(a)} AS DOUBLE)",
+    "dicthas": lambda a: (
+        f"(SELECT count(*) FROM {_dict_name(a[0])} WHERE "
+        f"{_dict_name(a[0])}.key = ({a[1]})) > 0" if len(a) == 2
+        else _dict_bad("dictHas(dict, key)")),
     # CH allows zero-arg count(); Spark requires count(*)
     "count": lambda a: (
         "count(*)" if not a or all(x.strip() == "" for x in a)

@@ -594,3 +594,29 @@ def test_system_tables_over_sql(spark, logs):
     # a string literal mentioning system.parts is NOT rewritten
     lit = ch_sql(spark, "SELECT 'system.parts' AS s", logs=logs)
     assert lit.collect()[0].s == "system.parts"
+
+
+def test_dict_functions(spark):
+    spark.createDataFrame(
+        [("api", "team-a", 1), ("web", "team-b", 2)],
+        "key string, owner string, tier int",
+    ).createOrReplaceTempView("svc_meta")
+    spark.createDataFrame(
+        [("api", 5), ("db", 7)], "service string, n int"
+    ).createOrReplaceTempView("tdl")
+    rows = ch_sql(spark, (
+        "SELECT service, dictGet('svc_meta', 'owner', service) AS owner, "
+        "dictGetOrDefault('svc_meta', 'owner', service, 'unowned') AS o2, "
+        "dictGetInt64('svc_meta', 'tier', service) AS tier, "
+        "dictHas('svc_meta', service) AS has "
+        "FROM tdl ORDER BY service")).collect()
+    assert [(r.service, r.owner, r.o2, r.tier, r.has) for r in rows] == [
+        ("api", "team-a", "team-a", 1, True),
+        ("db", None, "unowned", None, False),
+    ]
+    with pytest.raises(ChDialectError, match="quoted dictionary"):
+        translate("SELECT dictGet(svc_meta, 'owner', s) FROM t")
+    with pytest.raises(ChDialectError, match="attribute"):
+        translate("SELECT dictGet('svc_meta', owner, s) FROM t")
+    with pytest.raises(ChDialectError, match="dictGet\\(dict"):
+        translate("SELECT dictGet('svc_meta', 'owner') FROM t")
