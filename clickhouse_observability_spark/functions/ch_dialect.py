@@ -282,8 +282,10 @@ _FUNCS = {
     "argmax": lambda a: f"max_by({a[0]}, {a[1]})",
     "argmin": lambda a: f"min_by({a[0]}, {a[1]})",
     "median": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    # `any(x)` maps to any_value ONLY when it cannot be the SQL
+    # `> ANY (subquery)` quantifier — _emit skips the rewrite when a
+    # comparison operator directly precedes it
     "any": lambda a: f"any_value({a[0]})",
-    "anylast": lambda a: f"any_value({a[0]})",
     "grouparray": lambda a: f"collect_list({a[0]})",
     "groupuniqarray": lambda a: f"collect_set({a[0]})",
     # scalars
@@ -360,9 +362,6 @@ _FUNCS = {
     "arraystringconcat": lambda a: (
         f"array_join({a[0]}, {a[1] if len(a) > 1 else _q('')})"),
     "indexof": lambda a: f"array_position({a[0]}, {a[1]})",
-    # `any(x)` the aggregate is NOT mapped: the call shape collides
-    # with standard SQL's `> ANY (subquery)` quantifier and a
-    # mistranslation there would corrupt predicates silently.
     "anylast": lambda a: f"last({a[0]})",
     "anyheavy": lambda a: f"any_value({a[0]})",
     "leftpad": lambda a: f"lpad({', '.join(a)})",
@@ -621,6 +620,17 @@ def _emit(tokens: list[str]) -> str:
         t = tokens[i]
         low = t.lower()
         nxt = tokens[i + 1] if i + 1 < n else None
+        if (low in ("any", "all") and i > 0
+                and tokens[i - 1] in ("=", ">", "<", ">=", "<=",
+                                      "!=", "<>")):
+            # SQL quantifier (`x > ANY (subquery)`), not the CH
+            # `any()` aggregate. Spark has no quantified comparison
+            # subqueries — raise with the rewrite instead of either
+            # corrupting it into any_value() or leaking a parse error
+            raise ChDialectError(
+                f"quantified `{tokens[i - 1]} {t} (subquery)` is not "
+                f"supported by Spark; compare against a scalar "
+                f"min()/max() subquery instead")
         if not _is_string(t) and nxt == "(" and (
                 low in _FUNCS or low in _PARAM_FUNCS):
             args, j = _parse_args(tokens, i + 1)

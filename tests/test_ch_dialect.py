@@ -620,3 +620,27 @@ def test_dict_functions(spark):
         translate("SELECT dictGet('svc_meta', owner, s) FROM t")
     with pytest.raises(ChDialectError, match="dictGet\\(dict"):
         translate("SELECT dictGet('svc_meta', 'owner') FROM t")
+
+
+def test_any_aggregate_vs_quantifier(spark):
+    # the CH `any(x)` aggregate maps to any_value; the SQL quantifier
+    # `> ANY (subquery)` — which only ever follows a comparison
+    # operator — must NOT be rewritten into any_value(). Spark has no
+    # quantified comparison subqueries, so it raises with the rewrite
+    # hint instead of leaking a parse error.
+    out = translate("SELECT service, any(msg) AS m FROM t GROUP BY service")
+    assert "any_value(msg)" in out.replace(" ", "")
+    with pytest.raises(ChDialectError, match="min\\(\\)/max\\(\\)"):
+        translate("SELECT * FROM t WHERE x > ANY (SELECT y FROM u)")
+    with pytest.raises(ChDialectError, match="quantified"):
+        translate("SELECT * FROM t WHERE x <= ALL (SELECT y FROM u)")
+    # GROUP BY ... WITH ROLLUP / CUBE: identical syntax both dialects,
+    # passes through
+    spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)],
+        "g string, h string, v int").createOrReplaceTempView("tru")
+    rows = spark.sql(translate(
+        "SELECT g, h, sum(v) AS s FROM tru GROUP BY g, h WITH ROLLUP"
+    )).collect()
+    got = {(r.g, r.h): r.s for r in rows}
+    assert got[(None, None)] == 6 and got[("a", None)] == 3
