@@ -1408,6 +1408,13 @@ _DROP_VIEW_RE = re.compile(
     re.IGNORECASE,
 )
 
+# CH EXPLAIN [SYNTAX|PLAN] stmt — SYNTAX shows the rewritten query
+# (here: the Spark SQL translation), PLAN/default the execution plan
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN(\s+SYNTAX|\s+PLAN)?\s+(SELECT\b.+|WITH\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # CH aggregate name -> MV agg kind (uniq* variants all land on the
 # HLL state; the estimate differs from CH's own algorithm only in
 # the approximation, both are ±~1% at lgK=12)
@@ -1740,6 +1747,19 @@ def ch_sql(
         return sum(
             compact_partition(spark, logs.path, month) for month in months
         )
+
+    me = _EXPLAIN_RE.match(sql)
+    if me is not None:
+        mode, inner = me.groups()
+        inner = _rewrite_system_tables(spark, inner, logs, query_log)
+        if (mode or "").strip().lower() == "syntax":
+            # CH EXPLAIN SYNTAX prints the rewritten query; the
+            # analog here IS the dialect translation
+            from clickhouse_observability_spark.session import local_df
+            return local_df(spark, [(translate(inner),)],
+                            "statement string")
+        # PLAN/default: Spark's own one-column plan frame
+        return spark.sql("EXPLAIN " + translate(inner))
 
     m = _INSERT_RE.match(sql)
     if m is None:

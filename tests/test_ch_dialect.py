@@ -644,3 +644,19 @@ def test_any_aggregate_vs_quantifier(spark):
     )).collect()
     got = {(r.g, r.h): r.s for r in rows}
     assert got[(None, None)] == 6 and got[("a", None)] == 3
+
+
+def test_explain_statements(spark, logs):
+    # EXPLAIN SYNTAX returns the dialect translation (CH's
+    # rewritten-query output, here the Spark SQL text)
+    row = ch_sql(spark, (
+        "EXPLAIN SYNTAX SELECT toStartOfHour(ts) AS h, count() AS n "
+        "FROM logs GROUP BY h"), logs=logs).collect()[0]
+    assert "date_trunc" in row.statement and "count(*)" in row.statement
+    # EXPLAIN / EXPLAIN PLAN returns Spark's plan frame
+    plan = ch_sql(spark, "EXPLAIN SELECT count() AS n FROM logs",
+                  logs=logs).collect()[0][0]
+    assert "Aggregate" in plan or "Physical Plan" in plan
+    plan2 = ch_sql(spark, "EXPLAIN PLAN SELECT service FROM logs "
+                          "WHERE service = 'api'", logs=logs).collect()
+    assert len(plan2) >= 1
