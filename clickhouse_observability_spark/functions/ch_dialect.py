@@ -81,6 +81,13 @@ def _q(value: str) -> str:
 # ALREADY-TRANSLATED argument strings.
 # ---------------------------------------------------------------------------
 
+def _minute_bucket(x: str, seconds: int) -> str:
+    """Fixed-width sub-hour bucket: floor the epoch to the grid.
+    timestamp_seconds keeps it a TIMESTAMP (UTC session)."""
+    return (f"timestamp_seconds(floor(unix_timestamp({x}) / {seconds}) "
+            f"* {seconds})")
+
+
 def _dict_bad(sig: str):
     raise ChDialectError(f"expected {sig}")
 
@@ -364,6 +371,25 @@ _FUNCS = {
     "indexof": lambda a: f"array_position({a[0]}, {a[1]})",
     "anylast": lambda a: f"last({a[0]})",
     "anyheavy": lambda a: f"any_value({a[0]})",
+    # statistics family: CH camelCase -> Spark snake_case (unmapped
+    # these would hit UNRESOLVED_ROUTINE, not mistranslate — but a
+    # CH user expects them to just work)
+    "stddevpop": lambda a: f"stddev_pop({a[0]})",
+    "stddevsamp": lambda a: f"stddev_samp({a[0]})",
+    "varpop": lambda a: f"var_pop({a[0]})",
+    "varsamp": lambda a: f"var_samp({a[0]})",
+    "covarpop": lambda a: f"covar_pop({a[0]}, {a[1]})",
+    "covarsamp": lambda a: f"covar_samp({a[0]}, {a[1]})",
+    "uniqcombined64": lambda a: f"approx_count_distinct({a[0]})",
+    # CAST: CH returns Float64; without it Spark's decimal literals
+    # would propagate DECIMAL division into the result type
+    "avgweighted": lambda a: (
+        f"CAST(sum(({a[0]}) * ({a[1]})) / sum({a[1]}) AS DOUBLE)"),
+    # sub-hour buckets (CH's fixed five/ten/fifteen-minute grids)
+    "tostartoffiveminute": lambda a: _minute_bucket(a[0], 300),
+    "tostartoftenminutes": lambda a: _minute_bucket(a[0], 600),
+    "tostartoffifteenminutes": lambda a: _minute_bucket(a[0], 900),
+    "toquarter": lambda a: f"quarter({a[0]})",
     "leftpad": lambda a: f"lpad({', '.join(a)})",
     "rightpad": lambda a: f"rpad({', '.join(a)})",
     # table function: FROM numbers(N) — CH's row generator
@@ -377,6 +403,10 @@ _PARAM_FUNCS = {
     # over millisecond-scale values; the observable contract is an
     # approximate quantile — same mapping as quantile.
     "quantiletiming": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
+    # ...as are the TDigest/BFloat16 representation variants: the
+    # observable contract is an approximate quantile
+    "quantiletdigest": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
+    "quantilebfloat16": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
     "quantileexact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantiles": lambda p, a:
         f"percentile_approx({a[0]}, array({', '.join(p)}))",

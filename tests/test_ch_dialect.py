@@ -660,3 +660,28 @@ def test_explain_statements(spark, logs):
     plan2 = ch_sql(spark, "EXPLAIN PLAN SELECT service FROM logs "
                           "WHERE service = 'api'", logs=logs).collect()
     assert len(plan2) >= 1
+
+
+def test_stats_and_bucket_vocabulary(spark):
+    # live execution pins the mappings AND cross-checks avgWeighted /
+    # stddev against hand computation
+    r = spark.sql(translate(
+        "SELECT stddevPop(v) AS sp, stddevSamp(v) AS ss, "
+        "varPop(v) AS vp, covarPop(v, w) AS cp, corr(v, w) AS c, "
+        "avgWeighted(v, w) AS aw, uniqCombined64(v) AS u, "
+        "quantileTDigest(0.5)(v) AS q "
+        "FROM (SELECT v, v AS w FROM "
+        "(SELECT explode(array(1.0, 2.0, 3.0, 4.0)) AS v))"
+    )).collect()[0]
+    assert abs(r.sp - 1.1180339887) < 1e-6
+    # weights = values -> sum(v^2)/sum(v) = 30/10
+    assert abs(r.aw - 3.0) < 1e-9
+    assert r.u == 4 and abs(r.c - 1.0) < 1e-9
+    b = spark.sql(translate(
+        "SELECT toStartOfFiveMinute(TIMESTAMP '2024-03-01 10:07:31') AS b5, "
+        "toStartOfFifteenMinutes(TIMESTAMP '2024-03-01 10:07:31') AS b15, "
+        "toQuarter(TIMESTAMP '2024-03-01 10:07:31') AS q"
+    )).collect()[0]
+    assert str(b.b5) == "2024-03-01 10:05:00"
+    assert str(b.b15) == "2024-03-01 10:00:00"
+    assert b.q == 1
