@@ -419,6 +419,12 @@ _PARAM_FUNCS = {
     "topkweighted": lambda p, a: (_ for _ in ()).throw(ChDialectError(
         "topKWeighted has no Spark SQL aggregate; use "
         "operators.ch_functions.top_k_by_freq")),
+    "sequencematch": lambda p, a: (_ for _ in ()).throw(ChDialectError(
+        "sequenceMatch needs the stateful fold operator — use "
+        "operators.behavioral.sequence_match (same pattern grammar)")),
+    "sequencecount": lambda p, a: (_ for _ in ()).throw(ChDialectError(
+        "sequenceCount needs the stateful fold operator — use "
+        "operators.behavioral.sequence_count")),
 }
 
 

@@ -151,3 +151,157 @@ def sequence_count(
               acc -> acc.pairs)"""
     )
     return per_user.select("user", fold.cast("int").alias("n_sequences"))
+
+
+def _parse_sequence_pattern(pattern: str, n_conds: int):
+    """CH sequenceMatch pattern -> (refs, seps).
+
+    refs: 1-based condition indices in match order. seps[i]: the
+    separator between refs[i] and refs[i+1] — ('strict',) for bare
+    concatenation (the next condition-matching event must follow
+    DIRECTLY; CH skips events matching no condition), ('any',) for
+    `.*`, or ('t', op, seconds) for `(?t op N)`.
+    """
+    import re as _re
+
+    toks = _re.findall(
+        r"\(\?(\d+)\)|\(\?t\s*(<=|>=|<|>)\s*(\d+)\)|(\.\*)|(\S)",
+        pattern.replace(" ", ""),
+    )
+    refs, seps, pending = [], [], None
+    for ref, op, secs, star, bad in toks:
+        if bad:
+            raise ValueError(f"unsupported pattern token {bad!r} in "
+                             f"{pattern!r}")
+        if ref:
+            k = int(ref)
+            if not 1 <= k <= n_conds:
+                raise ValueError(f"(?{k}) exceeds the {n_conds} "
+                                 f"conditions given")
+            if refs:
+                seps.append(pending or ("strict",))
+            elif pending:
+                raise ValueError("pattern cannot start with .* or a "
+                                 "time constraint")
+            refs.append(k)
+            pending = None
+        elif star:
+            if pending:
+                raise ValueError("stacked separators in pattern")
+            pending = ("any",)
+        else:
+            if pending:
+                raise ValueError("stacked separators in pattern")
+            pending = ("t", op, int(secs))
+    if pending:
+        raise ValueError("pattern cannot end with a separator")
+    if not refs:
+        raise ValueError("pattern has no (?N) references")
+    return refs, seps
+
+
+def sequence_match(
+    events: DataFrame,
+    pattern: str,
+    conds: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse sequenceMatch(pattern)(ts, cond1, ...): per user,
+    whether the event chain matches. Conditions here are event-type
+    equalities (cond k = `type_col == conds[k-1]`); events matching
+    NO condition are skipped, exactly CH's documented behavior.
+
+    Two sound regimes, chosen by the pattern (mixes raise):
+
+    * no time constraints — a bitmask NFA folded over the per-user
+      sorted matched events: bit p = "prefix p matched and still
+      extensible". Strict-concatenation bits live exactly one event
+      (the next matched event advances them or they die); `.*` bits
+      persist. Exact for every strict/.* pattern, no backtracking
+      needed because ALL viable prefixes advance in parallel.
+    * `(?t op N)` constraints (with `.*` edges allowed) — per-prefix
+      anchor DP: for all-`<=`/`<` chains the LATEST event completing
+      each prefix dominates (any chain through an older anchor is
+      also within bound of the newest), for all-`>`/`>=` chains the
+      EARLIEST dominates; the fold tracks that one anchor per
+      prefix. Mixing directions (or strict adjacency with time
+      bounds) has no single dominating anchor — raises rather than
+      approximates.
+
+    One shuffle on user_id, map-side combined; the fold is the same
+    collected-per-user shape as windowFunnel (bounded by a user's
+    event count). Returns (user, matched).
+    """
+    refs, seps = _parse_sequence_pattern(pattern, len(conds))
+    k = len(refs)
+    if k > 16:
+        raise ValueError("patterns beyond 16 references are "
+                         "unsupported (bitmask fold)")
+    timed = [s for s in seps if s[0] == "t"]
+    cond_arr = F.array(*[F.lit(c) for c in conds])
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        (F.array_position(cond_arr, F.col(type_col))).alias("cond"),
+    ).filter(F.col("cond") >= 1)
+    per_user = ev.groupBy("user").agg(
+        F.sort_array(F.collect_list(F.struct("us", "cond"))).alias("evs")
+    )
+
+    if not timed:
+        # bitmask NFA: bit 0 (empty prefix) always on; bit k sticky
+        persists = [seps[p][0] == "any" if p < len(seps) else True
+                    for p in range(k)]  # persistence of bit p+1
+        terms = ["1"]
+        for p in range(1, k + 1):
+            prev = f"((acc div {2 ** (p - 1)}) % 2) = 1"
+            adv = f"({prev} AND e.cond = {refs[p - 1]})"
+            keep = (f" OR ((acc div {2 ** p}) % 2) = 1"
+                    if persists[p - 1] else "")
+            terms.append(f"(CASE WHEN {adv}{keep} THEN {2 ** p} "
+                         f"ELSE 0 END)")
+        fold = F.expr(
+            f"""aggregate(evs, 1,
+                  (acc, e) -> {' + '.join(terms)},
+                  acc -> ((acc div {2 ** k}) % 2) = 1)""")
+        return per_user.select("user", fold.alias("matched"))
+
+    if any(s[0] == "strict" for s in seps):
+        raise ValueError(
+            "strict adjacency combined with (?t...) constraints is "
+            "not supported; separate timed references with .*")
+    ops = {s[1] for s in timed}
+    if ops <= {"<=", "<"}:
+        best = "greatest"
+    elif ops <= {">", ">="}:
+        best = "least"
+    else:
+        raise ValueError(
+            "mixed <=/> time-constraint directions have no single "
+            "dominating anchor; split the pattern")
+    # acc: array of k anchors (BIGINT us, NULL = prefix unreached)
+    sets = []
+    for p in range(1, k + 1):
+        if p == 1:
+            ok = "true"
+        else:
+            s = seps[p - 2]
+            if s[0] == "any":
+                ok = f"acc[{p - 2}] IS NOT NULL"
+            else:
+                _, op, secs = s
+                ok = (f"acc[{p - 2}] IS NOT NULL AND "
+                      f"(e.us - acc[{p - 2}]) {op} {secs * 1_000_000}")
+        sets.append(
+            f"""CASE WHEN e.cond = {refs[p - 1]} AND {ok}
+                THEN coalesce({best}(acc[{p - 1}], e.us), e.us)
+                ELSE acc[{p - 1}] END""")
+    nulls = ", ".join(["CAST(NULL AS BIGINT)"] * k)
+    fold = F.expr(
+        f"""aggregate(evs,
+              array({nulls}),
+              (acc, e) -> array({', '.join(sets)}),
+              acc -> acc[{k - 1}] IS NOT NULL)""")
+    return per_user.select("user", fold.alias("matched"))

@@ -107,3 +107,32 @@ def behavior_sequence_count(spark, sf_dir):
     return B.sequence_count(
         table(spark, sf_dir, "events"), "view", "purchase"
     )
+
+
+@register(
+    "behavior_sequence_match",
+    oracle="""
+    WITH matched AS (
+        SELECT user_id, ts, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_type
+               ) AS nxt
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    )
+    SELECT user_id,
+           bool_or(event_type = 'click' AND nxt = 'purchase') AS matched
+    FROM matched GROUP BY user_id
+    """,
+)
+def behavior_sequence_match(spark, sf_dir):
+    """CH sequenceMatch('(?1)(?2)')(ts, click, purchase) over the
+    {view, click, purchase} event stream: per user, whether a click
+    is DIRECTLY followed by a purchase among condition-matching
+    events (view matches cond 3 so it is visible and breaks
+    adjacency — CH's documented skip-only-unmatched behavior). The
+    oracle replays the same semantics as a lead() window in DuckDB.
+    One user_id shuffle, bitmask-NFA fold (operators/behavioral.py)."""
+    ev = table(spark, sf_dir, "events")
+    return B.sequence_match(
+        ev, "(?1)(?2)", ["click", "purchase", "view"]
+    ).withColumnRenamed("user", "user_id")

@@ -202,3 +202,82 @@ def test_behavioral_single_shuffle_plans(spark, sf_small):
     assert shuffle_count(B.window_funnel(ev, ["view", "click"], 3600)) == 1
     assert shuffle_count(B.retention(ev, ["event_type = 'signup'"])) == 1
     assert shuffle_count(B.sequence_count(ev, "view", "purchase")) == 1
+
+
+class TestSequenceMatch:
+    def _run(self, spark, rows, pattern, conds):
+        from clickhouse_observability_spark.operators.behavioral import (
+            sequence_match,
+        )
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), t)
+             for (u, s, t) in rows],
+            "user_id bigint, ts timestamp, event_type string")
+        out = sequence_match(df, pattern, conds)
+        return {r.user: r.matched for r in out.collect()}
+
+    def test_strict_adjacency_skips_unmatched(self, spark):
+        # x matches no condition -> skipped, so v,p are adjacent (CH
+        # documented behavior)
+        got = self._run(spark, [(1, 0, "v"), (1, 5, "x"), (1, 9, "p"),
+                                (2, 0, "p"), (2, 5, "v")],
+                        "(?1)(?2)", ["v", "p"])
+        assert got == {1: True, 2: False}
+
+    def test_parallel_prefixes_no_greedy_trap(self, spark):
+        # v,v,p: the SECOND v anchors the adjacent match — a greedy
+        # single-chain scan would die on the middle v
+        got = self._run(spark, [(1, 0, "v"), (1, 5, "v"), (1, 9, "p")],
+                        "(?1)(?2)", ["v", "p"])
+        assert got == {1: True}
+        # an intervening event that matches SOME condition (here
+        # cond3) is visible and breaks strict adjacency; `.*`
+        # tolerates it. (Events matching NO condition are skipped —
+        # previous test.)
+        rows = [(1, 0, "v"), (1, 5, "p"), (1, 9, "q")]
+        got2 = self._run(spark, rows, "(?1)(?2)", ["v", "q", "p"])
+        assert got2 == {1: False}
+        got3 = self._run(spark, rows, "(?1).*(?2)", ["v", "q", "p"])
+        assert got3 == {1: True}
+
+    def test_three_step_and_repeated_cond(self, spark):
+        got = self._run(spark, [(1, 0, "a"), (1, 1, "a"), (1, 2, "b")],
+                        "(?1)(?1)(?2)", ["a", "b"])
+        assert got == {1: True}
+        # one event cannot serve two references
+        got2 = self._run(spark, [(1, 0, "a"), (1, 2, "b")],
+                         "(?1)(?1)(?2)", ["a", "b"])
+        assert got2 == {1: False}
+
+    def test_time_constraints_le_and_gt(self, spark):
+        rows = [(1, 0, "v"), (1, 30, "p"),
+                (2, 0, "v"), (2, 3600, "p")]
+        got = self._run(spark, rows, "(?1)(?t<=60)(?2)", ["v", "p"])
+        assert got == {1: True, 2: False}
+        got2 = self._run(spark, rows, "(?1)(?t>60)(?2)", ["v", "p"])
+        assert got2 == {1: False, 2: True}
+        # > uses the EARLIEST anchor: a later re-anchor must not
+        # shadow an old-enough one
+        got3 = self._run(spark, [(1, 0, "v"), (1, 50, "v"), (1, 70, "p")],
+                         "(?1)(?t>60)(?2)", ["v", "p"])
+        assert got3 == {1: True}
+        # <= uses the LATEST anchor
+        got4 = self._run(spark, [(1, 0, "v"), (1, 50, "v"), (1, 70, "p")],
+                         "(?1)(?t<=30)(?2)", ["v", "p"])
+        assert got4 == {1: True}
+
+    def test_unsupported_shapes_raise(self, spark):
+        import pytest as _pytest
+
+        for pat, msg in [
+            ("(?1)(?t<=5)(?2)(?t>5)(?3)", "mixed"),
+            ("(?1)(?t<=5)(?2)(?3)", "strict adjacency combined"),
+            (".*(?1)", "cannot start"),
+            ("(?1).*", "cannot end"),
+            ("(?9)", "exceeds"),
+            ("(?1)x(?2)", "unsupported pattern token"),
+        ]:
+            with _pytest.raises(ValueError, match=msg):
+                self._run(spark, [(1, 0, "v")], pat, ["v", "p", "q"])
