@@ -93,6 +93,7 @@ HEADLINE = [
     ("rollup_topk_users", "noop"),
     # r5 second wave — reported, excluded from total
     ("window_gap_fill_hourly", "noop"),
+    ("behavior_sequence_match", "noop"),
 ]
 
 # The driver's r4 capture, min-of-3 per query (the judge-verified
@@ -522,6 +523,7 @@ def _run_bench() -> None:
         "agg_slo_burn_rate",
         "rollup_topk_users",
         "window_gap_fill_hourly",  # r5 second wave: reported, not summed
+        "behavior_sequence_match",
     }
     media = _media_decode_bench(spark)
 
