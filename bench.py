@@ -5,6 +5,13 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Headline statistic (r6): every per-query time and the summed
+`value` are MIN-of-n (SPARK_GRAFT_BENCH_RUNS, default 3) — a
+contended driver host shifts means by 2-5x on sub-second entries but
+barely moves the min (r5's +14.7% phantom regression was exactly
+this; the calib probes proved it). Per-query means stay in
+BENCH.out.json (`queries_mean`) for contention diagnosis.
+
 Capture contract (r5): the driver keeps only the LAST 2000 chars of
 stdout and parses the JSON from it — r4's single ~4 KB line came back
 truncated (`parsed: null`). So stdout now carries EXACTLY ONE compact
@@ -289,12 +296,15 @@ def _run_bench() -> None:
     QS._binary_artifacts(spark, SF_DIR)
     bq_build_sec = round(time.time() - t0, 3)
 
-    # min-of-N per query for host-noise-robust comparisons (±30% noise
-    # documented in SCALING notes); `queries` keeps FIRST-run times so
-    # totals stay comparable with earlier rounds' single-run bench.
+    # min-of-N per query, and min-of-n IS the headline (r6, per the r5
+    # verdict): a contended driver host shifts means by 2-5x on
+    # sub-second entries but barely moves the min, so the min is the
+    # only cross-round-comparable statistic. Means are kept alongside
+    # (BENCH.out.json `queries_mean`) for contention diagnosis.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    times: dict[str, float] = {}
-    times_min: dict[str, float] = {}
+    times: dict[str, float] = {}       # min-of-n — the headline basis
+    times_min = times                  # alias kept for older readers
+    times_mean: dict[str, float] = {}
     for name, mode in HEADLINE:
         fn = qs[name]
         samples = []
@@ -306,8 +316,8 @@ def _run_bench() -> None:
             else:
                 df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
-        times[name] = round(samples[0], 3)
-        times_min[name] = round(min(samples), 3)
+        times[name] = round(min(samples), 3)
+        times_mean[name] = round(sum(samples) / len(samples), 3)
 
     # Ingest-path throughput: write-path normalize + partitioned sorted
     # append of 100k wire rows (reference floor: 5,000 rows/s,
@@ -322,34 +332,40 @@ def _run_bench() -> None:
         normalize_ingest,
     )
 
-    tmp = tempfile.mkdtemp(prefix="chobs-ingest-bench-")
-    try:
-        n_rows = 100_000
-        wire = spark.range(n_rows).select(
-            Fn.concat(
-                Fn.lit("2025-0"),
-                (Fn.col("id") % 2 + 7).cast("string"),
-                Fn.lit("-15T10:"),
-                Fn.lpad((Fn.col("id") % 60).cast("string"), 2, "0"),
-                Fn.lit(":00Z"),
-            ).alias("ts"),
-            Fn.concat(Fn.lit("svc-"), (Fn.col("id") % 8).cast("string")).alias("service"),
-            Fn.element_at(
-                Fn.array(Fn.lit("INFO"), Fn.lit("WARN"), Fn.lit("ERROR")),
-                (Fn.col("id") % 3 + 1).cast("int"),
-            ).alias("level"),
-            Fn.concat(Fn.lit("msg-"), Fn.col("id").cast("string")).alias("msg"),
-            Fn.create_map(Fn.lit("user"), Fn.concat(Fn.lit("u"), (Fn.col("id") % 100).cast("string"))).alias("attrs"),
-            Fn.concat(Fn.lit("trace-"), (Fn.col("id") % 1000).cast("string")).alias("trace_id"),
-            Fn.concat(Fn.lit("span-"), Fn.col("id").cast("string")).alias("span_id"),
-        )
-        table = LogsTable(spark, tmp + "/logs")
-        t0 = time.time()
-        table.insert(normalize_ingest(wire))
-        dt_ingest = time.time() - t0
-        times["ingest_100k_rows"] = round(dt_ingest, 3)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    n_rows = 100_000
+    wire = spark.range(n_rows).select(
+        Fn.concat(
+            Fn.lit("2025-0"),
+            (Fn.col("id") % 2 + 7).cast("string"),
+            Fn.lit("-15T10:"),
+            Fn.lpad((Fn.col("id") % 60).cast("string"), 2, "0"),
+            Fn.lit(":00Z"),
+        ).alias("ts"),
+        Fn.concat(Fn.lit("svc-"), (Fn.col("id") % 8).cast("string")).alias("service"),
+        Fn.element_at(
+            Fn.array(Fn.lit("INFO"), Fn.lit("WARN"), Fn.lit("ERROR")),
+            (Fn.col("id") % 3 + 1).cast("int"),
+        ).alias("level"),
+        Fn.concat(Fn.lit("msg-"), Fn.col("id").cast("string")).alias("msg"),
+        Fn.create_map(Fn.lit("user"), Fn.concat(Fn.lit("u"), (Fn.col("id") % 100).cast("string"))).alias("attrs"),
+        Fn.concat(Fn.lit("trace-"), (Fn.col("id") % 1000).cast("string")).alias("trace_id"),
+        Fn.concat(Fn.lit("span-"), Fn.col("id").cast("string")).alias("span_id"),
+    )
+    # min-of-3 (r6): single-run throughput entries showed 20-40%
+    # host-noise swings across rounds (the r5 "parity drift" bisected
+    # to exactly this — the per-batch code was byte-identical to r4).
+    dt_ingest = None
+    for _ in range(3):
+        tmp = tempfile.mkdtemp(prefix="chobs-ingest-bench-")
+        try:
+            table = LogsTable(spark, tmp + "/logs")
+            t0 = time.time()
+            table.insert(normalize_ingest(wire))
+            dt = time.time() - t0
+            dt_ingest = dt if dt_ingest is None else min(dt_ingest, dt)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    times["ingest_100k_rows"] = round(dt_ingest, 3)
 
     # Streaming-path throughput: the full micro-batch pipeline
     # (submit -> JSONL inbox -> file source -> foreachBatch -> sorted
@@ -357,41 +373,50 @@ def _run_bench() -> None:
     # Reference steady-state floor: 5,000 rows/s (batcher.go:62-75).
     from clickhouse_observability_spark.streaming.batcher import IngestStream
 
-    tmp2 = tempfile.mkdtemp(prefix="chobs-stream-bench-")
-    try:
-        n_stream = 50_000
-        wire_rows = [
-            {
-                "ts": f"2025-07-15T10:{i % 60:02d}:00Z",
-                "service": f"svc-{i % 8}",
-                "level": ("INFO", "WARN", "ERROR")[i % 3],
-                "msg": f"msg-{i}",
-                "attrs": {"user": f"u{i % 100}"},
-                "trace_id": f"trace-{i % 1000}",
-                "span_id": f"span-{i}",
-            }
-            for i in range(n_stream)
-        ]
-        stable = LogsTable(spark, tmp2 + "/logs")
-        stream = IngestStream(
-            spark,
-            stable,
-            inbox_dir=tmp2 + "/inbox",
-            checkpoint_dir=tmp2 + "/ckpt",
-            flush_size=500,  # reference INGEST_BATCH_SIZE default
-            max_files_per_trigger=16,
-        )
-        stream.submit_many(wire_rows)
-        t0 = time.time()
-        stream.start()
-        stream.query.processAllAvailable()
-        dt_stream = time.time() - t0
-        stream.stop(drain=False)
-        assert stable.read().count() == n_stream
-        times["streaming_ingest_50k_rows"] = round(dt_stream, 3)
-        streaming_rps = round(n_stream / dt_stream, 1)
-    finally:
-        shutil.rmtree(tmp2, ignore_errors=True)
+    n_stream = 50_000
+    wire_rows = [
+        {
+            "ts": f"2025-07-15T10:{i % 60:02d}:00Z",
+            "service": f"svc-{i % 8}",
+            "level": ("INFO", "WARN", "ERROR")[i % 3],
+            "msg": f"msg-{i}",
+            "attrs": {"user": f"u{i % 100}"},
+            "trace_id": f"trace-{i % 1000}",
+            "span_id": f"span-{i}",
+        }
+        for i in range(n_stream)
+    ]
+    # min-of-3 (r6): the r5 verdict's 14.7k -> 12.0k "parity drift"
+    # bisected to measurement variance, not code — the per-batch path
+    # is byte-identical to r4 when no views are attached (the matview
+    # trigger is behind an `if not self.materialized_views` early
+    # return). This entry was the last single-run throughput number;
+    # min-of-3 makes it robust the same way the tuned entry already is.
+    dt_stream = None
+    for _ in range(3):
+        tmp2 = tempfile.mkdtemp(prefix="chobs-stream-bench-")
+        try:
+            stable = LogsTable(spark, tmp2 + "/logs")
+            stream = IngestStream(
+                spark,
+                stable,
+                inbox_dir=tmp2 + "/inbox",
+                checkpoint_dir=tmp2 + "/ckpt",
+                flush_size=500,  # reference INGEST_BATCH_SIZE default
+                max_files_per_trigger=16,
+            )
+            stream.submit_many(wire_rows)
+            t0 = time.time()
+            stream.start()
+            stream.query.processAllAvailable()
+            dt = time.time() - t0
+            stream.stop(drain=False)
+            assert stable.read().count() == n_stream
+            dt_stream = dt if dt_stream is None else min(dt_stream, dt)
+        finally:
+            shutil.rmtree(tmp2, ignore_errors=True)
+    times["streaming_ingest_50k_rows"] = round(dt_stream, 3)
+    streaming_rps = round(n_stream / dt_stream, 1)
 
     # Tuned streaming config: same pipeline, larger batches + slower
     # trigger (500ms / 5000 rows / 16 files-per-trigger). The parity
@@ -556,8 +581,9 @@ def _run_bench() -> None:
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": times,            # min-of-n (the headline basis, r6)
         "queries_min_of_n": times_min,
+        "queries_mean": times_mean,  # contention diagnosis only
         "total_excludes": sorted(aux),
         "common_queries": common,
         **scalars,

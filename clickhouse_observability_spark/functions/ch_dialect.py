@@ -241,14 +241,25 @@ _FUNCS = {
     # convention replaces that declaration). dictGet becomes a
     # correlated scalar subquery — Catalyst decorrelates it into a
     # (broadcastable) left join, which IS the hash-dict lookup.
+    # Miss semantics: CH dictGet returns the attribute's DECLARED
+    # default on a missing key (the type default — 0, '' — unless
+    # CREATE DICTIONARY set one). The TYPED variants below coalesce
+    # to the type default to match; untyped dictGet has no declared
+    # type here, so it returns NULL on a miss — a documented
+    # divergence (use dictGetOrDefault or a typed variant for
+    # CH-exact miss behavior).
     "dictget": lambda a: _dict_get(a),
     "dictgetordefault": lambda a: (
         f"coalesce({_dict_get(a[:3])}, {a[3]})" if len(a) == 4
         else _dict_bad("dictGetOrDefault(dict, attr, key, default)")),
-    "dictgetstring": lambda a: f"CAST({_dict_get(a)} AS STRING)",
-    "dictgetint64": lambda a: f"CAST({_dict_get(a)} AS BIGINT)",
-    "dictgetuint64": lambda a: f"CAST({_dict_get(a)} AS BIGINT)",
-    "dictgetfloat64": lambda a: f"CAST({_dict_get(a)} AS DOUBLE)",
+    "dictgetstring": lambda a: (
+        f"coalesce(CAST({_dict_get(a)} AS STRING), '')"),
+    "dictgetint64": lambda a: (
+        f"coalesce(CAST({_dict_get(a)} AS BIGINT), CAST(0 AS BIGINT))"),
+    "dictgetuint64": lambda a: (
+        f"coalesce(CAST({_dict_get(a)} AS BIGINT), CAST(0 AS BIGINT))"),
+    "dictgetfloat64": lambda a: (
+        f"coalesce(CAST({_dict_get(a)} AS DOUBLE), CAST(0 AS DOUBLE))"),
     "dicthas": lambda a: (
         f"(SELECT count(*) FROM {_dict_name(a[0])} WHERE "
         f"{_dict_name(a[0])}.key = ({a[1]})) > 0" if len(a) == 2
@@ -370,7 +381,11 @@ _FUNCS = {
         f"array_join({a[0]}, {a[1] if len(a) > 1 else _q('')})"),
     "indexof": lambda a: f"array_position({a[0]}, {a[1]})",
     "anylast": lambda a: f"last({a[0]})",
-    "anyheavy": lambda a: f"any_value({a[0]})",
+    # anyHeavy's contract is a FREQUENTLY-occurring value (CH uses the
+    # heavy-hitters sketch); Spark's mode() (exact most-frequent) is a
+    # strictly stronger answer — any_value would silently drop the
+    # frequency contract.
+    "anyheavy": lambda a: f"mode({a[0]})",
     # statistics family: CH camelCase -> Spark snake_case (unmapped
     # these would hit UNRESOLVED_ROUTINE, not mistranslate — but a
     # CH user expects them to just work)
@@ -471,17 +486,50 @@ _SUBSCRIPT_BLOCKERS = {
 }
 
 
+def _subscript_primary_start(out: list[str]) -> int:
+    """Index in `out` where the primary expression being subscripted
+    begins: a balanced (...) / call / qualified identifier / string
+    walking left from the tail."""
+    i = len(out) - 1
+    if out[i] == ")":
+        depth = 0
+        while i >= 0:
+            if out[i] == ")":
+                depth += 1
+            elif out[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        # include the call name: `f(x)[1]` subscripts the call result
+        prev = out[i - 1] if i > 0 else None
+        if prev is not None and (prev[0].isalpha() or prev[0] == "_"):
+            i -= 1
+    # extend over qualification dots: `t.arr[1]`, `db.t.arr[1]`
+    while i >= 2 and out[i - 1] == "." and (
+        out[i - 2][0].isalpha() or out[i - 2][0] == "_"
+    ):
+        i -= 2
+    return i
+
+
 def _rewrite_array_literals(tokens: list[str]) -> list[str]:
-    """CH array literals `[a, b, c]` -> Spark `array(a, b, c)`.
+    """CH array literals `[a, b, c]` -> Spark `array(a, b, c)`, and
+    CH subscripts `expr[i]` -> Spark `element_at(expr, i)`.
 
     Disambiguation (same rule CH's own lexer uses): a '[' directly
-    after an identifier, ')', ']' or a string is a SUBSCRIPT
-    (`arr[1]` — valid Spark syntax too, left untouched); anywhere
-    else it opens a literal. Nesting tracked with a stack so
-    `[[1,2],[3]]` becomes array(array(1,2), array(3)) while the
-    subscript in `arrayMap(x -> x[1], [[1],[2]])` survives."""
+    after an identifier, ')', ']' or a string is a SUBSCRIPT;
+    anywhere else it opens a literal. Subscripts must NOT pass
+    through as Spark bracket indexing: CH subscripts are 1-based
+    (negative = from the end), Spark brackets are 0-based — a silent
+    off-by-one. Spark's `element_at` is 1-based with
+    negative-from-end, matching CH exactly, and also covers map
+    subscripts (`m['k']`). Nesting tracked with a stack so
+    `[[1,2],[3]]` becomes array(array(1,2), array(3)) and
+    `[10,20,30][1]` becomes element_at(array(10,20,30), 1) = 10 as
+    CH returns."""
     out: list[str] = []
-    stack: list[bool] = []
+    stack: list[bool] = []  # True = literal we opened; False = subscript
     for t in tokens:
         if t == "[":
             prev = out[-1] if out else None
@@ -494,7 +542,8 @@ def _rewrite_array_literals(tokens: list[str]) -> list[str]:
                 )
             )
             if subscript:
-                out.append("[")
+                start = _subscript_primary_start(out)
+                out[start:] = ["element_at", "("] + out[start:] + [","]
                 stack.append(False)
             else:
                 # two tokens so downstream paren-depth tracking
@@ -502,7 +551,8 @@ def _rewrite_array_literals(tokens: list[str]) -> list[str]:
                 out.extend(("array", "("))
                 stack.append(True)
         elif t == "]" and stack:
-            out.append(")" if stack.pop() else "]")
+            stack.pop()
+            out.append(")")
         else:
             out.append(t)
     return out

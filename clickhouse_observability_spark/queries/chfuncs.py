@@ -39,8 +39,14 @@ from clickhouse_observability_spark.registry import register, table
                                   ORDER BY value ASC, user_id ASC) AS rn
         FROM events) WHERE rn = 1),
     tk AS (
+      -- serialized to a canonical CSV string: the driver's pandas
+      -- canonicalizer sorts result cells and list cells are
+      -- unhashable there (round-5 lesson: no array/map/struct
+      -- columns in adjudicated output schemas)
       SELECT event_type,
-             (list(user_id ORDER BY c DESC, user_id))[1:3] AS top3_users
+             coalesce(array_to_string(
+               (list(user_id ORDER BY c DESC, user_id))[1:3], ','), '')
+               AS top3_users
       FROM (SELECT event_type, user_id, count(*) AS c
             FROM events GROUP BY 1, 2)
       GROUP BY 1),
@@ -52,7 +58,9 @@ from clickhouse_observability_spark.registry import register, table
       FROM events GROUP BY 1),
     hist AS (
       SELECT t.event_type,
-             list(coalesce(h.cnt, 0) ORDER BY g.b) AS histogram10
+             coalesce(array_to_string(
+               list(coalesce(h.cnt, 0) ORDER BY g.b), ','), '')
+               AS histogram10
       FROM (SELECT DISTINCT event_type FROM events) t
       CROSS JOIN (SELECT b FROM range(1, 11) r(b)) g
       LEFT JOIN (SELECT event_type,
@@ -91,8 +99,17 @@ def agg_ch_functions_panel(spark, sf_dir):
     )
     return (
         base.join(topk, "event_type").join(hist, "event_type")
-        .select("event_type", "argmax_user", "argmin_user", "top3_users",
-                "sum_if_high", "count_if_low", "avg_if_mid", "histogram10")
+        # arrays serialized to canonical CSV strings: the driver's
+        # pandas canonicalizer cannot hash list cells (r5 red row) —
+        # same values, atomic type, identical on the DuckDB side
+        .select(
+            "event_type", "argmax_user", "argmin_user",
+            F.concat_ws(",", F.col("top3_users").cast("array<string>"))
+            .alias("top3_users"),
+            "sum_if_high", "count_if_low", "avg_if_mid",
+            F.concat_ws(",", F.col("histogram10").cast("array<string>"))
+            .alias("histogram10"),
+        )
     )
 
 

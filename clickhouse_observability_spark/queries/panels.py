@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from clickhouse_observability_spark.queries.analytics import (
     agg_cube_type_user_bucket,
+    agg_error_rate_hourly,
+    agg_hourly,
     agg_rollup_day_type,
 )
 from clickhouse_observability_spark.queries.dedup import (
@@ -44,7 +46,14 @@ from clickhouse_observability_spark.queries.windows import (
     window_topn_per_type,
     window_user_gaps,
 )
-from clickhouse_observability_spark.registry import register
+from clickhouse_observability_spark.queries.text import (
+    text_fingerprints,
+    text_lang_id,
+    text_quality,
+    text_repetition,
+    text_token_stats,
+)
+from clickhouse_observability_spark.registry import _ORACLES, register
 
 
 @register(
@@ -381,3 +390,191 @@ def window_session_panel(spark, sf_dir):
         "session_end",
     )
     return gaps.unionByName(sess)
+
+
+# ---------------------------------------------------------------- r6
+# Second rotation wave: three more slot-merges freeing four window
+# slots for window_gap_fill_hourly (the WITH FILL densify proof),
+# behavior_sequence_match (the hardest CH-signature pattern grammar),
+# dedup_exact_spans (distributed ExactSubstr) and text_bm25_search
+# (end-to-end lexical retrieval). Same contract as the r5 panels:
+# every arm IS the original adjudicated callable, and the oracle is
+# the original entry's oracle text wrapped as a subquery — no
+# re-derivation on either engine side.
+
+
+@register(
+    "agg_hourly_panel",
+    oracle=(
+        "SELECT 'hourly' AS op, bucket, n, sum_value,\n"
+        "       CAST(NULL AS BIGINT) AS n_total,\n"
+        "       CAST(NULL AS BIGINT) AS n_errors,\n"
+        "       CAST(NULL AS DOUBLE) AS error_rate\n"
+        "FROM (" + _ORACLES["agg_hourly"] + ")\n"
+        "UNION ALL\n"
+        "SELECT 'error_rate_hourly', bucket, CAST(NULL AS BIGINT),\n"
+        "       CAST(NULL AS DOUBLE), n_total, n_errors, error_rate\n"
+        "FROM (" + _ORACLES["agg_error_rate_hourly"] + ")"
+    ),
+)
+def agg_hourly_panel(spark, sf_dir):
+    """The two hourly time-series shapes (count/sum panel + error
+    rate) op-tagged in one slot — both arms group the same scan on
+    the same hour bucket; each plans one partial-agg shuffle keyed by
+    the bucket, and the union adds no exchange."""
+    hourly = agg_hourly(spark, sf_dir).select(
+        F.lit("hourly").alias("op"),
+        "bucket",
+        "n",
+        "sum_value",
+        F.lit(None).cast("long").alias("n_total"),
+        F.lit(None).cast("long").alias("n_errors"),
+        F.lit(None).cast("double").alias("error_rate"),
+    )
+    err = agg_error_rate_hourly(spark, sf_dir).select(
+        F.lit("error_rate_hourly").alias("op"),
+        "bucket",
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        "n_total",
+        "n_errors",
+        "error_rate",
+    )
+    return hourly.unionByName(err)
+
+
+_PERDOC_NULLS = (
+    # (column, spark type, duckdb type) for every per-doc column, in
+    # panel output order; each arm keeps its own columns and nulls the
+    # rest so the three single-pass scans stay independent (no join).
+    ("n_chars", "int", "BIGINT"),
+    ("n_tokens", "int", "BIGINT"),
+    ("n_distinct_tokens", "int", "BIGINT"),
+    ("avg_token_len", "double", "DOUBLE"),
+    ("bpe_tokens", "int", "BIGINT"),
+    ("inflation", "double", "DOUBLE"),
+    ("stopword_ratio", "double", "DOUBLE"),
+    ("digit_ratio", "double", "DOUBLE"),
+    # boolean serialized to 0/1: a NULLABLE boolean stringifies as
+    # None on the Spark side but NaN on the DuckDB side (measured),
+    # so the union's null-padding would hash-mismatch; as INT both
+    # engines land in float64-with-NaN identically.
+    ("passes_quality", "int", "INTEGER"),
+    ("score_en", "int", "BIGINT"),
+    ("score_de", "int", "BIGINT"),
+    ("score_fr", "int", "BIGINT"),
+    ("score_es", "int", "BIGINT"),
+    ("lang_pred", "string", "VARCHAR"),
+)
+
+_PERDOC_ARMS = {
+    "token_stats": ("n_chars", "n_tokens", "n_distinct_tokens",
+                    "avg_token_len", "bpe_tokens", "inflation"),
+    "quality": ("stopword_ratio", "digit_ratio", "passes_quality"),
+    "lang_id": ("score_en", "score_de", "score_fr", "score_es",
+                "lang_pred"),
+}
+
+
+def _perdoc_oracle_arm(op: str, inner: str) -> str:
+    def sel(c: str, t: str) -> str:
+        if c not in _PERDOC_ARMS[op]:
+            return f"CAST(NULL AS {t}) AS {c}"
+        if c == "passes_quality":
+            return "passes_quality::INTEGER AS passes_quality"
+        return c
+
+    cols = ", ".join(sel(c, t) for c, _, t in _PERDOC_NULLS)
+    return f"SELECT '{op}' AS op, doc_id, {cols}\nFROM ({inner})"
+
+
+@register(
+    "text_perdoc_panel",
+    oracle="\nUNION ALL\n".join(
+        _perdoc_oracle_arm(op, _ORACLES[f"text_{op}"])
+        for op in ("token_stats", "quality", "lang_id")
+    ),
+)
+def text_perdoc_panel(spark, sf_dir):
+    """The three per-document map-only stat families — token budget,
+    quality gates, n-gram lang-ID — op-tagged in one slot. Each arm
+    is the original adjudicated callable and stays a single corpus
+    scan of pure JVM expressions (no shuffle, no join: a union of
+    map-only projections is itself map-only)."""
+    arms = {
+        "token_stats": text_token_stats(spark, sf_dir),
+        "quality": text_quality(spark, sf_dir),
+        "lang_id": text_lang_id(spark, sf_dir),
+    }
+    out = []
+    for op, df in arms.items():
+        out.append(df.select(
+            F.lit(op).alias("op"),
+            "doc_id",
+            *[
+                F.col(c).cast(t).alias(c) if c in _PERDOC_ARMS[op]
+                else F.lit(None).cast(t).alias(c)
+                for c, t, _ in _PERDOC_NULLS
+            ],
+        ))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+@register(
+    "text_signal_panel",
+    oracle=(
+        "SELECT 'fingerprints' AS op, doc_id, fp_md5, fp_tokenset,\n"
+        "       n_fingerprints, min_fp,\n"
+        "       CAST(NULL AS BIGINT) AS n_2grams,\n"
+        "       CAST(NULL AS VARCHAR) AS top_2gram,\n"
+        "       CAST(NULL AS BIGINT) AS top_2gram_n,\n"
+        "       CAST(NULL AS DOUBLE) AS top_2gram_frac,\n"
+        "       CAST(NULL AS BIGINT) AS n_distinct_2grams,\n"
+        "       CAST(NULL AS DOUBLE) AS dup_2gram_frac\n"
+        "FROM (" + _ORACLES["text_fingerprints"] + ")\n"
+        "UNION ALL\n"
+        "SELECT 'repetition', doc_id, CAST(NULL AS VARCHAR),\n"
+        "       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),\n"
+        "       CAST(NULL AS VARCHAR), n_2grams, top_2gram,\n"
+        "       top_2gram_n, top_2gram_frac, n_distinct_2grams,\n"
+        "       dup_2gram_frac\n"
+        "FROM (" + _ORACLES["text_repetition"] + ")"
+    ),
+)
+def text_signal_panel(spark, sf_dir):
+    """Fingerprint family (md5/token-set/winnowing) + the Gopher
+    repetition panel op-tagged in one slot. The fingerprint arm is
+    map-only plus the winnowing window; the repetition arm's one
+    shuffle is keyed by doc_id on pre-aggregated 2-gram counts."""
+    fp = text_fingerprints(spark, sf_dir).select(
+        F.lit("fingerprints").alias("op"),
+        "doc_id",
+        "fp_md5",
+        "fp_tokenset",
+        "n_fingerprints",
+        "min_fp",
+        F.lit(None).cast("long").alias("n_2grams"),
+        F.lit(None).cast("string").alias("top_2gram"),
+        F.lit(None).cast("long").alias("top_2gram_n"),
+        F.lit(None).cast("double").alias("top_2gram_frac"),
+        F.lit(None).cast("long").alias("n_distinct_2grams"),
+        F.lit(None).cast("double").alias("dup_2gram_frac"),
+    )
+    rep = text_repetition(spark, sf_dir).select(
+        F.lit("repetition").alias("op"),
+        "doc_id",
+        F.lit(None).cast("string").alias("fp_md5"),
+        F.lit(None).cast("string").alias("fp_tokenset"),
+        F.lit(None).cast("long").alias("n_fingerprints"),
+        F.lit(None).cast("string").alias("min_fp"),
+        "n_2grams",
+        "top_2gram",
+        "top_2gram_n",
+        "top_2gram_frac",
+        "n_distinct_2grams",
+        "dup_2gram_frac",
+    )
+    return fp.unionByName(rep)

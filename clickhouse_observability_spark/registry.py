@@ -66,9 +66,8 @@ _WINDOW_ORDER = [
     "logs_json_attr",
     "logs_count",
     "agg_counts_by_type",
-    "agg_hourly",
+    "agg_hourly_panel",
     "agg_month_buckets",
-    "agg_error_rate_hourly",
     "agg_latency_percentiles",
     "profile_events",
     "agg_grouping_panel",
@@ -91,15 +90,12 @@ _WINDOW_ORDER = [
     "dedup_embedding_pairs",
     "sim_topk_exact_proofs",
     "sim_topk_quantized",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
+    "text_perdoc_panel",
     "text_search_grep",
     "text_train_val_split",
-    "text_fingerprints",
+    "text_signal_panel",
     "text_contamination",
     "text_pii_scrub",
-    "text_repetition",
     "text_domain_mix",
     "text_corpus_stats",
     "text_pack_chunks",
@@ -111,6 +107,14 @@ _WINDOW_ORDER = [
     "rollup_day_type_panel",
     "agg_ch_functions_panel",
     "text_dsir_weights",
+    # r6 rotation: three more panel merges (agg_hourly_panel,
+    # text_perdoc_panel, text_signal_panel) freed four slots for the
+    # round-5 flagships below; merged-away entries keep their own
+    # oracles right after the window (pytest-DuckDB adjudicated).
+    "window_gap_fill_hourly",
+    "behavior_sequence_match",
+    "dedup_exact_spans",
+    "text_bm25_search",
 ]
 
 

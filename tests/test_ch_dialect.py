@@ -389,7 +389,9 @@ def test_array_join_explodes_rows(spark):
 
 def test_anylast_quantiletiming_translate(spark):
     out = translate("SELECT anyLast(x), anyHeavy(y) FROM t GROUP BY g")
-    assert "last(x)" in out and "any_value(y)" in out
+    # anyHeavy contracts a FREQUENT value -> exact mode(), never the
+    # arbitrary any_value (r5 ADVICE)
+    assert "last(x)" in out and "mode(y)" in out
     out = translate("SELECT quantileTiming(0.95)(ms) FROM t")
     assert "percentile_approx(ms, 0.95)" in out
 
@@ -612,7 +614,10 @@ def test_dict_functions(spark):
         "FROM tdl ORDER BY service")).collect()
     assert [(r.service, r.owner, r.o2, r.tier, r.has) for r in rows] == [
         ("api", "team-a", "team-a", 1, True),
-        ("db", None, "unowned", None, False),
+        # typed variants return the CH type default on a miss (0, ''),
+        # matching CH dictGet's declared-default semantics; untyped
+        # dictGet stays NULL-on-miss (documented divergence)
+        ("db", None, "unowned", 0, False),
     ]
     with pytest.raises(ChDialectError, match="quoted dictionary"):
         translate("SELECT dictGet(svc_meta, 'owner', s) FROM t")
@@ -685,3 +690,55 @@ def test_stats_and_bucket_vocabulary(spark):
     assert str(b.b5) == "2024-03-01 10:05:00"
     assert str(b.b15) == "2024-03-01 10:00:00"
     assert b.q == 1
+
+
+def test_subscripts_are_one_based(spark):
+    """CH subscripts are 1-based (negative = from the end); Spark
+    bracket indexing is 0-based, so passthrough would be a silent
+    off-by-one (r5 ADVICE). Every detected subscript rewrites to
+    element_at, which matches CH's indexing exactly."""
+    r = spark.sql(translate(
+        "SELECT [10, 20, 30][1] AS a, [10, 20, 30][3] AS b, "
+        "[10, 20, 30][-1] AS c"
+    )).collect()[0]
+    assert (r.a, r.b, r.c) == (10, 30, 30)
+    # subscript of a column and of a call result
+    r = spark.sql(translate(
+        "SELECT arr[2] AS x, arraySort(arr)[1] AS lo "
+        "FROM (SELECT [3, 1, 2] AS arr)"
+    )).collect()[0]
+    assert (r.x, r.lo) == (1, 1)
+    # qualified column subscript + subscript inside a lambda
+    r = spark.sql(translate(
+        "SELECT t.arr[1] AS q, arrayMap(x -> x[1], [[7],[9]]) AS m "
+        "FROM (SELECT [5, 6] AS arr) t"
+    )).collect()[0]
+    assert r.q == 5 and r.m == [7, 9]
+    # map subscript: element_at covers maps too (keys not positional)
+    r = spark.sql(translate(
+        "SELECT m['k'] AS v FROM (SELECT map('k', 42) AS m)"
+    )).collect()[0]
+    assert r.v == 42
+
+
+def test_dict_typed_defaults_on_miss(spark):
+    spark.createDataFrame(
+        [("api", "team-a", 1, 0.5)],
+        "key string, owner string, tier int, score double",
+    ).createOrReplaceTempView("svc_meta2")
+    spark.createDataFrame(
+        [("db",)], "service string"
+    ).createOrReplaceTempView("tdl2")
+    r = ch_sql(spark, (
+        "SELECT dictGetString('svc_meta2', 'owner', service) AS o, "
+        "dictGetInt64('svc_meta2', 'tier', service) AS t, "
+        "dictGetFloat64('svc_meta2', 'score', service) AS s "
+        "FROM tdl2")).collect()[0]
+    assert (r.o, r.t, r.s) == ("", 0, 0.0)
+
+
+def test_anyheavy_returns_frequent_value(spark):
+    r = ch_sql(spark, (
+        "SELECT anyHeavy(v) AS h FROM "
+        "(SELECT explode(array(1, 2, 2, 2, 3)) AS v)")).collect()[0]
+    assert r.h == 2

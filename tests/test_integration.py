@@ -196,6 +196,14 @@ def test_adjudication_window_composition():
         "rollup_day_type_panel",
         "agg_ch_functions_panel",
         "text_dsir_weights",
+        # r6 rotation: three more panel merges + four round-5 flagships
+        "agg_hourly_panel",
+        "text_perdoc_panel",
+        "text_signal_panel",
+        "window_gap_fill_hourly",
+        "behavior_sequence_match",
+        "dedup_exact_spans",
+        "text_bm25_search",
     ):
         assert flagship in registry._WINDOW_ORDER, flagship
     # merged-away entries keep their oracles (no semantics dropped)
@@ -212,8 +220,35 @@ def test_adjudication_window_composition():
         "dedup_keep_first",
         "window_user_gaps",
         "window_sessionize",
+        # r6 merges
+        "agg_hourly",
+        "agg_error_rate_hourly",
+        "text_token_stats",
+        "text_quality",
+        "text_lang_id",
+        "text_fingerprints",
+        "text_repetition",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
+
+
+def test_window_schemas_are_atomic(spark, sf_small):
+    """Driver-canonicalizer contract: the adjudicator sorts results
+    as a pandas frame, where list/dict cells are unhashable — the r5
+    `agg_ch_functions_panel` red row was exactly this. Every window
+    entry's output schema must therefore contain only atomic types
+    (serialize arrays to canonical strings instead)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from clickhouse_observability_spark import registry
+
+    qs = registry.queries()
+    bad = []
+    for name in registry._WINDOW_ORDER:
+        for f in qs[name](spark, sf_small).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"non-atomic columns in adjudicated schemas: {bad}"
 
 
 def test_panel_arms_equal_source_entries(spark, sf_small):
@@ -290,4 +325,78 @@ def test_r5_panel_arms_equal_source_entries(spark, sf_small):
     assert (
         ses.filter(F.col("op") == "sessionize").count()
         == qs["window_sessionize"](spark, sf_small).count()
+    )
+
+
+def test_r6_merged_away_oracles_match_duckdb(spark, sf_small):
+    """The seven entries the r6 rotation merged out of the driver's
+    window keep full oracle adjudication here (the r5 convention:
+    pytest executes their SQL against DuckDB and hash-compares)."""
+    import duckdb
+
+    from clickhouse_observability_spark.registry import oracle_sql, queries
+
+    qs, oracles = queries(), oracle_sql()
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'")
+    for name in (
+        "agg_hourly",
+        "agg_error_rate_hourly",
+        "text_token_stats",
+        "text_quality",
+        "text_lang_id",
+        "text_fingerprints",
+        "text_repetition",
+    ):
+        sdf = qs[name](spark, sf_small)
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        assert sorted(sdf.columns) == sorted(dcols), name
+        idx = [dcols.index(c) for c in sdf.columns]
+        srows = sorted(tuple(str(v) for v in r) for r in sdf.collect())
+        drows = sorted(tuple(str(r[i]) for i in idx)
+                       for r in res.fetchall())
+        assert srows == drows, name
+
+
+def test_r6_panel_arms_equal_source_entries(spark, sf_small):
+    """r6 panel contract: each arm's rows equal the standalone
+    adjudicated entry's rows (the arms ARE the same callables)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark import registry
+
+    qs = registry.queries()
+
+    hourly = qs["agg_hourly_panel"](spark, sf_small)
+    assert (
+        hourly.filter(F.col("op") == "hourly").count()
+        == qs["agg_hourly"](spark, sf_small).count()
+    )
+    assert (
+        hourly.filter(F.col("op") == "error_rate_hourly").count()
+        == qs["agg_error_rate_hourly"](spark, sf_small).count()
+    )
+
+    perdoc = qs["text_perdoc_panel"](spark, sf_small)
+    for op, src in (
+        ("token_stats", "text_token_stats"),
+        ("quality", "text_quality"),
+        ("lang_id", "text_lang_id"),
+    ):
+        assert (
+            perdoc.filter(F.col("op") == op).count()
+            == qs[src](spark, sf_small).count()
+        ), op
+
+    sig = qs["text_signal_panel"](spark, sf_small)
+    assert (
+        sig.filter(F.col("op") == "fingerprints").count()
+        == qs["text_fingerprints"](spark, sf_small).count()
+    )
+    assert (
+        sig.filter(F.col("op") == "repetition").count()
+        == qs["text_repetition"](spark, sf_small).count()
     )
