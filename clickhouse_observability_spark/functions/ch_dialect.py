@@ -1075,6 +1075,70 @@ def _reject_with_fill(tokens: list[str]) -> None:
 _FILL_KWS = {"from", "to", "step", "interpolate", "limit"}
 
 
+def _parse_interpolate_entry(a: list[str]):
+    """One INTERPOLATE list entry -> (column, spec).
+
+    `col` -> carry the previous value (spec None). `col AS expr` —
+    CH evaluates expr ITERATIVELY (fill row i sees fill row i-1's
+    values), so only expressions with a closed form under iteration
+    are accepted and mapped to that closed form:
+
+      col            carry (explicit)          spec None
+      <literal>      constant                  ("const", sql)
+      col ± k        arithmetic progression    ("add", ±k)
+      col * k        geometric progression     ("mul", k)
+
+    Expressions referencing other columns or non-linear in `col`
+    have no distributed closed form; they raise rather than
+    silently diverging from CH's row-serial semantics."""
+    lows = [t.lower() for t in a]
+    name_toks, expr = a, None
+    if "as" in lows:
+        k = lows.index("as")
+        name_toks, expr = a[:k], a[k + 1:]
+    if len(name_toks) != 1 or not re.fullmatch(r"[A-Za-z_]\w*",
+                                               name_toks[0]):
+        raise ChDialectError(
+            "INTERPOLATE entries must be projected column names")
+    name = name_toks[0]
+    if expr is None or expr == [name]:
+        return (name, None)
+
+    def signed_num(i: int):
+        """(value, token width) for a possibly-negated numeric
+        literal at expr[i], else None."""
+        if i < len(expr) and _is_number(expr[i]):
+            v = float(expr[i])
+            return (int(v) if v == int(v) else v), 1
+        if (i + 1 < len(expr) and expr[i] == "-"
+                and _is_number(expr[i + 1])):
+            v = -float(expr[i + 1])
+            return (int(v) if v == int(v) else v), 2
+        return None
+
+    if len(expr) == 1 and _is_string(expr[0]):
+        return (name, ("const", expr[0]))
+    v = signed_num(0)
+    if v is not None and v[1] == len(expr):
+        return (name, ("const", str(v[0])))
+    if len(expr) >= 3 and expr[0] == name and expr[1] in ("+", "-", "*"):
+        v = signed_num(2)
+        if v is not None and 2 + v[1] == len(expr):
+            if expr[1] == "+":
+                return (name, ("add", v[0]))
+            if expr[1] == "-":
+                return (name, ("add", -v[0]))
+            return (name, ("mul", v[0]))
+    if len(expr) >= 3 and expr[-1] == name and expr[-2] in ("+", "*"):
+        v = signed_num(0)
+        if v is not None and v[1] + 2 == len(expr):
+            return (name, ("add" if expr[-2] == "+" else "mul", v[0]))
+    raise ChDialectError(
+        "INTERPOLATE (col AS expr): CH applies expr iteratively per "
+        "fill row, so only closed-form shapes are supported — col, a "
+        "literal, col ± k, col * k; got " + " ".join(expr))
+
+
 def _extract_with_fill(sql: str):
     """Parse a top-level `ORDER BY ... WITH FILL` tail off a SELECT.
 
@@ -1187,18 +1251,7 @@ def _extract_with_fill(sql: str):
                 args, j = _parse_args(tokens, j + 1)
                 cols = []
                 for a in args:
-                    if any(x.lower() == "as" for x in a):
-                        raise ChDialectError(
-                            "INTERPOLATE (col AS expr) expression "
-                            "interpolation is not supported; only the "
-                            "carry-previous-value form INTERPOLATE "
-                            "(col, ...)")
-                    if len(a) != 1 or not re.fullmatch(r"[A-Za-z_]\w*",
-                                                       a[0]):
-                        raise ChDialectError(
-                            "INTERPOLATE entries must be projected "
-                            "column names")
-                    cols.append(a[0])
+                    cols.append(_parse_interpolate_entry(a))
                 interpolate = tuple(cols)
             else:
                 interpolate = "*"
@@ -1397,15 +1450,29 @@ def _run_with_fill(spark: SparkSession, fill: dict) -> DataFrame:
             raise ChDialectError(
                 f"WITH FILL references {c!r} which the statement does "
                 f"not project; add it to the SELECT list")
-    interp = fill["interpolate"]
-    if interp == "*":
-        interp = tuple(c for c in df.columns
-                       if c != axis and c not in fill["keys"])
+    def _interp_fn(spec):
+        """Closed form of one iterated INTERPOLATE expression as a
+        (prev_real_value, 1-based_gap_index) -> Column callable."""
+        if spec is None:
+            return None
+        kind, v = spec
+        if kind == "const":
+            return lambda prev, i, v=v: F.expr(v)
+        if kind == "add":
+            return lambda prev, i, v=v: prev + i * F.lit(v)
+        return lambda prev, i, v=v: prev * F.pow(F.lit(v), i)
+
+    interp_spec = fill["interpolate"]
+    if interp_spec == "*":
+        interp = {c: None for c in df.columns
+                  if c != axis and c not in fill["keys"]}
     else:
-        for c in interp:
+        interp = {}
+        for c, spec in interp_spec:
             if c not in df.columns:
                 raise ChDialectError(f"INTERPOLATE column {c!r} is not "
                                      f"projected")
+            interp[c] = _interp_fn(spec)
     adt = df.schema[axis].dataType
     is_ts = isinstance(adt, (T.TimestampType, T.TimestampNTZType))
     is_date = isinstance(adt, T.DateType)

@@ -25,8 +25,14 @@ Documented divergence (same in-band convention as the WITH TOTALS
 translation): filled rows carry NULL in non-axis columns — Spark's
 idiom for "no data" — where ClickHouse substitutes type defaults
 (0, ''). `interpolate` columns instead carry the previous real row's
-value forward (CH `INTERPOLATE (col)`); expression interpolation is
-not supported.
+value forward (CH `INTERPOLATE (col)`), or — the CH
+`INTERPOLATE (col AS expr)` form — derive each fill row's value from
+the previous REAL row and the row's 1-based position in its gap via
+a caller-supplied callable. CH applies the expression iteratively
+(fill row i sees fill row i-1); the callable receives (prev_real,
+i) so iterable-in-closed-form expressions (carry, constants, col ±
+k, col * k) reproduce CH exactly, and the dialect layer refuses the
+forms that have no closed form rather than diverging silently.
 """
 
 from __future__ import annotations
@@ -73,7 +79,7 @@ def gap_fill(
     from_value=None,
     to_value=None,
     partition_by: tuple[str, ...] = (),
-    interpolate: tuple[str, ...] = (),
+    interpolate=(),
     descending: bool = False,
     max_fill_per_gap: int = 1_000_000,
 ) -> DataFrame:
@@ -91,10 +97,20 @@ def gap_fill(
     the data with a tiny step would otherwise materialize an
     unbounded array in one task) — exceeding it raises.
 
+    interpolate: which non-axis columns fill rows should populate.
+    A tuple of names carries the previous real row's value forward
+    (CH `INTERPOLATE (col)`); a dict maps name -> None (carry) or a
+    callable `(prev: Column, i: Column) -> Column` receiving the
+    previous REAL row's value and the fill row's 1-based index in
+    its gap (CH `INTERPOLATE (col AS expr)` in closed form — e.g.
+    `lambda prev, i: prev + i * F.lit(10)` for `col AS col + 10`).
+
     Returns real rows plus fill rows, unsorted; callers order by
     (partition_by..., axis).
     """
-    if axis in partition_by or axis in interpolate:
+    interp: dict = (dict(interpolate) if isinstance(interpolate, dict)
+                    else {c: None for c in interpolate})
+    if axis in partition_by or axis in interp:
         raise ValueError("axis cannot be a partition or interpolate key")
     dt = df.schema[axis].dataType
     is_ts = isinstance(dt, (T.TimestampType, T.TimestampNTZType))
@@ -165,22 +181,24 @@ def gap_fill(
         ).cast("int")
 
     def grid(start: Column, count: Column, carry: bool) -> DataFrame:
-        """count fill values start, start+step, ... as full-schema rows."""
+        """count fill values start, start+step, ... as full-schema
+        rows; the exploded 1-based gap index also feeds interpolation
+        callables (CH `INTERPOLATE (col AS expr)` closed forms)."""
         idx_t = "double" if is_frac else "long"
-        vals = F.when(
-            count >= 1,
-            F.transform(
-                F.sequence(F.lit(1), guarded(count)),
-                lambda i: start + (i - 1).cast(idx_t) * stp,
-            ),
-        )
-        ex = g.withColumn("__gf_v", F.explode(vals))
+        idxs = F.when(count >= 1, F.sequence(F.lit(1), guarded(count)))
+        ex = g.withColumn("__gf_i", F.explode(idxs))
+        i_col = F.col("__gf_i")
+        val = start + (i_col - 1).cast(idx_t) * stp
         cols = []
         for c in df.columns:
             if c == axis:
-                cols.append(denum(F.col("__gf_v")).alias(c))
-            elif c in partition_by or (carry and c in interpolate):
+                cols.append(denum(val).alias(c))
+            elif c in partition_by:
                 cols.append(F.col(c))
+            elif carry and c in interp:
+                fn = interp[c]
+                v = F.col(c) if fn is None else fn(F.col(c), i_col)
+                cols.append(v.cast(df.schema[c].dataType).alias(c))
             else:
                 cols.append(F.lit(None).cast(df.schema[c].dataType).alias(c))
         return ex.select(*cols)

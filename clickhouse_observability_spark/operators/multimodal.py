@@ -509,7 +509,104 @@ def encode_png(
     )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
+# ---------------------------------------------------------------------------
+# Pluggable decoder registry (r6). The pure-Python codecs below are
+# the in-container baseline; a deployment with real codec libraries
+# (PIL, soundfile, ffmpeg bindings) swaps them in WITHOUT forking
+# this module:
+#
+#     from clickhouse_observability_spark.operators import multimodal
+#     multimodal.register_decoder("image", "jpeg", my_pil_decoder)
+#     multimodal.register_decoder("video", "*", my_ffmpeg_decoder)
+#
+# Contract: the callable takes the raw payload bytes and returns the
+# same shape the stdlib decoder would (image: gray pixel rows;
+# audio: (rate, samples); video: (fps_num, fps_den, frames)). It
+# must be a PICKLABLE top-level callable: decode runs inside Arrow
+# mapInPandas workers, which are separate Python processes, so
+# module-level registry state mutated on the driver is NOT visible
+# there — every mapInPandas builder therefore captures a
+# `decoder_snapshot(kind)` at plan-build time and ships it in the
+# closure. Register decoders BEFORE building the DataFrame; frames
+# built earlier keep the decoders they captured. The format key is
+# the sniffed container ("jpeg", "png", "wav", "y4m", ...); "*"
+# catches formats the sniffers don't recognize (AVIF, MP3, MP4 ...),
+# which is exactly where native codecs extend coverage beyond the
+# stdlib set.
+# ---------------------------------------------------------------------------
+
+_DECODER_KINDS = ("image", "audio", "video")
+_DECODERS: dict[str, dict] = {k: {} for k in _DECODER_KINDS}
+
+
+def register_decoder(kind: str, fmt: str, fn) -> None:
+    """Install `fn` as the decoder for (kind, fmt), overriding the
+    stdlib path. See the registry contract comment above."""
+    if kind not in _DECODER_KINDS:
+        raise ValueError(f"decoder kind must be one of {_DECODER_KINDS}")
+    if not callable(fn):
+        raise TypeError("decoder must be callable")
+    _DECODERS[kind][fmt] = fn
+
+
+def unregister_decoder(kind: str, fmt: str) -> None:
+    _DECODERS.get(kind, {}).pop(fmt, None)
+
+
+def decoder_snapshot(kind: str) -> dict:
+    """The registered decoders for `kind`, frozen for shipping into
+    an Arrow-batched worker closure (called at plan-build time by
+    every mapInPandas builder here)."""
+    return dict(_DECODERS[kind])
+
+
+def sniff_image_format(b: bytes) -> str | None:
+    if b[:2] in (b"P6", b"P5", b"P3", b"P2") and len(b) > 2 \
+            and b[2:3].isspace():
+        return "pnm"
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:8] == _PNG_SIG:
+        return "png"
+    if b[:2] == b"\xff\xd8":
+        return "jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return "webp"
+    return None
+
+
+def sniff_audio_format(b: bytes) -> str | None:
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:4] == b"fLaC":
+        return "flac"
+    return None
+
+
+def sniff_video_format(b: bytes) -> str | None:
+    if b.startswith(b"YUV4MPEG2"):
+        return "y4m"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return None
+
+
+def _registered(decoders, sniff, b: bytes):
+    """The registered override for payload `b`, if any: exact format
+    key first, then the '*' catch-all."""
+    if not decoders:
+        return None
+    fmt = sniff(b)
+    fn = decoders.get(fmt) if fmt is not None else None
+    return fn if fn is not None else decoders.get("*")
+
+
+def decode_image(payload: bytes, fake: bool = False,
+                 decoders: dict | None = None) -> list[list[int]]:
     """Decode an image payload to gray pixel rows.
 
     REAL for the public formats a stdlib(+numpy) parser can handle —
@@ -525,6 +622,9 @@ def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
     arbitrary bytes.
     """
     b = bytes(payload or b"")
+    fn = _registered(decoders, sniff_image_format, b)
+    if fn is not None:
+        return fn(b)
     if b[:2] in (b"P6", b"P5", b"P3", b"P2") and len(b) > 2 and b[2:3].isspace():
         try:
             return _parse_pnm(b)
@@ -712,7 +812,8 @@ def _parse_wav(b: bytes) -> tuple[int, int, list[float]]:
     return rate, n_ch, out
 
 
-def decode_audio(payload: bytes, fake: bool = False) -> tuple[int, list[float]]:
+def decode_audio(payload: bytes, fake: bool = False,
+                 decoders: dict | None = None) -> tuple[int, list[float]]:
     """Decode an audio payload to (sample_rate, mono float samples).
 
     REAL for the public RIFF/WAVE family — integer PCM 8/16-bit, IEEE
@@ -726,6 +827,9 @@ def decode_audio(payload: bytes, fake: bool = False) -> tuple[int, list[float]]:
     so downstream plumbing stays testable with arbitrary bytes — the
     exact contract decode_image has for unsupported image formats."""
     b = bytes(payload or b"")
+    fn = _registered(decoders, sniff_audio_format, b)
+    if fn is not None:
+        return fn(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         try:
             rate, _n_ch, samples = _parse_wav(b)
@@ -814,6 +918,8 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFr
     a codec library for compressed formats and nothing else changes.
     """
 
+    # plan-build-time snapshot: shipped in the closure to the Arrow workers
+    _dec = decoder_snapshot("audio")
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
@@ -827,7 +933,7 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFr
             }
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                rate, samples = decode_audio(b, fake=fake_decode)
+                rate, samples = decode_audio(b, fake=fake_decode, decoders=_dec)
                 arr = np.asarray(samples, dtype=np.float64)
                 n = len(arr)
                 out["sample_rate"].append(rate)
@@ -934,7 +1040,7 @@ def _parse_y4m(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
 
 
 def decode_video(
-    payload: bytes, fake: bool = False
+    payload: bytes, fake: bool = False, decoders: dict | None = None
 ) -> tuple[int, int, list[list[list[int]]]]:
     """Decode a video payload to (fps_num, fps_den, gray frames).
 
@@ -948,6 +1054,9 @@ def decode_video(
     clip at 25 fps — the same gating contract as
     decode_image/decode_audio."""
     b = bytes(payload or b"")
+    fn = _registered(decoders, sniff_video_format, b)
+    if fn is not None:
+        return fn(b)
     if b.startswith(b"YUV4MPEG2"):
         try:
             return _parse_y4m(b)
@@ -1045,6 +1154,8 @@ def extract_frames(
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive, got {every_ms}")
 
+    # plan-build-time snapshot: shipped in the closure to the Arrow workers
+    _dec = decoder_snapshot("video")
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -1071,7 +1182,7 @@ def extract_frames(
                     # malformed y4m, NotImplementedError for a
                     # compressed/unknown container
                     fps_num, fps_den, frames = decode_video(
-                        b, fake=fake_decode
+                        b, fake=fake_decode, decoders=_dec
                     )
 
                     def fr_at(idx, _f=frames):
@@ -1107,6 +1218,8 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     parquet)."""
     import math
 
+    # plan-build-time snapshot: shipped in the closure to the Arrow workers
+    _dec = decoder_snapshot("image")
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -1124,7 +1237,7 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                     counts = np.bincount(arr, minlength=256) / len(b)
                     nz = counts[counts > 0]
                     out["byte_entropy"].append(float(-(nz * np.log2(nz)).sum()))
-                    tile = decode_image(b, fake=fake_decode)
+                    tile = decode_image(b, fake=fake_decode, decoders=_dec)
                     out["mean_luma"].append(float(np.mean(tile)))
                 else:
                     out["byte_entropy"].append(0.0)
@@ -1179,6 +1292,8 @@ def resize_images(
     nothing else changes.
     """
 
+    # plan-build-time snapshot: shipped in the closure to the Arrow workers
+    _dec = decoder_snapshot("image")
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -1191,7 +1306,7 @@ def resize_images(
             }
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                tile = np.asarray(decode_image(b, fake=fake_decode), dtype=np.uint8)
+                tile = np.asarray(decode_image(b, fake=fake_decode, decoders=_dec), dtype=np.uint8)
                 sh, sw = tile.shape
                 # nearest-neighbor: integer index maps, pure numpy
                 rows = (np.arange(dst_height) * sh) // dst_height
@@ -1261,12 +1376,14 @@ def image_phash(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     pHash, map-only (metadata prunes non-images before payload bytes
     move)."""
 
+    # plan-build-time snapshot: shipped in the closure to the Arrow workers
+    _dec = decoder_snapshot("image")
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             hashes = []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                tile = decode_image(b, fake=fake_decode)
+                tile = decode_image(b, fake=fake_decode, decoders=_dec)
                 hashes.append(phash64(tile))
             yield pd.DataFrame({"media_id": pdf["media_id"], "phash": hashes})
 
@@ -1400,12 +1517,14 @@ def audio_fingerprints(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """(media_id, audio_fp) over the audio rows — Arrow-batched decode
     + spectral fingerprint, map-only."""
 
+    # plan-build-time snapshot: shipped in the closure to the Arrow workers
+    _dec = decoder_snapshot("audio")
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             fps = []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                rate, samples = decode_audio(b, fake=fake_decode)
+                rate, samples = decode_audio(b, fake=fake_decode, decoders=_dec)
                 fps.append(audio_fingerprint64(samples, rate))
             yield pd.DataFrame({"media_id": pdf["media_id"], "audio_fp": fps})
 
@@ -1524,6 +1643,8 @@ def frame_phashes(
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive, got {every_ms}")
 
+    # plan-build-time snapshot: shipped in the closure to the Arrow workers
+    _dec = decoder_snapshot("video")
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -1544,7 +1665,7 @@ def frame_phashes(
                     # not (valid) y4m: decode_video handles animated
                     # GIF for real (r4), gates the rest canonically
                     fps_num, fps_den, frames = decode_video(
-                        b, fake=fake_decode
+                        b, fake=fake_decode, decoders=_dec
                     )
 
                     def fr_at(idx, _f=frames):

@@ -45,6 +45,7 @@ def apply_retention(
     now: dt.datetime | None = None,
     exact: bool = True,
     dry_run: bool = False,
+    refresh_views: bool = False,
 ) -> dict:
     """Delete rows with ts older than now - retention_days (db.go:60-65).
 
@@ -58,7 +59,22 @@ def apply_retention(
     boundary month is rewritten with an exact ts filter when
     ``exact``. ``dry_run`` reports what WOULD be dropped/rewritten
     without touching data. Returns {"dropped_months": [...],
-    "rewritten": month|None}.
+    "rewritten": month|None, "stale_views": [...]}.
+
+    Materialized views: attached views accumulate per-block INSERT
+    increments and never see deletes, so after a retention pass a
+    view's totals keep counting the dropped rows — they diverge from
+    re-aggregating the base table. ClickHouse has the SAME property
+    (a target table of a matview is not TTL'd with its source; the
+    docs tell you to set TTL on both or re-populate). Default
+    behavior mirrors CH: the divergence is allowed but SURFACED —
+    any rows were removed and views are attached -> their names come
+    back under ``stale_views`` (the operator's cue to schedule
+    ``MaterializedView.refresh``). ``refresh_views=True`` instead
+    rebuilds each attached view from the post-retention base right
+    here (one aggregation per view over the retained partitions —
+    bounded, but not free; at 100 TB prefer dropping the view's own
+    aged state rows when the view keys include the TTL axis).
     """
     if retention_days is None:
         raw = os.environ.get("RETENTION_DAYS", "")
@@ -92,7 +108,24 @@ def apply_retention(
         shutil.rmtree(part_dir)
         os.rename(tmp, part_dir)
         rewritten = cutoff_month
-    return {"dropped_months": dropped, "rewritten": rewritten}
+    # surface (or repair) matview divergence — see docstring
+    stale_views: list[str] = []
+    if dropped or rewritten is not None:
+        from clickhouse_observability_spark.sources.matview import (
+            MaterializedView,
+        )
+        from clickhouse_observability_spark.sources.writer import LogsTable
+
+        views = MaterializedView.load_all(spark, path)
+        if views:
+            if refresh_views:
+                base = LogsTable(spark, path).read()
+                for v in views:
+                    v.refresh(base)
+            else:
+                stale_views = [v.name for v in views]
+    return {"dropped_months": dropped, "rewritten": rewritten,
+            "stale_views": stale_views}
 
 
 def compact_partition(

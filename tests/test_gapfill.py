@@ -145,9 +145,14 @@ def test_dialect_with_fill_errors(spark):
     with pytest.raises(ChDialectError, match="one ORDER BY column"):
         ch_sql(spark,
                "SELECT x, y FROM twe ORDER BY x WITH FILL, y WITH FILL")
-    with pytest.raises(ChDialectError, match="AS expr"):
+    # expression interpolation supports only iterated-closed-form
+    # shapes (col, literal, col ± k, col * k); anything else raises
+    with pytest.raises(ChDialectError, match="closed-form"):
         ch_sql(spark, "SELECT x, y FROM twe ORDER BY x WITH FILL "
-                      "INTERPOLATE (y AS y + 1)")
+                      "INTERPOLATE (y AS y * y)")
+    with pytest.raises(ChDialectError, match="closed-form"):
+        ch_sql(spark, "SELECT x, y FROM twe ORDER BY x WITH FILL "
+                      "INTERPOLATE (y AS x + 1)")
     with pytest.raises(ChDialectError, match="month"):
         ch_sql(spark, "SELECT x FROM twe ORDER BY x WITH FILL "
                       "STEP INTERVAL 1 MONTH")
@@ -159,6 +164,35 @@ def test_dialect_with_fill_errors(spark):
     # translate() alone still refuses (cannot express fill as text)
     with pytest.raises(ChDialectError, match="ch_sql"):
         translate("SELECT x FROM twe ORDER BY x WITH FILL")
+
+
+def test_dialect_interpolate_expressions(spark):
+    """CH `INTERPOLATE (col AS expr)` evaluates expr iteratively —
+    fill row i sees fill row i-1's values. The supported closed
+    forms reproduce that exactly: after i fills, col+k yields
+    prev + i*k, col*k yields prev * k^i, a literal stays constant."""
+    spark.createDataFrame(
+        [(1, 100, 2.0, 9), (5, 200, 32.0, 9)],
+        "x int, a int, m double, c int",
+    ).createOrReplaceTempView("twix")
+    out = ch_sql(spark, (
+        "SELECT x, a, m, c FROM twix ORDER BY x WITH FILL "
+        "INTERPOLATE (a AS a + 10, m AS m * 2, c AS 7)"
+    )).collect()
+    assert [(r.x, r.a, r.m, r.c) for r in out] == [
+        (1, 100, 2.0, 9),
+        (2, 110, 4.0, 7),   # iterated once
+        (3, 120, 8.0, 7),   # twice
+        (4, 130, 16.0, 7),  # three times
+        (5, 200, 32.0, 9),  # real row resets the anchor
+    ]
+    # `col AS col` and `col AS col - k` forms
+    out = ch_sql(spark, (
+        "SELECT x, a FROM twix ORDER BY x WITH FILL "
+        "INTERPOLATE (a AS a - 50)"
+    )).collect()
+    assert [(r.x, r.a) for r in out] == [
+        (1, 100), (2, 50), (3, 0), (4, -50), (5, 200)]
 
 
 def test_dialect_bare_interpolate_carries_all(spark):

@@ -202,3 +202,62 @@ def test_drop_view_falls_through_to_spark(spark, logs):
     # IF EXISTS on a truly unknown name stays a no-op (Spark's own
     # semantics)
     ch_sql(spark, "DROP VIEW IF EXISTS never_was", logs=logs)
+
+
+def _mk_table_with_view(spark, path):
+    t = LogsTable(spark, path)
+    t.init_schema()
+    ch_sql(spark, MV_DDL, logs=t)
+    _ins(spark, t, "2025-05-10 10:00:00", "api", "INFO", "old-row", "t1")
+    _ins(spark, t, "2025-05-10 10:30:00", "api", "INFO", "old-row2", "t2")
+    _ins(spark, t, "2025-07-10 10:00:00", "api", "INFO", "new-row", "t3")
+    return t
+
+
+def test_retention_surfaces_stale_views(spark, tmp_path):
+    """Attached views accumulate INSERT increments and never see
+    deletes — after retention their totals diverge from the base
+    table (ClickHouse TTL has the same property). Default behavior
+    keeps the divergence but SURFACES it via stale_views."""
+    import datetime as dt
+
+    from clickhouse_observability_spark.sources.retention import (
+        apply_retention,
+    )
+
+    t = _mk_table_with_view(spark, str(tmp_path / "logs1"))
+    res = apply_retention(
+        spark, t.path, retention_days=30,
+        now=dt.datetime(2025, 7, 20, tzinfo=dt.timezone.utc), exact=False,
+    )
+    assert res["dropped_months"] == [202505]
+    assert res["stale_views"] == ["svc_hourly"]
+    # divergence: the view still counts the dropped May rows
+    mv_total = sum(r.n for r in t.materialized_views[0].read().collect())
+    base_total = t.read().count()
+    assert base_total == 1 and mv_total == 3
+
+
+def test_retention_refresh_views_reconverges(spark, tmp_path):
+    import datetime as dt
+
+    from clickhouse_observability_spark.sources.retention import (
+        apply_retention,
+    )
+
+    t = _mk_table_with_view(spark, str(tmp_path / "logs2"))
+    res = apply_retention(
+        spark, t.path, retention_days=30,
+        now=dt.datetime(2025, 7, 20, tzinfo=dt.timezone.utc), exact=False,
+        refresh_views=True,
+    )
+    assert res["dropped_months"] == [202505]
+    assert res["stale_views"] == []  # repaired, nothing stale
+    mv_total = sum(r.n for r in t.materialized_views[0].read().collect())
+    assert mv_total == t.read().count() == 1
+    # no-op retention (nothing dropped) touches no view state
+    res2 = apply_retention(
+        spark, t.path, retention_days=30,
+        now=dt.datetime(2025, 7, 20, tzinfo=dt.timezone.utc), exact=False,
+    )
+    assert res2["dropped_months"] == [] and res2["stale_views"] == []

@@ -755,3 +755,62 @@ def test_wav_ima_adpcm_bit_exact():
             + b"data" + _s.pack("<I", blk_al) + b"\x00" * blk_al)
     with pytest.raises(ValueError, match="mono"):
         M.decode_audio(b"RIFF" + _s.pack("<I", len(body)) + body)
+
+
+# Overrides are lambdas/closures on purpose: cloudpickle serializes
+# those BY VALUE, so they reach the Arrow workers without the tests
+# directory being importable there. A real deployment registers
+# importable top-level callables (PIL/ffmpeg wrappers) instead.
+def _override_png_decoder(b: bytes):
+    return [[200] * 4] * 4
+
+
+def test_decoder_registry_overrides_stdlib_path(spark):
+    """The swap-in hook for real codec libraries: a registered
+    decoder overrides the stdlib path for its sniffed format, '*'
+    catches formats the sniffers don't recognize, and the override
+    travels into the Arrow workers via the plan-build-time snapshot
+    (module state alone would NOT reach the separate worker
+    processes)."""
+    png = M.encode_png([[(9, 9, 9)] * 4] * 4)
+    # direct path: explicit snapshot dict
+    assert M.decode_image(png, decoders={"png": _override_png_decoder}) \
+        == [[200] * 4] * 4
+    # unknown format falls to '*'
+    assert M.decode_image(b"\x00garbage",
+                          decoders={"*": lambda b: [[50] * 4] * 4}) \
+        == [[50] * 4] * 4
+    # registry + mapInPandas: register BEFORE building the frame
+    M.register_decoder("image", "png", lambda b: [[200] * 4] * 4)
+    try:
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(png), 4, 4, None, None)],
+            M.MEDIA_SCHEMA,
+        )
+        feats = M.extract_features(df, fake_decode=False)
+        assert feats.collect()[0].mean_luma == 200.0
+    finally:
+        M.unregister_decoder("image", "png")
+    # stdlib path restored after unregister
+    feats = M.extract_features(
+        spark.createDataFrame(
+            [(1, "image", bytearray(png), 4, 4, None, None)],
+            M.MEDIA_SCHEMA,
+        ),
+        fake_decode=False,
+    )
+    assert feats.collect()[0].mean_luma == 9.0
+    with pytest.raises(ValueError):
+        M.register_decoder("bogus-kind", "png", _override_png_decoder)
+    with pytest.raises(TypeError):
+        M.register_decoder("image", "png", "not-callable")
+
+
+def test_decoder_registry_audio_video(spark):
+    wav = M.encode_wav([0, 1000, -1000, 500], sample_rate=8000)
+    assert M.decode_audio(
+        wav, decoders={"wav": lambda b: (123, [0.0])})[0] == 123
+    y4m = M.encode_y4m([[[1] * 4] * 4], fps_num=25, fps_den=1)
+    fps_n, fps_d, frames = M.decode_video(
+        y4m, decoders={"y4m": lambda b: (1, 1, [[[7]]])})
+    assert (fps_n, fps_d) == (1, 1) and frames == [[[7]]]

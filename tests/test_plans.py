@@ -320,3 +320,41 @@ def test_registry_wide_plan_lint_no_errors(spark, sf_small, tmp_path, monkeypatc
         if errs:
             failures[name] = errs
     assert not failures, failures
+
+
+def test_panel_arms_linted_individually(spark, sf_small):
+    """Each slot-merge panel is an op-tagged UNION of standalone
+    entries; the registry-wide sweep above lints the combined plan,
+    where one arm's anti-pattern could in principle be masked by the
+    union. Lint every arm's own frame directly (the arm callables
+    ARE the standalone registered entries — this also pins that
+    mapping, so a panel quietly re-deriving an arm fails here)."""
+    import clickhouse_observability_spark.queries.panels  # noqa: F401
+    from clickhouse_observability_spark import registry
+    from clickhouse_observability_spark.plans import lint_errors
+
+    arms = {
+        "agg_grouping_panel": ("agg_rollup_day_type",
+                               "agg_cube_type_user_bucket"),
+        "window_rank_panel": ("window_topn_per_type", "window_rank_suite"),
+        "dedup_jaccard_panel": ("dedup_jaccard_pairs",
+                                "dedup_ngram_jaccard_pairs"),
+        "tpch_scalar_panel": ("tpch_q6_forecast", "tpch_q17_small_quantity"),
+        "dedup_exact_panel": ("dedup_exact_groups", "dedup_keep_first"),
+        "window_session_panel": ("window_user_gaps", "window_sessionize"),
+        # r6 panels
+        "agg_hourly_panel": ("agg_hourly", "agg_error_rate_hourly"),
+        "text_perdoc_panel": ("text_token_stats", "text_quality",
+                              "text_lang_id"),
+        "text_signal_panel": ("text_fingerprints", "text_repetition"),
+    }
+    qs = registry.queries()
+    failures = {}
+    for panel, sources in arms.items():
+        assert panel in qs, panel
+        for src in sources:
+            assert src in qs, (panel, src)  # arm stays registered
+            errs = lint_errors(qs[src](spark, sf_small))
+            if errs:
+                failures[(panel, src)] = errs
+    assert not failures, failures
