@@ -1422,6 +1422,12 @@ def translate(sql: str) -> str:
             "explode via the DataFrame API"
         )
     _reject_with_fill(tokens)
+    if any(t.lower() == "asof" and not _is_string(t) for t in tokens):
+        # no Spark SQL text equivalent (needs the union-and-carry
+        # window plan); ch_sql() routes it to operators.joins.asof_join
+        raise ChDialectError(
+            "ASOF JOIN cannot be expressed as a SQL text translation; "
+            "execute through ch_sql() instead of translate()")
     tokens = _rewrite_array_literals(_strip_table_modifiers(tokens))
     tokens = _rewrite_array_join_clause(tokens)
     tokens = _rewrite_with_totals(tokens)
@@ -1728,12 +1734,293 @@ def _parse_mv_select(select_sql: str) -> dict:
                       if where_toks else None),
     }
 
+_ASOF_INEQ = {
+    # left-op-right -> (direction, strict); CH `l.ts >= r.ts` is the
+    # canonical backward form (latest right at or before)
+    ">=": ("backward", False),
+    ">": ("backward", True),
+    "<=": ("forward", False),
+    "<": ("forward", True),
+}
+_ASOF_FLIP = {">=": "<=", ">": "<", "<=": ">=", "<": ">"}
+
+
+def _parse_table_ref(toks: list[str], what: str) -> tuple[str, str]:
+    """`name`, `name alias`, `name AS alias` -> (name, alias)."""
+    ident = r"[A-Za-z_]\w*"
+    if len(toks) == 1 and re.fullmatch(ident, toks[0]):
+        return toks[0], toks[0]
+    if (len(toks) == 2 and re.fullmatch(ident, toks[0])
+            and re.fullmatch(ident, toks[1])):
+        return toks[0], toks[1]
+    if (len(toks) == 3 and toks[1].lower() == "as"
+            and re.fullmatch(ident, toks[0])
+            and re.fullmatch(ident, toks[2])):
+        return toks[0], toks[2]
+    raise ChDialectError(
+        f"ASOF JOIN {what} table must be a named view "
+        f"(`name [AS alias]`), got {' '.join(toks)!r}; register "
+        f"subqueries as views first")
+
+
+def _extract_asof_join(sql: str):
+    """Parse a top-level `FROM a ASOF [LEFT] JOIN b ON/USING ...`
+    out of a SELECT. Returns None when the statement has no ASOF
+    join; else the spec _run_asof_join executes. ON needs equality
+    conjuncts on SAME-NAMED columns plus exactly ONE timestamp
+    inequality (CH's own ASOF shape); USING(k..., t) treats the last
+    column as the backward-inexact asof axis, per CH."""
+    tokens = _tokenize(sql)
+    lows = [t.lower() for t in tokens]
+    d = 0
+    at = None
+    for i, t in enumerate(tokens):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif lows[i] == "asof" and not _is_string(t):
+            if d > 0:
+                raise ChDialectError(
+                    "ASOF JOIN inside a subquery is not supported; "
+                    "apply it at the top level (or call "
+                    "operators.joins.asof_join on the inner frames)")
+            at = i
+            break
+    if at is None:
+        return None
+    # the governing FROM
+    d, frm = 0, None
+    for i in range(at - 1, -1, -1):
+        if tokens[i] == ")":
+            d += 1
+        elif tokens[i] == "(":
+            d -= 1
+        elif d == 0 and lows[i] == "from":
+            frm = i
+            break
+    if frm is None:
+        raise ChDialectError("ASOF JOIN without a governing FROM")
+    left_name, left_alias = _parse_table_ref(tokens[frm + 1:at], "left")
+    j = at + 1
+    how = "inner"
+    if j < len(tokens) and lows[j] == "left":
+        how = "left"
+        j += 1
+    if j >= len(tokens) or lows[j] != "join":
+        raise ChDialectError("ASOF must be followed by [LEFT] JOIN")
+    j += 1
+    # right table ref runs to ON/USING
+    k = j
+    while k < len(tokens) and lows[k] not in ("on", "using"):
+        k += 1
+    if k == len(tokens):
+        raise ChDialectError("ASOF JOIN needs ON or USING")
+    right_name, right_alias = _parse_table_ref(tokens[j:k], "right")
+    keys: list[str] = []
+    direction, strict = "backward", False
+    left_ts = right_ts = None
+    if lows[k] == "using":
+        if k + 1 >= len(tokens) or tokens[k + 1] != "(":
+            raise ChDialectError("USING needs a parenthesized column list")
+        args, end = _parse_args(tokens, k + 1)
+        cols = [a[0] for a in args]
+        if (len(cols) < 2
+                or any(len(a) != 1 or not re.fullmatch(r"[A-Za-z_]\w*", a[0])
+                       for a in args)):
+            raise ChDialectError(
+                "ASOF USING needs at least one key column plus the "
+                "trailing asof column")
+        keys, left_ts = cols[:-1], cols[-1]
+        right_ts = left_ts
+    else:
+        # condition tokens run to the next top-level clause keyword
+        end = k + 1
+        d = 0
+        enders = {"where", "group", "order", "limit", "having",
+                  "union", "settings", "format"}
+        while end < len(tokens):
+            t = tokens[end]
+            if t == "(":
+                d += 1
+            elif t == ")":
+                d -= 1
+            elif d == 0 and lows[end] in enders and not _is_string(t):
+                break
+            end += 1
+        cond = tokens[k + 1:end]
+        # split on top-level AND
+        conjs: list[list[str]] = [[]]
+        d = 0
+        for t in cond:
+            if t == "(":
+                d += 1
+            elif t == ")":
+                d -= 1
+            if d == 0 and t.lower() == "and":
+                conjs.append([])
+            else:
+                conjs[-1].append(t)
+        ineq = None
+        for c in conjs:
+            if (len(c) != 7 or c[1] != "." or c[5] != "."
+                    or c[3] not in ("=", ">=", "<=", ">", "<")):
+                raise ChDialectError(
+                    f"ASOF ON conjuncts must be `x.col OP y.col`, got "
+                    f"{' '.join(c)!r}")
+            q1, c1, op, q2, c2 = c[0], c[2], c[3], c[4], c[6]
+            quals = {left_alias: "l", right_alias: "r"}
+            if q1 not in quals or q2 not in quals or q1 == q2:
+                raise ChDialectError(
+                    f"ASOF ON conjunct must compare the two join "
+                    f"sides, got {' '.join(c)!r}")
+            if quals[q1] == "r":  # normalize to left-op-right
+                q1, c1, q2, c2 = q2, c2, q1, c1
+                op = _ASOF_FLIP.get(op, op)
+            if op == "=":
+                if c1 != c2:
+                    raise ChDialectError(
+                        f"ASOF equality keys must be same-named "
+                        f"columns ({c1} vs {c2}); alias one side first")
+                keys.append(c1)
+            else:
+                if ineq is not None:
+                    raise ChDialectError(
+                        "ASOF JOIN takes exactly one inequality")
+                ineq = (c1, op, c2)
+        if ineq is None or not keys:
+            raise ChDialectError(
+                "ASOF ON needs at least one equality and exactly one "
+                "inequality (the asof axis)")
+        left_ts, op, right_ts = ineq
+        direction, strict = _ASOF_INEQ[op]
+    return {
+        "select_toks": tokens[:frm],
+        "tail_toks": tokens[end if lows[k] == "on" else end:],
+        "left": (left_name, left_alias),
+        "right": (right_name, right_alias),
+        "keys": keys,
+        "left_ts": left_ts,
+        "right_ts": right_ts,
+        "direction": direction,
+        "strict": strict,
+        "how": how,
+    }
+
+
+def _run_asof_join(spark: SparkSession, spec: dict) -> DataFrame:
+    """Execute an extracted ASOF JOIN: build the joined frame through
+    the union-and-carry operator (one key shuffle, no row blowup),
+    then rewrite and run the rest of the statement over it. Right
+    non-key columns surface as `<right_alias>_<col>` — CH exposes
+    them via the qualifier, a flat frame needs the prefix."""
+    from clickhouse_observability_spark.operators.joins import asof_join
+
+    lname, lalias = spec["left"]
+    rname, ralias = spec["right"]
+    left_df, right_df = spark.table(lname), spark.table(rname)
+    prefix = f"{ralias}_"
+    joined = asof_join(
+        left_df, right_df, spec["keys"], spec["left_ts"],
+        spec["right_ts"], direction=spec["direction"],
+        strict=spec["strict"], how=spec["how"], right_prefix=prefix,
+    )
+    view = "__asof_joined"
+    joined.createOrReplaceTempView(view)
+    carry = {c for c in right_df.columns if c not in spec["keys"]}
+
+    def dequalify(toks: list[str]) -> list[str]:
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if (i + 2 < len(toks) and toks[i + 1] == "."
+                    and t in (lalias, ralias)
+                    and re.fullmatch(r"[A-Za-z_]\w*", toks[i + 2])):
+                col = toks[i + 2]
+                if t == ralias and col in carry:
+                    out.append(prefix + col)
+                else:
+                    out.append(col)
+                i += 3
+                continue
+            out.append(t)
+            i += 1
+        return out
+
+    toks = (dequalify(spec["select_toks"]) + ["FROM", view]
+            + dequalify(spec["tail_toks"]))
+    return spark.sql(translate(" ".join(toks)))
+
+
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+TABLE\s+(\w+)"
     r"(?:\s+PARTITION\s+(\d+))?"
     r"(?:\s+FINAL)?\s*$",
     re.IGNORECASE,
 )
+
+# CH mutations: ALTER TABLE t DELETE WHERE ... / UPDATE a=b WHERE ...,
+# plus the lightweight-delete form DELETE FROM t WHERE ...
+_ALTER_MUT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+(DELETE|UPDATE)\b(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_LW_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _mutation_expr(tokens: list[str]) -> str:
+    """CH expression tokens -> Spark SQL text (vocab + array-literal
+    + 1-based-subscript rewrites; same pipeline SELECT bodies get)."""
+    return _emit(_rewrite_array_literals(list(tokens)))
+
+
+def _parse_update_tail(rest: str) -> tuple[dict[str, str], str]:
+    """`col = expr [, col2 = expr2 ...] WHERE pred` ->
+    ({col: spark_expr}, spark_pred). WHERE is mandatory (CH refuses a
+    whole-table UPDATE without it, and so do we)."""
+    toks = _tokenize(rest)
+    lows = [t.lower() for t in toks]
+    d, where_at = 0, None
+    for i, t in enumerate(toks):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and lows[i] == "where":
+            where_at = i
+            break
+    if where_at is None or where_at == len(toks) - 1:
+        raise ChDialectError(
+            "ALTER TABLE ... UPDATE requires a WHERE clause "
+            "(ClickHouse refuses unguarded whole-table updates)")
+    assigns_toks, pred_toks = toks[:where_at], toks[where_at + 1:]
+    # split assignments on top-level commas
+    groups: list[list[str]] = [[]]
+    d = 0
+    for t in assigns_toks:
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        if t == "," and d == 0:
+            groups.append([])
+        else:
+            groups[-1].append(t)
+    assignments: dict[str, str] = {}
+    for grp in groups:
+        if len(grp) < 3 or grp[1] != "=" \
+                or not re.fullmatch(r"[A-Za-z_]\w*", grp[0]):
+            raise ChDialectError(
+                "UPDATE assignments must be `column = expression` "
+                f"pairs, got {' '.join(grp)!r}")
+        if grp[0] in assignments:
+            raise ChDialectError(f"duplicate assignment to {grp[0]!r}")
+        assignments[grp[0]] = _mutation_expr(grp[2:])
+    return assignments, _mutation_expr(pred_toks)
 
 _LOGS_DEFAULTS = {
     "ts": "current_timestamp()",
@@ -1901,6 +2188,43 @@ def ch_sql(
             compact_partition(spark, logs.path, month) for month in months
         )
 
+    mm = _ALTER_MUT_RE.match(sql)
+    lw = _LW_DELETE_RE.match(sql) if mm is None else None
+    if mm is not None or lw is not None:
+        # CH mutations -> partition-scoped rewrite (sources/
+        # mutations.py). Returns the matched-row count, the useful
+        # analog of INSERT's inserted-row count (CH itself returns
+        # nothing and mutates asynchronously; ours is synchronous).
+        from clickhouse_observability_spark.sources.mutations import (
+            apply_mutation,
+        )
+
+        if mm is not None:
+            tname, op, rest = mm.groups()
+        else:
+            tname, rest = lw.groups()
+            op = "delete"
+        if tname.lower() != "logs" or logs is None:
+            raise ChDialectError("mutations supported for `logs` only")
+        assignments = None
+        if op.lower() == "update":
+            assignments, pred = _parse_update_tail(rest)
+        elif mm is not None:
+            toks = _tokenize(rest)
+            if not toks or toks[0].lower() != "where" or len(toks) == 1:
+                raise ChDialectError(
+                    "ALTER TABLE ... DELETE requires a WHERE clause "
+                    "(ClickHouse refuses unguarded whole-table deletes)")
+            pred = _mutation_expr(toks[1:])
+        else:
+            pred = _mutation_expr(_tokenize(rest))
+        # stale-matview surfacing and refresh live on apply_mutation
+        # itself (the programmatic surface); through SQL the caller
+        # gets the matched-row count, mirroring INSERT's contract
+        res = apply_mutation(spark, logs.path, pred,
+                             assignments=assignments)
+        return res["matched_rows"]
+
     me = _EXPLAIN_RE.match(sql)
     if me is not None:
         mode, inner = me.groups()
@@ -1917,6 +2241,9 @@ def ch_sql(
     m = _INSERT_RE.match(sql)
     if m is None:
         sql = _rewrite_system_tables(spark, sql, logs, query_log)
+        asof = _extract_asof_join(split_format_clause(sql)[0])
+        if asof is not None:
+            return _run_asof_join(spark, asof)
         fill = _extract_with_fill(split_format_clause(sql)[0])
         if fill is not None:
             return _run_with_fill(spark, fill)

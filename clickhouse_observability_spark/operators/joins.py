@@ -177,3 +177,101 @@ def interval_join(
         (F.col(event_ts) >= F.col(start)) & (F.col(event_ts) < F.col(end))
     )
     return out.drop("_bin")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | tuple[str, ...],
+    left_ts: str,
+    right_ts: str,
+    *,
+    direction: str = "backward",
+    strict: bool = False,
+    how: str = "inner",
+    right_prefix: str = "",
+) -> DataFrame:
+    """General AS-OF join — the ClickHouse `ASOF JOIN` operator: for
+    each left row, the single right row with equal `on` keys and the
+    CLOSEST `right_ts` on the given side of `left_ts`.
+
+    direction 'backward' matches right_ts <= left_ts (CH's
+    `l.ts >= r.ts`; the latest right row at or before), 'forward'
+    matches right_ts >= left_ts (the earliest at or after);
+    `strict` excludes equal timestamps (CH's > / < forms). `how` is
+    'inner' (CH ASOF JOIN: unmatched left rows drop) or 'left' (CH
+    ASOF LEFT JOIN: kept with NULL right columns). Non-key right
+    columns come back `right_prefix`-prefixed; key columns and the
+    right timestamp appear once (the right ts as
+    `<right_prefix><right_ts>`).
+
+    Spark has no native as-of join and the naive join-then-argmax is
+    quadratic in per-key density. This is the scalable union-and-
+    carry pattern (asof_join_last_event generalized to carry the
+    WHOLE right row): tag both sides, union, ONE window pass
+    `last(right_struct, ignorenulls)` partitioned by key and ordered
+    by (ts, side) — exactly one shuffle on the key, O(n log n) sort,
+    zero row amplification. At equal timestamps the side ordering
+    encodes strictness: non-strict sorts the right row first (so it
+    is visible to an equal-ts left row), strict sorts it after.
+    'forward' is the same algebra on the negated time axis.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got "
+                         f"{direction!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    on = list(on)
+    if not on:
+        raise ValueError("asof_join needs at least one equality key "
+                         "(CH ASOF JOIN requires one too)")
+    right_carry = [c for c in right.columns if c not in on]
+    out_right = {c: f"{right_prefix}{c}" for c in right_carry}
+    clash = [v for v in out_right.values() if v in left.columns]
+    if clash:
+        raise ValueError(
+            f"right columns {clash} collide with left columns; pass "
+            f"right_prefix to disambiguate")
+
+    from pyspark.sql import Window
+
+    sign = 1 if direction == "backward" else -1
+    # numeric time axis so 'forward' can reuse the ascending algebra
+    tnum = lambda c: F.unix_micros(F.col(c).cast("timestamp")) * sign  # noqa: E731
+    left_side = 1 if not strict else 0
+    right_side = 1 - left_side
+
+    l_tag = left.select(
+        *[F.col(k).alias(f"_k_{k}") for k in on],
+        tnum(left_ts).alias("_t"),
+        F.lit(left_side).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in right_carry) + ">"
+        ).alias("_rrow"),
+    )
+    r_tag = right.select(
+        *[F.col(k).alias(f"_k_{k}") for k in on],
+        tnum(right_ts).alias("_t"),
+        F.lit(right_side).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+        F.struct(*[F.col(c) for c in right_carry]).alias("_rrow"),
+    )
+    w = (
+        Window.partitionBy(*[f"_k_{k}" for k in on])
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l_tag.unionByName(r_tag)
+        .withColumn("_m", F.last("_rrow", ignorenulls=True).over(w))
+        .filter(F.col("_lrow").isNotNull())
+    )
+    if how == "inner":
+        carried = carried.filter(F.col("_m").isNotNull())
+    return carried.select(
+        "_lrow.*",
+        *[F.col(f"_m.{c}").alias(out_right[c]) for c in right_carry],
+    )

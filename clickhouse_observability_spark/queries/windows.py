@@ -262,3 +262,49 @@ def window_gap_fill_hourly(spark, sf_dir):
         partition_by=("event_type",),
         interpolate=("n_carry",),
     )
+
+
+@register(
+    "asof_general_join",
+    # After the 50-slot window; DuckDB's NATIVE ASOF JOIN is the
+    # oracle — our union-and-carry plan must agree with a second
+    # engine's first-class implementation row for row. Clicks are
+    # pre-deduped to one per (user, ts) (max event_id) so equal-ts
+    # ties cannot differ between engines.
+    oracle="""
+    WITH p AS (
+        SELECT event_id, ts, user_id, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.ts, p.user_id, p.value,
+           c.click_event_id, c.click_ts
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def asof_general_join(spark, sf_dir):
+    """The general ASOF JOIN operator (full right-row carry,
+    inner/left, backward/forward — operators/joins.py:asof_join; the
+    CH `ASOF LEFT JOIN` statement routes here through the dialect):
+    each purchase carries the whole latest at-or-before click row of
+    the same user, unmatched purchases kept with NULLs. One shuffle
+    on user_id, no row amplification."""
+    from clickhouse_observability_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    return asof_join(
+        purchases, clicks, ["user_id"], "ts", "click_ts", how="left"
+    ).select("event_id", "ts", "user_id", "value",
+             "click_event_id", "click_ts")

@@ -1,0 +1,146 @@
+"""ClickHouse mutations: `ALTER TABLE ... DELETE / UPDATE ... WHERE`
+(and the lightweight `DELETE FROM`) as partition-scoped rewrites.
+
+Reference context: the reference's store is ClickHouse (README.md
+pitches the standard operations surface), where a mutation rewrites
+affected data parts in the background. The Spark analog is explicit
+and synchronous, built from the same two primitives retention already
+uses (`sources/retention.py`): ONE predicate-pruned scan discovers
+which month partitions contain matching rows (filter pushdown reaches
+the parquet scan; untouched months never read data pages), then ONLY
+those partitions rewrite — delete drops matching rows, update applies
+the assignment expressions to matching rows — preserving the
+(service, ts) within-partition sort and the zstd at-rest codec. At
+100 TB the cost is proportional to the mutated partitions, not the
+table, exactly CH's affected-parts cost model.
+
+CH-parity restrictions, raised not mistranslated: UPDATE may not
+assign `ts` or `service` (partition-deriving and leading sort-key
+columns — ClickHouse likewise refuses key-column updates), and a
+predicate that matches nothing rewrites nothing.
+
+Materialized views: like retention, a mutation changes history that
+attached views' insert increments have already aggregated — stale
+view names are surfaced in the result (or repaired in place with
+``refresh_views=True``); the divergence note in
+`sources/retention.py.apply_retention` applies verbatim.
+
+NULL predicate semantics match CH/SQL: rows where the predicate is
+NULL are NOT matched — not deleted, not updated.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.schema import (
+    LOGS_COLUMNS,
+    LOGS_SCHEMA,
+    PARTITION_COLUMN,
+)
+
+__all__ = ["apply_mutation"]
+
+# partition-deriving + leading sort-key columns: assignment would
+# invalidate the at-rest layout (CH refuses key-column UPDATE too)
+_IMMUTABLE_COLUMNS = ("ts", "service")
+
+
+def apply_mutation(
+    spark: SparkSession,
+    path: str,
+    predicate_sql: str,
+    assignments: dict[str, str] | None = None,
+    refresh_views: bool = False,
+) -> dict:
+    """Run one mutation against the logs table at `path`.
+
+    ``assignments=None`` -> DELETE WHERE predicate; otherwise UPDATE
+    {col: spark_sql_expr} WHERE predicate. Expressions are Spark SQL
+    text (the dialect shim translates CH vocabulary before calling
+    here) and may reference any logs column plus ``month``.
+
+    Returns {"op", "matched_rows", "affected_months", "stale_views"}.
+    """
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    if assignments is not None:
+        if not assignments:
+            raise ValueError("UPDATE needs at least one assignment")
+        bad = [c for c in assignments if c in _IMMUTABLE_COLUMNS]
+        if bad:
+            raise ValueError(
+                f"cannot UPDATE key columns {bad}: ts derives the month "
+                f"partition and service leads the sort order (ClickHouse "
+                f"refuses key-column updates for the same reason)")
+        unknown = [c for c in assignments if c not in LOGS_COLUMNS]
+        if unknown:
+            raise ValueError(f"unknown logs columns: {unknown}")
+
+    table = LogsTable(spark, path)
+    pred = F.expr(predicate_sql)
+
+    # one pruned scan: affected months + matched-row count. Filter and
+    # month grouping push to the scan; months with zero matches are
+    # never rewritten (and with a ts-bounded predicate their data
+    # pages are min/max-skipped here too).
+    hits = (
+        table.read().filter(pred)
+        .groupBy(PARTITION_COLUMN)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    months = sorted(int(r[PARTITION_COLUMN]) for r in hits)
+    matched = int(sum(r["n"] for r in hits))
+
+    matched_pred = F.coalesce(pred, F.lit(False))  # NULL -> not matched
+    for m in months:
+        part_dir = os.path.join(path, f"{PARTITION_COLUMN}={m}")
+        df = (
+            spark.read.schema(LOGS_SCHEMA).parquet(part_dir)
+            # partition value is directory-encoded; restore it so
+            # predicates may reference `month` like the read path does
+            .withColumn(PARTITION_COLUMN, F.lit(m))
+        )
+        if assignments is None:
+            out = df.filter(~matched_pred)
+        else:
+            cols = []
+            for c in LOGS_COLUMNS:
+                if c in assignments:
+                    cols.append(
+                        F.when(matched_pred, F.expr(assignments[c]))
+                        .otherwise(F.col(c))
+                        .cast(df.schema[c].dataType)
+                        .alias(c)
+                    )
+                else:
+                    cols.append(F.col(c))
+            out = df.select(*cols)
+        out = (
+            out.select(*[c for c in LOGS_COLUMNS if c != PARTITION_COLUMN])
+            .sortWithinPartitions("service", "ts")
+        )
+        tmp = part_dir + ".tmp"
+        out.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+
+    stale_views: list[str] = []
+    if months and table.materialized_views:
+        if refresh_views:
+            base = table.read()
+            for v in table.materialized_views:
+                v.refresh(base)
+        else:
+            stale_views = [v.name for v in table.materialized_views]
+    return {
+        "op": "delete" if assignments is None else "update",
+        "matched_rows": matched,
+        "affected_months": months,
+        "stale_views": stale_views,
+    }

@@ -161,3 +161,68 @@ def test_tpch_extra_oracles_match_duckdb(spark, sf_med):
                     assert abs(sv - dv) <= 0.011, (name, sr, dr)
                 else:
                     assert str(sv) == str(dv), (name, sr, dr)
+
+
+def test_general_asof_join(spark):
+    """The CH ASOF JOIN operator: closest right row per left row on
+    the chosen side of the timestamp, one key shuffle, whole right
+    row carried."""
+    from clickhouse_observability_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2025-01-01 10:00:00", "L1"),
+         (1, "2025-01-01 12:00:00", "L2"),
+         (2, "2025-01-01 10:30:00", "L3"),
+         (3, "2025-01-01 09:00:00", "L4")],
+        "k long, ts string, lv string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "lv")
+    right = spark.createDataFrame(
+        [(1, "2025-01-01 09:00:00", "R1"),
+         (1, "2025-01-01 12:00:00", "R2"),
+         (2, "2025-01-01 11:00:00", "R3")],
+        "k long, ts string, rv string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "rv")
+
+    def got(**kw):
+        return {
+            r.lv: r.r_rv
+            for r in asof_join(left, right, ["k"], "ts", "ts",
+                               right_prefix="r_", **kw).collect()
+        }
+
+    # backward non-strict (CH l.ts >= r.ts): equal ts matches
+    assert got() == {"L1": "R1", "L2": "R2"}
+    # backward strict (l.ts > r.ts): L2's equal-ts R2 is excluded
+    assert got(strict=True) == {"L1": "R1", "L2": "R1"}
+    # forward non-strict (l.ts <= r.ts): earliest at-or-after
+    assert got(direction="forward") == {
+        "L1": "R2", "L2": "R2", "L3": "R3"}
+    # ASOF LEFT JOIN keeps unmatched left rows with NULLs
+    assert got(how="left") == {
+        "L1": "R1", "L2": "R2", "L3": None, "L4": None}
+    # exactly one shuffle on the key: a single Window, no join node
+    plan = asof_join(left, right, ["k"], "ts", "ts", right_prefix="r_") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and plan.count("Exchange") <= 2
+
+
+def test_asof_general_join_oracle_matches_duckdb(spark, sf_med):
+    """The general asof_join vs DuckDB's NATIVE ASOF JOIN at the
+    driver's adjudication scale — two independent implementations of
+    the operator must agree row for row."""
+    import duckdb
+
+    from clickhouse_observability_spark.registry import oracle_sql, queries
+
+    qs, oracles = queries(), oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_med}/events.parquet'")
+    sdf = qs["asof_general_join"](spark, sf_med)
+    res = con.execute(oracles["asof_general_join"])
+    dcols = [d[0] for d in res.description]
+    assert sorted(sdf.columns) == sorted(dcols)
+    idx = [dcols.index(c) for c in sdf.columns]
+    srows = sorted(tuple(str(v) for v in r) for r in sdf.collect())
+    drows = sorted(tuple(str(r[i]) for i in idx) for r in res.fetchall())
+    assert srows == drows

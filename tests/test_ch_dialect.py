@@ -742,3 +742,171 @@ def test_anyheavy_returns_frequent_value(spark):
         "SELECT anyHeavy(v) AS h FROM "
         "(SELECT explode(array(1, 2, 2, 2, 3)) AS v)")).collect()[0]
     assert r.h == 2
+
+
+def test_mutations_delete_update(spark, logs):
+    """CH mutations as partition-scoped rewrites: ALTER TABLE DELETE
+    drops matching rows from affected month partitions only, UPDATE
+    applies assignment expressions to matching rows, DELETE FROM is
+    the lightweight-delete alias — all through the dialect, all
+    returning the matched-row count (INSERT's contract; CH itself
+    returns nothing and mutates asynchronously)."""
+    ch_sql(spark, (
+        "INSERT INTO logs (ts, service, level, msg) VALUES "
+        "('2025-05-01 10:00:00', 'api', 'DEBUG', 'm1'), "
+        "('2025-05-02 10:00:00', 'api', 'INFO', 'm2'), "
+        "('2025-07-01 10:00:00', 'web', 'DEBUG', 'm3'), "
+        "('2025-07-02 10:00:00', 'web', 'ERROR', 'secret token')"),
+        logs=logs)
+
+    # UPDATE with CH vocabulary in predicate and expression
+    n = ch_sql(spark, (
+        "ALTER TABLE logs UPDATE msg = replaceRegexpAll(msg, 'secret.*', "
+        "'<REDACTED>') WHERE match(msg, 'secret')"), logs=logs)
+    assert n == 1
+    msgs = {r.msg for r in logs.read().collect()}
+    assert "<REDACTED>" in msgs and "secret token" not in msgs
+
+    # DELETE prunes to the matching partitions and keeps the rest
+    n = ch_sql(spark, "ALTER TABLE logs DELETE WHERE level = 'DEBUG'",
+               logs=logs)
+    assert n == 2
+    assert logs.read().count() == 2
+    assert {r.level for r in logs.read().collect()} == {"INFO", "ERROR"}
+
+    # lightweight-delete form
+    n = ch_sql(spark, "DELETE FROM logs WHERE service = 'web'", logs=logs)
+    assert n == 1
+    assert [r.service for r in logs.read().collect()] == ["api"]
+
+    # zero-match mutation rewrites nothing and reports zero
+    assert ch_sql(spark, "ALTER TABLE logs DELETE WHERE level = 'X'",
+                  logs=logs) == 0
+
+
+def test_mutation_guards(spark, logs):
+    import pytest as _pytest
+
+    ch_sql(spark, ("INSERT INTO logs (ts, service, level, msg) VALUES "
+                   "('2025-05-01 10:00:00', 'api', 'INFO', 'm')"),
+           logs=logs)
+    # key-column updates refused (CH refuses key columns too)
+    with _pytest.raises(ValueError, match="key columns"):
+        ch_sql(spark, "ALTER TABLE logs UPDATE ts = now() WHERE 1 = 1",
+               logs=logs)
+    with _pytest.raises(ValueError, match="key columns"):
+        ch_sql(spark, "ALTER TABLE logs UPDATE service = 'x' WHERE 1 = 1",
+               logs=logs)
+    # unguarded whole-table mutations refused
+    with _pytest.raises(ChDialectError, match="WHERE"):
+        ch_sql(spark, "ALTER TABLE logs DELETE", logs=logs)
+    with _pytest.raises(ChDialectError, match="WHERE"):
+        ch_sql(spark, "ALTER TABLE logs UPDATE msg = 'x'", logs=logs)
+    # only the logs table mutates
+    with _pytest.raises(ChDialectError, match="logs"):
+        ch_sql(spark, "ALTER TABLE other DELETE WHERE 1 = 1", logs=logs)
+    # NULL predicate rows are NOT matched (SQL three-valued logic)
+    n = ch_sql(spark, ("ALTER TABLE logs DELETE WHERE "
+                       "JSONExtractString(attrs, 'k') = 'v'"), logs=logs)
+    assert n == 0 and logs.read().count() == 1
+
+
+def test_mutation_surfaces_stale_views(spark, tmp_path):
+    from clickhouse_observability_spark.sources.mutations import (
+        apply_mutation,
+    )
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    t = LogsTable(spark, str(tmp_path / "mlogs"))
+    t.init_schema()
+    ch_sql(spark, (
+        "CREATE MATERIALIZED VIEW mv_cnt ENGINE = AggregatingMergeTree() "
+        "AS SELECT service, count() AS n FROM logs GROUP BY service"),
+        logs=t)
+    ch_sql(spark, ("INSERT INTO logs (ts, service, level, msg) VALUES "
+                   "('2025-05-01 10:00:00', 'api', 'INFO', 'a'), "
+                   "('2025-05-01 11:00:00', 'api', 'INFO', 'b')"), logs=t)
+    res = apply_mutation(spark, t.path, "msg = 'a'")
+    assert res["matched_rows"] == 1 and res["stale_views"] == ["mv_cnt"]
+    # view still counts the deleted row (documented CH-parity drift)
+    assert t.materialized_views[0].read().collect()[0].n == 2
+    # refresh_views repairs in place
+    res = apply_mutation(spark, t.path, "msg = 'b'", refresh_views=True)
+    assert res["matched_rows"] == 1 and res["stale_views"] == []
+    # both rows gone -> the rebuilt view has no groups at all
+    assert t.materialized_views[0].read().count() == 0
+
+
+def test_asof_join_dialect(spark):
+    """CH ASOF JOIN through ch_sql: ON with equality + one
+    inequality, ASOF LEFT JOIN NULL-fill, the USING form, and CH
+    vocabulary in the surrounding statement. Right non-key columns
+    surface as <right_alias>_<col> (flat frame; CH reaches them via
+    the qualifier)."""
+    spark.createDataFrame(
+        [(1, "2025-01-01 10:00:00", 5.0),
+         (1, "2025-01-01 12:00:00", 7.0),
+         (2, "2025-01-01 10:30:00", 9.0)],
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "v") \
+        .createOrReplaceTempView("trades")
+    spark.createDataFrame(
+        [(1, "2025-01-01 09:00:00", 100.0),
+         (1, "2025-01-01 11:00:00", 110.0),
+         (2, "2025-01-01 11:00:00", 50.0)],
+        "k long, ts string, px double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "px") \
+        .createOrReplaceTempView("quotes")
+
+    rows = ch_sql(spark, (
+        "SELECT t.k, t.v, q.px FROM trades t ASOF JOIN quotes q "
+        "ON t.k = q.k AND t.ts >= q.ts ORDER BY t.k, t.v")).collect()
+    assert [(r.k, r.v, r.q_px) for r in rows] == [
+        (1, 5.0, 100.0), (1, 7.0, 110.0)]
+
+    # LEFT form keeps the unmatched trade with NULL quote columns
+    rows = ch_sql(spark, (
+        "SELECT t.k, t.v, q.px FROM trades t ASOF LEFT JOIN quotes q "
+        "ON t.k = q.k AND t.ts >= q.ts ORDER BY t.k, t.v")).collect()
+    assert [(r.k, r.v, r.q_px) for r in rows] == [
+        (1, 5.0, 100.0), (1, 7.0, 110.0), (2, 9.0, None)]
+
+    # USING form: trailing column is the backward-inexact asof axis;
+    # CH vocabulary (toStartOfHour) translates in the projection
+    rows = ch_sql(spark, (
+        "SELECT k, v, quotes_px, toStartOfHour(ts) AS h "
+        "FROM trades ASOF JOIN quotes USING (k, ts) "
+        "ORDER BY k, v")).collect()
+    assert [(r.k, r.v, r.quotes_px) for r in rows] == [
+        (1, 5.0, 100.0), (1, 7.0, 110.0)]
+    assert str(rows[0].h) == "2025-01-01 10:00:00"
+
+    # forward direction via the flipped inequality + aggregation tail
+    rows = ch_sql(spark, (
+        "SELECT t.k, countIf(q.px > 100) AS n_high "
+        "FROM trades t ASOF JOIN quotes q "
+        "ON t.k = q.k AND q.ts >= t.ts GROUP BY t.k ORDER BY t.k"
+    )).collect()
+    assert [(r.k, r.n_high) for r in rows] == [(1, 1), (2, 0)]
+
+
+def test_asof_join_dialect_errors(spark):
+    spark.range(1).selectExpr("id AS k", "CAST('2025-01-01' AS TIMESTAMP) ts") \
+        .createOrReplaceTempView("ta")
+    spark.range(1).selectExpr("id AS k", "CAST('2025-01-01' AS TIMESTAMP) ts") \
+        .createOrReplaceTempView("tb")
+    with pytest.raises(ChDialectError, match="equality"):
+        ch_sql(spark, "SELECT * FROM ta a ASOF JOIN tb b ON a.ts >= b.ts")
+    with pytest.raises(ChDialectError, match="one inequality"):
+        ch_sql(spark, ("SELECT * FROM ta a ASOF JOIN tb b "
+                       "ON a.k = b.k AND a.ts >= b.ts AND a.ts > b.ts"))
+    with pytest.raises(ChDialectError, match="same-named"):
+        ch_sql(spark, ("SELECT * FROM ta a ASOF JOIN tb b "
+                       "ON a.k = b.ts AND a.ts >= b.ts"))
+    with pytest.raises(ChDialectError, match="subquery"):
+        ch_sql(spark, ("SELECT * FROM (SELECT * FROM ta a ASOF JOIN tb b "
+                       "ON a.k = b.k AND a.ts >= b.ts) x"))
+    # text translation honestly refuses (needs the operator plan)
+    with pytest.raises(ChDialectError, match="ch_sql"):
+        translate("SELECT * FROM ta a ASOF JOIN tb b "
+                  "ON a.k = b.k AND a.ts >= b.ts")
