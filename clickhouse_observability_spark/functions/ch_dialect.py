@@ -182,6 +182,29 @@ def _split_by_char(args):
     return f"split({args[1]}, {_q(re.escape(_string_value(args[0])))})"
 
 
+def _split_by_string(args):
+    """CH splitByString(sep, s): literal multi-char separator,
+    regex-escaped for Spark's split()."""
+    if len(args) != 2 or not args[0].startswith("'"):
+        raise ChDialectError(
+            "splitByString separator must be a string literal")
+    return f"split({args[1]}, {_q(re.escape(_string_value(args[0])))})"
+
+
+def _format_readable_size(args):
+    """CH formatReadableSize: binary-prefixed human size, two
+    decimals ('1.00 MiB'). A CASE ladder over the binary magnitudes
+    — pure expression, stays in codegen."""
+    x = f"CAST({args[0]} AS DOUBLE)"
+    tiers = [(2.0 ** 50, "PiB"), (2.0 ** 40, "TiB"), (2.0 ** 30, "GiB"),
+             (2.0 ** 20, "MiB"), (2.0 ** 10, "KiB")]
+    whens = " ".join(
+        f"WHEN {x} >= {int(t)} THEN "
+        f"format_string('%.2f {u}', {x} / {int(t)})"
+        for t, u in tiers)
+    return f"(CASE {whens} ELSE format_string('%.2f B', {x}) END)"
+
+
 def _unsupported(name: str, hint: str):
     def fn(args):
         raise ChDialectError(f"{name} has no Spark SQL equivalent; {hint}")
@@ -386,6 +409,76 @@ _FUNCS = {
     # strictly stronger answer — any_value would silently drop the
     # frequency contract.
     "anyheavy": lambda a: f"mode({a[0]})",
+    # --- r6 vocabulary wave -------------------------------------------
+    # sub-hour buckets beyond toStartOfMinute: arithmetic on the unix
+    # axis (CH buckets the same way)
+    "tostartoffiveminutes": lambda a: (
+        f"timestamp_seconds((unix_timestamp({a[0]}) DIV 300) * 300)"),
+    "tostartoftenminutes": lambda a: (
+        f"timestamp_seconds((unix_timestamp({a[0]}) DIV 600) * 600)"),
+    "tostartoffifteenminutes": lambda a: (
+        f"timestamp_seconds((unix_timestamp({a[0]}) DIV 900) * 900)"),
+    # CH timeSlot = floor to the half hour
+    "timeslot": lambda a: (
+        f"timestamp_seconds((unix_timestamp({a[0]}) DIV 1800) * 1800)"),
+    "tointervalsecond": lambda a: f"make_interval(0, 0, 0, 0, 0, 0, {a[0]})",
+    "tointervalminute": lambda a: f"make_interval(0, 0, 0, 0, 0, {a[0]}, 0)",
+    "tointervalhour": lambda a: f"make_interval(0, 0, 0, 0, {a[0]}, 0, 0)",
+    "tointervalday": lambda a: f"make_interval(0, 0, 0, {a[0]}, 0, 0, 0)",
+    "tointervalweek": lambda a: f"make_interval(0, 0, {a[0]}, 0, 0, 0, 0)",
+    "tointervalmonth": lambda a: f"make_interval(0, {a[0]}, 0, 0, 0, 0, 0)",
+    "tointervalyear": lambda a: f"make_interval({a[0]}, 0, 0, 0, 0, 0, 0)",
+    # string family
+    "trimboth": lambda a: f"trim({a[0]})",
+    "trimleft": lambda a: f"ltrim({a[0]})",
+    "trimright": lambda a: f"rtrim({a[0]})",
+    "concatwithseparator": lambda a: f"concat_ws({', '.join(a)})",
+    "positioncaseinsensitive": lambda a: (
+        f"locate(lower({a[1]}), lower({a[0]}))"),
+    "extractall": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)",
+    "splitbystring": lambda a: _split_by_string(a),
+    "base64encode": lambda a: f"base64(CAST({a[0]} AS BINARY))",
+    "base64decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
+    "formatreadablesize": lambda a: _format_readable_size(a),
+    # URL family (Spark's parse_url is the direct analog)
+    "domain": lambda a: f"parse_url({a[0]}, 'HOST')",
+    "path": lambda a: f"parse_url({a[0]}, 'PATH')",
+    "pathfull": lambda a: (
+        f"concat(parse_url({a[0]}, 'PATH'), "
+        f"coalesce(concat('?', parse_url({a[0]}, 'QUERY')), ''))"),
+    "querystring": lambda a: f"parse_url({a[0]}, 'QUERY')",
+    "protocol": lambda a: (
+        f"regexp_extract({a[0]}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"),
+    # hash family. halfMD5 is VALUE-EXACT (first 8 MD5 bytes as a
+    # big-endian unsigned int; DECIMAL(20,0) holds the UInt64 range).
+    # cityHash64/sipHash64 are CH-proprietary mixers with no Spark
+    # implementation: they map to xxhash64 — a DOCUMENTED VALUE
+    # DIVERGENCE, sound for the dominant uses (bucketing, sampling,
+    # fingerprint grouping are hash-agnostic) but NOT for comparing
+    # against hashes a real ClickHouse computed. xxHash64 itself
+    # passes through to Spark's native xxhash64 (same name).
+    "halfmd5": lambda a: (
+        f"CAST(conv(substring(md5({a[0]}), 1, 16), 16, 10) "
+        f"AS DECIMAL(20, 0))"),
+    "cityhash64": lambda a: f"xxhash64({', '.join(a)})",
+    "siphash64": lambda a: f"xxhash64({', '.join(a)})",
+    # bit family
+    "bitshiftleft": lambda a: f"shiftleft({a[0]}, {a[1]})",
+    "bitshiftright": lambda a: f"shiftright({a[0]}, {a[1]})",
+    # tuples are Spark structs; struct() names fields col1, col2, ...
+    # so the positional form indexes those; the name form reads the
+    # field directly
+    "tupleelement": lambda a: (
+        f"({a[0]}).col{a[1].strip()}" if a[1].strip().isdigit()
+        else f"({a[0]}).{_string_value(a[1].strip())}"),
+    # block-order-dependent CH functions (deprecated there too):
+    # honest refusal with the window-function rewrite
+    "runningdifference": _unsupported(
+        "runningDifference",
+        "block-order dependent; use `x - lag(x) OVER (ORDER BY ...)`"),
+    "neighbor": _unsupported(
+        "neighbor",
+        "block-order dependent; use lag()/lead() OVER (ORDER BY ...)"),
     # statistics family: CH camelCase -> Spark snake_case (unmapped
     # these would hit UNRESOLVED_ROUTINE, not mistranslate — but a
     # CH user expects them to just work)
@@ -1570,9 +1663,118 @@ _DROP_VIEW_RE = re.compile(
 # CH EXPLAIN [SYNTAX|PLAN] stmt — SYNTAX shows the rewritten query
 # (here: the Spark SQL translation), PLAN/default the execution plan
 _EXPLAIN_RE = re.compile(
-    r"^\s*EXPLAIN(\s+SYNTAX|\s+PLAN)?\s+(SELECT\b.+|WITH\b.+)$",
+    r"^\s*EXPLAIN(\s+SYNTAX|\s+PLAN|\s+ESTIMATE)?\s+(SELECT\b.+|WITH\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _explain_estimate(spark: SparkSession, logs, inner_sql: str):
+    """CH `EXPLAIN ESTIMATE`: how many parts/rows/marks the statement
+    would read, from INDEX metadata only. The analog here is real:
+    parquet footers (LogsTable.parts() — O(#files) metadata pages,
+    no data) filtered by the statement's prunable WHERE conjuncts —
+    month partition equals/ranges, `service = 'lit'` against the
+    per-file (service) min/max the sort order produces, and ts
+    bounds against the per-file ts min/max. Conjuncts the index
+    can't prune on are ignored, making the estimate an upper bound —
+    exactly CH's contract (its estimate also reads only the sparse
+    index). Marks are rows/8192 per part, CH's granule size."""
+    import math
+
+    from clickhouse_observability_spark.session import local_df
+
+    tokens = _tokenize(split_format_clause(inner_sql)[0])
+    lows = [t.lower() for t in tokens]
+    # the top-level WHERE ... clause tail
+    d, start = 0, None
+    for i, t in enumerate(tokens):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and lows[i] == "where":
+            start = i + 1
+            break
+    conjs: list[list[str]] = [[]]
+    if start is not None:
+        d = 0
+        enders = {"group", "order", "limit", "having", "union",
+                  "settings"}
+        for t in tokens[start:]:
+            tl = t.lower()
+            if t == "(":
+                d += 1
+            elif t == ")":
+                d -= 1
+            elif d == 0 and tl in enders:
+                break
+            if d == 0 and tl == "and":
+                conjs.append([])
+            else:
+                conjs[-1].append(t)
+
+    def lit_of(toks: list[str]):
+        """A comparable literal: number, string, or
+        toDateTime('...')/toDate('...') wrappers."""
+        if len(toks) == 1 and (_is_number(toks[0]) or _is_string(toks[0])):
+            return (_string_value(toks[0]) if _is_string(toks[0])
+                    else float(toks[0]))
+        if (len(toks) == 4 and toks[0].lower() in ("todatetime", "todate")
+                and toks[1] == "(" and _is_string(toks[2])
+                and toks[3] == ")"):
+            return _string_value(toks[2])
+        return None
+
+    # prunable conjunct -> (col, op, literal); ops normalized to
+    # left-col form
+    bounds = []
+    for c in conjs:
+        if len(c) < 3:
+            continue
+        if (c[0].lower() in ("service", "ts", "month")
+                and c[1] in ("=", ">=", "<=", ">", "<")):
+            v = lit_of(c[2:])
+            if v is not None:
+                bounds.append((c[0].lower(), c[1], v))
+        elif (c[-1].lower() in ("service", "ts", "month")
+              and c[-2] in ("=", ">=", "<=", ">", "<")):
+            v = lit_of(c[:-2])
+            if v is not None:
+                bounds.append((c[-1].lower(), _ASOF_FLIP.get(c[-2], "="), v))
+
+    parts = logs.parts()
+    kept = []
+    for p in parts:
+        ok = True
+        for col, op, v in bounds:
+            if col == "month":
+                lo = hi = p["partition"]
+            elif col == "service":
+                lo, hi = p["min_service"], p["max_service"]
+            else:  # ts — footer stats stringify in ISO order
+                lo, hi = p["min_ts"], p["max_ts"]
+                v = str(v)
+            if lo is None or hi is None:
+                continue  # no stats -> cannot prune this part
+            if op == "=":
+                ok = lo <= v <= hi
+            elif op in (">=", ">"):
+                ok = hi >= v if op == ">=" else hi > v
+            else:
+                ok = lo <= v if op == "<=" else lo < v
+            if not ok:
+                break
+        if ok:
+            kept.append(p)
+    rows = sum(p["rows"] for p in kept)
+    marks = sum(max(1, math.ceil(p["rows"] / 8192)) for p in kept) \
+        if kept else 0
+    return local_df(
+        spark,
+        [("default", "logs", len(kept), rows, marks)],
+        "database string, table string, parts bigint, rows bigint, "
+        "marks bigint",
+    )
 
 # CH aggregate name -> MV agg kind (uniq* variants all land on the
 # HLL state; the estimate differs from CH's own algorithm only in
@@ -2229,6 +2431,12 @@ def ch_sql(
     if me is not None:
         mode, inner = me.groups()
         inner = _rewrite_system_tables(spark, inner, logs, query_log)
+        if (mode or "").strip().lower() == "estimate":
+            if logs is None:
+                raise ChDialectError(
+                    "EXPLAIN ESTIMATE reads the logs table's part "
+                    "metadata; pass logs=")
+            return _explain_estimate(spark, logs, inner)
         if (mode or "").strip().lower() == "syntax":
             # CH EXPLAIN SYNTAX prints the rewritten query; the
             # analog here IS the dialect translation

@@ -67,6 +67,15 @@ class LogsTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # Spark's DEFAULT parquet timestamp physical type is INT96
+        # (legacy), which carries NO column min/max statistics — that
+        # silently kills footer-level ts pruning (system.parts min_ts/
+        # max_ts, EXPLAIN ESTIMATE, and the reader's own row-group
+        # skipping on ts ranges). INT64 micros is the modern type
+        # every reader handles and it restores the stats; pin it for
+        # this session's writes.
+        spark.conf.set("spark.sql.parquet.outputTimestampType",
+                       "TIMESTAMP_MICROS")
         # re-attach persisted materialized views (insert triggers);
         # cheap listdir of <path>/_mv — absent on most tables
         from clickhouse_observability_spark.sources.matview import (
@@ -191,7 +200,11 @@ class LogsTable:
                 for ci in range(g.num_columns):
                     col = g.column(ci)
                     name = col.path_in_schema
-                    if name in ("service", "ts") and col.statistics:
+                    # INT96 ts columns (files written before the
+                    # TIMESTAMP_MICROS pin) carry no stats; their
+                    # min_ts/max_ts stay None honestly
+                    if (name in ("service", "ts") and col.statistics
+                            and col.statistics.has_min_max):
                         st = col.statistics
                         lo[name] = (st.min if name not in lo
                                     else min(lo[name], st.min))
@@ -205,8 +218,8 @@ class LogsTable:
                 "bytes": os.path.getsize(f),
                 "min_service": lo.get("service"),
                 "max_service": hi.get("service"),
-                "min_ts": str(lo.get("ts")),
-                "max_ts": str(hi.get("ts")),
+                "min_ts": (str(lo["ts"]) if "ts" in lo else None),
+                "max_ts": (str(hi["ts"]) if "ts" in hi else None),
             })
         return out
 

@@ -910,3 +910,94 @@ def test_asof_join_dialect_errors(spark):
     with pytest.raises(ChDialectError, match="ch_sql"):
         translate("SELECT * FROM ta a ASOF JOIN tb b "
                   "ON a.k = b.k AND a.ts >= b.ts")
+
+
+def test_r6_vocabulary_wave(spark):
+    """Sub-hour buckets, interval constructors, string/URL/hash/bit
+    families — each executed, not just translated."""
+    cases = {
+        "SELECT toStartOfFiveMinutes(TIMESTAMP '2024-01-01 10:07:33') AS v":
+            "2024-01-01 10:05:00",
+        "SELECT toStartOfFifteenMinutes(TIMESTAMP '2024-01-01 10:17:33') AS v":
+            "2024-01-01 10:15:00",
+        "SELECT timeSlot(TIMESTAMP '2024-01-01 10:37:33') AS v":
+            "2024-01-01 10:30:00",
+        "SELECT trimBoth('  x  ') AS v": "x",
+        "SELECT concatWithSeparator('-', 'a', 'b') AS v": "a-b",
+        "SELECT positionCaseInsensitive('Hello', 'LL') AS v": 3,
+        "SELECT base64Encode('hi') AS v": "aGk=",
+        "SELECT base64Decode('aGk=') AS v": "hi",
+        "SELECT formatReadableSize(1048576) AS v": "1.00 MiB",
+        "SELECT formatReadableSize(512) AS v": "512.00 B",
+        "SELECT domain('https://ex.com/a/b?q=1') AS v": "ex.com",
+        "SELECT path('https://ex.com/a/b?q=1') AS v": "/a/b",
+        "SELECT protocol('https://ex.com/a') AS v": "https",
+        "SELECT bitShiftLeft(3, 2) AS v": 12,
+        "SELECT tupleElement((1, 'x'), 2) AS v": "x",
+        "SELECT CAST(toIntervalDay(2) + TIMESTAMP '2024-01-01 00:00:00' "
+        "AS STRING) AS v": "2024-01-03 00:00:00",
+    }
+    for sql, want in cases.items():
+        got = spark.sql(translate(sql)).collect()[0].v
+        got = str(got) if isinstance(want, str) else got
+        assert got == want, (sql, got)
+    # list results
+    assert list(spark.sql(translate(
+        "SELECT extractAll('a1b22c', '[0-9]+') AS v")).collect()[0].v) \
+        == ["1", "22"]
+    assert list(spark.sql(translate(
+        "SELECT splitByString('ab', '1ab2ab3') AS v")).collect()[0].v) \
+        == ["1", "2", "3"]
+    # halfMD5 is VALUE-EXACT vs CH's definition (first 8 MD5 bytes,
+    # big-endian unsigned)
+    import hashlib
+
+    exp = int.from_bytes(hashlib.md5(b"abc").digest()[:8], "big")
+    assert int(spark.sql(translate(
+        "SELECT halfMD5('abc') AS v")).collect()[0].v) == exp
+    # cityHash64/sipHash64 -> xxhash64: deterministic in-engine, a
+    # DOCUMENTED value divergence from real CH output
+    a = spark.sql(translate("SELECT cityHash64('abc') AS v")).collect()[0].v
+    b = spark.sql("SELECT xxhash64('abc') AS v").collect()[0].v
+    assert a == b
+    # block-order-dependent functions refuse with the window rewrite
+    with pytest.raises(ChDialectError, match="lag"):
+        translate("SELECT runningDifference(x) FROM t")
+    with pytest.raises(ChDialectError, match="lead"):
+        translate("SELECT neighbor(x, 1) FROM t")
+
+
+def test_explain_estimate(spark, logs):
+    """CH EXPLAIN ESTIMATE from parquet-footer metadata: month
+    partitions and the (service, ts) min/max the sorted layout
+    produces prune parts WITHOUT reading data; non-indexable
+    conjuncts are ignored (upper bound, CH's own contract)."""
+    ch_sql(spark, (
+        "INSERT INTO logs (ts, service, level, msg) VALUES "
+        "('2025-05-01 10:00:00', 'api', 'INFO', 'a'), "
+        "('2025-05-02 10:00:00', 'api', 'INFO', 'b'), "
+        "('2025-07-01 10:00:00', 'web', 'ERROR', 'c')"), logs=logs)
+
+    def est(sql):
+        r = ch_sql(spark, sql, logs=logs).collect()[0]
+        return (r.parts, r.rows)
+
+    all_parts, all_rows = est("EXPLAIN ESTIMATE SELECT * FROM logs")
+    assert all_rows == 3 and all_parts >= 1
+    # month pruning drops the other partition entirely
+    p, r = est("EXPLAIN ESTIMATE SELECT * FROM logs WHERE month = 202507")
+    assert r == 1 and p < all_parts
+    # ts range pruning via footer min/max
+    p, r = est("EXPLAIN ESTIMATE SELECT count(*) FROM logs "
+               "WHERE ts >= toDateTime('2025-06-01 00:00:00')")
+    assert r == 1
+    # service equality against the sorted layout's min/max
+    _, r = est("EXPLAIN ESTIMATE SELECT * FROM logs WHERE service = 'web'")
+    assert r == 1
+    # un-prunable conjunct ignored -> upper bound, never an error
+    _, r = est("EXPLAIN ESTIMATE SELECT * FROM logs WHERE msg = 'c'")
+    assert r == 3
+    # contradictory range estimates zero
+    p, r = est("EXPLAIN ESTIMATE SELECT * FROM logs "
+               "WHERE ts > toDateTime('2026-01-01 00:00:00')")
+    assert (p, r) == (0, 0)
