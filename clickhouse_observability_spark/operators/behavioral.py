@@ -28,6 +28,7 @@ def window_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    modes: tuple[str, ...] = (),
 ) -> DataFrame:
     """ClickHouse windowFunnel (default mode): per user, the deepest
     funnel level reached. The REAL ClickHouse algorithm is a
@@ -42,9 +43,32 @@ def window_funnel(
     earliest-anchor pass (conditional mins) UNDERREPORTS levels when
     a later step-1 event starts a faster chain — review r4 found the
     first draft doing exactly that. Output: (user, level); users with
-    no funnel-step events do not appear."""
+    no funnel-step events do not appear.
+
+    `modes` (r6) — ClickHouse's three documented strict modes, any
+    combination, implemented per the docs' semantics over the same
+    per-level parallel-chain state:
+
+    - 'strict_order': condition events may not interleave — an event
+      that neither anchors nor advances kills every open chain, and
+      an advance/anchor keeps ONLY its own chain alive (CH's
+      A->B->D->C example stops at level 2).
+    - 'strict_increase': consecutive chain steps need strictly
+      increasing timestamps (per-level last-event ts tracked).
+    - 'strict_deduplication' (alias 'strict_dedup'): an event whose
+      condition was already matched by an open chain INTERRUPTS the
+      user's further processing (level so far is kept) — the docs'
+      "repeating event interrupts further processing".
+
+    The default (no modes) path is the unchanged adjudicated fold."""
     if not steps:
         raise ValueError("windowFunnel needs at least one step")
+    canon = {"strict_dedup": "strict_deduplication"}
+    flags = {canon.get(m, m) for m in modes}
+    bad = flags - {"strict_order", "strict_increase",
+                   "strict_deduplication"}
+    if bad:
+        raise ValueError(f"unknown windowFunnel modes: {sorted(bad)}")
     step_idx = F.array(*[F.lit(s) for s in steps])
     ev = events.select(
         F.col(user_col).alias("user"),
@@ -56,6 +80,9 @@ def window_funnel(
     )
     win_us = window_seconds * 1_000_000
     k = len(steps)
+    if flags:
+        fold = _window_funnel_moded_fold(k, win_us, flags)
+        return per_user.select("user", fold.cast("int").alias("level"))
     # accumulator: chain-start timestamp per level (NULL = unreached)
     # + best level so far; the fold is the ClickHouse
     # AggregateFunctionWindowFunnel loop verbatim
@@ -86,6 +113,75 @@ def window_funnel(
               acc -> acc.lvl)"""
     )
     return per_user.select("user", fold.cast("int").alias("level"))
+
+
+def _window_funnel_moded_fold(k: int, win_us: int, flags: set):
+    """The strict-mode variant of the windowFunnel fold. Same
+    parallel per-level chain state as the default, extended with the
+    per-level LAST-event timestamp (u{i}, for strict_increase) and a
+    dead flag (strict_deduplication's interrupt). Still a
+    backtracking-free single pass inside codegen."""
+    so = "strict_order" in flags
+    si = "strict_increase" in flags
+    sd = "strict_deduplication" in flags
+
+    init = ", ".join(
+        [f"'t{i}', CAST(NULL AS BIGINT), 'u{i}', CAST(NULL AS BIGINT)"
+         for i in range(k)]
+    )
+
+    def state(assign: dict[int, tuple[str, str]], lvl: str,
+              dead: str = "acc.dead", clear_others: bool = False) -> str:
+        parts = []
+        for i in range(k):
+            if i in assign:
+                t, u = assign[i]
+            elif clear_others:
+                t, u = "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)"
+            else:
+                t, u = f"acc.t{i}", f"acc.u{i}"
+            parts.append(f"'t{i}', {t}, 'u{i}', {u}")
+        parts.append(f"'lvl', {lvl}")
+        parts.append(f"'dead', {dead}")
+        return "named_struct(" + ", ".join(parts) + ")"
+
+    branches = ["WHEN acc.dead THEN acc"]
+    if sd:
+        # the docs' interrupt: a condition already matched by an open
+        # chain repeats -> stop processing this user, keep the level
+        for i in range(k):
+            branches.append(
+                f"WHEN e.step = {i} AND acc.t{i} IS NOT NULL THEN "
+                + state({}, "acc.lvl", dead="true")
+            )
+    # anchor
+    branches.append(
+        "WHEN e.step = 0 THEN "
+        + state({0: ("e.us", "e.us")}, "greatest(acc.lvl, 1)",
+                clear_others=so)
+    )
+    # advance
+    for i in range(1, k):
+        cond = (f"e.step = {i} AND acc.t{i - 1} IS NOT NULL "
+                f"AND e.us <= acc.t{i - 1} + {win_us}L")
+        if si:
+            cond += f" AND e.us > acc.u{i - 1}"
+        branches.append(
+            f"WHEN {cond} THEN "
+            + state({i: (f"acc.t{i - 1}", "e.us")},
+                    f"greatest(acc.lvl, {i + 1})", clear_others=so)
+        )
+    if so:
+        # an interleaving condition event (no anchor, no advance)
+        # kills every open chain; the best level survives
+        branches.append("WHEN true THEN " + state({}, "acc.lvl",
+                                                  clear_others=True))
+    return F.expr(
+        f"""aggregate(evs,
+              named_struct({init}, 'lvl', 0, 'dead', false),
+              (acc, e) -> CASE {' '.join(branches)} ELSE acc END,
+              acc -> acc.lvl)"""
+    )
 
 
 def retention(

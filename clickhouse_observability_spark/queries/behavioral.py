@@ -10,6 +10,8 @@ oracle SQL is executed against DuckDB by tests/test_behavioral.py.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from clickhouse_observability_spark.operators import behavioral as B
 from clickhouse_observability_spark.registry import register, table
 
@@ -136,3 +138,25 @@ def behavior_sequence_match(spark, sf_dir):
     return B.sequence_match(
         ev, "(?1)(?2)", ["click", "purchase", "view"]
     ).withColumnRenamed("user", "user_id")
+
+
+@register("behavior_window_funnel_strict")
+def behavior_window_funnel_strict(spark, sf_dir):
+    """windowFunnel with every CH strict mode, mode-tagged in one
+    frame (rows-only: the mode interactions have no clean SQL
+    mirror; tests/test_behavioral.py pins the docs' own shape
+    examples per mode). Same single user_id shuffle per arm."""
+    ev = table(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    out = None
+    for tag, modes in (
+        ("default", ()),
+        ("strict_order", ("strict_order",)),
+        ("strict_increase", ("strict_increase",)),
+        ("strict_dedup", ("strict_deduplication",)),
+    ):
+        arm = B.window_funnel(
+            ev, steps, _FUNNEL_WINDOW_S, modes=modes
+        ).select(F.lit(tag).alias("mode"), "user", "level")
+        out = arm if out is None else out.unionByName(arm)
+    return out

@@ -281,3 +281,65 @@ class TestSequenceMatch:
         ]:
             with _pytest.raises(ValueError, match=msg):
                 self._run(spark, [(1, 0, "v")], pat, ["v", "p", "q"])
+
+
+def test_window_funnel_strict_modes(spark):
+    """The three documented CH windowFunnel modes. Fixtures are the
+    docs' own shapes: A->B->D->C stops at 2 under strict_order (D
+    interleaves) but reaches 3 by default; equal timestamps advance
+    by default but not under strict_increase; a repeated condition
+    interrupts under strict_deduplication."""
+    import datetime as dt
+
+    import clickhouse_observability_spark.operators.behavioral as B
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 10, 0, s), t) for s, t in rows],
+            "user_id long, ts timestamp, event_type string",
+        )
+
+    steps = ["A", "B", "C"]
+
+    def lvl(df, **kw):
+        out = B.window_funnel(df, steps, 3600, **kw).collect()
+        return out[0].level if out else None
+
+    # strict_order: interleaving condition event kills open chains
+    inter = ev([(0, "A"), (1, "B"), (2, "D"), (3, "C")])
+    steps4 = ["A", "B", "C", "D"]
+    out_def = B.window_funnel(inter, steps4, 3600).collect()[0].level
+    out_so = B.window_funnel(
+        inter, steps4, 3600, modes=("strict_order",)).collect()[0].level
+    assert out_def == 3  # default: D is just noise for A->B->C
+    assert out_so == 2   # docs: stops at the D
+
+    # strict_order still allows a fresh chain after the break
+    redo = ev([(0, "A"), (1, "D"), (2, "A"), (3, "B"), (4, "C")])
+    assert lvl(redo, modes=("strict_order",)) == 3
+
+    # strict_increase: equal timestamps don't advance
+    eq = ev([(0, "A"), (0, "B"), (1, "C")])
+    assert lvl(eq) == 3
+    assert lvl(eq, modes=("strict_increase",)) == 1
+    inc = ev([(0, "A"), (1, "B"), (2, "C")])
+    assert lvl(inc, modes=("strict_increase",)) == 3
+
+    # strict_increase keeps the parallel re-anchor semantics: a later
+    # faster chain still counts (the r4 single-chain trap)
+    par = ev([(0, "A"), (1, "B"), (2, "A"), (3, "C")])
+    assert lvl(par, modes=("strict_increase",)) == 3
+
+    # strict_deduplication: repeating a matched condition interrupts
+    dup = ev([(0, "A"), (1, "A"), (2, "B"), (3, "C")])
+    assert lvl(dup) == 3
+    assert lvl(dup, modes=("strict_dedup",)) == 1
+    dup2 = ev([(0, "A"), (1, "B"), (2, "A"), (3, "C")])
+    assert lvl(dup2, modes=("strict_deduplication",)) == 2
+
+    # combined modes compose
+    assert lvl(inc, modes=("strict_increase", "strict_order")) == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown windowFunnel"):
+        B.window_funnel(inc, steps, 60, modes=("bogus",))
