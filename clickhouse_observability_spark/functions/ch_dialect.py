@@ -533,6 +533,13 @@ _PARAM_FUNCS = {
     "sequencecount": lambda p, a: (_ for _ in ()).throw(ChDialectError(
         "sequenceCount needs the stateful fold operator — use "
         "operators.behavioral.sequence_count")),
+    "windowfunnel": lambda p, a: (_ for _ in ()).throw(ChDialectError(
+        "windowFunnel needs the stateful fold operator — use "
+        "operators.behavioral.window_funnel (strict_order/"
+        "strict_increase/strict_deduplication modes supported)")),
+    "retention": lambda p, a: (_ for _ in ()).throw(ChDialectError(
+        "retention needs the conditional-aggregate operator — use "
+        "operators.behavioral.retention")),
 }
 
 
