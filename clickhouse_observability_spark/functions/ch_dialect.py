@@ -31,6 +31,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = ["translate", "ch_sql", "ChDialectError"]
 
@@ -2169,6 +2170,138 @@ _OPTIMIZE_RE = re.compile(
     re.IGNORECASE,
 )
 
+# CH projections: ALTER TABLE t ADD PROJECTION p (SELECT ...),
+# DROP PROJECTION, MATERIALIZE PROJECTION
+_PROJ_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+PROJECTION\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PROJ_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+PROJECTION\s+"
+    r"(IF\s+EXISTS\s+)?(\w+)\s*$",
+    re.IGNORECASE,
+)
+_PROJ_MAT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+PROJECTION\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _norm_sql(s: str | None) -> str | None:
+    return None if s is None else re.sub(r"\s+", "", s).lower()
+
+
+def _route_projection(spark: SparkSession, sql: str, logs):
+    """Transparent aggregate-projection routing — ClickHouse's
+    optimizer behavior for `ADD PROJECTION`: a single-table
+    SELECT ... FROM logs ... GROUP BY ... whose dimensions,
+    aggregates and WHERE are all answerable from a projection's
+    mergeable states is served FROM those states (O(state rows))
+    instead of scanning the base table. Returns the routed DataFrame
+    or None (fall back to the base scan — results identical either
+    way, which a pytest pins).
+
+    Safety: the WHERE must be a function of the projection's
+    plain-column dimensions (filtering state rows == filtering base
+    rows only when the predicate depends on group keys alone). That
+    is enforced by RESOLUTION, not text analysis: the predicate is
+    analyzed against a dims-only frame; any reference to a non-dim
+    column fails analysis and the router declines."""
+    if logs is None:
+        return None
+    projs = [v for v in getattr(logs, "materialized_views", [])
+             if v.spec.get("projection")]
+    if not projs:
+        return None
+    base, _fmt = split_format_clause(sql)
+    tokens = _tokenize(base)
+    lows = [t.lower() for t in tokens]
+    if not tokens or lows[0] != "select":
+        return None
+    # split off a top-level ORDER BY / LIMIT tail (re-applied after)
+    d, cut = 0, None
+    for i, t in enumerate(tokens):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and lows[i] in ("order", "limit") \
+                and not _is_string(t):
+            cut = i
+            break
+    core = tokens[:cut] if cut is not None else tokens
+    tail = tokens[cut:] if cut is not None else []
+    try:
+        q = _parse_mv_select(" ".join(core))
+    except ChDialectError:
+        return None  # not a routable aggregate shape
+    # output column order as written in the SELECT list
+    out_order = [*(d2["alias"] for d2 in q["dims"]),
+                 *(a["alias"] for a in q["aggs"])]
+    frm = next(i for i, t in enumerate(core) if t.lower() == "from"
+               and not _is_string(t))
+    ordered = []
+    for item in _split_top_commas(core[1:frm]):
+        if (len(item) >= 3 and item[-2].lower() == "as"
+                and re.fullmatch(r"[A-Za-z_]\w*", item[-1])):
+            ordered.append(item[-1])
+        elif len(item) == 1 and re.fullmatch(r"[A-Za-z_]\w*", item[0]):
+            ordered.append(item[0])
+    if sorted(ordered) == sorted(out_order):
+        out_order = ordered
+
+    for p in projs:
+        spec = p.spec
+        dim_by_sql = {_norm_sql(d2["sql"]): d2["alias"]
+                      for d2 in spec["dims"]}
+        dim_by_alias = {d2["alias"].lower(): d2["alias"]
+                        for d2 in spec["dims"]}
+        agg_by_key = {
+            (a["kind"], _norm_sql(a["arg_sql"])): a["alias"]
+            for a in spec["aggs"]
+        }
+        dims_map = []
+        for d2 in q["dims"]:
+            src = dim_by_sql.get(_norm_sql(d2["sql"])) \
+                or dim_by_alias.get(d2["sql"].lower())
+            if src is None:
+                break
+            dims_map.append((src, d2["alias"]))
+        else:
+            aggs_map = []
+            for a in q["aggs"]:
+                src = agg_by_key.get((a["kind"], _norm_sql(a["arg_sql"])))
+                if src is None:
+                    break
+                aggs_map.append((src, a["alias"]))
+            else:
+                where = q["where_sql"]
+                p_where = spec.get("where_sql")
+                if p_where is not None:
+                    # a filtered projection serves only the SAME filter
+                    if _norm_sql(where) != _norm_sql(p_where):
+                        continue
+                    where = None  # states already carry the filter
+                try:
+                    if where is not None:
+                        # resolution gate: predicate must be a function
+                        # of the projection's dim columns alone
+                        dim_cols = [d2["alias"] for d2 in spec["dims"]]
+                        p.read_states().select(*dim_cols).filter(
+                            F.expr(where))
+                    served = p.serve(dims_map, aggs_map, where_sql=where)
+                    served = served.select(*out_order)
+                except Exception:
+                    continue  # unresolvable -> next projection / base
+                if not tail:
+                    return served
+                view = "__projection_served"
+                served.createOrReplaceTempView(view)
+                return spark.sql(translate(
+                    f"SELECT * FROM {view} " + " ".join(tail)))
+    return None
+
 # CH mutations: ALTER TABLE t DELETE WHERE ... / UPDATE a=b WHERE ...,
 # plus the lightweight-delete form DELETE FROM t WHERE ...
 _ALTER_MUT_RE = re.compile(
@@ -2329,6 +2462,10 @@ def ch_sql(
             mentioned = {w.lower()
                          for w in re.findall(r"[A-Za-z_]\w*", sql)}
             for mv in logs.materialized_views:
+                # projections are not name-addressable (CH hides them;
+                # they serve queries via _route_projection instead)
+                if mv.spec.get("projection"):
+                    continue
                 if mv.name.lower() in mentioned:
                     mv.read().createOrReplaceTempView(mv.name)
 
@@ -2367,6 +2504,50 @@ def ch_sql(
         return 0
     # a non-MV DROP falls through to Spark, whose own IF EXISTS
     # semantics handle temp views correctly
+
+    mp = _PROJ_ADD_RE.match(sql)
+    if mp is not None:
+        tname, if_not_exists, pname, body = mp.groups()
+        if tname.lower() != "logs" or logs is None:
+            raise ChDialectError("projections supported for `logs` only")
+        if not body.strip().lower().startswith("select"):
+            raise ChDialectError(
+                "only AGGREGATE projections (SELECT ... GROUP BY ...) "
+                "are supported; for a sort-order projection use the "
+                "Z-order/bucketing layout tools (sources/zorder.py)")
+        if any(v.name == pname for v in logs.materialized_views):
+            if if_not_exists:
+                return 0
+            raise ChDialectError(f"projection {pname!r} already exists")
+        spec = _parse_mv_select(body)
+        spec["name"] = pname
+        spec["projection"] = True
+        logs.create_materialized_view(spec)
+        # CH contract: ADD PROJECTION affects only NEW parts until
+        # MATERIALIZE PROJECTION backfills — same here (the insert
+        # trigger starts immediately; existing rows enter on
+        # MATERIALIZE)
+        return 0
+
+    mp = _PROJ_DROP_RE.match(sql)
+    if mp is not None and logs is not None:
+        tname, if_exists, pname = mp.groups()
+        if any(v.name == pname and v.spec.get("projection")
+               for v in logs.materialized_views):
+            logs.drop_materialized_view(pname)
+            return 0
+        if if_exists:
+            return 0
+        raise ChDialectError(f"no projection {pname!r}")
+
+    mp = _PROJ_MAT_RE.match(sql)
+    if mp is not None and logs is not None:
+        pname = mp.group(2)
+        for v in logs.materialized_views:
+            if v.name == pname and v.spec.get("projection"):
+                v.refresh(logs.read())
+                return 0
+        raise ChDialectError(f"no projection {pname!r}")
 
     mo = _OPTIMIZE_RE.match(sql)
     if mo is not None:
@@ -2462,6 +2643,9 @@ def ch_sql(
         fill = _extract_with_fill(split_format_clause(sql)[0])
         if fill is not None:
             return _run_with_fill(spark, fill)
+        routed = _route_projection(spark, sql, logs)
+        if routed is not None:
+            return routed
         return spark.sql(translate(sql))
 
     table_name, col_list, values = m.groups()

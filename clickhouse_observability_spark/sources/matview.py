@@ -159,10 +159,10 @@ class MaterializedView:
         from clickhouse_observability_spark.schema import LOGS_SCHEMA
         return LOGS_SCHEMA
 
-    def _merge_state(self, g):
+    def _merge_state(self, g, aggs=None):
         """groupBy(dims) -> state-level merge (still mergeable)."""
         cols = []
-        for a in self.spec["aggs"]:
+        for a in (aggs if aggs is not None else self.spec["aggs"]):
             kind, al = a["kind"], a["alias"]
             if kind in ("count", "sum"):
                 cols.append(F.sum(al).alias(al))
@@ -179,20 +179,47 @@ class MaterializedView:
         """Merge-on-read, FINALIZED: one row per dims with plain
         values (count/sum as longs/doubles, avg divided out, uniq
         estimated)."""
-        dims = [d["alias"] for d in self.spec["dims"]]
-        merged = self._merge_state(self.read_states().groupBy(*dims))
-        final = list(dims)
-        for a in self.spec["aggs"]:
-            kind, al = a["kind"], a["alias"]
+        return self.serve(
+            [(d["alias"], d["alias"]) for d in self.spec["dims"]],
+            [(a["alias"], a["alias"]) for a in self.spec["aggs"]],
+        )
+
+    def serve(
+        self,
+        dims: list[tuple[str, str]],
+        aggs: list[tuple[str, str]],
+        where_sql: str | None = None,
+    ) -> DataFrame:
+        """Answer a query FROM the at-rest states — the projection
+        read path. `dims`: (state dim alias, output alias) pairs, any
+        SUBSET of the view's dims (states re-merge at the coarser
+        grain: counts/sums add, min/max fold, avg re-adds its
+        sum+count, uniq HLL-unions — this is why the at-rest form is
+        states, not finalized values). `aggs`: (view agg alias,
+        output alias) pairs. `where_sql` filters the STATE rows by
+        dim columns before merging (pushdown into the state
+        parquet). Cost is O(state rows), independent of the base
+        table's row count."""
+        states = self.read_states()
+        if where_sql:
+            states = states.filter(F.expr(where_sql))
+        by_alias = {a["alias"]: a for a in self.spec["aggs"]}
+        keep = [src for src, _ in dims]
+        grouped = self._merge_state(
+            states.groupBy(*keep),
+            aggs=[by_alias[src] for src, _ in aggs])
+        final = [F.col(src).alias(out) for src, out in dims]
+        for src, out in aggs:
+            kind = by_alias[src]["kind"]
             if kind == "avg":
-                final.append((F.col(f"{al}__s") / F.col(f"{al}__n"))
-                             .alias(al))
+                final.append((F.col(f"{src}__s") / F.col(f"{src}__n"))
+                             .alias(out))
             elif kind == "uniq":
-                final.append(F.round(F.hll_sketch_estimate(al))
-                             .cast("long").alias(al))
+                final.append(F.round(F.hll_sketch_estimate(src))
+                             .cast("long").alias(out))
             else:
-                final.append(F.col(al))
-        return merged.select(*final)
+                final.append(F.col(src).alias(out))
+        return grouped.select(*final)
 
     # -- maintenance ----------------------------------------------------
     def compact(self) -> None:

@@ -261,3 +261,125 @@ def test_retention_refresh_views_reconverges(spark, tmp_path):
         now=dt.datetime(2025, 7, 20, tzinfo=dt.timezone.utc), exact=False,
     )
     assert res2["dropped_months"] == [] and res2["stale_views"] == []
+
+
+PROJ_DDL = (
+    "ALTER TABLE logs ADD PROJECTION svc_proj ("
+    "SELECT toStartOfHour(ts) AS h, service, count() AS n, "
+    "avg(length(msg)) AS avg_len, uniq(trace_id) AS traces "
+    "FROM logs GROUP BY h, service)"
+)
+
+
+def _proj_fixture(spark, tmp_path, name):
+    t = LogsTable(spark, str(tmp_path / name))
+    t.init_schema()
+    ch_sql(spark, PROJ_DDL, logs=t)
+    for i, (ts, svc, msg, tr) in enumerate([
+        ("2025-05-01 10:00:00", "api", "alpha", "t1"),
+        ("2025-05-01 10:30:00", "api", "beta-long", "t2"),
+        ("2025-05-01 11:00:00", "web", "c", "t1"),
+        ("2025-05-02 10:00:00", "web", "dd", "t3"),
+    ]):
+        _ins(spark, t, ts, svc, "INFO", msg, tr)
+    return t
+
+
+def test_projection_routes_matching_aggregates(spark, tmp_path):
+    """CH ADD PROJECTION + transparent routing: a GROUP BY answerable
+    from the projection's mergeable states is served FROM the states
+    (every input file under _mv/), and the values equal the base-scan
+    answer exactly."""
+    t = _proj_fixture(spark, tmp_path, "plogs1")
+
+    routed = ch_sql(spark, (
+        "SELECT toStartOfHour(ts) AS h, service, count() AS n, "
+        "avg(length(msg)) AS avg_len FROM logs GROUP BY h, service"),
+        logs=t)
+    files = routed.inputFiles()
+    assert files and all("_mv" in f for f in files)
+    got = {(str(r.h), r.service): (r.n, r.avg_len)
+           for r in routed.collect()}
+    base = {(str(r.h), r.service): (r.n, r.avg_len)
+            for r in spark.sql(
+                "SELECT date_trunc('hour', ts) AS h, service, "
+                "count(*) AS n, avg(length(msg)) AS avg_len "
+                "FROM logs GROUP BY 1, 2").collect()}
+    assert got == base
+
+    # COARSER grain re-merges states (dims subset), avg from sum+count
+    routed = ch_sql(spark,
+                    "SELECT service, count() AS n, uniq(trace_id) AS u "
+                    "FROM logs GROUP BY service", logs=t)
+    assert all("_mv" in f for f in routed.inputFiles())
+    got = {r.service: (r.n, r.u) for r in routed.collect()}
+    assert got == {"api": (2, 2), "web": (2, 2)}
+
+    # WHERE over a dim column routes (state-row filter == base filter)
+    routed = ch_sql(spark, (
+        "SELECT service, count() AS n FROM logs "
+        "WHERE service = 'api' GROUP BY service"), logs=t)
+    assert all("_mv" in f for f in routed.inputFiles())
+    assert routed.collect()[0].n == 2
+
+    # ORDER BY / LIMIT tail re-applies after routing
+    rows = ch_sql(spark, (
+        "SELECT service, count() AS n FROM logs GROUP BY service "
+        "ORDER BY n DESC, service LIMIT 1"), logs=t).collect()
+    assert rows[0].service == "api"
+
+
+def test_projection_falls_back_when_not_answerable(spark, tmp_path):
+    t = _proj_fixture(spark, tmp_path, "plogs2")
+    # WHERE over a NON-dim column cannot be served by states — the
+    # resolution gate declines and the base scan answers (correctly)
+    out = ch_sql(spark, (
+        "SELECT service, count() AS n FROM logs "
+        "WHERE msg = 'alpha' GROUP BY service"), logs=t)
+    assert any("month=" in f for f in out.inputFiles())
+    assert {(r.service, r.n) for r in out.collect()} == {("api", 1)}
+    # an aggregate the projection lacks -> base scan
+    out = ch_sql(spark, (
+        "SELECT service, max(length(msg)) AS m FROM logs "
+        "GROUP BY service"), logs=t)
+    assert any("month=" in f for f in out.inputFiles())
+    # a dim the projection lacks -> base scan
+    out = ch_sql(spark, (
+        "SELECT level, count() AS n FROM logs GROUP BY level"), logs=t)
+    assert any("month=" in f for f in out.inputFiles())
+
+
+def test_projection_materialize_and_drop(spark, tmp_path):
+    t = LogsTable(spark, str(tmp_path / "plogs3"))
+    t.init_schema()
+    # rows inserted BEFORE the projection exists (CH: old parts are
+    # not covered until MATERIALIZE PROJECTION)
+    _ins(spark, t, "2025-05-01 10:00:00", "api", "INFO", "early", "t0")
+    ch_sql(spark, PROJ_DDL, logs=t)
+    _ins(spark, t, "2025-05-01 11:00:00", "api", "INFO", "late", "t1")
+    routed = ch_sql(spark, "SELECT service, count() AS n FROM logs "
+                           "GROUP BY service", logs=t)
+    assert all("_mv" in f for f in routed.inputFiles())
+    assert routed.collect()[0].n == 1  # pre-projection row missing
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE PROJECTION svc_proj",
+           logs=t)
+    routed = ch_sql(spark, "SELECT service, count() AS n FROM logs "
+                           "GROUP BY service", logs=t)
+    assert routed.collect()[0].n == 2  # backfilled
+    # projections are not name-addressable (CH hides them)
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        ch_sql(spark, "SELECT * FROM svc_proj", logs=t).collect()
+    # drop: queries fall back to the base scan
+    ch_sql(spark, "ALTER TABLE logs DROP PROJECTION svc_proj", logs=t)
+    out = ch_sql(spark, "SELECT service, count() AS n FROM logs "
+                        "GROUP BY service", logs=t)
+    assert any("month=" in f for f in out.inputFiles())
+    assert out.collect()[0].n == 2
+    # IF EXISTS / IF NOT EXISTS idempotence
+    assert ch_sql(spark, "ALTER TABLE logs DROP PROJECTION IF EXISTS "
+                         "svc_proj", logs=t) == 0
+    with pytest.raises(ChDialectError, match="no projection"):
+        ch_sql(spark, "ALTER TABLE logs DROP PROJECTION svc_proj",
+               logs=t)
