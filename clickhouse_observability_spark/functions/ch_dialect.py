@@ -2192,6 +2192,52 @@ def _norm_sql(s: str | None) -> str | None:
     return None if s is None else re.sub(r"\s+", "", s).lower()
 
 
+def _parse_scalar_aggs(core: list[str]):
+    """SELECT <aliased mergeable aggs> FROM logs [WHERE ...] with NO
+    GROUP BY -> the same spec shape _parse_mv_select yields, with
+    empty dims (grand-total routing). None when the shape doesn't
+    fit (unaliased or non-mergeable items, joins, other tables)."""
+    lows = [t.lower() for t in core]
+    d, frm = 0, None
+    for i, t in enumerate(core):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and lows[i] == "from" and not _is_string(t):
+            frm = i
+            break
+    if frm is None or frm + 1 >= len(core) or lows[frm + 1] != "logs":
+        return None
+    rest = core[frm + 2:]
+    where_sql = None
+    if rest:
+        if rest[0].lower() != "where" or len(rest) == 1:
+            return None
+        where_sql = _emit(_rewrite_array_literals(rest[1:]))
+    aggs = []
+    for item in _split_top_commas(core[1:frm]):
+        if not (len(item) >= 3 and item[-2].lower() == "as"
+                and re.fullmatch(r"[A-Za-z_]\w*", item[-1])):
+            return None
+        alias, item = item[-1], item[:-2]
+        if not (item and item[0].lower() in _MV_AGG_MAP
+                and len(item) > 1 and item[1] == "("):
+            return None
+        args, j = _parse_args(item, 1)
+        if j != len(item) or len(args) > 1:
+            return None
+        arg = args[0] if args and args[0] else None
+        aggs.append({
+            "kind": _MV_AGG_MAP[item[0].lower()],
+            "arg_sql": (_emit(_rewrite_array_literals(arg))
+                        if arg else None),
+            "alias": alias,
+        })
+    return {"dims": [], "aggs": aggs, "where_sql": where_sql} \
+        if aggs else None
+
+
 def _route_projection(spark: SparkSession, sql: str, logs):
     """Transparent aggregate-projection routing — ClickHouse's
     optimizer behavior for `ADD PROJECTION`: a single-table
@@ -2232,10 +2278,26 @@ def _route_projection(spark: SparkSession, sql: str, logs):
             break
     core = tokens[:cut] if cut is not None else tokens
     tail = tokens[cut:] if cut is not None else []
-    try:
-        q = _parse_mv_select(" ".join(core))
-    except ChDialectError:
-        return None  # not a routable aggregate shape
+    d = 0
+    has_group = False
+    for i, t in enumerate(core):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and core[i].lower() == "group" and not _is_string(t):
+            has_group = True
+            break
+    if not has_group:
+        # grand-total shape: SELECT <aggs> FROM logs [WHERE ...]
+        q = _parse_scalar_aggs(core)
+        if q is None:
+            return None
+    else:
+        try:
+            q = _parse_mv_select(" ".join(core))
+        except ChDialectError:
+            return None  # not a routable aggregate shape
     # output column order as written in the SELECT list
     out_order = [*(d2["alias"] for d2 in q["dims"]),
                  *(a["alias"] for a in q["aggs"])]

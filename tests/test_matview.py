@@ -383,3 +383,26 @@ def test_projection_materialize_and_drop(spark, tmp_path):
     with pytest.raises(ChDialectError, match="no projection"):
         ch_sql(spark, "ALTER TABLE logs DROP PROJECTION svc_proj",
                logs=t)
+
+
+def test_projection_routes_scalar_aggregates(spark, tmp_path):
+    """Grand totals (no GROUP BY) route too — the commonest dashboard
+    query; a WHERE over a dim still routes, one over a non-dim falls
+    back."""
+    t = _proj_fixture(spark, tmp_path, "plogs4")
+    out = ch_sql(spark, "SELECT count() AS n, avg(length(msg)) AS a "
+                        "FROM logs", logs=t)
+    assert all("_mv" in f for f in out.inputFiles())
+    r = out.collect()[0]
+    assert r.n == 4 and abs(r.a - (5 + 9 + 1 + 2) / 4) < 1e-9
+    out = ch_sql(spark, "SELECT count() AS n FROM logs "
+                        "WHERE service = 'web'", logs=t)
+    assert all("_mv" in f for f in out.inputFiles())
+    assert out.collect()[0].n == 2
+    out = ch_sql(spark, "SELECT count() AS n FROM logs "
+                        "WHERE msg = 'alpha'", logs=t)
+    assert any("month=" in f for f in out.inputFiles())
+    assert out.collect()[0].n == 1
+    # unaliased scalar aggregates fall back (column naming parity)
+    out = ch_sql(spark, "SELECT count() FROM logs", logs=t)
+    assert any("month=" in f for f in out.inputFiles())
