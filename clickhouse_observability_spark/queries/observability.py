@@ -437,3 +437,22 @@ def sim_semantic_contamination_lsh(spark, sf_dir):
         bench, corpus, threshold=0.45, n_planes=4, n_tables=16,
         multiprobe=True,
     )
+
+
+@register("agg_lttb_downsample")
+def agg_lttb_downsample(spark, sf_dir):
+    """LTTB downsampling of each event-type value series to 200
+    render points (operators/downsample.py) — the dashboard-rendering
+    reduction over the reference's hourly-panel surface. Rows-only:
+    point selection is the documented candidate-restricted LTTB
+    (pytest pins exact equality with the reference algorithm on
+    feature-dominated series); the heavy pass is one JVM bucket
+    reduction, the sequential fold runs over <=200-row groups."""
+    from clickhouse_observability_spark.operators.downsample import (
+        lttb_downsample,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return lttb_downsample(
+        ev, "ts", "value", 200, partition_by=("event_type",)
+    )
