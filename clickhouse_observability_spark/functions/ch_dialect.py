@@ -250,6 +250,16 @@ _FUNCS = {
         if a and a[0].startswith("'") else
         (_ for _ in ()).throw(ChDialectError(
             "dateDiff unit must be a string literal"))),
+    # CH age() counts COMPLETE units between the dates — exactly
+    # Spark's timestampdiff contract (dateDiff above shares the
+    # translation; CH's boundary-crossing nuance for dateDiff is a
+    # documented hair's-width divergence)
+    "age": lambda a: (
+        f"timestampdiff({_string_value(a[0]).upper()}, {a[1]}, {a[2]})"
+        if a and a[0].startswith("'") else
+        (_ for _ in ()).throw(ChDialectError(
+            "age unit must be a string literal"))),
+    "tolastdayofmonth": lambda a: f"last_day({a[0]})",
     "toyyyymm": _fmt_int("yyyyMM"),
     "toyyyymmdd": _fmt_int("yyyyMMdd"),
     "todate": lambda a: f"to_date({a[0]})",
@@ -466,6 +476,22 @@ _FUNCS = {
     # bit family
     "bitshiftleft": lambda a: f"shiftleft({a[0]}, {a[1]})",
     "bitshiftright": lambda a: f"shiftright({a[0]}, {a[1]})",
+    "bitcount": lambda a: f"bit_count({a[0]})",
+    # array/map family additions (r6 wave 2)
+    "arrayzip": lambda a: f"arrays_zip({', '.join(a)})",
+    "mapkeys": lambda a: f"map_keys({a[0]})",
+    "mapvalues": lambda a: f"map_values({a[0]})",
+    "mapcontains": lambda a: f"map_contains_key({a[0]}, {a[1]})",
+    "hasall": lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)",
+    "hasany": lambda a: f"arrays_overlap({a[0]}, {a[1]})",
+    # dedup CONSECUTIVE equals (CH arrayCompact): Spark filter's
+    # lambda index is 0-based while element_at is 1-based, so
+    # element_at(arr, i) IS the previous element; <=> keeps NULL
+    # elements comparable
+    "arraycompact": lambda a: (
+        f"filter({a[0]}, (x, i) -> i = 0 "
+        f"OR NOT (x <=> element_at({a[0]}, i)))"),
+    "randcanonical": lambda a: "rand()",
     # tuples are Spark structs; struct() names fields col1, col2, ...
     # so the positional form indexes those; the name form reads the
     # field directly
@@ -1508,6 +1534,25 @@ def _rewrite_sample(tokens: list[str]) -> list[str]:
     return tokens
 
 
+def _strip_settings(tokens: list[str]) -> list[str]:
+    """Drop a trailing CH `SETTINGS name = value[, ...]` clause — an
+    execution-tuning hint with no Spark counterpart (Catalyst/AQE own
+    those decisions). Guarded by the `ident =` shape so a column or
+    alias literally named settings survives."""
+    d = 0
+    for i, t in enumerate(tokens):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif (d == 0 and t.lower() == "settings" and not _is_string(t)
+                and i + 2 < len(tokens)
+                and re.fullmatch(r"[A-Za-z_]\w*", tokens[i + 1])
+                and tokens[i + 2] == "="):
+            return tokens[:i]
+    return tokens
+
+
 def translate(sql: str) -> str:
     """ClickHouse SQL text -> Spark SQL text."""
     sql, _fmt = split_format_clause(sql)
@@ -1529,6 +1574,7 @@ def translate(sql: str) -> str:
         raise ChDialectError(
             "ASOF JOIN cannot be expressed as a SQL text translation; "
             "execute through ch_sql() instead of translate()")
+    tokens = _strip_settings(tokens)
     tokens = _rewrite_array_literals(_strip_table_modifiers(tokens))
     tokens = _rewrite_array_join_clause(tokens)
     tokens = _rewrite_with_totals(tokens)

@@ -1001,3 +1001,38 @@ def test_explain_estimate(spark, logs):
     p, r = est("EXPLAIN ESTIMATE SELECT * FROM logs "
                "WHERE ts > toDateTime('2026-01-01 00:00:00')")
     assert (p, r) == (0, 0)
+
+
+def test_r6_vocabulary_wave2(spark):
+    """SETTINGS stripping + the array/map/bit additions, executed."""
+    assert spark.sql(translate(
+        "SELECT 1 AS v SETTINGS max_threads = 8")).collect()[0].v == 1
+    # a column named settings is NOT a clause
+    assert spark.sql(translate(
+        "SELECT settings FROM (SELECT 5 AS settings)")).collect()[0][0] == 5
+    cases = {
+        "SELECT toLastDayOfMonth(TIMESTAMP '2024-02-10 00:00:00') AS v":
+            "2024-02-29",
+        "SELECT age('day', TIMESTAMP '2024-01-01 12:00:00', "
+        "TIMESTAMP '2024-01-03 11:00:00') AS v": 1,  # complete days
+        "SELECT bitCount(7) AS v": 3,
+        "SELECT hasAll([1,2,3], [1,3]) AS v": True,
+        "SELECT hasAll([1,2], [1,9]) AS v": False,
+        "SELECT hasAny([1,2], [9,2]) AS v": True,
+        "SELECT mapContains(map('a', 1), 'a') AS v": True,
+    }
+    for sql, want in cases.items():
+        got = spark.sql(translate(sql)).collect()[0].v
+        got = str(got) if isinstance(want, str) else got
+        assert got == want, (sql, got)
+    assert list(spark.sql(translate(
+        "SELECT arrayCompact([1,1,2,2,1,3,3]) AS v")).collect()[0].v) \
+        == [1, 2, 1, 3]
+    assert list(spark.sql(translate(
+        "SELECT mapKeys(map('a', 1, 'b', 2)) AS v")).collect()[0].v) \
+        == ["a", "b"]
+    z = spark.sql(translate(
+        "SELECT arrayZip([1, 2], ['x', 'y']) AS v")).collect()[0].v
+    assert [(r[0], r[1]) for r in z] == [(1, "x"), (2, "y")]
+    r = spark.sql(translate("SELECT randCanonical() AS v")).collect()[0].v
+    assert 0.0 <= r < 1.0
