@@ -2483,7 +2483,8 @@ _LOGS_DEFAULTS = {
 }
 
 
-_SYSTEM_TABLES = ("parts", "columns", "tables", "query_log")
+_SYSTEM_TABLES = ("parts", "columns", "tables", "query_log",
+                  "mutations", "projections")
 
 
 def _rewrite_system_tables(spark, sql, logs, query_log):
@@ -2527,8 +2528,11 @@ def _rewrite_system_tables(spark, sql, logs, query_log):
         if logs is None:
             raise ChDialectError("system.tables needs the logs table")
         rows = [("logs", "MergeTree", "toYYYYMM(ts)", "(service, ts)")]
+        # projections are table-internal (CH lists them in
+        # system.projections, not system.tables)
         rows += [(mv.name, "MaterializedView", "", "")
-                 for mv in logs.materialized_views]
+                 for mv in logs.materialized_views
+                 if not mv.spec.get("projection")]
         local_df(
             spark, rows,
             "name string, engine string, partition_key string, "
@@ -2540,6 +2544,42 @@ def _rewrite_system_tables(spark, sql, logs, query_log):
                 "system.query_log needs a QueryLog (the API server "
                 "passes its own; standalone callers pass query_log=)")
         query_log.to_df(spark).createOrReplaceTempView("system_query_log")
+    if "mutations" in used:
+        if logs is None:
+            raise ChDialectError("system.mutations needs the logs table")
+        from clickhouse_observability_spark.sources.mutations import (
+            mutation_history,
+        )
+
+        rows = [
+            ("logs", r["mutation_id"], r["command"], r["create_time"],
+             r["op"], int(r["matched_rows"]), r["affected_months"],
+             int(r["is_done"]))
+            for r in mutation_history(logs.path)
+        ]
+        local_df(
+            spark, rows,
+            "table string, mutation_id string, command string, "
+            "create_time string, op string, matched_rows bigint, "
+            "affected_months string, is_done int",
+        ).createOrReplaceTempView("system_mutations")
+    if "projections" in used:
+        if logs is None:
+            raise ChDialectError("system.projections needs the logs table")
+        rows = []
+        for mv in logs.materialized_views:
+            if not mv.spec.get("projection"):
+                continue
+            dims = ", ".join(d["alias"] for d in mv.spec["dims"])
+            aggs = ", ".join(
+                f"{a['kind']}({a['arg_sql'] or ''})"
+                for a in mv.spec["aggs"])
+            rows.append(("logs", mv.name, "aggregate", dims, aggs))
+        local_df(
+            spark, rows,
+            "table string, name string, type string, "
+            "dimensions string, aggregates string",
+        ).createOrReplaceTempView("system_projections")
     return " ".join(out)
 
 
@@ -2720,7 +2760,8 @@ def ch_sql(
         # itself (the programmatic surface); through SQL the caller
         # gets the matched-row count, mirroring INSERT's contract
         res = apply_mutation(spark, logs.path, pred,
-                             assignments=assignments)
+                             assignments=assignments,
+                             command=sql.strip())
         return res["matched_rows"]
 
     me = _EXPLAIN_RE.match(sql)

@@ -56,6 +56,7 @@ def apply_mutation(
     predicate_sql: str,
     assignments: dict[str, str] | None = None,
     refresh_views: bool = False,
+    command: str | None = None,
 ) -> dict:
     """Run one mutation against the logs table at `path`.
 
@@ -138,9 +139,56 @@ def apply_mutation(
                 v.refresh(base)
         else:
             stale_views = [v.name for v in table.materialized_views]
-    return {
+    res = {
         "op": "delete" if assignments is None else "update",
         "matched_rows": matched,
         "affected_months": months,
         "stale_views": stale_views,
     }
+    _log_mutation(path, res, predicate_sql, assignments, command)
+    return res
+
+
+def _log_mutation(path, res, predicate_sql, assignments, command):
+    """Append one line to the mutation history sidecar — the
+    `system.mutations` analogue. Ours are synchronous, so every
+    recorded mutation is already done (parts_to_do 0), unlike CH's
+    background queue."""
+    import datetime as _dt
+    import json
+
+    if command is None:
+        if assignments is None:
+            command = f"DELETE WHERE {predicate_sql}"
+        else:
+            sets = ", ".join(f"{k} = {v}" for k, v in assignments.items())
+            command = f"UPDATE {sets} WHERE {predicate_sql}"
+    rec = {
+        "mutation_id": f"mutation_{_dt.datetime.now(_dt.timezone.utc).strftime('%Y%m%d%H%M%S%f')}",
+        "command": command,
+        "create_time": _dt.datetime.now(_dt.timezone.utc)
+        .strftime("%Y-%m-%d %H:%M:%S"),
+        "op": res["op"],
+        "matched_rows": res["matched_rows"],
+        "affected_months": ",".join(str(m) for m in res["affected_months"]),
+        "is_done": 1,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_mutations.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def mutation_history(path: str) -> list[dict]:
+    """The recorded mutations, oldest first."""
+    import json
+
+    p = os.path.join(path, "_mutations.jsonl")
+    if not os.path.exists(p):
+        return []
+    out = []
+    with open(p) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out

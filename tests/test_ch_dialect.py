@@ -1036,3 +1036,34 @@ def test_r6_vocabulary_wave2(spark):
     assert [(r[0], r[1]) for r in z] == [(1, "x"), (2, "y")]
     r = spark.sql(translate("SELECT randCanonical() AS v")).collect()[0].v
     assert 0.0 <= r < 1.0
+
+
+def test_system_mutations_and_projections(spark, logs):
+    """The r6 introspection closures: every mutation lands in
+    system.mutations (synchronous -> is_done=1) and projections list
+    in system.projections but NOT in system.tables (CH hides them
+    there)."""
+    ch_sql(spark, ("INSERT INTO logs (ts, service, level, msg) VALUES "
+                   "('2025-05-01 10:00:00', 'api', 'DEBUG', 'm1'), "
+                   "('2025-05-02 10:00:00', 'api', 'INFO', 'm2')"),
+           logs=logs)
+    ch_sql(spark, "ALTER TABLE logs DELETE WHERE level = 'DEBUG'",
+           logs=logs)
+    ch_sql(spark, ("ALTER TABLE logs UPDATE msg = upper(msg) "
+                   "WHERE service = 'api'"), logs=logs)
+    rows = ch_sql(spark, (
+        "SELECT op, command, matched_rows, is_done "
+        "FROM system.mutations ORDER BY mutation_id"), logs=logs).collect()
+    assert [(r.op, r.matched_rows, r.is_done) for r in rows] == [
+        ("delete", 1, 1), ("update", 1, 1)]
+    assert rows[0].command.startswith("ALTER TABLE logs DELETE")
+
+    ch_sql(spark, ("ALTER TABLE logs ADD PROJECTION p1 ("
+                   "SELECT service, count() AS n FROM logs "
+                   "GROUP BY service)"), logs=logs)
+    p = ch_sql(spark, ("SELECT name, type, dimensions, aggregates "
+                       "FROM system.projections"), logs=logs).collect()
+    assert [(r.name, r.type, r.dimensions) for r in p] == [
+        ("p1", "aggregate", "service")]
+    t = ch_sql(spark, "SELECT name FROM system.tables", logs=logs).collect()
+    assert "p1" not in {r.name for r in t}
