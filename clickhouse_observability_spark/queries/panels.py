@@ -53,6 +53,11 @@ from clickhouse_observability_spark.queries.text import (
     text_repetition,
     text_token_stats,
 )
+
+# imported for their @register side effects: the r6 second-wave
+# panels wrap these modules' oracle texts at decoration time
+import clickhouse_observability_spark.queries.similarity  # noqa: E402,F401
+
 from clickhouse_observability_spark.registry import _ORACLES, register
 
 
@@ -578,3 +583,78 @@ def text_signal_panel(spark, sf_dir):
         "dup_2gram_frac",
     )
     return fp.unionByName(rep)
+
+
+# r6 second wave: two more merges freeing slots for asof_general_join
+# (the general ASOF JOIN adjudicated against DuckDB's native
+# implementation) and pipeline_hybrid_retrieval (end-to-end
+# lexical+vector retrieval under the driver's gate).
+
+
+@register(
+    "text_select_panel",
+    oracle=(
+        "SELECT 'search_grep' AS op, doc_id, lang, source,\n"
+        "       CAST(NULL AS VARCHAR) AS split\n"
+        "FROM (" + _ORACLES["text_search_grep"] + ")\n"
+        "UNION ALL\n"
+        "SELECT 'train_val_split', doc_id, CAST(NULL AS VARCHAR),\n"
+        "       CAST(NULL AS VARCHAR), split\n"
+        "FROM (" + _ORACLES["text_train_val_split"] + ")"
+    ),
+)
+def text_select_panel(spark, sf_dir):
+    """Document SELECTION family in one slot: grep-style search
+    (codegen LIKE/regexp filters) + the deterministic md5-bucket
+    train/val split. Both arms are the original adjudicated
+    callables; both are map-only scans, and their union stays
+    map-only."""
+    from clickhouse_observability_spark.queries.text import (
+        text_search_grep,
+        text_train_val_split,
+    )
+
+    grep = text_search_grep(spark, sf_dir).select(
+        F.lit("search_grep").alias("op"),
+        "doc_id",
+        "lang",
+        "source",
+        F.lit(None).cast("string").alias("split"),
+    )
+    split = text_train_val_split(spark, sf_dir).select(
+        F.lit("train_val_split").alias("op"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        "split",
+    )
+    return grep.unionByName(split)
+
+
+@register(
+    "sim_topk_panel",
+    oracle=(
+        "SELECT * FROM (" + _ORACLES["sim_topk_exact_proofs"] + ")\n"
+        "UNION ALL\n"
+        "SELECT 'int8_quantized' AS method, query_id, rank, vec_id,"
+        " cosine\n"
+        "FROM (" + _ORACLES["sim_topk_quantized"] + ")"
+    ),
+)
+def sim_topk_panel(spark, sf_dir):
+    """The whole adjudicated ANN-correctness tier in one slot: the
+    four exact-by-construction proofs (brute, exhaustive IVF,
+    PQ-rerank-all, BQ-rerank-all — already method-tagged) plus the
+    int8-quantized exact scan. Arms are the original adjudicated
+    callables."""
+    from clickhouse_observability_spark.queries.similarity import (
+        sim_topk_exact_proofs,
+        sim_topk_quantized,
+    )
+
+    proofs = sim_topk_exact_proofs(spark, sf_dir)
+    int8 = sim_topk_quantized(spark, sf_dir).select(
+        F.lit("int8_quantized").alias("method"),
+        "query_id", "rank", "vec_id", "cosine",
+    )
+    return proofs.unionByName(int8)

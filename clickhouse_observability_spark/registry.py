@@ -88,11 +88,9 @@ _WINDOW_ORDER = [
     "dedup_exact_panel",
     "dedup_jaccard_panel",
     "dedup_embedding_pairs",
-    "sim_topk_exact_proofs",
-    "sim_topk_quantized",
+    "sim_topk_panel",
     "text_perdoc_panel",
-    "text_search_grep",
-    "text_train_val_split",
+    "text_select_panel",
     "text_signal_panel",
     "text_contamination",
     "text_pii_scrub",
@@ -115,6 +113,11 @@ _WINDOW_ORDER = [
     "behavior_sequence_match",
     "dedup_exact_spans",
     "text_bm25_search",
+    # r6 second wave: text_select_panel + sim_topk_panel freed two
+    # slots for the general-ASOF-JOIN adjudication (vs DuckDB's
+    # native implementation) and end-to-end hybrid retrieval.
+    "asof_general_join",
+    "pipeline_hybrid_retrieval",
 ]
 
 

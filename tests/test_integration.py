@@ -204,6 +204,11 @@ def test_adjudication_window_composition():
         "behavior_sequence_match",
         "dedup_exact_spans",
         "text_bm25_search",
+        # r6 second wave
+        "text_select_panel",
+        "sim_topk_panel",
+        "asof_general_join",
+        "pipeline_hybrid_retrieval",
     ):
         assert flagship in registry._WINDOW_ORDER, flagship
     # merged-away entries keep their oracles (no semantics dropped)
@@ -228,6 +233,10 @@ def test_adjudication_window_composition():
         "text_lang_id",
         "text_fingerprints",
         "text_repetition",
+        "text_search_grep",
+        "text_train_val_split",
+        "sim_topk_exact_proofs",
+        "sim_topk_quantized",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
@@ -349,7 +358,36 @@ def test_r6_merged_away_oracles_match_duckdb(spark, sf_small):
         "text_lang_id",
         "text_fingerprints",
         "text_repetition",
+        "text_search_grep",
+        "text_train_val_split",
     ):
+        sdf = qs[name](spark, sf_small)
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        assert sorted(sdf.columns) == sorted(dcols), name
+        idx = [dcols.index(c) for c in sdf.columns]
+        srows = sorted(tuple(str(v) for v in r) for r in sdf.collect())
+        drows = sorted(tuple(str(r[i]) for i in idx)
+                       for r in res.fetchall())
+        assert srows == drows, name
+
+
+def test_r6_merged_away_sim_oracles_match_duckdb(spark, sf_small,
+                                                 tmp_path, monkeypatch):
+    """The two sim entries merged into sim_topk_panel keep full
+    oracle adjudication (fresh warehouse so index artifacts build
+    rather than read back)."""
+    import duckdb
+
+    from clickhouse_observability_spark.registry import oracle_sql, queries
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    qs, oracles = queries(), oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM '{sf_small}/embeddings.parquet'")
+    for name in ("sim_topk_exact_proofs", "sim_topk_quantized"):
         sdf = qs[name](spark, sf_small)
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
@@ -399,4 +437,24 @@ def test_r6_panel_arms_equal_source_entries(spark, sf_small):
     assert (
         sig.filter(F.col("op") == "repetition").count()
         == qs["text_repetition"](spark, sf_small).count()
+    )
+
+    sel = qs["text_select_panel"](spark, sf_small)
+    assert (
+        sel.filter(F.col("op") == "search_grep").count()
+        == qs["text_search_grep"](spark, sf_small).count()
+    )
+    assert (
+        sel.filter(F.col("op") == "train_val_split").count()
+        == qs["text_train_val_split"](spark, sf_small).count()
+    )
+
+    top = qs["sim_topk_panel"](spark, sf_small)
+    assert (
+        top.filter(F.col("method") == "int8_quantized").count()
+        == qs["sim_topk_quantized"](spark, sf_small).count()
+    )
+    assert (
+        top.filter(F.col("method") != "int8_quantized").count()
+        == qs["sim_topk_exact_proofs"](spark, sf_small).count()
     )

@@ -347,6 +347,9 @@ def test_panel_arms_linted_individually(spark, sf_small):
         "text_perdoc_panel": ("text_token_stats", "text_quality",
                               "text_lang_id"),
         "text_signal_panel": ("text_fingerprints", "text_repetition"),
+        # r6 second wave
+        "text_select_panel": ("text_search_grep", "text_train_val_split"),
+        "sim_topk_panel": ("sim_topk_exact_proofs", "sim_topk_quantized"),
     }
     qs = registry.queries()
     failures = {}
