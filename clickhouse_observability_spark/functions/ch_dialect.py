@@ -334,6 +334,7 @@ _FUNCS = {
     "argmax": lambda a: f"max_by({a[0]}, {a[1]})",
     "argmin": lambda a: f"min_by({a[0]}, {a[1]})",
     "median": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    "medianexact": lambda a: f"percentile({a[0]}, 0.5)",
     # `any(x)` maps to any_value ONLY when it cannot be the SQL
     # `> ANY (subquery)` quantifier — _emit skips the rewrite when a
     # comparison operator directly precedes it
@@ -492,6 +493,38 @@ _FUNCS = {
         f"filter({a[0]}, (x, i) -> i = 0 "
         f"OR NOT (x <=> element_at({a[0]}, i)))"),
     "randcanonical": lambda a: "rand()",
+    # adjacent difference: element_at is 1-based so element_at(a, i)
+    # with the 0-based lambda index IS the previous element; the
+    # first slot is x - x (a typed zero, like CH)
+    "arraydifference": lambda a: (
+        f"transform({a[0]}, (x, i) -> "
+        f"IF(i = 0, x - x, x - element_at({a[0]}, i)))"),
+    "arraycumsum": lambda a: (
+        # try_element_at: the first iteration reads the running tail
+        # of an EMPTY accumulator (plain element_at throws there)
+        f"aggregate({a[0]}, CAST(array() AS ARRAY<DOUBLE>), "
+        f"(acc, x) -> array_append(acc, "
+        f"coalesce(try_element_at(acc, -1), CAST(0 AS DOUBLE)) + x))"),
+    # CH range() end is EXCLUSIVE; Spark sequence() stop is inclusive
+    "range": lambda a: (
+        f"sequence(0, {a[0]} - 1)" if len(a) == 1 else
+        f"sequence({a[0]}, {a[1]} - 1)" if len(a) == 2 else
+        f"sequence({a[0]}, {a[1]} - 1, {a[2]})"),
+    "tonullable": lambda a: a[0],
+    "assumenotnull": lambda a: a[0],
+    "isnan": lambda a: f"isnan({a[0]})",
+    "isfinite": lambda a: (
+        f"(NOT isnan({a[0]}) AND abs({a[0]}) <> double('Infinity'))"),
+    "isinfinite": lambda a: f"(abs({a[0]}) = double('Infinity'))",
+    "ifnotfinite": lambda a: (
+        f"(CASE WHEN NOT isnan({a[0]}) "
+        f"AND abs({a[0]}) <> double('Infinity') "
+        f"THEN {a[0]} ELSE {a[1]} END)"),
+    "farmhash64": lambda a: f"xxhash64({', '.join(a)})",
+    "totypename": _unsupported(
+        "toTypeName",
+        "schema introspection is not an expression here; use "
+        "DESCRIBE or system.columns"),
     # tuples are Spark structs; struct() names fields col1, col2, ...
     # so the positional form indexes those; the name form reads the
     # field directly
@@ -547,6 +580,10 @@ _PARAM_FUNCS = {
         f"percentile_approx({a[0]}, array({', '.join(p)}))",
     "quantilesexact": lambda p, a:
         f"percentile({a[0]}, array({', '.join(p)}))",
+    "quantilestiming": lambda p, a:
+        f"percentile_approx({a[0]}, array({', '.join(p)}))",
+    "quantilestdigest": lambda p, a:
+        f"percentile_approx({a[0]}, array({', '.join(p)}))",
     # CH topK(k)(x) -> Spark's native approx_top_k (both are
     # frequent-items sketches); CH returns just the value array
     "topk": lambda p, a:
@@ -1534,6 +1571,79 @@ def _rewrite_sample(tokens: list[str]) -> list[str]:
     return tokens
 
 
+def _rewrite_scalar_with(tokens: list[str]) -> list[str]:
+    """CH's scalar WITH — `WITH <expr> AS <ident>, ... SELECT ...` —
+    defines EXPRESSION aliases, not CTEs (Spark's WITH only takes
+    `ident AS (subquery)`). Rewrite by substituting each alias with
+    its parenthesized expression throughout the statement, exactly
+    CH's own semantics (later entries and the body may reference
+    earlier aliases). Genuine CTE entries (`x AS (SELECT ...)`) are
+    kept as a WITH head; an unrecognized entry leaves the statement
+    untouched for Spark to judge."""
+    lows = [t.lower() for t in tokens]
+    if not tokens or lows[0] != "with":
+        return tokens
+    i, depth = 1, 0
+    entries: list[list[str]] = []
+    cur: list[str] = []
+    while i < len(tokens):
+        t = tokens[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and lows[i] == "select" and not _is_string(t):
+            break
+        if depth == 0 and t == ",":
+            entries.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+        i += 1
+    else:
+        return tokens  # no top-level SELECT after WITH
+    if cur:
+        entries.append(cur)
+    subs: dict[str, list[str]] = {}
+
+    def apply_subs(toks: list[str]) -> list[str]:
+        out: list[str] = []
+        for j, t in enumerate(toks):
+            if t in subs and not _is_string(t):
+                prev = out[-1] if out else None
+                nxt = toks[j + 1] if j + 1 < len(toks) else None
+                # not a member access or a same-named function call
+                if prev != "." and nxt != "(":
+                    out.extend(["("] + subs[t] + [")"])
+                    continue
+            out.append(t)
+        return out
+
+    ctes: list[list[str]] = []
+    for e in entries:
+        e = apply_subs(e)
+        el = [x.lower() for x in e]
+        if (len(e) >= 3 and el[1] == "as" and e[2] == "("
+                and re.fullmatch(r"[A-Za-z_]\w*", e[0])):
+            ctes.append(e)  # real CTE
+        elif (len(e) >= 3 and el[-2] == "as"
+                and re.fullmatch(r"[A-Za-z_]\w*", e[-1])):
+            subs[e[-1]] = e[:-2]
+        else:
+            return tokens
+    if not subs:
+        return tokens  # pure-CTE WITH: Spark-native already
+    body = apply_subs(tokens[i:])
+    if ctes:
+        head = ["WITH"]
+        for k, e in enumerate(ctes):
+            if k:
+                head.append(",")
+            head.extend(e)
+        return head + body
+    return body
+
+
 def _strip_settings(tokens: list[str]) -> list[str]:
     """Drop a trailing CH `SETTINGS name = value[, ...]` clause — an
     execution-tuning hint with no Spark counterpart (Catalyst/AQE own
@@ -1574,7 +1684,7 @@ def translate(sql: str) -> str:
         raise ChDialectError(
             "ASOF JOIN cannot be expressed as a SQL text translation; "
             "execute through ch_sql() instead of translate()")
-    tokens = _strip_settings(tokens)
+    tokens = _rewrite_scalar_with(_strip_settings(tokens))
     tokens = _rewrite_array_literals(_strip_table_modifiers(tokens))
     tokens = _rewrite_array_join_clause(tokens)
     tokens = _rewrite_with_totals(tokens)

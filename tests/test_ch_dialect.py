@@ -1067,3 +1067,51 @@ def test_system_mutations_and_projections(spark, logs):
         ("p1", "aggregate", "service")]
     t = ch_sql(spark, "SELECT name FROM system.tables", logs=logs).collect()
     assert "p1" not in {r.name for r in t}
+
+
+def test_r6_vocabulary_wave3(spark):
+    """Scalar WITH (CH expression aliases), quantile representation
+    variants, finite/null helpers, range/arrayDifference/arrayCumSum
+    — all executed."""
+    # scalar WITH substitutes everywhere, later entries see earlier
+    r = spark.sql(translate(
+        "WITH 5 AS x, x * 2 AS y SELECT x + 1 AS a, y AS b")).collect()[0]
+    assert (r.a, r.b) == (6, 10)
+    # expression alias usable in GROUP BY (the CH idiom)
+    r = spark.sql(translate(
+        "WITH toStartOfHour(t) AS h SELECT h, count() AS n FROM "
+        "(SELECT TIMESTAMP '2024-01-01 10:20:00' AS t "
+        " UNION ALL SELECT TIMESTAMP '2024-01-01 10:40:00') "
+        "GROUP BY h")).collect()
+    assert len(r) == 1 and r[0].n == 2
+    # genuine CTEs still pass through (mixed form keeps the CTE head)
+    r = spark.sql(translate(
+        "WITH q AS (SELECT 3 AS v), 10 AS k "
+        "SELECT v + k AS s FROM q")).collect()[0]
+    assert r.s == 13
+
+    cases = {
+        "SELECT medianExact(v) AS r FROM (SELECT explode(array"
+        "(1.0, 2.0, 3.0)) AS v)": 2.0,
+        "SELECT isFinite(1.0) AS r": True,
+        "SELECT isFinite(double('Infinity')) AS r": False,
+        "SELECT isInfinite(double('-Infinity')) AS r": True,
+        "SELECT ifNotFinite(double('NaN'), 9.0) AS r": 9.0,
+        "SELECT assumeNotNull(5) AS r": 5,
+    }
+    for sql, want in cases.items():
+        assert spark.sql(translate(sql)).collect()[0].r == want, sql
+    assert list(spark.sql(translate("SELECT range(4) AS r"))
+                .collect()[0].r) == [0, 1, 2, 3]
+    assert list(spark.sql(translate("SELECT range(2, 9, 3) AS r"))
+                .collect()[0].r) == [2, 5, 8]
+    assert list(spark.sql(translate(
+        "SELECT arrayDifference([10, 13, 11]) AS r")).collect()[0].r) \
+        == [0, 3, -2]
+    assert list(spark.sql(translate(
+        "SELECT arrayCumSum([1, 2, 3]) AS r")).collect()[0].r) \
+        == [1.0, 3.0, 6.0]
+    out = translate("SELECT quantilesTiming(0.5, 0.9)(v) FROM t")
+    assert "percentile_approx(v, array(0.5, 0.9))" in out
+    with pytest.raises(ChDialectError, match="DESCRIBE"):
+        translate("SELECT toTypeName(x) FROM t")
