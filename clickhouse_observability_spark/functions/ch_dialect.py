@@ -2520,6 +2520,18 @@ def _route_projection(spark: SparkSession, sql: str, logs):
                     f"SELECT * FROM {view} " + " ".join(tail)))
     return None
 
+# CH TTL arming — the reference's own statement (db.go:59-66):
+# ALTER TABLE logs MODIFY TTL ts + INTERVAL <n> DAY DELETE
+_TTL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+TTL\s+ts\s*\+\s*"
+    r"INTERVAL\s+(\d+)\s+DAY(?:\s+DELETE)?\s*$",
+    re.IGNORECASE,
+)
+_TTL_REMOVE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+REMOVE\s+TTL\s*$",
+    re.IGNORECASE,
+)
+
 # CH mutations: ALTER TABLE t DELETE WHERE ... / UPDATE a=b WHERE ...,
 # plus the lightweight-delete form DELETE FROM t WHERE ...
 _ALTER_MUT_RE = re.compile(
@@ -2835,6 +2847,30 @@ def ch_sql(
         return sum(
             compact_partition(spark, logs.path, month) for month in months
         )
+
+    mt = _TTL_RE.match(sql)
+    if mt is not None:
+        # the reference's exact statement: arm the TTL the retention
+        # job (apply_retention with no explicit days) enforces
+        from clickhouse_observability_spark.sources.retention import (
+            set_table_ttl,
+        )
+
+        tname, days = mt.groups()
+        if tname.lower() != "logs" or logs is None:
+            raise ChDialectError("MODIFY TTL supported for `logs` only")
+        set_table_ttl(logs.path, int(days))
+        return 0
+    mt = _TTL_REMOVE_RE.match(sql)
+    if mt is not None:
+        from clickhouse_observability_spark.sources.retention import (
+            set_table_ttl,
+        )
+
+        if mt.group(1).lower() != "logs" or logs is None:
+            raise ChDialectError("REMOVE TTL supported for `logs` only")
+        set_table_ttl(logs.path, None)
+        return 0
 
     mm = _ALTER_MUT_RE.match(sql)
     lw = _LW_DELETE_RE.match(sql) if mm is None else None

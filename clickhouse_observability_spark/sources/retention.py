@@ -25,6 +25,36 @@ from pyspark.sql import functions as F
 from clickhouse_observability_spark.schema import LOGS_COLUMNS, PARTITION_COLUMN
 
 
+def set_table_ttl(path: str, days: int | None) -> None:
+    """Persist (or clear) the table's armed TTL — the at-rest state
+    behind CH `ALTER TABLE ... MODIFY TTL ts + INTERVAL n DAY DELETE`
+    / `REMOVE TTL`. The retention job consults it before the env."""
+    import json
+
+    p = os.path.join(path, "_ttl.json")
+    if days is None:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+        return
+    os.makedirs(path, exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"retention_days": int(days)}, f)
+    os.replace(tmp, p)
+
+
+def read_table_ttl(path: str) -> int | None:
+    import json
+
+    p = os.path.join(path, "_ttl.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["retention_days"])
+
+
 def _partition_months(path: str) -> list[int]:
     if not os.path.isdir(path):
         return []
@@ -76,6 +106,12 @@ def apply_retention(
     bounded, but not free; at 100 TB prefer dropping the view's own
     aged state rows when the view keys include the TTL axis).
     """
+    if retention_days is None:
+        # armed-TTL resolution order mirrors the reference: a TTL set
+        # on the TABLE (the dialect's ALTER TABLE ... MODIFY TTL —
+        # db.go:59-66 issues exactly that statement) wins over the
+        # $RETENTION_DAYS env; with neither, the job is a no-op.
+        retention_days = read_table_ttl(path)
     if retention_days is None:
         raw = os.environ.get("RETENTION_DAYS", "")
         if not raw.strip().isdigit():

@@ -1115,3 +1115,42 @@ def test_r6_vocabulary_wave3(spark):
     assert "percentile_approx(v, array(0.5, 0.9))" in out
     with pytest.raises(ChDialectError, match="DESCRIBE"):
         translate("SELECT toTypeName(x) FROM t")
+
+
+def test_modify_ttl_arms_retention(spark, logs):
+    """The reference's own TTL statement (db.go:59-66) arms the
+    retention job: ALTER TABLE ... MODIFY TTL persists the horizon,
+    apply_retention with no explicit days enforces it (table TTL
+    wins over $RETENTION_DAYS), REMOVE TTL disarms."""
+    import datetime as dt
+
+    from clickhouse_observability_spark.sources.retention import (
+        apply_retention,
+        read_table_ttl,
+    )
+
+    ch_sql(spark, ("INSERT INTO logs (ts, service, level, msg) VALUES "
+                   "('2025-05-01 10:00:00', 'api', 'INFO', 'old'), "
+                   "('2025-07-10 10:00:00', 'api', 'INFO', 'new')"),
+           logs=logs)
+    # unarmed: no TTL, no env -> no-op
+    res = apply_retention(
+        spark, logs.path,
+        now=dt.datetime(2025, 7, 20, tzinfo=dt.timezone.utc))
+    assert res.get("skipped") and logs.read().count() == 2
+    # the reference's verbatim statement shape
+    assert ch_sql(spark, ("ALTER TABLE logs MODIFY TTL ts + "
+                          "INTERVAL 30 DAY DELETE"), logs=logs) == 0
+    assert read_table_ttl(logs.path) == 30
+    res = apply_retention(
+        spark, logs.path, exact=False,
+        now=dt.datetime(2025, 7, 20, tzinfo=dt.timezone.utc))
+    assert res["dropped_months"] == [202505]
+    assert logs.read().count() == 1
+    # disarm
+    assert ch_sql(spark, "ALTER TABLE logs REMOVE TTL", logs=logs) == 0
+    assert read_table_ttl(logs.path) is None
+    res = apply_retention(
+        spark, logs.path,
+        now=dt.datetime(2030, 1, 1, tzinfo=dt.timezone.utc))
+    assert res.get("skipped") and logs.read().count() == 1
