@@ -173,23 +173,28 @@ def _ch_date_format(args):
     return f"date_format({args[0]}, {_q(fmt)})"
 
 
+def _split_by_literal(args, name: str):
+    """CH's separator is a LITERAL (char or string); Spark split()
+    takes a regex, so escape metacharacters ('.', '|', '+', ...) —
+    otherwise '.' would split on every character."""
+    if len(args) != 2 or not args[0].startswith("'"):
+        raise ChDialectError(
+            f"{name} separator must be a string literal")
+    return f"split({args[1]}, {_q(re.escape(_string_value(args[0])))})"
+
+
 def _split_by_char(args):
-    """CH's separator is a LITERAL char; Spark split() takes a regex,
-    so escape metacharacters ('.', '|', '+', ...) — otherwise '.'
-    would split on every character."""
-    if len(args) != 2 or not args[0].startswith("'"):
-        raise ChDialectError(
-            "splitByChar separator must be a string literal")
-    return f"split({args[1]}, {_q(re.escape(_string_value(args[0])))})"
+    return _split_by_literal(args, "splitByChar")
 
 
-def _split_by_string(args):
-    """CH splitByString(sep, s): literal multi-char separator,
-    regex-escaped for Spark's split()."""
-    if len(args) != 2 or not args[0].startswith("'"):
-        raise ChDialectError(
-            "splitByString separator must be a string literal")
-    return f"split({args[1]}, {_q(re.escape(_string_value(args[0])))})"
+def _ch_range(a: list[str]) -> str:
+    start = a[0] if len(a) > 1 else "0"
+    end = a[0] if len(a) == 1 else a[1]
+    step = a[2] if len(a) > 2 else "1"
+    return (f"(CASE WHEN ({end}) <= ({start}) "
+            f"THEN CAST(array() AS ARRAY<BIGINT>) "
+            f"ELSE sequence(CAST({start} AS BIGINT), "
+            f"CAST({end} AS BIGINT) - 1, CAST({step} AS BIGINT)) END)")
 
 
 def _format_readable_size(args):
@@ -448,7 +453,7 @@ _FUNCS = {
     "positioncaseinsensitive": lambda a: (
         f"locate(lower({a[1]}), lower({a[0]}))"),
     "extractall": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)",
-    "splitbystring": lambda a: _split_by_string(a),
+    "splitbystring": lambda a: _split_by_literal(a, "splitByString"),
     "base64encode": lambda a: f"base64(CAST({a[0]} AS BINARY))",
     "base64decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
     "formatreadablesize": lambda a: _format_readable_size(a),
@@ -505,11 +510,11 @@ _FUNCS = {
         f"aggregate({a[0]}, CAST(array() AS ARRAY<DOUBLE>), "
         f"(acc, x) -> array_append(acc, "
         f"coalesce(try_element_at(acc, -1), CAST(0 AS DOUBLE)) + x))"),
-    # CH range() end is EXCLUSIVE; Spark sequence() stop is inclusive
-    "range": lambda a: (
-        f"sequence(0, {a[0]} - 1)" if len(a) == 1 else
-        f"sequence({a[0]}, {a[1]} - 1)" if len(a) == 2 else
-        f"sequence({a[0]}, {a[1]} - 1, {a[2]})"),
+    # CH range() end is EXCLUSIVE and empty when end <= start; Spark
+    # sequence() stop is inclusive and DEFAULTS TO STEP -1 when
+    # stop < start (review r6: range(0) became [0, -1]) — guard the
+    # empty case and pin step 1
+    "range": lambda a: _ch_range(a),
     "tonullable": lambda a: a[0],
     "assumenotnull": lambda a: a[0],
     "isnan": lambda a: f"isnan({a[0]})",
@@ -666,8 +671,12 @@ def _subscript_primary_start(out: list[str]) -> int:
                     break
             i -= 1
         # include the call name: `f(x)[1]` subscripts the call result
+        # — but a KEYWORD before '(' means the paren opened a plain
+        # grouped expression (`WHERE (arr)[1]`), not a call (review
+        # r6: absorbing WHERE corrupted the statement)
         prev = out[i - 1] if i > 0 else None
-        if prev is not None and (prev[0].isalpha() or prev[0] == "_"):
+        if (prev is not None and (prev[0].isalpha() or prev[0] == "_")
+                and prev.lower() not in _SUBSCRIPT_BLOCKERS):
             i -= 1
     # extend over qualification dots: `t.arr[1]`, `db.t.arr[1]`
     while i >= 2 and out[i - 1] == "." and (
@@ -2413,7 +2422,12 @@ def _route_projection(spark: SparkSession, sql: str, logs):
     if logs is None:
         return None
     projs = [v for v in getattr(logs, "materialized_views", [])
-             if v.spec.get("projection")]
+             # covers_table: rows predating the projection are absent
+             # from its states until MATERIALIZE PROJECTION — serving
+             # then would silently drop them (CH stays correct there
+             # by answering old parts from raw data; we stay correct
+             # by not routing at all)
+             if v.spec.get("projection") and v.spec.get("covers_table")]
     if not projs:
         return None
     base, _fmt = split_format_clause(sql)
@@ -2504,8 +2518,17 @@ def _route_projection(spark: SparkSession, sql: str, logs):
                 try:
                     if where is not None:
                         # resolution gate: predicate must be a function
-                        # of the projection's dim columns alone
-                        dim_cols = [d2["alias"] for d2 in spec["dims"]]
+                        # of the projection's IDENTITY dims alone — a
+                        # dim whose alias shadows a base column with a
+                        # DIFFERENT expression (lower(service) AS
+                        # service) would resolve but filter transformed
+                        # values, silently diverging from the base scan
+                        # (review r6), so only alias==expression dims
+                        # are offered to the resolver
+                        dim_cols = [
+                            d2["alias"] for d2 in spec["dims"]
+                            if _norm_sql(d2["sql"]) == d2["alias"].lower()
+                        ]
                         p.read_states().select(*dim_cols).filter(
                             F.expr(where))
                     served = p.serve(dims_map, aggs_map, where_sql=where)
@@ -2792,11 +2815,17 @@ def ch_sql(
         spec = _parse_mv_select(body)
         spec["name"] = pname
         spec["projection"] = True
+        # Coverage contract (review r6): CH's projections lag only in
+        # DATA — its optimizer answers old parts from raw data, so
+        # queries stay CORRECT before MATERIALIZE. A state-serving
+        # router can't mix sources per part, so the flag below gates
+        # routing entirely: a projection added to a NON-empty table
+        # is not servable until MATERIALIZE PROJECTION backfills
+        # (queries fall back to the base scan — correct, just not
+        # accelerated). Added to an empty table it covers everything
+        # from the first insert.
+        spec["covers_table"] = bool(logs.read().isEmpty())
         logs.create_materialized_view(spec)
-        # CH contract: ADD PROJECTION affects only NEW parts until
-        # MATERIALIZE PROJECTION backfills — same here (the insert
-        # trigger starts immediately; existing rows enter on
-        # MATERIALIZE)
         return 0
 
     mp = _PROJ_DROP_RE.match(sql)
@@ -2816,6 +2845,9 @@ def ch_sql(
         for v in logs.materialized_views:
             if v.name == pname and v.spec.get("projection"):
                 v.refresh(logs.read())
+                # backfilled -> now answerable for the whole table
+                v.spec["covers_table"] = True
+                v.save()
                 return 0
         raise ChDialectError(f"no projection {pname!r}")
 

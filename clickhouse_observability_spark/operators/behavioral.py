@@ -74,7 +74,15 @@ def window_funnel(
         F.col(user_col).alias("user"),
         F.unix_micros(F.col(ts_col)).alias("us"),
         (F.array_position(step_idx, F.col(type_col)) - 1).alias("step"),
-    ).filter(F.col("step") >= 0)
+    )
+    if "strict_order" not in flags:
+        ev = ev.filter(F.col("step") >= 0)
+    # strict_order keeps NON-condition events as step = -1: CH's own
+    # docs example (A->B->D->C stops at the D) has D matching no
+    # condition, so dropping non-matching events before the fold
+    # would silently un-break chains (review r6). Cost: the per-user
+    # list holds the full event stream in this mode — the price of
+    # the semantics, and only paid when the flag is set.
     per_user = ev.groupBy("user").agg(
         F.sort_array(F.collect_list(F.struct("us", "step"))).alias("evs")
     )

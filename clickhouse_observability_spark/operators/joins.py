@@ -258,7 +258,12 @@ def asof_join(
         F.lit(right_side).alias("_side"),
         F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
         F.struct(*[F.col(c) for c in right_carry]).alias("_rrow"),
-    )
+        # a NULL asof key matches nothing — but NULLs sort FIRST under
+        # the ascending window, where last(ignorenulls) would hand the
+        # row to every early left row (review r6); drop them up front.
+        # Left-side NULL ts needs no filter: it sorts first, sees no
+        # carry, and lands unmatched (inner drops it, left NULL-pads).
+    ).filter(F.col("_t").isNotNull())
     w = (
         Window.partitionBy(*[f"_k_{k}" for k in on])
         .orderBy("_t", "_side")

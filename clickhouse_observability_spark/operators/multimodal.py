@@ -1166,15 +1166,31 @@ def extract_frames(
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
+                # a registered decoder overrides the zero-copy y4m
+                # fast path too — the registry's "override wins"
+                # contract must hold on every decode route (review r6)
+                if _registered(_dec, sniff_video_format, b) is not None:
+                    fps_num, fps_den, frames = decode_video(
+                        b, fake=fake_decode, decoders=_dec
+                    )
+
+                    def fr_at(idx, _f=frames):
+                        return np.asarray(_f[idx], dtype=np.uint8)
+
+                    n = len(frames)
+                    planes_ok = True
+                else:
+                    planes_ok = False
                 try:
-                    fps_num, fps_den, w, h, planes = _parse_y4m_planes(b)
+                    if not planes_ok:
+                        fps_num, fps_den, w, h, planes = _parse_y4m_planes(b)
 
-                    def fr_at(idx, _w=w, _h=h, _p=planes):
-                        return np.frombuffer(_p[idx], dtype=np.uint8).reshape(
-                            _h, _w
-                        )
+                        def fr_at(idx, _w=w, _h=h, _p=planes):
+                            return np.frombuffer(
+                                _p[idx], dtype=np.uint8
+                            ).reshape(_h, _w)
 
-                    n = len(planes)
+                        n = len(planes)
                 except ValueError:
                     # not (valid) y4m: decode_video handles animated
                     # GIF for real (r4) and raises the canonical
@@ -1652,15 +1668,31 @@ def frame_phashes(
             out = {"media_id": [], "frame_idx": [], "fphash": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
+                # a registered decoder overrides the zero-copy y4m
+                # fast path too — the registry's "override wins"
+                # contract must hold on every decode route (review r6)
+                if _registered(_dec, sniff_video_format, b) is not None:
+                    fps_num, fps_den, frames = decode_video(
+                        b, fake=fake_decode, decoders=_dec
+                    )
+
+                    def fr_at(idx, _f=frames):
+                        return np.asarray(_f[idx], dtype=np.uint8)
+
+                    n = len(frames)
+                    planes_ok = True
+                else:
+                    planes_ok = False
                 try:
-                    fps_num, fps_den, w, h, planes = _parse_y4m_planes(b)
+                    if not planes_ok:
+                        fps_num, fps_den, w, h, planes = _parse_y4m_planes(b)
 
-                    def fr_at(idx, _w=w, _h=h, _p=planes):
-                        return np.frombuffer(_p[idx], dtype=np.uint8).reshape(
-                            _h, _w
-                        )
+                        def fr_at(idx, _w=w, _h=h, _p=planes):
+                            return np.frombuffer(
+                                _p[idx], dtype=np.uint8
+                            ).reshape(_h, _w)
 
-                    n = len(planes)
+                        n = len(planes)
                 except ValueError:
                     # not (valid) y4m: decode_video handles animated
                     # GIF for real (r4), gates the rest canonically

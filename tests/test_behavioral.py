@@ -314,6 +314,14 @@ def test_window_funnel_strict_modes(spark):
     assert out_def == 3  # default: D is just noise for A->B->C
     assert out_so == 2   # docs: stops at the D
 
+    # ...and an event matching NO condition breaks chains too (the
+    # docs' own example has D outside the conditions; default mode
+    # filters non-matching events, strict_order must keep them)
+    assert B.window_funnel(inter, steps, 3600).collect()[0].level == 3
+    assert B.window_funnel(
+        inter, steps, 3600, modes=("strict_order",)
+    ).collect()[0].level == 2
+
     # strict_order still allows a fresh chain after the break
     redo = ev([(0, "A"), (1, "D"), (2, "A"), (3, "B"), (4, "C")])
     assert lvl(redo, modes=("strict_order",)) == 3

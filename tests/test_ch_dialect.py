@@ -1154,3 +1154,26 @@ def test_modify_ttl_arms_retention(spark, logs):
         spark, logs.path,
         now=dt.datetime(2030, 1, 1, tzinfo=dt.timezone.utc))
     assert res.get("skipped") and logs.read().count() == 1
+
+
+def test_r6_review_fixes(spark):
+    """Round-6 review pins: range() empty cases (Spark sequence
+    defaults to step -1 when stop < start), keyword-adjacent
+    parenthesized subscripts, splitBy* shared helper."""
+    assert list(spark.sql(translate("SELECT range(0) AS r"))
+                .collect()[0].r) == []
+    assert list(spark.sql(translate("SELECT range(3, 3) AS r"))
+                .collect()[0].r) == []
+    assert list(spark.sql(translate(
+        "SELECT range(length('')) AS r")).collect()[0].r) == []
+    # (expr)[i] directly after a keyword must not swallow the keyword
+    r = spark.sql(translate(
+        "SELECT x FROM (SELECT 1 AS x, [7, 8] AS arr) "
+        "WHERE (arr)[1] = 7")).collect()
+    assert len(r) == 1 and r[0].x == 1
+    r = spark.sql(translate(
+        "SELECT CASE WHEN ([5])[1] = 5 THEN 'y' ELSE 'n' END AS v"
+    )).collect()[0]
+    assert r.v == "y"
+    with pytest.raises(ChDialectError, match="splitByString"):
+        translate("SELECT splitByString(sep, s) FROM t")

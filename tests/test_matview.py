@@ -352,20 +352,29 @@ def test_projection_falls_back_when_not_answerable(spark, tmp_path):
 def test_projection_materialize_and_drop(spark, tmp_path):
     t = LogsTable(spark, str(tmp_path / "plogs3"))
     t.init_schema()
-    # rows inserted BEFORE the projection exists (CH: old parts are
-    # not covered until MATERIALIZE PROJECTION)
+    # rows inserted BEFORE the projection exists: its states don't
+    # cover them, so the router must NOT serve from it (CH stays
+    # correct there by answering old parts from raw data; we stay
+    # correct by falling back to the base scan entirely) until
+    # MATERIALIZE PROJECTION backfills
     _ins(spark, t, "2025-05-01 10:00:00", "api", "INFO", "early", "t0")
     ch_sql(spark, PROJ_DDL, logs=t)
     _ins(spark, t, "2025-05-01 11:00:00", "api", "INFO", "late", "t1")
-    routed = ch_sql(spark, "SELECT service, count() AS n FROM logs "
-                           "GROUP BY service", logs=t)
-    assert all("_mv" in f for f in routed.inputFiles())
-    assert routed.collect()[0].n == 1  # pre-projection row missing
+    out = ch_sql(spark, "SELECT service, count() AS n FROM logs "
+                        "GROUP BY service", logs=t)
+    assert any("month=" in f for f in out.inputFiles())  # base scan
+    assert out.collect()[0].n == 2  # CORRECT despite the stale states
     ch_sql(spark, "ALTER TABLE logs MATERIALIZE PROJECTION svc_proj",
            logs=t)
     routed = ch_sql(spark, "SELECT service, count() AS n FROM logs "
                            "GROUP BY service", logs=t)
+    assert all("_mv" in f for f in routed.inputFiles())  # now routed
     assert routed.collect()[0].n == 2  # backfilled
+    # a re-attached table (fresh LogsTable) keeps the coverage flag
+    t2 = LogsTable(spark, t.path)
+    routed = ch_sql(spark, "SELECT service, count() AS n FROM logs "
+                           "GROUP BY service", logs=t2)
+    assert all("_mv" in f for f in routed.inputFiles())
     # projections are not name-addressable (CH hides them)
     import pyspark.errors
 

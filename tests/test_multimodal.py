@@ -814,3 +814,26 @@ def test_decoder_registry_audio_video(spark):
     fps_n, fps_d, frames = M.decode_video(
         y4m, decoders={"y4m": lambda b: (1, 1, [[[7]]])})
     assert (fps_n, fps_d) == (1, 1) and frames == [[[7]]]
+
+
+def test_video_fast_path_honors_registry(spark):
+    """extract_frames' zero-copy y4m fast path must yield to a
+    registered decoder — the override-wins contract on every route."""
+    y4m = M.encode_y4m([[[10] * 4] * 4] * 2, fps_num=2, fps_den=1)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(y4m), 4, 4, None, 1000)],
+        M.MEDIA_SCHEMA,
+    )
+    M.register_decoder("video", "y4m",
+                       lambda b: (1, 1, [[[99] * 2] * 2]))
+    try:
+        rows = M.extract_frames(df, every_ms=1000,
+                                fake_decode=False).collect()
+    finally:
+        M.unregister_decoder("video", "y4m")
+    assert rows and all(r.mean_luma == 99.0 for r in rows)
+    assert all(r.width == 2 and r.height == 2 for r in rows)
+    # without the override the stdlib fast path decodes the real y4m
+    rows = M.extract_frames(df, every_ms=1000,
+                            fake_decode=False).collect()
+    assert rows and all(r.mean_luma == 10.0 for r in rows)
