@@ -367,6 +367,44 @@ def _run_bench() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
     times["ingest_100k_rows"] = round(dt_ingest, 3)
 
+    # r6 feature timings on a real at-rest 100k-row table: the
+    # projection-routing win (same statement answered from mergeable
+    # states vs the base scan — at 100 TB the routed number is the
+    # one a dashboard pays) and the partition-scoped mutation cost.
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+
+    tmp6 = tempfile.mkdtemp(prefix="chobs-feature-bench-")
+    try:
+        t6 = LogsTable(spark, tmp6 + "/logs")
+        t6.insert(normalize_ingest(wire))
+        q6 = ("SELECT service, count() AS n, avg(length(msg)) AS a "
+              "FROM logs GROUP BY service")
+        t0 = time.time()
+        base_rows = sorted(
+            (r.service, r.n) for r in ch_sql(spark, q6, logs=t6).collect())
+        base_sec = round(time.time() - t0, 3)
+        ch_sql(spark, (
+            "ALTER TABLE logs ADD PROJECTION bench_proj ("
+            "SELECT service, count() AS n0, avg(length(msg)) AS a0 "
+            "FROM logs GROUP BY service)"), logs=t6)
+        ch_sql(spark, "ALTER TABLE logs MATERIALIZE PROJECTION bench_proj",
+               logs=t6)
+        t0 = time.time()
+        routed_rows = sorted(
+            (r.service, r.n) for r in ch_sql(spark, q6, logs=t6).collect())
+        routed_sec = round(time.time() - t0, 3)
+        assert routed_rows == base_rows  # routing must not change answers
+        t0 = time.time()
+        n_mut = ch_sql(spark, "ALTER TABLE logs DELETE WHERE level = 'ERROR'",
+                       logs=t6)
+        mutation_sec = round(time.time() - t0, 3)
+        assert n_mut > 0
+        times["projection_base_query"] = base_sec
+        times["projection_routed_query"] = routed_sec
+        times["mutation_delete_100k"] = mutation_sec
+    finally:
+        shutil.rmtree(tmp6, ignore_errors=True)
+
     # Streaming-path throughput: the full micro-batch pipeline
     # (submit -> JSONL inbox -> file source -> foreachBatch -> sorted
     # partitioned parquet) at the reference's 500-entry batch size.
@@ -549,6 +587,9 @@ def _run_bench() -> None:
         "rollup_topk_users",
         "window_gap_fill_hourly",  # r5 second wave: reported, not summed
         "behavior_sequence_match",
+        "projection_base_query",  # r6 features: reported, not summed
+        "projection_routed_query",
+        "mutation_delete_100k",
     }
     media = _media_decode_bench(spark)
 

@@ -1,13 +1,14 @@
 """Slot-merge panels for the driver's 50-entry adjudication window.
 
 The driver adjudicates only the first 50 oracle-backed registry
-entries (CORRECTNESS cap), and that window had been static for three
-rounds while round-4 flagship work registered after it. Each panel
-here UNIONS two or three previously-adjudicated entries into one
-op-tagged result (the `dedup_exact_groups` fp_mode pattern), freeing
-window slots for `tpch_q21_waiting_suppliers`,
-`behavior_window_funnel` and `text_epoch_shards` — see
-registry._WINDOW_ORDER.
+entries (CORRECTNESS cap). Each panel here UNIONS two or three
+previously-adjudicated entries into one op-tagged result (the
+`dedup_exact_groups` fp_mode pattern), freeing window slots for
+flagship rotations — r5 rotated in tpch_q21/behavior_window_funnel/
+text_epoch_shards/rollup+chfuncs/dsir; r6 rotated in
+window_gap_fill_hourly/behavior_sequence_match/dedup_exact_spans/
+text_bm25_search and then asof_general_join/
+pipeline_hybrid_retrieval — see registry._WINDOW_ORDER.
 
 No adjudicated semantics are dropped: every panel arm IS the
 original registered callable (imported and invoked, not re-derived),
