@@ -183,6 +183,60 @@ def _split_by_literal(args, name: str):
     return f"split({args[1]}, {_q(re.escape(_string_value(args[0])))})"
 
 
+def _capture_group_count(pat: str) -> int:
+    """Count CAPTURING groups in a regex: unescaped '(' outside a
+    character class, excluding non-capturing/lookaround '(?...' but
+    INCLUDING named groups '(?<name>' / '(?P<name>'."""
+    n, i, in_class = 0, 0, False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            if i + 1 < len(pat) and pat[i + 1] == "?":
+                if re.match(r"\?P?<[A-Za-z_]", pat[i + 1:]):
+                    n += 1  # named capture, not lookbehind (?<= (?<!
+            else:
+                n += 1
+        i += 1
+    return n
+
+
+def _extract_all(args):
+    """CH extractAll(haystack, pattern) returns the FIRST capture
+    group per match when the pattern contains one, else the whole
+    match (docs: 'if the expression contains a subpattern, the first
+    subpattern is extracted'). Pick the regexp_extract_all group
+    index accordingly; a non-literal pattern can't be inspected, so
+    refuse rather than silently diverge (honest-refusal policy)."""
+    if len(args) != 2:
+        raise ChDialectError("extractAll takes (haystack, pattern)")
+    if not _is_string(args[1]):
+        raise ChDialectError(
+            "extractAll requires a string-literal pattern: CH returns "
+            "the first capture group when the pattern has one, which "
+            "cannot be decided for a computed pattern")
+    # count groups on the regex Spark's parser will actually produce:
+    # SQL-level backslash escapes collapse first ('\\(' -> literal
+    # paren escape \(, zero groups; '\(' -> bare ( , one group)
+    pat, i, raw = [], 0, _string_value(args[1])
+    while i < len(raw):
+        if raw[i] == "\\" and i + 1 < len(raw):
+            pat.append(raw[i + 1])  # '\\' -> '\', '\(' -> '(', ...
+            i += 2
+        else:
+            pat.append(raw[i])
+            i += 1
+    idx = 1 if _capture_group_count("".join(pat)) >= 1 else 0
+    return f"regexp_extract_all({args[0]}, {args[1]}, {idx})"
+
+
 def _split_by_char(args):
     return _split_by_literal(args, "splitByChar")
 
@@ -452,7 +506,7 @@ _FUNCS = {
     "concatwithseparator": lambda a: f"concat_ws({', '.join(a)})",
     "positioncaseinsensitive": lambda a: (
         f"locate(lower({a[1]}), lower({a[0]}))"),
-    "extractall": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)",
+    "extractall": lambda a: _extract_all(a),
     "splitbystring": lambda a: _split_by_literal(a, "splitByString"),
     "base64encode": lambda a: f"base64(CAST({a[0]} AS BINARY))",
     "base64decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
@@ -695,12 +749,17 @@ def _rewrite_array_literals(tokens: list[str]) -> list[str]:
     anywhere else it opens a literal. Subscripts must NOT pass
     through as Spark bracket indexing: CH subscripts are 1-based
     (negative = from the end), Spark brackets are 0-based — a silent
-    off-by-one. Spark's `element_at` is 1-based with
+    off-by-one. Spark's `try_element_at` is 1-based with
     negative-from-end, matching CH exactly, and also covers map
-    subscripts (`m['k']`). Nesting tracked with a stack so
-    `[[1,2],[3]]` becomes array(array(1,2), array(3)) and
-    `[10,20,30][1]` becomes element_at(array(10,20,30), 1) = 10 as
-    CH returns."""
+    subscripts (`m['k']`). `try_` because Spark 4 runs ANSI mode by
+    default and plain element_at THROWS on an out-of-range index,
+    where CH returns the type default — e.g. splitByChar('/',p)[3]
+    on a short path must not crash a query. try_element_at yields
+    NULL on miss (the repo's documented NULL-for-no-data convention;
+    divergence from CH's '' / 0 default is documented, not silent).
+    Nesting tracked with a stack so `[[1,2],[3]]` becomes
+    array(array(1,2), array(3)) and `[10,20,30][1]` becomes
+    try_element_at(array(10,20,30), 1) = 10 as CH returns."""
     out: list[str] = []
     stack: list[bool] = []  # True = literal we opened; False = subscript
     for t in tokens:
@@ -716,7 +775,7 @@ def _rewrite_array_literals(tokens: list[str]) -> list[str]:
             )
             if subscript:
                 start = _subscript_primary_start(out)
-                out[start:] = ["element_at", "("] + out[start:] + [","]
+                out[start:] = ["try_element_at", "("] + out[start:] + [","]
                 stack.append(False)
             else:
                 # two tokens so downstream paren-depth tracking
@@ -1920,13 +1979,26 @@ def _explain_estimate(spark: SparkSession, logs, inner_sql: str):
     for p in parts:
         ok = True
         for col, op, v in bounds:
+            # per-column literal coercion: a literal whose type can't
+            # be compared against the index (string month, numeric
+            # ts/service) makes the conjunct UNPRUNABLE — skip it and
+            # keep the part (upper-bound contract) instead of letting
+            # a str-vs-int comparison raise (advice r7)
             if col == "month":
+                try:
+                    v = int(float(v))
+                except (TypeError, ValueError):
+                    continue
                 lo = hi = p["partition"]
             elif col == "service":
+                if not isinstance(v, str):
+                    continue
                 lo, hi = p["min_service"], p["max_service"]
-            else:  # ts — footer stats stringify in ISO order
+            else:  # ts — footer stats stringify in ISO order; only a
+                # date/datetime STRING form compares meaningfully
+                if not isinstance(v, str):
+                    continue
                 lo, hi = p["min_ts"], p["max_ts"]
-                v = str(v)
             if lo is None or hi is None:
                 continue  # no stats -> cannot prune this part
             if op == "=":
@@ -2533,14 +2605,23 @@ def _route_projection(spark: SparkSession, sql: str, logs):
                             F.expr(where))
                     served = p.serve(dims_map, aggs_map, where_sql=where)
                     served = served.select(*out_order)
+                    if tail:
+                        # the tail (ORDER BY/LIMIT) may reference dim
+                        # EXPRESSIONS (e.g. ORDER BY toStartOfHour(ts),
+                        # GROUP BY ... ORDER BY count() DESC) that only
+                        # resolve against the base scan, not the served
+                        # frame's aliased columns — analysis failure
+                        # here must fall back, not surface (review r7:
+                        # a materialized projection must never make a
+                        # query error that worked on the base scan)
+                        view = "__projection_served"
+                        served.createOrReplaceTempView(view)
+                        served = spark.sql(translate(
+                            f"SELECT * FROM {view} " + " ".join(tail)))
+                        served.schema  # force analysis inside the try
                 except Exception:
                     continue  # unresolvable -> next projection / base
-                if not tail:
-                    return served
-                view = "__projection_served"
-                served.createOrReplaceTempView(view)
-                return spark.sql(translate(
-                    f"SELECT * FROM {view} " + " ".join(tail)))
+                return served
     return None
 
 # CH TTL arming — the reference's own statement (db.go:59-66):

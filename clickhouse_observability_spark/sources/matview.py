@@ -142,11 +142,16 @@ class MaterializedView:
         aggregate, rollup-sized by construction (refresh(), which
         aggregates the WHOLE base table, keeps the distributed
         write)."""
-        (self.partial(batch)
-         .coalesce(1)
-         .write.mode("append")
-         .option("compression", "zstd")
-         .parquet(self.data))
+        from clickhouse_observability_spark.sources.writer import (
+            parquet_ts_micros,
+        )
+
+        with parquet_ts_micros(self.spark):  # ts-typed dims keep stats
+            (self.partial(batch)
+             .coalesce(1)
+             .write.mode("append")
+             .option("compression", "zstd")
+             .parquet(self.data))
 
     # -- read side ------------------------------------------------------
     def read_states(self) -> DataFrame:
@@ -234,8 +239,13 @@ class MaterializedView:
             self.spark.read.parquet(self.data).groupBy(*dims))
         tmp = self.data + ".compact.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        (merged.write.mode("overwrite")
-         .option("compression", "zstd").parquet(tmp))
+        from clickhouse_observability_spark.sources.writer import (
+            parquet_ts_micros,
+        )
+
+        with parquet_ts_micros(self.spark):
+            (merged.write.mode("overwrite")
+             .option("compression", "zstd").parquet(tmp))
         old = self.data + ".compact.old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(self.data, old)
@@ -248,8 +258,13 @@ class MaterializedView:
         Same quiesce contract as compact()."""
         tmp = self.data + ".refresh.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        (self.partial(base).write.mode("overwrite")
-         .option("compression", "zstd").parquet(tmp))
+        from clickhouse_observability_spark.sources.writer import (
+            parquet_ts_micros,
+        )
+
+        with parquet_ts_micros(self.spark):
+            (self.partial(base).write.mode("overwrite")
+             .option("compression", "zstd").parquet(tmp))
         if os.path.exists(self.data):
             old = self.data + ".compact.old"
             shutil.rmtree(old, ignore_errors=True)

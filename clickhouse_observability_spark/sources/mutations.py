@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 
 from clickhouse_observability_spark.schema import (
     LOGS_COLUMNS,
-    LOGS_SCHEMA,
     PARTITION_COLUMN,
 )
 
@@ -99,14 +98,16 @@ def apply_mutation(
     matched = int(sum(r["n"] for r in hits))
 
     matched_pred = F.coalesce(pred, F.lit(False))  # NULL -> not matched
-    for m in months:
-        part_dir = os.path.join(path, f"{PARTITION_COLUMN}={m}")
-        df = (
-            spark.read.schema(LOGS_SCHEMA).parquet(part_dir)
-            # partition value is directory-encoded; restore it so
-            # predicates may reference `month` like the read path does
-            .withColumn(PARTITION_COLUMN, F.lit(m))
-        )
+    if months:
+        # ONE job rewrites every affected month (r6 review: the old
+        # per-month driver loop serialized partition-sized jobs — a
+        # mutation touching 12 months ran 12 sequential jobs; now all
+        # months rewrite in parallel). Partition pruning keeps the
+        # scan to the affected months; the partitioned writer fans
+        # each task to its month directory, preserving the old
+        # per-month file layout, and the month-led sort keeps the
+        # (service, ts) within-file order through partitionBy.
+        df = table.read().filter(F.col(PARTITION_COLUMN).isin(months))
         if assignments is None:
             out = df.filter(~matched_pred)
         else:
@@ -121,15 +122,33 @@ def apply_mutation(
                     )
                 else:
                     cols.append(F.col(c))
-            out = df.select(*cols)
-        out = (
-            out.select(*[c for c in LOGS_COLUMNS if c != PARTITION_COLUMN])
-            .sortWithinPartitions("service", "ts")
+            out = df.select(*cols, F.col(PARTITION_COLUMN))
+        tmp_root = os.path.join(path, "_mutation_tmp")
+        if os.path.exists(tmp_root):
+            shutil.rmtree(tmp_root)
+        from clickhouse_observability_spark.sources.writer import (
+            parquet_ts_micros,
         )
-        tmp = part_dir + ".tmp"
-        out.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-        shutil.rmtree(part_dir)
-        os.rename(tmp, part_dir)
+
+        with parquet_ts_micros(spark):
+            (
+                out.select(*LOGS_COLUMNS, PARTITION_COLUMN)
+                .sortWithinPartitions(PARTITION_COLUMN, "service", "ts")
+                .write.mode("overwrite")
+                .partitionBy(PARTITION_COLUMN)
+                .option("compression", "zstd")
+                .parquet(tmp_root)
+            )
+        for m in months:
+            part_dir = os.path.join(path, f"{PARTITION_COLUMN}={m}")
+            new_dir = os.path.join(tmp_root, f"{PARTITION_COLUMN}={m}")
+            shutil.rmtree(part_dir)
+            if os.path.exists(new_dir):
+                os.rename(new_dir, part_dir)
+            # else: every row of the month matched a DELETE — the
+            # part is dropped outright, like CH dropping an emptied
+            # data part
+        shutil.rmtree(tmp_root)
 
     stale_views: list[str] = []
     if months and table.materialized_views:
@@ -137,8 +156,24 @@ def apply_mutation(
             base = table.read()
             for v in table.materialized_views:
                 v.refresh(base)
+                if v.spec.get("projection"):
+                    # a full rebuild covers the whole table again
+                    v.spec["covers_table"] = True
+                    v.save()
         else:
             stale_views = [v.name for v in table.materialized_views]
+            for v in table.materialized_views:
+                # PROJECTIONS serve reads transparently — a stale one
+                # would silently answer queries from pre-mutation
+                # states (r6 verdict item 6). Un-cover it so routing
+                # declines (base scan answers, correct just not
+                # accelerated) until MATERIALIZE PROJECTION re-backfills.
+                # Plain matviews stay as-is: they are name-addressed
+                # and their staleness is the surfaced, documented
+                # CH-parity drift.
+                if v.spec.get("projection") and v.spec.get("covers_table"):
+                    v.spec["covers_table"] = False
+                    v.save()
     res = {
         "op": "delete" if assignments is None else "update",
         "matched_rows": matched,

@@ -137,10 +137,16 @@ def apply_retention(
             .sortWithinPartitions("service", "ts")
         )
         tmp = part_dir + ".tmp"
+        from clickhouse_observability_spark.sources.writer import (
+            parquet_ts_micros,
+        )
+
         # zstd keeps the rewritten partition in the table's at-rest
         # codec (LogsTable._write) instead of silently reverting to
-        # snappy.
-        kept.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+        # snappy; ts_micros keeps the ts footer stats alive.
+        with parquet_ts_micros(spark):
+            kept.write.mode("overwrite").option("compression", "zstd") \
+                .parquet(tmp)
         shutil.rmtree(part_dir)
         os.rename(tmp, part_dir)
         rewritten = cutoff_month
@@ -158,8 +164,20 @@ def apply_retention(
                 base = LogsTable(spark, path).read()
                 for v in views:
                     v.refresh(base)
+                    if v.spec.get("projection"):
+                        v.spec["covers_table"] = True
+                        v.save()
             else:
                 stale_views = [v.name for v in views]
+                for v in views:
+                    # see sources/mutations.py: a stale PROJECTION
+                    # must not keep transparently serving reads —
+                    # un-cover it so the router falls back to the
+                    # base scan until re-MATERIALIZEd
+                    if v.spec.get("projection") \
+                            and v.spec.get("covers_table"):
+                        v.spec["covers_table"] = False
+                        v.save()
     return {"dropped_months": dropped, "rewritten": rewritten,
             "stale_views": stale_views}
 
@@ -183,6 +201,10 @@ def compact_partition(
     its leading key. The natural background-merge hook for layout
     optimization (Delta's OPTIMIZE ZORDER runs at the same point in
     the lifecycle)."""
+    from clickhouse_observability_spark.sources.writer import (
+        parquet_ts_micros,
+    )
+
     part_dir = os.path.join(path, f"{PARTITION_COLUMN}={month}")
     files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
     df = spark.read.parquet(part_dir).select([c for c in LOGS_COLUMNS if c != PARTITION_COLUMN])
@@ -190,23 +212,25 @@ def compact_partition(
     if zorder:
         from clickhouse_observability_spark.sources.zorder import zvalue
 
-        (
-            df.withColumn("__z", zvalue(df, zorder))
-            .repartitionByRange(target_files, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-            .write.mode("overwrite")
-            .option("compression", "zstd")
-            .parquet(tmp)
-        )
+        with parquet_ts_micros(spark):
+            (
+                df.withColumn("__z", zvalue(df, zorder))
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .parquet(tmp)
+            )
     else:
-        (
-            df.repartition(target_files)
-            .sortWithinPartitions("service", "ts")
-            .write.mode("overwrite")
-            .option("compression", "zstd")  # match LogsTable._write codec
-            .parquet(tmp)
-        )
+        with parquet_ts_micros(spark):
+            (
+                df.repartition(target_files)
+                .sortWithinPartitions("service", "ts")
+                .write.mode("overwrite")
+                .option("compression", "zstd")  # match LogsTable._write
+                .parquet(tmp)
+            )
     shutil.rmtree(part_dir)
     os.rename(tmp, part_dir)
     return len(files)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Iterable, Mapping
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,21 +62,40 @@ def normalize_ingest(df: DataFrame) -> DataFrame:
     )
 
 
+@contextmanager
+def parquet_ts_micros(spark: SparkSession):
+    """Scope `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`
+    to a write.
+
+    Spark's DEFAULT parquet timestamp physical type is INT96 (legacy),
+    which carries NO column min/max statistics — that silently kills
+    footer-level ts pruning (system.parts min_ts/max_ts, EXPLAIN
+    ESTIMATE, and the reader's own row-group skipping on ts ranges).
+    INT64 micros is the modern type every reader handles and it
+    restores the stats. Scoped (set + restore) rather than pinned on
+    the session: mutating shared session conf from a constructor
+    changes the written physical type for every UNRELATED parquet
+    write in the session (advice r7). Every ts-bearing write path in
+    this package (insert, mutation/retention/z-order rewrites) wraps
+    itself in this."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 class LogsTable:
     """The partitioned, sorted Parquet `logs` table."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        # Spark's DEFAULT parquet timestamp physical type is INT96
-        # (legacy), which carries NO column min/max statistics — that
-        # silently kills footer-level ts pruning (system.parts min_ts/
-        # max_ts, EXPLAIN ESTIMATE, and the reader's own row-group
-        # skipping on ts ranges). INT64 micros is the modern type
-        # every reader handles and it restores the stats; pin it for
-        # this session's writes.
-        spark.conf.set("spark.sql.parquet.outputTimestampType",
-                       "TIMESTAMP_MICROS")
         # re-attach persisted materialized views (insert triggers);
         # cheap listdir of <path>/_mv — absent on most tables
         from clickhouse_observability_spark.sources.matview import (
@@ -146,6 +166,10 @@ class LogsTable:
         raise ValueError(f"no materialized view {name!r}")
 
     def _write(self, df: DataFrame, mode: str) -> None:
+        with parquet_ts_micros(self.spark):
+            self._write_unscoped(df, mode)
+
+    def _write_unscoped(self, df: DataFrame, mode: str) -> None:
         (
             # Leading the sort with the partition column satisfies the
             # partitioned writer's required ordering, so Spark keeps OUR

@@ -115,13 +115,18 @@ def write_zordered(
     z-value (so files tile the curve) and sort within partitions (so
     ROW GROUPS inside each file tile it too — parquet keeps min/max
     stats at both granularities)."""
-    zc = zvalue(df, cols).alias("__z")
-    (
-        df.withColumn("__z", zc)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode(mode)
-        .option("compression", "zstd")
-        .parquet(path)
+    from clickhouse_observability_spark.sources.writer import (
+        parquet_ts_micros,
     )
+
+    zc = zvalue(df, cols).alias("__z")
+    with parquet_ts_micros(df.sparkSession):
+        (
+            df.withColumn("__z", zc)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode(mode)
+            .option("compression", "zstd")
+            .parquet(path)
+        )

@@ -1177,3 +1177,147 @@ def test_r6_review_fixes(spark):
     assert r.v == "y"
     with pytest.raises(ChDialectError, match="splitByString"):
         translate("SELECT splitByString(sep, s) FROM t")
+
+
+def test_subscript_out_of_range_returns_null(spark):
+    """Spark 4 runs ANSI mode by default, where plain element_at
+    THROWS on an out-of-range index; CH subscripts return the type
+    default and never throw. The rewrite emits try_element_at — NULL
+    on miss, the repo's documented NULL-for-no-data convention
+    (advice r7) — so splitByChar('/', path)[3] on a short path is a
+    NULL, not a crash."""
+    r = spark.sql(translate(
+        "SELECT splitByChar('/', 'a/b')[3] AS miss, "
+        "[1, 2][5] AS oob, [1, 2][-5] AS noob, m['absent'] AS mk "
+        "FROM (SELECT map('k', 1) AS m)")).collect()[0]
+    assert r.miss is None and r.oob is None and r.noob is None \
+        and r.mk is None
+    # in-range still exact
+    r = spark.sql(translate("SELECT [1, 2][2] AS v")).collect()[0]
+    assert r.v == 2
+
+
+def test_extractall_first_capture_group(spark):
+    """CH extractAll returns the FIRST capture group per match when
+    the pattern contains one, else the whole match; a computed
+    pattern can't be inspected and is refused rather than silently
+    diverging (advice r7)."""
+    r = spark.sql(translate(
+        "SELECT extractAll('key=1;key=22', 'key=([0-9]+)') AS g, "
+        "extractAll('a1b22', '[0-9]+') AS whole, "
+        "extractAll('ab', '(?:a)(b)') AS noncap, "
+        "extractAll('a(b', 'a\\\\(b') AS esc")).collect()[0]
+    assert list(r.g) == ["1", "22"]
+    assert list(r.whole) == ["1", "22"]
+    assert list(r.noncap) == ["b"]     # (?:..) is not capturing
+    assert list(r.esc) == ["a(b"]      # escaped paren is not a group
+    with pytest.raises(ChDialectError, match="literal"):
+        translate("SELECT extractAll(msg, msg) FROM t")
+
+
+def test_explain_estimate_literal_type_coercion(spark, logs):
+    """Advice r7: pruning literals whose type can't compare against
+    the index must degrade to 'unprunable conjunct' (upper bound),
+    never raise — `month = '202507'` (string vs int partition) used
+    to TypeError; a numeric ts literal compared against ISO strings
+    silently mis-pruned."""
+    ch_sql(spark, (
+        "INSERT INTO logs (ts, service, level, msg) VALUES "
+        "('2025-05-01 10:00:00', 'api', 'INFO', 'a'), "
+        "('2025-07-01 10:00:00', 'web', 'ERROR', 'c')"), logs=logs)
+
+    def est(sql):
+        r = ch_sql(spark, sql, logs=logs).collect()[0]
+        return (r.parts, r.rows)
+
+    # string month literal coerces to int and still prunes
+    p, r = est("EXPLAIN ESTIMATE SELECT * FROM logs "
+               "WHERE month = '202507'")
+    assert r == 1
+    # an un-coercible month literal is unprunable, not an error
+    _, r = est("EXPLAIN ESTIMATE SELECT * FROM logs "
+               "WHERE month = 'latest'")
+    assert r == 2
+    # numeric ts literal: not comparable to ISO footer strings ->
+    # unprunable upper bound, never a str/float comparison
+    _, r = est("EXPLAIN ESTIMATE SELECT * FROM logs "
+               "WHERE ts >= 1750000000")
+    assert r == 2
+    # numeric service literal likewise unprunable
+    _, r = est("EXPLAIN ESTIMATE SELECT * FROM logs WHERE service = 7")
+    assert r == 2
+
+
+def test_multimonth_mutation_is_one_parallel_job(spark, tmp_path):
+    """r6 review item 4: a mutation spanning many months used to
+    rewrite them in a SEQUENTIAL driver loop (one partition-sized job
+    per month). It is now ONE pruned scan + ONE partitioned-overwrite
+    job regardless of month count — bounded jobs, not O(months) —
+    with identical results, per-month directory layout, and the
+    (service, ts) within-file sort preserved."""
+    from clickhouse_observability_spark.sources.mutations import (
+        apply_mutation,
+    )
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    t = LogsTable(spark, str(tmp_path / "mm_logs"))
+    t.init_schema()
+    rows = []
+    for m in (1, 2, 3, 4):  # four months, each with keep+drop rows
+        rows += [
+            (f"2025-0{m}-10 10:00:00", "api", "INFO", f"keep{m}"),
+            (f"2025-0{m}-10 11:00:00", "web", "DEBUG", f"drop{m}"),
+            (f"2025-0{m}-10 09:00:00", "api", "DEBUG", f"drop{m}b"),
+        ]
+    vals = ", ".join(f"('{ts}', '{s}', '{lv}', '{m}')"
+                     for ts, s, lv, m in rows)
+    ch_sql(spark, "INSERT INTO logs (ts, service, level, msg) "
+           f"VALUES {vals}", logs=t)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("mm_mutation", "multi-month mutation")
+    try:
+        res = apply_mutation(spark, t.path, "level = 'DEBUG'")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("mm_mutation")
+    # 1 match-count scan + 1 rewrite job (AQE may add a bounded
+    # handful, never one per month) — with 4 months the old loop
+    # needed >= 5
+    assert 1 <= len(jobs) <= 4, jobs
+    assert res["matched_rows"] == 8
+    assert res["affected_months"] == [202501, 202502, 202503, 202504]
+    kept = t.read().collect()
+    assert sorted(r.msg for r in kept) == [f"keep{m}" for m in (1, 2, 3, 4)]
+    # per-month directory layout intact; within-file sort preserved
+    import os as _os
+    for m in (202501, 202502, 202503, 202504):
+        d = _os.path.join(t.path, f"month={m}")
+        assert _os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in _os.listdir(d))
+    # delete-ALL of one month drops its directory outright
+    apply_mutation(spark, t.path, "month = 202501")
+    assert not _os.path.exists(_os.path.join(t.path, "month=202501"))
+    assert t.read().count() == 3
+
+
+def test_parquet_ts_conf_is_scoped_not_global(spark, tmp_path):
+    """Advice r7: LogsTable used to pin
+    spark.sql.parquet.outputTimestampType on the SHARED session conf
+    from its constructor, silently changing every unrelated parquet
+    write. The pin is now scoped to this package's own writes; the
+    session conf is untouched before and after, while the written
+    files still carry INT64-micros ts stats (footer min/max alive)."""
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    key = "spark.sql.parquet.outputTimestampType"
+    before = spark.conf.get(key)
+    t = LogsTable(spark, str(tmp_path / "scoped_logs"))
+    t.init_schema()
+    assert spark.conf.get(key) == before  # constructor no longer mutates
+    ch_sql(spark, ("INSERT INTO logs (ts, service, level, msg) VALUES "
+                   "('2025-05-01 10:00:00', 'api', 'INFO', 'x')"), logs=t)
+    assert spark.conf.get(key) == before  # write restored it
+    # ... and the file still has ts footer stats (micros, not INT96)
+    parts = t.parts()
+    assert parts and parts[0]["min_ts"] is not None

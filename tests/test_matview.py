@@ -415,3 +415,101 @@ def test_projection_routes_scalar_aggregates(spark, tmp_path):
     # unaliased scalar aggregates fall back (column naming parity)
     out = ch_sql(spark, "SELECT count() FROM logs", logs=t)
     assert any("month=" in f for f in out.inputFiles())
+
+
+def test_projection_tail_analysis_failure_falls_back(spark, tmp_path):
+    """Advice r7: a tail that only resolves against the BASE scan
+    (ORDER BY count() DESC, ORDER BY toStartOfHour(ts)) used to be
+    re-applied OUTSIDE the routing try — materializing a covering
+    projection made previously-working queries error. The tail now
+    analyzes inside the try and any failure falls back to the base
+    scan: results must be identical with and without the projection."""
+    t = _proj_fixture(spark, tmp_path, "plogs_tail")
+
+    q1 = ("SELECT service, count() AS n FROM logs "
+          "GROUP BY service ORDER BY count() DESC")
+    q2 = ("SELECT toStartOfHour(ts) AS h, service, count() AS n "
+          "FROM logs GROUP BY h, service ORDER BY toStartOfHour(ts), "
+          "service")
+    # baseline WITHOUT routing: evaluate over the raw table frame
+    t.read().createOrReplaceTempView("logs")
+    base1 = [(r.service, r.n) for r in spark.sql(
+        "SELECT service, count(*) AS n FROM logs GROUP BY service "
+        "ORDER BY n DESC, service").collect()]
+    base2 = [(str(r.h), r.service, r.n) for r in spark.sql(
+        "SELECT date_trunc('hour', ts) AS h, service, count(*) AS n "
+        "FROM logs GROUP BY 1, 2 ORDER BY 1, 2").collect()]
+    # with the projection attached + materialized, the same CH queries
+    # must still ANSWER (route or fall back — never error)
+    got1 = [(r.service, r.n) for r in ch_sql(spark, q1, logs=t).collect()]
+    assert sorted(got1) == sorted(base1)
+    got2 = [(str(r.h), r.service, r.n)
+            for r in ch_sql(spark, q2, logs=t).collect()]
+    assert got2 == base2
+
+
+def test_mutation_uncovers_projection_serving(spark, tmp_path):
+    """r6 verdict item 6: projections serve reads TRANSPARENTLY, so a
+    mutation that changes history must not leave one silently serving
+    pre-mutation states. Un-refreshed mutation -> the projection is
+    un-covered (router falls back to the base scan, answers stay
+    CORRECT); MATERIALIZE PROJECTION re-covers; refresh_views=True
+    repairs and keeps it covered."""
+    from clickhouse_observability_spark.sources.mutations import (
+        apply_mutation,
+    )
+
+    t = _proj_fixture(spark, tmp_path, "plogs_mut")
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE PROJECTION svc_proj",
+           logs=t)
+    q = "SELECT service, count() AS n FROM logs GROUP BY service"
+    routed = ch_sql(spark, q, logs=t)
+    assert all("_mv" in f for f in routed.inputFiles())  # serving
+
+    apply_mutation(spark, t.path, "service = 'web'")  # no refresh
+    t2 = LogsTable(spark, t.path)  # reload persisted specs
+    after = ch_sql(spark, q, logs=t2)
+    # no longer served from states...
+    assert not any("_mv" in f for f in after.inputFiles())
+    # ...and the answer reflects the mutation
+    assert {(r.service, r.n) for r in after.collect()} == {("api", 2)}
+
+    # MATERIALIZE re-backfills and re-covers
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE PROJECTION svc_proj",
+           logs=t2)
+    again = ch_sql(spark, q, logs=t2)
+    assert all("_mv" in f for f in again.inputFiles())
+    assert {(r.service, r.n) for r in again.collect()} == {("api", 2)}
+
+    # refresh_views=True keeps it covered AND correct in one step
+    apply_mutation(spark, t2.path, "msg = 'alpha'", refresh_views=True)
+    t3 = LogsTable(spark, t2.path)
+    final = ch_sql(spark, q, logs=t3)
+    assert all("_mv" in f for f in final.inputFiles())
+    assert {(r.service, r.n) for r in final.collect()} == {("api", 1)}
+
+
+def test_retention_uncovers_projection_serving(spark, tmp_path):
+    """Same contract for TTL retention: dropping months un-covers any
+    serving projection instead of leaving it answering from dropped
+    history."""
+    import datetime as dt
+
+    from clickhouse_observability_spark.sources.retention import (
+        apply_retention,
+    )
+
+    t = _proj_fixture(spark, tmp_path, "plogs_ret")
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE PROJECTION svc_proj",
+           logs=t)
+    q = "SELECT service, count() AS n FROM logs GROUP BY service"
+    assert all("_mv" in f
+               for f in ch_sql(spark, q, logs=t).inputFiles())
+    res = apply_retention(
+        spark, t.path, retention_days=30,
+        now=dt.datetime(2025, 7, 20, tzinfo=dt.timezone.utc), exact=False)
+    assert res["dropped_months"] == [202505]
+    t2 = LogsTable(spark, t.path)
+    after = ch_sql(spark, q, logs=t2)
+    assert not any("_mv" in f for f in after.inputFiles())
+    assert after.count() == 0  # everything was May
