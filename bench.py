@@ -109,6 +109,12 @@ HEADLINE = [
 # computed from THIS dict over the query names common to both rounds
 # (min-of-n on both sides). logs_basic is absent — its value was the
 # one casualty of the r4 truncation.
+# The committed IDLE-host value of the fixed JVM calibration aggregate
+# (spark_calib_sec in r6's idle BENCH.out.json, commit 48bcbd2). The
+# compact line reports this run's ratio against it so a contended
+# driver capture flags itself instead of reading as a regression.
+IDLE_SPARK_CALIB_SEC = 0.567
+
 R4_MIN_COMMON = {
     "logs_json_attr": 0.394, "logs_count": 0.196, "agg_hourly": 0.344,
     "agg_value_stats": 0.284, "agg_distinct_users": 0.331,
@@ -604,6 +610,13 @@ def _run_bench() -> None:
     scalars = {
         "cpu_calib_sec": cpu_calib_sec,
         "spark_calib_sec": spark_calib_sec,
+        # contended-host flag IN the capture itself (r6 verdict #7):
+        # ratio of this run's fixed JVM aggregate to the committed
+        # idle-host reference (r6's idle BENCH.out.json measured
+        # 0.567s). ~1.0 = idle-comparable numbers; >1.2 = the host
+        # was contended and per-query comparisons need the calib
+        # normalization rather than face-value deltas.
+        "calib_idle_ratio": round(spark_calib_sec / IDLE_SPARK_CALIB_SEC, 2),
         "headline_prev_common_sec": prev_common,
         "headline_common_sec": this_common,
         "common_n": len(common),

@@ -216,6 +216,74 @@ def dedup_neardup_clusters(spark, sf_dir):
 
 
 
+@register(
+    "dedup_cluster_keeplist",
+    # The oracle-adjudicated clustering entry (r7): pairs from the
+    # DETERMINISTIC exact token-set Jaccard (so both engines see the
+    # same graph — MinHash pairs are hash-seeded and stay rows-only in
+    # dedup_neardup_clusters), components via DuckDB's WITH RECURSIVE
+    # min-label closure — an independent second implementation of the
+    # same fixpoint the Spark side reaches by pointer-jumping rounds.
+    oracle=f"""
+    WITH RECURSIVE
+    raw AS (
+        SELECT doc_id, unnest(list_distinct({_NTOKS})) AS tok FROM documents
+    ),
+    kept AS (
+        SELECT tok FROM (SELECT tok, count(*) AS df FROM raw GROUP BY tok)
+        WHERE df <= (SELECT floor(0.8 * count(*))::BIGINT FROM documents)
+    ),
+    toks AS (SELECT doc_id, tok FROM raw JOIN kept USING (tok)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.9
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+             FROM reach GROUP BY node)
+    SELECT component_id, min(doc_id) AS keep_doc_id,
+           count(*) AS component_size
+    FROM (
+        SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    GROUP BY component_id
+    """,
+)
+def dedup_cluster_keeplist(spark, sf_dir):
+    """Pairs -> connected components -> keep-list, DRIVER-ADJUDICATED
+    (r7 rotation): exact token-set Jaccard pairs (threshold 0.9,
+    df-capped inverted index — deterministic, unlike the seeded
+    MinHash graph) feed the same min-label-propagation components and
+    canonical-keeper operators `dedup_neardup_clusters` uses; the
+    oracle recomputes the transitive closure with a recursive CTE.
+    Green = the iterative Spark fixpoint equals a second engine's
+    declarative closure on the full corpus graph."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(
+        docs, threshold=0.9, max_df_frac=0.8,
+        cache_key=f"{sf_dir}/documents@0.9",
+    )
+    comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
+    return D.canonical_per_component(docs, comps)
+
+
 @register("dedup_cluster_report")
 def dedup_cluster_report(spark, sf_dir):
     """Near-dup cluster-structure report — the number an operator

@@ -1,0 +1,211 @@
+"""Driver-adjudicated storage-lifecycle entries (r7).
+
+The r6 verdict's two open adjudication gaps were the PROJECTION
+serving path and the MUTATION rewrite path — both pytest-proven but
+never checked by the driver's independent DuckDB oracle. These two
+entries close that: each builds a real partitioned logs table from
+the `events` testdata at a scratch warehouse path (the same
+artifacts-at-rest pattern the ANN index entries use), drives the CH
+statement surface against it through ``ch_sql``, and returns a read
+whose oracle is plain SQL over `events` with the lifecycle operation
+folded in algebraically.
+
+- ``projection_served_panel``: ADD PROJECTION + MATERIALIZE
+  PROJECTION, then serve two GROUP BY grains. The callable RAISES
+  unless every input file of both arms is a projection-state file
+  (``_mv/``), so a green CORRECTNESS row proves the ROUTED answer —
+  served from mergeable states, including the coarser-grain re-merge —
+  equals the direct aggregate (reference context: ClickHouse
+  projection optimizer; routing lives in
+  functions/ch_dialect.py:_route_projection).
+- ``mutation_post_read``: ALTER TABLE DELETE WHERE + ALTER TABLE
+  UPDATE WHERE (sources/mutations.py — predicate-pruned partition
+  rewrites), then the full post-mutation table; the oracle applies
+  the delete predicate and folds the update assignment as a CASE.
+
+Scale note: the builds are sf-sized by construction (one insert of
+the events block); the served read is O(state rows) and the mutation
+is one pruned scan + one partitioned overwrite — the same plans the
+pytest layer pins, now value-adjudicated cross-engine.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.registry import register, table
+from clickhouse_observability_spark.sources import index_store as IX
+
+# events -> logs column mapping, shared VERBATIM between the Spark
+# build below and the DuckDB oracles (any drift breaks both entries
+# loudly): service=event_type, level derived deterministically from
+# user_id, msg/attrs=props, trace_id/span_id = stringified ids.
+_LOGS_CTE = """
+    SELECT ts, event_type AS service,
+           CASE WHEN user_id % 5 = 0 THEN 'ERROR' ELSE 'INFO' END AS level,
+           props AS msg, user_id::VARCHAR AS trace_id,
+           event_id::VARCHAR AS span_id
+    FROM events
+"""
+
+
+def _build_logs_from_events(spark, sf_dir: str, name: str):
+    """Materialize a fresh logs table from `events` at a scratch
+    warehouse path. Rebuilt on EVERY call: mutations are destructive
+    and projections carry state, so serving a cached table would make
+    the entry's result depend on run history."""
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    path = IX.artifact_path(sf_dir, name, source_table="events")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LogsTable(spark, path)
+    t.init_schema()
+    ev = table(spark, sf_dir, "events")
+    t.insert(
+        ev.select(
+            F.col("ts"),
+            F.col("event_type").alias("service"),
+            F.when(F.col("user_id") % 5 == 0, "ERROR")
+            .otherwise("INFO")
+            .alias("level"),
+            F.col("props").alias("msg"),
+            F.col("props").alias("attrs"),
+            F.col("user_id").cast("string").alias("trace_id"),
+            F.col("event_id").cast("string").alias("span_id"),
+        )
+    )
+    return t
+
+
+def _assert_served_from_states(df, what: str):
+    """The panel's contract is that the answer came FROM the
+    projection's mergeable states — a silent fallback to the base
+    scan would still produce equal values, so the proof must fail
+    loudly instead of degrading."""
+    files = df.inputFiles()
+    if not files or not all("_mv" in f for f in files):
+        raise RuntimeError(
+            f"projection_served_panel: {what} was NOT served from "
+            f"projection states (inputFiles={files[:3]}...)"
+        )
+
+
+@register(
+    "projection_served_panel",
+    oracle=f"""
+    WITH logs AS ({_LOGS_CTE})
+    SELECT 'hour_service' AS op, date_trunc('hour', ts) AS h, service,
+           count(*) AS n, sum(length(msg))::BIGINT AS sum_len,
+           round(avg(length(msg)), 4) AS avg_len,
+           CAST(NULL AS VARCHAR) AS min_span,
+           CAST(NULL AS VARCHAR) AS max_span
+    FROM logs GROUP BY 2, 3
+    UNION ALL
+    SELECT 'service', CAST(NULL AS TIMESTAMP), service,
+           count(*), sum(length(msg))::BIGINT,
+           CAST(NULL AS DOUBLE), min(span_id), max(span_id)
+    FROM logs GROUP BY 3
+    """,
+)
+def projection_served_panel(spark, sf_dir):
+    """CH projections end-to-end under the driver's gate: attach an
+    aggregate projection, MATERIALIZE it (backfill to states), then
+    answer (1) the projection-grain GROUP BY and (2) the coarser
+    service-only grain — the states re-merge: counts/sums add, avg
+    re-divides its sum+count, min/max fold. Both arms assert they
+    were served from state files; the oracle is the plain aggregate
+    over the same source rows, so green = routed ≡ direct."""
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+
+    t = _build_logs_from_events(spark, sf_dir, "ch_logs_proj")
+    ch_sql(
+        spark,
+        "ALTER TABLE logs ADD PROJECTION hour_svc ("
+        "SELECT toStartOfHour(ts) AS h, service, count() AS n, "
+        "sum(length(msg)) AS sum_len, avg(length(msg)) AS avg_len, "
+        "min(span_id) AS min_span, max(span_id) AS max_span "
+        "FROM logs GROUP BY h, service)",
+        logs=t,
+    )
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE PROJECTION hour_svc", logs=t)
+
+    fine = ch_sql(
+        spark,
+        "SELECT toStartOfHour(ts) AS h, service, count() AS n, "
+        "sum(length(msg)) AS sum_len, avg(length(msg)) AS avg_len "
+        "FROM logs GROUP BY h, service",
+        logs=t,
+    )
+    _assert_served_from_states(fine, "hour_service grain")
+    coarse = ch_sql(
+        spark,
+        "SELECT service, count() AS n, sum(length(msg)) AS sum_len, "
+        "min(span_id) AS min_span, max(span_id) AS max_span "
+        "FROM logs GROUP BY service",
+        logs=t,
+    )
+    _assert_served_from_states(coarse, "service re-merge grain")
+
+    fine = fine.select(
+        F.lit("hour_service").alias("op"),
+        "h",
+        "service",
+        "n",
+        "sum_len",
+        F.round("avg_len", 4).alias("avg_len"),
+        F.lit(None).cast("string").alias("min_span"),
+        F.lit(None).cast("string").alias("max_span"),
+    )
+    coarse = coarse.select(
+        F.lit("service").alias("op"),
+        F.lit(None).cast("timestamp").alias("h"),
+        "service",
+        "n",
+        "sum_len",
+        F.lit(None).cast("double").alias("avg_len"),
+        "min_span",
+        "max_span",
+    )
+    return fine.unionByName(coarse)
+
+
+@register(
+    "mutation_post_read",
+    oracle=f"""
+    WITH logs AS ({_LOGS_CTE}),
+    m1 AS (SELECT * FROM logs WHERE NOT (service = 'error')),
+    m2 AS (
+        SELECT ts, service, level,
+               CASE WHEN service = 'click' AND level = 'ERROR'
+                    THEN msg || '#mut' ELSE msg END AS msg,
+               trace_id, span_id
+        FROM m1
+    )
+    SELECT ts, service, level, msg, trace_id, span_id FROM m2
+    """,
+)
+def mutation_post_read(spark, sf_dir):
+    """CH mutations end-to-end under the driver's gate: DELETE WHERE
+    drops one service, UPDATE ... WHERE rewrites matching msg rows in
+    place (both as predicate-pruned partition rewrites), then the
+    whole table reads back. The oracle re-derives the post-mutation
+    table algebraically — delete as NOT(pred), update as a CASE — so
+    a green row proves the rewrite changed exactly the matched rows
+    and nothing else."""
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+
+    t = _build_logs_from_events(spark, sf_dir, "ch_logs_mut")
+    ch_sql(spark, "ALTER TABLE logs DELETE WHERE service = 'error'", logs=t)
+    ch_sql(
+        spark,
+        "ALTER TABLE logs UPDATE msg = concat(msg, '#mut') "
+        "WHERE service = 'click' AND level = 'ERROR'",
+        logs=t,
+    )
+    return ch_sql(
+        spark,
+        "SELECT ts, service, level, msg, trace_id, span_id FROM logs",
+        logs=t,
+    )

@@ -59,7 +59,7 @@ from clickhouse_observability_spark.queries.text import (
 # panels wrap these modules' oracle texts at decoration time
 import clickhouse_observability_spark.queries.similarity  # noqa: E402,F401
 
-from clickhouse_observability_spark.registry import _ORACLES, register
+from clickhouse_observability_spark.registry import _ORACLES, register, table
 
 
 @register(
@@ -659,3 +659,426 @@ def sim_topk_panel(spark, sf_dir):
         "query_id", "rank", "vec_id", "cosine",
     )
     return proofs.unionByName(int8)
+
+
+# ---------------------------------------------------------------- r7
+# Third rotation wave: five more slot-merges freeing six window slots
+# for projection_served_panel + mutation_post_read (the r6 storage
+# layers, now driver-adjudicated end-to-end), sim_semantic_
+# contamination, dedup_cluster_keeplist, tpch_q8_market_share, and the
+# in-place upgrade of the two asof slots to the full variant matrix
+# (asof_variants_panel). Same contract as every prior wave: arms ARE
+# the original adjudicated callables, merged-away entries keep their
+# own oracles (pytest-DuckDB) directly after the window.
+
+# imported for @register side effects so _ORACLES has the arm texts
+# at decoration time (selection loads after panels in _load_all)
+import clickhouse_observability_spark.queries.selection  # noqa: E402,F401
+
+from clickhouse_observability_spark.queries.analytics import (  # noqa: E402
+    agg_counts_by_type,
+    agg_month_buckets,
+    dedup_first_event_per_user_type,
+    profile_events,
+)
+from clickhouse_observability_spark.queries.selection import (  # noqa: E402
+    text_c4_filters,
+)
+from clickhouse_observability_spark.queries.setops import (  # noqa: E402
+    setop_union_intersect_users,
+)
+from clickhouse_observability_spark.queries.text import (  # noqa: E402
+    text_contamination,
+    text_corpus_stats,
+    text_domain_mix,
+    text_pii_scrub,
+)
+from clickhouse_observability_spark.queries.windows import (  # noqa: E402
+    asof_click_before_purchase,
+    asof_general_join,
+)
+
+
+@register(
+    "agg_shapes_panel",
+    oracle=(
+        "SELECT 'type_profile' AS op, event_type, n, users, sum_value,"
+        " avg_value, min_value, max_value,\n"
+        "       CAST(NULL AS INT) AS month,\n"
+        "       CAST(NULL AS VARCHAR) AS column_name,\n"
+        "       CAST(NULL AS BIGINT) AS n_nulls,\n"
+        "       CAST(NULL AS BIGINT) AS n_distinct,\n"
+        "       CAST(NULL AS VARCHAR) AS min_str,\n"
+        "       CAST(NULL AS VARCHAR) AS max_str,\n"
+        "       CAST(NULL AS BIGINT) AS n_rows\n"
+        "FROM (" + _ORACLES["agg_counts_by_type"] + ")\n"
+        "UNION ALL\n"
+        "SELECT 'month_buckets', CAST(NULL AS VARCHAR), n,"
+        " CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),"
+        " CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+        " CAST(NULL AS DOUBLE), month, CAST(NULL AS VARCHAR),"
+        " CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),"
+        " CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),"
+        " CAST(NULL AS BIGINT)\n"
+        "FROM (" + _ORACLES["agg_month_buckets"] + ")\n"
+        "UNION ALL\n"
+        "SELECT 'profile', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),"
+        " CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),"
+        " CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+        " CAST(NULL AS DOUBLE), CAST(NULL AS INT), column_name,"
+        " n_nulls, n_distinct, min_value, max_value, n_rows\n"
+        "FROM (" + _ORACLES["profile_events"] + ")"
+    ),
+)
+def agg_shapes_panel(spark, sf_dir):
+    """Three profiling-aggregate shapes op-tagged in one slot: the
+    per-type numeric panel (count/distinct/sum/avg/min/max — one
+    shuffle on event_type), the toYYYYMM month buckets, and the
+    3-column table profile (one pass, grouping-set-free scalar
+    aggregate fan-out). Arms are the original adjudicated callables;
+    profile's VARCHAR min/max land in their own columns so the
+    numeric arms keep DOUBLE types."""
+    type_nulls = [
+        F.lit(None).cast("int").alias("month"),
+        F.lit(None).cast("string").alias("column_name"),
+        F.lit(None).cast("long").alias("n_nulls"),
+        F.lit(None).cast("long").alias("n_distinct"),
+        F.lit(None).cast("string").alias("min_str"),
+        F.lit(None).cast("string").alias("max_str"),
+        F.lit(None).cast("long").alias("n_rows"),
+    ]
+    types = agg_counts_by_type(spark, sf_dir).select(
+        F.lit("type_profile").alias("op"),
+        "event_type", "n", "users", "sum_value", "avg_value",
+        "min_value", "max_value", *type_nulls,
+    )
+    months = agg_month_buckets(spark, sf_dir).select(
+        F.lit("month_buckets").alias("op"),
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+        F.lit(None).cast("long").alias("users"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        "month",
+        F.lit(None).cast("string").alias("column_name"),
+        F.lit(None).cast("long").alias("n_nulls"),
+        F.lit(None).cast("long").alias("n_distinct"),
+        F.lit(None).cast("string").alias("min_str"),
+        F.lit(None).cast("string").alias("max_str"),
+        F.lit(None).cast("long").alias("n_rows"),
+    )
+    prof = profile_events(spark, sf_dir).select(
+        F.lit("profile").alias("op"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("users"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        F.lit(None).cast("int").alias("month"),
+        "column_name", "n_nulls", "n_distinct",
+        F.col("min_value").alias("min_str"),
+        F.col("max_value").alias("max_str"),
+        "n_rows",
+    )
+    return types.unionByName(months).unionByName(prof)
+
+
+@register(
+    "setop_dedup_user_panel",
+    oracle=(
+        "SELECT op, user_id, day, CAST(NULL AS BIGINT) AS event_id,\n"
+        "       CAST(NULL AS TIMESTAMP) AS ts,\n"
+        "       CAST(NULL AS VARCHAR) AS event_type,\n"
+        "       CAST(NULL AS DOUBLE) AS value\n"
+        "FROM (" + _ORACLES["setop_union_intersect_users"] + ")\n"
+        "UNION ALL\n"
+        "SELECT 'first_event', user_id, CAST(NULL AS TIMESTAMP),"
+        " event_id, ts, event_type, value\n"
+        "FROM (" + _ORACLES["dedup_first_event_per_user_type"] + ")"
+    ),
+)
+def setop_dedup_user_panel(spark, sf_dir):
+    """The user-set algebra (UNION/INTERSECT/EXCEPT, already
+    op-tagged) + the deterministic one-row-per-(user,type) dedup in
+    one slot — all four arms are the original adjudicated callables;
+    each keys its single shuffle on user_id(+type)."""
+    sets = setop_union_intersect_users(spark, sf_dir).select(
+        "op", "user_id", "day",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    first = dedup_first_event_per_user_type(spark, sf_dir).select(
+        F.lit("first_event").alias("op"),
+        "user_id",
+        F.lit(None).cast("timestamp").alias("day"),
+        "event_id", "ts", "event_type", "value",
+    )
+    return sets.unionByName(first)
+
+
+@register(
+    "text_guard_panel",
+    oracle=(
+        "SELECT 'contamination' AS op, train_id AS doc_id, n_shared,\n"
+        "       CAST(NULL AS VARCHAR) AS clean_text,\n"
+        "       CAST(NULL AS BIGINT) AS n_email,\n"
+        "       CAST(NULL AS BIGINT) AS n_ipv4,\n"
+        "       CAST(NULL AS BIGINT) AS n_phone,\n"
+        "       CAST(NULL AS BIGINT) AS n_denylist,\n"
+        "       CAST(NULL AS BIGINT) AS n_lines,\n"
+        "       CAST(NULL AS BIGINT) AS n_kept_lines,\n"
+        "       CAST(NULL AS BIGINT) AS n_sentences,\n"
+        "       CAST(NULL AS BIGINT) AS clean_len,\n"
+        "       CAST(NULL AS INTEGER) AS flag_no_lorem,\n"
+        "       CAST(NULL AS INTEGER) AS flag_no_brace,\n"
+        "       CAST(NULL AS INTEGER) AS flag_min_sentences,\n"
+        "       CAST(NULL AS INTEGER) AS passes_c4\n"
+        "FROM (" + _ORACLES["text_contamination"] + ")\n"
+        "UNION ALL\n"
+        "SELECT 'pii_scrub', doc_id, CAST(NULL AS BIGINT), clean_text,"
+        " n_email, n_ipv4, n_phone, n_denylist, CAST(NULL AS BIGINT),"
+        " CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),"
+        " CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),"
+        " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),"
+        " CAST(NULL AS INTEGER)\n"
+        "FROM (" + _ORACLES["text_pii_scrub"] + ")\n"
+        "UNION ALL\n"
+        "SELECT 'c4_filters', doc_id, CAST(NULL AS BIGINT),"
+        " CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),"
+        " CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),"
+        " CAST(NULL AS BIGINT), n_lines, n_kept_lines, n_sentences,"
+        " clean_len,\n"
+        # booleans serialize as INT 0/1 on both sides (nullable
+        # booleans stringify None vs NaN across engines — the r5 red
+        # row's lesson, applied to the union padding here)
+        "       flag_no_lorem::INTEGER, flag_no_brace::INTEGER,"
+        " flag_min_sentences::INTEGER, passes_c4::INTEGER\n"
+        "FROM (" + _ORACLES["text_c4_filters"] + ")"
+    ),
+)
+def text_guard_panel(spark, sf_dir):
+    """The corpus GUARD tier op-tagged in one slot: benchmark
+    decontamination (8-gram overlap vs the val split — broadcast
+    blocklist join), PII scrub (map-only regex redaction + counters),
+    and the C4 cleaning rules (map-only line retention + page gates,
+    first driver adjudication for this arm). All three arms are the
+    original callables; the union stays one corpus scan per arm."""
+    flags = ("flag_no_lorem", "flag_no_brace", "flag_min_sentences",
+             "passes_c4")
+    c4_cols = ("n_lines", "n_kept_lines", "n_sentences", "clean_len")
+    pii_cols = ("clean_text", "n_email", "n_ipv4", "n_phone",
+                "n_denylist")
+    cont = text_contamination(spark, sf_dir).select(
+        F.lit("contamination").alias("op"),
+        F.col("train_id").alias("doc_id"),
+        "n_shared",
+        F.lit(None).cast("string").alias("clean_text"),
+        *[F.lit(None).cast("long").alias(c) for c in pii_cols[1:]],
+        *[F.lit(None).cast("long").alias(c) for c in c4_cols],
+        *[F.lit(None).cast("int").alias(c) for c in flags],
+    )
+    pii = text_pii_scrub(spark, sf_dir).select(
+        F.lit("pii_scrub").alias("op"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_shared"),
+        *pii_cols,
+        *[F.lit(None).cast("long").alias(c) for c in c4_cols],
+        *[F.lit(None).cast("int").alias(c) for c in flags],
+    )
+    c4 = text_c4_filters(spark, sf_dir).select(
+        F.lit("c4_filters").alias("op"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_shared"),
+        F.lit(None).cast("string").alias("clean_text"),
+        *[F.lit(None).cast("long").alias(c) for c in pii_cols[1:]],
+        *c4_cols,
+        *[F.col(c).cast("int").alias(c) for c in flags],
+    )
+    return cont.unionByName(pii).unionByName(c4)
+
+
+@register(
+    "text_mix_panel",
+    oracle=(
+        "SELECT 'domain_mix' AS op, source, CAST(NULL AS VARCHAR) AS"
+        " lang, rate, n_docs, n_sampled,\n"
+        "       CAST(NULL AS BIGINT) AS total_tokens,\n"
+        "       CAST(NULL AS BIGINT) AS total_chars,\n"
+        "       CAST(NULL AS DOUBLE) AS avg_chars,\n"
+        "       CAST(NULL AS VARCHAR) AS term,\n"
+        "       CAST(NULL AS BIGINT) AS term_n\n"
+        "FROM (" + _ORACLES["text_domain_mix"] + ")\n"
+        "UNION ALL\n"
+        "SELECT section, source, lang, CAST(NULL AS DOUBLE), n_docs,"
+        " CAST(NULL AS BIGINT), total_tokens, total_chars, avg_chars,"
+        " term, term_n\n"
+        "FROM (" + _ORACLES["text_corpus_stats"] + ")"
+    ),
+)
+def text_mix_panel(spark, sf_dir):
+    """Training-mixture planning in one slot: the md5-bucket domain
+    reweighting report + the (source, lang) ROLLUP budget report with
+    the top-20 corpus terms (the corpus_stats arm keeps its own
+    section tags). Arms are the original adjudicated callables; each
+    is one partial-aggregated shuffle on a tiny key space."""
+    mix = text_domain_mix(spark, sf_dir).select(
+        F.lit("domain_mix").alias("op"),
+        "source",
+        F.lit(None).cast("string").alias("lang"),
+        "rate", "n_docs", "n_sampled",
+        F.lit(None).cast("long").alias("total_tokens"),
+        F.lit(None).cast("long").alias("total_chars"),
+        F.lit(None).cast("double").alias("avg_chars"),
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("term_n"),
+    )
+    stats = text_corpus_stats(spark, sf_dir).select(
+        F.col("section").alias("op"),
+        "source", "lang",
+        F.lit(None).cast("double").alias("rate"),
+        "n_docs",
+        F.lit(None).cast("long").alias("n_sampled"),
+        "total_tokens", "total_chars", "avg_chars", "term", "term_n",
+    )
+    return mix.unionByName(stats)
+
+
+# purchases x clicks, both strict arms on MINUTE-truncated timestamps
+# so equal-ts ties actually occur in the data (at raw µs precision no
+# purchase shares a click's timestamp and strict == non-strict — the
+# truncation makes the strictness semantics adjudicable, measured:
+# strict and non-strict backward joins differ on sf0.01).
+_ASOF_VARIANT_ORACLE = """
+    WITH p AS (
+        SELECT event_id, ts, user_id, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    pm AS (
+        SELECT event_id, date_trunc('minute', ts) AS ts, user_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cm AS (
+        SELECT user_id, date_trunc('minute', ts) AS click_ts,
+               max(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT 'forward_left' AS op, p.event_id, p.ts, p.user_id, p.value,
+           c.click_event_id, c.click_ts
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts <= c.click_ts
+    UNION ALL
+    SELECT 'backward_strict_inner', pm.event_id, pm.ts, pm.user_id,
+           CAST(NULL AS DOUBLE), cm.click_event_id, cm.click_ts
+    FROM pm ASOF JOIN cm
+      ON pm.user_id = cm.user_id AND pm.ts > cm.click_ts
+    UNION ALL
+    SELECT 'forward_strict_inner', pm.event_id, pm.ts, pm.user_id,
+           CAST(NULL AS DOUBLE), cm.click_event_id, cm.click_ts
+    FROM pm ASOF JOIN cm
+      ON pm.user_id = cm.user_id AND pm.ts < cm.click_ts
+"""
+
+
+@register(
+    "asof_variants_panel",
+    oracle=(
+        "SELECT 'last_event' AS op, event_id, ts, user_id, value,\n"
+        "       CAST(NULL AS BIGINT) AS click_event_id,\n"
+        "       CAST(NULL AS TIMESTAMP) AS click_ts, last_click_id\n"
+        "FROM (" + _ORACLES["asof_click_before_purchase"] + ")\n"
+        "UNION ALL\n"
+        "SELECT op, event_id, ts, user_id, value, click_event_id,"
+        " click_ts, CAST(NULL AS BIGINT) AS last_click_id\n"
+        "FROM (\n"
+        "SELECT 'backward_left' AS op, event_id, ts, user_id, value,"
+        " click_event_id, click_ts\n"
+        "FROM (" + _ORACLES["asof_general_join"] + ")\n"
+        "UNION ALL\n"
+        "SELECT * FROM (" + _ASOF_VARIANT_ORACLE + "))"
+    ),
+)
+def asof_variants_panel(spark, sf_dir):
+    """The FULL as-of matrix under one driver-adjudicated slot, every
+    non-legacy arm checked against DuckDB's NATIVE ASOF JOIN:
+    - last_event: the value-carry asof (asof_join_last_event — the r3
+      operator, window-SQL oracle);
+    - backward_left: the general full-row-carry ASOF LEFT JOIN (r6);
+    - forward_left: earliest at-or-after, unmatched rows kept;
+    - backward_strict_inner / forward_strict_inner: CH's > / < forms
+      on minute-truncated timestamps so equal-ts ties exist and the
+      strictness ordering (equal-ts right row hidden from the left
+      row) is actually exercised.
+    All arms are one union-and-carry window pass each — one shuffle
+    on user_id, zero row amplification (operators/joins.py:182)."""
+    from clickhouse_observability_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    pm = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.date_trunc("minute", "ts").alias("ts"), "user_id"
+    )
+    cm = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id",
+                 F.date_trunc("minute", "ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+
+    out_cols = ["event_id", "ts", "user_id", "value",
+                "click_event_id", "click_ts"]
+    last = asof_click_before_purchase(spark, sf_dir).select(
+        F.lit("last_event").alias("op"),
+        "event_id", "ts", "user_id", "value",
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "last_click_id",
+    )
+
+    def tag(df, op, with_value=True):
+        return df.select(
+            F.lit(op).alias("op"),
+            "event_id", "ts", "user_id",
+            F.col("value") if with_value
+            else F.lit(None).cast("double").alias("value"),
+            "click_event_id", "click_ts",
+            F.lit(None).cast("long").alias("last_click_id"),
+        )
+
+    back = tag(
+        asof_general_join(spark, sf_dir).select(*out_cols),
+        "backward_left",
+    )
+    fwd = tag(
+        asof_join(purchases, clicks, ["user_id"], "ts", "click_ts",
+                  direction="forward", how="left").select(*out_cols),
+        "forward_left",
+    )
+    bsi = tag(
+        asof_join(pm, cm, ["user_id"], "ts", "click_ts",
+                  direction="backward", strict=True, how="inner"),
+        "backward_strict_inner", with_value=False,
+    )
+    fsi = tag(
+        asof_join(pm, cm, ["user_id"], "ts", "click_ts",
+                  direction="forward", strict=True, how="inner"),
+        "forward_strict_inner", with_value=False,
+    )
+    return (last.unionByName(back).unionByName(fwd)
+            .unionByName(bsi).unionByName(fsi))

@@ -65,13 +65,12 @@ _WINDOW_ORDER = [
     "logs_filter_variants",
     "logs_json_attr",
     "logs_count",
-    "agg_counts_by_type",
+    # r7: agg_counts_by_type + agg_month_buckets + profile_events
+    # merged into agg_shapes_panel (2 slots freed)
+    "agg_shapes_panel",
     "agg_hourly_panel",
-    "agg_month_buckets",
     "agg_latency_percentiles",
-    "profile_events",
     "agg_grouping_panel",
-    "dedup_first_event_per_user_type",
     "join_orders_enriched",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
@@ -83,8 +82,13 @@ _WINDOW_ORDER = [
     "window_rank_panel",
     "window_session_panel",
     "join_trace_correlation",
-    "asof_click_before_purchase",
-    "setop_union_intersect_users",
+    # r7: asof_click_before_purchase + asof_general_join merged into
+    # the FULL variant matrix (forward/strict/inner arms adjudicated
+    # against DuckDB's native ASOF JOIN; 1 slot freed)
+    "asof_variants_panel",
+    # r7: setop_union_intersect_users + dedup_first_event_per_user_type
+    # merged (1 slot freed)
+    "setop_dedup_user_panel",
     "dedup_exact_panel",
     "dedup_jaccard_panel",
     "dedup_embedding_pairs",
@@ -92,10 +96,11 @@ _WINDOW_ORDER = [
     "text_perdoc_panel",
     "text_select_panel",
     "text_signal_panel",
-    "text_contamination",
-    "text_pii_scrub",
-    "text_domain_mix",
-    "text_corpus_stats",
+    # r7: text_contamination + text_pii_scrub merged with the
+    # first-time-adjudicated text_c4_filters arm (2 slots freed)
+    "text_guard_panel",
+    # r7: text_domain_mix + text_corpus_stats merged (1 slot freed)
+    "text_mix_panel",
     "text_pack_chunks",
     "text_unigram_logprob",
     "text_quality_sample",
@@ -113,11 +118,18 @@ _WINDOW_ORDER = [
     "behavior_sequence_match",
     "dedup_exact_spans",
     "text_bm25_search",
-    # r6 second wave: text_select_panel + sim_topk_panel freed two
-    # slots for the general-ASOF-JOIN adjudication (vs DuckDB's
-    # native implementation) and end-to-end hybrid retrieval.
-    "asof_general_join",
     "pipeline_hybrid_retrieval",
+    # r7 rotation: the six slots freed above adjudicate the r6
+    # storage layers end-to-end (projections served from states,
+    # mutations as pruned rewrites), the semantic-decontamination
+    # exact arm, the clustering keep-list vs a recursive-CTE closure,
+    # and the hardest remaining TPC-H join shape.
+    "projection_served_panel",
+    "mutation_post_read",
+    "sim_semantic_contamination",
+    "dedup_cluster_keeplist",
+    "tpch_q8_market_share",
+    "tpch_q2_min_cost_supplier",
 ]
 
 
@@ -174,6 +186,7 @@ def _load_all() -> None:
         "rollup",
         "chfuncs",
         "observability",
+        "lifecycle",
     ):
         try:
             __import__(f"clickhouse_observability_spark.queries.{mod}")

@@ -207,8 +207,21 @@ def test_adjudication_window_composition():
         # r6 second wave
         "text_select_panel",
         "sim_topk_panel",
-        "asof_general_join",
         "pipeline_hybrid_retrieval",
+        # r7 rotation: five merges + the storage-lifecycle layers,
+        # semantic decontamination, the clustering keep-list, the
+        # asof variant matrix, and two more TPC-H flagships
+        "agg_shapes_panel",
+        "setop_dedup_user_panel",
+        "asof_variants_panel",
+        "text_guard_panel",
+        "text_mix_panel",
+        "projection_served_panel",
+        "mutation_post_read",
+        "sim_semantic_contamination",
+        "dedup_cluster_keeplist",
+        "tpch_q8_market_share",
+        "tpch_q2_min_cost_supplier",
     ):
         assert flagship in registry._WINDOW_ORDER, flagship
     # merged-away entries keep their oracles (no semantics dropped)
@@ -237,6 +250,19 @@ def test_adjudication_window_composition():
         "text_train_val_split",
         "sim_topk_exact_proofs",
         "sim_topk_quantized",
+        # r7 merges
+        "agg_counts_by_type",
+        "agg_month_buckets",
+        "profile_events",
+        "setop_union_intersect_users",
+        "dedup_first_event_per_user_type",
+        "asof_click_before_purchase",
+        "asof_general_join",
+        "text_contamination",
+        "text_pii_scrub",
+        "text_c4_filters",
+        "text_domain_mix",
+        "text_corpus_stats",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
@@ -388,6 +414,46 @@ def test_r6_merged_away_sim_oracles_match_duckdb(spark, sf_small,
         f"CREATE VIEW embeddings AS SELECT * "
         f"FROM '{sf_small}/embeddings.parquet'")
     for name in ("sim_topk_exact_proofs", "sim_topk_quantized"):
+        sdf = qs[name](spark, sf_small)
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        assert sorted(sdf.columns) == sorted(dcols), name
+        idx = [dcols.index(c) for c in sdf.columns]
+        srows = sorted(tuple(str(v) for v in r) for r in sdf.collect())
+        drows = sorted(tuple(str(r[i]) for i in idx)
+                       for r in res.fetchall())
+        assert srows == drows, name
+
+
+def test_r7_merged_away_oracles_match_duckdb(spark, sf_small):
+    """The eleven entries the r7 rotation merged out of the driver's
+    window (into agg_shapes_panel, setop_dedup_user_panel,
+    asof_variants_panel, text_guard_panel, text_mix_panel) keep full
+    oracle adjudication here — pytest executes their SQL against
+    DuckDB and compares sorted stringified rows, the same convention
+    as the r5/r6 waves."""
+    import duckdb
+
+    from clickhouse_observability_spark.registry import oracle_sql, queries
+
+    qs, oracles = queries(), oracle_sql()
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'")
+    for name in (
+        "agg_counts_by_type",
+        "agg_month_buckets",
+        "profile_events",
+        "setop_union_intersect_users",
+        "dedup_first_event_per_user_type",
+        "asof_click_before_purchase",
+        "asof_general_join",
+        "text_contamination",
+        "text_pii_scrub",
+        "text_domain_mix",
+        "text_corpus_stats",
+    ):
         sdf = qs[name](spark, sf_small)
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
