@@ -2407,6 +2407,28 @@ _OPTIMIZE_RE = re.compile(
     re.IGNORECASE,
 )
 
+# CH partition lifecycle: ALTER TABLE t DROP/DETACH/ATTACH PARTITION p
+# (partition expression = the toYYYYMM month value, optionally quoted
+# — CH accepts both `202401` and `'202401'`), plus TRUNCATE TABLE.
+_PART_OP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+(DROP|DETACH|ATTACH)\s+PARTITION\s+"
+    r"'?(\d+)'?\s*$",
+    re.IGNORECASE,
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+    re.IGNORECASE,
+)
+# INSERT ... SELECT (CH backfill/ETL form): optional column list,
+# positional mapping from the SELECT's output, absent columns take
+# the INSERT defaults. The inner SELECT is full dialect surface
+# (WITH, system tables, the logs table itself).
+_INSERT_SELECT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*"
+    r"((?:SELECT|WITH)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # CH projections: ALTER TABLE t ADD PROJECTION p (SELECT ...),
 # DROP PROJECTION, MATERIALIZE PROJECTION
 _PROJ_ADD_RE = re.compile(
@@ -2961,6 +2983,37 @@ def ch_sql(
             compact_partition(spark, logs.path, month) for month in months
         )
 
+    mp = _PART_OP_RE.match(sql)
+    if mp is not None:
+        # CH partition lifecycle -> metadata-only directory moves
+        # (sources/mutations.py): DROP unlinks the month, DETACH
+        # parks it under `_detached/` (underscore dirs are invisible
+        # to Spark's listing — CH's detached/ semantics), ATTACH
+        # returns it. Returns the file count touched, the analog of
+        # OPTIMIZE's merged-file count.
+        from clickhouse_observability_spark.sources import mutations as MU
+
+        tname, op, part = mp.groups()
+        if tname.lower() != "logs" or logs is None:
+            raise ChDialectError(
+                f"{op.upper()} PARTITION supported for `logs` only")
+        fn = {"drop": MU.drop_partition, "detach": MU.detach_partition,
+              "attach": MU.attach_partition}[op.lower()]
+        try:
+            return fn(spark, logs.path, int(part))["files"]
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+
+    mtr = _TRUNCATE_RE.match(sql)
+    if mtr is not None:
+        from clickhouse_observability_spark.sources.mutations import (
+            truncate_table,
+        )
+
+        if mtr.group(1).lower() != "logs" or logs is None:
+            raise ChDialectError("TRUNCATE supported for `logs` only")
+        return len(truncate_table(spark, logs.path)["dropped_months"])
+
     mt = _TTL_RE.match(sql)
     if mt is not None:
         # the reference's exact statement: arm the TTL the retention
@@ -3041,6 +3094,43 @@ def ch_sql(
                             "statement string")
         # PLAN/default: Spark's own one-column plan frame
         return spark.sql("EXPLAIN " + translate(inner))
+
+    ms = _INSERT_SELECT_RE.match(sql)
+    if ms is not None:
+        tname, col_list, select_sql = ms.groups()
+        if tname.lower() != "logs" or logs is None:
+            raise ChDialectError("INSERT supported into `logs` only")
+        cols = ([c.strip() for c in col_list.split(",")] if col_list
+                else list(_LOGS_DEFAULTS))
+        unknown = [c for c in cols if c not in _LOGS_DEFAULTS]
+        if unknown:
+            raise ChDialectError(f"unknown logs columns: {unknown}")
+        inner = _rewrite_system_tables(spark, select_sql, logs, query_log)
+        src = spark.sql(translate(inner))
+        if len(src.columns) != len(cols):
+            raise ChDialectError(
+                f"INSERT SELECT arity {len(src.columns)} != "
+                f"{len(cols)} target columns")
+        named = src.toDF(*cols)  # positional, CH INSERT SELECT rule
+        exprs = []
+        for c, default in _LOGS_DEFAULTS.items():
+            e = F.col(c) if c in cols else F.expr(default)
+            exprs.append(
+                e.cast("timestamp" if c == "ts" else "string").alias(c))
+        # materialize BEFORE the append: a self-referential backfill
+        # (INSERT INTO logs SELECT ... FROM logs ...) would otherwise
+        # scan the very files the write is appending to. The eager
+        # localCheckpoint bounds that at one extra write of the
+        # inserted rows and doubles as the cheap row count INSERT's
+        # contract returns; a 100 TB backfill uses the programmatic
+        # LogsTable.insert with its own staged source instead.
+        batch = named.select(*exprs).localCheckpoint(eager=True)
+        try:
+            n = batch.count()
+            logs.insert(batch)
+        finally:
+            batch.unpersist()
+        return n
 
     m = _INSERT_RE.match(sql)
     if m is None:

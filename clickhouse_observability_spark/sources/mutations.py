@@ -42,7 +42,13 @@ from clickhouse_observability_spark.schema import (
     PARTITION_COLUMN,
 )
 
-__all__ = ["apply_mutation"]
+__all__ = [
+    "apply_mutation",
+    "drop_partition",
+    "detach_partition",
+    "attach_partition",
+    "truncate_table",
+]
 
 # partition-deriving + leading sort-key columns: assignment would
 # invalidate the at-rest layout (CH refuses key-column UPDATE too)
@@ -152,28 +158,7 @@ def apply_mutation(
 
     stale_views: list[str] = []
     if months and table.materialized_views:
-        if refresh_views:
-            base = table.read()
-            for v in table.materialized_views:
-                v.refresh(base)
-                if v.spec.get("projection"):
-                    # a full rebuild covers the whole table again
-                    v.spec["covers_table"] = True
-                    v.save()
-        else:
-            stale_views = [v.name for v in table.materialized_views]
-            for v in table.materialized_views:
-                # PROJECTIONS serve reads transparently — a stale one
-                # would silently answer queries from pre-mutation
-                # states (r6 verdict item 6). Un-cover it so routing
-                # declines (base scan answers, correct just not
-                # accelerated) until MATERIALIZE PROJECTION re-backfills.
-                # Plain matviews stay as-is: they are name-addressed
-                # and their staleness is the surfaced, documented
-                # CH-parity drift.
-                if v.spec.get("projection") and v.spec.get("covers_table"):
-                    v.spec["covers_table"] = False
-                    v.save()
+        stale_views = _handle_stale_views(table, refresh_views)
     res = {
         "op": "delete" if assignments is None else "update",
         "matched_rows": matched,
@@ -182,6 +167,154 @@ def apply_mutation(
     }
     _log_mutation(path, res, predicate_sql, assignments, command)
     return res
+
+
+def _handle_stale_views(table, refresh_views: bool) -> list[str]:
+    """History changed under the attached views. ``refresh_views``
+    rebuilds them (and re-covers projections); otherwise the view
+    names are surfaced stale AND any serving PROJECTION is un-covered
+    — a stale projection would silently answer queries from
+    pre-change states (r6 verdict item 6), so routing must decline
+    (base scan answers, correct just not accelerated) until
+    MATERIALIZE PROJECTION re-backfills. Plain matviews stay as-is:
+    they are name-addressed and their staleness is the surfaced,
+    documented CH-parity drift."""
+    if refresh_views:
+        base = table.read()
+        for v in table.materialized_views:
+            v.refresh(base)
+            if v.spec.get("projection"):
+                # a full rebuild covers the whole table again
+                v.spec["covers_table"] = True
+                v.save()
+        return []
+    for v in table.materialized_views:
+        if v.spec.get("projection") and v.spec.get("covers_table"):
+            v.spec["covers_table"] = False
+            v.save()
+    return [v.name for v in table.materialized_views]
+
+
+# -- partition lifecycle (CH ALTER TABLE ... DROP/DETACH/ATTACH
+# PARTITION, TRUNCATE TABLE) ------------------------------------------
+#
+# CH partition operations are METADATA-ONLY: a partition drops/detaches
+# by unlinking its data parts, never by scanning them. The analog here
+# moves or removes the month directory — O(#files) filesystem calls,
+# zero Spark jobs. Detached partitions live under `_detached/` INSIDE
+# the table path: Spark's file listing skips underscore-prefixed
+# directories, so a detached month is invisible to every reader until
+# ATTACH moves it back — exactly CH's `detached/` semantics.
+
+_DETACHED_DIR = "_detached"
+
+
+def _month_dir(path: str, month: int) -> str:
+    return os.path.join(path, f"{PARTITION_COLUMN}={int(month)}")
+
+
+def _n_files(d: str) -> int:
+    return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def drop_partition(
+    spark: SparkSession, path: str, month: int,
+    refresh_views: bool = False,
+) -> dict:
+    """`ALTER TABLE logs DROP PARTITION <month>`: unlink the month
+    directory. Returns {"op", "files", "stale_views"}; missing
+    partition is a no-op with files=0 (CH tolerates dropping an
+    absent partition)."""
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    d = _month_dir(path, month)
+    n = _n_files(d) if os.path.isdir(d) else 0
+    if n or os.path.isdir(d):
+        shutil.rmtree(d)
+    table = LogsTable(spark, path)
+    stale = (_handle_stale_views(table, refresh_views)
+             if n and table.materialized_views else [])
+    return {"op": "drop_partition", "files": n, "stale_views": stale}
+
+
+def detach_partition(
+    spark: SparkSession, path: str, month: int,
+    refresh_views: bool = False,
+) -> dict:
+    """`ALTER TABLE logs DETACH PARTITION <month>`: move the month
+    under `_detached/` — readers no longer see it (underscore dirs
+    are skipped by Spark's listing), data stays on disk for ATTACH."""
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    d = _month_dir(path, month)
+    if not os.path.isdir(d):
+        raise ValueError(f"no partition {int(month)} to detach")
+    dst = os.path.join(path, _DETACHED_DIR,
+                       f"{PARTITION_COLUMN}={int(month)}")
+    if os.path.exists(dst):
+        raise ValueError(
+            f"partition {int(month)} is already detached; ATTACH or "
+            f"remove it first")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    n = _n_files(d)
+    os.rename(d, dst)
+    table = LogsTable(spark, path)
+    stale = (_handle_stale_views(table, refresh_views)
+             if table.materialized_views else [])
+    return {"op": "detach_partition", "files": n, "stale_views": stale}
+
+
+def attach_partition(
+    spark: SparkSession, path: str, month: int,
+    refresh_views: bool = False,
+) -> dict:
+    """`ALTER TABLE logs ATTACH PARTITION <month>`: move a detached
+    month back into the table. Like every history change, attached
+    views are stale-surfaced (their increments never saw these rows)
+    and serving projections un-cover."""
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    src = os.path.join(path, _DETACHED_DIR,
+                       f"{PARTITION_COLUMN}={int(month)}")
+    if not os.path.isdir(src):
+        raise ValueError(f"no detached partition {int(month)} to attach")
+    dst = _month_dir(path, month)
+    if os.path.exists(dst):
+        raise ValueError(
+            f"partition {int(month)} already exists in the table")
+    n = _n_files(src)
+    os.rename(src, dst)
+    det_root = os.path.join(path, _DETACHED_DIR)
+    if not os.listdir(det_root):
+        os.rmdir(det_root)
+    table = LogsTable(spark, path)
+    stale = (_handle_stale_views(table, refresh_views)
+             if table.materialized_views else [])
+    return {"op": "attach_partition", "files": n, "stale_views": stale}
+
+
+def truncate_table(
+    spark: SparkSession, path: str, refresh_views: bool = False
+) -> dict:
+    """`TRUNCATE TABLE logs`: unlink every month partition. Detached
+    months survive (they sit outside the active table, like CH's
+    `detached/`). The schema marker stays, so the table reads as zero
+    rows, exactly post-init_schema. Attached matviews are SEPARATE
+    tables in CH and are not truncated — stale-surfaced / un-covered
+    instead (refresh_views=True rebuilds them to empty)."""
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    months = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(path)
+        if d.startswith(f"{PARTITION_COLUMN}=")
+    )
+    for m in months:
+        shutil.rmtree(_month_dir(path, m))
+    table = LogsTable(spark, path)
+    stale = (_handle_stale_views(table, refresh_views)
+             if months and table.materialized_views else [])
+    return {"op": "truncate", "dropped_months": months,
+            "stale_views": stale}
 
 
 def _log_mutation(path, res, predicate_sql, assignments, command):

@@ -1321,3 +1321,135 @@ def test_parquet_ts_conf_is_scoped_not_global(spark, tmp_path):
     # ... and the file still has ts footer stats (micros, not INT96)
     parts = t.parts()
     assert parts and parts[0]["min_ts"] is not None
+
+
+def _seed_two_months(spark, logs):
+    ch_sql(spark, (
+        "INSERT INTO logs (ts, service, level, msg) VALUES "
+        "('2025-05-01 10:00:00', 'api', 'INFO', 'may1'), "
+        "('2025-05-02 10:00:00', 'web', 'INFO', 'may2'), "
+        "('2025-06-01 10:00:00', 'api', 'ERROR', 'jun1')"), logs=logs)
+
+
+def test_partition_lifecycle_drop_detach_attach(spark, logs):
+    """CH `ALTER TABLE ... DROP/DETACH/ATTACH PARTITION` as
+    metadata-only directory moves: DETACH hides the month from every
+    reader (underscore dirs are invisible to Spark's listing — the
+    `detached/` analog), ATTACH restores it byte-identically, DROP
+    unlinks it; none of them runs a Spark job over the data."""
+    import os
+
+    _seed_two_months(spark, logs)
+    assert ch_sql(spark, "ALTER TABLE logs DETACH PARTITION 202505",
+                  logs=logs) >= 1  # file count moved
+    assert os.path.isdir(os.path.join(logs.path, "_detached",
+                                      "month=202505"))
+    msgs = sorted(r.msg for r in logs.read().collect())
+    assert msgs == ["jun1"]
+    # double-detach and attach-missing raise the dialect error
+    with pytest.raises(ChDialectError, match="no partition"):
+        ch_sql(spark, "ALTER TABLE logs DETACH PARTITION 202505",
+               logs=logs)
+    with pytest.raises(ChDialectError, match="no detached"):
+        ch_sql(spark, "ALTER TABLE logs ATTACH PARTITION 202506",
+               logs=logs)
+    # attach restores the rows and clears the _detached root
+    assert ch_sql(spark, "ALTER TABLE logs ATTACH PARTITION '202505'",
+                  logs=logs) >= 1
+    assert sorted(r.msg for r in logs.read().collect()) == [
+        "jun1", "may1", "may2"]
+    assert not os.path.exists(os.path.join(logs.path, "_detached"))
+    # drop unlinks; dropping an absent partition is a 0-file no-op
+    assert ch_sql(spark, "ALTER TABLE logs DROP PARTITION 202506",
+                  logs=logs) >= 1
+    assert ch_sql(spark, "ALTER TABLE logs DROP PARTITION 202506",
+                  logs=logs) == 0
+    assert sorted(r.msg for r in logs.read().collect()) == [
+        "may1", "may2"]
+
+
+def test_truncate_table(spark, logs):
+    """TRUNCATE unlinks every active month (detached months survive —
+    they sit outside the table like CH's detached/); the schema
+    marker stays so the table reads as zero rows, and a fresh INSERT
+    works immediately."""
+    _seed_two_months(spark, logs)
+    ch_sql(spark, "ALTER TABLE logs DETACH PARTITION 202506", logs=logs)
+    assert ch_sql(spark, "TRUNCATE TABLE logs", logs=logs) == 1  # one month
+    assert logs.read().count() == 0
+    # detached month survived truncate and attaches back
+    assert ch_sql(spark, "ALTER TABLE logs ATTACH PARTITION 202506",
+                  logs=logs) >= 1
+    assert sorted(r.msg for r in logs.read().collect()) == ["jun1"]
+    ch_sql(spark, ("INSERT INTO logs (ts, service, level, msg) VALUES "
+                   "('2025-07-01 00:00:00', 'api', 'INFO', 'post')"),
+           logs=logs)
+    assert logs.read().count() == 2
+
+
+def test_insert_select(spark, logs):
+    """CH `INSERT INTO ... SELECT` (the backfill/ETL form): optional
+    column list maps POSITIONALLY from the SELECT output, absent
+    columns take the INSERT defaults, the inner SELECT is full
+    dialect surface — and the self-referential form (SELECT FROM
+    logs) materializes before appending instead of scanning the files
+    it is writing."""
+    src = spark.createDataFrame(
+        [("2025-05-01 10:00:00", "api", "a"),
+         ("2025-05-01 11:00:00", "web", "b")],
+        "t string, svc string, m string")
+    n = ch_sql(spark, (
+        "INSERT INTO logs (ts, service, msg) "
+        "SELECT toDateTime(t), svc, upper(m) FROM src"),
+        logs=logs, views={"src": src})
+    assert n == 2
+    rows = {(r.service, r.msg, r.level) for r in logs.read().collect()}
+    assert rows == {("api", "A", ""), ("web", "B", "")}  # level default
+    # self-referential backfill doubles the rows
+    assert ch_sql(spark,
+                  "INSERT INTO logs SELECT ts + INTERVAL 1 DAY, service, "
+                  "level, concat(msg, '+1d'), attrs, trace_id, span_id "
+                  "FROM logs", logs=logs) == 2
+    assert logs.read().count() == 4
+    assert sorted(r.msg for r in logs.read().collect()) == [
+        "A", "A+1d", "B", "B+1d"]
+    # arity and unknown-column guards
+    with pytest.raises(ChDialectError, match="arity"):
+        ch_sql(spark, "INSERT INTO logs (ts, service) SELECT ts FROM logs",
+               logs=logs)
+    with pytest.raises(ChDialectError, match="unknown logs columns"):
+        ch_sql(spark, "INSERT INTO logs (nope) SELECT msg FROM logs",
+               logs=logs)
+
+
+def test_partition_ops_surface_stale_views(spark, tmp_path):
+    """Partition lifecycle changes history like mutations do: the
+    programmatic surface reports stale views, and a serving
+    projection un-covers (router falls back) until re-MATERIALIZEd."""
+    from clickhouse_observability_spark.sources.mutations import (
+        attach_partition,
+        detach_partition,
+    )
+
+    t = LogsTable(spark, str(tmp_path / "pl_logs"))
+    t.init_schema()
+    ch_sql(spark, (
+        "ALTER TABLE logs ADD PROJECTION p ("
+        "SELECT service, count() AS n FROM logs GROUP BY service)"),
+        logs=t)
+    _seed_two_months(spark, t)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE PROJECTION p", logs=t)
+    q = "SELECT service, count() AS n FROM logs GROUP BY service"
+    assert all("_mv" in f for f in ch_sql(spark, q, logs=t).inputFiles())
+
+    res = detach_partition(spark, t.path, 202505)
+    assert res["stale_views"]  # surfaced
+    t2 = LogsTable(spark, t.path)
+    after = ch_sql(spark, q, logs=t2)
+    assert not any("_mv" in f for f in after.inputFiles())  # un-covered
+    assert {(r.service, r.n) for r in after.collect()} == {("api", 1)}
+    attach_partition(spark, t.path, 202505)
+    t3 = LogsTable(spark, t.path)
+    assert {(r.service, r.n)
+            for r in ch_sql(spark, q, logs=t3).collect()} == {
+        ("api", 2), ("web", 1)}
