@@ -2732,7 +2732,7 @@ _LOGS_DEFAULTS = {
 
 
 _SYSTEM_TABLES = ("parts", "columns", "tables", "query_log",
-                  "mutations", "projections")
+                  "mutations", "projections", "detached_parts")
 
 
 def _rewrite_system_tables(spark, sql, logs, query_log):
@@ -2811,6 +2811,41 @@ def _rewrite_system_tables(spark, sql, logs, query_log):
             "create_time string, op string, matched_rows bigint, "
             "affected_months string, is_done int",
         ).createOrReplaceTempView("system_mutations")
+    if "detached_parts" in used:
+        # CH system.detached_parts: parts sitting in detached/ —
+        # here, months parked by ALTER TABLE ... DETACH PARTITION.
+        # Footer-free: one listdir per detached month (name, file
+        # count, bytes), the same metadata-only cost class as the
+        # operation that created them.
+        if logs is None:
+            raise ChDialectError(
+                "system.detached_parts needs the logs table")
+        import os as _os
+
+        from clickhouse_observability_spark.schema import PARTITION_COLUMN
+        from clickhouse_observability_spark.sources.mutations import (
+            _DETACHED_DIR,
+        )
+
+        rows = []
+        det = _os.path.join(logs.path, _DETACHED_DIR)
+        if _os.path.isdir(det):
+            for d in sorted(_os.listdir(det)):
+                if not d.startswith(f"{PARTITION_COLUMN}="):
+                    continue
+                full = _os.path.join(det, d)
+                files = [f for f in _os.listdir(full)
+                         if f.endswith(".parquet")]
+                rows.append((
+                    "logs", int(d.split("=", 1)[1]), len(files),
+                    sum(_os.path.getsize(_os.path.join(full, f))
+                        for f in files),
+                ))
+        local_df(
+            spark, rows,
+            "table string, partition int, files int, bytes_on_disk "
+            "bigint",
+        ).createOrReplaceTempView("system_detached_parts")
     if "projections" in used:
         if logs is None:
             raise ChDialectError("system.projections needs the logs table")

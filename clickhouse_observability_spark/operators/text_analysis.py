@@ -1585,6 +1585,62 @@ def shard_manifest(
     )
 
 
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """Sliding-window RAG chunking: split each document's normalized
+    token stream into windows of `chunk_tokens` with `overlap_tokens`
+    shared between consecutive windows (stride = chunk − overlap) —
+    the retrieval-granularity step between a raw corpus and a chunk
+    index (BM25 or vector). Output one row per chunk:
+    (doc_id, chunk_id, start_token, n_tokens, chunk_text).
+
+    Windowing contract: chunk i covers tokens [i·stride, i·stride +
+    chunk); n_chunks = max(1, ceil((n − overlap) / stride)), so every
+    token lands in ≥1 chunk, the final chunk always contributes at
+    least one new token, and a short document yields exactly one
+    (possibly short) chunk. Zero-token documents yield zero chunks.
+
+    Map-only JVM expressions end to end: tokenize once (let-bound
+    array), generate the start sequence, posexplode, slice — no
+    shuffle, no UDF; scales linearly with corpus bytes.
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap_tokens}) < chunk "
+            f"({chunk_tokens})")
+    stride = chunk_tokens - overlap_tokens
+    d = documents.select(
+        "doc_id", tokens(normalized_text("text")).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("__toks") - F.lit(overlap_tokens))
+               / F.lit(float(stride))).cast("int"),
+    )
+    starts = F.sequence(
+        F.lit(0), (n_chunks - 1) * F.lit(stride), F.lit(stride))
+    return (
+        d.select(
+            "doc_id", "__toks",
+            F.posexplode(starts).alias("chunk_id", "start_token"),
+        )
+        .select(
+            "doc_id", "chunk_id", "start_token",
+            F.slice(
+                "__toks", F.col("start_token") + 1, chunk_tokens
+            ).alias("__c"),
+        )
+        .select(
+            "doc_id", "chunk_id", "start_token",
+            F.size("__c").alias("n_tokens"),
+            F.array_join("__c", " ").alias("chunk_text"),
+        )
+    )
+
+
 def bm25_search(
     documents: DataFrame,
     query_terms: list[str],

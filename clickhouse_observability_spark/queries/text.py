@@ -965,3 +965,74 @@ def text_dataset_card(spark, sf_dir):
         row("dedup", "exact_keepers", n_keep, n_keep / n_docs)
     )
     return out.orderBy("section", "key")
+
+
+@register(
+    "text_chunk_overlap",
+    # After the 50-slot window; the registry-wide pytest gate
+    # (tests/test_oracle_registry.py) adjudicates it vs DuckDB.
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, toks,
+               greatest(1, ceil((len(toks) - 8) / 24.0))::INT AS n_chunks
+        FROM t WHERE len(toks) > 0
+    ),
+    g AS (
+        SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id
+        FROM s
+    )
+    SELECT doc_id, chunk_id::INT AS chunk_id,
+           (chunk_id * 24)::INT AS start_token,
+           len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32])::INT
+               AS n_tokens,
+           array_to_string(
+               toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+               AS chunk_text
+    FROM g
+    """,
+)
+def text_chunk_overlap(spark, sf_dir):
+    """RAG sliding-window chunking (operators/text_analysis.py:
+    chunk_documents): 32-token windows with 8 tokens of overlap
+    (stride 24) — the retrieval-granularity step before a chunk
+    index. Map-only (tokenize, start sequence, posexplode, slice);
+    the oracle re-derives the same windows with DuckDB list slicing,
+    so green = the windowing contract (coverage, overlap, short-tail
+    and short-doc behavior) agrees cross-engine."""
+    return TX.chunk_documents(
+        table(spark, sf_dir, "documents"),
+        chunk_tokens=32, overlap_tokens=8,
+    )
+
+
+@register("pipeline_chunked_bm25")
+def pipeline_chunked_bm25(spark, sf_dir):
+    """Chunked lexical retrieval — the composition a RAG stack
+    actually runs: chunk the corpus (text_chunk_overlap's operator,
+    oracle-proven), index the CHUNKS, BM25-rank them for the query
+    and return the top 10 with their provenance (source doc + token
+    offset) split back out of the chunk key. Rows-only composition of
+    two oracle-proven stages (chunking; BM25 whose ranking math is
+    adjudicated in-window by text_bm25_search); pytest pins that a
+    term buried deep in a long document is retrievable at chunk
+    grain."""
+    from pyspark.sql import functions as FF
+
+    chunks = TX.chunk_documents(
+        table(spark, sf_dir, "documents"),
+        chunk_tokens=32, overlap_tokens=8,
+    ).select(
+        FF.concat_ws(
+            "#", FF.col("doc_id"), FF.col("start_token")
+        ).alias("doc_id"),
+        FF.col("chunk_text").alias("text"),
+    )
+    hits = TX.bm25_search(chunks, list(_BM25_TERMS), top_n=10)
+    key = FF.split(FF.col("doc_id"), "#")
+    return hits.select(
+        "rank",
+        FF.element_at(key, 1).cast("long").alias("src_doc_id"),
+        FF.element_at(key, 2).cast("int").alias("start_token"),
+        "bm25",
+    )

@@ -1453,3 +1453,22 @@ def test_partition_ops_surface_stale_views(spark, tmp_path):
     assert {(r.service, r.n)
             for r in ch_sql(spark, q, logs=t3).collect()} == {
         ("api", 2), ("web", 1)}
+
+
+def test_system_detached_parts(spark, logs):
+    """system.detached_parts lists months parked by DETACH PARTITION
+    (metadata-only: listdir + file sizes), empties after ATTACH."""
+    _seed_two_months(spark, logs)
+    rows = ch_sql(spark, "SELECT * FROM system.detached_parts",
+                  logs=logs).collect()
+    assert rows == []
+    ch_sql(spark, "ALTER TABLE logs DETACH PARTITION 202505", logs=logs)
+    rows = ch_sql(spark, (
+        "SELECT partition, files, bytes_on_disk "
+        "FROM system.detached_parts ORDER BY partition"),
+        logs=logs).collect()
+    assert [r.partition for r in rows] == [202505]
+    assert rows[0].files >= 1 and rows[0].bytes_on_disk > 0
+    ch_sql(spark, "ALTER TABLE logs ATTACH PARTITION 202505", logs=logs)
+    assert ch_sql(spark, "SELECT count() AS n FROM system.detached_parts",
+                  logs=logs).collect()[0].n == 0

@@ -903,3 +903,81 @@ def test_dataset_card_internally_consistent(spark, sf_small):
     assert 0 < qn <= n_docs and abs(qf - qn / n_docs) < 1e-6
     kn, kf = by["dedup"]["exact_keepers"]
     assert 0 < kn <= n_docs and abs(kf - kn / n_docs) < 1e-6
+
+
+def test_chunk_documents_windowing_contract(spark):
+    """chunk_documents: every token covered, consecutive chunks share
+    exactly `overlap` tokens (except a short tail), the final chunk
+    always contributes new tokens, short docs yield one chunk and
+    empty docs none."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(40))),  # 2 chunks
+            (2, " ".join(f"u{i}" for i in range(32))),  # exactly one
+            (3, " ".join(f"v{i}" for i in range(33))),  # short tail
+            (4, "solo"),                                # tiny doc
+            (5, "   "),                                 # empty -> none
+        ],
+        "doc_id long, text string",
+    )
+    out = TX.chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+    rows = {r.doc_id: [] for r in out.collect()}
+    for r in out.collect():
+        rows[r.doc_id].append(r)
+    assert set(rows) == {1, 2, 3, 4}  # empty doc produced no chunks
+    for did, n_toks in ((1, 40), (2, 32), (3, 33)):
+        chs = sorted(rows[did], key=lambda r: r.chunk_id)
+        # stride 24, chunk ids dense from 0
+        assert [c.chunk_id for c in chs] == list(range(len(chs)))
+        assert [c.start_token for c in chs] == [
+            i * 24 for i in range(len(chs))]
+        # coverage: union of [start, start+n) is exactly [0, n_toks)
+        covered = set()
+        for c in chs:
+            covered |= set(range(c.start_token, c.start_token + c.n_tokens))
+        assert covered == set(range(n_toks)), did
+        # overlap: consecutive full chunks share 8 tokens
+        if len(chs) >= 2:
+            assert chs[0].n_tokens == 32
+            shared = (chs[0].start_token + chs[0].n_tokens
+                      - chs[1].start_token)
+            assert shared == 8 or chs[1].n_tokens < 32
+            # the tail chunk contributes NEW tokens
+            assert (chs[-1].start_token + chs[-1].n_tokens
+                    > chs[-2].start_token + chs[-2].n_tokens)
+    assert rows[4][0].n_tokens == 1 and rows[4][0].chunk_text == "solo"
+    # chunk text round-trips the token slice
+    c1 = sorted(rows[1], key=lambda r: r.chunk_id)[1]
+    assert c1.chunk_text.split(" ") == [f"t{i}" for i in range(24, 40)]
+    with pytest.raises(ValueError, match="overlap"):
+        TX.chunk_documents(docs, chunk_tokens=8, overlap_tokens=8)
+
+
+def test_chunked_bm25_finds_deep_term(spark):
+    """The chunked-retrieval composition retrieves a term buried deep
+    in a LONG document — the failure mode of whole-doc retrieval where
+    the doc-level tf drowns in |d|/avgdl normalization; at chunk grain
+    the hit is local and the provenance (doc, token offset) points at
+    the right window."""
+    filler = " ".join(f"w{i}" for i in range(500))
+    needle_doc = filler + " magicterm " + " ".join(
+        f"z{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, needle_doc)] + [
+            (i, " ".join(f"w{j}" for j in range(80)))
+            for i in range(2, 8)
+        ],
+        "doc_id long, text string",
+    )
+    chunks = TX.chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+    keyed = chunks.select(
+        F.concat_ws("#", "doc_id", "start_token").alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    hits = TX.bm25_search(keyed, ["magicterm"], top_n=3).collect()
+    assert hits and hits[0].rank == 1
+    src, start = hits[0].doc_id.split("#")
+    assert int(src) == 1
+    # the winning chunk's window actually contains the needle (token
+    # index 500) — offset provenance is real
+    assert int(start) <= 500 < int(start) + 32
