@@ -2403,7 +2403,8 @@ def _run_asof_join(spark: SparkSession, spec: dict) -> DataFrame:
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+TABLE\s+(\w+)"
     r"(?:\s+PARTITION\s+(\d+))?"
-    r"(?:\s+FINAL)?\s*$",
+    r"(?:\s+FINAL)?"
+    r"(?:\s+(DEDUPLICATE))?\s*$",
     re.IGNORECASE,
 )
 
@@ -3003,7 +3004,7 @@ def ch_sql(
             compact_partition,
         )
 
-        tname, part = mo.groups()
+        tname, part, dedup = mo.groups()
         if tname.lower() != "logs" or logs is None:
             raise ChDialectError("OPTIMIZE supported for `logs` only")
         if part is not None:
@@ -3015,7 +3016,9 @@ def ch_sql(
                 if d.startswith(f"{PARTITION_COLUMN}=")
             )
         return sum(
-            compact_partition(spark, logs.path, month) for month in months
+            compact_partition(spark, logs.path, month,
+                              deduplicate=dedup is not None)
+            for month in months
         )
 
     mp = _PART_OP_RE.match(sql)
@@ -3080,6 +3083,7 @@ def ch_sql(
         # mutations.py). Returns the matched-row count, the useful
         # analog of INSERT's inserted-row count (CH itself returns
         # nothing and mutates asynchronously; ours is synchronous).
+        from clickhouse_observability_spark.schema import PARTITION_COLUMN
         from clickhouse_observability_spark.sources.mutations import (
             apply_mutation,
         )
@@ -3091,6 +3095,16 @@ def ch_sql(
             op = "delete"
         if tname.lower() != "logs" or logs is None:
             raise ChDialectError("mutations supported for `logs` only")
+        # CH `... [IN PARTITION p] WHERE pred` scopes the mutation to
+        # one partition: strip the clause (grammar places it directly
+        # before WHERE) and AND the partition key into the predicate —
+        # the pruned discovery scan then touches only that month.
+        in_part = None
+        pm = re.search(r"\bIN\s+PARTITION\s+'?(\d+)'?\s*(?=WHERE\b)",
+                       rest, re.IGNORECASE)
+        if pm:
+            in_part = int(pm.group(1))
+            rest = rest[:pm.start()] + rest[pm.end():]
         assignments = None
         if op.lower() == "update":
             assignments, pred = _parse_update_tail(rest)
@@ -3103,6 +3117,8 @@ def ch_sql(
             pred = _mutation_expr(toks[1:])
         else:
             pred = _mutation_expr(_tokenize(rest))
+        if in_part is not None:
+            pred = f"({PARTITION_COLUMN} = {in_part}) AND ({pred})"
         # stale-matview surfacing and refresh live on apply_mutation
         # itself (the programmatic surface); through SQL the caller
         # gets the matched-row count, mirroring INSERT's contract

@@ -188,10 +188,14 @@ def compact_partition(
     month: int,
     target_files: int = 1,
     zorder: list[str] | None = None,
+    deduplicate: bool = False,
 ) -> int:
     """MergeTree-style merge: coalesce a month's small files
     (db.go:50's background merges, done explicitly). Returns the
     number of input files merged.
+
+    `deduplicate`: CH's `OPTIMIZE ... DEDUPLICATE` — drop fully
+    identical rows (every column equal) while merging.
 
     `zorder`: optionally re-cluster the partition along a Morton
     curve over the given columns (`sources/zorder.py`) instead of
@@ -208,6 +212,11 @@ def compact_partition(
     part_dir = os.path.join(path, f"{PARTITION_COLUMN}={month}")
     files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
     df = spark.read.parquet(part_dir).select([c for c in LOGS_COLUMNS if c != PARTITION_COLUMN])
+    if deduplicate:
+        # CH `OPTIMIZE ... DEDUPLICATE`: drop FULLY identical rows
+        # during the merge (all columns equal). One extra shuffle on
+        # the row hash inside the partition being rewritten anyway.
+        df = df.dropDuplicates()
     tmp = part_dir + ".tmp"
     if zorder:
         from clickhouse_observability_spark.sources.zorder import zvalue

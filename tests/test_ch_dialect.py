@@ -1472,3 +1472,44 @@ def test_system_detached_parts(spark, logs):
     ch_sql(spark, "ALTER TABLE logs ATTACH PARTITION 202505", logs=logs)
     assert ch_sql(spark, "SELECT count() AS n FROM system.detached_parts",
                   logs=logs).collect()[0].n == 0
+
+
+def test_mutation_in_partition_scope(spark, logs):
+    """CH `ALTER TABLE ... DELETE/UPDATE IN PARTITION p WHERE pred`
+    scopes the mutation to one partition: rows matching the predicate
+    in OTHER months are untouched."""
+    _seed_two_months(spark, logs)
+    # 'api' rows exist in both months; only May's is deleted
+    n = ch_sql(spark, (
+        "ALTER TABLE logs DELETE IN PARTITION 202505 "
+        "WHERE service = 'api'"), logs=logs)
+    assert n == 1
+    assert sorted(r.msg for r in logs.read().collect()) == [
+        "jun1", "may2"]
+    # UPDATE scoped the same way (quoted partition id form)
+    n = ch_sql(spark, (
+        "ALTER TABLE logs UPDATE msg = upper(msg) "
+        "IN PARTITION '202506' WHERE service = 'api'"), logs=logs)
+    assert n == 1
+    assert sorted(r.msg for r in logs.read().collect()) == [
+        "JUN1", "may2"]
+
+
+def test_optimize_deduplicate(spark, logs):
+    """CH `OPTIMIZE TABLE ... DEDUPLICATE` drops fully identical rows
+    during the merge; non-identical rows (any column differs) stay."""
+    dup = ("INSERT INTO logs (ts, service, level, msg) VALUES "
+           "('2025-05-01 10:00:00', 'api', 'INFO', 'same')")
+    ch_sql(spark, dup, logs=logs)
+    ch_sql(spark, dup, logs=logs)  # identical row again
+    ch_sql(spark, ("INSERT INTO logs (ts, service, level, msg) VALUES "
+                   "('2025-05-01 10:00:00', 'api', 'INFO', 'other')"),
+           logs=logs)
+    assert logs.read().count() == 3
+    # plain OPTIMIZE keeps duplicates (merge only)
+    ch_sql(spark, "OPTIMIZE TABLE logs PARTITION 202505 FINAL", logs=logs)
+    assert logs.read().count() == 3
+    ch_sql(spark, "OPTIMIZE TABLE logs PARTITION 202505 FINAL DEDUPLICATE",
+           logs=logs)
+    assert sorted(r.msg for r in logs.read().collect()) == [
+        "other", "same"]
