@@ -96,9 +96,13 @@ class QueryLog:
         # Records that arrive DURING the write stay queued for the
         # next flush; a crash between write and clear re-flushes
         # them (duplicate rows in an at-rest log beat lost ones).
-        local_df(spark, rows, QUERY_LOG_SCHEMA).write.mode("append").parquet(
-            path
+        from clickhouse_observability_spark.sources.writer import (
+            parquet_ts_micros,
         )
+
+        with parquet_ts_micros(spark):  # ts footer stats for retention
+            local_df(spark, rows, QUERY_LOG_SCHEMA).write.mode(
+                "append").parquet(path)
         with self._lock:
             # remove exactly the rows that were written: they are a
             # deque prefix unless ring eviction dropped some during

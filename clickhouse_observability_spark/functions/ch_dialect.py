@@ -191,6 +191,12 @@ def _capture_group_count(pat: str) -> int:
     while i < len(pat):
         c = pat[i]
         if c == "\\":
+            # \Q...\E quotes everything inside literally (RE2 and
+            # Java both) — parens in the span are NOT groups
+            if i + 1 < len(pat) and pat[i + 1] == "Q":
+                j = pat.find("\\E", i + 2)
+                i = len(pat) if j < 0 else j + 2
+                continue
             i += 2
             continue
         if in_class:
@@ -761,7 +767,9 @@ def _rewrite_array_literals(tokens: list[str]) -> list[str]:
     array(array(1,2), array(3)) and `[10,20,30][1]` becomes
     try_element_at(array(10,20,30), 1) = 10 as CH returns."""
     out: list[str] = []
-    stack: list[bool] = []  # True = literal we opened; False = subscript
+    # ("lit", None) = array literal we opened;
+    # ("sub", mark) = subscript, index tokens start at out[mark]
+    stack: list[tuple[str, int | None]] = []
     for t in tokens:
         if t == "[":
             prev = out[-1] if out else None
@@ -776,14 +784,37 @@ def _rewrite_array_literals(tokens: list[str]) -> list[str]:
             if subscript:
                 start = _subscript_primary_start(out)
                 out[start:] = ["try_element_at", "("] + out[start:] + [","]
-                stack.append(False)
+                stack.append(("sub", len(out)))
             else:
                 # two tokens so downstream paren-depth tracking
                 # (_parse_args / clause scanners) stays correct
                 out.extend(("array", "("))
-                stack.append(True)
+                stack.append(("lit", None))
         elif t == "]" and stack:
-            stack.pop()
+            kind, mark = stack.pop()
+            if kind == "sub":
+                # index-ZERO guard (r7 review): try_element_at still
+                # THROWS [INVALID_INDEX_OF_ZERO] on arrays — CH
+                # returns the default for [0] like any other miss.
+                # A numeric-literal index (including arithmetic over
+                # literals) is guarded: 0 becomes a NULL index, other
+                # constants wrap in nullif(i, 0). An index carrying
+                # identifiers/functions is left UNGUARDED on purpose:
+                # it may be a computed MAP KEY, and nullif(<string>,
+                # 0) raises CAST_INVALID_INPUT under ANSI (measured)
+                # — a working m[key] query must not start crashing.
+                # Documented divergence: a computed ARRAY index that
+                # evaluates to exactly 0 at runtime raises Spark's
+                # INVALID_INDEX_OF_ZERO instead of returning CH's
+                # type default; wrap it in nullif(i, 0) in the query.
+                idx = out[mark:]
+                numeric = all(
+                    re.fullmatch(r"\d+(?:\.\d+)?", t)
+                    or t in ("+", "-", "*", "/", "%", "(", ")")
+                    for t in idx
+                )
+                if numeric:
+                    out[mark:] = ["nullif", "("] + idx + [",", "0", ")"]
             out.append(")")
         else:
             out.append(t)
@@ -1986,9 +2017,15 @@ def _explain_estimate(spark: SparkSession, logs, inner_sql: str):
             # a str-vs-int comparison raise (advice r7)
             if col == "month":
                 try:
-                    v = int(float(v))
+                    fv = float(v)
                 except (TypeError, ValueError):
                     continue
+                if fv != int(fv):
+                    # a fractional literal truncated would flip strict
+                    # comparisons (month < 202505.5 pruning 202505) —
+                    # unprunable keeps the upper-bound contract
+                    continue
+                v = int(fv)
                 lo = hi = p["partition"]
             elif col == "service":
                 if not isinstance(v, str):
@@ -2671,6 +2708,31 @@ _LW_DELETE_RE = re.compile(
 )
 
 
+def _strip_in_partition(rest: str) -> tuple[str, int | None]:
+    """Remove a top-level `IN PARTITION <id>` immediately preceding
+    WHERE from a mutation tail; returns (rest_without_clause, id) or
+    (rest, None). Token-level so string literals can't spoof it."""
+    toks = _tokenize(rest)
+    lows = [t.lower() for t in toks]
+    d = 0
+    for i, t in enumerate(toks):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif (d == 0 and lows[i] == "in" and not _is_string(t)
+                and i + 3 < len(toks)
+                and lows[i + 1] == "partition"
+                and not _is_string(toks[i + 1])
+                and lows[i + 3] == "where"
+                and not _is_string(toks[i + 3])):
+            pid = toks[i + 2]
+            pid_val = _string_value(pid) if _is_string(pid) else pid
+            if re.fullmatch(r"\d+", pid_val):
+                return _emit(toks[:i] + toks[i + 3:]), int(pid_val)
+    return rest, None
+
+
 def _mutation_expr(tokens: list[str]) -> str:
     """CH expression tokens -> Spark SQL text (vocab + array-literal
     + 1-based-subscript rewrites; same pipeline SELECT bodies get)."""
@@ -3099,12 +3161,11 @@ def ch_sql(
         # one partition: strip the clause (grammar places it directly
         # before WHERE) and AND the partition key into the predicate —
         # the pruned discovery scan then touches only that month.
-        in_part = None
-        pm = re.search(r"\bIN\s+PARTITION\s+'?(\d+)'?\s*(?=WHERE\b)",
-                       rest, re.IGNORECASE)
-        if pm:
-            in_part = int(pm.group(1))
-            rest = rest[:pm.start()] + rest[pm.end():]
+        # Token-level, not regex-on-raw-text: the phrase inside a
+        # string literal of the predicate must never match (a raw
+        # re.search would rewrite the predicate of a DESTRUCTIVE
+        # statement — r7 review finding).
+        rest, in_part = _strip_in_partition(rest)
         assignments = None
         if op.lower() == "update":
             assignments, pred = _parse_update_tail(rest)
@@ -3178,7 +3239,10 @@ def ch_sql(
         batch = named.select(*exprs).localCheckpoint(eager=True)
         try:
             n = batch.count()
-            logs.insert(batch)
+            # materialized=True: insert() must not checkpoint the
+            # same rows a second time for its matview triggers —
+            # this checkpoint already serves both purposes
+            logs.insert(batch, materialized=True)
         finally:
             batch.unpersist()
         return n

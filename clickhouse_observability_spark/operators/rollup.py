@@ -254,13 +254,18 @@ def write_rollup(states: DataFrame, path: str, mode: str = "append") -> None:
     Append-only is safe because every reader merges states first —
     AggregatingMergeTree's multiple-parts-per-key invariant.
     """
-    (states
-     .withColumn("part_month", F.date_format("bucket_ts", "yyyyMM"))
-     .repartition("part_month")
-     .write.mode(mode)
-     .option("compression", "zstd")
-     .partitionBy("part_month")
-     .parquet(path))
+    from clickhouse_observability_spark.sources.writer import (
+        parquet_ts_micros,
+    )
+
+    with parquet_ts_micros(states.sparkSession):  # bucket_ts keeps stats
+        (states
+         .withColumn("part_month", F.date_format("bucket_ts", "yyyyMM"))
+         .repartition("part_month")
+         .write.mode(mode)
+         .option("compression", "zstd")
+         .partitionBy("part_month")
+         .parquet(path))
 
 
 def append_increment(

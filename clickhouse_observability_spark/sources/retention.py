@@ -153,31 +153,17 @@ def apply_retention(
     # surface (or repair) matview divergence — see docstring
     stale_views: list[str] = []
     if dropped or rewritten is not None:
-        from clickhouse_observability_spark.sources.matview import (
-            MaterializedView,
+        from clickhouse_observability_spark.sources.mutations import (
+            _handle_stale_views,
         )
         from clickhouse_observability_spark.sources.writer import LogsTable
 
-        views = MaterializedView.load_all(spark, path)
-        if views:
-            if refresh_views:
-                base = LogsTable(spark, path).read()
-                for v in views:
-                    v.refresh(base)
-                    if v.spec.get("projection"):
-                        v.spec["covers_table"] = True
-                        v.save()
-            else:
-                stale_views = [v.name for v in views]
-                for v in views:
-                    # see sources/mutations.py: a stale PROJECTION
-                    # must not keep transparently serving reads —
-                    # un-cover it so the router falls back to the
-                    # base scan until re-MATERIALIZEd
-                    if v.spec.get("projection") \
-                            and v.spec.get("covers_table"):
-                        v.spec["covers_table"] = False
-                        v.save()
+        table = LogsTable(spark, path)
+        if table.materialized_views:
+            # one staleness contract, shared with mutations/partition
+            # ops: refresh (and re-cover projections) or surface
+            # stale + un-cover serving projections
+            stale_views = _handle_stale_views(table, refresh_views)
     return {"dropped_months": dropped, "rewritten": rewritten,
             "stale_views": stale_views}
 

@@ -115,7 +115,7 @@ class LogsTable:
             self._write(empty, mode="append")
 
     # -- S3: batch insert (db.go:147-173) -------------------------------
-    def insert(self, df: DataFrame) -> None:
+    def insert(self, df: DataFrame, materialized: bool = False) -> None:
         """Append at-rest rows; adds the month partition column and
         sorts within partitions on (service, ts) per the DDL ORDER BY.
 
@@ -123,7 +123,13 @@ class LogsTable:
         triggers: each view aggregates ONLY this block (O(batch)) and
         appends its partial states. Like ClickHouse, the view update
         is not atomic with the insert — `MaterializedView.refresh()`
-        repairs a crash between the two."""
+        repairs a crash between the two.
+
+        ``materialized=True``: the caller already eagerly
+        checkpointed `df` (e.g. INSERT ... SELECT, which must
+        materialize before a self-referential append) — skip the
+        trigger-path checkpoint so the rows aren't copied twice, and
+        leave unpersisting to the owner."""
         block = df.select(*LOGS_COLUMNS)
         if not self.materialized_views:
             self._write(block, mode="append")
@@ -133,13 +139,16 @@ class LogsTable:
         # blocks as soon as the last consumer is done (ContextCleaner
         # would get there eventually, but a steady ingest loop would
         # accumulate checkpointed blocks in the meantime)
-        block = block.localCheckpoint(eager=True)
+        own = not materialized
+        if own:
+            block = block.localCheckpoint(eager=True)
         try:
             self._write(block, mode="append")
             for mv in self.materialized_views:
                 mv.apply(block)
         finally:
-            block.unpersist()
+            if own:
+                block.unpersist()
 
     def create_materialized_view(self, spec: dict):
         """CREATE MATERIALIZED VIEW: persist + attach the trigger.

@@ -1513,3 +1513,39 @@ def test_optimize_deduplicate(spark, logs):
            logs=logs)
     assert sorted(r.msg for r in logs.read().collect()) == [
         "other", "same"]
+
+
+def test_r7_review_fixes(spark, logs):
+    """Regression pins for the r7 self-review findings."""
+    # 1. `IN PARTITION` inside a STRING LITERAL must not be stripped
+    #    from a destructive statement's predicate (the raw-regex bug)
+    ch_sql(spark, ("INSERT INTO logs (ts, service, level, msg) VALUES "
+                   "('2025-05-01 10:00:00', 'api', 'INFO', "
+                   "'retry IN PARTITION 7 WHERE ok')"), logs=logs)
+    n = ch_sql(spark, ("ALTER TABLE logs DELETE WHERE "
+                       "msg = 'retry IN PARTITION 7 WHERE ok'"),
+               logs=logs)
+    assert n == 1 and logs.read().count() == 0
+
+    # 2. zero array index returns NULL (CH-miss behavior), including
+    #    constant arithmetic; negative-from-end and computed string
+    #    map keys keep working
+    r = spark.sql(translate(
+        "SELECT [1,2][0] AS z, [1,2][1-1] AS za, [1,2][-1] AS neg, "
+        "m[concat('a', 'b')] AS mk FROM (SELECT map('ab', 5) AS m)"
+    )).collect()[0]
+    assert r.z is None and r.za is None and r.neg == 2 and r.mk == 5
+
+    # 3. \Q...\E-quoted parens are not capture groups
+    r = spark.sql(translate(
+        r"SELECT extractAll('x(y', '\\Q(\\E') AS v")).collect()[0]
+    assert list(r.v) == ["("]
+
+    # 4. fractional month literal cannot truncate-prune: the strict
+    #    comparison stays an upper bound (unprunable), never 0-parts
+    ch_sql(spark, ("INSERT INTO logs (ts, service, level, msg) VALUES "
+                   "('2025-05-01 10:00:00', 'api', 'INFO', 'x')"),
+           logs=logs)
+    est = ch_sql(spark, ("EXPLAIN ESTIMATE SELECT * FROM logs "
+                         "WHERE month < 202505.5"), logs=logs).collect()[0]
+    assert est.rows == 1  # the 202505 part is NOT pruned

@@ -280,3 +280,45 @@ def test_rollup_topk_users_entry(spark, sf_small, tmp_path, monkeypatch):
         rs.sort(key=lambda r: r.rank)
         counts = [r.n_events for r in rs]
         assert counts == sorted(counts, reverse=True), k
+
+
+def test_rollup_and_query_log_writes_keep_ts_stats(spark, tmp_path):
+    """r7 review: removing the session-wide TIMESTAMP_MICROS pin must
+    not revert the OTHER ts-bearing write paths to INT96 (which has
+    no footer statistics): rollup stores and query_log flushes both
+    carry min/max stats on their timestamp columns."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def ts_stats_alive(root, col):
+        files = glob.glob(f"{root}/**/*.parquet", recursive=True)
+        assert files
+        seen = False
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == col:
+                        assert c.statistics and c.statistics.has_min_max, f
+                        seen = True
+        assert seen, (root, col)
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 11:00:00", 2.0)],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value",
+                 "'click' AS event_type")
+    states = R.build_rollup(ev, "hour", ("event_type",))
+    R.write_rollup(states, str(tmp_path / "roll"))
+    ts_stats_alive(str(tmp_path / "roll"), "bucket_ts")
+
+    from clickhouse_observability_spark.api.query_log import QueryLog
+
+    ql = QueryLog(maxlen=8)
+    ql.record("query", detail="SELECT 1", duration_ms=1.0,
+              result_rows=1)
+    ql.flush(spark, str(tmp_path / "qlog"))
+    ts_stats_alive(str(tmp_path / "qlog"), "ts")
