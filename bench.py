@@ -101,6 +101,11 @@ HEADLINE = [
     # r5 second wave — reported, excluded from total
     ("window_gap_fill_hourly", "noop"),
     ("behavior_sequence_match", "noop"),
+    # r7 additions — reported, excluded from total
+    ("asof_variants_panel", "noop"),
+    ("dedup_cluster_keeplist", "noop"),
+    ("text_chunk_overlap", "noop"),
+    ("pipeline_chunked_bm25", "collect"),
 ]
 
 # The driver's r4 capture, min-of-3 per query (the judge-verified
@@ -596,6 +601,10 @@ def _run_bench() -> None:
         "projection_base_query",  # r6 features: reported, not summed
         "projection_routed_query",
         "mutation_delete_100k",
+        "asof_variants_panel",  # r7 additions: reported, not summed
+        "dedup_cluster_keeplist",
+        "text_chunk_overlap",
+        "pipeline_chunked_bm25",
     }
     media = _media_decode_bench(spark)
 

@@ -274,7 +274,14 @@ def dedup_cluster_keeplist(spark, sf_dir):
     canonical-keeper operators `dedup_neardup_clusters` uses; the
     oracle recomputes the transitive closure with a recursive CTE.
     Green = the iterative Spark fixpoint equals a second engine's
-    declarative closure on the full corpus graph."""
+    declarative closure on the full corpus graph.
+
+    Scale pairing (same contract as dedup_embedding_pairs): the EXACT
+    pair graph is the small-sf oracle anchor — within a dense
+    near-dup blob the inverted-index join is O(cluster²) pairs by
+    nature of exactness. The registered 100 TB path is
+    `dedup_neardup_clusters` (banded MinHash pairs, never all-pairs)
+    feeding the SAME component/keeper operators proven here."""
     docs = table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(
         docs, threshold=0.9, max_df_frac=0.8,
