@@ -2457,6 +2457,9 @@ _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
     re.IGNORECASE,
 )
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?(\w+)\s*$", re.IGNORECASE)
 # INSERT ... SELECT (CH backfill/ETL form): optional column list,
 # positional mapping from the SELECT's output, absent columns take
 # the INSERT defaults. The inner SELECT is full dialect surface
@@ -3082,6 +3085,62 @@ def ch_sql(
                               deduplicate=dedup is not None)
             for month in months
         )
+
+    if _SHOW_TABLES_RE.match(sql):
+        # name-addressable tables only, like system.tables: the base
+        # table + attached matviews; projections stay hidden (CH
+        # lists them in system.projections)
+        from clickhouse_observability_spark.session import local_df
+
+        if logs is None:
+            raise ChDialectError("SHOW TABLES needs the logs table")
+        names = ["logs"] + sorted(
+            mv.name for mv in logs.materialized_views
+            if not mv.spec.get("projection"))
+        return local_df(spark, [(n,) for n in names], "name string")
+
+    msc = _SHOW_CREATE_RE.match(sql)
+    if msc is not None:
+        # reconstruct the CH DDL the reference bootstraps
+        # (db.go:41-49) plus this table's OWN armed state: TTL and
+        # attached projections — the statement a CH operator would
+        # need to recreate the table elsewhere.
+        from clickhouse_observability_spark.session import local_df
+        from clickhouse_observability_spark.sources.retention import (
+            read_table_ttl,
+        )
+
+        if msc.group(1).lower() != "logs" or logs is None:
+            raise ChDialectError("SHOW CREATE supported for `logs` only")
+        parts = [
+            "CREATE TABLE logs (",
+            "  ts DateTime64(3, 'UTC'), service LowCardinality(String),",
+            "  level LowCardinality(String), msg String, attrs String,",
+            "  trace_id String, span_id String",
+        ]
+        for mv in logs.materialized_views:
+            if not mv.spec.get("projection"):
+                continue
+            sel = ", ".join(
+                [f"{d['sql']} AS {d['alias']}" for d in mv.spec["dims"]]
+                + [
+                    f"{a['kind']}({a['arg_sql'] or ''}) AS {a['alias']}"
+                    for a in mv.spec["aggs"]
+                ])
+            grp = ", ".join(d["alias"] for d in mv.spec["dims"])
+            parts[-1] += ","
+            parts.append(
+                f"  PROJECTION {mv.name} (SELECT {sel}"
+                + (f" GROUP BY {grp}" if grp else "") + ")")
+        parts += [
+            ") ENGINE = MergeTree",
+            "PARTITION BY toYYYYMM(ts)",
+            "ORDER BY (service, ts)",
+        ]
+        ttl = read_table_ttl(logs.path)
+        if ttl is not None:
+            parts.append(f"TTL ts + INTERVAL {ttl} DAY DELETE")
+        return local_df(spark, [("\n".join(parts),)], "statement string")
 
     mp = _PART_OP_RE.match(sql)
     if mp is not None:

@@ -467,6 +467,37 @@ def repetition_stats(
     return counts.groupBy("doc_id").agg(*aggs).select(*cols)
 
 
+def stratified_sample(
+    documents: DataFrame,
+    group_col: str = "source",
+    k: int = 100,
+) -> DataFrame:
+    """EXACT-k per-group sampling: keep the k docs per `group_col`
+    with the smallest md5(doc_id) — a deterministic, seedless
+    stand-in for per-stratum reservoir sampling. Where
+    domain_mix_sample realizes a RATE per source (count varies with
+    |source|), this realizes a COUNT: the balanced eval-set / probe-
+    set constructor ("exactly 1000 docs per domain"). md5 rank is
+    uniform over doc ids, so within a stratum this IS a uniform
+    k-sample, stable under retries and cluster layout.
+
+    One shuffle keyed by the group column; the rank window and the
+    filter fuse into the same exchange. Groups smaller than k keep
+    all their docs (rank never exceeds group size)."""
+    from pyspark.sql import Window as W
+
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy(group_col).orderBy(key, F.col("doc_id"))
+    return (
+        documents.select(
+            "doc_id", group_col, key.alias("sample_key"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", group_col, F.col("rk").alias("sample_rank"))
+    )
+
+
 def domain_mix_sample(documents: DataFrame, rates: dict[str, float]) -> DataFrame:
     """(doc_id, source, rate, sampled): deterministic hash-based
     per-domain downsampling — how a training mixture reweights source

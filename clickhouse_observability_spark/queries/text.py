@@ -1036,3 +1036,29 @@ def pipeline_chunked_bm25(spark, sf_dir):
         FF.element_at(key, 2).cast("int").alias("start_token"),
         "bm25",
     )
+
+
+@register(
+    "text_stratified_sample",
+    # After the 50-slot window; the registry-wide pytest gate
+    # adjudicates it vs DuckDB.
+    oracle="""
+    SELECT doc_id, source, sample_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+               ) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 10
+    """,
+)
+def text_stratified_sample(spark, sf_dir):
+    """Exact-k per-source stratified sampling (10/source): the
+    balanced probe-set constructor — deterministic md5 rank within
+    each stratum, so both engines (and every retry) agree on the
+    EXACT membership, not just the expected rate. One shuffle on
+    source; undersized strata keep all docs."""
+    return TX.stratified_sample(
+        table(spark, sf_dir, "documents"), group_col="source", k=10
+    )

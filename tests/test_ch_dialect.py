@@ -1549,3 +1549,34 @@ def test_r7_review_fixes(spark, logs):
     est = ch_sql(spark, ("EXPLAIN ESTIMATE SELECT * FROM logs "
                          "WHERE month < 202505.5"), logs=logs).collect()[0]
     assert est.rows == 1  # the 202505 part is NOT pruned
+
+
+def test_show_tables_and_show_create(spark, logs):
+    """SHOW TABLES lists the base table + attached matviews (not
+    projections); SHOW CREATE TABLE reconstructs the CH DDL with this
+    table's armed TTL and attached PROJECTION clauses."""
+    names = [r.name for r in ch_sql(spark, "SHOW TABLES",
+                                    logs=logs).collect()]
+    assert names == ["logs"]
+    ddl = ch_sql(spark, "SHOW CREATE TABLE logs",
+                 logs=logs).collect()[0].statement
+    assert "ENGINE = MergeTree" in ddl
+    assert "PARTITION BY toYYYYMM(ts)" in ddl
+    assert "ORDER BY (service, ts)" in ddl
+    assert "TTL" not in ddl and "PROJECTION" not in ddl
+
+    ch_sql(spark, "ALTER TABLE logs MODIFY TTL ts + INTERVAL 30 DAY "
+           "DELETE", logs=logs)
+    ch_sql(spark, ("ALTER TABLE logs ADD PROJECTION p1 ("
+                   "SELECT service, count() AS n FROM logs "
+                   "GROUP BY service)"), logs=logs)
+    names = [r.name for r in ch_sql(spark, "SHOW TABLES",
+                                    logs=logs).collect()]
+    assert names == ["logs"]  # projections stay hidden
+    ddl = ch_sql(spark, "SHOW CREATE logs", logs=logs).collect()[0] \
+        .statement
+    assert "TTL ts + INTERVAL 30 DAY DELETE" in ddl
+    assert "PROJECTION p1 (SELECT service AS service, "\
+           "count() AS n GROUP BY service)" in ddl
+    with pytest.raises(ChDialectError, match="logs"):
+        ch_sql(spark, "SHOW CREATE TABLE other", logs=logs)
