@@ -2458,6 +2458,16 @@ _TRUNCATE_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_FREEZE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+FREEZE"
+    r"(?:\s+PARTITION\s+'?(\d+)'?)?"
+    r"(?:\s+WITH\s+NAME\s+'([^']+)')?\s*$",
+    re.IGNORECASE,
+)
+_UNFREEZE_RE = re.compile(
+    r"^\s*SYSTEM\s+UNFREEZE\s+WITH\s+NAME\s+'([^']+)'\s*$",
+    re.IGNORECASE,
+)
 _SHOW_CREATE_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?(\w+)\s*$", re.IGNORECASE)
 # INSERT ... SELECT (CH backfill/ETL form): optional column list,
@@ -3141,6 +3151,35 @@ def ch_sql(
         if ttl is not None:
             parts.append(f"TTL ts + INTERVAL {ttl} DAY DELETE")
         return local_df(spark, [("\n".join(parts),)], "statement string")
+
+    mf = _FREEZE_RE.match(sql)
+    if mf is not None:
+        # CH FREEZE: hardlink snapshot into _shadow/<name> — zero
+        # bytes copied; mutations/merges replace files, never modify
+        # them, so the frozen view stays consistent.
+        from clickhouse_observability_spark.sources import mutations as MU
+
+        tname, part, name = mf.groups()
+        if tname.lower() != "logs" or logs is None:
+            raise ChDialectError("FREEZE supported for `logs` only")
+        try:
+            return MU.freeze_table(
+                spark, logs.path,
+                month=int(part) if part else None, name=name)["files"]
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+
+    mu = _UNFREEZE_RE.match(sql)
+    if mu is not None:
+        from clickhouse_observability_spark.sources import mutations as MU
+
+        if logs is None:
+            raise ChDialectError("SYSTEM UNFREEZE needs the logs table")
+        try:
+            MU.unfreeze_table(spark, logs.path, mu.group(1))
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+        return 0
 
     mp = _PART_OP_RE.match(sql)
     if mp is not None:

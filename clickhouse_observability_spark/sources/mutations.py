@@ -48,6 +48,8 @@ __all__ = [
     "detach_partition",
     "attach_partition",
     "truncate_table",
+    "freeze_table",
+    "unfreeze_table",
 ]
 
 # partition-deriving + leading sort-key columns: assignment would
@@ -291,6 +293,65 @@ def attach_partition(
     stale = (_handle_stale_views(table, refresh_views)
              if table.materialized_views else [])
     return {"op": "attach_partition", "files": n, "stale_views": stale}
+
+
+_SHADOW_DIR = "_shadow"
+
+
+def freeze_table(
+    spark: SparkSession, path: str, month: int | None = None,
+    name: str | None = None,
+) -> dict:
+    """`ALTER TABLE logs FREEZE [PARTITION p] [WITH NAME 'x']`:
+    snapshot the table (or one month) into `_shadow/<name>/` by
+    HARDLINKING every data file — ClickHouse's exact mechanism:
+    zero data copied, the backup pins the bytes while later
+    mutations/merges REPLACE (never modify) files, so the frozen
+    view stays consistent forever. Unnamed freezes get CH's
+    incrementing id. Restore = copy a frozen month into `_detached/`
+    and ATTACH PARTITION (documented, manual — CH parity).
+    """
+    shadow = os.path.join(path, _SHADOW_DIR)
+    if name is None:
+        os.makedirs(shadow, exist_ok=True)
+        taken = {d for d in os.listdir(shadow)}
+        i = 1
+        while str(i) in taken:
+            i += 1
+        name = str(i)
+    dst_root = os.path.join(shadow, name)
+    if os.path.exists(dst_root):
+        raise ValueError(f"backup {name!r} already exists")
+    months = ([int(month)] if month is not None else sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(path)
+        if d.startswith(f"{PARTITION_COLUMN}=")))
+    n = 0
+    for m in months:
+        src = _month_dir(path, m)
+        if not os.path.isdir(src):
+            raise ValueError(f"no partition {m} to freeze")
+        dst = os.path.join(dst_root, f"{PARTITION_COLUMN}={m}")
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+                n += 1
+    return {"op": "freeze", "backup": name, "files": n,
+            "months": months}
+
+
+def unfreeze_table(spark: SparkSession, path: str, name: str) -> dict:
+    """`SYSTEM UNFREEZE WITH NAME 'x'`: drop one frozen backup (the
+    hardlinks; live data is untouched — bytes are freed only when the
+    last link goes)."""
+    dst = os.path.join(path, _SHADOW_DIR, name)
+    if not os.path.isdir(dst):
+        raise ValueError(f"no backup {name!r}")
+    shutil.rmtree(dst)
+    root = os.path.join(path, _SHADOW_DIR)
+    if not os.listdir(root):
+        os.rmdir(root)
+    return {"op": "unfreeze", "backup": name}
 
 
 def truncate_table(

@@ -1580,3 +1580,45 @@ def test_show_tables_and_show_create(spark, logs):
            "count() AS n GROUP BY service)" in ddl
     with pytest.raises(ChDialectError, match="logs"):
         ch_sql(spark, "SHOW CREATE TABLE other", logs=logs)
+
+
+def test_freeze_unfreeze_backup(spark, logs):
+    """ALTER TABLE FREEZE hardlinks a zero-copy snapshot into
+    _shadow/<name>; later mutations REPLACE files so the frozen view
+    keeps the pre-mutation bytes; restore = copy into _detached +
+    ATTACH; SYSTEM UNFREEZE drops the backup."""
+    import os
+    import shutil
+
+    _seed_two_months(spark, logs)
+    n = ch_sql(spark, "ALTER TABLE logs FREEZE WITH NAME 'b1'",
+               logs=logs)
+    assert n >= 2  # files across both months
+    b1 = os.path.join(logs.path, "_shadow", "b1")
+    f = next(os.path.join(r, x) for r, _, fs in os.walk(b1) for x in fs
+             if x.endswith(".parquet"))
+    assert os.stat(f).st_nlink >= 2  # hardlink, not a copy
+    # unnamed freeze of one month gets the incrementing id
+    assert ch_sql(spark, "ALTER TABLE logs FREEZE PARTITION 202506",
+                  logs=logs) >= 1
+    assert os.path.isdir(os.path.join(logs.path, "_shadow", "1"))
+
+    # mutate history: live table changes, the backup does not
+    ch_sql(spark, "ALTER TABLE logs DELETE WHERE month = 202505",
+           logs=logs)
+    assert sorted(r.msg for r in logs.read().collect()) == ["jun1"]
+
+    # restore May from the backup: copy into _detached, then ATTACH
+    det = os.path.join(logs.path, "_detached", "month=202505")
+    shutil.copytree(os.path.join(b1, "month=202505"), det)
+    ch_sql(spark, "ALTER TABLE logs ATTACH PARTITION 202505", logs=logs)
+    assert sorted(r.msg for r in logs.read().collect()) == [
+        "jun1", "may1", "may2"]
+
+    ch_sql(spark, "SYSTEM UNFREEZE WITH NAME 'b1'", logs=logs)
+    assert not os.path.exists(b1)
+    with pytest.raises(ChDialectError, match="no backup"):
+        ch_sql(spark, "SYSTEM UNFREEZE WITH NAME 'b1'", logs=logs)
+    # duplicate backup name refused
+    with pytest.raises(ChDialectError, match="already exists"):
+        ch_sql(spark, "ALTER TABLE logs FREEZE WITH NAME '1'", logs=logs)
