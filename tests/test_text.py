@@ -981,3 +981,50 @@ def test_chunked_bm25_finds_deep_term(spark):
     # the winning chunk's window actually contains the needle (token
     # index 500) — offset provenance is real
     assert int(start) <= 500 < int(start) + 32
+
+
+def test_chunk_documents_property(spark):
+    """Hypothesis: for random texts and (chunk, overlap) params, the
+    distributed chunker equals a direct python model of the windowing
+    contract — starts at i*stride, n_chunks = max(1, ceil((n-overlap)
+    / stride)), slices clamped, empty docs dropped."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab \t", min_size=0, max_size=120),
+            min_size=1, max_size=6),
+        chunk=st.integers(min_value=2, max_value=12),
+        overlap=st.integers(min_value=0, max_value=11),
+    )
+    def prop(texts, chunk, overlap):
+        if overlap >= chunk:
+            return
+        stride = chunk - overlap
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.chunk_id, r.start_token, r.n_tokens,
+             r.chunk_text)
+            for r in TX.chunk_documents(
+                docs, chunk_tokens=chunk, overlap_tokens=overlap
+            ).collect())
+        want = []
+        for did, text in enumerate(texts):
+            toks = [t for t in text.strip().lower().split() if t]
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = max(1, math.ceil((n - overlap) / stride))
+            for i in range(n_chunks):
+                s = i * stride
+                sl = toks[s:s + chunk]
+                want.append((did, i, s, len(sl), " ".join(sl)))
+        assert got == sorted(want)
+
+    prop()
