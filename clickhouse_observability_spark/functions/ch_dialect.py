@@ -793,20 +793,25 @@ def _rewrite_array_literals(tokens: list[str]) -> list[str]:
         elif t == "]" and stack:
             kind, mark = stack.pop()
             if kind == "sub":
-                # index-ZERO guard (r7 review): try_element_at still
-                # THROWS [INVALID_INDEX_OF_ZERO] on arrays — CH
-                # returns the default for [0] like any other miss.
-                # A numeric-literal index (including arithmetic over
-                # literals) is guarded: 0 becomes a NULL index, other
-                # constants wrap in nullif(i, 0). An index carrying
-                # identifiers/functions is left UNGUARDED on purpose:
-                # it may be a computed MAP KEY, and nullif(<string>,
-                # 0) raises CAST_INVALID_INPUT under ANSI (measured)
-                # — a working m[key] query must not start crashing.
-                # Documented divergence: a computed ARRAY index that
-                # evaluates to exactly 0 at runtime raises Spark's
-                # INVALID_INDEX_OF_ZERO instead of returning CH's
-                # type default; wrap it in nullif(i, 0) in the query.
+                # index-ZERO guard (r7 review, finished r8):
+                # try_element_at still THROWS [INVALID_INDEX_OF_ZERO]
+                # on arrays — CH returns the default for [0] like any
+                # other miss. Three index shapes:
+                # 1. numeric-literal arithmetic: constant-folded here;
+                #    only an index that IS 0 needs the nullif wrap
+                #    (other constants cannot trip the zero throw, and
+                #    leaving them bare keeps integer MAP keys exact —
+                #    m[5] stays try_element_at(m, 5)).
+                # 2. string-literal-bearing: a map key; never guarded.
+                # 3. identifier-bearing (arr[i], arr[i-1]): wrapped in
+                #    CASE WHEN cast(i AS string) = '0' THEN NULL ELSE
+                #    i END — type-safe under ANSI for BOTH numeric
+                #    indexes and string map keys (nullif(<string>, 0)
+                #    would raise CAST_INVALID_INPUT; measured).
+                # Documented divergences (narrow, CH returns a value):
+                # the literal-0 integer-MAP-key m[0] and a computed
+                # STRING map key whose runtime value is exactly '0'
+                # both yield NULL instead of the stored value.
                 idx = out[mark:]
                 numeric = all(
                     re.fullmatch(r"\d+(?:\.\d+)?", t)
@@ -814,7 +819,19 @@ def _rewrite_array_literals(tokens: list[str]) -> list[str]:
                     for t in idx
                 )
                 if numeric:
-                    out[mark:] = ["nullif", "("] + idx + [",", "0", ")"]
+                    try:
+                        const = eval(  # noqa: S307 — digits/ops only
+                            "".join(idx), {"__builtins__": {}}, {})
+                    except Exception:
+                        const = None
+                    if const == 0 or const is None:
+                        out[mark:] = (["nullif", "("] + idx
+                                      + [",", "0", ")"])
+                elif not any(_is_string(t) for t in idx):
+                    out[mark:] = (
+                        ["case", "when", "cast", "("] + idx
+                        + ["as", "string", ")", "=", "'0'",
+                           "then", "null", "else"] + idx + ["end"])
             out.append(")")
         else:
             out.append(t)

@@ -32,6 +32,7 @@ NULL are NOT matched — not deleted, not updated.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import SparkSession
@@ -297,6 +298,19 @@ def attach_partition(
 
 _SHADOW_DIR = "_shadow"
 
+# Backup names come straight out of user SQL (`WITH NAME '...'`);
+# constrain them to a single safe path segment so a name like
+# '../..' can never hardlink into or rmtree outside `_shadow/`.
+_BACKUP_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9_.-]*")
+
+
+def _check_backup_name(name: str) -> str:
+    if not _BACKUP_NAME_RE.fullmatch(name) or ".." in name:
+        raise ValueError(
+            f"invalid backup name {name!r}: must match "
+            "[A-Za-z0-9][A-Za-z0-9_.-]* and not contain '..'")
+    return name
+
 
 def freeze_table(
     spark: SparkSession, path: str, month: int | None = None,
@@ -319,23 +333,38 @@ def freeze_table(
         while str(i) in taken:
             i += 1
         name = str(i)
+    else:
+        _check_backup_name(name)
     dst_root = os.path.join(shadow, name)
     if os.path.exists(dst_root):
         raise ValueError(f"backup {name!r} already exists")
     months = ([int(month)] if month is not None else sorted(
         int(d.split("=", 1)[1]) for d in os.listdir(path)
         if d.startswith(f"{PARTITION_COLUMN}=")))
+    # Build into a hidden temp dir and rename into place only once
+    # every month hardlinked: a mid-loop failure (missing month,
+    # cross-device link) never leaves a half-backup that reads as
+    # complete or blocks a retry with "already exists".
+    tmp_root = os.path.join(shadow, f".{name}.tmp")
+    if os.path.exists(tmp_root):
+        shutil.rmtree(tmp_root)
     n = 0
-    for m in months:
-        src = _month_dir(path, m)
-        if not os.path.isdir(src):
-            raise ValueError(f"no partition {m} to freeze")
-        dst = os.path.join(dst_root, f"{PARTITION_COLUMN}={m}")
-        os.makedirs(dst, exist_ok=True)
-        for f in os.listdir(src):
-            if f.endswith(".parquet"):
-                os.link(os.path.join(src, f), os.path.join(dst, f))
-                n += 1
+    try:
+        for m in months:
+            src = _month_dir(path, m)
+            if not os.path.isdir(src):
+                raise ValueError(f"no partition {m} to freeze")
+            dst = os.path.join(tmp_root, f"{PARTITION_COLUMN}={m}")
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    os.link(os.path.join(src, f),
+                            os.path.join(dst, f))
+                    n += 1
+        os.rename(tmp_root, dst_root)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
     return {"op": "freeze", "backup": name, "files": n,
             "months": months}
 
@@ -344,6 +373,7 @@ def unfreeze_table(spark: SparkSession, path: str, name: str) -> dict:
     """`SYSTEM UNFREEZE WITH NAME 'x'`: drop one frozen backup (the
     hardlinks; live data is untouched — bytes are freed only when the
     last link goes)."""
+    _check_backup_name(name)
     dst = os.path.join(path, _SHADOW_DIR, name)
     if not os.path.isdir(dst):
         raise ValueError(f"no backup {name!r}")

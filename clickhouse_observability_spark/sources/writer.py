@@ -24,6 +24,7 @@ BatchWrite contract (service.go:45-46 replies before any DB write).
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Iterable, Mapping
 from contextlib import contextmanager
 
@@ -62,6 +63,12 @@ def normalize_ingest(df: DataFrame) -> DataFrame:
     )
 
 
+# reentrant-counter state for parquet_ts_micros (see its docstring)
+_TS_MICROS_LOCK = threading.Lock()
+_TS_MICROS_DEPTH = 0
+_TS_MICROS_PREV: str | None = None
+
+
 @contextmanager
 def parquet_ts_micros(spark: SparkSession):
     """Scope `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`
@@ -77,17 +84,34 @@ def parquet_ts_micros(spark: SparkSession):
     changes the written physical type for every UNRELATED parquet
     write in the session (advice r7). Every ts-bearing write path in
     this package (insert, mutation/retention/z-order rewrites) wraps
-    itself in this."""
+    itself in this.
+
+    Session conf is shared process state, so overlapping scopes from
+    concurrent threads are serialized under a reentrant counter: the
+    FIRST scope in saves the prior value and sets MICROS, the LAST
+    scope out restores it — two interleaved scopes can no longer
+    restore a stale value mid-write. (A parquet write outside any
+    scope that races a scoped write still sees MICROS for its
+    duration — unavoidable with session-scoped conf; that write is
+    outside this package's write paths by construction.)"""
     key = "spark.sql.parquet.outputTimestampType"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
+    with _TS_MICROS_LOCK:
+        global _TS_MICROS_DEPTH, _TS_MICROS_PREV
+        if _TS_MICROS_DEPTH == 0:
+            _TS_MICROS_PREV = spark.conf.get(key, None)
+            spark.conf.set(key, "TIMESTAMP_MICROS")
+        _TS_MICROS_DEPTH += 1
     try:
         yield
     finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+        with _TS_MICROS_LOCK:
+            _TS_MICROS_DEPTH -= 1
+            if _TS_MICROS_DEPTH == 0:
+                if _TS_MICROS_PREV is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, _TS_MICROS_PREV)
+                _TS_MICROS_PREV = None
 
 
 class LogsTable:

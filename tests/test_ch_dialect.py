@@ -1622,3 +1622,53 @@ def test_freeze_unfreeze_backup(spark, logs):
     # duplicate backup name refused
     with pytest.raises(ChDialectError, match="already exists"):
         ch_sql(spark, "ALTER TABLE logs FREEZE WITH NAME '1'", logs=logs)
+
+
+def test_r8_review_fixes(spark, logs):
+    """Regression pins for the r8 advice/verdict items."""
+    import os
+
+    # 1. FREEZE/UNFREEZE backup names come from user SQL: a path-
+    #    traversal name must be refused before any link/rmtree
+    #    touches the filesystem (advice r8, high).
+    _seed_two_months(spark, logs)
+    for bad in ("../evil", "..", "a/b", ".hidden"):
+        with pytest.raises(ChDialectError, match="invalid backup"):
+            ch_sql(spark, f"ALTER TABLE logs FREEZE WITH NAME '{bad}'",
+                   logs=logs)
+        with pytest.raises(ChDialectError, match="invalid backup"):
+            ch_sql(spark, f"SYSTEM UNFREEZE WITH NAME '{bad}'",
+                   logs=logs)
+    assert not os.path.exists(os.path.join(logs.path, "..", "evil"))
+
+    # 2. a failing FREEZE (missing month in the multi-month path)
+    #    leaves NO partial _shadow/<name>, and the name is retryable
+    from clickhouse_observability_spark.sources.mutations import (
+        freeze_table,
+    )
+    with pytest.raises(ValueError, match="no partition"):
+        freeze_table(spark, logs.path, month=209901, name="bk")
+    shadow = os.path.join(logs.path, "_shadow")
+    assert not os.path.exists(os.path.join(shadow, "bk"))
+    assert not any(d.startswith(".bk") for d in
+                   (os.listdir(shadow) if os.path.isdir(shadow) else []))
+    assert ch_sql(spark, "ALTER TABLE logs FREEZE WITH NAME 'bk'",
+                  logs=logs) >= 2  # retry succeeds after the failure
+
+    # 3. identifier-bearing subscript index of 0 returns NULL under
+    #    ANSI (type-safe CASE guard), computed string map keys keep
+    #    working, literal integer map keys stay exact (verdict r7 #5
+    #    + advice low: m[5] must not become nullif(5,0))
+    r = spark.sql(translate(
+        "SELECT arr[i] AS zi, arr[j] AS ok, arr[i - 1] AS neg_z, "
+        "m[k] AS mk, mi[5] AS mi5 "
+        "FROM (SELECT [10, 20] AS arr, 0 AS i, 2 AS j, 'ab' AS k, "
+        "map('ab', 5) AS m, map(5, 77) AS mi)")).collect()[0]
+    assert r.zi is None          # arr[0] -> NULL, not a throw
+    assert r.ok == 20
+    assert r.neg_z == 20         # i-1 = -1 -> from-the-end
+    assert r.mk == 5
+    assert r.mi5 == 77           # integer map key untouched
+    # non-zero literal index stays bare (no nullif wrap in the SQL)
+    sql = translate("SELECT [1, 2][2] AS v")
+    assert "nullif" not in sql.lower()
