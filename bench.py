@@ -285,11 +285,14 @@ def _run_bench() -> None:
         acc += i
     assert acc > 0
     cpu_calib_sec = round(time.time() - t0, 3)
-    t0 = time.time()
-    spark.range(2_000_000_000, numPartitions=32).selectExpr(
-        "sum(id) AS s"
-    ).collect()
-    spark_calib_sec = round(time.time() - t0, 3)
+    def _spark_calib() -> float:
+        t0 = time.time()
+        spark.range(2_000_000_000, numPartitions=32).selectExpr(
+            "sum(id) AS s"
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    spark_calib_sec = _spark_calib()
 
     # IVF index build (centroid sidecar) is a one-time INDEX cost, not
     # query latency — timed separately so sim_topk_ivf below measures
@@ -329,6 +332,23 @@ def _run_bench() -> None:
             samples.append(time.time() - t0)
         times[name] = round(min(samples), 3)
         times_mean[name] = round(sum(samples) / len(samples), 3)
+
+    # SECTION ORDER IS PINNED (r8, verdict #7): the headline+common
+    # query loop above runs FIRST in a quiet session — before any
+    # throughput/feature section builds scratch tables, runs
+    # mutations, or starts streams — so the cross-round-comparable
+    # numbers are never measured under leftover session pressure.
+    # Everything below is reported-not-summed extras; keep new
+    # sections below this line.
+    #
+    # Re-measure the fixed JVM calibration aggregate AFTER the loop:
+    # the r8 bisect showed the host's speed can drift >30% WITHIN a
+    # session (four same-host runs of IDENTICAL code spanned
+    # 33.3-40.4s on the common subset, tracking calib 0.56->0.74),
+    # so one pre-run probe cannot certify a capture. calib_drift =
+    # post/pre; a reader should trust cross-round per-query deltas
+    # only when both captures' drift is small.
+    spark_calib_post_sec = _spark_calib()
 
     # Ingest-path throughput: write-path normalize + partitioned sorted
     # append of 100k wire rows (reference floor: 5,000 rows/s,
@@ -626,6 +646,12 @@ def _run_bench() -> None:
         # was contended and per-query comparisons need the calib
         # normalization rather than face-value deltas.
         "calib_idle_ratio": round(spark_calib_sec / IDLE_SPARK_CALIB_SEC, 2),
+        # same probe re-run AFTER the headline loop (r8): >30%
+        # within-session host drift was measured by the r8 bisect,
+        # so the capture carries its own drift band. ~1.0 = the
+        # headline numbers were taken at a stable host speed.
+        "spark_calib_post_sec": spark_calib_post_sec,
+        "calib_drift": round(spark_calib_post_sec / spark_calib_sec, 2),
         "headline_prev_common_sec": prev_common,
         "headline_common_sec": this_common,
         "common_n": len(common),

@@ -843,6 +843,27 @@ def corpus_index(
     )
 
 
+def _persisted_rdd_ids(sc) -> set:
+    """Ids of currently persisted RDDs (JVM-side registry)."""
+    return set(sc._jsc.getPersistentRDDs().keySet())
+
+
+def _unpersist_rdd_ids(sc, ids: set) -> None:
+    """Drop the storage blocks behind superseded localCheckpoints.
+
+    A localCheckpoint's data IS its persisted blocks, so this is only
+    safe once no live plan references the frame — the fixpoint loop
+    below frees round r-1 only after round r is eagerly materialized.
+    Without this, every round's 1-2 checkpointed frames squat on the
+    unified memory pool until driver GC + ContextCleaner catch up
+    (r7 verdict: the lead suspect for session-wide bench drift)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def neardup_components(
     pairs: DataFrame,
     a: str = "a",
@@ -870,16 +891,25 @@ def neardup_components(
     (merged-cluster output that under-deduped would be a correctness
     bug downstream).
     """
+    sc = pairs.sparkSession.sparkContext
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
     )
+    # `live` tracks the RDD ids backing the CURRENT round's
+    # checkpointed frame(s); each eager checkpoint supersedes the
+    # previous round's frames, whose blocks are freed immediately
+    # instead of waiting on driver GC (snapshot-diff capture: assumes
+    # no concurrent persist in the same session during the diff — the
+    # bench/driver/API paths are single-threaded through here).
+    before = _persisted_rdd_ids(sc)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
     ).localCheckpoint(eager=True)
+    live = _persisted_rdd_ids(sc) - before
     edges = edges.persist()
     for _ in range(max_iterations):
         neighbor_min = (
@@ -887,6 +917,7 @@ def neardup_components(
             .groupBy("src")
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        before = _persisted_rdd_ids(sc)
         updated = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -898,12 +929,16 @@ def neardup_components(
                 (F.col("nbr_min") < F.col("component_id")).alias("_changed"),
             )
         ).localCheckpoint(eager=True)
+        new_ids = _persisted_rdd_ids(sc) - before
+        _unpersist_rdd_ids(sc, live - new_ids)  # prev round superseded
+        live = new_ids
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
         # pointer jump: label <- label[label] (path halving)
         l1, l2 = labels.alias("l1"), labels.alias("l2")
+        before = _persisted_rdd_ids(sc)
         labels = (
             l1.join(
                 l2, F.col("l1.component_id") == F.col("l2.doc_id"), "left"
@@ -914,6 +949,9 @@ def neardup_components(
                 ).alias("component_id"),
             )
         ).localCheckpoint(eager=True)
+        new_ids = _persisted_rdd_ids(sc) - before
+        _unpersist_rdd_ids(sc, live - new_ids)  # updated superseded
+        live = new_ids
     else:
         edges.unpersist()
         raise RuntimeError(

@@ -65,6 +65,37 @@ def brute_force_topk(
     )
 
 
+def knn_join_exact(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """EXACT cosine k-NN self-join: top-k neighbors for EVERY vector.
+
+    Documented O(n²) oracle anchor (like dedup_embedding_pairs): the
+    cross-engine-provable form of `knn_join_lsh`, which is the
+    registered scale path — at 100 TB the banded LSH join is the one
+    to run; this exact form adjudicates the k-NN-join SEMANTICS
+    (neighbor sets + ranks) against DuckDB's native
+    list_cosine_similarity at the test scales.
+
+    Ranking is over cosine ROUNDED to 6dp with a vec_id tie-break, so
+    sub-1e-6 float summation differences between engines cannot flip
+    a boundary rank — any 6dp tie resolves identically on both sides.
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cs = F.round(_cosine("qv", "v"), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cs.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rnd = random.Random(seed)
     return [

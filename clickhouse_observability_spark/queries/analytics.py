@@ -136,11 +136,19 @@ def agg_median_value_approx(spark, sf_dir):
     return A.median_value_approx(table(spark, sf_dir, "events"))
 
 
-# Rows-only since r4: every column is adjudicated inside
-# agg_counts_by_type's merged panel (same groupBy, same rounding); the
-# standalone operator stays registered for bench/API use, and its slot
-# went to text_pack_chunks/text_unigram_logprob/text_quality_sample.
-@register("agg_value_stats")
+# Oracle restored r8 (verdict #3): the driver window slot stayed with
+# the merged panels, but the registry-wide CI gate (r7) adjudicates
+# every oracle entry each run — deterministic entries carry their own
+# oracle again so registration implies cross-engine adjudication.
+@register(
+    "agg_value_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value, round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_value_stats(spark, sf_dir):
     return A.value_stats(table(spark, sf_dir, "events"))
 

@@ -209,3 +209,98 @@ def mutation_post_read(spark, sf_dir):
         "SELECT ts, service, level, msg, trace_id, span_id FROM logs",
         logs=t,
     )
+
+
+@register(
+    "lifecycle_partition_panel",
+    oracle="""
+    WITH logs AS (
+        SELECT ts + to_days((32 * (user_id % 3))::INT) AS ts,
+               event_type AS service, props AS msg
+        FROM events
+    ),
+    agg AS (SELECT CAST(strftime(ts, '%Y%m') AS BIGINT) AS month,
+                   service, count(*) AS n,
+                   sum(length(msg))::BIGINT AS sum_len
+            FROM logs GROUP BY 1, 2)
+    SELECT 'detached' AS op, month, service, n, sum_len FROM agg
+    WHERE month > (SELECT min(month) FROM agg)
+    UNION ALL
+    SELECT 'attached' AS op, month, service, n, sum_len FROM agg
+    """,
+)
+def lifecycle_partition_panel(spark, sf_dir):
+    """CH partition lifecycle end-to-end under the driver's gate (r8,
+    verdict #6): DETACH PARTITION parks the earliest month under
+    `_detached/` (a metadata directory move — no data rewritten),
+    the 'detached' arm reads the table WITHOUT that month, ATTACH
+    restores it byte-identically and the 'attached' arm reads the
+    full set. The oracle folds the lifecycle algebraically: the
+    detached arm is the plain aggregate minus the min month, the
+    attached arm the full aggregate — green = the metadata-move
+    layer preserves exactly the parked rows (and ONLY those: the
+    surviving months' values must match the oracle byte-for-byte).
+
+    The testdata's events span a single month, so this build spreads
+    ts across three months deterministically (+32 days x user_id%3 —
+    day arithmetic on both sides; month arithmetic would invite
+    end-of-month clamp divergence). Each arm is eagerly materialized
+    BEFORE the next statement runs (the reads are lazy; without the
+    checkpoint both arms would see the final attached state), and
+    each arm RAISES if the detached month is (still/already)
+    visible — a silent no-op DETACH/ATTACH must fail loudly, not
+    hash-match by accident."""
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+    from clickhouse_observability_spark.sources import index_store as IX
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    path = IX.artifact_path(sf_dir, "ch_logs_lifecycle",
+                            source_table="events")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LogsTable(spark, path)
+    t.init_schema()
+    ev = table(spark, sf_dir, "events")
+    t.insert(
+        ev.select(
+            F.expr("timestampadd(DAY, 32 * CAST(user_id % 3 AS INT), ts)")
+            .alias("ts"),
+            F.col("event_type").alias("service"),
+            F.lit("INFO").alias("level"),
+            F.col("props").alias("msg"),
+            F.col("props").alias("attrs"),
+            F.col("user_id").cast("string").alias("trace_id"),
+            F.col("event_id").cast("string").alias("span_id"),
+        )
+    )
+    months = sorted(
+        r.month for r in t.read().select("month").distinct().collect()
+    )
+    first = int(months[0])
+
+    def arm(tag):
+        df = ch_sql(
+            spark,
+            "SELECT month, service, count() AS n, "
+            "sum(length(msg)) AS sum_len FROM logs "
+            "GROUP BY month, service",
+            logs=t,
+        ).select(
+            F.lit(tag).alias("op"),
+            F.col("month").cast("long").alias("month"),
+            "service", "n", "sum_len",
+        )
+        return df.localCheckpoint(eager=True)
+
+    ch_sql(spark, f"ALTER TABLE logs DETACH PARTITION {first}", logs=t)
+    det = arm("detached")
+    if det.filter(F.col("month") == first).count() != 0:
+        raise RuntimeError(
+            f"lifecycle_partition_panel: month {first} still visible "
+            "after DETACH PARTITION")
+    ch_sql(spark, f"ALTER TABLE logs ATTACH PARTITION {first}", logs=t)
+    att = arm("attached")
+    if att.filter(F.col("month") == first).count() == 0:
+        raise RuntimeError(
+            f"lifecycle_partition_panel: month {first} missing "
+            "after ATTACH PARTITION")
+    return det.unionByName(att)

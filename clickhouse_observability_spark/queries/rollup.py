@@ -69,6 +69,60 @@ def rollup_day_type_panel(spark, sf_dir):
     return per_type.unionByName(all_types)
 
 
+@register(
+    "rollup_topk_counts",
+    oracle="""
+    WITH c AS (
+        SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+               event_type, user_id, count(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ), rk AS (
+        SELECT bucket_ts, event_type, n,
+               row_number() OVER (
+                   PARTITION BY bucket_ts, event_type
+                   ORDER BY n DESC, user_id) AS rank,
+               sum(n) OVER (PARTITION BY bucket_ts, event_type) AS cnt
+        FROM c
+    )
+    SELECT bucket_ts, event_type, cnt, rank, n AS n_events
+    FROM rk WHERE rank <= 3
+    """,
+)
+def rollup_topk_counts(spark, sf_dir):
+    """The TIE-INVARIANT projection of `rollup_topk_users`, oracle-
+    adjudicated (r8, verdict #3): per (day, event_type), the count
+    VALUES at ranks 1-3 from the mergeable top-k state (hour states
+    -> day merge -> estimate) vs DuckDB's exact re-aggregation.
+
+    user_id is deliberately DROPPED: testdata has 100+ groups with a
+    count tie spanning the rank-3 boundary, where the frequent-items
+    sketch's returned identity is legitimately engine-specific. The
+    sorted count multiset is identical under every tie choice, so
+    this entry hash-adjudicates the whole state path (capacity 100 >
+    max 67 distinct users/group at sf0.01 -> counts exact) while the
+    identity-bearing entry stays rows-only with its pytest pins."""
+    ev = table(spark, sf_dir, "events")
+    fine = R.build_rollup(ev, "hour", ("event_type",), topk_col="user_id")
+    day = R.merge_states(fine, ("event_type",), "day")
+    fin = R.finalize(day, topk_k=3)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket_ts", "event_type").orderBy(
+        F.col("n_events").desc())
+    return (
+        fin.select(
+            "bucket_ts", "event_type", "cnt",
+            F.explode("top_items_est").alias("e"),
+        )
+        .select(
+            "bucket_ts", "event_type", "cnt",
+            F.col("e.count").alias("n_events"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .select("bucket_ts", "event_type", "cnt", "rank", "n_events")
+    )
+
+
 @register("rollup_topk_users")
 def rollup_topk_users(spark, sf_dir):
     """Top-3 most active users per (day, event_type), answered from

@@ -79,11 +79,19 @@ def _except_user_days(spark, sf_dir):
     return pairs("click").exceptAll(pairs("purchase")).distinct()
 
 
-# Rows-only since r4: the EXCEPT semantics are adjudicated inside
-# setop_union_intersect_users' op-tagged panel; the standalone entry
-# stays registered, its oracle slot freed for a previously
-# unadjudicated entry (text_pack_chunks et al.).
-@register("setop_except_user_days")
+# Oracle restored r8 (verdict #3): the driver window slot stayed with
+# the op-tagged panel, but the registry-wide CI gate adjudicates every
+# oracle entry each run.
+@register(
+    "setop_except_user_days",
+    oracle="""
+    SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day FROM events
+    WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
 def setop_except_user_days(spark, sf_dir):
     """(user, day) pairs with clicks but no purchase that day —
     fine-grained EXCEPT that stays non-degenerate at every sf."""

@@ -359,6 +359,34 @@ def sim_knn_join(spark, sf_dir):
     )
 
 
+@register(
+    "sim_knn_join_exact",
+    oracle="""
+    SELECT query_id, rank, vec_id, cosine FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]), 6) DESC,
+                            e.vec_id ASC
+               ) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+    ) WHERE rank <= 10
+    """,
+)
+def sim_knn_join_exact(spark, sf_dir):
+    """Exact cosine k-NN SELF-JOIN (every vector's top-10), oracle-
+    adjudicated (r8, verdict #3) — the cross-engine-provable anchor
+    for `sim_knn_join`'s LSH scale path. Documented O(n²): run the
+    LSH entry at scale; this one proves the join semantics. Ranks
+    are over 6dp-rounded cosine (vec_id tie-break) on BOTH sides so
+    float summation order cannot flip a boundary rank."""
+    return S.knn_join_exact(table(spark, sf_dir, "embeddings"), k=10)
+
+
 @register("sim_neardup_clusters")
 def sim_neardup_clusters(spark, sf_dir):
     """SEMANTIC dedup keep-list (r4): embedding near-dup pairs (the

@@ -93,13 +93,38 @@ def text_lang_id(spark, sf_dir):
 
 
 
-# Rows-only since r3: adjudicated inside text_fingerprints' merged
-# panel; the standalone operator entry stays registered.
-@register("text_winnowing")
+# Oracle restored r8 (verdict #3): the driver window slot stayed with
+# text_fingerprints' merged panel, but the registry-wide CI gate
+# adjudicates every oracle entry each run. The oracle's positions are
+# 1-based (range + substring) and Spark's are 0-based — the
+# `WHERE pos >= window-1` guard is offset accordingly on each side.
+@register(
+    "text_winnowing",
+    oracle=rf"""
+    WITH gl AS (
+        SELECT doc_id,
+               [md5(substring({_NORM}, i, 5))
+                FOR i IN range(1, greatest(length({_NORM}) - 4, 0) + 1)] AS gs
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) AS pos FROM gl
+    ),
+    sel AS (
+        SELECT doc_id, pos,
+               min(g) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ) AS fp
+        FROM grams
+    )
+    SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp
+    FROM sel WHERE pos >= 4 GROUP BY doc_id
+    """,
+)
 def text_winnowing(spark, sf_dir):
     """Winnowing fingerprint (k=5 char-grams, window=4) — map-only
-    per-doc array math since r3 (no explode/window shuffle); values
-    adjudicated inside text_fingerprints' merged oracle panel and
+    per-doc array math since r3 (no explode/window shuffle); also
     pinned doc-for-doc against a python reference in pytest."""
     return TX.winnowing_fingerprints(table(spark, sf_dir, "documents"), k=5, window=4)
 

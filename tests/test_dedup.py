@@ -275,6 +275,30 @@ def test_components_chain_converges_in_log_rounds(spark):
     assert got == {i: 0 for i in range(61)}
 
 
+def test_components_free_superseded_checkpoints(spark):
+    """r7 verdict #2: each fixpoint round localCheckpoints 1-2 frames;
+    superseded rounds' blocks must be freed eagerly, not left for
+    driver GC — after the call only the RETURNED frame's blocks (plus
+    whatever was persisted before the call) may remain."""
+    from clickhouse_observability_spark.operators.dedup import (
+        _persisted_rdd_ids,
+        neardup_components,
+    )
+
+    sc = spark.sparkContext
+    before = _persisted_rdd_ids(sc)
+    edges = [(i, i + 1) for i in range(60)]  # many rounds (path graph)
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    labels = neardup_components(pairs, max_iterations=10)
+    leaked = _persisted_rdd_ids(sc) - before
+    # one surviving checkpoint backs the returned frame; everything
+    # else (2 frames x ~7 rounds without the fix) must be gone
+    assert len(leaked) <= 1, f"orphaned checkpoint blocks: {leaked}"
+    # and the survivor is still readable (we freed nothing live)
+    assert {r.doc_id: r.component_id for r in labels.collect()} == {
+        i: 0 for i in range(61)}
+
+
 def test_components_nonconvergence_raises(spark):
     import pytest as _pytest
 

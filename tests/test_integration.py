@@ -185,10 +185,7 @@ def test_adjudication_window_composition():
     # r5 rotations: flagship entries now under the driver's gate
     for flagship in (
         "tpch_q21_waiting_suppliers",
-        "behavior_window_funnel",
-        "text_epoch_shards",
         "agg_grouping_panel",
-        "window_rank_panel",
         "dedup_jaccard_panel",
         "tpch_scalar_panel",
         "dedup_exact_panel",
@@ -212,7 +209,6 @@ def test_adjudication_window_composition():
         # semantic decontamination, the clustering keep-list, the
         # asof variant matrix, and two more TPC-H flagships
         "agg_shapes_panel",
-        "setop_dedup_user_panel",
         "asof_variants_panel",
         "text_guard_panel",
         "text_mix_panel",
@@ -222,6 +218,19 @@ def test_adjudication_window_composition():
         "dedup_cluster_keeplist",
         "tpch_q8_market_share",
         "tpch_q2_min_cost_supplier",
+        # r8 rotation: the dialect's end-to-end path, the r7 operators'
+        # first independent adjudication, partition lifecycle, and four
+        # fresh TPC-H shapes
+        "ch_dialect_hourly_panel",
+        "text_chunk_overlap",
+        "text_stratified_sample",
+        "behavior_retention",
+        "dedup_span_removal",
+        "lifecycle_partition_panel",
+        "tpch_q9_product_profit",
+        "tpch_q13_order_distribution",
+        "tpch_q18_large_orders",
+        "tpch_q20_excess_shippers",
     ):
         assert flagship in registry._WINDOW_ORDER, flagship
     # merged-away entries keep their oracles (no semantics dropped)
@@ -263,6 +272,24 @@ def test_adjudication_window_composition():
         "text_c4_filters",
         "text_domain_mix",
         "text_corpus_stats",
+        # r8 rotation-outs: multi-round driver-green, oracles retained
+        # under the CI registry gate
+        "logs_count",
+        "agg_latency_percentiles",
+        "tpch_q3_shipping",
+        "tpch_q4_order_priority",
+        "join_semi_anti_customers",
+        "window_rank_panel",
+        "setop_dedup_user_panel",
+        "text_quality_sample",
+        "behavior_window_funnel",
+        "text_epoch_shards",
+        # r8 oracle restorations / additions (verdict #3)
+        "agg_value_stats",
+        "setop_except_user_days",
+        "text_winnowing",
+        "sim_knn_join_exact",
+        "rollup_topk_counts",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
