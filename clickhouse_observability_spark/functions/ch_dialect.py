@@ -2726,6 +2726,74 @@ _TTL_REMOVE_RE = re.compile(
     re.IGNORECASE,
 )
 
+# CH schema evolution: metadata-only column DDL
+# (sources/schema_evolution.py). ADD COLUMN's tail is token-parsed
+# (types carry parens; DEFAULT is a full expression).
+_ADD_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+"
+    r"(IF\s+EXISTS\s+)?(\w+)\s*$",
+    re.IGNORECASE,
+)
+_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+"
+    r"(\w+)\s+TO\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_MODIFY_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+COLUMN\s+(\w+)\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENT_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+COMMENT\s+COLUMN\s+(\w+)\s+"
+    r"'((?:[^']|'')*)'\s*$",
+    re.IGNORECASE,
+)
+
+
+def _split_add_column_tail(tail: str) -> tuple[str, str | None, str | None]:
+    """`<type> [DEFAULT expr] [COMMENT 'x']` -> (type, default_sql,
+    comment). Token-level so a DEFAULT string literal can't spoof the
+    COMMENT clause and vice versa; DEFAULT expressions pass through
+    the dialect's expression translator (CH vocabulary allowed)."""
+    toks = _tokenize(tail)
+    lows = [t.lower() for t in toks]
+    d = 0
+    def_start = com_start = None
+    for i, t in enumerate(toks):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and not _is_string(t):
+            if lows[i] == "default" and def_start is None:
+                def_start = i
+            elif lows[i] == "comment" and com_start is None:
+                com_start = i
+    end = len(toks)
+    comment = None
+    if com_start is not None:
+        if (com_start + 1 >= len(toks)
+                or not _is_string(toks[com_start + 1])):
+            raise ChDialectError("COMMENT needs a string literal")
+        comment = _string_value(toks[com_start + 1])
+        end = com_start
+    default = None
+    if def_start is not None:
+        if def_start + 1 >= end:
+            raise ChDialectError("DEFAULT needs an expression")
+        default = _mutation_expr(toks[def_start + 1:end])
+        end = def_start
+    ch_type = " ".join(toks[:end])
+    if not ch_type:
+        raise ChDialectError("ADD COLUMN needs a type")
+    return ch_type, default, comment
+
+
 # CH mutations: ALTER TABLE t DELETE WHERE ... / UPDATE a=b WHERE ...,
 # plus the lightweight-delete form DELETE FROM t WHERE ...
 _ALTER_MUT_RE = re.compile(
@@ -2861,6 +2929,9 @@ def _rewrite_system_tables(spark, sql, logs, query_log):
         from clickhouse_observability_spark.schema import LOGS_SCHEMA
         rows = [("logs", f.name, f.dataType.simpleString(), pos + 1)
                 for pos, f in enumerate(LOGS_SCHEMA.fields)]
+        rows += [("logs", c["name"], c["spark_type"],
+                  len(rows) + i + 1)
+                 for i, c in enumerate(logs.schema_ext.columns)]
         local_df(
             spark, rows,
             "table string, name string, type string, position int",
@@ -3145,6 +3216,9 @@ def ch_sql(
             "  level LowCardinality(String), msg String, attrs String,",
             "  trace_id String, span_id String",
         ]
+        for line in logs.schema_ext.ddl_clauses():
+            parts[-1] += ","
+            parts.append(line)
         for mv in logs.materialized_views:
             if not mv.spec.get("projection"):
                 continue
@@ -3251,6 +3325,54 @@ def ch_sql(
         if mt.group(1).lower() != "logs" or logs is None:
             raise ChDialectError("REMOVE TTL supported for `logs` only")
         set_table_ttl(logs.path, None)
+        return 0
+
+    # -- schema evolution: metadata-only column DDL -------------------
+    for rex in (_ADD_COL_RE, _DROP_COL_RE, _RENAME_COL_RE,
+                _COMMENT_COL_RE, _MODIFY_COL_RE):
+        mcol = rex.match(sql)
+        if mcol is None:
+            continue
+        tname = mcol.group(1)
+        if tname.lower() != "logs" or logs is None:
+            raise ChDialectError("column DDL supported for `logs` only")
+        ext = logs.schema_ext
+        try:
+            if rex is _ADD_COL_RE:
+                _, ine, name, tail = mcol.groups()
+                ch_type, default, comment = _split_add_column_tail(tail)
+                ext.add_column(name, ch_type, default=default,
+                               if_not_exists=bool(ine), comment=comment)
+            elif rex is _DROP_COL_RE:
+                _, ie, name = mcol.groups()
+                ext.drop_column(name, if_exists=bool(ie))
+            elif rex is _RENAME_COL_RE:
+                _, old, new = mcol.groups()
+                ext.rename_column(old, new)
+            elif rex is _COMMENT_COL_RE:
+                _, name, comment = mcol.groups()
+                ext.comment_column(name, comment.replace("''", "'"))
+            else:  # MODIFY COLUMN: DEFAULT changes only (metadata-
+                # only in CH too); a TYPE change rewrites every part
+                # in CH and is refused honestly here
+                _, name, tail = mcol.groups()
+                toks = _tokenize(tail)
+                lows = [t.lower() for t in toks]
+                if lows[:2] == ["remove", "default"] and len(toks) == 2:
+                    ext.modify_default(name, None)
+                elif lows and lows[0] == "default":
+                    ext.modify_default(
+                        name, _mutation_expr(toks[1:]))
+                else:
+                    raise ChDialectError(
+                        "MODIFY COLUMN supports DEFAULT <expr> / "
+                        "REMOVE DEFAULT only; a type change rewrites "
+                        "every part in ClickHouse and is refused "
+                        "rather than silently cast on read (DROP + "
+                        "ADD under a new name is the explicit "
+                        "two-step)")
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
         return 0
 
     mm = _ALTER_MUT_RE.match(sql)
@@ -3380,7 +3502,9 @@ def ch_sql(
     if table_name.lower() != "logs" or logs is None:
         raise ChDialectError("INSERT supported into `logs` only")
     cols = [c.strip() for c in col_list.split(",")]
-    unknown = [c for c in cols if c not in _LOGS_DEFAULTS]
+    ext_cols = {c["name"]: c for c in logs.schema_ext.columns}
+    unknown = [c for c in cols
+               if c not in _LOGS_DEFAULTS and c not in ext_cols]
     if unknown:
         raise ChDialectError(f"unknown logs columns: {unknown}")
     tuples, i = [], 0
@@ -3396,6 +3520,10 @@ def ch_sql(
             i += 1
     if not tuples:
         raise ChDialectError("INSERT with no VALUES tuples")
+    # evolved columns named in the INSERT are written with the block
+    # (cast to their declared type); omitted ones cost nothing and
+    # serve their DEFAULT on read (CH's metadata-only semantics)
+    given_ext = [c for c in cols if c in ext_cols]
     selects = []
     for tup in tuples:
         given = dict(zip(cols, tup))
@@ -3405,6 +3533,9 @@ def ch_sql(
             if c == "ts":
                 e = f"CAST({e} AS TIMESTAMP)"
             exprs.append(f"{e} AS {c}")
+        for c in given_ext:
+            exprs.append(
+                f"CAST({given[c]} AS {ext_cols[c]['spark_type']}) AS {c}")
         selects.append("SELECT " + ", ".join(exprs))
     batch = spark.sql(" UNION ALL ".join(selects))
     logs.insert(batch)

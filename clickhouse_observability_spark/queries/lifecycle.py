@@ -304,3 +304,73 @@ def lifecycle_partition_panel(spark, sf_dir):
             f"lifecycle_partition_panel: month {first} missing "
             "after ATTACH PARTITION")
     return det.unionByName(att)
+
+
+@register(
+    "lifecycle_schema_evolution_panel",
+    oracle=f"""
+    WITH logs AS ({_LOGS_CTE}),
+    evolved AS (
+        SELECT service, level, 'e-' || service AS env FROM logs
+        UNION ALL
+        SELECT 'ingest-2' AS service, 'INFO' AS level, 'fresh' AS env
+        FROM events WHERE event_type = 'click'
+    ),
+    mutated AS (
+        SELECT service,
+               CASE WHEN level = 'ERROR' THEN 'mut' ELSE env END AS env
+        FROM evolved
+    )
+    SELECT service, env AS environment, count(*) AS n
+    FROM mutated GROUP BY 1, 2
+    """,
+)
+def lifecycle_schema_evolution_panel(spark, sf_dir):
+    """CH schema evolution end-to-end under the driver's gate (r8):
+    ALTER TABLE ADD COLUMN with a DEFAULT referencing another column
+    (old files serve it on READ — metadata-only, zero rewrite), an
+    INSERT that writes the evolved column explicitly, an UPDATE
+    mutation that both ASSIGNS the evolved column and MATERIALIZES
+    it into the rewritten files, then RENAME COLUMN (old physical
+    names keep serving through the alias chain). The oracle folds
+    the whole sequence algebraically over `events`, so a green row
+    proves default-on-read, explicit write, mutation
+    materialization, and rename continuity all at once
+    (sources/schema_evolution.py; CH ADD COLUMN semantics)."""
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+
+    t = _build_logs_from_events(spark, sf_dir, "ch_logs_schema_evo")
+    ch_sql(spark, "ALTER TABLE logs ADD COLUMN env String DEFAULT "
+           "concat('e-', service)", logs=t)
+    t = _reload(spark, t)  # metadata round-trips through the sidecar
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click")
+    t.insert(
+        ev.select(
+            F.col("ts"),
+            F.lit("ingest-2").alias("service"),
+            F.lit("INFO").alias("level"),
+            F.col("props").alias("msg"),
+            F.col("props").alias("attrs"),
+            F.col("user_id").cast("string").alias("trace_id"),
+            F.col("event_id").cast("string").alias("span_id"),
+            F.lit("fresh").alias("env"),
+        )
+    )
+    ch_sql(spark, "ALTER TABLE logs UPDATE env = 'mut' "
+           "WHERE level = 'ERROR'", logs=t)
+    ch_sql(spark, "ALTER TABLE logs RENAME COLUMN env TO environment",
+           logs=t)
+    t = _reload(spark, t)
+    return ch_sql(
+        spark,
+        "SELECT service, environment, count() AS n FROM logs "
+        "GROUP BY service, environment",
+        logs=t,
+    )
+
+
+def _reload(spark, t):
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    return LogsTable(spark, t.path)

@@ -74,7 +74,6 @@ _WINDOW_ORDER = [
     "tpch_q5_nation_revenue",
     "tpch_scalar_panel",
     "join_interval_error_bursts",
-    "window_session_panel",
     "join_trace_correlation",
     # r7: asof_click_before_purchase + asof_general_join merged into
     # the FULL variant matrix (forward/strict/inner arms adjudicated
@@ -137,6 +136,11 @@ _WINDOW_ORDER = [
     "tpch_q13_order_distribution",
     "tpch_q18_large_orders",
     "tpch_q20_excess_shippers",
+    # r8 wave 3: schema evolution adjudicated end-to-end (ADD COLUMN
+    # default-on-read, explicit write, mutation materialization,
+    # RENAME alias continuity) — window_session_panel rotated out
+    # (multi-round green, 11.5k-row result; CI gate keeps it).
+    "lifecycle_schema_evolution_panel",
 ]
 
 

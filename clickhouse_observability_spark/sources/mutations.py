@@ -86,11 +86,16 @@ def apply_mutation(
                 f"cannot UPDATE key columns {bad}: ts derives the month "
                 f"partition and service leads the sort order (ClickHouse "
                 f"refuses key-column updates for the same reason)")
-        unknown = [c for c in assignments if c not in LOGS_COLUMNS]
+    table = LogsTable(spark, path)
+    # logical column set = reference DDL + evolved columns (ALTER
+    # TABLE ADD COLUMN); a rewrite MATERIALIZES evolved values into
+    # the replaced files (CH: mutations materialize defaults)
+    logical_cols = list(LOGS_COLUMNS) + table.schema_ext.names()
+    if assignments is not None:
+        unknown = [c for c in assignments if c not in logical_cols]
         if unknown:
             raise ValueError(f"unknown logs columns: {unknown}")
 
-    table = LogsTable(spark, path)
     pred = F.expr(predicate_sql)
 
     # one pruned scan: affected months + matched-row count. Filter and
@@ -121,7 +126,7 @@ def apply_mutation(
             out = df.filter(~matched_pred)
         else:
             cols = []
-            for c in LOGS_COLUMNS:
+            for c in logical_cols:
                 if c in assignments:
                     cols.append(
                         F.when(matched_pred, F.expr(assignments[c]))
@@ -141,7 +146,7 @@ def apply_mutation(
 
         with parquet_ts_micros(spark):
             (
-                out.select(*LOGS_COLUMNS, PARTITION_COLUMN)
+                out.select(*logical_cols, PARTITION_COLUMN)
                 .sortWithinPartitions(PARTITION_COLUMN, "service", "ts")
                 .write.mode("overwrite")
                 .partitionBy(PARTITION_COLUMN)

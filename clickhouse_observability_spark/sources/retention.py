@@ -197,7 +197,22 @@ def compact_partition(
 
     part_dir = os.path.join(path, f"{PARTITION_COLUMN}={month}")
     files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-    df = spark.read.parquet(part_dir).select([c for c in LOGS_COLUMNS if c != PARTITION_COLUMN])
+    # widened read + overlay: evolved columns (ALTER TABLE ADD
+    # COLUMN) are MATERIALIZED into the compacted files instead of
+    # silently dropped (CH: merges materialize column defaults)
+    from pyspark.sql import types as T
+
+    from clickhouse_observability_spark.schema import LOGS_SCHEMA
+    from clickhouse_observability_spark.sources.schema_evolution import (
+        SchemaExt,
+    )
+
+    ext = SchemaExt(path)
+    df = ext.overlay(
+        spark.read.schema(
+            T.StructType(LOGS_SCHEMA.fields + ext.read_fields())
+        ).parquet(part_dir)
+    )
     if deduplicate:
         # CH `OPTIMIZE ... DEDUPLICATE`: drop FULLY identical rows
         # during the merge (all columns equal). One extra shuffle on

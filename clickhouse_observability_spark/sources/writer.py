@@ -129,6 +129,13 @@ class LogsTable:
         self.materialized_views: list[MaterializedView] = (
             MaterializedView.load_all(spark, path)
         )
+        # evolved columns (ALTER TABLE ADD/DROP/RENAME COLUMN):
+        # metadata sidecar, absent on most tables (one stat call)
+        from clickhouse_observability_spark.sources.schema_evolution import (
+            SchemaExt,
+        )
+
+        self.schema_ext = SchemaExt(path)
 
     # -- S2: DDL bootstrap (db.go:39-57) --------------------------------
     def init_schema(self) -> None:
@@ -154,7 +161,9 @@ class LogsTable:
         materialize before a self-referential append) — skip the
         trigger-path checkpoint so the rows aren't copied twice, and
         leave unpersisting to the owner."""
-        block = df.select(*LOGS_COLUMNS)
+        block = df.select(
+            *LOGS_COLUMNS, *self.schema_ext.write_columns(df)
+        )
         if not self.materialized_views:
             self._write(block, mode="append")
             return
@@ -224,13 +233,22 @@ class LogsTable:
     def read(self) -> DataFrame:
         """Scan with the declared schema (the table has a fixed DDL,
         db.go:41-49) — no inference listing, and an empty table reads
-        as zero rows instead of failing."""
+        as zero rows instead of failing. Evolved columns (ALTER TABLE
+        ADD COLUMN — metadata-only, CH-style) widen the scan schema
+        by their stored physical names and materialize on read as
+        `coalesce(stored, aliases..., default)`: files predating a
+        column serve its DEFAULT, files predating a RENAME serve the
+        old physical name (sources/schema_evolution.py)."""
         from pyspark.sql import types as T
 
         full = T.StructType(
-            LOGS_SCHEMA.fields + [T.StructField(PARTITION_COLUMN, T.IntegerType())]
+            LOGS_SCHEMA.fields
+            + self.schema_ext.read_fields()
+            + [T.StructField(PARTITION_COLUMN, T.IntegerType())]
         )
-        return self.spark.read.schema(full).parquet(self.path)
+        return self.schema_ext.overlay(
+            self.spark.read.schema(full).parquet(self.path)
+        )
 
     def parts(self) -> list[dict]:
         """`system.parts` analogue: one row per at-rest parquet file

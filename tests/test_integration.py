@@ -189,7 +189,6 @@ def test_adjudication_window_composition():
         "dedup_jaccard_panel",
         "tpch_scalar_panel",
         "dedup_exact_panel",
-        "window_session_panel",
         "rollup_day_type_panel",
         "agg_ch_functions_panel",
         "text_dsir_weights",
@@ -231,6 +230,7 @@ def test_adjudication_window_composition():
         "tpch_q13_order_distribution",
         "tpch_q18_large_orders",
         "tpch_q20_excess_shippers",
+        "lifecycle_schema_evolution_panel",
     ):
         assert flagship in registry._WINDOW_ORDER, flagship
     # merged-away entries keep their oracles (no semantics dropped)
@@ -290,6 +290,7 @@ def test_adjudication_window_composition():
         "text_winnowing",
         "sim_knn_join_exact",
         "rollup_topk_counts",
+        "window_session_panel",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
