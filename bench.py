@@ -106,6 +106,9 @@ HEADLINE = [
     ("dedup_cluster_keeplist", "noop"),
     ("text_chunk_overlap", "noop"),
     ("pipeline_chunked_bm25", "collect"),
+    # r8 additions — reported, excluded from total
+    ("text_weighted_sample_topk", "collect"),
+    ("lifecycle_schema_evolution_panel", "collect"),
 ]
 
 # The driver's r4 capture, min-of-3 per query (the judge-verified
@@ -625,6 +628,8 @@ def _run_bench() -> None:
         "dedup_cluster_keeplist",
         "text_chunk_overlap",
         "pipeline_chunked_bm25",
+        "text_weighted_sample_topk",  # r8 additions: reported, not summed
+        "lifecycle_schema_evolution_panel",
     }
     media = _media_decode_bench(spark)
 

@@ -1025,6 +1025,60 @@ def pack_training_chunks_grouped(
     )
 
 
+def quality_weight(scale: float = 1.0) -> Column:
+    """The [0,1] quality-proxy weight shared by the sampling
+    operators: stopword share capped at 0.5 (×2), zeroed outside the
+    sane length window, scaled and rounded to 6dp (the rounding makes
+    the weight a cross-engine-exact rational)."""
+    n_tokens = F.size(tokens("text"))
+    sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(
+        F.filter(tokens("text"), lambda t: F.array_contains(sw, F.lower(t)))
+    )
+    raw_w = F.when(
+        (n_tokens >= 5) & (n_tokens <= 100000),
+        F.least(F.lit(1.0), n_stop * 2.0 / n_tokens),
+    ).otherwise(F.lit(0.0))
+    return F.least(F.lit(1.0), F.round(raw_w * scale, 6))
+
+
+def weighted_sample_without_replacement(
+    documents: DataFrame, k: int, scale: float = 1.0
+) -> DataFrame:
+    """EXACT-k weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): give every doc the key
+    ``-ln(u)/w`` (u uniform in (0,1], w its weight) and keep the k
+    SMALLEST keys — provably a weighted sample without replacement,
+    and the standard distributed formulation (one pass, no reservoir
+    state, no rejection loop; Bernoulli `quality_weighted_sample`
+    can't hit an exact count and `stratified_sample` can't weight
+    WITHIN a stratum — this is the third corner of the sampling
+    triad).
+
+    Deterministic across engines: u derives from the md5-fraction
+    idiom ((frac+1)/16^6, exactly representable), the key is rounded
+    to 6dp before ranking with a doc_id tie-break, so a sub-1e-6
+    libm ln() difference cannot flip the selection. Zero-weight docs
+    are excluded (they must never be sampled; -ln(u)/0 would be
+    Inf/NaN-ordering trouble on both engines).
+
+    Shape at scale: map-only key computation + ONE fused global
+    top-k (TakeOrderedAndProject — k rows to the driver-side stage,
+    never a full sort), identical to the engine's other top-k paths.
+    """
+    weight = quality_weight(scale)
+    frac_int = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    u = (frac_int + F.lit(1)) / F.lit(float(16**6))
+    keyed = documents.select(
+        "doc_id",
+        weight.alias("weight"),
+        F.round(-F.log(u) / weight, 6).alias("es_key"),
+    ).filter(F.col("weight") > 0)
+    return keyed.orderBy("es_key", "doc_id").limit(k)
+
+
 def quality_weighted_sample(
     documents: DataFrame, scale: float = 1.0
 ) -> DataFrame:
@@ -1039,16 +1093,7 @@ def quality_weighted_sample(
     The weight here is a simple quality proxy (stopword-coverage ×
     length window); swap in a model score column at will — the
     sampling math is the deliverable. Map-only."""
-    n_tokens = F.size(tokens("text"))
-    sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.filter(tokens("text"), lambda t: F.array_contains(sw, F.lower(t))))
-    # weight in [0,1]: stopword share capped at 0.5 (×2), zeroed
-    # outside the sane length window
-    raw_w = F.when(
-        (n_tokens >= 5) & (n_tokens <= 100000),
-        F.least(F.lit(1.0), n_stop * 2.0 / n_tokens),
-    ).otherwise(F.lit(0.0))
-    weight = F.least(F.lit(1.0), F.round(raw_w * scale, 6))
+    weight = quality_weight(scale)
     # acceptance decided in INTEGER space on both engines: first 6 md5
     # hex chars as an int vs floor(weight * 16^6) — no float-compare
     # boundary ambiguity

@@ -331,3 +331,39 @@ def text_c4_filters(spark, sf_dir):
           for c in ("n_lines", "n_kept_lines", "n_sentences", "clean_len")],
         "flag_no_lorem", "flag_no_brace", "flag_min_sentences", "passes_c4",
     )
+
+
+@register(
+    "text_weighted_sample_topk",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000
+                    THEN least(1.0, round(least(1.0,
+                         len(list_filter({_TOKS}, x -> list_contains(
+                             ['the','a','of','and','to','in','is'], lower(x))))
+                         * 2.0 / len({_TOKS})), 6))
+                    ELSE 0.0 END AS weight
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, weight,
+               round(-ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 6))
+                          ::BIGINT + 1) / 16777216.0) / weight, 6) AS es_key
+        FROM w WHERE weight > 0
+    )
+    SELECT doc_id, weight, es_key FROM keyed
+    ORDER BY es_key, doc_id LIMIT 200
+    """,
+)
+def text_weighted_sample_topk(spark, sf_dir):
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES, r8): the k=200 docs with the smallest -ln(u)/w
+    keys — the third corner of the sampling triad (Bernoulli
+    per-doc / exact-k per-stratum / exact-k weighted). Deterministic
+    md5 uniforms, 6dp-rounded keys with doc_id tie-break on BOTH
+    engines, so the selection is cross-engine exact; the plan is
+    map-only keys + one fused TakeOrderedAndProject."""
+    return TX.weighted_sample_without_replacement(
+        table(spark, sf_dir, "documents"), k=200
+    )

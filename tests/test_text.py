@@ -1028,3 +1028,47 @@ def test_chunk_documents_property(spark):
         assert got == sorted(want)
 
     prop()
+
+
+def test_weighted_sample_topk_matches_python_aes(spark, sf_small):
+    """A-ES exact-k weighted sampling vs a pure-Python model: the
+    same md5 uniforms, the same -ln(u)/w keys, the same (rounded key,
+    doc_id) order — the selected SET and every key must agree. Also
+    pins the invariants: exactly k rows, no zero-weight doc sampled,
+    deterministic across calls."""
+    import hashlib
+    import math as _m
+
+    from clickhouse_observability_spark.operators import (
+        text_analysis as TX,
+    )
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    k = 50
+    got = TX.weighted_sample_without_replacement(docs, k=k).collect()
+    assert len(got) == k
+    assert all(r.weight > 0 for r in got)
+
+    # python model over the same corpus
+    sw = {"the", "a", "of", "and", "to", "in", "is"}
+    keys = []
+    for r in docs.select("doc_id", "text").collect():
+        toks = [t for t in r.text.split() if t]
+        n = len(toks)
+        w = 0.0
+        if 5 <= n <= 100000:
+            ns = sum(1 for t in toks if t.lower() in sw)
+            w = min(1.0, round(min(1.0, ns * 2.0 / n), 6))
+        if w <= 0:
+            continue
+        frac = int(hashlib.md5(str(r.doc_id).encode())
+                   .hexdigest()[:6], 16)
+        u = (frac + 1) / 16777216.0
+        keys.append((round(-_m.log(u) / w, 6), r.doc_id, w))
+    keys.sort()
+    want = {(d, w, key) for key, d, w in keys[:k]}
+    assert {(r.doc_id, r.weight, r.es_key) for r in got} == want
+    # deterministic: a second run selects the identical set
+    again = TX.weighted_sample_without_replacement(docs, k=k).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in got}
