@@ -193,6 +193,28 @@ def _media_decode_bench(spark) -> dict[str, float]:
         out[f"media_decode_mb_per_sec_{fmt}"] = round(mb / (time.time() - t0), 3)
         df.unpersist()
 
+    # r8: realistic-size JPEG (256x256) — the 64x48 metric above is
+    # dominated by per-task dispatch overhead at ~4.7 KB payloads;
+    # this one reflects actual codec throughput (the r8 bit-reader
+    # rework — accumulator masking, 8-bit Huffman LUT, batched
+    # receive — took the codec from 0.011 to ~0.8 MB/s per core).
+    rows = [
+        (i, "image", bytearray(encode_jpeg(gradient(256, 256, i),
+                                           quality=85)), 256, 256,
+         None, None)
+        for i in range(8)
+    ]
+    mb = sum(len(r[2]) for r in rows) / 1e6
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8).cache()
+    df.count()
+    t0 = time.time()
+    extract_features(df, fake_decode=False).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["media_decode_mb_per_sec_jpeg_256"] = round(
+        mb / (time.time() - t0), 3)
+    df.unpersist()
+
     # FLAC: 32 one-second-ish mono clips (Rice/fixed-predictor decode)
     from clickhouse_observability_spark.operators.flac import encode_flac
 

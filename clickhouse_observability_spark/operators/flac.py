@@ -48,26 +48,47 @@ class _BitReader:
         self.bitpos = pos * 8
 
     def read(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            byte_i = self.bitpos >> 3
-            if byte_i >= len(self.data):
-                raise ValueError("truncated FLAC bitstream")
-            v = (v << 1) | ((self.data[byte_i] >> (7 - (self.bitpos & 7))) & 1)
-            self.bitpos += 1
-        return v
+        # batched: slice the covering bytes once and extract with two
+        # integer ops (the per-bit loop was the decode hot path —
+        # rice residuals read millions of small fields per track)
+        if n <= 0:
+            return 0
+        bp = self.bitpos
+        end = bp + n
+        first = bp >> 3
+        last = (end + 7) >> 3
+        if last > len(self.data):
+            raise ValueError("truncated FLAC bitstream")
+        chunk = int.from_bytes(self.data[first:last], "big")
+        shift = (last - first) * 8 - (end - (first << 3))
+        self.bitpos = end
+        return (chunk >> shift) & ((1 << n) - 1)
 
     def read_signed(self, n: int) -> int:
         v = self.read(n)
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def unary(self) -> int:
-        q = 0
-        while self.read(1) == 0:
-            q += 1
+        # byte-at-a-time scan for the terminating 1 bit instead of a
+        # per-bit loop (quotients of rice codes are mostly tiny, but
+        # the per-call overhead dominated)
+        data = self.data
+        bp = self.bitpos
+        total = len(data) * 8
+        start = bp
+        while True:
+            if bp >= total:
+                raise ValueError("truncated FLAC bitstream")
+            rem = data[bp >> 3] & (0xFF >> (bp & 7))
+            if rem == 0:
+                bp = (bp | 7) + 1  # skip to next byte boundary
+                continue
+            bp = ((bp >> 3) << 3) + (8 - rem.bit_length())
+            q = bp - start
             if q > 1 << 24:
                 raise ValueError("runaway FLAC unary code")
-        return q
+            self.bitpos = bp + 1  # consume the 1 bit too
+            return q
 
     def align(self) -> None:
         self.bitpos = (self.bitpos + 7) & ~7

@@ -152,7 +152,28 @@ def _dct_matrix() -> np.ndarray:
 _DCT_A = _dct_matrix()
 
 
-def _canonical_codes(counts: tuple, symbols: tuple) -> dict[tuple[int, int], int]:
+class _HuffTable(dict):
+    """(bit length, code) -> symbol for a canonical JPEG Huffman
+    table, plus an 8-bit first-level decode LUT: every 8-bit window
+    whose prefix is a code of length <= 8 maps to (symbol, length),
+    so the overwhelmingly common short codes decode with ONE list
+    index instead of up to 8 dict probes (decode hot path; longer
+    codes fall back to the per-bit probe from length 9)."""
+
+    __slots__ = ("lut8",)
+
+    def __init__(self, mapping: dict[tuple[int, int], int]):
+        super().__init__(mapping)
+        lut: list[tuple[int, int] | None] = [None] * 256
+        for (ln, code), sym in mapping.items():
+            if ln <= 8:
+                base = code << (8 - ln)
+                for i in range(1 << (8 - ln)):
+                    lut[base + i] = (sym, ln)
+        self.lut8 = lut
+
+
+def _canonical_codes(counts: tuple, symbols: tuple) -> "_HuffTable":
     """(bit length, code) -> symbol for a canonical JPEG Huffman table."""
     table: dict[tuple[int, int], int] = {}
     code = 0
@@ -165,7 +186,7 @@ def _canonical_codes(counts: tuple, symbols: tuple) -> dict[tuple[int, int], int
                 raise ValueError("DHT symbol count mismatch") from None
             code += 1
         code <<= 1
-    return table
+    return _HuffTable(table)
 
 
 def _encode_codes(counts: tuple, symbols: tuple) -> dict[int, tuple[int, int]]:
@@ -201,7 +222,13 @@ class _BitReader:
                 raise ValueError("JPEG entropy data ran into marker")
         else:
             self.pos += 1
-        self.bits = (self.bits << 8) | byte
+        # truncate to the live bits BEFORE shifting: without the mask
+        # the accumulator grows by 8 bits per byte for the whole scan
+        # and every shift/extract pays O(scan bytes) bigint arithmetic
+        # (measured: quadratic — 0.01 MB/s on a 87 KB scan)
+        self.bits = (
+            (self.bits & ((1 << self.nbits) - 1)) << 8
+        ) | byte
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -211,14 +238,48 @@ class _BitReader:
         return (self.bits >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        # batched extract; falls back to per-bit when the stream tail
+        # can't prefill n bits (so truncation errors surface exactly
+        # where the per-bit reader would raise them)
+        if n <= 0:
+            return 0
+        if self.nbits < n:
+            try:
+                while self.nbits < n:
+                    self._fill()
+            except ValueError:
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | self.read_bit()
+                return v
+        self.nbits -= n
+        return (self.bits >> self.nbits) & ((1 << n) - 1)
 
-    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for ln in range(1, 17):
+    def decode_huff(self, table: "_HuffTable") -> int:
+        # fast path: one 8-bit window lookup covers every code of
+        # length <= 8 (the common case by construction of JPEG
+        # tables); _fill raising (marker/truncation ahead) falls back
+        # to the per-bit probe, which consumes only the bits the
+        # actual code needs
+        if self.nbits < 8:
+            try:
+                while self.nbits < 8:
+                    self._fill()
+            except ValueError:
+                return self._decode_huff_per_bit(table, 0, 1)
+        window = (self.bits >> (self.nbits - 8)) & 0xFF
+        hit = table.lut8[window]
+        if hit is not None:
+            sym, ln = hit
+            self.nbits -= ln
+            return sym
+        self.nbits -= 8
+        return self._decode_huff_per_bit(table, window, 9)
+
+    def _decode_huff_per_bit(
+        self, table: "_HuffTable", code: int, start_len: int
+    ) -> int:
+        for ln in range(start_len, 17):
             code = (code << 1) | self.read_bit()
             sym = table.get((ln, code))
             if sym is not None:

@@ -58,14 +58,28 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte_i = (self.pos + i) >> 3
-            if byte_i >= len(self.data):
-                raise ValueError("truncated VP8L bitstream")
-            v |= ((self.data[byte_i] >> ((self.pos + i) & 7)) & 1) << i
-        self.pos += n
-        return v
+        # batched LSB-first extract over the covering byte slice (the
+        # per-bit loop was the decode hot path)
+        if n <= 0:
+            return 0
+        pos = self.pos
+        end = pos + n
+        first = pos >> 3
+        last = (end + 7) >> 3
+        if last > len(self.data):
+            raise ValueError("truncated VP8L bitstream")
+        chunk = int.from_bytes(self.data[first:last], "little")
+        self.pos = end
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
+
+    def peek8(self) -> int | None:
+        """Next 8 bits without consuming, or None near the tail."""
+        pos = self.pos
+        last = (pos + 15) >> 3
+        if last > len(self.data):
+            return None
+        chunk = int.from_bytes(self.data[pos >> 3:last], "little")
+        return (chunk >> (pos & 7)) & 0xFF
 
 
 class _BitWriter:
@@ -116,12 +130,43 @@ class _PrefixDecoder:
         }
         if not self.table:
             raise ValueError("empty VP8L prefix code")
+        # 8-bit first-level LUT (decode hot path): window value ->
+        # (symbol, length) for every code of length <= 8. The stream
+        # is LSB-first but code bits are read MSB-of-code-first, so
+        # the code after i+1 bits is the bit-reversed (i+1)-prefix of
+        # the window — simulate the per-bit walk once per window.
+        lut: list[tuple[int, int] | None] = [None] * 256
+        for w in range(256):
+            code = 0
+            for i in range(8):
+                code = (code << 1) | ((w >> i) & 1)
+                sym = self.table.get((i + 1, code))
+                if sym is not None:
+                    lut[w] = (sym, i + 1)
+                    break
+        self.lut8 = lut
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        for ln in range(1, 16):
+        w = br.peek8()
+        if w is not None:
+            hit = self.lut8[w]
+            if hit is not None:
+                sym, ln = hit
+                br.pos += ln
+                return sym
+            # no code of length <= 8 prefixes this window: consume
+            # the 8 bits and continue the per-bit walk from length 9
+            br.pos += 8
+            code = 0
+            for i in range(8):
+                code = (code << 1) | ((w >> i) & 1)
+            return self._decode_per_bit(br, code, 9)
+        return self._decode_per_bit(br, 0, 1)
+
+    def _decode_per_bit(self, br: _BitReader, code: int, start: int) -> int:
+        for ln in range(start, 16):
             code = (code << 1) | br.read(1)
             sym = self.table.get((ln, code))
             if sym is not None:
