@@ -2475,6 +2475,8 @@ _TRUNCATE_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_CHECK_TABLE_RE = re.compile(
+    r"^\s*CHECK\s+TABLE\s+(\w+)\s*$", re.IGNORECASE)
 _FREEZE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+FREEZE"
     r"(?:\s+PARTITION\s+'?(\d+)'?)?"
@@ -3196,6 +3198,25 @@ def ch_sql(
             mv.name for mv in logs.materialized_views
             if not mv.spec.get("projection"))
         return local_df(spark, [(n,) for n in names], "name string")
+
+    mck = _CHECK_TABLE_RE.match(sql)
+    if mck is not None:
+        # CH CHECK TABLE: per-part integrity rows (part_path,
+        # is_passed, message) + a summary row. Footer-only metadata
+        # pass — the manifest-verification cost class, never a data
+        # rescan (sources/mutations.check_table).
+        from clickhouse_observability_spark.session import local_df
+        from clickhouse_observability_spark.sources.mutations import (
+            check_table,
+        )
+
+        if mck.group(1).lower() != "logs" or logs is None:
+            raise ChDialectError("CHECK TABLE supported for `logs` only")
+        rows = [(r["part_path"], int(r["is_passed"]), r["message"])
+                for r in check_table(spark, logs.path)]
+        return local_df(
+            spark, rows,
+            "part_path string, is_passed int, message string")
 
     msc = _SHOW_CREATE_RE.match(sql)
     if msc is not None:

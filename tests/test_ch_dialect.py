@@ -1672,3 +1672,45 @@ def test_r8_review_fixes(spark, logs):
     # non-zero literal index stays bare (no nullif wrap in the SQL)
     sql = translate("SELECT [1, 2][2] AS v")
     assert "nullif" not in sql.lower()
+
+
+def test_check_table(spark, logs):
+    """CHECK TABLE: per-part integrity rows + summary, footer-only.
+    A healthy table passes; a corrupted file and a misplaced month
+    are both caught; the summary row aggregates."""
+    import os
+    import shutil
+
+    _seed_two_months(spark, logs)
+    rows = ch_sql(spark, "CHECK TABLE logs", logs=logs).collect()
+    assert all(r.is_passed == 1 for r in rows)
+    summary = [r for r in rows if r.part_path == ""]
+    assert len(summary) == 1 and "0 failed" in summary[0].message
+    n_parts = len(rows) - 1
+    assert n_parts >= 2  # both months have files
+
+    # corrupt one file's footer
+    victim = next(
+        os.path.join(r, f) for r, _, fs in os.walk(logs.path)
+        for f in fs if f.endswith(".parquet"))
+    good = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(good[: len(good) // 2])
+    rows = ch_sql(spark, "CHECK TABLE logs", logs=logs).collect()
+    bad = [r for r in rows if r.is_passed == 0 and r.part_path != ""]
+    assert len(bad) == 1 and "unreadable" in bad[0].message
+    assert [r for r in rows if r.part_path == ""][0].is_passed == 0
+    with open(victim, "wb") as f:
+        f.write(good)
+
+    # move a May file into the June partition dir: month mismatch
+    may_dir = os.path.join(logs.path, "month=202505")
+    jun_dir = os.path.join(logs.path, "month=202506")
+    mf = next(f for f in os.listdir(may_dir) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(may_dir, mf),
+                os.path.join(jun_dir, "misplaced-" + mf))
+    rows = ch_sql(spark, "CHECK TABLE logs", logs=logs).collect()
+    bad = [r for r in rows if r.is_passed == 0 and r.part_path != ""]
+    assert len(bad) == 1 and "outside partition month" in bad[0].message
+    with pytest.raises(ChDialectError, match="logs"):
+        ch_sql(spark, "CHECK TABLE other", logs=logs)
