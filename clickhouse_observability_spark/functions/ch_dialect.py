@@ -3472,7 +3472,9 @@ def ch_sql(
             raise ChDialectError("INSERT supported into `logs` only")
         cols = ([c.strip() for c in col_list.split(",")] if col_list
                 else list(_LOGS_DEFAULTS))
-        unknown = [c for c in cols if c not in _LOGS_DEFAULTS]
+        sel_ext = {c["name"]: c for c in logs.schema_ext.columns}
+        unknown = [c for c in cols
+                   if c not in _LOGS_DEFAULTS and c not in sel_ext]
         if unknown:
             raise ChDialectError(f"unknown logs columns: {unknown}")
         inner = _rewrite_system_tables(spark, select_sql, logs, query_log)
@@ -3487,6 +3489,12 @@ def ch_sql(
             e = F.col(c) if c in cols else F.expr(default)
             exprs.append(
                 e.cast("timestamp" if c == "ts" else "string").alias(c))
+        # evolved columns named in the INSERT ride along typed;
+        # omitted ones serve their DEFAULT on read (CH semantics)
+        for c in cols:
+            if c in sel_ext:
+                exprs.append(
+                    F.col(c).cast(sel_ext[c]["spark_type"]).alias(c))
         # materialize BEFORE the append: a self-referential backfill
         # (INSERT INTO logs SELECT ... FROM logs ...) would otherwise
         # scan the very files the write is appending to. The eager

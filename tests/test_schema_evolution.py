@@ -223,3 +223,18 @@ def test_ch_default_expression_translated(spark, logs):
            "DEFAULT length(msg)", logs=logs)
     row = LogsTable(spark, logs.path).read().collect()[0]
     assert row.msg_len == 5
+
+
+def test_insert_select_with_evolved_column(spark, logs):
+    """INSERT ... SELECT carries evolved columns symmetrically with
+    INSERT ... VALUES (positional mapping, typed cast)."""
+    ch_sql(spark, "ALTER TABLE logs ADD COLUMN env String DEFAULT "
+           "'none'", logs=logs)
+    t2 = LogsTable(spark, logs.path)
+    n = ch_sql(spark, (
+        "INSERT INTO logs (ts, service, level, msg, env) "
+        "SELECT '2025-05-01 10:00:00', 'api', 'INFO', 'via-select', "
+        "'fromsel'"), logs=t2)
+    assert n == 1
+    row = t2.read().collect()[0]
+    assert row.msg == "via-select" and row.env == "fromsel"
