@@ -2474,6 +2474,37 @@ _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
     re.IGNORECASE,
 )
+# cross-table partition movement (CH): MOVE hands the month's files
+# to another table; REPLACE/ATTACH ... FROM hardlink-copies them in,
+# leaving the source untouched. RENAME / EXCHANGE are the Atomic
+# database's metadata-only name-mapping edits.
+_MOVE_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MOVE\s+PARTITION\s+'?(\d+)'?\s+"
+    r"TO\s+TABLE\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_COPY_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+(REPLACE|ATTACH)\s+PARTITION\s+"
+    r"'?(\d+)'?\s+FROM\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_RENAME_TABLE_RE = re.compile(
+    r"^\s*RENAME\s+TABLE\s+(\w+)\s+TO\s+(\w+)\s*$", re.IGNORECASE)
+_EXCHANGE_RE = re.compile(
+    r"^\s*EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)\s*$", re.IGNORECASE)
+# schema-evolution rewrites: MATERIALIZE stores an evolved column's
+# read-path value physically; CLEAR resets a column to its DEFAULT
+# within one partition (CH requires the IN PARTITION scope).
+_MAT_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+COLUMN\s+`?(\w+)`?"
+    r"(?:\s+IN\s+PARTITION\s+'?(\d+)'?)?\s*$",
+    re.IGNORECASE,
+)
+_CLEAR_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+CLEAR\s+COLUMN\s+(IF\s+EXISTS\s+)?"
+    r"`?(\w+)`?\s+IN\s+PARTITION\s+'?(\d+)'?\s*$",
+    re.IGNORECASE,
+)
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _CHECK_TABLE_RE = re.compile(
     r"^\s*CHECK\s+TABLE\s+(\w+)\s*$", re.IGNORECASE)
@@ -3032,12 +3063,25 @@ def _rewrite_system_tables(spark, sql, logs, query_log):
     return " ".join(out)
 
 
+def _named_table(name: str, logs, tables):
+    """Resolve a statement's table name: `tables` mapping first (the
+    multi-table surface), then the conventional `logs` argument."""
+    if tables and name in tables:
+        return tables[name]
+    if name.lower() == "logs" and logs is not None:
+        return logs
+    raise ChDialectError(
+        f"unknown table {name!r}; pass additional LogsTables via "
+        "ch_sql(tables={name: table})")
+
+
 def ch_sql(
     spark: SparkSession,
     sql: str,
     logs=None,
     views: dict[str, DataFrame] | None = None,
     query_log=None,
+    tables: dict | None = None,
 ):
     """Execute one ClickHouse SQL statement.
 
@@ -3045,9 +3089,19 @@ def ch_sql(
     DESCRIBE and used as the write path for INSERT (returns the
     inserted-row count). `views`: extra name -> DataFrame mappings.
     `query_log`: a QueryLog whose ring backs `system.query_log`.
+    `tables`: extra name -> LogsTable mappings for the multi-table
+    statements (MOVE/REPLACE/ATTACH PARTITION across tables, RENAME
+    TABLE, EXCHANGE TABLES) — RENAME/EXCHANGE edit this dict IN
+    PLACE, the analog of CH Atomic's metadata-only name mapping.
+    Mentioned entries are also registered as readable views.
     """
     for name, df in (views or {}).items():
         df.createOrReplaceTempView(name)
+    if tables:
+        mentioned = {w.lower() for w in re.findall(r"[A-Za-z_]\w*", sql)}
+        for nm, t in tables.items():
+            if nm.lower() != "logs" and nm.lower() in mentioned:
+                t.read().createOrReplaceTempView(nm)
     if logs is not None:
         logs.read().createOrReplaceTempView("logs")
         # attached materialized views are queryable by name — reads
@@ -3304,13 +3358,97 @@ def ch_sql(
         from clickhouse_observability_spark.sources import mutations as MU
 
         tname, op, part = mp.groups()
-        if tname.lower() != "logs" or logs is None:
-            raise ChDialectError(
-                f"{op.upper()} PARTITION supported for `logs` only")
+        t = _named_table(tname, logs, tables)
         fn = {"drop": MU.drop_partition, "detach": MU.detach_partition,
               "attach": MU.attach_partition}[op.lower()]
         try:
-            return fn(spark, logs.path, int(part))["files"]
+            return fn(spark, t.path, int(part))["files"]
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+
+    mmv = _MOVE_PART_RE.match(sql)
+    if mmv is not None:
+        from clickhouse_observability_spark.sources import mutations as MU
+
+        src_name, part, dst_name = mmv.groups()
+        src = _named_table(src_name, logs, tables)
+        dst = _named_table(dst_name, logs, tables)
+        try:
+            return MU.move_partition_to_table(
+                spark, src.path, dst.path, int(part))["files"]
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+
+    mcp = _COPY_PART_RE.match(sql)
+    if mcp is not None:
+        from clickhouse_observability_spark.sources import mutations as MU
+
+        dst_name, op, part, src_name = mcp.groups()
+        dst = _named_table(dst_name, logs, tables)
+        src = _named_table(src_name, logs, tables)
+        try:
+            return MU.copy_partition_from(
+                spark, dst.path, src.path, int(part),
+                replace=op.lower() == "replace")["files"]
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+
+    mrt = _RENAME_TABLE_RE.match(sql)
+    if mrt is not None:
+        from clickhouse_observability_spark.sources import mutations as MU
+
+        if tables is None:
+            raise ChDialectError(
+                "RENAME TABLE needs ch_sql(tables={...}) — the name "
+                "mapping is what the statement edits")
+        try:
+            MU.rename_table(tables, *mrt.groups())
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+        return 0
+
+    mex = _EXCHANGE_RE.match(sql)
+    if mex is not None:
+        from clickhouse_observability_spark.sources import mutations as MU
+
+        if tables is None:
+            raise ChDialectError(
+                "EXCHANGE TABLES needs ch_sql(tables={...}) — the "
+                "name mapping is what the statement edits")
+        try:
+            MU.exchange_tables(tables, *mex.groups())
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+        return 0
+
+    mmc = _MAT_COL_RE.match(sql)
+    if mmc is not None:
+        from clickhouse_observability_spark.sources import mutations as MU
+
+        tname, col, part = mmc.groups()
+        t = _named_table(tname, logs, tables)
+        try:
+            return MU.materialize_column(
+                spark, t.path, col,
+                month=None if part is None else int(part),
+            )["matched_rows"]
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+
+    mcc = _CLEAR_COL_RE.match(sql)
+    if mcc is not None:
+        from clickhouse_observability_spark.sources import mutations as MU
+
+        tname, if_exists, col, part = mcc.groups()
+        t = _named_table(tname, logs, tables)
+        from clickhouse_observability_spark.schema import LOGS_COLUMNS
+
+        if if_exists and col not in LOGS_COLUMNS \
+                and t.schema_ext.get(col) is None:
+            return 0  # CH: CLEAR COLUMN IF EXISTS no-ops silently
+        try:
+            return MU.clear_column(
+                spark, t.path, col, int(part))["matched_rows"]
         except ValueError as e:
             raise ChDialectError(str(e)) from e
 

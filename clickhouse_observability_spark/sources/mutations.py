@@ -48,6 +48,12 @@ __all__ = [
     "drop_partition",
     "detach_partition",
     "attach_partition",
+    "move_partition_to_table",
+    "copy_partition_from",
+    "rename_table",
+    "exchange_tables",
+    "materialize_column",
+    "clear_column",
     "truncate_table",
     "freeze_table",
     "unfreeze_table",
@@ -300,6 +306,224 @@ def attach_partition(
     stale = (_handle_stale_views(table, refresh_views)
              if table.materialized_views else [])
     return {"op": "attach_partition", "files": n, "stale_views": stale}
+
+
+def _same_structure(a_path: str, b_path: str) -> None:
+    """Cross-table partition ops require identical structure (CH
+    raises `Tables have different structure` otherwise). The core DDL
+    is fixed repo-wide, so structure == the evolved-column lists
+    (name, type) from each table's `_schema_ext.json` sidecar."""
+    from clickhouse_observability_spark.sources.schema_evolution import (
+        SchemaExt,
+    )
+
+    sig = lambda p: [(c["name"], c["spark_type"])  # noqa: E731
+                     for c in SchemaExt(p).columns]
+    if sig(a_path) != sig(b_path):
+        raise ValueError(
+            "tables have different structure (evolved columns "
+            f"{sig(a_path)} vs {sig(b_path)}); ClickHouse refuses "
+            "cross-table partition operations between mismatched "
+            "structures and so does this engine")
+
+
+def _place_files(src: str, dst: str, link: bool) -> int:
+    """Move (rename) or hardlink every parquet file from month dir
+    `src` into month dir `dst`, dodging name collisions the way CH
+    renames incoming parts on attach (`part -> part_N`). Metadata-only
+    either way: zero data bytes copied."""
+    os.makedirs(dst, exist_ok=True)
+    n = 0
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        name, i = f, 0
+        while os.path.exists(os.path.join(dst, name)):
+            i += 1
+            name = f"att{i}-{f}"
+        if link:
+            os.link(os.path.join(src, f), os.path.join(dst, name))
+        else:
+            os.rename(os.path.join(src, f), os.path.join(dst, name))
+        n += 1
+    return n
+
+
+def move_partition_to_table(
+    spark: SparkSession, src_path: str, dst_path: str, month: int,
+    refresh_views: bool = False,
+) -> dict:
+    """`ALTER TABLE src MOVE PARTITION <month> TO TABLE dst`: the
+    month's data files leave `src` and join `dst` — pure directory
+    renames (CH moves the parts between the tables' data dirs; no
+    byte is read or copied). Structures must match. Both tables'
+    attached views aggregated a history that just changed, so both
+    sides stale-surface (or repair with ``refresh_views=True``)."""
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    _same_structure(src_path, dst_path)
+    src = _month_dir(src_path, month)
+    if not os.path.isdir(src):
+        raise ValueError(f"no partition {int(month)} to move")
+    dst = _month_dir(dst_path, month)
+    if not os.path.isdir(dst):
+        n = _n_files(src)
+        os.rename(src, dst)
+    else:
+        # destination already holds the month: merge file-by-file
+        # with collision-safe names (CH renames incoming parts);
+        # only checksum sidecars (.crc) remain afterwards
+        n = _place_files(src, dst, link=False)
+        shutil.rmtree(src)
+    stale = []
+    for p in (src_path, dst_path):
+        t = LogsTable(spark, p)
+        if t.materialized_views:
+            stale += _handle_stale_views(t, refresh_views)
+    return {"op": "move_partition", "files": n, "stale_views": stale}
+
+
+def copy_partition_from(
+    spark: SparkSession, dst_path: str, src_path: str, month: int,
+    replace: bool, refresh_views: bool = False,
+) -> dict:
+    """`ALTER TABLE dst REPLACE|ATTACH PARTITION <month> FROM src`:
+    bring src's month into dst WITHOUT touching src — per-file
+    HARDLINKS, ClickHouse's exact zero-copy mechanism for these
+    statements (src keeps serving its own links; mutations replace
+    files, never modify, so the shared bytes stay consistent).
+    REPLACE swaps out dst's existing month atomically (build under a
+    temp name, rmtree + rename); ATTACH adds the files alongside any
+    dst already has, collision-renamed like CH's part names."""
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    _same_structure(src_path, dst_path)
+    src = _month_dir(src_path, month)
+    if not os.path.isdir(src):
+        raise ValueError(f"no partition {int(month)} in source table")
+    dst = _month_dir(dst_path, month)
+    if replace:
+        tmp = os.path.join(
+            dst_path, f".replace-{PARTITION_COLUMN}={int(month)}.tmp")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        try:
+            n = _place_files(src, tmp, link=True)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.rename(tmp, dst)
+        op = "replace_partition"
+    else:
+        n = _place_files(src, dst, link=True)
+        op = "attach_partition_from"
+    t = LogsTable(spark, dst_path)
+    stale = (_handle_stale_views(t, refresh_views)
+             if t.materialized_views else [])
+    return {"op": op, "files": n, "stale_views": stale}
+
+
+def rename_table(tables: dict, old: str, new: str) -> dict:
+    """`RENAME TABLE old TO new`: metadata-only — CH's Atomic
+    database edits the name -> UUID mapping and no data directory
+    moves. The analog edits the caller's name -> LogsTable mapping
+    in place (the dict passed to `ch_sql(tables=...)`); the table's
+    path is untouched."""
+    if old not in tables:
+        raise ValueError(f"no table {old!r} to rename")
+    if new in tables or new.lower() == "logs":
+        raise ValueError(f"table {new!r} already exists")
+    tables[new] = tables.pop(old)
+    return {"op": "rename_table", "from": old, "to": new}
+
+
+def exchange_tables(tables: dict, a: str, b: str) -> dict:
+    """`EXCHANGE TABLES a AND b`: the atomic two-way rename CH added
+    so a staging table can swap with a serving table with no window
+    where either name is missing. Metadata-only, like RENAME."""
+    for name in (a, b):
+        if name not in tables:
+            raise ValueError(f"no table {name!r} to exchange")
+    tables[a], tables[b] = tables[b], tables[a]
+    return {"op": "exchange_tables", "a": a, "b": b}
+
+
+# CLEAR COLUMN defaults for the reference-DDL columns (db.go:41-49):
+# same values INSERT uses for absent columns. `ts`/`service` are
+# partition-deriving / leading-sort-key and stay refused (CH refuses
+# CLEAR on key columns identically).
+_CLEARABLE_CORE_DEFAULTS = {
+    "level": "''",
+    "msg": "''",
+    "attrs": "'{}'",
+    "trace_id": "''",
+    "span_id": "''",
+}
+
+
+def materialize_column(
+    spark: SparkSession, path: str, name: str, month: int | None = None,
+    refresh_views: bool = False,
+) -> dict:
+    """`ALTER TABLE logs MATERIALIZE COLUMN <c> [IN PARTITION p]`:
+    rewrite parts so an evolved column's read-path value (coalesce of
+    stored / aliases / DEFAULT) is stored physically — exactly CH's
+    statement, whose cost is likewise a rewrite of the targeted parts.
+    Implemented as an identity UPDATE through `apply_mutation`, whose
+    rewrite path already materializes every evolved column into the
+    replaced files. Values are unchanged, so the conservative
+    stale-view surfacing from the rewrite is a false positive —
+    documented, harmless (refresh re-derives identical states)."""
+    from clickhouse_observability_spark.sources.schema_evolution import (
+        SchemaExt,
+    )
+
+    if SchemaExt(path).get(name) is None:
+        raise ValueError(
+            f"no evolved column {name!r} to materialize (the "
+            "reference-DDL columns are always stored physically)")
+    pred = ("true" if month is None
+            else f"{PARTITION_COLUMN} = {int(month)}")
+    res = apply_mutation(
+        spark, path, pred, assignments={name: name},
+        refresh_views=refresh_views,
+        command=f"MATERIALIZE COLUMN {name}")
+    res["op"] = "materialize_column"
+    return res
+
+
+def clear_column(
+    spark: SparkSession, path: str, name: str, month: int,
+    refresh_views: bool = False,
+) -> dict:
+    """`ALTER TABLE logs CLEAR COLUMN <c> IN PARTITION <p>`: reset
+    the column to its DEFAULT within one partition (CH requires the
+    IN PARTITION scope for CLEAR; so does this engine). Evolved
+    columns reset to their declared DEFAULT (or the type zero);
+    clearable core columns reset to their INSERT defaults."""
+    from clickhouse_observability_spark.sources.schema_evolution import (
+        _TYPE_DEFAULTS,
+        SchemaExt,
+    )
+
+    col = SchemaExt(path).get(name)
+    if col is not None:
+        default = col["default"] or _TYPE_DEFAULTS[col["spark_type"]]
+    elif name in _CLEARABLE_CORE_DEFAULTS:
+        default = _CLEARABLE_CORE_DEFAULTS[name]
+    else:
+        raise ValueError(
+            f"cannot CLEAR column {name!r}: ts derives the month "
+            "partition and service leads the sort order (ClickHouse "
+            "refuses CLEAR on key columns for the same reason)")
+    res = apply_mutation(
+        spark, path, f"{PARTITION_COLUMN} = {int(month)}",
+        assignments={name: default}, refresh_views=refresh_views,
+        command=f"CLEAR COLUMN {name} IN PARTITION {int(month)}")
+    res["op"] = "clear_column"
+    return res
 
 
 _SHADOW_DIR = "_shadow"
