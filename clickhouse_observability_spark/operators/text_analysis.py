@@ -370,6 +370,82 @@ def contamination_hits(
     )
 
 
+def _bloom_positions(k: int, m_bits: int) -> str:
+    """SQL fragment: the k Bloom bit positions of gram hash `gh` —
+    double hashing via Spark's multi-arg xxhash64(gh, i). MUST be
+    textually identical on the build and probe sides (a drifted
+    expression silently turns the no-false-negative guarantee off)."""
+    return (f"transform(sequence(0, {k - 1}), "
+            f"i -> pmod(xxhash64(gh, i), {m_bits}))")
+
+
+def bloom_contamination_hits(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """(train_id, n_shared): EXACTLY `contamination_hits`, computed
+    through a Bloom-filter prefilter — the shape that survives a
+    benchmark set too large to broadcast as a join table but fine as
+    bits (a 1e8-gram eval suite is ~3 GB as distinct 8-byte hashes vs
+    128 MB as a 1e9-bit filter at ~1% FPR).
+
+    Stage 1 BUILD (distributed, bounded collect): benchmark grams ->
+    k bit positions each (double hashing over the gram's xxhash64) ->
+    partial bit_or per 64-bit word -> collect ≤ m_bits/64 longs.
+    Stage 2 PROBE (map-only): every train gram tests its k bits
+    against the broadcast word array entirely in JVM expressions — a
+    gram with any unset bit is PROVABLY absent from the benchmark
+    (no false negatives), so the survivors are a superset of the true
+    hits. Stage 3 CONFIRM: survivors — now a small fraction of the
+    corpus's grams — join the exact distinct benchmark gram set, so
+    the output is EXACT; the Bloom filter only prunes join input,
+    never decides membership. False-positive rate for sizing:
+    (1 - e^(-k·g/m))^k with g benchmark grams.
+    """
+    # -- build: one distributed aggregation, collect ≤ m_bits/64 rows
+    words = (
+        _doc_gram_hashes(bench, n)
+        .select(F.explode(F.expr(_bloom_positions(k, m_bits)))
+                .alias("pos"))
+        .select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(pmod(pos, 64) AS INT))").alias("b"),
+        )
+        .groupBy("w").agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    table = [0] * (m_bits // 64)
+    for r in words:
+        table[r.w] = r.bits
+    spark = train.sparkSession
+    bloom = spark.createDataFrame(
+        [(table,)], "bloom array<bigint>").withColumn("__k", F.lit(1))
+
+    # -- probe: map-only JVM bit tests against the broadcast array
+    tg = (
+        _doc_gram_hashes(train, n)
+        .withColumnRenamed("doc_id", "train_id")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(bloom), "__k")
+        .filter(F.expr(
+            f"forall({_bloom_positions(k, m_bits)}, "
+            "p -> (shiftright(bloom[CAST(p DIV 64 AS INT)], "
+            "CAST(pmod(p, 64) AS INT)) & 1) = 1)"))
+        .select("train_id", "gh")
+    )
+    # -- confirm: exact join over the pruned survivor set
+    bg = F.broadcast(_doc_gram_hashes(bench, n).select("gh").distinct())
+    return (
+        tg.join(bg, "gh")
+        .groupBy("train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 # PII patterns in the Java-regex/RE2 common dialect (no lookaround, no
 # backrefs) so Spark and the DuckDB oracle compile them identically.
 PII_PATTERNS: dict[str, str] = {

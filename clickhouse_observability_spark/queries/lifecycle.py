@@ -374,3 +374,154 @@ def _reload(spark, t):
     from clickhouse_observability_spark.sources.writer import LogsTable
 
     return LogsTable(spark, t.path)
+
+
+@register(
+    "lifecycle_cross_table_panel",
+    oracle="""
+    WITH logs AS (
+        SELECT ts + to_days((32 * (user_id % 3))::INT) AS ts,
+               event_type AS service, props AS msg
+        FROM events
+    ),
+    agg AS (SELECT CAST(strftime(ts, '%Y%m') AS BIGINT) AS month,
+                   service, count(*) AS n,
+                   sum(length(msg))::BIGINT AS sum_len
+            FROM logs GROUP BY 1, 2),
+    m AS (SELECT min(month) AS lo,
+                 (SELECT DISTINCT month FROM agg
+                  ORDER BY month LIMIT 1 OFFSET 1) AS mid
+          FROM agg)
+    SELECT 'src_after_move' AS op, month, service, n, sum_len
+    FROM agg, m WHERE month > lo
+    UNION ALL
+    SELECT 'dst_after_move', month, service, n, sum_len
+    FROM agg, m WHERE month = lo
+    UNION ALL
+    SELECT 'dirty', month, service, n,
+           CASE WHEN month = mid THEN sum_len + 6 * n ELSE sum_len END
+    FROM agg, m WHERE month <= mid
+    UNION ALL
+    SELECT 'replaced', month, service, n, sum_len
+    FROM agg, m WHERE month <= mid
+    UNION ALL
+    SELECT 'exchanged', month, service, n, sum_len
+    FROM agg, m WHERE month <= mid
+    """,
+)
+def lifecycle_cross_table_panel(spark, sf_dir):
+    """Cross-table partition movement under the driver's gate (r8
+    wave 4): two tables built at scratch paths, then
+
+    1. ``MOVE PARTITION lo TO TABLE b`` — directory rename between
+       tables; arms read the source (lost the month) and the
+       destination (gained exactly it).
+    2. ``ATTACH PARTITION mid FROM a`` — HARDLINK copy, source
+       untouched.
+    3. an UPDATE mutation dirties b's copy of mid (`msg || '#dirty'`,
+       6 chars -> the oracle's `sum_len + 6*n` fold). Because the
+       attach hardlinked a's files, this arm also adjudicates the
+       replace-never-modify invariant: the mutation must REWRITE
+       b's files, leaving a's shared bytes clean.
+    4. ``REPLACE PARTITION mid FROM a`` — swaps b's dirty month for
+       a's clean one; values revert, proving the replace actually
+       installed the source files (a no-op would keep the dirty
+       sums and hash-mismatch).
+    5. ``EXCHANGE TABLES a AND b`` — the read routes through the
+       swapped name mapping; the 'exchanged' arm queries name `a`
+       and must see b's physical content.
+
+    Every arm is eagerly checkpointed before the next statement (the
+    reads are lazy), and steps with an invariant RAISE instead of
+    returning wrong-but-plausible rows."""
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    paths = {}
+    for nm in ("a", "b"):
+        p = IX.artifact_path(sf_dir, f"ch_logs_xtab_{nm}",
+                             source_table="events")
+        shutil.rmtree(p, ignore_errors=True)
+        paths[nm] = p
+    ta = LogsTable(spark, paths["a"])
+    ta.init_schema()
+    tb = LogsTable(spark, paths["b"])
+    tb.init_schema()
+    ev = table(spark, sf_dir, "events")
+    ta.insert(
+        ev.select(
+            F.expr("timestampadd(DAY, 32 * CAST(user_id % 3 AS INT), ts)")
+            .alias("ts"),
+            F.col("event_type").alias("service"),
+            F.lit("INFO").alias("level"),
+            F.col("props").alias("msg"),
+            F.col("props").alias("attrs"),
+            F.col("user_id").cast("string").alias("trace_id"),
+            F.col("event_id").cast("string").alias("span_id"),
+        )
+    )
+    months = sorted(
+        int(r.month) for r in ta.read().select("month").distinct().collect()
+    )
+    lo, mid = months[0], months[1]
+    tables = {"a": ta, "b": tb}
+
+    def arm(tag, t):
+        df = ch_sql(
+            spark,
+            "SELECT month, service, count() AS n, "
+            "sum(length(msg)) AS sum_len FROM logs "
+            "GROUP BY month, service",
+            logs=t,
+        ).select(
+            F.lit(tag).alias("op"),
+            F.col("month").cast("long").alias("month"),
+            "service", "n", "sum_len",
+        )
+        return df.localCheckpoint(eager=True)
+
+    ch_sql(spark, f"ALTER TABLE a MOVE PARTITION {lo} TO TABLE b",
+           tables=tables)
+    src_arm = arm("src_after_move", ta)
+    dst_arm = arm("dst_after_move", tb)
+    if {int(r.month) for r in dst_arm.select("month").collect()} != {lo}:
+        raise RuntimeError(
+            f"cross_table_panel: destination should hold exactly {lo} "
+            "after MOVE PARTITION")
+
+    ch_sql(spark, f"ALTER TABLE b ATTACH PARTITION {mid} FROM a",
+           tables=tables)
+    ch_sql(spark, "ALTER TABLE logs UPDATE msg = concat(msg, '#dirty') "
+           f"WHERE month = {mid}", logs=tb)
+    dirty_arm = arm("dirty", tb)
+    # the attach hardlinked a's files: the mutation must have
+    # REPLACED b's files, never modified the shared bytes
+    a_dirty = LogsTable(spark, paths["a"]).read().filter(
+        F.col("msg").contains("#dirty")).count()
+    if a_dirty:
+        raise RuntimeError(
+            "cross_table_panel: mutation on the hardlinked copy "
+            "leaked into the source table (replace-never-modify "
+            "invariant broken)")
+
+    ch_sql(spark, f"ALTER TABLE b REPLACE PARTITION {mid} FROM a",
+           tables=tables)
+    replaced_arm = arm("replaced", LogsTable(spark, paths["b"]))
+
+    ch_sql(spark, "EXCHANGE TABLES a AND b", tables=tables)
+    if tables["a"] is not tb:
+        raise RuntimeError("cross_table_panel: EXCHANGE did not swap "
+                           "the name mapping")
+    exch = ch_sql(
+        spark,
+        "SELECT month, service, count() AS n, "
+        "sum(length(msg)) AS sum_len FROM a GROUP BY month, service",
+        tables=tables,
+    ).select(
+        F.lit("exchanged").alias("op"),
+        F.col("month").cast("long").alias("month"),
+        "service", "n", "sum_len",
+    ).localCheckpoint(eager=True)
+
+    return (src_arm.unionByName(dst_arm).unionByName(dirty_arm)
+            .unionByName(replaced_arm).unionByName(exch))

@@ -343,6 +343,52 @@ def text_contamination(spark, sf_dir):
 
 
 @register(
+    "text_bloom_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < '14'
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents
+    ),
+    g AS (
+        SELECT t.doc_id, s.split,
+               unnest(list_distinct([array_to_string(toks[i:i+6], ' ')
+                                     FOR i IN range(1, len(toks) - 5)])) AS gram
+        FROM t JOIN s USING (doc_id) WHERE len(toks) >= 7
+    ),
+    b AS (SELECT DISTINCT gram FROM g WHERE split = 'val')
+    SELECT a.doc_id AS train_id, count(*) AS n_shared
+    FROM g a JOIN b USING (gram)
+    WHERE a.split = 'train'
+    GROUP BY 1
+    """,
+)
+def text_bloom_decontaminate(spark, sf_dir):
+    """Decontamination through a Bloom-filter prefilter: same answer
+    as the exact sweep (the filter only PRUNES the join input — a
+    gram with any unset bit provably isn't in the benchmark, and
+    survivors are confirmed by the exact gram join), but the
+    benchmark set ships as m bits instead of a hash join table — the
+    shape for eval suites too large to broadcast whole. The oracle is
+    the plain exact n-gram intersection: a green row proves the
+    bloom-pruned path is output-identical to the direct one. Uses
+    7-grams and its own val split so the entry exercises a different
+    slice than text_contamination."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = d.select("doc_id", "text", F.when(bucket < "14", "val")
+                     .otherwise("train").alias("split"))
+    train = split.filter(F.col("split") == "train")
+    bench = split.filter(F.col("split") == "val")
+    return TX.bloom_contamination_hits(
+        train, bench, n=7, m_bits=1 << 16, k=4)
+
+
+@register(
     "text_pii_scrub",
     oracle=r"""
     SELECT doc_id,

@@ -70,7 +70,6 @@ _WINDOW_ORDER = [
     "agg_hourly_panel",
     "agg_grouping_panel",
     "join_orders_enriched",
-    "tpch_q1_pricing",
     "tpch_q5_nation_revenue",
     "tpch_scalar_panel",
     "join_interval_error_bursts",
@@ -103,7 +102,6 @@ _WINDOW_ORDER = [
     # text_perdoc_panel, text_signal_panel) freed four slots for the
     # round-5 flagships below; merged-away entries keep their own
     # oracles right after the window (pytest-DuckDB adjudicated).
-    "window_gap_fill_hourly",
     "behavior_sequence_match",
     "dedup_exact_spans",
     "text_bm25_search",
@@ -141,6 +139,13 @@ _WINDOW_ORDER = [
     # RENAME alias continuity) — window_session_panel rotated out
     # (multi-round green, 11.5k-row result; CI gate keeps it).
     "lifecycle_schema_evolution_panel",
+    # r8 wave 4: cross-table partition movement (MOVE / hardlink
+    # ATTACH FROM / replace-never-modify / REPLACE restore / EXCHANGE
+    # routing) and the Bloom-prefiltered exact decontamination sweep.
+    # Out: tpch_q1_pricing + window_gap_fill_hourly (multi-round
+    # green; the CI registry gate keeps both oracles enforced).
+    "lifecycle_cross_table_panel",
+    "text_bloom_decontaminate",
 ]
 
 

@@ -196,7 +196,6 @@ def test_adjudication_window_composition():
         "agg_hourly_panel",
         "text_perdoc_panel",
         "text_signal_panel",
-        "window_gap_fill_hourly",
         "behavior_sequence_match",
         "dedup_exact_spans",
         "text_bm25_search",
@@ -231,6 +230,12 @@ def test_adjudication_window_composition():
         "tpch_q18_large_orders",
         "tpch_q20_excess_shippers",
         "lifecycle_schema_evolution_panel",
+        # r8 wave 4: cross-table partition movement + the Bloom-
+        # prefiltered exact decontamination sweep (out:
+        # tpch_q1_pricing, window_gap_fill_hourly — multi-round
+        # green, still CI-gated)
+        "lifecycle_cross_table_panel",
+        "text_bloom_decontaminate",
     ):
         assert flagship in registry._WINDOW_ORDER, flagship
     # merged-away entries keep their oracles (no semantics dropped)

@@ -1072,3 +1072,46 @@ def test_weighted_sample_topk_matches_python_aes(spark, sf_small):
     # deterministic: a second run selects the identical set
     again = TX.weighted_sample_without_replacement(docs, k=k).collect()
     assert {r.doc_id for r in again} == {r.doc_id for r in got}
+
+
+def test_bloom_contamination_matches_exact(spark, sf_small):
+    """The Bloom-prefiltered sweep is OUTPUT-IDENTICAL to the exact
+    blocklist join on real corpus data — the filter only prunes join
+    input (no false negatives by construction); survivors confirm
+    against the exact gram set. Tiny m stresses the high-FPR regime:
+    correctness must not depend on the filter's precision."""
+    from clickhouse_observability_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    from pyspark.sql import functions as F
+
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = docs.select("doc_id", "text", F.when(bucket < "20", "val")
+                        .otherwise("train").alias("split"))
+    train = split.filter(F.col("split") == "train")
+    bench = split.filter(F.col("split") == "val")
+    exact = {r.train_id: r.n_shared for r in
+             TX.contamination_hits(train, bench, n=6).collect()}
+    for m_bits in (1 << 10, 1 << 16):  # saturated and roomy filters
+        got = {r.train_id: r.n_shared for r in
+               TX.bloom_contamination_hits(
+                   train, bench, n=6, m_bits=m_bits, k=4).collect()}
+        assert got == exact
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    """With a roomy filter, non-benchmark grams are dropped BEFORE the
+    confirm join: the planted disjoint doc contributes zero surviving
+    grams (probabilistic but overwhelming: 9 grams x FPR ~1e-9 at
+    m=2^20, k=4 over ~8 set bits... flake-free in practice)."""
+    mk = "doc_id long, text string"
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (2, "totally unrelated words with no benchmark overlap at all")],
+        mk)
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta kappa")], mk)
+    got = {r.train_id: r.n_shared for r in
+           TX.bloom_contamination_hits(
+               train, bench, n=8, m_bits=1 << 20, k=4).collect()}
+    assert got == {0: 1}
