@@ -2490,6 +2490,8 @@ _COPY_PART_RE = re.compile(
 )
 _RENAME_TABLE_RE = re.compile(
     r"^\s*RENAME\s+TABLE\s+(\w+)\s+TO\s+(\w+)\s*$", re.IGNORECASE)
+_UNDROP_TABLE_RE = re.compile(
+    r"^\s*UNDROP\s+TABLE\s+(\w+)\s*$", re.IGNORECASE)
 _EXCHANGE_RE = re.compile(
     r"^\s*EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)\s*$", re.IGNORECASE)
 # schema-evolution rewrites: MATERIALIZE stores an evolved column's
@@ -2926,10 +2928,11 @@ _LOGS_DEFAULTS = {
 
 
 _SYSTEM_TABLES = ("parts", "columns", "tables", "query_log",
-                  "mutations", "projections", "detached_parts")
+                  "mutations", "projections", "detached_parts",
+                  "dropped_tables")
 
 
-def _rewrite_system_tables(spark, sql, logs, query_log):
+def _rewrite_system_tables(spark, sql, logs, query_log, tables=None):
     """CH `system.*` introspection: rewrite `system.parts` etc. to
     dot-free view names (token-level, so string literals survive) and
     register ONLY the referenced views — parts reads parquet footers
@@ -3043,6 +3046,19 @@ def _rewrite_system_tables(spark, sql, logs, query_log):
             "table string, partition int, files int, bytes_on_disk "
             "bigint",
         ).createOrReplaceTempView("system_detached_parts")
+    if "dropped_tables" in used:
+        # CH system.dropped_tables: tables inside the Atomic keep
+        # window, restorable with UNDROP TABLE. One row per parked
+        # directory in the session's name mapping; metadata-only.
+        from clickhouse_observability_spark.sources.mutations import (
+            _DROPPED_KEY,
+        )
+
+        rows = [(nm, parked) for nm, parked in sorted(
+            ((tables or {}).get(_DROPPED_KEY) or {}).items())]
+        local_df(
+            spark, rows, "name string, data_path string",
+        ).createOrReplaceTempView("system_dropped_tables")
     if "projections" in used:
         if logs is None:
             raise ChDialectError("system.projections needs the logs table")
@@ -3065,8 +3081,10 @@ def _rewrite_system_tables(spark, sql, logs, query_log):
 
 def _named_table(name: str, logs, tables):
     """Resolve a statement's table name: `tables` mapping first (the
-    multi-table surface), then the conventional `logs` argument."""
-    if tables and name in tables:
+    multi-table surface), then the conventional `logs` argument.
+    Reserved double-underscore keys hold mapping metadata (the
+    dropped-table park list), never tables."""
+    if tables and name in tables and not name.startswith("__"):
         return tables[name]
     if name.lower() == "logs" and logs is not None:
         return logs
@@ -3100,7 +3118,8 @@ def ch_sql(
     if tables:
         mentioned = {w.lower() for w in re.findall(r"[A-Za-z_]\w*", sql)}
         for nm, t in tables.items():
-            if nm.lower() != "logs" and nm.lower() in mentioned:
+            if (nm.lower() != "logs" and not nm.startswith("__")
+                    and nm.lower() in mentioned):
                 t.read().createOrReplaceTempView(nm)
     if logs is not None:
         logs.read().createOrReplaceTempView("logs")
@@ -3153,8 +3172,34 @@ def ch_sql(
         # temp view — drop that too or later reads would hit it stale
         spark.catalog.dropTempView(md.group(2))
         return 0
-    # a non-MV DROP falls through to Spark, whose own IF EXISTS
-    # semantics handle temp views correctly
+    if md is not None and tables and md.group(2) in tables \
+            and not md.group(2).startswith("__"):
+        # DROP TABLE on a mapped table: CH Atomic keeps the data for
+        # the undrop window — park the directory, detach the name
+        from clickhouse_observability_spark.sources import mutations as MU
+
+        try:
+            MU.drop_table(tables, md.group(2))
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+        spark.catalog.dropTempView(md.group(2))
+        return 0
+    # a non-MV, non-mapped DROP falls through to Spark, whose own
+    # IF EXISTS semantics handle temp views correctly
+
+    mud = _UNDROP_TABLE_RE.match(sql)
+    if mud is not None:
+        from clickhouse_observability_spark.sources import mutations as MU
+
+        if tables is None:
+            raise ChDialectError(
+                "UNDROP TABLE needs ch_sql(tables={...}) — the name "
+                "mapping records the parked directory")
+        try:
+            MU.undrop_table(spark, tables, mud.group(1))
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+        return 0
 
     mp = _PROJ_ADD_RE.match(sql)
     if mp is not None:
@@ -3587,7 +3632,7 @@ def ch_sql(
     me = _EXPLAIN_RE.match(sql)
     if me is not None:
         mode, inner = me.groups()
-        inner = _rewrite_system_tables(spark, inner, logs, query_log)
+        inner = _rewrite_system_tables(spark, inner, logs, query_log, tables)
         if (mode or "").strip().lower() == "estimate":
             if logs is None:
                 raise ChDialectError(
@@ -3615,7 +3660,7 @@ def ch_sql(
                    if c not in _LOGS_DEFAULTS and c not in sel_ext]
         if unknown:
             raise ChDialectError(f"unknown logs columns: {unknown}")
-        inner = _rewrite_system_tables(spark, select_sql, logs, query_log)
+        inner = _rewrite_system_tables(spark, select_sql, logs, query_log, tables)
         src = spark.sql(translate(inner))
         if len(src.columns) != len(cols):
             raise ChDialectError(
@@ -3653,7 +3698,7 @@ def ch_sql(
 
     m = _INSERT_RE.match(sql)
     if m is None:
-        sql = _rewrite_system_tables(spark, sql, logs, query_log)
+        sql = _rewrite_system_tables(spark, sql, logs, query_log, tables)
         asof = _extract_asof_join(split_format_clause(sql)[0])
         if asof is not None:
             return _run_asof_join(spark, asof)

@@ -52,6 +52,8 @@ __all__ = [
     "copy_partition_from",
     "rename_table",
     "exchange_tables",
+    "drop_table",
+    "undrop_table",
     "materialize_column",
     "clear_column",
     "truncate_table",
@@ -425,12 +427,28 @@ def copy_partition_from(
     return {"op": op, "files": n, "stale_views": stale}
 
 
+# reserved mapping key holding {dropped_name: parked_path} — the
+# metadata-store analog of CH Atomic's kept-until-expiry dropped
+# tables (what UNDROP TABLE restores from)
+_DROPPED_KEY = "__dropped__"
+
+
+def _check_table_name(name: str) -> str:
+    if name.startswith("__"):
+        raise ValueError(
+            f"table name {name!r} is reserved (double-underscore "
+            "names hold mapping metadata)")
+    return name
+
+
 def rename_table(tables: dict, old: str, new: str) -> dict:
     """`RENAME TABLE old TO new`: metadata-only — CH's Atomic
     database edits the name -> UUID mapping and no data directory
     moves. The analog edits the caller's name -> LogsTable mapping
     in place (the dict passed to `ch_sql(tables=...)`); the table's
     path is untouched."""
+    _check_table_name(old)
+    _check_table_name(new)
     if old not in tables:
         raise ValueError(f"no table {old!r} to rename")
     if new in tables or new.lower() == "logs":
@@ -444,10 +462,54 @@ def exchange_tables(tables: dict, a: str, b: str) -> dict:
     so a staging table can swap with a serving table with no window
     where either name is missing. Metadata-only, like RENAME."""
     for name in (a, b):
+        _check_table_name(name)
         if name not in tables:
             raise ValueError(f"no table {name!r} to exchange")
     tables[a], tables[b] = tables[b], tables[a]
     return {"op": "exchange_tables", "a": a, "b": b}
+
+
+def drop_table(tables: dict, name: str) -> dict:
+    """`DROP TABLE <name>`: CH's Atomic database does NOT unlink the
+    data — it detaches the name and keeps the directory until
+    `database_atomic_delay_before_drop_table_sec` expires, the
+    window that makes `UNDROP TABLE` possible. The analog removes
+    the name from the mapping and parks the table directory as
+    `<path>.dropped`, recording it under the mapping's reserved
+    `__dropped__` key. Nothing is deleted here; clearing expired
+    parked directories is an operator retention job, as in CH."""
+    _check_table_name(name)
+    if name not in tables:
+        raise ValueError(f"no table {name!r} to drop")
+    t = tables[name]
+    parked = t.path.rstrip("/") + ".dropped"
+    if os.path.exists(parked):
+        raise ValueError(
+            f"a dropped table is already parked at {parked}; remove "
+            "it (or UNDROP first) before dropping again")
+    os.rename(t.path, parked)
+    tables.pop(name)
+    tables.setdefault(_DROPPED_KEY, {})[name] = parked
+    return {"op": "drop_table", "parked": parked}
+
+
+def undrop_table(spark: SparkSession, tables: dict, name: str) -> dict:
+    """`UNDROP TABLE <name>` (CH 23.3+): restore a dropped table
+    whose keep-window hasn't expired — the parked directory moves
+    back and the name re-enters the mapping."""
+    _check_table_name(name)
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    dropped = tables.get(_DROPPED_KEY) or {}
+    if name not in dropped:
+        raise ValueError(f"no dropped table {name!r} to restore")
+    if name in tables:
+        raise ValueError(f"table {name!r} already exists")
+    parked = dropped.pop(name)
+    path = parked[: -len(".dropped")]
+    os.rename(parked, path)
+    tables[name] = LogsTable(spark, path)
+    return {"op": "undrop_table", "path": path}
 
 
 # CLEAR COLUMN defaults for the reference-DDL columns (db.go:41-49):

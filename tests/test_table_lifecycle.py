@@ -211,3 +211,42 @@ def test_unknown_table_message(spark, two_tables):
         ch_sql(spark, "ALTER TABLE ghost DROP PARTITION 202505", logs=a)
     with pytest.raises(ChDialectError, match="tables="):
         ch_sql(spark, "RENAME TABLE a TO b", logs=a)
+
+
+def test_drop_and_undrop_table(spark, two_tables):
+    a, b = two_tables
+    _ins(spark, a, "2025-05-01 10:00:00", "api", "keepme")
+    tables = {"t1": a, "t2": b}
+    ch_sql(spark, "DROP TABLE t1", tables=tables)
+    assert "t1" not in tables
+    # CH Atomic: the data is PARKED, not deleted — visible in
+    # system.dropped_tables, gone from the active path
+    assert not os.path.isdir(a.path)
+    assert os.path.isdir(a.path.rstrip("/") + ".dropped")
+    rows = ch_sql(spark, "SELECT name, data_path FROM "
+                  "system.dropped_tables", tables=tables).collect()
+    assert [r.name for r in rows] == ["t1"]
+    with pytest.raises(ChDialectError, match="unknown table"):
+        ch_sql(spark, "ALTER TABLE t1 DROP PARTITION 202505",
+               tables=tables)
+    ch_sql(spark, "UNDROP TABLE t1", tables=tables)
+    assert "t1" in tables and os.path.isdir(tables["t1"].path)
+    assert sorted(r.msg for r in tables["t1"].read().collect()) == [
+        "keepme"]
+    assert ch_sql(spark, "SELECT count() AS n FROM "
+                  "system.dropped_tables",
+                  tables=tables).collect()[0].n == 0
+    with pytest.raises(ChDialectError, match="no dropped table"):
+        ch_sql(spark, "UNDROP TABLE t1", tables=tables)
+
+
+def test_reserved_names_guarded(spark, two_tables):
+    a, _ = two_tables
+    tables = {"t1": a}
+    with pytest.raises(ChDialectError, match="reserved"):
+        ch_sql(spark, "RENAME TABLE t1 TO __dropped__", tables=tables)
+    ch_sql(spark, "DROP TABLE t1", tables=tables)
+    # the bookkeeping key never resolves as a table
+    with pytest.raises(ChDialectError, match="unknown table"):
+        ch_sql(spark, "ALTER TABLE __dropped__ DROP PARTITION 202505",
+               tables=tables)
