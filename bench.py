@@ -112,6 +112,7 @@ HEADLINE = [
     # r8 wave 4 — reported, excluded from total
     ("text_bloom_decontaminate", "collect"),
     ("lifecycle_cross_table_panel", "collect"),
+    ("text_bigram_logprob", "noop"),
 ]
 
 # The driver's r4 capture, min-of-3 per query (the judge-verified
@@ -657,6 +658,7 @@ def _run_bench() -> None:
         "lifecycle_schema_evolution_panel",
         "text_bloom_decontaminate",  # r8 wave 4: reported, not summed
         "lifecycle_cross_table_panel",
+        "text_bigram_logprob",
     }
     media = _media_decode_bench(spark)
 

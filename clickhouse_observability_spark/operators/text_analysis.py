@@ -999,6 +999,86 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(
+    model_docs: DataFrame,
+    score_docs: DataFrame,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Bigram LM scoring with Stupid Backoff (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the rung above
+    `unigram_logprob` on the CCNet-style perplexity-filter ladder,
+    and the honest in-container analog of scoring a crawl with a
+    KenLM n-gram model: the LM trains on `model_docs` (a reference
+    corpus) and scores `score_docs`, so unseen bigrams and
+    out-of-vocabulary tokens actually occur.
+
+        S(cur | prev) = c(prev cur) / c(prev)        bigram seen
+                      = alpha * (c(cur)+1)/(N+V)     backoff: add-one
+                                                     unigram (OOV ->
+                                                     1/(N+V))
+
+    Per-doc output: n_bigrams, avg log score (4dp).
+
+    Shape: bigram counts and the vocab aggregate map-side-combine on
+    the model scan; the scoring stream LEFT-joins the bigram model on
+    the (prev, cur) pair key — ONE pair-keyed shuffle, the only big
+    one — then the vocab-sized unigram table (AQE broadcasts it), and
+    the corpus totals ride along as a broadcast one-row frame. At
+    100 TB the model side is a curated reference corpus (Wikipedia-
+    class, ~1e9 bigrams), well inside shuffle-join territory, and the
+    crawl side never shuffles more than its own pair stream."""
+    def pair_stream(df):
+        t = df.select(
+            "doc_id", tokens(normalized_text("text")).alias("toks")
+        ).filter(F.size("toks") >= 2)
+        return t.select(
+            "doc_id",
+            F.expr("explode(transform(sequence(1, size(toks) - 1), "
+                   "i -> struct(toks[i-1] AS prev, toks[i] AS cur)))")
+            .alias("p"),
+        ).select("doc_id", "p.prev", "p.cur")
+
+    uc = (
+        model_docs
+        .select(F.explode(tokens(normalized_text("text"))).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uc.agg(
+        F.log(F.sum("c") + F.count(F.lit(1))).alias("log_nv"),
+        (F.sum("c") + F.count(F.lit(1))).alias("nv"),
+    )
+    model = (
+        pair_stream(model_docs)
+        .groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+        .join(uc.select(F.col("tok").alias("prev"),
+                        F.col("c").alias("cp")), "prev")
+        .select("prev", "cur",
+                F.log(F.col("cb") / F.col("cp")).alias("lp_b"))
+    )
+    uprob = uc.crossJoin(F.broadcast(tot)).select(
+        F.col("tok").alias("cur"),
+        F.log((F.col("c") + 1) / F.col("nv")).alias("lp_u"),
+    )
+    scored = (
+        pair_stream(score_docs)
+        .join(model, ["prev", "cur"], "left")
+        .join(uprob, "cur", "left")
+        .crossJoin(F.broadcast(tot.select("log_nv")))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("lp_b"),
+                F.log(F.lit(alpha))
+                + F.coalesce(F.col("lp_u"), -F.col("log_nv")),
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+    )
+
+
 def pack_training_chunks_grouped(
     documents: DataFrame,
     budget: int = 2048,

@@ -708,6 +708,60 @@ def text_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "text_bigram_logprob",
+    # natural log on both sides; per-doc mean rounded to absorb
+    # float summation order (same policy as text_unigram_logprob)
+    oracle=rf"""
+    WITH d AS (SELECT doc_id, {_NTOKS} AS toks,
+                      substring(md5(doc_id::VARCHAR), 1, 2) < '80'
+                          AS is_model
+               FROM documents),
+    mt AS (SELECT doc_id, toks FROM d WHERE is_model),
+    st AS (SELECT doc_id, toks FROM d WHERE NOT is_model),
+    uc AS (SELECT tok, count(*) AS c
+           FROM (SELECT unnest(toks) AS tok FROM mt) GROUP BY 1),
+    tot AS (SELECT sum(c) + count(*) AS nv FROM uc),
+    mb AS (SELECT unnest([toks[i] FOR i IN range(1, len(toks))]) AS prev,
+                  unnest([toks[i+1] FOR i IN range(1, len(toks))]) AS cur
+           FROM mt WHERE len(toks) >= 2),
+    bc AS (SELECT prev, cur, count(*) AS cb FROM mb GROUP BY 1, 2),
+    model AS (SELECT bc.prev, bc.cur, ln(cb * 1.0 / uc.c) AS lp_b
+              FROM bc JOIN uc ON bc.prev = uc.tok),
+    sb AS (SELECT doc_id,
+                  unnest([toks[i] FOR i IN range(1, len(toks))]) AS prev,
+                  unnest([toks[i+1] FOR i IN range(1, len(toks))]) AS cur
+           FROM st WHERE len(toks) >= 2),
+    scored AS (
+        SELECT sb.doc_id,
+               coalesce(model.lp_b,
+                        ln(0.4) + coalesce(ln((uc.c + 1.0) / tot.nv),
+                                           -ln(tot.nv))) AS lp
+        FROM sb
+        LEFT JOIN model ON sb.prev = model.prev AND sb.cur = model.cur
+        LEFT JOIN uc ON sb.cur = uc.tok
+        CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(sum(lp) / count(*), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram LM scoring with Stupid Backoff, trained on the corpus's
+    deterministic model half and scoring the other half — the CCNet/
+    KenLM shape where unseen bigrams and OOV tokens genuinely occur
+    (a self-trained bigram model would never exercise the backoff
+    path). One pair-keyed shuffle for the model join; the unigram
+    table broadcasts; totals ride a one-row broadcast frame."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return TX.bigram_logprob(
+        d.filter(bucket < "80"), d.filter(~(bucket < "80")), alpha=0.4)
+
+
+@register(
     "text_quality_sample",
     # inside the 50-row window since r4 (see text_pack_chunks note)
     oracle=rf"""

@@ -92,7 +92,6 @@ _WINDOW_ORDER = [
     "text_guard_panel",
     # r7: text_domain_mix + text_corpus_stats merged (1 slot freed)
     "text_mix_panel",
-    "text_pack_chunks",
     "text_unigram_logprob",
     "tpch_q21_waiting_suppliers",
     "rollup_day_type_panel",
@@ -146,6 +145,10 @@ _WINDOW_ORDER = [
     # green; the CI registry gate keeps both oracles enforced).
     "lifecycle_cross_table_panel",
     "text_bloom_decontaminate",
+    # r8 wave 5: bigram Stupid-Backoff LM scoring (model half scores
+    # the other half — backoff and OOV paths genuinely fire). Out:
+    # text_pack_chunks (window since r4; CI gate keeps its oracle).
+    "text_bigram_logprob",
 ]
 
 

@@ -236,6 +236,7 @@ def test_adjudication_window_composition():
         # green, still CI-gated)
         "lifecycle_cross_table_panel",
         "text_bloom_decontaminate",
+        "text_bigram_logprob",
     ):
         assert flagship in registry._WINDOW_ORDER, flagship
     # merged-away entries keep their oracles (no semantics dropped)

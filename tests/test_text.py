@@ -1115,3 +1115,25 @@ def test_bloom_prefilter_actually_prunes(spark):
            TX.bloom_contamination_hits(
                train, bench, n=8, m_bits=1 << 20, k=4).collect()}
     assert got == {0: 1}
+
+
+def test_bigram_logprob_backoff_arithmetic(spark):
+    """Hand-computed Stupid Backoff: seen bigram = ln(c(prev cur) /
+    c(prev)); unseen bigram between in-vocab tokens = ln(0.4) +
+    ln((c(cur)+1)/(N+V)); OOV cur = ln(0.4) + ln(1/(N+V))."""
+    import math
+
+    mk = "doc_id long, text string"
+    # model corpus: tokens a a b -> c(a)=2, c(b)=1, N=3, V=2, NV=5
+    # bigrams: (a,a)=1, (a,b)=1
+    model = spark.createDataFrame([(0, "a a b")], mk)
+    # score doc: "a b a z" -> bigrams (a,b) seen, (b,a) unseen
+    # in-vocab, (a,z) OOV cur
+    score = spark.createDataFrame([(10, "a b a z")], mk)
+    rows = {r.doc_id: (r.n_bigrams, r.avg_logprob) for r in
+            TX.bigram_logprob(model, score, alpha=0.4).collect()}
+    lp_ab = math.log(1 / 2)                       # c(a,b)/c(a)
+    lp_ba = math.log(0.4) + math.log((2 + 1) / 5)  # backoff to c(a)=2
+    lp_az = math.log(0.4) + math.log(1 / 5)        # OOV: 1/(N+V)
+    want = round((lp_ab + lp_ba + lp_az) / 3, 4)
+    assert rows == {10: (3, want)}
