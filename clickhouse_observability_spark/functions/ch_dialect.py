@@ -669,6 +669,10 @@ _PARAM_FUNCS = {
     "retention": lambda p, a: (_ for _ in ()).throw(ChDialectError(
         "retention needs the conditional-aggregate operator — use "
         "operators.behavioral.retention")),
+    "sequencenextnode": lambda p, a: (_ for _ in ()).throw(ChDialectError(
+        "sequenceNextNode needs the per-user timeline fold — use "
+        "operators.behavioral.sequence_next_node (forward/backward x "
+        "head/tail/first_match/last_match)")),
 }
 
 

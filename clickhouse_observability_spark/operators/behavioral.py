@@ -257,6 +257,95 @@ def sequence_count(
     return per_user.select("user", fold.cast("int").alias("n_sequences"))
 
 
+def sequence_next_node(
+    events: DataFrame,
+    chain: list[str],
+    direction: str = "forward",
+    base: str = "first_match",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse sequenceNextNode(direction, base)(ts, event, ...):
+    per user, the event value ADJACENT to a CONSECUTIVE chain match
+    e1..eN on the time-sorted event list — the next event after the
+    chain when ``direction='forward'``, the event before it when
+    ``'backward'`` — or NULL when the chain never matches / nothing
+    is adjacent. The flow-analysis primitive ("after view->click,
+    where do users go next?").
+
+    Bases, defined relative to the scan direction as in CH:
+    ``head`` (chain must sit at the very start of the scan),
+    ``tail`` (at the very end), ``first_match`` / ``last_match``
+    (first/last index where the consecutive chain occurs).
+
+    Ties on identical timestamps break by event value (the struct
+    sort), mirrored exactly in the oracle's ORDER BY (ts, event).
+    One shuffle (the per-user collect); the chain scan is a JVM array
+    fold over each user's bounded timeline — same cost class as
+    windowFunnel/sequenceMatch.
+
+    Output: (user, next_node nullable string)."""
+    if direction not in ("forward", "backward"):
+        raise ValueError(f"bad direction {direction!r}")
+    if base not in ("head", "tail", "first_match", "last_match"):
+        raise ValueError(f"bad base {base!r}")
+    if not chain:
+        raise ValueError("sequenceNextNode needs a non-empty chain")
+    # head/tail are ABSOLUTE (first/last event of the timeline); the
+    # scan moves in `direction` from there. The cross combos
+    # (forward+tail, backward+head) can never have a node beyond the
+    # chain — refuse rather than return an always-NULL column
+    # (honest-refusal policy).
+    if (direction, base) in (("forward", "tail"), ("backward", "head")):
+        raise ValueError(
+            f"{direction}+{base} scans off the timeline immediately "
+            "(no node can follow the chain); use the matching "
+            "direction for that base")
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(type_col).alias("etype"),
+    )
+    per_user = ev.groupBy("user").agg(
+        F.sort_array(F.collect_list(F.struct("us", "etype"))).alias("evs")
+    )
+    # normalize to a FORWARD scan over `sq`: backward = reversed
+    # timeline (CH gives the chain in scan order, so the chain and
+    # the "next node" are both scan-relative and need no flip). In
+    # scan order, base tail-with-backward lands on position 0 —
+    # i.e. an effective head.
+    seq_expr = ("reverse(transform(evs, e -> e.etype))"
+                if direction == "backward"
+                else "transform(evs, e -> e.etype)")
+    eff = "head" if base in ("head", "tail") else base
+    n = len(chain)
+    lits = ", ".join("'" + c.replace("'", "''") + "'" for c in chain)
+    match_i = (f"filter(sequence(0, size(sq) - {n}), i -> "
+               f"forall(sequence(0, {n - 1}), "
+               f"j -> sq[i + j] = ch[j]))")
+    pick = {"head": "IF(size(ix) > 0 AND ix[0] = 0, 0, NULL)",
+            "first_match": "IF(size(ix) > 0, ix[0], NULL)",
+            "last_match": "IF(size(ix) > 0, element_at(ix, -1), NULL)",
+            }[eff]
+    return per_user.select(
+        "user",
+        F.expr(f"array({lits})").alias("ch"),
+        F.expr(seq_expr).alias("sq"),
+    ).select(
+        "user", "ch", "sq",
+        F.expr(f"IF(size(sq) >= {n}, {match_i}, "
+               "CAST(array() AS ARRAY<INT>))").alias("ix"),
+    ).select(
+        "user",
+        F.expr(f"""
+            CASE WHEN ({pick}) IS NOT NULL
+                      AND ({pick}) + {n} < size(sq)
+                 THEN sq[({pick}) + {n}]
+            END""").alias("next_node"),
+    )
+
+
 def _parse_sequence_pattern(pattern: str, n_conds: int):
     """CH sequenceMatch pattern -> (refs, seps).
 

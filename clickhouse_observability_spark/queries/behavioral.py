@@ -160,3 +160,67 @@ def behavior_window_funnel_strict(spark, sf_dir):
         ).select(F.lit(tag).alias("mode"), "user", "level")
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+@register(
+    "behavior_sequence_next_node",
+    # chain (view -> click) on the (ts, event) tie-broken timeline,
+    # three base/direction arms; 1-based DuckDB indexing vs 0-based
+    # Spark is confined to each side's own arithmetic
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id AS user,
+               list(event_type ORDER BY ts, event_type) AS sq
+        FROM events GROUP BY 1
+    ),
+    fwd AS (
+        SELECT user, sq,
+               [i FOR i IN range(1, len(sq))
+                IF sq[i] = 'view' AND sq[i+1] = 'click'] AS ix
+        FROM seqs
+    ),
+    bwd AS (
+        SELECT user, list_reverse(sq) AS rq FROM seqs
+    ),
+    bwx AS (
+        SELECT user, rq,
+               [i FOR i IN range(1, len(rq))
+                IF rq[i] = 'view' AND rq[i+1] = 'click'] AS ix
+        FROM bwd
+    )
+    SELECT 'fwd_first' AS op, user,
+           CASE WHEN len(ix) > 0 AND ix[1] + 2 <= len(sq)
+                THEN sq[ix[1] + 2] END AS next_node
+    FROM fwd
+    UNION ALL
+    SELECT 'fwd_head', user,
+           CASE WHEN len(ix) > 0 AND ix[1] = 1 AND 3 <= len(sq)
+                THEN sq[3] END
+    FROM fwd
+    UNION ALL
+    SELECT 'bwd_last', user,
+           CASE WHEN len(ix) > 0 AND ix[-1] + 2 <= len(rq)
+                THEN rq[ix[-1] + 2] END
+    FROM bwx
+    """,
+)
+def behavior_sequence_next_node(spark, sf_dir):
+    """CH sequenceNextNode over the events timeline: after the
+    consecutive view->click chain, which event does each user hit
+    next (forward, first_match / head), and which event preceded the
+    LAST such chain (backward, last_match) — the flow-analysis
+    primitive. NULL where the chain never matches or nothing is
+    adjacent; ties on equal timestamps break by event value on both
+    engines (operators/behavioral.sequence_next_node)."""
+    ev = table(spark, sf_dir, "events")
+    chain = ["view", "click"]
+
+    def arm(tag, direction, base):
+        return B.sequence_next_node(ev, chain, direction, base).select(
+            F.lit(tag).alias("op"), "user", "next_node")
+
+    return (
+        arm("fwd_first", "forward", "first_match")
+        .unionByName(arm("fwd_head", "forward", "head"))
+        .unionByName(arm("bwd_last", "backward", "last_match"))
+    )

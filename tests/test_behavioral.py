@@ -351,3 +351,63 @@ def test_window_funnel_strict_modes(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown windowFunnel"):
         B.window_funnel(inc, steps, 60, modes=("bogus",))
+
+
+def test_sequence_next_node_planted_timelines(spark):
+    """Hand-built timelines for every base/direction pair, including
+    the chain-at-the-edge NULL and the tie-break on equal ts."""
+    import datetime as dt
+
+    from clickhouse_observability_spark.operators.behavioral import (
+        sequence_next_node,
+    )
+
+    T = lambda m: dt.datetime(2025, 5, 1, 10, m)  # noqa: E731
+    rows = [
+        # u1: view click purchase error
+        (1, T(0), "view"), (1, T(1), "click"),
+        (1, T(2), "purchase"), (1, T(3), "error"),
+        # u2: click view click — chain matches but nothing follows
+        (2, T(0), "click"), (2, T(1), "view"), (2, T(2), "click"),
+        # u3: no match at all
+        (3, T(0), "error"), (3, T(1), "signup"),
+        # u4: signup click view — backward scan [view click signup]:
+        # the node BEFORE the chain in real time is signup
+        (4, T(0), "signup"), (4, T(1), "click"), (4, T(2), "view"),
+        # u5: error view click purchase — fwd head fails (chain not
+        # at the start) but first_match finds it
+        (5, T(0), "error"), (5, T(1), "view"),
+        (5, T(2), "click"), (5, T(3), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    chain = ["view", "click"]
+
+    def got(direction, base):
+        return {r.user: r.next_node for r in
+                sequence_next_node(ev, chain, direction, base).collect()}
+
+    assert got("forward", "first_match") == {
+        1: "purchase", 2: None, 3: None, 4: None, 5: "purchase"}
+    assert got("forward", "head") == {
+        1: "purchase", 2: None, 3: None, 4: None, 5: None}
+    assert got("backward", "tail") == {
+        1: None, 2: None, 3: None, 4: "signup", 5: None}
+    assert got("backward", "last_match") == {
+        1: None, 2: None, 3: None, 4: "signup", 5: None}
+    # the chain is given in SCAN order (CH-style): a real-time
+    # view->click chain scanned backward is written (click, view) —
+    # u5 (error view click purchase) then yields the pre-chain node
+    bwd = {r.user: r.next_node for r in
+           sequence_next_node(ev, ["click", "view"],
+                              "backward", "last_match").collect()}
+    # u1's chain starts at its very first event: nothing precedes it
+    assert bwd[5] == "error" and bwd[1] is None
+    # degenerate cross combos refuse instead of returning all-NULL
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="scans off"):
+        sequence_next_node(ev, chain, "forward", "tail")
+    with _pytest.raises(ValueError, match="scans off"):
+        sequence_next_node(ev, chain, "backward", "head")
+    with _pytest.raises(ValueError, match="non-empty"):
+        sequence_next_node(ev, [], "forward", "head")
