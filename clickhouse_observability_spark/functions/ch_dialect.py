@@ -618,6 +618,15 @@ _FUNCS = {
     # would propagate DECIMAL division into the result type
     "avgweighted": lambda a: (
         f"CAST(sum(({a[0]}) * ({a[1]})) / sum({a[1]}) AS DOUBLE)"),
+    # boundingRatio(x, y): slope between the leftmost and rightmost
+    # points — (y at max x − y at min x) / (max x − min x).
+    # try_divide: a single-point group has zero x-span; CH emits nan
+    # there, this engine NULL (documented divergence — ANSI mode
+    # raises on the raw division)
+    "boundingratio": lambda a: (
+        f"CAST(try_divide(max_by({a[1]}, {a[0]}) - "
+        f"min_by({a[1]}, {a[0]}), "
+        f"max({a[0]}) - min({a[0]})) AS DOUBLE)"),
     # sub-hour buckets (CH's fixed five/ten/fifteen-minute grids)
     "tostartoffiveminute": lambda a: _minute_bucket(a[0], 300),
     "tostartoftenminutes": lambda a: _minute_bucket(a[0], 600),
@@ -649,6 +658,10 @@ _PARAM_FUNCS = {
         f"percentile_approx({a[0]}, array({', '.join(p)}))",
     "quantilestdigest": lambda p, a:
         f"percentile_approx({a[0]}, array({', '.join(p)}))",
+    # uniqUpTo(N)(x): exact distinct count saturating at N+1 (CH's
+    # "more than N" sentinel); exact by contract, so count DISTINCT
+    "uniqupto": lambda p, a:
+        f"least(count(DISTINCT {', '.join(a)}), {p[0]} + 1)",
     # CH topK(k)(x) -> Spark's native approx_top_k (both are
     # frequent-items sketches); CH returns just the value array
     "topk": lambda p, a:

@@ -119,7 +119,14 @@ def agg_ch_functions_panel(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS bucket, event_type,
            count(*) FILTER (value > 250) AS high,
            count(DISTINCT user_id) AS users,
-           round(sum(value) FILTER (value <= 250), 2) AS low_sum
+           round(sum(value) FILTER (value <= 250), 2) AS low_sum,
+           least(count(DISTINCT user_id), 6) AS upto,
+           CASE WHEN max(event_id) > min(event_id) THEN
+             CAST(floor(((arg_max(value, event_id)
+                          - arg_min(value, event_id))
+                         / (max(event_id) - min(event_id)))
+                        * 10000) AS BIGINT)
+           END AS br
     FROM events GROUP BY 1, 2
     """,
 )
@@ -127,7 +134,15 @@ def ch_dialect_hourly_panel(spark, sf_dir):
     """Runs VERBATIM ClickHouse SQL through the dialect shim
     (functions/ch_dialect.py) inside the adjudicated path — the
     translated text must be semantically identical to the ANSI
-    oracle, not merely parseable."""
+    oracle, not merely parseable. r8 adds uniqUpTo (saturating exact
+    distinct) and boundingRatio over the UNIQUE event_id x-axis
+    (unique x keeps arg_max/min deterministic on both engines;
+    single-event groups are NULL on both — try_divide vs the
+    oracle's CASE guard). The slope hashes as floor(x*1e4) BIGINT,
+    not round(x, 4): both engines compute the same IEEE double but
+    their round() algorithms differ at representation boundaries
+    (~6 of 3385 groups flipped at 4dp in selfcheck); multiply+floor
+    is the same bit-exact op on both."""
     from clickhouse_observability_spark.functions.ch_dialect import ch_sql
 
     ev = table(spark, sf_dir, "events")
@@ -136,7 +151,10 @@ def ch_dialect_hourly_panel(spark, sf_dir):
         "SELECT toStartOfHour(ts) AS bucket, event_type, "
         "countIf(value > 250) AS high, "
         "uniqExact(user_id) AS users, "
-        "round(sumIf(value, value <= 250), 2) AS low_sum "
+        "round(sumIf(value, value <= 250), 2) AS low_sum, "
+        "uniqUpTo(5)(user_id) AS upto, "
+        "CAST(floor(boundingRatio(event_id, value) * 10000) "
+        "AS BIGINT) AS br "
         "FROM events GROUP BY toStartOfHour(ts), event_type",
         views={"events": ev},
     )

@@ -38,6 +38,11 @@ def test_translate_vocabulary():
         "SELECT quantileExact(0.5)(v) FROM t": "percentile(v, 0.5)",
         "SELECT quantiles(0.5, 0.9)(v) FROM t":
             "percentile_approx(v, array(0.5, 0.9))",
+        "SELECT uniqUpTo(5)(user) FROM t":
+            "least(count(DISTINCT user), 5 + 1)",
+        "SELECT boundingRatio(x, y) FROM t":
+            "CAST(try_divide(max_by(y, x) - min_by(y, x), "
+            "max(x) - min(x)) AS DOUBLE)",
         "SELECT argMax(u, v) FROM t": "max_by(u, v)",
         "SELECT multiIf(a, 1, b, 2, 3) FROM t":
             "CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END",
