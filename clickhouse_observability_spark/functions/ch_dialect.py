@@ -604,6 +604,11 @@ _FUNCS = {
     "neighbor": _unsupported(
         "neighbor",
         "block-order dependent; use lag()/lead() OVER (ORDER BY ...)"),
+    "entropy": _unsupported(
+        "entropy",
+        "needs a two-level aggregation (per-value counts first); use "
+        "operators.ch_functions.entropy (same log2 Shannon "
+        "definition)"),
     # statistics family: CH camelCase -> Spark snake_case (unmapped
     # these would hit UNRESOLVED_ROUTINE, not mistranslate — but a
     # CH user expects them to just work)

@@ -114,6 +114,38 @@ def sum_map(
     return ex.groupBy(group, "map_key").agg(s.alias("map_sum"))
 
 
+def entropy(df: DataFrame, group: str, col: str) -> DataFrame:
+    """ClickHouse `entropy(x)`: Shannon entropy (log2) of the value
+    distribution within each group — the cardinality-shape signal
+    observability stacks run over URL/status/template columns (a
+    sudden entropy drop = one value flooding).
+
+    Two-level aggregation by necessity (per-value counts, then the
+    -Σ p·log2 p fold), both with map-side combine: the first groupBy
+    is (group, value)-keyed, the second collapses to the group — no
+    per-group value list ever materializes in one executor.
+
+    Output: (group, entropy DOUBLE). The probability uses the
+    group's own total (count over the same rows), so the two
+    aggregates pipeline into one shuffle exchange + an AQE-coalesced
+    second stage."""
+    per_val = df.groupBy(group, col).agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        per_val.groupBy(group)
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(F.col("__c") * F.log2("__c")).alias("__clog"),
+        )
+        .select(
+            group,
+            # -Σ (c/n)·log2(c/n) = log2(n) − (Σ c·log2 c)/n : one
+            # pass over per-value counts, no second join for n
+            (F.log2("__n") - F.col("__clog") / F.col("__n"))
+            .alias("entropy"),
+        )
+    )
+
+
 def segment_overlap_exact(
     df: DataFrame, segment: str = "event_type", id_col: str = "user_id"
 ) -> DataFrame:

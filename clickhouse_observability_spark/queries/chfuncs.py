@@ -161,6 +161,27 @@ def ch_dialect_hourly_panel(spark, sf_dir):
 
 
 @register(
+    "agg_entropy",
+    # DuckDB's native entropy() is the oracle (same log2 Shannon
+    # definition as CH); 6dp absorbs the engines' different
+    # summation orders over per-value counts
+    oracle="""
+    SELECT event_type, round(entropy(user_id), 6) AS ent
+    FROM events GROUP BY 1
+    """,
+)
+def agg_entropy(spark, sf_dir):
+    """CH entropy(x): Shannon entropy (log2) of each event type's
+    user distribution — the cardinality-shape signal (an entropy
+    collapse = one user flooding a type). Two map-side-combining
+    aggregations, no per-group value list
+    (operators/ch_functions.entropy)."""
+    ev = table(spark, sf_dir, "events")
+    return CH.entropy(ev, "event_type", "user_id").select(
+        "event_type", F.round("entropy", 6).alias("ent"))
+
+
+@register(
     "agg_ch_summap",
     oracle="""
     SELECT event_type, map_key, round(sum(v), 2) AS map_sum FROM (

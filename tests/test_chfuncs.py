@@ -130,3 +130,34 @@ def test_segment_overlap_theta_plan_never_shuffles_ids(spark, sf_med):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "hashpartitioning(user_id" not in plan
     assert "hashpartitioning(id" not in plan
+
+
+def test_entropy_hand_computed(spark):
+    """Shannon entropy (log2) against hand values: uniform over 4
+    values = 2 bits; single value = 0; the 1/2+1/4+1/4 split = 1.5."""
+    import math
+
+    from clickhouse_observability_spark.operators.ch_functions import (
+        entropy,
+    )
+
+    rows = ([("u", i) for i in range(4)]
+            + [("s", 7)] * 3
+            + [("m", 1), ("m", 1), ("m", 2), ("m", 3)])
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {r.g: round(r.entropy, 10) for r in
+           entropy(df, "g", "v").collect()}
+    assert got["u"] == 2.0
+    assert got["s"] == 0.0
+    assert math.isclose(got["m"], 1.5)
+
+
+def test_entropy_dialect_refusal(spark):
+    from clickhouse_observability_spark.functions.ch_dialect import (
+        ChDialectError,
+        translate,
+    )
+    import pytest as _p
+
+    with _p.raises(ChDialectError, match="two-level aggregation"):
+        translate("SELECT entropy(user_id) FROM events GROUP BY 1")
