@@ -43,7 +43,22 @@ def dedup_exact_groups(spark, sf_dir):
 
 # Rows-only since r3: adjudicated as the 'tokenset' arm of
 # dedup_exact_groups; the standalone operator stays registered.
-@register("dedup_tokenset_groups")
+@register(
+    "dedup_tokenset_groups",
+    # oracle-ified r8 (was rows-only since r3): the sorted distinct
+    # token-set fingerprint is fully deterministic — binary UTF-8
+    # string sort on both engines over lowercase normalized tokens
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_sort(list_distinct({_NTOKS})), ' ')) AS fp
+        FROM documents
+    )
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM f GROUP BY fp
+    """,
+)
 def dedup_tokenset_groups(spark, sf_dir):
     return D.tokenset_dedup_groups(table(spark, sf_dir, "documents"))
 

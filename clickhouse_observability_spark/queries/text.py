@@ -132,7 +132,16 @@ def text_winnowing(spark, sf_dir):
 # Rows-only since r4: adjudicated inside text_corpus_stats' merged
 # section-tagged panel; the standalone entry stays registered, its
 # oracle slot freed for a previously unadjudicated entry.
-@register("text_top_terms")
+@register(
+    "text_top_terms",
+    # oracle-ified r8 (was rows-only since r3): the (n DESC, tok ASC)
+    # total order makes the top-20 fully deterministic
+    oracle=rf"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 20
+    """,
+)
 def text_top_terms(spark, sf_dir):
     """Top-k frequent terms (the 'top error messages' observability
     staple): explode -> count -> top-k. Partial aggregation collapses
