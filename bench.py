@@ -113,6 +113,7 @@ HEADLINE = [
     ("text_bloom_decontaminate", "collect"),
     ("lifecycle_cross_table_panel", "collect"),
     ("text_bigram_logprob", "noop"),
+    ("lifecycle_skip_index_panel", "collect"),
 ]
 
 # The driver's r4 capture, min-of-3 per query (the judge-verified
@@ -659,6 +660,7 @@ def _run_bench() -> None:
         "text_bloom_decontaminate",  # r8 wave 4: reported, not summed
         "lifecycle_cross_table_panel",
         "text_bigram_logprob",
+        "lifecycle_skip_index_panel",
     }
     media = _media_decode_bench(spark)
 

@@ -2524,6 +2524,29 @@ _MAT_COL_RE = re.compile(
     r"(?:\s+IN\s+PARTITION\s+'?(\d+)'?)?\s*$",
     re.IGNORECASE,
 )
+# CH data-skipping indexes: ADD INDEX name expr TYPE t [GRANULARITY g]
+# is metadata-only; MATERIALIZE INDEX builds the per-file summaries;
+# DROP removes definition+summaries, CLEAR keeps the definition.
+_ADD_INDEX_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(\w+)\s+(.+?)\s+TYPE\s+(minmax|set\s*\(\s*(\d+)\s*\)|bloom_filter"
+    r"(?:\s*\([^)]*\))?|tokenbf_v1\s*\(([^)]*)\))"
+    r"(?:\s+GRANULARITY\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
+_DROP_INDEX_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+INDEX\s+(IF\s+EXISTS\s+)?"
+    r"(\w+)\s*$",
+    re.IGNORECASE,
+)
+_MAT_INDEX_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+INDEX\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_CLEAR_INDEX_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+CLEAR\s+INDEX\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 _CLEAR_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+CLEAR\s+COLUMN\s+(IF\s+EXISTS\s+)?"
     r"`?(\w+)`?\s+IN\s+PARTITION\s+'?(\d+)'?\s*$",
@@ -2951,7 +2974,7 @@ _LOGS_DEFAULTS = {
 
 _SYSTEM_TABLES = ("parts", "columns", "tables", "query_log",
                   "mutations", "projections", "detached_parts",
-                  "dropped_tables")
+                  "dropped_tables", "data_skipping_indices")
 
 
 def _rewrite_system_tables(spark, sql, logs, query_log, tables=None):
@@ -3068,6 +3091,25 @@ def _rewrite_system_tables(spark, sql, logs, query_log, tables=None):
             "table string, partition int, files int, bytes_on_disk "
             "bigint",
         ).createOrReplaceTempView("system_detached_parts")
+    if "data_skipping_indices" in used:
+        # CH system.data_skipping_indices: one row per index with its
+        # definition and how many at-rest files its summaries cover.
+        from clickhouse_observability_spark.sources.skip_index import (
+            SkipIndex,
+        )
+
+        if logs is None:
+            raise ChDialectError(
+                "system.data_skipping_indices needs the logs table")
+        rows = [("logs", i.meta["name"], i.meta["type"],
+                 i.meta["expr"], int(i.meta["granularity"]),
+                 len(i.meta["files"]))
+                for i in SkipIndex.load_all(logs.path)]
+        local_df(
+            spark, rows,
+            "table string, name string, type string, expr string, "
+            "granularity int, files_indexed int",
+        ).createOrReplaceTempView("system_data_skipping_indices")
     if "dropped_tables" in used:
         # CH system.dropped_tables: tables inside the Atomic keep
         # window, restorable with UNDROP TABLE. One row per parked
@@ -3501,6 +3543,84 @@ def ch_sql(
             )["matched_rows"]
         except ValueError as e:
             raise ChDialectError(str(e)) from e
+
+    mai = _ADD_INDEX_RE.match(sql)
+    if mai is not None:
+        from clickhouse_observability_spark.sources.skip_index import (
+            SkipIndex,
+        )
+
+        tname, iname, expr_ch, type_full, set_n, tok_params, gran = \
+            mai.groups()
+        t = _named_table(tname, logs, tables)
+        tf = type_full.lower()
+        if tf.startswith("set"):
+            type_, param = "set", int(set_n)
+        elif tf.startswith("tokenbf_v1"):
+            type_ = "tokenbf_v1"
+            param = [int(x.strip()) for x in tok_params.split(",")
+                     if x.strip()] or None
+        elif tf.startswith("bloom_filter"):
+            type_, param = "bloom_filter", None
+        else:
+            type_, param = "minmax", None
+        spark_expr = _mutation_expr(_tokenize(expr_ch))
+        if_not_exists = re.search(r"IF\s+NOT\s+EXISTS", sql,
+                                  re.IGNORECASE) is not None
+        try:
+            SkipIndex.create(t.path, iname, spark_expr, type_,
+                             param=param, granularity=int(gran or 1))
+        except ValueError as e:
+            if if_not_exists and "already exists" in str(e):
+                return 0
+            raise ChDialectError(str(e)) from e
+        return 0
+
+    mdi = _DROP_INDEX_RE.match(sql)
+    if mdi is not None:
+        from clickhouse_observability_spark.sources.skip_index import (
+            SkipIndex,
+        )
+
+        tname, if_exists, iname = mdi.groups()
+        t = _named_table(tname, logs, tables)
+        idx = SkipIndex.load(t.path, iname)
+        if idx is None:
+            if if_exists:
+                return 0
+            raise ChDialectError(f"no skip index {iname!r}")
+        idx.drop()
+        return 0
+
+    mmi = _MAT_INDEX_RE.match(sql)
+    if mmi is not None:
+        from clickhouse_observability_spark.sources.skip_index import (
+            SkipIndex,
+        )
+
+        tname, iname = mmi.groups()
+        t = _named_table(tname, logs, tables)
+        idx = SkipIndex.load(t.path, iname)
+        if idx is None:
+            raise ChDialectError(f"no skip index {iname!r}")
+        try:
+            return idx.materialize(spark)["files"]
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+
+    mci = _CLEAR_INDEX_RE.match(sql)
+    if mci is not None:
+        from clickhouse_observability_spark.sources.skip_index import (
+            SkipIndex,
+        )
+
+        tname, iname = mci.groups()
+        t = _named_table(tname, logs, tables)
+        idx = SkipIndex.load(t.path, iname)
+        if idx is None:
+            raise ChDialectError(f"no skip index {iname!r}")
+        idx.clear()
+        return 0
 
     mcc = _CLEAR_COL_RE.match(sql)
     if mcc is not None:

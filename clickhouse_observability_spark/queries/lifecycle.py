@@ -525,3 +525,73 @@ def lifecycle_cross_table_panel(spark, sf_dir):
 
     return (src_arm.unionByName(dst_arm).unionByName(dirty_arm)
             .unionByName(replaced_arm).unionByName(exch))
+
+
+@register(
+    "lifecycle_skip_index_panel",
+    oracle="""
+    WITH logs AS (
+        SELECT ts + to_days((32 * (user_id % 3))::INT) AS ts,
+               event_type AS service, props AS msg
+        FROM events
+    )
+    SELECT CAST(strftime(ts, '%Y%m') AS BIGINT) AS month,
+           count(*) AS n, sum(length(msg))::BIGINT AS sum_len
+    FROM logs WHERE service = 'click' GROUP BY 1
+    """,
+)
+def lifecycle_skip_index_panel(spark, sf_dir):
+    """CH data-skipping indexes end-to-end under the driver's gate
+    (r8): build a 3-month logs table REPARTITIONED BY SERVICE before
+    insert (single-service files — index effectiveness depends on
+    layout locality, exactly as in CH, where a set index on a column
+    scattered through every granule skips nothing), ADD INDEX ... 
+    TYPE set(10) via the dialect, MATERIALIZE INDEX (one job builds
+    per-file summaries), then answer `service = 'click'` through the
+    index-pruned read. The callable RAISES unless files were
+    actually skipped AND the skipped fraction matches the layout
+    (other services' files); the oracle is the plain filtered
+    aggregate — green = pruning lost nothing and kept nothing extra.
+    (sources/skip_index.py; pytest pins the conservative paths.)"""
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+    from clickhouse_observability_spark.sources.skip_index import (
+        read_pruned,
+    )
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    path = IX.artifact_path(sf_dir, "ch_logs_skipidx",
+                            source_table="events")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LogsTable(spark, path)
+    t.init_schema()
+    ev = table(spark, sf_dir, "events")
+    t.insert(
+        ev.select(
+            F.expr("timestampadd(DAY, 32 * CAST(user_id % 3 AS INT), ts)")
+            .alias("ts"),
+            F.col("event_type").alias("service"),
+            F.lit("INFO").alias("level"),
+            F.col("props").alias("msg"),
+            F.col("props").alias("attrs"),
+            F.col("user_id").cast("string").alias("trace_id"),
+            F.col("event_id").cast("string").alias("span_id"),
+        ).repartition(8, "service")
+        # explicit numPartitions: AQE coalesces a bare
+        # repartition(col) on small inputs, merging services back
+        # into shared files and leaving nothing to skip
+    )
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX svc service TYPE set(10)",
+           logs=t)
+    n_files = ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX svc",
+                     logs=t)
+    df, st = read_pruned(spark, t.path, "svc", "click")
+    if st["files_skipped"] == 0 or st["files_unindexed"]:
+        raise RuntimeError(
+            f"skip_index_panel: expected real pruning over {n_files} "
+            f"indexed files, got {st}")
+    return (
+        df.filter(F.col("service") == "click")
+        .groupBy(F.col("month").cast("long").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.length("msg")).alias("sum_len"))
+    )

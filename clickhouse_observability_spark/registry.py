@@ -96,7 +96,6 @@ _WINDOW_ORDER = [
     "tpch_q21_waiting_suppliers",
     "rollup_day_type_panel",
     "agg_ch_functions_panel",
-    "text_dsir_weights",
     # r6 rotation: three more panel merges (agg_hourly_panel,
     # text_perdoc_panel, text_signal_panel) freed four slots for the
     # round-5 flagships below; merged-away entries keep their own
@@ -149,6 +148,12 @@ _WINDOW_ORDER = [
     # the other half — backoff and OOV paths genuinely fire). Out:
     # text_pack_chunks (window since r4; CI gate keeps its oracle).
     "text_bigram_logprob",
+    # r8 wave 6: CH data-skipping indexes adjudicated end-to-end
+    # (ADD/MATERIALIZE INDEX via the dialect, set(10) pruning a
+    # service-local file layout, arm raises unless files were
+    # actually skipped). Out: text_dsir_weights (window since r5;
+    # CI gate keeps its oracle).
+    "lifecycle_skip_index_panel",
 ]
 
 

@@ -191,7 +191,6 @@ def test_adjudication_window_composition():
         "dedup_exact_panel",
         "rollup_day_type_panel",
         "agg_ch_functions_panel",
-        "text_dsir_weights",
         # r6 rotation: three more panel merges + four round-5 flagships
         "agg_hourly_panel",
         "text_perdoc_panel",
@@ -237,6 +236,7 @@ def test_adjudication_window_composition():
         "lifecycle_cross_table_panel",
         "text_bloom_decontaminate",
         "text_bigram_logprob",
+        "lifecycle_skip_index_panel",
     ):
         assert flagship in registry._WINDOW_ORDER, flagship
     # merged-away entries keep their oracles (no semantics dropped)

@@ -1,0 +1,174 @@
+"""CH data-skipping indexes (`sources/skip_index.py` + dialect
+routing): per-file sidecar summaries pruning FILES the way CH's
+minmax / set(N) / bloom_filter / tokenbf_v1 prune granules.
+
+Pinned here: ADD INDEX is metadata-only (no summaries, no job
+observable); MATERIALIZE builds per-file summaries in one pass;
+pruned reads scan ONLY surviving files (inputFiles asserted) and
+return exactly the full-filter answer; set(N) overflow and
+unmaterialized/new files are conservative (never wrongly skipped);
+Bloom probes use Spark's own xxhash64 so build and probe can't
+drift; DROP/CLEAR INDEX and system.data_skipping_indices.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from clickhouse_observability_spark.functions.ch_dialect import (
+    ChDialectError,
+    ch_sql,
+)
+from clickhouse_observability_spark.sources.skip_index import (
+    SkipIndex,
+    read_pruned,
+)
+from clickhouse_observability_spark.sources.writer import LogsTable
+
+
+@pytest.fixture()
+def logs(spark, tmp_path):
+    t = LogsTable(spark, str(tmp_path / "logs"))
+    t.init_schema()
+    # three months -> three+ files with disjoint level/msg profiles
+    ch_sql(spark, (
+        "INSERT INTO logs (ts, service, level, msg) VALUES "
+        "('2025-05-01 10:00:00', 'api', 'INFO', 'alpha beta'), "
+        "('2025-05-01 11:00:00', 'api', 'INFO', 'beta gamma'), "
+        "('2025-06-01 10:00:00', 'web', 'WARN', 'delta epsilon'), "
+        "('2025-07-01 10:00:00', 'db', 'ERROR', 'zeta eta theta')"),
+        logs=t)
+    return t
+
+
+def _files(df):
+    return {os.path.basename(f) for f in df.inputFiles()}
+
+
+def test_set_index_prunes_files(spark, logs):
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
+           logs=logs)
+    idx = SkipIndex.load(logs.path, "lvl")
+    assert idx.meta["files"] == {}  # ADD is metadata-only (CH parity)
+    # unmaterialized: conservative — everything scans
+    df, st = read_pruned(spark, logs.path, "lvl", "ERROR")
+    assert st["files_skipped"] == 0
+    n = ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX lvl",
+               logs=logs)
+    assert n >= 3
+    df, st = read_pruned(spark, logs.path, "lvl", "ERROR")
+    assert st["files_skipped"] >= 2 and st["files_read"] >= 1
+    rows = df.filter("level = 'ERROR'").collect()
+    assert [r.msg for r in rows] == ["zeta eta theta"]
+    # the pruned frame really reads fewer files than the full scan
+    assert len(_files(df)) < len(_files(logs.read()))
+
+
+def test_pruned_read_equals_full_filter(spark, logs):
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
+           logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX lvl", logs=logs)
+    for probe in ("INFO", "WARN", "ERROR", "ABSENT"):
+        df, _ = read_pruned(spark, logs.path, "lvl", probe)
+        got = sorted(r.msg for r in
+                     df.filter(df.level == probe).collect())
+        want = sorted(r.msg for r in logs.read()
+                      .filter(f"level = '{probe}'").collect())
+        assert got == want, probe
+
+
+def test_minmax_index(spark, logs):
+    ch_sql(spark,
+           "ALTER TABLE logs ADD INDEX svc service TYPE minmax",
+           logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX svc", logs=logs)
+    df, st = read_pruned(spark, logs.path, "svc", "web")
+    assert st["files_skipped"] >= 1
+    assert sorted(r.service for r in df.collect()) >= ["web"]
+
+
+def test_set_overflow_never_prunes(spark, logs):
+    # N=1 but the May file has one level only -> still prunable;
+    # force overflow with an index on msg (2 distinct per file > 1)
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX m msg TYPE set(1)",
+           logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX m", logs=logs)
+    idx = SkipIndex.load(logs.path, "m")
+    # whether the two May rows share a file depends on task layout;
+    # the CONTRACT is layout-independent: an overflow marker (None)
+    # always keeps the file, and a probe never loses rows
+    assert idx.might_contain(None, "anything")
+    per_file = idx.meta["files"]
+    assert all(s is None or len(s) <= 1 for s in per_file.values())
+    df, st = read_pruned(spark, logs.path, "m", "alpha beta")
+    assert st["files_read"] >= 1
+    assert "alpha beta" in {r.msg for r in df.collect()}
+
+
+def test_tokenbf_index_prunes_by_token(spark, logs):
+    ch_sql(spark, (
+        "ALTER TABLE logs ADD INDEX toks msg TYPE "
+        "tokenbf_v1(8192, 4, 0)"), logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX toks", logs=logs)
+    df, st = read_pruned(spark, logs.path, "toks", "zeta")
+    assert st["files_skipped"] >= 2  # no false negatives, real pruning
+    assert {r.msg for r in df.collect()} >= {"zeta eta theta"}
+    # a token present in two files keeps both
+    df2, st2 = read_pruned(spark, logs.path, "toks", "beta")
+    msgs = {r.msg for r in df2.collect()}
+    assert {"alpha beta", "beta gamma"} <= msgs
+
+
+def test_new_files_after_materialize_are_scanned(spark, logs):
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
+           logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX lvl", logs=logs)
+    ch_sql(spark, (
+        "INSERT INTO logs (ts, service, level, msg) VALUES "
+        "('2025-08-01 10:00:00', 'new', 'FATAL', 'fresh row')"),
+        logs=logs)
+    df, st = read_pruned(spark, logs.path, "lvl", "FATAL")
+    assert st["files_unindexed"] >= 1
+    assert {r.msg for r in df.filter("level = 'FATAL'").collect()} == {
+        "fresh row"}
+
+
+def test_drop_clear_and_system_table(spark, logs):
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
+           logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX lvl", logs=logs)
+    rows = ch_sql(spark, (
+        "SELECT name, type, files_indexed FROM "
+        "system.data_skipping_indices"), logs=logs).collect()
+    assert [(r.name, r.type) for r in rows] == [("lvl", "set")]
+    assert rows[0].files_indexed >= 3
+    ch_sql(spark, "ALTER TABLE logs CLEAR INDEX lvl", logs=logs)
+    assert SkipIndex.load(logs.path, "lvl").meta["files"] == {}
+    ch_sql(spark, "ALTER TABLE logs DROP INDEX lvl", logs=logs)
+    assert SkipIndex.load(logs.path, "lvl") is None
+    assert ch_sql(spark, "ALTER TABLE logs DROP INDEX IF EXISTS lvl",
+                  logs=logs) == 0
+    with pytest.raises(ChDialectError, match="no skip index"):
+        ch_sql(spark, "ALTER TABLE logs DROP INDEX lvl", logs=logs)
+    with pytest.raises(ChDialectError, match="already exists"):
+        ch_sql(spark, "ALTER TABLE logs ADD INDEX x level TYPE minmax",
+               logs=logs)
+        ch_sql(spark, "ALTER TABLE logs ADD INDEX x level TYPE minmax",
+               logs=logs)
+    assert ch_sql(spark, (
+        "ALTER TABLE logs ADD INDEX IF NOT EXISTS x level TYPE minmax"),
+        logs=logs) == 0
+
+
+def test_index_expression_through_dialect(spark, logs):
+    # a CH-vocabulary expression: the dialect translates before the
+    # sidecar stores it
+    ch_sql(spark, (
+        "ALTER TABLE logs ADD INDEX ulen lengthUTF8(msg) TYPE minmax"),
+        logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX ulen", logs=logs)
+    df, st = read_pruned(spark, logs.path, "ulen", 14)
+    assert st["files_skipped"] >= 1  # only 'zeta eta theta' is 14 long
+    assert "zeta eta theta" in {r.msg for r in df.collect()}
