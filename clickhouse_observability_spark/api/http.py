@@ -161,6 +161,32 @@ _CH_TYPE = {
 }
 
 
+def _maybe_skip_prune(table, base, level):
+    """ClickHouse consults data-skipping indexes automatically inside
+    its scan; the analog hook on the reference's own endpoint: a
+    /v1/logs `level` filter probes a MATERIALIZED set/minmax index
+    whose expression is exactly `level`, swapping the full scan for
+    the index-pruned file set (sources/skip_index.py). Conservative
+    by construction — no index, an unbuilt one, or a set-overflow
+    summary leaves the full frame; set/minmax probes are driver-side
+    sidecar lookups, zero extra Spark jobs on the request path
+    (bloom types, which need a hash job, are deliberately not
+    consulted here)."""
+    from clickhouse_observability_spark.sources.skip_index import (
+        SkipIndex,
+        read_pruned,
+    )
+
+    for idx in SkipIndex.load_all(table.path):
+        if (idx.meta["expr"].strip() == "level"
+                and idx.meta["type"] in ("set", "minmax")
+                and idx.meta["files"]):
+            df, _ = read_pruned(table.spark, table.path,
+                                idx.meta["name"], level)
+            return df
+    return base
+
+
 class LogsApi:
     """Transport-agnostic handler over a logs DataFrame provider."""
 
@@ -251,8 +277,11 @@ class LogsApi:
                     raise ApiError(400, f"limit too large (max {MAX_LIMIT})")
             level = params.get("level") or None
             user = params.get("user") or None
+            base = self._provider()
+            if level and self._table is not None:
+                base = _maybe_skip_prune(self._table, base, level)
             df = query_logs(
-                self._provider(),
+                base,
                 service,
                 frm.replace(tzinfo=None),
                 to.replace(tzinfo=None),

@@ -172,3 +172,46 @@ def test_index_expression_through_dialect(spark, logs):
     df, st = read_pruned(spark, logs.path, "ulen", 14)
     assert st["files_skipped"] >= 1  # only 'zeta eta theta' is 14 long
     assert "zeta eta theta" in {r.msg for r in df.collect()}
+
+
+def test_api_level_filter_uses_index_transparently(spark, tmp_path):
+    """The /v1/logs endpoint consults a materialized `level` set
+    index the way CH's scan consults skip indexes: same envelope
+    either way, fewer files scanned when the layout allows."""
+    from clickhouse_observability_spark.api.http import LogsApi
+
+    t = LogsTable(spark, str(tmp_path / "api_logs"))
+    t.init_schema()
+    # level-local files: repartition by level before insert
+    from pyspark.sql import functions as F
+
+    rows = [("2025-05-01 10:%02d:00" % i, "api",
+             "ERROR" if i % 2 else "INFO", f"m{i}") for i in range(8)]
+    block = spark.createDataFrame(
+        rows, "ts string, service string, level string, msg string"
+    ).select(
+        F.to_timestamp("ts").alias("ts"), "service", "level", "msg",
+        F.lit("{}").alias("attrs"), F.lit("t").alias("trace_id"),
+        F.lit("s").alias("span_id"),
+    ).repartition(4, "level")
+    t.insert(block)
+    params = {"service": "api", "from": "2025-05-01T00:00:00Z",
+              "to": "2025-05-02T00:00:00Z", "level": "ERROR"}
+    api = LogsApi(t.read, logs_table=t)
+    st0, body0 = api.query_logs_handler(dict(params))
+    assert st0 == 200 and body0["count"] == 4
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
+           logs=t)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX lvl", logs=t)
+    api2 = LogsApi(t.read, logs_table=t)  # fresh cache
+    st1, body1 = api2.query_logs_handler(dict(params))
+    assert st1 == 200
+    assert [l["Msg"] for l in body1["logs"]] == [
+        l["Msg"] for l in body0["logs"]]
+    # and the pruned read really touches fewer files
+    from clickhouse_observability_spark.sources.skip_index import (
+        read_pruned,
+    )
+
+    _, stats = read_pruned(spark, t.path, "lvl", "ERROR")
+    assert stats["files_skipped"] >= 1
