@@ -153,17 +153,61 @@ class SkipIndex:
         self._save()
 
     # -- build ---------------------------------------------------------
-    def materialize(self, spark: SparkSession) -> dict:
-        """`MATERIALIZE INDEX`: ONE job computes every file's summary
+    def materialize(self, spark: SparkSession,
+                    incremental: bool = False) -> dict:
+        """`MATERIALIZE INDEX`: ONE job computes per-file summaries
         — the scan reads only the indexed expression's column(s)
         (column pruning reaches the parquet reader), groups by
         input_file_name with map-side combine, and collects
-        O(#files) rows (bloom types: #files x m/64 words)."""
+        O(#files) rows (bloom types: #files x m/64 words).
+
+        ``incremental=True`` summarizes ONLY files the sidecar has
+        never seen — CH's model, where parts built after the index
+        definition get their index at write/merge time: a steady
+        ingest keeps the index fresh at O(new files) per call, never
+        O(table). Dead entries (files replaced by mutations or
+        compaction) are dropped either way — the read path ignores
+        them, but pruning them keeps the sidecar O(live files)."""
+        import glob as _glob
+
+        from clickhouse_observability_spark.schema import (
+            LOGS_SCHEMA,
+            PARTITION_COLUMN,
+        )
         from clickhouse_observability_spark.sources.writer import LogsTable
 
         t = LogsTable(spark, self.table_path)
         typ = self.meta["type"]
-        base = t.read().select(
+        root = os.path.abspath(self.table_path)
+        live = {
+            os.path.relpath(f, root)
+            for f in _glob.glob(os.path.join(
+                root, f"{PARTITION_COLUMN}=*", "*.parquet"))
+        }
+        prior = {k: v for k, v in self.meta["files"].items()
+                 if k in live}
+        if incremental:
+            todo = sorted(live - set(prior))
+            if not todo:
+                self.meta["files"] = prior
+                self._save()
+                return {"op": "materialize_index",
+                        "name": self.meta["name"], "files": len(prior)}
+            from pyspark.sql import types as T
+
+            full = T.StructType(
+                LOGS_SCHEMA.fields
+                + t.schema_ext.read_fields()
+                + [T.StructField(PARTITION_COLUMN, T.IntegerType())]
+            )
+            scan = t.schema_ext.overlay(
+                spark.read.option("basePath", root).schema(full)
+                .parquet(*[os.path.join(root, f) for f in todo])
+            )
+        else:
+            prior = {}
+            scan = t.read()
+        base = scan.select(
             F.expr(self.meta["expr"]).alias("v"),
             F.input_file_name().alias("f"),
         )
@@ -204,10 +248,10 @@ class SkipIndex:
             )
             for r in pos:
                 files.setdefault(self._rel(r.f), {})[str(r.w)] = r.bits
-        self.meta["files"] = files
+        self.meta["files"] = {**prior, **files}
         self._save()
         return {"op": "materialize_index", "name": self.meta["name"],
-                "files": len(files)}
+                "files": len(self.meta["files"])}
 
     def _rel(self, uri: str) -> str:
         # input_file_name returns a file: URI; store table-relative

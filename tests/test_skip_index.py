@@ -215,3 +215,26 @@ def test_api_level_filter_uses_index_transparently(spark, tmp_path):
 
     _, stats = read_pruned(spark, t.path, "lvl", "ERROR")
     assert stats["files_skipped"] >= 1
+
+
+def test_incremental_materialize_covers_only_new_files(spark, logs):
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
+           logs=logs)
+    idx = SkipIndex.load(logs.path, "lvl")
+    idx.materialize(spark)
+    before = dict(idx.meta["files"])
+    ch_sql(spark, (
+        "INSERT INTO logs (ts, service, level, msg) VALUES "
+        "('2025-08-01 10:00:00', 'new', 'FATAL', 'fresh row')"),
+        logs=logs)
+    res = idx.materialize(spark, incremental=True)
+    # prior summaries byte-identical (never recomputed), new file added
+    assert res["files"] == len(before) + 1
+    for k, v in before.items():
+        assert idx.meta["files"][k] == v
+    df, st = read_pruned(spark, logs.path, "lvl", "FATAL")
+    assert st["files_unindexed"] == 0 and st["files_skipped"] >= 3
+    assert {r.msg for r in df.collect()} == {"fresh row"}
+    # idempotent when nothing is new
+    assert idx.materialize(spark, incremental=True)["files"] == \
+        len(before) + 1
