@@ -318,6 +318,35 @@ def _probe_positions(spark: SparkSession, s: str, k: int, m: int
     return list(row.p)
 
 
+def read_pruned_range(
+    spark: SparkSession,
+    table_path: str,
+    index_name: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, dict]:
+    """Range probe ([lo, hi], closed) against a minmax index — the
+    BETWEEN shape minmax exists for in CH. Keeps files whose
+    [min, max] overlaps the probe range; same conservative contract
+    as read_pruned (unindexed files always scan)."""
+    idx = SkipIndex.load(table_path, index_name)
+    if idx is None:
+        raise ValueError(f"no skip index {index_name!r}")
+    if idx.meta["type"] != "minmax":
+        raise ValueError(
+            f"range probes need a minmax index; {index_name!r} is "
+            f"{idx.meta['type']!r}")
+    keep_rel, skip_rel = set(), set()
+    for rel, summary in idx.meta["files"].items():
+        if summary is None or summary[0] is None or summary[1] is None:
+            keep_rel.add(rel)
+        elif summary[0] <= hi and summary[1] >= lo:
+            keep_rel.add(rel)
+        else:
+            skip_rel.add(rel)
+    return _assemble_pruned(spark, table_path, keep_rel, skip_rel)
+
+
 def read_pruned(
     spark: SparkSession,
     table_path: str,
@@ -331,12 +360,6 @@ def read_pruned(
     stats carries files_total / files_read / files_skipped for plan
     assertions. The frame is the same logical schema as
     LogsTable.read() (evolved-column overlay included)."""
-    import glob as _glob
-
-    from clickhouse_observability_spark.schema import PARTITION_COLUMN
-    from clickhouse_observability_spark.sources.writer import LogsTable
-
-    t = LogsTable(spark, table_path)
     idx = SkipIndex.load(table_path, index_name)
     if idx is None:
         raise ValueError(f"no skip index {index_name!r}")
@@ -356,6 +379,20 @@ def read_pruned(
             (keep_rel if ok else skip_rel).add(rel)
     else:
         keep_rel, skip_rel = idx.prune(value)
+    return _assemble_pruned(spark, table_path, keep_rel, skip_rel)
+
+
+def _assemble_pruned(spark, table_path, keep_rel, skip_rel):
+    """Shared tail of the pruned-read paths: reconcile sidecar
+    verdicts with the LIVE file set (unindexed files always scan,
+    dead entries vanish), then read the surviving files with the
+    table's logical schema."""
+    import glob as _glob
+
+    from clickhouse_observability_spark.schema import PARTITION_COLUMN
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    t = LogsTable(spark, table_path)
     root = os.path.abspath(table_path)
     live = {
         os.path.relpath(f, root)

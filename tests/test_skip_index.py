@@ -238,3 +238,27 @@ def test_incremental_materialize_covers_only_new_files(spark, logs):
     # idempotent when nothing is new
     assert idx.materialize(spark, incremental=True)["files"] == \
         len(before) + 1
+
+
+def test_minmax_range_probe(spark, logs):
+    from clickhouse_observability_spark.sources.skip_index import (
+        read_pruned_range,
+    )
+
+    ch_sql(spark,
+           "ALTER TABLE logs ADD INDEX svc service TYPE minmax",
+           logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX svc", logs=logs)
+    # ['api','db','web'] across files: probe ['da','dc'] hits db only
+    df, st = read_pruned_range(spark, logs.path, "svc", "da", "dc")
+    assert st["files_skipped"] >= 1
+    assert {r.service for r in df.collect()} >= {"db"}
+    got = sorted(r.msg for r in df.filter(
+        "service BETWEEN 'da' AND 'dc'").collect())
+    want = sorted(r.msg for r in logs.read().filter(
+        "service BETWEEN 'da' AND 'dc'").collect())
+    assert got == want
+    with pytest.raises(ValueError, match="minmax"):
+        ch_sql(spark, "ALTER TABLE logs ADD INDEX l2 level TYPE set(5)",
+               logs=logs)
+        read_pruned_range(spark, logs.path, "l2", "A", "Z")
