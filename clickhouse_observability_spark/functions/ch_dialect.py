@@ -604,6 +604,14 @@ _FUNCS = {
     "neighbor": _unsupported(
         "neighbor",
         "block-order dependent; use lag()/lead() OVER (ORDER BY ...)"),
+    # hasToken: CH tokenizes on non-alphanumeric boundaries and is
+    # case-SENSITIVE; the CaseInsensitive variant lowercases both
+    # sides (same boundary class — lowering doesn't move boundaries)
+    "hastoken": lambda a: (
+        f"array_contains(split({a[0]}, '[^a-zA-Z0-9_]+'), {a[1]})"),
+    "hastokencaseinsensitive": lambda a: (
+        f"array_contains(split(lower({a[0]}), '[^a-z0-9_]+'), "
+        f"lower({a[1]}))"),
     "entropy": _unsupported(
         "entropy",
         "needs a two-level aggregation (per-value counts first); use "

@@ -73,6 +73,7 @@ def apply_mutation(
     predicate_sql: str,
     assignments: dict[str, str] | None = None,
     refresh_views: bool = False,
+    refresh_indexes: bool = False,
     command: str | None = None,
 ) -> dict:
     """Run one mutation against the logs table at `path`.
@@ -82,7 +83,8 @@ def apply_mutation(
     text (the dialect shim translates CH vocabulary before calling
     here) and may reference any logs column plus ``month``.
 
-    Returns {"op", "matched_rows", "affected_months", "stale_views"}.
+    Returns {"op", "matched_rows", "affected_months", "stale_views",
+    "stale_indexes"}.
     """
     from clickhouse_observability_spark.sources.writer import LogsTable
 
@@ -176,11 +178,32 @@ def apply_mutation(
     stale_views: list[str] = []
     if months and table.materialized_views:
         stale_views = _handle_stale_views(table, refresh_views)
+    # skip indexes built over the rewritten months lost their file
+    # summaries (the rewrite REPLACED those files). Correctness never
+    # depends on this — dead entries drop out of lookups and the new
+    # files always scan (conservative) — but pruning degrades, so the
+    # index names are surfaced (or refreshed at O(new files) with
+    # ``refresh_indexes=True``; CH rebuilds part indexes on merge).
+    stale_indexes: list[str] = []
+    if months:
+        from clickhouse_observability_spark.sources.skip_index import (
+            SkipIndex,
+        )
+
+        affected = {f"{PARTITION_COLUMN}={m}" for m in months}
+        for ix in SkipIndex.load_all(path):
+            if any(rel.split(os.sep, 1)[0] in affected
+                   for rel in ix.meta["files"]):
+                if refresh_indexes:
+                    ix.materialize(spark, incremental=True)
+                else:
+                    stale_indexes.append(ix.meta["name"])
     res = {
         "op": "delete" if assignments is None else "update",
         "matched_rows": matched,
         "affected_months": months,
         "stale_views": stale_views,
+        "stale_indexes": stale_indexes,
     }
     _log_mutation(path, res, predicate_sql, assignments, command)
     return res

@@ -262,3 +262,42 @@ def test_minmax_range_probe(spark, logs):
         ch_sql(spark, "ALTER TABLE logs ADD INDEX l2 level TYPE set(5)",
                logs=logs)
         read_pruned_range(spark, logs.path, "l2", "A", "Z")
+
+
+def test_mutation_surfaces_and_refreshes_stale_indexes(spark, logs):
+    from clickhouse_observability_spark.sources.mutations import (
+        apply_mutation,
+    )
+
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
+           logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX lvl", logs=logs)
+    res = apply_mutation(spark, logs.path,
+                         "service = 'db'", assignments={"level": "'X'"})
+    assert res["stale_indexes"] == ["lvl"]
+    # conservative meanwhile: rewritten files are unindexed -> scanned
+    df, st = read_pruned(spark, logs.path, "lvl", "X")
+    assert st["files_unindexed"] >= 1
+    assert {r.level for r in df.filter("service = 'db'").collect()} == {
+        "X"}
+    res2 = apply_mutation(spark, logs.path,
+                          "service = 'db'", assignments={"msg": "'y'"},
+                          refresh_indexes=True)
+    assert res2["stale_indexes"] == []
+    df2, st2 = read_pruned(spark, logs.path, "lvl", "X")
+    assert st2["files_unindexed"] == 0 and st2["files_skipped"] >= 2
+
+
+def test_hastoken_dialect(spark, logs):
+    rows = ch_sql(spark, (
+        "SELECT msg FROM logs WHERE hasToken(msg, 'zeta')"),
+        logs=logs).collect()
+    assert [r.msg for r in rows] == ["zeta eta theta"]
+    rows = ch_sql(spark, (
+        "SELECT msg FROM logs WHERE hasTokenCaseInsensitive(msg, 'ZETA')"),
+        logs=logs).collect()
+    assert [r.msg for r in rows] == ["zeta eta theta"]
+    # case-sensitive form does NOT match a different case
+    assert ch_sql(spark, (
+        "SELECT count() AS n FROM logs WHERE hasToken(msg, 'ZETA')"),
+        logs=logs).collect()[0].n == 0
