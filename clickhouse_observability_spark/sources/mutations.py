@@ -386,6 +386,11 @@ def move_partition_to_table(
     sides stale-surface (or repair with ``refresh_views=True``)."""
     from clickhouse_observability_spark.sources.writer import LogsTable
 
+    if os.path.realpath(src_path) == os.path.realpath(dst_path):
+        # merging a month directory into itself would collision-copy
+        # the files and then unlink the directory — refuse like CH
+        # refuses moving a partition to the same table
+        raise ValueError("cannot MOVE PARTITION to the same table")
     _same_structure(src_path, dst_path)
     src = _month_dir(src_path, month)
     if not os.path.isdir(src):

@@ -250,3 +250,15 @@ def test_reserved_names_guarded(spark, two_tables):
     with pytest.raises(ChDialectError, match="unknown table"):
         ch_sql(spark, "ALTER TABLE __dropped__ DROP PARTITION 202505",
                tables=tables)
+
+
+def test_move_to_same_table_refused(spark, two_tables):
+    """Merging a month into itself would collision-copy then unlink
+    the directory — data loss; refused like CH refuses same-table
+    MOVE PARTITION."""
+    a, _ = two_tables
+    _ins(spark, a, "2025-05-01 10:00:00", "api", "keep")
+    with pytest.raises(ChDialectError, match="same table"):
+        ch_sql(spark, "ALTER TABLE a MOVE PARTITION 202505 TO TABLE a2",
+               tables={"a": a, "a2": a})
+    assert _msgs(a) == ["keep"]
