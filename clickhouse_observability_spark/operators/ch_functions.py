@@ -129,7 +129,12 @@ def entropy(df: DataFrame, group: str, col: str) -> DataFrame:
     group's own total (count over the same rows), so the two
     aggregates pipeline into one shuffle exchange + an AQE-coalesced
     second stage."""
-    per_val = df.groupBy(group, col).agg(F.count(F.lit(1)).alias("__c"))
+    # NULLs are skipped, matching CH/DuckDB aggregate semantics (a
+    # groupBy would otherwise count NULL as one more value)
+    per_val = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(group, col).agg(F.count(F.lit(1)).alias("__c"))
+    )
     return (
         per_val.groupBy(group)
         .agg(

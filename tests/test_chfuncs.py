@@ -161,3 +161,17 @@ def test_entropy_dialect_refusal(spark):
 
     with _p.raises(ChDialectError, match="two-level aggregation"):
         translate("SELECT entropy(user_id) FROM events GROUP BY 1")
+
+
+def test_entropy_skips_nulls(spark):
+    """CH/DuckDB aggregates skip NULLs; a groupBy-based entropy must
+    not count NULL as one more value."""
+    from clickhouse_observability_spark.operators.ch_functions import (
+        entropy,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", None), ("g", None)],
+        "g string, v int")
+    got = entropy(df, "g", "v").collect()[0].entropy
+    assert got == 1.0  # two non-NULL values, uniform -> 1 bit
