@@ -601,6 +601,15 @@ _FUNCS = {
     "runningdifference": _unsupported(
         "runningDifference",
         "block-order dependent; use `x - lag(x) OVER (ORDER BY ...)`"),
+    "runningaccumulate": _unsupported(
+        "runningAccumulate",
+        "block-order dependent; use `sum(x) OVER (ORDER BY ... ROWS "
+        "UNBOUNDED PRECEDING)`"),
+    # CH's frame-respecting lag/lead (its bare lag/lead are aliases
+    # with frame caveats); Spark's lag/lead carry the same
+    # (x[, offset[, default]]) signature
+    "laginframe": lambda a: f"lag({', '.join(a)})",
+    "leadinframe": lambda a: f"lead({', '.join(a)})",
     "neighbor": _unsupported(
         "neighbor",
         "block-order dependent; use lag()/lead() OVER (ORDER BY ...)"),

@@ -1719,3 +1719,19 @@ def test_check_table(spark, logs):
     assert len(bad) == 1 and "outside partition month" in bad[0].message
     with pytest.raises(ChDialectError, match="logs"):
         ch_sql(spark, "CHECK TABLE other", logs=logs)
+
+
+def test_lag_lead_in_frame(spark):
+    """CH lagInFrame/leadInFrame -> Spark lag/lead, executed over a
+    real window (offset + default arms included)."""
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "i long, v double"
+    ).createOrReplaceTempView("t")
+    rows = ch_sql(spark, (
+        "SELECT i, lagInFrame(v) OVER (ORDER BY i) AS prev, "
+        "leadInFrame(v, 1, -1.0) OVER (ORDER BY i) AS nxt "
+        "FROM t ORDER BY i")).collect()
+    assert [(r.prev, r.nxt) for r in rows] == [
+        (None, 20.0), (10.0, 30.0), (20.0, -1.0)]
+    with pytest.raises(ChDialectError, match="runningAccumulate"):
+        translate("SELECT runningAccumulate(s) FROM t")
