@@ -690,7 +690,8 @@ _PARAM_FUNCS = {
         f"transform(approx_top_k({a[0]}, {p[0]}), s -> s.item)",
     "topkweighted": lambda p, a: (_ for _ in ()).throw(ChDialectError(
         "topKWeighted has no Spark SQL aggregate; use "
-        "operators.ch_functions.top_k_by_freq")),
+        "operators.ch_functions.top_k_by_weight (exact grouped "
+        "form: sum weights per value, rank, keep k)")),
     "sequencematch": lambda p, a: (_ for _ in ()).throw(ChDialectError(
         "sequenceMatch needs the stateful fold operator — use "
         "operators.behavioral.sequence_match (same pattern grammar)")),

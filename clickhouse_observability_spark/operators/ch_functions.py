@@ -114,6 +114,27 @@ def sum_map(
     return ex.groupBy(group, "map_key").agg(s.alias("map_sum"))
 
 
+def top_k_by_weight(
+    df: DataFrame, group: str, val: str, weight: str, k: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """ClickHouse topKWeighted(k)(x, w): the top values by TOTAL
+    WEIGHT within each group (CH's is a sketch; grouped data makes
+    the exact form affordable — sum weights per (group, value),
+    rank, keep k). Weights round to `round_to` BEFORE ranking with a
+    value tie-break, so a float-summation-order ulp can't flip a
+    rank between engines. Output: (group, val, w, rank)."""
+    from pyspark.sql import Window as W
+
+    w = df.groupBy(group, val).agg(
+        F.round(F.sum(weight), round_to).alias("w"))
+    win = W.partitionBy(group).orderBy(F.desc("w"), F.asc(val))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def entropy(df: DataFrame, group: str, col: str) -> DataFrame:
     """ClickHouse `entropy(x)`: Shannon entropy (log2) of the value
     distribution within each group — the cardinality-shape signal

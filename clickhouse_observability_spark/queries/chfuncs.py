@@ -161,6 +161,32 @@ def ch_dialect_hourly_panel(spark, sf_dir):
 
 
 @register(
+    "agg_topk_weighted",
+    # weights round to 4dp BEFORE ranking (value tie-break) so a
+    # summation-order ulp can't flip a rank between engines
+    oracle="""
+    WITH s AS (
+        SELECT event_type, user_id, round(sum(value), 4) AS w
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, w, rank FROM (
+        SELECT event_type, user_id, w,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY w DESC, user_id ASC) AS rank
+        FROM s)
+    WHERE rank <= 3
+    """,
+)
+def agg_topk_weighted(spark, sf_dir):
+    """CH topKWeighted: per event type, the top-3 users by TOTAL
+    value (exact grouped form — weights summed per (type, user),
+    pre-rounded, ranked with a user tie-break;
+    operators/ch_functions.top_k_by_weight)."""
+    ev = table(spark, sf_dir, "events")
+    return CH.top_k_by_weight(ev, "event_type", "user_id", "value", 3)
+
+
+@register(
     "agg_entropy",
     # DuckDB's native entropy() is the oracle (same log2 Shannon
     # definition as CH); 6dp absorbs the engines' different
