@@ -672,6 +672,11 @@ _PARAM_FUNCS = {
     "quantiletdigest": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
     "quantilebfloat16": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
     "quantileexact": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileexactweighted": lambda p, a: (_ for _ in ()).throw(
+        ChDialectError(
+            "quantileExactWeighted needs a cumulative-weight window "
+            "— use operators.ch_functions.weighted_quantile (same "
+            "lower-bound definition, integer-exact)")),
     "quantiles": lambda p, a:
         f"percentile_approx({a[0]}, array({', '.join(p)}))",
     "quantilesexact": lambda p, a:

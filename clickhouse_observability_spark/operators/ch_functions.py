@@ -135,6 +135,41 @@ def top_k_by_weight(
     )
 
 
+def weighted_quantile(
+    df: DataFrame, group: str, x: str, w: str, q: float,
+) -> DataFrame:
+    """ClickHouse quantileExactWeighted(q)(x, w): the exact
+    q-quantile of x where each row counts w times — the
+    pre-aggregated-histogram form (x = latency bucket, w = hit
+    count) that makes exact quantiles affordable over rollups.
+
+    Lower-bound definition, CH's: the smallest x whose cumulative
+    weight reaches ceil(q · total) — integer-exact when weights are
+    integers, so both engines agree bit-for-bit (no interpolation,
+    no float accumulation across rows).
+
+    Plan: ONE shuffle on the group key; a cumulative-sum window over
+    (group, x) and a min-over-eligible pick — never a per-group
+    value list on the driver. Output: (group, q{q} DOUBLE)."""
+    from pyspark.sql import Window as W
+
+    per_x = df.groupBy(group, x).agg(F.sum(w).alias("__w"))
+    win = (W.partitionBy(group).orderBy(x)
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = W.partitionBy(group)
+    alias = f"q{str(q).replace('.', '')}"
+    cum = per_x.select(
+        group, F.col(x).alias("__x"),
+        F.sum("__w").over(win).alias("__cum"),
+        F.sum("__w").over(tot).alias("__tot"),
+    )
+    return (
+        cum.filter(F.col("__cum") >= F.ceil(F.lit(q) * F.col("__tot")))
+        .groupBy(group)
+        .agg(F.min("__x").cast("double").alias(alias))
+    )
+
+
 def entropy(df: DataFrame, group: str, col: str) -> DataFrame:
     """ClickHouse `entropy(x)`: Shannon entropy (log2) of the value
     distribution within each group — the cardinality-shape signal

@@ -187,6 +187,48 @@ def agg_topk_weighted(spark, sf_dir):
 
 
 @register(
+    "agg_weighted_quantiles",
+    # integer-exact: cumulative INTEGER weights vs ceil(q*total) —
+    # no interpolation, no float accumulation to diverge
+    oracle="""
+    WITH h AS (
+        SELECT event_type, floor(value / 10)::BIGINT AS bucket,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, bucket,
+               sum(n) OVER (PARTITION BY event_type
+                            ORDER BY bucket) AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS tot
+        FROM h
+    )
+    SELECT event_type,
+           min(CASE WHEN cum >= ceil(0.5 * tot) THEN bucket END)::DOUBLE
+               AS q05,
+           min(CASE WHEN cum >= ceil(0.95 * tot) THEN bucket END)::DOUBLE
+               AS q095
+    FROM c GROUP BY 1
+    """,
+)
+def agg_weighted_quantiles(spark, sf_dir):
+    """CH quantileExactWeighted over the pre-aggregated-histogram
+    shape it exists for: bucket the value column, count per bucket,
+    then exact weighted p50/p95 from the histogram — quantiles over
+    rollups without touching raw rows again
+    (operators/ch_functions.weighted_quantile; lower-bound
+    definition, integer-exact on both engines)."""
+    ev = table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    p50 = CH.weighted_quantile(hist, "event_type", "bucket", "n", 0.5)
+    p95 = CH.weighted_quantile(hist, "event_type", "bucket", "n", 0.95)
+    return p50.join(p95, "event_type")
+
+
+@register(
     "agg_entropy",
     # DuckDB's native entropy() is the oracle (same log2 Shannon
     # definition as CH); 6dp absorbs the engines' different

@@ -175,3 +175,19 @@ def test_entropy_skips_nulls(spark):
         "g string, v int")
     got = entropy(df, "g", "v").collect()[0].entropy
     assert got == 1.0  # two non-NULL values, uniform -> 1 bit
+
+
+def test_weighted_quantile_hand_computed(spark):
+    """Lower-bound weighted quantile against hand values: buckets
+    1,2,3 with weights 5,4,1 (total 10): p50 -> cum 5 >= 5 at bucket
+    1; p90 -> cum 9 >= 9 at bucket 2; p95 -> ceil(9.5)=10 at 3."""
+    from clickhouse_observability_spark.operators.ch_functions import (
+        weighted_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, 4), ("g", 3, 1)],
+        "g string, x int, w int")
+    for q, want in ((0.5, 1.0), (0.9, 2.0), (0.95, 3.0), (1.0, 3.0)):
+        got = weighted_quantile(df, "g", "x", "w", q).collect()[0][1]
+        assert got == want, (q, got)
