@@ -89,6 +89,37 @@ def _minute_bucket(x: str, seconds: int) -> str:
             f"* {seconds})")
 
 
+def _to_start_of_interval(a: list[str]) -> str:
+    """toStartOfInterval(ts, INTERVAL n unit): CH's generic grid
+    bucketing. Second-based units (SECOND..DAY) floor the epoch to
+    an n-unit grid — CH's own anchoring for these. Calendar units
+    (WEEK/MONTH/QUARTER/YEAR) map to date_trunc for n=1; n>1 is
+    origin-anchored in CH (counts from 1970-01) and refused rather
+    than silently mis-anchored."""
+    if len(a) != 2:
+        raise ChDialectError(
+            "toStartOfInterval takes (ts, INTERVAL n unit)")
+    m = re.fullmatch(r"(?is)\s*INTERVAL\s+(\d+)\s+([A-Za-z]+)\s*", a[1])
+    if m is None:
+        raise ChDialectError(
+            f"toStartOfInterval: second argument must be a literal "
+            f"INTERVAL, got {a[1]!r}")
+    n, unit = int(m.group(1)), m.group(2).lower().rstrip("s")
+    secs = {"second": 1, "minute": 60, "hour": 3600,
+            "day": 86400}.get(unit)
+    if secs is not None:
+        return _minute_bucket(a[0], n * secs)
+    if unit in ("week", "month", "quarter", "year"):
+        if n == 1:
+            return f"date_trunc('{unit}', {a[0]})"
+        raise ChDialectError(
+            f"toStartOfInterval with INTERVAL {n} {unit.upper()} is "
+            "origin-anchored (from 1970-01) in ClickHouse; use a "
+            "seconds-based interval or date_trunc + arithmetic "
+            "explicitly")
+    raise ChDialectError(f"unknown interval unit {unit!r}")
+
+
 def _dict_bad(sig: str):
     raise ChDialectError(f"expected {sig}")
 
@@ -650,6 +681,7 @@ _FUNCS = {
         f"min_by({a[1]}, {a[0]}), "
         f"max({a[0]}) - min({a[0]})) AS DOUBLE)"),
     # sub-hour buckets (CH's fixed five/ten/fifteen-minute grids)
+    "tostartofinterval": _to_start_of_interval,
     "tostartoffiveminute": lambda a: _minute_bucket(a[0], 300),
     "tostartoftenminutes": lambda a: _minute_bucket(a[0], 600),
     "tostartoffifteenminutes": lambda a: _minute_bucket(a[0], 900),

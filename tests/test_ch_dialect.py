@@ -1735,3 +1735,26 @@ def test_lag_lead_in_frame(spark):
         (None, 20.0), (10.0, 30.0), (20.0, -1.0)]
     with pytest.raises(ChDialectError, match="runningAccumulate"):
         translate("SELECT runningAccumulate(s) FROM t")
+
+
+def test_to_start_of_interval(spark):
+    """CH's generic grid bucketing: epoch-floor for second-based
+    units, date_trunc for single calendar units, honest refusal for
+    multi-unit calendar intervals (origin-anchored in CH)."""
+    spark.createDataFrame(
+        [("2025-05-01 10:07:33",), ("2025-05-01 10:12:01",)],
+        "t string",
+    ).selectExpr("cast(t as timestamp) ts").createOrReplaceTempView("tt")
+    rows = ch_sql(spark, (
+        "SELECT toStartOfInterval(ts, INTERVAL 5 MINUTE) AS b5, "
+        "toStartOfInterval(ts, INTERVAL 2 HOUR) AS h2, "
+        "toStartOfInterval(ts, INTERVAL 1 WEEK) AS wk "
+        "FROM tt ORDER BY b5")).collect()
+    assert [str(r.b5) for r in rows] == [
+        "2025-05-01 10:05:00", "2025-05-01 10:10:00"]
+    assert {str(r.h2) for r in rows} == {"2025-05-01 10:00:00"}
+    assert {str(r.wk) for r in rows} == {"2025-04-28 00:00:00"}  # Monday
+    with pytest.raises(ChDialectError, match="origin-anchored"):
+        translate("SELECT toStartOfInterval(ts, INTERVAL 2 MONTH) FROM tt")
+    with pytest.raises(ChDialectError, match="literal INTERVAL"):
+        translate("SELECT toStartOfInterval(ts, x) FROM tt")
