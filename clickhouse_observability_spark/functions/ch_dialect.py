@@ -339,6 +339,13 @@ _FUNCS = {
     "toyear": lambda a: f"year({a[0]})",
     "tounixtimestamp": lambda a: f"unix_timestamp({a[0]})",
     "fromunixtimestamp": lambda a: f"timestamp_seconds({a[0]})",
+    # bar(x, min, max, width): CH's inline ASCII histogram. CH draws
+    # eighth-block partials; full blocks only here (documented) —
+    # the clamp mirrors CH (x below min -> empty, above max -> full)
+    "bar": lambda a: (
+        f"repeat('█', CAST(round(greatest(least(({a[0]}) - ({a[1]}), "
+        f"({a[2]}) - ({a[1]})), 0) / (({a[2]}) - ({a[1]})) "
+        f"* {a[3] if len(a) > 3 else 80}) AS INT))"),
     "adddays": lambda a: f"({a[0]} + make_interval(0, 0, 0, {a[1]}))",
     "subtractdays": lambda a: f"({a[0]} - make_interval(0, 0, 0, {a[1]}))",
     "datediff": lambda a: (

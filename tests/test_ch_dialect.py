@@ -1758,3 +1758,15 @@ def test_to_start_of_interval(spark):
         translate("SELECT toStartOfInterval(ts, INTERVAL 2 MONTH) FROM tt")
     with pytest.raises(ChDialectError, match="literal INTERVAL"):
         translate("SELECT toStartOfInterval(ts, x) FROM tt")
+
+
+def test_bar_function(spark):
+    """bar(x, min, max, width): clamped full-block histogram bars
+    (CH draws eighth-block partials; full blocks documented)."""
+    spark.createDataFrame(
+        [(0.0,), (5.0,), (10.0,), (12.0,), (-3.0,)], "v double"
+    ).createOrReplaceTempView("t")
+    rows = ch_sql(spark, "SELECT v, bar(v, 0, 10, 10) AS b FROM t "
+                  "ORDER BY v").collect()
+    assert [len(r.b) for r in rows] == [0, 0, 5, 10, 10]
+    assert set(rows[2].b) == {"█"}
