@@ -302,6 +302,20 @@ def _format_readable_size(args):
     return f"(CASE {whens} ELSE format_string('%.2f B', {x}) END)"
 
 
+def _format_readable_quantity(args):
+    """CH formatReadableQuantity: decimal-prefixed human count, two
+    decimals ('1.23 million') — same CASE-ladder shape as
+    formatReadableSize, decimal tiers."""
+    x = f"CAST({args[0]} AS DOUBLE)"
+    tiers = [(1e12, "trillion"), (1e9, "billion"), (1e6, "million"),
+             (1e3, "thousand")]
+    whens = " ".join(
+        f"WHEN abs({x}) >= {int(t)} THEN "
+        f"format_string('%.2f {u}', {x} / {int(t)})"
+        for t, u in tiers)
+    return f"(CASE {whens} ELSE format_string('%.2f', {x}) END)"
+
+
 def _unsupported(name: str, hint: str):
     def fn(args):
         raise ChDialectError(f"{name} has no Spark SQL equivalent; {hint}")
@@ -555,6 +569,7 @@ _FUNCS = {
     "base64encode": lambda a: f"base64(CAST({a[0]} AS BINARY))",
     "base64decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
     "formatreadablesize": lambda a: _format_readable_size(a),
+    "formatreadablequantity": lambda a: _format_readable_quantity(a),
     # URL family (Spark's parse_url is the direct analog)
     "domain": lambda a: f"parse_url({a[0]}, 'HOST')",
     "path": lambda a: f"parse_url({a[0]}, 'PATH')",

@@ -1770,3 +1770,13 @@ def test_bar_function(spark):
                   "ORDER BY v").collect()
     assert [len(r.b) for r in rows] == [0, 0, 5, 10, 10]
     assert set(rows[2].b) == {"█"}
+
+
+def test_format_readable_quantity(spark):
+    spark.createDataFrame(
+        [(1234.0,), (1500000.0,), (2.5e9,), (42.0,)], "v double"
+    ).createOrReplaceTempView("t")
+    rows = ch_sql(spark, "SELECT v, formatReadableQuantity(v) AS q "
+                  "FROM t ORDER BY v").collect()
+    assert [r.q for r in rows] == [
+        "42.00", "1.23 thousand", "1.50 million", "2.50 billion"]
