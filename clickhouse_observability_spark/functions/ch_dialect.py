@@ -2042,7 +2042,8 @@ _DROP_VIEW_RE = re.compile(
 # CH EXPLAIN [SYNTAX|PLAN] stmt — SYNTAX shows the rewritten query
 # (here: the Spark SQL translation), PLAN/default the execution plan
 _EXPLAIN_RE = re.compile(
-    r"^\s*EXPLAIN(\s+SYNTAX|\s+PLAN|\s+ESTIMATE)?\s+(SELECT\b.+|WITH\b.+)$",
+    r"^\s*EXPLAIN(\s+SYNTAX|\s+PLAN|\s+ESTIMATE|\s+PIPELINE)?"
+    r"\s+(SELECT\b.+|WITH\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -3051,7 +3052,7 @@ _LOGS_DEFAULTS = {
 
 _SYSTEM_TABLES = ("parts", "columns", "tables", "query_log",
                   "mutations", "projections", "detached_parts",
-                  "dropped_tables", "data_skipping_indices")
+                  "dropped_tables", "data_skipping_indices", "metrics")
 
 
 def _rewrite_system_tables(spark, sql, logs, query_log, tables=None):
@@ -3168,6 +3169,35 @@ def _rewrite_system_tables(spark, sql, logs, query_log, tables=None):
             "table string, partition int, files int, bytes_on_disk "
             "bigint",
         ).createOrReplaceTempView("system_detached_parts")
+    if "metrics" in used:
+        # CH system.metrics: current engine state as (metric, value,
+        # description) rows. The analog reads the live SparkContext —
+        # scheduler and executor state, driver-side, zero jobs.
+        import time as _time
+
+        sc = spark.sparkContext
+        st = sc.statusTracker()
+        try:
+            n_exec = sc._jsc.sc().getExecutorMemoryStatus().size()
+        except Exception:  # JVM bridge shape varies across deploys
+            n_exec = -1
+        rows = [
+            ("ActiveJobs", float(len(st.getActiveJobsIds())),
+             "jobs currently running in the scheduler"),
+            ("ActiveStages", float(len(st.getActiveStageIds())),
+             "stages currently running"),
+            ("Executors", float(n_exec),
+             "live executor endpoints (incl. driver in local mode)"),
+            ("DefaultParallelism", float(sc.defaultParallelism),
+             "scheduler default task parallelism"),
+            ("UptimeSeconds",
+             round(_time.time() - sc.startTime / 1000.0, 1),
+             "seconds since the session's context started"),
+        ]
+        local_df(
+            spark, rows, "metric string, value double, "
+            "description string",
+        ).createOrReplaceTempView("system_metrics")
     if "data_skipping_indices" in used:
         # CH system.data_skipping_indices: one row per index with its
         # definition and how many at-rest files its summaries cover.
@@ -3864,6 +3894,12 @@ def ch_sql(
             from clickhouse_observability_spark.session import local_df
             return local_df(spark, [(translate(inner),)],
                             "statement string")
+        if (mode or "").strip().lower() == "pipeline":
+            # CH EXPLAIN PIPELINE shows the physical processor graph
+            # with parallelism; the analog is Spark's FORMATTED
+            # physical plan — operators + codegen stage spans, the
+            # same "what actually executes" tier
+            return spark.sql("EXPLAIN FORMATTED " + translate(inner))
         # PLAN/default: Spark's own one-column plan frame
         return spark.sql("EXPLAIN " + translate(inner))
 

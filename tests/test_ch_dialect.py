@@ -1780,3 +1780,19 @@ def test_format_readable_quantity(spark):
                   "FROM t ORDER BY v").collect()
     assert [r.q for r in rows] == [
         "42.00", "1.23 thousand", "1.50 million", "2.50 billion"]
+
+
+def test_explain_pipeline_and_system_metrics(spark, logs):
+    """EXPLAIN PIPELINE -> Spark's FORMATTED physical plan (the
+    what-actually-executes tier CH's processor graph shows);
+    system.metrics reads live scheduler state, zero jobs."""
+    out = ch_sql(spark, "EXPLAIN PIPELINE SELECT count() FROM logs",
+                 logs=logs).collect()
+    text = "\n".join(r[0] for r in out)
+    assert "Physical Plan" in text and "(1)" in text
+    rows = {r.metric: r.value for r in ch_sql(
+        spark, "SELECT metric, value FROM system.metrics",
+        logs=logs).collect()}
+    assert rows["DefaultParallelism"] >= 1
+    assert rows["UptimeSeconds"] > 0
+    assert "Executors" in rows and "ActiveJobs" in rows
