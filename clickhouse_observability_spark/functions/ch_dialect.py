@@ -3250,6 +3250,88 @@ def _rewrite_system_tables(spark, sql, logs, query_log, tables=None):
     return " ".join(out)
 
 
+def _tokenbf_prune_logs(spark, sql, logs):
+    """CH consults data-skipping indexes automatically inside its
+    scan; the SQL-path analog: when a statement's WHERE carries a
+    top-level `hasToken(msg, '<literal>')` conjunct and the logs
+    table has a MATERIALIZED tokenbf_v1 index on msg, the `logs`
+    view registers over the index-pruned file set instead of the
+    full scan. Returns the pruned frame or None (= full scan).
+
+    Soundness guards — each bails to the full scan:
+    - `logs` appears exactly ONCE (a second reference could carry
+      different predicates that the pruned view would also narrow);
+    - exactly one depth-0 WHERE, and NO depth-0 OR inside it (AND
+      binds tighter: `hasToken(...) AND x OR y` keeps y-only rows
+      that pruned files may hold);
+    - the conjunct is literally hasToken[CaseInsensitive](msg, 'lit').
+    Pruning is conservative (kept files ⊇ files containing the
+    token), so the surviving query's semantics are untouched —
+    `test_skip_index` pins equality against the unpruned answer."""
+    tokens = _tokenize(sql)
+    lows = [t.lower() for t in tokens]
+    if lows.count("logs") != 1:
+        return None
+    depth, wi = 0, None
+    for i, t in enumerate(tokens):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and lows[i] == "where":
+            if wi is not None:
+                return None
+            wi = i
+    if wi is None:
+        return None
+    enders = {"group", "order", "limit", "having", "union",
+              "intersect", "except", "settings", "format", "window"}
+    depth, we = 0, len(tokens)
+    for i in range(wi + 1, len(tokens)):
+        if tokens[i] == "(":
+            depth += 1
+        elif tokens[i] == ")":
+            depth -= 1
+        elif depth == 0 and lows[i] in enders:
+            we = i
+            break
+    clause = tokens[wi + 1:we]
+    conjs, cur, depth = [], [], 0
+    for t in clause:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and t.lower() == "or":
+            return None
+        if depth == 0 and t.lower() == "and":
+            conjs.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    conjs.append(cur)
+    for c in conjs:
+        if (len(c) == 6
+                and c[0].lower() in ("hastoken",
+                                     "hastokencaseinsensitive")
+                and c[1] == "(" and c[2].lower() == "msg"
+                and c[3] == "," and _is_string(c[4]) and c[5] == ")"):
+            from clickhouse_observability_spark.sources.skip_index import (
+                SkipIndex,
+                read_pruned,
+            )
+
+            for idx in SkipIndex.load_all(logs.path):
+                if (idx.meta["type"] == "tokenbf_v1"
+                        and idx.meta["expr"].strip() == "msg"
+                        and idx.meta["files"]):
+                    df, _ = read_pruned(
+                        spark, logs.path, idx.meta["name"],
+                        _string_value(c[4]))
+                    return df
+    return None
+
+
 def _named_table(name: str, logs, tables):
     """Resolve a statement's table name: `tables` mapping first (the
     multi-table surface), then the conventional `logs` argument.
@@ -3293,7 +3375,9 @@ def ch_sql(
                     and nm.lower() in mentioned):
                 t.read().createOrReplaceTempView(nm)
     if logs is not None:
-        logs.read().createOrReplaceTempView("logs")
+        pruned = _tokenbf_prune_logs(spark, sql, logs)
+        (logs.read() if pruned is None
+         else pruned).createOrReplaceTempView("logs")
         # attached materialized views are queryable by name — reads
         # see the FINALIZED merge-on-read frame (documented
         # divergence from CH's raw-state reads). Registered lazily:

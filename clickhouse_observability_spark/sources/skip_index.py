@@ -61,9 +61,12 @@ def _index_path(table_path: str, name: str) -> str:
 
 
 def _tokens_expr(value_expr: str) -> str:
-    """Same tokenization the text operators use: lowercase,
-    whitespace-split, empties dropped."""
-    return (f"filter(split(lower(trim({value_expr})), '\\\\s+'), "
+    """CH's tokenbf tokenizer: split on NON-ALPHANUMERIC boundaries
+    (exactly what hasToken matches — 'error:zeta' holds the token
+    'zeta'), lowercased so one filter serves both hasToken (probe
+    lowercases, sound: raw-token presence implies lowercase-token
+    presence) and hasTokenCaseInsensitive."""
+    return (f"filter(split(lower({value_expr}), '[^a-z0-9_]+'), "
             "x -> x != '')")
 
 
@@ -365,9 +368,14 @@ def read_pruned(
         raise ValueError(f"no skip index {index_name!r}")
     if idx.meta["type"] in ("bloom_filter", "tokenbf_v1"):
         # compute probe positions with Spark's own xxhash64 (see
-        # _probe_positions) and test membership driver-side
+        # _probe_positions) and test membership driver-side. tokenbf
+        # stores LOWERCASED tokens (hasToken tokenizer): lowercase
+        # the probe so a case-sensitive hasToken('Zeta') still finds
+        # the files whose raw tokens would match it.
         m, k = idx.meta["param"]
-        pos = _probe_positions(spark, str(value), k, m)
+        probe = (str(value).lower()
+                 if idx.meta["type"] == "tokenbf_v1" else str(value))
+        pos = _probe_positions(spark, probe, k, m)
         keep_rel, skip_rel = set(), set()
         for rel, summary in idx.meta["files"].items():
             ok = True

@@ -301,3 +301,46 @@ def test_hastoken_dialect(spark, logs):
     assert ch_sql(spark, (
         "SELECT count() AS n FROM logs WHERE hasToken(msg, 'ZETA')"),
         logs=logs).collect()[0].n == 0
+
+
+def test_sql_path_consults_tokenbf_automatically(spark, logs):
+    """The CH-parity flagship: a plain SELECT with a hasToken
+    conjunct runs against the index-pruned file set — same answer,
+    fewer input files — while OR contexts and multi-reference
+    statements conservatively keep the full scan."""
+    want = [("db", "zeta eta theta")]
+    q = ("SELECT service, msg FROM logs "
+         "WHERE hasToken(msg, 'zeta') ORDER BY service")
+    before = ch_sql(spark, q, logs=logs)
+    assert [(r.service, r.msg) for r in before.collect()] == want
+    n_full = len(before.inputFiles())
+    ch_sql(spark, (
+        "ALTER TABLE logs ADD INDEX toks msg TYPE "
+        "tokenbf_v1(8192, 4, 0)"), logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX toks", logs=logs)
+    after = ch_sql(spark, q, logs=logs)
+    assert [(r.service, r.msg) for r in after.collect()] == want
+    assert len(after.inputFiles()) < n_full  # really pruned
+    # AND chains prune; extra conjuncts survive
+    rows = ch_sql(spark, (
+        "SELECT msg FROM logs WHERE hasToken(msg, 'zeta') "
+        "AND level = 'ERROR'"), logs=logs)
+    assert [r.msg for r in rows.collect()] == ["zeta eta theta"]
+    assert len(rows.inputFiles()) < n_full
+    # a depth-0 OR disables pruning: the INFO arm lives in files
+    # without the token and must survive
+    rows = ch_sql(spark, (
+        "SELECT msg FROM logs WHERE hasToken(msg, 'zeta') "
+        "OR level = 'WARN' ORDER BY msg"), logs=logs)
+    assert [r.msg for r in rows.collect()] == [
+        "delta epsilon", "zeta eta theta"]
+    assert len(rows.inputFiles()) == n_full
+    # punctuation-boundary token (hasToken tokenizer, not whitespace)
+    ch_sql(spark, (
+        "INSERT INTO logs (ts, service, level, msg) VALUES "
+        "('2025-08-01 10:00:00', 'punct', 'INFO', 'error:omega-9')"),
+        logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX toks", logs=logs)
+    rows = ch_sql(spark, "SELECT msg FROM logs "
+                  "WHERE hasToken(msg, 'omega')", logs=logs)
+    assert [r.msg for r in rows.collect()] == ["error:omega-9"]
