@@ -161,13 +161,15 @@ _CH_TYPE = {
 }
 
 
-def _maybe_skip_prune(table, base, level):
+def _maybe_skip_prune(table, base, exprs, value):
     """ClickHouse consults data-skipping indexes automatically inside
     its scan; the analog hook on the reference's own endpoint: a
-    /v1/logs `level` filter probes a MATERIALIZED set/minmax index
-    whose expression is exactly `level`, swapping the full scan for
-    the index-pruned file set (sources/skip_index.py). Conservative
-    by construction — no index, an unbuilt one, or a set-overflow
+    /v1/logs equality filter probes a MATERIALIZED set/minmax index
+    whose expression matches the filter's column (`exprs` lists the
+    acceptable spellings — e.g. the attrs-user predicate in either
+    CH or Spark vocabulary), swapping the full scan for the
+    index-pruned file set (sources/skip_index.py). Conservative by
+    construction — no index, an unbuilt one, or a set-overflow
     summary leaves the full frame; set/minmax probes are driver-side
     sidecar lookups, zero extra Spark jobs on the request path
     (bloom types, which need a hash job, are deliberately not
@@ -177,14 +179,22 @@ def _maybe_skip_prune(table, base, level):
         read_pruned,
     )
 
+    want = {e.replace(" ", "").lower() for e in exprs}
     for idx in SkipIndex.load_all(table.path):
-        if (idx.meta["expr"].strip() == "level"
+        if (idx.meta["expr"].replace(" ", "").lower() in want
                 and idx.meta["type"] in ("set", "minmax")
                 and idx.meta["files"]):
             df, _ = read_pruned(table.spark, table.path,
-                                idx.meta["name"], level)
+                                idx.meta["name"], value)
             return df
     return base
+
+
+# the P5 predicate's expression (db.go:93-96) in the spellings an
+# ADD INDEX statement produces: the dialect translates CH
+# JSONExtractString to get_json_object
+_USER_EXPRS = ("get_json_object(attrs, '$.user')",
+               "get_json_object(attrs,'$.user')")
 
 
 class LogsApi:
@@ -279,7 +289,11 @@ class LogsApi:
             user = params.get("user") or None
             base = self._provider()
             if level and self._table is not None:
-                base = _maybe_skip_prune(self._table, base, level)
+                base = _maybe_skip_prune(
+                    self._table, base, ("level",), level)
+            if user and self._table is not None:
+                base = _maybe_skip_prune(
+                    self._table, base, _USER_EXPRS, user)
             df = query_logs(
                 base,
                 service,

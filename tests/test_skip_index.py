@@ -344,3 +344,46 @@ def test_sql_path_consults_tokenbf_automatically(spark, logs):
     rows = ch_sql(spark, "SELECT msg FROM logs "
                   "WHERE hasToken(msg, 'omega')", logs=logs)
     assert [r.msg for r in rows.collect()] == ["error:omega-9"]
+
+
+def test_api_user_filter_uses_attrs_index(spark, tmp_path):
+    """The reference's P5 predicate (JSONExtractString(attrs,'user'))
+    accelerated by a set index over the SAME expression — ADD INDEX
+    takes the CH spelling, the API probe matches the translated one."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.api.http import LogsApi
+
+    t = LogsTable(spark, str(tmp_path / "u_logs"))
+    t.init_schema()
+    # one insert per user -> each user's rows land in their own
+    # files (deterministic layout; hash-repartition of two keys into
+    # few buckets can collide)
+    for who, par in (("jane", 1), ("bob", 0)):
+        rows = [("2025-05-01 10:%02d:00" % i, "api", "INFO", f"m{i}",
+                 '{"user": "%s"}' % who)
+                for i in range(8) if i % 2 == par]
+        block = spark.createDataFrame(
+            rows, "ts string, service string, level string, "
+            "msg string, attrs string"
+        ).select(
+            F.to_timestamp("ts").alias("ts"), "service", "level",
+            "msg", "attrs", F.lit("t").alias("trace_id"),
+            F.lit("s").alias("span_id"),
+        ).coalesce(1)
+        t.insert(block)
+    ch_sql(spark, (
+        "ALTER TABLE logs ADD INDEX u "
+        "JSONExtractString(attrs, 'user') TYPE set(100)"), logs=t)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX u", logs=t)
+    idx = SkipIndex.load(t.path, "u")
+    assert "get_json_object" in idx.meta["expr"]  # CH -> Spark spelling
+    params = {"service": "api", "from": "2025-05-01T00:00:00Z",
+              "to": "2025-05-02T00:00:00Z", "user": "jane"}
+    api = LogsApi(t.read, logs_table=t)
+    st, body = api.query_logs_handler(dict(params))
+    assert st == 200 and body["count"] == 4
+    assert all(l["Attrs"]["user"] == "jane" for l in body["logs"])
+    # and the pruned read really skips bob-only files
+    df, stats = read_pruned(spark, t.path, "u", "jane")
+    assert stats["files_skipped"] >= 1
