@@ -77,6 +77,7 @@ class IngestStream:
         max_files_per_trigger: int = 4,  # ST2: per-trigger size cap
         flush_size: int | None = None,
         views: list | None = None,  # RollupView-likes, applied per batch
+        maintain_indexes: bool = False,
     ):
         """Knob defaults follow the reference's env-var config
         (cmd/server/main.go:25-29): INGEST_MAX_DELAY_MS -> trigger
@@ -103,6 +104,7 @@ class IngestStream:
         )
         self.max_files_per_trigger = max_files_per_trigger
         self.views = list(views or ())
+        self.maintain_indexes = bool(maintain_indexes)
         self.query: StreamingQuery | None = None
         # Committed-batches sidecar: one empty marker file per fully
         # committed micro-batch id. Lives NEXT TO the checkpoint (same
@@ -171,6 +173,20 @@ class IngestStream:
         # even inside the crash window below, unlike the raw append.
         for view in self.views:
             view.apply(normalized, batch_id)
+        if self.maintain_indexes:
+            # online skip-index maintenance (CH: NEW parts get their
+            # index at write time, even before any MATERIALIZE —
+            # only pre-existing parts need the explicit statement):
+            # summarize ONLY this batch's new files — O(new files),
+            # inside the idempotency marker so a foreachBatch retry
+            # never double-builds. Sound either way: unindexed files
+            # always scan.
+            from clickhouse_observability_spark.sources.skip_index import (
+                SkipIndex,
+            )
+
+            for ix in SkipIndex.load_all(self.table.path):
+                ix.materialize(self.spark, incremental=True)
         with open(marker, "w"):
             pass
         # Retention: Spark only ever replays ids at/after the last

@@ -387,3 +387,37 @@ def test_api_user_filter_uses_attrs_index(spark, tmp_path):
     # and the pruned read really skips bob-only files
     df, stats = read_pruned(spark, t.path, "u", "jane")
     assert stats["files_skipped"] >= 1
+
+
+def test_streaming_ingest_maintains_index_online(spark, tmp_path):
+    """maintain_indexes=True summarizes each micro-batch's new files
+    inside the idempotency marker — after the stream drains, a probe
+    sees zero unindexed files (CH: parts get their index at write
+    time)."""
+    from clickhouse_observability_spark.streaming.batcher import (
+        IngestStream,
+    )
+
+    t = LogsTable(spark, str(tmp_path / "s_logs"))
+    t.init_schema()
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
+           logs=t)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX lvl", logs=t)
+    stream = IngestStream(
+        spark, t, str(tmp_path / "inbox"), str(tmp_path / "ckpt"),
+        maintain_indexes=True)
+    q = stream.start()
+    try:
+        stream.submit_many([
+            {"ts": f"2025-09-01T10:0{m}:00Z", "service": "s",
+             "level": "FATAL" if m else "INFO", "msg": f"m{m}",
+             "attrs": {}, "trace_id": "t", "span_id": "s"}
+            for m in range(2)
+        ])
+        q.processAllAvailable()
+    finally:
+        stream.stop(drain=False)
+    df, st = read_pruned(spark, t.path, "lvl", "FATAL")
+    assert st["files_unindexed"] == 0 and st["files_total"] >= 1
+    assert {r.msg for r in df.filter("level = 'FATAL'").collect()} == {
+        "m1"}
