@@ -3052,7 +3052,8 @@ _LOGS_DEFAULTS = {
 
 _SYSTEM_TABLES = ("parts", "columns", "tables", "query_log",
                   "mutations", "projections", "detached_parts",
-                  "dropped_tables", "data_skipping_indices", "metrics")
+                  "dropped_tables", "data_skipping_indices", "metrics",
+                  "one")
 
 
 def _rewrite_system_tables(spark, sql, logs, query_log, tables=None):
@@ -3169,6 +3170,11 @@ def _rewrite_system_tables(spark, sql, logs, query_log, tables=None):
             "table string, partition int, files int, bytes_on_disk "
             "bigint",
         ).createOrReplaceTempView("system_detached_parts")
+    if "one" in used:
+        # CH system.one: the one-row dummy table (`SELECT 1 FROM
+        # system.one` is CH's `SELECT 1`)
+        local_df(spark, [(0,)], "dummy tinyint") \
+            .createOrReplaceTempView("system_one")
     if "metrics" in used:
         # CH system.metrics: current engine state as (metric, value,
         # description) rows. The analog reads the live SparkContext —

@@ -1796,3 +1796,8 @@ def test_explain_pipeline_and_system_metrics(spark, logs):
     assert rows["DefaultParallelism"] >= 1
     assert rows["UptimeSeconds"] > 0
     assert "Executors" in rows and "ActiveJobs" in rows
+
+
+def test_system_one(spark):
+    rows = ch_sql(spark, "SELECT 1 + dummy AS x FROM system.one").collect()
+    assert [r.x for r in rows] == [1]
