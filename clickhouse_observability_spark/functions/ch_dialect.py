@@ -28,6 +28,7 @@ silently mistranslating.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2631,6 +2632,44 @@ _CLEAR_COL_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+# SELECT ... INTO OUTFILE 'path' [FORMAT fmt] — the clickhouse-client
+# extract statement. CH materializes the result client-side and
+# refuses to overwrite; the analog writes one local file and returns
+# the row count. Bounded by the RESULT size by contract (an extract,
+# not a table copy — CH's client buffers the same way).
+_OUTFILE_RE = re.compile(
+    r"^(\s*(?:SELECT|WITH)\b.*?)\s+INTO\s+OUTFILE\s+'([^']+)'"
+    r"\s*(?:FORMAT\s+(\w+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _write_outfile(df: DataFrame, path: str, fmt: str) -> int:
+    """Write a result frame to one local file in a CH client format.
+    CH parity: an existing target refuses (never overwrite)."""
+    if os.path.exists(path):
+        raise ChDialectError(
+            f"file {path!r} already exists (ClickHouse INTO OUTFILE "
+            "refuses to overwrite)")
+    pdf = df.toPandas()
+    f = fmt.lower()
+    if f in ("csv", "csvwithnames"):
+        pdf.to_csv(path, index=False, header=f.endswith("withnames"))
+    elif f in ("tsv", "tabseparated", "tsvwithnames",
+               "tabseparatedwithnames"):
+        pdf.to_csv(path, index=False, sep="\t",
+                   header=f.endswith("withnames"))
+    elif f == "jsoneachrow":
+        pdf.to_json(path, orient="records", lines=True,
+                    date_format="iso")
+    elif f == "parquet":
+        pdf.to_parquet(path, index=False)
+    else:
+        raise ChDialectError(
+            f"INTO OUTFILE format {fmt!r} not supported; use "
+            "CSV[WithNames], TabSeparated[WithNames], JSONEachRow, "
+            "or Parquet")
+    return len(pdf)
 _CHECK_TABLE_RE = re.compile(
     r"^\s*CHECK\s+TABLE\s+(\w+)\s*$", re.IGNORECASE)
 _FREEZE_RE = re.compile(
@@ -3399,6 +3438,13 @@ def ch_sql(
                     continue
                 if mv.name.lower() in mentioned:
                     mv.read().createOrReplaceTempView(mv.name)
+
+    mo = _OUTFILE_RE.match(sql)
+    if mo is not None:
+        inner, out_path, fmt = mo.groups()
+        df = ch_sql(spark, inner, logs=logs, views=views,
+                    query_log=query_log, tables=tables)
+        return _write_outfile(df, out_path, fmt or "TabSeparated")
 
     mc = _MV_CREATE_RE.match(sql)
     if mc is not None:

@@ -1801,3 +1801,31 @@ def test_explain_pipeline_and_system_metrics(spark, logs):
 def test_system_one(spark):
     rows = ch_sql(spark, "SELECT 1 + dummy AS x FROM system.one").collect()
     assert [r.x for r in rows] == [1]
+
+
+def test_into_outfile(spark, logs, tmp_path):
+    """clickhouse-client extracts: SELECT ... INTO OUTFILE writes one
+    local file in the requested format, returns the row count, and
+    refuses to overwrite (CH parity)."""
+    _seed_two_months(spark, logs)
+    p = str(tmp_path / "out.csv")
+    n = ch_sql(spark, (
+        "SELECT service, count() AS n FROM logs GROUP BY service "
+        f"ORDER BY service INTO OUTFILE '{p}' FORMAT CSVWithNames"),
+        logs=logs)
+    assert n == 2
+    with open(p) as fh:
+        assert fh.read().splitlines() == ["service,n", "api,2", "web,1"]
+    with pytest.raises(ChDialectError, match="refuses to overwrite"):
+        ch_sql(spark, f"SELECT 1 AS x INTO OUTFILE '{p}'", logs=logs)
+    pj = str(tmp_path / "out.jsonl")
+    ch_sql(spark, ("SELECT service FROM logs WHERE service = 'web' "
+                   f"INTO OUTFILE '{pj}' FORMAT JSONEachRow"),
+           logs=logs)
+    import json as _json
+
+    assert _json.loads(open(pj).read().splitlines()[0]) == {
+        "service": "web"}
+    with pytest.raises(ChDialectError, match="not supported"):
+        ch_sql(spark, "SELECT 1 AS x INTO OUTFILE "
+               f"'{tmp_path}/x.bin' FORMAT Native", logs=logs)
