@@ -3598,11 +3598,19 @@ def ch_sql(
         # lists them in system.projections)
         from clickhouse_observability_spark.session import local_df
 
-        if logs is None:
-            raise ChDialectError("SHOW TABLES needs the logs table")
-        names = ["logs"] + sorted(
-            mv.name for mv in logs.materialized_views
-            if not mv.spec.get("projection"))
+        if logs is None and not tables:
+            raise ChDialectError("SHOW TABLES needs the logs table "
+                                 "or a tables= mapping")
+        names = []
+        if logs is not None:
+            names.append("logs")
+            names += sorted(
+                mv.name for mv in logs.materialized_views
+                if not mv.spec.get("projection"))
+        # the multi-table mapping's live names (dropped tables are
+        # parked under __dropped__ and stay hidden, as in CH)
+        names += sorted(n for n in (tables or {})
+                        if not n.startswith("__") and n not in names)
         return local_df(spark, [(n,) for n in names], "name string")
 
     mck = _CHECK_TABLE_RE.match(sql)

@@ -262,3 +262,15 @@ def test_move_to_same_table_refused(spark, two_tables):
         ch_sql(spark, "ALTER TABLE a MOVE PARTITION 202505 TO TABLE a2",
                tables={"a": a, "a2": a})
     assert _msgs(a) == ["keep"]
+
+
+def test_show_tables_lists_mapping(spark, two_tables):
+    a, b = two_tables
+    tables = {"staging": a, "serving": b}
+    names = [r.name for r in ch_sql(spark, "SHOW TABLES",
+                                    tables=tables).collect()]
+    assert names == ["serving", "staging"]
+    ch_sql(spark, "DROP TABLE staging", tables=tables)
+    names = [r.name for r in ch_sql(spark, "SHOW TABLES",
+                                    tables=tables).collect()]
+    assert names == ["serving"]  # parked table hidden, like CH
