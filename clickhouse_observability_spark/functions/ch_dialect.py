@@ -476,6 +476,20 @@ _FUNCS = {
     "splitbychar": lambda a: _split_by_char(a),
     "intdiv": lambda a: f"({a[0]} DIV {a[1]})",
     "modulo": lambda a: f"({a[0]} % {a[1]})",
+    # the *OrZero arithmetic guards: CH returns 0 where the plain
+    # form throws on a zero divisor (IF evaluates lazily, so the
+    # guarded branch never divides under ANSI)
+    "intdivorzero": lambda a: (
+        f"IF(({a[1]}) = 0, 0, ({a[0]}) DIV ({a[1]}))"),
+    "moduloorzero": lambda a: (
+        f"IF(({a[1]}) = 0, 0, ({a[0]}) % ({a[1]}))"),
+    # named arithmetic (CH spells operators as functions in generated
+    # SQL: plus/minus/multiply/divide/negate)
+    "plus": lambda a: f"({a[0]} + {a[1]})",
+    "minus": lambda a: f"({a[0]} - {a[1]})",
+    "multiply": lambda a: f"({a[0]} * {a[1]})",
+    "divide": lambda a: f"({a[0]} / {a[1]})",
+    "negate": lambda a: f"(- {a[0]})",
     "startswith": lambda a: f"startswith({a[0]}, {a[1]})",
     "endswith": lambda a: f"endswith({a[0]}, {a[1]})",
     "lcase": lambda a: f"lower({a[0]})",

@@ -1829,3 +1829,14 @@ def test_into_outfile(spark, logs, tmp_path):
     with pytest.raises(ChDialectError, match="not supported"):
         ch_sql(spark, "SELECT 1 AS x INTO OUTFILE "
                f"'{tmp_path}/x.bin' FORMAT Native", logs=logs)
+
+
+def test_named_arithmetic_and_orzero_guards(spark):
+    spark.createDataFrame([(7, 2), (5, 0)], "a int, b int") \
+        .createOrReplaceTempView("t")
+    rows = ch_sql(spark, (
+        "SELECT plus(a, b) AS s, minus(a, b) AS d, multiply(a, b) AS m,"
+        " negate(a) AS n, intDivOrZero(a, b) AS idz, "
+        "moduloOrZero(a, b) AS mz FROM t ORDER BY b DESC")).collect()
+    assert [(r.s, r.d, r.m, r.n, r.idz, r.mz) for r in rows] == [
+        (9, 5, 14, -7, 3, 1), (5, 5, 0, -5, 0, 0)]
