@@ -469,6 +469,19 @@ _FUNCS = {
     "toint32": lambda a: f"CAST({a[0]} AS INT)",
     "touint32": lambda a: f"CAST({a[0]} AS INT)",
     "tofloat64": lambda a: f"CAST({a[0]} AS DOUBLE)",
+    # the parse-guard family (log parsing: CH OrNull -> NULL on
+    # malformed input, OrZero -> the type zero) — Spark try_cast
+    "toint64ornull": lambda a: f"TRY_CAST({a[0]} AS BIGINT)",
+    "toint32ornull": lambda a: f"TRY_CAST({a[0]} AS INT)",
+    "tofloat64ornull": lambda a: f"TRY_CAST({a[0]} AS DOUBLE)",
+    "todateornull": lambda a: f"TRY_CAST({a[0]} AS DATE)",
+    "todatetimeornull": lambda a: f"TRY_CAST({a[0]} AS TIMESTAMP)",
+    "toint64orzero": lambda a: (
+        f"coalesce(TRY_CAST({a[0]} AS BIGINT), CAST(0 AS BIGINT))"),
+    "toint32orzero": lambda a: (
+        f"coalesce(TRY_CAST({a[0]} AS INT), CAST(0 AS INT))"),
+    "tofloat64orzero": lambda a: (
+        f"coalesce(TRY_CAST({a[0]} AS DOUBLE), CAST(0 AS DOUBLE))"),
     "empty": lambda a: f"(length({a[0]}) = 0)",
     "notempty": lambda a: f"(length({a[0]}) > 0)",
     "has": lambda a: f"array_contains({a[0]}, {a[1]})",

@@ -1840,3 +1840,17 @@ def test_named_arithmetic_and_orzero_guards(spark):
         "moduloOrZero(a, b) AS mz FROM t ORDER BY b DESC")).collect()
     assert [(r.s, r.d, r.m, r.n, r.idz, r.mz) for r in rows] == [
         (9, 5, 14, -7, 3, 1), (5, 5, 0, -5, 0, 0)]
+
+
+def test_parse_guard_conversions(spark):
+    spark.createDataFrame(
+        [("42",), ("x",), ("3.5",)], "s string"
+    ).createOrReplaceTempView("t")
+    rows = ch_sql(spark, (
+        "SELECT s, toInt64OrNull(s) AS i, toInt64OrZero(s) AS iz, "
+        "toFloat64OrNull(s) AS f, toFloat64OrZero(s) AS fz "
+        "FROM t ORDER BY s")).collect()
+    got = {r.s: (r.i, r.iz, r.f, r.fz) for r in rows}
+    assert got["42"] == (42, 42, 42.0, 42.0)
+    assert got["x"] == (None, 0, None, 0.0)
+    assert got["3.5"][2:] == (3.5, 3.5)
