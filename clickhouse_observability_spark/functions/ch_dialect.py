@@ -3382,24 +3382,50 @@ def _tokenbf_prune_logs(spark, sql, logs):
         else:
             cur.append(t)
     conjs.append(cur)
+    from clickhouse_observability_spark.schema import LOGS_COLUMNS
+
+    string_cols = {c for c in LOGS_COLUMNS if c != "ts"}
+    string_cols |= {c["name"] for c in logs.schema_ext.columns
+                    if c["spark_type"] == "string"}
+
+    def probe(want_types, expr_name, value):
+        from clickhouse_observability_spark.sources.skip_index import (
+            SkipIndex,
+            read_pruned,
+        )
+
+        for idx in SkipIndex.load_all(logs.path):
+            if (idx.meta["type"] in want_types
+                    and idx.meta["expr"].strip() == expr_name
+                    and idx.meta["files"]):
+                df, _ = read_pruned(spark, logs.path,
+                                    idx.meta["name"], value)
+                return df
+        return None
+
     for c in conjs:
         if (len(c) == 6
                 and c[0].lower() in ("hastoken",
                                      "hastokencaseinsensitive")
                 and c[1] == "(" and c[2].lower() == "msg"
                 and c[3] == "," and _is_string(c[4]) and c[5] == ")"):
-            from clickhouse_observability_spark.sources.skip_index import (
-                SkipIndex,
-                read_pruned,
-            )
-
-            for idx in SkipIndex.load_all(logs.path):
-                if (idx.meta["type"] == "tokenbf_v1"
-                        and idx.meta["expr"].strip() == "msg"
-                        and idx.meta["files"]):
-                    df, _ = read_pruned(
-                        spark, logs.path, idx.meta["name"],
-                        _string_value(c[4]))
+            df = probe(("tokenbf_v1",), "msg", _string_value(c[4]))
+            if df is not None:
+                return df
+        # plain equality on a STRING column: `col = 'lit'` (either
+        # side) probes a set/minmax/bloom index on that column — the
+        # trace-id point lookup. String columns only: the Bloom
+        # build hashes the TYPED value, so a numeric column's
+        # xxhash64 wouldn't match a string-literal probe.
+        if len(c) == 3 and c[1] == "=":
+            lhs, rhs = c[0], c[2]
+            if _is_string(lhs) and not _is_string(rhs):
+                lhs, rhs = rhs, lhs
+            if (not _is_string(lhs) and _is_string(rhs)
+                    and lhs.lower() in string_cols):
+                df = probe(("set", "minmax", "bloom_filter"),
+                           lhs.lower(), _string_value(rhs))
+                if df is not None:
                     return df
     return None
 

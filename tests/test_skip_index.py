@@ -421,3 +421,37 @@ def test_streaming_ingest_maintains_index_online(spark, tmp_path):
     assert st["files_unindexed"] == 0 and st["files_total"] >= 1
     assert {r.msg for r in df.filter("level = 'FATAL'").collect()} == {
         "m1"}
+
+
+def test_sql_path_equality_probe_trace_lookup(spark, tmp_path):
+    """The observability point-lookup: `trace_id = 'x'` probes a
+    bloom_filter index on trace_id and scans only surviving files —
+    same answer, fewer inputs; numeric-typed columns never probe
+    (typed-hash mismatch guard)."""
+    from pyspark.sql import functions as F
+
+    t = LogsTable(spark, str(tmp_path / "tr_logs"))
+    t.init_schema()
+    for tr in ("aaa", "bbb", "ccc"):
+        block = spark.createDataFrame(
+            [(f"2025-05-01 10:00:00", "api", "INFO", f"m-{tr}", "{}",
+              tr, "s")],
+            "ts string, service string, level string, msg string, "
+            "attrs string, trace_id string, span_id string"
+        ).select(F.to_timestamp("ts").alias("ts"), "service", "level",
+                 "msg", "attrs", "trace_id", "span_id").coalesce(1)
+        t.insert(block)
+    ch_sql(spark, ("ALTER TABLE logs ADD INDEX tr trace_id TYPE "
+                   "bloom_filter"), logs=t)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX tr", logs=t)
+    q = "SELECT msg FROM logs WHERE trace_id = 'bbb'"
+    full_files = len(ch_sql(spark, "SELECT msg FROM logs",
+                            logs=t).inputFiles())
+    df = ch_sql(spark, q, logs=t)
+    assert [r.msg for r in df.collect()] == ["m-bbb"]
+    assert len(df.inputFiles()) < full_files
+    # flipped literal side works too
+    df2 = ch_sql(spark, "SELECT msg FROM logs WHERE 'ccc' = trace_id",
+                 logs=t)
+    assert [r.msg for r in df2.collect()] == ["m-ccc"]
+    assert len(df2.inputFiles()) < full_files
