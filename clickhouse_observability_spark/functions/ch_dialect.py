@@ -3427,6 +3427,36 @@ def _tokenbf_prune_logs(spark, sql, logs):
                            lhs.lower(), _string_value(rhs))
                 if df is not None:
                     return df
+        # col IN ('a', 'b', ...): a row satisfying the conjunct
+        # matches SOME literal, so the union of per-literal keep
+        # sets is a sound superset — probe each and union the frames
+        # at the FILE level (read once over the union, not N reads)
+        if (len(c) >= 5 and not _is_string(c[0])
+                and c[0].lower() in string_cols
+                and c[1].lower() == "in" and c[2] == "("
+                and c[-1] == ")"):
+            inner = c[3:-1]
+            lits = [t for i, t in enumerate(inner) if i % 2 == 0]
+            seps = [t for i, t in enumerate(inner) if i % 2 == 1]
+            if all(_is_string(t) for t in lits) \
+                    and all(t == "," for t in seps):
+                from clickhouse_observability_spark.sources import (
+                    skip_index as SIX,
+                )
+
+                for idx in SIX.SkipIndex.load_all(logs.path):
+                    if (idx.meta["type"] in ("set", "minmax")
+                            and idx.meta["expr"].strip()
+                            == c[0].lower()
+                            and idx.meta["files"]):
+                        keep, skip = set(), None
+                        for lit_tok in lits:
+                            k, s = idx.prune(_string_value(lit_tok))
+                            keep |= k
+                            skip = s if skip is None else (skip & s)
+                        df, _ = SIX._assemble_pruned(
+                            spark, logs.path, keep, skip or set())
+                        return df
     return None
 
 

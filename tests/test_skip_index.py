@@ -455,3 +455,18 @@ def test_sql_path_equality_probe_trace_lookup(spark, tmp_path):
                  logs=t)
     assert [r.msg for r in df2.collect()] == ["m-ccc"]
     assert len(df2.inputFiles()) < full_files
+
+
+def test_sql_path_in_list_probe(spark, logs):
+    """col IN ('a','b') prunes via the union of per-literal keep
+    sets — sound superset, one read over the union."""
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
+           logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX lvl", logs=logs)
+    full = len(ch_sql(spark, "SELECT msg FROM logs",
+                      logs=logs).inputFiles())
+    df = ch_sql(spark, ("SELECT msg FROM logs WHERE level IN "
+                        "('WARN', 'ERROR') ORDER BY msg"), logs=logs)
+    assert [r.msg for r in df.collect()] == [
+        "delta epsilon", "zeta eta theta"]
+    assert len(df.inputFiles()) < full
