@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -385,6 +386,14 @@ class LogsApi:
 
         if not q or not q.strip():
             return 400, {"error": "missing query"}
+        # CH parity AND a server hygiene line: INTO OUTFILE is a
+        # CLIENT-side statement; clickhouse-server refuses it on the
+        # HTTP interface (a remote caller must not write files into
+        # the server's filesystem through SQL)
+        if re.search(r"\bINTO\s+OUTFILE\b", q, re.IGNORECASE):
+            return 400, {"error": "INTO OUTFILE is not allowed over "
+                         "the HTTP interface (ClickHouse refuses it "
+                         "there too); it is a client-side statement"}
         # CH clients suffix `FORMAT <name>`: honor the common output
         # shapes (translate() strips the clause for execution either
         # way; the envelope is rendered per format below)

@@ -302,3 +302,21 @@ def test_live_server_alerts_burn_rate(spark, tmp_path, monkeypatch):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_into_outfile_refused_over_http(spark, tmp_path):
+    """CH server parity: INTO OUTFILE is a client-side statement; the
+    HTTP interface refuses it (a remote caller must never write files
+    into the server's filesystem through SQL)."""
+    from clickhouse_observability_spark.api.http import LogsApi
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    t = LogsTable(spark, str(tmp_path / "logs"))
+    t.init_schema()
+    api = LogsApi(t.read, logs_table=t)
+    st, body = api.query_handler(
+        f"SELECT 1 AS x INTO OUTFILE '{tmp_path}/pwn.csv'")
+    assert st == 400 and "not allowed" in body["error"]
+    import os
+
+    assert not os.path.exists(f"{tmp_path}/pwn.csv")
