@@ -357,9 +357,11 @@ _FUNCS = {
     # bar(x, min, max, width): CH's inline ASCII histogram. CH draws
     # eighth-block partials; full blocks only here (documented) —
     # the clamp mirrors CH (x below min -> empty, above max -> full)
+    # try_divide: a degenerate max==min range yields NULL, not an
+    # ANSI divide-by-zero error
     "bar": lambda a: (
-        f"repeat('█', CAST(round(greatest(least(({a[0]}) - ({a[1]}), "
-        f"({a[2]}) - ({a[1]})), 0) / (({a[2]}) - ({a[1]})) "
+        f"repeat('█', CAST(round(try_divide(greatest(least(({a[0]}) "
+        f"- ({a[1]}), ({a[2]}) - ({a[1]})), 0), ({a[2]}) - ({a[1]})) "
         f"* {a[3] if len(a) > 3 else 80}) AS INT))"),
     "adddays": lambda a: f"({a[0]} + make_interval(0, 0, 0, {a[1]}))",
     "subtractdays": lambda a: f"({a[0]} - make_interval(0, 0, 0, {a[1]}))",
