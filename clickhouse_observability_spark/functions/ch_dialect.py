@@ -588,6 +588,12 @@ _FUNCS = {
     "tointervalmonth": lambda a: f"make_interval(0, {a[0]}, 0, 0, 0, 0, 0)",
     "tointervalyear": lambda a: f"make_interval({a[0]}, 0, 0, 0, 0, 0, 0)",
     # string family
+    # occurrence count via length arithmetic (stays in codegen);
+    # try_divide: an empty needle yields NULL, not an ANSI error
+    "countsubstrings": lambda a: (
+        f"CAST(try_divide(length({a[0]}) - "
+        f"length(replace({a[0]}, {a[1]}, '')), "
+        f"length({a[1]})) AS BIGINT)"),
     "trimboth": lambda a: f"trim({a[0]})",
     "trimleft": lambda a: f"ltrim({a[0]})",
     "trimright": lambda a: f"rtrim({a[0]})",

@@ -1854,3 +1854,15 @@ def test_parse_guard_conversions(spark):
     assert got["42"] == (42, 42, 42.0, 42.0)
     assert got["x"] == (None, 0, None, 0.0)
     assert got["3.5"][2:] == (3.5, 3.5)
+
+
+def test_count_substrings(spark):
+    spark.createDataFrame([("abcabcab",)], "s string") \
+        .createOrReplaceTempView("t")
+    rows = ch_sql(spark, (
+        "SELECT countSubstrings(s, 'ab') AS n2, "
+        "countSubstrings(s, 'abc') AS n3, "
+        "countSubstrings(s, 'zz') AS n0, "
+        "countSubstrings(s, '') AS ne FROM t")).collect()
+    r = rows[0]
+    assert (r.n2, r.n3, r.n0, r.ne) == (3, 2, 0, None)
