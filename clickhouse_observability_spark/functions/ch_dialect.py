@@ -380,6 +380,9 @@ _FUNCS = {
         (_ for _ in ()).throw(ChDialectError(
             "age unit must be a string literal"))),
     "tolastdayofmonth": lambda a: f"last_day({a[0]})",
+    # toMonday = toStartOfWeek with CH's Monday-first default, as a
+    # DATE (Spark date_trunc('week') is Monday-anchored too)
+    "tomonday": lambda a: f"CAST(date_trunc('week', {a[0]}) AS DATE)",
     "toyyyymm": _fmt_int("yyyyMM"),
     "toyyyymmdd": _fmt_int("yyyyMMdd"),
     "todate": lambda a: f"to_date({a[0]})",

@@ -1866,3 +1866,10 @@ def test_count_substrings(spark):
         "countSubstrings(s, '') AS ne FROM t")).collect()
     r = rows[0]
     assert (r.n2, r.n3, r.n0, r.ne) == (3, 2, 0, None)
+
+
+def test_to_monday(spark):
+    rows = ch_sql(spark, (
+        "SELECT toMonday(CAST('2025-05-01 10:00:00' AS TIMESTAMP)) "
+        "AS m")).collect()
+    assert str(rows[0].m) == "2025-04-28"  # Thursday -> its Monday
