@@ -527,6 +527,26 @@ _FUNCS = {
     "concatws": lambda a: f"concat_ws({', '.join(a)})",
     "arraylength": lambda a: f"size({a[0]})",
     "arraysort": lambda a: f"array_sort({a[0]})",
+    "arrayreversesort": lambda a: f"reverse(array_sort({a[0]}))",
+    "arraymax": lambda a: f"array_max({a[0]})",
+    "arraymin": lambda a: f"array_min({a[0]})",
+    # arrayAvg/arraySum fold as DOUBLE/number via aggregate; CH takes
+    # (arr) or (lambda, arr) — the lambda forms live with the
+    # higher-order family below (arraysum handles both)
+    "arrayavg": lambda a: (
+        f"CAST(try_divide(aggregate({a[-1]}, CAST(0 AS DOUBLE), "
+        f"(s, x) -> s + x), size({a[-1]})) AS DOUBLE)"
+        if len(a) == 1 else (_ for _ in ()).throw(ChDialectError(
+            "arrayAvg(lambda, arr) is unsupported; apply arrayMap "
+            "first"))),
+    # arrayFirst/arrayLast(lambda, arr): first/last element matching
+    # the predicate (CH returns the type default when none matches;
+    # NULL here — documented, the CH default-vs-NULL divergence all
+    # try_-style rewrites share)
+    "arrayfirst": lambda a: (
+        f"try_element_at(filter({a[1]}, {a[0]}), 1)"),
+    "arraylast": lambda a: (
+        f"try_element_at(filter({a[1]}, {a[0]}), -1)"),
     "arraydistinct": lambda a: f"array_distinct({a[0]})",
     "arrayconcat": lambda a: f"concat({', '.join(a)})",
     "arrayslice": lambda a: f"slice({', '.join(a)})",

@@ -1873,3 +1873,16 @@ def test_to_monday(spark):
         "SELECT toMonday(CAST('2025-05-01 10:00:00' AS TIMESTAMP)) "
         "AS m")).collect()
     assert str(rows[0].m) == "2025-04-28"  # Thursday -> its Monday
+
+
+def test_array_scalar_family(spark):
+    rows = ch_sql(spark, (
+        "SELECT arrayMax([3, 1, 7]) AS mx, arrayMin([3, 1, 7]) AS mn, "
+        "arrayAvg([2, 4]) AS av, arrayReverseSort([2, 3, 1]) AS rs, "
+        "arrayFirst(x -> x > 2, [1, 3, 5]) AS fi, "
+        "arrayLast(x -> x > 2, [1, 3, 5]) AS la, "
+        "arrayFirst(x -> x > 9, [1, 3, 5]) AS none")).collect()
+    r = rows[0]
+    assert (r.mx, r.mn, r.av) == (7, 1, 3.0)
+    assert list(r.rs) == [3, 2, 1]
+    assert (r.fi, r.la, r.none) == (3, 5, None)
