@@ -522,6 +522,19 @@ _FUNCS = {
         f"extract({a[0]})" if len(a) == 1
         else f"regexp_extract({a[0]}, {a[1]}, 1)"),
     "replaceall": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    # replaceOne: substring arithmetic (locate + overlay) keeps it
+    # in codegen; no-match returns the input unchanged like CH
+    "replaceone": lambda a: (
+        f"IF(instr({a[0]}, {a[1]}) = 0, {a[0]}, "
+        f"concat(substring({a[0]}, 1, instr({a[0]}, {a[1]}) - 1), "
+        f"{a[2]}, substring({a[0]}, instr({a[0]}, {a[1]}) "
+        f"+ length({a[1]}))))"),
+    "replaceregexpone": _unsupported(
+        "replaceRegexpOne",
+        "Spark's regexp_replace is replace-ALL and a first-match "
+        "wrapper would shift the pattern's group numbers under the "
+        "user's backreferences; use replaceRegexpAll, or anchor the "
+        "pattern yourself"),
     "replaceregexpall": lambda a:
         f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
     "concatws": lambda a: f"concat_ws({', '.join(a)})",

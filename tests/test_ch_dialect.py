@@ -1886,3 +1886,12 @@ def test_array_scalar_family(spark):
     assert (r.mx, r.mn, r.av) == (7, 1, 3.0)
     assert list(r.rs) == [3, 2, 1]
     assert (r.fi, r.la, r.none) == (3, 5, None)
+
+
+def test_replace_one(spark):
+    rows = ch_sql(spark, (
+        "SELECT replaceOne('aXbXc', 'X', '-') AS r1, "
+        "replaceOne('abc', 'z', '-') AS r2")).collect()
+    assert (rows[0].r1, rows[0].r2) == ("a-bXc", "abc")
+    with pytest.raises(ChDialectError, match="replaceRegexpOne"):
+        translate("SELECT replaceRegexpOne(s, 'a', 'b') FROM t")
