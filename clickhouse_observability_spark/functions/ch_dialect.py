@@ -786,8 +786,23 @@ _FUNCS = {
     "numbers": lambda a: f"(SELECT id AS number FROM range({a[0]}))",
 }
 
+def _uniq_combined_param(p, a):
+    """uniqCombined[64](K)(x): K is the HLL register-count log2; the
+    equivalent Spark knob is the relative standard deviation,
+    rsd = 1.04 / sqrt(2^K) (the standard HLL error bound)."""
+    try:
+        k = int(p[0])
+    except ValueError:
+        raise ChDialectError(
+            f"uniqCombined precision must be an integer, got {p[0]!r}")
+    rsd = 1.04 / (2.0 ** k) ** 0.5
+    return f"approx_count_distinct({a[0]}, {max(rsd, 0.0001):.6f})"
+
+
 # name(params)(args) parameterized aggregates
 _PARAM_FUNCS = {
+    "uniqcombined": _uniq_combined_param,
+    "uniqcombined64": _uniq_combined_param,
     "quantile": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
     # CH's timing variant is an internal-representation optimization
     # over millisecond-scale values; the observable contract is an

@@ -1895,3 +1895,15 @@ def test_replace_one(spark):
     assert (rows[0].r1, rows[0].r2) == ("a-bXc", "abc")
     with pytest.raises(ChDialectError, match="replaceRegexpOne"):
         translate("SELECT replaceRegexpOne(s, 'a', 'b') FROM t")
+
+
+def test_uniq_combined_precision_param(spark):
+    """uniqCombined(K)(x): the HLL precision maps to Spark's rsd
+    (1.04/sqrt(2^K)) instead of mistranslating into invalid SQL."""
+    out = translate("SELECT uniqCombined(12)(u) FROM t")
+    assert "approx_count_distinct(u, 0.016250)" in out
+    spark.createDataFrame([(i % 50,) for i in range(500)], "u int") \
+        .createOrReplaceTempView("t")
+    n = ch_sql(spark, "SELECT uniqCombined(14)(u) AS n FROM t") \
+        .collect()[0].n
+    assert 45 <= n <= 55  # ~50 distinct within HLL error
