@@ -1197,6 +1197,17 @@ def _emit(tokens: list[str]) -> str:
                     # CH also allows quantile(x) == quantile(0.5)(x)
                     out.append(_PARAM_FUNCS[low](["0.5"], arg_strs))
             else:
+                if j < n and tokens[j] == "(":
+                    # CH parameterized-call syntax f(params)(args) on
+                    # a function with no parameterized mapping: emit
+                    # an honest error, not `fn(params) (args)` garbage
+                    # (SQL never juxtaposes a call with a paren group,
+                    # so this token shape is unambiguous)
+                    raise ChDialectError(
+                        f"{t} does not take CH parameters here "
+                        f"(`{t}(...)(...)`); only the quantile*/topK/"
+                        "uniqCombined/uniqUpTo/sequence*/windowFunnel "
+                        "families are parameterized")
                 out.append(_FUNCS[low](arg_strs))
             i = j
             continue

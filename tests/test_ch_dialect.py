@@ -1907,3 +1907,15 @@ def test_uniq_combined_precision_param(spark):
     n = ch_sql(spark, "SELECT uniqCombined(14)(u) AS n FROM t") \
         .collect()[0].n
     assert 45 <= n <= 55  # ~50 distinct within HLL error
+
+
+def test_param_call_on_plain_function_refused(spark):
+    """CH f(params)(args) syntax on a function without a
+    parameterized mapping raises instead of emitting
+    `fn(params) (args)` garbage SQL."""
+    with pytest.raises(ChDialectError, match="parameterized"):
+        translate("SELECT groupArray(10)(x) FROM t")
+    # plain calls and genuine param families are untouched
+    assert "collect_list(x)" in translate("SELECT groupArray(x) FROM t")
+    assert "percentile_approx" in translate(
+        "SELECT quantile(0.9)(x) FROM t")
