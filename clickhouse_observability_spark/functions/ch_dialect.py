@@ -803,6 +803,17 @@ def _uniq_combined_param(p, a):
 _PARAM_FUNCS = {
     "uniqcombined": _uniq_combined_param,
     "uniqcombined64": _uniq_combined_param,
+    # quantileDeterministic's determinism column is a sampling seed
+    # for CH's reservoir; Spark's sketch is deterministic already —
+    # the extra argument drops, the contract (approx quantile) holds
+    "quantiledeterministic": lambda p, a:
+        f"percentile_approx({a[0]}, {p[0]})",
+    "histogram": lambda p, a: (_ for _ in ()).throw(ChDialectError(
+        "histogram(bins)(x) returns (lo, hi, height) structs with "
+        "adaptive bins; use operators.ch_functions.histogram_fixed "
+        "(fixed-grid, exact) — the agg_ch_functions_panel shape")),
+    "grouparraysorted": lambda p, a: (
+        f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"),
     "quantile": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
     # CH's timing variant is an internal-representation optimization
     # over millisecond-scale values; the observable contract is an

@@ -1919,3 +1919,19 @@ def test_param_call_on_plain_function_refused(spark):
     assert "collect_list(x)" in translate("SELECT groupArray(x) FROM t")
     assert "percentile_approx" in translate(
         "SELECT quantile(0.9)(x) FROM t")
+
+
+def test_more_param_aggregates(spark):
+    """groupArraySorted(N)(x) = smallest-N sorted values (exact,
+    deterministic — unlike groupArray's insertion order);
+    quantileDeterministic drops the seed column (Spark's sketch is
+    already deterministic); histogram refuses toward the operator."""
+    spark.createDataFrame([(i,) for i in (5, 3, 9, 1)], "x int") \
+        .createOrReplaceTempView("t")
+    rows = ch_sql(spark, (
+        "SELECT groupArraySorted(3)(x) AS g, "
+        "quantileDeterministic(0.5)(x, x) AS q FROM t")).collect()
+    assert list(rows[0].g) == [1, 3, 5]
+    assert rows[0].q in (3, 5)  # approx sketch returns a data value
+    with pytest.raises(ChDialectError, match="histogram_fixed"):
+        translate("SELECT histogram(10)(x) FROM t")
