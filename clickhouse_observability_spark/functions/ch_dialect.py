@@ -183,6 +183,29 @@ def _agg_if(agg: str):
     return fn
 
 
+def _to_decimal(max_precision: int):
+    """CH toDecimal32/64/128(x, scale) -> CAST(x AS DECIMAL(p, s)).
+
+    CH sizes precision by the storage width (Decimal32 holds 9
+    digits, Decimal64 18, Decimal128 38); the scale must be a
+    literal, as in CH (it is part of the result TYPE)."""
+
+    def fn(args):
+        if len(args) != 2:
+            raise ChDialectError("toDecimalN(x, scale) takes 2 args")
+        try:
+            scale = int(args[1].strip())
+        except ValueError:
+            raise ChDialectError("toDecimalN scale must be an integer literal")
+        if not 0 <= scale <= max_precision:
+            raise ChDialectError(
+                f"toDecimal scale {scale} out of range 0..{max_precision}"
+            )
+        return f"CAST({args[0]} AS DECIMAL({max_precision}, {scale}))"
+
+    return fn
+
+
 def _multi_if(args):
     if len(args) < 3 or len(args) % 2 == 0:
         raise ChDialectError("multiIf needs cond/value pairs + else")
@@ -474,6 +497,18 @@ _FUNCS = {
     "toint32": lambda a: f"CAST({a[0]} AS INT)",
     "touint32": lambda a: f"CAST({a[0]} AS INT)",
     "tofloat64": lambda a: f"CAST({a[0]} AS DOUBLE)",
+    "tofloat32": lambda a: f"CAST({a[0]} AS FLOAT)",
+    "toint16": lambda a: f"CAST({a[0]} AS SMALLINT)",
+    "touint16": lambda a: f"CAST({a[0]} AS SMALLINT)",
+    "toint8": lambda a: f"CAST({a[0]} AS TINYINT)",
+    "touint8": lambda a: f"CAST({a[0]} AS TINYINT)",
+    # CH toDecimalN(x, scale): N is the storage width (32/64/128 ->
+    # 9/18/38 max precision); scale must be an integer literal.
+    # Decimal arithmetic is exact and order-independent — the
+    # moneydec boundary-proof path, reachable from dialect SQL.
+    "todecimal32": _to_decimal(9),
+    "todecimal64": _to_decimal(18),
+    "todecimal128": _to_decimal(38),
     # the parse-guard family (log parsing: CH OrNull -> NULL on
     # malformed input, OrZero -> the type zero) — Spark try_cast
     "toint64ornull": lambda a: f"TRY_CAST({a[0]} AS BIGINT)",

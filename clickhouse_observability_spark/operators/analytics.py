@@ -18,6 +18,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from clickhouse_observability_spark.functions.moneydec import (
+    dec,
+    floor_quantize,
+    money_sum,
+)
+
 
 def counts_by_type(events: DataFrame) -> DataFrame:
     """Rows per event_type — dictionary-size result, map-side combine
@@ -30,13 +36,16 @@ def type_panel(events: DataFrame) -> DataFrame:
     per event_type in ONE groupBy — every per-type profiling aggregate
     shares a single shuffle (and a single registry slot in the oracle
     window; the value-stats columns were folded in r4 to free the
-    standalone agg_value_stats slot). Float sums rounded (2dp/4dp)
-    because summation order differs across engines."""
+    standalone agg_value_stats slot). value is 2dp -> sum in exact
+    decimal, avg floor-quantized over the exact sum (moneydec:
+    boundary-proof cross-engine, unlike round(sum(double)))."""
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("users"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        money_sum("value").alias("sum_value"),
+        floor_quantize(
+            F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )
@@ -50,7 +59,7 @@ def hourly_counts(events: DataFrame) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        money_sum("value").alias("sum_value"),
     )
 
 
@@ -79,12 +88,14 @@ def approx_distinct_users(events: DataFrame) -> DataFrame:
 
 
 def value_stats(events: DataFrame) -> DataFrame:
-    """Full numeric profile per type. Float sums are rounded (2dp)
-    because summation order differs across engines/partitionings."""
+    """Full numeric profile per type. value is 2dp -> exact-decimal
+    sum + floor-quantized avg (moneydec boundary-proof policy)."""
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        money_sum("value").alias("sum_value"),
+        floor_quantize(
+            F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )

@@ -33,6 +33,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from clickhouse_observability_spark.functions.moneydec import (
+    floor_quantize as _floor_quantize,
+)
+
 
 def _cols(arg: str | Column, by: str | Column) -> tuple[Column, Column]:
     return (F.col(arg) if isinstance(arg, str) else arg,
@@ -100,34 +104,49 @@ def histogram_fixed(
 
 
 def sum_map(
-    df: DataFrame, group: str, map_col: Column, round_to: int | None = None
+    df: DataFrame, group: str, map_col: Column, round_to: int | None = None,
+    dec_sum: bool = False,
 ) -> DataFrame:
     """ClickHouse sumMap: merge maps by key, summing values.
 
     Output exploded as (group, map_key, map_sum) rows — the at-rest
     shape that keeps per-key partial sums combinable map-side and
-    never materializes a whole group's map in one executor."""
+    never materializes a whole group's map in one executor.
+    dec_sum=True sums in exact DECIMAL(18,4) (moneydec policy: only
+    for values with <=4 decimal digits; order-independent, so the
+    rounded sum can't flip at a cross-engine boundary)."""
+    from clickhouse_observability_spark.functions.moneydec import dec
+
     ex = df.select(group, F.explode(map_col).alias("map_key", "__v"))
-    s = F.sum("__v")
+    s = F.sum(dec("__v")) if dec_sum else F.sum("__v")
     if round_to is not None:
         s = F.round(s, round_to)
+    if dec_sum:
+        s = s.cast("double")
     return ex.groupBy(group, "map_key").agg(s.alias("map_sum"))
 
 
 def top_k_by_weight(
     df: DataFrame, group: str, val: str, weight: str, k: int,
-    round_to: int = 4,
+    round_to: int = 4, dec_sum: bool = False,
 ) -> DataFrame:
     """ClickHouse topKWeighted(k)(x, w): the top values by TOTAL
     WEIGHT within each group (CH's is a sketch; grouped data makes
     the exact form affordable — sum weights per (group, value),
     rank, keep k). Weights round to `round_to` BEFORE ranking with a
     value tie-break, so a float-summation-order ulp can't flip a
-    rank between engines. Output: (group, val, w, rank)."""
+    rank between engines; dec_sum=True removes even the boundary
+    case by summing in exact DECIMAL(18,4) (moneydec; only for
+    weights with <=4 decimal digits). Output: (group, val, w, rank)."""
     from pyspark.sql import Window as W
 
-    w = df.groupBy(group, val).agg(
-        F.round(F.sum(weight), round_to).alias("w"))
+    from clickhouse_observability_spark.functions.moneydec import dec
+
+    wsum = F.sum(dec(weight)) if dec_sum else F.sum(weight)
+    wexpr = F.round(wsum, round_to)
+    if dec_sum:
+        wexpr = wexpr.cast("double")
+    w = df.groupBy(group, val).agg(wexpr.alias("w"))
     win = W.partitionBy(group).orderBy(F.desc("w"), F.asc(val))
     return (
         w.withColumn("rank", F.row_number().over(win))
@@ -245,7 +264,10 @@ def segment_overlap_exact(
         .select(
             "seg_a", "seg_b", "n_a", "n_b", "n_inter",
             (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
-            F.round(
+            # int/int -> the same IEEE double on both engines;
+            # floor-quantize (round() diverges at representation
+            # boundaries — moneydec policy for quotients)
+            _floor_quantize(
                 F.col("n_inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
                 6,

@@ -19,6 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clickhouse_observability_spark.functions.moneydec import (
+    dec,
+    floor_quantize,
+    money_sum,
+)
+
 
 def orders_enriched(
     orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame,
@@ -42,18 +48,26 @@ def orders_enriched(
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the canonical partial-agg
     showcase (5 aggregates over 2 grouping keys of cardinality ~6 —
-    the shuffle moves a handful of rows regardless of input size)."""
+    the shuffle moves a handful of rows regardless of input size).
+    Money/quantity sums run in exact decimal; the averages divide the
+    exact decimal sum (as an identical double) by the count and
+    floor-quantize — both boundary-proof cross-engine (moneydec)."""
+    cnt = F.count(F.lit(1))
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            floor_quantize(
+                F.sum(dec("l_quantity")).cast("double") / cnt, 4
+            ).alias("avg_qty"),
+            floor_quantize(
+                F.sum(dec("l_discount")).cast("double") / cnt, 6
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -73,9 +87,9 @@ def shipping_priority(
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(limit)
@@ -102,9 +116,9 @@ def nation_revenue(
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias(
+                "revenue"
+            )
         )
     )
 

@@ -99,6 +99,7 @@ def build_rollup(
     value_col: str = "value",
     user_col: str = "user_id",
     topk_col: str | None = None,
+    dec_value: bool = False,
 ) -> DataFrame:
     """Raw events -> one partial-state row per (bucket_ts, dims).
 
@@ -106,6 +107,13 @@ def build_rollup(
     rollup-sized: level 1 groups at (key, value-bucket) grain so the
     histogram is built by plain counts; level 2 collapses the
     value-bucket into a sorted array and unions the HLL sketches.
+
+    `dec_value=True` holds the sum state in exact DECIMAL(18,4)
+    (moneydec policy — only for measures with <=4 decimal digits):
+    decimal partial sums merge exactly and order-independently, so a
+    rollup answered through ANY merge tree equals the direct
+    aggregate bit-for-bit, at every scale. Double states stay the
+    default for full-precision measures.
 
     `topk_col` (opt-in, schema-preserving when absent) adds a
     MERGEABLE top-k state over that column — the CH `topKState`
@@ -129,9 +137,12 @@ def build_rollup(
          ).alias("top_items")]
         if topk_col else []
     )
+    from clickhouse_observability_spark.functions.moneydec import dec
+
+    sum_in = dec(value_col) if dec_value else F.col(value_col)
     lvl1 = events.groupBy(*key, value_bucket(F.col(value_col)).alias("__vb")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(value_col).alias("sum_value"),
+        F.sum(sum_in).alias("sum_value"),
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
         F.hll_sketch_agg(F.col(user_col), F.lit(HLL_LGK)).alias("uniq_users"),

@@ -10,8 +10,10 @@ from clickhouse_observability_spark.registry import register, table
     "agg_counts_by_type",
     oracle="""
     SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
-           round(sum(value), 2) AS sum_value,
-           round(avg(value), 4) AS avg_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) * 10000.0) / 10000.0 AS avg_value,
            round(min(value), 2) AS min_value,
            round(max(value), 2) AS max_value
     FROM events GROUP BY event_type
@@ -31,7 +33,8 @@ def agg_counts_by_type(spark, sf_dir):
     "agg_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
     FROM events GROUP BY 1
     """,
 )
@@ -143,8 +146,12 @@ def agg_median_value_approx(spark, sf_dir):
 @register(
     "agg_value_stats",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
-           round(avg(value), 4) AS avg_value, round(min(value), 2) AS min_value,
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) * 10000.0) / 10000.0 AS avg_value,
+           round(min(value), 2) AS min_value,
            round(max(value), 2) AS max_value
     FROM events GROUP BY event_type
     """,
@@ -157,7 +164,9 @@ def agg_value_stats(spark, sf_dir):
     "agg_rollup_day_type",
     oracle="""
     SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
-           count(*) AS n, round(sum(value), 2) AS sum_value
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
     FROM events
     GROUP BY ROLLUP (day, event_type)
     """,
@@ -168,6 +177,8 @@ def agg_rollup_day_type(spark, sf_dir):
     aggregate, no multi-scan."""
     from pyspark.sql import functions as F
 
+    from clickhouse_observability_spark.functions.moneydec import money_sum
+
     ev = table(spark, sf_dir, "events")
     return (
         ev.select(
@@ -176,7 +187,7 @@ def agg_rollup_day_type(spark, sf_dir):
         .rollup("day", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
     )
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from clickhouse_observability_spark.functions.moneydec import dec, floor_quantize
 from clickhouse_observability_spark.operators import ch_functions as CH
 from clickhouse_observability_spark.registry import register, table
 
@@ -52,9 +53,13 @@ from clickhouse_observability_spark.registry import register, table
       GROUP BY 1),
     cond AS (
       SELECT event_type,
-             round(sum(value) FILTER (value > 400), 2) AS sum_if_high,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4)))
+                        FILTER (value > 400), 2) AS DOUBLE) AS sum_if_high,
              count(*) FILTER (value < 1) AS count_if_low,
-             round(avg(value) FILTER (value >= 100), 4) AS avg_if_mid
+             floor(CAST(sum(CAST(value AS DECIMAL(18,4)))
+                        FILTER (value >= 100) AS DOUBLE)
+                   / count(*) FILTER (value >= 100) * 10000.0) / 10000.0
+               AS avg_if_mid
       FROM events GROUP BY 1),
     hist AS (
       SELECT t.event_type,
@@ -82,11 +87,15 @@ def agg_ch_functions_panel(spark, sf_dir):
     base = ev.groupBy("event_type").agg(
         CH.arg_max("user_id", "value").alias("argmax_user"),
         CH.arg_min("user_id", "value").alias("argmin_user"),
-        F.round(F.sum(F.when(F.col("value") > 400, F.col("value"))), 2)
+        F.round(F.sum(F.when(F.col("value") > 400, dec("value"))), 2)
+        .cast("double")
         .alias("sum_if_high"),
         F.count(F.when(F.col("value") < 1, F.lit(1))).alias("count_if_low"),
-        F.round(F.avg(F.when(F.col("value") >= 100, F.col("value"))), 4)
-        .alias("avg_if_mid"),
+        floor_quantize(
+            F.sum(F.when(F.col("value") >= 100, dec("value"))).cast("double")
+            / F.count(F.when(F.col("value") >= 100, F.lit(1))),
+            4,
+        ).alias("avg_if_mid"),
     )
     topk = CH.top_k_by_freq(ev, "event_type", "user_id", 3) \
         .withColumnRenamed("top_k", "top3_users")
@@ -119,7 +128,8 @@ def agg_ch_functions_panel(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS bucket, event_type,
            count(*) FILTER (value > 250) AS high,
            count(DISTINCT user_id) AS users,
-           round(sum(value) FILTER (value <= 250), 2) AS low_sum,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4)))
+                      FILTER (value <= 250), 2) AS DOUBLE) AS low_sum,
            least(count(DISTINCT user_id), 6) AS upto,
            CASE WHEN max(event_id) > min(event_id) THEN
              CAST(floor(((arg_max(value, event_id)
@@ -151,7 +161,11 @@ def ch_dialect_hourly_panel(spark, sf_dir):
         "SELECT toStartOfHour(ts) AS bucket, event_type, "
         "countIf(value > 250) AS high, "
         "uniqExact(user_id) AS users, "
-        "round(sumIf(value, value <= 250), 2) AS low_sum, "
+        # exact-decimal money sum through the dialect's toDecimal64
+        # (r9 moneydec policy — hourly groups are small, so a group
+        # sum on the half-cent boundary is a real risk at any sf)
+        "toFloat64(round(sumIf(toDecimal64(value, 4), value <= 250), 2)) "
+        "AS low_sum, "
         "uniqUpTo(5)(user_id) AS upto, "
         "CAST(floor(boundingRatio(event_id, value) * 10000) "
         "AS BIGINT) AS br "
@@ -166,7 +180,8 @@ def ch_dialect_hourly_panel(spark, sf_dir):
     # summation-order ulp can't flip a rank between engines
     oracle="""
     WITH s AS (
-        SELECT event_type, user_id, round(sum(value), 4) AS w
+        SELECT event_type, user_id,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS w
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, user_id, w, rank FROM (
@@ -183,7 +198,9 @@ def agg_topk_weighted(spark, sf_dir):
     pre-rounded, ranked with a user tie-break;
     operators/ch_functions.top_k_by_weight)."""
     ev = table(spark, sf_dir, "events")
-    return CH.top_k_by_weight(ev, "event_type", "user_id", "value", 3)
+    return CH.top_k_by_weight(
+        ev, "event_type", "user_id", "value", 3, dec_sum=True
+    )
 
 
 @register(
@@ -252,7 +269,9 @@ def agg_entropy(spark, sf_dir):
 @register(
     "agg_ch_summap",
     oracle="""
-    SELECT event_type, map_key, round(sum(v), 2) AS map_sum FROM (
+    SELECT event_type, map_key,
+           CAST(round(sum(CAST(v AS DECIMAL(18,4))), 2) AS DOUBLE) AS map_sum
+    FROM (
       SELECT event_type, 'k' AS map_key,
              json_extract_string(props, '$.k')::DOUBLE AS v FROM events
       UNION ALL
@@ -268,7 +287,7 @@ def agg_ch_summap(spark, sf_dir):
         F.lit("val"),
         F.col("value"),
     )
-    return CH.sum_map(ev, "event_type", m, round_to=2)
+    return CH.sum_map(ev, "event_type", m, round_to=2, dec_sum=True)
 
 
 @register(
@@ -287,7 +306,8 @@ def agg_ch_summap(spark, sf_dir):
     )
     SELECT seg_a, seg_b, ta.n AS n_a, tb.n AS n_b, n_inter,
            ta.n + tb.n - n_inter AS n_union,
-           round(n_inter / (ta.n + tb.n - n_inter), 6) AS jaccard
+           floor(n_inter / (ta.n + tb.n - n_inter) * 1000000.0) / 1000000.0
+             AS jaccard
     FROM i JOIN t ta ON ta.seg = i.seg_a JOIN t tb ON tb.seg = i.seg_b
     """,
 )

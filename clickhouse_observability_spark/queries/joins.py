@@ -4,6 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from clickhouse_observability_spark.functions.moneydec import (
+    dec,
+    floor_quantize,
+    money_sum,
+)
 from clickhouse_observability_spark.operators import joins as J
 from clickhouse_observability_spark.registry import register, table
 
@@ -33,11 +38,17 @@ def join_orders_enriched(spark, sf_dir):
     "tpch_q1_pricing",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) * 10000.0) / 10000.0 AS avg_qty,
+           floor(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) * 1000000.0) / 1000000.0 AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -52,7 +63,9 @@ def tpch_q1_pricing(spark, sf_dir):
     "tpch_q3_shipping",
     oracle="""
     SELECT l_orderkey, o_orderdate, o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -76,7 +89,9 @@ def tpch_q3_shipping(spark, sf_dir):
     "tpch_q5_nation_revenue",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -134,39 +149,51 @@ def tpch_q4_order_priority(spark, sf_dir):
 @register(
     "tpch_q17_small_quantity",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0 * 100.0) / 100.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
-      AND l_quantity < (
-          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
-          WHERE l2.l_partkey = lineitem.l_partkey
-      )
+      AND 5 * CAST(l_quantity AS DECIMAL(18,4))
+            * (SELECT count(*) FROM lineitem l2
+               WHERE l2.l_partkey = lineitem.l_partkey)
+          < (SELECT sum(CAST(l_quantity AS DECIMAL(18,4))) FROM lineitem l2
+             WHERE l2.l_partkey = lineitem.l_partkey)
     """,
 )
 def tpch_q17_small_quantity(spark, sf_dir):
     """Q17 shape: correlated scalar-aggregate subquery, expressed as
     a pre-aggregated broadcast join (the plan Catalyst's decorrelation
-    produces, written explicitly: per-part thresholds are tiny)."""
+    produces, written explicitly: per-part thresholds are tiny).
+    qty < 0.2*avg(qty) compares as 5*qty*cnt < sum in exact decimal
+    (same predicate, no order-dependent double avg — moneydec), and
+    the /7.0 output floor-quantizes the identical-double quotient."""
     from pyspark.sql import functions as F
 
     lineitem = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     thresholds = lineitem.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+        F.sum(dec("l_quantity")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_cnt"),
     )
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .join(thresholds, "l_partkey")
-        .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .filter(5 * dec("l_quantity") * F.col("qty_cnt") < F.col("qty_sum"))
+        .agg(
+            floor_quantize(
+                F.sum(dec("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
 @register(
     "tpch_q6_forecast",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -190,8 +217,7 @@ def tpch_q6_forecast(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue"))
+        .agg(money_sum(dec("l_extendedprice") * dec("l_discount")).alias("revenue"))
     )
 
 

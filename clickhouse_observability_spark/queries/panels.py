@@ -67,7 +67,9 @@ from clickhouse_observability_spark.registry import _ORACLES, register, table
     oracle="""
     SELECT 'rollup_day_type' AS op, date_trunc('day', ts)::TIMESTAMP AS day,
            event_type, CAST(NULL AS BIGINT) AS user_bucket,
-           count(*) AS n, round(sum(value), 2) AS sum_value
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
     FROM events GROUP BY ROLLUP (day, event_type)
     UNION ALL
     SELECT 'cube_type_user_bucket', CAST(NULL AS TIMESTAMP), event_type,
@@ -240,21 +242,26 @@ def dedup_jaccard_panel(spark, sf_dir):
     "tpch_scalar_panel",
     oracle="""
     SELECT 'q6_forecast' AS op,
-           round(sum(l_extendedprice * l_discount), 2) AS value
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS value
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     UNION ALL
-    SELECT 'q17_small_quantity', round(sum(l_extendedprice) / 7.0, 2)
+    SELECT 'q17_small_quantity',
+           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0 * 100.0) / 100.0
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
-      AND l_quantity < (
-          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
-          WHERE l2.l_partkey = lineitem.l_partkey
-      )
+      AND 5 * CAST(l_quantity AS DECIMAL(18,4))
+            * (SELECT count(*) FROM lineitem l2
+               WHERE l2.l_partkey = lineitem.l_partkey)
+          < (SELECT sum(CAST(l_quantity AS DECIMAL(18,4))) FROM lineitem l2
+             WHERE l2.l_partkey = lineitem.l_partkey)
     """,
 )
 def tpch_scalar_panel(spark, sf_dir):

@@ -27,14 +27,18 @@ from clickhouse_observability_spark.registry import register, table
                          event_type, value
                   FROM events)
     SELECT bucket_ts, event_type, count(*) AS cnt,
-           round(sum(value), 2) AS sum_value,
-           round(avg(value), 4) AS avg_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) * 10000.0) / 10000.0 AS avg_value,
            min(value) AS min_value, max(value) AS max_value
     FROM base GROUP BY 1, 2
     UNION ALL
     SELECT bucket_ts, '(all)' AS event_type, count(*) AS cnt,
-           round(sum(value), 2) AS sum_value,
-           round(avg(value), 4) AS avg_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) * 10000.0) / 10000.0 AS avg_value,
            min(value) AS min_value, max(value) AS max_value
     FROM base GROUP BY 1
     """,
@@ -50,14 +54,23 @@ def rollup_day_type_panel(spark, sf_dir):
     # both merge arms re-read them instead of re-aggregating the raw
     # corpus (plan audit: 14 -> 6 exchanges, one corpus scan)
     fine = R.build_rollup(
-        ev, "hour", ("event_type", "user_bucket")
+        ev, "hour", ("event_type", "user_bucket"), dec_value=True
     ).localCheckpoint(eager=True)
 
     def panel(states):
+        # decimal states merge exactly; the rounded sum and the
+        # floor-quantized avg are bit-identical to the oracle at ANY
+        # sf (this entry was the r7 sf0.001 hash-exemption — closed)
+        from clickhouse_observability_spark.functions.moneydec import (
+            floor_quantize,
+        )
+
         return states.select(
             "bucket_ts", "event_type", "cnt",
-            F.round("sum_value", 2).alias("sum_value"),
-            F.round(F.col("sum_value") / F.col("cnt"), 4).alias("avg_value"),
+            F.round("sum_value", 2).cast("double").alias("sum_value"),
+            floor_quantize(
+                F.col("sum_value").cast("double") / F.col("cnt"), 4
+            ).alias("avg_value"),
             "min_value", "max_value",
         )
 

@@ -23,6 +23,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from clickhouse_observability_spark.functions.moneydec import (
+    dec,
+    floor_quantize,
+    money_sum,
+)
 from clickhouse_observability_spark.registry import register, table
 
 
@@ -30,11 +35,12 @@ from clickhouse_observability_spark.registry import register, table
     "tpch_q7_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
         FROM supplier, lineitem, orders, customer, nation n1, nation n2
         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
           AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -89,10 +95,10 @@ def tpch_q7_volume_shipping(spark, sf_dir):
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            (dec("l_extendedprice") * (1 - dec("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(money_sum(F.col("volume")).alias("revenue"))
     )
 
 
@@ -100,11 +106,13 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     "tpch_q8_market_share",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           floor(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE) * 10000.0) / 10000.0 AS mkt_share
     FROM (
         SELECT year(o_orderdate) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
                n2.n_name AS nation
         FROM part, supplier, lineitem, orders, customer,
              nation n1, nation n2, region
@@ -162,7 +170,17 @@ def tpch_q8_market_share(spark, sf_dir):
         .join(F.broadcast(cust_in_region), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(supp_nation), F.col("s_suppkey") == F.col("l_suppkey"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = dec("l_extendedprice") * (1 - dec("l_discount"))
+    # Both sums exact decimal; the DOUBLE casts, the division, and the
+    # floor-quantize are each single IEEE ops — bit-identical to the
+    # oracle (round() on a quotient is the coin-flip class; moneydec).
+    share = floor_quantize(
+        F.sum(
+            F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0))
+        ).cast("double")
+        / F.sum("volume").cast("double"),
+        4,
+    )
     return (
         joined.select(
             F.year("o_orderdate").alias("o_year"),
@@ -170,14 +188,7 @@ def tpch_q8_market_share(spark, sf_dir):
             "nation",
         )
         .groupBy("o_year")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume"))
-                      .otherwise(F.lit(0)))
-                / F.sum("volume"),
-                4,
-            ).alias("mkt_share")
-        )
+        .agg(share.alias("mkt_share"))
     )
 
 
@@ -185,7 +196,9 @@ def tpch_q8_market_share(spark, sf_dir):
     "tpch_q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -214,9 +227,9 @@ def tpch_q10_returned_items(spark, sf_dir):
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias(
+                "revenue"
+            )
         )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -258,10 +271,14 @@ def tpch_q13_order_distribution(spark, sf_dir):
 @register(
     "tpch_q14_promo_revenue",
     oracle="""
-    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4)
+    SELECT floor((100.0
+                  * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                       * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                  ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                         AS DOUBLE)) * 10000.0) / 10000.0
            AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
@@ -278,17 +295,20 @@ def tpch_q14_promo_revenue(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     part = table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    # exact decimal sums -> identical doubles -> IEEE divide ->
+    # floor-quantize (round() on a quotient is the coin-flip class)
+    share = floor_quantize(
+        F.lit(100.0)
+        * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast(
+            "double"
+        )
+        / F.sum(rev).cast("double"),
+        4,
+    )
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
-                / F.sum(rev),
-                4,
-            ).alias("promo_revenue")
-        )
+        .agg(share.alias("promo_revenue"))
     )
 
 
@@ -361,7 +381,7 @@ def tpch_q18_large_orders(spark, sf_dir):
           AND r_name = 'EUROPE'
     )
     SELECT s_acctbal, s_name, n_name, p_partkey,
-           round(unit_cost, 2) AS supply_cost
+           floor(unit_cost * 100.0) / 100.0 AS supply_cost
     FROM part, costs, eu
     WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND p_size = 15
       AND unit_cost = (SELECT min(c2.unit_cost) FROM costs c2, eu e2
@@ -418,7 +438,9 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
             "s_name",
             "n_name",
             "p_partkey",
-            F.round("unit_cost", 2).alias("supply_cost"),
+            # unit_cost is a per-row quotient (bit-identical on both
+            # engines, min is order-free); floor-quantize, not round
+            floor_quantize(F.col("unit_cost"), 2).alias("supply_cost"),
         )
         .orderBy(
             F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
@@ -430,10 +452,11 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
 @register(
     "tpch_q9_product_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
         SELECT n_name AS nation, year(o_orderdate) AS o_year,
-               l_extendedprice * (1 - l_discount) AS amount
+               CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))) AS amount
         FROM part, supplier, lineitem, orders, nation
         WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
           AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -448,7 +471,12 @@ def tpch_q9_product_profit(spark, sf_dir):
     product family. The testdata has no ps_supplycost, so profit is
     gross revenue (the cost term is dropped; the join/aggregate shape
     is unchanged). part (LIKE-filtered) and supplier→nation broadcast;
-    lineitem⋈orders shuffles once on orderkey."""
+    lineitem⋈orders shuffles once on orderkey.
+
+    The profit sum goes through DECIMAL(18,4) on both engines
+    (functions/moneydec.py): at sf0.01 two of the 175 group sums land
+    exactly on the half-cent boundary, where double summation-order
+    ulps flip the rounded cent (r8's one red driver row)."""
     part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
@@ -464,10 +492,10 @@ def tpch_q9_product_profit(spark, sf_dir):
         .select(
             "nation",
             F.year("o_orderdate").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+            (dec("l_extendedprice") * (1 - dec("l_discount"))).alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(money_sum(F.col("amount")).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -476,15 +504,15 @@ def tpch_q9_product_profit(spark, sf_dir):
     "tpch_q11_important_values",
     oracle="""
     WITH nv AS (
-        SELECT l_partkey, sum(l_extendedprice) AS value
+        SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS value
         FROM lineitem, supplier, nation
         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
           AND n_name = 'NATION_3'
         GROUP BY l_partkey
     )
-    SELECT l_partkey AS ps_partkey, round(value, 2) AS part_value
+    SELECT l_partkey AS ps_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
     FROM nv
-    WHERE value > (SELECT sum(value) * 0.001 FROM nv)
+    WHERE value * 1000 > (SELECT sum(value) FROM nv)
     ORDER BY part_value DESC, ps_partkey
     """,
 )
@@ -503,15 +531,17 @@ def tpch_q11_important_values(spark, sf_dir):
     nv = (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum("l_extendedprice").alias("value"))
+        .agg(F.sum(dec("l_extendedprice")).alias("value"))
     )
-    threshold = nv.agg((F.sum("value") * F.lit(0.001)).alias("threshold"))
+    # value > total*0.001 ⟺ value*1000 > total — exact decimal
+    # comparison, no double threshold to land on (moneydec policy)
+    threshold = nv.agg(F.sum("value").alias("threshold"))
     return (
         nv.crossJoin(F.broadcast(threshold))
-        .filter(F.col("value") > F.col("threshold"))
+        .filter(F.col("value") * 1000 > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("ps_partkey"),
-            F.round("value", 2).alias("part_value"),
+            F.round("value", 2).cast("double").alias("part_value"),
         )
         .orderBy(F.col("part_value").desc(), "ps_partkey")
     )
@@ -563,13 +593,15 @@ def tpch_q12_priority_classes(spark, sf_dir):
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
     FROM supplier, revenue
     WHERE s_suppkey = supplier_no
       AND total_revenue = (SELECT max(total_revenue) FROM revenue)
@@ -587,9 +619,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "raw_revenue"
-        )
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("raw_revenue")
     )
     peak = revenue.agg(F.max("raw_revenue").alias("peak_revenue"))
     supp = table(spark, sf_dir, "supplier")
@@ -598,7 +628,9 @@ def tpch_q15_top_supplier(spark, sf_dir):
         .filter(F.col("raw_revenue") == F.col("peak_revenue"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
         .select(
-            "s_suppkey", "s_name", F.round("raw_revenue", 2).alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            F.round("raw_revenue", 2).cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -648,7 +680,9 @@ def tpch_q16_supplier_diversity(spark, sf_dir):
 @register(
     "tpch_q19_disjunctive_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND (
         (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20
@@ -677,9 +711,9 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias(
+                "revenue"
+            )
         )
     )
 
@@ -811,10 +845,13 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
         WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
     )
     SELECT n_name AS cntrycode, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS totacctbal
     FROM eligible, nation
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM eligible
-                       WHERE c_acctbal > 0.0)
+    WHERE CAST(c_acctbal AS DECIMAL(18,4))
+          * (SELECT count(*) FROM eligible WHERE c_acctbal > 0.0)
+        > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) FROM eligible
+           WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT * FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
@@ -829,12 +866,17 @@ def tpch_q22_dormant_customers(spark, sf_dir):
     "no orders at all" (zero such customers in this testdata) becomes
     "no orders since 2000". The scalar-avg subquery broadcasts as one
     row; the NOT EXISTS is a left_anti against recent order keys;
-    nation broadcasts into the final aggregate."""
+    nation broadcasts into the final aggregate. The bal > avg(bal)
+    threshold compares in exact decimal (bal*count > sum — same
+    predicate, order-independent; a double avg is summation-order-
+    dependent and a balance exactly at the mean would flip
+    cross-engine: moneydec policy)."""
     eligible = table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
     ).select("c_custkey", "c_acctbal", "c_nationkey")
     avg_bal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.sum(dec("c_acctbal")).alias("bal_sum"),
+        F.count(F.lit(1)).alias("bal_cnt"),
     )
     recent = (
         table(spark, sf_dir, "orders")
@@ -844,13 +886,13 @@ def tpch_q22_dormant_customers(spark, sf_dir):
     nation = table(spark, sf_dir, "nation")
     return (
         eligible.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(dec("c_acctbal") * F.col("bal_cnt") > F.col("bal_sum"))
         .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )

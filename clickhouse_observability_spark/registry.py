@@ -7,8 +7,22 @@ documents embeddings). The driver hash-compares them order-insensitively
 at sf=0.01 (BASELINE.md), so:
 
 - every computed column is aliased IDENTICALLY on both sides;
-- floating aggregates are rounded IDENTICALLY on both sides (summation
-  order differs between engines; rounding removes ulp noise);
+- money/quantity sums (any stored column with <= 4 decimal digits)
+  go through CAST(col AS DECIMAL(18,4)) BEFORE multiply/sum on BOTH
+  engines (functions/moneydec.py): decimal arithmetic is exact and
+  order-independent, so round() agrees bit-for-bit. Rounding a
+  DOUBLE sum is NOT enough — summation order differs between
+  engines, and a group sum landing exactly on the half-cent
+  boundary flips the rounded digit (r8: tpch_q9_product_profit,
+  2 of 175 groups);
+- quotients (avg, ratio-of-sums, per-row division) quantize with
+  floor(x * 10^N)/10^N over bit-identical inputs, never round():
+  Spark rounds the shortest decimal string HALF_UP, DuckDB rounds
+  the binary value — they diverge on the same double. Exact decimal
+  sums cast to DOUBLE make the division inputs bit-identical first;
+- full-precision float aggregates (log-probs etc., where the
+  decimal cast is itself engine-divergent) keep round() with
+  documented residual boundary risk;
 - every LIMIT is preceded by a total deterministic ORDER BY (unique
   tie-break column) so both engines select the same rows.
 

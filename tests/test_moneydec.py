@@ -1,0 +1,165 @@
+"""moneydec policy tests (r9): boundary-proof money aggregation.
+
+The class being closed: ``round(sum(double), 2)`` flips the rounded
+cent when a group sum lands exactly on the half-cent boundary,
+because double summation is order-dependent (r8's
+``tpch_q9_product_profit``: 2 of 175 group sums sat on the boundary
+at sf0.01 and the driver hash mismatched). The structural fix sums
+in DECIMAL(18,4) — exact, order-independent — on BOTH engines.
+
+These tests pin the policy from three sides:
+1. a hypothesis property: the decimal pipeline is invariant under
+   ANY permutation of the inputs (the float pipeline provably is
+   not — witnessed);
+2. a Spark-vs-DuckDB equality on adversarial boundary data with the
+   exact helper expressions used by the registry;
+3. partition-order invariance inside Spark itself (repartition
+   changes the combine order; the decimal sum must not care).
+"""
+
+from __future__ import annotations
+
+import random
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.functions.moneydec import (
+    dec,
+    floor_quantize,
+    money_sum,
+)
+
+
+def _money(v_cents: int) -> Decimal:
+    return Decimal(v_cents) / Decimal(100)
+
+
+@given(
+    st.lists(st.integers(min_value=-10**7, max_value=10**7), min_size=1,
+             max_size=60),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_decimal_sum_is_permutation_invariant(cents, rnd):
+    """Exact-decimal sum + HALF_UP round(2) never depends on order."""
+    vals = [_money(c) for c in cents]
+    ref = sum(vals).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    for _ in range(5):
+        rnd.shuffle(vals)
+        assert sum(vals).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        ) == ref
+
+
+def test_float_sum_order_dependence_witness():
+    """The failure mode being closed actually exists: the same 2dp
+    money values, summed as doubles in two orders, round to two
+    different cents (so the old round(sum(double)) oracle class was
+    a coin flip — this is a witness, not a property)."""
+    witness = None
+    rnd = random.Random(1)
+    for _ in range(3000):
+        # 4-decimal values (like l_extendedprice*(1-l_discount)):
+        # 2dp inputs can never SUM onto a half-cent boundary, products
+        # of two 2dp columns can — exactly the q9 failure shape
+        units = [rnd.randint(1, 10**9) for _ in range(20)]  # 1e-4 units
+        total = sum(units)
+        units[-1] += (50 - total % 100) % 100  # park EXACT sum on x.xx50
+        vals = [u / 10000.0 for u in units]
+        a = round(sum(vals), 2)
+        b = round(sum(sorted(vals)), 2)
+        c = round(sum(sorted(vals, reverse=True)), 2)
+        if len({a, b, c}) > 1:
+            witness = (units, a, b, c)
+            break
+    assert witness is not None, (
+        "expected at least one order-dependent rounding among 3000 "
+        "half-cent-boundary cases"
+    )
+
+
+def test_spark_duckdb_agree_on_boundary_sums(spark):
+    """The registry's exact helper expressions vs DuckDB's textual
+    counterparts, over values engineered to land on half-cent
+    boundaries — bit-for-bit equal, any partitioning."""
+    rnd = random.Random(42)
+    rows = []
+    for g in range(40):
+        units = [rnd.randint(1, 10**8) for _ in range(25)]  # 1e-4 units
+        # park the exact group sum on the x.xx50 half-cent boundary
+        units[-1] += (50 - sum(units) % 100) % 100
+        for u in units:
+            rows.append((g, u / 10000.0))
+    sdf = spark.createDataFrame(rows, "g INT, v DOUBLE").repartition(7)
+    got = {
+        r["g"]: (r["s"], r["a"])
+        for r in sdf.groupBy("g")
+        .agg(
+            money_sum("v").alias("s"),
+            floor_quantize(
+                F.sum(dec("v")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("a"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        g: (s, a)
+        for g, s, a in con.execute(
+            """
+            SELECT g,
+                   CAST(round(sum(CAST(v AS DECIMAL(18,4))), 2) AS DOUBLE),
+                   floor(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*) * 10000.0) / 10000.0
+            FROM t GROUP BY g
+            """
+        ).fetchall()
+    }
+    assert got == want  # exact float equality — the whole point
+
+
+def test_partition_order_invariance(spark):
+    """Same data, three different partitionings -> identical
+    money_sum outputs (double sums would differ in ulps here)."""
+    rnd = random.Random(9)
+    rows = [(i % 5, rnd.randint(1, 10**6) / 100.0) for i in range(4000)]
+    base = spark.createDataFrame(rows, "g INT, v DOUBLE")
+    outs = []
+    for parts in (1, 3, 17):
+        df = base.repartition(parts)
+        outs.append(
+            sorted(
+                (r["g"], r["s"])
+                for r in df.groupBy("g").agg(money_sum("v").alias("s")).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+@pytest.mark.parametrize("scale", [0, 2, 4])
+def test_floor_quantize_matches_duckdb_floor(spark, scale):
+    """floor(x*10^n)/10^n on the same double is the same double on
+    both engines (each step is one IEEE op)."""
+    xs = [0.005, 1.115, 2.675, 1964425.435, 0.1 + 0.2, 1 / 3, 7 / 11]
+    sdf = spark.createDataFrame([(x,) for x in xs], "x DOUBLE")
+    got = [
+        r["q"]
+        for r in sdf.select(floor_quantize(F.col("x"), scale).alias("q"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    mul = 10.0**scale
+    want = [
+        con.execute(f"SELECT floor(CAST(? AS DOUBLE) * {mul}) / {mul}", [x])
+        .fetchone()[0]
+        for x in xs
+    ]
+    assert got == want

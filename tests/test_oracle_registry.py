@@ -13,11 +13,13 @@ digits, booleans as 0/1, NULL sentinel).
 A registered-but-unlisted oracle entry can therefore never ship
 unadjudicated again: registration alone puts it under this gate.
 
-Two entries are hash-exempt at THIS scale factor only (asserted on
+One entry is hash-exempt at THIS scale factor only (asserted on
 schema + row count here, full-hash green in the driver gate and
-scripts/selfcheck.py at sf0.01): their rounded float aggregates sit
+scripts/selfcheck.py at sf0.01): its rounded float aggregate sits
 exactly on a rounding boundary at sf0.001's tiny per-group row counts,
 where cross-engine summation order flips the last digit.
+(rollup_day_type_panel left this list in r9: its sum states now merge
+in exact decimal — moneydec — so the hash is scale-independent.)
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ import pytest
 from clickhouse_observability_spark.registry import oracle_sql, queries
 
 # float-ulp-at-tiny-sf exemptions — see module docstring
-_HASH_EXEMPT_AT_SF0001 = {"rollup_day_type_panel", "agg_error_anomalies"}
+_HASH_EXEMPT_AT_SF0001 = {"agg_error_anomalies"}
 
 _TABLES = ("region nation customer supplier part orders lineitem "
            "events documents embeddings").split()
