@@ -184,7 +184,7 @@ def _maybe_skip_prune(table, base, exprs, value):
     for idx in SkipIndex.load_all(table.path):
         if (idx.meta["expr"].replace(" ", "").lower() in want
                 and idx.meta["type"] in ("set", "minmax")
-                and idx.meta["files"]):
+                and idx.is_materialized()):
             df, _ = read_pruned(table.spark, table.path,
                                 idx.meta["name"], value)
             return df

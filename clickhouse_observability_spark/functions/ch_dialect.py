@@ -3398,7 +3398,7 @@ def _rewrite_system_tables(spark, sql, logs, query_log, tables=None):
                 "system.data_skipping_indices needs the logs table")
         rows = [("logs", i.meta["name"], i.meta["type"],
                  i.meta["expr"], int(i.meta["granularity"]),
-                 len(i.meta["files"]))
+                 int(i.meta.get("n_files", 0)))
                 for i in SkipIndex.load_all(logs.path)]
         local_df(
             spark, rows,
@@ -3513,7 +3513,7 @@ def _tokenbf_prune_logs(spark, sql, logs):
         for idx in SkipIndex.load_all(logs.path):
             if (idx.meta["type"] in want_types
                     and idx.meta["expr"].strip() == expr_name
-                    and idx.meta["files"]):
+                    and idx.is_materialized()):
                 df, _ = read_pruned(spark, logs.path,
                                     idx.meta["name"], value)
                 return df
@@ -3564,10 +3564,10 @@ def _tokenbf_prune_logs(spark, sql, logs):
                     if (idx.meta["type"] in ("set", "minmax")
                             and idx.meta["expr"].strip()
                             == c[0].lower()
-                            and idx.meta["files"]):
+                            and idx.is_materialized()):
                         keep, skip = set(), None
                         for lit_tok in lits:
-                            k, s = idx.prune(_string_value(lit_tok))
+                            k, s = idx.prune(spark, _string_value(lit_tok))
                             keep |= k
                             skip = s if skip is None else (skip & s)
                         df, _ = SIX._assemble_pruned(

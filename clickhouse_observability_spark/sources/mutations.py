@@ -193,7 +193,7 @@ def apply_mutation(
         affected = {f"{PARTITION_COLUMN}={m}" for m in months}
         for ix in SkipIndex.load_all(path):
             if any(rel.split(os.sep, 1)[0] in affected
-                   for rel in ix.meta["files"]):
+                   for rel in ix.indexed_files(spark)):
                 if refresh_indexes:
                     ix.materialize(spark, incremental=True)
                 else:

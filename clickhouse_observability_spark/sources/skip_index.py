@@ -1,43 +1,72 @@
-"""ClickHouse data-skipping indexes as per-file sidecar summaries.
+"""ClickHouse data-skipping indexes as a PARQUET-SHARDED sidecar.
 
 Reference context: the reference's store is ClickHouse (README.md),
 whose secondary "skip" indexes (minmax / set(N) / bloom_filter /
 tokenbf_v1) let a scan skip GRANULES on non-sort-key predicates —
 the standard answer to "my WHERE column isn't in ORDER BY". The
-Spark-native analog prunes FILES: each index keeps one summary per
-at-rest parquet file under `_skip_idx/<name>.json`; a lookup maps an
-equality / token predicate to the set of files that might match and
-the read scans only those. Parquet row-group footer stats already
-cover CH's intra-file (granule) tier for the SORT-KEY columns
+Spark-native analog prunes FILES: each index keeps one summary row
+per at-rest parquet file, a lookup maps an equality / token / range
+predicate to the set of files that might match, and the read scans
+only those. Parquet row-group footer stats already cover CH's
+intra-file (granule) tier for the SORT-KEY columns
 (sources/parquet.py); this sidecar covers the inter-file tier for
 everything else — at 100 TB, file-level skipping is the lever that
-matters (a selective set/bloom index turns a full-table scan into a
-handful of file reads, exactly CH's cost model).
+matters.
+
+Storage layout (r9 — replaces the r8 single-JSON sidecar, which was
+a driver-memory O(total-files) load per probe and an O(total-files)
+REWRITE per streaming micro-batch):
+
+    <table>/_skip_idx/<name>.json          # metadata ONLY (no summaries)
+    <table>/_skip_idx/<name>_shards/*.parquet   # one row per indexed file
+
+- ``MATERIALIZE INDEX`` builds summaries in ONE Spark job and WRITES
+  them with Spark (``mode("append")``) — summaries never pass
+  through the driver.
+- Incremental materialize (streaming maintenance, post-mutation
+  refresh) APPENDS a delta shard covering only never-seen files:
+  O(new files) bytes written per micro-batch, prior shards untouched.
+  A later summary for the same file supersedes an earlier one via the
+  monotone ``seq`` column (CH parts: newest part index wins).
+- Probes are adaptive: a sidecar under ``FAST_PATH_MAX_BYTES`` is
+  read driver-side with pyarrow (zero Spark jobs on the request
+  path — the common observability-table case); a larger one probes
+  IN SPARK (filter over the shard table, collect only file-path
+  verdicts — O(#files) strings, the same order as the live-file
+  listing the read needs anyway). Correctness is identical on both
+  paths; tests pin them against each other.
+- Dead entries (files replaced by mutations/compaction) are ignored
+  at probe time (live-set intersection) and dropped physically by a
+  FULL materialize, which rewrites the shard set from scratch.
 
 Index types and their CH contracts:
 - ``minmax``      — [min, max] of the expression per file; prunes
-                    when the probe value falls outside.
+                    when the probe value falls outside. Stored as
+                    canonical strings, compared in the probe's
+                    domain (numeric probes cast, string probes
+                    compare directly).
 - ``set(N)``      — up to N distinct values per file; a file that
                     exceeds N stores an overflow marker and is never
                     pruned (CH: the granule index degrades to
                     "might contain anything").
-- ``bloom_filter``— m-bit / k-hash Bloom filter over VALUES; no
-                    false negatives, so pruning is always sound.
+- ``bloom_filter``— m-bit / k-hash Bloom filter over VALUES, stored
+                    as a dense array<long> of m/64 words; no false
+                    negatives, so pruning is always sound.
 - ``tokenbf_v1``  — the Bloom filter over the TOKENS of a string
                     expression (CH's hasToken / LIKE '%tok%' index).
 
 Freshness contract (CH parity): files written AFTER materialize are
 unknown to the sidecar and are always scanned (CH parts without a
 built index aren't skipped); files that no longer exist are ignored.
-``MATERIALIZE INDEX`` rebuilds the summaries in ONE Spark job
-(groupBy input_file_name, map-side combine). Divergence, documented:
-ClickHouse consults skip indexes automatically inside its scan;
-here `read_pruned` / the structured query helpers apply them, and
-arbitrary SQL reads stay full-scan + footer stats.
+Divergence, documented: ClickHouse consults skip indexes
+automatically inside its scan; here `read_pruned` / the structured
+query helpers apply them, and arbitrary SQL reads stay full-scan +
+footer stats.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 from typing import Any
@@ -55,9 +84,25 @@ _DEFAULT_M_BITS = 1 << 16
 _DEFAULT_K = 4
 _MAX_M_BITS = 1 << 24  # cap a hostile size_bytes before it allocates
 
+# sidecars under this many bytes probe driver-side (pyarrow, zero
+# Spark jobs on the request path); larger ones probe in Spark.
+# Tests set it to 0 to force the distributed path on small data.
+FAST_PATH_MAX_BYTES = 8 << 20
+
+# unified shard schema across index types (unused columns NULL)
+_SHARD_DDL = ("f STRING, seq BIGINT, lo STRING, hi STRING, "
+              "vals ARRAY<STRING>, overflow BOOLEAN, words ARRAY<BIGINT>")
+
+_NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "float",
+                  "double", "decimal")
+
 
 def _index_path(table_path: str, name: str) -> str:
     return os.path.join(table_path, _IDX_DIR, f"{name}.json")
+
+
+def _shards_dir(table_path: str, name: str) -> str:
+    return os.path.join(table_path, _IDX_DIR, f"{name}_shards")
 
 
 def _tokens_expr(value_expr: str) -> str:
@@ -68,6 +113,10 @@ def _tokens_expr(value_expr: str) -> str:
     presence) and hasTokenCaseInsensitive."""
     return (f"filter(split(lower({value_expr}), '[^a-z0-9_]+'), "
             "x -> x != '')")
+
+
+def _sql_str(s: str) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
 
 
 class SkipIndex:
@@ -99,7 +148,8 @@ class SkipIndex:
             "type": type_,
             "granularity": int(granularity),
             "param": param,
-            "files": {},  # relpath -> summary; empty until MATERIALIZE
+            "next_seq": 0,
+            "n_files": 0,  # live indexed files after last materialize
         }
         if type_ == "set":
             meta["param"] = int(param or 100)
@@ -144,7 +194,12 @@ class SkipIndex:
         os.replace(tmp, p)
 
     def drop(self) -> None:
+        import shutil
+
         os.remove(_index_path(self.table_path, self.meta["name"]))
+        sd = _shards_dir(self.table_path, self.meta["name"])
+        if os.path.isdir(sd):
+            shutil.rmtree(sd)
         d = os.path.join(self.table_path, _IDX_DIR)
         if not os.listdir(d):
             os.rmdir(d)
@@ -152,8 +207,65 @@ class SkipIndex:
     def clear(self) -> None:
         """`CLEAR INDEX`: drop the built summaries, keep the
         definition (CH removes the index files from parts)."""
-        self.meta["files"] = {}
+        import shutil
+
+        sd = _shards_dir(self.table_path, self.meta["name"])
+        if os.path.isdir(sd):
+            shutil.rmtree(sd)
+        self.meta["n_files"] = 0
         self._save()
+
+    # -- sidecar access ------------------------------------------------
+    def shard_files(self) -> list[str]:
+        sd = _shards_dir(self.table_path, self.meta["name"])
+        return sorted(_glob.glob(os.path.join(sd, "*.parquet")))
+
+    def sidecar_bytes(self) -> int:
+        return sum(os.path.getsize(f) for f in self.shard_files())
+
+    def is_materialized(self) -> bool:
+        return bool(self.shard_files())
+
+    def _use_fast_path(self) -> bool:
+        return self.sidecar_bytes() <= FAST_PATH_MAX_BYTES
+
+    def _shards_df(self, spark: SparkSession) -> DataFrame | None:
+        files = self.shard_files()
+        if not files:
+            return None
+        return spark.read.schema(_SHARD_DDL).parquet(*files)
+
+    def _latest_rows(self) -> dict[str, dict]:
+        """Driver fast path: newest summary row per file (pyarrow —
+        zero Spark jobs). Only called when the sidecar is under
+        FAST_PATH_MAX_BYTES."""
+        import pyarrow.parquet as pq
+
+        best: dict[str, dict] = {}
+        for sf in self.shard_files():
+            for row in pq.read_table(sf).to_pylist():
+                cur = best.get(row["f"])
+                if cur is None or row["seq"] >= cur["seq"]:
+                    best[row["f"]] = row
+        return best
+
+    def indexed_files(self, spark: SparkSession | None = None) -> set[str]:
+        """Table-relative paths the sidecar has summaries for (any
+        seq). Driver-side under the fast-path threshold, else one
+        Spark distinct over the shard table."""
+        if self._use_fast_path() or spark is None:
+            import pyarrow.parquet as pq
+
+            out: set[str] = set()
+            for sf in self.shard_files():
+                out |= set(
+                    pq.read_table(sf, columns=["f"]).column("f").to_pylist()
+                )
+            return out
+        df = self._shards_df(spark)
+        if df is None:
+            return set()
+        return {r.f for r in df.select("f").distinct().collect()}
 
     # -- build ---------------------------------------------------------
     def materialize(self, spark: SparkSession,
@@ -161,18 +273,17 @@ class SkipIndex:
         """`MATERIALIZE INDEX`: ONE job computes per-file summaries
         — the scan reads only the indexed expression's column(s)
         (column pruning reaches the parquet reader), groups by
-        input_file_name with map-side combine, and collects
-        O(#files) rows (bloom types: #files x m/64 words).
+        input_file_name with map-side combine — and a second writes
+        them as a parquet shard. Summaries NEVER pass through the
+        driver (no collect; the r8 JSON sidecar did).
 
         ``incremental=True`` summarizes ONLY files the sidecar has
-        never seen — CH's model, where parts built after the index
-        definition get their index at write/merge time: a steady
-        ingest keeps the index fresh at O(new files) per call, never
-        O(table). Dead entries (files replaced by mutations or
-        compaction) are dropped either way — the read path ignores
-        them, but pruning them keeps the sidecar O(live files)."""
-        import glob as _glob
-
+        never seen and APPENDS a delta shard — CH's model, where
+        parts built after the index definition get their index at
+        write/merge time: a steady ingest keeps the index fresh at
+        O(new files) bytes per call, prior shards byte-untouched.
+        A full materialize rewrites the shard set (dropping dead
+        entries), which doubles as sidecar compaction."""
         from clickhouse_observability_spark.schema import (
             LOGS_SCHEMA,
             PARTITION_COLUMN,
@@ -180,22 +291,22 @@ class SkipIndex:
         from clickhouse_observability_spark.sources.writer import LogsTable
 
         t = LogsTable(spark, self.table_path)
-        typ = self.meta["type"]
         root = os.path.abspath(self.table_path)
         live = {
             os.path.relpath(f, root)
             for f in _glob.glob(os.path.join(
                 root, f"{PARTITION_COLUMN}=*", "*.parquet"))
         }
-        prior = {k: v for k, v in self.meta["files"].items()
-                 if k in live}
         if incremental:
-            todo = sorted(live - set(prior))
+            prior = self.indexed_files(spark)
+            todo = sorted(live - prior)
+            n_live_indexed = len(prior & live)
             if not todo:
-                self.meta["files"] = prior
+                self.meta["n_files"] = n_live_indexed
                 self._save()
                 return {"op": "materialize_index",
-                        "name": self.meta["name"], "files": len(prior)}
+                        "name": self.meta["name"],
+                        "files": n_live_indexed}
             from pyspark.sql import types as T
 
             full = T.StructType(
@@ -207,35 +318,74 @@ class SkipIndex:
                 spark.read.option("basePath", root).schema(full)
                 .parquet(*[os.path.join(root, f) for f in todo])
             )
+            mode = "append"
+            n_after = n_live_indexed + len(todo)
         else:
-            prior = {}
             scan = t.read()
+            mode = "overwrite"
+            n_after = len(live)
+        summaries = self._summarize(scan)
+        sd = _shards_dir(self.table_path, self.meta["name"])
+        (summaries.write.mode(mode).parquet(sd))
+        self.meta["next_seq"] = int(self.meta.get("next_seq", 0)) + 1
+        self.meta["n_files"] = n_after
+        self._save()
+        return {"op": "materialize_index", "name": self.meta["name"],
+                "files": n_after}
+
+    def _summarize(self, scan: DataFrame) -> DataFrame:
+        """Per-file summary rows in the unified shard schema. The
+        table layout is fixed (<PARTITION>=<v>/<file>.parquet), so
+        the table-relative path is the last two URI components —
+        computed IN SPARK, never on the driver."""
+        typ = self.meta["type"]
+        seq = int(self.meta.get("next_seq", 0))
         base = scan.select(
             F.expr(self.meta["expr"]).alias("v"),
-            F.input_file_name().alias("f"),
+            F.expr(
+                "concat(element_at(split(input_file_name(), '/'), -2), "
+                "'/', element_at(split(input_file_name(), '/'), -1))"
+            ).alias("f"),
         )
-        files: dict[str, Any] = {}
+        null_s = F.lit(None).cast("string")
+        null_a = F.lit(None).cast("array<string>")
+        null_b = F.lit(None).cast("boolean")
+        null_w = F.lit(None).cast("array<bigint>")
         if typ == "minmax":
-            for r in base.groupBy("f").agg(
-                    F.min("v").alias("lo"), F.max("v").alias("hi")
-            ).collect():
-                files[self._rel(r.f)] = [_plain(r.lo), _plain(r.hi)]
+            # min/max in the expression's NATIVE type (numeric order,
+            # not lexicographic), then canonicalized to string by
+            # Spark's cast — probes re-cast into the probe's domain
+            out = base.groupBy("f").agg(
+                F.min("v").cast("string").alias("lo"),
+                F.max("v").cast("string").alias("hi"),
+            ).select(
+                "f", F.lit(seq).alias("seq"), "lo", "hi",
+                null_a.alias("vals"), null_b.alias("overflow"),
+                null_w.alias("words"),
+            )
         elif typ == "set":
             n = int(self.meta["param"])
-            for r in base.groupBy("f").agg(
-                F.slice(F.sort_array(F.collect_set("v")), 1, n + 1)
-                .alias("vals")
-            ).collect():
-                vals = r.vals or []
+            agg = base.groupBy("f").agg(
+                F.slice(
+                    F.sort_array(F.collect_set(F.col("v").cast("string"))),
+                    1, n + 1,
+                ).alias("raw")
+            )
+            out = agg.select(
+                "f", F.lit(seq).alias("seq"),
+                null_s.alias("lo"), null_s.alias("hi"),
                 # overflow marker: the file exceeds N distinct values
                 # and can never be pruned (CH set(N) contract)
-                files[self._rel(r.f)] = (
-                    None if len(vals) > n else [_plain(x) for x in vals])
+                F.when(F.size("raw") > n, null_a)
+                .otherwise(F.col("raw")).alias("vals"),
+                (F.size("raw") > n).alias("overflow"),
+                null_w.alias("words"),
+            )
         else:
             m, k = self.meta["param"]
             vex = ("explode(" + _tokens_expr("v") + ")"
                    if typ == "tokenbf_v1" else "v")
-            pos = (
+            words = (
                 base.select("f", F.expr(vex).alias("tok"))
                 .select("f", F.explode(F.expr(
                     f"transform(sequence(0, {k - 1}), "
@@ -247,27 +397,29 @@ class SkipIndex:
                            "CAST(pmod(p, 64) AS INT))").alias("b"),
                 )
                 .groupBy("f", "w").agg(F.expr("bit_or(b)").alias("bits"))
-                .collect()
+                .groupBy("f").agg(
+                    F.map_from_arrays(
+                        F.collect_list("w"), F.collect_list("bits")
+                    ).alias("mw"))
+                .select(
+                    "f", F.lit(seq).alias("seq"),
+                    null_s.alias("lo"), null_s.alias("hi"),
+                    null_a.alias("vals"), null_b.alias("overflow"),
+                    F.expr(
+                        f"transform(sequence(0, {m // 64 - 1}), "
+                        "i -> coalesce(element_at(mw, i), "
+                        "CAST(0 AS BIGINT)))"
+                    ).alias("words"),
+                )
             )
-            for r in pos:
-                files.setdefault(self._rel(r.f), {})[str(r.w)] = r.bits
-        self.meta["files"] = {**prior, **files}
-        self._save()
-        return {"op": "materialize_index", "name": self.meta["name"],
-                "files": len(self.meta["files"])}
-
-    def _rel(self, uri: str) -> str:
-        # input_file_name returns a file: URI; store table-relative
-        p = uri.split("://", 1)[-1]
-        root = os.path.abspath(self.table_path)
-        ap = os.path.abspath(p)
-        return os.path.relpath(ap, root)
+            out = words
+        return out
 
     # -- lookup --------------------------------------------------------
     def might_contain(self, summary, value) -> bool:
-        """minmax / set summaries only — the Bloom types probe
-        through `read_pruned`, which computes the positions with
-        Spark's own xxhash64 (zero reimplementation drift)."""
+        """Driver-side verdict for one minmax/set summary row (the
+        Bloom types probe with Spark's own xxhash64 positions). A
+        None summary (set overflow / unknown) always keeps."""
         typ = self.meta["type"]
         if summary is None:  # set overflow / missing summary
             return True
@@ -275,36 +427,147 @@ class SkipIndex:
             lo, hi = summary
             if lo is None or hi is None:
                 return True
+            lo, hi = _from_canon(lo, value), _from_canon(hi, value)
+            if lo is None or hi is None:
+                return True  # unparseable in probe domain: keep
             return lo <= value <= hi
         if typ == "set":
-            return value in summary
+            return _canon(value) in summary
         raise ValueError(
-            f"{typ} indexes probe via read_pruned (Spark-side hash)")
+            f"{typ} indexes probe Bloom positions (Spark-side hash)")
 
-    def prune(self, value) -> "tuple[set, set]":
-        """(keep, skipped) — table-relative paths of indexed files.
+    def _verdicts(self, spark: SparkSession, pred_sql: str,
+                  pred_py) -> tuple[set, set]:
+        """(keep, skipped) table-relative paths over the LATEST
+        summary per file. `pred_sql` filters the shard frame in
+        Spark (big sidecars); `pred_py(row) -> bool` is the
+        equivalent driver-side test (small sidecars). Both paths are
+        pinned equal in tests."""
+        if self._use_fast_path():
+            keep, skipped = set(), set()
+            for f, row in self._latest_rows().items():
+                (keep if pred_py(row) else skipped).add(f)
+            return keep, skipped
+        df = self._shards_df(spark)
+        if df is None:
+            return set(), set()
+        latest = (
+            df.groupBy("f").agg(
+                F.max_by(
+                    F.struct("lo", "hi", "vals", "overflow", "words"),
+                    "seq",
+                ).alias("s"))
+            .select("f", "s.*")
+        )
+        rows = latest.select(
+            "f", F.expr(pred_sql).alias("keep")).collect()
+        keep = {r.f for r in rows if r.keep}
+        return keep, {r.f for r in rows if not r.keep}
+
+    def prune(self, spark: SparkSession, value) -> "tuple[set, set]":
+        """(keep, skipped) for an equality/containment probe.
         Unindexed files are the CALLER's to include (conservative);
         dead sidecar entries are ignored by the read path anyway."""
-        keep, skipped = set(), set()
-        for rel, summary in self.meta["files"].items():
-            if self.might_contain(summary, value):
-                keep.add(rel)
+        typ = self.meta["type"]
+        if typ == "minmax":
+            return self._prune_minmax_range(spark, value, value)
+        if typ == "set":
+            # non-string probes canonicalize through Spark's own
+            # CAST(x AS STRING) (one 1-row local job) so the probe
+            # string can never drift from the build's cast
+            if isinstance(value, str):
+                probe = value
             else:
-                skipped.add(rel)
-        return keep, skipped
+                probe = spark.range(1).select(
+                    F.lit(value).cast("string").alias("c")
+                ).collect()[0].c
+            sql = ("overflow OR vals IS NULL OR "
+                   f"array_contains(vals, {_sql_str(probe)})")
+            return self._verdicts(
+                spark, sql,
+                lambda r: (r["overflow"] or r["vals"] is None
+                           or probe in r["vals"]))
+        # bloom types: positions via Spark's own xxhash64 (zero
+        # reimplementation drift), membership tested on the words
+        m, k = self.meta["param"]
+        probe = (str(value).lower()
+                 if typ == "tokenbf_v1" else str(value))
+        pos = _probe_positions(spark, probe, k, m)
+        sql = " AND ".join(
+            f"(element_at(words, {p // 64 + 1}) & "
+            f"shiftleft(CAST(1 AS BIGINT), {p % 64})) != 0"
+            for p in pos
+        )
+        sql = f"words IS NULL OR ({sql})"
+
+        def py(r):
+            w = r["words"]
+            if w is None:
+                return True
+            return all((w[p // 64] >> (p % 64)) & 1 for p in pos)
+
+        return self._verdicts(spark, sql, py)
+
+    def _prune_minmax_range(self, spark: SparkSession, lo, hi
+                            ) -> tuple[set, set]:
+        """Overlap test [file.lo, file.hi] ∩ [lo, hi] ≠ ∅ in the
+        probe's domain (numeric probes cast the canonical strings
+        back to numbers; string probes compare directly)."""
+        if isinstance(lo, bool) or isinstance(hi, bool):
+            raise ValueError("boolean minmax probes are unsupported")
+        if isinstance(lo, (int, float)):
+            # DOUBLE domain for every numeric probe (an int probe on
+            # a double-typed index must not TRY_CAST('5.3' AS BIGINT)
+            # to NULL); coalesce(..., true) keeps any file whose
+            # bounds don't parse — unparseable is "can't rule out"
+            sql = ("lo IS NULL OR hi IS NULL OR "
+                   "coalesce(TRY_CAST(lo AS DOUBLE) <= "
+                   f"CAST({hi!r} AS DOUBLE) AND "
+                   "TRY_CAST(hi AS DOUBLE) >= "
+                   f"CAST({lo!r} AS DOUBLE), true)")
+
+            def py(r):
+                flo, fhi = _num(r["lo"]), _num(r["hi"])
+                if flo is None or fhi is None:
+                    return True
+                return flo <= hi and fhi >= lo
+        else:
+            sql = (f"lo IS NULL OR hi IS NULL OR "
+                   f"(lo <= {_sql_str(hi)} AND hi >= {_sql_str(lo)})")
+
+            def py(r):
+                if r["lo"] is None or r["hi"] is None:
+                    return True
+                return r["lo"] <= str(hi) and r["hi"] >= str(lo)
+
+        return self._verdicts(spark, sql, py)
 
 
-def _plain(v):
-    """JSON-safe summary values; timestamps refuse (the sort key is
-    footer-stat territory, not a skip-index use case)."""
-    import datetime
+def _canon(v) -> str:
+    """Python-side canonical string form matching Spark's
+    CAST(x AS STRING) for the value domains skip indexes serve
+    (strings, integers; floats documented best-effort)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        raise ValueError(
-            "skip indexes on timestamp expressions are redundant: ts "
-            "is the sort key and parquet footer min/max already "
-            "prunes it (sources/parquet.py)")
-    return v
+
+def _num(s):
+    if s is None:
+        return None
+    try:
+        f = float(s)
+    except (TypeError, ValueError):
+        return None
+    return f
+
+
+def _from_canon(s, probe):
+    """Parse a canonical summary string back into the probe's
+    comparison domain."""
+    if isinstance(probe, (int, float)) and not isinstance(probe, bool):
+        return _num(s)
+    return s
 
 
 def _probe_positions(spark: SparkSession, s: str, k: int, m: int
@@ -339,14 +602,7 @@ def read_pruned_range(
         raise ValueError(
             f"range probes need a minmax index; {index_name!r} is "
             f"{idx.meta['type']!r}")
-    keep_rel, skip_rel = set(), set()
-    for rel, summary in idx.meta["files"].items():
-        if summary is None or summary[0] is None or summary[1] is None:
-            keep_rel.add(rel)
-        elif summary[0] <= hi and summary[1] >= lo:
-            keep_rel.add(rel)
-        else:
-            skip_rel.add(rel)
+    keep_rel, skip_rel = idx._prune_minmax_range(spark, lo, hi)
     return _assemble_pruned(spark, table_path, keep_rel, skip_rel)
 
 
@@ -366,27 +622,7 @@ def read_pruned(
     idx = SkipIndex.load(table_path, index_name)
     if idx is None:
         raise ValueError(f"no skip index {index_name!r}")
-    if idx.meta["type"] in ("bloom_filter", "tokenbf_v1"):
-        # compute probe positions with Spark's own xxhash64 (see
-        # _probe_positions) and test membership driver-side. tokenbf
-        # stores LOWERCASED tokens (hasToken tokenizer): lowercase
-        # the probe so a case-sensitive hasToken('Zeta') still finds
-        # the files whose raw tokens would match it.
-        m, k = idx.meta["param"]
-        probe = (str(value).lower()
-                 if idx.meta["type"] == "tokenbf_v1" else str(value))
-        pos = _probe_positions(spark, probe, k, m)
-        keep_rel, skip_rel = set(), set()
-        for rel, summary in idx.meta["files"].items():
-            ok = True
-            for p in pos:
-                w = (summary or {}).get(str(p // 64))
-                if w is None or not (w >> (p % 64)) & 1:
-                    ok = False
-                    break
-            (keep_rel if ok else skip_rel).add(rel)
-    else:
-        keep_rel, skip_rel = idx.prune(value)
+    keep_rel, skip_rel = idx.prune(spark, value)
     return _assemble_pruned(spark, table_path, keep_rel, skip_rel)
 
 
@@ -395,8 +631,6 @@ def _assemble_pruned(spark, table_path, keep_rel, skip_rel):
     verdicts with the LIVE file set (unindexed files always scan,
     dead entries vanish), then read the surviving files with the
     table's logical schema."""
-    import glob as _glob
-
     from clickhouse_observability_spark.schema import PARTITION_COLUMN
     from clickhouse_observability_spark.sources.writer import LogsTable
 

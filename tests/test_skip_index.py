@@ -51,7 +51,7 @@ def test_set_index_prunes_files(spark, logs):
     ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
            logs=logs)
     idx = SkipIndex.load(logs.path, "lvl")
-    assert idx.meta["files"] == {}  # ADD is metadata-only (CH parity)
+    assert not idx.is_materialized()  # ADD is metadata-only (CH parity)
     # unmaterialized: conservative — everything scans
     df, st = read_pruned(spark, logs.path, "lvl", "ERROR")
     assert st["files_skipped"] == 0
@@ -100,8 +100,11 @@ def test_set_overflow_never_prunes(spark, logs):
     # the CONTRACT is layout-independent: an overflow marker (None)
     # always keeps the file, and a probe never loses rows
     assert idx.might_contain(None, "anything")
-    per_file = idx.meta["files"]
-    assert all(s is None or len(s) <= 1 for s in per_file.values())
+    per_file = idx._latest_rows()
+    assert all(
+        r["overflow"] or (r["vals"] is not None and len(r["vals"]) <= 1)
+        for r in per_file.values()
+    )
     df, st = read_pruned(spark, logs.path, "m", "alpha beta")
     assert st["files_read"] >= 1
     assert "alpha beta" in {r.msg for r in df.collect()}
@@ -145,7 +148,7 @@ def test_drop_clear_and_system_table(spark, logs):
     assert [(r.name, r.type) for r in rows] == [("lvl", "set")]
     assert rows[0].files_indexed >= 3
     ch_sql(spark, "ALTER TABLE logs CLEAR INDEX lvl", logs=logs)
-    assert SkipIndex.load(logs.path, "lvl").meta["files"] == {}
+    assert not SkipIndex.load(logs.path, "lvl").is_materialized()
     ch_sql(spark, "ALTER TABLE logs DROP INDEX lvl", logs=logs)
     assert SkipIndex.load(logs.path, "lvl") is None
     assert ch_sql(spark, "ALTER TABLE logs DROP INDEX IF EXISTS lvl",
@@ -218,26 +221,92 @@ def test_api_level_filter_uses_index_transparently(spark, tmp_path):
 
 
 def test_incremental_materialize_covers_only_new_files(spark, logs):
+    """The r9 O(new-files) maintenance contract: an incremental
+    materialize APPENDS one delta shard covering only never-seen
+    files — every prior shard file stays byte-identical on disk (the
+    r8 sidecar rewrote the whole summary set per call)."""
     ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
            logs=logs)
     idx = SkipIndex.load(logs.path, "lvl")
     idx.materialize(spark)
-    before = dict(idx.meta["files"])
+    before_files = idx.indexed_files(spark)
+    before_shards = {
+        f: (os.path.getsize(f), os.path.getmtime(f))
+        for f in idx.shard_files()
+    }
+    before_rows = dict(idx._latest_rows())
     ch_sql(spark, (
         "INSERT INTO logs (ts, service, level, msg) VALUES "
         "('2025-08-01 10:00:00', 'new', 'FATAL', 'fresh row')"),
         logs=logs)
     res = idx.materialize(spark, incremental=True)
-    # prior summaries byte-identical (never recomputed), new file added
-    assert res["files"] == len(before) + 1
-    for k, v in before.items():
-        assert idx.meta["files"][k] == v
+    assert res["files"] == len(before_files) + 1
+    # prior shard files byte-untouched; exactly a delta was appended
+    after_shards = {
+        f: (os.path.getsize(f), os.path.getmtime(f))
+        for f in idx.shard_files()
+    }
+    for f, sig in before_shards.items():
+        assert after_shards[f] == sig, "prior shard rewritten"
+    new_shards = set(after_shards) - set(before_shards)
+    assert new_shards, "no delta shard appended"
+    # O(new files): the delta holds exactly ONE summary row (the one
+    # new file), not a re-summarization of the table (fixed parquet
+    # framing overhead makes byte counts meaningless at this scale)
+    import pyarrow.parquet as pq
+
+    delta_rows = sum(pq.read_table(f).num_rows for f in new_shards)
+    assert delta_rows == 1
+    # prior summaries logically unchanged (never recomputed)
+    after_rows = idx._latest_rows()
+    for k, v in before_rows.items():
+        assert after_rows[k]["vals"] == v["vals"]
+        assert after_rows[k]["overflow"] == v["overflow"]
     df, st = read_pruned(spark, logs.path, "lvl", "FATAL")
     assert st["files_unindexed"] == 0 and st["files_skipped"] >= 3
     assert {r.msg for r in df.collect()} == {"fresh row"}
-    # idempotent when nothing is new
+    # idempotent when nothing is new: no new shard, same count
+    n_shards = len(idx.shard_files())
     assert idx.materialize(spark, incremental=True)["files"] == \
-        len(before) + 1
+        len(before_files) + 1
+    assert len(idx.shard_files()) == n_shards
+
+
+def test_spark_probe_path_matches_driver_fast_path(spark, logs,
+                                                   monkeypatch):
+    """The adaptive probe's two implementations (driver pyarrow under
+    FAST_PATH_MAX_BYTES, distributed Spark filter above it) must give
+    identical keep/skip verdicts for every index type."""
+    from clickhouse_observability_spark.sources import skip_index as SIX
+
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
+           logs=logs)
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX svc service TYPE minmax",
+           logs=logs)
+    ch_sql(spark, (
+        "ALTER TABLE logs ADD INDEX toks msg TYPE "
+        "tokenbf_v1(8192, 4, 0)"), logs=logs)
+    for nm in ("lvl", "svc", "toks"):
+        ch_sql(spark, f"ALTER TABLE logs MATERIALIZE INDEX {nm}",
+               logs=logs)
+    probes = [("lvl", "ERROR"), ("lvl", "ABSENT"), ("svc", "web"),
+              ("toks", "zeta"), ("toks", "beta"), ("toks", "nosuch")]
+    fast = {}
+    for nm, v in probes:
+        idx = SIX.SkipIndex.load(logs.path, nm)
+        assert idx._use_fast_path()
+        fast[(nm, v)] = idx.prune(spark, v)
+    monkeypatch.setattr(SIX, "FAST_PATH_MAX_BYTES", 0)
+    for nm, v in probes:
+        idx = SIX.SkipIndex.load(logs.path, nm)
+        assert not idx._use_fast_path()
+        assert idx.prune(spark, v) == fast[(nm, v)], (nm, v)
+    # range probe parity too
+    idx = SIX.SkipIndex.load(logs.path, "svc")
+    spark_rng = idx._prune_minmax_range(spark, "da", "dc")
+    monkeypatch.setattr(SIX, "FAST_PATH_MAX_BYTES", 8 << 20)
+    assert SIX.SkipIndex.load(logs.path, "svc")._prune_minmax_range(
+        spark, "da", "dc") == spark_rng
 
 
 def test_minmax_range_probe(spark, logs):
