@@ -162,22 +162,24 @@ _CH_TYPE = {
 }
 
 
-def _maybe_skip_prune(table, base, exprs, value):
+def _skip_prune_sets(table, exprs, value):
     """ClickHouse consults data-skipping indexes automatically inside
     its scan; the analog hook on the reference's own endpoint: a
     /v1/logs equality filter probes a MATERIALIZED set/minmax index
     whose expression matches the filter's column (`exprs` lists the
     acceptable spellings — e.g. the attrs-user predicate in either
-    CH or Spark vocabulary), swapping the full scan for the
-    index-pruned file set (sources/skip_index.py). Conservative by
+    CH or Spark vocabulary). Returns the (keep, skip) file sets of
+    the first matching index, or None (no usable index). The CALLER
+    intersects multiple probes (level AND user both filter, so a
+    file either index rules out is skipped — r8 took only the LAST
+    probe's verdict) and assembles ONE pruned read. Conservative by
     construction — no index, an unbuilt one, or a set-overflow
-    summary leaves the full frame; set/minmax probes are driver-side
-    sidecar lookups, zero extra Spark jobs on the request path
-    (bloom types, which need a hash job, are deliberately not
-    consulted here)."""
+    summary keeps everything; set/minmax probes are driver-side
+    sidecar lookups under the fast-path threshold, zero extra Spark
+    jobs on the request path (bloom types, which need a hash job,
+    are deliberately not consulted here)."""
     from clickhouse_observability_spark.sources.skip_index import (
         SkipIndex,
-        read_pruned,
     )
 
     want = {e.replace(" ", "").lower() for e in exprs}
@@ -185,10 +187,8 @@ def _maybe_skip_prune(table, base, exprs, value):
         if (idx.meta["expr"].replace(" ", "").lower() in want
                 and idx.meta["type"] in ("set", "minmax")
                 and idx.is_materialized()):
-            df, _ = read_pruned(table.spark, table.path,
-                                idx.meta["name"], value)
-            return df
-    return base
+            return idx.prune(table.spark, value)
+    return None
 
 
 # the P5 predicate's expression (db.go:93-96) in the spellings an
@@ -209,6 +209,13 @@ class LogsApi:
         self._provider = logs_df_provider
         self._table = logs_table
         self._view = rollup_view
+        # skip-index pruning swaps the provider's frame for a pruned
+        # RE-READ of the table, so it is only sound when the provider
+        # IS the table's raw read (any injected transformation would
+        # be silently bypassed — ADVICE r8)
+        self._prunable = (
+            logs_table is not None and logs_df_provider == logs_table.read
+        )
         import os as _os
 
         try:
@@ -289,12 +296,27 @@ class LogsApi:
             level = params.get("level") or None
             user = params.get("user") or None
             base = self._provider()
-            if level and self._table is not None:
-                base = _maybe_skip_prune(
-                    self._table, base, ("level",), level)
-            if user and self._table is not None:
-                base = _maybe_skip_prune(
-                    self._table, base, _USER_EXPRS, user)
+            if self._prunable:
+                probes = []
+                if level:
+                    probes.append((("level",), level))
+                if user:
+                    probes.append((_USER_EXPRS, user))
+                sets = [s for s in (
+                    _skip_prune_sets(self._table, exprs, v)
+                    for exprs, v in probes) if s is not None]
+                if sets:
+                    # both filters apply (AND): a file EITHER index
+                    # rules out is skipped; kept = kept-by-some minus
+                    # skipped-by-any; unreconciled files scan
+                    from clickhouse_observability_spark.sources import (
+                        skip_index as _six,
+                    )
+
+                    skip = set().union(*(s for _, s in sets))
+                    keep = set().union(*(k for k, _ in sets)) - skip
+                    base, _ = _six._assemble_pruned(
+                        self._table.spark, self._table.path, keep, skip)
             df = query_logs(
                 base,
                 service,

@@ -773,13 +773,17 @@ _FUNCS = {
     "neighbor": _unsupported(
         "neighbor",
         "block-order dependent; use lag()/lead() OVER (ORDER BY ...)"),
-    # hasToken: CH tokenizes on non-alphanumeric boundaries and is
-    # case-SENSITIVE; the CaseInsensitive variant lowercases both
-    # sides (same boundary class — lowering doesn't move boundaries)
+    # hasToken: CH tokenizes on ALL non-alphanumeric ASCII —
+    # underscore included (hasToken('a_b', 'a') is TRUE in CH; the
+    # r8 class kept `_` inside tokens, a documented-now-fixed
+    # divergence) — and is case-SENSITIVE; the CaseInsensitive
+    # variant lowercases both sides (same boundary class — lowering
+    # doesn't move boundaries). skip_index._tokens_expr shares the
+    # class so the tokenbf index and this predicate can never drift.
     "hastoken": lambda a: (
-        f"array_contains(split({a[0]}, '[^a-zA-Z0-9_]+'), {a[1]})"),
+        f"array_contains(split({a[0]}, '[^a-zA-Z0-9]+'), {a[1]})"),
     "hastokencaseinsensitive": lambda a: (
-        f"array_contains(split(lower({a[0]}), '[^a-z0-9_]+'), "
+        f"array_contains(split(lower({a[0]}), '[^a-z0-9]+'), "
         f"lower({a[1]}))"),
     "entropy": _unsupported(
         "entropy",
@@ -2776,10 +2780,13 @@ _CLEAR_COL_RE = re.compile(
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 # SELECT ... INTO OUTFILE 'path' [FORMAT fmt] — the clickhouse-client
-# extract statement. CH materializes the result client-side and
-# refuses to overwrite; the analog writes one local file and returns
-# the row count. Bounded by the RESULT size by contract (an extract,
-# not a table copy — CH's client buffers the same way).
+# extract statement. clickhouse-client STREAMS result blocks to the
+# file and refuses to overwrite; the analog streams too (r9): text
+# formats row-stream through toLocalIterator (driver memory stays
+# O(one partition) however large the result — `SELECT * FROM logs
+# INTO OUTFILE` with no LIMIT is fine), Parquet is a Spark
+# single-partition write moved into place. Always returns the row
+# count.
 _OUTFILE_RE = re.compile(
     r"^(\s*(?:SELECT|WITH)\b.*?)\s+INTO\s+OUTFILE\s+'([^']+)'"
     r"\s*(?:FORMAT\s+(\w+))?\s*;?\s*$",
@@ -2787,32 +2794,101 @@ _OUTFILE_RE = re.compile(
 )
 
 
+def _outfile_cell(v) -> str:
+    """CSV/TSV cell text, schema-independent and chunk-independent
+    (the r8 pandas writer's dtype inference could format the same
+    column differently per chunk). NULL prints empty like the prior
+    writer (divergence from CH's \\N, documented)."""
+    import datetime as _dt
+
+    if v is None:
+        return ""
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _outfile_jcell(v):
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        # CH JSONEachRow DateTime spelling
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("latin-1")
+    return v
+
+
 def _write_outfile(df: DataFrame, path: str, fmt: str) -> int:
-    """Write a result frame to one local file in a CH client format.
-    CH parity: an existing target refuses (never overwrite)."""
+    """Stream a result frame to one local file in a CH client format.
+    CH parity: an existing target refuses (never overwrite). Text
+    formats never materialize the result on the driver
+    (toLocalIterator row streaming); Parquet writes a single Spark
+    partition and renames it into place atomically."""
+    import csv as _csv
+    import json as _json
+    import shutil as _shutil
+
     if os.path.exists(path):
         raise ChDialectError(
             f"file {path!r} already exists (ClickHouse INTO OUTFILE "
             "refuses to overwrite)")
-    pdf = df.toPandas()
     f = fmt.lower()
-    if f in ("csv", "csvwithnames"):
-        pdf.to_csv(path, index=False, header=f.endswith("withnames"))
-    elif f in ("tsv", "tabseparated", "tsvwithnames",
-               "tabseparatedwithnames"):
-        pdf.to_csv(path, index=False, sep="\t",
-                   header=f.endswith("withnames"))
-    elif f == "jsoneachrow":
-        pdf.to_json(path, orient="records", lines=True,
-                    date_format="iso")
-    elif f == "parquet":
-        pdf.to_parquet(path, index=False)
-    else:
+    if f == "parquet":
+        tmpdir = path + ".__outfile_tmp__"
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(tmpdir)
+            import glob as _glob
+
+            part = _glob.glob(os.path.join(tmpdir, "part-*.parquet"))[0]
+            import pyarrow.parquet as _pq
+
+            n = _pq.ParquetFile(part).metadata.num_rows
+            os.replace(part, path)
+        finally:
+            _shutil.rmtree(tmpdir, ignore_errors=True)
+        return int(n)
+    text_formats = {
+        "csv": (",", False), "csvwithnames": (",", True),
+        "tsv": ("\t", False), "tabseparated": ("\t", False),
+        "tsvwithnames": ("\t", True),
+        "tabseparatedwithnames": ("\t", True),
+        "jsoneachrow": (None, False),
+    }
+    if f not in text_formats:
         raise ChDialectError(
             f"INTO OUTFILE format {fmt!r} not supported; use "
             "CSV[WithNames], TabSeparated[WithNames], JSONEachRow, "
             "or Parquet")
-    return len(pdf)
+    sep, header = text_formats[f]
+    cols = df.columns
+    n = 0
+    tmp = path + ".__outfile_tmp__"
+    try:
+        with open(tmp, "w", newline="") as fh:
+            if sep is None:  # JSONEachRow
+                for row in df.toLocalIterator():
+                    fh.write(_json.dumps(
+                        {c: _outfile_jcell(v) for c, v in zip(cols, row)},
+                        ensure_ascii=False, separators=(",", ":")))
+                    fh.write("\n")
+                    n += 1
+            else:
+                w = _csv.writer(fh, delimiter=sep, lineterminator="\n")
+                if header:
+                    w.writerow(cols)
+                for row in df.toLocalIterator():
+                    w.writerow([_outfile_cell(v) for v in row])
+                    n += 1
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return n
 _CHECK_TABLE_RE = re.compile(
     r"^\s*CHECK\s+TABLE\s+(\w+)\s*$", re.IGNORECASE)
 _FREEZE_RE = re.compile(
@@ -3438,7 +3514,7 @@ def _rewrite_system_tables(spark, sql, logs, query_log, tables=None):
     return " ".join(out)
 
 
-def _tokenbf_prune_logs(spark, sql, logs):
+def _tokenbf_prune_logs(spark, sql, logs, other_names=()):
     """CH consults data-skipping indexes automatically inside its
     scan; the SQL-path analog: when a statement's WHERE carries a
     top-level `hasToken(msg, '<literal>')` conjunct and the logs
@@ -3447,8 +3523,17 @@ def _tokenbf_prune_logs(spark, sql, logs):
     full scan. Returns the pruned frame or None (= full scan).
 
     Soundness guards — each bails to the full scan:
+    - the statement is a plain read (SELECT/WITH — ALTER/INSERT
+      route away from the Spark SQL path and must never narrow);
     - `logs` appears exactly ONCE (a second reference could carry
-      different predicates that the pruned view would also narrow);
+      different predicates that the pruned view would also narrow),
+      AT DEPTH 0, and DIRECTLY AFTER a FROM/JOIN keyword — so the
+      depth-0 WHERE provably filters `logs` itself, not some other
+      relation whose columns share a name (r8 hole: `SELECT (SELECT
+      count() FROM logs) FROM other WHERE hasToken(msg, ...)` pruned
+      the inner logs by the OUTER table's predicate);
+    - no OTHER registered relation name (views=/tables= mappings,
+      attached materialized views) appears anywhere in the statement;
     - exactly one depth-0 WHERE, and NO depth-0 OR inside it (AND
       binds tighter: `hasToken(...) AND x OR y` keeps y-only rows
       that pruned files may hold);
@@ -3456,9 +3541,25 @@ def _tokenbf_prune_logs(spark, sql, logs):
     Pruning is conservative (kept files ⊇ files containing the
     token), so the surviving query's semantics are untouched —
     `test_skip_index` pins equality against the unpruned answer."""
+    if not re.match(r"\s*(?:SELECT|WITH)\b", sql, re.IGNORECASE):
+        return None
     tokens = _tokenize(sql)
     lows = [t.lower() for t in tokens]
     if lows.count("logs") != 1:
+        return None
+    other = {n.lower() for n in other_names if n.lower() != "logs"}
+    if other and any(t in other for t in lows):
+        return None
+    li = lows.index("logs")
+    if li == 0 or lows[li - 1] not in ("from", "join"):
+        return None
+    depth = 0
+    for t in tokens[:li]:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+    if depth != 0:
         return None
     depth, wi = 0, None
     for i, t in enumerate(tokens):
@@ -3590,6 +3691,15 @@ def _named_table(name: str, logs, tables):
         "ch_sql(tables={name: table})")
 
 
+import threading as _threading
+
+# statement-scoped marker: a LogsTable whose `logs` temp view was
+# narrowed to an index-pruned file set for the CURRENT statement.
+# ch_sql's finally-block restores the full read so the narrowed view
+# can never leak to out-of-band spark.sql(...) callers (r8 hole).
+_PRUNED_LOGS_VIEW = _threading.local()
+
+
 def ch_sql(
     spark: SparkSession,
     sql: str,
@@ -3610,6 +3720,28 @@ def ch_sql(
     PLACE, the analog of CH Atomic's metadata-only name mapping.
     Mentioned entries are also registered as readable views.
     """
+    prev = getattr(_PRUNED_LOGS_VIEW, "table", None)
+    _PRUNED_LOGS_VIEW.table = None
+    try:
+        return _ch_sql_stmt(spark, sql, logs, views, query_log, tables)
+    finally:
+        t = getattr(_PRUNED_LOGS_VIEW, "table", None)
+        if t is not None:
+            # the statement's result plan is already resolved against
+            # the pruned view (Spark binds temp views at analysis
+            # time); restoring here only protects LATER readers
+            t.read().createOrReplaceTempView("logs")
+        _PRUNED_LOGS_VIEW.table = prev
+
+
+def _ch_sql_stmt(
+    spark: SparkSession,
+    sql: str,
+    logs=None,
+    views: dict[str, DataFrame] | None = None,
+    query_log=None,
+    tables: dict | None = None,
+):
     for name, df in (views or {}).items():
         df.createOrReplaceTempView(name)
     if tables:
@@ -3619,7 +3751,14 @@ def ch_sql(
                     and nm.lower() in mentioned):
                 t.read().createOrReplaceTempView(nm)
     if logs is not None:
-        pruned = _tokenbf_prune_logs(spark, sql, logs)
+        other = set(views or ()) | {
+            nm for nm in (tables or ()) if not nm.startswith("__")
+        } | {mv.name for mv in logs.materialized_views
+             if not mv.spec.get("projection")}
+        pruned = _tokenbf_prune_logs(spark, sql, logs,
+                                     other_names=other)
+        if pruned is not None:
+            _PRUNED_LOGS_VIEW.table = logs
         (logs.read() if pruned is None
          else pruned).createOrReplaceTempView("logs")
         # attached materialized views are queryable by name — reads

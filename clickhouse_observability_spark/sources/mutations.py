@@ -789,10 +789,11 @@ def check_table(spark: SparkSession, path: str) -> list[dict]:
        (service, ts) sort key: each group's min is >= the previous
        group's... nothing (groups may interleave ranges after
        compaction) — instead the file-level guarantee checked is
-       min <= max per group, and the DDL sort is verified by ONE
-       Spark scan per flagged file only when footer stats are
-       inconclusive (INT96-era files without stats pass with an
-       honest 'no stats' note rather than a false negative).
+       min <= max per group. Files whose footers carry NO ts stats
+       (INT96-era files) PASS with an honest "no ts stats: pre-micros
+       file" annotation — footer-only means footer-only; there is no
+       fallback data scan (re-verify such a file by reading it, or
+       rewrite it via OPTIMIZE so it gains stats).
 
     Footer-only: O(#files) metadata reads, the same cost class as
     CH CHECK TABLE's manifest pass (which also avoids re-reading

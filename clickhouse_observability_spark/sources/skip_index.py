@@ -106,12 +106,13 @@ def _shards_dir(table_path: str, name: str) -> str:
 
 
 def _tokens_expr(value_expr: str) -> str:
-    """CH's tokenbf tokenizer: split on NON-ALPHANUMERIC boundaries
-    (exactly what hasToken matches — 'error:zeta' holds the token
-    'zeta'), lowercased so one filter serves both hasToken (probe
-    lowercases, sound: raw-token presence implies lowercase-token
-    presence) and hasTokenCaseInsensitive."""
-    return (f"filter(split(lower({value_expr}), '[^a-z0-9_]+'), "
+    """CH's tokenbf tokenizer: split on ALL non-alphanumeric ASCII —
+    underscore included, like ClickHouse (hasToken('a_b','a') is
+    true; r9 fix) — lowercased so one filter serves both hasToken
+    (probe lowercases, sound: raw-token presence implies
+    lowercase-token presence) and hasTokenCaseInsensitive. Shares
+    the boundary class with the dialect's hasToken rewrites."""
+    return (f"filter(split(lower({value_expr}), '[^a-z0-9]+'), "
             "x -> x != '')")
 
 

@@ -7,6 +7,8 @@ pinned translation-by-translation and against DuckDB on testdata.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from clickhouse_observability_spark.functions.ch_dialect import (
@@ -1829,6 +1831,52 @@ def test_into_outfile(spark, logs, tmp_path):
     with pytest.raises(ChDialectError, match="not supported"):
         ch_sql(spark, "SELECT 1 AS x INTO OUTFILE "
                f"'{tmp_path}/x.bin' FORMAT Native", logs=logs)
+
+
+def test_into_outfile_streams_without_driver_materialization(
+        spark, tmp_path, monkeypatch):
+    """r9: INTO OUTFILE row-streams (toLocalIterator) — a
+    multi-partition result writes correctly with DataFrame.toPandas
+    forbidden (clickhouse-client streams blocks; the r8 writer
+    materialized the whole result on the driver), and Parquet goes
+    through a Spark single-partition write + rename."""
+    import pyspark.sql
+
+    from clickhouse_observability_spark.functions.ch_dialect import (
+        _write_outfile,
+    )
+
+    df = (spark.range(0, 10000, 1, 8)  # 8 partitions
+          .selectExpr("id", "CAST(id % 7 AS STRING) AS s"))
+    monkeypatch.setattr(
+        pyspark.sql.DataFrame, "toPandas",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("INTO OUTFILE must not toPandas")),
+    )
+    p = str(tmp_path / "big.csv")
+    assert _write_outfile(df, p, "CSVWithNames") == 10000
+    lines = open(p).read().splitlines()
+    assert lines[0] == "id,s" and len(lines) == 10001
+    assert lines[1] == "0,0" and lines[-1] == "9999,3"
+    pj = str(tmp_path / "big.jsonl")
+    assert _write_outfile(df, pj, "JSONEachRow") == 10000
+    import json as _json
+
+    assert _json.loads(open(pj).read().splitlines()[0]) == {
+        "id": 0, "s": "0"}
+    pp = str(tmp_path / "big.parquet")
+    assert _write_outfile(df, pp, "Parquet") == 10000
+    back = spark.read.parquet(pp)
+    assert back.count() == 10000 and set(back.columns) == {"id", "s"}
+    assert not os.path.exists(pp + ".__outfile_tmp__")
+    # timestamps/NULLs format stably (chunk-independent cells)
+    pt = str(tmp_path / "ts.tsv")
+    tdf = spark.sql(
+        "SELECT TIMESTAMP '2025-05-01 10:00:00' AS ts, "
+        "CAST(NULL AS STRING) AS s, 1.5 AS v, true AS b")
+    assert _write_outfile(tdf, pt, "TSVWithNames") == 1
+    assert open(pt).read().splitlines()[1] == \
+        "2025-05-01 10:00:00\t\t1.5\tTrue"
 
 
 def test_named_arithmetic_and_orzero_guards(spark):

@@ -539,3 +539,140 @@ def test_sql_path_in_list_probe(spark, logs):
     assert [r.msg for r in df.collect()] == [
         "delta epsilon", "zeta eta theta"]
     assert len(df.inputFiles()) < full
+
+
+def test_prune_requires_depth0_from_logs(spark, logs):
+    """ADVICE r8 (high): a statement whose only `logs` reference sits
+    INSIDE a subquery while the outer FROM is another relation with a
+    same-named column must NOT register a pruned logs view — the
+    depth-0 WHERE filters the OTHER table."""
+    ch_sql(spark, (
+        "ALTER TABLE logs ADD INDEX toks msg TYPE "
+        "tokenbf_v1(8192, 4, 0)"), logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX toks", logs=logs)
+    other = spark.createDataFrame(
+        [("no tokens here",)], "msg string")
+    n_logs_total = logs.read().count()
+    rows = ch_sql(spark, (
+        "SELECT (SELECT count() FROM logs) AS n_logs FROM other "
+        "WHERE hasToken(msg, 'zeta')"),
+        logs=logs, views={"other": other}).collect()
+    # 'zeta' is absent from other.msg -> zero result rows is fine;
+    # but when the outer row DOES match, the inner count must be the
+    # FULL table, never the zeta-pruned one
+    assert rows == []
+    other2 = spark.createDataFrame([("zeta",)], "msg string")
+    rows = ch_sql(spark, (
+        "SELECT (SELECT count() FROM logs) AS n_logs FROM other "
+        "WHERE hasToken(msg, 'zeta')"),
+        logs=logs, views={"other": other2}).collect()
+    assert [r.n_logs for r in rows] == [n_logs_total]
+
+
+def test_pruned_view_is_restored_after_statement(spark, logs):
+    """ADVICE r8 (low): the narrowed `logs` temp view must not leak
+    to out-of-band spark.sql readers after a pruning ch_sql call."""
+    ch_sql(spark, (
+        "ALTER TABLE logs ADD INDEX toks msg TYPE "
+        "tokenbf_v1(8192, 4, 0)"), logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX toks", logs=logs)
+    full = logs.read().count()
+    df = ch_sql(spark, "SELECT msg FROM logs WHERE hasToken(msg, 'zeta')",
+                logs=logs)
+    assert len(df.inputFiles()) < len(logs.read().inputFiles())
+    # out-of-band reader sees the FULL table again
+    assert spark.sql("SELECT count(*) AS n FROM logs").collect()[0].n \
+        == full
+    # and the pruned result frame still answers correctly (its plan
+    # was bound before restoration)
+    assert [r.msg for r in df.collect()] == ["zeta eta theta"]
+
+
+def test_hastoken_splits_on_underscore(spark, logs):
+    """CH's tokenizer splits on ALL non-alphanumeric ASCII, including
+    underscore: hasToken('a_b', 'a') is true (r9 parity fix) — and
+    the tokenbf index shares the class, so the pruned read still
+    finds underscore-separated tokens."""
+    ch_sql(spark, (
+        "INSERT INTO logs (ts, service, level, msg) VALUES "
+        "('2025-08-01 10:00:00', 'u', 'INFO', 'snake_case_token')"),
+        logs=logs)
+    rows = ch_sql(spark, (
+        "SELECT msg FROM logs WHERE hasToken(msg, 'snake')"),
+        logs=logs).collect()
+    assert [r.msg for r in rows] == ["snake_case_token"]
+    # the full underscore string is NOT a token anymore (CH parity)
+    assert ch_sql(spark, (
+        "SELECT count() AS n FROM logs WHERE "
+        "hasToken(msg, 'snake_case_token')"), logs=logs).collect()[0].n == 0
+    # index and predicate agree through the pruned path
+    ch_sql(spark, (
+        "ALTER TABLE logs ADD INDEX toks msg TYPE "
+        "tokenbf_v1(8192, 4, 0)"), logs=logs)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX toks", logs=logs)
+    df = ch_sql(spark, "SELECT msg FROM logs WHERE hasToken(msg, 'case')",
+                logs=logs)
+    assert [r.msg for r in df.collect()] == ["snake_case_token"]
+    assert len(df.inputFiles()) < len(logs.read().inputFiles())
+
+
+def test_api_intersects_level_and_user_keep_sets(spark, tmp_path):
+    """ADVICE r8 (medium): when BOTH the level and the attrs-user
+    indexes match, the /v1/logs read intersects their verdicts (a
+    file either index rules out is skipped) instead of keeping only
+    the last probe's — and pruning only activates when the provider
+    is the table's raw read."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.api.http import LogsApi
+    from clickhouse_observability_spark.sources import skip_index as SIX
+
+    t = LogsTable(spark, str(tmp_path / "lu_logs"))
+    t.init_schema()
+    # one insert per (level, user) combo -> combo-local files
+    for lvl, who in (("INFO", "jane"), ("ERROR", "jane"),
+                     ("INFO", "bob"), ("ERROR", "bob")):
+        rows = [("2025-05-01 10:%02d:00" % i, "api", lvl,
+                 f"{lvl}-{who}-{i}", '{"user": "%s"}' % who)
+                for i in range(3)]
+        block = spark.createDataFrame(
+            rows, "ts string, service string, level string, "
+            "msg string, attrs string"
+        ).select(
+            F.to_timestamp("ts").alias("ts"), "service", "level",
+            "msg", "attrs", F.lit("t").alias("trace_id"),
+            F.lit("s").alias("span_id"),
+        ).coalesce(1)
+        t.insert(block)
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX lvl level TYPE set(10)",
+           logs=t)
+    ch_sql(spark, (
+        "ALTER TABLE logs ADD INDEX u "
+        "JSONExtractString(attrs, 'user') TYPE set(100)"), logs=t)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX lvl", logs=t)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX u", logs=t)
+    # intersection: both verdict sets apply
+    lvl_keep, lvl_skip = SIX.SkipIndex.load(t.path, "lvl").prune(
+        spark, "ERROR")
+    u_keep, u_skip = SIX.SkipIndex.load(t.path, "u").prune(
+        spark, "jane")
+    both_skip = lvl_skip | u_skip
+    both_keep = (lvl_keep | u_keep) - both_skip
+    assert len(both_keep) < len(lvl_keep)
+    assert len(both_keep) < len(u_keep)
+    params = {"service": "api", "from": "2025-05-01T00:00:00Z",
+              "to": "2025-05-02T00:00:00Z", "level": "ERROR",
+              "user": "jane"}
+    api = LogsApi(t.read, logs_table=t)
+    assert api._prunable
+    st, body = api.query_logs_handler(dict(params))
+    assert st == 200 and body["count"] == 3
+    assert all(l["Level"] == "ERROR" and l["Attrs"]["user"] == "jane"
+               for l in body["logs"])
+    # a transformed provider must NOT activate pruning (the pruned
+    # path would re-read the table and bypass the transformation)
+    api2 = LogsApi(lambda: t.read().filter("level != 'ERROR'"),
+                   logs_table=t)
+    assert not api2._prunable
+    st2, body2 = api2.query_logs_handler(dict(params))
+    assert st2 == 200 and body2["count"] == 0
