@@ -595,3 +595,130 @@ def lifecycle_skip_index_panel(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum(F.length("msg")).alias("sum_len"))
     )
+
+
+@register(
+    "lifecycle_index_evolution_panel",
+    oracle="""
+    WITH logs AS (
+        SELECT ts + to_days((32 * (user_id % 3))::INT) AS ts,
+               event_type AS service, props AS msg,
+               CASE WHEN event_type = 'click' THEN 'hot' ELSE 'std' END
+                 AS tier
+        FROM events
+    )
+    SELECT 'hot_by_month' AS op,
+           CAST(strftime(ts, '%Y%m') AS BIGINT) AS month,
+           CAST(NULL AS VARCHAR) AS tier,
+           count(*) AS n, sum(length(msg))::BIGINT AS sum_len
+    FROM logs WHERE tier = 'hot' GROUP BY 2
+    UNION ALL
+    SELECT 'tier_counts', CAST(NULL AS BIGINT), tier,
+           count(*), CAST(NULL AS BIGINT)
+    FROM logs GROUP BY 3
+    """,
+)
+def lifecycle_index_evolution_panel(spark, sf_dir):
+    """The r8 seam no driver row crossed: skip indexes x schema
+    evolution x mutations, end-to-end (r9 verdict #6).
+
+    Flow: build a 3-month service-local logs table; ADD COLUMN tier
+    DEFAULT 'std' (metadata-only evolution — zero rewrites, layout
+    intact); ADD INDEX svc ... set(10) + MATERIALIZE and PROVE it
+    prunes; ALTER TABLE UPDATE tier='hot' WHERE service='click' (the
+    mutation MATERIALIZES the evolved column into rewritten files and
+    must surface the index as stale); prove the stale window is
+    conservative (rewritten files scan unindexed); incrementally
+    re-materialize (O(new files) — appends a delta shard, r9 sidecar);
+    prove pruning works again post-refresh. Every checkpoint RAISES on
+    failure, so a green driver row adjudicates the whole chain; the
+    oracle is the plain algebraic result (tier folded as a CASE).
+
+    Scale notes: the evolution is metadata-only (no rewrite), the
+    mutation is one pruned scan + partitioned overwrite, the refresh
+    touches only replaced files — each step O(affected data), never
+    O(table history)."""
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+    from clickhouse_observability_spark.sources.skip_index import (
+        SkipIndex,
+        read_pruned,
+    )
+    from clickhouse_observability_spark.sources.mutations import (
+        apply_mutation,
+    )
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    path = IX.artifact_path(sf_dir, "ch_logs_idx_evo",
+                            source_table="events")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LogsTable(spark, path)
+    t.init_schema()
+    ev = table(spark, sf_dir, "events")
+    t.insert(
+        ev.select(
+            F.expr("timestampadd(DAY, 32 * CAST(user_id % 3 AS INT), ts)")
+            .alias("ts"),
+            F.col("event_type").alias("service"),
+            F.lit("INFO").alias("level"),
+            F.col("props").alias("msg"),
+            F.col("props").alias("attrs"),
+            F.col("user_id").cast("string").alias("trace_id"),
+            F.col("event_id").cast("string").alias("span_id"),
+        ).repartition(8, "service")  # service-local files (see
+        # lifecycle_skip_index_panel on why the count is explicit)
+    )
+    # 1. metadata-only schema evolution: no files rewritten
+    files_before = set(t.read().inputFiles())
+    ch_sql(spark, "ALTER TABLE logs ADD COLUMN tier String DEFAULT 'std'",
+           logs=t)
+    if set(t.read().inputFiles()) != files_before:
+        raise RuntimeError("ADD COLUMN rewrote files (must be "
+                           "metadata-only)")
+    # 2. index on the ORIGINAL column; prove it prunes pre-mutation
+    ch_sql(spark, "ALTER TABLE logs ADD INDEX svc service TYPE set(10)",
+           logs=t)
+    ch_sql(spark, "ALTER TABLE logs MATERIALIZE INDEX svc", logs=t)
+    _, st0 = read_pruned(spark, t.path, "svc", "click")
+    if st0["files_skipped"] == 0 or st0["files_unindexed"]:
+        raise RuntimeError(f"pre-mutation pruning failed: {st0}")
+    # 3. mutation materializes the evolved column AND staleness
+    #    surfaces (the rewrite replaced every indexed file)
+    res = apply_mutation(
+        spark, t.path, "service = 'click'",
+        assignments={"tier": "'hot'"})
+    if res["stale_indexes"] != ["svc"]:
+        raise RuntimeError(f"stale index not surfaced: {res}")
+    # 4. conservative meanwhile: replaced files are unindexed -> scan
+    _, st1 = read_pruned(spark, t.path, "svc", "click")
+    if st1["files_unindexed"] == 0:
+        raise RuntimeError(f"rewritten files should be unindexed: {st1}")
+    # 5. incremental refresh (delta shard, O(new files)) -> pruning
+    #    works again
+    SkipIndex.load(t.path, "svc").materialize(spark, incremental=True)
+    df, st2 = read_pruned(spark, t.path, "svc", "click")
+    if st2["files_unindexed"] or st2["files_skipped"] == 0:
+        raise RuntimeError(f"post-refresh pruning failed: {st2}")
+    hot = (
+        df.filter(F.col("service") == "click")
+        .groupBy(F.col("month").cast("long").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.length("msg")).alias("sum_len"))
+        .select(
+            F.lit("hot_by_month").alias("op"), "month",
+            F.lit(None).cast("string").alias("tier"), "n", "sum_len",
+        )
+    )
+    # the default-on-read path AND the materialized path in one arm:
+    # non-click rows in rewritten months carry a physical 'std', rows
+    # in... every month was rewritten (clicks are everywhere), so
+    # defaults are materialized; the CASE oracle is exact either way
+    tiers = (
+        t.read().groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("tier_counts").alias("op"),
+            F.lit(None).cast("long").alias("month"),
+            "tier", "n", F.lit(None).cast("long").alias("sum_len"),
+        )
+    )
+    return hot.unionByName(tiers)

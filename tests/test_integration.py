@@ -187,12 +187,10 @@ def test_adjudication_window_composition():
         "tpch_q21_waiting_suppliers",
         "agg_grouping_panel",
         "dedup_jaccard_panel",
-        "tpch_scalar_panel",
         "dedup_exact_panel",
         "rollup_day_type_panel",
         "agg_ch_functions_panel",
         # r6 rotation: three more panel merges + four round-5 flagships
-        "agg_hourly_panel",
         "text_perdoc_panel",
         "text_signal_panel",
         "behavior_sequence_match",
@@ -203,14 +201,12 @@ def test_adjudication_window_composition():
         "sim_topk_panel",
         "pipeline_hybrid_retrieval",
         # r7 rotation: five merges + the storage-lifecycle layers,
-        # semantic decontamination, the clustering keep-list, the
-        # asof variant matrix, and two more TPC-H flagships
+        # semantic decontamination, the clustering keep-list, and two
+        # more TPC-H flagships
         "agg_shapes_panel",
-        "asof_variants_panel",
         "text_guard_panel",
         "text_mix_panel",
         "projection_served_panel",
-        "mutation_post_read",
         "sim_semantic_contamination",
         "dedup_cluster_keeplist",
         "tpch_q8_market_share",
@@ -237,6 +233,20 @@ def test_adjudication_window_composition():
         "text_bloom_decontaminate",
         "text_bigram_logprob",
         "lifecycle_skip_index_panel",
+        # r9 rotation: four more TPC-H shapes (all on the exact-
+        # decimal money path), the r8 aggregate tier, the behavioral
+        # next-node distribution, the exact k-NN join, and the
+        # skip-index x schema-evolution x mutation seam panel
+        "tpch_q7_volume_shipping",
+        "tpch_q10_returned_items",
+        "tpch_q14_promo_revenue",
+        "tpch_q19_disjunctive_revenue",
+        "agg_entropy",
+        "agg_topk_weighted",
+        "agg_weighted_quantiles",
+        "behavior_sequence_next_node",
+        "sim_knn_join_exact",
+        "lifecycle_index_evolution_panel",
     ):
         assert flagship in registry._WINDOW_ORDER, flagship
     # merged-away entries keep their oracles (no semantics dropped)
@@ -294,9 +304,20 @@ def test_adjudication_window_composition():
         "agg_value_stats",
         "setop_except_user_days",
         "text_winnowing",
-        "sim_knn_join_exact",
         "rollup_topk_counts",
         "window_session_panel",
+        # r9 rotation-outs: multi-round driver-green, oracles retained
+        # under the CI registry gate
+        "join_orders_enriched",
+        "tpch_q5_nation_revenue",
+        "tpch_scalar_panel",
+        "agg_hourly_panel",
+        "join_interval_error_bursts",
+        "join_trace_correlation",
+        "asof_variants_panel",
+        "dedup_embedding_pairs",
+        "text_unigram_logprob",
+        "mutation_post_read",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
