@@ -20,6 +20,8 @@ Five dedup families, each with its scale story:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1134,7 +1136,11 @@ def cluster_report(n_total_docs: int, components: DataFrame) -> DataFrame:
         .select(
             F.lit("clusters").alias("section"),
             "cluster_size", "n_clusters", "n_docs",
-            F.round(F.col("n_clusters") / F.col("n_docs"), 6)
+            # int/int quotient -> floor-quantize, not round (the
+            # engines' round() algorithms diverge on the same double;
+            # functions/moneydec policy)
+            (F.floor(F.col("n_clusters") / F.col("n_docs")
+                     * F.lit(1000000.0)) / F.lit(1000000.0))
             .alias("keep_frac"),
         )
     )
@@ -1147,7 +1153,10 @@ def cluster_report(n_total_docs: int, components: DataFrame) -> DataFrame:
     summary = spark.createDataFrame(
         [(
             "summary", None, n_keepers, int(n_total_docs),
-            round(n_keepers / n_total_docs, 6) if n_total_docs else None,
+            # same IEEE ops as the SQL floor-quantize (int/int divide,
+            # *1e6, floor, /1e6) — bit-identical cross-engine
+            (math.floor(n_keepers / n_total_docs * 1000000.0) / 1000000.0
+             if n_total_docs else None),
         )],
         "section string, cluster_size long, n_clusters long, "
         "n_docs long, keep_frac double",

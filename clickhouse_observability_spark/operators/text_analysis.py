@@ -12,6 +12,8 @@ shuffle at all; they scale with scan bandwidth.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -952,7 +954,10 @@ def token_distribution_drift(a: DataFrame, b: DataFrame) -> DataFrame:
     # joint frame can be released before returning
 
     def _r6(x: float) -> float:
-        return float(f"{x:.6f}")
+        # floor-quantize at 6dp (moneydec policy for quotients /
+        # log-sums: floor(x*1e6)/1e6 is the same IEEE op sequence on
+        # Python, Spark, and DuckDB; round() algorithms differ)
+        return math.floor(x * 1000000.0) / 1000000.0
 
     return a.sparkSession.createDataFrame(
         [(

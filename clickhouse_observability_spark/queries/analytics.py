@@ -53,10 +53,17 @@ def agg_month_buckets(spark, sf_dir):
     return A.month_buckets(table(spark, sf_dir, "events"))
 
 
-# Rows-only since r3: the exact-distinct aggregate is adjudicated
-# inside agg_counts_by_type's merged panel; the standalone operator
-# stays registered for bench/API use.
-@register("agg_distinct_users")
+# Oracle restored r9 (verdict #5 sweep): the semantics are also
+# adjudicated inside agg_counts_by_type's merged panel, but a
+# deterministic entry carries its own oracle so registration alone
+# puts it under the CI registry gate.
+@register(
+    "agg_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS users
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_distinct_users(spark, sf_dir):
     return A.distinct_users(table(spark, sf_dir, "events"))
 
@@ -243,7 +250,16 @@ def dedup_first_event_per_user_type(spark, sf_dir):
 # Rows-only: the median is exactly p50 of agg_latency_percentiles
 # (same grouping, same exact-percentile operator), already
 # oracle-proven there — freeing this slot for a distinct operator
-# inside the driver's 50-query oracle window.
-@register("agg_median_value")
+# inside the driver's 50-query oracle window. Oracle restored r9
+# (verdict #5): Spark `percentile` == DuckDB quantile_cont (exact
+# interpolated), deterministic cross-engine.
+@register(
+    "agg_median_value",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_median_value(spark, sf_dir):
     return A.median_value(table(spark, sf_dir, "events"))

@@ -100,12 +100,45 @@ def behavior_retention(spark, sf_dir):
     )
 
 
-@register("behavior_sequence_count")
+@register(
+    "behavior_sequence_count",
+    # Oracle-ified r9 (verdict #5): the greedy alternating state
+    # machine (arm on view, match+disarm on purchase) has a closed
+    # form over the RUN-LENGTH-COLLAPSED event sequence — collapsed
+    # runs alternate v,p,v,p,..., and every collapsed purchase except
+    # a leading one closes a view, so
+    #   matches = #collapsed_purchases - (first collapsed == purchase).
+    # Ordering (us, etype) matches the Spark fold's sort_array over
+    # struct(us, etype) exactly (ASCII: 'purchase' < 'view').
+    oracle="""
+    WITH ev AS (
+        SELECT user_id AS user, epoch_us(ts) AS us, event_type AS etype
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    ord AS (
+        SELECT user, us, etype,
+               lag(etype) OVER w AS prev,
+               first_value(etype) OVER w AS head
+        FROM ev WINDOW w AS (PARTITION BY user ORDER BY us, etype)
+    ),
+    runs AS (
+        SELECT user, etype, head FROM ord
+        WHERE prev IS NULL OR etype <> prev
+    )
+    SELECT user,
+           (count(*) FILTER (etype = 'purchase')
+            - CASE WHEN min(head) = 'purchase' THEN 1 ELSE 0 END)::INT
+               AS n_sequences
+    FROM runs GROUP BY user
+    """,
+)
 def behavior_sequence_count(spark, sf_dir):
-    """ClickHouse sequenceCount shape: non-overlapping view->purchase
-    pairs per user (a purchase closes the EARLIEST open view).
-    Rows-only: the stateful timeline fold has no clean SQL mirror;
-    pytest pins an exact python reference."""
+    """ClickHouse sequenceCount('(?1)(?2)') shape: non-overlapping
+    view->purchase pairs per user, greedy over the sorted timeline
+    (v,v,p,p is ONE match). The Spark side is the per-user sorted
+    fold (operators/behavioral.sequence_count); the oracle is the
+    closed form over the run-length-collapsed sequence — an
+    independent second derivation of the same state machine."""
     return B.sequence_count(
         table(spark, sf_dir, "events"), "view", "purchase"
     )

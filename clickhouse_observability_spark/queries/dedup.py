@@ -306,20 +306,87 @@ def dedup_cluster_keeplist(spark, sf_dir):
     return D.canonical_per_component(docs, comps)
 
 
-@register("dedup_cluster_report")
+@register(
+    "dedup_cluster_report",
+    # Oracle-ified r9 (verdict #5): over the DETERMINISTIC exact
+    # token-set Jaccard graph (same pairs/closure as the adjudicated
+    # dedup_cluster_keeplist — MinHash stays the hash-seeded scale
+    # path in dedup_neardup_clusters), DuckDB recomputes the
+    # transitive closure with a recursive CTE and folds the same
+    # size histogram + keep-fraction summary.
+    oracle=f"""
+    WITH RECURSIVE
+    raw AS (
+        SELECT doc_id, unnest(list_distinct({_NTOKS})) AS tok FROM documents
+    ),
+    kept AS (
+        SELECT tok FROM (SELECT tok, count(*) AS df FROM raw GROUP BY tok)
+        WHERE df <= (SELECT floor(0.8 * count(*))::BIGINT FROM documents)
+    ),
+    toks AS (SELECT doc_id, tok FROM raw JOIN kept USING (tok)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.9
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+             FROM reach GROUP BY node),
+    csizes AS (SELECT component_id, count(*) AS cluster_size
+               FROM comp GROUP BY 1),
+    hist AS (SELECT cluster_size, count(*) AS n_clusters,
+                    cluster_size * count(*) AS n_docs
+             FROM csizes GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM documents),
+    ct AS (SELECT count(*) AS n_comp,
+                  coalesce(sum(cluster_size), 0) AS n_in_comp
+           FROM csizes)
+    SELECT 'clusters' AS section, cluster_size, n_clusters, n_docs,
+           floor(n_clusters / n_docs * 1000000.0) / 1000000.0
+               AS keep_frac
+    FROM hist
+    UNION ALL
+    SELECT 'summary', CAST(NULL AS BIGINT),
+           n_comp + (n_total - n_in_comp), n_total,
+           floor((n_comp + n_total - n_in_comp) / n_total * 1000000.0)
+               / 1000000.0
+    FROM ct, tot
+    """,
+)
 def dedup_cluster_report(spark, sf_dir):
     """Near-dup cluster-structure report — the number an operator
     actually quotes about a corpus ("dedup removes X%, biggest
-    cluster is Y"): per cluster-size row counts over the MinHash
-    near-dup components, plus a summary row with the keep fraction
-    (keepers = one per cluster + every unpaired singleton). All
-    aggregation runs over the component frame (docs-in-clusters
-    sized), never the corpus. Rows-only: components are an iterative
-    fixpoint; the size-histogram arithmetic is pinned on a planted
-    cluster structure in pytest."""
+    cluster is Y"): per cluster-size row counts over the near-dup
+    components, plus a summary row with the keep fraction (keepers =
+    one per cluster + every unpaired singleton). All aggregation
+    runs over the component frame (docs-in-clusters sized), never
+    the corpus.
+
+    Driver-adjudicable since r9: the graph is the deterministic
+    exact token-set Jaccard one (shared — and cached — with
+    dedup_cluster_keeplist); DuckDB independently re-derives the
+    closure and the histogram. MinHash remains the registered 100 TB
+    path (dedup_neardup_clusters, banded, never all-pairs) feeding
+    the SAME component/report operators proven here."""
     docs = table(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(
-        docs, threshold=0.9, cache_key=f"{sf_dir}/documents"
+    pairs = D.jaccard_pairs(
+        docs, threshold=0.9, max_df_frac=0.8,
+        cache_key=f"{sf_dir}/documents@0.9",
     )
     comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
     return D.cluster_report(docs.count(), comps)

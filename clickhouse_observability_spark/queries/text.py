@@ -674,14 +674,65 @@ def text_pack_chunks(spark, sf_dir):
     return g.unionByName(s).unionByName(ov)
 
 
-@register("text_split_drift")
+@register(
+    "text_split_drift",
+    # Oracle-ified r9 (verdict #5): KL/JS is pure log arithmetic over
+    # the two splits' shared (token, count) frames — DuckDB re-derives
+    # the same smoothed divergences; outputs floor-quantized at 6dp
+    # on both sides (the residual risk is a log-sum landing within a
+    # summation-order ulp of a 1e-6 boundary — same documented class
+    # as the unigram/bigram LM entries).
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, text,
+               substring(md5(doc_id::VARCHAR), 1, 2) < '1a' AS is_val
+        FROM documents
+    ),
+    ta AS (SELECT unnest({_NTOKS}) AS tok FROM d WHERE NOT is_val),
+    tb AS (SELECT unnest({_NTOKS}) AS tok FROM d WHERE is_val),
+    ca AS (SELECT tok, count(*) AS ca FROM ta GROUP BY tok),
+    cb AS (SELECT tok, count(*) AS cb FROM tb GROUP BY tok),
+    joint AS (
+        SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+    ),
+    tot AS (
+        SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v,
+               sum(CASE WHEN cb = 0 THEN ca ELSE 0 END) AS oov_b_mass,
+               sum(CASE WHEN ca = 0 THEN cb ELSE 0 END) AS oov_a_mass
+        FROM joint
+    ),
+    k AS (
+        SELECT sum(pa * ln(pa / pb)) AS kl_a_b,
+               sum(pb * ln(pb / pa)) AS kl_b_a,
+               sum(pa * ln(pa / ((pa + pb) / 2))) / 2
+                 + sum(pb * ln(pb / ((pa + pb) / 2))) / 2 AS js
+        FROM (
+            SELECT (ca + 1) / CAST(t.na + t.v AS DOUBLE) AS pa,
+                   (cb + 1) / CAST(t.nb + t.v AS DOUBLE) AS pb
+            FROM joint, tot t
+        )
+    )
+    SELECT t.na::BIGINT AS n_tokens_a, t.nb::BIGINT AS n_tokens_b,
+           t.v::BIGINT AS vocab_joint,
+           floor(t.oov_a_mass / t.nb * 1000000.0) / 1000000.0
+               AS oov_frac_a_in_b,
+           floor(t.oov_b_mass / t.na * 1000000.0) / 1000000.0
+               AS oov_frac_b_in_a,
+           floor(k.kl_a_b * 1000000.0) / 1000000.0 AS kl_a_b,
+           floor(k.kl_b_a * 1000000.0) / 1000000.0 AS kl_b_a,
+           floor(k.js * 1000000.0) / 1000000.0 AS js
+    FROM tot t, k
+    """,
+)
 def text_split_drift(spark, sf_dir):
     """Train-vs-val token-distribution drift over the corpus's own
     deterministic md5 split — smoothed KL both ways + JS divergence +
     OOV mass. A representative split should sit near zero; a crawl
     shift between snapshots shows up here before it shows up in loss
-    curves. Rows-only: float log-sum ordering differs across engines;
-    pytest pins a python reference on a fixed corpus."""
+    curves. Driver-adjudicable since r9 (floor-quantized divergences;
+    DuckDB re-derives the same log arithmetic); pytest additionally
+    pins a python reference on a fixed corpus."""
     from pyspark.sql import functions as F
 
     docs = table(spark, sf_dir, "documents")

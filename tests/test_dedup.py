@@ -460,4 +460,7 @@ def test_cluster_report_on_planted_structure(spark):
     s = rows[("summary", None)]
     # keepers = 2 clusters + 2 singletons = 4 of 7 docs
     assert (s.n_clusters, s.n_docs) == (4, 7)
-    assert s.keep_frac == round(4 / 7, 6)
+    # floor-quantized at 6dp (moneydec quotient policy, r9)
+    import math
+
+    assert s.keep_frac == math.floor(4 / 7 * 1000000.0) / 1000000.0
