@@ -724,11 +724,19 @@ def _run_bench() -> None:
     # per-query dict (headline-total members first, then slowest) if
     # the full set doesn't fit; everything always lands in the file.
     def line_for(qdict: dict[str, float]) -> str:
+        # calib/contention flags FIRST (r9 verdict #7): they must sit
+        # inside the first 200 characters so no downstream truncation
+        # of the captured line can ever hide whether the host was
+        # idle when these numbers were taken.
         return json.dumps(
             {
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
+                "calib_idle_ratio": scalars["calib_idle_ratio"],
+                "calib_drift": scalars["calib_drift"],
+                "headline_common_sec": this_common,
+                "common_n": len(common),
                 "queries": qdict,
                 **scalars,
                 "detail": "BENCH.out.json",

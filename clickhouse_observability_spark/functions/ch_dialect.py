@@ -346,6 +346,39 @@ def _unsupported(name: str, hint: str):
     return fn
 
 
+def _chain_binary(fn: str, args: list[str]) -> str:
+    """Fold an n-ary CH call onto a binary Spark function:
+    f(a,b,c) -> f(f(a,b),c)."""
+    out = args[0]
+    for x in args[1:]:
+        out = f"{fn}({out}, {x})"
+    return out
+
+
+def _array_resize(a: list[str]) -> str:
+    """CH arrayResize(arr, n[, ext]): truncate to n, or grow by
+    padding. Without an extender CH pads the element type's DEFAULT
+    (0/''), which isn't knowable from SQL text — the 2-arg form pads
+    the typed NULL instead (try_element_at out of bounds yields NULL
+    OF THE ELEMENT TYPE, keeping concat well-typed) — a documented
+    divergence; pass the extender for exact CH behavior. Negative
+    sizes (CH: resize from the END) are refused."""
+    if len(a) not in (2, 3):
+        raise ChDialectError("arrayResize(arr, size[, extender])")
+    if a[1].strip().startswith("-"):
+        raise ChDialectError(
+            "arrayResize with a negative size (CH resizes from the "
+            "end) is unsupported; slice() covers that shape")
+    arr, n = a[0], f"CAST({a[1]} AS INT)"
+    pad = a[2] if len(a) == 3 else f"try_element_at({a[0]}, 2147483647)"
+    return (
+        f"CASE WHEN {n} <= size({arr}) "
+        f"THEN slice({arr}, 1, greatest({n}, 0)) "
+        f"ELSE concat({arr}, transform(sequence(1, {n} - size({arr})), "
+        f"__i -> ({pad}))) END"
+    )
+
+
 _FUNCS = {
     # JSON family (F1; db.go:96)
     "jsonextractstring": _json_extract(None),
@@ -388,6 +421,40 @@ _FUNCS = {
         f"* {a[3] if len(a) > 3 else 80}) AS INT))"),
     "adddays": lambda a: f"({a[0]} + make_interval(0, 0, 0, {a[1]}))",
     "subtractdays": lambda a: f"({a[0]} - make_interval(0, 0, 0, {a[1]}))",
+    # r9 wave: the rest of CH's add*/subtract* datetime family
+    # (make_interval keeps timestamp typing; unit position per docs)
+    "addyears": lambda a: f"({a[0]} + make_interval({a[1]}))",
+    "subtractyears": lambda a: f"({a[0]} - make_interval({a[1]}))",
+    "addmonths": lambda a: f"({a[0]} + make_interval(0, {a[1]}))",
+    "subtractmonths": lambda a: f"({a[0]} - make_interval(0, {a[1]}))",
+    "addweeks": lambda a: f"({a[0]} + make_interval(0, 0, {a[1]}))",
+    "subtractweeks": lambda a: f"({a[0]} - make_interval(0, 0, {a[1]}))",
+    "addhours": lambda a: (
+        f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}))"),
+    "subtracthours": lambda a: (
+        f"({a[0]} - make_interval(0, 0, 0, 0, {a[1]}))"),
+    "addminutes": lambda a: (
+        f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}))"),
+    "subtractminutes": lambda a: (
+        f"({a[0]} - make_interval(0, 0, 0, 0, 0, {a[1]}))"),
+    "addseconds": lambda a: (
+        f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))"),
+    "subtractseconds": lambda a: (
+        f"({a[0]} - make_interval(0, 0, 0, 0, 0, 0, {a[1]}))"),
+    "tostartofsecond": lambda a: f"date_trunc('second', {a[0]})",
+    # ISO week/year: Spark weekofyear IS the ISO week; the ISO year
+    # is the calendar year of that week's Thursday (date_trunc('week')
+    # is Monday-anchored, +3 days = Thursday)
+    "toisoweek": lambda a: f"weekofyear({a[0]})",
+    "toisoyear": lambda a: (
+        f"year(date_add(CAST(date_trunc('week', {a[0]}) AS DATE), 3))"),
+    # toWeek's default mode-0 (Sunday-first, week 0..53) has no Spark
+    # counterpart; only the ISO mode translates faithfully
+    "toweek": lambda a: (
+        f"weekofyear({a[0]})" if len(a) == 2 and a[1].strip() == "3"
+        else (_ for _ in ()).throw(ChDialectError(
+            "toWeek only supports mode 3 (ISO) in the Spark "
+            "translation; use toISOWeek, or mode 3 explicitly"))),
     "datediff": lambda a: (
         f"timestampdiff({_string_value(a[0]).upper()}, {a[1]}, {a[2]})"
         if a and a[0].startswith("'") else
@@ -630,6 +697,25 @@ _FUNCS = {
         f"(acc, x) -> acc + x)"),
     "arrayreverse": lambda a: f"reverse({a[0]})",
     "arrayflatten": lambda a: f"flatten({a[0]})",
+    # r9 wave: remaining everyday CH array vocabulary
+    "arrayproduct": lambda a: (
+        f"aggregate({a[0]}, CAST(1 AS DOUBLE), (acc, x) -> acc * x)"),
+    "arrayintersect": lambda a: (
+        _chain_binary("array_intersect", a) if len(a) >= 2
+        else (_ for _ in ()).throw(ChDialectError(
+            "arrayIntersect needs >= 2 arrays"))),
+    # arrayResize(arr, n[, ext]): CH pads GROWTH with the element
+    # type's default; the type isn't knowable from text, so the
+    # 2-arg form pads NULL (documented divergence) and the 3-arg
+    # form is exact. Negative sizes (resize from the end) refused.
+    "arrayresize": lambda a: _array_resize(a),
+    # countEqual(arr, x): occurrences of x, NULL-safe like CH
+    # (countEqual([1, NULL], NULL) = 1 — <=> is the same contract)
+    "countequal": lambda a: (
+        f"size(filter({a[0]}, __ce -> __ce <=> ({a[1]})))"),
+    # multiSearchAny(haystack, [needles...]): any needle a substring
+    "multisearchany": lambda a: (
+        f"exists({a[1]}, __ms -> instr({a[0]}, __ms) > 0)"),
     "arraystringconcat": lambda a: (
         f"array_join({a[0]}, {a[1] if len(a) > 1 else _q('')})"),
     "indexof": lambda a: f"array_position({a[0]}, {a[1]})",
@@ -703,6 +789,20 @@ _FUNCS = {
     "bitshiftleft": lambda a: f"shiftleft({a[0]}, {a[1]})",
     "bitshiftright": lambda a: f"shiftright({a[0]}, {a[1]})",
     "bitcount": lambda a: f"bit_count({a[0]})",
+    # r9 wave: CH's NAMED bitwise scalars (CH also accepts operator
+    # spellings, which pass through untouched)
+    "bitand": lambda a: f"({a[0]} & {a[1]})",
+    "bitor": lambda a: f"({a[0]} | {a[1]})",
+    "bitxor": lambda a: f"({a[0]} ^ {a[1]})",
+    "bitnot": lambda a: f"(~{a[0]})",
+    # CH bitTest(x, pos) -> the 0/1 bit value (UInt8 there)
+    "bittest": lambda a: (
+        f"(shiftright({a[0]}, CAST({a[1]} AS INT)) & 1)"),
+    # grouped bitwise aggregates (CH groupBitAnd/Or/Xor == Spark's
+    # native bit_and/bit_or/bit_xor)
+    "groupbitand": lambda a: f"bit_and({a[0]})",
+    "groupbitor": lambda a: f"bit_or({a[0]})",
+    "groupbitxor": lambda a: f"bit_xor({a[0]})",
     # array/map family additions (r6 wave 2)
     "arrayzip": lambda a: f"arrays_zip({', '.join(a)})",
     "mapkeys": lambda a: f"map_keys({a[0]})",
@@ -799,6 +899,44 @@ _FUNCS = {
     "varsamp": lambda a: f"var_samp({a[0]})",
     "covarpop": lambda a: f"covar_pop({a[0]}, {a[1]})",
     "covarsamp": lambda a: f"covar_samp({a[0]}, {a[1]})",
+    # r9 wave: higher moments. Spark's skewness IS the population
+    # skewness (m3/m2^1.5); Spark's kurtosis is population EXCESS
+    # kurtosis, CH kurtPop is non-excess -> +3. The *Samp variants
+    # use sample moments Spark lacks — refused, not approximated.
+    "skewpop": lambda a: f"skewness({a[0]})",
+    "kurtpop": lambda a: f"(kurtosis({a[0]}) + 3.0D)",
+    "skewsamp": _unsupported(
+        "skewSamp", "Spark has only the population estimator — use "
+        "skewPop (skewness)"),
+    "kurtsamp": _unsupported(
+        "kurtSamp", "Spark has only the population estimator — use "
+        "kurtPop (kurtosis + 3)"),
+    # simpleLinearRegression(x, y) -> (k, b); Spark's regr_* take
+    # (y, x) — dependent first — so the argument order swaps
+    "simplelinearregression": lambda a: (
+        f"named_struct('k', regr_slope({a[1]}, {a[0]}), "
+        f"'b', regr_intercept({a[1]}, {a[0]}))"),
+    "roundbankers": lambda a: f"bround({', '.join(a)})",
+    "generateuuidv4": lambda a: "uuid()",
+    # block-order-dependent aggregates: honest refusals with the
+    # deterministic rewrite (same policy as runningAccumulate)
+    "deltasum": _unsupported(
+        "deltaSum", "block-order dependent; use sum(greatest(x - "
+        "lag(x) OVER (ORDER BY <key>), 0)) for a deterministic "
+        "positive-delta sum"),
+    "exponentialmovingaverage": _unsupported(
+        "exponentialMovingAverage", "block-order dependent; compute "
+        "over an explicit ORDER BY with avg(...) OVER (ORDER BY "
+        "<ts> ROWS BETWEEN n PRECEDING AND CURRENT ROW) or the "
+        "gap-fill operator's EMA"),
+    "maxmap": _unsupported(
+        "maxMap", "shape-changing map aggregate; use "
+        "operators.ch_functions.sum_map's exploded (group, map_key) "
+        "form with agg='max'"),
+    "minmap": _unsupported(
+        "minMap", "shape-changing map aggregate; use "
+        "operators.ch_functions.sum_map's exploded (group, map_key) "
+        "form with agg='min'"),
     "uniqcombined64": lambda a: f"approx_count_distinct({a[0]})",
     # CAST: CH returns Float64; without it Spark's decimal literals
     # would propagate DECIMAL division into the result type

@@ -105,20 +105,26 @@ def histogram_fixed(
 
 def sum_map(
     df: DataFrame, group: str, map_col: Column, round_to: int | None = None,
-    dec_sum: bool = False,
+    dec_sum: bool = False, agg: str = "sum",
 ) -> DataFrame:
-    """ClickHouse sumMap: merge maps by key, summing values.
+    """ClickHouse sumMap / maxMap / minMap: merge maps by key with
+    the chosen combiner (`agg` in sum/max/min — the r9 dialect
+    refusals for maxMap/minMap point here).
 
     Output exploded as (group, map_key, map_sum) rows — the at-rest
-    shape that keeps per-key partial sums combinable map-side and
-    never materializes a whole group's map in one executor.
+    shape that keeps per-key partial combines map-side and never
+    materializes a whole group's map in one executor.
     dec_sum=True sums in exact DECIMAL(18,4) (moneydec policy: only
     for values with <=4 decimal digits; order-independent, so the
-    rounded sum can't flip at a cross-engine boundary)."""
+    rounded sum can't flip at a cross-engine boundary; max/min are
+    order-free already)."""
     from clickhouse_observability_spark.functions.moneydec import dec
 
+    if agg not in ("sum", "max", "min"):
+        raise ValueError(f"agg must be sum/max/min, got {agg!r}")
+    fn = {"sum": F.sum, "max": F.max, "min": F.min}[agg]
     ex = df.select(group, F.explode(map_col).alias("map_key", "__v"))
-    s = F.sum(dec("__v")) if dec_sum else F.sum("__v")
+    s = fn(dec("__v")) if dec_sum else fn("__v")
     if round_to is not None:
         s = F.round(s, round_to)
     if dec_sum:

@@ -316,11 +316,13 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     "tpch_q18_large_orders",
     oracle="""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           sum(l_quantity) AS total_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
-        GROUP BY l_orderkey HAVING sum(l_quantity) > 100
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 100
     )
     AND c_custkey = o_custkey AND o_orderkey = l_orderkey
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
@@ -336,9 +338,11 @@ def tpch_q18_large_orders(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
+    # exact decimal: the unrounded qty sum is hash-compared, and the
+    # HAVING threshold is a boundary (sum == 100 possible) — moneydec
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
+        .agg(F.sum(dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 100)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
@@ -347,7 +351,7 @@ def tpch_q18_large_orders(spark, sf_dir):
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
         .orderBy(
             F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey")
         )
@@ -725,13 +729,14 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
     FROM supplier, nation
     WHERE s_suppkey IN (
         SELECT l_suppkey FROM (
-            SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+            SELECT l_suppkey, l_partkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
             FROM lineitem, part
             WHERE l_partkey = p_partkey AND p_name LIKE '%gear%'
               AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY l_suppkey, l_partkey
-            HAVING sum(l_quantity) > 40
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 40
         ) heavy
     )
     AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
@@ -753,7 +758,9 @@ def tpch_q20_excess_shippers(spark, sf_dir):
     heavy = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("l_quantity").alias("qty"))
+        # exact decimal: the HAVING threshold is a landable boundary
+        # (a group summing exactly to 40) — moneydec policy
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 40)
         .select("l_suppkey")
         .distinct()

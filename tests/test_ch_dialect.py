@@ -1983,3 +1983,118 @@ def test_more_param_aggregates(spark):
     assert rows[0].q in (3, 5)  # approx sketch returns a data value
     with pytest.raises(ChDialectError, match="histogram_fixed"):
         translate("SELECT histogram(10)(x) FROM t")
+
+
+def test_r9_vocabulary_wave_bitwise_and_arrays(spark):
+    r = ch_sql(spark, (
+        "SELECT bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo, "
+        "bitXor(12, 10) AS bx, bitNot(0) AS bn, "
+        "bitTest(5, 0) AS t0, bitTest(5, 1) AS t1, "
+        "arrayProduct([2.0, 3.0, 4.0]) AS prod, "
+        "arrayIntersect([1,2,3,4], [3,4,5], [4,3]) AS inter, "
+        "countEqual([1, 2, 2, NULL], 2) AS ce2, "
+        "countEqual([1, NULL], NULL) AS cen, "
+        "multiSearchAny('error: disk full', ['oom', 'disk']) AS msa, "
+        "multiSearchAny('ok', ['oom', 'disk']) AS msn, "
+        "arrayResize([1, 2, 3], 2) AS shrink, "
+        "arrayResize([1, 2], 4, 0) AS grow, "
+        "arrayResize([1, 2], 3) AS grow_null"
+    )).collect()[0]
+    assert (r.ba, r.bo, r.bx, r.bn) == (8, 14, 6, -1)
+    assert (r.t0, r.t1) == (1, 0)
+    assert r.prod == 24.0
+    assert sorted(r.inter) == [3, 4]
+    assert (r.ce2, r.cen) == (2, 1)
+    assert (r.msa, r.msn) is not None and r.msa and not r.msn
+    assert r.shrink == [1, 2]
+    assert r.grow == [1, 2, 0, 0]
+    assert r.grow_null == [1, 2, None]
+    with pytest.raises(ChDialectError, match="negative size"):
+        ch_sql(spark, "SELECT arrayResize([1], -2) AS x")
+
+
+def test_r9_vocabulary_wave_datetime(spark):
+    r = ch_sql(spark, (
+        "SELECT addYears(toDateTime('2024-02-29 10:00:00'), 1) AS y, "
+        "addMonths(toDateTime('2025-01-31 00:00:00'), 1) AS m, "
+        "addHours(toDateTime('2025-01-01 23:30:00'), 2) AS h, "
+        "subtractMinutes(toDateTime('2025-01-01 00:00:00'), 90) AS mi, "
+        "addSeconds(toDateTime('2025-01-01 00:00:00'), 61) AS s, "
+        "toStartOfSecond(toDateTime('2025-01-01 00:00:00')) AS ss, "
+        "toISOWeek(toDateTime('2025-01-01 00:00:00')) AS iw, "
+        "toISOYear(toDateTime('2025-01-01 00:00:00')) AS iy, "
+        "toWeek(toDateTime('2025-01-01 00:00:00'), 3) AS w3"
+    )).collect()[0]
+    assert str(r.y).startswith("2025-02-28")   # leap-day + 1y clamps
+    assert str(r.m).startswith("2025-02-28")   # month-end clamps
+    assert str(r.h).startswith("2025-01-02 01:30")
+    assert str(r.mi).startswith("2024-12-31 22:30")
+    assert str(r.s).startswith("2025-01-01 00:01:01")
+    # 2025-01-01 is a Wednesday of ISO week 1 of ISO year 2025
+    assert (r.iw, r.iy, r.w3) == (1, 2025, 1)
+    with pytest.raises(ChDialectError, match="mode 3"):
+        ch_sql(spark, "SELECT toWeek(now()) AS w")
+
+
+def test_r9_vocabulary_wave_stats_and_aggregates(spark):
+    spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, 2.0, 4.0), (3, 3.0, 6.5), (4, 4.0, 8.0)],
+        "id int, x double, y double",
+    ).createOrReplaceTempView("pts")
+    r = ch_sql(spark, (
+        "SELECT skewPop(x) AS sk, kurtPop(x) AS ku, "
+        "simpleLinearRegression(x, y) AS lr, "
+        "groupBitAnd(id) AS gba, groupBitOr(id) AS gbo, "
+        "groupBitXor(id) AS gbx FROM pts"
+    )).collect()[0]
+    assert r.sk == pytest.approx(0.0, abs=1e-9)   # symmetric
+    # uniform-ish 4-point kurtosis: non-excess = excess + 3
+    assert r.ku == pytest.approx(1.64, abs=0.01)
+    assert r.lr.k == pytest.approx(2.05, abs=0.01)
+    assert (r.gba, r.gbo) == (0, 7)
+    assert r.gbx == (1 ^ 2 ^ 3 ^ 4)
+    r2 = ch_sql(spark, (
+        "SELECT roundBankers(2.5) AS b1, roundBankers(3.5) AS b2, "
+        "roundBankers(0.125, 2) AS b3, length(generateUUIDv4()) AS ul"
+    )).collect()[0]
+    # literals parse as DECIMAL; bround keeps the type (exact values)
+    assert (float(r2.b1), float(r2.b2), float(r2.b3)) == (2.0, 4.0, 0.12)
+    assert r2.ul == 36
+    for bad, hint in (
+        ("deltaSum(x)", "block-order"),
+        ("exponentialMovingAverage(x, id)", "block-order"),
+        # the parameterized spelling hits the param-guard first —
+        # also a refusal, different message (r8 hardening)
+        ("exponentialMovingAverage(1)(x, id)", "parameters"),
+        ("maxMap(map('a', x))", "sum_map"),
+        ("skewSamp(x)", "population estimator"),
+    ):
+        with pytest.raises(ChDialectError, match=hint):
+            ch_sql(spark, f"SELECT {bad} FROM pts")
+
+
+def test_r9_sum_map_max_min_variants(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators.ch_functions import (
+        sum_map,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("a", 3.0, 20.0), ("b", 2.0, 5.0)],
+        "g string, v double, w double",
+    )
+    m = F.create_map(F.lit("v"), F.col("v"), F.lit("w"), F.col("w"))
+    got = {
+        (r.g, r.map_key): r.map_sum
+        for r in sum_map(df, "g", m, agg="max").collect()
+    }
+    assert got == {("a", "v"): 3.0, ("a", "w"): 20.0,
+                   ("b", "v"): 2.0, ("b", "w"): 5.0}
+    got_min = {
+        (r.g, r.map_key): r.map_sum
+        for r in sum_map(df, "g", m, agg="min").collect()
+    }
+    assert got_min[("a", "v")] == 1.0 and got_min[("a", "w")] == 10.0
+    with pytest.raises(ValueError, match="sum/max/min"):
+        sum_map(df, "g", m, agg="median")
