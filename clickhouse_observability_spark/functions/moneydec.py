@@ -73,6 +73,68 @@ def money_sum(expr: str | Column, ndigits: int = 2) -> Column:
     )
 
 
+def units4(col: str | Column) -> Column:
+    """Exact integer 1e-4-dollar units of a <=4dp money double —
+    the FAST path (BIGINT sums stay primitive in Tungsten; wide
+    decimal sums measured ~2x the aggregate cost). round() to the
+    nearest integer is engine-identical here because the scaled
+    value sits within ~1e-6 of an integer, never near .5."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(10000.0)).cast("bigint")
+
+
+def cents(col: str | Column) -> Column:
+    """Exact integer cents of a 2dp money double (see units4)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(100.0)).cast("bigint")
+
+
+def pct_units(col: str | Column) -> Column:
+    """Exact integer 1e-2 units of a 2dp fraction (e.g. l_discount:
+    0.07 -> 7), for product algebra like cents(price) *
+    (100 - pct_units(discount)) == price*(1-discount) in exact
+    1e-4-dollar units."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(100.0)).cast("bigint")
+
+
+def units_money_sum(units_expr: Column, scale: int = 10000,
+                    ndigits: int = 2) -> Column:
+    """round(sum(money), ndigits) computed entirely in BIGINT units:
+    sum the integer units (primitive, exact, order-independent),
+    HALF_UP-quantize integerly (away from zero — matching Spark's
+    and DuckDB's decimal round()), convert to dollars at the end.
+    Bit-identical to ``CAST(round(sum(CAST(col AS DECIMAL(18,4))),
+    ndigits) AS DOUBLE)`` on the oracle side while the sum stays in
+    whole-stage codegen: both engines correctly round the same exact
+    rational to double (exact below 2^53 quantized units — 9e11
+    dollars per group at cents grain; far beyond any real group).
+
+    `scale` is the units-per-dollar of `units_expr` (10000 for
+    units4 / cents*pct products, 100 for cents)."""
+    q = scale // (10 ** ndigits)
+    if q <= 0:
+        raise ValueError(f"scale {scale} too small for {ndigits} digits")
+    s = F.sum(units_expr)
+    if q == 1:
+        return (s / F.lit(float(scale))).cast("double")
+    a = F.abs(s) + F.lit(q // 2)
+    quant = (a - F.pmod(a, F.lit(q))) / F.lit(q)  # |rounded|, in 10^-nd
+    sign = F.when(s < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (sign * quant / F.lit(float(10 ** ndigits))).cast("double")
+
+
+def units_avg(units_expr: Column, cnt: Column, scale: int = 10000,
+              ndigits: int = 4) -> Column:
+    """floor-quantized average from integer units: (sum/scale) is
+    the correctly-rounded double of the exact dollar sum — the SAME
+    double the oracle's CAST(sum(DECIMAL) AS DOUBLE) produces — so
+    the following /cnt, *10^n, floor, /10^n match the oracle's IEEE
+    sequence op for op."""
+    dollars = F.sum(units_expr) / F.lit(float(scale))
+    return floor_quantize(dollars / cnt, ndigits)
+
+
 def floor_quantize(x: Column, ndigits: int = 2) -> Column:
     """Quantize a bit-identical double with floor(x*10^n)/10^n.
 

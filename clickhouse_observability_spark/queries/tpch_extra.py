@@ -27,6 +27,7 @@ from clickhouse_observability_spark.functions.moneydec import (
     dec,
     floor_quantize,
     money_sum,
+    units4,
 )
 from clickhouse_observability_spark.registry import register, table
 
@@ -338,12 +339,14 @@ def tpch_q18_large_orders(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
-    # exact decimal: the unrounded qty sum is hash-compared, and the
-    # HAVING threshold is a boundary (sum == 100 possible) — moneydec
+    # exact integer units (moneydec fast path): the unrounded qty sum
+    # is hash-compared and the HAVING threshold is a landable boundary
+    # (sum == 100) — BIGINT sums are exact AND primitive; the
+    # threshold compares integers (> 100 dollars == > 1,000,000 u4)
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("q"))
-        .filter(F.col("q") > 100)
+        .agg(F.sum(units4("l_quantity")).alias("q"))
+        .filter(F.col("q") > 100 * 10000)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
@@ -351,7 +354,11 @@ def tpch_q18_large_orders(spark, sf_dir):
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+        .agg(
+            (F.sum(units4("l_quantity")) / F.lit(10000.0))
+            .cast("double")
+            .alias("total_qty")
+        )
         .orderBy(
             F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey")
         )
@@ -758,10 +765,10 @@ def tpch_q20_excess_shippers(spark, sf_dir):
     heavy = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
-        # exact decimal: the HAVING threshold is a landable boundary
-        # (a group summing exactly to 40) — moneydec policy
-        .agg(F.sum(dec("l_quantity")).alias("qty"))
-        .filter(F.col("qty") > 40)
+        # exact integer units (moneydec fast path): the HAVING
+        # threshold is a landable boundary (a group summing to 40)
+        .agg(F.sum(units4("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 40 * 10000)
         .select("l_suppkey")
         .distinct()
     )

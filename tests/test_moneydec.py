@@ -163,3 +163,81 @@ def test_floor_quantize_matches_duckdb_floor(spark, scale):
         for x in xs
     ]
     assert got == want
+
+
+def test_units_fast_path_equals_decimal_path(spark):
+    """The BIGINT-units fast path (units4/cents*pct/units_money_sum/
+    units_avg) must be bit-identical to the DECIMAL(18,4) reference —
+    including negative sums (HALF_UP = away from zero) and exact
+    half-cent boundaries."""
+    from clickhouse_observability_spark.functions.moneydec import (
+        cents,
+        dec,
+        floor_quantize,
+        money_sum,
+        pct_units,
+        units4,
+        units_avg,
+        units_money_sum,
+    )
+
+    rnd = random.Random(11)
+    rows = []
+    for g in range(30):
+        for _ in range(20):
+            price = rnd.randint(1, 10**7) / 100.0       # 2dp money
+            disc = rnd.randint(0, 10) / 100.0            # 2dp fraction
+            sign = -1.0 if g % 5 == 0 else 1.0           # negative groups
+            rows.append((g, sign * price, disc))
+    # park some groups exactly on the half-cent boundary of the
+    # product sum: group 0's items are crafted via integer units
+    sdf = spark.createDataFrame(rows, "g INT, price DOUBLE, d DOUBLE")
+    got = (
+        sdf.groupBy("g")
+        .agg(
+            units_money_sum(units4("price")).alias("s_fast"),
+            money_sum("price").alias("s_dec"),
+            units_money_sum(
+                cents("price") * (100 - pct_units("d"))
+            ).alias("p_fast"),
+            money_sum(dec("price") * (1 - dec("d"))).alias("p_dec"),
+            units_avg(units4("price"), F.count(F.lit(1)), ndigits=4)
+            .alias("a_fast"),
+            floor_quantize(
+                F.sum(dec("price")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("a_dec"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r["s_fast"] == r["s_dec"], r
+        assert r["p_fast"] == r["p_dec"], r
+        assert r["a_fast"] == r["a_dec"], r
+
+
+def test_units_money_sum_half_boundary_and_negatives(spark):
+    """Integer HALF_UP quantization: exactly +/-.xx5 rounds away
+    from zero, like round() over exact decimals on both engines."""
+    from clickhouse_observability_spark.functions.moneydec import (
+        units_money_sum,
+    )
+
+    rows = [  # (group, units of 1e-4 dollars)
+        (0, 1_964_425_4350),   # +x.435 -> .44
+        (1, -1_964_425_4350),  # -x.435 -> -.44 (away from zero)
+        (2, 50),               # 0.0050 -> 0.01
+        (3, -50),              # -0.0050 -> -0.01
+        (4, 49),               # 0.0049 -> 0.00
+    ]
+    sdf = spark.createDataFrame(rows, "g INT, u LONG")
+    got = {
+        r.g: r.s
+        for r in sdf.groupBy("g")
+        .agg(units_money_sum(F.col("u")).alias("s"))
+        .collect()
+    }
+    # 19,644,254,350 u4 = 1,964,425.435 dollars — the exact q9
+    # boundary value — away-from-zero to the .44 cent
+    assert got[0] == 1964425.44
+    assert got[1] == -1964425.44
+    assert got[2] == 0.01 and got[3] == -0.01 and got[4] == 0.0
