@@ -73,20 +73,31 @@ def money_sum(expr: str | Column, ndigits: int = 2) -> Column:
     )
 
 
+def _to_units(col: str | Column, scale: float) -> Column:
+    """Exact integer units of a fixed-decimal double. The scaled
+    value sits within ~1e-6 of an integer (never near .5), so
+    half-away-from-zero nearest-int is computed with pure primitive
+    arithmetic: add +/-0.5 and truncate toward zero via the long
+    cast. F.round() would be semantically identical here but runs a
+    per-row BigDecimal conversion — measured 2x+ on the hot
+    aggregates, which defeats the point of the fast path."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = c * F.lit(scale)
+    return (x + F.when(x >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast(
+        "bigint"
+    )
+
+
 def units4(col: str | Column) -> Column:
     """Exact integer 1e-4-dollar units of a <=4dp money double —
     the FAST path (BIGINT sums stay primitive in Tungsten; wide
-    decimal sums measured ~2x the aggregate cost). round() to the
-    nearest integer is engine-identical here because the scaled
-    value sits within ~1e-6 of an integer, never near .5."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * F.lit(10000.0)).cast("bigint")
+    decimal sums measured ~2x the aggregate cost)."""
+    return _to_units(col, 10000.0)
 
 
 def cents(col: str | Column) -> Column:
     """Exact integer cents of a 2dp money double (see units4)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * F.lit(100.0)).cast("bigint")
+    return _to_units(col, 100.0)
 
 
 def pct_units(col: str | Column) -> Column:
@@ -94,8 +105,7 @@ def pct_units(col: str | Column) -> Column:
     0.07 -> 7), for product algebra like cents(price) *
     (100 - pct_units(discount)) == price*(1-discount) in exact
     1e-4-dollar units."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * F.lit(100.0)).cast("bigint")
+    return _to_units(col, 100.0)
 
 
 def units_money_sum(units_expr: Column, scale: int = 10000,

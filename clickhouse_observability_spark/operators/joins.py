@@ -61,18 +61,28 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
     product folds as cents(price) * (100 - pct(discount)) = exact
     1e-4-dollar units."""
     cnt = F.count(F.lit(1))
-    disc_price_u4 = cents("l_extendedprice") * (100 - pct_units("l_discount"))
-    return (
+    # one unit conversion per column per row (the price cents feed
+    # both the base-price sum — x100 — and the discount product)
+    u = (
         lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            units_money_sum(units4("l_quantity")).alias("sum_qty"),
-            units_money_sum(units4("l_extendedprice")).alias("sum_base_price"),
-            units_money_sum(disc_price_u4).alias("sum_disc_price"),
-            units_avg(units4("l_quantity"), cnt, ndigits=4).alias("avg_qty"),
-            units_avg(units4("l_discount"), cnt, ndigits=6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            units4("l_quantity").alias("__uq"),
+            cents("l_extendedprice").alias("__ce"),
+            pct_units("l_discount").alias("__pd"),
+            units4("l_discount").alias("__ud"),
         )
+    )
+    return u.groupBy("l_returnflag", "l_linestatus").agg(
+        units_money_sum(F.col("__uq")).alias("sum_qty"),
+        units_money_sum(F.col("__ce") * 100).alias("sum_base_price"),
+        units_money_sum(F.col("__ce") * (100 - F.col("__pd"))).alias(
+            "sum_disc_price"
+        ),
+        units_avg(F.col("__uq"), cnt, ndigits=4).alias("avg_qty"),
+        units_avg(F.col("__ud"), cnt, ndigits=6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
     )
 
 
