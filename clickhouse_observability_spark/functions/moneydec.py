@@ -108,30 +108,36 @@ def pct_units(col: str | Column) -> Column:
     return _to_units(col, 100.0)
 
 
-def units_money_sum(units_expr: Column, scale: int = 10000,
-                    ndigits: int = 2) -> Column:
-    """round(sum(money), ndigits) computed entirely in BIGINT units:
-    sum the integer units (primitive, exact, order-independent),
-    HALF_UP-quantize integerly (away from zero — matching Spark's
-    and DuckDB's decimal round()), convert to dollars at the end.
-    Bit-identical to ``CAST(round(sum(CAST(col AS DECIMAL(18,4))),
-    ndigits) AS DOUBLE)`` on the oracle side while the sum stays in
-    whole-stage codegen: both engines correctly round the same exact
+def units_to_money(s: Column, scale: int = 10000,
+                   ndigits: int = 2) -> Column:
+    """HALF_UP-quantize a BIGINT units value integerly (away from
+    zero — matching Spark's and DuckDB's decimal round()) and
+    convert to dollars. Both engines correctly round the same exact
     rational to double (exact below 2^53 quantized units — 9e11
-    dollars per group at cents grain; far beyond any real group).
-
-    `scale` is the units-per-dollar of `units_expr` (10000 for
-    units4 / cents*pct products, 100 for cents)."""
+    dollars at cents grain; far beyond any real group)."""
     q = scale // (10 ** ndigits)
     if q <= 0:
         raise ValueError(f"scale {scale} too small for {ndigits} digits")
-    s = F.sum(units_expr)
     if q == 1:
         return (s / F.lit(float(scale))).cast("double")
     a = F.abs(s) + F.lit(q // 2)
     quant = (a - F.pmod(a, F.lit(q))) / F.lit(q)  # |rounded|, in 10^-nd
     sign = F.when(s < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
     return (sign * quant / F.lit(float(10 ** ndigits))).cast("double")
+
+
+def units_money_sum(units_expr: Column, scale: int = 10000,
+                    ndigits: int = 2) -> Column:
+    """round(sum(money), ndigits) computed entirely in BIGINT units:
+    sum the integer units (primitive, exact, order-independent),
+    then quantize once (units_to_money). Bit-identical to
+    ``CAST(round(sum(CAST(col AS DECIMAL(18,4))), ndigits) AS
+    DOUBLE)`` on the oracle side while the sum stays in whole-stage
+    codegen.
+
+    `scale` is the units-per-dollar of `units_expr` (10000 for
+    units4 / cents*pct products, 100 for cents)."""
+    return units_to_money(F.sum(units_expr), scale, ndigits)
 
 
 def units_avg(units_expr: Column, cnt: Column, scale: int = 10000,

@@ -108,12 +108,15 @@ def build_rollup(
     histogram is built by plain counts; level 2 collapses the
     value-bucket into a sorted array and unions the HLL sketches.
 
-    `dec_value=True` holds the sum state in exact DECIMAL(18,4)
-    (moneydec policy — only for measures with <=4 decimal digits):
-    decimal partial sums merge exactly and order-independently, so a
-    rollup answered through ANY merge tree equals the direct
-    aggregate bit-for-bit, at every scale. Double states stay the
-    default for full-precision measures.
+    `dec_value=True` holds the sum state in exact integer
+    1e-4-dollar units (moneydec fast path — only for measures with
+    <=4 decimal digits): BIGINT partial sums are primitive in
+    Tungsten AND merge exactly and order-independently, so a rollup
+    answered through ANY merge tree equals the direct aggregate
+    bit-for-bit, at every scale. Readers convert with
+    moneydec.units_money_sum semantics (sum_value is then UNITS, not
+    dollars — the adjudicated panel is the reference consumer).
+    Double states stay the default for full-precision measures.
 
     `topk_col` (opt-in, schema-preserving when absent) adds a
     MERGEABLE top-k state over that column — the CH `topKState`
@@ -137,9 +140,9 @@ def build_rollup(
          ).alias("top_items")]
         if topk_col else []
     )
-    from clickhouse_observability_spark.functions.moneydec import dec
+    from clickhouse_observability_spark.functions.moneydec import units4
 
-    sum_in = dec(value_col) if dec_value else F.col(value_col)
+    sum_in = units4(value_col) if dec_value else F.col(value_col)
     lvl1 = events.groupBy(*key, value_bucket(F.col(value_col)).alias("__vb")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(sum_in).alias("sum_value"),

@@ -58,18 +58,20 @@ def rollup_day_type_panel(spark, sf_dir):
     ).localCheckpoint(eager=True)
 
     def panel(states):
-        # decimal states merge exactly; the rounded sum and the
-        # floor-quantized avg are bit-identical to the oracle at ANY
-        # sf (this entry was the r7 sf0.001 hash-exemption — closed)
+        # integer-unit states (moneydec fast path) merge exactly AND
+        # stay primitive; the quantized sum and the floor-quantized
+        # avg are bit-identical to the oracle at ANY sf (this entry
+        # was the r7 sf0.001 hash-exemption — closed in r9)
         from clickhouse_observability_spark.functions.moneydec import (
             floor_quantize,
+            units_to_money,
         )
 
         return states.select(
             "bucket_ts", "event_type", "cnt",
-            F.round("sum_value", 2).cast("double").alias("sum_value"),
+            units_to_money(F.col("sum_value")).alias("sum_value"),
             floor_quantize(
-                F.col("sum_value").cast("double") / F.col("cnt"), 4
+                (F.col("sum_value") / F.lit(10000.0)) / F.col("cnt"), 4
             ).alias("avg_value"),
             "min_value", "max_value",
         )
