@@ -59,18 +59,21 @@ def dec(col: str | Column) -> Column:
 
 
 def money_sum(expr: str | Column, ndigits: int = 2) -> Column:
-    """Order-independent rounded sum of a decimal money expression.
+    """Order-independent rounded sum of a money expression.
 
-    ``round(sum(dec_expr), n)`` over exact decimals is deterministic;
-    the trailing double cast keeps the published schema (and the
-    driver's float canonicalization) identical to the historical
-    double output. Oracle-SQL counterpart::
+    A plain column name takes the integer-units FAST path
+    (units4 -> primitive BIGINT sum -> integer HALF_UP quantize) —
+    mathematically identical to the decimal route and ~2x faster in
+    Tungsten. A prebuilt Column (decimal products etc.) sums in
+    decimal; the trailing double cast keeps the published schema
+    (and the driver's float canonicalization) identical either way.
+    Oracle-SQL counterpart::
 
         CAST(round(sum(<dec expr>), n) AS DOUBLE)
     """
-    return F.round(F.sum(dec(expr) if isinstance(expr, str) else expr), ndigits).cast(
-        "double"
-    )
+    if isinstance(expr, str):
+        return units_money_sum(units4(expr), 10000, ndigits)
+    return F.round(F.sum(expr), ndigits).cast("double")
 
 
 def _to_units(col: str | Column, scale: float) -> Column:

@@ -19,9 +19,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from clickhouse_observability_spark.functions.moneydec import (
-    dec,
-    floor_quantize,
     money_sum,
+    units4,
+    units_avg,
 )
 
 
@@ -43,9 +43,8 @@ def type_panel(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("users"),
         money_sum("value").alias("sum_value"),
-        floor_quantize(
-            F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 4
-        ).alias("avg_value"),
+        units_avg(units4("value"), F.count(F.lit(1)), ndigits=4)
+        .alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )
@@ -93,9 +92,8 @@ def value_stats(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         money_sum("value").alias("sum_value"),
-        floor_quantize(
-            F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 4
-        ).alias("avg_value"),
+        units_avg(units4("value"), F.count(F.lit(1)), ndigits=4)
+        .alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )

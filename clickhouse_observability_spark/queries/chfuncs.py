@@ -19,7 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from clickhouse_observability_spark.functions.moneydec import dec, floor_quantize
+from clickhouse_observability_spark.functions.moneydec import (
+    units4,
+    units_avg,
+    units_money_sum,
+)
 from clickhouse_observability_spark.operators import ch_functions as CH
 from clickhouse_observability_spark.registry import register, table
 
@@ -87,14 +91,14 @@ def agg_ch_functions_panel(spark, sf_dir):
     base = ev.groupBy("event_type").agg(
         CH.arg_max("user_id", "value").alias("argmax_user"),
         CH.arg_min("user_id", "value").alias("argmin_user"),
-        F.round(F.sum(F.when(F.col("value") > 400, dec("value"))), 2)
-        .cast("double")
-        .alias("sum_if_high"),
+        units_money_sum(
+            F.when(F.col("value") > 400, units4("value"))
+        ).alias("sum_if_high"),
         F.count(F.when(F.col("value") < 1, F.lit(1))).alias("count_if_low"),
-        floor_quantize(
-            F.sum(F.when(F.col("value") >= 100, dec("value"))).cast("double")
-            / F.count(F.when(F.col("value") >= 100, F.lit(1))),
-            4,
+        units_avg(
+            F.when(F.col("value") >= 100, units4("value")),
+            F.count(F.when(F.col("value") >= 100, F.lit(1))),
+            ndigits=4,
         ).alias("avg_if_mid"),
     )
     topk = CH.top_k_by_freq(ev, "event_type", "user_id", 3) \
