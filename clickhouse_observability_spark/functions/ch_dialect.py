@@ -1320,13 +1320,23 @@ def _rewrite_array_join_clause(tokens: list[str]) -> list[str]:
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
+_JOIN_DIRS = ("inner", "left", "right", "full", "join", "cross")
+
+
 def _strip_table_modifiers(tokens: list[str]) -> list[str]:
     """Drop CH table-read modifiers with no Spark counterpart and no
     semantic effect here: `FINAL` (this engine's tables are already
     merge-complete at rest) directly after a FROM/JOIN table
-    reference, and `GLOBAL` before JOIN/IN (a ClickHouse distributed-
-    execution hint; Spark's optimizer owns that decision). Both are
-    anchored so columns named final/global survive."""
+    reference, `GLOBAL` before JOIN/IN (a ClickHouse distributed-
+    execution hint; Spark's optimizer owns that decision), and the
+    `ALL` join strictness (CH's DEFAULT — `ALL LEFT JOIN` ==
+    `LEFT JOIN`; the anchor to a following/preceding join keyword
+    keeps UNION ALL and `> ALL (subquery)` untouched). The `ANY`
+    strictness (keep ONE arbitrary match per left row) is refused
+    honestly: Spark has no counterpart and CH's pick is
+    nondeterministic — deterministic rewrites exist (LIMIT 1 BY on
+    the right side, or a row_number()=1 derived table). All anchored
+    so columns named final/global/all survive."""
     out: list[str] = []
     lows = [t.lower() for t in tokens]
     i = 0
@@ -1338,6 +1348,25 @@ def _strip_table_modifiers(tokens: list[str]) -> list[str]:
         ):
             i += 1
             continue
+        nxt = lows[i + 1] if i + 1 < len(tokens) else ""
+        prev = out[-1].lower() if out else ""
+        if tl == "all" and (
+            nxt in _JOIN_DIRS
+            or (prev in _JOIN_DIRS[:4] and nxt == "join")
+        ):
+            i += 1  # CH default strictness — a no-op spelling
+            continue
+        if tl == "any" and not _is_string(t) and (
+            nxt in _JOIN_DIRS
+            or (prev in _JOIN_DIRS[:4] and nxt == "join")
+        ):
+            raise ChDialectError(
+                "ANY join strictness (one arbitrary match per left "
+                "row) has no Spark equivalent and is nondeterministic "
+                "in ClickHouse itself; deduplicate the right side "
+                "deterministically instead — LIMIT 1 BY <key> on a "
+                "subquery, or row_number() OVER (PARTITION BY <key> "
+                "ORDER BY <tiebreak>) = 1")
         if tl == "final" and out:
             prev = out[-1].lower()
             # anchored: ident directly after FROM/JOIN, then FINAL
@@ -2164,6 +2193,67 @@ def _strip_settings(tokens: list[str]) -> list[str]:
     return tokens
 
 
+def _rewrite_star_modifiers(tokens: list[str]) -> list[str]:
+    """CH's star column modifiers (r9):
+
+    - ``* EXCEPT col`` (unparenthesized single column — CH allows
+      it) -> ``* EXCEPT (col)``, which Spark supports natively (the
+      parenthesized multi-column form passes through untouched; a
+      set-operation EXCEPT never directly follows ``*``).
+    - ``* REPLACE (expr AS col, ...)`` -> ``* EXCEPT (cols...),
+      expr AS col, ...``. Same columns and values; DOCUMENTED
+      DIVERGENCE: the replaced columns move to the END of the
+      projection (CH keeps them in place — the textual translation
+      cannot know the table's column order).
+    - ``* APPLY (f)`` refused honestly: it maps f over EVERY column,
+      which needs the column list (not knowable from SQL text).
+    """
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        tl = t.lower()
+        prev_star = bool(out) and out[-1] == "*"
+        if prev_star and tl == "apply" and not _is_string(t):
+            raise ChDialectError(
+                "* APPLY needs the table's column list, which a SQL "
+                "text translation cannot know; apply the function to "
+                "explicit columns instead")
+        if (prev_star and tl == "except" and not _is_string(t)
+                and i + 1 < len(tokens) and tokens[i + 1] != "("
+                and tokens[i + 1].lower() not in ("select", "distinct")
+                and _IDENT_RE.fullmatch(tokens[i + 1])):
+            out += ["EXCEPT", "(", tokens[i + 1], ")"]
+            i += 2
+            continue
+        if (prev_star and tl == "replace" and not _is_string(t)
+                and i + 1 < len(tokens) and tokens[i + 1] == "("):
+            args, j = _parse_args(tokens, i + 1)
+            pairs = []
+            for atoks in args:  # _parse_args yields token LISTS
+                as_pos = [k for k, a in enumerate(atoks)
+                          if a.lower() == "as" and not _is_string(a)]
+                if not as_pos or as_pos[-1] != len(atoks) - 2:
+                    raise ChDialectError(
+                        "* REPLACE takes (expr AS column, ...) with a "
+                        "trailing column name per entry")
+                pairs.append((atoks[: as_pos[-1]], atoks[-1]))
+            repl = ["EXCEPT", "("]
+            for k, (_, col) in enumerate(pairs):
+                if k:
+                    repl.append(",")
+                repl.append(col)
+            repl.append(")")
+            for expr_toks, col in pairs:
+                repl += [","] + expr_toks + ["AS", col]
+            out += repl
+            i = j
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def translate(sql: str) -> str:
     """ClickHouse SQL text -> Spark SQL text."""
     sql, _fmt = split_format_clause(sql)
@@ -2186,6 +2276,7 @@ def translate(sql: str) -> str:
             "ASOF JOIN cannot be expressed as a SQL text translation; "
             "execute through ch_sql() instead of translate()")
     tokens = _rewrite_scalar_with(_strip_settings(tokens))
+    tokens = _rewrite_star_modifiers(tokens)
     tokens = _rewrite_array_literals(_strip_table_modifiers(tokens))
     tokens = _rewrite_array_join_clause(tokens)
     tokens = _rewrite_with_totals(tokens)

@@ -2098,3 +2098,51 @@ def test_r9_sum_map_max_min_variants(spark):
     assert got_min[("a", "v")] == 1.0 and got_min[("a", "w")] == 10.0
     with pytest.raises(ValueError, match="sum/max/min"):
         sum_map(df, "g", m, agg="median")
+
+
+def test_r9_star_modifiers_and_join_strictness(spark):
+    t = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    u = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")],
+                              "a int, s string")
+    # CH's unparenthesized single-column EXCEPT; the parenthesized
+    # form is native Spark and passes through
+    assert ch_sql(spark, "SELECT * EXCEPT b FROM t",
+                  views={"t": t}).columns == ["a", "c"]
+    assert ch_sql(spark, "SELECT * EXCEPT (b, c) FROM t",
+                  views={"t": t}).columns == ["a"]
+    # * REPLACE: same values; replaced columns move to the END
+    # (documented divergence — text can't know the column order)
+    r = ch_sql(spark, "SELECT * REPLACE (a + 1 AS a, 9 AS b) FROM t",
+               views={"t": t}).collect()[0]
+    assert (r.a, r.b, r.c) == (2, 9, 3)
+    with pytest.raises(ChDialectError, match="trailing column"):
+        ch_sql(spark, "SELECT * REPLACE (a + 1) FROM t", views={"t": t})
+    with pytest.raises(ChDialectError, match="APPLY"):
+        ch_sql(spark, "SELECT * APPLY (length) FROM t", views={"t": t})
+    # ALL is CH's default join strictness — both spellings strip;
+    # UNION ALL and quantifier ALL survive the anchor
+    rows = ch_sql(spark, ("SELECT t.a, u.s FROM t ALL LEFT JOIN u "
+                          "ON t.a = u.a ORDER BY s"),
+                  views={"t": t, "u": u}).collect()
+    assert [(r.a, r.s) for r in rows] == [(1, "x"), (1, "y")]
+    rows2 = ch_sql(spark, ("SELECT t.a, u.s FROM t LEFT ALL JOIN u "
+                           "ON t.a = u.a ORDER BY s"),
+                   views={"t": t, "u": u}).collect()
+    assert [(r.a, r.s) for r in rows2] == [(1, "x"), (1, "y")]
+    assert ch_sql(spark, "SELECT a FROM t UNION ALL SELECT a FROM t",
+                  views={"t": t}).count() == 2
+    # ANY strictness refused with the deterministic rewrite hint
+    with pytest.raises(ChDialectError, match="LIMIT 1 BY"):
+        ch_sql(spark, "SELECT t.a FROM t ANY LEFT JOIN u ON t.a = u.a",
+               views={"t": t, "u": u})
+    # CH LEFT SEMI / LEFT ANTI are native Spark spellings
+    assert ch_sql(spark, ("SELECT t.a FROM t LEFT SEMI JOIN u "
+                          "ON t.a = u.a"),
+                  views={"t": t, "u": u}).count() == 1
+    assert ch_sql(spark, ("SELECT t.a FROM t LEFT ANTI JOIN u "
+                          "ON t.a = u.a"),
+                  views={"t": t, "u": u}).count() == 0
+    # GLOBAL IN strips (distributed hint; local no-op)
+    assert ch_sql(spark, ("SELECT count() AS n FROM t WHERE a "
+                          "GLOBAL IN (SELECT a FROM u)"),
+                  views={"t": t, "u": u}).collect()[0].n == 1
