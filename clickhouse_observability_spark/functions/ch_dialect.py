@@ -527,6 +527,23 @@ _FUNCS = {
     "avgif": _agg_if("avg"),
     "minif": _agg_if("min"),
     "maxif": _agg_if("max"),
+    # the -Array combinator family (r9): aggregate over every ELEMENT
+    # of an array column across all rows of the group
+    "sumarray": lambda a: (
+        f"sum(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(__acc, __x) -> __acc + __x))"),
+    "minarray": lambda a: f"min(array_min({a[0]}))",
+    "maxarray": lambda a: f"max(array_max({a[0]}))",
+    "avgarray": lambda a: (
+        f"(sum(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(__acc, __x) -> __acc + __x)) / sum(size({a[0]})))"),
+    "countarray": lambda a: f"sum(size({a[0]}))",
+    # uniqArray: exact distinct elements across the group — the
+    # collect_list gathers per-group ARRAYS (bounded by the group's
+    # element count, same as CH's exact set state)
+    "uniqarray": lambda a: (
+        f"size(array_distinct(flatten(collect_list({a[0]}))))"),
+    "grouparrayarray": lambda a: f"flatten(collect_list({a[0]}))",
     # distinct-count family
     "uniq": lambda a: f"approx_count_distinct({', '.join(a)})",
     "uniqcombined": lambda a: f"approx_count_distinct({', '.join(a)})",

@@ -2146,3 +2146,23 @@ def test_r9_star_modifiers_and_join_strictness(spark):
     assert ch_sql(spark, ("SELECT count() AS n FROM t WHERE a "
                           "GLOBAL IN (SELECT a FROM u)"),
                   views={"t": t, "u": u}).collect()[0].n == 1
+
+
+def test_r9_array_combinator_aggregates(spark):
+    spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0]), ("b", [2.0, 2.0, 5.0])],
+        "g string, arr array<double>",
+    ).createOrReplaceTempView("av")
+    rows = ch_sql(spark, (
+        "SELECT g, sumArray(arr) AS s, minArray(arr) AS mn, "
+        "maxArray(arr) AS mx, avgArray(arr) AS av, "
+        "countArray(arr) AS n, uniqArray(arr) AS u "
+        "FROM av GROUP BY g ORDER BY g"
+    )).collect()
+    a, b = rows
+    assert (a.s, a.mn, a.mx, a.av, a.n, a.u) == (6.0, 1.0, 3.0, 2.0, 3, 3)
+    assert (b.s, b.mn, b.mx, b.n, b.u) == (9.0, 2.0, 5.0, 3, 2)
+    flat = ch_sql(spark, (
+        "SELECT g, groupArrayArray(arr) AS all_vals FROM av "
+        "GROUP BY g ORDER BY g")).collect()
+    assert sorted(flat[0].all_vals) == [1.0, 2.0, 3.0]
