@@ -2210,6 +2210,60 @@ def _strip_settings(tokens: list[str]) -> list[str]:
     return tokens
 
 
+def _rewrite_distinct_on(tokens: list[str]) -> list[str]:
+    """CH `SELECT DISTINCT ON (e1, e2) ...` (21.8+) — keep the first
+    row per distinct key, in the statement's ORDER BY order — is
+    exactly `LIMIT 1 BY e1, e2`: rewrite to that form and let the
+    LIMIT BY machinery build the row_number wrapper. Handled for the
+    plain SELECT-leading statement; DISTINCT ON inside CTEs or
+    subqueries is refused (same scope rule as LIMIT BY itself)."""
+    lows = [t.lower() for t in tokens]
+    leading = (
+        len(tokens) >= 5
+        and lows[0] == "select"
+        and lows[1] == "distinct"
+        and lows[2] == "on"
+        and tokens[3] == "("
+    )
+    if not leading:
+        for i in range(len(tokens) - 1):
+            if (lows[i] == "distinct" and lows[i + 1] == "on"
+                    and not _is_string(tokens[i])):
+                raise ChDialectError(
+                    "DISTINCT ON is supported only as the statement's "
+                    "leading SELECT DISTINCT ON (...); rewrite inner "
+                    "uses as LIMIT 1 BY")
+        return tokens
+    exprs, j = _parse_args(tokens, 3)
+    if not exprs:
+        raise ChDialectError("DISTINCT ON needs at least one expression")
+    rest = tokens[j:]
+    depth = 0
+    insert = len(rest)
+    for i, t in enumerate(rest):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.lower() in ("union", "intersect"):
+            raise ChDialectError(
+                "DISTINCT ON over a set operation is not supported; "
+                "wrap the union in a named view first")
+        elif (depth == 0 and t.lower() == "limit"
+              and i + 2 < len(rest) and rest[i + 2].lower() == "by"):
+            raise ChDialectError(
+                "DISTINCT ON combined with LIMIT BY is not supported")
+        elif depth == 0 and t.lower() == "limit" and insert == len(rest):
+            insert = i  # per-group filter runs before the global LIMIT
+    by_toks: list[str] = []
+    for k, e in enumerate(exprs):
+        if k:
+            by_toks.append(",")
+        by_toks += e
+    return (["SELECT"] + rest[:insert]
+            + ["LIMIT", "1", "BY"] + by_toks + rest[insert:])
+
+
 def _rewrite_star_modifiers(tokens: list[str]) -> list[str]:
     """CH's star column modifiers (r9):
 
@@ -2297,7 +2351,7 @@ def translate(sql: str) -> str:
     tokens = _rewrite_array_literals(_strip_table_modifiers(tokens))
     tokens = _rewrite_array_join_clause(tokens)
     tokens = _rewrite_with_totals(tokens)
-    tokens = _rewrite_limit_by(tokens)
+    tokens = _rewrite_limit_by(_rewrite_distinct_on(tokens))
     return _emit(_rewrite_sample(_rewrite_prewhere(tokens)))
 
 

@@ -2166,3 +2166,23 @@ def test_r9_array_combinator_aggregates(spark):
         "SELECT g, groupArrayArray(arr) AS all_vals FROM av "
         "GROUP BY g ORDER BY g")).collect()
     assert sorted(flat[0].all_vals) == [1.0, 2.0, 3.0]
+
+
+def test_r9_distinct_on(spark):
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 5.0), ("b", 3, 7.0), ("b", 4, 9.0)],
+        "g string, id int, v double",
+    ).createOrReplaceTempView("dv")
+    # first row per g in the statement's ORDER BY == LIMIT 1 BY g
+    rows = ch_sql(spark, (
+        "SELECT DISTINCT ON (g) g, id, v FROM dv ORDER BY v DESC"
+    )).collect()
+    assert sorted((r.g, r.id) for r in rows) == [("a", 1), ("b", 4)]
+    # with a trailing global LIMIT the per-group filter runs first
+    rows2 = ch_sql(spark, (
+        "SELECT DISTINCT ON (g) g, id FROM dv ORDER BY v DESC LIMIT 1"
+    )).collect()
+    assert [(r.g, r.id) for r in rows2] == [("a", 1)]
+    with pytest.raises(ChDialectError, match="leading"):
+        ch_sql(spark, ("SELECT * FROM (SELECT DISTINCT ON (g) g "
+                       "FROM dv) x"))
