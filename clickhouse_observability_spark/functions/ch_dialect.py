@@ -574,7 +574,7 @@ _FUNCS = {
     # scalars
     "multiif": _multi_if,
     "ifnull": lambda a: f"coalesce({', '.join(a)})",
-    "assumenotnull": lambda a: a[0],
+    # (assumeNotNull lives in the NULL-family block below)
     "tostring": lambda a: f"CAST({a[0]} AS STRING)",
     "toint64": lambda a: f"CAST({a[0]} AS BIGINT)",
     "touint64": lambda a: f"CAST({a[0]} AS BIGINT)",
@@ -745,15 +745,12 @@ _FUNCS = {
     # --- r6 vocabulary wave -------------------------------------------
     # sub-hour buckets beyond toStartOfMinute: arithmetic on the unix
     # axis (CH buckets the same way)
-    "tostartoffiveminutes": lambda a: (
-        f"timestamp_seconds((unix_timestamp({a[0]}) DIV 300) * 300)"),
-    "tostartoftenminutes": lambda a: (
-        f"timestamp_seconds((unix_timestamp({a[0]}) DIV 600) * 600)"),
-    "tostartoffifteenminutes": lambda a: (
-        f"timestamp_seconds((unix_timestamp({a[0]}) DIV 900) * 900)"),
+    # fixed-width sub-hour buckets — all through _minute_bucket
+    # (floor, not DIV: truncation-toward-zero misbuckets pre-1970
+    # timestamps; r9 dedup of two historical definitions)
+    "tostartoffiveminutes": lambda a: _minute_bucket(a[0], 300),
     # CH timeSlot = floor to the half hour
-    "timeslot": lambda a: (
-        f"timestamp_seconds((unix_timestamp({a[0]}) DIV 1800) * 1800)"),
+    "timeslot": lambda a: _minute_bucket(a[0], 1800),
     "tointervalsecond": lambda a: f"make_interval(0, 0, 0, 0, 0, 0, {a[0]})",
     "tointervalminute": lambda a: f"make_interval(0, 0, 0, 0, 0, {a[0]}, 0)",
     "tointervalhour": lambda a: f"make_interval(0, 0, 0, 0, {a[0]}, 0, 0)",
@@ -977,7 +974,13 @@ _FUNCS = {
     "leftpad": lambda a: f"lpad({', '.join(a)})",
     "rightpad": lambda a: f"rpad({', '.join(a)})",
     # table function: FROM numbers(N) — CH's row generator
-    "numbers": lambda a: f"(SELECT id AS number FROM range({a[0]}))",
+    # numbers(N) / numbers(offset, N) (r9 adds the 2-arg form)
+    "numbers": lambda a: (
+        f"(SELECT id AS number FROM range({a[0]}))" if len(a) == 1
+        else f"(SELECT id AS number FROM range({a[0]}, "
+             f"({a[0]}) + ({a[1]})))" if len(a) == 2
+        else (_ for _ in ()).throw(ChDialectError(
+            "numbers(N) or numbers(offset, N)"))),
 }
 
 def _uniq_combined_param(p, a):
@@ -2490,7 +2493,7 @@ _DROP_VIEW_RE = re.compile(
 # CH EXPLAIN [SYNTAX|PLAN] stmt — SYNTAX shows the rewritten query
 # (here: the Spark SQL translation), PLAN/default the execution plan
 _EXPLAIN_RE = re.compile(
-    r"^\s*EXPLAIN(\s+SYNTAX|\s+PLAN|\s+ESTIMATE|\s+PIPELINE)?"
+    r"^\s*EXPLAIN(\s+SYNTAX|\s+PLAN|\s+ESTIMATE|\s+PIPELINE|\s+AST)?"
     r"\s+(SELECT\b.+|WITH\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -4676,6 +4679,11 @@ def _ch_sql_stmt(
             from clickhouse_observability_spark.session import local_df
             return local_df(spark, [(translate(inner),)],
                             "statement string")
+        if (mode or "").strip().lower() == "ast":
+            # CH EXPLAIN AST prints the parse tree; the analog is
+            # Spark's EXTENDED output, whose first section IS the
+            # parsed (pre-analysis) logical plan
+            return spark.sql("EXPLAIN EXTENDED " + translate(inner))
         if (mode or "").strip().lower() == "pipeline":
             # CH EXPLAIN PIPELINE shows the physical processor graph
             # with parallelism; the analog is Spark's FORMATTED

@@ -2186,3 +2186,15 @@ def test_r9_distinct_on(spark):
     with pytest.raises(ChDialectError, match="leading"):
         ch_sql(spark, ("SELECT * FROM (SELECT DISTINCT ON (g) g "
                        "FROM dv) x"))
+
+
+def test_r9_numbers_table_function_and_explain_ast(spark):
+    rows = ch_sql(spark, (
+        "SELECT number, number * 2 AS d FROM numbers(4) "
+        "WHERE number > 0 ORDER BY number")).collect()
+    assert [(r.number, r.d) for r in rows] == [(1, 2), (2, 4), (3, 6)]
+    rows2 = ch_sql(spark, (
+        "SELECT sum(number) AS s FROM numbers(5, 3)")).collect()
+    assert rows2[0].s == 5 + 6 + 7
+    out = ch_sql(spark, "EXPLAIN AST SELECT 1 AS x").collect()
+    assert "Parsed Logical Plan" in out[0][0]
