@@ -2198,3 +2198,29 @@ def test_r9_numbers_table_function_and_explain_ast(spark):
     assert rows2[0].s == 5 + 6 + 7
     out = ch_sql(spark, "EXPLAIN AST SELECT 1 AS x").collect()
     assert "Parsed Logical Plan" in out[0][0]
+
+
+def test_no_duplicate_function_mapping_keys():
+    """A duplicate key in the _FUNCS/_PARAM_FUNCS literals silently
+    shadows the earlier definition (r9 found three such shadows from
+    historical waves) — keep the class mechanical."""
+    import inspect
+    import re
+
+    from clickhouse_observability_spark.functions import ch_dialect as D
+
+    src = inspect.getsource(D)
+    for dict_name in ("_FUNCS", "_PARAM_FUNCS"):
+        start = src.index(f"{dict_name} = {{") + len(dict_name) + 3
+        depth, end = 1, start
+        for j in range(start, len(src)):
+            if src[j] == "{":
+                depth += 1
+            elif src[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    end = j
+                    break
+        names = re.findall(r"\"([a-zA-Z0-9_]+)\":", src[start:end])
+        dups = sorted({n for n in names if names.count(n) > 1})
+        assert not dups, f"duplicate keys in {dict_name}: {dups}"
