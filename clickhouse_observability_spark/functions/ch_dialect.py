@@ -379,6 +379,129 @@ def _array_resize(a: list[str]) -> str:
     )
 
 
+def _date_add_sub(a: list[str], prefix: str, name: str) -> str:
+    """CH dateAdd/dateSub/timestampAdd/timestampSub. Two forms:
+    (unit, n, date) with a bare or quoted unit keyword, routed
+    through the add*/subtract* family (same clamping semantics), and
+    (date, INTERVAL ...) which is native Spark arithmetic."""
+    if len(a) == 2:
+        op = "+" if prefix == "add" else "-"
+        return f"({a[0]} {op} {a[1]})"
+    if len(a) != 3:
+        raise ChDialectError(f"{name}(unit, n, date) or {name}(date, interval)")
+    unit = a[0].strip().strip("'\"").lower()
+    n, d = a[1], a[2]
+    if unit == "quarter":
+        unit, n = "month", f"(3 * ({n}))"
+    fn = _FUNCS.get(f"{prefix}{unit}s")
+    if fn is None:
+        raise ChDialectError(
+            f"{name}: unsupported unit {unit!r} (year/quarter/month/"
+            f"week/day/hour/minute/second)")
+    return fn([d, n])
+
+
+def _ch_transform(a: list[str]) -> str:
+    """CH transform(x, from, to[, default]) — the literal-array
+    dictionary lookup — vs Spark's higher-order transform(arr,
+    lambda), which passes through when the second argument is a
+    lambda. try_element_at: a missing key must yield the fallback,
+    not an ANSI error."""
+    if len(a) == 2 and "->" in a[1]:
+        return f"transform({a[0]}, {a[1]})"
+    if len(a) == 3:
+        return (f"coalesce(try_element_at(map_from_arrays({a[1]}, "
+                f"{a[2]}), {a[0]}), {a[0]})")
+    if len(a) == 4:
+        return (f"coalesce(try_element_at(map_from_arrays({a[1]}, "
+                f"{a[2]}), {a[0]}), {a[3]})")
+    raise ChDialectError(
+        "transform(x, [from...], [to...][, default]) or the Spark "
+        "higher-order transform(arr, lambda)")
+
+
+def _round_down_to_set(x: str, arr: str) -> str:
+    """roundDown contract: the largest set element <= x, else the
+    set's minimum (CH returns the lowest bound below the range)."""
+    return (f"coalesce(array_max(filter({arr}, __rd -> __rd <= ({x}))), "
+            f"array_min({arr}))")
+
+
+def _json_type(a: list[str]) -> str:
+    """CH JSONType by leading token of the trimmed document. Number
+    subtyping (Int64 vs Double) is decided textually; CH decides from
+    its parsed representation — same answer on canonical JSON."""
+    x = f"trim({a[0]})"
+    return (
+        f"CASE WHEN {a[0]} IS NULL THEN NULL "
+        f"WHEN startswith({x}, '{{') THEN 'Object' "
+        f"WHEN startswith({x}, '[') THEN 'Array' "
+        f"WHEN startswith({x}, '\"') THEN 'String' "
+        f"WHEN {x} IN ('true', 'false') THEN 'Bool' "
+        f"WHEN {x} = 'null' THEN 'Null' "
+        f"WHEN {x} RLIKE '^-?[0-9]+$' THEN 'Int64' "
+        f"WHEN {x} RLIKE '^-?[0-9]+(\\\\.[0-9]+)?([eE][+-]?[0-9]+)?$' "
+        f"THEN 'Double' ELSE '' END")
+
+
+def _json_extract_array_raw(a: list[str]) -> str:
+    """Array elements as JSON text. get_json_object re-serializes
+    minified — raw modulo insignificant whitespace (documented).
+    The empty/absent guard matters: sequence(0, -1) would DESCEND."""
+    if len(a) == 1:
+        doc = a[0]
+    else:  # path tail like CH JSONExtractArrayRaw(json, 'key')
+        doc = f"get_json_object({a[0]}, concat('$.', {a[1]}))"
+    return (
+        f"CASE WHEN coalesce(json_array_length({doc}), 0) > 0 THEN "
+        f"transform(sequence(0, json_array_length({doc}) - 1), "
+        f"__i -> get_json_object({doc}, concat('$[', __i, ']'))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END")
+
+
+def _simple_json(cast: str | None, as_bool: bool = False):
+    """visitParam*/simpleJSON* family. CH scans for the FIRST
+    occurrence of the field at ANY nesting level; this translation
+    reads the TOP-LEVEL field (documented divergence — identical on
+    the flat attribute objects these functions are used for)."""
+    def rule(a: list[str]) -> str:
+        v = f"get_json_object({a[0]}, concat('$.', {a[1]}))"
+        if as_bool:
+            return f"({v} = 'true')"
+        if cast is None:
+            return v
+        return f"CAST({v} AS {cast})"
+    return rule
+
+
+_IPV4_RE = (
+    "^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}"
+    "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+)
+
+
+def _ipv4_valid(s: str) -> str:
+    return f"({s} RLIKE '{_IPV4_RE}')"
+
+
+def _ipv4_to_num(s: str) -> str:
+    return (
+        f"aggregate(transform(split({s}, '\\\\.'), "
+        f"__o -> CAST(__o AS BIGINT)), CAST(0 AS BIGINT), "
+        f"(__acc, __x) -> __acc * 256 + __x)")
+
+
+def _normalize_query(a: list[str]) -> str:
+    """CH normalizeQuery: literals -> '?'. Token-approximate: quoted
+    strings first, then standalone numeric tokens (an identifier's
+    trailing digits — col1 — survive because the preceding character
+    class excludes word characters)."""
+    strings_gone = f"regexp_replace({a[0]}, \"'[^']*'\", '?')"
+    return (
+        f"regexp_replace({strings_gone}, "
+        f"'(^|[^A-Za-z0-9_])[0-9]+(\\\\.[0-9]+)?', '$1?')")
+
+
 _FUNCS = {
     # JSON family (F1; db.go:96)
     "jsonextractstring": _json_extract(None),
@@ -981,6 +1104,284 @@ _FUNCS = {
              f"({a[0]}) + ({a[1]})))" if len(a) == 2
         else (_ for _ in ()).throw(ChDialectError(
             "numbers(N) or numbers(offset, N)"))),
+    # --- r9 vocabulary wave 5 ------------------------------------------
+    # URL family completion. CH's URL functions return '' (never
+    # NULL) on absent components — coalesced where parse_url yields
+    # NULL. topLevelDomain of a dot-less host is '' like CH.
+    "topleveldomain": lambda a: (
+        f"coalesce(CASE WHEN instr(parse_url({a[0]}, 'HOST'), '.') > 0 "
+        f"THEN element_at(split(parse_url({a[0]}, 'HOST'), '\\\\.'), -1) "
+        f"ELSE '' END, '')"),
+    "extracturlparameter": lambda a: (
+        f"coalesce(parse_url({a[0]}, 'QUERY', {a[1]}), '')"),
+    "netloc": lambda a: f"coalesce(parse_url({a[0]}, 'AUTHORITY'), '')",
+    "fragment": lambda a: f"coalesce(parse_url({a[0]}, 'REF'), '')",
+    # cutQueryString removes '?query' but KEEPS '#fragment' (CH has
+    # the AndFragment variant for both); '#' precedes '?' never in a
+    # well-formed URL, so the fragment tail starts at instr('#')
+    "cutquerystring": lambda a: (
+        f"IF(instr({a[0]}, '?') = 0, {a[0]}, "
+        f"concat(substring({a[0]}, 1, instr({a[0]}, '?') - 1), "
+        f"IF(instr({a[0]}, '#') > 0, "
+        f"substring({a[0]}, instr({a[0]}, '#')), '')))"),
+    "cutfragment": lambda a: (
+        f"IF(instr({a[0]}, '#') = 0, {a[0]}, "
+        f"substring({a[0]}, 1, instr({a[0]}, '#') - 1))"),
+    "cutquerystringandfragment": lambda a: (
+        f"substring({a[0]}, 1, "
+        f"least(IF(instr({a[0]}, '?') = 0, length({a[0]}) + 1, "
+        f"instr({a[0]}, '?')), IF(instr({a[0]}, '#') = 0, "
+        f"length({a[0]}) + 1, instr({a[0]}, '#'))) - 1)"),
+    # CH's first-significant-subdomain heuristic: the label before
+    # the TLD, unless that label is itself a generic second-level
+    # registrar (com/net/org/co/gov/edu/mil/ac) — then one deeper
+    # (news.clickhouse.com.tr -> 'clickhouse'). CH ships a
+    # public-suffix list; this is its documented fallback heuristic.
+    "firstsignificantsubdomain": lambda a: (
+        f"coalesce(CASE WHEN size(split(parse_url({a[0]}, 'HOST'), "
+        f"'\\\\.')) < 2 THEN '' WHEN size(split(parse_url({a[0]}, "
+        f"'HOST'), '\\\\.')) >= 3 AND element_at(split(parse_url("
+        f"{a[0]}, 'HOST'), '\\\\.'), -2) IN ('com', 'net', 'org', "
+        f"'co', 'gov', 'edu', 'mil', 'ac') THEN element_at(split("
+        f"parse_url({a[0]}, 'HOST'), '\\\\.'), -3) ELSE element_at("
+        f"split(parse_url({a[0]}, 'HOST'), '\\\\.'), -2) END, '')"),
+    # encode: Spark url_encode is form-encoding (space -> '+'); CH
+    # percent-encodes -> swap. decode: protect literal '+' first (CH
+    # does not decode '+' to space).
+    "encodeurlcomponent": lambda a: (
+        f"replace(url_encode({a[0]}), '+', '%20')"),
+    "decodeurlcomponent": lambda a: (
+        f"url_decode(replace({a[0]}, '+', '%2B'))"),
+    # IPv4 family. StringToNum raises on malformed input like CH
+    # (raise_error, not a silent wrong number from a short split);
+    # the OrNull guard variant yields NULL. Leading zeros are
+    # invalid, as in CH.
+    "ipv4numtostring": lambda a: (
+        f"concat_ws('.', CAST((shiftright({a[0]}, 24) & 255) AS STRING), "
+        f"CAST((shiftright({a[0]}, 16) & 255) AS STRING), "
+        f"CAST((shiftright({a[0]}, 8) & 255) AS STRING), "
+        f"CAST(({a[0]} & 255) AS STRING))"),
+    "ipv4stringtonum": lambda a: (
+        f"CASE WHEN {_ipv4_valid(a[0])} THEN {_ipv4_to_num(a[0])} "
+        f"ELSE CAST(raise_error(concat('IPv4StringToNum: invalid "
+        f"IPv4 string: ', coalesce({a[0]}, 'NULL'))) AS BIGINT) END"),
+    "ipv4stringtonumornull": lambda a: (
+        f"CASE WHEN {_ipv4_valid(a[0])} THEN {_ipv4_to_num(a[0])} END"),
+    "isipv4string": lambda a: f"CAST({_ipv4_valid(a[0])} AS INT)",
+    "ipv6numtostring": _unsupported(
+        "IPv6NumToString",
+        "IPv6 compression rules have no compact Spark expression; "
+        "store IPv4 as UInt32 or the dotted string"),
+    # array enumerations. transform's 0-based lambda index is the
+    # empty-safe way to build [1..n] (sequence(1, 0) DESCENDS).
+    # Dense ranks ride array_distinct's first-occurrence order;
+    # Uniq counts occurrences within the prefix (NULL-safe <=>).
+    "arrayenumerate": lambda a: (
+        f"transform({a[0]}, (__x, __i) -> __i + 1)"),
+    "arrayenumeratedense": lambda a: (
+        f"transform({a[0]}, __x -> "
+        f"array_position(array_distinct({a[0]}), __x))"),
+    "arrayenumerateuniq": lambda a: (
+        f"transform({a[0]}, (__x, __i) -> "
+        f"size(filter(slice({a[0]}, 1, __i + 1), __y -> __y <=> __x)))"),
+    "alphatokens": lambda a: (
+        f"filter(split({a[0]}, '[^A-Za-z]+'), __t -> __t != '')"),
+    "tokens": lambda a: (
+        f"filter(split({a[0]}, '[^A-Za-z0-9]+'), __t -> __t != '')"),
+    "splitbywhitespace": lambda a: (
+        f"filter(split({a[0]}, '\\\\s+'), __t -> __t != '')"),
+    # CH splitByRegexp takes (regexp, s) — reversed from Spark split
+    "splitbyregexp": lambda a: f"split({a[1]}, {a[0]})",
+    # character n-grams; the length guard keeps sequence() ascending
+    "ngrams": lambda a: (
+        f"CASE WHEN char_length({a[0]}) >= ({a[1]}) THEN "
+        f"transform(sequence(1, char_length({a[0]}) - ({a[1]}) + 1), "
+        f"__i -> substring({a[0]}, __i, {a[1]})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"),
+    # multi-needle search completion (multiSearchAny shipped r9 w3)
+    "multisearchallpositions": lambda a: (
+        f"transform({a[1]}, __n -> instr({a[0]}, __n))"),
+    "multisearchfirstposition": lambda a: (
+        f"coalesce(array_min(filter(transform({a[1]}, "
+        f"__n -> instr({a[0]}, __n)), __p -> __p > 0)), 0)"),
+    # leftmost occurrence wins; position ties resolve to the earliest
+    # needle in the list (array_position returns the first match)
+    "multisearchfirstindex": lambda a: (
+        f"coalesce(array_position(transform({a[1]}, "
+        f"__n -> instr({a[0]}, __n)), array_min(filter(transform("
+        f"{a[1]}, __n -> instr({a[0]}, __n)), __p -> __p > 0))), 0)"),
+    "countmatches": lambda a: (
+        f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"),
+    # transform-as-dictionary + the rounding set family
+    "transform": _ch_transform,
+    "rounddown": lambda a: _round_down_to_set(a[0], a[1]),
+    # CH roundAge's fixed buckets (docs: 0, 17, 18, 25, 35, 45, 55)
+    "roundage": lambda a: (
+        f"CASE WHEN ({a[0]}) < 1 THEN 0 WHEN ({a[0]}) <= 17 THEN 17 "
+        f"WHEN ({a[0]}) <= 24 THEN 18 WHEN ({a[0]}) <= 34 THEN 25 "
+        f"WHEN ({a[0]}) <= 44 THEN 35 WHEN ({a[0]}) <= 54 THEN 45 "
+        f"ELSE 55 END"),
+    # CH roundDuration = roundDown over its documented seconds grid
+    "roundduration": lambda a: _round_down_to_set(
+        a[0], "array(0, 1, 10, 30, 60, 120, 180, 240, 300, 600, "
+              "1200, 1800, 3600, 7200, 18000, 36000)"),
+    "intexp2": lambda a: (
+        f"shiftleft(CAST(1 AS BIGINT), CAST({a[0]} AS INT))"),
+    # 10^n exact for the CH-defined n <= 18 (all fit a double's
+    # 53-bit mantissa via the 5^n factor; round() clears the last ulp)
+    "intexp10": lambda a: (
+        f"CAST(round(power(10, {a[0]})) AS BIGINT)"),
+    "roundtoexp2": lambda a: (
+        f"IF(({a[0]}) < 1, 0, shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(floor(log2({a[0]})) AS INT)))"),
+    # generic-unit date arithmetic routed through the add*/subtract*
+    # family (identical clamping); the INTERVAL form is native
+    "dateadd": lambda a: _date_add_sub(a, "add", "dateAdd"),
+    "datesub": lambda a: _date_add_sub(a, "subtract", "dateSub"),
+    "timestampadd": lambda a: _date_add_sub(a, "add", "timestampAdd"),
+    "timestampsub": lambda a: _date_add_sub(a, "subtract", "timestampSub"),
+    # toTime: keep the time-of-day, pin the date to 1970-01-02 (CH's
+    # documented anchor day)
+    "totime": lambda a: (
+        f"(timestamp'1970-01-02 00:00:00' + "
+        f"({a[0]} - date_trunc('DAY', {a[0]})))"),
+    "monthname": lambda a: f"date_format({a[0]}, 'MMMM')",
+    # toRelative*Num: epoch-anchored unit counters. floor-division
+    # (not DIV) keeps pre-1970 values on the grid; month/year are
+    # calendar counters (CH: year*12 + month). Week is refused — its
+    # CH anchor is an implementation detail no doc pins down.
+    "torelativesecondnum": lambda a: f"unix_timestamp({a[0]})",
+    "torelativeminutenum": lambda a: (
+        f"CAST(floor(unix_timestamp({a[0]}) / 60) AS BIGINT)"),
+    "torelativehournum": lambda a: (
+        f"CAST(floor(unix_timestamp({a[0]}) / 3600) AS BIGINT)"),
+    "torelativedaynum": lambda a: (
+        f"CAST(floor(unix_timestamp({a[0]}) / 86400) AS BIGINT)"),
+    "torelativemonthnum": lambda a: (
+        f"(year({a[0]}) * 12 + month({a[0]}))"),
+    "torelativeyearnum": lambda a: f"year({a[0]})",
+    "torelativeweeknum": _unsupported(
+        "toRelativeWeekNum",
+        "CH's epoch-week anchor is undocumented; use "
+        "toRelativeDayNum DIV 7 or toStartOfWeek"),
+    # hash family completion. MD5/SHA* return BINARY digests like
+    # CH's FixedString (wrap in hex() for the printable form).
+    # sipHash128/xxHash32 follow the cityHash64 precedent: mapped to
+    # a Spark-native hash of the same shape — a DOCUMENTED VALUE
+    # DIVERGENCE, sound for bucketing/fingerprinting, not for
+    # comparing against hashes a real ClickHouse computed.
+    "md5": lambda a: f"unhex(md5({a[0]}))",
+    "sha1": lambda a: f"unhex(sha1({a[0]}))",
+    "sha224": lambda a: f"unhex(sha2({a[0]}, 224))",
+    "sha256": lambda a: f"unhex(sha2({a[0]}, 256))",
+    "sha512": lambda a: f"unhex(sha2({a[0]}, 512))",
+    "siphash128": lambda a: f"unhex(md5({', '.join(a)}))",
+    "xxhash32": lambda a: (
+        f"CAST((xxhash64({', '.join(a)}) & 4294967295) AS BIGINT)"),
+    "bithammingdistance": lambda a: (
+        f"bit_count(({a[0]}) ^ ({a[1]}))"),
+    # JSON introspection completion
+    "jsonlength": lambda a: (
+        f"coalesce(json_array_length({a[0]}), "
+        f"size(json_object_keys({a[0]})))" if len(a) == 1
+        else (_ for _ in ()).throw(ChDialectError(
+            "JSONLength with a path: extract the subtree with "
+            "JSONExtractRaw first"))),
+    "jsontype": _json_type,
+    "jsonextractraw": lambda a: (
+        a[0] if len(a) == 1
+        else f"get_json_object({a[0]}, concat('$.', {a[1]}))"),
+    "jsonextractarrayraw": _json_extract_array_raw,
+    # visitParam*/simpleJSON* (the legacy fast-JSON family); CH scans
+    # any depth, this reads top-level — documented in _simple_json
+    "visitparamextractstring": _simple_json(None),
+    "visitparamextractint": _simple_json("BIGINT"),
+    "visitparamextractfloat": _simple_json("DOUBLE"),
+    "visitparamextractbool": _simple_json(None, as_bool=True),
+    "visitparamhas": lambda a: (
+        f"(get_json_object({a[0]}, concat('$.', {a[1]})) IS NOT NULL)"),
+    "simplejsonextractstring": _simple_json(None),
+    "simplejsonextractint": _simple_json("BIGINT"),
+    "simplejsonextractfloat": _simple_json("DOUBLE"),
+    "simplejsonextractbool": _simple_json(None, as_bool=True),
+    "simplejsonhas": lambda a: (
+        f"(get_json_object({a[0]}, concat('$.', {a[1]})) IS NOT NULL)"),
+    # geo: haversine on the R=6371 km sphere, (lon, lat, lon, lat)
+    # argument order like CH. CH applies an ellipsoid correction —
+    # values agree to ~0.5% (documented approximation); geoDistance
+    # shares the mapping.
+    "greatcircledistance": lambda a: (
+        f"(2 * 6371000 * asin(sqrt(power(sin(radians(({a[3]}) - "
+        f"({a[1]})) / 2), 2) + cos(radians({a[1]})) * "
+        f"cos(radians({a[3]})) * power(sin(radians(({a[2]}) - "
+        f"({a[0]})) / 2), 2))))"),
+    "geodistance": lambda a: (
+        f"(2 * 6371000 * asin(sqrt(power(sin(radians(({a[3]}) - "
+        f"({a[1]})) / 2), 2) + cos(radians({a[1]})) * "
+        f"cos(radians({a[3]})) * power(sin(radians(({a[2]}) - "
+        f"({a[0]})) / 2), 2))))"),
+    "pointinpolygon": _unsupported(
+        "pointInPolygon",
+        "polygon containment needs a geometry library; pre-compute "
+        "containment flags at ingest or use an H3-style cell join"),
+    # query normalization (literals -> '?'; token-approximate)
+    "normalizequery": _normalize_query,
+    "normalizedqueryhash": lambda a: (
+        f"xxhash64({_normalize_query(a)})"),
+    # server introspection constants (single-engine deployment)
+    "hostname": lambda a: "'localhost'",
+    "version": lambda a: "'24.1.0-pyspark'",
+    "currentdatabase": lambda a: "'default'",
+    "currentuser": lambda a: "'default'",
+    "uptime": _unsupported(
+        "uptime", "server-state dependent; query the /v1/stats API"),
+    "sleep": _unsupported(
+        "sleep", "side-effecting; no place in a declarative plan"),
+    "sleepeachrow": _unsupported(
+        "sleepEachRow", "side-effecting; no place in a declarative plan"),
+    # tuples/maps/annotations
+    "tuple": lambda a: f"struct({', '.join(a)})",
+    "untuple": _unsupported(
+        "untuple", "needs star expansion at parse level; select the "
+        "struct and read fields with tupleElement / t.*"),
+    "mapfromarrays": lambda a: f"map_from_arrays({a[0]}, {a[1]})",
+    "tolowcardinality": lambda a: a[0],
+    # CH rand() is a uniform UInt32, not [0, 1) (randCanonical is the
+    # unit-interval one — mapped above); rand64/randConstant have no
+    # deterministic Spark analog of the same contract
+    "rand": lambda a: (
+        "CAST(floor(rand() * 4294967296) AS BIGINT)"),
+    "rand64": _unsupported(
+        "rand64", "no 64-bit uniform source; compose two rand() "
+        "words or use xxHash64 of a unique column"),
+    "randconstant": _unsupported(
+        "randConstant", "per-query-constant randomness; bind a "
+        "literal client-side or hash a constant seed column"),
+    "randnormal": lambda a: (
+        f"(({a[0]}) + randn() * sqrt({a[1]}))" if len(a) == 2
+        else "randn()"),
+    "randuniform": lambda a: (
+        f"(({a[0]}) + rand() * (({a[1]}) - ({a[0]})))"),
+    # conditional-aggregate completion (max_by/min_by skip NULL keys,
+    # so the IF-gate is exactly the -If combinator contract)
+    "argmaxif": lambda a: (
+        f"max_by({a[0]}, IF({a[2]}, {a[1]}, NULL))"),
+    "argminif": lambda a: (
+        f"min_by({a[0]}, IF({a[2]}, {a[1]}, NULL))"),
+    "anyif": lambda a: (
+        f"any_value(IF({a[1]}, {a[0]}, NULL), true)"),
+    "uniqif": lambda a: (
+        f"approx_count_distinct(IF({a[1]}, {a[0]}, NULL))"),
+    "uniqexactif": lambda a: (
+        f"count(DISTINCT IF({a[1]}, {a[0]}, NULL))"),
+    "sumcount": lambda a: (
+        f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))"),
+    "grouparraymovingsum": _unsupported(
+        "groupArrayMovingSum", "block-order dependent; use sum(x) "
+        "OVER (ORDER BY <key> ROWS n PRECEDING)"),
+    "grouparraymovingavg": _unsupported(
+        "groupArrayMovingAvg", "block-order dependent; use avg(x) "
+        "OVER (ORDER BY <key> ROWS n PRECEDING)"),
 }
 
 def _uniq_combined_param(p, a):

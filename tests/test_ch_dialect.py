@@ -2200,6 +2200,164 @@ def test_r9_numbers_table_function_and_explain_ast(spark):
     assert "Parsed Logical Plan" in out[0][0]
 
 
+def test_r9_wave5_url_and_ip(spark):
+    r = ch_sql(spark, (
+        "SELECT topLevelDomain('https://news.example.com/a?b=1') AS tld, "
+        "topLevelDomain('http://localhost/x') AS tld0, "
+        "extractURLParameter('http://x.com/p?a=1&b=2', 'b') AS up, "
+        "extractURLParameter('http://x.com/p?a=1', 'z') AS up0, "
+        "cutQueryString('http://x.com/p?a=1#f') AS cq, "
+        "cutFragment('http://x.com/p?a=1#f') AS cf, "
+        "cutQueryStringAndFragment('http://x.com/p?a=1#f') AS cqf, "
+        "firstSignificantSubdomain('https://news.clickhouse.com.tr/') "
+        "AS fsd, "
+        "firstSignificantSubdomain('https://www.example.com/') AS fsd2, "
+        "netloc('https://u:p@host.com:8080/x') AS nl, "
+        "fragment('http://x.com/p#frag') AS fr, "
+        "encodeURLComponent('a b+c') AS enc, "
+        "decodeURLComponent('a%20b+c') AS dec, "
+        "IPv4NumToString(3232235777) AS ip, "
+        "IPv4StringToNum('192.168.1.1') AS n, "
+        "IPv4StringToNumOrNull('999.1.1.1') AS bad, "
+        "isIPv4String('10.0.0.1') AS ok1, isIPv4String('01.0.0.1') AS ok0"
+    )).collect()[0]
+    assert (r.tld, r.tld0) == ("com", "")
+    assert (r.up, r.up0) == ("2", "")
+    assert r.cq == "http://x.com/p#f" and r.cf == "http://x.com/p?a=1"
+    assert r.cqf == "http://x.com/p"
+    assert (r.fsd, r.fsd2) == ("clickhouse", "example")
+    assert r.nl == "u:p@host.com:8080" and r.fr == "frag"
+    # CH percent-encodes spaces and does not decode '+' to space
+    assert r.enc == "a%20b%2Bc" and r.dec == "a b+c"
+    assert r.ip == "192.168.1.1" and r.n == 3232235777
+    assert r.bad is None and (r.ok1, r.ok0) == (1, 0)
+    # malformed input raises like CH (not a silent wrong number)
+    with pytest.raises(Exception, match="invalid IPv4"):
+        ch_sql(spark, "SELECT IPv4StringToNum('1.2.3') AS x").collect()
+
+
+def test_r9_wave5_array_enumerations_and_tokens(spark):
+    r = ch_sql(spark, (
+        "SELECT arrayEnumerate([7,8,9]) AS e, arrayEnumerate([]) AS e0, "
+        "arrayEnumerateDense([10,20,10,30]) AS d, "
+        "arrayEnumerateUniq([10,20,10,10]) AS u, "
+        "alphaTokens('ab1cd2') AS at, tokens('a_b c') AS tk, "
+        "splitByWhitespace('a  b\tc') AS sw, "
+        "splitByRegexp('[0-9]+', 'a1b22c') AS sr, "
+        "ngrams('abcd', 2) AS ng, ngrams('a', 2) AS ng0, "
+        "multiSearchFirstPosition('hello world', ['world','hell']) AS mp, "
+        "multiSearchFirstPosition('xy', ['a','b']) AS mp0, "
+        "multiSearchFirstIndex('hello world', ['world','hell']) AS mi, "
+        "multiSearchAllPositions('hello', ['l','z']) AS ma, "
+        "countMatches('a1b22c333', '[0-9]+') AS cm"
+    )).collect()[0]
+    assert r.e == [1, 2, 3] and r.e0 == []
+    assert r.d == [1, 2, 1, 3] and r.u == [1, 1, 2, 3]
+    assert r.at == ["ab", "cd"] and r.tk == ["a", "b", "c"]
+    assert r.sw == ["a", "b", "c"] and r.sr == ["a", "b", "c"]
+    assert r.ng == ["ab", "bc", "cd"] and r.ng0 == []
+    # leftmost occurrence ('hell' at 1) beats list order
+    assert (r.mp, r.mp0, r.mi) == (1, 0, 2)
+    assert list(r.ma) == [3, 0] and r.cm == 3
+
+
+def test_r9_wave5_transform_rounding_datetime(spark):
+    r = ch_sql(spark, (
+        "SELECT transform(2, [1,2,3], ['a','b','c'], 'z') AS t4, "
+        "transform(9, [1,2,3], ['a','b','c'], 'z') AS t4m, "
+        "transform(9, [1,2], [10,20]) AS t3m, "
+        "transform([1,2,3], x -> x * 2) AS hof, "
+        "roundDown(7, [1,5,10]) AS rd, roundDown(0, [1,5,10]) AS rdlo, "
+        "roundAge(30) AS ra, roundDuration(95) AS du, "
+        "intExp2(10) AS e2, intExp10(15) AS e10, roundToExp2(100) AS r2, "
+        "dateAdd(QUARTER, 1, toDateTime('2024-01-31 00:00:00')) AS q, "
+        "dateSub('month', 1, toDateTime('2024-03-31 00:00:00')) AS m, "
+        "timestampAdd(toDateTime('2024-01-01 00:00:00'), "
+        "INTERVAL 3 HOUR) AS h, "
+        "toTime(toDateTime('2024-03-05 13:14:15')) AS tt, "
+        "monthName(toDate('2024-03-05')) AS mn, "
+        "toRelativeHourNum(toDateTime('1970-01-02 01:00:00')) AS rh, "
+        "toRelativeMonthNum(toDate('2024-03-05')) AS rm"
+    )).collect()[0]
+    assert (r.t4, r.t4m, r.t3m) == ("b", "z", 9)
+    assert r.hof == [2, 4, 6]   # Spark's higher-order form untouched
+    assert (r.rd, r.rdlo, r.ra, r.du) == (5, 1, 25, 60)
+    assert (r.e2, r.e10, r.r2) == (1024, 10 ** 15, 64)
+    assert str(r.q).startswith("2024-04-30")     # quarter -> 3 months
+    assert str(r.m).startswith("2024-02-29")     # month-end clamps
+    assert str(r.h).startswith("2024-01-01 03")
+    assert str(r.tt) == "1970-01-02 13:14:15"    # CH anchor day
+    assert r.mn == "March" and r.rh == 25 and r.rm == 2024 * 12 + 3
+    with pytest.raises(ChDialectError, match="unit"):
+        ch_sql(spark, "SELECT dateAdd(fortnight, 1, now()) AS x")
+    with pytest.raises(ChDialectError, match="toRelativeDayNum"):
+        ch_sql(spark, "SELECT toRelativeWeekNum(now()) AS x")
+
+
+def test_r9_wave5_json_hash_misc(spark):
+    r = ch_sql(spark, (
+        'SELECT JSONType(\'{"a":1}\') AS jt, JSONType(\'[1]\') AS ja, '
+        "JSONType('42') AS ji, JSONType('4.5') AS jd, "
+        "JSONLength('[1,2,3]') AS jl, "
+        'JSONLength(\'{"a":1,"b":2}\') AS jo, '
+        'JSONExtractArrayRaw(\'[1, {"a": 2}]\') AS jar, '
+        'simpleJSONExtractString(\'{"k":"v"}\', \'k\') AS sv, '
+        'visitParamExtractInt(\'{"n": 7}\', \'n\') AS vi, '
+        'simpleJSONHas(\'{"k":1}\', \'z\') AS vh, '
+        "hex(MD5('abc')) AS md, length(SHA256('abc')) AS sl, "
+        "bitHammingDistance(5, 6) AS bh, "
+        "greatCircleDistance(-1.8263, 51.1788, -0.1275, 51.5072) AS gd, "
+        "normalizeQuery('SELECT col1 FROM t WHERE x = 42') AS nq, "
+        "tupleElement(tuple(1, 'x'), 2) AS te, "
+        "mapFromArrays(['a'], [1]) AS mf, toLowCardinality('s') AS lc, "
+        "hostName() AS hn, currentDatabase() AS cd, "
+        "randUniform(5, 6) AS ru, rand() AS rr"
+    )).collect()[0]
+    assert (r.jt, r.ja, r.ji, r.jd) == ("Object", "Array", "Int64",
+                                        "Double")
+    assert (r.jl, r.jo) == (3, 2)
+    assert r.jar[0] == "1" and '"a"' in r.jar[1]
+    assert (r.sv, r.vi, r.vh) == ("v", 7, False)
+    # MD5/SHA return BINARY digests like CH FixedString
+    assert r.md == "900150983CD24FB0D6963F7D28E17F72" and r.sl == 32
+    assert r.bh == 2
+    assert 120000 < r.gd < 127000   # Stonehenge->London ~123.5 km
+    assert r.nq == "SELECT col1 FROM t WHERE x = ?"
+    assert r.te == "x" and r.mf == {"a": 1} and r.lc == "s"
+    assert (r.hn, r.cd) == ("localhost", "default")
+    assert 5 <= r.ru < 6 and 0 <= r.rr < 4294967296  # CH rand: UInt32
+    for bad, hint in (
+        ("rand64()", "64-bit"),
+        ("randConstant()", "per-query-constant"),
+        ("uptime()", "server-state"),
+        ("sleep(1)", "side-effecting"),
+        ("pointInPolygon((1, 2), [(0, 0), (3, 0), (3, 3)])", "geometry"),
+        ("untuple(tuple(1, 2))", "star expansion"),
+        ("groupArrayMovingSum(x)", "block-order"),
+        ("IPv6NumToString(x)", "IPv6"),
+    ):
+        with pytest.raises(ChDialectError, match=hint):
+            ch_sql(spark, f"SELECT {bad} AS x")
+
+
+def test_r9_wave5_conditional_aggregates(spark):
+    df = spark.createDataFrame(
+        [("error", "u1", 10.0, 1), ("error", "u2", 5.0, 2),
+         ("info", "u3", 1.0, 3)],
+        "level string, user_id string, value double, ts int")
+    rows = ch_sql(spark, (
+        "SELECT level, argMaxIf(user_id, ts, level != '') AS am, "
+        "anyIf(user_id, level = 'error') AS ai, "
+        "uniqExactIf(user_id, level = 'error') AS ue, "
+        "argMinIf(user_id, value, value > 0) AS an, "
+        "sumCount(value) AS sc FROM t GROUP BY level ORDER BY level"
+    ), views={"t": df}).collect()
+    err, info = rows
+    assert err.am == "u2" and err.ue == 2 and err.an == "u2"
+    assert err.sc.asDict() == {"sum": 15.0, "count": 2}
+    assert info.ue == 0 and info.ai is None
+
+
 def test_no_duplicate_function_mapping_keys():
     """A duplicate key in the _FUNCS/_PARAM_FUNCS literals silently
     shadows the earlier definition (r9 found three such shadows from
