@@ -1,0 +1,260 @@
+"""High-dimensional quality classifier + Pareto-noised selection.
+
+The scale-path sibling of `text_analysis.train_quality_classifier` /
+`score_quality_classifier` (the 512-bucket pyspark.ml model whose
+weights ship as LITERAL expressions — the right call at 512 doubles,
+where scoring is pure JVM arithmetic with no ML runtime). That
+literal path has a hard ceiling: at fastText-scale widths (2^15+
+buckets, the published quality-filter regime) the training frame's
+dense per-doc vectors are 256 KB each and a 32k-element literal
+array blows up codegen. This module keeps features SPARSE end to
+end and ships weights by BROADCAST instead of by literal — same
+recipe (GPT-3 appendix A: logistic regression over hashed features,
+`np.random.pareto(9)` acceptance; CCNet §4.3 with a fastText model),
+different width class. It also adds the selection step itself
+(`pareto_keep_col`), which the 512-bucket path feeds equally well.
+Everything here derives from those public descriptions and the
+Spark API.
+
+Spark-first split of the work:
+
+- **Featurization is JVM-only SQL** (`hashed_ngram_features`):
+  lowercase → split on non-alphanumerics → unigram + bigram hashing
+  trick (`pmod(xxhash64(gram), dim)`), emitted as an `array<int>` of
+  indices WITH repetition (each occurrence contributes 1/n weight,
+  so the array itself is the sparse tf vector). Identical expression
+  on the train and score paths — the two can never drift.
+- **Training** (`train_quality_classifier`) is batch gradient
+  descent where each iteration is ONE narrow Spark job: the weight
+  vector (dim+1 doubles, ~256 KB at the default 2^15) is broadcast,
+  an Arrow-batched `mapInPandas` computes one PARTIAL GRADIENT per
+  partition (vectorized `np.add.reduceat` over the concatenated
+  index arrays — no per-row Python), and the driver sums the
+  O(#partitions) partials and steps. This is the treeAggregate
+  pattern of every distributed linear model. No shuffle at any
+  point; the featurized frame is cached across iterations and
+  unpersisted after.
+- **Scoring** (`score_quality`) is the 100 TB hot path: broadcast
+  weights + map-only Arrow batches, linear in the corpus, no
+  shuffle. Training is the cold path and runs on a bounded sample
+  (the published recipes train on 10^5–10^6 docs and score the full
+  crawl) — `sample_fraction` makes that explicit.
+- **Pareto selection** (`pareto_keep_col`) is pure JVM SQL with
+  DETERMINISTIC noise: the uniform draw is derived from
+  `xxhash64(doc_id)`, so the kept set is reproducible and testable
+  (GPT-3's `np.random.pareto` is the same inverse-CDF transform of
+  a uniform: `(1-u)^(-1/alpha) - 1`).
+
+Zero row-at-a-time Python UDFs (repo-wide CI lint); the two Python
+lanes here are Arrow-batched mapInPandas.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField
+
+DEFAULT_DIM = 1 << 15  # 32768 hashed feature buckets (~256 KB weights)
+
+
+def hashed_ngram_features(
+    text_col: str = "text", dim: int = DEFAULT_DIM, bigrams: bool = True
+) -> Column:
+    """`array<int>` of hashed unigram (+bigram) indices, repetition
+    preserved. All JVM expressions; the sequence() guard matters —
+    sequence(1, 0) DESCENDS, so single-token docs must short-circuit
+    the bigram arm."""
+    toks = (f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+            f"__t -> __t != '')")
+    uni = f"transform({toks}, __t -> CAST(pmod(xxhash64(__t), {dim}) AS INT))"
+    if not bigrams:
+        return F.expr(uni)
+    big = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), __i -> "
+        f"CAST(pmod(xxhash64(concat(element_at({toks}, __i), ' ', "
+        f"element_at({toks}, __i + 1))), {dim}) AS INT)) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END")
+    return F.expr(f"concat({uni}, {big})")
+
+
+@dataclass
+class QualityClassifier:
+    """Trained weights. `w[:dim]` are feature weights, `w[dim]` is
+    the bias. Picklable; ~256 KB at the default dim."""
+
+    w: np.ndarray
+    dim: int = DEFAULT_DIM
+    bigrams: bool = True
+    losses: list[float] = field(default_factory=list)
+    n_train: int = 0
+
+
+def _partial_gradient_fn(bc_w, dim: int):
+    """Per-partition partial gradient of the L2-regularized logistic
+    loss. Vectorized: one reduceat over the partition's concatenated
+    index arrays; empty documents contribute through the bias only."""
+
+    def fn(batches):
+        w = bc_w.value
+        grad = np.zeros(dim + 1, dtype=np.float64)
+        loss = 0.0
+        n = 0
+        for pdf in batches:
+            idx_lists = pdf["__qc_idx"]
+            y = pdf["__qc_y"].to_numpy(dtype=np.float64)
+            lens = np.fromiter(
+                (len(a) for a in idx_lists), dtype=np.int64,
+                count=len(idx_lists))
+            if len(lens) == 0:
+                continue
+            scale = 1.0 / np.maximum(lens, 1)
+            flat = (np.concatenate([np.asarray(a, dtype=np.int64)
+                                    for a in idx_lists])
+                    if lens.sum() else np.empty(0, dtype=np.int64))
+            # reduceat mis-handles zero-length segments (it reads the
+            # NEXT segment's first element): compute on the nonempty
+            # mask and scatter back
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            nonempty = lens > 0
+            z = np.full(len(lens), w[dim], dtype=np.float64)
+            if nonempty.any():
+                sums = np.add.reduceat(w[flat], offsets[nonempty])
+                z[nonempty] += sums * scale[nonempty]
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p - y
+            # d(loss)/dw_i = sum over docs containing i of r * scale
+            contrib = np.repeat(r * scale, lens)
+            np.add.at(grad[:dim], flat, contrib)
+            grad[dim] += float(r.sum())
+            eps = 1e-12
+            loss += float(-(y * np.log(p + eps)
+                            + (1 - y) * np.log(1 - p + eps)).sum())
+            n += len(lens)
+        yield pd.DataFrame({
+            "g": [grad.tobytes()], "loss": [loss], "n": [n]})
+
+    return fn
+
+
+def train_quality_classifier(
+    spark: SparkSession,
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    bigrams: bool = True,
+    iters: int = 25,
+    lr: float = 1.0,
+    l2: float = 1e-6,
+    sample_fraction: float | None = None,
+    seed: int = 7,
+) -> QualityClassifier:
+    """Batch GD on the full (sampled) training frame: one narrow
+    Spark job per iteration, partial gradients per partition, driver
+    sums O(#partitions · dim) bytes. Deterministic: w starts at 0 and
+    every step is a pure function of the data (the optional sample is
+    seeded)."""
+    pos = positive.select(
+        F.lit(1.0).alias("__qc_y"),
+        hashed_ngram_features(text_col, dim, bigrams).alias("__qc_idx"))
+    neg = negative.select(
+        F.lit(0.0).alias("__qc_y"),
+        hashed_ngram_features(text_col, dim, bigrams).alias("__qc_idx"))
+    train = pos.unionByName(neg)
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    train = train.persist()
+    try:
+        schema = "g binary, loss double, n long"
+        w = np.zeros(dim + 1, dtype=np.float64)
+        losses: list[float] = []
+        n_total = 0
+        for _ in range(iters):
+            bc = spark.sparkContext.broadcast(w)
+            try:
+                parts = train.mapInPandas(
+                    _partial_gradient_fn(bc, dim), schema).collect()
+            finally:
+                bc.destroy()
+            if not parts:
+                break
+            grad = np.zeros(dim + 1, dtype=np.float64)
+            loss = 0.0
+            n = 0
+            for row in parts:
+                grad += np.frombuffer(row.g, dtype=np.float64)
+                loss += row.loss
+                n += row.n
+            if n == 0:
+                break
+            n_total = n
+            losses.append(loss / n)
+            w = w - lr * (grad / n + l2 * w)
+        return QualityClassifier(
+            w=w, dim=dim, bigrams=bigrams, losses=losses, n_train=n_total)
+    finally:
+        train.unpersist()
+
+
+def score_quality(
+    df: DataFrame,
+    clf: QualityClassifier,
+    text_col: str = "text",
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Map-only scoring: broadcast weights, Arrow batches, sigmoid of
+    the mean feature weight + bias. The 100 TB path — no shuffle,
+    linear in the corpus."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(clf.w)
+    dim = clf.dim
+    out_schema = df.schema.add(StructField(out_col, DoubleType()))
+    feats = hashed_ngram_features(text_col, dim, clf.bigrams)
+    src = df.withColumn("__qc_idx", feats)
+
+    def fn(batches):
+        w = bc.value
+        for pdf in batches:
+            idx_lists = pdf.pop("__qc_idx")
+            lens = np.fromiter(
+                (len(a) for a in idx_lists), dtype=np.int64,
+                count=len(idx_lists))
+            z = np.full(len(lens), w[dim], dtype=np.float64)
+            if len(lens) and lens.sum():
+                flat = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in idx_lists])
+                offsets = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                nonempty = lens > 0
+                sums = np.add.reduceat(w[flat], offsets[nonempty])
+                z[nonempty] += sums / lens[nonempty]
+            pdf[out_col] = 1.0 / (1.0 + np.exp(-z))
+            yield pdf
+
+    return src.mapInPandas(fn, out_schema)
+
+
+def pareto_keep_col(
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    alpha: float = 9.0,
+) -> Column:
+    """GPT-3's acceptance rule with deterministic noise: keep iff
+    `score > 1 - pareto(alpha)`, where the Pareto draw is the
+    inverse-CDF transform `(1-u)^(-1/alpha) - 1` of a uniform u
+    derived from xxhash64(id) — reproducible across runs and
+    engines, unlike np.random. High scores always survive (the
+    Pareto tail is unbounded below 1-x only when x small); low
+    scores survive with probability ~alpha-tail mass, keeping some
+    crawl diversity (the published rationale)."""
+    u = (f"(CAST(pmod(xxhash64(CAST({id_col} AS STRING)), "
+         f"4503599627370496) AS DOUBLE) / 4503599627370496.0)")
+    pareto = f"(power(1.0 - {u}, {-1.0 / alpha}) - 1.0)"
+    return F.expr(f"({score_col} > 1.0 - {pareto})")

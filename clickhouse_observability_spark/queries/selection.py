@@ -260,6 +260,64 @@ def text_quality_classifier(spark, sf_dir):
     )
 
 
+@register("text_quality_pareto_select")
+def text_quality_pareto_select(spark, sf_dir):
+    """The SELECTION step after classifier scoring — GPT-3's
+    `score > 1 - pareto(9)` acceptance over the sidecar classifier's
+    P(reference | doc), with DETERMINISTIC noise (the Pareto draw is
+    the inverse-CDF transform of an xxhash64(doc_id)-derived
+    uniform), so the kept set is reproducible across runs and the
+    pipeline stays replayable. Rows-only: the scores come from the
+    at-rest model artifact; pytest pins the keep-rate against the
+    analytic (2 - s)^-alpha and the determinism."""
+    from clickhouse_observability_spark.operators.quality_classifier import (
+        pareto_keep_col,
+    )
+
+    b0, w = _classifier_artifacts(spark, sf_dir)
+    scored = TX.score_quality_classifier(
+        table(spark, sf_dir, "documents"), b0, w, n_buckets=512
+    )
+    return scored.select(
+        "doc_id",
+        "quality_prob",
+        pareto_keep_col("quality_prob", "doc_id").alias("kept"),
+    ).orderBy("doc_id")
+
+
+@register("text_quality_classifier_hd")
+def text_quality_classifier_hd(spark, sf_dir):
+    """The high-dimensional (2^14-bucket) classifier scale path:
+    sparse hashed uni+bigram features, broadcast-gradient training
+    (one narrow Arrow job per GD iteration, partial gradients per
+    partition — the treeAggregate pattern), broadcast-weights
+    map-only scoring. The 512-bucket literal-weights entry above is
+    the small-model twin; this is what the same pipeline runs when
+    the model is fastText-wide. Rows-only: GD trajectories are not
+    SQL; pytest pins separation, determinism (bit-identical rerun
+    weights) and scorer parity with a numpy replay."""
+    from clickhouse_observability_spark.operators import (
+        quality_classifier as QC,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    clf = QC.train_quality_classifier(
+        spark,
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        dim=1 << 14,
+        iters=15,
+        lr=5.0,
+    )
+    scored = QC.score_quality(docs, clf, out_col="quality_prob")
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("quality_prob") * 1e6).cast("bigint").alias("prob_q6"),
+        QC.pareto_keep_col("quality_prob", "doc_id").alias("kept"),
+    ).orderBy("doc_id")
+
+
 @register(
     "text_c4_filters",
     oracle=r"""
