@@ -619,6 +619,32 @@ def _run_bench() -> None:
     finally:
         shutil.rmtree(tmp5, ignore_errors=True)
 
+    # Quality-classifier split (r9): training is the once-per-corpus
+    # cold path (10 GD iterations = 10 narrow Arrow jobs), scoring is
+    # the 100 TB hot path (broadcast weights, map-only) — docs/sec is
+    # the number that scales.
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators import (
+        quality_classifier as QCF,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    t0 = time.time()
+    clf = QCF.train_quality_classifier(
+        spark, docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"), dim=1 << 14, iters=10, lr=5.0)
+    classifier_train_sec = round(time.time() - t0, 3)
+    n_docs_clf = docs.count()
+    # warm probe (the ivf/bq convention): the first Arrow call pays
+    # python-worker spin-up; steady-state docs/sec is the number
+    # that scales
+    QCF.score_quality(docs.limit(50), clf).collect()
+    t0 = time.time()
+    QCF.score_quality(docs, clf).select("quality_score").agg(
+        {"quality_score": "sum"}).collect()
+    classifier_score_dps = round(n_docs_clf / (time.time() - t0), 1)
+
     # headline total = the query surface + the two ORIGINAL ingest
     # timings (the r1/r2 definition, kept so totals stay comparable
     # across rounds); the r3-added auxiliary timings (tuned streaming
@@ -699,6 +725,8 @@ def _run_bench() -> None:
         "bq_index_build_sec": bq_build_sec,
         "rollup_build_sec": rollup_build_sec,
         "rollup_query_sec": rollup_query_sec,
+        "classifier_train_sec": classifier_train_sec,
+        "classifier_score_docs_per_sec": classifier_score_dps,
         **media,
         "sf": float(sf) if sf else None,
     }
