@@ -3845,6 +3845,15 @@ _TTL_REMOVE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+REMOVE\s+TTL\s*$",
     re.IGNORECASE,
 )
+# TTL GROUP BY (downsample-on-age): ALTER TABLE logs MODIFY TTL
+# ts + INTERVAL <n> DAY GROUP BY service[, <expr(ts)>]
+# [SET col = agg(...), ...] — CH's raw-young/rolled-up-old lifecycle
+_TTL_GROUP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+TTL\s+ts\s*\+\s*"
+    r"INTERVAL\s+(\d+)\s+DAY\s+GROUP\s+BY\s+(.+?)"
+    r"(?:\s+SET\s+(.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 # CH schema evolution: metadata-only column DDL
 # (sources/schema_evolution.py). ADD COLUMN's tail is token-parsed
@@ -4681,9 +4690,6 @@ def _ch_sql_stmt(
         # attached projections — the statement a CH operator would
         # need to recreate the table elsewhere.
         from clickhouse_observability_spark.session import local_df
-        from clickhouse_observability_spark.sources.retention import (
-            read_table_ttl,
-        )
 
         if msc.group(1).lower() != "logs" or logs is None:
             raise ChDialectError("SHOW CREATE supported for `logs` only")
@@ -4715,9 +4721,24 @@ def _ch_sql_stmt(
             "PARTITION BY toYYYYMM(ts)",
             "ORDER BY (service, ts)",
         ]
-        ttl = read_table_ttl(logs.path)
-        if ttl is not None:
-            parts.append(f"TTL ts + INTERVAL {ttl} DAY DELETE")
+        from clickhouse_observability_spark.sources.retention import (
+            read_table_ttl_spec,
+        )
+
+        ttl_spec = read_table_ttl_spec(logs.path)
+        if ttl_spec is not None:
+            days = ttl_spec["retention_days"]
+            gb = ttl_spec.get("group_by")
+            if gb:
+                clause = (f"TTL ts + INTERVAL {days} DAY "
+                          f"GROUP BY {', '.join(gb)}")
+                sets = ttl_spec.get("set") or {}
+                if sets:
+                    clause += " SET " + ", ".join(
+                        f"{c} = {e}" for c, e in sets.items())
+                parts.append(clause)
+            else:
+                parts.append(f"TTL ts + INTERVAL {days} DAY DELETE")
         return local_df(spark, [("\n".join(parts),)], "statement string")
 
     mf = _FREEZE_RE.match(sql)
@@ -4954,6 +4975,36 @@ def _ch_sql_stmt(
         if tname.lower() != "logs" or logs is None:
             raise ChDialectError("MODIFY TTL supported for `logs` only")
         set_table_ttl(logs.path, int(days))
+        return 0
+    mt = _TTL_GROUP_RE.match(sql)
+    if mt is not None:
+        from clickhouse_observability_spark.sources.retention import (
+            set_table_ttl,
+        )
+
+        tname, days, group_sql, set_sql = mt.groups()
+        if tname.lower() != "logs" or logs is None:
+            raise ChDialectError("MODIFY TTL supported for `logs` only")
+        group_by = [
+            " ".join(item).strip()
+            for item in _split_top_commas(_tokenize(group_sql))
+            if item
+        ]
+        set_exprs: dict[str, str] = {}
+        if set_sql:
+            for item in _split_top_commas(_tokenize(set_sql)):
+                if not item:
+                    continue
+                if len(item) < 3 or item[1] != "=":
+                    raise ChDialectError(
+                        "TTL GROUP BY SET expects `col = agg(expr)` "
+                        "assignments")
+                set_exprs[item[0]] = " ".join(item[2:])
+        try:
+            set_table_ttl(logs.path, int(days), group_by=group_by,
+                          set_exprs=set_exprs)
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
         return 0
     mt = _TTL_REMOVE_RE.match(sql)
     if mt is not None:

@@ -25,10 +25,24 @@ from pyspark.sql import functions as F
 from clickhouse_observability_spark.schema import LOGS_COLUMNS, PARTITION_COLUMN
 
 
-def set_table_ttl(path: str, days: int | None) -> None:
+def set_table_ttl(
+    path: str,
+    days: int | None,
+    group_by: list[str] | None = None,
+    set_exprs: dict[str, str] | None = None,
+) -> None:
     """Persist (or clear) the table's armed TTL — the at-rest state
-    behind CH `ALTER TABLE ... MODIFY TTL ts + INTERVAL n DAY DELETE`
-    / `REMOVE TTL`. The retention job consults it before the env."""
+    behind CH `ALTER TABLE ... MODIFY TTL ts + INTERVAL n DAY
+    [DELETE | GROUP BY ... [SET col = agg, ...]]` / `REMOVE TTL`.
+    The retention job consults it before the env.
+
+    `group_by` arms CH's TTL GROUP BY (downsample-on-age): aged rows
+    COLLAPSE to one row per group instead of being deleted — the
+    "raw logs young, hourly rollups old" lifecycle. CH requires the
+    GROUP BY key to be a prefix of the table's sorting key
+    ((service, ts) here): valid keys are `service` alone or
+    `service, <expression over ts>` — anything else is refused like
+    CH refuses the ALTER."""
     import json
 
     p = os.path.join(path, "_ttl.json")
@@ -38,21 +52,52 @@ def set_table_ttl(path: str, days: int | None) -> None:
         except FileNotFoundError:
             pass
         return
+    spec: dict = {"retention_days": int(days)}
+    if group_by:
+        _validate_ttl_group_by(group_by)
+        spec["group_by"] = list(group_by)
+        spec["set"] = dict(set_exprs or {})
     os.makedirs(path, exist_ok=True)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"retention_days": int(days)}, f)
+        json.dump(spec, f)
     os.replace(tmp, p)
 
 
-def read_table_ttl(path: str) -> int | None:
+def _validate_ttl_group_by(group_by: list[str]) -> None:
+    """CH's prefix rule for TTL GROUP BY, specialized to the table's
+    fixed sorting key (service, ts): key 1 must be `service`, the
+    optional key 2 an expression over ts. CH refuses non-prefix keys
+    at ALTER time; so do we."""
+    if not group_by or group_by[0].strip().lower() != "service":
+        raise ValueError(
+            "TTL GROUP BY must be a prefix of the sorting key "
+            "(service, ts): the first key must be `service`")
+    if len(group_by) > 2:
+        raise ValueError(
+            "TTL GROUP BY supports at most (service, <expr(ts)>) — "
+            "the sorting key has two columns")
+    if len(group_by) == 2 and "ts" not in group_by[1]:
+        raise ValueError(
+            "the second TTL GROUP BY key must be an expression over "
+            "ts (the sorting key's second column)")
+
+
+def read_table_ttl_spec(path: str) -> dict | None:
+    """The full armed-TTL spec: {"retention_days": n[, "group_by":
+    [...], "set": {col: agg_sql}]} or None."""
     import json
 
     p = os.path.join(path, "_ttl.json")
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return int(json.load(f)["retention_days"])
+        return json.load(f)
+
+
+def read_table_ttl(path: str) -> int | None:
+    spec = read_table_ttl_spec(path)
+    return int(spec["retention_days"]) if spec else None
 
 
 def _partition_months(path: str) -> list[int]:
@@ -106,12 +151,14 @@ def apply_retention(
     bounded, but not free; at 100 TB prefer dropping the view's own
     aged state rows when the view keys include the TTL axis).
     """
+    spec = None
     if retention_days is None:
         # armed-TTL resolution order mirrors the reference: a TTL set
         # on the TABLE (the dialect's ALTER TABLE ... MODIFY TTL —
         # db.go:59-66 issues exactly that statement) wins over the
         # $RETENTION_DAYS env; with neither, the job is a no-op.
-        retention_days = read_table_ttl(path)
+        spec = read_table_ttl_spec(path)
+        retention_days = int(spec["retention_days"]) if spec else None
     if retention_days is None:
         raw = os.environ.get("RETENTION_DAYS", "")
         if not raw.strip().isdigit():
@@ -120,6 +167,15 @@ def apply_retention(
     now = now or dt.datetime.now(dt.timezone.utc)
     cutoff = now - dt.timedelta(days=int(retention_days))
     cutoff_month = cutoff.year * 100 + cutoff.month
+    group_by = (spec or {}).get("group_by")
+    if group_by:
+        # CH TTL GROUP BY: aged rows collapse to aggregates instead
+        # of being deleted — dispatch to the downsample arm (same
+        # staleness surfacing on the way out).
+        return _apply_ttl_group_by(
+            spark, path, cutoff, cutoff_month, group_by,
+            (spec or {}).get("set") or {}, exact=exact, dry_run=dry_run,
+            refresh_views=refresh_views)
     dropped, rewritten = [], None
     if dry_run:
         dropped = [m for m in _partition_months(path) if m < cutoff_month]
@@ -166,6 +222,156 @@ def apply_retention(
             stale_views = _handle_stale_views(table, refresh_views)
     return {"dropped_months": dropped, "rewritten": rewritten,
             "stale_views": stale_views}
+
+
+def _ch_expr(expr: str) -> str:
+    """Translate a CH expression fragment (TTL GROUP BY keys / SET
+    aggregates are written in the dialect, e.g. `toStartOfHour(ts)`,
+    `any(msg)`) to Spark SQL via the dialect's statement translator.
+    Lazy import: functions.ch_dialect imports this module's siblings
+    lazily too, so the layering stays acyclic at import time."""
+    from clickhouse_observability_spark.functions.ch_dialect import (
+        translate,
+    )
+
+    out = translate(f"SELECT {expr} AS __ttl_x")
+    body = out.rsplit(" AS __ttl_x", 1)[0]
+    return body[len("SELECT "):]
+
+
+def _read_partition_widened(spark: SparkSession, path: str, month: int):
+    """A partition's rows with evolved columns overlaid (the
+    compact_partition read shape, shared by the TTL GROUP BY arm)."""
+    from pyspark.sql import types as T
+
+    from clickhouse_observability_spark.schema import LOGS_SCHEMA
+    from clickhouse_observability_spark.sources.schema_evolution import (
+        SchemaExt,
+    )
+
+    part_dir = os.path.join(path, f"{PARTITION_COLUMN}={month}")
+    ext = SchemaExt(path)
+    df = ext.overlay(
+        spark.read.schema(
+            T.StructType(LOGS_SCHEMA.fields + ext.read_fields())
+        ).parquet(part_dir)
+    )
+    return part_dir, df
+
+
+def _collapse_partition(
+    spark: SparkSession,
+    path: str,
+    month: int,
+    group_by: list[str],
+    set_exprs: dict[str, str],
+    cutoff: dt.datetime | None = None,
+) -> dict:
+    """Collapse a partition's aged rows to one row per TTL group —
+    CH's TTL GROUP BY merge, done explicitly. Column semantics:
+
+    - bare GROUP BY columns keep the group value;
+    - SET columns take their declared aggregate;
+    - ts (when grouped through an expression) takes min(ts) — the
+      group's bucket-start representative;
+    - every other column takes the value of the group's EARLIEST row
+      (min_by over (ts, col) — CH's `any` is arbitrary; this engine
+      pins it deterministic, a documented strengthening).
+
+    ``cutoff`` splits the boundary month: rows >= cutoff stay raw and
+    union back in. The rewrite preserves the (service, ts) sort, the
+    zstd codec and the TIMESTAMP_MICROS footer stats."""
+    from clickhouse_observability_spark.sources.writer import (
+        parquet_ts_micros,
+    )
+
+    part_dir, df = _read_partition_widened(spark, path, month)
+    out_fields = df.schema.fields
+    aged = df
+    young = None
+    if cutoff is not None:
+        cut = F.lit(cutoff.replace(tzinfo=None))
+        aged = df.filter(F.col("ts") < cut)
+        young = df.filter(F.col("ts") >= cut)
+
+    bare = {k.strip().lower() for k in group_by if k.strip().lower() in
+            {f.name.lower() for f in out_fields}}
+    keys = [
+        F.expr(_ch_expr(k)).alias(f"__g{i}") for i, k in enumerate(group_by)
+    ]
+    aggs = []
+    for fld in out_fields:
+        c = fld.name
+        if c.lower() in bare:
+            continue  # comes back from the group key
+        if c in set_exprs:
+            agg = F.expr(_ch_expr(set_exprs[c]))
+        elif c == "ts":
+            agg = F.min("ts")
+        else:
+            agg = F.expr(f"min_by(`{c}`, struct(ts, `{c}`))")
+        aggs.append(agg.cast(fld.dataType).alias(c))
+    grouped = aged.groupBy(*keys).agg(*aggs)
+    sel = []
+    for fld in out_fields:
+        if fld.name.lower() in bare:
+            i = [k.strip().lower() for k in group_by].index(fld.name.lower())
+            sel.append(F.col(f"__g{i}").cast(fld.dataType).alias(fld.name))
+        else:
+            sel.append(F.col(fld.name))
+    collapsed = grouped.select(*sel)
+    out = collapsed.unionByName(young) if young is not None else collapsed
+    tmp = part_dir + ".tmp"
+    with parquet_ts_micros(spark):
+        (out.repartition(1)
+            .sortWithinPartitions("service", "ts")
+            .write.mode("overwrite").option("compression", "zstd")
+            .parquet(tmp))
+    shutil.rmtree(part_dir)
+    os.rename(tmp, part_dir)
+    return {"month": month}
+
+
+def _apply_ttl_group_by(
+    spark: SparkSession,
+    path: str,
+    cutoff: dt.datetime,
+    cutoff_month: int,
+    group_by: list[str],
+    set_exprs: dict[str, str],
+    exact: bool,
+    dry_run: bool,
+    refresh_views: bool,
+) -> dict:
+    """The TTL GROUP BY retention pass: whole aged months collapse
+    in full; the boundary month collapses only its aged rows when
+    ``exact``. Each month is one independent partition rewrite (the
+    same unit of work as a background merge — at 100 TB the N aged
+    months are N parallel jobs over their own directories, never a
+    global shuffle)."""
+    months = _partition_months(path)
+    to_collapse = [m for m in months if m < cutoff_month]
+    boundary = cutoff_month if (exact and cutoff_month in months) else None
+    if dry_run:
+        return {"dropped_months": [], "collapsed_months": to_collapse,
+                "rewritten": boundary, "dry_run": True}
+    for m in to_collapse:
+        _collapse_partition(spark, path, m, group_by, set_exprs)
+    if boundary is not None:
+        _collapse_partition(spark, path, boundary, group_by, set_exprs,
+                            cutoff=cutoff)
+    stale_views: list[str] = []
+    if to_collapse or boundary is not None:
+        from clickhouse_observability_spark.sources.mutations import (
+            _handle_stale_views,
+        )
+        from clickhouse_observability_spark.sources.writer import LogsTable
+
+        table = LogsTable(spark, path)
+        if table.materialized_views:
+            stale_views = _handle_stale_views(table, refresh_views)
+    return {"dropped_months": [], "collapsed_months": to_collapse,
+            "rewritten": boundary, "stale_views": stale_views}
 
 
 def compact_partition(

@@ -1,0 +1,159 @@
+"""TTL GROUP BY (downsample-on-age): aged rows collapse to one row
+per (service, hour) group instead of being deleted — CH's
+raw-logs-young / hourly-rollups-old lifecycle, armed through the
+dialect's ALTER TABLE ... MODIFY TTL ... GROUP BY ... SET form."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from clickhouse_observability_spark.functions.ch_dialect import (
+    ChDialectError,
+    ch_sql,
+)
+from clickhouse_observability_spark.sources.retention import (
+    apply_retention,
+    read_table_ttl_spec,
+    set_table_ttl,
+)
+from clickhouse_observability_spark.sources.writer import LogsTable
+
+NOW = dt.datetime(2025, 9, 20, tzinfo=dt.timezone.utc)
+# cutoff at retention_days=10 -> 2025-09-10; 202508 is fully aged,
+# 202509 is the boundary month (old rows collapse, young stay raw)
+ROWS = [
+    # aged month: two services, one with two rows in the SAME hour
+    # (collapse to 1) and one in another hour
+    {"ts": "2025-08-15T03:10:00Z", "service": "orders", "level": "INFO",
+     "msg": "a1", "attrs": {"k": "1"}, "trace_id": "t1", "span_id": "s1"},
+    {"ts": "2025-08-15T03:40:00Z", "service": "orders", "level": "WARN",
+     "msg": "a2", "attrs": {"k": "2"}, "trace_id": "t2", "span_id": "s2"},
+    {"ts": "2025-08-15T04:05:00Z", "service": "orders", "level": "INFO",
+     "msg": "a3", "attrs": {"k": "3"}, "trace_id": "t3", "span_id": "s3"},
+    {"ts": "2025-08-15T03:20:00Z", "service": "payments", "level": "ERROR",
+     "msg": "b1", "attrs": {"k": "4"}, "trace_id": "t4", "span_id": "s4"},
+    # boundary month, aged side (two rows, same service+hour -> 1)
+    {"ts": "2025-09-05T10:10:00Z", "service": "orders", "level": "INFO",
+     "msg": "c1", "attrs": {"k": "5"}, "trace_id": "t5", "span_id": "s5"},
+    {"ts": "2025-09-05T10:50:00Z", "service": "orders", "level": "INFO",
+     "msg": "c2", "attrs": {"k": "6"}, "trace_id": "t6", "span_id": "s6"},
+    # boundary month, young side — must stay raw
+    {"ts": "2025-09-15T12:00:00Z", "service": "orders", "level": "INFO",
+     "msg": "young1", "attrs": {"k": "7"}, "trace_id": "t7", "span_id": "s7"},
+    {"ts": "2025-09-15T12:01:00Z", "service": "orders", "level": "INFO",
+     "msg": "young2", "attrs": {"k": "8"}, "trace_id": "t8", "span_id": "s8"},
+]
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LogsTable(spark, str(tmp_path / "logs"))
+    t.init_schema()
+    t.ingest_batch(ROWS)
+    return t
+
+
+def _arm(spark, table):
+    ch_sql(spark, (
+        "ALTER TABLE logs MODIFY TTL ts + INTERVAL 10 DAY "
+        "GROUP BY service, toStartOfHour(ts) SET msg = max(msg)"
+    ), logs=table)
+
+
+def test_arm_via_dialect_persists_spec(spark, table):
+    _arm(spark, table)
+    spec = read_table_ttl_spec(table.path)
+    assert spec["retention_days"] == 10
+    assert spec["group_by"] == ["service", "toStartOfHour ( ts )"]
+    assert spec["set"] == {"msg": "max ( msg )"}
+
+
+def test_show_create_renders_group_by_ttl(spark, table):
+    _arm(spark, table)
+    stmt = ch_sql(spark, "SHOW CREATE TABLE logs",
+                  logs=table).collect()[0].statement
+    assert "GROUP BY service, toStartOfHour ( ts )" in stmt
+    assert "SET msg = max ( msg )" in stmt
+    assert "DELETE" not in stmt.split("TTL")[1]
+
+
+def test_collapse_aged_months_and_boundary(spark, table):
+    _arm(spark, table)
+    res = apply_retention(spark, table.path, now=NOW)
+    assert res["collapsed_months"] == [202508]
+    assert res["rewritten"] == 202509
+    assert res["dropped_months"] == []
+    rows = {(r.service, str(r.ts), r.msg, r.level, r.trace_id): r
+            for r in table.read().collect()}
+    # aged month: (orders, 03h) collapsed to min-ts row, msg=max;
+    # implicit cols (level/trace_id/attrs) from the EARLIEST row
+    assert ("orders", "2025-08-15 03:10:00", "a2", "INFO", "t1") in rows
+    assert ("orders", "2025-08-15 04:05:00", "a3", "INFO", "t3") in rows
+    assert ("payments", "2025-08-15 03:20:00", "b1", "ERROR", "t4") in rows
+    # boundary month aged side collapsed
+    assert ("orders", "2025-09-05 10:10:00", "c2", "INFO", "t5") in rows
+    # young side raw and untouched
+    assert ("orders", "2025-09-15 12:00:00", "young1", "INFO", "t7") in rows
+    assert ("orders", "2025-09-15 12:01:00", "young2", "INFO", "t8") in rows
+    assert len(rows) == 6
+    # earliest-row attrs carried (deterministic `any`)
+    got = rows[("orders", "2025-08-15 03:10:00", "a2", "INFO", "t1")]
+    assert got.attrs == '{"k":"1"}' or '"k": "1"' in got.attrs.replace(
+        "'", '"')
+
+
+def test_rerun_is_idempotent(spark, table):
+    _arm(spark, table)
+    apply_retention(spark, table.path, now=NOW)
+    first = sorted(
+        (r.service, str(r.ts), r.msg) for r in table.read().collect())
+    apply_retention(spark, table.path, now=NOW)
+    second = sorted(
+        (r.service, str(r.ts), r.msg) for r in table.read().collect())
+    assert first == second  # collapsed groups re-collapse to themselves
+
+
+def test_dry_run_reports_without_touching(spark, table):
+    _arm(spark, table)
+    before = table.read().count()
+    res = apply_retention(spark, table.path, now=NOW, dry_run=True)
+    assert res["dry_run"] and res["collapsed_months"] == [202508]
+    assert res["rewritten"] == 202509
+    assert table.read().count() == before
+
+
+def test_prefix_rule_refusals(spark, table):
+    for bad, hint in (
+        ("GROUP BY level", "must be `service`"),
+        ("GROUP BY service, toStartOfHour(ts), level", "at most"),
+        ("GROUP BY service, level", "expression over ts"),
+    ):
+        with pytest.raises(ChDialectError, match=hint):
+            ch_sql(spark, (
+                f"ALTER TABLE logs MODIFY TTL ts + INTERVAL 10 DAY {bad}"
+            ), logs=table)
+    with pytest.raises(ValueError, match="must be `service`"):
+        set_table_ttl(table.path, 10, group_by=["toStartOfHour(ts)"])
+
+
+def test_remove_ttl_clears_group_spec(spark, table):
+    _arm(spark, table)
+    ch_sql(spark, "ALTER TABLE logs REMOVE TTL", logs=table)
+    assert read_table_ttl_spec(table.path) is None
+    # unarmed + no env -> no-op
+    res = apply_retention(spark, table.path, now=NOW)
+    assert res.get("skipped") or table.read().count() == len(ROWS)
+
+
+def test_stale_views_surfaced_on_collapse(spark, table):
+    _arm(spark, table)
+    table.create_materialized_view({
+        "name": "mv_hourly",
+        "dims": [{"sql": "service", "alias": "service"}],
+        "aggs": [{"kind": "count", "arg_sql": None, "alias": "n"}],
+        "where_sql": None,
+    })
+    res = apply_retention(spark, table.path, now=NOW)
+    assert "mv_hourly" in res["stale_views"]
