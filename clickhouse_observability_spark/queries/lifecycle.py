@@ -722,3 +722,100 @@ def lifecycle_index_evolution_panel(spark, sf_dir):
         )
     )
     return hot.unionByName(tiers)
+
+
+@register(
+    "lifecycle_ttl_rollup_panel",
+    # Registered after the 50-slot window; the oracle runs under the
+    # CI registry gate every run (tests/test_oracle_registry.py) and
+    # scripts/selfcheck.py at sf0.01.
+    oracle="""
+    WITH logs AS (
+        SELECT ts + to_days((32 * (user_id % 3))::INT) AS ts,
+               event_type AS service,
+               CASE WHEN user_id % 5 = 0 THEN 'ERROR' ELSE 'INFO' END
+                   AS level,
+               props AS msg, user_id::VARCHAR AS trace_id
+        FROM events
+    ),
+    aged AS (SELECT * FROM logs
+             WHERE ts < TIMESTAMP '2024-02-05 00:00:00'),
+    young AS (SELECT * FROM logs
+              WHERE ts >= TIMESTAMP '2024-02-05 00:00:00'),
+    rolled AS (
+        SELECT service, min(ts) AS ts, max(msg) AS msg,
+               (list(level ORDER BY ts, level))[1] AS level,
+               (list(trace_id ORDER BY ts, trace_id))[1] AS trace_id
+        FROM aged GROUP BY service, date_trunc('day', ts)
+    )
+    SELECT 'rolled' AS op, service, ts, msg, level, trace_id FROM rolled
+    UNION ALL
+    SELECT 'raw' AS op, service, ts, msg, level, trace_id FROM young
+    """,
+)
+def lifecycle_ttl_rollup_panel(spark, sf_dir):
+    """CH TTL GROUP BY end-to-end (r9): arm `MODIFY TTL ts + INTERVAL
+    30 DAY GROUP BY service, toStartOfDay(ts) SET msg = max(msg)`
+    through the dialect, run the retention job at a pinned `now`, and
+    read the table back — aged rows must have COLLAPSED to one row
+    per (service, day) while young rows stay raw. Column semantics
+    under adjudication: SET column takes its aggregate (max), the
+    grouped-through-expression ts takes min(ts), implicit columns
+    (level, trace_id) take the group's earliest row's value — the
+    deterministic `any` the oracle re-derives with ordered-list
+    heads. The build spreads events ts across four months (+32 days
+    x user_id%3, day arithmetic on both sides), so the pass
+    exercises whole-month collapse (202401), the boundary split
+    (202402: aged side collapses, young side raw) and untouched
+    young months (202403/202404). The arm RAISES unless the row
+    count actually shrank — a silent no-op retention can't
+    hash-match by accident."""
+    import datetime as dt
+
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+    from clickhouse_observability_spark.sources.retention import (
+        apply_retention,
+    )
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    path = IX.artifact_path(sf_dir, "ch_logs_ttl_rollup",
+                            source_table="events")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LogsTable(spark, path)
+    t.init_schema()
+    ev = table(spark, sf_dir, "events")
+    t.insert(
+        ev.select(
+            F.expr("timestampadd(DAY, 32 * CAST(user_id % 3 AS INT), ts)")
+            .alias("ts"),
+            F.col("event_type").alias("service"),
+            F.when(F.col("user_id") % 5 == 0, "ERROR")
+            .otherwise("INFO")
+            .alias("level"),
+            F.col("props").alias("msg"),
+            F.col("props").alias("attrs"),
+            F.col("user_id").cast("string").alias("trace_id"),
+            F.col("event_id").cast("string").alias("span_id"),
+        )
+    )
+    before = t.read().count()
+    ch_sql(
+        spark,
+        "ALTER TABLE logs MODIFY TTL ts + INTERVAL 30 DAY "
+        "GROUP BY service, toStartOfDay(ts) SET msg = max(msg)",
+        logs=t,
+    )
+    res = apply_retention(
+        spark, t.path,
+        now=dt.datetime(2024, 3, 6, tzinfo=dt.timezone.utc),
+    )
+    after = t.read().count()
+    if after >= before or not res.get("collapsed_months"):
+        raise RuntimeError(
+            f"lifecycle_ttl_rollup_panel: collapse did not happen "
+            f"(before={before}, after={after}, res={res})")
+    cutoff = F.lit(dt.datetime(2024, 2, 5))
+    return t.read().select(
+        F.when(F.col("ts") < cutoff, "rolled").otherwise("raw").alias("op"),
+        "service", "ts", "msg", "level", "trace_id",
+    )
