@@ -491,6 +491,67 @@ def _ipv4_to_num(s: str) -> str:
         f"(__acc, __x) -> __acc * 256 + __x)")
 
 
+def _apply_lambda(lam: str, x: str) -> str:
+    """Apply a user-written lambda to a scalar inside an expression:
+    wrap the scalar in a one-element array, transform, take the head.
+    Stays in codegen; the lambda text is reused verbatim."""
+    return f"element_at(transform(array({x}), {lam}), 1)"
+
+
+def _array_rotate(arr: str, n: str, left: bool) -> str:
+    """arrayRotateLeft/Right. pmod normalizes n > size and negative
+    n (CH: a negative left-rotation rotates right); rotating right
+    by n is rotating left by -n."""
+    k = f"pmod({n if left else f'-({n})'}, size({arr}))"
+    return (
+        f"CASE WHEN size({arr}) = 0 THEN {arr} ELSE "
+        f"concat(slice({arr}, {k} + 1, size({arr}) - {k}), "
+        f"slice({arr}, 1, {k})) END")
+
+
+def _array_shift(a: list[str], left: bool) -> str:
+    """arrayShiftLeft/Right(arr, n[, default]): vacated slots take
+    the default (NULL without one — the arrayResize convention; the
+    element type isn't knowable from text). Negative n shifts the
+    other way, like CH."""
+    arr = a[0]
+    n = a[1] if left else f"-({a[1]})"
+    d = a[2] if len(a) > 2 else "NULL"
+    return (
+        f"CASE WHEN size({arr}) = 0 OR ({n}) = 0 THEN {arr} "
+        f"WHEN abs({n}) >= size({arr}) THEN transform({arr}, __x -> {d}) "
+        f"WHEN ({n}) > 0 THEN concat(slice({arr}, ({n}) + 1, "
+        f"size({arr}) - ({n})), transform(sequence(1, ({n})), "
+        f"__i -> {d})) "
+        f"ELSE concat(transform(sequence(1, -({n})), __i -> {d}), "
+        f"slice({arr}, 1, size({arr}) + ({n}))) END")
+
+
+def _array_fill(lam: str, arr: str) -> str:
+    """arrayFill: where the predicate fails, take the PREVIOUS OUTPUT
+    element (already filled — one pass suffices); leading failers
+    keep their value (nothing to fill from), like CH. slice(arr,1,0)
+    is the typed empty accumulator."""
+    return (
+        f"aggregate({arr}, slice({arr}, 1, 0), (__acc, __x) -> "
+        f"array_append(__acc, IF({_apply_lambda(lam, '__x')}, __x, "
+        f"coalesce(try_element_at(__acc, -1), __x))))")
+
+
+def _array_split(lam: str, arr: str) -> str:
+    """arraySplit: cut BEFORE each element the predicate marks; the
+    first element always opens the first group (no leading empty
+    group, per CH's documented example)."""
+    return (
+        f"CASE WHEN size({arr}) = 0 THEN slice(array({arr}), 1, 0) "
+        f"ELSE aggregate({arr}, array(slice({arr}, 1, 0)), "
+        f"(__acc, __x) -> IF({_apply_lambda(lam, '__x')} "
+        f"AND size(element_at(__acc, -1)) > 0, "
+        f"array_append(__acc, array(__x)), "
+        f"concat(slice(__acc, 1, size(__acc) - 1), "
+        f"array(array_append(element_at(__acc, -1), __x))))) END")
+
+
 def _normalize_query(a: list[str]) -> str:
     """CH normalizeQuery: literals -> '?'. Token-approximate: quoted
     strings first, then standalone numeric tokens (an identifier's
@@ -1382,6 +1443,64 @@ _FUNCS = {
     "grouparraymovingavg": _unsupported(
         "groupArrayMovingAvg", "block-order dependent; use avg(x) "
         "OVER (ORDER BY <key> ROWS n PRECEDING)"),
+    # --- r9 vocabulary wave 6: the array/map toolkit -------------------
+    # hasSubstr: contiguous subsequence (hasAll is the subset form);
+    # empty needle matches like CH
+    "hassubstr": lambda a: (
+        f"CASE WHEN size({a[1]}) = 0 THEN true "
+        f"WHEN size({a[0]}) < size({a[1]}) THEN false "
+        f"ELSE exists(transform(sequence(1, size({a[0]}) - size({a[1]}) "
+        f"+ 1), __i -> slice({a[0]}, __i, size({a[1]}))), "
+        f"__s -> __s = ({a[1]})) END"),
+    # rotations/shifts. pmod handles n > size and negative n; the
+    # empty guard dodges slice's zero-length edge
+    "arrayrotateleft": lambda a: _array_rotate(a[0], a[1], left=True),
+    "arrayrotateright": lambda a: _array_rotate(a[0], a[1], left=False),
+    "arrayshiftleft": lambda a: _array_shift(a, left=True),
+    "arrayshiftright": lambda a: _array_shift(a, left=False),
+    # arrayFill/arrayReverseFill: forward/backward fill where the
+    # predicate fails — the fold appends the PREVIOUS OUTPUT element
+    # (already filled), so one pass suffices; slice(arr, 1, 0) is the
+    # typed empty accumulator; leading failers keep their value like
+    # CH (nothing to fill from yet)
+    "arrayfill": lambda a: _array_fill(a[0], a[1]),
+    "arrayreversefill": lambda a: (
+        f"reverse({_array_fill(a[0], f'reverse({a[1]})')})"),
+    # arraySplit: cut BEFORE each element the predicate marks;
+    # arrayReverseSplit cuts AFTER (CH docs) — reverse twice at both
+    # array and group level
+    "arraysplit": lambda a: _array_split(a[0], a[1]),
+    "arrayreversesplit": lambda a: (
+        f"reverse(transform({_array_split(a[0], f'reverse({a[1]})')}, "
+        f"__g -> reverse(__g)))"),
+    # arrayFold: CH lambda is (acc, x) — same shape as Spark's
+    # aggregate merge lambda; only the argument order of the CALL
+    # differs
+    "arrayfold": lambda a: (
+        f"aggregate({a[1]}, {a[2]}, {a[0]})" if len(a) == 3
+        else (_ for _ in ()).throw(ChDialectError(
+            "arrayFold(lambda, arr, init) — multi-array form "
+            "unsupported; zip first"))),
+    "arrayshuffle": _unsupported(
+        "arrayShuffle", "nondeterministic; shuffle with a seeded key "
+        "(arraySort by xxHash64 of the element + a seed literal)"),
+    # map toolkit. Spark's map_filter has the (map, lambda) order.
+    "mapfilter": lambda a: f"map_filter({a[1]}, {a[0]})",
+    # mapUpdate(m1, m2): m2 wins on key conflicts — Spark map_concat
+    # refuses duplicate keys, so drop m2's keys from m1 first
+    "mapupdate": lambda a: (
+        f"map_concat(map_filter({a[0]}, (__k, __v) -> "
+        f"NOT map_contains_key({a[1]}, __k)), {a[1]})"),
+    "mapcontainskeylike": lambda a: (
+        f"exists(map_keys({a[0]}), __k -> __k LIKE {a[1]})"),
+    "mapextractkeylike": lambda a: (
+        f"map_filter({a[0]}, (__k, __v) -> __k LIKE {a[1]})"),
+    "mapapply": _unsupported(
+        "mapApply", "Spark transforms keys and values separately; "
+        "use transform_keys(map, (k, v) -> ...) / transform_values"),
+    "mapadd": _unsupported(
+        "mapAdd", "elementwise map arithmetic: explode to (key, v) "
+        "rows and aggregate, or operators.ch_functions.sum_map"),
 }
 
 def _uniq_combined_param(p, a):

@@ -2358,6 +2358,60 @@ def test_r9_wave5_conditional_aggregates(spark):
     assert info.ue == 0 and info.ai is None
 
 
+def test_r9_wave6_array_toolkit(spark):
+    r = ch_sql(spark, (
+        "SELECT hasSubstr([1,2,3,4], [2,3]) AS hs1, "
+        "hasSubstr([1,2,3], [2,4]) AS hs0, hasSubstr([1], []) AS hse, "
+        "arrayRotateLeft([1,2,3,4,5], 2) AS rl, "
+        "arrayRotateLeft([1,2,3,4,5], -2) AS rln, "
+        "arrayRotateRight([1,2,3,4,5], 1) AS rr, "
+        "arrayShiftLeft([1,2,3,4], 2, 0) AS sl, "
+        "arrayShiftRight([1,2,3,4], 1, 9) AS sr, "
+        "arrayShiftLeft([1,2], 5, 0) AS slall, "
+        "arrayShiftLeft([1,2,3], 1) AS slnull, "
+        "arrayFill(x -> x != 0, [1,0,0,5,0]) AS fl, "
+        "arrayFill(x -> x != 0, [0,0,3]) AS fl2, "
+        "arrayReverseFill(x -> x != 0, [0,0,3,0]) AS rf, "
+        "arraySplit(x -> x = 1, [1,2,3,1,4]) AS sp, "
+        "arraySplit(x -> x = 9, [1,2]) AS sp2, "
+        "arrayFold((acc, x) -> acc + x, [1,2,3], "
+        "CAST(10 AS BIGINT)) AS fo"
+    )).collect()[0]
+    assert (r.hs1, r.hs0, r.hse) == (True, False, True)
+    assert r.rl == [3, 4, 5, 1, 2] and r.rln == [4, 5, 1, 2, 3]
+    assert r.rr == [5, 1, 2, 3, 4]
+    assert r.sl == [3, 4, 0, 0] and r.sr == [9, 1, 2, 3]
+    assert r.slall == [0, 0]
+    assert r.slnull == [2, 3, None]   # no default -> NULL padding
+    # fill takes the previous OUTPUT element; leading failers keep
+    # their value (CH semantics)
+    assert r.fl == [1, 1, 1, 5, 5] and r.fl2 == [0, 0, 3]
+    assert r.rf == [3, 3, 3, 0]
+    # split cuts BEFORE marked elements; no leading empty group
+    assert r.sp == [[1, 2, 3], [1, 4]] and r.sp2 == [[1, 2]]
+    assert r.fo == 16
+
+
+def test_r9_wave6_map_toolkit_and_refusals(spark):
+    r = ch_sql(spark, (
+        "SELECT mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS mf, "
+        "mapUpdate(map('a', 1, 'b', 2), map('b', 9, 'c', 3)) AS mu, "
+        "mapContainsKeyLike(map('abc', 1), 'a%') AS mk, "
+        "mapExtractKeyLike(map('abc', 1, 'xyz', 2), 'a%') AS me"
+    )).collect()[0]
+    assert r.mf == {"b": 2}
+    assert r.mu == {"a": 1, "b": 9, "c": 3}   # m2 wins on conflicts
+    assert r.mk is True and r.me == {"abc": 1}
+    for bad, hint in (
+        ("arrayShuffle([1,2])", "nondeterministic"),
+        ("mapApply((k,v) -> (k,v), map('a',1))", "transform_keys"),
+        ("mapAdd(map('a',1), map('a',2))", "sum_map"),
+        ("arrayFold((a,x)->a, [1],[2], 0)", "zip first"),
+    ):
+        with pytest.raises(ChDialectError, match=hint):
+            ch_sql(spark, f"SELECT {bad} AS x")
+
+
 def test_no_duplicate_function_mapping_keys():
     """A duplicate key in the _FUNCS/_PARAM_FUNCS literals silently
     shadows the earlier definition (r9 found three such shadows from
