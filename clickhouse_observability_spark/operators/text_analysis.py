@@ -1630,6 +1630,56 @@ def mixture_plan(
     ).orderBy("source")
 
 
+def mixture_plan_temperature(
+    documents: DataFrame,
+    token_budget: int = 30000,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-based mixture planning (the mT5/multilingual-BERT
+    recipe): target_share_i ∝ p_i^(1/T) with p_i the source's token
+    fraction — T > 1 upsamples low-resource sources toward uniform,
+    T = 1 reproduces natural proportions. The derived rates feed the
+    same executors as `mixture_plan`.
+
+    Cross-engine exactness: the unnormalized weights are quantized
+    to INTEGER 1e-9 units BEFORE normalizing, so the normalizer is
+    an order-independent integer sum and every downstream value is a
+    chain of single IEEE ops over bit-identical inputs. At the
+    default T=2 the power is emitted as sqrt — correctly rounded by
+    IEEE 754, hence bit-identical across engines (other T values use
+    pow, which engines round within an ulp of each other — fine for
+    planning, not oracle-grade).
+
+    Shape at scale: one per-source aggregate over the corpus (the
+    only shuffle), then two one-row broadcasts (total tokens, weight
+    normalizer) and pure arithmetic on the #sources-row frame."""
+    inv = 1.0 / float(temperature)
+    per_src = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
+    p = "n_tokens / total_tokens"
+    powed = f"sqrt({p})" if inv == 0.5 else f"power({p}, {inv})"
+    w = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "w_int", F.expr(f"CAST(floor({powed} * 1e9) AS BIGINT)"))
+    z = w.agg(F.sum("w_int").alias("z"))
+    share = F.col("w_int") / F.col("z")
+    alloc = share * F.lit(float(token_budget))
+    rate = F.least(F.lit(1.0), alloc / F.col("n_tokens"))
+    rate_q = F.floor(rate * F.lit(1e6)) / F.lit(1e6)
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.floor(share * F.lit(1e6)) / F.lit(1e6)).alias("target_share"),
+        rate_q.alias("rate"),
+        F.floor(rate_q * F.col("n_tokens")).cast("long")
+        .alias("planned_tokens"),
+        (alloc > F.col("n_tokens")).alias("deficit"),
+    ).orderBy("source")
+
+
 def epoch_shard_plan(
     chunks: DataFrame,
     n_epochs: int = 2,

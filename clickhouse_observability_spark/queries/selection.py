@@ -260,6 +260,46 @@ def text_quality_classifier(spark, sf_dir):
     )
 
 
+@register(
+    "text_mixture_temperature",
+    oracle=rf"""
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len({_TOKS})) AS n_tokens
+        FROM documents GROUP BY source
+    ), t AS (SELECT sum(n_tokens) AS total_tokens FROM per_src),
+    w AS (
+        SELECT per_src.*,
+               CAST(floor(sqrt(n_tokens / total_tokens) * 1e9)
+                    AS BIGINT) AS w_int
+        FROM per_src, t
+    ), z AS (SELECT sum(w_int) AS z FROM w)
+    SELECT source, n_docs, n_tokens,
+           floor((w_int / z) * 1e6) / 1e6 AS target_share,
+           floor(least(1.0, ((w_int / z) * 30000.0) / n_tokens)
+                 * 1e6) / 1e6 AS rate,
+           CAST(floor((floor(least(1.0, ((w_int / z) * 30000.0)
+                 / n_tokens) * 1e6) / 1e6) * n_tokens) AS BIGINT)
+               AS planned_tokens,
+           (w_int / z) * 30000.0 > n_tokens AS deficit
+    FROM w, z ORDER BY source
+    """,
+)
+def text_mixture_temperature(spark, sf_dir):
+    """Temperature mixture planning (r9): target shares ∝ (token
+    fraction)^(1/T) at T=2 — the mT5 upsampling-toward-uniform
+    recipe, next to `text_mixture_plan`'s uniform target. Bit-exact
+    cross-engine: weights quantize to integer 1e-9 units before the
+    (order-independent, integer) normalizer sum, the T=2 power is
+    IEEE-correctly-rounded sqrt, and every later value is a chain of
+    single IEEE ops over bit-identical inputs (shares/rates
+    floor-quantized at 6dp per the registry policy)."""
+    return TX.mixture_plan_temperature(
+        table(spark, sf_dir, "documents"), token_budget=30000,
+        temperature=2.0,
+    )
+
+
 @register("text_quality_pareto_select")
 def text_quality_pareto_select(spark, sf_dir):
     """The SELECTION step after classifier scoring — GPT-3's

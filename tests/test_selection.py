@@ -321,3 +321,39 @@ def test_c4_filters_semantics(spark):
                   "flag_no_lorem", "flag_no_brace", "flag_min_sentences",
                   "passes_c4"):
             assert row[c] == drows[d][c], (d, c, row[c], drows[d][c])
+
+
+def test_mixture_temperature_limits(spark):
+    """T=1 reproduces natural token proportions; large T approaches
+    uniform; shares always sum to ~1 and planned tokens respect the
+    rate<=1 clamp."""
+    import pytest
+
+    from clickhouse_observability_spark.operators import (
+        text_analysis as TX,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (1 if i % 10 else 400), f"src{i % 2}")
+         for i in range(20)],
+        "doc_id long, text string, source string",
+    )  # src0 holds the two 400-token docs -> ~98% of tokens
+    nat = {r.source: r for r in TX.mixture_plan_temperature(
+        docs, token_budget=100, temperature=1.0).collect()}
+    hot = {r.source: r for r in TX.mixture_plan_temperature(
+        docs, token_budget=100, temperature=100.0).collect()}
+    tok = {r.source: r.n_tokens for r in nat.values()}
+    total = sum(tok.values())
+    # T=1: shares track the token fractions
+    for s in nat:
+        assert nat[s].target_share == pytest.approx(
+            tok[s] / total, abs=1e-3)
+    # T->inf: shares -> uniform
+    for s in hot:
+        assert hot[s].target_share == pytest.approx(0.5, abs=0.02)
+    # upsampling direction: the small source's share strictly grows
+    small = min(tok, key=tok.get)
+    assert hot[small].target_share > nat[small].target_share
+    for r in list(nat.values()) + list(hot.values()):
+        assert 0.0 <= r.rate <= 1.0
+        assert r.planned_tokens <= r.n_tokens
