@@ -1224,8 +1224,9 @@ _FUNCS = {
         f"CAST(({a[0]} & 255) AS STRING))"),
     "ipv4stringtonum": lambda a: (
         f"CASE WHEN {_ipv4_valid(a[0])} THEN {_ipv4_to_num(a[0])} "
+        f"WHEN {a[0]} IS NULL THEN CAST(NULL AS BIGINT) "
         f"ELSE CAST(raise_error(concat('IPv4StringToNum: invalid "
-        f"IPv4 string: ', coalesce({a[0]}, 'NULL'))) AS BIGINT) END"),
+        f"IPv4 string: ', {a[0]})) AS BIGINT) END"),
     "ipv4stringtonumornull": lambda a: (
         f"CASE WHEN {_ipv4_valid(a[0])} THEN {_ipv4_to_num(a[0])} END"),
     "isipv4string": lambda a: f"CAST({_ipv4_valid(a[0])} AS INT)",

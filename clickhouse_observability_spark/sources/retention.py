@@ -151,13 +151,15 @@ def apply_retention(
     bounded, but not free; at 100 TB prefer dropping the view's own
     aged state rows when the view keys include the TTL axis).
     """
-    spec = None
+    # armed-TTL resolution order mirrors the reference: a TTL set
+    # on the TABLE (the dialect's ALTER TABLE ... MODIFY TTL —
+    # db.go:59-66 issues exactly that statement) wins over the
+    # $RETENTION_DAYS env; with neither, the job is a no-op. The
+    # spec is read UNCONDITIONALLY: an explicit retention_days
+    # overrides the armed horizon but must NOT silently flip an
+    # armed GROUP BY (downsample) into a DELETE.
+    spec = read_table_ttl_spec(path)
     if retention_days is None:
-        # armed-TTL resolution order mirrors the reference: a TTL set
-        # on the TABLE (the dialect's ALTER TABLE ... MODIFY TTL —
-        # db.go:59-66 issues exactly that statement) wins over the
-        # $RETENTION_DAYS env; with neither, the job is a no-op.
-        spec = read_table_ttl_spec(path)
         retention_days = int(spec["retention_days"]) if spec else None
     if retention_days is None:
         raw = os.environ.get("RETENTION_DAYS", "")

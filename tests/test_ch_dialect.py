@@ -2231,9 +2231,14 @@ def test_r9_wave5_url_and_ip(spark):
     assert r.enc == "a%20b%2Bc" and r.dec == "a b+c"
     assert r.ip == "192.168.1.1" and r.n == 3232235777
     assert r.bad is None and (r.ok1, r.ok0) == (1, 0)
-    # malformed input raises like CH (not a silent wrong number)
+    # malformed input raises like CH (not a silent wrong number);
+    # NULL propagates like CH (self-review fix)
     with pytest.raises(Exception, match="invalid IPv4"):
         ch_sql(spark, "SELECT IPv4StringToNum('1.2.3') AS x").collect()
+    rn = ch_sql(spark, (
+        "SELECT IPv4StringToNum(CAST(NULL AS STRING)) AS x"
+    )).collect()[0]
+    assert rn.x is None
 
 
 def test_r9_wave5_array_enumerations_and_tokens(spark):

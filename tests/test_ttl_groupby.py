@@ -115,6 +115,19 @@ def test_rerun_is_idempotent(spark, table):
     assert first == second  # collapsed groups re-collapse to themselves
 
 
+def test_explicit_days_override_keeps_group_mode(spark, table):
+    """An explicit retention_days overrides the armed horizon but
+    must NOT flip an armed GROUP BY into a DELETE — the aged month
+    still collapses instead of dropping."""
+    _arm(spark, table)
+    res = apply_retention(spark, table.path, retention_days=5, now=NOW)
+    assert res["dropped_months"] == []
+    assert res["collapsed_months"] == [202508]
+    svc_aug = [r for r in table.read().collect()
+               if str(r.ts).startswith("2025-08")]
+    assert svc_aug  # aged rows rolled up, not deleted
+
+
 def test_dry_run_reports_without_touching(spark, table):
     _arm(spark, table)
     before = table.read().count()
