@@ -114,6 +114,10 @@ HEADLINE = [
     ("lifecycle_cross_table_panel", "collect"),
     ("text_bigram_logprob", "noop"),
     ("lifecycle_skip_index_panel", "collect"),
+    # r9 additions — reported, excluded from total
+    ("lifecycle_ttl_rollup_panel", "collect"),
+    ("text_mixture_temperature", "collect"),
+    ("text_quality_pareto_select", "collect"),
 ]
 
 # The driver's r4 capture, min-of-3 per query (the judge-verified
@@ -687,6 +691,9 @@ def _run_bench() -> None:
         "lifecycle_cross_table_panel",
         "text_bigram_logprob",
         "lifecycle_skip_index_panel",
+        "lifecycle_ttl_rollup_panel",  # r9 additions: reported, not summed
+        "text_mixture_temperature",
+        "text_quality_pareto_select",
     }
     media = _media_decode_bench(spark)
 
