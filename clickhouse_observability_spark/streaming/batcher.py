@@ -78,6 +78,7 @@ class IngestStream:
         flush_size: int | None = None,
         views: list | None = None,  # RollupView-likes, applied per batch
         maintain_indexes: bool = False,
+        enforce_ttl_every_s: float | None = None,
     ):
         """Knob defaults follow the reference's env-var config
         (cmd/server/main.go:25-29): INGEST_MAX_DELAY_MS -> trigger
@@ -105,6 +106,17 @@ class IngestStream:
         self.max_files_per_trigger = max_files_per_trigger
         self.views = list(views or ())
         self.maintain_indexes = bool(maintain_indexes)
+        # Continuous TTL enforcement (CH: background merges apply the
+        # table's TTL without an operator in the loop). None = off;
+        # a cadence in seconds runs apply_retention() between
+        # micro-batches at most that often, and ONLY when the table
+        # has an ARMED spec (the env fallback stays an explicit-job
+        # concern — a streaming writer must not inherit deletes from
+        # the environment). Both TTL modes are idempotent (DELETE
+        # re-deletes nothing; GROUP BY collapse re-collapses to
+        # itself), so a crash anywhere in the pass is retry-safe.
+        self.enforce_ttl_every_s = enforce_ttl_every_s
+        self._last_ttl_mono = 0.0
         self.query: StreamingQuery | None = None
         # Committed-batches sidecar: one empty marker file per fully
         # committed micro-batch id. Lives NEXT TO the checkpoint (same
@@ -208,6 +220,24 @@ class IngestStream:
                         os.remove(os.path.join(self.committed_dir, name))
                     except OSError:
                         pass  # concurrent prune / already gone
+        if self.enforce_ttl_every_s is not None:
+            # outside the idempotency marker on purpose: retention is
+            # not tied to batch identity, and both TTL modes are
+            # idempotent. foreachBatch is single-threaded, so the
+            # pass runs BETWEEN appends — the engine's single-writer
+            # model holds.
+            import time as _time
+
+            now_mono = _time.monotonic()
+            if now_mono - self._last_ttl_mono >= self.enforce_ttl_every_s:
+                self._last_ttl_mono = now_mono
+                from clickhouse_observability_spark.sources.retention import (
+                    apply_retention,
+                    read_table_ttl_spec,
+                )
+
+                if read_table_ttl_spec(self.table.path) is not None:
+                    apply_retention(self.spark, self.table.path)
 
     def stop(self, drain: bool = True) -> None:
         """Graceful shutdown: final flush then stop (ST5; the

@@ -414,3 +414,54 @@ def test_corpus_legacy_flat_layout_migrates_to_version_zero(spark, tmp_path):
         if not n.startswith((".", "_"))
     ]
     assert all(n.startswith("ingest_batch=") for n in root)
+
+
+def test_online_ttl_group_by_enforcement(spark, tmp_path):
+    """enforce_ttl_every_s: the batcher runs the armed TTL between
+    micro-batches (the CH background-TTL-merge analog) — aged rows
+    COLLAPSE per the armed GROUP BY while fresh rows keep landing;
+    with no armed spec the pass is skipped entirely (a streaming
+    writer must not inherit env-var deletes)."""
+    from clickhouse_observability_spark.sources.retention import (
+        set_table_ttl,
+    )
+
+    table = LogsTable(spark, str(tmp_path / "logs"))
+    table.init_schema()
+    set_table_ttl(
+        table.path, 30,
+        group_by=["service", "toStartOfHour(ts)"],
+        set_exprs={"msg": "max(msg)"},
+    )
+    s = IngestStream(
+        spark, table,
+        inbox_dir=str(tmp_path / "inbox"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        enforce_ttl_every_s=0.0,  # every micro-batch
+    )
+    try:
+        q = s.start()
+        # three aged rows in one (service, hour) group + one fresh row
+        # fresh rows must be YOUNG relative to wall-clock now — the
+        # TTL horizon is now-anchored like the reference's
+        fresh = dt.datetime.now(dt.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ")
+        s.submit_many([
+            _wire(0, ts="2020-01-05T03:10:00Z"),
+            _wire(1, ts="2020-01-05T03:40:00Z"),
+            _wire(2, ts="2020-01-05T04:10:00Z"), _wire(3, ts=fresh),
+        ])
+        q.processAllAvailable()
+        # one more batch so the TTL pass definitely ran AFTER the
+        # rows landed (the first pass may precede their append)
+        s.submit_many([_wire(4, ts=fresh)])
+        q.processAllAvailable()
+        rows = {r.msg: r for r in table.read().collect()}
+        # 03h group collapsed to one row (msg = max -> m1), 04h kept;
+        # the two fresh rows share a (service, hour) group but stay
+        # RAW — young rows never collapse
+        assert "m0" not in rows and "m1" in rows and "m2" in rows
+        assert "m3" in rows and "m4" in rows
+        assert str(rows["m1"].ts) == "2020-01-05 03:10:00"  # min(ts)
+    finally:
+        s.stop(drain=False)
