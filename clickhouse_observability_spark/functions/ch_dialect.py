@@ -552,6 +552,28 @@ def _array_split(lam: str, arr: str) -> str:
         f"array(array_append(element_at(__acc, -1), __x))))) END")
 
 
+_DATE_NAME_FMT = {
+    "year": "yyyy", "quarter": "QQQ", "month": "MMMM",
+    "week": "w", "dayofyear": "D", "day": "d", "weekday": "EEEE",
+    "hour": "H", "minute": "m", "second": "s",
+}
+
+
+def _date_name(a: list[str]) -> str:
+    """CH dateName('part', d) — textual calendar parts. The part must
+    be a string literal (CH requires that too)."""
+    if len(a) != 2 or not a[0].startswith("'"):
+        raise ChDialectError("dateName('part', date) — part must be "
+                             "a string literal")
+    part = _string_value(a[0]).lower()
+    fmt = _DATE_NAME_FMT.get(part)
+    if fmt is None:
+        raise ChDialectError(
+            f"dateName: unsupported part {part!r} "
+            f"(supported: {sorted(_DATE_NAME_FMT)})")
+    return f"date_format({a[1]}, {_q(fmt)})"
+
+
 def _normalize_query(a: list[str]) -> str:
     """CH normalizeQuery: literals -> '?'. Token-approximate: quoted
     strings first, then standalone numeric tokens (an identifier's
@@ -1502,6 +1524,36 @@ _FUNCS = {
     "mapadd": _unsupported(
         "mapAdd", "elementwise map arithmetic: explode to (key, v) "
         "rows and aggregate, or operators.ch_functions.sum_map"),
+    # --- r9 vocabulary wave 7: string distance + datetime niceties ----
+    "levenshteindistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
+    "editdistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
+    # set-Jaccard over elements / distinct characters (CH 23.x names)
+    "arrayjaccardindex": lambda a: (
+        f"CAST(try_divide(size(array_intersect({a[0]}, {a[1]})), "
+        f"size(array_union({a[0]}, {a[1]}))) AS DOUBLE)"),
+    "stringjaccardindex": lambda a: (
+        f"CAST(try_divide("
+        f"size(array_intersect(split({a[0]}, ''), split({a[1]}, ''))), "
+        f"size(array_union(split({a[0]}, ''), split({a[1]}, '')))) "
+        f"AS DOUBLE)"),
+    "initcaputf8": lambda a: f"initcap({a[0]})",
+    "positionutf8": lambda a: f"instr({a[0]}, {a[1]})",
+    # dateName('part', d): the textual calendar-part family
+    "datename": _date_name,
+    # timeSlots(start, duration[, size]): the grid timestamps the
+    # window [start, start+duration] touches, anchored to the grid
+    # (CH floors the START to the slot; default size 1800 s)
+    "timeslots": lambda a: (
+        f"sequence(timestamp_seconds(floor(unix_timestamp({a[0]}) "
+        f"/ {a[2] if len(a) > 2 else 1800}) "
+        f"* {a[2] if len(a) > 2 else 1800}), "
+        f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]})), "
+        f"make_interval(0, 0, 0, 0, 0, 0, "
+        f"{a[2] if len(a) > 2 else 1800}))"),
+    "tupleconcat": lambda a: _unsupported(
+        "tupleConcat", "struct concatenation needs field renumbering "
+        "at parse level; select the fields explicitly")(a),
+    "formatbytes": lambda a: _format_readable_size(a),
 }
 
 def _uniq_combined_param(p, a):

@@ -2417,6 +2417,36 @@ def test_r9_wave6_map_toolkit_and_refusals(spark):
             ch_sql(spark, f"SELECT {bad} AS x")
 
 
+def test_r9_wave7_string_distance_and_datetime(spark):
+    r = ch_sql(spark, (
+        "SELECT levenshteinDistance('kitten', 'sitting') AS lv, "
+        "editDistance('abc', 'abd') AS ed, "
+        "arrayJaccardIndex([1,2,3], [2,3,4]) AS aj, "
+        "stringJaccardIndex('abc', 'bcd') AS sj, "
+        "initcapUTF8('hello world') AS ic, "
+        "positionUTF8('hello', 'll') AS pu, "
+        "dateName('month', toDate('2024-03-05')) AS dn, "
+        "dateName('weekday', toDate('2024-03-05')) AS dw, "
+        "timeSlots(toDateTime('2024-01-01 10:17:00'), 3600, 1800) AS t1, "
+        "size(timeSlots(toDateTime('2024-01-01 10:17:00'), 3600)) AS t2, "
+        "formatBytes(10240) AS fb"
+    )).collect()[0]
+    assert (r.lv, r.ed) == (3, 1)
+    assert r.aj == pytest.approx(0.5) and r.sj == pytest.approx(0.5)
+    assert r.ic == "Hello World" and r.pu == 3
+    assert (r.dn, r.dw) == ("March", "Tuesday")
+    # slots anchored to the grid, spanning [start, start+duration]
+    assert [str(x)[11:16] for x in r.t1] == ["10:00", "10:30", "11:00"]
+    assert r.t2 == 3 and "KiB" in r.fb
+    for bad, hint in (
+        ("dateName('century', now())", "unsupported part"),
+        ("dateName(month, now())", "string literal"),
+        ("tupleConcat(tuple(1), tuple(2))", "field renumbering"),
+    ):
+        with pytest.raises(ChDialectError, match=hint):
+            ch_sql(spark, f"SELECT {bad} AS x")
+
+
 def test_no_duplicate_function_mapping_keys():
     """A duplicate key in the _FUNCS/_PARAM_FUNCS literals silently
     shadows the earlier definition (r9 found three such shadows from
