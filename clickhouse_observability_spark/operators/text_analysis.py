@@ -1830,6 +1830,80 @@ def score_quality_classifier(
     )
 
 
+def retrieval_eval(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """IR evaluation of ranked retrieval output against relevance
+    judgments — the standard P@k / recall@k / MRR / NDCG@k panel
+    (binary gains), computed the house's cross-engine-exact way:
+    every metric is a RATIO OF INTEGERS. The NDCG discount weights
+    round(1e6 / log2(rank+1)) ship as literal integer arrays, DCG
+    and IDCG are integer sums (order-independent, exact), and the
+    final divisions are single IEEE ops over bit-identical inputs,
+    floor-quantized at 6dp — no transcendental evaluated at query
+    time, so Spark and an oracle engine agree bit-for-bit.
+
+    `ranked`: (query, rank, doc_id) with rank 1-based per query.
+    `qrels`:  (query, doc_id) — the relevant set.
+    Queries with zero relevant docs drop (recall/NDCG undefined);
+    both sides of an oracle comparison share that inner-join rule.
+
+    Shape at scale: ranked lists are per-query bounded (<= k rows
+    survive the filter), so the relevance join and the per-query
+    aggregate move O(#queries x k) rows — evaluation cost is
+    independent of corpus size."""
+    import itertools
+    import math
+
+    w = [round(1e6 / math.log2(i + 1)) for i in range(1, k + 1)]
+    cum = list(itertools.accumulate(w))
+    w_arr = "array(" + ", ".join(f"{x}L" for x in w) + ")"
+    cum_arr = "array(" + ", ".join(f"{x}L" for x in cum) + ")"
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6)) / F.lit(1e6)
+
+    hits = (
+        ranked.filter(F.col("rank") <= k)
+        .join(
+            qrels.select("query", "doc_id").distinct()
+            .withColumn("__rel", F.lit(1)),
+            ["query", "doc_id"], "left")
+        .withColumn("__hit", F.coalesce("__rel", F.lit(0)))
+    )
+    per_q = hits.groupBy("query").agg(
+        F.sum("__hit").alias("n_hits"),
+        F.min(F.when(F.col("__hit") == 1, F.col("rank"))).alias("__first"),
+        F.sum(
+            F.when(
+                F.col("__hit") == 1,
+                F.expr(f"element_at({w_arr}, CAST(rank AS INT))"),
+            ).otherwise(F.lit(0))
+        ).alias("__dcg_int"),
+    )
+    n_rel = qrels.select("query", "doc_id").distinct().groupBy(
+        "query").agg(F.count(F.lit(1)).alias("n_rel"))
+    idcg = F.expr(
+        f"element_at({cum_arr}, CAST(least({k}, n_rel) AS INT))")
+    return (
+        per_q.join(n_rel, "query")
+        .select(
+            "query",
+            "n_rel",
+            "n_hits",
+            q6(F.col("n_hits") / F.lit(float(k))).alias("p_at_k"),
+            q6(F.col("n_hits") / F.col("n_rel")).alias("recall_at_k"),
+            F.coalesce(
+                q6(F.lit(1.0) / F.col("__first")), F.lit(0.0)
+            ).alias("mrr"),
+            q6(F.col("__dcg_int") / idcg).alias("ndcg_at_k"),
+        )
+        .orderBy("query")
+    )
+
+
 def shard_manifest(
     plan: DataFrame,
     key_cols: tuple[str, ...] = ("doc_id", "chunk_id"),

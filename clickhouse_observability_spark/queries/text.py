@@ -1102,6 +1102,87 @@ def text_bm25_search(spark, sf_dir):
     )
 
 
+@register(
+    "pipeline_retrieval_eval",
+    # After the 50-slot window; CI-oracle adjudicated every run.
+    oracle=rf"""
+    WITH terms AS (SELECT * FROM (VALUES ('vector'), ('join'),
+                                  ('window')) v(q)),
+    d AS (SELECT doc_id, {_NTOKS} AS t FROM documents),
+    st AS (SELECT count(*) AS N, avg(len(t)) AS avgdl FROM d),
+    tf AS (SELECT q, doc_id, len(list_filter(t, x -> x = q)) AS tf,
+                  len(t) AS dl
+           FROM d, terms),
+    df AS (SELECT q, sum((tf > 0)::BIGINT) AS df FROM tf GROUP BY q),
+    sc AS (
+        SELECT tf.q, doc_id,
+               round(ln(1 + (N - df + 0.5) / (df + 0.5)) * tf * 2.2
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS s
+        FROM tf JOIN df ON df.q = tf.q, st
+        WHERE tf > 0
+    ),
+    rk AS (SELECT q, doc_id, row_number() OVER (
+               PARTITION BY q ORDER BY s DESC, doc_id) AS rank
+           FROM sc WHERE s > 0),
+    topk AS (SELECT q, doc_id, rank FROM rk WHERE rank <= 10),
+    qrels AS (SELECT q, doc_id FROM tf WHERE tf >= 2),
+    nrel AS (SELECT q, count(*) AS n_rel FROM qrels GROUP BY q),
+    w AS (SELECT * FROM (VALUES
+        (1, 1000000, 1000000), (2, 630930, 1630930),
+        (3, 500000, 2130930), (4, 430677, 2561607),
+        (5, 386853, 2948460), (6, 356207, 3304667),
+        (7, 333333, 3638000), (8, 315465, 3953465),
+        (9, 301030, 4254495), (10, 289065, 4543560)) v(i, wi, wc)),
+    hits AS (
+        SELECT t.q, t.rank, (qr.doc_id IS NOT NULL)::INT AS hit
+        FROM topk t LEFT JOIN qrels qr
+          ON qr.q = t.q AND qr.doc_id = t.doc_id
+    ),
+    agg AS (
+        SELECT q, sum(hit)::BIGINT AS n_hits,
+               min(CASE WHEN hit = 1 THEN rank END) AS first_hit,
+               sum(CASE WHEN hit = 1 THEN w.wi ELSE 0 END)::BIGINT
+                   AS dcg_int
+        FROM hits JOIN w ON w.i = hits.rank GROUP BY q
+    )
+    SELECT agg.q AS query, n_rel, n_hits,
+           floor(n_hits / 10.0 * 1e6) / 1e6 AS p_at_k,
+           floor(n_hits / n_rel * 1e6) / 1e6 AS recall_at_k,
+           coalesce(floor(1.0 / first_hit * 1e6) / 1e6, 0.0) AS mrr,
+           floor(dcg_int / wc.wc * 1e6) / 1e6 AS ndcg_at_k
+    FROM agg JOIN nrel ON nrel.q = agg.q
+    JOIN w wc ON wc.i = least(10, n_rel)
+    ORDER BY query
+    """,
+)
+def pipeline_retrieval_eval(spark, sf_dir):
+    """The retrieval stack's EVAL tier (r9): per-query P@10 /
+    recall@10 / MRR / NDCG@10 of single-term BM25 runs against
+    deterministic relevance judgments (relevant = the term appears
+    >= 2x in the doc — a reproducible proxy qrel set). Metrics are
+    ratios of integers end to end (NDCG discounts ship as integer
+    micro-unit literals, DCG/IDCG are integer sums), so the panel is
+    cross-engine bit-exact — no transcendental evaluated at query
+    time. Cost: the three BM25 runs (each one stats row + one fused
+    top-N) + an O(#queries x k) metrics join."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokens(TX.normalized_text("text"))
+    d = docs.select("doc_id", toks.alias("t"))
+    ranked = None
+    qrels = None
+    for term in _BM25_TERMS:
+        r = TX.bm25_search(docs, [term], top_n=10).select(
+            F.lit(term).alias("query"), "rank", "doc_id")
+        q = d.filter(
+            F.expr(f"size(filter(t, __x -> __x = '{term}')) >= 2")
+        ).select(F.lit(term).alias("query"), "doc_id")
+        ranked = r if ranked is None else ranked.unionByName(r)
+        qrels = q if qrels is None else qrels.unionByName(q)
+    return TX.retrieval_eval(ranked, qrels, k=10)
+
+
 @register("text_dataset_card")
 def text_dataset_card(spark, sf_dir):
     """The corpus DATA CARD in one section-tagged frame — the summary
