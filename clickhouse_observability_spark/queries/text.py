@@ -1183,15 +1183,57 @@ def pipeline_retrieval_eval(spark, sf_dir):
     return TX.retrieval_eval(ranked, qrels, k=10)
 
 
-@register("text_dataset_card")
+@register(
+    "text_dataset_card",
+    # Oracle-ified r9 (was rows-only): every card number is an
+    # integer count or an exact-short-decimal ratio (n/n_docs with
+    # the testdata denominators terminates well before 6dp, so
+    # round(.,6) can't hit a cross-engine boundary). The dedup
+    # keeper count collapses to COUNT(DISTINCT normalized-text) —
+    # hash-free, equal to the md5-grouped survivor count.
+    oracle=rf"""
+    WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+    q AS (
+        SELECT count(*) AS n_q FROM documents
+        WHERE len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000
+          AND length(regexp_replace(text, '\s', '', 'g')) * 1.0
+              / len({_TOKS}) >= 2
+          AND length(regexp_replace(text, '\s', '', 'g')) * 1.0
+              / len({_TOKS}) <= 15
+    ),
+    k AS (SELECT count(DISTINCT {_NORM}) AS n_keep FROM documents)
+    SELECT 'corpus' AS section, 'docs' AS key,
+           n_docs::BIGINT AS n, 1.0 AS frac FROM nd
+    UNION ALL
+    SELECT 'corpus', 'tokens',
+           (SELECT sum(len({_TOKS})) FROM documents)::BIGINT,
+           CAST(NULL AS DOUBLE) FROM nd
+    UNION ALL
+    SELECT 'lang', lang, count(*)::BIGINT,
+           round(count(*) * 1.0 / n_docs, 6)
+    FROM documents, nd GROUP BY lang, n_docs
+    UNION ALL
+    SELECT 'source', source, count(*)::BIGINT,
+           round(count(*) * 1.0 / n_docs, 6)
+    FROM documents, nd GROUP BY source, n_docs
+    UNION ALL
+    SELECT 'quality', 'passes', n_q::BIGINT,
+           round(n_q * 1.0 / n_docs, 6) FROM q, nd
+    UNION ALL
+    SELECT 'dedup', 'exact_keepers', n_keep::BIGINT,
+           round(n_keep * 1.0 / n_docs, 6) FROM k, nd
+    ORDER BY section, key
+    """,
+)
 def text_dataset_card(spark, sf_dir):
     """The corpus DATA CARD in one section-tagged frame — the summary
     page a dataset release ships: corpus totals (docs/tokens), the
     language and source composition, the quality-gate pass rate, and
-    the exact-dedup keep fraction. Every number is a composition of
-    individually oracle-proven or pytest-pinned stages; the panel
-    itself is rows-only. Cost: one token-stats scan + one md5-groupBy
-    (the dedup count) + tiny-key aggregates."""
+    the exact-dedup keep fraction. Oracle-backed since r9: every
+    number is an integer count or an exact-short-decimal ratio, so
+    the whole card hash-adjudicates cross-engine. Cost: one
+    token-stats scan + one md5-groupBy (the dedup count) + tiny-key
+    aggregates."""
     from pyspark.sql import functions as F
 
     from clickhouse_observability_spark.operators import dedup as D
