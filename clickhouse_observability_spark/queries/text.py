@@ -556,9 +556,28 @@ def text_corpus_stats(spark, sf_dir):
     return stats.unionByName(top)
 
 
-@register("text_corpus_audit")
+@register(
+    "text_corpus_audit",
+    # Oracle-ified r9 (was rows-only): the audit is all integer
+    # counters — trivially cross-engine-exact. coalesce: an all-NULL
+    # predicate column must audit as 0, not NULL.
+    oracle="""
+    SELECT count(*)::BIGINT AS n_docs,
+           coalesce(sum((text IS NULL)::BIGINT), 0)::BIGINT
+               AS n_null_text,
+           coalesce(sum((trim(text) = '')::BIGINT), 0)::BIGINT
+               AS n_blank_text,
+           coalesce(sum((length(text) != n_chars)::BIGINT), 0)::BIGINT
+               AS n_chars_mismatch,
+           (count(*) - count(DISTINCT doc_id))::BIGINT AS n_dup_ids,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           count(DISTINCT lang)::BIGINT AS n_langs
+    FROM documents
+    """,
+)
 def text_corpus_audit(spark, sf_dir):
-    """Pre-curation data-quality gate (one aggregation pass)."""
+    """Pre-curation data-quality gate (one aggregation pass);
+    oracle-backed since r9 — all-integer counters."""
     return TX.corpus_audit(table(spark, sf_dir, "documents"))
 
 
