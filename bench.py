@@ -154,6 +154,17 @@ R4_MIN_COMMON = {
     "sim_topk_binary": 0.739, "text_epoch_shards": 0.988,
     "agg_segment_overlap": 0.4, "agg_theta_overlap": 0.272,
     "agg_slo_burn_rate": 0.261, "rollup_topk_users": 1.627,
+    # r10 (verdict #7): heavy post-r4 entries join the common set so
+    # round-over-round totals track the surface users actually run.
+    # Anchors are the r9 committed round-end capture (commit 4656d87,
+    # best-of-series @ calib 1.23) — NOT r4 — so deltas for these
+    # names compare r10+ against r9, while the 43 names above keep
+    # comparing against the r4 driver capture.
+    "lifecycle_ttl_rollup_panel": 2.09,
+    "text_quality_pareto_select": 1.959,
+    "lifecycle_skip_index_panel": 1.246,
+    "lifecycle_cross_table_panel": 2.649,
+    "text_mixture_temperature": 0.386,
 }
 
 
@@ -648,6 +659,23 @@ def _run_bench() -> None:
     QCF.score_quality(docs, clf).select("quality_score").agg(
         {"quality_score": "sum"}).collect()
     classifier_score_dps = round(n_docs_clf / (time.time() - t0), 1)
+    # r9 verdict #3: prove the Arrow-dispatch floor AMORTIZES — score
+    # a 10x corpus (same docs replicated with fresh ids, materialized
+    # first so the timing is scoring, not the union) and report the
+    # rate at both sizes; linear scoring must push the big-corpus
+    # rate far above the small one (the floor is per-job+per-batch,
+    # the marginal cost per doc is the map-only numpy work).
+    docs10 = docs
+    for _i in range(1, 10):
+        docs10 = docs10.unionByName(
+            docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(_i * 1_000_000)))
+    docs10 = docs10.repartition(32).localCheckpoint(eager=True)
+    n10 = docs10.count()
+    t0 = time.time()
+    QCF.score_quality(docs10, clf).select("quality_score").agg(
+        {"quality_score": "sum"}).collect()
+    classifier_score_dps_10x = round(n10 / (time.time() - t0), 1)
 
     # headline total = the query surface + the two ORIGINAL ingest
     # timings (the r1/r2 definition, kept so totals stay comparable
@@ -734,6 +762,7 @@ def _run_bench() -> None:
         "rollup_query_sec": rollup_query_sec,
         "classifier_train_sec": classifier_train_sec,
         "classifier_score_docs_per_sec": classifier_score_dps,
+        "classifier_score_docs_per_sec_10x": classifier_score_dps_10x,
         **media,
         "sf": float(sf) if sf else None,
     }

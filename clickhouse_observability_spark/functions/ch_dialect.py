@@ -445,18 +445,22 @@ def _json_type(a: list[str]) -> str:
 
 
 def _json_extract_array_raw(a: list[str]) -> str:
-    """Array elements as JSON text. get_json_object re-serializes
-    minified — raw modulo insignificant whitespace (documented).
-    The empty/absent guard matters: sequence(0, -1) would DESCEND."""
+    """Array elements as RAW JSON text via Spark 4's VARIANT type:
+    to_json(variant) re-serializes each element as JSON, so string
+    elements KEEP their quotes ('["a"]' -> ['"a"'], matching CH) —
+    the r9-advisor-flagged get_json_object path unquoted them.
+    Remaining divergence: elements re-serialize minified/canonical
+    (whitespace and number formatting normalize), as documented for
+    the whole JSONExtract* family. Non-array / invalid / NULL
+    documents yield [] (try_parse_json + try_cast guard)."""
     if len(a) == 1:
         doc = a[0]
     else:  # path tail like CH JSONExtractArrayRaw(json, 'key')
         doc = f"get_json_object({a[0]}, concat('$.', {a[1]}))"
     return (
-        f"CASE WHEN coalesce(json_array_length({doc}), 0) > 0 THEN "
-        f"transform(sequence(0, json_array_length({doc}) - 1), "
-        f"__i -> get_json_object({doc}, concat('$[', __i, ']'))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END")
+        f"coalesce(transform(try_cast(try_parse_json({doc}) "
+        f"AS ARRAY<VARIANT>), __e -> to_json(__e)), "
+        f"CAST(array() AS ARRAY<STRING>))")
 
 
 def _simple_json(cast: str | None, as_bool: bool = False):
@@ -1228,11 +1232,16 @@ _FUNCS = {
         f"'co', 'gov', 'edu', 'mil', 'ac') THEN element_at(split("
         f"parse_url({a[0]}, 'HOST'), '\\\\.'), -3) ELSE element_at("
         f"split(parse_url({a[0]}, 'HOST'), '\\\\.'), -2) END, '')"),
-    # encode: Spark url_encode is form-encoding (space -> '+'); CH
-    # percent-encodes -> swap. decode: protect literal '+' first (CH
-    # does not decode '+' to space).
+    # encode: Spark url_encode is form-encoding; CH is RFC-3986. Three
+    # fixups close the gap: space ('+' -> '%20'), '*' (form leaves it
+    # bare, RFC encodes '%2A'), '~' (form encodes '%7E', RFC leaves it
+    # bare). The replaces cannot interact: url_encode emits literal
+    # '+' only for spaces and literal '*' only for '*'.
+    # decode: protect literal '+' first (CH does not decode '+' to
+    # space).
     "encodeurlcomponent": lambda a: (
-        f"replace(url_encode({a[0]}), '+', '%20')"),
+        f"replace(replace(replace(url_encode({a[0]}), '+', '%20'), "
+        f"'*', '%2A'), '%7E', '~')"),
     "decodeurlcomponent": lambda a: (
         f"url_decode(replace({a[0]}, '+', '%2B'))"),
     # IPv4 family. StringToNum raises on malformed input like CH
@@ -1365,9 +1374,13 @@ _FUNCS = {
     "bithammingdistance": lambda a: (
         f"bit_count(({a[0]}) ^ ({a[1]}))"),
     # JSON introspection completion
+    # CH returns 0 (not NULL) for scalar / invalid / non-container
+    # documents; NULL input stays NULL. size(NULL) is NULL here
+    # (legacy sizeOfNull is off in Spark 3+), so coalesce sees it.
     "jsonlength": lambda a: (
-        f"coalesce(json_array_length({a[0]}), "
-        f"size(json_object_keys({a[0]})))" if len(a) == 1
+        f"CASE WHEN ({a[0]}) IS NULL THEN CAST(NULL AS INT) "
+        f"ELSE coalesce(json_array_length({a[0]}), "
+        f"size(json_object_keys({a[0]})), 0) END" if len(a) == 1
         else (_ for _ in ()).throw(ChDialectError(
             "JSONLength with a path: extract the subtree with "
             "JSONExtractRaw first"))),

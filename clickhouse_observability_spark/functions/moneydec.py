@@ -62,17 +62,19 @@ def money_sum(expr: str | Column, ndigits: int = 2) -> Column:
     """Order-independent rounded sum of a money expression.
 
     A plain column name takes the integer-units FAST path
-    (units4 -> primitive BIGINT sum -> integer HALF_UP quantize) —
-    mathematically identical to the decimal route and ~2x faster in
-    Tungsten. A prebuilt Column (decimal products etc.) sums in
-    decimal; the trailing double cast keeps the published schema
-    (and the driver's float canonicalization) identical either way.
-    Oracle-SQL counterpart::
+    (units4d -> exact double sum, guarded at 2^53 -> integer HALF_UP
+    quantize; see units_d for why doubles beat BIGINT under ANSI) —
+    mathematically identical to the decimal route. A prebuilt Column
+    (decimal products etc.) sums in decimal; the trailing double cast
+    keeps the published schema (and the driver's float
+    canonicalization) identical either way. For the ubiquitous
+    price*(1-discount) product prefer `revenue_sum_d` over a decimal
+    Column (same result, ~1.5-2x faster). Oracle-SQL counterpart::
 
         CAST(round(sum(<dec expr>), n) AS DOUBLE)
     """
     if isinstance(expr, str):
-        return units_money_sum(units4(expr), 10000, ndigits)
+        return units_money_sum_d(units4d(expr), 10000, ndigits)
     return F.round(F.sum(expr), ndigits).cast("double")
 
 
@@ -127,6 +129,93 @@ def units_to_money(s: Column, scale: int = 10000,
     quant = (a - F.pmod(a, F.lit(q))) / F.lit(q)  # |rounded|, in 10^-nd
     sign = F.when(s < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
     return (sign * quant / F.lit(float(10 ** ndigits))).cast("double")
+
+
+def units_d(col: str | Column, scale: float) -> Column:
+    """Exact integer units of a fixed-decimal double, carried as an
+    integer-valued DOUBLE — the ANSI-mode fast path (r10). Under
+    Spark 4's default ANSI mode every BIGINT aggregate add and every
+    double->long cast in the row loop is overflow-checked; summing
+    the SAME exact integers as doubles runs ~1.6x faster on TPC-H Q1
+    (measured: 0.50s -> 0.22s warm at sf0.1, matching the plain
+    double-sum plan) while staying exact — a sum of integer-valued
+    doubles is order-independent and exact while every partial stays
+    below 2^53 (|dollars| < ~9e11 per group at 1e-4 grain).
+    units_money_sum_d raises loudly at that bound instead of
+    drifting; beyond it, use the BIGINT path (bound 9.2e18) or DEC."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = c * F.lit(scale)
+    return (
+        (x + F.when(x >= 0, F.lit(0.5)).otherwise(F.lit(-0.5)))
+        .cast("bigint").cast("double")
+    )
+
+
+def units4d(col: str | Column) -> Column:
+    """Double-carried exact 1e-4-dollar units (see units_d)."""
+    return units_d(col, 10000.0)
+
+
+def centsd(col: str | Column) -> Column:
+    """Double-carried exact cents of a 2dp money double."""
+    return units_d(col, 100.0)
+
+
+def pctd(col: str | Column) -> Column:
+    """Double-carried exact 1e-2 units of a 2dp fraction."""
+    return units_d(col, 100.0)
+
+
+#: 2^53 — the largest double above which consecutive integers are no
+#: longer representable; double-carried unit sums are exact strictly
+#: below it.
+_D_EXACT_BOUND = 9007199254740992.0
+
+
+def _guard_exact_d(s: Column) -> Column:
+    """Fail LOUDLY (one branch per output group, post-aggregation) if
+    a double-carried unit sum reached the 2^53 exactness bound —
+    never silently drift. Mixed-sign inputs whose intermediate
+    partials exceed the bound but cancel back under it can evade the
+    guard; money unit expressions here are sign-uniform."""
+    return F.when(
+        F.abs(s) >= F.lit(_D_EXACT_BOUND),
+        F.expr("raise_error('units_d sum reached 2^53; use the "
+               "BIGINT or DECIMAL money path')").cast("double"),
+    ).otherwise(s)
+
+
+def units_money_sum_d(units_expr: Column, scale: int = 10000,
+                      ndigits: int = 2) -> Column:
+    """round(sum(money), ndigits) over DOUBLE-carried exact units:
+    the sum stays an unchecked primitive double add in whole-stage
+    codegen (the ANSI fast path — see units_d), the exactness guard
+    and the single checked bigint cast run once per output group,
+    then the integer HALF_UP quantize matches the decimal oracle
+    bit-for-bit exactly like units_money_sum."""
+    s = _guard_exact_d(F.sum(units_expr))
+    return units_to_money(s.cast("bigint"), scale, ndigits)
+
+
+def units_avg_d(units_expr: Column, cnt: Column, scale: int = 10000,
+                ndigits: int = 4) -> Column:
+    """units_avg over DOUBLE-carried exact units (guarded)."""
+    dollars = _guard_exact_d(F.sum(units_expr)) / F.lit(float(scale))
+    return floor_quantize(dollars / cnt, ndigits)
+
+
+def revenue_sum_d(price: str | Column, discount: str | Column,
+                  ndigits: int = 2) -> Column:
+    """round(sum(price * (1 - discount)), n) — TPC-H's ubiquitous
+    revenue aggregate — in double-carried exact units:
+    cents(price) * (100 - pct(discount)) is the exact 1e-4-dollar
+    product, summed unchecked-primitive (see units_d), quantized
+    integer-HALF_UP once per group. Bit-identical to the oracle's
+    CAST(round(sum(CAST(p AS DECIMAL(18,4)) * (1 - CAST(d AS
+    DECIMAL(18,4)))), n) AS DOUBLE) and ~1.5-2x faster than the wide
+    decimal product sum under ANSI mode."""
+    return units_money_sum_d(
+        centsd(price) * (100 - pctd(discount)), 10000, ndigits)
 
 
 def units_money_sum(units_expr: Column, scale: int = 10000,

@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 
 from clickhouse_observability_spark.functions.moneydec import (
     money_sum,
-    units4,
-    units_avg,
+    units4d,
+    units_avg_d,
 )
 
 
@@ -43,7 +43,7 @@ def type_panel(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("users"),
         money_sum("value").alias("sum_value"),
-        units_avg(units4("value"), F.count(F.lit(1)), ndigits=4)
+        units_avg_d(units4d("value"), F.count(F.lit(1)), ndigits=4)
         .alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
@@ -92,7 +92,7 @@ def value_stats(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         money_sum("value").alias("sum_value"),
-        units_avg(units4("value"), F.count(F.lit(1)), ndigits=4)
+        units_avg_d(units4d("value"), F.count(F.lit(1)), ndigits=4)
         .alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),

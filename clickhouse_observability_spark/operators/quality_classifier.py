@@ -267,3 +267,97 @@ def pareto_keep_col(
          f"4503599627370496) AS DOUBLE) / 4503599627370496.0)")
     pareto = f"(power(1.0 - {u}, {-1.0 / alpha}) - 1.0)"
     return F.expr(f"({score_col} > 1.0 - {pareto})")
+
+
+# -- fixed-weights adjudicable scoring (r9 verdict #6) ----------------
+
+#: Formula-generated fixed model for the ORACLE-ADJUDICATED scoring
+#: entry: integer micro-units (1e-6 z per unit), Knuth-hash spread in
+#: [-2e6, 2e6] so the per-doc mean lands across the whole sigmoid
+#: range. Not trained — the point is adjudicating the SCORING +
+#: SELECTION hot path with a bit-replayable model; GD training stays
+#: rows-only (engine-specific trajectories).
+FIXED_DIM = 512
+FIXED_BIAS_I = -250_000  # -0.25 z
+
+
+def fixed_weights_i(dim: int = FIXED_DIM) -> list[int]:
+    """w_int[b] = ((b * 2654435761) mod 4000001) - 2000000 — the same
+    literal array is embedded in the DuckDB oracle SQL."""
+    return [((b * 2654435761) % 4000001) - 2000000 for b in range(dim)]
+
+
+def md5_bucket_sql(tok_expr: str, dim: int) -> str:
+    """Cross-engine feature bucket: the first 8 md5 hex chars as an
+    integer, mod dim. Spark: conv(..., 16, 10); DuckDB mirrors with
+    CAST('0x' || substr(md5(t),1,8) AS BIGINT) % dim. (xxhash64 —
+    the trained classifiers' hasher — has no DuckDB twin; md5 does.)"""
+    return (f"CAST(CAST(conv(substr(md5({tok_expr}), 1, 8), 16, 10) "
+            f"AS BIGINT) % {dim} AS INT)")
+
+
+def fixed_quality_select(
+    documents: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = FIXED_DIM,
+    alpha: int = 9,
+) -> "DataFrame":
+    """Score + GPT-3-style Pareto selection over the FIXED literal
+    model, every step cross-engine exact or floor-quantized — the
+    oracle-adjudicable twin of score_quality + pareto_keep_col:
+
+    - md5-bucketed unigram+bigram features (md5_bucket_sql);
+    - z = (bias_i*n + Σ w_int[f]) / (n*1e6): integer numerator (an
+      exact BIGINT fold on both engines), ONE IEEE division;
+    - prob = sigmoid(z); published as prob_q6 = floor(prob*1e6) (the
+      registry's accepted transcendental-floor residual risk);
+    - uniform u = int(md5(doc_id)[:8], 16) / 2^32 — exact dyadic;
+    - keep iff score > 1 - ((1-u)^(-1/alpha) - 1), evaluated WITHOUT
+      power(): raising both sides to the alpha-th power gives
+      (2 - q)^alpha * (1-u) < 1 with q = prob_q6/1e6, computed as an
+      explicit multiplication tree ((x2=x*x, x4=x2*x2, x8=x4*x4,
+      x9=x8*x)) — identical IEEE ops on identical inputs in both
+      engines, so the DECISION depends only on the already-
+      adjudicated prob_q6 and the exact u.
+
+    Output: (doc_id, n_feats, prob_q6, kept). Map-only (broadcast
+    literal weights, no shuffle) — the 100 TB scoring shape."""
+    if alpha != 9:
+        raise ValueError("the multiplication tree is written for alpha=9")
+    w = fixed_weights_i(dim)
+    toks = (f"filter(split(lower(coalesce({text_col}, '')), "
+            f"'[^a-z0-9]+'), __t -> __t != '')")
+    uni = f"transform({toks}, __t -> {md5_bucket_sql('__t', dim)})"
+    big = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), __i -> "
+        f"{md5_bucket_sql(f'concat(element_at({toks}, __i), chr(32), element_at({toks}, __i + 1))', dim)}"
+        f") ELSE CAST(array() AS ARRAY<INT>) END")
+    feats = f"concat({uni}, {big})"
+    w_lit = "array(" + ", ".join(str(x) for x in w) + ")"
+    zn = (f"aggregate({feats}, CAST({FIXED_BIAS_I} AS BIGINT) * "
+          f"greatest(size({feats}), 1), "
+          f"(acc, __f) -> acc + element_at({w_lit}, __f + 1))")
+    df = documents.selectExpr(
+        id_col,
+        f"size({feats}) AS n_feats",
+        f"CAST({zn} AS DOUBLE) / (greatest(size({feats}), 1) * 1e6) "
+        f"AS __z",
+    )
+    df = df.selectExpr(
+        id_col, "n_feats",
+        "CAST(floor((1.0 / (1.0 + exp(-__z))) * 1e6) AS BIGINT) "
+        "AS prob_q6",
+    )
+    u = (f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 8), 16, "
+         f"10) AS BIGINT) / 4294967296.0")
+    q = "(prob_q6 / 1000000.0)"
+    x = f"(2.0 - {q})"
+    x2 = f"({x} * {x})"
+    x4 = f"({x2} * {x2})"
+    x8 = f"({x4} * {x4})"
+    return df.selectExpr(
+        id_col, "n_feats", "prob_q6",
+        f"(({x8} * {x}) * (1.0 - {u})) < 1.0 AS kept",
+    )

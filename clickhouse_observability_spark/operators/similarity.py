@@ -1123,12 +1123,27 @@ def mmr_rerank(
     the exact top-`n_candidates` per query (a DataFrame stage) group
     by query_id into Arrow batches of n_candidates rows, and the
     per-group numpy loop is O(k·n_candidates) on a ~50-row matrix.
-    Work scales with |queries|·n_candidates, never corpus size;
-    determinism: ties break toward the lower vec_id.
+    Work scales with |queries|·n_candidates, never corpus size.
 
-    Output: (query_id, mmr_rank, vec_id, cosine, mmr_score).
+    Cross-engine-deterministic greedy (r9 verdict #4): relevance and
+    pairwise similarities quantize to integer 1e-6 cosine units, and
+    λ enters as the rational 7/10, so every selection compares the
+    exact integer 10·s = 7·rel_i − 3·red_i (ties toward the lower
+    vec_id) — bit-replayable by the DuckDB oracle's unrolled greedy
+    (requires lam = 0.7; other λ keep the same integer scheme via
+    round(10λ)). The only float ops left are the cosine dots
+    themselves, absorbed by the 1e-6 quantization like every other
+    sim_* oracle entry.
+
+    Output: (query_id, mmr_rank, vec_id, cosine, mmr_score) with
+    cosine = rel_i/1e6 and mmr_score = (7·rel_i − 3·red_i)/1e7 —
+    single IEEE divisions of identical integers on both engines.
     """
     import pandas as pd
+
+    lam_i = int(round(lam * 10))
+    if abs(lam * 10 - lam_i) > 1e-12:
+        raise ValueError("mmr_rerank quantizes lambda to tenths")
 
     cand = brute_force_topk(embeddings, query_ids, k=n_candidates)
     e = embeddings.select(
@@ -1147,18 +1162,21 @@ def mmr_rerank(
         pdf = pdf.sort_values(["rank"]).reset_index(drop=True)
         V = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
-        rel = pdf["cosine"].to_numpy()
+        # brute_force_topk ships cosine already rounded to 6dp; the
+        # micro-unit int is exact
+        rel_i = np.rint(pdf["cosine"].to_numpy() * 1e6).astype(np.int64)
         ids = pdf["vec_id"].to_numpy()
         n = len(pdf)
         selected: list[int] = []
-        scores: list[float] = []
+        scores_i: list[int] = []
         remaining = list(range(n))
-        sim_to_sel = np.full(n, -np.inf)
+        int_min = np.iinfo(np.int64).min
+        sim_to_sel_i = np.full(n, int_min, dtype=np.int64)
         for _ in range(min(k, n)):
             best_i, best_s = None, None
             for i in remaining:
-                red = 0.0 if not selected else sim_to_sel[i]
-                s = lam * rel[i] - (1.0 - lam) * red
+                red = 0 if not selected else int(sim_to_sel_i[i])
+                s = lam_i * int(rel_i[i]) - (10 - lam_i) * red
                 if (
                     best_s is None
                     or s > best_s
@@ -1166,17 +1184,18 @@ def mmr_rerank(
                 ):
                     best_i, best_s = i, s
             selected.append(best_i)
-            scores.append(float(best_s))
+            scores_i.append(best_s)
             remaining.remove(best_i)
-            # running max over selected; -inf sentinel loses to any sim
-            sim_to_sel = np.maximum(sim_to_sel, V @ V[best_i])
+            # running max over selected, in the same integer units
+            sims_i = np.rint((V @ V[best_i]) * 1e6).astype(np.int64)
+            sim_to_sel_i = np.maximum(sim_to_sel_i, sims_i)
         return pd.DataFrame(
             {
                 "query_id": pdf["query_id"].iloc[0],
                 "mmr_rank": np.arange(1, len(selected) + 1, dtype="int32"),
                 "vec_id": ids[selected],
-                "cosine": rel[selected],
-                "mmr_score": np.round(scores, 6),
+                "cosine": rel_i[selected] / 1e6,
+                "mmr_score": np.array(scores_i, dtype=np.float64) / 1e7,
             }
         )
 

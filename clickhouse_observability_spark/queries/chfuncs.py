@@ -20,9 +20,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from clickhouse_observability_spark.functions.moneydec import (
-    units4,
-    units_avg,
-    units_money_sum,
+    units4d,
+    units_avg_d,
+    units_money_sum_d,
 )
 from clickhouse_observability_spark.operators import ch_functions as CH
 from clickhouse_observability_spark.registry import register, table
@@ -91,12 +91,12 @@ def agg_ch_functions_panel(spark, sf_dir):
     base = ev.groupBy("event_type").agg(
         CH.arg_max("user_id", "value").alias("argmax_user"),
         CH.arg_min("user_id", "value").alias("argmin_user"),
-        units_money_sum(
-            F.when(F.col("value") > 400, units4("value"))
+        units_money_sum_d(
+            F.when(F.col("value") > 400, units4d("value"))
         ).alias("sum_if_high"),
         F.count(F.when(F.col("value") < 1, F.lit(1))).alias("count_if_low"),
-        units_avg(
-            F.when(F.col("value") >= 100, units4("value")),
+        units_avg_d(
+            F.when(F.col("value") >= 100, units4d("value")),
             F.count(F.when(F.col("value") >= 100, F.lit(1))),
             ndigits=4,
         ).alias("avg_if_mid"),

@@ -5,9 +5,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from clickhouse_observability_spark.functions.moneydec import (
+    centsd,
     dec,
     floor_quantize,
     money_sum,
+    pctd,
+    units_money_sum_d,
 )
 from clickhouse_observability_spark.operators import joins as J
 from clickhouse_observability_spark.registry import register, table
@@ -217,7 +220,7 @@ def tpch_q6_forecast(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(money_sum(dec("l_extendedprice") * dec("l_discount")).alias("revenue"))
+        .agg(units_money_sum_d(centsd("l_extendedprice") * pctd("l_discount")).alias("revenue"))
     )
 
 

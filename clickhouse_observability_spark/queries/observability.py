@@ -439,20 +439,128 @@ def sim_semantic_contamination_lsh(spark, sf_dir):
     )
 
 
-@register("agg_lttb_downsample")
+@register(
+    "agg_lttb_downsample",
+    # The DuckDB replay of the deterministic LTTB fold
+    # (operators/downsample.lttb_downsample_exact): identical integer
+    # bucket partition, identical struct-tie-broken candidates,
+    # identical division-free triangle areas (two IEEE multiplies
+    # over exact integers), and the same earliest-wins strict-> pick
+    # — expressed as a recursive CTE stepping bucket by bucket.
+    oracle="""
+    WITH RECURSIVE pts AS (
+        SELECT event_type, epoch_us(ts) AS xl, value AS y,
+               CAST(round(value * 10000) AS BIGINT) AS yq
+        FROM events
+    ), st AS (
+        SELECT event_type, count(*) AS n, min(xl) AS x0
+        FROM pts GROUP BY 1
+    ), jp AS (
+        SELECT p.event_type, p.xl - s.x0 AS xr, p.y, p.yq, s.n, s.x0,
+               row_number() OVER (PARTITION BY p.event_type
+                                  ORDER BY p.xl - s.x0, p.yq, p.y
+                                  ) AS rn
+        FROM pts p JOIN st s USING (event_type)
+    ), big AS (
+        SELECT *, CASE WHEN rn = 1 THEN 0
+                       WHEN rn = n THEN 199
+                       ELSE CAST(((rn - 1) * 198 - 1) // (n - 2)
+                                 AS INT) + 1 END AS b
+        FROM jp WHERE n > 200
+    ), summ AS (
+        SELECT event_type, x0, b, count(*) AS nb,
+               sum(xr) AS sx, sum(yq) AS sq,
+               min(struct_pack(f1 := xr, f2 := yq, f3 := y)) AS s1,
+               min(struct_pack(f1 := yq, f2 := xr, f3 := y)) AS s2,
+               max(struct_pack(f1 := yq, f2 := xr, f3 := y)) AS s3,
+               max(struct_pack(f1 := xr, f2 := yq, f3 := y)) AS s4
+        FROM big GROUP BY 1, 2, 3
+    ), flat AS (
+        SELECT event_type, x0, b, nb, sx, sq,
+               s1.f1 AS c1x, s1.f2 AS c1q, s1.f3 AS c1y,
+               s2.f2 AS c2x, s2.f1 AS c2q, s2.f3 AS c2y,
+               s3.f2 AS c3x, s3.f1 AS c3q, s3.f3 AS c3y,
+               s4.f1 AS c4x, s4.f2 AS c4q, s4.f3 AS c4y
+        FROM summ
+    ), sel AS (
+        SELECT event_type, x0, 0 AS step,
+               c1x AS px, c1q AS pq, c1x AS ox, c1y AS oy
+        FROM flat WHERE b = 0
+        UNION ALL
+        SELECT event_type, x0, step,
+               CASE pick WHEN 1 THEN c1x WHEN 2 THEN c2x
+                         WHEN 3 THEN c3x ELSE c4x END AS px,
+               CASE pick WHEN 1 THEN c1q WHEN 2 THEN c2q
+                         WHEN 3 THEN c3q ELSE c4q END AS pq,
+               CASE pick WHEN 1 THEN c1x WHEN 2 THEN c2x
+                         WHEN 3 THEN c3x ELSE c4x END AS ox,
+               CASE pick WHEN 1 THEN c1y WHEN 2 THEN c2y
+                         WHEN 3 THEN c3y ELSE c4y END AS oy
+        FROM (
+            SELECT q.*, CASE WHEN a4 > a3 AND a4 > a2 AND a4 > a1
+                                 THEN 4
+                             WHEN a3 > a2 AND a3 > a1 THEN 3
+                             WHEN a2 > a1 THEN 2 ELSE 1 END AS pick
+            FROM (
+                SELECT s.event_type, s.x0, s.step + 1 AS step,
+                       cur.c1x, cur.c1q, cur.c1y,
+                       cur.c2x, cur.c2q, cur.c2y,
+                       cur.c3x, cur.c3q, cur.c3y,
+                       cur.c4x, cur.c4q, cur.c4y,
+                       abs(CAST(s.px * nx.nb - nx.sx AS DOUBLE)
+                           * CAST(cur.c1q - s.pq AS DOUBLE)
+                           - CAST(s.px - cur.c1x AS DOUBLE)
+                           * CAST(nx.sq - s.pq * nx.nb AS DOUBLE))
+                           AS a1,
+                       abs(CAST(s.px * nx.nb - nx.sx AS DOUBLE)
+                           * CAST(cur.c2q - s.pq AS DOUBLE)
+                           - CAST(s.px - cur.c2x AS DOUBLE)
+                           * CAST(nx.sq - s.pq * nx.nb AS DOUBLE))
+                           AS a2,
+                       abs(CAST(s.px * nx.nb - nx.sx AS DOUBLE)
+                           * CAST(cur.c3q - s.pq AS DOUBLE)
+                           - CAST(s.px - cur.c3x AS DOUBLE)
+                           * CAST(nx.sq - s.pq * nx.nb AS DOUBLE))
+                           AS a3,
+                       abs(CAST(s.px * nx.nb - nx.sx AS DOUBLE)
+                           * CAST(cur.c4q - s.pq AS DOUBLE)
+                           - CAST(s.px - cur.c4x AS DOUBLE)
+                           * CAST(nx.sq - s.pq * nx.nb AS DOUBLE))
+                           AS a4
+                FROM sel s
+                JOIN flat cur ON cur.event_type = s.event_type
+                             AND cur.b = s.step + 1
+                JOIN flat nx ON nx.event_type = s.event_type
+                            AND nx.b = s.step + 2
+            ) q
+        ) z
+    )
+    SELECT event_type, make_timestamp(x0 + ox) AS ts, oy AS value
+    FROM sel
+    UNION ALL
+    SELECT event_type, make_timestamp(x0 + c4x) AS ts, c4y AS value
+    FROM flat WHERE b = 199
+    UNION ALL
+    SELECT event_type, make_timestamp(x0 + xr) AS ts, y AS value
+    FROM jp WHERE n <= 200
+    """,
+)
 def agg_lttb_downsample(spark, sf_dir):
     """LTTB downsampling of each event-type value series to 200
-    render points (operators/downsample.py) — the dashboard-rendering
-    reduction over the reference's hourly-panel surface. Rows-only:
-    point selection is the documented candidate-restricted LTTB
-    (pytest pins exact equality with the reference algorithm on
-    feature-dominated series); the heavy pass is one JVM bucket
-    reduction, the sequential fold runs over <=200-row groups."""
+    render points — the dashboard-rendering reduction over the
+    reference's hourly-panel surface. Oracle-backed (r9 verdict #4)
+    via the DETERMINISTIC arm (operators/downsample.
+    lttb_downsample_exact): series-re-based integer x, 1e-4-unit
+    integer y, exact integer bucket sums, division-free triangle
+    areas — every fold decision replays bit-for-bit in DuckDB's
+    recursive CTE. The heavy pass is one JVM bucket reduction; the
+    sequential fold runs over <=200-row groups (bounded
+    applyInPandas)."""
     from clickhouse_observability_spark.operators.downsample import (
-        lttb_downsample,
+        lttb_downsample_exact,
     )
 
     ev = table(spark, sf_dir, "events")
-    return lttb_downsample(
+    return lttb_downsample_exact(
         ev, "ts", "value", 200, partition_by=("event_type",)
     )

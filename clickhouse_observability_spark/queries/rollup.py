@@ -138,30 +138,63 @@ def rollup_topk_counts(spark, sf_dir):
     )
 
 
-@register("rollup_topk_users")
+@register(
+    "rollup_topk_users",
+    oracle="""
+    WITH c AS (
+        SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+               event_type, user_id, count(*) AS n_events
+        FROM events GROUP BY 1, 2, 3
+    ), rk AS (
+        SELECT bucket_ts, event_type, user_id, n_events,
+               row_number() OVER (
+                   PARTITION BY bucket_ts, event_type
+                   ORDER BY n_events DESC, user_id) AS rank,
+               sum(n_events) OVER (
+                   PARTITION BY bucket_ts, event_type) AS cnt
+        FROM c
+    )
+    SELECT bucket_ts, event_type, cnt, rank, user_id, n_events
+    FROM rk WHERE rank <= 3
+    """,
+)
 def rollup_topk_users(spark, sf_dir):
-    """Top-3 most active users per (day, event_type), answered from
-    the MERGEABLE top-k state (CH `topKState`/`topKMerge` ≅ Spark's
-    native approx_top_k accumulate/combine — DataSketches
+    """Top-3 most active users per (day, event_type) WITH identities,
+    answered from the MERGEABLE top-k state (CH `topKState`/`topKMerge`
+    ≅ Spark's native approx_top_k accumulate/combine — DataSketches
     frequent-items): hour-grain states built once, merged on read to
-    day grain, estimated and exploded to ranked rows. Rows-only:
-    frequent-items tie order and over-capacity estimates are
-    engine-specific; pytest pins exactness under capacity and
-    merge-path invariance."""
+    day grain.
+
+    Oracle-backed (r9 verdict #4): instead of trusting the sketch's
+    own rank order — whose tie order is engine-specific — the state
+    is drained in FULL (estimate k = tracking capacity, so counts are
+    exact while a group's distinct users stay under capacity; sf0.01
+    max is 67 < 100) and re-ranked deterministically by
+    (n_events DESC, user_id), the same total order DuckDB computes
+    from the raw events. Over capacity the counts become estimates
+    and the entry's guarantee degrades to the sketch's — that regime
+    is covered by the tie-invariant projection `rollup_topk_counts`
+    and the accuracy bounds in tests/test_rollup.py."""
+    from pyspark.sql import Window
+
     ev = table(spark, sf_dir, "events")
     fine = R.build_rollup(ev, "hour", ("event_type",), topk_col="user_id")
     day = R.merge_states(fine, ("event_type",), "day")
-    fin = R.finalize(day, topk_k=3)
-    return fin.select(
-        "bucket_ts",
-        "event_type",
-        "cnt",
-        F.posexplode("top_items_est").alias("pos", "e"),
-    ).select(
-        "bucket_ts",
-        "event_type",
-        "cnt",
-        (F.col("pos") + 1).alias("rank"),
-        F.col("e.item").alias("user_id"),
-        F.col("e.count").alias("n_events"),
+    fin = R.finalize(day, topk_k=R.TOPK_MAX_TRACKED)  # full drain
+    w = Window.partitionBy("bucket_ts", "event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id"))
+    return (
+        fin.select(
+            "bucket_ts", "event_type", "cnt",
+            F.explode("top_items_est").alias("e"),
+        )
+        .select(
+            "bucket_ts", "event_type", "cnt",
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").alias("n_events"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("bucket_ts", "event_type", "cnt", "rank", "user_id",
+                "n_events")
     )

@@ -325,6 +325,81 @@ def text_quality_pareto_select(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _fixed_select_oracle() -> str:
+    """DuckDB replay of fixed_quality_select (r9 verdict #6): same
+    md5-bucketed features, same literal integer-unit weights, same
+    integer z numerator, same floor-quantized sigmoid, same exact
+    dyadic uniform, same power-free (2-q)^9 multiplication tree —
+    the 100 TB scoring+selection hot path under the hash gate with
+    only GD training left rows-only."""
+    from clickhouse_observability_spark.operators.quality_classifier import (
+        FIXED_BIAS_I,
+        FIXED_DIM,
+        fixed_weights_i,
+    )
+
+    w = "[" + ", ".join(str(x) for x in fixed_weights_i()) + "]"
+    b = (f"CAST(CAST(('0x' || substr(md5({{t}}), 1, 8)) AS BIGINT) "
+         f"% {FIXED_DIM} AS INT)")
+    uni = "list_transform(tk, t -> " + b.format(t="t") + ")"
+    big = ("CASE WHEN len(tk) >= 2 THEN list_transform(range(1, "
+           "len(tk)), i -> "
+           + b.format(t="(tk[i] || ' ' || tk[i+1])")
+           + ") ELSE CAST([] AS INT[]) END")
+    u = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+         "AS BIGINT) / 4294967296.0")
+    q = "(prob_q6 / 1000000.0)"
+    x = f"(2.0 - {q})"
+    x2 = f"({x} * {x})"
+    x4 = f"({x2} * {x2})"
+    x8 = f"({x4} * {x4})"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(
+                   lower(coalesce(text, '')), '[^a-z0-9]+'),
+                   t -> t <> '') AS tk
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, list_concat({uni}, {big}) AS fs FROM toks
+    ), z AS (
+        SELECT doc_id, len(fs) AS n_feats,
+               CAST(CAST({FIXED_BIAS_I} AS BIGINT)
+                        * greatest(len(fs), 1)
+                    + coalesce(CAST(list_sum(list_transform(fs,
+                          f -> ({w})[f + 1])) AS BIGINT), 0)
+                    AS DOUBLE)
+                   / (greatest(len(fs), 1) * 1e6) AS zz
+        FROM feats
+    ), scored AS (
+        SELECT doc_id, n_feats,
+               CAST(floor((1.0 / (1.0 + exp(-zz))) * 1e6) AS BIGINT)
+                   AS prob_q6
+        FROM z
+    )
+    SELECT doc_id, n_feats, prob_q6,
+           (({x8} * {x}) * (1.0 - {u})) < 1.0 AS kept
+    FROM scored
+    """
+
+
+@register("text_quality_fixed_select", oracle=_fixed_select_oracle())
+def text_quality_fixed_select(spark, sf_dir):
+    """Classifier SCORING + Pareto SELECTION under the driver's hash
+    gate (r9 verdict #6): a FIXED formula-generated literal model
+    (training stays rows-only — GD trajectories aren't SQL) scores
+    every document through md5-bucketed uni+bigram features and an
+    exact-integer z fold, then applies the GPT-3 `score > 1 -
+    pareto(9)` acceptance with md5-derived deterministic noise,
+    power-free. Map-only broadcast-literal scoring — the 100 TB hot
+    path (operators/quality_classifier.fixed_quality_select)."""
+    from clickhouse_observability_spark.operators.quality_classifier import (
+        fixed_quality_select,
+    )
+
+    return fixed_quality_select(table(spark, sf_dir, "documents"))
+
+
 @register("text_quality_classifier_hd")
 def text_quality_classifier_hd(spark, sf_dir):
     """The high-dimensional (2^14-bucket) classifier scale path:

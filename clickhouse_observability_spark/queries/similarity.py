@@ -582,16 +582,110 @@ def sim_ann_recall_sweep(spark, sf_dir):
     return out
 
 
-@register("sim_mmr_rerank")
+def _mmr_oracle_sql(k: int = 10, n_candidates: int = 50) -> str:
+    """DuckDB replay of the integer-unit MMR greedy
+    (operators/similarity.mmr_rerank): same 6dp-quantized relevance
+    and pairwise sims, same exact-integer 10·s = 7·rel − 3·red
+    objective, same lower-vec_id tie-break — unrolled k steps (the
+    selection state is a growing BIGINT list). The arg_max key packs
+    (score, −vec_id) into one BIGINT: |10·s| ≤ 1e7 micro-units and
+    vec_id < 1e8 at every oracle scale, so score·1e8 − vec_id is
+    collision-free and orders exactly like the python loop."""
+    ids = ", ".join(str(int(i)) for i in _QUERY_IDS)
+    steps = []
+    prev = "sel0"
+    for t in range(1, k + 1):
+        steps.append(f"""
+    red{t} AS MATERIALIZED (
+        SELECT m.query_id, m.va AS vec_id, max(m.sim_i) AS red_i
+        FROM sims m JOIN {prev} s2 ON s2.query_id = m.query_id
+                                   AND list_contains(s2.sel, m.vb)
+        GROUP BY 1, 2
+    ), p{t} AS MATERIALIZED (
+        SELECT c.query_id,
+               arg_max(c.vec_id,
+                       (7 * c.rel_i - 3 * coalesce(r.red_i, 0))
+                       * 100000000 - c.vec_id) AS pick
+        FROM cand c
+        JOIN {prev} s ON s.query_id = c.query_id
+                      AND NOT list_contains(s.sel, c.vec_id)
+        LEFT JOIN red{t} r ON r.query_id = c.query_id
+                           AND r.vec_id = c.vec_id
+        GROUP BY 1
+    ), sel{t} AS MATERIALIZED (
+        SELECT s.query_id, list_append(s.sel, p.pick) AS sel
+        FROM {prev} s JOIN p{t} p USING (query_id)
+    )""")
+        prev = f"sel{t}"
+    return f"""
+    WITH cand AS MATERIALIZED (
+        SELECT query_id, vec_id, rel_i FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   CAST(round(round(list_cosine_similarity(
+                            q.embedding::DOUBLE[],
+                            e.embedding::DOUBLE[]), 6) * 1e6)
+                        AS BIGINT) AS rel_i,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    q.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings e
+              ON e.vec_id <> q.vec_id
+            WHERE q.vec_id IN ({ids})
+        ) WHERE rank <= {n_candidates}
+    ), vecs AS MATERIALIZED (
+        SELECT c.query_id, c.vec_id, e.embedding::DOUBLE[] AS v
+        FROM cand c JOIN embeddings e USING (vec_id)
+    ), sims AS MATERIALIZED (
+        SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               CAST(round(list_cosine_similarity(a.v, b.v) * 1e6)
+                    AS BIGINT) AS sim_i
+        FROM vecs a JOIN vecs b ON a.query_id = b.query_id
+                               AND a.vec_id <> b.vec_id
+    ), sel0 AS MATERIALIZED (
+        SELECT DISTINCT query_id, CAST([] AS BIGINT[]) AS sel
+        FROM cand
+    ),{", ".join(steps)},
+    fin AS MATERIALIZED (
+        SELECT query_id, unnest(sel) AS vec_id,
+               generate_subscripts(sel, 1) AS mmr_rank
+        FROM sel{k}
+    ),
+    red_fin AS MATERIALIZED (
+        SELECT f.query_id, f.vec_id, f.mmr_rank, max(m.sim_i) AS red_i
+        FROM fin f
+        JOIN sims m ON m.query_id = f.query_id AND m.va = f.vec_id
+        JOIN fin f2 ON f2.query_id = f.query_id
+                    AND f2.mmr_rank < f.mmr_rank
+                    AND m.vb = f2.vec_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT f.query_id, f.mmr_rank, f.vec_id,
+           c.rel_i / 1000000.0 AS cosine,
+           (7 * c.rel_i - 3 * coalesce(r.red_i, 0)) / 10000000.0
+               AS mmr_score
+    FROM fin f
+    JOIN cand c ON c.query_id = f.query_id AND c.vec_id = f.vec_id
+    LEFT JOIN red_fin r ON r.query_id = f.query_id
+                        AND r.vec_id = f.vec_id
+    """
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle_sql())
 def sim_mmr_rerank(spark, sf_dir):
     """MMR-diversified retrieval: exact top-50 candidates per query
     re-ranked by maximal marginal relevance (λ=0.7) — the redundancy-
     aware serving layout (near-duplicate passages waste a RAG context
     budget). The greedy selection is sequential in k, so it runs as
     an Arrow applyInPandas over per-query candidate groups (~50 rows
-    each) — the documented legitimate-pandas-path case. Rows-only:
-    pytest pins an exact pure-python MMR reference and the
-    diversification property on a clustered corpus."""
+    each) — the documented legitimate-pandas-path case. Oracle-backed
+    (r9 verdict #4): the greedy runs over integer 1e-6 cosine units
+    with λ as the rational 7/10 (operators/similarity.mmr_rerank), so
+    DuckDB's unrolled 10-step greedy (`_mmr_oracle_sql`) replays every
+    selection exactly; pytest additionally pins the diversification
+    property on a clustered corpus."""
     return S.mmr_rerank(
         table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10,
         n_candidates=50, lam=0.7,

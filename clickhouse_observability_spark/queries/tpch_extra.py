@@ -27,7 +27,8 @@ from clickhouse_observability_spark.functions.moneydec import (
     dec,
     floor_quantize,
     money_sum,
-    units4,
+    revenue_sum_d,
+    units4d,
 )
 from clickhouse_observability_spark.registry import register, table
 
@@ -228,9 +229,7 @@ def tpch_q10_returned_items(spark, sf_dir):
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            money_sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias(
-                "revenue"
-            )
+            revenue_sum_d("l_extendedprice", "l_discount").alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -345,7 +344,7 @@ def tpch_q18_large_orders(spark, sf_dir):
     # threshold compares integers (> 100 dollars == > 1,000,000 u4)
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(units4("l_quantity")).alias("q"))
+        .agg(F.sum(units4d("l_quantity")).alias("q"))
         .filter(F.col("q") > 100 * 10000)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
@@ -355,7 +354,7 @@ def tpch_q18_large_orders(spark, sf_dir):
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(
-            (F.sum(units4("l_quantity")) / F.lit(10000.0))
+            (F.sum(units4d("l_quantity")) / F.lit(10000.0))
             .cast("double")
             .alias("total_qty")
         )
@@ -722,9 +721,7 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
-            money_sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias(
-                "revenue"
-            )
+            revenue_sum_d("l_extendedprice", "l_discount").alias("revenue")
         )
     )
 
@@ -767,7 +764,7 @@ def tpch_q20_excess_shippers(spark, sf_dir):
         .groupBy("l_suppkey", "l_partkey")
         # exact integer units (moneydec fast path): the HAVING
         # threshold is a landable boundary (a group summing to 40)
-        .agg(F.sum(units4("l_quantity")).alias("qty"))
+        .agg(F.sum(units4d("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 40 * 10000)
         .select("l_suppkey")
         .distinct()

@@ -100,6 +100,60 @@ def read_table_ttl(path: str) -> int | None:
     return int(spec["retention_days"]) if spec else None
 
 
+def _swap_partition(part_dir: str, tmp: str) -> None:
+    """Replace a live partition directory with its rewritten ``tmp``
+    crash-recoverably. The naive ``rmtree(part_dir); rename(tmp,
+    part_dir)`` loses the whole month if the process dies between the
+    two calls (the month vanishes from _partition_months, so a retry
+    never finds the orphaned tmp). Sequence instead:
+
+      1. rename part_dir -> part_dir.old   (atomic, same fs)
+      2. rename tmp      -> part_dir       (atomic)
+      3. rmtree part_dir.old
+
+    A crash after 1 leaves ``.old`` WITHOUT a live dir — recoverable;
+    a crash after 2 leaves ``.old`` BESIDE the live dir — cleanup
+    only. ``recover_partition_swaps`` (run at every retention /
+    compaction entry) restores both states, so the advertised
+    retry-safety of the batcher's background TTL pass holds across a
+    crash at ANY point of the swap."""
+    old = part_dir + ".old"
+    if os.path.isdir(old):  # completed-swap leftover from a prior crash
+        shutil.rmtree(old)
+    os.rename(part_dir, old)
+    os.rename(tmp, part_dir)
+    shutil.rmtree(old)
+
+
+def recover_partition_swaps(path: str) -> dict:
+    """Restore partition directories orphaned by a crash mid-swap.
+
+    For each ``<part>.old``: if the live dir exists the swap finished
+    (crash before cleanup) -> drop the ``.old``; if not, the crash hit
+    between the two renames -> rename ``.old`` back into place (the
+    rewrite is re-derivable, the raw month is not). Stray ``.tmp``
+    dirs are incomplete (or superseded) rewrites -> dropped; the next
+    pass rebuilds them. Returns {"restored": [...], "cleaned": [...]}
+    with the affected directory names."""
+    restored, cleaned = [], []
+    if not os.path.isdir(path):
+        return {"restored": restored, "cleaned": cleaned}
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if d.startswith(f"{PARTITION_COLUMN}=") and d.endswith(".old"):
+            live = full[: -len(".old")]
+            if os.path.isdir(live):
+                shutil.rmtree(full)
+                cleaned.append(d)
+            else:
+                os.rename(full, live)
+                restored.append(d)
+        elif d.startswith(f"{PARTITION_COLUMN}=") and d.endswith(".tmp"):
+            shutil.rmtree(full)
+            cleaned.append(d)
+    return {"restored": restored, "cleaned": cleaned}
+
+
 def _partition_months(path: str) -> list[int]:
     if not os.path.isdir(path):
         return []
@@ -158,6 +212,10 @@ def apply_retention(
     # spec is read UNCONDITIONALLY: an explicit retention_days
     # overrides the armed horizon but must NOT silently flip an
     # armed GROUP BY (downsample) into a DELETE.
+    # a prior pass may have crashed mid-swap; restore orphaned months
+    # BEFORE enumerating partitions, or an aged month could silently
+    # drop out of the pass (retry-safety across crash-at-any-point).
+    recover_partition_swaps(path)
     spec = read_table_ttl_spec(path)
     if retention_days is None:
         retention_days = int(spec["retention_days"]) if spec else None
@@ -205,8 +263,7 @@ def apply_retention(
         with parquet_ts_micros(spark):
             kept.write.mode("overwrite").option("compression", "zstd") \
                 .parquet(tmp)
-        shutil.rmtree(part_dir)
-        os.rename(tmp, part_dir)
+        _swap_partition(part_dir, tmp)
         rewritten = cutoff_month
     # surface (or repair) matview divergence — see docstring
     stale_views: list[str] = []
@@ -329,8 +386,7 @@ def _collapse_partition(
             .sortWithinPartitions("service", "ts")
             .write.mode("overwrite").option("compression", "zstd")
             .parquet(tmp))
-    shutil.rmtree(part_dir)
-    os.rename(tmp, part_dir)
+    _swap_partition(part_dir, tmp)
     return {"month": month}
 
 
@@ -403,6 +459,7 @@ def compact_partition(
         parquet_ts_micros,
     )
 
+    recover_partition_swaps(path)  # see apply_retention
     part_dir = os.path.join(path, f"{PARTITION_COLUMN}={month}")
     files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
     # widened read + overlay: evolved columns (ALTER TABLE ADD
@@ -449,6 +506,5 @@ def compact_partition(
                 .option("compression", "zstd")  # match LogsTable._write
                 .parquet(tmp)
             )
-    shutil.rmtree(part_dir)
-    os.rename(tmp, part_dir)
+    _swap_partition(part_dir, tmp)
     return len(files)

@@ -114,7 +114,10 @@ class IngestStream:
         # concern — a streaming writer must not inherit deletes from
         # the environment). Both TTL modes are idempotent (DELETE
         # re-deletes nothing; GROUP BY collapse re-collapses to
-        # itself), so a crash anywhere in the pass is retry-safe.
+        # itself) and the partition swap is crash-recoverable
+        # (rename-aside + orphan restore at every apply_retention
+        # entry — retention._swap_partition), so a crash anywhere in
+        # the pass is retry-safe, including mid-directory-swap.
         self.enforce_ttl_every_s = enforce_ttl_every_s
         self._last_ttl_mono = 0.0
         self.query: StreamingQuery | None = None

@@ -1,22 +1,18 @@
-"""Spot-check named registry entries against DuckDB (driver-style hash).
-
-Usage: python scripts/check_entries.py [sf_dir] name [name ...]
-Mirrors tests/test_oracle_registry.py's canonicalization at an
-arbitrary scale factor (default sf0.01 — the driver's gate scale).
+"""Focused cross-engine check for named registry entries (the
+test_oracle_registry comparison, scoped): usage
+  python scripts/check_entries.py sf0.001 name1 name2 ...
 """
-
-from __future__ import annotations
-
-import hashlib
-import math
-import sys
+import hashlib, math, sys
 
 import duckdb
 
-_TABLES = (
-    "region nation customer supplier part orders lineitem "
-    "events documents embeddings"
-).split()
+sys.path.insert(0, ".")
+from pyspark.sql import SparkSession
+
+from clickhouse_observability_spark.registry import oracle_sql, queries
+
+_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings"]
 
 
 def _norm_cell(v):
@@ -41,64 +37,59 @@ def _table_hash(cols, rows):
     return h.hexdigest()[:16]
 
 
-def main() -> int:
-    args = sys.argv[1:]
-    sf = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
-        .getOrCreate()
-    )
-    from clickhouse_observability_spark.registry import oracle_sql, queries
-
+def main():
+    sf = sys.argv[1]
+    names = sys.argv[2:]
+    spark = (SparkSession.builder.master("local[16]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.driver.memory", "8g")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     qs, oracles = queries(), oracle_sql()
     con = duckdb.connect()
     for t in _TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/{sf}/{t}.parquet'")
     bad = 0
-    for name in args:
+    for name in names:
         try:
-            sdf = qs[name](spark, sf)
+            sdf = qs[name](spark, f"/root/testdata/{sf}")
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"{name}: ERR {type(e).__name__}: {e}")
+        except Exception as e:
+            print(f"{name}: ERR {type(e).__name__}: {str(e)[:500]}")
             bad += 1
             continue
-        schema_ok = sorted(scols) == sorted(dcols)
-        rows_ok = len(srows) == len(drows)
-        hash_ok = (
-            schema_ok
-            and rows_ok
-            and _table_hash(scols, srows) == _table_hash(dcols, drows)
-        )
-        status = "OK" if (schema_ok and rows_ok and hash_ok) else "FAIL"
-        print(
-            f"{name}: {status} schema={schema_ok} rows={len(srows)}/{len(drows)}"
-            f" hash={hash_ok}"
-        )
-        if status == "FAIL":
+        if sorted(scols) != sorted(dcols):
+            print(f"{name}: SCHEMA {scols} vs {dcols}")
             bad += 1
-            if schema_ok and rows_ok:
-                key = lambda r: tuple(_norm_cell(v) for v in r)  # noqa: E731
-                ss = sorted(srows, key=key)
-                dd = sorted(drows, key=key)
-                shown = 0
-                for a, b in zip(ss, dd):
-                    if key(a) != key(b):
-                        print(f"  spark={a}\n  duck ={b}")
-                        shown += 1
-                        if shown >= 3:
-                            break
-    return 1 if bad else 0
+            continue
+        if len(srows) != len(drows):
+            print(f"{name}: ROWS {len(srows)} vs {len(drows)}")
+            bad += 1
+            continue
+        sh, dh = _table_hash(scols, srows), _table_hash(dcols, drows)
+        if sh != dh:
+            print(f"{name}: HASH {sh} vs {dh} ({len(srows)} rows)")
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            sset = sorted("\x01".join(_norm_cell(r[i]) for i in order)
+                          for r in srows)
+            dset = sorted("\x01".join(_norm_cell(r[i]) for i in order)
+                          for r in drows)
+            for a, b in zip(sset, dset):
+                if a != b:
+                    print("  spark:", a.replace("\x01", " | ")[:200])
+                    print("  duck :", b.replace("\x01", " | ")[:200])
+                    break
+            bad += 1
+            continue
+        print(f"{name}: OK ({len(srows)} rows)")
+    sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()

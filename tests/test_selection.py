@@ -357,3 +357,46 @@ def test_mixture_temperature_limits(spark):
     for r in list(nat.values()) + list(hot.values()):
         assert 0.0 <= r.rate <= 1.0
         assert r.planned_tokens <= r.n_tokens
+
+
+def test_fixed_quality_select_contract(spark, sf_small):
+    """r9 verdict #6 pins for the oracle-adjudicated scoring+selection
+    hot path: (a) the Pareto-keep decision replays the analytic rule
+    over (prob_q6, md5-uniform) exactly — a pure-python reference
+    agrees doc for doc; (b) keep rate is far from degenerate on real
+    docs; (c) deterministic across calls; (d) map-only plan (no
+    Exchange — the broadcast-literal scoring shape)."""
+    import hashlib
+
+    from clickhouse_observability_spark.operators.quality_classifier import (
+        fixed_quality_select,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    out = fixed_quality_select(docs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == docs.count()
+
+    # (a) python replay of the keep rule
+    for doc_id, r in list(rows.items())[:200]:
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) \
+            / 4294967296.0
+        q = r.prob_q6 / 1000000.0
+        x = 2.0 - q
+        x2 = x * x
+        x4 = x2 * x2
+        x8 = x4 * x4
+        assert r.kept == ((x8 * x) * (1.0 - u) < 1.0), doc_id
+
+    # (b) the acceptance is selective but non-degenerate
+    kept = sum(1 for r in rows.values() if r.kept)
+    assert 0 < kept < len(rows)
+
+    # (c) bit-stable rerun
+    again = {r.doc_id: (r.prob_q6, r.kept)
+             for r in fixed_quality_select(docs).collect()}
+    assert again == {k: (r.prob_q6, r.kept) for k, r in rows.items()}
+
+    # (d) map-only: no shuffle anywhere in the scoring plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
