@@ -173,12 +173,158 @@ def behavior_sequence_match(spark, sf_dir):
     ).withColumnRenamed("user", "user_id")
 
 
-@register("behavior_window_funnel_strict")
+def _funnel_strict_oracle() -> str:
+    """DuckDB replay of all four windowFunnel mode folds (r9 verdict
+    #4): each arm is the SAME sequential state machine the Spark
+    aggregate() fold runs (operators/behavioral.window_funnel),
+    expressed as a recursive CTE stepping each user's (us, step)-
+    sorted timeline one event per iteration — per-level chain-start
+    timestamps, re-anchoring on step-1, strict_order's kill-or-
+    isolate, strict_increase's last-event timestamps, and
+    strict_deduplication's interrupt flag. An independent second
+    implementation of the documented CH semantics, not a closed form
+    — the branch priority (dead > repeat > anchor > advance > kill)
+    is encoded in each arm's `br` CASE."""
+    W = _W_US
+    return f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id AS user, epoch_us(ts) AS us,
+               CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                    WHEN 'purchase' THEN 2 ELSE -1 END AS step
+        FROM events
+    ), tc AS (
+        SELECT user, us, step,
+               row_number() OVER (PARTITION BY user
+                                  ORDER BY us, step) AS i
+        FROM ev WHERE step >= 0
+    ), ta AS (
+        SELECT user, us, step,
+               row_number() OVER (PARTITION BY user
+                                  ORDER BY us, step) AS i
+        FROM ev
+    ), fd AS (
+        SELECT DISTINCT user, CAST(0 AS BIGINT) AS i,
+               CAST(NULL AS BIGINT) AS t0, CAST(NULL AS BIGINT) AS t1,
+               0 AS lvl
+        FROM tc
+        UNION ALL
+        SELECT user, i,
+               CASE WHEN br = 1 THEN us ELSE t0 END,
+               CASE WHEN br = 2 THEN t0 ELSE t1 END,
+               greatest(lvl, br)
+        FROM (
+            SELECT f.user, e.i, e.us, f.t0, f.t1, f.lvl,
+                   CASE WHEN e.step = 0 THEN 1
+                        WHEN e.step = 1 AND f.t0 IS NOT NULL
+                             AND e.us <= f.t0 + {W} THEN 2
+                        WHEN e.step = 2 AND f.t1 IS NOT NULL
+                             AND e.us <= f.t1 + {W} THEN 3
+                        ELSE 0 END AS br
+            FROM fd f JOIN tc e ON e.user = f.user AND e.i = f.i + 1
+        )
+    ), fsi AS (
+        SELECT DISTINCT user, CAST(0 AS BIGINT) AS i,
+               CAST(NULL AS BIGINT) AS t0, CAST(NULL AS BIGINT) AS t1,
+               CAST(NULL AS BIGINT) AS u0, CAST(NULL AS BIGINT) AS u1,
+               0 AS lvl
+        FROM tc
+        UNION ALL
+        SELECT user, i,
+               CASE WHEN br = 1 THEN us ELSE t0 END,
+               CASE WHEN br = 2 THEN t0 ELSE t1 END,
+               CASE WHEN br = 1 THEN us ELSE u0 END,
+               CASE WHEN br = 2 THEN us ELSE u1 END,
+               greatest(lvl, br)
+        FROM (
+            SELECT f.user, e.i, e.us, f.t0, f.t1, f.u0, f.u1, f.lvl,
+                   CASE WHEN e.step = 0 THEN 1
+                        WHEN e.step = 1 AND f.t0 IS NOT NULL
+                             AND e.us <= f.t0 + {W}
+                             AND e.us > f.u0 THEN 2
+                        WHEN e.step = 2 AND f.t1 IS NOT NULL
+                             AND e.us <= f.t1 + {W}
+                             AND e.us > f.u1 THEN 3
+                        ELSE 0 END AS br
+            FROM fsi f JOIN tc e ON e.user = f.user AND e.i = f.i + 1
+        )
+    ), fso AS (
+        SELECT DISTINCT user, CAST(0 AS BIGINT) AS i,
+               CAST(NULL AS BIGINT) AS t0, CAST(NULL AS BIGINT) AS t1,
+               0 AS lvl
+        FROM ta
+        UNION ALL
+        SELECT user, i,
+               CASE WHEN br = 1 THEN us ELSE NULL END,
+               CASE WHEN br = 2 THEN t0 ELSE NULL END,
+               greatest(lvl, CASE WHEN br = 4 THEN 0 ELSE br END)
+        FROM (
+            SELECT f.user, e.i, e.us, f.t0, f.t1, f.lvl,
+                   CASE WHEN e.step = 0 THEN 1
+                        WHEN e.step = 1 AND f.t0 IS NOT NULL
+                             AND e.us <= f.t0 + {W} THEN 2
+                        WHEN e.step = 2 AND f.t1 IS NOT NULL
+                             AND e.us <= f.t1 + {W} THEN 3
+                        ELSE 4 END AS br
+            FROM fso f JOIN ta e ON e.user = f.user AND e.i = f.i + 1
+        )
+    ), fsd AS (
+        SELECT DISTINCT user, CAST(0 AS BIGINT) AS i,
+               CAST(NULL AS BIGINT) AS t0, CAST(NULL AS BIGINT) AS t1,
+               CAST(NULL AS BIGINT) AS t2, 0 AS lvl, false AS dead
+        FROM tc
+        UNION ALL
+        SELECT user, i,
+               CASE WHEN br = 1 THEN us ELSE t0 END,
+               CASE WHEN br = 2 THEN t0 ELSE t1 END,
+               CASE WHEN br = 3 THEN t1 ELSE t2 END,
+               greatest(lvl, CASE WHEN br = 9 THEN 0 ELSE br END),
+               dead OR br = 9
+        FROM (
+            SELECT f.user, e.i, e.us, f.t0, f.t1, f.t2, f.lvl, f.dead,
+                   CASE WHEN f.dead THEN 0
+                        WHEN e.step = 0 AND f.t0 IS NOT NULL THEN 9
+                        WHEN e.step = 1 AND f.t1 IS NOT NULL THEN 9
+                        WHEN e.step = 2 AND f.t2 IS NOT NULL THEN 9
+                        WHEN e.step = 0 THEN 1
+                        WHEN e.step = 1 AND f.t0 IS NOT NULL
+                             AND e.us <= f.t0 + {W} THEN 2
+                        WHEN e.step = 2 AND f.t1 IS NOT NULL
+                             AND e.us <= f.t1 + {W} THEN 3
+                        ELSE 0 END AS br
+            FROM fsd f JOIN tc e ON e.user = f.user AND e.i = f.i + 1
+        )
+    )
+    SELECT 'default' AS mode, user, CAST(lvl AS INT) AS level
+    FROM (SELECT user, lvl, row_number() OVER (
+              PARTITION BY user ORDER BY i DESC) AS rn FROM fd)
+    WHERE rn = 1
+    UNION ALL
+    SELECT 'strict_increase', user, CAST(lvl AS INT)
+    FROM (SELECT user, lvl, row_number() OVER (
+              PARTITION BY user ORDER BY i DESC) AS rn FROM fsi)
+    WHERE rn = 1
+    UNION ALL
+    SELECT 'strict_order', user, CAST(lvl AS INT)
+    FROM (SELECT user, lvl, row_number() OVER (
+              PARTITION BY user ORDER BY i DESC) AS rn FROM fso)
+    WHERE rn = 1
+    UNION ALL
+    SELECT 'strict_dedup', user, CAST(lvl AS INT)
+    FROM (SELECT user, lvl, row_number() OVER (
+              PARTITION BY user ORDER BY i DESC) AS rn FROM fsd)
+    WHERE rn = 1
+    """
+
+
+@register("behavior_window_funnel_strict",
+          oracle=_funnel_strict_oracle())
 def behavior_window_funnel_strict(spark, sf_dir):
     """windowFunnel with every CH strict mode, mode-tagged in one
-    frame (rows-only: the mode interactions have no clean SQL
-    mirror; tests/test_behavioral.py pins the docs' own shape
-    examples per mode). Same single user_id shuffle per arm."""
+    frame. Oracle-backed (r9 verdict #4): each arm's sequential fold
+    replays in DuckDB as a recursive CTE over the same tie-broken
+    timeline (`_funnel_strict_oracle`); tests/test_behavioral.py
+    additionally pins the docs' own shape examples per mode. Same
+    single user_id shuffle per arm."""
     ev = table(spark, sf_dir, "events")
     steps = ["view", "click", "purchase"]
     out = None
