@@ -3676,6 +3676,13 @@ _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 # INTO OUTFILE` with no LIMIT is fine), Parquet is a Spark
 # single-partition write moved into place. Always returns the row
 # count.
+# CREATE TABLE ... ENGINE = <anything>: refused with the operator
+# route (see the ch_sql arm) — matched BEFORE Spark's parser can
+# throw a raw PARSE_SYNTAX_ERROR at the ENGINE clause.
+_ENGINE_DDL_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)[\s\S]*?"
+    r"\bENGINE\s*=\s*(\w+)", re.IGNORECASE)
+
 _OUTFILE_RE = re.compile(
     r"^(\s*(?:SELECT|WITH)\b.*?)\s+INTO\s+OUTFILE\s+'([^']+)'"
     r"\s*(?:FORMAT\s+(\w+))?\s*;?\s*$",
@@ -4674,6 +4681,33 @@ def _ch_sql_stmt(
                     continue
                 if mv.name.lower() in mentioned:
                     mv.read().createOrReplaceTempView(mv.name)
+
+    me = _ENGINE_DDL_RE.match(sql)
+    if me is not None:
+        name, eng = me.groups()
+        if name.lower() == "logs" and eng.lower() == "mergetree":
+            # the reference's own bootstrap DDL (db.go:41-49) — and
+            # the statement SHOW CREATE TABLE logs reconstructs, so
+            # the round-trip is executable. Idempotent like
+            # IF NOT EXISTS (the reference always passes it).
+            if logs is None:
+                raise ChDialectError("CREATE TABLE logs needs the "
+                                     "logs table binding")
+            logs.init_schema()
+            return 0
+        # honest refusal with the sanctioned route (r10): a generic
+        # CREATE TABLE ... ENGINE = <X> would need a table catalog
+        # this shim deliberately doesn't grow (the reference has ONE
+        # table); the engine SEMANTICS are first-class operators.
+        raise ChDialectError(
+            f"CREATE TABLE {name} with ENGINE = {eng} is not "
+            f"supported by this shim (its catalog is the single logs "
+            f"table + views). The MergeTree engine-family SEMANTICS "
+            f"are available as merge-on-read operators: "
+            f"operators/merge_engines.py (Replacing / Collapsing / "
+            f"VersionedCollapsing / Summing) and operators/rollup.py "
+            f"(AggregatingMergeTree -State/-Merge); the logs table "
+            f"itself is the MergeTree analog (sources/writer.py).")
 
     mo = _OUTFILE_RE.match(sql)
     if mo is not None:

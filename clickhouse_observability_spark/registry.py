@@ -248,6 +248,7 @@ def _load_all() -> None:
         "chfuncs",
         "observability",
         "lifecycle",
+        "merge_engines",
     ):
         try:
             __import__(f"clickhouse_observability_spark.queries.{mod}")

@@ -182,23 +182,26 @@ def test_adjudication_window_composition():
     assert len(registry._WINDOW_ORDER) == 50
     assert len(set(registry._WINDOW_ORDER)) == 50
     assert oracle_names[:50] == registry._WINDOW_ORDER
-    # r5 rotations: flagship entries now under the driver's gate
+    # r5 rotations: flagship entries now under the driver's gate.
+    # r10 rotation: ten multi-round-green names left the window
+    # (their oracles stay CI-gated — pinned in the merged/rotated
+    # list below); in: the r9 flagships and the last TPC-H batch.
     for flagship in (
-        "tpch_q21_waiting_suppliers",
-        "agg_grouping_panel",
-        "dedup_jaccard_panel",
-        "dedup_exact_panel",
-        "rollup_day_type_panel",
+        "lifecycle_ttl_rollup_panel",
+        "text_mixture_temperature",
+        "pipeline_retrieval_eval",
+        "text_dataset_card",
+        "text_corpus_audit",
+        "tpch_q11_important_values",
+        "tpch_q12_priority_classes",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_diversity",
+        "tpch_q22_dormant_customers",
         "agg_ch_functions_panel",
         # r6 rotation: three more panel merges + four round-5 flagships
-        "text_perdoc_panel",
         "text_signal_panel",
-        "behavior_sequence_match",
         "dedup_exact_spans",
-        "text_bm25_search",
         # r6 second wave
-        "text_select_panel",
-        "sim_topk_panel",
         "pipeline_hybrid_retrieval",
         # r7 rotation: five merges + the storage-lifecycle layers,
         # semantic decontamination, the clustering keep-list, and two
@@ -318,6 +321,30 @@ def test_adjudication_window_composition():
         "dedup_embedding_pairs",
         "text_unigram_logprob",
         "mutation_post_read",
+        # r10 rotation-outs: multi-round driver-green, oracles
+        # retained under the CI registry gate
+        "tpch_q21_waiting_suppliers",
+        "agg_grouping_panel",
+        "dedup_jaccard_panel",
+        "dedup_exact_panel",
+        "rollup_day_type_panel",
+        "text_perdoc_panel",
+        "behavior_sequence_match",
+        "text_bm25_search",
+        "text_select_panel",
+        "sim_topk_panel",
+        # r10 additions: the MergeTree engine family + the verdict-#4
+        # oracle-ifications (registered after the window, CI-gated)
+        "engine_replacing_latest",
+        "engine_collapsing_sessions",
+        "engine_collapsing_net",
+        "engine_versioned_collapsing",
+        "engine_summing_parts_merge",
+        "rollup_topk_users",
+        "agg_lttb_downsample",
+        "sim_mmr_rerank",
+        "behavior_window_funnel_strict",
+        "text_quality_fixed_select",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 

