@@ -136,13 +136,22 @@ def units_d(col: str | Column, scale: float) -> Column:
     integer-valued DOUBLE — the ANSI-mode fast path (r10). Under
     Spark 4's default ANSI mode every BIGINT aggregate add and every
     double->long cast in the row loop is overflow-checked; summing
-    the SAME exact integers as doubles runs ~1.6x faster on TPC-H Q1
-    (measured: 0.50s -> 0.22s warm at sf0.1, matching the plain
-    double-sum plan) while staying exact — a sum of integer-valued
+    the SAME exact integers as doubles removes all checked ops from
+    the row loop while staying exact — a sum of integer-valued
     doubles is order-independent and exact while every partial stays
     below 2^53 (|dollars| < ~9e11 per group at 1e-4 grain).
-    units_money_sum_d raises loudly at that bound instead of
-    drifting; beyond it, use the BIGINT path (bound 9.2e18) or DEC."""
+
+    Measured on TPC-H Q1 @ sf0.1 (paired, interleaved — this host's
+    frequency swings 2x between sessions, so only same-session pairs
+    mean anything): raw double-unit sums track the plain double-sum
+    plan within ~15-20% (the per-row conversion), where the BIGINT
+    path paid ~1.5-2x; the exactness machinery on top is FLAT
+    per-query-execution cost, not per-row — the post-agg integer
+    quantize ~+0.08s and the 2^53 guard +0.065s (20/20 paired wins;
+    codegen-size overhead on a 6-row result projection). Kept
+    anyway: loud failure beats silent drift, and a flat ~0.1s
+    vanishes on any at-scale query. units_money_sum_d raises at the
+    bound; beyond it, use the BIGINT path (bound 9.2e18) or DEC."""
     c = F.col(col) if isinstance(col, str) else col
     x = c * F.lit(scale)
     return (

@@ -59,13 +59,15 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
     — the moneydec ANSI fast path (units_d): the unit values are
     exact integers, their double sums are exact and order-independent
     below 2^53 (guarded loudly), and the plan's row loop has zero
-    overflow-checked BIGINT ops (measured 0.50s -> 0.22s warm at
-    sf0.1 under Spark 4's default ANSI mode — r9 verdict #1's q1
-    delta was exactly this cost). Bit-identical to the oracle's
-    DECIMAL(18,4) arithmetic; the product folds as
-    cents(price) * (100 - pct(discount)) = exact 1e-4-dollar units;
-    avg_disc reuses the pct units (x100 = 1e-4 fraction units)
-    instead of a fourth per-row conversion."""
+    overflow-checked BIGINT ops (the r9 BIGINT units paid ANSI's
+    per-row overflow checks — r9 verdict #1's q1 delta; see the
+    units_d docstring for the measured breakdown: the row loop now
+    tracks the plain double-sum plan, the exactness
+    quantize+guard is a flat ~0.1s/execution result-projection
+    cost). Bit-identical to the oracle's DECIMAL(18,4) arithmetic;
+    the product folds as cents(price) * (100 - pct(discount)) =
+    exact 1e-4-dollar units; avg_disc reuses the pct units (x100 =
+    1e-4 fraction units) instead of a fourth per-row conversion."""
     cnt = F.count(F.lit(1))
     # one unit conversion per column per row (the price cents feed
     # both the base-price sum — x100 — and the discount product)

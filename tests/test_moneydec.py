@@ -241,3 +241,25 @@ def test_units_money_sum_half_boundary_and_negatives(spark):
     assert got[0] == 1964425.44
     assert got[1] == -1964425.44
     assert got[2] == 0.01 and got[3] == -0.01 and got[4] == 0.0
+
+
+def test_units_d_guard_raises_at_exactness_bound(spark):
+    """The double-carried units fast path must fail LOUDLY when a
+    group sum reaches 2^53 (where integer-valued doubles stop being
+    exact), never drift silently."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.functions.moneydec import (
+        units_money_sum_d,
+    )
+
+    big = spark.range(4).select(
+        (F.lit(2.0) ** 52).alias("u"))  # 4 * 2^52 = 2^54 > bound
+    with pytest.raises(Exception, match="2\\^53|units_d"):
+        big.agg(units_money_sum_d(F.col("u"))).collect()
+    # under the bound: exact and quiet
+    ok = spark.range(4).select(F.lit(1.0e9).alias("u"))
+    val = ok.agg(
+        units_money_sum_d(F.col("u")).alias("s")).collect()[0].s
+    assert val == 400000.0  # 4e9 units4 = $400k
