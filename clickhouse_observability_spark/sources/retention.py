@@ -140,6 +140,8 @@ def recover_partition_swaps(path: str) -> dict:
         return {"restored": restored, "cleaned": cleaned}
     for d in sorted(os.listdir(path)):
         full = os.path.join(path, d)
+        if not os.path.isdir(full):
+            continue  # stray file; only directories are swap debris
         if d.startswith(f"{PARTITION_COLUMN}=") and d.endswith(".old"):
             live = full[: -len(".old")]
             if os.path.isdir(live):

@@ -2471,3 +2471,32 @@ def test_no_duplicate_function_mapping_keys():
         names = re.findall(r"\"([a-zA-Z0-9_]+)\":", src[start:end])
         dups = sorted({n for n in names if names.count(n) > 1})
         assert not dups, f"duplicate keys in {dict_name}: {dups}"
+
+
+def test_r10_advisor_dialect_parity_fixes(spark):
+    """The three r9-advisor divergences, now pinned to CH behavior:
+    JSONExtractArrayRaw keeps string-element quotes (VARIANT
+    re-serialization), encodeURLComponent is RFC-3986 for '*' and
+    '~', JSONLength returns 0 for scalar/invalid docs and NULL for
+    NULL input."""
+    r = ch_sql(spark, (
+        "SELECT "
+        "JSONExtractArrayRaw('[\"a\",\"b\"]') AS quoted, "
+        "JSONExtractArrayRaw('[1, {\"a\": 2}, null, [3]]') AS mixed, "
+        "JSONExtractArrayRaw('{\"k\":1}') AS notarray, "
+        "JSONExtractArrayRaw('junk') AS invalid, "
+        "JSONExtractArrayRaw('{\"k\": [1, \"z\"]}', 'k') AS pathed, "
+        "encodeURLComponent('*~') AS rfc, "
+        "encodeURLComponent('a b') AS sp, "
+        "JSONLength('42') AS scalar, "
+        "JSONLength('junk') AS bad, "
+        "JSONLength(NULL) AS nul, "
+        "JSONLength('[1,2]') AS arr"
+    )).collect()[0]
+    assert r.quoted == ['"a"', '"b"']  # CH raw keeps the quotes
+    assert r.mixed == ["1", '{"a":2}', "null", "[3]"]
+    assert r.notarray == [] and r.invalid == []
+    assert r.pathed == ["1", '"z"']
+    assert r.rfc == "%2A~" and r.sp == "a%20b"
+    assert (r.scalar, r.bad, r.arr) == (0, 0, 2)
+    assert r.nul is None
