@@ -694,18 +694,26 @@ def embedding_audit(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     """One-row corpus health report for the vector table — the gate a
     pipeline runs before (re)building ANN indexes: row/dim counts,
     NaN/null/zero-norm vectors, norm distribution. One map-side
-    aggregation, no shuffle beyond the single-row combine."""
+    aggregation, no shuffle beyond the single-row combine.
+
+    Oracle-adjudicable (r10): each row's norm quantizes to integer
+    1e-6 units (the per-row sqrt/sum float is absorbed by the
+    quantization like every 6dp cosine entry), so min/max are exact
+    integer selections, the mean is a floor-quantized ratio of an
+    exact integer sum, and summation order can never move a
+    reported digit."""
     v = F.col("embedding").cast("array<double>")
     norm = F.sqrt(F.expr(
         "aggregate(transform(cast(embedding as array<double>), x -> x * x), "
         "0D, (acc, x) -> acc + x)"
     ))
     has_nan = F.exists(v, lambda x: F.isnan(x))
-    ok_norm = F.when(
-        v.isNotNull() & ~has_nan & (F.size(v) == dim), norm
+    nrm_i = F.when(
+        v.isNotNull() & ~has_nan & (F.size(v) == dim),
+        F.round(norm * F.lit(1e6)).cast("bigint"),
     )  # defective rows are counted, not folded into the norm stats
     return embeddings.select(
-        v.alias("v"), has_nan.alias("bad"), ok_norm.alias("nrm"),
+        v.alias("v"), has_nan.alias("bad"), nrm_i.alias("nrm_i"),
     ).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.count_if(F.col("v").isNull()).alias("n_null"),
@@ -713,10 +721,12 @@ def embedding_audit(embeddings: DataFrame, dim: int = 64) -> DataFrame:
             "n_wrong_dim"
         ),
         F.count_if(F.col("bad")).alias("n_nan"),
-        F.count_if(F.col("nrm") == 0).alias("n_zero_norm"),
-        F.round(F.min("nrm"), 6).alias("min_norm"),
-        F.round(F.avg("nrm"), 6).alias("avg_norm"),
-        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.count_if(F.col("nrm_i") == 0).alias("n_zero_norm"),
+        (F.min("nrm_i") / F.lit(1000000.0)).alias("min_norm"),
+        (F.floor(F.sum("nrm_i").cast("double") / F.lit(1000000.0)
+                 / F.count("nrm_i") * F.lit(1e6)) / F.lit(1e6))
+        .alias("avg_norm"),
+        (F.max("nrm_i") / F.lit(1000000.0)).alias("max_norm"),
     )
 
 

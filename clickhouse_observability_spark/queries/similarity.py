@@ -336,9 +336,45 @@ def sim_topk_ivf_pq(spark, sf_dir):
     )
 
 
-@register("sim_embedding_audit")
+@register(
+    "sim_embedding_audit",
+    oracle="""
+    WITH p AS (
+        SELECT embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT v, (v IS NULL) AS is_null,
+               CASE WHEN v IS NOT NULL THEN len(v) END AS dims,
+               CASE WHEN v IS NOT NULL THEN
+                   list_aggregate(list_transform(v,
+                       x -> CAST(isnan(x) AS INT)), 'max') = 1
+               END AS bad
+        FROM p
+    ), r AS (
+        SELECT *, CASE WHEN v IS NOT NULL AND NOT bad AND dims = 64
+                       THEN CAST(round(sqrt(list_sum(
+                                list_transform(v, x -> x * x)))
+                                * 1e6) AS BIGINT) END AS nrm_i
+        FROM q
+    )
+    SELECT count(*) AS n_vectors,
+           count(*) FILTER (is_null) AS n_null,
+           count(*) FILTER (NOT is_null AND dims <> 64) AS n_wrong_dim,
+           count(*) FILTER (bad) AS n_nan,
+           count(*) FILTER (nrm_i = 0) AS n_zero_norm,
+           min(nrm_i) / 1000000.0 AS min_norm,
+           floor(CAST(sum(nrm_i) AS DOUBLE) / 1000000.0
+                 / count(nrm_i) * 1e6) / 1e6 AS avg_norm,
+           max(nrm_i) / 1000000.0 AS max_norm
+    FROM r
+    """,
+)
 def sim_embedding_audit(spark, sf_dir):
-    """Pre-index-build data-quality gate for the vector table."""
+    """Pre-index-build data-quality gate for the vector table.
+    Oracle-backed (r10): counts are integers, norms quantize to
+    integer 1e-6 units per row before min/max/mean (see
+    operators/similarity.embedding_audit); the defect arms are
+    vacuous on clean testdata — tests/test_similarity.py drives them
+    on corrupted fixtures."""
     return S.embedding_audit(table(spark, sf_dir, "embeddings"))
 
 
