@@ -118,6 +118,14 @@ HEADLINE = [
     ("lifecycle_ttl_rollup_panel", "collect"),
     ("text_mixture_temperature", "collect"),
     ("text_quality_pareto_select", "collect"),
+    # r10 additions — reported, excluded from total (anchor them into
+    # the common set next round once a committed capture exists)
+    ("agg_lttb_downsample", "noop"),
+    ("sim_mmr_rerank", "collect"),
+    ("behavior_window_funnel_strict", "noop"),
+    ("text_quality_fixed_select", "noop"),
+    ("engine_replacing_latest", "noop"),
+    ("engine_summing_parts_merge", "collect"),
 ]
 
 # The driver's r4 capture, min-of-3 per query (the judge-verified
@@ -734,6 +742,12 @@ def _run_bench() -> None:
         "lifecycle_ttl_rollup_panel",  # r9 additions: reported, not summed
         "text_mixture_temperature",
         "text_quality_pareto_select",
+        "agg_lttb_downsample",  # r10 additions: reported, not summed
+        "sim_mmr_rerank",
+        "behavior_window_funnel_strict",
+        "text_quality_fixed_select",
+        "engine_replacing_latest",
+        "engine_summing_parts_merge",
     }
     media = _media_decode_bench(spark)
 

@@ -326,26 +326,36 @@ def fixed_quality_select(
     if alpha != 9:
         raise ValueError("the multiplication tree is written for alpha=9")
     w = fixed_weights_i(dim)
-    toks = (f"filter(split(lower(coalesce({text_col}, '')), "
-            f"'[^a-z0-9]+'), __t -> __t != '')")
-    uni = f"transform({toks}, __t -> {md5_bucket_sql('__t', dim)})"
-    big = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(1, size({toks}) - 1), __i -> "
-        f"{md5_bucket_sql(f'concat(element_at({toks}, __i), chr(32), element_at({toks}, __i + 1))', dim)}"
-        f") ELSE CAST(array() AS ARRAY<INT>) END")
-    feats = f"concat({uni}, {big})"
+    # STEPWISE projections: each stage lands in its own column so the
+    # tokenizer / feature arrays are computed ONCE per row. The first
+    # draft inlined `toks` textually into uni/big/size/aggregate —
+    # Spark does not CSE across those subtrees, so the regex split
+    # ran ~10x per row and the entry measured 32s at sf0.1 (r10 bench
+    # run 8); this shape measures <1s.
     w_lit = "array(" + ", ".join(str(x) for x in w) + ")"
-    zn = (f"aggregate({feats}, CAST({FIXED_BIAS_I} AS BIGINT) * "
-          f"greatest(size({feats}), 1), "
-          f"(acc, __f) -> acc + element_at({w_lit}, __f + 1))")
     df = documents.selectExpr(
         id_col,
-        f"size({feats}) AS n_feats",
-        f"CAST({zn} AS DOUBLE) / (greatest(size({feats}), 1) * 1e6) "
-        f"AS __z",
-    )
-    df = df.selectExpr(
+        f"filter(split(lower(coalesce({text_col}, '')), "
+        f"'[^a-z0-9]+'), __t -> __t != '') AS __tk",
+    ).selectExpr(
+        id_col,
+        f"concat(transform(__tk, __t -> {md5_bucket_sql('__t', dim)}), "
+        f"CASE WHEN size(__tk) >= 2 THEN "
+        f"transform(sequence(1, size(__tk) - 1), __i -> "
+        + md5_bucket_sql(
+            "concat(element_at(__tk, __i), chr(32), "
+            "element_at(__tk, __i + 1))", dim)
+        + ") ELSE CAST(array() AS ARRAY<INT>) END) AS __fs",
+    ).selectExpr(
+        id_col,
+        "size(__fs) AS n_feats",
+        f"aggregate(__fs, CAST({FIXED_BIAS_I} AS BIGINT) * "
+        f"greatest(size(__fs), 1), "
+        f"(acc, __f) -> acc + element_at({w_lit}, __f + 1)) AS __zn",
+    ).selectExpr(
+        id_col, "n_feats",
+        "CAST(__zn AS DOUBLE) / (greatest(n_feats, 1) * 1e6) AS __z",
+    ).selectExpr(
         id_col, "n_feats",
         "CAST(floor((1.0 / (1.0 + exp(-__z))) * 1e6) AS BIGINT) "
         "AS prob_q6",
