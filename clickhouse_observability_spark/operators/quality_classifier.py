@@ -62,13 +62,45 @@ from pyspark.sql.types import DoubleType, StructField
 DEFAULT_DIM = 1 << 15  # 32768 hashed feature buckets (~256 KB weights)
 
 
+def ngram_tokens(text_col: str = "text") -> Column:
+    """The tokenizer stage, projected SEPARATELY so downstream
+    feature expressions reference one computed column — Spark does
+    not CSE a textually repeated subtree across expressions, and the
+    regex split is the expensive part (r10: the inlined form ran it
+    ~4x per row)."""
+    return F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+        f"__t -> __t != '')")
+
+
+def hashed_ngram_features_from(
+    tok_col: str, dim: int = DEFAULT_DIM, bigrams: bool = True
+) -> Column:
+    """`array<int>` of hashed unigram (+bigram) indices over an
+    ALREADY-TOKENIZED column (ngram_tokens), repetition preserved.
+    All JVM expressions; the sequence() guard matters —
+    sequence(1, 0) DESCENDS, so single-token docs must short-circuit
+    the bigram arm."""
+    uni = (f"transform({tok_col}, "
+           f"__t -> CAST(pmod(xxhash64(__t), {dim}) AS INT))")
+    if not bigrams:
+        return F.expr(uni)
+    big = (
+        f"CASE WHEN size({tok_col}) >= 2 THEN "
+        f"transform(sequence(1, size({tok_col}) - 1), __i -> "
+        f"CAST(pmod(xxhash64(concat(element_at({tok_col}, __i), ' ', "
+        f"element_at({tok_col}, __i + 1))), {dim}) AS INT)) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END")
+    return F.expr(f"concat({uni}, {big})")
+
+
 def hashed_ngram_features(
     text_col: str = "text", dim: int = DEFAULT_DIM, bigrams: bool = True
 ) -> Column:
-    """`array<int>` of hashed unigram (+bigram) indices, repetition
-    preserved. All JVM expressions; the sequence() guard matters —
-    sequence(1, 0) DESCENDS, so single-token docs must short-circuit
-    the bigram arm."""
+    """One-shot convenience form over raw text. Prefer projecting
+    ngram_tokens first and calling hashed_ngram_features_from — this
+    inline form re-runs the tokenizer inside each sub-expression
+    (fine for tests/one-offs, wasteful on the scoring hot path)."""
     toks = (f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
             f"__t -> __t != '')")
     uni = f"transform({toks}, __t -> CAST(pmod(xxhash64(__t), {dim}) AS INT))"
@@ -170,10 +202,16 @@ def train_quality_classifier(
     partitions amortize it — measured ~4x on the sf0.1 corpus."""
     pos = positive.select(
         F.lit(1.0).alias("__qc_y"),
-        hashed_ngram_features(text_col, dim, bigrams).alias("__qc_idx"))
+        ngram_tokens(text_col).alias("__qc_tk")).select(
+        "__qc_y",
+        hashed_ngram_features_from("__qc_tk", dim, bigrams)
+        .alias("__qc_idx"))
     neg = negative.select(
         F.lit(0.0).alias("__qc_y"),
-        hashed_ngram_features(text_col, dim, bigrams).alias("__qc_idx"))
+        ngram_tokens(text_col).alias("__qc_tk")).select(
+        "__qc_y",
+        hashed_ngram_features_from("__qc_tk", dim, bigrams)
+        .alias("__qc_idx"))
     train = pos.unionByName(neg)
     if sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=seed)
@@ -224,9 +262,21 @@ def score_quality(
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(clf.w)
     dim = clf.dim
-    out_schema = df.schema.add(StructField(out_col, DoubleType()))
-    feats = hashed_ngram_features(text_col, dim, clf.bigrams)
-    src = df.withColumn("__qc_idx", feats)
+    # build a FRESH StructType: StructType.add MUTATES in place and
+    # DataFrame.schema is cached, so df.schema.add(...) corrupts the
+    # input frame's schema on repeated score_quality calls (latent
+    # since r9 — the second call on the same DataFrame object made
+    # every column reference ambiguous)
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, DoubleType())])
+    # tokenize in its own projection so the regex split runs once per
+    # row (Spark does not CSE across feature sub-expressions — r10)
+    src = (df.withColumn("__qc_tk", ngram_tokens(text_col))
+           .withColumn("__qc_idx", hashed_ngram_features_from(
+               "__qc_tk", dim, clf.bigrams))
+           .drop("__qc_tk"))
 
     def fn(batches):
         w = bc.value

@@ -137,3 +137,25 @@ def test_scoring_plan_is_arrow_lane(spark):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan       # map-only: the 100 TB path
+
+
+def test_score_quality_repeated_calls_leave_input_schema_intact(spark):
+    """Latent r9 bug (exposed r10): StructType.add mutates in place
+    and DataFrame.schema is cached, so building the output schema
+    with df.schema.add(...) corrupted the INPUT frame's schema on the
+    second score_quality call over the same DataFrame object."""
+    import numpy as np
+
+    from clickhouse_observability_spark.operators import (
+        quality_classifier as QC,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string")
+    clf = QC.QualityClassifier(
+        w=np.zeros((1 << 8) + 1), dim=1 << 8, bigrams=True)
+    before = [f.name for f in df.schema.fields]
+    for _ in range(3):
+        out = QC.score_quality(df, clf)
+        assert out.select("quality_score").count() == 2
+    assert [f.name for f in df.schema.fields] == before
