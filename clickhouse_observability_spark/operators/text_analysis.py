@@ -270,15 +270,25 @@ def fingerprints(documents: DataFrame) -> DataFrame:
 
 def word_ngrams(n: int, distinct: bool = True) -> Column:
     """Word n-grams of the normalized text (empty array for docs
-    shorter than n tokens); distinct by default."""
+    shorter than n tokens); distinct by default.
+
+    The tokenizer is LET-BOUND via transform(array(toks), tk -> ...)
+    so it evaluates once per row — referencing the `toks` Column
+    object in the gram/size/guard subtrees duplicated the
+    normalize+split work 3x per row (the r10 CSE class; Spark does
+    not eliminate repeated subtrees within a projection)."""
     toks = tokens(normalized_text("text"))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    # NOTE: sequence(0, -k) is DESCENDING, not empty — guard short docs.
-    guarded = F.when(F.size(toks) >= n, grams).otherwise(F.array())
-    return F.array_distinct(guarded) if distinct else guarded
+
+    def build(tk: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+        )
+        # sequence(0, -k) is DESCENDING, not empty — guard short docs
+        g = F.when(F.size(tk) >= n, grams).otherwise(F.array())
+        return F.array_distinct(g) if distinct else g
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 def _doc_gram_hashes(df: DataFrame, n: int) -> DataFrame:
