@@ -889,6 +889,32 @@ _FUNCS = {
         f"try_element_at(filter({a[1]}, {a[0]}), 1)"),
     "arraylast": lambda a: (
         f"try_element_at(filter({a[1]}, {a[0]}), -1)"),
+    # 1-based index of the first/last lambda match; 0 when none —
+    # Spark array_position over the boolean transform returns exactly
+    # CH's 0-for-no-match contract
+    "arrayfirstindex": lambda a: (
+        f"array_position(transform({a[1]}, {a[0]}), true)"),
+    "arraylastindex": lambda a: (
+        f"CASE WHEN array_position(reverse(transform({a[1]}, {a[0]}))"
+        f", true) = 0 THEN 0L ELSE size({a[1]}) - array_position("
+        f"reverse(transform({a[1]}, {a[0]})), true) + 1 END"),
+    # ROC AUC over per-row (scores, labels) arrays — the pairwise
+    # formula (ties count 1/2), O(n^2) in the ARRAY length (CH's own
+    # arrayAUC is per-row too); NULL when a class is absent (CH nan)
+    "arrayauc": lambda a: (
+        f"element_at(transform(array(zip_with({a[0]}, {a[1]}, "
+        f"(__s, __l) -> named_struct('sc', CAST(__s AS DOUBLE), "
+        f"'lbl', CAST(__l AS DOUBLE)))), __sl -> "
+        f"CASE WHEN size(filter(__sl, __p -> __p.lbl = 1)) = 0 OR "
+        f"size(filter(__sl, __p -> __p.lbl = 0)) = 0 THEN "
+        f"CAST(NULL AS DOUBLE) ELSE "
+        f"aggregate(__sl, 0D, (__acc, __a) -> __acc + CASE WHEN "
+        f"__a.lbl = 1 THEN aggregate(__sl, 0D, (__a2, __b) -> __a2 + "
+        f"CASE WHEN __b.lbl = 0 THEN (CASE WHEN __a.sc > __b.sc THEN "
+        f"1.0D WHEN __a.sc = __b.sc THEN 0.5D ELSE 0D END) "
+        f"ELSE 0D END) ELSE 0D END) / "
+        f"(CAST(size(filter(__sl, __p -> __p.lbl = 1)) AS DOUBLE) * "
+        f"size(filter(__sl, __p -> __p.lbl = 0))) END), 1)"),
     "arraydistinct": lambda a: f"array_distinct({a[0]})",
     "arrayconcat": lambda a: f"concat({', '.join(a)})",
     "arrayslice": lambda a: f"slice({', '.join(a)})",
@@ -1232,6 +1258,18 @@ _FUNCS = {
         f"'co', 'gov', 'edu', 'mil', 'ac') THEN element_at(split("
         f"parse_url({a[0]}, 'HOST'), '\\\\.'), -3) ELSE element_at("
         f"split(parse_url({a[0]}, 'HOST'), '\\\\.'), -2) END, '')"),
+    # the domain STARTING at the first significant subdomain —
+    # same generic-SLD heuristic, keeping the last 3 (or 2) labels
+    # (news.clickhouse.com.tr -> 'clickhouse.com.tr')
+    "cuttofirstsignificantsubdomain": lambda a: (
+        f"coalesce(CASE WHEN size(split(parse_url({a[0]}, 'HOST'), "
+        f"'\\\\.')) < 2 THEN '' WHEN size(split(parse_url({a[0]}, "
+        f"'HOST'), '\\\\.')) >= 3 AND element_at(split(parse_url("
+        f"{a[0]}, 'HOST'), '\\\\.'), -2) IN ('com', 'net', 'org', "
+        f"'co', 'gov', 'edu', 'mil', 'ac') THEN concat_ws('.', "
+        f"slice(split(parse_url({a[0]}, 'HOST'), '\\\\.'), -3, 3)) "
+        f"ELSE concat_ws('.', slice(split(parse_url({a[0]}, 'HOST'), "
+        f"'\\\\.'), -2, 2)) END, '')"),
     # encode: Spark url_encode is form-encoding; CH is RFC-3986. Three
     # fixups close the gap: space ('+' -> '%20'), '*' (form leaves it
     # bare, RFC encodes '%2A'), '~' (form encodes '%7E', RFC leaves it
@@ -1373,6 +1411,46 @@ _FUNCS = {
         f"CAST((xxhash64({', '.join(a)}) & 4294967295) AS BIGINT)"),
     "bithammingdistance": lambda a: (
         f"bit_count(({a[0]}) ^ ({a[1]}))"),
+    # r10 wave 8: math/date/map completions. exp2/exp10 as power;
+    # gcd/lcm as a BOUNDED Euclid fold (64 iterations cover any
+    # 64-bit pair; gcd(0,0) -> 0 where CH throws — documented
+    # softening); the 64-bit unix-timestamp family at the engine's
+    # micros precision (the Nano forms truncate/scale through
+    # micros, documented); mapSubtract keeps every key like CH;
+    # groupArrayDistinct sorts the set (CH order is unspecified —
+    # deterministic strengthening); sumKahan maps to the plain
+    # double sum (Spark's aggregate; compensation is an accuracy
+    # promise CH itself scopes to within-block).
+    "exp2": lambda a: f"power(2.0D, {a[0]})",
+    "exp10": lambda a: f"power(10.0D, {a[0]})",
+    "gcd": lambda a: (
+        f"aggregate(sequence(1, 64), named_struct("
+        f"'a', CAST(abs({a[0]}) AS BIGINT), "
+        f"'b', CAST(abs({a[1]}) AS BIGINT)), "
+        f"(__g, __i) -> CASE WHEN __g.b = 0 THEN __g ELSE "
+        f"named_struct('a', __g.b, 'b', __g.a % __g.b) END, "
+        f"__g -> __g.a)"),
+    "lcm": lambda a: (
+        f"CASE WHEN {a[0]} = 0 OR {a[1]} = 0 THEN 0L ELSE "
+        f"abs(CAST({a[0]} AS BIGINT) div aggregate(sequence(1, 64), "
+        f"named_struct('a', CAST(abs({a[0]}) AS BIGINT), "
+        f"'b', CAST(abs({a[1]}) AS BIGINT)), "
+        f"(__g, __i) -> CASE WHEN __g.b = 0 THEN __g ELSE "
+        f"named_struct('a', __g.b, 'b', __g.a % __g.b) END, "
+        f"__g -> __g.a) * CAST({a[1]} AS BIGINT)) END"),
+    "tounixtimestamp64milli": lambda a: f"unix_millis({a[0]})",
+    "tounixtimestamp64micro": lambda a: f"unix_micros({a[0]})",
+    "tounixtimestamp64nano": lambda a: f"unix_micros({a[0]}) * 1000L",
+    "fromunixtimestamp64milli": lambda a: f"timestamp_millis({a[0]})",
+    "fromunixtimestamp64micro": lambda a: f"timestamp_micros({a[0]})",
+    "fromunixtimestamp64nano": lambda a: (
+        f"timestamp_micros(CAST({a[0]} AS BIGINT) div 1000)"),
+    "mapsubtract": lambda a: (
+        f"map_zip_with({a[0]}, {a[1]}, "
+        f"(__k, __v1, __v2) -> coalesce(__v1, 0) - coalesce(__v2, 0))"),
+    "grouparraydistinct": lambda a: (
+        f"array_sort(collect_set({a[0]}))"),
+    "sumkahan": lambda a: f"sum(CAST({a[0]} AS DOUBLE))",
     # JSON introspection completion
     # CH returns 0 (not NULL) for scalar / invalid / non-container
     # documents; NULL input stays NULL. size(NULL) is NULL here

@@ -2500,3 +2500,40 @@ def test_r10_advisor_dialect_parity_fixes(spark):
     assert r.rfc == "%2A~" and r.sp == "a%20b"
     assert (r.scalar, r.bad, r.arr) == (0, 0, 2)
     assert r.nul is None
+
+
+def test_r10_wave8_math_date_map_array(spark):
+    r = ch_sql(spark, (
+        "SELECT "
+        "arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) AS auc, "
+        "arrayAUC([0.5, 0.5], [1, 0]) AS auct, "
+        "arrayAUC([0.5], [1]) AS aucn, "
+        "arrayFirstIndex(x -> x > 2, [1, 2, 3]) AS afi, "
+        "arrayFirstIndex(x -> x > 9, [1, 2, 3]) AS afi0, "
+        "arrayLastIndex(x -> x > 0, [1, 2, 3]) AS ali, "
+        "arrayLastIndex(x -> x > 9, [1, 2, 3]) AS ali0, "
+        "exp2(10) AS e2, exp10(3) AS e10, "
+        "gcd(12, 18) AS g, gcd(0, 0) AS g00, gcd(-12, 18) AS gn, "
+        "lcm(4, 6) AS l, lcm(0, 5) AS l0, "
+        "toUnixTimestamp64Milli(toDateTime('2024-01-01 00:00:00')) "
+        "AS ms, "
+        "fromUnixTimestamp64Milli(1704067200000) AS fts, "
+        "mapSubtract(map('a', 2, 'b', 1), map('a', 1, 'c', 5)) AS md, "
+        "cutToFirstSignificantSubdomain("
+        "'https://news.clickhouse.com.tr/') AS cfs, "
+        "cutToFirstSignificantSubdomain('https://www.example.com/x') "
+        "AS cfs2, "
+        "sumKahan(v) AS sk, groupArrayDistinct(v) AS gad "
+        "FROM (SELECT 1.0 AS v UNION ALL SELECT 2.0 "
+        "UNION ALL SELECT 1.0)"
+    )).collect()[0]
+    assert r.auc == 0.75 and r.auct == 0.5 and r.aucn is None
+    assert (r.afi, r.afi0, r.ali, r.ali0) == (3, 0, 3, 0)
+    assert (r.e2, r.e10) == (1024.0, 1000.0)
+    assert (r.g, r.g00, r.gn) == (6, 0, 6)
+    assert (r.l, r.l0) == (12, 0)
+    assert r.ms == 1704067200000
+    assert str(r.fts) == "2024-01-01 00:00:00"
+    assert r.md == {"a": 1, "b": 1, "c": -5}
+    assert r.cfs == "clickhouse.com.tr" and r.cfs2 == "example.com"
+    assert r.sk == 4.0 and r.gad == [1.0, 2.0]
