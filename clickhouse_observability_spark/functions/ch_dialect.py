@@ -1451,6 +1451,26 @@ _FUNCS = {
     "grouparraydistinct": lambda a: (
         f"array_sort(collect_set({a[0]}))"),
     "sumkahan": lambda a: f"sum(CAST({a[0]} AS DOUBLE))",
+    # union length of [start, end) intervals per group (overlaps
+    # counted once): sort the collected intervals, sweep-fold merging
+    # the current segment. Numeric (integer) bounds; group state is
+    # O(#intervals in group) during the fold — CH's own
+    # intervalLengthSum is per-group too.
+    "intervallengthsum": lambda a: (
+        f"aggregate(array_sort(collect_list(named_struct("
+        f"'s', CAST({a[0]} AS BIGINT), 'e', CAST({a[1]} AS BIGINT)))), "
+        f"named_struct('tot', 0L, 'cs', CAST(NULL AS BIGINT), "
+        f"'ce', CAST(NULL AS BIGINT)), "
+        f"(__ac, __iv) -> CASE "
+        f"WHEN __ac.ce IS NULL THEN named_struct('tot', 0L, "
+        f"'cs', __iv.s, 'ce', __iv.e) "
+        f"WHEN __iv.s > __ac.ce THEN named_struct("
+        f"'tot', __ac.tot + (__ac.ce - __ac.cs), "
+        f"'cs', __iv.s, 'ce', __iv.e) "
+        f"ELSE named_struct('tot', __ac.tot, 'cs', __ac.cs, "
+        f"'ce', greatest(__ac.ce, __iv.e)) END, "
+        f"__ac -> CASE WHEN __ac.ce IS NULL THEN 0L "
+        f"ELSE __ac.tot + (__ac.ce - __ac.cs) END)"),
     # JSON introspection completion
     # CH returns 0 (not NULL) for scalar / invalid / non-container
     # documents; NULL input stays NULL. size(NULL) is NULL here

@@ -263,3 +263,77 @@ def dedup_first_event_per_user_type(spark, sf_dir):
 )
 def agg_median_value(spark, sf_dir):
     return A.median_value(table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_interval_coverage",
+    # islands sweep: a new island starts where an interval's start
+    # exceeds the running max end of everything before it; island
+    # length = max(e) - min(s). Mathematically the same union length
+    # the Spark side's sorted sweep-fold computes — an independent
+    # second derivation, exact over integer micros.
+    oracle="""
+    WITH iv AS (
+        SELECT event_type, epoch_us(ts) AS s,
+               epoch_us(ts)
+               + CAST(round(greatest(value, 0) * 1000000) AS BIGINT)
+                   AS e
+        FROM events
+    ), o AS (
+        SELECT event_type, s, e,
+               max(e) OVER (PARTITION BY event_type ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM iv
+    ), g AS (
+        SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY event_type ORDER BY s, e)
+                      AS island
+        FROM o
+    )
+    SELECT event_type, CAST(sum(len) AS BIGINT) AS covered_us,
+           CAST(sum(n) AS BIGINT) AS n_intervals
+    FROM (
+        SELECT event_type, island, max(e) - min(s) AS len,
+               count(*) AS n
+        FROM g GROUP BY 1, 2
+    ) GROUP BY 1
+    """,
+)
+def agg_interval_coverage(spark, sf_dir):
+    """CH `intervalLengthSum` end-to-end (r10 dialect wave 8): each
+    event opens a [ts, ts + value seconds) activity window; the
+    UNION length per event_type counts overlapping time once — the
+    alert-coverage / downtime-dedup aggregate. The Spark side is the
+    dialect's sorted sweep-fold over collected intervals (exact
+    integer micros); the oracle re-derives it with the classic
+    gaps-and-islands window sweep in DuckDB."""
+    from pyspark.sql import functions as FF
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        FF.unix_micros(FF.col("ts").cast("timestamp")).alias("st"),
+        (FF.unix_micros(FF.col("ts").cast("timestamp"))
+         + FF.round(FF.greatest(FF.col("value"), FF.lit(0.0))
+                    * FF.lit(1e6)).cast("bigint")).alias("en"),
+    )
+    return ev.groupBy("event_type").agg(
+        FF.expr(
+            "aggregate(array_sort(collect_list(named_struct("
+            "'s', st, 'e', en))), "
+            "named_struct('tot', 0L, 'cs', CAST(NULL AS BIGINT), "
+            "'ce', CAST(NULL AS BIGINT)), "
+            "(__ac, __iv) -> CASE "
+            "WHEN __ac.ce IS NULL THEN named_struct('tot', 0L, "
+            "'cs', __iv.s, 'ce', __iv.e) "
+            "WHEN __iv.s > __ac.ce THEN named_struct("
+            "'tot', __ac.tot + (__ac.ce - __ac.cs), "
+            "'cs', __iv.s, 'ce', __iv.e) "
+            "ELSE named_struct('tot', __ac.tot, 'cs', __ac.cs, "
+            "'ce', greatest(__ac.ce, __iv.e)) END, "
+            "__ac -> CASE WHEN __ac.ce IS NULL THEN 0L "
+            "ELSE __ac.tot + (__ac.ce - __ac.cs) END)"
+        ).alias("covered_us"),
+        FF.count(FF.lit(1)).alias("n_intervals"),
+    )

@@ -2537,3 +2537,16 @@ def test_r10_wave8_math_date_map_array(spark):
     assert r.md == {"a": 1, "b": 1, "c": -5}
     assert r.cfs == "clickhouse.com.tr" and r.cfs2 == "example.com"
     assert r.sk == 4.0 and r.gad == [1.0, 2.0]
+
+
+def test_interval_length_sum_parity(spark):
+    """CH intervalLengthSum: overlapping segments count once,
+    touching segments ([20,25) + [25,30)) merge via >, degenerate
+    zero-length intervals contribute 0."""
+    r = ch_sql(spark, (
+        "SELECT k, intervalLengthSum(st, en) AS cov FROM VALUES "
+        "('a', 0, 10), ('a', 5, 15), ('a', 20, 25), ('a', 25, 30), "
+        "('a', 24, 26), ('b', 1, 1), ('b', 2, 3) AS t(k, st, en) "
+        "GROUP BY k ORDER BY k"
+    )).collect()
+    assert [(x.k, x.cov) for x in r] == [("a", 25), ("b", 1)]
