@@ -1451,6 +1451,21 @@ _FUNCS = {
     "grouparraydistinct": lambda a: (
         f"array_sort(collect_set({a[0]}))"),
     "sumkahan": lambda a: f"sum(CAST({a[0]} AS DOUBLE))",
+    # sum of POSITIVE deltas between consecutive values in `ts`
+    # order — CH's counter-rate aggregate (handles counter resets by
+    # ignoring negative jumps). Same collect+sort+fold shape as
+    # intervalLengthSum; value order is pinned by (ts, value) so ties
+    # are deterministic (CH's same-ts order is unspecified).
+    "deltasumtimestamp": lambda a: (
+        f"aggregate(array_sort(collect_list(named_struct("
+        f"'t', {a[1]}, 'v', CAST({a[0]} AS DOUBLE)))), "
+        f"named_struct('tot', CAST(0 AS DOUBLE), "
+        f"'prev', CAST(NULL AS DOUBLE)), "
+        f"(__ac, __x) -> named_struct("
+        f"'tot', __ac.tot + CASE WHEN __ac.prev IS NOT NULL AND "
+        f"__x.v > __ac.prev THEN __x.v - __ac.prev ELSE 0D END, "
+        f"'prev', __x.v), "
+        f"__ac -> __ac.tot)"),
     # union length of [start, end) intervals per group (overlaps
     # counted once): sort the collected intervals, sweep-fold merging
     # the current segment. Numeric (integer) bounds; group state is

@@ -337,3 +337,51 @@ def agg_interval_coverage(spark, sf_dir):
         ).alias("covered_us"),
         FF.count(FF.lit(1)).alias("n_intervals"),
     )
+
+
+@register(
+    "agg_counter_delta_sum",
+    # lag-window derivation of the same positive-delta sum; deltas in
+    # exact integer 1e-4 units so either engine's summation order is
+    # irrelevant, tie order pinned by (ts, value-units) on both sides
+    oracle="""
+    WITH x AS (
+        SELECT event_type, ts,
+               CAST(round(value * 10000) AS BIGINT) AS vu
+        FROM events
+    ), d AS (
+        SELECT event_type,
+               vu - lag(vu) OVER (PARTITION BY event_type
+                                  ORDER BY ts, vu) AS dv
+        FROM x
+    )
+    SELECT event_type,
+           coalesce(CAST(sum(CASE WHEN dv > 0 THEN dv END) AS BIGINT),
+                    0) / 10000.0 AS delta_sum
+    FROM d GROUP BY 1
+    """,
+)
+def agg_counter_delta_sum(spark, sf_dir):
+    """CH `deltaSumTimestamp` end-to-end (r10 dialect wave 8): the
+    counter-rate aggregate — sum of POSITIVE jumps between
+    consecutive values in timestamp order, ignoring resets (negative
+    jumps), treating each event_type's value series as a gauge. The
+    Spark side is the dialect's sorted sweep-fold over exact integer
+    units; the oracle is an independent lag-window derivation."""
+    from pyspark.sql import functions as FF
+
+    from clickhouse_observability_spark.functions.moneydec import units4d
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", units4d("value").cast("bigint").alias("vu"))
+    fold = FF.expr(
+        "aggregate(array_sort(collect_list(named_struct("
+        "'t', ts, 'v', vu))), "
+        "named_struct('tot', 0L, 'prev', CAST(NULL AS BIGINT)), "
+        "(__ac, __x) -> named_struct("
+        "'tot', __ac.tot + CASE WHEN __ac.prev IS NOT NULL AND "
+        "__x.v > __ac.prev THEN __x.v - __ac.prev ELSE 0L END, "
+        "'prev', __x.v), "
+        "__ac -> __ac.tot)")
+    return ev.groupBy("event_type").agg(
+        (fold / FF.lit(10000.0)).alias("delta_sum"))

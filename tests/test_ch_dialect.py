@@ -2550,3 +2550,16 @@ def test_interval_length_sum_parity(spark):
         "GROUP BY k ORDER BY k"
     )).collect()
     assert [(x.k, x.cov) for x in r] == [("a", 25), ("b", 1)]
+
+
+def test_delta_sum_timestamp_parity(spark):
+    """CH deltaSumTimestamp: positive consecutive deltas in ts order;
+    resets (negative jumps) ignored; single row contributes 0."""
+    r = ch_sql(spark, (
+        "SELECT k, deltaSumTimestamp(v, t) AS d FROM VALUES "
+        "('a', 1, 10.0), ('a', 2, 15.0), ('a', 3, 5.0), "
+        "('a', 4, 20.0), ('b', 1, 7.0) AS t(k, t, v) "
+        "GROUP BY k ORDER BY k"
+    )).collect()
+    # a: +5 (10->15), reset ignored (15->5), +15 (5->20) = 20
+    assert [(x.k, x.d) for x in r] == [("a", 20.0), ("b", 0.0)]
