@@ -900,21 +900,26 @@ _FUNCS = {
         f"reverse(transform({a[1]}, {a[0]})), true) + 1 END"),
     # ROC AUC over per-row (scores, labels) arrays — the pairwise
     # formula (ties count 1/2), O(n^2) in the ARRAY length (CH's own
-    # arrayAUC is per-row too); NULL when a class is absent (CH nan)
+    # arrayAUC is per-row too); NULL when a class is absent (CH nan).
+    # CH label semantics (r11 advisor fix): any label > 0 is a
+    # positive, EVERYTHING else (0, negatives) is a negative — a
+    # strict =1/=0 split silently dropped nonbinary labels (2, or
+    # -1/1 encodings) from both sides of the count.
     "arrayauc": lambda a: (
         f"element_at(transform(array(zip_with({a[0]}, {a[1]}, "
         f"(__s, __l) -> named_struct('sc', CAST(__s AS DOUBLE), "
         f"'lbl', CAST(__l AS DOUBLE)))), __sl -> "
-        f"CASE WHEN size(filter(__sl, __p -> __p.lbl = 1)) = 0 OR "
-        f"size(filter(__sl, __p -> __p.lbl = 0)) = 0 THEN "
+        f"CASE WHEN size(filter(__sl, __p -> __p.lbl > 0)) = 0 OR "
+        f"size(filter(__sl, __p -> NOT (__p.lbl > 0))) = 0 THEN "
         f"CAST(NULL AS DOUBLE) ELSE "
         f"aggregate(__sl, 0D, (__acc, __a) -> __acc + CASE WHEN "
-        f"__a.lbl = 1 THEN aggregate(__sl, 0D, (__a2, __b) -> __a2 + "
-        f"CASE WHEN __b.lbl = 0 THEN (CASE WHEN __a.sc > __b.sc THEN "
+        f"__a.lbl > 0 THEN aggregate(__sl, 0D, (__a2, __b) -> __a2 + "
+        f"CASE WHEN NOT (__b.lbl > 0) THEN "
+        f"(CASE WHEN __a.sc > __b.sc THEN "
         f"1.0D WHEN __a.sc = __b.sc THEN 0.5D ELSE 0D END) "
         f"ELSE 0D END) ELSE 0D END) / "
-        f"(CAST(size(filter(__sl, __p -> __p.lbl = 1)) AS DOUBLE) * "
-        f"size(filter(__sl, __p -> __p.lbl = 0))) END), 1)"),
+        f"(CAST(size(filter(__sl, __p -> __p.lbl > 0)) AS DOUBLE) * "
+        f"size(filter(__sl, __p -> NOT (__p.lbl > 0)))) END), 1)"),
     "arraydistinct": lambda a: f"array_distinct({a[0]})",
     "arrayconcat": lambda a: f"concat({', '.join(a)})",
     "arrayslice": lambda a: f"slice({', '.join(a)})",
@@ -1456,6 +1461,13 @@ _FUNCS = {
     # ignoring negative jumps). Same collect+sort+fold shape as
     # intervalLengthSum; value order is pinned by (ts, value) so ties
     # are deterministic (CH's same-ts order is unspecified).
+    # SCALE CONTRACT (r11, SCALING.md "per-group collect"): an
+    # expression-level lowering cannot restructure the caller's
+    # GROUP BY, so this buffers O(group) — the same finalize state
+    # ClickHouse's own deltaSumTimestamp keeps. Admissible only on
+    # grouping keys that bound the group size; for unbounded groups
+    # use the lag()-window positive-delta sum (the plan
+    # agg_counter_delta_sum pins in queries/analytics.py).
     "deltasumtimestamp": lambda a: (
         f"aggregate(array_sort(collect_list(named_struct("
         f"'t', {a[1]}, 'v', CAST({a[0]} AS DOUBLE)))), "
@@ -1471,6 +1483,10 @@ _FUNCS = {
     # the current segment. Numeric (integer) bounds; group state is
     # O(#intervals in group) during the fold — CH's own
     # intervalLengthSum is per-group too.
+    # SCALE CONTRACT (r11, SCALING.md "per-group collect"): bounded
+    # grouping keys only; for unbounded groups use the
+    # gaps-and-islands window sweep (the plan agg_interval_coverage
+    # pins in queries/analytics.py).
     "intervallengthsum": lambda a: (
         f"aggregate(array_sort(collect_list(named_struct("
         f"'s', CAST({a[0]} AS BIGINT), 'e', CAST({a[1]} AS BIGINT)))), "

@@ -67,7 +67,13 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
     cost). Bit-identical to the oracle's DECIMAL(18,4) arithmetic;
     the product folds as cents(price) * (100 - pct(discount)) =
     exact 1e-4-dollar units; avg_disc reuses the pct units (x100 =
-    1e-4 fraction units) instead of a fourth per-row conversion."""
+    1e-4 fraction units) instead of a fourth per-row conversion.
+    PRECONDITION (r10 advisor): the pct-units reuse quantizes
+    l_discount at 2 decimal digits — exact for TPC-H data, where
+    discounts are 0.00-0.10 in cent steps, but a 3-4dp discount
+    value would quantize differently from the DECIMAL(18,4) oracle.
+    If the input ever carries >2dp discounts, restore a fourth
+    per-row units4d(l_discount) conversion for avg_disc."""
     cnt = F.count(F.lit(1))
     # one unit conversion per column per row (the price cents feed
     # both the base-price sum — x100 — and the discount product)

@@ -305,10 +305,20 @@ def agg_interval_coverage(spark, sf_dir):
     """CH `intervalLengthSum` end-to-end (r10 dialect wave 8): each
     event opens a [ts, ts + value seconds) activity window; the
     UNION length per event_type counts overlapping time once — the
-    alert-coverage / downtime-dedup aggregate. The Spark side is the
-    dialect's sorted sweep-fold over collected intervals (exact
-    integer micros); the oracle re-derives it with the classic
-    gaps-and-islands window sweep in DuckDB."""
+    alert-coverage / downtime-dedup aggregate.
+
+    r11 scale fix (r10 verdict "What's wrong #2"): the first cut
+    folded over array_sort(collect_list(...)) grouped by event_type —
+    a ~5-value key, so one executor row materialized ~N/5 interval
+    structs: OOM by design at 100×. This is now the same
+    gaps-and-islands WINDOW sweep the DuckDB oracle uses: a running
+    max(en) over the sorted-within-partition stream marks island
+    starts, a running sum of the starts numbers the islands, and two
+    ordinary hash aggregates finish. Windows spill to disk under
+    memory pressure; collected arrays don't. Per-group collect is
+    only admissible on bounded-cardinality grouping keys (see
+    SCALING.md) — event_type is not one."""
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as FF
 
     ev = table(spark, sf_dir, "events").select(
@@ -318,24 +328,24 @@ def agg_interval_coverage(spark, sf_dir):
          + FF.round(FF.greatest(FF.col("value"), FF.lit(0.0))
                     * FF.lit(1e6)).cast("bigint")).alias("en"),
     )
-    return ev.groupBy("event_type").agg(
-        FF.expr(
-            "aggregate(array_sort(collect_list(named_struct("
-            "'s', st, 'e', en))), "
-            "named_struct('tot', 0L, 'cs', CAST(NULL AS BIGINT), "
-            "'ce', CAST(NULL AS BIGINT)), "
-            "(__ac, __iv) -> CASE "
-            "WHEN __ac.ce IS NULL THEN named_struct('tot', 0L, "
-            "'cs', __iv.s, 'ce', __iv.e) "
-            "WHEN __iv.s > __ac.ce THEN named_struct("
-            "'tot', __ac.tot + (__ac.ce - __ac.cs), "
-            "'cs', __iv.s, 'ce', __iv.e) "
-            "ELSE named_struct('tot', __ac.tot, 'cs', __ac.cs, "
-            "'ce', greatest(__ac.ce, __iv.e)) END, "
-            "__ac -> CASE WHEN __ac.ce IS NULL THEN 0L "
-            "ELSE __ac.tot + (__ac.ce - __ac.cs) END)"
-        ).alias("covered_us"),
-        FF.count(FF.lit(1)).alias("n_intervals"),
+    w = W.partitionBy("event_type").orderBy("st", "en")
+    prev_max_en = FF.max("en").over(
+        w.rowsBetween(W.unboundedPreceding, -1))
+    islands = ev.withColumn(
+        "new_island",
+        FF.when(prev_max_en.isNull() | (FF.col("st") > prev_max_en),
+                FF.lit(1)).otherwise(FF.lit(0)),
+    ).withColumn(
+        "island",
+        FF.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("event_type", "island").agg(
+        (FF.max("en") - FF.min("st")).alias("len"),
+        FF.count(FF.lit(1)).alias("n"),
+    )
+    return per_island.groupBy("event_type").agg(
+        FF.sum("len").alias("covered_us"),
+        FF.sum("n").alias("n_intervals"),
     )
 
 
@@ -365,23 +375,32 @@ def agg_counter_delta_sum(spark, sf_dir):
     """CH `deltaSumTimestamp` end-to-end (r10 dialect wave 8): the
     counter-rate aggregate — sum of POSITIVE jumps between
     consecutive values in timestamp order, ignoring resets (negative
-    jumps), treating each event_type's value series as a gauge. The
-    Spark side is the dialect's sorted sweep-fold over exact integer
-    units; the oracle is an independent lag-window derivation."""
+    jumps), treating each event_type's value series as a gauge.
+
+    r11 scale fix (r10 verdict "What's wrong #2"): was a fold over
+    array_sort(collect_list(...)) per event_type — one executor row
+    holding ~N/|types| structs at a ~5-value key. Now the same
+    lag()-window positive-delta sum the DuckDB oracle uses: windows
+    sort-and-spill within the shuffle partition; nothing is
+    materialized per group. Deltas in exact integer 1e-4 units so
+    either engine's summation order is irrelevant; tie order pinned
+    by (ts, value-units) on both sides."""
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as FF
 
     from clickhouse_observability_spark.functions.moneydec import units4d
 
     ev = table(spark, sf_dir, "events").select(
         "event_type", "ts", units4d("value").cast("bigint").alias("vu"))
-    fold = FF.expr(
-        "aggregate(array_sort(collect_list(named_struct("
-        "'t', ts, 'v', vu))), "
-        "named_struct('tot', 0L, 'prev', CAST(NULL AS BIGINT)), "
-        "(__ac, __x) -> named_struct("
-        "'tot', __ac.tot + CASE WHEN __ac.prev IS NOT NULL AND "
-        "__x.v > __ac.prev THEN __x.v - __ac.prev ELSE 0L END, "
-        "'prev', __x.v), "
-        "__ac -> __ac.tot)")
-    return ev.groupBy("event_type").agg(
-        (fold / FF.lit(10000.0)).alias("delta_sum"))
+    w = W.partitionBy("event_type").orderBy("ts", "vu")
+    dv = (FF.col("vu") - FF.lag("vu").over(w)).alias("dv")
+    return (
+        ev.select("event_type", dv)
+        .groupBy("event_type")
+        .agg(
+            (FF.coalesce(
+                FF.sum(FF.when(FF.col("dv") > 0, FF.col("dv"))),
+                FF.lit(0),
+            ) / FF.lit(10000.0)).alias("delta_sum")
+        )
+    )

@@ -354,7 +354,8 @@ def dedup_cluster_keeplist(spark, sf_dir):
              FROM csizes GROUP BY 1),
     tot AS (SELECT count(*) AS n_total FROM documents),
     ct AS (SELECT count(*) AS n_comp,
-                  coalesce(sum(cluster_size), 0) AS n_in_comp
+                  CAST(coalesce(sum(cluster_size), 0) AS BIGINT)
+                      AS n_in_comp
            FROM csizes)
     SELECT 'clusters' AS section, cluster_size, n_clusters, n_docs,
            floor(n_clusters / n_docs * 1000000.0) / 1000000.0

@@ -96,7 +96,8 @@ def rollup_day_type_panel(spark, sf_dir):
                row_number() OVER (
                    PARTITION BY bucket_ts, event_type
                    ORDER BY n DESC, user_id) AS rank,
-               sum(n) OVER (PARTITION BY bucket_ts, event_type) AS cnt
+               CAST(sum(n) OVER (PARTITION BY bucket_ts, event_type)
+                    AS BIGINT) AS cnt
         FROM c
     )
     SELECT bucket_ts, event_type, cnt, rank, n AS n_events
@@ -150,8 +151,8 @@ def rollup_topk_counts(spark, sf_dir):
                row_number() OVER (
                    PARTITION BY bucket_ts, event_type
                    ORDER BY n_events DESC, user_id) AS rank,
-               sum(n_events) OVER (
-                   PARTITION BY bucket_ts, event_type) AS cnt
+               CAST(sum(n_events) OVER (
+                   PARTITION BY bucket_ts, event_type) AS BIGINT) AS cnt
         FROM c
     )
     SELECT bucket_ts, event_type, cnt, rank, user_id, n_events

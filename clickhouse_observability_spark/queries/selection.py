@@ -186,7 +186,7 @@ def text_gopher_rules(spark, sf_dir):
     oracle=rf"""
     WITH per_src AS (
         SELECT source, count(*) AS n_docs,
-               sum(len({_TOKS})) AS n_tokens
+               CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
         FROM documents GROUP BY source
     ), n AS (SELECT count(*) AS n_sources FROM per_src)
     SELECT source, n_docs, n_tokens,
@@ -265,7 +265,7 @@ def text_quality_classifier(spark, sf_dir):
     oracle=rf"""
     WITH per_src AS (
         SELECT source, count(*) AS n_docs,
-               sum(len({_TOKS})) AS n_tokens
+               CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
         FROM documents GROUP BY source
     ), t AS (SELECT sum(n_tokens) AS total_tokens FROM per_src),
     w AS (

@@ -24,7 +24,16 @@ at sf=0.01 (BASELINE.md), so:
   decimal cast is itself engine-divergent) keep round() with
   documented residual boundary risk;
 - every LIMIT is preceded by a total deterministic ORDER BY (unique
-  tie-break column) so both engines select the same rows.
+  tie-break column) so both engines select the same rows;
+- integer outputs must be BIGINT on BOTH engines: DuckDB widens
+  integer sum() (plain, windowed, and via UNION type resolution) to
+  HUGEINT (int128), which the driver's hash canonicalization renders
+  differently from Spark's LONG even when every value is identical
+  (r10: text_mixture_temperature, tpch_q12_priority_classes).
+  Wrap integer aggregates as CAST(sum(...) AS BIGINT). fetchall()
+  coerces HUGEINT to Python int, so ONLY the plan-level type audit
+  in tests/test_oracle_registry.py can see this class — never
+  weaken that gate.
 
 Entries without oracle SQL (genuinely non-SQL-expressible: hash-seeded
 LSH internals, streaming) get the driver's weaker rows-only check and
@@ -80,7 +89,6 @@ _WINDOW_ORDER = [
     "logs_json_attr",
     # r7: agg_counts_by_type + agg_month_buckets + profile_events
     # merged into agg_shapes_panel (2 slots freed)
-    "agg_shapes_panel",
     # r10 rotation wave: ten multi-round-green entries rotated out
     # (agg_grouping_panel, dedup_exact_panel, dedup_jaccard_panel,
     # tpch_q21_waiting_suppliers, rollup_day_type_panel,
@@ -129,28 +137,18 @@ _WINDOW_ORDER = [
     "lifecycle_index_evolution_panel",
     # r7: setop_union_intersect_users + dedup_first_event_per_user_type
     # merged (1 slot freed)
-    "text_signal_panel",
     # r7: text_contamination + text_pii_scrub merged with the
     # first-time-adjudicated text_c4_filters arm (2 slots freed)
-    "text_guard_panel",
     # r7: text_domain_mix + text_corpus_stats merged (1 slot freed)
-    "text_mix_panel",
-    "agg_ch_functions_panel",
     # r6 rotation: three more panel merges (agg_hourly_panel,
     # text_perdoc_panel, text_signal_panel) freed four slots for the
     # round-5 flagships below; merged-away entries keep their own
     # oracles right after the window (pytest-DuckDB adjudicated).
-    "dedup_exact_spans",
-    "pipeline_hybrid_retrieval",
     # r7 rotation: the six slots freed above adjudicate the r6
     # storage layers end-to-end (projections served from states,
     # mutations as pruned rewrites), the semantic-decontamination
     # exact arm, the clustering keep-list vs a recursive-CTE closure,
     # and the hardest remaining TPC-H join shape.
-    "projection_served_panel",
-    "sim_semantic_contamination",
-    "dedup_cluster_keeplist",
-    "tpch_q8_market_share",
     "tpch_q2_min_cost_supplier",
     # r8 rotation: ten slots freed by rotating out multi-round-green
     # entries (their oracles stay enforced by the CI registry gate
@@ -191,6 +189,30 @@ _WINDOW_ORDER = [
     # actually skipped). Out: text_dsir_weights (window since r5;
     # CI gate keeps its oracle).
     "lifecycle_skip_index_panel",
+    # r11 rotation wave: eleven multi-round-green entries rotated out
+    # (agg_shapes_panel, text_signal_panel, text_guard_panel,
+    # text_mix_panel, agg_ch_functions_panel, dedup_exact_spans,
+    # pipeline_hybrid_retrieval, projection_served_panel,
+    # sim_semantic_contamination, dedup_cluster_keeplist,
+    # tpch_q8_market_share — each 4-5 rounds green; every oracle
+    # stays enforced by the CI registry gate each run). In (r10
+    # verdict #3): the five MergeTree engine-family entries (the r10
+    # flagship), the 100 TB scoring hot path's full oracle
+    # (text_quality_fixed_select), the exact LTTB downsampler, the
+    # MMR reranker, the integer-unit embedding audit, and — after
+    # the verdict-#4 window-sweep rewrite — the interval-coverage
+    # and counter-delta aggregates.
+    "engine_replacing_latest",
+    "engine_collapsing_sessions",
+    "engine_collapsing_net",
+    "engine_versioned_collapsing",
+    "engine_summing_parts_merge",
+    "text_quality_fixed_select",
+    "agg_lttb_downsample",
+    "sim_mmr_rerank",
+    "sim_embedding_audit",
+    "agg_interval_coverage",
+    "agg_counter_delta_sum",
 ]
 
 

@@ -100,6 +100,19 @@ def read_table_ttl(path: str) -> int | None:
     return int(spec["retention_days"]) if spec else None
 
 
+def _debris_path(part_dir: str, suffix: str) -> str:
+    """Sibling path for swap debris, named so Spark NEVER reads it:
+    Hadoop's default PathFilter skips files/dirs whose basename
+    starts with ``_`` or ``.``, so ``.month=202508.old`` is invisible
+    to partition discovery. Bare ``month=202508.old`` (the r10
+    naming) was visible between a crash and the next retention pass:
+    plain reads saw the month's rows twice, and the unparseable
+    ``202508.old`` partition value could type-flip the partition
+    column to string (r10 advisor finding)."""
+    parent, base = os.path.split(part_dir.rstrip("/"))
+    return os.path.join(parent, f".{base}{suffix}")
+
+
 def _swap_partition(part_dir: str, tmp: str) -> None:
     """Replace a live partition directory with its rewritten ``tmp``
     crash-recoverably. The naive ``rmtree(part_dir); rename(tmp,
@@ -107,17 +120,18 @@ def _swap_partition(part_dir: str, tmp: str) -> None:
     two calls (the month vanishes from _partition_months, so a retry
     never finds the orphaned tmp). Sequence instead:
 
-      1. rename part_dir -> part_dir.old   (atomic, same fs)
+      1. rename part_dir -> .part_dir.old  (atomic, same fs)
       2. rename tmp      -> part_dir       (atomic)
-      3. rmtree part_dir.old
+      3. rmtree .part_dir.old
 
     A crash after 1 leaves ``.old`` WITHOUT a live dir — recoverable;
     a crash after 2 leaves ``.old`` BESIDE the live dir — cleanup
     only. ``recover_partition_swaps`` (run at every retention /
     compaction entry) restores both states, so the advertised
     retry-safety of the batcher's background TTL pass holds across a
-    crash at ANY point of the swap."""
-    old = part_dir + ".old"
+    crash at ANY point of the swap. Debris is dot-prefixed
+    (`_debris_path`) so concurrent plain reads never see it."""
+    old = _debris_path(part_dir, ".old")
     if os.path.isdir(old):  # completed-swap leftover from a prior crash
         shutil.rmtree(old)
     os.rename(part_dir, old)
@@ -128,29 +142,39 @@ def _swap_partition(part_dir: str, tmp: str) -> None:
 def recover_partition_swaps(path: str) -> dict:
     """Restore partition directories orphaned by a crash mid-swap.
 
-    For each ``<part>.old``: if the live dir exists the swap finished
+    For each ``.<part>.old``: if the live dir exists the swap finished
     (crash before cleanup) -> drop the ``.old``; if not, the crash hit
     between the two renames -> rename ``.old`` back into place (the
     rewrite is re-derivable, the raw month is not). Stray ``.tmp``
     dirs are incomplete (or superseded) rewrites -> dropped; the next
-    pass rebuilds them. Returns {"restored": [...], "cleaned": [...]}
-    with the affected directory names."""
+    pass rebuilds them. Debris is dot-prefixed (`_debris_path`) so
+    plain reads between a crash and this pass never see it; bare
+    ``<part>.old``/``<part>.tmp`` names (written by the r10 swap) are
+    still recognized for upgrade-across-a-crash. Returns
+    {"restored": [...], "cleaned": [...]} with the affected directory
+    names."""
     restored, cleaned = [], []
     if not os.path.isdir(path):
         return {"restored": restored, "cleaned": cleaned}
+    prefixes = (f".{PARTITION_COLUMN}=", f"{PARTITION_COLUMN}=")
     for d in sorted(os.listdir(path)):
         full = os.path.join(path, d)
         if not os.path.isdir(full):
             continue  # stray file; only directories are swap debris
-        if d.startswith(f"{PARTITION_COLUMN}=") and d.endswith(".old"):
-            live = full[: -len(".old")]
+        hidden = d.startswith(prefixes[0])
+        if not (hidden or d.startswith(prefixes[1])):
+            continue
+        if d.endswith(".old"):
+            live = os.path.join(
+                path, d[len("."):-len(".old")] if hidden else d[:-len(".old")]
+            )
             if os.path.isdir(live):
                 shutil.rmtree(full)
                 cleaned.append(d)
             else:
                 os.rename(full, live)
                 restored.append(d)
-        elif d.startswith(f"{PARTITION_COLUMN}=") and d.endswith(".tmp"):
+        elif d.endswith(".tmp"):
             shutil.rmtree(full)
             cleaned.append(d)
     return {"restored": restored, "cleaned": cleaned}
@@ -254,7 +278,7 @@ def apply_retention(
             .filter(F.col("ts") >= F.lit(cutoff.replace(tzinfo=None)))
             .sortWithinPartitions("service", "ts")
         )
-        tmp = part_dir + ".tmp"
+        tmp = _debris_path(part_dir, ".tmp")
         from clickhouse_observability_spark.sources.writer import (
             parquet_ts_micros,
         )
@@ -382,7 +406,7 @@ def _collapse_partition(
             sel.append(F.col(fld.name))
     collapsed = grouped.select(*sel)
     out = collapsed.unionByName(young) if young is not None else collapsed
-    tmp = part_dir + ".tmp"
+    tmp = _debris_path(part_dir, ".tmp")
     with parquet_ts_micros(spark):
         (out.repartition(1)
             .sortWithinPartitions("service", "ts")
@@ -485,7 +509,7 @@ def compact_partition(
         # during the merge (all columns equal). One extra shuffle on
         # the row hash inside the partition being rewritten anyway.
         df = df.dropDuplicates()
-    tmp = part_dir + ".tmp"
+    tmp = _debris_path(part_dir, ".tmp")
     if zorder:
         from clickhouse_observability_spark.sources.zorder import zvalue
 

@@ -2508,6 +2508,9 @@ def test_r10_wave8_math_date_map_array(spark):
         "arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) AS auc, "
         "arrayAUC([0.5, 0.5], [1, 0]) AS auct, "
         "arrayAUC([0.5], [1]) AS aucn, "
+        # CH label rule: any label > 0 is positive, everything else
+        # negative — nonbinary (2) and -1/1 encodings must count
+        "arrayAUC([0.1, 0.4, 0.35, 0.8], [-1, -1, 2, 1]) AS aucnb, "
         "arrayFirstIndex(x -> x > 2, [1, 2, 3]) AS afi, "
         "arrayFirstIndex(x -> x > 9, [1, 2, 3]) AS afi0, "
         "arrayLastIndex(x -> x > 0, [1, 2, 3]) AS ali, "
@@ -2528,6 +2531,7 @@ def test_r10_wave8_math_date_map_array(spark):
         "UNION ALL SELECT 1.0)"
     )).collect()[0]
     assert r.auc == 0.75 and r.auct == 0.5 and r.aucn is None
+    assert r.aucnb == 0.75  # same ranking, labels {-1,2} not {0,1}
     assert (r.afi, r.afi0, r.ali, r.ali0) == (3, 0, 3, 0)
     assert (r.e2, r.e10) == (1024.0, 1000.0)
     assert (r.g, r.g00, r.gn) == (6, 0, 6)

@@ -197,22 +197,11 @@ def test_adjudication_window_composition():
         "tpch_q15_top_supplier",
         "tpch_q16_supplier_diversity",
         "tpch_q22_dormant_customers",
-        "agg_ch_functions_panel",
         # r6 rotation: three more panel merges + four round-5 flagships
-        "text_signal_panel",
-        "dedup_exact_spans",
         # r6 second wave
-        "pipeline_hybrid_retrieval",
         # r7 rotation: five merges + the storage-lifecycle layers,
         # semantic decontamination, the clustering keep-list, and two
         # more TPC-H flagships
-        "agg_shapes_panel",
-        "text_guard_panel",
-        "text_mix_panel",
-        "projection_served_panel",
-        "sim_semantic_contamination",
-        "dedup_cluster_keeplist",
-        "tpch_q8_market_share",
         "tpch_q2_min_cost_supplier",
         # r8 rotation: the dialect's end-to-end path, the r7 operators'
         # first independent adjudication, partition lifecycle, and four
@@ -250,6 +239,21 @@ def test_adjudication_window_composition():
         "behavior_sequence_next_node",
         "sim_knn_join_exact",
         "lifecycle_index_evolution_panel",
+        # r11 rotation: the MergeTree engine family, the 100 TB
+        # scoring hot path's oracle, exact LTTB, MMR, the embedding
+        # audit, and the window-sweep-rewritten interval/delta
+        # aggregates — all under the driver's independent gate
+        "engine_replacing_latest",
+        "engine_collapsing_sessions",
+        "engine_collapsing_net",
+        "engine_versioned_collapsing",
+        "engine_summing_parts_merge",
+        "text_quality_fixed_select",
+        "agg_lttb_downsample",
+        "sim_mmr_rerank",
+        "sim_embedding_audit",
+        "agg_interval_coverage",
+        "agg_counter_delta_sum",
     ):
         assert flagship in registry._WINDOW_ORDER, flagship
     # merged-away entries keep their oracles (no semantics dropped)
@@ -321,6 +325,19 @@ def test_adjudication_window_composition():
         "dedup_embedding_pairs",
         "text_unigram_logprob",
         "mutation_post_read",
+        # r11 rotation-outs: multi-round driver-green, oracles
+        # retained under the CI registry gate
+        "agg_shapes_panel",
+        "text_signal_panel",
+        "text_guard_panel",
+        "text_mix_panel",
+        "agg_ch_functions_panel",
+        "dedup_exact_spans",
+        "pipeline_hybrid_retrieval",
+        "projection_served_panel",
+        "sim_semantic_contamination",
+        "dedup_cluster_keeplist",
+        "tpch_q8_market_share",
         # r10 rotation-outs: multi-round driver-green, oracles
         # retained under the CI registry gate
         "tpch_q21_waiting_suppliers",
@@ -335,16 +352,8 @@ def test_adjudication_window_composition():
         "sim_topk_panel",
         # r10 additions: the MergeTree engine family + the verdict-#4
         # oracle-ifications (registered after the window, CI-gated)
-        "engine_replacing_latest",
-        "engine_collapsing_sessions",
-        "engine_collapsing_net",
-        "engine_versioned_collapsing",
-        "engine_summing_parts_merge",
         "rollup_topk_users",
-        "agg_lttb_downsample",
-        "sim_mmr_rerank",
         "behavior_window_funnel_strict",
-        "text_quality_fixed_select",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 

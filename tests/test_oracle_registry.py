@@ -99,6 +99,36 @@ def test_every_oracle_entry_matches_duckdb(spark, sf_small):
     assert n_hash + n_weak == len(oracles) >= 113
 
 
+def test_no_oracle_emits_int128(sf_small):
+    """r10 postmortem gate: DuckDB widens integer sum() — plain,
+    windowed, and through UNION type resolution — to HUGEINT
+    (int128). The driver's hash canonicalization renders HUGEINT
+    differently from Spark's LONG even when every value is
+    bit-identical (r10: text_mixture_temperature and
+    tpch_q12_priority_classes went hash-red on exactly this).
+    fetchall() coerces HUGEINT to Python int, so the value-hash
+    test above is structurally blind to the class; this audit reads
+    the PLAN-level result types instead (relation .types — no
+    execution) and fails on any int128 output column. Policy in the
+    registry.py header: integer outputs must be BIGINT on both
+    engines — CAST(sum(...) AS BIGINT)."""
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'"
+        )
+    bad = []
+    for name, sql in oracle_sql().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ).upper() in ("HUGEINT", "UHUGEINT"):
+                bad.append((name, col, str(typ)))
+    assert not bad, (
+        "oracle emits int128 column(s) — wrap the integer aggregate "
+        f"as CAST(... AS BIGINT): {bad}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(_HASH_EXEMPT_AT_SF0001))
 def test_hash_exempt_entries_are_still_oracle_backed(name):
     """The exemption list may only name real oracle entries — a

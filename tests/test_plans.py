@@ -257,6 +257,24 @@ def test_tpch_r5_plan_shapes(spark, sf_small):
     assert "p_brand" in pushed or "Or" in pushed
 
 
+def test_interval_delta_aggs_are_window_sweeps(spark, sf_small):
+    """r11 (r10 verdict #2): agg_interval_coverage and
+    agg_counter_delta_sum group by event_type — a ~5-value key — so
+    a collect_list-per-group plan materializes ~N/5 structs in ONE
+    executor row at scale: OOM by design. Pin the scale-safe shape:
+    the gaps-and-islands / lag() WINDOW sweep (windows sort-and-spill
+    inside the shuffle partition) with no collected array anywhere in
+    the plan. Per-group collect is admissible only on
+    bounded-cardinality keys (SCALING.md) — event_type is not one."""
+    from clickhouse_observability_spark.registry import queries
+
+    qs = queries()
+    for name in ("agg_interval_coverage", "agg_counter_delta_sum"):
+        plan = P.executed_plan(qs[name](spark, sf_small))
+        assert "collect_list" not in plan, name
+        assert "Window" in plan, name
+
+
 def test_plan_lint_flags_the_anti_patterns(spark, sf_small):
     # the linter sees a genuine cartesian product and a row-at-a-time
     # Python UDF; the sanctioned alternatives stay clean

@@ -240,44 +240,71 @@ def test_collapse_then_skip_index_stays_sound_and_rematerializes(
 def test_mid_swap_crash_states_recover(spark, table):
     """The r9-advisor partition-swap hazard: rmtree(part)+rename(tmp)
     loses the whole month if the process dies between the calls.
-    The r10 swap renames aside instead (part -> part.old, tmp ->
+    The r10 swap renames aside instead (part -> .part.old, tmp ->
     part, drop .old) and every retention/compaction entry first
-    restores orphans. Pinned: both crash states (.old without live
-    dir; .old beside live dir; stray .tmp) recover, and a retention
-    pass after a simulated crash still sees — and collapses — the
-    month that the old code would have lost."""
+    restores orphans. r11 (r10 advisor): debris is DOT-PREFIXED so a
+    plain partition-discovery read between a crash and the next
+    recovery pass never sees it (no doubled rows, no string-typed
+    month from an unparseable '202508.old' value); bare-named r10
+    debris still recovers (upgrade across a crash). Pinned: both
+    crash states (.old without live dir; .old beside live dir; stray
+    .tmp) recover in BOTH namings, crash-state-B debris is invisible
+    to a plain read, and a retention pass after a simulated crash
+    still sees — and collapses — the month that the old code would
+    have lost."""
     import os
     import shutil
 
     from clickhouse_observability_spark.sources.retention import (
+        _debris_path,
         recover_partition_swaps,
     )
 
     root = table.path
     part = os.path.join(root, "month=202508")
+    old = _debris_path(part, ".old")
+    assert os.path.basename(old).startswith(".")  # invisible to Spark
     # crash state A: between the two renames — live dir GONE
-    os.rename(part, part + ".old")
+    os.rename(part, old)
     assert not os.path.isdir(part)
     rec = recover_partition_swaps(root)
-    assert rec["restored"] == ["month=202508.old"]
+    assert rec["restored"] == [".month=202508.old"]
     assert os.path.isdir(part)
 
-    # crash state B: after the swap, before cleanup — .old lingers
+    # crash state B: after the swap, before cleanup — .old lingers,
+    # plus a stray tmp from an interrupted write. THE advisor
+    # scenario: a plain read in this window must see exactly the
+    # live rows (debris filtered by Hadoop's hidden-path rule) and
+    # month must stay integer-typed.
+    before = spark.read.parquet(root).count()  # both live months
+    shutil.copytree(part, old)
+    os.makedirs(_debris_path(part, ".tmp"), exist_ok=True)
+    seen = spark.read.parquet(root)
+    assert seen.count() == before  # debris rows invisible
+    assert dict(seen.dtypes)["month"] != "string"
+    rec = recover_partition_swaps(root)
+    assert sorted(rec["cleaned"]) == [".month=202508.old",
+                                      ".month=202508.tmp"]
+    assert os.path.isdir(part)
+    assert not os.path.isdir(old)
+
+    # r10-era BARE debris names recover too (crash during upgrade)
     shutil.copytree(part, part + ".old")
-    # plus a stray tmp from an interrupted write
     os.makedirs(part + ".tmp", exist_ok=True)
     rec = recover_partition_swaps(root)
     assert sorted(rec["cleaned"]) == ["month=202508.old",
                                       "month=202508.tmp"]
+    os.rename(part, part + ".old")  # bare crash state A
+    rec = recover_partition_swaps(root)
+    assert rec["restored"] == ["month=202508.old"]
     assert os.path.isdir(part)
-    assert not os.path.isdir(part + ".old")
 
     # end-to-end: crash state A again, then a normal armed retention
     # pass — apply_retention recovers first, so the month is seen and
     # collapsed instead of silently skipped
     _arm(spark, table)
-    os.rename(part, part + ".old")
+    os.rename(part, old)
     res = apply_retention(spark, table.path, now=NOW)
     assert res["collapsed_months"] == [202508]
     assert os.path.isdir(part)
-    assert not os.path.isdir(part + ".old")
+    assert not os.path.isdir(old)
