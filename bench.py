@@ -169,6 +169,11 @@ R4_MIN_COMMON = {
     # names compare r10+ against r9, while the 43 names above keep
     # comparing against the r4 driver capture.
     "lifecycle_ttl_rollup_panel": 2.09,
+    # r11: text_quality_pareto_select was REIMPLEMENTED (r10 verdict
+    # #5) — frozen trained artifact through the map-only fixed-select
+    # plan instead of per-corpus sidecar training + xxhash pareto; a
+    # large drop vs this r9 anchor is the implementation change, not
+    # host noise.
     "text_quality_pareto_select": 1.959,
     "lifecycle_skip_index_panel": 1.246,
     "lifecycle_cross_table_panel": 2.649,

@@ -352,6 +352,8 @@ def fixed_quality_select(
     id_col: str = "doc_id",
     dim: int = FIXED_DIM,
     alpha: int = 9,
+    bias_i: int | None = None,
+    weights_i: list[int] | None = None,
 ) -> "DataFrame":
     """Score + GPT-3-style Pareto selection over the FIXED literal
     model, every step cross-engine exact or floor-quantized — the
@@ -375,7 +377,13 @@ def fixed_quality_select(
     literal weights, no shuffle) — the 100 TB scoring shape."""
     if alpha != 9:
         raise ValueError("the multiplication tree is written for alpha=9")
-    w = fixed_weights_i(dim)
+    # default: the formula-generated fixed model; callers may pass a
+    # TRAINED integer-unit artifact instead (same scoring plan —
+    # operators/quality_artifact.py, r11)
+    b0_i = FIXED_BIAS_I if bias_i is None else int(bias_i)
+    w = fixed_weights_i(dim) if weights_i is None else list(weights_i)
+    if len(w) != dim:
+        raise ValueError(f"weights_i must have dim={dim} entries")
     # STEPWISE projections: each stage lands in its own column so the
     # tokenizer / feature arrays are computed ONCE per row. The first
     # draft inlined `toks` textually into uni/big/size/aggregate —
@@ -399,7 +407,7 @@ def fixed_quality_select(
     ).selectExpr(
         id_col,
         "size(__fs) AS n_feats",
-        f"aggregate(__fs, CAST({FIXED_BIAS_I} AS BIGINT) * "
+        f"aggregate(__fs, CAST({b0_i} AS BIGINT) * "
         f"greatest(size(__fs), 1), "
         f"(acc, __f) -> acc + element_at({w_lit}, __f + 1)) AS __zn",
     ).selectExpr(

@@ -300,45 +300,27 @@ def text_mixture_temperature(spark, sf_dir):
     )
 
 
-@register("text_quality_pareto_select")
-def text_quality_pareto_select(spark, sf_dir):
-    """The SELECTION step after classifier scoring — GPT-3's
-    `score > 1 - pareto(9)` acceptance over the sidecar classifier's
-    P(reference | doc), with DETERMINISTIC noise (the Pareto draw is
-    the inverse-CDF transform of an xxhash64(doc_id)-derived
-    uniform), so the kept set is reproducible across runs and the
-    pipeline stays replayable. Rows-only: the scores come from the
-    at-rest model artifact; pytest pins the keep-rate against the
-    analytic (2 - s)^-alpha and the determinism."""
-    from clickhouse_observability_spark.operators.quality_classifier import (
-        pareto_keep_col,
-    )
-
-    b0, w = _classifier_artifacts(spark, sf_dir)
-    scored = TX.score_quality_classifier(
-        table(spark, sf_dir, "documents"), b0, w, n_buckets=512
-    )
-    return scored.select(
-        "doc_id",
-        "quality_prob",
-        pareto_keep_col("quality_prob", "doc_id").alias("kept"),
-    ).orderBy("doc_id")
-
-
-def _fixed_select_oracle() -> str:
+def _fixed_select_oracle(
+    bias_i: int | None = None, weights_i: list[int] | None = None
+) -> str:
     """DuckDB replay of fixed_quality_select (r9 verdict #6): same
     md5-bucketed features, same literal integer-unit weights, same
     integer z numerator, same floor-quantized sigmoid, same exact
     dyadic uniform, same power-free (2-q)^9 multiplication tree —
     the 100 TB scoring+selection hot path under the hash gate with
-    only GD training left rows-only."""
+    only GD training left rows-only. r11: parameterized by the
+    integer-unit model so the FROZEN TRAINED artifact
+    (operators/quality_artifact.py) adjudicates through the same
+    replay (text_quality_pareto_select)."""
     from clickhouse_observability_spark.operators.quality_classifier import (
         FIXED_BIAS_I,
         FIXED_DIM,
         fixed_weights_i,
     )
 
-    w = "[" + ", ".join(str(x) for x in fixed_weights_i()) + "]"
+    b0_i = FIXED_BIAS_I if bias_i is None else int(bias_i)
+    w_i = fixed_weights_i() if weights_i is None else list(weights_i)
+    w = "[" + ", ".join(str(x) for x in w_i) + "]"
     b = (f"CAST(CAST(('0x' || substr(md5({{t}}), 1, 8)) AS BIGINT) "
          f"% {FIXED_DIM} AS INT)")
     uni = "list_transform(tk, t -> " + b.format(t="t") + ")"
@@ -364,7 +346,7 @@ def _fixed_select_oracle() -> str:
         SELECT doc_id, list_concat({uni}, {big}) AS fs FROM toks
     ), z AS (
         SELECT doc_id, len(fs) AS n_feats,
-               CAST(CAST({FIXED_BIAS_I} AS BIGINT)
+               CAST(CAST({b0_i} AS BIGINT)
                         * greatest(len(fs), 1)
                     + coalesce(CAST(list_sum(list_transform(fs,
                           f -> ({w})[f + 1])) AS BIGINT), 0)
@@ -381,6 +363,47 @@ def _fixed_select_oracle() -> str:
            (({x8} * {x}) * (1.0 - {u})) < 1.0 AS kept
     FROM scored
     """
+
+
+def _pareto_select_oracle() -> str:
+    from clickhouse_observability_spark.operators.quality_artifact import (
+        TRAINED_BIAS_I,
+        TRAINED_WEIGHTS_I,
+    )
+
+    return _fixed_select_oracle(TRAINED_BIAS_I, TRAINED_WEIGHTS_I)
+
+
+@register("text_quality_pareto_select", oracle=_pareto_select_oracle())
+def text_quality_pareto_select(spark, sf_dir):
+    """The SELECTION step after classifier scoring — GPT-3's
+    `score > 1 - pareto(9)` acceptance over the classifier's
+    P(reference | doc), with DETERMINISTIC noise, over the FROZEN
+    TRAINED artifact (r10 verdict #5: previously rows-only on a
+    per-corpus retrained sidecar). The model is trained ONCE on the
+    canonical corpus (operators/quality_artifact.py: sf0.01 docs,
+    en-vs-rest weak labels, the oracle's own md5-bucket features,
+    integer micro-unit weights — scripts/gen_pareto_artifact.py) and
+    scores ANY corpus map-only, exactly how a production selection
+    pass ships a trained model to 100 TB of unseen crawl. Scoring +
+    selection run the same exact-integer plan as
+    text_quality_fixed_select, so the full path is under the DuckDB
+    hash gate; only the GD trajectory stays rows-only. Per-corpus
+    RETRAINING stays covered by text_quality_classifier /
+    text_quality_classifier_hd."""
+    from clickhouse_observability_spark.operators.quality_artifact import (
+        TRAINED_BIAS_I,
+        TRAINED_WEIGHTS_I,
+    )
+    from clickhouse_observability_spark.operators.quality_classifier import (
+        fixed_quality_select,
+    )
+
+    return fixed_quality_select(
+        table(spark, sf_dir, "documents"),
+        bias_i=TRAINED_BIAS_I,
+        weights_i=TRAINED_WEIGHTS_I,
+    )
 
 
 @register("text_quality_fixed_select", oracle=_fixed_select_oracle())

@@ -1,0 +1,107 @@
+"""Generate the frozen trained-classifier artifact for
+`text_quality_pareto_select` (r10 verdict #5).
+
+Trains a 512-bucket logistic quality classifier ONCE over the
+canonical corpus (sf0.01 documents, the driver's adjudication scale;
+positives = lang == 'en' — the GPT-3 reference-vs-crawl weak-label
+split, same as `_classifier_artifacts`) on the ORACLE's feature
+space: md5-bucketed unigram+bigram fractions, computed here by DuckDB
+with the exact SQL the registry oracle uses. Weights quantize to
+integer micro-units (1e-6 z per unit) so scoring is the same exact
+integer fold `fixed_quality_select` runs — bit-replayable in DuckDB.
+
+The output is pasted into
+`clickhouse_observability_spark/operators/quality_artifact.py`
+(a checked-in literal: training is a one-time INDEX-BUILD job — the
+kmeans-artifact rule — and GD trajectories are engine-specific, so
+only the at-rest weights enter the cross-engine contract). Re-run
+after regenerating testdata:
+
+    python scripts/gen_pareto_artifact.py [/root/testdata/sf0.01]
+
+Training is full-batch gradient descent from zero init — no RNG, no
+minibatch order; deterministic given the corpus.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+
+DIM = 512
+ITERS = 5000
+LR = 50.0  # full-batch; frac features are tiny (1/n per token), so
+# the effective step is small — measured at sf0.01: mean p(en)=0.93
+# vs p(other)=0.67, a clean target-vs-rest margin
+
+
+def doc_features(sf_dir: str):
+    """(doc_id, y, frac-vector) per doc via the oracle's own SQL."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    b = (f"CAST(CAST(('0x' || substr(md5({{t}}), 1, 8)) AS BIGINT) "
+         f"% {DIM} AS INT)")
+    uni = "list_transform(tk, t -> " + b.format(t="t") + ")"
+    big = ("CASE WHEN len(tk) >= 2 THEN list_transform(range(1, "
+           "len(tk)), i -> "
+           + b.format(t="(tk[i] || ' ' || tk[i+1])")
+           + ") ELSE CAST([] AS INT[]) END")
+    rows = con.execute(f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       t -> t <> '') AS tk
+            FROM documents
+        )
+        SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+               list_concat({uni}, {big}) AS fs
+        FROM toks ORDER BY doc_id
+    """).fetchall()
+    X = np.zeros((len(rows), DIM))
+    y = np.zeros(len(rows))
+    for i, (_, yi, fs) in enumerate(rows):
+        y[i] = yi
+        n = max(len(fs), 1)
+        for f in fs:
+            X[i, f] += 1.0 / n
+    return X, y
+
+
+def train(X: np.ndarray, y: np.ndarray) -> tuple[float, np.ndarray]:
+    w = np.zeros(DIM)
+    b = 0.0
+    n = len(y)
+    for _ in range(ITERS):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= LR * (X.T @ g) / n
+        b -= LR * g.mean()
+    return b, w
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    X, y = doc_features(sf_dir)
+    b, w = train(X, y)
+    p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+    print(f"# corpus: {sf_dir}, {len(y)} docs, {int(y.sum())} positives")
+    print(f"# train separation: mean p(en)={p[y == 1].mean():.4f} "
+          f"vs p(other)={p[y == 0].mean():.4f}")
+    bias_i = int(round(b * 1e6))
+    w_i = [int(round(x * 1e6)) for x in w]
+    print(f"TRAINED_BIAS_I = {bias_i}")
+    print("TRAINED_WEIGHTS_I = [")
+    for i in range(0, DIM, 8):
+        print("    " + ", ".join(str(x) for x in w_i[i:i + 8]) + ",")
+    print("]")
+
+
+if __name__ == "__main__":
+    main()

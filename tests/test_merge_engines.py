@@ -170,3 +170,126 @@ def test_dialect_engine_ddl_bootstrap_and_refusal(spark, tmp_path):
     with pytest.raises(ChDialectError, match="merge_engines"):
         ch_sql(spark, "CREATE TABLE logs2 (k UInt64) ENGINE = Log",
                logs=t)
+
+
+def test_engine_final_reads_survive_lifecycle_seams(spark, tmp_path):
+    """r10 verdict next-round #6: the engine family reads merge
+    PARTS; the lifecycle layer rewrites, swaps and evolves those
+    parts on disk. Pin the seams end-to-end through real storage:
+
+    (a) TTL-collapse-by-merge-rule + partition swap: downsampling an
+        aged month BY THE ENGINE'S OWN MERGE RULE (replacing FINAL /
+        summing FINAL of just that partition — CH's background merge
+        as downsample-on-age) and swapping it in via the
+        crash-recoverable _swap_partition leaves the table-wide FINAL
+        read bit-identical — schedule invariance proven THROUGH the
+        storage layer, not just in memory.
+    (b) Mid-swap crash debris (.old beside live, stray .tmp) is
+        invisible to the engine read (dot-prefixed names — the r11
+        debris rule), and recovery restores the invariant state.
+    (c) Schema evolution ADD COLUMN: a new part carrying an extra
+        column reads back via mergeSchema; replacing FINAL still
+        keeps max-version winners, the new column surfaces on rows
+        whose winning version carries it and is NULL on old keys.
+    """
+    import os
+    import shutil
+
+    from clickhouse_observability_spark.sources.retention import (
+        _debris_path,
+        _swap_partition,
+        recover_partition_swaps,
+    )
+
+    root = str(tmp_path / "versions")
+    old_rows = [  # month=1: aged, multi-version, multi-part
+        (1, 1, 1, 10.0), (1, 2, 1, 20.0), (2, 1, 1, 5.0),
+        (1, 3, 1, 30.0), (2, 2, 1, 7.0), (3, 1, 1, 1.0),
+    ]
+    new_rows = [  # month=2: young
+        (1, 4, 2, 40.0), (2, 3, 2, 9.0), (4, 1, 2, 2.0),
+    ]
+    schema = "k long, version long, month int, value double"
+    for chunk in (old_rows[:3], old_rows[3:]):  # two parts per append
+        (spark.createDataFrame(chunk, schema)
+         .coalesce(2).write.mode("append")
+         .partitionBy("month").parquet(root))
+    (spark.createDataFrame(new_rows, schema)
+     .write.mode("append").partitionBy("month").parquet(root))
+
+    def repl():
+        df = spark.read.parquet(root)
+        return sorted(
+            (r.k, r.version, r.value)
+            for r in ME.replacing_read(df, ["k"], ["version"]).collect())
+
+    def summ():
+        df = spark.read.parquet(root)
+        return sorted(
+            (r.k, r.value) for r in
+            ME.summing_read(df.drop("version"), ["k"], ["value"])
+            .collect())
+
+    base_repl, base_sum = repl(), summ()
+    assert {k for k, *_ in base_repl} == {1, 2, 3, 4}
+
+    # (a) collapse month=1 by the REPLACING rule and swap it in:
+    # the aged partition now holds one max-version row per key —
+    # exactly a CH background merge — so table-wide replacing FINAL
+    # must not move (summing FINAL legitimately changes: replacing
+    # drops rows; so pin replacing here and summing in its own swap).
+    part = os.path.join(root, "month=1")
+    aged = spark.read.parquet(part)
+    tmp = _debris_path(part, ".tmp")
+    ME.replacing_read(aged, ["k"], ["version"]) \
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_partition(part, tmp)
+    assert repl() == base_repl
+    n_files = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert n_files == 1  # the merge actually compacted
+
+    # summing seam, on its own table (no version semantics): collapse
+    # the aged month by the SUMMING rule — sum is associative, so
+    # table-wide summing FINAL is invariant across the swap.
+    sroot = str(tmp_path / "sums")
+    (spark.createDataFrame(
+        [(k, m, v) for k, _, m, v in old_rows + new_rows],
+        "k long, month int, value double")
+     .coalesce(2).write.mode("append").partitionBy("month")
+     .parquet(sroot))
+
+    def summ():
+        df = spark.read.parquet(sroot)
+        return sorted(
+            (r.k, r.value)
+            for r in ME.summing_read(df, ["k"], ["value"]).collect())
+
+    sum_base = summ()
+    spart = os.path.join(sroot, "month=1")
+    stmp = _debris_path(spart, ".tmp")
+    ME.summing_read(spark.read.parquet(spart), ["k"], ["value"]) \
+        .coalesce(1).write.mode("overwrite").parquet(stmp)
+    _swap_partition(spart, stmp)
+    assert summ() == sum_base
+
+    # (b) crash debris between swap and recovery: engine reads see
+    # only live parts; recovery cleans and nothing moves.
+    shutil.copytree(spart, _debris_path(spart, ".old"))
+    os.makedirs(_debris_path(spart, ".tmp"), exist_ok=True)
+    assert summ() == sum_base
+    rec = recover_partition_swaps(sroot)
+    assert len(rec["cleaned"]) == 2
+    assert summ() == sum_base
+
+    # (c) ADD COLUMN: a new part carries an extra column and a newer
+    # version for k=1; mergeSchema reads the union, replacing FINAL
+    # elects the new row (tag present) and leaves old keys' tag NULL.
+    extra = spark.createDataFrame(
+        [(1, 5, 2, 50.0, "hot")],
+        "k long, version long, month int, value double, tag string")
+    extra.write.mode("append").partitionBy("month").parquet(root)
+    df = spark.read.option("mergeSchema", "true").parquet(root)
+    fin = {r.k: r for r in
+           ME.replacing_read(df, ["k"], ["version"]).collect()}
+    assert fin[1].version == 5 and fin[1].tag == "hot"
+    assert fin[4].version == 1 and fin[4].tag is None
