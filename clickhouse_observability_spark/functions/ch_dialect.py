@@ -589,6 +589,178 @@ def _normalize_query(a: list[str]) -> str:
         f"'(^|[^A-Za-z0-9_])[0-9]+(\\\\.[0-9]+)?', '$1?')")
 
 
+def _count_capture_groups(pattern: str) -> int:
+    """Capture-group count of a regex literal: unescaped '(' not
+    followed by '?' (non-capturing / lookaround / named flags all
+    start '(?'). Character classes can't hide a group Spark would
+    number differently for the common patterns this serves."""
+    n = 0
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(" and not pattern[i + 1:i + 2] == "?":
+            n += 1
+        i += 1
+    return n
+
+
+def _extract_groups(a: list[str]) -> str:
+    """CH extractGroups(s, 're'): the capture groups of the FIRST
+    match as an array; EMPTY array when the pattern doesn't match
+    (regexp_extract alone would yield ['','',...]). Pattern must be a
+    string literal — the group count shapes the SQL."""
+    if len(a) != 2 or not _is_string(a[1]):
+        raise ChDialectError(
+            "extractGroups(haystack, 'pattern') — the pattern must "
+            "be a string literal")
+    n = _count_capture_groups(_string_value(a[1]))
+    if n == 0:
+        raise ChDialectError("extractGroups: pattern has no capture "
+                             "groups")
+    cols = ", ".join(f"regexp_extract({a[0]}, {a[1]}, {g})"
+                     for g in range(1, n + 1))
+    return (f"CASE WHEN {a[0]} RLIKE {a[1]} THEN array({cols}) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END")
+
+
+def _extract_all_groups(a: list[str]) -> str:
+    """CH extractAllGroupsVertical (the extractAllGroups default):
+    one group-array per MATCH. Re-extracts the groups from each full
+    match — sound because a match's groups sit inside its own text;
+    literal pattern required (group count shapes the SQL)."""
+    if len(a) != 2 or not _is_string(a[1]):
+        raise ChDialectError(
+            "extractAllGroups(haystack, 'pattern') — the pattern "
+            "must be a string literal")
+    n = _count_capture_groups(_string_value(a[1]))
+    if n == 0:
+        raise ChDialectError("extractAllGroups: pattern has no "
+                             "capture groups")
+    cols = ", ".join(f"regexp_extract(__m, {a[1]}, {g})"
+                     for g in range(1, n + 1))
+    return (f"transform(regexp_extract_all({a[0]}, {a[1]}, 0), "
+            f"__m -> array({cols}))")
+
+
+def _ch_format(a: list[str]) -> str:
+    """CH format('pattern', args...): '{}' / '{N}' placeholders.
+    Literal patterns lower to format_string ('%s' / '%N$s'); braces
+    escape CH-style by doubling."""
+    if not a or not _is_string(a[0]):
+        raise ChDialectError(
+            "format('pattern', ...) — the pattern must be a string "
+            "literal")
+    pat = _string_value(a[0])
+    out = []
+    i = 0
+    auto = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "{" and pat[i + 1:i + 2] == "{":
+            out.append("{")
+            i += 2
+            continue
+        if c == "}" and pat[i + 1:i + 2] == "}":
+            out.append("}")
+            i += 2
+            continue
+        if c == "{":
+            j = pat.index("}", i)
+            body = pat[i + 1:j]
+            if body == "":
+                auto += 1
+                out.append(f"%{auto}$s")
+            else:
+                out.append(f"%{int(body) + 1}$s")
+            i = j + 1
+            continue
+        if c == "%":
+            out.append("%%")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    fmt = "".join(out).replace("'", "''")
+    args = ", ".join(f"CAST({x} AS STRING)" for x in a[1:])
+    return f"format_string('{fmt}'" + (f", {args}" if args else "") + ")"
+
+
+#: MySQL-style parseDateTime tokens -> Spark datetime pattern letters
+_PARSE_DT_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "l": "h", "i": "mm", "s": "ss",
+    "S": "ss", "f": "SSSSSS", "p": "a", "j": "DDD",
+    "M": "MMMM", "b": "MMM", "a": "EEE", "W": "EEEE",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "D": "MM/dd/yy",
+}
+
+
+def _parse_datetime(a: list[str]) -> str:
+    """CH parseDateTime(str, 'format'[, tz]): MySQL-style %-tokens.
+    Literal format required; unsupported tokens refuse loudly rather
+    than mis-parse."""
+    if len(a) < 2 or not _is_string(a[1]):
+        raise ChDialectError(
+            "parseDateTime(str, 'format') — the format must be a "
+            "string literal")
+    pat = _string_value(a[1])
+    out = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "%":
+            tok = pat[i + 1:i + 2]
+            if tok == "%":
+                out.append("%")
+            else:
+                rep = _PARSE_DT_FMT.get(tok)
+                if rep is None:
+                    raise ChDialectError(
+                        f"parseDateTime: unsupported format token "
+                        f"%{tok}")
+                out.append(rep)
+            i += 2
+            continue
+        if c.isalpha():
+            out.append(f"'{c}'")  # literal letters must be quoted
+        else:
+            out.append(c)
+        i += 1
+    fmt = "".join(out).replace("'", "''")
+    return f"to_timestamp({a[0]}, '{fmt}')"
+
+
+def _array_reduce(a: list[str]) -> str:
+    """CH arrayReduce('agg', arr): apply an aggregate BY NAME to an
+    array. The name must be a literal; supported names map onto the
+    dialect's own array folds."""
+    if len(a) != 2 or not _is_string(a[0]):
+        raise ChDialectError(
+            "arrayReduce('agg', arr) — the aggregate name must be a "
+            "string literal")
+    name = _string_value(a[0]).lower()
+    arr = a[1]
+    impls = {
+        "sum": lambda: _FUNCS["arraysum"]([arr]),
+        "min": lambda: f"array_min({arr})",
+        "max": lambda: f"array_max({arr})",
+        "avg": lambda: _FUNCS["arrayavg"]([arr]),
+        "count": lambda: f"size({arr})",
+        "any": lambda: f"try_element_at({arr}, 1)",
+        "anylast": lambda: f"try_element_at({arr}, -1)",
+        "uniq": lambda: f"size(array_distinct({arr}))",
+        "uniqexact": lambda: f"size(array_distinct({arr}))",
+    }
+    if name not in impls:
+        raise ChDialectError(
+            f"arrayReduce: unsupported aggregate {name!r} "
+            f"(supported: {sorted(impls)})")
+    return impls[name]()
+
+
 _FUNCS = {
     # JSON family (F1; db.go:96)
     "jsonextractstring": _json_extract(None),
@@ -1696,6 +1868,89 @@ _FUNCS = {
         "tupleConcat", "struct concatenation needs field renumbering "
         "at parse level; select the fields explicitly")(a),
     "formatbytes": lambda a: _format_readable_size(a),
+    # ---- dialect wave 9 (r11) -------------------------------------
+    # CH roaring-bitmap family over UInt values. Spark analog: a
+    # SORTED DISTINCT BIGINT ARRAY is the bitmap's value set — every
+    # set operation is an array op, cardinalities are sizes. Honest
+    # divergence: CH bitmapMin/Max return UINT32_MAX/0 on an empty
+    # bitmap; array_min/max return NULL (the try-style rule all
+    # empty-input rewrites here share).
+    "bitmapbuild": lambda a: (
+        f"array_sort(array_distinct(transform({a[0]}, "
+        f"__b -> CAST(__b AS BIGINT))))"),
+    "bitmaptoarray": lambda a: a[0],
+    "bitmapcardinality": lambda a: f"CAST(size({a[0]}) AS BIGINT)",
+    "bitmapand": lambda a: (
+        f"array_sort(array_intersect({a[0]}, {a[1]}))"),
+    "bitmapor": lambda a: f"array_sort(array_union({a[0]}, {a[1]}))",
+    "bitmapxor": lambda a: (
+        f"array_sort(array_union(array_except({a[0]}, {a[1]}), "
+        f"array_except({a[1]}, {a[0]})))"),
+    "bitmapandnot": lambda a: (
+        f"array_sort(array_except({a[0]}, {a[1]}))"),
+    "bitmapcontains": lambda a: (
+        f"array_contains({a[0]}, CAST({a[1]} AS BIGINT))"),
+    "bitmaphasany": lambda a: f"arrays_overlap({a[0]}, {a[1]})",
+    "bitmaphasall": lambda a: (
+        f"(size(array_except({a[1]}, {a[0]})) = 0)"),
+    "bitmapmin": lambda a: f"array_min({a[0]})",
+    "bitmapmax": lambda a: f"array_max({a[0]})",
+    "bitmapandcardinality": lambda a: (
+        f"CAST(size(array_intersect({a[0]}, {a[1]})) AS BIGINT)"),
+    "bitmaporcardinality": lambda a: (
+        f"CAST(size(array_union({a[0]}, {a[1]})) AS BIGINT)"),
+    "bitmapxorcardinality": lambda a: (
+        f"CAST(size(array_union(array_except({a[0]}, {a[1]}), "
+        f"array_except({a[1]}, {a[0]}))) AS BIGINT)"),
+    "bitmapandnotcardinality": lambda a: (
+        f"CAST(size(array_except({a[0]}, {a[1]})) AS BIGINT)"),
+    # groupBitmap(x) is CH's bitmap-backed exact distinct count;
+    # groupBitmapState's analog is the sorted distinct array itself
+    # (mergeable: bitmapOr folds states, same as the rollup states)
+    "groupbitmap": lambda a: f"count(DISTINCT {a[0]})",
+    "groupbitmapstate": lambda a: (
+        f"array_sort(collect_set(CAST({a[0]} AS BIGINT)))"),
+    "arrayreduce": _array_reduce,
+    # tryBase64Decode: CH returns '' on invalid input (not NULL)
+    "trybase64decode": lambda a: (
+        f"CASE WHEN ({a[0]}) IS NULL THEN CAST(NULL AS STRING) "
+        f"ELSE coalesce(decode(try_to_binary({a[0]}, 'base64'), "
+        f"'UTF-8'), '') END"),
+    # javaHash: Java String.hashCode (h = h*31 + c over UTF-16
+    # units, wrapping int32) — exact for BMP strings (ascii() yields
+    # the code point = the UTF-16 unit below U+10000); supplementary
+    # planes would need surrogate-pair splitting
+    "javahash": lambda a: (
+        # sequence(1, 0) DESCENDS in Spark — guard the empty string
+        f"CASE WHEN length({a[0]}) = 0 THEN 0 ELSE "
+        f"aggregate(transform(sequence(1, length({a[0]})), "
+        f"__i -> ascii(substr({a[0]}, __i, 1))), "
+        f"CAST(0 AS BIGINT), "
+        f"(__h, __c) -> pmod(__h * 31 + __c, 4294967296), "
+        f"__h -> CAST(CASE WHEN __h >= 2147483648 "
+        f"THEN __h - 4294967296 ELSE __h END AS INT)) END"),
+    "now64": lambda a: "current_timestamp()",
+    "dayname": lambda a: f"date_format({a[0]}, 'EEEE')",
+    "toyyyymmddhhmmss": lambda a: (
+        f"CAST(date_format({a[0]}, 'yyyyMMddHHmmss') AS BIGINT)"),
+    "domainwithoutwww": lambda a: (
+        f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"),
+    # great-circle CENTRAL ANGLE in degrees (geoDistance's haversine
+    # without the radius multiply)
+    "greatcircleangle": lambda a: (
+        f"degrees(2 * asin(sqrt(power(sin(radians(({a[3]}) - "
+        f"({a[1]})) / 2), 2) + cos(radians({a[1]})) * "
+        f"cos(radians({a[3]})) * power(sin(radians(({a[2]}) - "
+        f"({a[0]})) / 2), 2))))"),
+    # UTF8-suffixed twins: Spark's string ops are UTF-8 native
+    "reverseutf8": lambda a: f"reverse({a[0]})",
+    "lowerutf8": lambda a: f"lower({a[0]})",
+    "upperutf8": lambda a: f"upper({a[0]})",
+    "format": _ch_format,
+    "extractgroups": _extract_groups,
+    "extractallgroups": _extract_all_groups,
+    "extractallgroupsvertical": _extract_all_groups,
+    "parsedatetime": _parse_datetime,
 }
 
 def _uniq_combined_param(p, a):

@@ -205,3 +205,43 @@ def engine_summing_parts_merge(spark, sf_dir):
         (F.col("vu") / F.lit(10000.0)).alias("sum_value"),
         F.col("n_rows"),
         F.col("user_id").alias("first_user"))
+
+
+@register(
+    "engine_replacing_merge_tree_schedule",
+    oracle="""
+    SELECT user_id, event_id, event_type, ts, value FROM (
+        SELECT user_id, event_id, event_type, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, value DESC, event_id DESC,
+                            event_type DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def engine_replacing_merge_tree_schedule(spark, sf_dir):
+    """ReplacingMergeTree FINAL reached through a PAIR-TREE merge
+    schedule (r11, r10 verdict "missing #2" — merge_parts schedule
+    algebra under the oracle): events split into four synthetic parts
+    (pmod(event_id, 4) — the insert-batch analog), merged as
+    merge(merge(p0, p1), merge(p2, p3)) — a DIFFERENT schedule from
+    engine_summing_parts_merge's left fold, covering the tree shapes
+    CH's background merger actually produces. Because the replacing
+    rule (max_by over the version-then-payload struct) is
+    associative, any schedule equals the single-shot FINAL the DuckDB
+    oracle computes with one window rank. Version = (ts, value), ties
+    totalized by (event_id, event_type)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value")
+    parts = [ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+             for i in range(4)]
+
+    def rule(df):
+        return ME.replacing_read(
+            df, keys=["user_id"], version=["ts", "value"])
+
+    left = ME.merge_parts(parts[:2], rule)
+    right = ME.merge_parts(parts[2:], rule)
+    return ME.merge_parts([left, right], rule).select(
+        "user_id", "event_id", "event_type", "ts", "value")

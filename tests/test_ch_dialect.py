@@ -2567,3 +2567,101 @@ def test_delta_sum_timestamp_parity(spark):
     )).collect()
     # a: +5 (10->15), reset ignored (15->5), +15 (5->20) = 20
     assert [(x.k, x.d) for x in r] == [("a", 20.0), ("b", 0.0)]
+
+
+def test_r11_wave9_bitmaps_and_misc(spark):
+    """Dialect wave 9 (r11): the roaring-bitmap family as
+    sorted-distinct-array analogs, arrayReduce-by-name, javaHash
+    (exact String.hashCode), tryBase64Decode (''-on-invalid, CH
+    semantics), format/{N} placeholders, extractGroups /
+    extractAllGroups (empty-on-no-match), parseDateTime MySQL
+    tokens, and the date/URL/UTF8 completions."""
+    r = ch_sql(spark, (
+        "SELECT "
+        "bitmapBuild([3, 1, 2, 3]) AS bb, "
+        "bitmapCardinality(bitmapBuild([3, 1, 2, 3])) AS bc, "
+        "bitmapAnd(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3, 4])) "
+        "AS ba, "
+        "bitmapOr(bitmapBuild([1, 2]), bitmapBuild([2, 4])) AS bo, "
+        "bitmapXor(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3, 4])) "
+        "AS bx, "
+        "bitmapAndnot(bitmapBuild([1, 2, 3]), bitmapBuild([3])) "
+        "AS bn, "
+        "bitmapContains(bitmapBuild([1, 5]), 5) AS bct, "
+        "bitmapHasAny(bitmapBuild([1, 2]), bitmapBuild([2, 9])) "
+        "AS bha, "
+        "bitmapHasAll(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3])) "
+        "AS bhl, "
+        "bitmapHasAll(bitmapBuild([1, 2]), bitmapBuild([2, 3])) "
+        "AS bhl0, "
+        "bitmapMin(bitmapBuild([4, 2])) AS bmn, "
+        "bitmapMax(bitmapBuild([4, 2])) AS bmx, "
+        "bitmapAndCardinality(bitmapBuild([1, 2, 3]), "
+        "bitmapBuild([2, 3, 4])) AS bac, "
+        "bitmapXorCardinality(bitmapBuild([1, 2, 3]), "
+        "bitmapBuild([2, 3, 4])) AS bxc, "
+        "arrayReduce('sum', [1, 2, 3]) AS ars, "
+        "arrayReduce('uniqExact', [1, 1, 2]) AS aru, "
+        "arrayReduce('any', [7, 8]) AS ara, "
+        "javaHash('abc') AS jh, javaHash('') AS jh0, "
+        "javaHash('Z') AS jhz, "
+        "tryBase64Decode('aGk=') AS b64, "
+        "tryBase64Decode('!!!bad') AS b64bad, "
+        "tryBase64Decode(CAST(NULL AS STRING)) AS b64n, "
+        "dayName(toDateTime('2024-01-01 00:00:00')) AS dn, "
+        "toYYYYMMDDhhmmss(toDateTime('2024-01-02 03:04:05')) AS ymd, "
+        "domainWithoutWWW('https://www.example.com/a?b=1') AS dww, "
+        "round(greatCircleAngle(0.0, 0.0, 90.0, 0.0), 6) AS gca, "
+        "reverseUTF8('abc') AS rev, lowerUTF8('AbC') AS lo, "
+        "upperUTF8('AbC') AS up, "
+        "format('{} <-> {}', 'a', 'b') AS f1, "
+        "format('{1}{0}', 'x', 'y') AS f2, "
+        "format('{{}} {}', 'z') AS f3, "
+        "extractGroups('2024-01-02', '(\\\\d+)-(\\\\d+)') AS eg, "
+        "extractGroups('nope', '(\\\\d+)-(\\\\d+)') AS eg0, "
+        "extractAllGroups('a=1, b=2', '(\\\\w)=(\\\\d)') AS eag, "
+        "parseDateTime('2024-01-02 03:04:05', "
+        "'%Y-%m-%d %H:%i:%S') AS pdt, "
+        "groupBitmap(v) AS gb, groupBitmapState(v) AS gbs "
+        "FROM (SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 1)"
+    )).collect()[0]
+    assert r.bb == [1, 2, 3] and r.bc == 3
+    assert r.ba == [2, 3] and r.bo == [1, 2, 4]
+    assert r.bx == [1, 4] and r.bn == [1, 2]
+    assert r.bct and r.bha and r.bhl and not r.bhl0
+    assert (r.bmn, r.bmx) == (2, 4)
+    assert (r.bac, r.bxc) == (2, 2)
+    assert (r.ars, r.aru, r.ara) == (6.0, 2, 7)
+    # java.lang.String hashCode references: "abc"=96354, ""=0, "Z"=90
+    assert (r.jh, r.jh0, r.jhz) == (96354, 0, 90)
+    assert r.b64 == "hi" and r.b64bad == "" and r.b64n is None
+    assert r.dn == "Monday"
+    assert r.ymd == 20240102030405
+    assert r.dww == "example.com"
+    assert r.gca == 90.0
+    assert (r.rev, r.lo, r.up) == ("cba", "abc", "ABC")
+    assert (r.f1, r.f2, r.f3) == ("a <-> b", "yx", "{} z")
+    assert r.eg == ["2024", "01"] and r.eg0 == []
+    assert r.eag == [["a", "1"], ["b", "2"]]
+    assert str(r.pdt) == "2024-01-02 03:04:05"
+    assert r.gb == 2 and r.gbs == [1, 2]
+
+
+def test_r11_wave9_refusals(spark):
+    """Wave-9 honest refusals: non-literal patterns/names refuse
+    loudly instead of mis-translating."""
+    import pytest as _pytest
+
+    from clickhouse_observability_spark.functions.ch_dialect import (
+        ChDialectError,
+    )
+
+    for bad in (
+        "SELECT arrayReduce('median', [1,2])",
+        "SELECT arrayReduce(x, [1,2]) FROM (SELECT 'sum' AS x)",
+        "SELECT extractGroups('a', 'nogroups')",
+        "SELECT format(p, 'x') FROM (SELECT '{}' AS p)",
+        "SELECT parseDateTime('x', '%Q')",
+    ):
+        with _pytest.raises(ChDialectError):
+            ch_sql(spark, bad)

@@ -354,6 +354,10 @@ def test_adjudication_window_composition():
         # oracle-ifications (registered after the window, CI-gated)
         "rollup_topk_users",
         "behavior_window_funnel_strict",
+        # r11 additions: the pareto selection entry's frozen-artifact
+        # oracle and the replacing pair-tree merge schedule
+        "text_quality_pareto_select",
+        "engine_replacing_merge_tree_schedule",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
