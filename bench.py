@@ -126,6 +126,9 @@ HEADLINE = [
     ("text_quality_fixed_select", "noop"),
     ("engine_replacing_latest", "noop"),
     ("engine_summing_parts_merge", "collect"),
+    # r11 additions — reported, excluded from total
+    ("engine_replacing_merge_tree_schedule", "noop"),
+    ("ch_dialect_bitmap_panel", "collect"),
 ]
 
 # The driver's r4 capture, min-of-3 per query (the judge-verified
@@ -753,6 +756,8 @@ def _run_bench() -> None:
         "text_quality_fixed_select",
         "engine_replacing_latest",
         "engine_summing_parts_merge",
+        "engine_replacing_merge_tree_schedule",  # r11 additions
+        "ch_dialect_bitmap_panel",
     }
     media = _media_decode_bench(spark)
 

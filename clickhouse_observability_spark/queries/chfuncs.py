@@ -337,3 +337,62 @@ def agg_theta_overlap(spark, sf_dir):
     return CH.segment_overlap_theta(
         table(spark, sf_dir, "events")
     ).orderBy("seg_a", "seg_b")
+
+
+@register(
+    "ch_dialect_bitmap_panel",
+    # per-(type, user) presence flags make every bitmap op a flag
+    # aggregate: and = e*l, or = count(*), xor = e<>l — all integer,
+    # BIGINT-cast per the int128 policy
+    oracle="""
+    WITH f AS (
+        SELECT event_type, user_id,
+               max(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 ELSE 0 END) AS e,
+               max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 ELSE 0 END) AS l
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(e) AS BIGINT) AS early_users,
+           CAST(sum(l) AS BIGINT) AS late_users,
+           CAST(sum(e * l) AS BIGINT) AS both_users,
+           CAST(count(*) AS BIGINT) AS any_users,
+           CAST(sum(CASE WHEN e <> l THEN 1 ELSE 0 END) AS BIGINT)
+               AS churn_users,
+           min(CASE WHEN e = 1 THEN user_id END) AS first_early,
+           max(CASE WHEN l = 1 THEN user_id END) AS last_late
+    FROM f GROUP BY 1
+    """,
+)
+def ch_dialect_bitmap_panel(spark, sf_dir):
+    """The wave-9 bitmap family end-to-end through the dialect shim:
+    VERBATIM ClickHouse bitmap SQL (groupBitmapState per half of the
+    month, then and/or/xor cardinalities + min/max — the classic
+    segment-overlap / churn panel) lowered to sorted-distinct-array
+    ops, adjudicated against an independent flag-aggregate DuckDB
+    derivation (intersection = product of presence flags). The
+    bitmap-state grouping is one map-side-combining shuffle; the set
+    ops run on |users-per-type|-sized arrays — the same mergeable-
+    state shape as the rollup sketches."""
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+
+    ev = table(spark, sf_dir, "events")
+    return ch_sql(
+        spark,
+        "SELECT event_type, "
+        "bitmapCardinality(a) AS early_users, "
+        "bitmapCardinality(b) AS late_users, "
+        "bitmapAndCardinality(a, b) AS both_users, "
+        "bitmapOrCardinality(a, b) AS any_users, "
+        "bitmapXorCardinality(a, b) AS churn_users, "
+        "bitmapMin(a) AS first_early, "
+        "bitmapMax(b) AS last_late "
+        "FROM (SELECT event_type, "
+        "groupBitmapState(if(ts < toDateTime('2024-01-16 00:00:00'), "
+        "user_id, NULL)) AS a, "
+        "groupBitmapState(if(ts >= toDateTime('2024-01-16 00:00:00'), "
+        "user_id, NULL)) AS b "
+        "FROM events GROUP BY event_type)",
+        views={"events": ev},
+    )

@@ -358,6 +358,7 @@ def test_adjudication_window_composition():
         # oracle and the replacing pair-tree merge schedule
         "text_quality_pareto_select",
         "engine_replacing_merge_tree_schedule",
+        "ch_dialect_bitmap_panel",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
