@@ -1333,17 +1333,74 @@ def text_chunk_overlap(spark, sf_dir):
     )
 
 
-@register("pipeline_chunked_bm25")
+@register(
+    "pipeline_chunked_bm25",
+    # r11 (was rows-only): END-TO-END oracle composed from the two
+    # stages' proven fragments — text_chunk_overlap's list-slice
+    # windowing feeds text_bm25_search's scoring SQL at chunk grain.
+    # Ties break by the Spark side's exact key (the 'doc#start'
+    # STRING, not numeric (doc, start)); float policy as
+    # text_bm25_search (round 6dp, documented ln() residual risk).
+    oracle=rf"""
+    WITH t0 AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    s0 AS (
+        SELECT doc_id, toks,
+               greatest(1, ceil((len(toks) - 8) / 24.0))::INT AS n_chunks
+        FROM t0 WHERE len(toks) > 0
+    ),
+    g0 AS (
+        SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id
+        FROM s0
+    ),
+    d AS (
+        SELECT doc_id AS src, (chunk_id * 24)::INT AS st,
+               toks[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS t
+        FROM g0
+    ),
+    stat AS (
+        SELECT count(*) AS N, avg(len(t)) AS avgdl,
+               sum(list_contains(t, 'vector')::BIGINT) AS df0,
+               sum(list_contains(t, 'join')::BIGINT) AS df1,
+               sum(list_contains(t, 'window')::BIGINT) AS df2
+        FROM d
+    ),
+    sc AS (
+        SELECT src, st,
+               ln(1 + (N - df0 + 0.5) / (df0 + 0.5))
+                 * len(list_filter(t, x -> x = 'vector')) * 2.2
+                 / (len(list_filter(t, x -> x = 'vector'))
+                    + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+             + ln(1 + (N - df1 + 0.5) / (df1 + 0.5))
+                 * len(list_filter(t, x -> x = 'join')) * 2.2
+                 / (len(list_filter(t, x -> x = 'join'))
+                    + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+             + ln(1 + (N - df2 + 0.5) / (df2 + 0.5))
+                 * len(list_filter(t, x -> x = 'window')) * 2.2
+                 / (len(list_filter(t, x -> x = 'window'))
+                    + 1.2 * (0.25 + 0.75 * len(t) / avgdl)) AS s
+        FROM d, stat
+    ),
+    q AS (SELECT src, st, round(s, 6) AS bm25
+          FROM sc WHERE round(s, 6) > 0)
+    SELECT row_number() OVER (
+               ORDER BY bm25 DESC, (src || '#' || st) ASC) AS rank,
+           src AS src_doc_id, st AS start_token, bm25
+    FROM q
+    ORDER BY bm25 DESC, (src || '#' || st) ASC
+    LIMIT 10
+    """,
+)
 def pipeline_chunked_bm25(spark, sf_dir):
     """Chunked lexical retrieval — the composition a RAG stack
     actually runs: chunk the corpus (text_chunk_overlap's operator,
     oracle-proven), index the CHUNKS, BM25-rank them for the query
     and return the top 10 with their provenance (source doc + token
-    offset) split back out of the chunk key. Rows-only composition of
-    two oracle-proven stages (chunking; BM25 whose ranking math is
-    adjudicated in-window by text_bm25_search); pytest pins that a
-    term buried deep in a long document is retrievable at chunk
-    grain."""
+    offset) split back out of the chunk key. r11: the COMPOSITION
+    itself is now under the cross-engine oracle (chunk windows
+    re-derived with DuckDB list slicing feeding the same BM25 SQL the
+    in-window entry proved), closing the last deterministic
+    rows-only retrieval entry; pytest additionally pins that a term
+    buried deep in a long document is retrievable at chunk grain."""
     from pyspark.sql import functions as FF
 
     chunks = TX.chunk_documents(

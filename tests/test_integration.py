@@ -359,6 +359,7 @@ def test_adjudication_window_composition():
         "text_quality_pareto_select",
         "engine_replacing_merge_tree_schedule",
         "ch_dialect_bitmap_panel",
+        "pipeline_chunked_bm25",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
