@@ -210,57 +210,6 @@ def text_train_val_split(spark, sf_dir):
     )
 
 
-@register("text_corpus_curation")
-def text_corpus_curation(spark, sf_dir):
-    """The end-to-end training-data curation pipeline in one plan:
-    exact-dedup survivors ∩ quality-passing ∩ non-boilerplate docs,
-    minus train docs contaminated by the val split, tagged with
-    language and the deterministic split — the composition a 100 TB
-    corpus actually runs nightly. Each stage is individually
-    oracle-checked (dedup_keep_first, text_quality, text_repetition,
-    text_contamination, text_lang_id, text_train_val_split); the
-    composition registers rows-only to stay outside the driver's
-    50-query oracle window. Plan shape: the per-doc projections fuse
-    into one codegen stage; dedup adds the single md5-groupBy shuffle
-    + a semi join; repetition adds its two keyed shuffles; the
-    contamination anti-join's exclusion list is tiny and broadcasts."""
-    from pyspark.sql import functions as F
-
-    from clickhouse_observability_spark.operators import dedup as D
-
-    docs = table(spark, sf_dir, "documents")
-    survivors = D.dedup_keep_first(docs).select("doc_id")
-    # Gopher-style repetition cut: drop docs whose single most common
-    # 2-gram covers more than 20% of all their 2-grams.
-    non_boiler = (
-        TX.repetition_stats(docs, with_gram=False)
-        .filter(F.col("top_2gram_frac") <= 0.2)
-        .select("doc_id")
-    )
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = F.when(bucket < "1a", "val").otherwise("train")
-    tagged = docs.select("doc_id", "text", split.alias("split"))
-    contaminated = TX.contamination_hits(
-        tagged.filter(F.col("split") == "train"),
-        tagged.filter(F.col("split") == "val"),
-        n=8,
-    ).select(F.col("train_id").alias("doc_id"))
-    # quality + lang-ID are map-only -> inline columns on the base
-    # scan, NOT score-table joins; only the stages that genuinely
-    # aggregate (dedup, repetition) or join (contamination) shuffle.
-    base = docs.filter(TX.quality_pass_col()).select(
-        "doc_id",
-        TX.lang_pred_col().alias("lang_pred"),
-        split.alias("split"),
-        "n_chars",
-    )
-    return (
-        base.join(survivors, "doc_id", "left_semi")
-        .join(non_boiler, "doc_id", "left_semi")
-        .join(contaminated, "doc_id", "left_anti")
-    )
-
-
 @register(
     "text_fingerprints",
     oracle=rf"""
@@ -1445,4 +1394,96 @@ def text_stratified_sample(spark, sf_dir):
     source; undersized strata keep all docs."""
     return TX.stratified_sample(
         table(spark, sf_dir, "documents"), group_col="source", k=10
+    )
+
+
+# Defined at the BOTTOM of the module (r11): the composed oracle
+# references the _ORACLES fragments of stages registered later in
+# this file (text_repetition, text_contamination), so it must run
+# after them — same single-source-of-truth pattern as queries/panels.
+def _curation_oracle() -> str:
+    from clickhouse_observability_spark.registry import _ORACLES
+
+    quality = _ORACLES["text_quality"]
+    lang = _ORACLES["text_lang_id"]
+    rep = _ORACLES["text_repetition"]
+    cont = _ORACLES["text_contamination"]
+    return rf"""
+    WITH keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+    ),
+    nb AS (
+        SELECT doc_id FROM ({rep}) WHERE top_2gram_frac <= 0.2
+    ),
+    cont AS (
+        SELECT train_id AS doc_id FROM ({cont})
+    ),
+    base AS (
+        SELECT d.doc_id, li.lang_pred,
+               CASE WHEN substring(md5(d.doc_id::VARCHAR), 1, 2) < '1a'
+                    THEN 'val' ELSE 'train' END AS split,
+               d.n_chars
+        FROM documents d
+        JOIN ({quality}) tq USING (doc_id)
+        JOIN ({lang}) li USING (doc_id)
+        WHERE tq.passes_quality
+    )
+    SELECT base.* FROM base
+    JOIN keep USING (doc_id)
+    JOIN nb USING (doc_id)
+    LEFT JOIN cont USING (doc_id)
+    WHERE cont.doc_id IS NULL
+    """
+
+
+@register("text_corpus_curation", oracle=_curation_oracle())
+def text_corpus_curation(spark, sf_dir):
+    """The end-to-end training-data curation pipeline in one plan:
+    exact-dedup survivors ∩ quality-passing ∩ non-boilerplate docs,
+    minus train docs contaminated by the val split, tagged with
+    language and the deterministic split — the composition a 100 TB
+    corpus actually runs nightly. r11: the COMPOSITION itself is now
+    under the cross-engine oracle, assembled verbatim from the five
+    stages' proven _ORACLES fragments (dedup keep-first min-per-hash,
+    repetition top-2-gram share, 8-gram val contamination, quality
+    pass, lang-ID) — the old 'stays outside the window' rows-only
+    rationale was stale (post-window oracles are CI-gated, never
+    window-displacing). Plan shape: the per-doc projections fuse
+    into one codegen stage; dedup adds the single md5-groupBy shuffle
+    + a semi join; repetition adds its two keyed shuffles; the
+    contamination anti-join's exclusion list is tiny and broadcasts."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    survivors = D.dedup_keep_first(docs).select("doc_id")
+    # Gopher-style repetition cut: drop docs whose single most common
+    # 2-gram covers more than 20% of all their 2-grams.
+    non_boiler = (
+        TX.repetition_stats(docs, with_gram=False)
+        .filter(F.col("top_2gram_frac") <= 0.2)
+        .select("doc_id")
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(bucket < "1a", "val").otherwise("train")
+    tagged = docs.select("doc_id", "text", split.alias("split"))
+    contaminated = TX.contamination_hits(
+        tagged.filter(F.col("split") == "train"),
+        tagged.filter(F.col("split") == "val"),
+        n=8,
+    ).select(F.col("train_id").alias("doc_id"))
+    # quality + lang-ID are map-only -> inline columns on the base
+    # scan, NOT score-table joins; only the stages that genuinely
+    # aggregate (dedup, repetition) or join (contamination) shuffle.
+    base = docs.filter(TX.quality_pass_col()).select(
+        "doc_id",
+        TX.lang_pred_col().alias("lang_pred"),
+        split.alias("split"),
+        "n_chars",
+    )
+    return (
+        base.join(survivors, "doc_id", "left_semi")
+        .join(non_boiler, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
     )

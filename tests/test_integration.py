@@ -360,6 +360,7 @@ def test_adjudication_window_composition():
         "engine_replacing_merge_tree_schedule",
         "ch_dialect_bitmap_panel",
         "pipeline_chunked_bm25",
+        "text_corpus_curation",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
