@@ -2665,3 +2665,87 @@ def test_r11_wave9_refusals(spark):
     ):
         with _pytest.raises(ChDialectError):
             ch_sql(spark, bad)
+
+
+def test_r11_wave9_python_reference_sweep(spark):
+    """Wave-9 reference sweep in ONE query: javaHash vs a Python
+    String.hashCode replay, format vs Python formatting, and
+    extractGroups vs re.search — 24 diverse literals each, so the
+    lowering is checked against an independent implementation, not
+    just hand-picked examples."""
+    import re as _re
+
+    strings = [
+        "", "a", "Z", "abc", "hello world", "The Quick Brown Fox",
+        "0123456789", "  spaces  ", "a" * 64, "x,y;z|w",
+        "CamelCaseMix", "snake_case_name", "tab\tsep", "dup dup dup",
+        "unicode café", "ALLCAPS", "MiXeD123", "trailing ",
+        " leading", "mid  dle", "p@ss!w0rd", "semi;colon",
+        "a-b-c-d", "1e9",
+    ]
+
+    def java_hash(s: str) -> int:
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) & 0xFFFFFFFF
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    lits = ", ".join(
+        "javaHash('" + s.replace("'", "''") + "') AS h%d" % i
+        for i, s in enumerate(strings))
+    r = ch_sql(spark, f"SELECT {lits}").collect()[0]
+    for i, s in enumerate(strings):
+        assert r[f"h{i}"] == java_hash(s), repr(s)
+
+    # format: auto {} and positional {N} against Python's replay
+    cases = [
+        ("{} {}", ("a", "b")),
+        ("{}+{}+{}", ("1", "2", "3")),
+        ("{1} then {0}", ("first", "second")),
+        ("{0}{0}", ("dup",)),
+        ("100% {}", ("sure",)),  # literal % survives format_string
+        ("{{literal}} {}", ("x",)),
+    ]
+    sel = []
+    for i, (pat, args) in enumerate(cases):
+        a = ", ".join("'" + x + "'" for x in args)
+        sel.append(f"format('{pat}', {a}) AS f{i}")
+    r = ch_sql(spark, "SELECT " + ", ".join(sel)).collect()[0]
+
+    def py_format(pat, args):
+        out, i, auto = [], 0, 0
+        while i < len(pat):
+            c = pat[i]
+            if c == "{" and pat[i + 1:i + 2] == "{":
+                out.append("{"); i += 2; continue
+            if c == "}" and pat[i + 1:i + 2] == "}":
+                out.append("}"); i += 2; continue
+            if c == "{":
+                j = pat.index("}", i)
+                body = pat[i + 1:j]
+                if body == "":
+                    out.append(args[auto]); auto += 1
+                else:
+                    out.append(args[int(body)])
+                i = j + 1
+                continue
+            out.append(c); i += 1
+        return "".join(out)
+
+    for i, (pat, args) in enumerate(cases):
+        want = py_format(pat, args)  # CH format: % is not special
+        assert r[f"f{i}"] == want, (pat, r[f"f{i}"], want)
+
+    # extractGroups vs re.search on varied haystacks
+    pat = r"(\w+)=(\d+)"
+    hay = ["a=1", "key=42 b=7", "no match here", "x=“9”", "=5", "k=",
+           "a=1;b=2", "  pad=003  "]
+    sel = ", ".join(
+        "extractGroups('" + h.replace("'", "''")
+        + "', '(\\\\w+)=(\\\\d+)') AS g%d" % i
+        for i, h in enumerate(hay))
+    r = ch_sql(spark, f"SELECT {sel}").collect()[0]
+    for i, h in enumerate(hay):
+        m = _re.search(pat, h)
+        want = list(m.groups()) if m else []
+        assert r[f"g{i}"] == want, (h, r[f"g{i}"], want)
