@@ -5296,11 +5296,23 @@ def _ch_sql_stmt(
 
         if msc.group(1).lower() != "logs" or logs is None:
             raise ChDialectError("SHOW CREATE supported for `logs` only")
+        from clickhouse_observability_spark.sources.retention import (
+            read_column_ttls,
+        )
+
+        col_ttls = read_column_ttls(logs.path)
+
+        def _ct(col: str) -> str:  # armed COLUMN TTL, rendered CH-style
+            d = col_ttls.get(col)
+            return f" TTL ts + INTERVAL {d} DAY" if d else ""
+
         parts = [
             "CREATE TABLE logs (",
             "  ts DateTime64(3, 'UTC'), service LowCardinality(String),",
-            "  level LowCardinality(String), msg String, attrs String,",
-            "  trace_id String, span_id String",
+            f"  level LowCardinality(String){_ct('level')}, "
+            f"msg String{_ct('msg')}, attrs String{_ct('attrs')},",
+            f"  trace_id String{_ct('trace_id')}, "
+            f"span_id String{_ct('span_id')}",
         ]
         for line in logs.schema_ext.ddl_clauses():
             parts[-1] += ","
@@ -5329,7 +5341,7 @@ def _ch_sql_stmt(
         )
 
         ttl_spec = read_table_ttl_spec(logs.path)
-        if ttl_spec is not None:
+        if ttl_spec is not None and ttl_spec.get("retention_days") is not None:
             days = ttl_spec["retention_days"]
             gb = ttl_spec.get("group_by")
             if gb:
@@ -5645,21 +5657,39 @@ def _ch_sql_stmt(
             elif rex is _COMMENT_COL_RE:
                 _, name, comment = mcol.groups()
                 ext.comment_column(name, comment.replace("''", "'"))
-            else:  # MODIFY COLUMN: DEFAULT changes only (metadata-
-                # only in CH too); a TYPE change rewrites every part
-                # in CH and is refused honestly here
+            else:  # MODIFY COLUMN: DEFAULT changes + COLUMN TTL
+                # (both metadata-only in CH too); a TYPE change
+                # rewrites every part in CH and is refused honestly
                 _, name, tail = mcol.groups()
                 toks = _tokenize(tail)
                 lows = [t.lower() for t in toks]
+                mct = re.match(
+                    r"^\s*(?:\w+(?:\([^)]*\))?\s+)?TTL\s+ts\s*\+\s*"
+                    r"INTERVAL\s+(\d+)\s+DAY\s*$",
+                    tail, re.IGNORECASE)
                 if lows[:2] == ["remove", "default"] and len(toks) == 2:
                     ext.modify_default(name, None)
+                elif lows[:2] == ["remove", "ttl"] and len(toks) == 2:
+                    from clickhouse_observability_spark.sources. \
+                        retention import set_column_ttl
+
+                    set_column_ttl(logs.path, name, None)
+                elif mct is not None:
+                    # CH COLUMN TTL: `MODIFY COLUMN msg [String] TTL
+                    # ts + INTERVAL n DAY` — aged values revert to
+                    # the type default on the next retention pass
+                    from clickhouse_observability_spark.sources. \
+                        retention import set_column_ttl
+
+                    set_column_ttl(logs.path, name, int(mct.group(1)))
                 elif lows and lows[0] == "default":
                     ext.modify_default(
                         name, _mutation_expr(toks[1:]))
                 else:
                     raise ChDialectError(
                         "MODIFY COLUMN supports DEFAULT <expr> / "
-                        "REMOVE DEFAULT only; a type change rewrites "
+                        "REMOVE DEFAULT / TTL ts + INTERVAL n DAY / "
+                        "REMOVE TTL only; a type change rewrites "
                         "every part in ClickHouse and is refused "
                         "rather than silently cast on read (DROP + "
                         "ADD under a new name is the explicit "

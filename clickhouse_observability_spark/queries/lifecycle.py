@@ -819,3 +819,90 @@ def lifecycle_ttl_rollup_panel(spark, sf_dir):
         F.when(F.col("ts") < cutoff, "rolled").otherwise("raw").alias("op"),
         "service", "ts", "msg", "level", "trace_id",
     )
+
+
+@register(
+    "lifecycle_column_ttl_panel",
+    # Registered after the 50-slot window; adjudicated by the CI
+    # registry gate every run + scripts/selfcheck.py at sf0.01.
+    oracle="""
+    WITH logs AS (
+        SELECT ts + to_days((32 * (user_id % 3))::INT) AS ts,
+               event_type AS service,
+               CASE WHEN user_id % 5 = 0 THEN 'ERROR' ELSE 'INFO' END
+                   AS level,
+               props AS msg, user_id::VARCHAR AS trace_id
+        FROM events
+    )
+    SELECT CASE WHEN ts < TIMESTAMP '2024-02-05 00:00:00'
+                THEN 'aged' ELSE 'raw' END AS op,
+           service, ts,
+           CASE WHEN ts < TIMESTAMP '2024-02-05 00:00:00'
+                THEN '' ELSE msg END AS msg,
+           CASE WHEN ts < TIMESTAMP '2024-02-02 00:00:00'
+                THEN '' ELSE trace_id END AS trace_id,
+           level
+    FROM logs
+    """,
+)
+def lifecycle_column_ttl_panel(spark, sf_dir):
+    """CH COLUMN TTL end-to-end (r11): arm `MODIFY COLUMN msg String
+    TTL ts + INTERVAL 30 DAY` and `MODIFY COLUMN trace_id String TTL
+    ts + INTERVAL 33 DAY` through the dialect, run the retention job
+    at a pinned `now` (2024-03-06) with NO table TTL armed, and read
+    the table back: every row survives, but aged cells reverted to
+    the type default '' — TWO different horizons inside the same
+    boundary month (msg cutoff 02-05, trace_id 02-02), so the pass
+    exercises per-column cutoffs in one partition rewrite. The
+    oracle re-derives the revert as plain CASE expressions over the
+    same spread-out events. Raises unless cells actually reverted
+    AND the row count is unchanged — a silent no-op or an accidental
+    delete can't hash-match."""
+    import datetime as dt
+
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+    from clickhouse_observability_spark.sources.retention import (
+        apply_retention,
+    )
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    path = IX.artifact_path(sf_dir, "ch_logs_column_ttl",
+                            source_table="events")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LogsTable(spark, path)
+    t.init_schema()
+    ev = table(spark, sf_dir, "events")
+    t.insert(
+        ev.select(
+            F.expr("timestampadd(DAY, 32 * CAST(user_id % 3 AS INT), ts)")
+            .alias("ts"),
+            F.col("event_type").alias("service"),
+            F.when(F.col("user_id") % 5 == 0, "ERROR")
+            .otherwise("INFO")
+            .alias("level"),
+            F.col("props").alias("msg"),
+            F.col("props").alias("attrs"),
+            F.col("user_id").cast("string").alias("trace_id"),
+            F.col("event_id").cast("string").alias("span_id"),
+        )
+    )
+    before = t.read().count()
+    ch_sql(spark, "ALTER TABLE logs MODIFY COLUMN msg String "
+                  "TTL ts + INTERVAL 30 DAY", logs=t)
+    ch_sql(spark, "ALTER TABLE logs MODIFY COLUMN trace_id String "
+                  "TTL ts + INTERVAL 33 DAY", logs=t)
+    res = apply_retention(
+        spark, t.path,
+        now=dt.datetime(2024, 3, 6, tzinfo=dt.timezone.utc),
+    )
+    after = t.read().count()
+    if after != before or not res.get("column_ttl"):
+        raise RuntimeError(
+            f"lifecycle_column_ttl_panel: expected a row-preserving "
+            f"column revert (before={before}, after={after}, "
+            f"res={res})")
+    cutoff = F.lit(dt.datetime(2024, 2, 5))
+    return t.read().select(
+        F.when(F.col("ts") < cutoff, "aged").otherwise("raw").alias("op"),
+        "service", "ts", "msg", "trace_id", "level",
+    )

@@ -46,22 +46,85 @@ def set_table_ttl(
     import json
 
     p = os.path.join(path, "_ttl.json")
-    if days is None:
-        try:
-            os.remove(p)
-        except FileNotFoundError:
-            pass
-        return
-    spec: dict = {"retention_days": int(days)}
-    if group_by:
-        _validate_ttl_group_by(group_by)
-        spec["group_by"] = list(group_by)
-        spec["set"] = dict(set_exprs or {})
+    prior = read_table_ttl_spec(path) or {}
+    columns = prior.get("columns")  # column TTLs survive table
+    if days is None:                # REMOVE TTL — CH keeps column TTLs
+        if not columns:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+            return
+        spec = {"columns": columns}
+    else:
+        spec = {"retention_days": int(days)}
+        if group_by:
+            _validate_ttl_group_by(group_by)
+            spec["group_by"] = list(group_by)
+            spec["set"] = dict(set_exprs or {})
+        if columns:
+            spec["columns"] = columns
     os.makedirs(path, exist_ok=True)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
         json.dump(spec, f)
     os.replace(tmp, p)
+
+
+#: base payload columns a COLUMN TTL may target, with their CH type
+#: defaults (the value an aged cell reverts to). Key columns (ts,
+#: service, month) are refused like CH refuses TTL on key columns;
+#: evolved (sidecar) columns would need default rewriting inside the
+#: extension metadata instead of the parts — refused honestly.
+_COLUMN_TTL_DEFAULTS = {
+    "level": "", "msg": "", "attrs": "", "trace_id": "", "span_id": "",
+}
+
+
+def set_column_ttl(path: str, column: str, days: int | None) -> None:
+    """Arm (or clear, days=None) a CH COLUMN TTL: `ALTER TABLE logs
+    MODIFY COLUMN <c> String TTL ts + INTERVAL n DAY`. Once a row's
+    ts ages past the horizon, the COLUMN's value reverts to its type
+    default ('' for the String payload columns) — CH's
+    keep-the-row-shed-the-column lifecycle (saves the bytes, keeps
+    the event). Enforced by every retention pass, independently of
+    (and compatibly with) the table TTL."""
+    import json
+
+    if column not in _COLUMN_TTL_DEFAULTS:
+        raise ValueError(
+            f"COLUMN TTL supports the base payload columns "
+            f"{sorted(_COLUMN_TTL_DEFAULTS)} only — key columns "
+            f"(ts, service, month) are refused like ClickHouse "
+            f"refuses TTL on key columns, and evolved columns live "
+            f"in the schema-extension sidecar, not the parts")
+    spec = read_table_ttl_spec(path) or {}
+    columns = dict(spec.get("columns") or {})
+    if days is None:
+        columns.pop(column, None)
+    else:
+        columns[column] = int(days)
+    if columns:
+        spec["columns"] = columns
+    else:
+        spec.pop("columns", None)
+    p = os.path.join(path, "_ttl.json")
+    if not spec:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+        return
+    os.makedirs(path, exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(spec, f)
+    os.replace(tmp, p)
+
+
+def read_column_ttls(path: str) -> dict[str, int]:
+    spec = read_table_ttl_spec(path)
+    return dict((spec or {}).get("columns") or {})
 
 
 def _validate_ttl_group_by(group_by: list[str]) -> None:
@@ -96,8 +159,9 @@ def read_table_ttl_spec(path: str) -> dict | None:
 
 
 def read_table_ttl(path: str) -> int | None:
-    spec = read_table_ttl_spec(path)
-    return int(spec["retention_days"]) if spec else None
+    spec = read_table_ttl_spec(path) or {}
+    days = spec.get("retention_days")
+    return int(days) if days is not None else None
 
 
 def _debris_path(part_dir: str, suffix: str) -> str:
@@ -243,12 +307,20 @@ def apply_retention(
     # drop out of the pass (retry-safety across crash-at-any-point).
     recover_partition_swaps(path)
     spec = read_table_ttl_spec(path)
+    now = now or dt.datetime.now(dt.timezone.utc)
+    # COLUMN TTLs (r11) enforce independently of the table TTL —
+    # armed columns age even when no row-delete horizon is set.
+    col_ttls = (spec or {}).get("columns") or {}
+    column_ttl = {} if dry_run else _apply_column_ttls(
+        spark, path, col_ttls, now)
     if retention_days is None:
-        retention_days = int(spec["retention_days"]) if spec else None
+        days = (spec or {}).get("retention_days")
+        retention_days = int(days) if days is not None else None
     if retention_days is None:
         raw = os.environ.get("RETENTION_DAYS", "")
         if not raw.strip().isdigit():
-            return {"dropped_months": [], "rewritten": None, "skipped": True}
+            return {"dropped_months": [], "rewritten": None,
+                    "skipped": not col_ttls, "column_ttl": column_ttl}
         retention_days = int(raw)
     now = now or dt.datetime.now(dt.timezone.utc)
     cutoff = now - dt.timedelta(days=int(retention_days))
@@ -258,10 +330,12 @@ def apply_retention(
         # CH TTL GROUP BY: aged rows collapse to aggregates instead
         # of being deleted — dispatch to the downsample arm (same
         # staleness surfacing on the way out).
-        return _apply_ttl_group_by(
+        res = _apply_ttl_group_by(
             spark, path, cutoff, cutoff_month, group_by,
             (spec or {}).get("set") or {}, exact=exact, dry_run=dry_run,
             refresh_views=refresh_views)
+        res["column_ttl"] = column_ttl
+        return res
     dropped, rewritten = [], None
     if dry_run:
         dropped = [m for m in _partition_months(path) if m < cutoff_month]
@@ -306,7 +380,76 @@ def apply_retention(
             # stale + un-cover serving projections
             stale_views = _handle_stale_views(table, refresh_views)
     return {"dropped_months": dropped, "rewritten": rewritten,
-            "stale_views": stale_views}
+            "stale_views": stale_views, "column_ttl": column_ttl}
+
+
+def _apply_column_ttls(
+    spark: SparkSession,
+    path: str,
+    col_ttls: dict[str, int],
+    now: dt.datetime,
+) -> dict:
+    """Enforce armed COLUMN TTLs (r11): in every partition holding
+    rows older than a column's horizon, revert that column's aged
+    values to the type default — CH's keep-the-row-shed-the-column
+    lifecycle, run by the same retention entry as the table TTL.
+
+    Scale shape: whole-month granularity. A partition is a candidate
+    only if its month can contain aged rows (month <= cutoff month);
+    a candidate is REWRITTEN only if an aged row still carries a
+    non-default value (one cheap existence probe per candidate —
+    idempotent reruns touch nothing, so the batcher's periodic
+    enforcement loop stays O(newly-aged partitions), not O(table)).
+    Each rewrite is one independent partition job through the
+    crash-recoverable swap; no global shuffle."""
+    out: dict[str, list[int]] = {}
+    if not col_ttls:
+        return out
+    from clickhouse_observability_spark.sources.writer import (
+        parquet_ts_micros,
+    )
+
+    cutoffs = {
+        col: (now - dt.timedelta(days=int(days))).replace(tzinfo=None)
+        for col, days in col_ttls.items()
+    }
+    for m in _partition_months(path):
+        # candidate columns for THIS month: their cutoff month covers it
+        cand = sorted(
+            c for c, cut in cutoffs.items()
+            if m <= cut.year * 100 + cut.month)
+        if not cand:
+            continue
+        part_dir = os.path.join(path, f"{PARTITION_COLUMN}={m}")
+        # mergeSchema: files in one partition may disagree on
+        # explicitly-written evolved columns — a single-file schema
+        # pick would silently drop them from the rewrite
+        df = spark.read.option("mergeSchema", "true").parquet(part_dir)
+        stale_cols = [
+            c for c in cand
+            if df.filter(
+                (F.col("ts") < F.lit(cutoffs[c]))
+                & (F.col(c) != F.lit(_COLUMN_TTL_DEFAULTS[c]))
+            ).limit(1).count() > 0
+        ]
+        if not stale_cols:
+            continue  # already enforced — idempotent rerun
+        # ONE rewrite per partition covering every stale column
+        for c in stale_cols:
+            df = df.withColumn(
+                c,
+                F.when(F.col("ts") < F.lit(cutoffs[c]),
+                       F.lit(_COLUMN_TTL_DEFAULTS[c]))
+                .otherwise(F.col(c)))
+        tmp = _debris_path(part_dir, ".tmp")
+        with parquet_ts_micros(spark):
+            (df.sortWithinPartitions("service", "ts")
+             .write.mode("overwrite").option("compression", "zstd")
+             .parquet(tmp))
+        _swap_partition(part_dir, tmp)
+        for c in stale_cols:
+            out.setdefault(c, []).append(m)
+    return out
 
 
 def _ch_expr(expr: str) -> str:

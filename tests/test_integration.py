@@ -361,6 +361,7 @@ def test_adjudication_window_composition():
         "ch_dialect_bitmap_panel",
         "pipeline_chunked_bm25",
         "text_corpus_curation",
+        "lifecycle_column_ttl_panel",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 

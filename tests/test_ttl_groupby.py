@@ -308,3 +308,86 @@ def test_mid_swap_crash_states_recover(spark, table):
     assert res["collapsed_months"] == [202508]
     assert os.path.isdir(part)
     assert not os.path.isdir(old)
+
+
+def test_column_ttl_end_to_end(spark, table):
+    """CH COLUMN TTL (r11): `ALTER TABLE logs MODIFY COLUMN msg
+    String TTL ts + INTERVAL n DAY` — aged rows KEEP the row but the
+    column reverts to its type default (''). Pinned end-to-end
+    through the dialect: arm -> retention pass reverts exactly the
+    aged cells -> idempotent rerun rewrites nothing (file bytes
+    untouched) -> SHOW CREATE round-trips the clause -> REMOVE TTL
+    disarms without touching the table TTL -> key/evolved columns
+    refuse. Column TTLs enforce even with NO table TTL armed, and a
+    later table REMOVE TTL keeps them (CH keeps column TTLs too)."""
+    import os
+
+    from clickhouse_observability_spark.functions.ch_dialect import (
+        ChDialectError,
+    )
+    from clickhouse_observability_spark.sources.retention import (
+        read_column_ttls,
+        read_table_ttl,
+    )
+
+    # arm a 10-day msg TTL; fixture months: 202508 (aged), 202509
+    # (aged side 09-05 + young side 09-15 vs NOW 09-20)
+    ch_sql(spark, "ALTER TABLE logs MODIFY COLUMN msg String "
+                  "TTL ts + INTERVAL 10 DAY", logs=table)
+    assert read_column_ttls(table.path) == {"msg": 10}
+    assert read_table_ttl(table.path) is None  # no table TTL armed
+
+    res = apply_retention(spark, table.path, now=NOW)
+    assert res["column_ttl"] == {"msg": [202508, 202509]}
+    assert res["dropped_months"] == []  # rows all kept
+    rows = {(r.ts.isoformat(), r.msg)
+            for r in table.read().select("ts", "msg").collect()}
+    msgs = {m for _, m in rows}
+    assert "young1" in msgs and "young2" in msgs  # young intact
+    aged = [m for t, m in rows if t < "2025-09-10"]
+    assert aged and all(m == "" for m in aged)  # aged reverted
+    assert len(rows) == 8  # every row kept
+
+    # idempotent rerun: no partition rewritten, bytes untouched
+    def mtimes():
+        out = {}
+        for root, _, files in os.walk(table.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = mtimes()
+    res2 = apply_retention(spark, table.path, now=NOW)
+    assert res2["column_ttl"] == {}
+    assert mtimes() == before
+
+    # SHOW CREATE round-trips the armed column clause
+    ddl = ch_sql(spark, "SHOW CREATE TABLE logs",
+                 logs=table).collect()[0][0]
+    assert "msg String TTL ts + INTERVAL 10 DAY" in ddl
+
+    # coexists with a table TTL; table REMOVE TTL keeps column TTLs
+    ch_sql(spark, "ALTER TABLE logs MODIFY TTL ts + INTERVAL 400 DAY",
+           logs=table)
+    assert read_table_ttl(table.path) == 400
+    assert read_column_ttls(table.path) == {"msg": 10}
+    ch_sql(spark, "ALTER TABLE logs REMOVE TTL", logs=table)
+    assert read_table_ttl(table.path) is None
+    assert read_column_ttls(table.path) == {"msg": 10}
+
+    # disarm the column TTL
+    ch_sql(spark, "ALTER TABLE logs MODIFY COLUMN msg REMOVE TTL",
+           logs=table)
+    assert read_column_ttls(table.path) == {}
+
+    # refusals: key columns and evolved columns
+    import pytest as _pytest
+
+    with _pytest.raises(ChDialectError):
+        ch_sql(spark, "ALTER TABLE logs MODIFY COLUMN ts "
+                      "DateTime TTL ts + INTERVAL 1 DAY", logs=table)
+    with _pytest.raises(ChDialectError):
+        ch_sql(spark, "ALTER TABLE logs MODIFY COLUMN service "
+                      "String TTL ts + INTERVAL 1 DAY", logs=table)
