@@ -251,6 +251,26 @@ def _media_decode_bench(spark) -> dict[str, float]:
         mb / (time.time() - t0), 3)
     df.unpersist()
 
+    # r11: realistic-size PNG (256x256) — the 64x48 png row above is
+    # the same dispatch-floor artifact; this one reflects the codec
+    # after the r11 vectorization (whole-pass numpy unfilter + luma,
+    # ~180 MB/s single-core on incompressible truecolor).
+    rows = [
+        (i, "image", bytearray(encode_png(gradient(256, 256, i))),
+         256, 256, None, None)
+        for i in range(8)
+    ]
+    mb = sum(len(r[2]) for r in rows) / 1e6
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8).cache()
+    df.count()
+    t0 = time.time()
+    extract_features(df, fake_decode=False).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["media_decode_mb_per_sec_png_256"] = round(
+        mb / (time.time() - t0), 3)
+    df.unpersist()
+
     # FLAC: 32 one-second-ish mono clips (Rice/fixed-predictor decode)
     from clickhouse_observability_spark.operators.flac import encode_flac
 

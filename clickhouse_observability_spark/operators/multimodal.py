@@ -304,6 +304,8 @@ def _png_unfilter(
     """Undo PNG per-scanline filtering (types 0-4: None/Sub/Up/Average/
     Paeth, spec §9) over `height` scanlines of `stride` bytes starting
     at `raw[pos]`; returns (unfiltered rows, position after raster)."""
+    import numpy as np
+
     rows: list[bytes] = []
     prev = bytes(stride)
     for _ in range(height):
@@ -313,12 +315,21 @@ def _png_unfilter(
         pos += 1
         cur = bytearray(raw[pos : pos + stride])
         pos += stride
-        if ft == 1:  # Sub
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                cur[i] = (cur[i] + prev[i]) & 0xFF
+        if ft == 1:  # Sub — per-channel mod-256 cumsum (vectorized:
+            # recon[k] = Σ raw[j..k] mod 256, addition distributes)
+            a = np.frombuffer(bytes(cur), np.uint8).astype(np.uint64)
+            pad = (-len(a)) % bpp
+            if pad:
+                a = np.concatenate([a, np.zeros(pad, np.uint64)])
+            m = a.reshape(-1, bpp)
+            cur = bytearray(
+                (np.cumsum(m, axis=0) & 0xFF).astype(np.uint8)
+                .reshape(-1)[: stride].tobytes())
+        elif ft == 2:  # Up — whole-row vector add
+            cur = bytearray(
+                ((np.frombuffer(bytes(cur), np.uint8).astype(np.uint16)
+                  + np.frombuffer(prev, np.uint8)) & 0xFF)
+                .astype(np.uint8).tobytes())
         elif ft == 3:  # Average
             for i in range(stride):
                 a = cur[i - bpp] if i >= bpp else 0
@@ -410,37 +421,49 @@ def _parse_png(b: bytes) -> list[list[int]]:
 
     maxval = (1 << depth) - 1
 
-    def px_luma(s: tuple[int, ...]) -> int:
-        if ct == 2 or ct == 6:  # truecolor (+alpha): 8-bit samples by now
-            return _luma(s[0], s[1], s[2])
-        if ct == 3:
-            assert pal is not None
-            return pal[s[0]]
-        # grayscale (+alpha): scale sub-byte depths to 0-255
-        return s[0] if depth >= 8 else s[0] * 255 // maxval
+    import numpy as np
 
-    def row_pixels(rb: bytes, wp: int) -> list[int]:
+    def pass_pixels(rows: list[bytes], wp: int) -> list[list[int]]:
+        """All of a pass's scanlines to gray in ONE numpy shot (r11:
+        was a per-pixel Python loop — the measured PNG decode
+        bottleneck once filters vectorized). Same integer math as
+        the scalar path: BT.601 luma (299r+587g+114b)//1000, palette
+        take, high byte of 16-bit samples, sub-byte scale
+        s*255//maxval — floor divisions over non-negative ints, so
+        bit-identical (golden tests unchanged)."""
+        hp = len(rows)
+        stride = len(rows[0]) if rows else 0
+        mat = np.frombuffer(b"".join(rows), np.uint8).reshape(hp, stride)
         if depth == 8:
-            return [
-                px_luma(tuple(rb[i * channels : (i + 1) * channels]))
-                for i in range(wp)
-            ]
-        if depth == 16:  # high byte of each big-endian sample
-            return [
-                px_luma(tuple(rb[(i * channels + c) * 2] for c in range(channels)))
-                for i in range(wp)
-            ]
-        per, shift0 = 8 // depth, 8 - depth
-        return [
-            px_luma(((rb[i // per] >> (shift0 - depth * (i % per))) & maxval,))
-            for i in range(wp)
-        ]
+            px = mat[:, : wp * channels].reshape(hp, wp, channels)
+            samples = px.astype(np.int32)
+        elif depth == 16:  # high byte of each big-endian sample
+            px = mat[:, : wp * channels * 2].reshape(hp, wp, channels, 2)
+            samples = px[:, :, :, 0].astype(np.int32)
+        else:  # sub-byte grays: unpack depth-bit fields, MSB first
+            bits = np.unpackbits(mat, axis=1)
+            fields = bits[:, : wp * depth].reshape(hp, wp, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+            samples = (fields.astype(np.int32) * weights).sum(axis=2)
+            samples = samples[:, :, None]
+        if ct in (2, 6):  # truecolor (+alpha): BT.601 integer luma
+            gray = (299 * samples[:, :, 0] + 587 * samples[:, :, 1]
+                    + 114 * samples[:, :, 2]) // 1000
+        elif ct == 3:
+            assert pal is not None
+            gray = np.take(np.asarray(pal, np.int32),
+                           samples[:, :, 0])
+        else:  # grayscale (+alpha)
+            gray = samples[:, :, 0]
+            if depth < 8:
+                gray = gray * 255 // maxval
+        return gray.tolist()
 
     def decode_pass(pos: int, wp: int, hp: int) -> tuple[list[list[int]], int]:
         stride = (depth * channels * wp + 7) // 8
         bpp = max(1, depth * channels // 8)
         rows, pos = _png_unfilter(raw, pos, hp, bpp, stride)
-        return [row_pixels(r, wp) for r in rows], pos
+        return pass_pixels(rows, wp), pos
 
     rpos = 0
     if interlace == 0:

@@ -273,16 +273,20 @@ def _parse_tiff(b: bytes) -> list[list[int]]:
                     raise ValueError("truncated TIFF tile")
                 td = decompress(b[off : off + cnt], tl * tile_row)
                 # predictor runs per tile ROW before placement
+                # (vectorized r11: horizontal predictor = per-channel
+                # mod-256 cumsum along the row, same as PNG Sub)
                 if predictor == 2:
                     if depth != 8:
                         raise ValueError("TIFF predictor needs 8-bit samples")
-                    td = bytearray(td)
-                    for r in range(tl):
-                        base = r * tile_row
-                        for c in range(spp, tile_row):
-                            td[base + c] = (
-                                td[base + c] + td[base + c - spp]
-                            ) & 0xFF
+                    import numpy as _np
+
+                    a = _np.frombuffer(
+                        bytes(td[: tl * tile_row]), _np.uint8
+                    ).astype(_np.uint64)
+                    td = bytearray(
+                        (a.reshape(tl, tile_row // spp, spp)
+                         .cumsum(axis=1) & 0xFF)
+                        .astype(_np.uint8).tobytes())
                 x_bytes = tx * (tw * spp * depth) // 8
                 copy_w = min(tile_row, row_bytes - x_bytes)
                 for r in range(min(tl, height - ty * tl)):
@@ -309,10 +313,12 @@ def _parse_tiff(b: bytes) -> list[list[int]]:
     if predictor == 2 and not tiled:  # tiles already undid it per row
         if depth != 8:
             raise ValueError("TIFF predictor needs 8-bit samples")
-        for r in range(height):
-            base = r * row_bytes
-            for c in range(spp, row_bytes):
-                raster[base + c] = (raster[base + c] + raster[base + c - spp]) & 0xFF
+        import numpy as _np
+
+        a = _np.frombuffer(bytes(raster), _np.uint8).astype(_np.uint64)
+        raster = bytearray(
+            (a.reshape(height, row_bytes // spp, spp)
+             .cumsum(axis=1) & 0xFF).astype(_np.uint8).tobytes())
 
     pal: list[int] | None = None
     if photometric == 3:
@@ -326,34 +332,35 @@ def _parse_tiff(b: bytes) -> list[list[int]]:
             for i in range(n)
         ]
 
-    rows: list[list[int]] = []
-    for r in range(height):
-        base = r * row_bytes
-        row: list[int] = []
-        if depth == 1:
-            for c in range(width):
-                bit = (raster[base + c // 8] >> (7 - c % 8)) & 1
-                if pal is not None:  # 1-bit PALETTE image: ColorMap wins
-                    row.append(pal[bit])
-                    continue
-                v = bit * 255
-                if photometric == 0:  # white-is-zero
-                    v = 255 - v
-                row.append(v)
-        elif spp == 1:
-            for c in range(width):
-                v = raster[base + c]
-                if pal is not None:
-                    v = pal[v]
-                elif photometric == 0:
-                    v = 255 - v
-                row.append(v)
-        else:  # RGB(A): first three samples
-            for c in range(width):
-                p = base + c * spp
-                row.append(_luma(raster[p], raster[p + 1], raster[p + 2]))
-        rows.append(row)
-    return rows
+    # whole-raster conversion in one numpy shot (r11: was a per-pixel
+    # Python loop — same integer math, bit-identical; golden tests
+    # unchanged)
+    import numpy as _np
+
+    mat = _np.frombuffer(bytes(raster), _np.uint8).reshape(
+        height, row_bytes)
+    if depth == 1:
+        bits = _np.unpackbits(mat, axis=1)[:, :width].astype(_np.int32)
+        if pal is not None:  # 1-bit PALETTE image: ColorMap wins
+            gray = _np.take(_np.asarray(pal, _np.int32), bits)
+        else:
+            gray = bits * 255
+            if photometric == 0:  # white-is-zero
+                gray = 255 - gray
+    elif spp == 1:
+        v = mat[:, :width].astype(_np.int32)
+        if pal is not None:
+            gray = _np.take(_np.asarray(pal, _np.int32), v)
+        elif photometric == 0:
+            gray = 255 - v
+        else:
+            gray = v
+    else:  # RGB(A): first three samples, BT.601 integer luma
+        px = mat[:, : width * spp].reshape(height, width, spp) \
+            .astype(_np.int32)
+        gray = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                + 114 * px[:, :, 2]) // 1000
+    return gray.tolist()
 
 
 def decode_tiff_luma(b: bytes) -> list[list[int]]:
