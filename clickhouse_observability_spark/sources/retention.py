@@ -309,10 +309,16 @@ def apply_retention(
     spec = read_table_ttl_spec(path)
     now = now or dt.datetime.now(dt.timezone.utc)
     # COLUMN TTLs (r11) enforce independently of the table TTL —
-    # armed columns age even when no row-delete horizon is set.
+    # armed columns age even when no row-delete horizon is set. They
+    # run AFTER the row-delete/collapse phase on every exit path, so
+    # a month the table TTL is about to drop is never pointlessly
+    # column-rewritten first.
     col_ttls = (spec or {}).get("columns") or {}
-    column_ttl = {} if dry_run else _apply_column_ttls(
-        spark, path, col_ttls, now)
+
+    def enforce_cols() -> dict:
+        return {} if dry_run else _apply_column_ttls(
+            spark, path, col_ttls, now)
+
     if retention_days is None:
         days = (spec or {}).get("retention_days")
         retention_days = int(days) if days is not None else None
@@ -320,7 +326,8 @@ def apply_retention(
         raw = os.environ.get("RETENTION_DAYS", "")
         if not raw.strip().isdigit():
             return {"dropped_months": [], "rewritten": None,
-                    "skipped": not col_ttls, "column_ttl": column_ttl}
+                    "skipped": not col_ttls,
+                    "column_ttl": enforce_cols()}
         retention_days = int(raw)
     now = now or dt.datetime.now(dt.timezone.utc)
     cutoff = now - dt.timedelta(days=int(retention_days))
@@ -334,7 +341,7 @@ def apply_retention(
             spark, path, cutoff, cutoff_month, group_by,
             (spec or {}).get("set") or {}, exact=exact, dry_run=dry_run,
             refresh_views=refresh_views)
-        res["column_ttl"] = column_ttl
+        res["column_ttl"] = enforce_cols()
         return res
     dropped, rewritten = [], None
     if dry_run:
@@ -380,7 +387,7 @@ def apply_retention(
             # stale + un-cover serving projections
             stale_views = _handle_stale_views(table, refresh_views)
     return {"dropped_months": dropped, "rewritten": rewritten,
-            "stale_views": stale_views, "column_ttl": column_ttl}
+            "stale_views": stale_views, "column_ttl": enforce_cols()}
 
 
 def _apply_column_ttls(
