@@ -465,3 +465,45 @@ def test_online_ttl_group_by_enforcement(spark, tmp_path):
         assert str(rows["m1"].ts) == "2020-01-05 03:10:00"  # min(ts)
     finally:
         s.stop(drain=False)
+
+
+def test_online_column_ttl_enforcement(spark, tmp_path):
+    """r11: the batcher's between-micro-batch TTL pass enforces
+    COLUMN TTLs too — a column-only armed spec (no table horizon)
+    still triggers apply_retention, which reverts aged cells to the
+    type default while every row (and every fresh row) survives."""
+    from clickhouse_observability_spark.sources.retention import (
+        set_column_ttl,
+    )
+
+    table = LogsTable(spark, str(tmp_path / "logs"))
+    table.init_schema()
+    set_column_ttl(table.path, "msg", 30)  # NO table TTL armed
+    s = IngestStream(
+        spark, table,
+        inbox_dir=str(tmp_path / "inbox"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        enforce_ttl_every_s=0.0,  # every micro-batch
+    )
+    try:
+        q = s.start()
+        fresh = dt.datetime.now(dt.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ")
+        s.submit_many([
+            _wire(0, ts="2020-01-05T03:10:00Z"),
+            _wire(1, ts="2020-01-05T03:40:00Z"),
+            _wire(2, ts=fresh),
+        ])
+        q.processAllAvailable()
+        # one more batch so the TTL pass definitely ran AFTER the
+        # rows landed
+        s.submit_many([_wire(3, ts=fresh)])
+        q.processAllAvailable()
+        rows = sorted((str(r.ts), r.msg) for r in table.read().collect())
+        assert len(rows) == 4  # column TTL never deletes rows
+        aged = [m for t, m in rows if t.startswith("2020")]
+        assert aged == ["", ""]  # aged msg reverted to the default
+        fresh_msgs = {m for t, m in rows if not t.startswith("2020")}
+        assert fresh_msgs == {"m2", "m3"}  # young cells intact
+    finally:
+        s.stop(drain=False)
