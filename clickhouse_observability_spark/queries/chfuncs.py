@@ -396,3 +396,59 @@ def ch_dialect_bitmap_panel(spark, sf_dir):
         "FROM events GROUP BY event_type)",
         views={"events": ev},
     )
+
+
+@register(
+    "ch_dialect_text_panel",
+    # DuckDB twins for the wave-9 names: format() shares CH's {}
+    # syntax outright; javaHash replays as a list_reduce fold with
+    # the same mod-2^32 wrap; extractGroups as regexp_extract +
+    # match guard; the base64 roundtrip via encode/from_base64.
+    oracle=r"""
+    SELECT doc_id,
+           CAST(CASE WHEN h >= 2147483648 THEN h - 4294967296
+                     ELSE h END AS INTEGER) AS jh,
+           format('{}#{}', lang, source) AS tag,
+           CASE WHEN regexp_matches(source, '^([a-z]+)([0-9]+)$')
+                THEN regexp_extract(source, '^([a-z]+)([0-9]+)$', 1)
+                     || ',' ||
+                     regexp_extract(source, '^([a-z]+)([0-9]+)$', 2)
+                ELSE '' END AS eg,
+           decode(from_base64(base64(encode(substring(text, 1, 8)))))
+               AS rt,
+           reverse(upper(lang)) AS rev
+    FROM (
+        SELECT *,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(regexp_extract_all(source, '.'),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 4294967296) AS h
+        FROM documents
+    )
+    """,
+)
+def ch_dialect_text_panel(spark, sf_dir):
+    """Wave-9 text/hash/format functions end-to-end through the
+    dialect shim, per document: javaHash (exact String.hashCode),
+    format with {} placeholders, extractGroups serialized to CSV
+    (the driver's canonicalizer can't hash list cells — same
+    concat_ws trick as the hourly panel's arrays), a
+    base64Encode -> tryBase64Decode roundtrip over the first 8
+    characters (multi-byte text exercises the UTF-8 byte path), and
+    the UTF8-suffixed string twins. Map-only — zero shuffles."""
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+
+    docs = table(spark, sf_dir, "documents")
+    return ch_sql(
+        spark,
+        "SELECT doc_id, "
+        "javaHash(source) AS jh, "
+        "format('{}#{}', lang, source) AS tag, "
+        "arrayStringConcat("
+        "extractGroups(source, '^([a-z]+)([0-9]+)$'), ',') AS eg, "
+        "tryBase64Decode(base64Encode(substring(text, 1, 8))) AS rt, "
+        "reverseUTF8(upperUTF8(lang)) AS rev "
+        "FROM documents",
+        views={"documents": docs},
+    )

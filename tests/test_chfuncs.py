@@ -74,10 +74,13 @@ def test_chfuncs_oracles_match_duckdb(spark, sf_med):
     qs, oracles = queries(), oracle_sql()
     names = sorted(n for n in oracles
                    if n.startswith(("agg_ch_", "ch_dialect_", "agg_segment_")))
-    assert len(names) == 5  # r11: + ch_dialect_bitmap_panel
+    assert len(names) == 6  # r11: + bitmap + text panels
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{sf_med}/events.parquet'")
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_med}/documents.parquet'")
     for name in names:
         sdf = qs[name](spark, sf_med)
         res = con.execute(oracles[name])

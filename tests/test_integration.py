@@ -362,6 +362,7 @@ def test_adjudication_window_composition():
         "pipeline_chunked_bm25",
         "text_corpus_curation",
         "lifecycle_column_ttl_panel",
+        "ch_dialect_text_panel",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
