@@ -319,15 +319,36 @@ def apply_retention(
         return {} if dry_run else _apply_column_ttls(
             spark, path, col_ttls, now)
 
+    def finish(res: dict) -> dict:
+        """Column enforcement + staleness on EVERY exit path: a
+        column-TTL rewrite changes VALUES (a matview aggregating the
+        column now diverges), so it must surface/refresh attached
+        views exactly like a delete does (r11 gap fix)."""
+        ct = enforce_cols()
+        res["column_ttl"] = ct
+        if ct:
+            from clickhouse_observability_spark.sources.mutations import (
+                _handle_stale_views,
+            )
+            from clickhouse_observability_spark.sources.writer import (
+                LogsTable,
+            )
+
+            table = LogsTable(spark, path)
+            if table.materialized_views:
+                stale = _handle_stale_views(table, refresh_views)
+                res["stale_views"] = sorted(
+                    set(res.get("stale_views") or []) | set(stale))
+        return res
+
     if retention_days is None:
         days = (spec or {}).get("retention_days")
         retention_days = int(days) if days is not None else None
     if retention_days is None:
         raw = os.environ.get("RETENTION_DAYS", "")
         if not raw.strip().isdigit():
-            return {"dropped_months": [], "rewritten": None,
-                    "skipped": not col_ttls,
-                    "column_ttl": enforce_cols()}
+            return finish({"dropped_months": [], "rewritten": None,
+                           "skipped": not col_ttls})
         retention_days = int(raw)
     now = now or dt.datetime.now(dt.timezone.utc)
     cutoff = now - dt.timedelta(days=int(retention_days))
@@ -341,8 +362,7 @@ def apply_retention(
             spark, path, cutoff, cutoff_month, group_by,
             (spec or {}).get("set") or {}, exact=exact, dry_run=dry_run,
             refresh_views=refresh_views)
-        res["column_ttl"] = enforce_cols()
-        return res
+        return finish(res)
     dropped, rewritten = [], None
     if dry_run:
         dropped = [m for m in _partition_months(path) if m < cutoff_month]
@@ -386,8 +406,8 @@ def apply_retention(
             # ops: refresh (and re-cover projections) or surface
             # stale + un-cover serving projections
             stale_views = _handle_stale_views(table, refresh_views)
-    return {"dropped_months": dropped, "rewritten": rewritten,
-            "stale_views": stale_views, "column_ttl": enforce_cols()}
+    return finish({"dropped_months": dropped, "rewritten": rewritten,
+                   "stale_views": stale_views})
 
 
 def _apply_column_ttls(

@@ -391,3 +391,29 @@ def test_column_ttl_end_to_end(spark, table):
     with _pytest.raises(ChDialectError):
         ch_sql(spark, "ALTER TABLE logs MODIFY COLUMN service "
                       "String TTL ts + INTERVAL 1 DAY", logs=table)
+
+
+def test_column_ttl_surfaces_stale_views(spark, table):
+    """r11 gap fix: a column-TTL rewrite changes VALUES, so a
+    materialized view aggregating that column diverges exactly like
+    it does after a delete — the pass must surface (or refresh) it.
+    Also pins the skip-index seam: the rewritten partition's files
+    are new, so a materialized index serves them conservatively
+    (unindexed -> always scan) and results stay exact."""
+    from clickhouse_observability_spark.sources.retention import (
+        set_column_ttl,
+    )
+
+    table.create_materialized_view({
+        "name": "mv_msgs",
+        "dims": [{"sql": "service", "alias": "service"}],
+        "aggs": [{"kind": "max", "arg_sql": "msg", "alias": "m"}],
+        "where_sql": None,
+    })
+    set_column_ttl(table.path, "msg", 10)
+    res = apply_retention(spark, table.path, now=NOW)
+    assert res["column_ttl"]  # cells actually reverted
+    assert "mv_msgs" in res["stale_views"]
+    # idempotent rerun: nothing rewritten -> nothing re-flagged
+    res2 = apply_retention(spark, table.path, now=NOW)
+    assert res2["column_ttl"] == {} and res2.get("stale_views") in ([], None)
