@@ -214,6 +214,17 @@ _WINDOW_ORDER = [
     "agg_interval_coverage",
     "agg_counter_delta_sum",
 ]
+# r12 rotation shortlist (never driver-adjudicated, oracle-backed,
+# all green in the r11 CI gate + selfcheck at sf0.01): the six
+# cast-fixed int128 sites that queued behind the r10 reds
+# (dedup_cluster_report, text_mixture_plan, rollup_topk_counts,
+# rollup_topk_users), the r11 oracle-ifications
+# (text_quality_pareto_select, pipeline_chunked_bm25,
+# text_corpus_curation), and the r11 flagships
+# (lifecycle_column_ttl_panel, ch_dialect_bitmap_panel,
+# ch_dialect_text_panel, engine_replacing_merge_tree_schedule).
+# Rotate out only multi-round-green rows; update
+# test_adjudication_window_composition with every change.
 
 
 def queries() -> dict[str, QueryFn]:
