@@ -117,15 +117,26 @@ def test_no_oracle_emits_int128(sf_small):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'"
         )
+    # generalized to an ALLOWLIST (r11): int128 is one instance of a
+    # class — any type the driver canonicalizes differently from its
+    # Spark twin (DECIMAL would render 'Decimal(..)' vs Spark's
+    # float; unsigned ints, TIME, INTERVAL, BLOB have no Spark-side
+    # counterpart in the registry's surface). Every current oracle
+    # output is one of these six; a new exotic type must justify
+    # itself here, with its cross-engine rendering verified, before
+    # it widens the list.
+    allowed = ("BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
+               "TIMESTAMP")
     bad = []
     for name, sql in oracle_sql().items():
         rel = con.sql(sql)
         for col, typ in zip(rel.columns, rel.types):
-            if str(typ).upper() in ("HUGEINT", "UHUGEINT"):
+            if str(typ).upper() not in allowed:
                 bad.append((name, col, str(typ)))
     assert not bad, (
-        "oracle emits int128 column(s) — wrap the integer aggregate "
-        f"as CAST(... AS BIGINT): {bad}"
+        "oracle emits a column type outside the adjudicable "
+        f"allowlist {allowed} — int128 burned r10 exactly this way; "
+        f"CAST to an allowed twin: {bad}"
     )
 
 
