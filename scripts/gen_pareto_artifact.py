@@ -91,7 +91,13 @@ def main() -> None:
     X, y = doc_features(sf_dir)
     b, w = train(X, y)
     p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+    fp = duckdb.sql(
+        f"SELECT md5(string_agg(CAST(doc_id AS VARCHAR), ',' "
+        f"ORDER BY doc_id)) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
     print(f"# corpus: {sf_dir}, {len(y)} docs, {int(y.sum())} positives")
+    print(f"TRAINED_ON_N_DOCS = {len(y)}")
+    print(f'TRAINED_ON_DOCID_MD5 = "{fp}"')
     print(f"# train separation: mean p(en)={p[y == 1].mean():.4f} "
           f"vs p(other)={p[y == 0].mean():.4f}")
     bias_i = int(round(b * 1e6))

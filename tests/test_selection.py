@@ -444,3 +444,25 @@ def test_trained_pareto_artifact_separates_and_replays(spark, sf_med):
     # (c) map-only scoring plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pareto_artifact_provenance_canary(sf_med):
+    """The frozen artifact claims 'trained on the canonical sf0.01
+    corpus'. If testdata regenerates, the weights still hash green
+    (the oracle replays the same literals) but the claim goes stale —
+    this canary pins the corpus fingerprint so regeneration fails
+    loudly and scripts/gen_pareto_artifact.py gets re-run."""
+    import duckdb
+
+    from clickhouse_observability_spark.operators.quality_artifact import (
+        TRAINED_ON_DOCID_MD5,
+        TRAINED_ON_N_DOCS,
+    )
+
+    n, fp = duckdb.sql(
+        f"SELECT count(*), md5(string_agg(CAST(doc_id AS VARCHAR), ',' "
+        f"ORDER BY doc_id)) FROM '{sf_med}/documents.parquet'"
+    ).fetchone()
+    assert (n, fp) == (TRAINED_ON_N_DOCS, TRAINED_ON_DOCID_MD5), (
+        "testdata regenerated — re-run scripts/gen_pareto_artifact.py "
+        "and refresh operators/quality_artifact.py")
