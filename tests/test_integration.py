@@ -151,7 +151,11 @@ def test_registry_results_stable_under_hostile_session_tz(spark, sf_small):
     from clickhouse_observability_spark.registry import queries
 
     qs = queries()
-    names = ("logs_basic", "agg_hourly", "window_sessionize")
+    # r11: lifecycle_column_ttl_panel added — it RETURNS ts columns
+    # from a table it builds and retention-rewrites inside the call,
+    # so both the build and read sides must pin UTC
+    names = ("logs_basic", "agg_hourly", "window_sessionize",
+             "lifecycle_column_ttl_panel")
 
     def snapshot():
         out = {}
