@@ -592,16 +592,27 @@ def _normalize_query(a: list[str]) -> str:
 def _count_capture_groups(pattern: str) -> int:
     """Capture-group count of a regex literal: unescaped '(' not
     followed by '?' (non-capturing / lookaround / named flags all
-    start '(?'). Character classes can't hide a group Spark would
-    number differently for the common patterns this serves."""
+    start '(?'). Character-class state is tracked so a '(' inside
+    [...] (e.g. '([(])') is a literal, not a group — counting it
+    would shape the SQL with a wrong group index and fail at runtime
+    with 'invalid group index' on an otherwise-valid pattern (r11
+    advisor finding)."""
     n = 0
     i = 0
+    in_class = False
     while i < len(pattern):
         c = pattern[i]
         if c == "\\":
             i += 2
             continue
-        if c == "(" and not pattern[i + 1:i + 2] == "?":
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+        elif c == "(" and not pattern[i + 1:i + 2] == "?":
             n += 1
         i += 1
     return n
@@ -629,13 +640,24 @@ def _extract_groups(a: list[str]) -> str:
 def _extract_all_groups(a: list[str]) -> str:
     """CH extractAllGroupsVertical (the extractAllGroups default):
     one group-array per MATCH. Re-extracts the groups from each full
-    match — sound because a match's groups sit inside its own text;
-    literal pattern required (group count shapes the SQL)."""
+    match — sound because a match's groups sit inside its own text.
+    That re-extraction premise BREAKS for lookarounds (the assertion
+    context lives outside the match text: '(?<=x)(\\d)' matches in
+    the haystack but fails against the isolated match), so lookaround
+    patterns refuse loudly instead of silently yielding '' groups
+    (r11 advisor finding). Literal pattern required (group count
+    shapes the SQL)."""
     if len(a) != 2 or not _is_string(a[1]):
         raise ChDialectError(
             "extractAllGroups(haystack, 'pattern') — the pattern "
             "must be a string literal")
-    n = _count_capture_groups(_string_value(a[1]))
+    raw = _string_value(a[1])
+    if any(t in raw for t in ("(?=", "(?!", "(?<=", "(?<!")):
+        raise ChDialectError(
+            "extractAllGroups: lookaround assertions are unsupported "
+            "(groups are re-extracted from each match's own text, "
+            "where the assertion context is absent)")
+    n = _count_capture_groups(raw)
     if n == 0:
         raise ChDialectError("extractAllGroups: pattern has no "
                              "capture groups")
@@ -668,13 +690,20 @@ def _ch_format(a: list[str]) -> str:
             i += 2
             continue
         if c == "{":
-            j = pat.index("}", i)
+            j = pat.find("}", i)
+            if j < 0:
+                raise ChDialectError(
+                    f"format: unbalanced '{{' in pattern {pat!r}")
             body = pat[i + 1:j]
             if body == "":
                 auto += 1
                 out.append(f"%{auto}$s")
-            else:
+            elif body.isdigit():
                 out.append(f"%{int(body) + 1}$s")
+            else:
+                raise ChDialectError(
+                    f"format: placeholder {{{body}}} must be empty "
+                    f"or a numeric index (pattern {pat!r})")
             i = j + 1
             continue
         if c == "%":
@@ -707,28 +736,39 @@ def _parse_datetime(a: list[str]) -> str:
             "parseDateTime(str, 'format') — the format must be a "
             "string literal")
     pat = _string_value(a[1])
-    out = []
+    out: list[str] = []
+    lit: list[str] = []  # pending literal run
+
+    def flush_lit():
+        # One quoted section per literal RUN: per-character quoting
+        # emitted 'h''r''s' for '%H hrs', which Java datetime parsing
+        # reads as h-quote-r-quote-s (doubled quote inside a quoted
+        # section = literal quote) — a silent misparse (r11 advisor
+        # finding). Input quotes double INSIDE the section.
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
     i = 0
     while i < len(pat):
         c = pat[i]
         if c == "%":
             tok = pat[i + 1:i + 2]
             if tok == "%":
-                out.append("%")
+                lit.append("%")
             else:
                 rep = _PARSE_DT_FMT.get(tok)
                 if rep is None:
                     raise ChDialectError(
                         f"parseDateTime: unsupported format token "
                         f"%{tok}")
+                flush_lit()
                 out.append(rep)
             i += 2
             continue
-        if c.isalpha():
-            out.append(f"'{c}'")  # literal letters must be quoted
-        else:
-            out.append(c)
+        lit.append(c)
         i += 1
+    flush_lit()
     fmt = "".join(out).replace("'", "''")
     return f"to_timestamp({a[0]}, '{fmt}')"
 
@@ -1906,7 +1946,16 @@ _FUNCS = {
         f"CAST(size(array_except({a[0]}, {a[1]})) AS BIGINT)"),
     # groupBitmap(x) is CH's bitmap-backed exact distinct count;
     # groupBitmapState's analog is the sorted distinct array itself
-    # (mergeable: bitmapOr folds states, same as the rollup states)
+    # (mergeable: bitmapOr folds states, same as the rollup states).
+    # SCALE CONTRACT (SCALING.md "per-group collect" rule): the state
+    # is O(distinct-per-group) UNCOMPRESSED — one executor row holds
+    # the whole group's member set (8 bytes/member vs CH's
+    # roaring-compressed runs: 10^8 distinct members ≈ 800 MB raw
+    # where CH holds ~MBs). Admissible only on keys that bound
+    # per-group distinct cardinality by construction (per-user,
+    # per-doc, bounded |users-per-type|); for cardinality-only
+    # callers use groupBitmap -> count(DISTINCT) (shuffles, never
+    # materializes the set in one row) or uniqTheta (bounded sketch).
     "groupbitmap": lambda a: f"count(DISTINCT {a[0]})",
     "groupbitmapstate": lambda a: (
         f"array_sort(collect_set(CAST({a[0]} AS BIGINT)))"),
@@ -1919,16 +1968,18 @@ _FUNCS = {
     # javaHash: Java String.hashCode (h = h*31 + c over UTF-16
     # units, wrapping int32) — exact for BMP strings (ascii() yields
     # the code point = the UTF-16 unit below U+10000); supplementary
-    # planes would need surrogate-pair splitting
+    # planes would need surrogate-pair splitting. O(len) per string:
+    # split('') yields the characters once (the r11 substr(s, i, 1)
+    # per index was O(len^2) — each substr re-walked the UTF-8
+    # bytes, fine on `source`-length strings, a crawl on document
+    # bodies). The filter drops split's trailing '' element.
     "javahash": lambda a: (
-        # sequence(1, 0) DESCENDS in Spark — guard the empty string
-        f"CASE WHEN length({a[0]}) = 0 THEN 0 ELSE "
-        f"aggregate(transform(sequence(1, length({a[0]})), "
-        f"__i -> ascii(substr({a[0]}, __i, 1))), "
+        f"aggregate(transform(filter(split({a[0]}, ''), "
+        f"__c -> __c != ''), __c -> ascii(__c)), "
         f"CAST(0 AS BIGINT), "
         f"(__h, __c) -> pmod(__h * 31 + __c, 4294967296), "
         f"__h -> CAST(CASE WHEN __h >= 2147483648 "
-        f"THEN __h - 4294967296 ELSE __h END AS INT)) END"),
+        f"THEN __h - 4294967296 ELSE __h END AS INT))"),
     "now64": lambda a: "current_timestamp()",
     "dayname": lambda a: f"date_format({a[0]}, 'EEEE')",
     "toyyyymmddhhmmss": lambda a: (

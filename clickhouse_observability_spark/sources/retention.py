@@ -452,11 +452,17 @@ def _apply_column_ttls(
         # explicitly-written evolved columns — a single-file schema
         # pick would silently drop them from the rewrite
         df = spark.read.option("mergeSchema", "true").parquet(part_dir)
+        # NULL-aware staleness: `col != ''` is NULL for NULL cells,
+        # so a partition whose aged cells were all NULL would never
+        # rewrite — inconsistent with the revert-to-type-default
+        # contract (NULL is not the type default; r11 advisor
+        # finding). NULL aged cells count as stale and revert.
         stale_cols = [
             c for c in cand
             if df.filter(
                 (F.col("ts") < F.lit(cutoffs[c]))
-                & (F.col(c) != F.lit(_COLUMN_TTL_DEFAULTS[c]))
+                & ((F.col(c) != F.lit(_COLUMN_TTL_DEFAULTS[c]))
+                   | F.col(c).isNull())
             ).limit(1).count() > 0
         ]
         if not stale_cols:

@@ -2749,3 +2749,52 @@ def test_r11_wave9_python_reference_sweep(spark):
         m = _re.search(pat, h)
         want = list(m.groups()) if m else []
         assert r[f"g{i}"] == want, (h, r[f"g{i}"], want)
+
+
+def test_r12_advisor_fixes(spark):
+    """r11 advisor findings, fixed and pinned:
+
+    1. parseDateTime literal-letter RUNS quote as one section
+       ('%H hrs' -> 'hrs', not 'h''r''s' which Java reads as
+       h-quote-r-quote-s);
+    2. extractAllGroups refuses lookaround patterns (groups are
+       re-extracted from the isolated match text where the assertion
+       context is absent — silent '' groups otherwise);
+    3. capture-group counting tracks character-class state ('(' inside
+       [...] is a literal, not a group);
+    4. format raises ChDialectError (not bare ValueError) on an
+       unbalanced '{' and on a non-numeric index."""
+    import pytest as _pytest
+
+    from clickhouse_observability_spark.functions.ch_dialect import (
+        ChDialectError,
+    )
+
+    # 1. consecutive literal letters inside the format
+    r = ch_sql(
+        spark,
+        "SELECT parseDateTime('12 hrs 2024', '%H hrs %Y') AS t1, "
+        "parseDateTime('2024-01-02T03:04:05', '%Y-%m-%dT%H:%i:%s') "
+        "AS t2",
+    ).collect()[0]
+    assert str(r.t1) == "2024-01-01 12:00:00"
+    assert str(r.t2) == "2024-01-02 03:04:05"
+
+    # 3. '(' inside a character class is not a capture group
+    r = ch_sql(
+        spark,
+        "SELECT extractGroups('(a)', '[(](\\\\w)[)]') AS g1, "
+        "extractGroups('f(5)', '\\\\w[(]([0-9])[)]') AS g2",
+    ).collect()[0]
+    assert r.g1 == ["a"]
+    assert r.g2 == ["5"]
+
+    # 2. lookarounds refuse; 4. format brace validation refuses
+    for bad in (
+        "SELECT extractAllGroups('x1', '(?<=x)(\\\\d)')",
+        "SELECT extractAllGroups('1px', '(\\\\d+)(?=px)')",
+        "SELECT format('{oops', 'x')",
+        "SELECT format('{abc}', 'x')",
+    ):
+        with _pytest.raises(ChDialectError):
+            ch_sql(spark, bad)

@@ -417,3 +417,37 @@ def test_column_ttl_surfaces_stale_views(spark, table):
     # idempotent rerun: nothing rewritten -> nothing re-flagged
     res2 = apply_retention(spark, table.path, now=NOW)
     assert res2["column_ttl"] == {} and res2.get("stale_views") in ([], None)
+
+
+def test_column_ttl_reverts_all_null_partition(spark, tmp_path):
+    """r11 advisor finding: the staleness probe used `col != ''`,
+    which is NULL for NULL cells — a partition whose aged cells are
+    ALL NULL was never rewritten (and NULLs only reverted
+    incidentally when a non-default value co-triggered the rewrite).
+    NULL is not the type default, so NULL aged cells must count as
+    stale and revert deterministically."""
+    from clickhouse_observability_spark.sources.retention import (
+        read_column_ttls,
+        set_column_ttl,
+    )
+
+    t = LogsTable(spark, str(tmp_path / "logs_nullttl"))
+    t.init_schema()
+    # trace_id NULL on every aged row (INGEST_SCHEMA allows it)
+    t.ingest_batch([
+        {"ts": "2025-08-15T03:10:00Z", "service": "orders",
+         "level": "INFO", "msg": "a1", "attrs": {"k": "1"},
+         "trace_id": None, "span_id": "s1"},
+        {"ts": "2025-08-15T04:10:00Z", "service": "orders",
+         "level": "INFO", "msg": "a2", "attrs": {"k": "2"},
+         "trace_id": None, "span_id": "s2"},
+    ])
+    set_column_ttl(t.path, "trace_id", 10)
+    assert read_column_ttls(t.path) == {"trace_id": 10}
+    res = apply_retention(spark, t.path, now=NOW)
+    assert res["column_ttl"] == {"trace_id": [202508]}
+    vals = [r.trace_id for r in t.read().select("trace_id").collect()]
+    assert vals == ["", ""]  # reverted to the type default, not NULL
+    # idempotent: second pass rewrites nothing
+    res2 = apply_retention(spark, t.path, now=NOW)
+    assert res2["column_ttl"] == {}
