@@ -236,19 +236,27 @@ class LogsApi:
     def _table_fingerprint(self) -> tuple:
         """Cheap change detector for the logs table: one listdir of
         the table root + per-partition-dir mtimes (appends create
-        part files, bumping their partition dir). O(#partitions),
-        never O(#files)."""
+        part files, bumping their partition dir), PLUS every tier
+        volume root (r12: a rewrite of a cold month bumps only its
+        dir under `_tiers/<vol>/` — invisible to the base listing,
+        so a tiered-month mutation must still invalidate the cache).
+        O(#partitions) across volumes, never O(#files)."""
         import os as _os
+
+        from clickhouse_observability_spark.sources.tiering import (
+            tier_roots,
+        )
 
         if self._table is None:
             return ("no-table",)
-        root = self._table.path
+        out = []
         try:
-            entries = sorted(_os.listdir(root))
-            return tuple(
-                (e, _os.stat(_os.path.join(root, e)).st_mtime_ns)
-                for e in entries
-            )
+            for vol, root in tier_roots(self._table.path):
+                for e in sorted(_os.listdir(root)):
+                    out.append(
+                        (vol, e,
+                         _os.stat(_os.path.join(root, e)).st_mtime_ns))
+            return tuple(out)
         except OSError:
             return ("missing",)
 

@@ -4481,6 +4481,22 @@ _TTL_GROUP_RE = re.compile(
     r"(?:\s+SET\s+(.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# storage tiering (r12): the general comma-separated TTL expression —
+# ALTER TABLE logs MODIFY TTL
+#   ts + INTERVAL 30 DAY TO VOLUME 'cold'[,
+#   ts + INTERVAL 90 DAY TO DISK 'archive'][,
+#   ts + INTERVAL 365 DAY DELETE]
+# Like CH, MODIFY TTL replaces the WHOLE table TTL expression (any
+# prior delete/move rules are superseded by this statement's set).
+_TTL_MULTI_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+TTL\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TTL_CLAUSE_RE = re.compile(
+    r"^\s*ts\s*\+\s*INTERVAL\s+(\d+)\s+DAY"
+    r"(?:\s+(DELETE)|\s+TO\s+(VOLUME|DISK)\s+'([^']+)')?\s*$",
+    re.IGNORECASE,
+)
 
 # CH schema evolution: metadata-only column DDL
 # (sources/schema_evolution.py). ADD COLUMN's tail is token-parsed
@@ -5286,11 +5302,11 @@ def _ch_sql_stmt(
         if part is not None:
             months = [int(part)]
         else:
-            months = sorted(
-                int(d.split("=", 1)[1])
-                for d in _os.listdir(logs.path)
-                if d.startswith(f"{PARTITION_COLUMN}=")
+            from clickhouse_observability_spark.sources.tiering import (
+                partition_months,
             )
+
+            months = partition_months(logs.path)  # every volume
         return sum(
             compact_partition(spark, logs.path, month,
                               deduplicate=dedup is not None)
@@ -5392,19 +5408,28 @@ def _ch_sql_stmt(
         )
 
         ttl_spec = read_table_ttl_spec(logs.path)
+        clauses = []
+        for r in sorted((ttl_spec or {}).get("to_volume") or [],
+                        key=lambda r: int(r["days"])):
+            clauses.append(
+                f"ts + INTERVAL {int(r['days'])} DAY "
+                f"TO {r.get('kind', 'VOLUME')} '{r['volume']}'")
         if ttl_spec is not None and ttl_spec.get("retention_days") is not None:
             days = ttl_spec["retention_days"]
             gb = ttl_spec.get("group_by")
             if gb:
-                clause = (f"TTL ts + INTERVAL {days} DAY "
+                clause = (f"ts + INTERVAL {days} DAY "
                           f"GROUP BY {', '.join(gb)}")
                 sets = ttl_spec.get("set") or {}
                 if sets:
                     clause += " SET " + ", ".join(
                         f"{c} = {e}" for c, e in sets.items())
-                parts.append(clause)
+                clauses.append(clause)
             else:
-                parts.append(f"TTL ts + INTERVAL {days} DAY DELETE")
+                clauses.append(f"ts + INTERVAL {days} DAY DELETE")
+        if clauses:
+            # renders exactly what MODIFY TTL re-parses (round-trip)
+            parts.append("TTL " + ", ".join(clauses))
         return local_df(spark, [("\n".join(parts),)], "statement string")
 
     mf = _FREEZE_RE.match(sql)
@@ -5669,6 +5694,44 @@ def _ch_sql_stmt(
         try:
             set_table_ttl(logs.path, int(days), group_by=group_by,
                           set_exprs=set_exprs)
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+        return 0
+    mt = _TTL_MULTI_RE.match(sql)
+    if mt is not None:
+        # comma-separated TTL expression: move rules (TO VOLUME /
+        # TO DISK) + at most one DELETE horizon (sources/tiering.py).
+        # The single-clause DELETE and GROUP BY forms matched above;
+        # GROUP BY inside a multi-clause expression is refused.
+        from clickhouse_observability_spark.sources.retention import (
+            set_table_ttl,
+        )
+
+        tname, body = mt.groups()
+        if tname.lower() != "logs" or logs is None:
+            raise ChDialectError("MODIFY TTL supported for `logs` only")
+        delete_days: int | None = None
+        tiers: list[dict] = []
+        for clause in body.split(","):
+            mc = _TTL_CLAUSE_RE.match(clause)
+            if mc is None:
+                raise ChDialectError(
+                    f"MODIFY TTL: unsupported clause {clause.strip()!r} "
+                    "(supported: ts + INTERVAL n DAY "
+                    "[DELETE | TO VOLUME 'v' | TO DISK 'd'], "
+                    "comma-separated; GROUP BY only as a single "
+                    "clause)")
+            days_s, is_delete, kind, vol = mc.groups()
+            if kind:
+                tiers.append({"days": int(days_s), "volume": vol,
+                              "kind": kind.upper()})
+            else:  # bare horizon or explicit DELETE
+                if delete_days is not None:
+                    raise ChDialectError(
+                        "MODIFY TTL: more than one DELETE horizon")
+                delete_days = int(days_s)
+        try:
+            set_table_ttl(logs.path, delete_days, tiers=tiers)
         except ValueError as e:
             raise ChDialectError(str(e)) from e
         return 0

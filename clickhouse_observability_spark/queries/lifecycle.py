@@ -906,3 +906,99 @@ def lifecycle_column_ttl_panel(spark, sf_dir):
         F.when(F.col("ts") < cutoff, "aged").otherwise("raw").alias("op"),
         "service", "ts", "msg", "trace_id", "level",
     )
+
+
+@register(
+    "lifecycle_tiering_panel",
+    oracle="""
+    WITH logs AS (
+        SELECT ts + to_days((32 * (user_id % 3))::INT) AS ts,
+               event_type AS service, props AS msg
+        FROM events
+    )
+    SELECT CAST(strftime(ts, '%Y%m') AS BIGINT) AS month,
+           CASE WHEN CAST(strftime(ts, '%Y%m') AS BIGINT) < 202402
+                THEN 'cold' ELSE 'default' END AS volume,
+           service, count(*) AS n, sum(length(msg))::BIGINT AS sum_len
+    FROM logs GROUP BY 1, 2, 3
+    """,
+)
+def lifecycle_tiering_panel(spark, sf_dir):
+    """CH storage tiering end-to-end under the driver's gate (r12
+    flagship): arm `MODIFY TTL ts + INTERVAL 30 DAY TO VOLUME 'cold'`
+    through the dialect, run the retention pass at a pinned `now`
+    (2024-03-06, cutoff month 202402) — months strictly older MOVE
+    under `_tiers/cold/` as metadata-only renames
+    (sources/tiering.py) — then read the WHOLE table back through the
+    tier-transparent scan, each month tagged with its ACTUAL serving
+    volume from the filesystem (system.parts attribution, not a
+    replay of the rule). The oracle folds the expected residency
+    algebraically (month < cutoff -> 'cold'), so a green row proves
+    BOTH directions at once: every tiered row still reads back
+    byte-identically (a cold row missing from the pruned union =
+    hash mismatch) AND the mover actually relocated exactly the aged
+    months (a silent no-op would tag them 'default' and mismatch).
+    Raises unless months actually moved with the row count unchanged.
+
+    Scale shape: the move is O(aged months) directory renames, zero
+    data bytes; the read is the same per-volume-root pruned scan the
+    seam tests pin (tests/test_tiering.py)."""
+    import datetime as dt
+
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+    from clickhouse_observability_spark.sources.retention import (
+        apply_retention,
+    )
+    from clickhouse_observability_spark.sources.tiering import (
+        month_volume,
+        partition_months,
+    )
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    path = IX.artifact_path(sf_dir, "ch_logs_tiering",
+                            source_table="events")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LogsTable(spark, path)
+    t.init_schema()
+    ev = table(spark, sf_dir, "events")
+    t.insert(
+        ev.select(
+            F.expr("timestampadd(DAY, 32 * CAST(user_id % 3 AS INT), ts)")
+            .alias("ts"),
+            F.col("event_type").alias("service"),
+            F.lit("INFO").alias("level"),
+            F.col("props").alias("msg"),
+            F.col("props").alias("attrs"),
+            F.col("user_id").cast("string").alias("trace_id"),
+            F.col("event_id").cast("string").alias("span_id"),
+        )
+    )
+    before = t.read().count()
+    ch_sql(spark, "ALTER TABLE logs MODIFY TTL ts + INTERVAL 30 DAY "
+                  "TO VOLUME 'cold'", logs=t)
+    res = apply_retention(
+        spark, t.path,
+        now=dt.datetime(2024, 3, 6, tzinfo=dt.timezone.utc),
+    )
+    after = t.read().count()
+    moved = res.get("tiered") or {}
+    if after != before or not moved.get("cold"):
+        raise RuntimeError(
+            f"lifecycle_tiering_panel: expected a row-preserving "
+            f"month move (before={before}, after={after}, res={res})")
+    # ACTUAL residency per month, read from the filesystem — the
+    # adjudicated claim, joined onto the tier-transparent scan
+    residency = spark.createDataFrame(
+        [(m, month_volume(t.path, m)) for m in partition_months(t.path)],
+        "month int, volume string",
+    )
+    return (
+        t.read()
+        .groupBy(F.col("month").cast("long").alias("month"), "service")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.length("msg")).alias("sum_len"))
+        .join(F.broadcast(residency.select(
+            F.col("month").cast("long").alias("month"), "volume")),
+            on="month", how="left")
+        .select("month", "volume", "service", "n", "sum_len")
+    )

@@ -164,12 +164,25 @@ def apply_mutation(
                 .option("compression", "zstd")
                 .parquet(tmp_root)
             )
+        from clickhouse_observability_spark.sources.tiering import (
+            month_dirs,
+        )
+
         for m in months:
-            part_dir = os.path.join(path, f"{PARTITION_COLUMN}={m}")
+            # a tiered month rewrites IN PLACE on its volume (CH:
+            # mutations produce the new part on the old part's disk);
+            # a mid-move split month consolidates into its coldest
+            # location. month_dirs orders base first, so [-1] is the
+            # tier when one exists. A month the pruned scan matched
+            # exists somewhere by construction.
+            locs = month_dirs(path, m)
+            target = locs[-1] if locs else os.path.join(
+                path, f"{PARTITION_COLUMN}={m}")
             new_dir = os.path.join(tmp_root, f"{PARTITION_COLUMN}={m}")
-            shutil.rmtree(part_dir)
+            for d in locs:
+                shutil.rmtree(d)
             if os.path.exists(new_dir):
-                os.rename(new_dir, part_dir)
+                os.rename(new_dir, target)
             # else: every row of the month matched a DELETE — the
             # part is dropped outright, like CH dropping an emptied
             # data part
@@ -265,11 +278,12 @@ def drop_partition(
     directory. Returns {"op", "files", "stale_views"}; missing
     partition is a no-op with files=0 (CH tolerates dropping an
     absent partition)."""
+    from clickhouse_observability_spark.sources.tiering import month_dirs
     from clickhouse_observability_spark.sources.writer import LogsTable
 
-    d = _month_dir(path, month)
-    n = _n_files(d) if os.path.isdir(d) else 0
-    if n or os.path.isdir(d):
+    n = 0
+    for d in month_dirs(path, month):  # every volume holding the month
+        n += _n_files(d)
         shutil.rmtree(d)
     table = LogsTable(spark, path)
     stale = (_handle_stale_views(table, refresh_views)
@@ -284,10 +298,11 @@ def detach_partition(
     """`ALTER TABLE logs DETACH PARTITION <month>`: move the month
     under `_detached/` — readers no longer see it (underscore dirs
     are skipped by Spark's listing), data stays on disk for ATTACH."""
+    from clickhouse_observability_spark.sources.tiering import month_dirs
     from clickhouse_observability_spark.sources.writer import LogsTable
 
-    d = _month_dir(path, month)
-    if not os.path.isdir(d):
+    locs = month_dirs(path, month)  # every volume holding the month
+    if not locs:
         raise ValueError(f"no partition {int(month)} to detach")
     dst = os.path.join(path, _DETACHED_DIR,
                        f"{PARTITION_COLUMN}={int(month)}")
@@ -296,8 +311,15 @@ def detach_partition(
             f"partition {int(month)} is already detached; ATTACH or "
             f"remove it first")
     os.makedirs(os.path.dirname(dst), exist_ok=True)
-    n = _n_files(d)
-    os.rename(d, dst)
+    n = sum(_n_files(d) for d in locs)
+    if len(locs) == 1:
+        os.rename(locs[0], dst)
+    else:
+        # mid-move split: merge every location into detached/ —
+        # per-file renames, collision-safe, crash-resumable
+        for d in locs:
+            _place_files(d, dst, link=False)
+            shutil.rmtree(d)
     table = LogsTable(spark, path)
     stale = (_handle_stale_views(table, refresh_views)
              if table.materialized_views else [])
@@ -314,14 +336,19 @@ def attach_partition(
     and serving projections un-cover."""
     from clickhouse_observability_spark.sources.writer import LogsTable
 
+    from clickhouse_observability_spark.sources.tiering import month_dirs
+
     src = os.path.join(path, _DETACHED_DIR,
                        f"{PARTITION_COLUMN}={int(month)}")
     if not os.path.isdir(src):
         raise ValueError(f"no detached partition {int(month)} to attach")
-    dst = _month_dir(path, month)
-    if os.path.exists(dst):
+    if month_dirs(path, month):  # live on ANY volume
         raise ValueError(
             f"partition {int(month)} already exists in the table")
+    # attach lands on the default volume (CH: attached parts go to
+    # the policy's first volume); armed move rules re-age it on the
+    # next retention pass
+    dst = _month_dir(path, month)
     n = _n_files(src)
     os.rename(src, dst)
     det_root = os.path.join(path, _DETACHED_DIR)
@@ -391,20 +418,28 @@ def move_partition_to_table(
         # the files and then unlink the directory — refuse like CH
         # refuses moving a partition to the same table
         raise ValueError("cannot MOVE PARTITION to the same table")
+    from clickhouse_observability_spark.sources.tiering import month_dirs
+
     _same_structure(src_path, dst_path)
-    src = _month_dir(src_path, month)
-    if not os.path.isdir(src):
+    srcs = month_dirs(src_path, month)  # every volume holding it
+    if not srcs:
         raise ValueError(f"no partition {int(month)} to move")
-    dst = _month_dir(dst_path, month)
-    if not os.path.isdir(dst):
-        n = _n_files(src)
-        os.rename(src, dst)
+    # destination: its existing location if it already holds the
+    # month (tier or base), else its default volume
+    dst_locs = month_dirs(dst_path, month)
+    dst = dst_locs[-1] if dst_locs else _month_dir(dst_path, month)
+    if not os.path.isdir(dst) and len(srcs) == 1:
+        n = _n_files(srcs[0])
+        os.rename(srcs[0], dst)
     else:
-        # destination already holds the month: merge file-by-file
-        # with collision-safe names (CH renames incoming parts);
-        # only checksum sidecars (.crc) remain afterwards
-        n = _place_files(src, dst, link=False)
-        shutil.rmtree(src)
+        # destination already holds the month (or the source is
+        # mid-move split): merge file-by-file with collision-safe
+        # names (CH renames incoming parts); only checksum sidecars
+        # (.crc) remain afterwards
+        n = 0
+        for src in srcs:
+            n += _place_files(src, dst, link=False)
+            shutil.rmtree(src)
     stale = []
     for p in (src_path, dst_path):
         t = LogsTable(spark, p)
@@ -427,27 +462,31 @@ def copy_partition_from(
     dst already has, collision-renamed like CH's part names."""
     from clickhouse_observability_spark.sources.writer import LogsTable
 
+    from clickhouse_observability_spark.sources.tiering import month_dirs
+
     _same_structure(src_path, dst_path)
-    src = _month_dir(src_path, month)
-    if not os.path.isdir(src):
+    srcs = month_dirs(src_path, month)  # hardlink from EVERY volume
+    if not srcs:
         raise ValueError(f"no partition {int(month)} in source table")
-    dst = _month_dir(dst_path, month)
+    dst = _month_dir(dst_path, month)  # lands on the default volume
     if replace:
         tmp = os.path.join(
             dst_path, f".replace-{PARTITION_COLUMN}={int(month)}.tmp")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         try:
-            n = _place_files(src, tmp, link=True)
+            n = sum(_place_files(src, tmp, link=True) for src in srcs)
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
+        # REPLACE swaps out the month WHEREVER dst holds it — a
+        # tiered copy surviving the replace would double-read
+        for d in month_dirs(dst_path, month):
+            shutil.rmtree(d)
         os.rename(tmp, dst)
         op = "replace_partition"
     else:
-        n = _place_files(src, dst, link=True)
+        n = sum(_place_files(src, dst, link=True) for src in srcs)
         op = "attach_partition_from"
     t = LogsTable(spark, dst_path)
     stale = (_handle_stale_views(t, refresh_views)
@@ -658,9 +697,13 @@ def freeze_table(
     dst_root = os.path.join(shadow, name)
     if os.path.exists(dst_root):
         raise ValueError(f"backup {name!r} already exists")
-    months = ([int(month)] if month is not None else sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(path)
-        if d.startswith(f"{PARTITION_COLUMN}=")))
+    from clickhouse_observability_spark.sources.tiering import (
+        month_dirs,
+        partition_months,
+    )
+
+    months = ([int(month)] if month is not None
+              else partition_months(path))  # every volume
     # Build into a hidden temp dir and rename into place only once
     # every month hardlinked: a mid-loop failure (missing month,
     # cross-device link) never leaves a half-backup that reads as
@@ -671,16 +714,17 @@ def freeze_table(
     n = 0
     try:
         for m in months:
-            src = _month_dir(path, m)
-            if not os.path.isdir(src):
+            srcs = month_dirs(path, m)  # hardlink from EVERY volume
+            if not srcs:
                 raise ValueError(f"no partition {m} to freeze")
             dst = os.path.join(tmp_root, f"{PARTITION_COLUMN}={m}")
             os.makedirs(dst, exist_ok=True)
-            for f in os.listdir(src):
-                if f.endswith(".parquet"):
-                    os.link(os.path.join(src, f),
-                            os.path.join(dst, f))
-                    n += 1
+            for src in srcs:
+                for f in os.listdir(src):
+                    if f.endswith(".parquet"):
+                        os.link(os.path.join(src, f),
+                                os.path.join(dst, f))
+                        n += 1
         os.rename(tmp_root, dst_root)
     except BaseException:
         shutil.rmtree(tmp_root, ignore_errors=True)
@@ -713,14 +757,16 @@ def truncate_table(
     rows, exactly post-init_schema. Attached matviews are SEPARATE
     tables in CH and are not truncated — stale-surfaced / un-covered
     instead (refresh_views=True rebuilds them to empty)."""
+    from clickhouse_observability_spark.sources.tiering import (
+        month_dirs,
+        partition_months,
+    )
     from clickhouse_observability_spark.sources.writer import LogsTable
 
-    months = sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(path)
-        if d.startswith(f"{PARTITION_COLUMN}=")
-    )
+    months = partition_months(path)  # every volume
     for m in months:
-        shutil.rmtree(_month_dir(path, m))
+        for d in month_dirs(path, m):
+            shutil.rmtree(d)
     table = LogsTable(spark, path)
     stale = (_handle_stale_views(table, refresh_views)
              if months and table.materialized_views else [])
@@ -800,17 +846,20 @@ def check_table(spark: SparkSession, path: str) -> list[dict]:
     data unless asked). Returns list of dicts, one per file, plus a
     final summary row ('', all_passed, 'n files checked').
     """
-    import glob as _glob
-
     import pyarrow.parquet as _pq
+
+    from clickhouse_observability_spark.sources.tiering import live_files
 
     out: list[dict] = []
     n_bad = 0
-    files = sorted(_glob.glob(
-        os.path.join(path, f"{PARTITION_COLUMN}=*", "*.parquet")))
+    # every volume: an unverifiable cold part is exactly the one an
+    # operator needs CHECK TABLE to find. part_path stays relative to
+    # the TABLE path, so tiered parts read `_tiers/<vol>/month=.../f`.
+    files = sorted(live_files(path).values())
     for f in files:
         rel = os.path.relpath(f, path)
-        month = int(rel.split(os.sep)[0].split("=", 1)[1])
+        month = int(os.path.basename(os.path.dirname(f))
+                    .split("=", 1)[1])
         msg, ok = "ok", True
         try:
             md = _pq.ParquetFile(f).metadata

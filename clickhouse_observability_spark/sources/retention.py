@@ -30,11 +30,13 @@ def set_table_ttl(
     days: int | None,
     group_by: list[str] | None = None,
     set_exprs: dict[str, str] | None = None,
+    tiers: list[dict] | None = None,
 ) -> None:
     """Persist (or clear) the table's armed TTL — the at-rest state
     behind CH `ALTER TABLE ... MODIFY TTL ts + INTERVAL n DAY
-    [DELETE | GROUP BY ... [SET col = agg, ...]]` / `REMOVE TTL`.
-    The retention job consults it before the env.
+    [DELETE | GROUP BY ... [SET col = agg, ...] | TO VOLUME 'v' |
+    TO DISK 'd'][, ...]` / `REMOVE TTL`. The retention job consults
+    it before the env.
 
     `group_by` arms CH's TTL GROUP BY (downsample-on-age): aged rows
     COLLAPSE to one row per group instead of being deleted — the
@@ -42,13 +44,26 @@ def set_table_ttl(
     GROUP BY key to be a prefix of the table's sorting key
     ((service, ts) here): valid keys are `service` alone or
     `service, <expression over ts>` — anything else is refused like
-    CH refuses the ALTER."""
+    CH refuses the ALTER.
+
+    `tiers` arms storage tiering (r12, sources/tiering.py): move
+    rules [{"days": n, "volume": v, "kind": "VOLUME"|"DISK"}] — aged
+    months RELOCATE instead of (or before) being deleted. MODIFY TTL
+    replaces the WHOLE table TTL expression (moves included), like
+    CH; REMOVE TTL (everything None/empty) clears delete AND move
+    rules but keeps COLUMN TTLs (CH keeps per-column declarations
+    too). Removing a move rule leaves already-tiered months where
+    they are (CH parity — parts don't move back)."""
     import json
+
+    from clickhouse_observability_spark.sources.tiering import (
+        validate_tiers,
+    )
 
     p = os.path.join(path, "_ttl.json")
     prior = read_table_ttl_spec(path) or {}
     columns = prior.get("columns")  # column TTLs survive table
-    if days is None:                # REMOVE TTL — CH keeps column TTLs
+    if days is None and not tiers:  # REMOVE TTL — CH keeps column TTLs
         if not columns:
             try:
                 os.remove(p)
@@ -57,11 +72,18 @@ def set_table_ttl(
             return
         spec = {"columns": columns}
     else:
-        spec = {"retention_days": int(days)}
+        spec = {}
+        if days is not None:
+            spec["retention_days"] = int(days)
         if group_by:
+            if days is None:
+                raise ValueError(
+                    "TTL GROUP BY needs the delete horizon clause")
             _validate_ttl_group_by(group_by)
             spec["group_by"] = list(group_by)
             spec["set"] = dict(set_exprs or {})
+        if tiers:
+            spec["to_volume"] = validate_tiers(tiers)
         if columns:
             spec["columns"] = columns
     os.makedirs(path, exist_ok=True)
@@ -217,44 +239,50 @@ def recover_partition_swaps(path: str) -> dict:
     still recognized for upgrade-across-a-crash. Returns
     {"restored": [...], "cleaned": [...]} with the affected directory
     names."""
+    from clickhouse_observability_spark.sources.tiering import tier_roots
+
     restored, cleaned = [], []
     if not os.path.isdir(path):
         return {"restored": restored, "cleaned": cleaned}
     prefixes = (f".{PARTITION_COLUMN}=", f"{PARTITION_COLUMN}=")
-    for d in sorted(os.listdir(path)):
-        full = os.path.join(path, d)
-        if not os.path.isdir(full):
-            continue  # stray file; only directories are swap debris
-        hidden = d.startswith(prefixes[0])
-        if not (hidden or d.startswith(prefixes[1])):
-            continue
-        if d.endswith(".old"):
-            live = os.path.join(
-                path, d[len("."):-len(".old")] if hidden else d[:-len(".old")]
-            )
-            if os.path.isdir(live):
+    # every volume root: rewrites of TIERED months leave their swap
+    # debris inside `_tiers/<vol>/` and must recover identically
+    for _, root in tier_roots(path):
+        for d in sorted(os.listdir(root)):
+            full = os.path.join(root, d)
+            if not os.path.isdir(full):
+                continue  # stray file; only directories are swap debris
+            hidden = d.startswith(prefixes[0])
+            if not (hidden or d.startswith(prefixes[1])):
+                continue
+            if d.endswith(".old"):
+                live = os.path.join(
+                    root,
+                    d[len("."):-len(".old")] if hidden else d[:-len(".old")],
+                )
+                if os.path.isdir(live):
+                    shutil.rmtree(full)
+                    cleaned.append(d)
+                else:
+                    os.rename(full, live)
+                    restored.append(d)
+            elif d.endswith(".tmp"):
                 shutil.rmtree(full)
                 cleaned.append(d)
-            else:
-                os.rename(full, live)
-                restored.append(d)
-        elif d.endswith(".tmp"):
-            shutil.rmtree(full)
-            cleaned.append(d)
     return {"restored": restored, "cleaned": cleaned}
 
 
 def _partition_months(path: str) -> list[int]:
+    """All live months ACROSS VOLUMES (base ∪ tiers) — a TTL that
+    couldn't see tiered months would silently never delete/collapse
+    them (the unacceptable-failure-mode class; sources/tiering.py)."""
+    from clickhouse_observability_spark.sources.tiering import (
+        partition_months,
+    )
+
     if not os.path.isdir(path):
         return []
-    out = []
-    for d in os.listdir(path):
-        if d.startswith(f"{PARTITION_COLUMN}="):
-            try:
-                out.append(int(d.split("=", 1)[1]))
-            except ValueError:
-                pass
-    return sorted(out)
+    return partition_months(path)
 
 
 def apply_retention(
@@ -319,11 +347,25 @@ def apply_retention(
         return {} if dry_run else _apply_column_ttls(
             spark, path, col_ttls, now)
 
+    # storage tiering (r12): armed move rules run on every retention
+    # pass, LAST — after deletes/collapses (never move a month the
+    # delete horizon is about to drop) and after column TTLs (the
+    # rewrite happens where the month currently lives; the move is
+    # then one rename). A move changes no VALUES, so no stale-view
+    # surfacing. Metadata-only: sources/tiering.py.
+    from clickhouse_observability_spark.sources.tiering import (
+        apply_tiering,
+        read_storage_tiers,
+    )
+
+    tier_rules = read_storage_tiers(path)
+
     def finish(res: dict) -> dict:
         """Column enforcement + staleness on EVERY exit path: a
         column-TTL rewrite changes VALUES (a matview aggregating the
         column now diverges), so it must surface/refresh attached
-        views exactly like a delete does (r11 gap fix)."""
+        views exactly like a delete does (r11 gap fix). Tier moves
+        follow (value-neutral)."""
         ct = enforce_cols()
         res["column_ttl"] = ct
         if ct:
@@ -339,6 +381,8 @@ def apply_retention(
                 stale = _handle_stale_views(table, refresh_views)
                 res["stale_views"] = sorted(
                     set(res.get("stale_views") or []) | set(stale))
+        if tier_rules and not dry_run:
+            res["tiered"] = apply_tiering(path, now, tier_rules)["moved"]
         return res
 
     if retention_days is None:
@@ -348,7 +392,7 @@ def apply_retention(
         raw = os.environ.get("RETENTION_DAYS", "")
         if not raw.strip().isdigit():
             return finish({"dropped_months": [], "rewritten": None,
-                           "skipped": not col_ttls})
+                           "skipped": not col_ttls and not tier_rules})
         retention_days = int(raw)
     now = now or dt.datetime.now(dt.timezone.utc)
     cutoff = now - dt.timedelta(days=int(retention_days))
@@ -368,12 +412,23 @@ def apply_retention(
         dropped = [m for m in _partition_months(path) if m < cutoff_month]
         boundary = cutoff_month if cutoff_month in _partition_months(path) else None
         return {"dropped_months": dropped, "rewritten": boundary, "dry_run": True}
+    from clickhouse_observability_spark.sources.tiering import (
+        consolidate_month,
+        month_dirs,
+    )
+
     for m in _partition_months(path):
         if m < cutoff_month:
-            shutil.rmtree(os.path.join(path, f"{PARTITION_COLUMN}={m}"))
+            # every location: a TTL DELETE must remove tiered copies
+            # too (a cold month surviving its horizon is the silent
+            # failure the tiering seams exist to prevent)
+            for d in month_dirs(path, m):
+                shutil.rmtree(d)
             dropped.append(m)
     if exact and cutoff_month in _partition_months(path):
-        part_dir = os.path.join(path, f"{PARTITION_COLUMN}={cutoff_month}")
+        # the boundary month may live on a tier (or be mid-move
+        # split): consolidate to one directory, rewrite in place
+        part_dir = consolidate_month(path, cutoff_month)
         kept = (
             spark.read.parquet(part_dir)
             .filter(F.col("ts") >= F.lit(cutoff.replace(tzinfo=None)))
@@ -440,14 +495,24 @@ def _apply_column_ttls(
         col: (now - dt.timedelta(days=int(days))).replace(tzinfo=None)
         for col, days in col_ttls.items()
     }
-    for m in _partition_months(path):
+    from clickhouse_observability_spark.sources.tiering import month_dirs
+
+    # (month, location) pairs: a COLUMN TTL is a row-local map, so a
+    # month split across volumes rewrites each location independently
+    # and correctly — no consolidation needed (unlike the TTL GROUP BY
+    # collapse, whose groups must span the whole month)
+    locations = [
+        (m, d)
+        for m in _partition_months(path)
+        for d in month_dirs(path, m)
+    ]
+    for m, part_dir in locations:
         # candidate columns for THIS month: their cutoff month covers it
         cand = sorted(
             c for c, cut in cutoffs.items()
             if m <= cut.year * 100 + cut.month)
         if not cand:
             continue
-        part_dir = os.path.join(path, f"{PARTITION_COLUMN}={m}")
         # mergeSchema: files in one partition may disagree on
         # explicitly-written evolved columns — a single-file schema
         # pick would silently drop them from the rewrite
@@ -481,7 +546,8 @@ def _apply_column_ttls(
              .parquet(tmp))
         _swap_partition(part_dir, tmp)
         for c in stale_cols:
-            out.setdefault(c, []).append(m)
+            if m not in out.setdefault(c, []):  # month may span volumes
+                out[c].append(m)
     return out
 
 
@@ -502,15 +568,22 @@ def _ch_expr(expr: str) -> str:
 
 def _read_partition_widened(spark: SparkSession, path: str, month: int):
     """A partition's rows with evolved columns overlaid (the
-    compact_partition read shape, shared by the TTL GROUP BY arm)."""
+    compact_partition read shape, shared by the TTL GROUP BY arm).
+    Whole-month rewrites need every row of the month in ONE place
+    (their group/merge semantics span the month), so a tiered or
+    mid-move-split month consolidates first (metadata-only renames;
+    sources/tiering.py)."""
     from pyspark.sql import types as T
 
     from clickhouse_observability_spark.schema import LOGS_SCHEMA
     from clickhouse_observability_spark.sources.schema_evolution import (
         SchemaExt,
     )
+    from clickhouse_observability_spark.sources.tiering import (
+        consolidate_month,
+    )
 
-    part_dir = os.path.join(path, f"{PARTITION_COLUMN}={month}")
+    part_dir = consolidate_month(path, month)
     ext = SchemaExt(path)
     df = ext.overlay(
         spark.read.schema(
@@ -661,8 +734,15 @@ def compact_partition(
         parquet_ts_micros,
     )
 
+    from clickhouse_observability_spark.sources.tiering import (
+        consolidate_month,
+    )
+
     recover_partition_swaps(path)  # see apply_retention
-    part_dir = os.path.join(path, f"{PARTITION_COLUMN}={month}")
+    # a tiered month compacts IN PLACE on its volume (CH: merges stay
+    # on the part's disk); a mid-move split consolidates first so the
+    # merge covers every file of the month
+    part_dir = consolidate_month(path, month)
     files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
     # widened read + overlay: evolved columns (ALTER TABLE ADD
     # COLUMN) are MATERIALIZED into the compacted files instead of

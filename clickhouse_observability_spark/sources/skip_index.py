@@ -289,15 +289,19 @@ class SkipIndex:
             LOGS_SCHEMA,
             PARTITION_COLUMN,
         )
+        from clickhouse_observability_spark.sources.tiering import (
+            live_files,
+            read_files,
+        )
         from clickhouse_observability_spark.sources.writer import LogsTable
 
         t = LogsTable(spark, self.table_path)
-        root = os.path.abspath(self.table_path)
-        live = {
-            os.path.relpath(f, root)
-            for f in _glob.glob(os.path.join(
-                root, f"{PARTITION_COLUMN}=*", "*.parquet"))
-        }
+        # live set spans every volume (base ∪ tiers): a cold file the
+        # index never saw would scan forever; one the index can't
+        # enumerate would break the dead-entry reconciliation. The
+        # root-RELATIVE key (month=<m>/<file>) is volume-independent,
+        # so summaries survive tier moves untouched.
+        live = set(live_files(self.table_path))
         if incremental:
             prior = self.indexed_files(spark)
             todo = sorted(live - prior)
@@ -316,8 +320,7 @@ class SkipIndex:
                 + [T.StructField(PARTITION_COLUMN, T.IntegerType())]
             )
             scan = t.schema_ext.overlay(
-                spark.read.option("basePath", root).schema(full)
-                .parquet(*[os.path.join(root, f) for f in todo])
+                read_files(spark, self.table_path, todo, full)
             )
             mode = "append"
             n_after = n_live_indexed + len(todo)
@@ -631,17 +634,20 @@ def _assemble_pruned(spark, table_path, keep_rel, skip_rel):
     """Shared tail of the pruned-read paths: reconcile sidecar
     verdicts with the LIVE file set (unindexed files always scan,
     dead entries vanish), then read the surviving files with the
-    table's logical schema."""
+    table's logical schema. The live set spans every tier volume
+    (sources/tiering.py): a cold file MISSING from a pruned read is
+    silent data loss — the one unacceptable failure mode — and the
+    volume-independent relative key means a tier move neither
+    invalidates a verdict nor un-indexes a file."""
     from clickhouse_observability_spark.schema import PARTITION_COLUMN
+    from clickhouse_observability_spark.sources.tiering import (
+        live_files,
+        read_files,
+    )
     from clickhouse_observability_spark.sources.writer import LogsTable
 
     t = LogsTable(spark, table_path)
-    root = os.path.abspath(table_path)
-    live = {
-        os.path.relpath(f, root)
-        for f in _glob.glob(os.path.join(
-            root, f"{PARTITION_COLUMN}=*", "*.parquet"))
-    }
+    live = set(live_files(table_path))
     unindexed = live - keep_rel - skip_rel
     keep = sorted((keep_rel & live) | unindexed)
     stats = {
@@ -664,9 +670,5 @@ def _assemble_pruned(spark, table_path, keep_rel, skip_rel):
         + t.schema_ext.read_fields()
         + [T.StructField(PARTITION_COLUMN, T.IntegerType())]
     )
-    df = (
-        spark.read.option("basePath", root)
-        .schema(full)
-        .parquet(*[os.path.join(root, f) for f in keep])
-    )
+    df = read_files(spark, table_path, keep, full)
     return t.schema_ext.overlay(df), stats

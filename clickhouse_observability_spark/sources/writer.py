@@ -238,16 +238,34 @@ class LogsTable:
         by their stored physical names and materialize on read as
         `coalesce(stored, aliases..., default)`: files predating a
         column serve its DEFAULT, files predating a RENAME serve the
-        old physical name (sources/schema_evolution.py)."""
+        old physical name (sources/schema_evolution.py).
+
+        Storage tiering (r12): months aged onto colder volumes live
+        under `_tiers/<vol>/` — invisible to the base listing
+        (underscore rule), so the scan UNIONS one file-listing root
+        per volume (CH's read transparency: a query never knows which
+        volume serves a part). Month-predicate pruning and footer
+        stats apply per root unchanged; the untiered common case is
+        one stat call and the identical single-root plan."""
+        from functools import reduce
+
         from pyspark.sql import types as T
+
+        from clickhouse_observability_spark.sources.tiering import (
+            tier_roots,
+        )
 
         full = T.StructType(
             LOGS_SCHEMA.fields
             + self.schema_ext.read_fields()
             + [T.StructField(PARTITION_COLUMN, T.IntegerType())]
         )
+        scans = [
+            self.spark.read.schema(full).parquet(root)
+            for _, root in tier_roots(self.path)
+        ]
         return self.schema_ext.overlay(
-            self.spark.read.schema(full).parquet(self.path)
+            reduce(DataFrame.unionByName, scans)
         )
 
     def parts(self) -> list[dict]:
@@ -262,47 +280,59 @@ class LogsTable:
 
         import pyarrow.parquet as _pq
 
+        from clickhouse_observability_spark.sources.tiering import (
+            tier_roots,
+        )
+
         out = []
-        for f in sorted(
-            _glob.glob(os.path.join(self.path, f"{PARTITION_COLUMN}=*",
-                                    "*.parquet"))
-        ):
-            md = _pq.ParquetFile(f).metadata
-            lo: dict = {}
-            hi: dict = {}
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    col = g.column(ci)
-                    name = col.path_in_schema
-                    # INT96 ts columns (files written before the
-                    # TIMESTAMP_MICROS pin) carry no stats; their
-                    # min_ts/max_ts stay None honestly
-                    if (name in ("service", "ts") and col.statistics
-                            and col.statistics.has_min_max):
-                        st = col.statistics
-                        lo[name] = (st.min if name not in lo
-                                    else min(lo[name], st.min))
-                        hi[name] = (st.max if name not in hi
-                                    else max(hi[name], st.max))
-            part = os.path.basename(os.path.dirname(f))
-            out.append({
-                "partition": int(part.split("=", 1)[1]),
-                "file": os.path.basename(f),
-                "rows": md.num_rows,
-                "bytes": os.path.getsize(f),
-                "min_service": lo.get("service"),
-                "max_service": hi.get("service"),
-                "min_ts": (str(lo["ts"]) if "ts" in lo else None),
-                "max_ts": (str(hi["ts"]) if "ts" in hi else None),
-            })
+        for vol, root in tier_roots(self.path):
+            for f in sorted(
+                _glob.glob(os.path.join(root, f"{PARTITION_COLUMN}=*",
+                                        "*.parquet"))
+            ):
+                out.append(self._part_row(f, vol, _pq))
         return out
+
+    @staticmethod
+    def _part_row(f: str, vol: str, _pq) -> dict:
+        md = _pq.ParquetFile(f).metadata
+        lo: dict = {}
+        hi: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                # INT96 ts columns (files written before the
+                # TIMESTAMP_MICROS pin) carry no stats; their
+                # min_ts/max_ts stay None honestly
+                if (name in ("service", "ts") and col.statistics
+                        and col.statistics.has_min_max):
+                    st = col.statistics
+                    lo[name] = (st.min if name not in lo
+                                else min(lo[name], st.min))
+                    hi[name] = (st.max if name not in hi
+                                else max(hi[name], st.max))
+        part = os.path.basename(os.path.dirname(f))
+        return {
+            "partition": int(part.split("=", 1)[1]),
+            "file": os.path.basename(f),
+            "rows": md.num_rows,
+            "bytes": os.path.getsize(f),
+            "min_service": lo.get("service"),
+            "max_service": hi.get("service"),
+            "min_ts": (str(lo["ts"]) if "ts" in lo else None),
+            "max_ts": (str(hi["ts"]) if "ts" in hi else None),
+            # serving volume (CH system.parts' disk_name analog):
+            # 'default' for the base path, the tier name otherwise
+            "volume": vol,
+        }
 
     def parts_df(self) -> DataFrame:
         rows = self.parts()
         schema = ("partition int, file string, rows bigint, bytes bigint, "
                   "min_service string, max_service string, "
-                  "min_ts string, max_ts string")
+                  "min_ts string, max_ts string, volume string")
         return self.spark.createDataFrame(rows, schema)
 
     # -- S1: ingestion entry point (service.go:21-47) -------------------
