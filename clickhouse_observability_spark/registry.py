@@ -149,7 +149,6 @@ _WINDOW_ORDER = [
     # mutations as pruned rewrites), the semantic-decontamination
     # exact arm, the clustering keep-list vs a recursive-CTE closure,
     # and the hardest remaining TPC-H join shape.
-    "tpch_q2_min_cost_supplier",
     # r8 rotation: ten slots freed by rotating out multi-round-green
     # entries (their oracles stay enforced by the CI registry gate
     # every run). In: the dialect's end-to-end SQL->plan path, the r7
@@ -157,32 +156,21 @@ _WINDOW_ORDER = [
     # lifecycle metadata-move layer, and four fresh TPC-H join/agg
     # shapes (Q9 multi-join profit, Q13 left-join distribution,
     # Q18 group-HAVING-in, Q20 nested-subquery semi-join).
-    "ch_dialect_hourly_panel",
-    "text_chunk_overlap",
-    "text_stratified_sample",
-    "behavior_retention",
-    "dedup_span_removal",
     "lifecycle_partition_panel",
     "tpch_q9_product_profit",
-    "tpch_q13_order_distribution",
-    "tpch_q18_large_orders",
-    "tpch_q20_excess_shippers",
     # r8 wave 3: schema evolution adjudicated end-to-end (ADD COLUMN
     # default-on-read, explicit write, mutation materialization,
     # RENAME alias continuity) — window_session_panel rotated out
     # (multi-round green, 11.5k-row result; CI gate keeps it).
-    "lifecycle_schema_evolution_panel",
     # r8 wave 4: cross-table partition movement (MOVE / hardlink
     # ATTACH FROM / replace-never-modify / REPLACE restore / EXCHANGE
     # routing) and the Bloom-prefiltered exact decontamination sweep.
     # Out: tpch_q1_pricing + window_gap_fill_hourly (multi-round
     # green; the CI registry gate keeps both oracles enforced).
     "lifecycle_cross_table_panel",
-    "text_bloom_decontaminate",
     # r8 wave 5: bigram Stupid-Backoff LM scoring (model half scores
     # the other half — backoff and OOV paths genuinely fire). Out:
     # text_pack_chunks (window since r4; CI gate keeps its oracle).
-    "text_bigram_logprob",
     # r8 wave 6: CH data-skipping indexes adjudicated end-to-end
     # (ADD/MATERIALIZE INDEX via the dialect, set(10) pruning a
     # service-local file layout, arm raises unless files were
@@ -213,6 +201,32 @@ _WINDOW_ORDER = [
     "sim_embedding_audit",
     "agg_interval_coverage",
     "agg_counter_delta_sum",
+    # r12 rotation wave: twelve 4-5-round-green entries rotated out
+    # (tpch_q2_min_cost_supplier, ch_dialect_hourly_panel,
+    # text_chunk_overlap, text_stratified_sample, behavior_retention,
+    # dedup_span_removal, tpch_q13_order_distribution,
+    # tpch_q18_large_orders, tpch_q20_excess_shippers,
+    # lifecycle_schema_evolution_panel, text_bloom_decontaminate,
+    # text_bigram_logprob — every oracle stays enforced by the CI
+    # registry gate each run). KEPT despite long streaks:
+    # lifecycle_partition_panel / lifecycle_cross_table_panel /
+    # lifecycle_skip_index_panel, whose underlying month/file
+    # enumerations went tier-aware this round (sources/tiering.py) —
+    # they re-adjudicate the changed code. In: the r12 tiering
+    # flagship, the r11 flagships and oracle-ifications, and the four
+    # cast-fixed former int128 landmines.
+    "lifecycle_tiering_panel",
+    "lifecycle_column_ttl_panel",
+    "ch_dialect_bitmap_panel",
+    "ch_dialect_text_panel",
+    "text_quality_pareto_select",
+    "engine_replacing_merge_tree_schedule",
+    "pipeline_chunked_bm25",
+    "text_corpus_curation",
+    "text_mixture_plan",
+    "rollup_topk_counts",
+    "rollup_topk_users",
+    "dedup_cluster_report",
 ]
 # r12 rotation shortlist (never driver-adjudicated, oracle-backed,
 # all green in the r11 CI gate + selfcheck at sf0.01): the six

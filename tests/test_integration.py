@@ -206,28 +206,16 @@ def test_adjudication_window_composition():
         # r7 rotation: five merges + the storage-lifecycle layers,
         # semantic decontamination, the clustering keep-list, and two
         # more TPC-H flagships
-        "tpch_q2_min_cost_supplier",
         # r8 rotation: the dialect's end-to-end path, the r7 operators'
         # first independent adjudication, partition lifecycle, and four
         # fresh TPC-H shapes
-        "ch_dialect_hourly_panel",
-        "text_chunk_overlap",
-        "text_stratified_sample",
-        "behavior_retention",
-        "dedup_span_removal",
         "lifecycle_partition_panel",
         "tpch_q9_product_profit",
-        "tpch_q13_order_distribution",
-        "tpch_q18_large_orders",
-        "tpch_q20_excess_shippers",
-        "lifecycle_schema_evolution_panel",
         # r8 wave 4: cross-table partition movement + the Bloom-
         # prefiltered exact decontamination sweep (out:
         # tpch_q1_pricing, window_gap_fill_hourly — multi-round
         # green, still CI-gated)
         "lifecycle_cross_table_panel",
-        "text_bloom_decontaminate",
-        "text_bigram_logprob",
         "lifecycle_skip_index_panel",
         # r9 rotation: four more TPC-H shapes (all on the exact-
         # decimal money path), the r8 aggregate tier, the behavioral
@@ -258,6 +246,20 @@ def test_adjudication_window_composition():
         "sim_embedding_audit",
         "agg_interval_coverage",
         "agg_counter_delta_sum",
+        # r12 rotation: the tiering flagship, the r11 flagships /
+        # oracle-ifications, and the cast-fixed former int128 sites
+        "lifecycle_tiering_panel",
+        "lifecycle_column_ttl_panel",
+        "ch_dialect_bitmap_panel",
+        "ch_dialect_text_panel",
+        "text_quality_pareto_select",
+        "engine_replacing_merge_tree_schedule",
+        "pipeline_chunked_bm25",
+        "text_corpus_curation",
+        "text_mixture_plan",
+        "rollup_topk_counts",
+        "rollup_topk_users",
+        "dedup_cluster_report",
     ):
         assert flagship in registry._WINDOW_ORDER, flagship
     # merged-away entries keep their oracles (no semantics dropped)
@@ -315,7 +317,6 @@ def test_adjudication_window_composition():
         "agg_value_stats",
         "setop_except_user_days",
         "text_winnowing",
-        "rollup_topk_counts",
         "window_session_panel",
         # r9 rotation-outs: multi-round driver-green, oracles retained
         # under the CI registry gate
@@ -356,17 +357,21 @@ def test_adjudication_window_composition():
         "sim_topk_panel",
         # r10 additions: the MergeTree engine family + the verdict-#4
         # oracle-ifications (registered after the window, CI-gated)
-        "rollup_topk_users",
         "behavior_window_funnel_strict",
-        # r11 additions: the pareto selection entry's frozen-artifact
-        # oracle and the replacing pair-tree merge schedule
-        "text_quality_pareto_select",
-        "engine_replacing_merge_tree_schedule",
-        "ch_dialect_bitmap_panel",
-        "pipeline_chunked_bm25",
-        "text_corpus_curation",
-        "lifecycle_column_ttl_panel",
-        "ch_dialect_text_panel",
+        # r12 rotation-outs: multi-round driver-green, oracles
+        # retained under the CI registry gate
+        "tpch_q2_min_cost_supplier",
+        "ch_dialect_hourly_panel",
+        "text_chunk_overlap",
+        "text_stratified_sample",
+        "behavior_retention",
+        "dedup_span_removal",
+        "tpch_q13_order_distribution",
+        "tpch_q18_large_orders",
+        "tpch_q20_excess_shippers",
+        "lifecycle_schema_evolution_panel",
+        "text_bloom_decontaminate",
+        "text_bigram_logprob",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
