@@ -154,27 +154,85 @@ _DCT_A = _dct_matrix()
 
 class _HuffTable(dict):
     """(bit length, code) -> symbol for a canonical JPEG Huffman
-    table, plus an 8-bit first-level decode LUT: every 8-bit window
-    whose prefix is a code of length <= 8 maps to (symbol, length),
-    so the overwhelmingly common short codes decode with ONE list
-    index instead of up to 8 dict probes (decode hot path; longer
-    codes fall back to the per-bit probe from length 9)."""
+    table, plus a FULL 16-bit first-level decode LUT (r12): every
+    16-bit window maps to (symbol, length) for the code prefixing it
+    — one list index decodes ANY JPEG code (max length 16) with zero
+    fallback probes in the hot path. len16[w] == 0 marks an invalid
+    prefix. Built numpy-vectorized (slice assigns over the canonical
+    code ranges, ~1 ms) and cached module-wide by (counts, symbols)
+    via `_canonical_codes`, so a mapInPandas batch decoding many
+    images with the same tables (the Annex K case) builds each LUT
+    once per worker."""
 
-    __slots__ = ("lut8",)
+    __slots__ = ("sym16", "len16", "_sym_np", "_len_np", "_dc_c",
+                 "_ac_c")
 
     def __init__(self, mapping: dict[tuple[int, int], int]):
         super().__init__(mapping)
-        lut: list[tuple[int, int] | None] = [None] * 256
-        for (ln, code), sym in mapping.items():
-            if ln <= 8:
-                base = code << (8 - ln)
-                for i in range(1 << (8 - ln)):
-                    lut[base + i] = (sym, ln)
-        self.lut8 = lut
+        sym = np.zeros(1 << 16, np.int16)
+        lnn = np.zeros(1 << 16, np.uint8)
+        for (ln, code), s in mapping.items():
+            base = code << (16 - ln)
+            span = 1 << (16 - ln)
+            sym[base:base + span] = s
+            lnn[base:base + span] = ln
+        self._sym_np = sym
+        self._len_np = lnn
+        self.sym16 = sym.tolist()
+        self.len16 = lnn.tolist()
+        self._dc_c = None
+        self._ac_c = None
+
+    def combined(self, role: str):
+        """COMBINED symbol+magnitude LUT (r12): for every 16-bit
+        window, the total bit advance (code length + magnitude bits,
+        0 = take the slow path) and the EXTENDed signed value — the
+        baseline hot loop decodes one coefficient with ONE list index
+        instead of code-lookup + receive + extend. Valid whenever the
+        code and its appended bits fit the window (ln + s <= 16, the
+        overwhelming case); built vectorized, lazily, per role (DC
+        reads s = sym, AC s = sym & 15) and cached on the table
+        (tables themselves cache module-wide)."""
+        cached = self._dc_c if role == "dc" else self._ac_c
+        if cached is not None:
+            return cached
+        w = np.arange(1 << 16, dtype=np.int64)
+        ln = self._len_np.astype(np.int64)
+        sym = self._sym_np.astype(np.int64)
+        s = sym if role == "dc" else (sym & 15)
+        adv = ln + s
+        valid = (ln > 0) & (adv <= 16)
+        if role == "dc":
+            valid &= sym <= 11  # DC category bound (checked here so
+            # the LUT never serves an out-of-range category; invalid
+            # windows fall to the slow path, which raises)
+        adv = np.where(valid, adv, 0)
+        raw = (w >> np.maximum(16 - ln - s, 0)) & (
+            (np.int64(1) << s) - 1)
+        half = np.int64(1) << np.maximum(s - 1, 0)
+        ext = np.where(
+            s == 0, 0,
+            np.where(raw >= half, raw, raw - (np.int64(1) << s) + 1))
+        out = (adv.tolist(), ext.tolist())
+        if role == "dc":
+            self._dc_c = out
+        else:
+            self._ac_c = out
+        return out
+
+
+_CANON_CACHE: dict[tuple, "_HuffTable"] = {}
 
 
 def _canonical_codes(counts: tuple, symbols: tuple) -> "_HuffTable":
-    """(bit length, code) -> symbol for a canonical JPEG Huffman table."""
+    """(bit length, code) -> symbol for a canonical JPEG Huffman
+    table. Cached by the (counts, symbols) definition — tables are
+    immutable and recur across images (Annex K, per-scan DHT
+    redefinitions of the same table)."""
+    key = (tuple(counts), tuple(symbols))
+    cached = _CANON_CACHE.get(key)
+    if cached is not None:
+        return cached
     table: dict[tuple[int, int], int] = {}
     code = 0
     it = iter(symbols)
@@ -186,7 +244,9 @@ def _canonical_codes(counts: tuple, symbols: tuple) -> "_HuffTable":
                 raise ValueError("DHT symbol count mismatch") from None
             code += 1
         code <<= 1
-    return _HuffTable(table)
+    out = _HuffTable(table)
+    _CANON_CACHE[key] = out
+    return out
 
 
 def _encode_codes(counts: tuple, symbols: tuple) -> dict[int, tuple[int, int]]:
@@ -196,40 +256,73 @@ def _encode_codes(counts: tuple, symbols: tuple) -> dict[int, tuple[int, int]]:
 
 
 class _BitReader:
-    """Entropy-segment bit reader: honors 0xFF00 stuffing, stops at
-    markers, byte-aligns across restart markers."""
+    """Entropy-segment bit reader over PRE-DESTUFFED restart
+    segments (r12 rework of the r8 per-byte reader).
+
+    Construction makes ONE pass over the raw stream: it finds the
+    scan-terminating marker, splits on RSTn markers, and destuffs
+    each segment with C-level ``bytes.replace(b'\\xff\\x00',
+    b'\\xff')`` — so the per-symbol hot path never re-checks byte
+    stuffing or marker collisions (the r8 reader paid a _fill call
+    with three branches per BYTE; profiled >90% of decode wall was
+    this per-symbol call overhead). ``pos`` is the raw offset of the
+    terminating marker, ready for `_resync`. Bit state (``buf, bp,
+    end, bits, nbits``) is plain attributes so the baseline scan
+    decoder can inline it into local variables and write it back
+    around restarts/fallbacks."""
+
+    __slots__ = ("segs", "marks", "iseg", "buf", "bp", "end",
+                 "bits", "nbits", "pos")
 
     def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+        segs = []
+        marks = []
+        n = len(data)
+        p = seg_start = pos
+        end_pos = n  # no terminating marker: reads raise at the tail
+        find = data.find
+        while True:
+            p = find(b"\xff", p)  # jump between FF bytes (C-level)
+            if p < 0 or p + 1 >= n:
+                break
+            nxt = data[p + 1]
+            if nxt == 0x00:  # stuffed data byte
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # restart marker
+                segs.append(data[seg_start:p])
+                marks.append(nxt - 0xD0)
+                p += 2
+                seg_start = p
+                continue
+            end_pos = p  # real marker terminates the scan
+            break
+        segs.append(data[seg_start:end_pos])
+        self.segs = [s.replace(b"\xff\x00", b"\xff") for s in segs]
+        self.marks = marks
+        self.iseg = 0
+        self.buf = self.segs[0]
+        self.bp = 0
+        self.end = len(self.buf)
         self.bits = 0
         self.nbits = 0
+        self.pos = end_pos
 
     def _fill(self) -> None:
-        d = self.data
-        if self.pos >= len(d):
+        bp = self.bp
+        avail = self.end - bp
+        if avail <= 0:
             raise ValueError("truncated JPEG entropy data")
-        byte = d[self.pos]
-        if byte == 0xFF:
-            if self.pos + 1 >= len(d):
-                raise ValueError("truncated JPEG entropy data")
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:  # stuffed
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise ValueError("unexpected JPEG restart marker mid-block")
-            else:
-                raise ValueError("JPEG entropy data ran into marker")
-        else:
-            self.pos += 1
-        # truncate to the live bits BEFORE shifting: without the mask
-        # the accumulator grows by 8 bits per byte for the whole scan
-        # and every shift/extract pays O(scan bytes) bigint arithmetic
-        # (measured: quadratic — 0.01 MB/s on a 87 KB scan)
+        k = 4 if avail >= 4 else avail
+        # truncate to the live bits BEFORE shifting so the
+        # accumulator stays bounded (the r8 lesson: an unmasked
+        # accumulator grows per byte and every extract pays
+        # O(scan bytes) bigint arithmetic)
         self.bits = (
-            (self.bits & ((1 << self.nbits) - 1)) << 8
-        ) | byte
-        self.nbits += 8
+            (self.bits & ((1 << self.nbits) - 1)) << (8 * k)
+        ) | int.from_bytes(self.buf[bp:bp + k], "big")
+        self.bp = bp + k
+        self.nbits += 8 * k
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -238,43 +331,32 @@ class _BitReader:
         return (self.bits >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        # batched extract; falls back to per-bit when the stream tail
-        # can't prefill n bits (so truncation errors surface exactly
-        # where the per-bit reader would raise them)
+        # batched extract; raises exactly when the stream can't
+        # supply the bits (segment exhausted)
         if n <= 0:
             return 0
-        if self.nbits < n:
-            try:
-                while self.nbits < n:
-                    self._fill()
-            except ValueError:
-                v = 0
-                for _ in range(n):
-                    v = (v << 1) | self.read_bit()
-                return v
+        while self.nbits < n:
+            self._fill()
         self.nbits -= n
         return (self.bits >> self.nbits) & ((1 << n) - 1)
 
     def decode_huff(self, table: "_HuffTable") -> int:
-        # fast path: one 8-bit window lookup covers every code of
-        # length <= 8 (the common case by construction of JPEG
-        # tables); _fill raising (marker/truncation ahead) falls back
-        # to the per-bit probe, which consumes only the bits the
-        # actual code needs
-        if self.nbits < 8:
+        # one 16-bit window lookup decodes ANY code (max length 16);
+        # a stream tail shorter than 16 bits falls back to the
+        # per-bit probe, which consumes only the bits the actual
+        # code needs
+        if self.nbits < 16:
             try:
-                while self.nbits < 8:
+                while self.nbits < 16:
                     self._fill()
             except ValueError:
                 return self._decode_huff_per_bit(table, 0, 1)
-        window = (self.bits >> (self.nbits - 8)) & 0xFF
-        hit = table.lut8[window]
-        if hit is not None:
-            sym, ln = hit
-            self.nbits -= ln
-            return sym
-        self.nbits -= 8
-        return self._decode_huff_per_bit(table, window, 9)
+        window = (self.bits >> (self.nbits - 16)) & 0xFFFF
+        ln = table.len16[window]
+        if ln == 0:
+            raise ValueError("bad JPEG Huffman code")
+        self.nbits -= ln
+        return table.sym16[window]
 
     def _decode_huff_per_bit(
         self, table: "_HuffTable", code: int, start_len: int
@@ -287,21 +369,55 @@ class _BitReader:
         raise ValueError("bad JPEG Huffman code")
 
     def restart(self, n_expected: int) -> None:
-        """Byte-align and consume the RSTn marker."""
+        """Byte-align onto the next restart segment (the RSTn marker
+        was consumed and checked structurally at construction; the
+        sequence number is verified here)."""
+        if self.iseg >= len(self.marks):
+            raise ValueError("missing JPEG restart marker")
+        if self.marks[self.iseg] != n_expected % 8:
+            raise ValueError("bad JPEG restart marker sequence")
+        self.iseg += 1
+        self.buf = self.segs[self.iseg]
+        self.bp = 0
+        self.end = len(self.buf)
         self.bits = 0
         self.nbits = 0
-        d = self.data
-        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
-            raise ValueError("missing JPEG restart marker")
-        m = d[self.pos + 1]
-        if not (0xD0 <= m <= 0xD7) or (m - 0xD0) != n_expected % 8:
-            raise ValueError("bad JPEG restart marker sequence")
-        self.pos += 2
 
 
 def _extend(v: int, s: int) -> int:
     """T.81 EXTEND: map an s-bit magnitude to its signed value."""
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _sliding_words(seg: bytes) -> list[int]:
+    """The 32-bit big-endian word starting at every byte offset of
+    `seg` (3 zero bytes padded), as a Python list — the baseline hot
+    loop reads its 16-bit decode window with two shifts and a mask.
+    numpy-built: ~1 ms per 100 KB segment."""
+    a = np.frombuffer(seg + b"\x00\x00\x00", np.uint8).astype(np.int64)
+    if len(a) < 4:
+        a = np.concatenate([a, np.zeros(4 - len(a), np.int64)])
+    w = (a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]
+    return w.tolist()
+
+
+def _sync_reader(reader: "_BitReader", p: int) -> None:
+    """Point the reader's bit state at absolute bit position `p` of
+    the current segment (hot-loop -> reader handoff)."""
+    byte = p >> 3
+    off = p & 7
+    if off:
+        reader.bp = byte + 1
+        reader.nbits = 8 - off
+        reader.bits = reader.buf[byte] & ((1 << (8 - off)) - 1)
+    else:
+        reader.bp = byte
+        reader.nbits = 0
+        reader.bits = 0
+
+
+def _reader_bitpos(reader: "_BitReader") -> int:
+    return reader.bp * 8 - reader.nbits
 
 
 def _sof_parse(seg: bytes) -> tuple[int, int, list[dict]]:
@@ -336,61 +452,228 @@ _ZIG = list(ZIGZAG)
 
 def _decode_baseline_scan(
     reader, frame, scan_comps, scan, huff, coef,
-    mcus_x, mcus_y, restart_interval,
+    mcus_x, mcus_y, restart_interval, want_ids=None,
 ):
     """Sequential DCT scan: DC + all 63 AC per data unit. T.81 allows
     a scan to cover any component subset: multi-component scans
     interleave over the padded MCU grid; a single-component scan runs
-    raster over that component's REAL block grid (A.2.2)."""
+    raster over that component's REAL block grid (A.2.2).
+
+    r12 hot-path shape: the unit order is PLANNED up front as
+    restart-interval groups of (component index, block view), then
+    ONE flat loop decodes with the bit state in local variables —
+    zero method calls per symbol (16-bit LUT index + int ops; the r8
+    per-symbol decode_huff/receive/_extend call stack profiled as
+    >90% of decode wall). Coefficients land per block as one fancy
+    assign (`blk[idxs] = vals`) instead of per-scalar numpy writes.
+    Reader state writes back around restarts and stream-tail
+    fallbacks, so semantics (restart sequence checks, truncation
+    errors) are byte-identical to the method path the progressive
+    decoder still uses.
+
+    ``want_ids``: component ids whose COEFFICIENTS the caller needs
+    (None = all). A sequential bitstream forces every component's
+    symbols to be WALKED, but components outside want_ids (chroma
+    under the Y-plane output contract) take a value-free path — no
+    coefficient materialization, no DC predictor, just the combined
+    LUT's bit advance — which skips ~2/3 of the hot-loop work on a
+    4:4:4 stream. Progressive scans cannot do this: refinement bits
+    are read conditionally on prior coefficient STATE, so chroma
+    state must be maintained there (decode_jpeg_luma's docstring
+    contract)."""
     w, h, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    pred = {c["id"]: 0 for c in scan_comps}
 
-    def unit(c, blk):
-        dc_tab = huff[(0, scan[c["id"]][0])]
-        ac_tab = huff[(1, scan[c["id"]][1])]
-        s = reader.decode_huff(dc_tab)
-        if s > 11:
-            raise ValueError("bad JPEG DC category")
-        pred[c["id"]] += _extend(reader.receive(s), s)
-        blk[0] = pred[c["id"]]
-        k = 1
-        while k < 64:
-            rs = reader.decode_huff(ac_tab)
-            r, s = rs >> 4, rs & 0xF
-            if s == 0:
-                if r == 15:  # ZRL
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("JPEG AC run overflows block")
-            blk[_ZIG[k]] = _extend(reader.receive(s), s)
-            k += 1
+    # per-component decode tables: combined code+magnitude LUTs
+    # (advance, value) per role, plus the AC symbol LUT (run/EOB/ZRL
+    # classification) and the raw tables for the slow fallback
+    tabs = []
+    for c in scan_comps:
+        dc = huff[(0, scan[c["id"]][0])]
+        ac = huff[(1, scan[c["id"]][1])]
+        dc_adv, dc_val = dc.combined("dc")
+        ac_adv, ac_val = ac.combined("ac")
+        tabs.append((dc_adv, dc_val, dc, ac_adv, ac_val, ac.sym16, ac))
 
+    # group = restart unit (one data unit for a non-interleaved scan,
+    # one MCU for an interleaved one); units carry the block's FLAT
+    # row index in its component grid — coefficients accumulate in
+    # per-component (row, zig, val) lists and land as ONE vectorized
+    # scatter per component at scan end (per-block numpy assigns cost
+    # ~µs of dispatch each; one 100k-element scatter costs ~ms)
+    wanted_ci = [want_ids is None or c["id"] in want_ids
+                 for c in scan_comps]
+    groups: list[list] = []
     if len(scan_comps) == 1:
         c = scan_comps[0]
         grid = coef[c["id"]]
         bw, bh = _scan_blocks(c, w, h, hmax, vmax)
+        gw = grid.shape[1]
         for u in range(bw * bh):
-            if restart_interval and u and u % restart_interval == 0:
-                reader.restart(u // restart_interval - 1)
-                pred = {c["id"]: 0}
             uy, ux = divmod(u, bw)
-            unit(c, grid[uy, ux])
-        return
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            reader.restart(mcu // restart_interval - 1)
-            pred = {c["id"]: 0 for c in scan_comps}
-        my, mx = divmod(mcu, mcus_x)
-        for c in scan_comps:
-            grid = coef[c["id"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    unit(c, grid[my * c["v"] + by, mx * c["h"] + bx])
+            groups.append([(0, uy * gw + ux, wanted_ci[0])])
+    else:
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            g = []
+            for ci, c in enumerate(scan_comps):
+                gw = coef[c["id"]].shape[1]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        g.append((ci, (my * c["v"] + by) * gw
+                                  + mx * c["h"] + bx, wanted_ci[ci]))
+            groups.append(g)
+
+    out_rows = [[] for _ in scan_comps]
+    out_zigs = [[] for _ in scan_comps]
+    out_vals = [[] for _ in scan_comps]
+    pred = [0] * len(scan_comps)
+    zig = _ZIG
+    # branch-light bit cursor: W32 holds the 32-bit big-endian word
+    # at every BYTE offset of the destuffed segment (numpy-built,
+    # once), so the 16-bit window at bit position p is two shifts and
+    # a mask away — no refill loop, no accumulator, no live-bit
+    # bookkeeping in the hot path. pmax guards the stream tail (the
+    # last <16 bits decode through the reader's per-bit path, which
+    # raises truncation exactly where a bit-serial reader would).
+    w32 = _sliding_words(reader.buf)
+    p = _reader_bitpos(reader)
+    pmax = 8 * reader.end - 16
+    for gi, group in enumerate(groups):
+        if restart_interval and gi and gi % restart_interval == 0:
+            _sync_reader(reader, p)
+            reader.restart(gi // restart_interval - 1)
+            w32 = _sliding_words(reader.buf)
+            p = 0
+            pmax = 8 * reader.end - 16
+            pred = [0] * len(scan_comps)
+        for ci, bidx, wanted in group:
+            dc_adv, dc_val, dc_tab, ac_adv, ac_val, ac_sym, ac_tab = (
+                tabs[ci])
+            if not wanted:
+                # ---- value-free walk (see docstring): advance only
+                adv = 0
+                if p <= pmax:
+                    win = (w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                    adv = dc_adv[win]
+                if adv:
+                    p += adv
+                else:
+                    _sync_reader(reader, p)
+                    s = reader.decode_huff(dc_tab)
+                    if s > 11:
+                        raise ValueError("bad JPEG DC category")
+                    if s:
+                        reader.receive(s)
+                    p = _reader_bitpos(reader)
+                k = 1
+                while k < 64:
+                    adv = 0
+                    if p <= pmax:
+                        win = (w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                        adv = ac_adv[win]
+                    if adv:
+                        p += adv
+                        sym = ac_sym[win]
+                        if sym & 15 == 0:
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += (sym >> 4) + 1
+                        if k > 64:
+                            raise ValueError(
+                                "JPEG AC run overflows block")
+                    else:
+                        _sync_reader(reader, p)
+                        rs = reader.decode_huff(ac_tab)
+                        sv = rs & 15
+                        if sv == 0:
+                            p = _reader_bitpos(reader)
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            break
+                        reader.receive(sv)
+                        p = _reader_bitpos(reader)
+                        k += (rs >> 4) + 1
+                        if k > 64:
+                            raise ValueError(
+                                "JPEG AC run overflows block")
+                continue
+            # ---- DC: one combined lookup = code + magnitude + extend
+            adv = 0
+            if p <= pmax:
+                win = (w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                adv = dc_adv[win]
+            if adv:
+                p += adv
+                pred[ci] += dc_val[win]
+            else:  # stream tail / code+bits beyond 16: per-step path
+                _sync_reader(reader, p)
+                s = reader.decode_huff(dc_tab)
+                if s > 11:
+                    raise ValueError("bad JPEG DC category")
+                if s:
+                    pred[ci] += _extend(reader.receive(s), s)
+                p = _reader_bitpos(reader)
+            rows = out_rows[ci]
+            zigs = out_zigs[ci]
+            vals = out_vals[ci]
+            rows.append(bidx)
+            zigs.append(0)
+            vals.append(pred[ci])
+            # ---- AC run-length loop: one combined lookup per coeff
+            k = 1
+            while k < 64:
+                if p <= pmax:
+                    win = (w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                    adv = ac_adv[win]
+                else:
+                    adv = 0
+                if adv:
+                    p += adv
+                    sym = ac_sym[win]
+                    s = sym & 15
+                    if s == 0:
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflows block")
+                    rows.append(bidx)
+                    zigs.append(zig[k])
+                    vals.append(ac_val[win])
+                    k += 1
+                else:
+                    _sync_reader(reader, p)
+                    rs = reader.decode_huff(ac_tab)
+                    s = rs & 15
+                    if s == 0:
+                        p = _reader_bitpos(reader)
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        break
+                    v = _extend(reader.receive(s), s)
+                    p = _reader_bitpos(reader)
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflows block")
+                    rows.append(bidx)
+                    zigs.append(zig[k])
+                    vals.append(v)
+                    k += 1
+    _sync_reader(reader, p)
+    # one scatter per component: every (block row, zig position,
+    # value) this scan produced
+    for ci, c in enumerate(scan_comps):
+        if out_rows[ci]:
+            coef[c["id"]].reshape(-1, 64)[out_rows[ci], out_zigs[ci]] = (
+                out_vals[ci])
 
 
 def _scan_blocks(c, w, h, hmax, vmax):
@@ -713,6 +996,8 @@ def decode_jpeg_luma(b: bytes) -> list[list[int]]:
                 _decode_baseline_scan(
                     reader, frame, scan_comps, scan, huff, coef,
                     mcus_x, mcus_y, restart_interval,
+                    # Y-plane output contract: chroma only WALKS
+                    want_ids={comps[0]["id"]},
                 )
                 saw_scan = True
                 pos = _resync(b, reader.pos)
