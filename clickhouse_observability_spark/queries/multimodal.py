@@ -18,9 +18,35 @@ def multimodal_features(spark, sf_dir):
     return M.extract_features(media, fake_decode=True)
 
 
-@register("multimodal_frame_plan")
+@register(
+    "multimodal_frame_plan",
+    # Oracle-backed since r12 (verdict #5): the plan is pure column
+    # math over the deterministic fake-media metadata (videos are
+    # media_id % 3 == 2 with duration 1000 + 10*id; frames every
+    # 500 ms, stop-inclusive like Spark's sequence()), so DuckDB
+    # re-derives it from range() alone. BIGINT on both sides per the
+    # registry hash policy.
+    oracle="""
+    WITH vids AS (
+        SELECT CAST(i AS BIGINT) AS media_id,
+               CAST(1000 + 10 * i AS BIGINT) AS duration_ms
+        FROM range(256) t(i) WHERE i % 3 = 2
+    )
+    SELECT media_id, duration_ms,
+           unnest(range(0, duration_ms + 1, 500)) AS frame_ms
+    FROM vids
+    """,
+)
 def multimodal_frame_plan(spark, sf_dir):
-    return M.frame_sample_plan(M.make_fake_media(spark, n=256), every_ms=500)
+    from pyspark.sql import functions as F
+
+    return M.frame_sample_plan(
+        M.make_fake_media(spark, n=256), every_ms=500
+    ).select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+    )
 
 
 @register("multimodal_resize")

@@ -118,13 +118,26 @@ def logs_count(spark, sf_dir):
 
 # DESCRIBE-style schema query (reference README.md:97-98 `DESCRIBE
 # logs`): column name/type/position as a result set from the engine's
-# own schema metadata. Rows-only by design — oracle-backed entries
-# beyond the driver's 50-row adjudication window are simply never
-# checked (they displace nothing), and as of r4 the window holds
-# exactly 50 oracle entries; the pytest runs the identical DuckDB
-# information_schema comparison instead
-# (test_query_logs.test_schema_describe_matches_duckdb).
-@register("schema_describe_events")
+# own schema metadata. Oracle-backed since r12 (verdict #5): DuckDB's
+# information_schema over the same registered view, its type names
+# mapped onto Spark's (BIGINT->bigint, VARCHAR->string, ...) — the
+# deterministic residue rule: if the output is derivable by plain
+# SQL, it gets an oracle. test_query_logs keeps the original pytest
+# comparison too.
+@register(
+    "schema_describe_events",
+    oracle="""
+    SELECT column_name AS name,
+           CASE data_type
+                WHEN 'BIGINT' THEN 'bigint'
+                WHEN 'DOUBLE' THEN 'double'
+                WHEN 'VARCHAR' THEN 'string'
+                WHEN 'TIMESTAMP' THEN 'timestamp'
+                ELSE lower(data_type) END AS type,
+           CAST(ordinal_position AS BIGINT) AS pos
+    FROM information_schema.columns WHERE table_name = 'events'
+    """,
+)
 def schema_describe_events(spark, sf_dir):
     df = table(spark, sf_dir, "events")
     rows = [(n, t, i + 1) for i, (n, t) in enumerate(df.dtypes)]

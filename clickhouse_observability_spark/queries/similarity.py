@@ -389,7 +389,13 @@ def sim_knn_join(spark, sf_dir):
     the self-join quadratic while carrying no ranking signal —
     pytest pins both the recall (unchanged by the cap) and the
     bounded candidate count on an all-identical hostile corpus.
-    Rows-only: seeded LSH internals."""
+    Rows-only: seeded LSH internals (hyperplane signs come from the
+    seeded hash stream — not SQL-replayable). r12 audit (verdict #5):
+    NOT subsumed by `sim_knn_join_exact` — the exact entry proves the
+    join semantics cross-engine, THIS entry is the registered scale
+    path whose approximation quality is the thing under test
+    (recall >= 0.9 pinned in tests/test_similarity.py); removing it
+    would leave the O(n^2) anchor without its paired scale path."""
     return S.knn_join_lsh(
         table(spark, sf_dir, "embeddings"), k=10, max_bucket_frac=0.25
     )

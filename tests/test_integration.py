@@ -358,6 +358,10 @@ def test_adjudication_window_composition():
         # r10 additions: the MergeTree engine family + the verdict-#4
         # oracle-ifications (registered after the window, CI-gated)
         "behavior_window_funnel_strict",
+        # r12 oracle-ifications of deterministic rows-only residue
+        # (verdict #5)
+        "schema_describe_events",
+        "multimodal_frame_plan",
         # r12 rotation-outs: multi-round driver-green, oracles
         # retained under the CI registry gate
         "tpch_q2_min_cost_supplier",
