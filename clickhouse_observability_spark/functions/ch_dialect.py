@@ -4060,6 +4060,14 @@ _COPY_PART_RE = re.compile(
     r"'?(\d+)'?\s+FROM\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+# manual storage-tier move (r12): ALTER TABLE logs MOVE PARTITION p
+# TO VOLUME 'cold' / TO DISK 'archive' — the operator-initiated twin
+# of the armed TTL mover (sources/tiering.py)
+_MOVE_PART_VOL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MOVE\s+PARTITION\s+'?(\d+)'?\s+"
+    r"TO\s+(?:VOLUME|DISK)\s+'([^']+)'\s*$",
+    re.IGNORECASE,
+)
 _RENAME_TABLE_RE = re.compile(
     r"^\s*RENAME\s+TABLE\s+(\w+)\s+TO\s+(\w+)\s*$", re.IGNORECASE)
 _UNDROP_TABLE_RE = re.compile(
@@ -5477,6 +5485,21 @@ def _ch_sql_stmt(
               "attach": MU.attach_partition}[op.lower()]
         try:
             return fn(spark, t.path, int(part))["files"]
+        except ValueError as e:
+            raise ChDialectError(str(e)) from e
+
+    mvv = _MOVE_PART_VOL_RE.match(sql)
+    if mvv is not None:
+        from clickhouse_observability_spark.sources.tiering import (
+            move_partition_to_volume,
+        )
+
+        tname, part, vol = mvv.groups()
+        t = _named_table(tname, logs, tables)
+        try:
+            return int(
+                move_partition_to_volume(t.path, int(part), vol)["moved"]
+            )
         except ValueError as e:
             raise ChDialectError(str(e)) from e
 

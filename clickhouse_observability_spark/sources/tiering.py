@@ -279,3 +279,44 @@ def apply_tiering(
                 shutil.rmtree(src)
         moved.setdefault(target_vol, []).append(m)
     return {"moved": moved}
+
+
+def move_partition_to_volume(path: str, month: int, volume: str) -> dict:
+    """CH `ALTER TABLE logs MOVE PARTITION <p> TO VOLUME 'v'` (and
+    TO DISK): the MANUAL move statement — same metadata-only rename
+    as the TTL mover, operator-initiated. `volume='default'` moves a
+    tiered month back to the base path (CH: back to the policy's
+    first volume). The ARMED POLICY stays authoritative: the next
+    retention pass relocates every aged month to its matching rule's
+    volume (multi-tier aging requires tier-to-tier moves, so an
+    off-policy manual placement of an aged month is overridden —
+    deterministic; the manual statement is the tool for tables
+    without move rules, or for young months the rules don't cover).
+    Returns {"op", "month", "volume", "moved"} — moved=False when
+    already resident."""
+    locs = month_dirs(path, month)
+    if not locs:
+        raise ValueError(f"no partition {int(month)} to move")
+    if volume == DEFAULT_VOLUME:
+        tdir = os.path.join(path, f"{PARTITION_COLUMN}={int(month)}")
+    else:
+        _check_volume_name(volume)
+        troot = os.path.join(path, TIERS_DIR, volume)
+        os.makedirs(troot, exist_ok=True)
+        tdir = os.path.join(troot, f"{PARTITION_COLUMN}={int(month)}")
+    srcs = [d for d in locs if d != tdir]
+    if not srcs:
+        return {"op": "move_partition_to_volume", "month": int(month),
+                "volume": volume, "moved": False}
+    from clickhouse_observability_spark.sources.mutations import (
+        _place_files,
+    )
+
+    for src in srcs:
+        if not os.path.isdir(tdir):
+            os.rename(src, tdir)
+        else:
+            _place_files(src, tdir, link=False)
+            shutil.rmtree(src)
+    return {"op": "move_partition_to_volume", "month": int(month),
+            "volume": volume, "moved": True}

@@ -418,3 +418,44 @@ def test_untiered_table_costs_nothing_extra(spark, table):
     assert tier_roots(table.path) == [("default", table.path)]
     files = table.read().inputFiles()
     assert files and all("_tiers" not in f for f in files)
+
+
+def test_manual_move_partition_to_volume(spark, table):
+    """CH `ALTER TABLE logs MOVE PARTITION p TO VOLUME 'v'` — the
+    operator-initiated twin of the TTL mover: metadata-only, read-
+    transparent, reversible ('default' moves back to base), and an
+    armed TTL rule re-ages a manually-warmed month on the next pass."""
+    before = _snapshot(table)
+    assert ch_sql(spark, "ALTER TABLE logs MOVE PARTITION 202508 "
+                         "TO VOLUME 'cold'", logs=table) == 1
+    assert month_volume(table.path, 202508) == "cold"
+    assert _snapshot(table) == before  # read transparency
+    # idempotent: already resident -> moved=0
+    assert ch_sql(spark, "ALTER TABLE logs MOVE PARTITION 202508 "
+                         "TO VOLUME 'cold'", logs=table) == 0
+    # TO DISK spelling routes identically
+    assert ch_sql(spark, "ALTER TABLE logs MOVE PARTITION 202507 "
+                         "TO DISK 'archive'", logs=table) == 1
+    assert month_volume(table.path, 202507) == "archive"
+    # back to the default volume
+    assert ch_sql(spark, "ALTER TABLE logs MOVE PARTITION 202508 "
+                         "TO VOLUME 'default'", logs=table) == 1
+    assert month_volume(table.path, 202508) == "default"
+    assert _snapshot(table) == before
+    # refusals: absent partition, hostile volume name
+    for bad in (
+        "ALTER TABLE logs MOVE PARTITION 209912 TO VOLUME 'cold'",
+        "ALTER TABLE logs MOVE PARTITION 202508 TO VOLUME '../x'",
+    ):
+        with pytest.raises(ChDialectError):
+            ch_sql(spark, bad, logs=table)
+    # the armed policy is AUTHORITATIVE over manual placement: the
+    # next pass relocates every aged month to its rule's volume
+    # (multi-tier aging requires tier-to-tier moves, so a manual
+    # off-policy placement is overridden — deterministic, and the
+    # manual statement remains the tool for tables WITHOUT move
+    # rules; documented in sources/tiering.py)
+    _arm_cold(spark, table)
+    res = apply_retention(spark, table.path, now=NOW)
+    assert res["tiered"] == {"cold": [202507]}
+    assert month_volume(table.path, 202507) == "cold"
