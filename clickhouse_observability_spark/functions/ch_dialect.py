@@ -4675,7 +4675,7 @@ _LOGS_DEFAULTS = {
 _SYSTEM_TABLES = ("parts", "columns", "tables", "query_log",
                   "mutations", "projections", "detached_parts",
                   "dropped_tables", "data_skipping_indices", "metrics",
-                  "one")
+                  "one", "disks", "storage_policies")
 
 
 def _rewrite_system_tables(spark, sql, logs, query_log, tables=None):
@@ -4705,6 +4705,58 @@ def _rewrite_system_tables(spark, sql, logs, query_log, tables=None):
         if logs is None:
             raise ChDialectError("system.parts needs the logs table")
         logs.parts_df().createOrReplaceTempView("system_parts")
+    if "disks" in used:
+        # CH system.disks: one row per storage location. Here: the
+        # base path + every occupied tier volume (sources/tiering),
+        # with live parquet bytes per root (O(#files) stat calls —
+        # the same metadata-only cost class as system.parts).
+        if logs is None:
+            raise ChDialectError("system.disks needs the logs table")
+        import glob as _glob
+        import os as _os
+
+        from clickhouse_observability_spark.schema import (
+            PARTITION_COLUMN,
+        )
+        from clickhouse_observability_spark.sources.tiering import (
+            tier_roots,
+        )
+
+        rows = []
+        for vol, root in tier_roots(logs.path):
+            files = _glob.glob(_os.path.join(
+                root, f"{PARTITION_COLUMN}=*", "*.parquet"))
+            rows.append((vol, root,
+                         sum(_os.path.getsize(f) for f in files),
+                         len(files)))
+        local_df(
+            spark, rows,
+            "name string, path string, bytes_on_disk bigint, "
+            "parts int",
+        ).createOrReplaceTempView("system_disks")
+    if "storage_policies" in used:
+        # CH system.storage_policies: the armed move rules as the
+        # policy's volume list — the default volume first, then the
+        # TTL tiers in horizon order (move_factor-style knobs have
+        # no analog; the horizon IS the policy here).
+        if logs is None:
+            raise ChDialectError(
+                "system.storage_policies needs the logs table")
+        from clickhouse_observability_spark.sources.tiering import (
+            DEFAULT_VOLUME,
+            read_storage_tiers,
+        )
+
+        rows = [("default", DEFAULT_VOLUME, 1, None)]
+        rows += [
+            ("default", r["volume"], i + 2, int(r["days"]))
+            for i, r in enumerate(read_storage_tiers(logs.path))
+        ]
+        local_df(
+            spark, rows,
+            "policy_name string, volume_name string, "
+            "volume_priority int, move_after_days int",
+        ).createOrReplaceTempView("system_storage_policies")
     if "columns" in used:
         if logs is None:
             raise ChDialectError("system.columns needs the logs table")

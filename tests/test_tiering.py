@@ -459,3 +459,27 @@ def test_manual_move_partition_to_volume(spark, table):
     res = apply_retention(spark, table.path, now=NOW)
     assert res["tiered"] == {"cold": [202507]}
     assert month_volume(table.path, 202507) == "cold"
+
+
+def test_system_disks_and_storage_policies(spark, table):
+    """CH system.disks / system.storage_policies over the tier layout
+    (r12): disks = base + occupied volumes with live bytes; policies
+    = the armed move rules in horizon order behind the default
+    volume."""
+    ch_sql(spark, "ALTER TABLE logs MODIFY TTL "
+                  "ts + INTERVAL 40 DAY TO VOLUME 'cold', "
+                  "ts + INTERVAL 46 DAY TO DISK 'archive'", logs=table)
+    apply_retention(spark, table.path, now=NOW)  # 202507 -> archive
+    disks = {(r.name,): (r.bytes_on_disk, r.parts)
+             for r in ch_sql(spark, "SELECT name, bytes_on_disk, parts "
+                             "FROM system.disks", logs=table).collect()}
+    assert ("default",) in disks and ("archive",) in disks
+    assert disks[("archive",)][0] > 0 and disks[("archive",)][1] > 0
+    pol = [(r.volume_name, r.volume_priority, r.move_after_days)
+           for r in ch_sql(
+               spark,
+               "SELECT volume_name, volume_priority, move_after_days "
+               "FROM system.storage_policies ORDER BY volume_priority",
+               logs=table).collect()]
+    assert pol == [("default", 1, None), ("cold", 2, 40),
+                   ("archive", 3, 46)]
