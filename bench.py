@@ -251,6 +251,33 @@ def _media_decode_bench(spark) -> dict[str, float]:
         mb / (time.time() - t0), 3)
     df.unpersist()
 
+    # r12: batch variant — 32 payloads on 8 partitions (4 per python
+    # worker), best-of-2. The 8x1 row above is DISPATCH-BOUND (~0.4s
+    # of worker spin-up + per-process LUT build around ~0.06s of
+    # codec), so the r12 entropy rework (measured 1.6x single-core,
+    # SCALING.md) barely moves it; this row amortizes spin-up the
+    # same way the r11 best-of-2 classifier scalars do, so the codec
+    # arc stays measured. The 8x1 row is kept for cross-round
+    # comparability.
+    rows = [
+        (i, "image", bytearray(encode_jpeg(gradient(256, 256, i),
+                                           quality=85)), 256, 256,
+         None, None)
+        for i in range(32)
+    ]
+    mb = sum(len(r[2]) for r in rows) / 1e6
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8).cache()
+    df.count()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        extract_features(df, fake_decode=False).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.time() - t0)
+    out["media_decode_mb_per_sec_jpeg_256_batch"] = round(mb / best, 3)
+    df.unpersist()
+
     # r11: realistic-size PNG (256x256) — the 64x48 png row above is
     # the same dispatch-floor artifact; this one reflects the codec
     # after the r11 vectorization (whole-pass numpy unfilter + luma,
@@ -441,7 +468,17 @@ def _run_bench() -> None:
     # so one pre-run probe cannot certify a capture. calib_drift =
     # post/pre; a reader should trust cross-round per-query deltas
     # only when both captures' drift is small.
-    spark_calib_post_sec = _spark_calib()
+    #
+    # r12 symmetry fix: the post probe is min-of-3 like the warm pre
+    # probe — comparing a SINGLE post shot against a min-of-3 pre is
+    # structurally biased upward (any transient at the one post
+    # moment — e.g. GC/worker teardown right after the r12 batched
+    # media stage — flags the whole capture; r12 saw post read
+    # 0.32-0.39 single-shot while three captures' query sets were
+    # stable-to-better). A SUSTAINED host slowdown still shows: all
+    # three post probes would be slow.
+    spark_calib_post_sec = min(
+        _spark_calib(), _spark_calib(), _spark_calib())
 
     # Ingest-path throughput: write-path normalize + partitioned sorted
     # append of 100k wire rows (reference floor: 5,000 rows/s,
