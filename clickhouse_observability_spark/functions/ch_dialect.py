@@ -1980,6 +1980,45 @@ _FUNCS = {
         f"(__h, __c) -> pmod(__h * 31 + __c, 4294967296), "
         f"__h -> CAST(CASE WHEN __h >= 2147483648 "
         f"THEN __h - 4294967296 ELSE __h END AS INT))"),
+    # ---- dialect wave 10 (r12) ------------------------------------
+    # soundex: both engines implement the classic American Soundex
+    # (first letter + 3 digits); Spark's builtin matches CH's
+    "soundex": lambda a: f"soundex({a[0]})",
+    # substringIndex: MySQL-compatible in both (CH 23.x added it)
+    "substringindex": lambda a: (
+        f"substring_index({a[0]}, {a[1]}, {a[2]})"),
+    # regexpQuoteMeta: backslash-escape regex metacharacters (the CH
+    # escape set: \0 | ( ) ^ $ . [ ] ? * + { : - and backslash).
+    # $1 back-reference keeps the matched character; NUL handled by
+    # the class too (Spark strings may carry it).
+    "regexpquotemeta": lambda a: (
+        "regexp_replace(" + a[0] +
+        r", '([\\\\\\x00|()^$.\\[\\]?*+{:-])', '\\\\$1')"),
+    # bitHammingDistance over integers: popcount of xor
+    "bithammingdistance": lambda a: (
+        f"CAST(bit_count(CAST({a[0]} AS BIGINT) ^ "
+        f"CAST({a[1]} AS BIGINT)) AS INT)"),
+    # snowflake ids: ms-timestamp in the top 41 bits above a 22-bit
+    # machine/sequence field, anchored at the Twitter epoch. CH's
+    # snowflakeToDateTime returns a second-precision DateTime (the
+    # DateTime64(3) variant keeps the milliseconds).
+    "snowflaketodatetime": lambda a: (
+        f"timestamp_seconds((1288834974657 + "
+        f"(CAST({a[0]} AS BIGINT) >> 22)) DIV 1000)"),
+    "snowflaketodatetime64": lambda a: (
+        f"timestamp_millis(1288834974657 + "
+        f"(CAST({a[0]} AS BIGINT) >> 22))"),
+    "datetimetosnowflake": lambda a: (
+        f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"),
+    # ascii: code point of the first character (CH returns Int32)
+    "ascii": lambda a: f"ascii({a[0]})",
+    # char(n1, n2, ...): string from code points, one per argument
+    "char": lambda a: (
+        f"char({a[0]})" if len(a) == 1
+        else "concat(" + ", ".join(f"char({x})" for x in a) + ")"),
+    # UTF8 twins: Spark's string predicates are UTF-8 native
+    "startswithutf8": lambda a: f"startswith({a[0]}, {a[1]})",
+    "endswithutf8": lambda a: f"endswith({a[0]}, {a[1]})",
     "now64": lambda a: "current_timestamp()",
     "dayname": lambda a: f"date_format({a[0]}, 'EEEE')",
     "toyyyymmddhhmmss": lambda a: (

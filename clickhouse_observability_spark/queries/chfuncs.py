@@ -452,3 +452,59 @@ def ch_dialect_text_panel(spark, sf_dir):
         "FROM documents",
         views={"documents": docs},
     )
+
+
+@register(
+    "ch_dialect_wave10_panel",
+    # DuckDB twins for the wave-10 names: substringIndex as a list
+    # slice+join, regexpQuoteMeta as the same global escape rewrite,
+    # bitHammingDistance as bit_count(xor), the snowflake family as
+    # its epoch arithmetic replayed (second-precision DateTime =
+    # floor-to-1000 ms), char as chr concat. soundex has no DuckDB
+    # twin and is pytest-pinned instead (test_ch_dialect).
+    oracle=r"""
+    SELECT doc_id,
+           array_to_string((string_split(text, ' '))[1:3], ' ') AS si3,
+           regexp_replace(source || '[' || lang || '].*',
+                          '([\\|()^$.[\]?*+{:-])', '\\\1', 'g') AS rq,
+           CAST(bit_count(xor(doc_id, doc_id * 7)) AS BIGINT) AS bh,
+           epoch_ms((1288834974657 + doc_id) // 1000 * 1000) AS sdt,
+           epoch_ms(1288834974657 + doc_id) AS sdt64,
+           CAST(((1288834974657 + doc_id) // 1000 * 1000
+                 - 1288834974657) * 4194304 AS BIGINT) AS rtid,
+           CAST(ascii(text) AS BIGINT) AS ac,
+           chr(65 + CAST(doc_id % 26 AS INT))
+               || chr(97 + CAST((doc_id + 3) % 26 AS INT)) AS chs,
+           starts_with(lang, 'e') AS sw,
+           ends_with(source, '1') AS ew
+    FROM documents
+    """,
+)
+def ch_dialect_wave10_panel(spark, sf_dir):
+    """Dialect wave 10 end-to-end over `documents` (r12):
+    substringIndex, regexpQuoteMeta (metacharacters injected so the
+    arm is never vacuous on the prose corpus), bitHammingDistance,
+    the snowflake-id family (second-precision DateTime + the
+    DateTime64 variant + a dateTimeToSnowflake round-trip), ascii,
+    multi-arg char, and the startsWith/endsWithUTF8 twins. Map-only
+    JVM expressions — zero shuffles, zero UDFs."""
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+
+    docs = table(spark, sf_dir, "documents")
+    return ch_sql(
+        spark,
+        "SELECT doc_id, "
+        "substringIndex(text, ' ', 3) AS si3, "
+        "regexpQuoteMeta(concat(source, '[', lang, '].*')) AS rq, "
+        "CAST(bitHammingDistance(doc_id, doc_id * 7) AS BIGINT) AS bh, "
+        "snowflakeToDateTime(doc_id * 4194304 + 12345) AS sdt, "
+        "snowflakeToDateTime64(doc_id * 4194304 + 12345) AS sdt64, "
+        "CAST(dateTimeToSnowflake("
+        "snowflakeToDateTime(doc_id * 4194304)) AS BIGINT) AS rtid, "
+        "CAST(ascii(text) AS BIGINT) AS ac, "
+        "char(65 + doc_id % 26, 97 + (doc_id + 3) % 26) AS chs, "
+        "startsWithUTF8(lang, 'e') AS sw, "
+        "endsWithUTF8(source, '1') AS ew "
+        "FROM documents",
+        views={"documents": docs},
+    )

@@ -2798,3 +2798,34 @@ def test_r12_advisor_fixes(spark):
     ):
         with _pytest.raises(ChDialectError):
             ch_sql(spark, bad)
+
+
+def test_r12_wave10_functions(spark):
+    """Wave-10 spot checks incl. the names the oracle panel can't
+    cover: soundex (no DuckDB twin — classic American Soundex pinned
+    on reference values), the snowflake epoch anchor, and char/ascii
+    edges."""
+    r = ch_sql(
+        spark,
+        "SELECT soundex('Robert') AS s1, soundex('Rupert') AS s2, "
+        "soundex('Tymczak') AS s3, soundex('Honeyman') AS s4, "
+        "substringIndex('a.b.c', '.', 2) AS si, "
+        "regexpQuoteMeta('a.b[c]*') AS rq, "
+        "bitHammingDistance(5, 3) AS bh, "
+        "snowflakeToDateTime(1426860702823350272) AS sf, "
+        "dateTimeToSnowflake(snowflakeToDateTime("
+        "1426860702823350272)) AS rt, "
+        "ascii('Az') AS ac, char(72, 105) AS ch, "
+        "startsWithUTF8('héllo', 'hé') AS sw, "
+        "endsWithUTF8('héllo', 'lo') AS ew",
+    ).collect()[0]
+    assert (r.s1, r.s2, r.s3, r.s4) == ("R163", "R163", "T522", "H555")
+    assert r.si == "a.b"
+    assert r.rq == "a\\.b\\[c\\]\\*"
+    assert r.bh == 2
+    # CH docs' own example id -> 2021-08-15 10:57:56 (UTC)
+    assert str(r.sf) == "2021-08-15 10:57:56"
+    # round-trip floors to the second: low 22 bits + sub-second ms gone
+    assert r.rt == ((((1426860702823350272 >> 22) + 1288834974657)
+                     // 1000 * 1000 - 1288834974657) << 22)
+    assert r.ac == 65 and r.ch == "Hi" and r.sw and r.ew

@@ -359,9 +359,10 @@ def test_adjudication_window_composition():
         # oracle-ifications (registered after the window, CI-gated)
         "behavior_window_funnel_strict",
         # r12 oracle-ifications of deterministic rows-only residue
-        # (verdict #5)
+        # (verdict #5) + the dialect wave-10 panel
         "schema_describe_events",
         "multimodal_frame_plan",
+        "ch_dialect_wave10_panel",
         # r12 rotation-outs: multi-round driver-green, oracles
         # retained under the CI registry gate
         "tpch_q2_min_cost_supplier",

@@ -507,3 +507,54 @@ def test_online_column_ttl_enforcement(spark, tmp_path):
         assert fresh_msgs == {"m2", "m3"}  # young cells intact
     finally:
         s.stop(drain=False)
+
+
+def test_online_storage_tiering_enforcement(spark, tmp_path):
+    """r12: the batcher's between-micro-batch TTL pass runs the
+    storage-tiering MOVER too — a move-only armed spec (TO VOLUME,
+    no delete horizon) triggers apply_retention, aged months RELOCATE
+    under `_tiers/cold/` as metadata-only renames while ingest keeps
+    landing on the default volume, and every row (cold and fresh)
+    stays readable through the tier-transparent scan."""
+    from clickhouse_observability_spark.sources.retention import (
+        set_table_ttl,
+    )
+    from clickhouse_observability_spark.sources.tiering import (
+        month_volume,
+    )
+
+    table = LogsTable(spark, str(tmp_path / "logs"))
+    table.init_schema()
+    set_table_ttl(
+        table.path, None,
+        tiers=[{"days": 30, "volume": "cold", "kind": "VOLUME"}],
+    )
+    s = IngestStream(
+        spark, table,
+        inbox_dir=str(tmp_path / "inbox"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        enforce_ttl_every_s=0.0,  # every micro-batch
+    )
+    try:
+        q = s.start()
+        fresh_dt = dt.datetime.now(dt.timezone.utc)
+        fresh = fresh_dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+        s.submit_many([
+            _wire(0, ts="2020-01-05T03:10:00Z"),  # aged month
+            _wire(1, ts="2020-02-07T04:10:00Z"),  # second aged month
+            _wire(2, ts=fresh),
+        ])
+        q.processAllAvailable()
+        # one more batch so the mover definitely ran AFTER the aged
+        # rows landed (the first pass may precede their append)
+        s.submit_many([_wire(3, ts=fresh)])
+        q.processAllAvailable()
+        assert month_volume(table.path, 202001) == "cold"
+        assert month_volume(table.path, 202002) == "cold"
+        fresh_month = int(fresh_dt.strftime("%Y%m"))
+        assert month_volume(table.path, fresh_month) == "default"
+        # read transparency under concurrent ingest: all rows present
+        msgs = sorted(r.msg for r in table.read().collect())
+        assert msgs == ["m0", "m1", "m2", "m3"]
+    finally:
+        s.stop(drain=False)
