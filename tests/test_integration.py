@@ -153,9 +153,13 @@ def test_registry_results_stable_under_hostile_session_tz(spark, sf_small):
     qs = queries()
     # r11: lifecycle_column_ttl_panel added — it RETURNS ts columns
     # from a table it builds and retention-rewrites inside the call,
-    # so both the build and read sides must pin UTC
+    # so both the build and read sides must pin UTC. r12:
+    # lifecycle_tiering_panel (build + mover + tier-union read) and
+    # ch_dialect_wave10_panel (snowflakeToDateTime emits timestamps
+    # from epoch arithmetic) join the sweep.
     names = ("logs_basic", "agg_hourly", "window_sessionize",
-             "lifecycle_column_ttl_panel")
+             "lifecycle_column_ttl_panel", "lifecycle_tiering_panel",
+             "ch_dialect_wave10_panel")
 
     def snapshot():
         out = {}
