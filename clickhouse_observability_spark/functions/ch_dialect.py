@@ -4519,6 +4519,15 @@ _TTL_REMOVE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+REMOVE\s+TTL\s*$",
     re.IGNORECASE,
 )
+# CH MATERIALIZE TTL: apply the armed TTL to existing data NOW
+# (CH re-evaluates TTL on all parts instead of waiting for merges;
+# here: one synchronous apply_retention pass — delete/collapse,
+# column reverts and tier moves per the armed spec). No armed spec =
+# no-op, like CH on a TTL-less table.
+_TTL_MATERIALIZE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+TTL\s*$",
+    re.IGNORECASE,
+)
 # TTL GROUP BY (downsample-on-age): ALTER TABLE logs MODIFY TTL
 # ts + INTERVAL <n> DAY GROUP BY service[, <expr(ts)>]
 # [SET col = agg(...), ...] — CH's raw-young/rolled-up-old lifecycle
@@ -5859,6 +5868,25 @@ def _ch_sql_stmt(
             raise ChDialectError("REMOVE TTL supported for `logs` only")
         set_table_ttl(logs.path, None)
         return 0
+    mt = _TTL_MATERIALIZE_RE.match(sql)
+    if mt is not None:
+        from clickhouse_observability_spark.sources.retention import (
+            apply_retention,
+            read_table_ttl_spec,
+        )
+
+        if mt.group(1).lower() != "logs" or logs is None:
+            raise ChDialectError(
+                "MATERIALIZE TTL supported for `logs` only")
+        if read_table_ttl_spec(logs.path) is None:
+            return 0  # nothing armed — CH no-ops too
+        res = apply_retention(spark, logs.path)
+        return (len(res.get("dropped_months") or [])
+                + len(res.get("collapsed_months") or [])
+                + sum(len(v) for v in (res.get("column_ttl") or {})
+                      .values())
+                + sum(len(v) for v in (res.get("tiered") or {})
+                      .values()))
 
     # -- schema evolution: metadata-only column DDL -------------------
     for rex in (_ADD_COL_RE, _DROP_COL_RE, _RENAME_COL_RE,

@@ -483,3 +483,25 @@ def test_system_disks_and_storage_policies(spark, table):
                logs=table).collect()]
     assert pol == [("default", 1, None), ("cold", 2, 40),
                    ("archive", 3, 46)]
+
+
+def test_materialize_ttl_statement(spark, table):
+    """CH `ALTER TABLE logs MATERIALIZE TTL` (r12): apply the armed
+    TTL to existing data NOW — one synchronous retention pass instead
+    of waiting for the batcher's cadence. With a move-only spec every
+    fixture month is aged vs wall-clock now, so all three relocate;
+    with nothing armed the statement is a no-op like CH."""
+    # nothing armed -> no-op (returns 0, touches nothing)
+    assert ch_sql(spark, "ALTER TABLE logs MATERIALIZE TTL",
+                  logs=table) == 0
+    assert tier_roots(table.path) == [("default", table.path)]
+    before = _snapshot(table)
+    _arm_cold(spark, table)  # 40d horizon; fixture months are 2025-*
+    n = ch_sql(spark, "ALTER TABLE logs MATERIALIZE TTL", logs=table)
+    assert n == 3  # all three months moved
+    for m in (202507, 202508, 202509):
+        assert month_volume(table.path, m) == "cold"
+    assert _snapshot(table) == before  # read transparency
+    # idempotent: second materialize moves nothing
+    assert ch_sql(spark, "ALTER TABLE logs MATERIALIZE TTL",
+                  logs=table) == 0
