@@ -4537,21 +4537,25 @@ _TTL_GROUP_RE = re.compile(
     r"(?:\s+SET\s+(.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-# storage tiering (r12): the general comma-separated TTL expression —
+# storage tiering (r12) + conditional TTL (r13): the general
+# comma-separated TTL expression —
 # ALTER TABLE logs MODIFY TTL
 #   ts + INTERVAL 30 DAY TO VOLUME 'cold'[,
-#   ts + INTERVAL 90 DAY TO DISK 'archive'][,
+#   ts + INTERVAL 7 DAY DELETE WHERE level = 'DEBUG'][,
 #   ts + INTERVAL 365 DAY DELETE]
 # Like CH, MODIFY TTL replaces the WHOLE table TTL expression (any
-# prior delete/move rules are superseded by this statement's set).
+# prior delete/move/conditional rules are superseded by this
+# statement's set). Clauses split on TOP-LEVEL commas (a DELETE
+# WHERE predicate may contain commas: IN lists, function calls).
 _TTL_MULTI_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+TTL\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _TTL_CLAUSE_RE = re.compile(
     r"^\s*ts\s*\+\s*INTERVAL\s+(\d+)\s+DAY"
-    r"(?:\s+(DELETE)|\s+TO\s+(VOLUME|DISK)\s+'([^']+)')?\s*$",
-    re.IGNORECASE,
+    r"(?:\s+(DELETE)(?:\s+WHERE\s+(.+?))?"
+    r"|\s+TO\s+(VOLUME|DISK)\s+'([^']+)')?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 # CH schema evolution: metadata-only column DDL
@@ -5522,6 +5526,10 @@ def _ch_sql_stmt(
             clauses.append(
                 f"ts + INTERVAL {int(r['days'])} DAY "
                 f"TO {r.get('kind', 'VOLUME')} '{r['volume']}'")
+        for r in (ttl_spec or {}).get("delete_where") or []:
+            clauses.append(
+                f"ts + INTERVAL {int(r['days'])} DAY "
+                f"DELETE WHERE {r['where']}")
         if ttl_spec is not None and ttl_spec.get("retention_days") is not None:
             days = ttl_spec["retention_days"]
             gb = ttl_spec.get("group_by")
@@ -5823,9 +5831,13 @@ def _ch_sql_stmt(
     mt = _TTL_MULTI_RE.match(sql)
     if mt is not None:
         # comma-separated TTL expression: move rules (TO VOLUME /
-        # TO DISK) + at most one DELETE horizon (sources/tiering.py).
-        # The single-clause DELETE and GROUP BY forms matched above;
-        # GROUP BY inside a multi-clause expression is refused.
+        # TO DISK), conditional deletes (DELETE WHERE <pred>, any
+        # number — CH allows one per predicate) + at most one
+        # unconditional DELETE horizon. The single-clause DELETE and
+        # GROUP BY forms matched above; GROUP BY inside a
+        # multi-clause expression is refused. Clauses split on
+        # TOP-LEVEL commas so predicates keep their IN lists /
+        # function arguments.
         from clickhouse_observability_spark.sources.retention import (
             set_table_ttl,
         )
@@ -5835,26 +5847,32 @@ def _ch_sql_stmt(
             raise ChDialectError("MODIFY TTL supported for `logs` only")
         delete_days: int | None = None
         tiers: list[dict] = []
-        for clause in body.split(","):
+        delete_where: list[dict] = []
+        for item in _split_top_commas(_tokenize(body)):
+            clause = " ".join(item)
             mc = _TTL_CLAUSE_RE.match(clause)
             if mc is None:
                 raise ChDialectError(
                     f"MODIFY TTL: unsupported clause {clause.strip()!r} "
                     "(supported: ts + INTERVAL n DAY "
-                    "[DELETE | TO VOLUME 'v' | TO DISK 'd'], "
-                    "comma-separated; GROUP BY only as a single "
-                    "clause)")
-            days_s, is_delete, kind, vol = mc.groups()
+                    "[DELETE [WHERE <pred>] | TO VOLUME 'v' | "
+                    "TO DISK 'd'], comma-separated; GROUP BY only "
+                    "as a single clause)")
+            days_s, is_delete, where, kind, vol = mc.groups()
             if kind:
                 tiers.append({"days": int(days_s), "volume": vol,
                               "kind": kind.upper()})
+            elif where:
+                delete_where.append({"days": int(days_s),
+                                     "where": where.strip()})
             else:  # bare horizon or explicit DELETE
                 if delete_days is not None:
                     raise ChDialectError(
                         "MODIFY TTL: more than one DELETE horizon")
                 delete_days = int(days_s)
         try:
-            set_table_ttl(logs.path, delete_days, tiers=tiers)
+            set_table_ttl(logs.path, delete_days, tiers=tiers,
+                          delete_where=delete_where)
         except ValueError as e:
             raise ChDialectError(str(e)) from e
         return 0
@@ -5883,6 +5901,8 @@ def _ch_sql_stmt(
         res = apply_retention(spark, logs.path)
         return (len(res.get("dropped_months") or [])
                 + len(res.get("collapsed_months") or [])
+                + sum(len(r["months"])
+                      for r in res.get("delete_where") or [])
                 + sum(len(v) for v in (res.get("column_ttl") or {})
                       .values())
                 + sum(len(v) for v in (res.get("tiered") or {})

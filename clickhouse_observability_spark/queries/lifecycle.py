@@ -909,6 +909,120 @@ def lifecycle_column_ttl_panel(spark, sf_dir):
 
 
 @register(
+    "lifecycle_conditional_ttl_panel",
+    oracle="""
+    WITH logs AS (
+        SELECT ts + to_days((32 * (user_id % 3))::INT) AS ts,
+               event_type AS service,
+               CASE WHEN user_id % 5 = 0 THEN 'ERROR' ELSE 'INFO' END
+                   AS level,
+               user_id::VARCHAR AS trace_id
+        FROM events
+    )
+    SELECT CAST(strftime(ts, '%Y%m') AS BIGINT) AS month,
+           CASE WHEN CAST(strftime(ts, '%Y%m') AS BIGINT) < 202402
+                THEN 'cold' ELSE 'default' END AS volume,
+           service, ts, level, trace_id
+    FROM logs
+    WHERE NOT (ts < TIMESTAMP '2024-02-15 00:00:00'
+               AND level = 'ERROR')
+    """,
+)
+def lifecycle_conditional_ttl_panel(spark, sf_dir):
+    """CH conditional TTL end-to-end (r13): the last member of the
+    table-TTL grammar — `TTL ts + INTERVAL n DAY DELETE WHERE
+    <pred>` — under the driver's gate, COMPOSED with a move rule.
+    Two passes: first arm `TTL ... TO VOLUME 'cold'` and run
+    retention at a pinned `now` (2024-03-06) so month 202401
+    genuinely relocates under `_tiers/cold/`; then re-arm the move
+    rule PLUS `ts + INTERVAL 20 DAY DELETE WHERE level = 'ERROR'`
+    (multi-clause MODIFY TTL replaces the whole expression, like CH)
+    and run retention again — aged ERROR rows (ts < 2024-02-15)
+    delete everywhere they live, INFO rows and young ERROR rows
+    stay, and the cold month rewrites IN PLACE on its volume (the
+    r12 tiering seam, now adjudicated: sources/retention.py
+    _apply_delete_where goes per-location through month_dirs).
+
+    The read returns every surviving row tagged with its month's
+    ACTUAL filesystem residency; the oracle folds both arms
+    algebraically (predicate+horizon as a WHERE, residency as a
+    month CASE). A green row therefore proves the conditional delete
+    fired exactly (extra/missing deletions hash-mismatch), the
+    non-matching rows survived byte-identically, AND the tiered
+    month stayed cold through its rewrite. Raises unless rows
+    actually deleted, the count never grew, and 202401 is still
+    tiered — a silent no-op or a move-back can't hash-match."""
+    import datetime as dt
+
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+    from clickhouse_observability_spark.sources.retention import (
+        apply_retention,
+    )
+    from clickhouse_observability_spark.sources.tiering import (
+        month_volume,
+        partition_months,
+    )
+    from clickhouse_observability_spark.sources.writer import LogsTable
+
+    path = IX.artifact_path(sf_dir, "ch_logs_conditional_ttl",
+                            source_table="events")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LogsTable(spark, path)
+    t.init_schema()
+    ev = table(spark, sf_dir, "events")
+    t.insert(
+        ev.select(
+            F.expr("timestampadd(DAY, 32 * CAST(user_id % 3 AS INT), ts)")
+            .alias("ts"),
+            F.col("event_type").alias("service"),
+            F.when(F.col("user_id") % 5 == 0, "ERROR")
+            .otherwise("INFO")
+            .alias("level"),
+            F.col("props").alias("msg"),
+            F.col("props").alias("attrs"),
+            F.col("user_id").cast("string").alias("trace_id"),
+            F.col("event_id").cast("string").alias("span_id"),
+        )
+    )
+    before = t.read().count()
+    now = dt.datetime(2024, 3, 6, tzinfo=dt.timezone.utc)
+    ch_sql(spark, "ALTER TABLE logs MODIFY TTL ts + INTERVAL 30 DAY "
+                  "TO VOLUME 'cold'", logs=t)
+    res1 = apply_retention(spark, t.path, now=now)
+    if not (res1.get("tiered") or {}).get("cold"):
+        raise RuntimeError(
+            f"lifecycle_conditional_ttl_panel: tier pass did not "
+            f"move months (res={res1})")
+    ch_sql(spark, "ALTER TABLE logs MODIFY TTL "
+                  "ts + INTERVAL 30 DAY TO VOLUME 'cold', "
+                  "ts + INTERVAL 20 DAY DELETE WHERE level = 'ERROR'",
+           logs=t)
+    res2 = apply_retention(spark, t.path, now=now)
+    after = t.read().count()
+    fired = res2.get("delete_where") or []
+    if (after >= before or not fired
+            or 202401 not in fired[0]["months"]
+            or month_volume(t.path, 202401) != "cold"):
+        raise RuntimeError(
+            f"lifecycle_conditional_ttl_panel: expected a row-"
+            f"deleting pass with 202401 rewritten in place on its "
+            f"volume (before={before}, after={after}, res={res2}, "
+            f"volume={month_volume(t.path, 202401)})")
+    residency = spark.createDataFrame(
+        [(m, month_volume(t.path, m)) for m in partition_months(t.path)],
+        "month int, volume string",
+    )
+    return (
+        t.read()
+        .withColumn("month", F.col("month").cast("long"))
+        .join(F.broadcast(residency.select(
+            F.col("month").cast("long").alias("month"), "volume")),
+            on="month", how="left")
+        .select("month", "volume", "service", "ts", "level", "trace_id")
+    )
+
+
+@register(
     "lifecycle_tiering_panel",
     oracle="""
     WITH logs AS (

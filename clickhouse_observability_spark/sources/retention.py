@@ -31,6 +31,7 @@ def set_table_ttl(
     group_by: list[str] | None = None,
     set_exprs: dict[str, str] | None = None,
     tiers: list[dict] | None = None,
+    delete_where: list[dict] | None = None,
 ) -> None:
     """Persist (or clear) the table's armed TTL — the at-rest state
     behind CH `ALTER TABLE ... MODIFY TTL ts + INTERVAL n DAY
@@ -53,7 +54,15 @@ def set_table_ttl(
     CH; REMOVE TTL (everything None/empty) clears delete AND move
     rules but keeps COLUMN TTLs (CH keeps per-column declarations
     too). Removing a move rule leaves already-tiered months where
-    they are (CH parity — parts don't move back)."""
+    they are (CH parity — parts don't move back).
+
+    `delete_where` arms conditional TTLs (r13): CH `TTL ts +
+    INTERVAL n DAY DELETE WHERE <pred>` rules [{"days": n, "where":
+    "<CH predicate>"}] — aged rows MATCHING the predicate delete,
+    every other row stays (the "drop debug logs after a week, keep
+    errors a year" lifecycle). Predicates are CH-dialect SQL,
+    translation-checked here so an unsupported expression refuses at
+    ALTER time like CH refuses a malformed TTL."""
     import json
 
     from clickhouse_observability_spark.sources.tiering import (
@@ -63,7 +72,8 @@ def set_table_ttl(
     p = os.path.join(path, "_ttl.json")
     prior = read_table_ttl_spec(path) or {}
     columns = prior.get("columns")  # column TTLs survive table
-    if days is None and not tiers:  # REMOVE TTL — CH keeps column TTLs
+    if days is None and not tiers and not delete_where:
+        # REMOVE TTL — CH keeps column TTLs
         if not columns:
             try:
                 os.remove(p)
@@ -84,6 +94,8 @@ def set_table_ttl(
             spec["set"] = dict(set_exprs or {})
         if tiers:
             spec["to_volume"] = validate_tiers(tiers)
+        if delete_where:
+            spec["delete_where"] = _validate_delete_where(delete_where)
         if columns:
             spec["columns"] = columns
     os.makedirs(path, exist_ok=True)
@@ -166,6 +178,35 @@ def _validate_ttl_group_by(group_by: list[str]) -> None:
         raise ValueError(
             "the second TTL GROUP BY key must be an expression over "
             "ts (the sorting key's second column)")
+
+
+def _validate_delete_where(rules: list[dict]) -> list[dict]:
+    """Arm-time validation of conditional TTL rules: positive
+    horizon, non-empty predicate, and the predicate must TRANSLATE
+    through the dialect (CH refuses a TTL whose expression doesn't
+    parse; deferring the failure to the first retention pass would
+    turn a typo into a silent never-fires rule). Declaration order is
+    preserved — it round-trips through SHOW CREATE."""
+    out = []
+    for r in rules:
+        days = int(r["days"])
+        if days <= 0:
+            raise ValueError(
+                "TTL ... DELETE WHERE horizon must be a positive "
+                "day count")
+        where = str(r["where"]).strip()
+        if not where:
+            raise ValueError("TTL ... DELETE WHERE needs a predicate")
+        _ch_expr(f"({where})")  # typo/vocabulary refusal at ALTER time
+        out.append({"days": days, "where": where})
+    return out
+
+
+def read_delete_where(path: str) -> list[dict]:
+    """The armed conditional TTL rules, declaration order:
+    [{"days": n, "where": "<CH predicate>"}]."""
+    spec = read_table_ttl_spec(path) or {}
+    return list(spec.get("delete_where") or [])
 
 
 def read_table_ttl_spec(path: str) -> dict | None:
@@ -344,8 +385,12 @@ def apply_retention(
     col_ttls = (spec or {}).get("columns") or {}
 
     def enforce_cols() -> dict:
-        return {} if dry_run else _apply_column_ttls(
-            spark, path, col_ttls, now)
+        # dry_run: probe-only — report the {col: [months]} a real run
+        # WOULD revert (same staleness probes, zero rewrites), so the
+        # preview covers every armed arm (r12 advisor finding: the
+        # old preview omitted column reverts and tier moves)
+        return _apply_column_ttls(spark, path, col_ttls, now,
+                                  dry_run=dry_run)
 
     # storage tiering (r12): armed move rules run on every retention
     # pass, LAST — after deletes/collapses (never move a month the
@@ -355,20 +400,41 @@ def apply_retention(
     # surfacing. Metadata-only: sources/tiering.py.
     from clickhouse_observability_spark.sources.tiering import (
         apply_tiering,
+        plan_tiering,
         read_storage_tiers,
     )
 
     tier_rules = read_storage_tiers(path)
+    dw_rules = (spec or {}).get("delete_where") or []
 
     def finish(res: dict) -> dict:
-        """Column enforcement + staleness on EVERY exit path: a
-        column-TTL rewrite changes VALUES (a matview aggregating the
-        column now diverges), so it must surface/refresh attached
-        views exactly like a delete does (r11 gap fix). Tier moves
-        follow (value-neutral)."""
+        """Conditional-delete + column enforcement + staleness on
+        EVERY exit path: a conditional TTL deletes rows and a
+        column-TTL rewrite changes VALUES (a matview aggregating
+        either now diverges), so both surface/refresh attached views
+        exactly like the unconditional delete does (r11 gap fix).
+        Tier moves follow last (value-neutral). dry_run routes
+        through here too so the preview reports the conditional
+        deletes, column reverts and tier moves a real run would
+        perform — months the unconditional arm would drop are
+        filtered out (the real run drops them before the other arms
+        fire, so they never get rewritten or moved)."""
+        drop = set(res.get("dropped_months") or []) if dry_run else set()
+        dw = _apply_delete_where(spark, path, dw_rules, now,
+                                 dry_run=dry_run)
+        if drop and dw:
+            dw = [dict(r, months=[m for m in r["months"]
+                                  if m not in drop]) for r in dw]
+            dw = [r for r in dw if r["months"]]
+        if dw_rules:
+            res["delete_where"] = dw
         ct = enforce_cols()
+        if drop and ct:
+            ct = {c: [m for m in ms if m not in drop]
+                  for c, ms in ct.items()}
+            ct = {c: ms for c, ms in ct.items() if ms}
         res["column_ttl"] = ct
-        if ct:
+        if (ct or dw) and not dry_run:
             from clickhouse_observability_spark.sources.mutations import (
                 _handle_stale_views,
             )
@@ -381,8 +447,15 @@ def apply_retention(
                 stale = _handle_stale_views(table, refresh_views)
                 res["stale_views"] = sorted(
                     set(res.get("stale_views") or []) | set(stale))
-        if tier_rules and not dry_run:
-            res["tiered"] = apply_tiering(path, now, tier_rules)["moved"]
+        if tier_rules:
+            if dry_run:
+                plan = plan_tiering(path, now, tier_rules)
+                plan = {v: [m for m in ms if m not in drop]
+                        for v, ms in plan.items()}
+                res["tiered"] = {v: ms for v, ms in plan.items() if ms}
+            else:
+                res["tiered"] = apply_tiering(
+                    path, now, tier_rules)["moved"]
         return res
 
     if retention_days is None:
@@ -392,7 +465,8 @@ def apply_retention(
         raw = os.environ.get("RETENTION_DAYS", "")
         if not raw.strip().isdigit():
             return finish({"dropped_months": [], "rewritten": None,
-                           "skipped": not col_ttls and not tier_rules})
+                           "skipped": not col_ttls and not tier_rules
+                           and not dw_rules})
         retention_days = int(raw)
     now = now or dt.datetime.now(dt.timezone.utc)
     cutoff = now - dt.timedelta(days=int(retention_days))
@@ -409,9 +483,11 @@ def apply_retention(
         return finish(res)
     dropped, rewritten = [], None
     if dry_run:
-        dropped = [m for m in _partition_months(path) if m < cutoff_month]
-        boundary = cutoff_month if cutoff_month in _partition_months(path) else None
-        return {"dropped_months": dropped, "rewritten": boundary, "dry_run": True}
+        months = _partition_months(path)
+        dropped = [m for m in months if m < cutoff_month]
+        boundary = cutoff_month if cutoff_month in months else None
+        return finish({"dropped_months": dropped, "rewritten": boundary,
+                       "dry_run": True})
     from clickhouse_observability_spark.sources.tiering import (
         consolidate_month,
         month_dirs,
@@ -470,11 +546,15 @@ def _apply_column_ttls(
     path: str,
     col_ttls: dict[str, int],
     now: dt.datetime,
+    dry_run: bool = False,
 ) -> dict:
     """Enforce armed COLUMN TTLs (r11): in every partition holding
     rows older than a column's horizon, revert that column's aged
     values to the type default — CH's keep-the-row-shed-the-column
     lifecycle, run by the same retention entry as the table TTL.
+    ``dry_run`` runs the same staleness probes but skips the rewrite,
+    returning exactly what a real run would revert (the preview costs
+    the probe jobs — one existence scan per candidate partition).
 
     Scale shape: whole-month granularity. A partition is a candidate
     only if its month can contain aged rows (month <= cutoff month);
@@ -532,6 +612,11 @@ def _apply_column_ttls(
         ]
         if not stale_cols:
             continue  # already enforced — idempotent rerun
+        if dry_run:
+            for c in stale_cols:
+                if m not in out.setdefault(c, []):
+                    out[c].append(m)
+            continue
         # ONE rewrite per partition covering every stale column
         for c in stale_cols:
             df = df.withColumn(
@@ -549,6 +634,100 @@ def _apply_column_ttls(
             if m not in out.setdefault(c, []):  # month may span volumes
                 out[c].append(m)
     return out
+
+
+def _apply_delete_where(
+    spark: SparkSession,
+    path: str,
+    rules: list[dict],
+    now: dt.datetime,
+    dry_run: bool = False,
+) -> list[dict]:
+    """Enforce armed conditional TTLs (r13): delete aged rows
+    matching each rule's predicate, keep everything else — CH's
+    `TTL ts + INTERVAL n DAY DELETE WHERE <pred>` arm. Unlike the
+    unconditional horizon, whole aged months can never be dropped as
+    directories (non-matching rows must survive), so every firing
+    month is a predicate-pruned partition rewrite — the same unit of
+    work as a DELETE WHERE mutation (sources/mutations.py).
+
+    Scale shape mirrors the column-TTL arm: whole-month candidate
+    pruning (a month is probed only if some rule's cutoff month
+    covers it), one cheap existence probe per (rule, location), and
+    ONE in-place rewrite per location covering every firing rule (a
+    tiered month rewrites on its own volume — row-local semantics
+    need no consolidation). Predicates resolve against the table's
+    physical columns (mergeSchema over the location's files).
+    Idempotent reruns touch nothing. Returns [{"days", "where",
+    "months": [...]}] for rules that matched rows (probe-only under
+    ``dry_run``)."""
+    if not rules:
+        return []
+    from clickhouse_observability_spark.sources.tiering import month_dirs
+    from clickhouse_observability_spark.sources.writer import (
+        parquet_ts_micros,
+    )
+
+    prepared = []
+    for r in rules:
+        cutoff = (now - dt.timedelta(days=int(r["days"])))
+        cutoff = cutoff.replace(tzinfo=None)
+        prepared.append({
+            "days": int(r["days"]), "where": str(r["where"]),
+            "cutoff": cutoff,
+            "cutoff_month": cutoff.year * 100 + cutoff.month,
+            "pred": _ch_expr(f"({r['where']})"),
+            "months": [],
+        })
+    locations = [
+        (m, d)
+        for m in _partition_months(path)
+        for d in month_dirs(path, m)
+    ]
+    for m, part_dir in locations:
+        cand = [r for r in prepared if m <= r["cutoff_month"]]
+        if not cand:
+            continue
+        df = spark.read.option("mergeSchema", "true").parquet(part_dir)
+        hits = []
+        for r in cand:
+            cond = ((F.col("ts") < F.lit(r["cutoff"]))
+                    & F.expr(r["pred"]))
+            try:
+                hit = df.filter(cond).limit(1).count() > 0
+            except Exception as e:
+                raise ValueError(
+                    f"TTL DELETE WHERE predicate {r['where']!r} does "
+                    f"not resolve against the table's columns: {e}"
+                ) from e
+            if hit:
+                hits.append((r, cond))
+        if not hits:
+            continue  # already enforced — idempotent rerun
+        for r, _ in hits:
+            if m not in r["months"]:
+                r["months"].append(m)
+        if dry_run:
+            continue
+        removal = hits[0][1]
+        for _, cond in hits[1:]:
+            removal = removal | cond
+        kept = df.filter(~removal)
+        if kept.limit(1).count() == 0:
+            # every row of this location matched some rule: the
+            # rewrite would be empty — drop the directory like the
+            # unconditional arm drops a fully-aged month
+            shutil.rmtree(part_dir)
+            continue
+        tmp = _debris_path(part_dir, ".tmp")
+        with parquet_ts_micros(spark):
+            (kept.sortWithinPartitions("service", "ts")
+             .write.mode("overwrite").option("compression", "zstd")
+             .parquet(tmp))
+        _swap_partition(part_dir, tmp)
+    return [{"days": r["days"], "where": r["where"],
+             "months": sorted(r["months"])}
+            for r in prepared if r["months"]]
 
 
 def _ch_expr(expr: str) -> str:

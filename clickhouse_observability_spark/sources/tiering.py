@@ -106,27 +106,43 @@ def partition_months(path: str) -> list[int]:
     return sorted(out)
 
 
-def month_dirs(path: str, month: int) -> list[str]:
-    """Every directory currently holding `month`, base volume first.
-    Usually one; transiently two when a late write re-created the
-    month on the default volume after a move."""
-    out = []
-    for _, root in tier_roots(path):
+def month_locations(path: str, month: int) -> list[tuple[str, str]]:
+    """Every (volume, dir) currently holding `month`, warmest first
+    and POLICY-coldest last: the base volume leads, then tier volumes
+    ordered by their armed move rule's horizon ascending (a 90-day
+    'archive' rule is colder than a 30-day 'cold' rule regardless of
+    name order), with a name-order fallback for volumes no armed rule
+    covers (manual MOVE targets). Usually one entry; transiently two
+    when a late write re-created the month warmer, or mid-crash of a
+    tier-to-tier move. The armed-rule read happens only on a split
+    month, so the common single-location case stays one listdir."""
+    locs = []
+    for v, root in tier_roots(path):
         d = os.path.join(root, f"{PARTITION_COLUMN}={int(month)}")
         if os.path.isdir(d):
-            out.append(d)
-    return out
+            locs.append((v, d))
+    if len(locs) > 1:
+        horizon = {r["volume"]: int(r["days"])
+                   for r in read_storage_tiers(path)}
+        locs.sort(key=lambda vd: (vd[0] != DEFAULT_VOLUME,
+                                  horizon.get(vd[0], 0), vd[0]))
+    return locs
+
+
+def month_dirs(path: str, month: int) -> list[str]:
+    """Every directory currently holding `month`, base volume first,
+    policy-coldest last (`month_locations`). Usually one; transiently
+    two when a late write re-created the month on the default volume
+    after a move."""
+    return [d for _, d in month_locations(path, month)]
 
 
 def month_volume(path: str, month: int) -> str:
-    """The volume serving `month` (the coldest location when split
-    mid-move: tier beats base, matching where the month belongs)."""
-    vol = None
-    for v, root in tier_roots(path):
-        if os.path.isdir(os.path.join(root,
-                                      f"{PARTITION_COLUMN}={int(month)}")):
-            vol = v
-    return vol or DEFAULT_VOLUME
+    """The volume serving `month` (the POLICY-coldest location when
+    split mid-move: the tier with the longest armed horizon beats a
+    shorter one beats base, matching where the month belongs)."""
+    locs = month_locations(path, month)
+    return locs[-1][0] if locs else DEFAULT_VOLUME
 
 
 def live_files(path: str) -> dict[str, str]:
@@ -175,19 +191,20 @@ def read_files(spark, path: str, rels: list[str], schema):
 
 def consolidate_month(path: str, month: int) -> str:
     """Merge a month split across volumes into ONE directory (the
-    coldest current location — a split month means the move rule
-    already fired and a late write re-created it warmer). Used by
-    whole-month rewrites (TTL GROUP BY collapse, compaction) whose
-    group semantics must span every row of the month. Metadata-only:
-    per-file renames with collision-safe names; crash mid-merge
-    leaves every file in exactly one enumerated location, and the
-    next call completes. Returns the single surviving directory."""
+    POLICY-coldest current location — a split month means the move
+    rule already fired and a late write re-created it warmer, or a
+    tier-to-tier move crashed mid-way). Used by whole-month rewrites
+    (TTL GROUP BY collapse, compaction) whose group semantics must
+    span every row of the month. Metadata-only: per-file renames with
+    collision-safe names; crash mid-merge leaves every file in
+    exactly one enumerated location, and the next call completes.
+    Returns the single surviving directory."""
     dirs = month_dirs(path, month)
     if not dirs:
         raise ValueError(f"no partition {int(month)}")
     if len(dirs) == 1:
         return dirs[0]
-    target = dirs[-1]  # tier beats base (tier_roots orders base first)
+    target = dirs[-1]  # policy-coldest last (month_locations ordering)
     from clickhouse_observability_spark.sources.mutations import (
         _place_files,
     )
@@ -228,6 +245,44 @@ def validate_tiers(tiers: list[dict]) -> list[dict]:
     return sorted(out, key=lambda r: r["days"])
 
 
+def plan_tiering(
+    path: str,
+    now,
+    tiers: list[dict] | None = None,
+) -> dict[str, list[int]]:
+    """Which months WOULD move where under the armed rules —
+    {volume: [months...]}, excluding months already resident at
+    their target (idempotence). Pure cutoff math + residency probes,
+    zero renames: this IS the mover's plan (`apply_tiering` executes
+    exactly it) and the dry-run preview (`apply_retention`
+    dry_run=True reports it)."""
+    import datetime as dt
+
+    if tiers is None:
+        tiers = read_storage_tiers(path)
+    tiers = validate_tiers(tiers)
+    plan: dict[str, list[int]] = {}
+    if not tiers:
+        return plan
+    cutoff_months = [
+        ((now - dt.timedelta(days=r["days"])).year * 100
+         + (now - dt.timedelta(days=r["days"])).month, r["volume"])
+        for r in tiers
+    ]
+    for m in partition_months(path):
+        target_vol = None
+        for cm, vol in cutoff_months:  # ascending days: last hit wins
+            if m < cm:
+                target_vol = vol
+        if target_vol is None:
+            continue
+        tdir = os.path.join(path, TIERS_DIR, target_vol,
+                            f"{PARTITION_COLUMN}={m}")
+        if any(d != tdir for d in month_dirs(path, m)):
+            plan.setdefault(target_vol, []).append(m)
+    return plan
+
+
 def apply_tiering(
     path: str,
     now,
@@ -241,43 +296,24 @@ def apply_tiering(
     tier; CH likewise moves whole parts only once fully expired).
     Metadata-only; idempotent (months already in place are skipped).
     Returns {"moved": {volume: [months...]}}."""
-    import datetime as dt
-
-    if tiers is None:
-        tiers = read_storage_tiers(path)
-    tiers = validate_tiers(tiers)
-    moved: dict[str, list[int]] = {}
-    if not tiers:
-        return {"moved": moved}
-    cutoff_months = [
-        ((now - dt.timedelta(days=r["days"])).year * 100
-         + (now - dt.timedelta(days=r["days"])).month, r["volume"])
-        for r in tiers
-    ]
     from clickhouse_observability_spark.sources.mutations import (
         _place_files,
     )
 
-    for m in partition_months(path):
-        target_vol = None
-        for cm, vol in cutoff_months:  # ascending days: last hit wins
-            if m < cm:
-                target_vol = vol
-        if target_vol is None:
-            continue
+    moved: dict[str, list[int]] = {}
+    for target_vol, months in plan_tiering(path, now, tiers).items():
         troot = os.path.join(path, TIERS_DIR, target_vol)
-        tdir = os.path.join(troot, f"{PARTITION_COLUMN}={m}")
-        srcs = [d for d in month_dirs(path, m) if d != tdir]
-        if not srcs:
-            continue  # already resident — idempotent rerun
         os.makedirs(troot, exist_ok=True)
-        for src in srcs:
-            if not os.path.isdir(tdir):
-                os.rename(src, tdir)  # atomic whole-month move
-            else:
-                _place_files(src, tdir, link=False)
-                shutil.rmtree(src)
-        moved.setdefault(target_vol, []).append(m)
+        for m in months:
+            tdir = os.path.join(troot, f"{PARTITION_COLUMN}={m}")
+            srcs = [d for d in month_dirs(path, m) if d != tdir]
+            for src in srcs:
+                if not os.path.isdir(tdir):
+                    os.rename(src, tdir)  # atomic whole-month move
+                else:
+                    _place_files(src, tdir, link=False)
+                    shutil.rmtree(src)
+            moved.setdefault(target_vol, []).append(m)
     return {"moved": moved}
 
 
