@@ -371,9 +371,17 @@ class _BitReader:
     def restart(self, n_expected: int) -> None:
         """Byte-align onto the next restart segment (the RSTn marker
         was consumed and checked structurally at construction; the
-        sequence number is verified here)."""
+        sequence number is verified here). The previous segment must
+        be fully consumed up to byte-alignment padding — more than 7
+        leftover bits means the entropy decode desynced from the
+        marker grid (a corrupt stream the pre-r12 in-line reader
+        rejected as a missing restart marker; the segment-split
+        reader must refuse it too, not resync silently)."""
         if self.iseg >= len(self.marks):
             raise ValueError("missing JPEG restart marker")
+        if (self.end - self.bp) * 8 + self.nbits > 7:
+            raise ValueError("JPEG restart marker not byte-adjacent "
+                             "to consumed entropy data")
         if self.marks[self.iseg] != n_expected % 8:
             raise ValueError("bad JPEG restart marker sequence")
         self.iseg += 1

@@ -110,6 +110,37 @@ def test_jpeg_rejects_malformed():
         J.decode_jpeg_luma(bytes(b))
 
 
+def test_restart_segment_must_be_consumed():
+    """r12 advisor: the segment-split reader must refuse a restart
+    marker that is not byte-adjacent to the consumed entropy data,
+    like the pre-r12 in-line reader did. Injecting raw bytes before
+    an RSTn marker leaves >7 unconsumed bits at the segment switch —
+    a desynced/corrupt stream that must raise, never silently resync
+    onto the marker grid."""
+    enc = J.encode_jpeg(_smooth(40, 28), restart_interval=2, quality=95)
+    pos, ent = 2, None
+    while pos + 4 <= len(enc):  # walk headers to the SOS entropy start
+        assert enc[pos] == 0xFF
+        (ln,) = struct.unpack_from(">H", enc, pos + 2)
+        if enc[pos + 1] == 0xDA:
+            ent = pos + 2 + ln
+            break
+        pos += 2 + ln
+    assert ent is not None
+    p = ent
+    while True:  # first RSTn inside the entropy stream (skip stuffing)
+        p = enc.find(b"\xff", p)
+        assert 0 <= p < len(enc) - 1
+        if 0xD0 <= enc[p + 1] <= 0xD7:
+            break
+        p += 2
+    bad = enc[:p] + b"\x00\x00" + enc[p:]
+    with pytest.raises(ValueError, match="byte-adjacent"):
+        J.decode_jpeg_luma(bad)
+    # the untouched stream still decodes (restart path stays valid)
+    assert len(J.decode_jpeg_luma(enc)) == 28
+
+
 def test_jpeg_huffman_tables_are_canonical():
     # every encoder symbol must decode back through the decoder tables
     for enc_tbl, dec_src in [
