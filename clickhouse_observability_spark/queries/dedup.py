@@ -206,10 +206,44 @@ def dedup_corpus_index(spark, sf_dir):
     """The nightly one-pass dedup index build: md5 + token-set
     fingerprints, 64 MinHash mins and the 64-bit SimHash for every
     doc in ONE scan and ONE shuffle (128 aggregates fused over a
-    shared explode+groupBy). Rows-only: sketch internals; pytest
-    asserts bit-identical outputs vs the standalone operators and
-    pins the 1-scan/1-exchange plan."""
+    shared explode+groupBy). Rows-only (r13 audit): 68 of the 70
+    output columns are the xxhash64-seeded MinHash permutations and
+    SimHash bit-planes — Spark's xxhash64 has no DuckDB equivalent,
+    so no cross-engine oracle can exist for the sketch columns; the
+    DETERMINISTIC projection (doc_id, fp_md5, fp_tokenset,
+    n_distinct_tokens) is oracle-adjudicated separately as
+    `dedup_corpus_index_digests` THROUGH this same fused plan, and
+    pytest asserts the sketch columns bit-identical vs the
+    standalone operators + pins the 1-scan/1-exchange plan."""
     return D.corpus_index(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_corpus_index_digests",
+    # r13 audit of the rows-only residue (r12 verdict #5): the
+    # deterministic projection of the fused index build — the oracle
+    # recomputes both fingerprints and the distinct-token count from
+    # scratch, so a green row adjudicates the shared
+    # explode+groupBy+first() machinery the sketches ride on.
+    # Token-less docs never enter the explode and are absent from the
+    # index on both sides.
+    oracle=f"""
+    SELECT doc_id, md5({_NORM}) AS fp_md5,
+           md5(array_to_string(list_sort(list_distinct({_NTOKS})), ' '))
+               AS fp_tokenset,
+           len(list_distinct({_NTOKS}))::BIGINT AS n_distinct_tokens
+    FROM documents
+    WHERE len(list_distinct({_NTOKS})) > 0
+    """,
+)
+def dedup_corpus_index_digests(spark, sf_dir):
+    """The deterministic core of `dedup_corpus_index`, projected from
+    the SAME one-pass fused build (not recomputed standalone): exact
+    dedup fingerprints (normalized-text md5, sorted-distinct-token-set
+    md5) and the distinct token count."""
+    return D.corpus_index(table(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_md5", "fp_tokenset", "n_distinct_tokens"
+    )
 
 
 @register("dedup_neardup_clusters")

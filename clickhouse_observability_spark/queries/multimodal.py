@@ -129,9 +129,13 @@ def multimodal_training_pipeline(spark, sf_dir):
          nearest-neighbor resample via the Arrow mapInPandas path.
 
     Output: one row per SURVIVING image with its training tensor
-    bytes + content sha. Rows-only (binary payloads); pytest pins the
-    composition invariants (survivors == keep-list, tensors match
-    standalone resize)."""
+    bytes + content sha. Rows-only (r13 audit): every stage consumes
+    REAL codec decodes (JPEG/PNG/GIF entropy decoding) of
+    generated-in-Spark binary payloads — DuckDB has no image decoder
+    and the media rows never exist as a parquet table it could scan,
+    so no deterministic cross-engine projection exists at any stage
+    boundary. pytest pins the composition invariants instead
+    (survivors == keep-list, tensors match standalone resize)."""
     from pyspark.sql import functions as F
 
     media = M.make_neardup_image_media(spark, n_groups=48)

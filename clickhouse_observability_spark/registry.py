@@ -125,16 +125,34 @@ _WINDOW_ORDER = [
     # quantileExactWeighted), the behavioral next-node distribution,
     # the exact k-NN join, and the skip-index x schema-evolution x
     # mutation seam panel (r9 verdict #6).
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "agg_entropy",
-    "agg_topk_weighted",
-    "agg_weighted_quantiles",
-    "behavior_sequence_next_node",
-    "sim_knn_join_exact",
-    "lifecycle_index_evolution_panel",
+    # r13 rotation wave: fourteen multi-round-green entries rotated
+    # out (tpch_q7_volume_shipping, tpch_q10_returned_items,
+    # tpch_q14_promo_revenue, tpch_q19_disjunctive_revenue,
+    # tpch_q9_product_profit, agg_entropy, agg_topk_weighted,
+    # agg_weighted_quantiles, behavior_sequence_next_node,
+    # sim_knn_join_exact, lifecycle_index_evolution_panel, and the
+    # three 5-round-green lifecycle panels kept through r12's
+    # tier-aware change — lifecycle_partition_panel,
+    # lifecycle_cross_table_panel, lifecycle_skip_index_panel — whose
+    # re-adjudication of the changed enumerations came back green;
+    # every oracle stays enforced by the CI registry gate each run).
+    # In (r12 verdict #1: burn the never-adjudicated backlog, lead
+    # with the r4-r8 dodgers): text_split_drift, text_c4_filters,
+    # text_gopher_rules, text_log_templates, text_new_templates,
+    # text_perplexity_buckets, behavior_window_funnel_strict,
+    # behavior_sequence_count, agg_slo_burn_rate, agg_ch_summap,
+    # ch_dialect_wave10_panel, schema_describe_events,
+    # multimodal_frame_plan — plus the r13 conditional-TTL flagship.
+    "lifecycle_conditional_ttl_panel",
+    "text_split_drift",
+    "text_c4_filters",
+    "text_gopher_rules",
+    "text_log_templates",
+    "text_new_templates",
+    "text_perplexity_buckets",
+    "behavior_window_funnel_strict",
+    "behavior_sequence_count",
+    "agg_slo_burn_rate",
     # r7: setop_union_intersect_users + dedup_first_event_per_user_type
     # merged (1 slot freed)
     # r7: text_contamination + text_pii_scrub merged with the
@@ -156,8 +174,8 @@ _WINDOW_ORDER = [
     # lifecycle metadata-move layer, and four fresh TPC-H join/agg
     # shapes (Q9 multi-join profit, Q13 left-join distribution,
     # Q18 group-HAVING-in, Q20 nested-subquery semi-join).
-    "lifecycle_partition_panel",
-    "tpch_q9_product_profit",
+    "agg_ch_summap",
+    "ch_dialect_wave10_panel",
     # r8 wave 3: schema evolution adjudicated end-to-end (ADD COLUMN
     # default-on-read, explicit write, mutation materialization,
     # RENAME alias continuity) — window_session_panel rotated out
@@ -167,7 +185,7 @@ _WINDOW_ORDER = [
     # routing) and the Bloom-prefiltered exact decontamination sweep.
     # Out: tpch_q1_pricing + window_gap_fill_hourly (multi-round
     # green; the CI registry gate keeps both oracles enforced).
-    "lifecycle_cross_table_panel",
+    "schema_describe_events",
     # r8 wave 5: bigram Stupid-Backoff LM scoring (model half scores
     # the other half — backoff and OOV paths genuinely fire). Out:
     # text_pack_chunks (window since r4; CI gate keeps its oracle).
@@ -176,7 +194,7 @@ _WINDOW_ORDER = [
     # service-local file layout, arm raises unless files were
     # actually skipped). Out: text_dsir_weights (window since r5;
     # CI gate keeps its oracle).
-    "lifecycle_skip_index_panel",
+    "multimodal_frame_plan",
     # r11 rotation wave: eleven multi-round-green entries rotated out
     # (agg_shapes_panel, text_signal_panel, text_guard_panel,
     # text_mix_panel, agg_ch_functions_panel, dedup_exact_spans,
@@ -228,16 +246,11 @@ _WINDOW_ORDER = [
     "rollup_topk_users",
     "dedup_cluster_report",
 ]
-# r12 rotation shortlist (never driver-adjudicated, oracle-backed,
-# all green in the r11 CI gate + selfcheck at sf0.01): the six
-# cast-fixed int128 sites that queued behind the r10 reds
-# (dedup_cluster_report, text_mixture_plan, rollup_topk_counts,
-# rollup_topk_users), the r11 oracle-ifications
-# (text_quality_pareto_select, pipeline_chunked_bm25,
-# text_corpus_curation), and the r11 flagships
-# (lifecycle_column_ttl_panel, ch_dialect_bitmap_panel,
-# ch_dialect_text_panel, engine_replacing_merge_tree_schedule).
-# Rotate out only multi-round-green rows; update
+# r13 residual never-adjudicated backlog (oracle-backed, all green
+# in the CI gate + check_entries at sf0.01, queued for the r14
+# rotation): text_shard_manifest, text_weighted_sample_topk,
+# agg_segment_overlap, agg_error_anomalies, sim_contrastive_mining,
+# pipeline_retrieval. Rotate out only multi-round-green rows; update
 # test_adjudication_window_composition with every change.
 
 

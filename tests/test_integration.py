@@ -213,28 +213,23 @@ def test_adjudication_window_composition():
         # r8 rotation: the dialect's end-to-end path, the r7 operators'
         # first independent adjudication, partition lifecycle, and four
         # fresh TPC-H shapes
-        "lifecycle_partition_panel",
-        "tpch_q9_product_profit",
-        # r8 wave 4: cross-table partition movement + the Bloom-
-        # prefiltered exact decontamination sweep (out:
-        # tpch_q1_pricing, window_gap_fill_hourly — multi-round
-        # green, still CI-gated)
-        "lifecycle_cross_table_panel",
-        "lifecycle_skip_index_panel",
-        # r9 rotation: four more TPC-H shapes (all on the exact-
-        # decimal money path), the r8 aggregate tier, the behavioral
-        # next-node distribution, the exact k-NN join, and the
-        # skip-index x schema-evolution x mutation seam panel
-        "tpch_q7_volume_shipping",
-        "tpch_q10_returned_items",
-        "tpch_q14_promo_revenue",
-        "tpch_q19_disjunctive_revenue",
-        "agg_entropy",
-        "agg_topk_weighted",
-        "agg_weighted_quantiles",
-        "behavior_sequence_next_node",
-        "sim_knn_join_exact",
-        "lifecycle_index_evolution_panel",
+        # r13 rotation: the conditional-TTL flagship + thirteen
+        # never-adjudicated backlog entries (r12 verdict #1), led by
+        # the r4-r8 dodgers
+        "lifecycle_conditional_ttl_panel",
+        "text_split_drift",
+        "text_c4_filters",
+        "text_gopher_rules",
+        "text_log_templates",
+        "text_new_templates",
+        "text_perplexity_buckets",
+        "behavior_window_funnel_strict",
+        "behavior_sequence_count",
+        "agg_slo_burn_rate",
+        "agg_ch_summap",
+        "ch_dialect_wave10_panel",
+        "schema_describe_events",
+        "multimodal_frame_plan",
         # r11 rotation: the MergeTree engine family, the 100 TB
         # scoring hot path's oracle, exact LTTB, MMR, the embedding
         # audit, and the window-sweep-rewritten interval/delta
@@ -302,7 +297,6 @@ def test_adjudication_window_composition():
         "asof_general_join",
         "text_contamination",
         "text_pii_scrub",
-        "text_c4_filters",
         "text_domain_mix",
         "text_corpus_stats",
         # r8 rotation-outs: multi-round driver-green, oracles retained
@@ -359,14 +353,6 @@ def test_adjudication_window_composition():
         "text_bm25_search",
         "text_select_panel",
         "sim_topk_panel",
-        # r10 additions: the MergeTree engine family + the verdict-#4
-        # oracle-ifications (registered after the window, CI-gated)
-        "behavior_window_funnel_strict",
-        # r12 oracle-ifications of deterministic rows-only residue
-        # (verdict #5) + the dialect wave-10 panel
-        "schema_describe_events",
-        "multimodal_frame_plan",
-        "ch_dialect_wave10_panel",
         # r12 rotation-outs: multi-round driver-green, oracles
         # retained under the CI registry gate
         "tpch_q2_min_cost_supplier",
@@ -381,6 +367,33 @@ def test_adjudication_window_composition():
         "lifecycle_schema_evolution_panel",
         "text_bloom_decontaminate",
         "text_bigram_logprob",
+        # r13 rotation-outs: multi-round driver-green, oracles
+        # retained under the CI registry gate
+        "tpch_q7_volume_shipping",
+        "tpch_q10_returned_items",
+        "tpch_q14_promo_revenue",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q9_product_profit",
+        "agg_entropy",
+        "agg_topk_weighted",
+        "agg_weighted_quantiles",
+        "behavior_sequence_next_node",
+        "sim_knn_join_exact",
+        "lifecycle_index_evolution_panel",
+        "lifecycle_partition_panel",
+        "lifecycle_cross_table_panel",
+        "lifecycle_skip_index_panel",
+        # r13 oracle-ification of the audited rows-only residue
+        # (r12 verdict #5)
+        "dedup_corpus_index_digests",
+        # r13 residual never-adjudicated backlog (CI-gated, queued
+        # for the r14 rotation)
+        "text_shard_manifest",
+        "text_weighted_sample_topk",
+        "agg_segment_overlap",
+        "agg_error_anomalies",
+        "sim_contrastive_mining",
+        "pipeline_retrieval",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
