@@ -558,3 +558,47 @@ def test_online_storage_tiering_enforcement(spark, tmp_path):
         assert msgs == ["m0", "m1", "m2", "m3"]
     finally:
         s.stop(drain=False)
+
+
+def test_online_conditional_ttl_enforcement(spark, tmp_path):
+    """r13: the batcher's between-micro-batch TTL pass enforces
+    conditional rules (DELETE WHERE) too — a conditional-only armed
+    spec (no unconditional horizon) triggers apply_retention, aged
+    rows MATCHING the predicate vanish while aged non-matching and
+    fresh rows keep landing and reading back."""
+    from clickhouse_observability_spark.sources.retention import (
+        set_table_ttl,
+    )
+
+    table = LogsTable(spark, str(tmp_path / "logs"))
+    table.init_schema()
+    set_table_ttl(
+        table.path, None,
+        delete_where=[{"days": 30, "where": "level = 'INFO'"}],
+    )
+    s = IngestStream(
+        spark, table,
+        inbox_dir=str(tmp_path / "inbox"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        enforce_ttl_every_s=0.0,  # every micro-batch
+    )
+    try:
+        q = s.start()
+        fresh = dt.datetime.now(dt.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ")
+        aged_err = dict(_wire(1, ts="2020-01-05T03:40:00Z"),
+                        level="ERROR")
+        s.submit_many([
+            _wire(0, ts="2020-01-05T03:10:00Z"),  # aged INFO: deleted
+            aged_err,                             # aged ERROR: kept
+            _wire(2, ts=fresh),                   # fresh INFO: kept
+        ])
+        q.processAllAvailable()
+        # one more batch so the TTL pass definitely ran AFTER the
+        # rows landed
+        s.submit_many([_wire(3, ts=fresh)])
+        q.processAllAvailable()
+        msgs = sorted(r.msg for r in table.read().collect())
+        assert msgs == ["m1", "m2", "m3"]  # m0 aged out by predicate
+    finally:
+        s.stop(drain=False)
