@@ -101,16 +101,26 @@ _WINDOW_ORDER = [
     # batch (Q11 group-HAVING-scalar, Q12 priority classes, Q15
     # view-style max, Q16 anti-join distinct-count, Q22 substring-IN
     # dormant customers).
+    # r13 second wave: the backlog is burned to ZERO — the last six
+    # never-adjudicated entries (text_shard_manifest,
+    # text_weighted_sample_topk, agg_segment_overlap,
+    # agg_error_anomalies, sim_contrastive_mining, pipeline_retrieval)
+    # plus the new dedup_corpus_index_digests rotate in; out: seven
+    # 3-round-green rows (pipeline_retrieval_eval, text_dataset_card,
+    # text_corpus_audit, tpch_q11/q15/q16/q22 — CI gate keeps every
+    # oracle). lifecycle_ttl_rollup_panel (also 3-round-green) STAYS:
+    # the retention finish() path it exercises changed this round
+    # (conditional-delete arm + dry-run previews).
     "lifecycle_ttl_rollup_panel",
     "text_mixture_temperature",
-    "pipeline_retrieval_eval",
-    "text_dataset_card",
-    "text_corpus_audit",
-    "tpch_q11_important_values",
+    "text_shard_manifest",
+    "text_weighted_sample_topk",
+    "agg_segment_overlap",
+    "agg_error_anomalies",
+    "sim_contrastive_mining",
+    "pipeline_retrieval",
+    "dedup_corpus_index_digests",
     "tpch_q12_priority_classes",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_diversity",
-    "tpch_q22_dormant_customers",
     # r9 rotation wave: ten multi-round-green entries rotated out
     # (join_orders_enriched, tpch_q5, tpch_scalar_panel,
     # agg_hourly_panel, join_interval_error_bursts,
@@ -246,11 +256,10 @@ _WINDOW_ORDER = [
     "rollup_topk_users",
     "dedup_cluster_report",
 ]
-# r13 residual never-adjudicated backlog (oracle-backed, all green
-# in the CI gate + check_entries at sf0.01, queued for the r14
-# rotation): text_shard_manifest, text_weighted_sample_topk,
-# agg_segment_overlap, agg_error_anomalies, sim_contrastive_mining,
-# pipeline_retrieval. Rotate out only multi-round-green rows; update
+# r13: the never-adjudicated backlog is EMPTY — every oracle-backed
+# entry registered before this round has faced the driver at least
+# once. New oracle entries start a fresh backlog; rotate them in the
+# following round. Rotate out only multi-round-green rows; update
 # test_adjudication_window_composition with every change.
 
 

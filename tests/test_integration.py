@@ -197,14 +197,17 @@ def test_adjudication_window_composition():
     for flagship in (
         "lifecycle_ttl_rollup_panel",
         "text_mixture_temperature",
-        "pipeline_retrieval_eval",
-        "text_dataset_card",
-        "text_corpus_audit",
-        "tpch_q11_important_values",
         "tpch_q12_priority_classes",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_diversity",
-        "tpch_q22_dormant_customers",
+        # r13 second wave: the final six never-adjudicated entries +
+        # the new fused-index digests projection — backlog burned to
+        # zero (out: seven 3-round-green rows, CI-gated below)
+        "text_shard_manifest",
+        "text_weighted_sample_topk",
+        "agg_segment_overlap",
+        "agg_error_anomalies",
+        "sim_contrastive_mining",
+        "pipeline_retrieval",
+        "dedup_corpus_index_digests",
         # r6 rotation: three more panel merges + four round-5 flagships
         # r6 second wave
         # r7 rotation: five merges + the storage-lifecycle layers,
@@ -383,17 +386,15 @@ def test_adjudication_window_composition():
         "lifecycle_partition_panel",
         "lifecycle_cross_table_panel",
         "lifecycle_skip_index_panel",
-        # r13 oracle-ification of the audited rows-only residue
-        # (r12 verdict #5)
-        "dedup_corpus_index_digests",
-        # r13 residual never-adjudicated backlog (CI-gated, queued
-        # for the r14 rotation)
-        "text_shard_manifest",
-        "text_weighted_sample_topk",
-        "agg_segment_overlap",
-        "agg_error_anomalies",
-        "sim_contrastive_mining",
-        "pipeline_retrieval",
+        # r13 second-wave rotation-outs: 3-round driver-green,
+        # oracles retained under the CI registry gate
+        "pipeline_retrieval_eval",
+        "text_dataset_card",
+        "text_corpus_audit",
+        "tpch_q11_important_values",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_diversity",
+        "tpch_q22_dormant_customers",
     ):
         assert merged in oracles and merged not in registry._WINDOW_ORDER, merged
 
