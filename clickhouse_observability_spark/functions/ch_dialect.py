@@ -4554,7 +4554,9 @@ _TTL_MULTI_RE = re.compile(
 _TTL_CLAUSE_RE = re.compile(
     r"^\s*ts\s*\+\s*INTERVAL\s+(\d+)\s+DAY"
     r"(?:\s+(DELETE)(?:\s+WHERE\s+(.+?))?"
-    r"|\s+TO\s+(VOLUME|DISK)\s+'([^']+)')?\s*$",
+    r"|\s+TO\s+(VOLUME|DISK)\s+'([^']+)'"
+    r"|\s+RECOMPRESS\s+CODEC\s*\(\s*(\w+)\s*"
+    r"(?:\(\s*(\d+)\s*\))?\s*\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -5530,6 +5532,12 @@ def _ch_sql_stmt(
             clauses.append(
                 f"ts + INTERVAL {int(r['days'])} DAY "
                 f"DELETE WHERE {r['where']}")
+        for r in (ttl_spec or {}).get("recompress") or []:
+            lvl = r.get("level")
+            codec = r["codec"] + ("" if lvl is None else f"({int(lvl)})")
+            clauses.append(
+                f"ts + INTERVAL {int(r['days'])} DAY "
+                f"RECOMPRESS CODEC({codec})")
         if ttl_spec is not None and ttl_spec.get("retention_days") is not None:
             days = ttl_spec["retention_days"]
             gb = ttl_spec.get("group_by")
@@ -5848,6 +5856,7 @@ def _ch_sql_stmt(
         delete_days: int | None = None
         tiers: list[dict] = []
         delete_where: list[dict] = []
+        recompress: list[dict] = []
         for item in _split_top_commas(_tokenize(body)):
             clause = " ".join(item)
             mc = _TTL_CLAUSE_RE.match(clause)
@@ -5856,15 +5865,20 @@ def _ch_sql_stmt(
                     f"MODIFY TTL: unsupported clause {clause.strip()!r} "
                     "(supported: ts + INTERVAL n DAY "
                     "[DELETE [WHERE <pred>] | TO VOLUME 'v' | "
-                    "TO DISK 'd'], comma-separated; GROUP BY only "
-                    "as a single clause)")
-            days_s, is_delete, where, kind, vol = mc.groups()
+                    "TO DISK 'd' | RECOMPRESS CODEC(ZSTD(l)|LZ4)], "
+                    "comma-separated; GROUP BY only as a single "
+                    "clause)")
+            days_s, is_delete, where, kind, vol, codec, lvl = mc.groups()
             if kind:
                 tiers.append({"days": int(days_s), "volume": vol,
                               "kind": kind.upper()})
             elif where:
                 delete_where.append({"days": int(days_s),
                                      "where": where.strip()})
+            elif codec:
+                recompress.append({
+                    "days": int(days_s), "codec": codec.upper(),
+                    "level": int(lvl) if lvl is not None else None})
             else:  # bare horizon or explicit DELETE
                 if delete_days is not None:
                     raise ChDialectError(
@@ -5872,7 +5886,8 @@ def _ch_sql_stmt(
                 delete_days = int(days_s)
         try:
             set_table_ttl(logs.path, delete_days, tiers=tiers,
-                          delete_where=delete_where)
+                          delete_where=delete_where,
+                          recompress=recompress)
         except ValueError as e:
             raise ChDialectError(str(e)) from e
         return 0
@@ -5904,6 +5919,8 @@ def _ch_sql_stmt(
                 + sum(len(r["months"])
                       for r in res.get("delete_where") or [])
                 + sum(len(v) for v in (res.get("column_ttl") or {})
+                      .values())
+                + sum(len(v) for v in (res.get("recompressed") or {})
                       .values())
                 + sum(len(v) for v in (res.get("tiered") or {})
                       .values()))

@@ -32,6 +32,7 @@ def set_table_ttl(
     set_exprs: dict[str, str] | None = None,
     tiers: list[dict] | None = None,
     delete_where: list[dict] | None = None,
+    recompress: list[dict] | None = None,
 ) -> None:
     """Persist (or clear) the table's armed TTL — the at-rest state
     behind CH `ALTER TABLE ... MODIFY TTL ts + INTERVAL n DAY
@@ -62,7 +63,14 @@ def set_table_ttl(
     every other row stays (the "drop debug logs after a week, keep
     errors a year" lifecycle). Predicates are CH-dialect SQL,
     translation-checked here so an unsupported expression refuses at
-    ALTER time like CH refuses a malformed TTL."""
+    ALTER time like CH refuses a malformed TTL.
+
+    `recompress` arms recompression TTLs (r13): CH `TTL ts +
+    INTERVAL n DAY RECOMPRESS CODEC(ZSTD(l))` rules [{"days": n,
+    "codec": "ZSTD"|"LZ4", "level": int|None}] — fully-aged months
+    REWRITE under a heavier (or lighter) at-rest codec, values
+    untouched, the "hot data fast codec, cold data dense codec"
+    lifecycle."""
     import json
 
     from clickhouse_observability_spark.sources.tiering import (
@@ -72,7 +80,7 @@ def set_table_ttl(
     p = os.path.join(path, "_ttl.json")
     prior = read_table_ttl_spec(path) or {}
     columns = prior.get("columns")  # column TTLs survive table
-    if days is None and not tiers and not delete_where:
+    if days is None and not tiers and not delete_where and not recompress:
         # REMOVE TTL — CH keeps column TTLs
         if not columns:
             try:
@@ -96,6 +104,8 @@ def set_table_ttl(
             spec["to_volume"] = validate_tiers(tiers)
         if delete_where:
             spec["delete_where"] = _validate_delete_where(delete_where)
+        if recompress:
+            spec["recompress"] = _validate_recompress(recompress)
         if columns:
             spec["columns"] = columns
     os.makedirs(path, exist_ok=True)
@@ -199,6 +209,133 @@ def _validate_delete_where(rules: list[dict]) -> list[dict]:
             raise ValueError("TTL ... DELETE WHERE needs a predicate")
         _ch_expr(f"({where})")  # typo/vocabulary refusal at ALTER time
         out.append({"days": days, "where": where})
+    return out
+
+
+#: codecs a RECOMPRESS rule may target -> (spark codec name, level
+#: bounds). CH's LZ4HC(n) has no parquet analog (parquet lz4 takes no
+#: level) and is refused honestly rather than silently downgraded.
+_RECOMPRESS_CODECS = {"ZSTD": ("zstd", (1, 22)), "LZ4": ("lz4", None)}
+
+
+def _validate_recompress(rules: list[dict]) -> list[dict]:
+    """Arm-time validation of recompression TTL rules: positive
+    horizon, a parquet-expressible codec, in-bounds level (ZSTD
+    1-22; LZ4 takes none). Declaration order preserved (round-trips
+    through SHOW CREATE); enforcement picks the longest-expired
+    satisfied rule per month like the tiering mover."""
+    out = []
+    for r in rules:
+        days = int(r["days"])
+        if days <= 0:
+            raise ValueError(
+                "TTL ... RECOMPRESS horizon must be a positive day "
+                "count")
+        codec = str(r["codec"]).upper()
+        if codec not in _RECOMPRESS_CODECS:
+            raise ValueError(
+                f"RECOMPRESS CODEC({codec}) is not expressible in "
+                f"parquet at-rest storage — supported: "
+                f"{sorted(_RECOMPRESS_CODECS)} (LZ4HC has no parquet "
+                f"analog; its level knob does not exist there)")
+        level = r.get("level")
+        bounds = _RECOMPRESS_CODECS[codec][1]
+        if level is not None:
+            if bounds is None:
+                raise ValueError(f"CODEC({codec}) takes no level")
+            level = int(level)
+            if not bounds[0] <= level <= bounds[1]:
+                raise ValueError(
+                    f"CODEC({codec}({level})): level must be in "
+                    f"[{bounds[0]}, {bounds[1]}]")
+        out.append({"days": days, "codec": codec, "level": level})
+    return out
+
+
+def _codec_marker(codec: str, level: int | None) -> str:
+    """Idempotence marker filename for a recompressed location —
+    dot-prefixed so readers never see it. A later rewrite of the
+    month (mutation, compaction, collapse) replaces the directory
+    and drops the marker, so the next retention pass re-applies the
+    armed codec — the same reapply-on-merge behavior CH's TTL
+    recompression has."""
+    return f".recompressed-{codec}" + ("" if level is None
+                                       else f"-{int(level)}")
+
+
+def _apply_recompress(
+    spark: SparkSession,
+    path: str,
+    rules: list[dict],
+    now: dt.datetime,
+    dry_run: bool = False,
+) -> dict:
+    """Enforce armed recompression TTLs (r13): rewrite fully-aged
+    months under the armed rule's codec — CH's `TTL ts + INTERVAL n
+    DAY RECOMPRESS CODEC(...)`, done at the retention pass instead
+    of background merges. Values, row order and schema are untouched
+    (value-neutral like a tier move — no matview staleness).
+
+    Granularity mirrors the tiering mover: a month recompresses when
+    STRICTLY older than the horizon's cutoff month (fully expired;
+    the boundary month's young rows keep the hot-path codec), the
+    longest-expired satisfied rule wins, and a tiered month rewrites
+    in place on its own volume. Idempotence is a dot-prefixed marker
+    per location recording the applied codec+level (parquet footers
+    name the codec but not the level): marker matches -> skip, so
+    reruns are O(newly aged months). Returns {"CODEC[(level)]":
+    [months...]}; probe-only under ``dry_run`` (marker checks, zero
+    jobs)."""
+    out: dict[str, list[int]] = {}
+    if not rules:
+        return out
+    from clickhouse_observability_spark.sources.tiering import (
+        month_locations,
+    )
+    from clickhouse_observability_spark.sources.writer import (
+        parquet_ts_micros,
+    )
+
+    cutoffs = []
+    for r in rules:
+        cut = now - dt.timedelta(days=int(r["days"]))
+        cutoffs.append((cut.year * 100 + cut.month, r))
+    # ascending horizon: the LAST satisfied rule per month is the
+    # longest-expired one (ties in cutoff month resolve to it too)
+    cutoffs.sort(key=lambda x: int(x[1]["days"]))
+    for m in _partition_months(path):
+        rule = None
+        for cm, r in cutoffs:
+            if m < cm:
+                rule = r
+        if rule is None:
+            continue
+        codec, level = rule["codec"], rule.get("level")
+        marker = _codec_marker(codec, level)
+        label = codec + ("" if level is None else f"({int(level)})")
+        for vol, part_dir in month_locations(path, m):
+            if os.path.exists(os.path.join(part_dir, marker)):
+                continue  # already at the armed codec — idempotent
+            if m not in out.setdefault(label, []):
+                out[label].append(m)
+            if dry_run:
+                continue
+            df = spark.read.option("mergeSchema", "true").parquet(part_dir)
+            tmp = _debris_path(part_dir, ".tmp")
+            w = (df.sortWithinPartitions("service", "ts")
+                 .write.mode("overwrite")
+                 .option("compression",
+                         _RECOMPRESS_CODECS[codec][0]))
+            if level is not None:
+                w = w.option("parquet.compression.codec.zstd.level",
+                             str(int(level)))
+            with parquet_ts_micros(spark):
+                w.parquet(tmp)
+            _swap_partition(part_dir, tmp)
+            # marker goes into the LIVE dir after the swap; a crash
+            # before this line just recompresses once more on retry
+            with open(os.path.join(part_dir, marker), "w"):
+                pass
     return out
 
 
@@ -406,6 +543,7 @@ def apply_retention(
 
     tier_rules = read_storage_tiers(path)
     dw_rules = (spec or {}).get("delete_where") or []
+    rc_rules = (spec or {}).get("recompress") or []
 
     def finish(res: dict) -> dict:
         """Conditional-delete + column enforcement + staleness on
@@ -447,6 +585,18 @@ def apply_retention(
                 stale = _handle_stale_views(table, refresh_views)
                 res["stale_views"] = sorted(
                     set(res.get("stale_views") or []) | set(stale))
+        if rc_rules:
+            # after value-changing arms (rewrite once, under the
+            # final values), before tier moves (the rewrite happens
+            # where the month currently lives; the move is then one
+            # rename). Value-neutral: no staleness surfacing.
+            rc = _apply_recompress(spark, path, rc_rules, now,
+                                   dry_run=dry_run)
+            if drop and rc:
+                rc = {c: [m for m in ms if m not in drop]
+                      for c, ms in rc.items()}
+                rc = {c: ms for c, ms in rc.items() if ms}
+            res["recompressed"] = rc
         if tier_rules:
             if dry_run:
                 plan = plan_tiering(path, now, tier_rules)
@@ -466,7 +616,7 @@ def apply_retention(
         if not raw.strip().isdigit():
             return finish({"dropped_months": [], "rewritten": None,
                            "skipped": not col_ttls and not tier_rules
-                           and not dw_rules})
+                           and not dw_rules and not rc_rules})
         retention_days = int(raw)
     now = now or dt.datetime.now(dt.timezone.utc)
     cutoff = now - dt.timedelta(days=int(retention_days))
