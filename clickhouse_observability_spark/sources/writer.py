@@ -326,13 +326,21 @@ class LogsTable:
             # serving volume (CH system.parts' disk_name analog):
             # 'default' for the base path, the tier name otherwise
             "volume": vol,
+            # at-rest codec from the footer (CH system.parts'
+            # default_compression_codec analog; r13 RECOMPRESS TTL
+            # makes this operator-visible state): the first data
+            # column's compression — one codec per file by
+            # construction (every write path sets it file-wide)
+            "codec": (md.row_group(0).column(0).compression
+                      if md.num_row_groups else None),
         }
 
     def parts_df(self) -> DataFrame:
         rows = self.parts()
         schema = ("partition int, file string, rows bigint, bytes bigint, "
                   "min_service string, max_service string, "
-                  "min_ts string, max_ts string, volume string")
+                  "min_ts string, max_ts string, volume string, "
+                  "codec string")
         return self.spark.createDataFrame(rows, schema)
 
     # -- S1: ingestion entry point (service.go:21-47) -------------------

@@ -157,9 +157,11 @@ def test_registry_results_stable_under_hostile_session_tz(spark, sf_small):
     # lifecycle_tiering_panel (build + mover + tier-union read) and
     # ch_dialect_wave10_panel (snowflakeToDateTime emits timestamps
     # from epoch arithmetic) join the sweep.
+    # r13: lifecycle_conditional_ttl_panel joins (build + two
+    # retention passes + residency-tagged ts-bearing read).
     names = ("logs_basic", "agg_hourly", "window_sessionize",
              "lifecycle_column_ttl_panel", "lifecycle_tiering_panel",
-             "ch_dialect_wave10_panel")
+             "ch_dialect_wave10_panel", "lifecycle_conditional_ttl_panel")
 
     def snapshot():
         out = {}

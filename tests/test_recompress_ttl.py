@@ -109,6 +109,10 @@ def test_recompress_semantics_and_idempotence(spark, table):
     # idempotent rerun: marker short-circuits, nothing reported
     res2 = apply_retention(spark, table.path, now=NOW)
     assert res2["recompressed"] == {}
+    # operator visibility: system.parts attributes the at-rest codec
+    # per file (CH default_compression_codec analog)
+    codecs = {r["partition"]: r["codec"] for r in table.parts()}
+    assert codecs[202507] != "ZSTD" and codecs[202509] == "ZSTD"
     # re-arm a denser codec: the stale marker is superseded.
     # MATERIALIZE TTL applies at the REAL wall clock, where all three
     # months are past the 40-day horizon — every month recompresses
