@@ -2041,7 +2041,20 @@ _FUNCS = {
     "extractallgroups": _extract_all_groups,
     "extractallgroupsvertical": _extract_all_groups,
     "parsedatetime": _parse_datetime,
+    # ---- r13 additions: the three names the r9 URL/IP wave missed.
+    # port(url[, default]): from the authority's ':NNNN' suffix; CH
+    # returns the default (0 without one) when no explicit port.
+    # nullif: regexp_extract yields '' (not NULL) on no-match, which
+    # ANSI-mode CAST refuses.
+    "port": lambda a: (
+        f"coalesce(CAST(nullif(regexp_extract(coalesce(parse_url("
+        f"{a[0]}, 'AUTHORITY'), ''), ':([0-9]+)$', 1), '') AS INT), "
+        + (f"CAST({a[1]} AS INT))" if len(a) > 1 else "0)")),
+    # pad UTF8 twins: Spark's l/rpad are UTF-8 native already
+    "leftpadutf8": lambda a: f"lpad({', '.join(a)})",
+    "rightpadutf8": lambda a: f"rpad({', '.join(a)})",
 }
+
 
 def _uniq_combined_param(p, a):
     """uniqCombined[64](K)(x): K is the HLL register-count log2; the

@@ -508,3 +508,165 @@ def ch_dialect_wave10_panel(spark, sf_dir):
         "FROM documents",
         views={"documents": docs},
     )
+
+
+@register(
+    "ch_dialect_wave11_panel",
+    # r13: FIRST ORACLE ADJUDICATION of the dialect's URL / IP /
+    # readable-format / sub-hour-bucket tier (lowered in the r6/r9
+    # vocabulary waves but pytest-only until now) plus the three
+    # names those waves missed (port, left/rightPadUTF8). Built in
+    # the lifecycle-panel style: both engines BUILD the same URLs /
+    # byte counts / timestamps from `documents` columns, the Spark
+    # side runs the dialect functions over them, the oracle FOLDS
+    # each function algebraically from the construction (no URL
+    # parser needed — an independent re-derivation, not a
+    # reimplementation). The readable-format inputs are constructed
+    # exact at two decimals (whole or half units), so the decimal
+    # rendering never crosses a double-rounding boundary.
+    # decode/encodeURLComponent have no DuckDB twin (no url_decode/
+    # url_encode there) and stay pytest-pinned
+    # (test_r9_wave5_url_and_ip). pathFull folds CH-divergently
+    # fragment-less, matching the r9 lowering's documented shape.
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, text, lang, source,
+               CAST(doc_id % 3 AS INTEGER) AS m3,
+               doc_id % 900 + 1 AS kk,
+               CASE WHEN doc_id % 2 = 1 AND doc_id % 3 > 0
+                    THEN 0.5 ELSE 0 END AS halfb,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                    ELSE 'org' END AS tld3,
+               CASE WHEN doc_id % 4 = 0 THEN ':8443' ELSE '' END
+                   AS portpart,
+               CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END
+                   AS fragpart,
+               epoch_ms((1700000000 + doc_id * 977) * 1000) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           '/p/' || doc_id || '?id=' || doc_id || '&tag=a+b' AS pf,
+           'id=' || doc_id || '&tag=a+b' AS qs,
+           'https://' || lang || '.' || source || '.example.' || tld3
+               || portpart || '/p/' || doc_id || fragpart AS cqs,
+           'https://' || lang || '.' || source || '.example.' || tld3
+               || portpart || '/p/' || doc_id || '?id=' || doc_id
+               || '&tag=a+b' AS cf,
+           'a+b' AS ep,
+           CASE m3 WHEN 0 THEN 'com' WHEN 1 THEN 'uk'
+                ELSE 'org' END AS tld,
+           source AS fsd,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 8443 ELSE 0 END
+                AS BIGINT) AS prt,
+           '10.' || ((doc_id // 65536) % 256) || '.'
+               || ((doc_id // 256) % 256) || '.' || (doc_id % 256)
+               AS ips,
+           CAST(167772160 + doc_id AS BIGINT) AS ipn,
+           CAST(CASE WHEN (doc_id % 300) <= 255 THEN 1 ELSE 0 END
+                AS BIGINT) AS ipv,
+           CAST(CAST(kk + halfb AS DECIMAL(38, 2)) AS VARCHAR)
+               || CASE m3 WHEN 0 THEN ' B' WHEN 1 THEN ' KiB'
+                       ELSE ' MiB' END AS frs,
+           CAST(CAST(kk + halfb AS DECIMAL(38, 2)) AS VARCHAR)
+               || CASE m3 WHEN 0 THEN '' WHEN 1 THEN ' thousand'
+                       ELSE ' million' END AS frq,
+           CAST(last_day(t) AS VARCHAR) AS ldm,
+           CAST(week(t) AS BIGINT) AS iw,
+           CAST(isoyear(t) AS BIGINT) AS iy,
+           CAST(dayofyear(t) AS BIGINT) AS dy,
+           monthname(t) AS mn,
+           time_bucket(INTERVAL 15 MINUTE, t) AS m15,
+           time_bucket(INTERVAL 30 MINUTE, t) AS ts30,
+           CAST((length(text) - length(replace(text, 'the', '')))
+                / 3 AS BIGINT) AS cs,
+           CAST(strpos(lower(text), 'the') AS BIGINT) AS pci,
+           len(list_filter(['the', 'and'],
+                           x -> contains(text, x))) > 0 AS msa,
+           lpad(source, 8, '_') AS lp,
+           rpad(lang, 6, '.') AS rp
+    FROM d
+    """,
+)
+def ch_dialect_wave11_panel(spark, sf_dir):
+    """Dialect wave 11 (r13): the URL / IP / readable-format tier
+    under the driver's cross-engine gate for the first time — the
+    URL family (pathFull, queryString, cutQueryString, cutFragment,
+    extractURLParameter, topLevelDomain, firstSignificantSubdomain
+    — url2's host `<lang>.<source>.com.tr` varies the significant
+    label per row — and the NEW port, with and without an explicit
+    ':8443'), the IPv4 trio (NumToString/StringToNum round-trip +
+    the octet-range validator across valid AND invalid dotted
+    quads), the readable formatting ladders driven through three
+    magnitude branches with whole- and half-unit values, the
+    ISO-date helpers, 15/30-minute bucketing, the search helpers
+    over the real document text, and the NEW left/rightPadUTF8.
+    Map-only JVM expressions — zero shuffles, zero UDFs."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_observability_spark.functions.ch_dialect import ch_sql
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source",
+        F.expr(
+            "concat('https://', lang, '.', source, '.example.', "
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' "
+            "WHEN 1 THEN 'co.uk' ELSE 'org' END, "
+            "CASE WHEN doc_id % 4 = 0 THEN ':8443' ELSE '' END, "
+            "'/p/', CAST(doc_id AS STRING), "
+            "'?id=', CAST(doc_id AS STRING), '&tag=a+b', "
+            "CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END)"
+        ).alias("url"),
+        F.expr(
+            "concat('https://', lang, '.', source, '.com.tr/x')"
+        ).alias("url2"),
+        F.expr("timestamp_seconds(1700000000 + doc_id * 977)")
+        .alias("t"),
+        F.expr(
+            "(doc_id % 900 + 1) * CASE CAST(doc_id % 3 AS INT) "
+            "WHEN 0 THEN 1 WHEN 1 THEN 1024 ELSE 1048576 END + "
+            "CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 1 THEN 512 "
+            "WHEN doc_id % 2 = 1 AND doc_id % 3 = 2 THEN 524288 "
+            "ELSE 0 END"
+        ).alias("nbytes"),
+        F.expr(
+            "(doc_id % 900 + 1) * CASE CAST(doc_id % 3 AS INT) "
+            "WHEN 0 THEN 1 WHEN 1 THEN 1000 ELSE 1000000 END + "
+            "CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 1 THEN 500 "
+            "WHEN doc_id % 2 = 1 AND doc_id % 3 = 2 THEN 500000 "
+            "ELSE 0 END"
+        ).alias("qty"),
+    )
+    return ch_sql(
+        spark,
+        "SELECT doc_id, "
+        "pathFull(url) AS pf, "
+        "queryString(url) AS qs, "
+        "cutQueryString(url) AS cqs, "
+        "cutFragment(url) AS cf, "
+        "extractURLParameter(url, 'tag') AS ep, "
+        "topLevelDomain(url) AS tld, "
+        "firstSignificantSubdomain(url2) AS fsd, "
+        "CAST(port(url) AS BIGINT) AS prt, "
+        "IPv4NumToString(167772160 + doc_id) AS ips, "
+        "CAST(IPv4StringToNum(IPv4NumToString(167772160 + doc_id)) "
+        "AS BIGINT) AS ipn, "
+        "CAST(isIPv4String(concat('10.0.0.', "
+        "CAST(doc_id % 300 AS STRING))) AS BIGINT) AS ipv, "
+        "formatReadableSize(nbytes) AS frs, "
+        "formatReadableQuantity(qty) AS frq, "
+        "CAST(toLastDayOfMonth(t) AS STRING) AS ldm, "
+        "CAST(toISOWeek(t) AS BIGINT) AS iw, "
+        "CAST(toISOYear(t) AS BIGINT) AS iy, "
+        "CAST(toDayOfYear(t) AS BIGINT) AS dy, "
+        "monthName(t) AS mn, "
+        "toStartOfFifteenMinutes(t) AS m15, "
+        "timeSlot(t) AS ts30, "
+        "CAST(countSubstrings(text, 'the') AS BIGINT) AS cs, "
+        "CAST(positionCaseInsensitive(text, 'THE') AS BIGINT) AS pci, "
+        "multiSearchAny(text, ['the', 'and']) AS msa, "
+        "leftPadUTF8(source, 8, '_') AS lp, "
+        "rightPadUTF8(lang, 6, '.') AS rp "
+        "FROM documents",
+        views={"documents": docs},
+    )

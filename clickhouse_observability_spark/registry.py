@@ -256,11 +256,13 @@ _WINDOW_ORDER = [
     "rollup_topk_users",
     "dedup_cluster_report",
 ]
-# r13: the never-adjudicated backlog is EMPTY — every oracle-backed
-# entry registered before this round has faced the driver at least
-# once. New oracle entries start a fresh backlog; rotate them in the
-# following round. Rotate out only multi-round-green rows; update
-# test_adjudication_window_composition with every change.
+# r13: the carried never-adjudicated backlog is EMPTY — every
+# oracle-backed entry registered before this round has faced the
+# driver at least once. The fresh r14 rotation shortlist is this
+# round's own new oracle entry: ch_dialect_wave11_panel (CI-gated +
+# check_entries-green at sf0.01). Rotate out only multi-round-green
+# rows; update test_adjudication_window_composition with every
+# change.
 
 
 def queries() -> dict[str, QueryFn]:

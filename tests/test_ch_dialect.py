@@ -2829,3 +2829,25 @@ def test_r12_wave10_functions(spark):
     assert r.rt == ((((1426860702823350272 >> 22) + 1288834974657)
                      // 1000 * 1000 - 1288834974657) << 22)
     assert r.ac == 65 and r.ch == "Hi" and r.sw and r.ew
+
+
+def test_r13_port_and_utf8_pads(spark):
+    """r13's three additions to the r9 URL/pad vocabulary: port
+    (explicit ':NNNN', absent-with-0, absent-with-default — the
+    no-match '' from regexp_extract must not hit an ANSI cast) and
+    the left/rightPadUTF8 twins (multi-byte pad characters count as
+    ONE unit — Spark's l/rpad are UTF-8 native)."""
+    r = ch_sql(
+        spark,
+        "SELECT "
+        "port('https://h.com:8443/x') AS p1, "
+        "port('https://h.com/x') AS p2, "
+        "port('https://h.com/x', 443) AS p3, "
+        "port('https://u:p@h.com:9000/x') AS p4, "
+        "leftPadUTF8('héllo', 7, 'é') AS lpu, "
+        "rightPadUTF8('héllo', 7, 'é') AS rpu, "
+        "leftPadUTF8('héllo', 2) AS trunc",
+    ).collect()[0]
+    assert (r.p1, r.p2, r.p3, r.p4) == (8443, 0, 443, 9000)
+    assert r.lpu == "ééhéllo" and r.rpu == "hélloéé"
+    assert r.trunc == "hé"  # over-length input truncates like CH

@@ -74,7 +74,7 @@ def test_chfuncs_oracles_match_duckdb(spark, sf_med):
     qs, oracles = queries(), oracle_sql()
     names = sorted(n for n in oracles
                    if n.startswith(("agg_ch_", "ch_dialect_", "agg_segment_")))
-    assert len(names) == 7  # r12: + the wave-10 panel
+    assert len(names) == 8  # r13: + the wave-11 panel
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{sf_med}/events.parquet'")

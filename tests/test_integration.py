@@ -388,6 +388,9 @@ def test_adjudication_window_composition():
         "lifecycle_partition_panel",
         "lifecycle_cross_table_panel",
         "lifecycle_skip_index_panel",
+        # r13 wave-11 dialect panel (registered after the window —
+        # the fresh r14 rotation backlog, CI-gated)
+        "ch_dialect_wave11_panel",
         # r13 second-wave rotation-outs: 3-round driver-green,
         # oracles retained under the CI registry gate
         "pipeline_retrieval_eval",
