@@ -801,6 +801,57 @@ def _array_reduce(a: list[str]) -> str:
     return impls[name]()
 
 
+def _pathfull_nn(u: str) -> str:
+    """path + '?query' of a URL, never NULL — the hierarchy
+    functions' cut domain (CH cuts at / and ? of the path and
+    query-string; fragments are not part of the hierarchy)."""
+    return (f"concat(coalesce(parse_url({u}, 'PATH'), ''), "
+            f"coalesce(concat('?', parse_url({u}, 'QUERY')), ''))")
+
+
+def _hierarchy_elements(parts: str, prefix: str) -> str:
+    """The URL-hierarchy transform over lookahead-split segments:
+    element k = `prefix` + the first k segments + the NEXT segment's
+    leading separator (CH includes the boundary separator in each
+    truncation; the final element is the whole string). Java's
+    zero-width lookahead split produces no leading empty segment, so
+    every segment starts with its own separator (consecutive
+    separators land as a lone-separator segment — a documented
+    divergence from CH's treat-runs-as-one rule, reachable only from
+    malformed '//' paths)."""
+    return (
+        f"transform(sequence(1, size({parts})), "
+        f"__k -> concat({prefix}, "
+        f"concat_ws('', slice({parts}, 1, CAST(__k AS INT))), "
+        f"IF(__k < size({parts}), substring(element_at({parts}, "
+        f"CAST(__k AS INT) + 1), 1, 1), '')))")
+
+
+def _url_path_hierarchy(a: list[str]) -> str:
+    pf = _pathfull_nn(a[0])
+    parts = f"split({pf}, '(?=[/?])')"
+    elems = _hierarchy_elements(parts, "''")
+    return (f"CASE WHEN {pf} = '' "
+            f"THEN CAST(array() AS ARRAY<STRING>) "
+            f"ELSE {elems} END")
+
+
+def _url_hierarchy(a: list[str]) -> str:
+    pf = _pathfull_nn(a[0])
+    pre = (f"regexp_extract({a[0]}, "
+           f"'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)")
+    parts = f"split({pf}, '(?=[/?])')"
+    elems = _hierarchy_elements(parts, pre)
+    # the cut after the path's FIRST separator is the
+    # 'proto://host/' element — the lookahead split drops the empty
+    # segment before it (Java 8+ zero-width-at-start rule), so it is
+    # prepended explicitly; a path-less URL keeps just that element
+    first = (f"concat({pre}, "
+             f"substring(element_at({parts}, 1), 1, 1))")
+    return (f"CASE WHEN {pf} = '' THEN array(concat({pre}, '/')) "
+            f"ELSE concat(array({first}), {elems}) END")
+
+
 _FUNCS = {
     # JSON family (F1; db.go:96)
     "jsonextractstring": _json_extract(None),
@@ -2053,6 +2104,32 @@ _FUNCS = {
     # pad UTF8 twins: Spark's l/rpad are UTF-8 native already
     "leftpadutf8": lambda a: f"lpad({', '.join(a)})",
     "rightpadutf8": lambda a: f"rpad({', '.join(a)})",
+    # URL parameter arrays: CH splits the query string on & AND ;
+    "extracturlparameters": lambda a: (
+        f"CASE WHEN parse_url({a[0]}, 'QUERY') IS NULL "
+        f"THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE split(parse_url({a[0]}, 'QUERY'), '[&;]') END"),
+    "extracturlparameternames": lambda a: (
+        f"CASE WHEN parse_url({a[0]}, 'QUERY') IS NULL "
+        f"THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(split(parse_url({a[0]}, 'QUERY'), '[&;]'), "
+        f"__p -> split(__p, '=')[0]) END"),
+    # URL hierarchies (CH: the URL truncated after each / or ?
+    # boundary of the path+query, separator included — docs
+    # examples pinned in test_r13_url_hierarchy). The zero-width
+    # lookahead split keeps each boundary as its segment's first
+    # char, so element k = prefix of k segments + the NEXT
+    # segment's leading separator.
+    "urlpathhierarchy": _url_path_hierarchy,
+    "urlhierarchy": _url_hierarchy,
+    # UTF-8 validity: Spark STRING is validated at the ingest
+    # boundary (invalid sequences were replaced with U+FFFD before
+    # the value could exist in a column), so within this engine
+    # every string IS valid UTF-8 and toValidUTF8's replacement
+    # already happened — the honest lowerings are the constant and
+    # the identity, not a refusal.
+    "isvalidutf8": lambda a: f"CAST(({a[0]} IS NOT NULL) AS INT)",
+    "tovalidutf8": lambda a: a[0],
 }
 
 

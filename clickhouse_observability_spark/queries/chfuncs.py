@@ -584,7 +584,20 @@ def ch_dialect_wave10_panel(spark, sf_dir):
            len(list_filter(['the', 'and'],
                            x -> contains(text, x))) > 0 AS msa,
            lpad(source, 8, '_') AS lp,
-           rpad(lang, 6, '.') AS rp
+           rpad(lang, 6, '.') AS rp,
+           '/p/|/p/' || doc_id || '?|/p/' || doc_id || '?id='
+               || doc_id || '&tag=a+b' AS uph,
+           'https://' || lang || '.' || source || '.example.' || tld3
+               || portpart || '/|'
+               || 'https://' || lang || '.' || source || '.example.'
+               || tld3 || portpart || '/p/|'
+               || 'https://' || lang || '.' || source || '.example.'
+               || tld3 || portpart || '/p/' || doc_id || '?|'
+               || 'https://' || lang || '.' || source || '.example.'
+               || tld3 || portpart || '/p/' || doc_id || '?id='
+               || doc_id || '&tag=a+b' AS uhier,
+           'id=' || doc_id || ',tag=a+b' AS eps,
+           'id,tag' AS epn
     FROM d
     """,
 )
@@ -600,7 +613,11 @@ def ch_dialect_wave11_panel(spark, sf_dir):
     quads), the readable formatting ladders driven through three
     magnitude branches with whole- and half-unit values, the
     ISO-date helpers, 15/30-minute bucketing, the search helpers
-    over the real document text, and the NEW left/rightPadUTF8.
+    over the real document text, the NEW left/rightPadUTF8, and the
+    NEW URL hierarchy/parameter arrays (URLHierarchy /
+    URLPathHierarchy / extractURLParameters / Names — stringified
+    with arrayStringConcat for the driver's atomic-schema hasher,
+    the oracle folding every element from the construction).
     Map-only JVM expressions — zero shuffles, zero UDFs."""
     from pyspark.sql import functions as F
 
@@ -666,7 +683,11 @@ def ch_dialect_wave11_panel(spark, sf_dir):
         "CAST(positionCaseInsensitive(text, 'THE') AS BIGINT) AS pci, "
         "multiSearchAny(text, ['the', 'and']) AS msa, "
         "leftPadUTF8(source, 8, '_') AS lp, "
-        "rightPadUTF8(lang, 6, '.') AS rp "
+        "rightPadUTF8(lang, 6, '.') AS rp, "
+        "arrayStringConcat(URLPathHierarchy(url), '|') AS uph, "
+        "arrayStringConcat(URLHierarchy(url), '|') AS uhier, "
+        "arrayStringConcat(extractURLParameters(url), ',') AS eps, "
+        "arrayStringConcat(extractURLParameterNames(url), ',') AS epn "
         "FROM documents",
         views={"documents": docs},
     )

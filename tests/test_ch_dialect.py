@@ -2851,3 +2851,40 @@ def test_r13_port_and_utf8_pads(spark):
     assert (r.p1, r.p2, r.p3, r.p4) == (8443, 0, 443, 9000)
     assert r.lpu == "ééhéllo" and r.rpu == "hélloéé"
     assert r.trunc == "hé"  # over-length input truncates like CH
+
+
+def test_r13_url_hierarchy_and_parameter_arrays(spark):
+    """URLHierarchy / URLPathHierarchy pinned on ClickHouse's own
+    docs examples (boundary separator included in each truncation,
+    the bare 'proto://host/' element leads, path-less URLs keep just
+    it), extractURLParameters/Names (CH splits on & AND ;), and the
+    honest in-engine UTF-8 validators (Spark strings are validated
+    at the ingest boundary, so isValidUTF8 is the NOT-NULL constant
+    and toValidUTF8 the identity)."""
+    r = ch_sql(
+        spark,
+        "SELECT "
+        "URLPathHierarchy("
+        "'https://example.com/browse/CONV-6788') AS ph, "
+        "URLHierarchy('https://example.com/browse/CONV-6788') AS uh, "
+        "URLHierarchy('https://example.com/a/b?page=1') AS uq, "
+        "URLHierarchy('https://example.com') AS bare, "
+        "URLPathHierarchy('https://example.com') AS bare_p, "
+        "extractURLParameters('https://h/a?x=1&y=2;z=3') AS eps, "
+        "extractURLParameterNames('https://h/a?x=1&y=2') AS epn, "
+        "extractURLParameters('https://h/a') AS eps0, "
+        "isValidUTF8('héllo') AS iv, "
+        "isValidUTF8(NULL) AS ivn, "
+        "toValidUTF8('héllo') AS tv",
+    ).collect()[0]
+    assert r.ph == ["/browse/", "/browse/CONV-6788"]  # CH docs example
+    assert r.uh == ["https://example.com/",
+                    "https://example.com/browse/",
+                    "https://example.com/browse/CONV-6788"]
+    assert r.uq == ["https://example.com/", "https://example.com/a/",
+                    "https://example.com/a/b?",
+                    "https://example.com/a/b?page=1"]
+    assert r.bare == ["https://example.com/"] and r.bare_p == []
+    assert r.eps == ["x=1", "y=2", "z=3"] and r.epn == ["x", "y"]
+    assert r.eps0 == []
+    assert (r.iv, r.ivn, r.tv) == (1, 0, "héllo")
