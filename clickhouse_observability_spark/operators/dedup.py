@@ -98,13 +98,16 @@ def _char_shingles(k: int) -> Column:
     )
 
 
-# Strategy-probe cache: whether a corpus fits the 64-bit bitmask path
-# (and its vocab->bit map) is an INDEX artifact of the corpus, not of
-# the query — probing it costs one distinct-scan over all shingles, so
-# callers that query the same immutable corpus repeatedly pass a
-# cache_key (e.g. the table path) and pay that scan once.
-_VOCAB_CACHE: dict[tuple, list | None] = {}
-_COUNT_CACHE: dict[str, int] = {}
+# Per-invocation shared-subtree persist (r13 optimization round):
+# `groups` feeds the bucket join AND both expansion joins AND the
+# within-group pairs — four full corpus-scan+shuffle evaluations
+# without ReusedExchange — so it is persist()ed per INVOCATION via
+# session.fresh_persist (eviction-before-persist: no cross-run
+# CacheManager reuse; see session.py for the contract).
+from clickhouse_observability_spark.session import (  # noqa: E402
+    _FRESH_PERSISTED as _LIVE_PERSISTED,
+    fresh_persist as _fresh_persist,
+)
 
 
 def jaccard_pairs(
@@ -115,7 +118,7 @@ def jaccard_pairs(
     strategy: str = "auto",
     char_k: int | None = None,
     max_df_frac: float | None = None,
-    cache_key: str | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold.
 
@@ -135,11 +138,12 @@ def jaccard_pairs(
       (df-capping bounds the join fan-out at scale).
 
     `max_df` / `max_df_frac` (fraction of the corpus, resolved via a
-    parquet-metadata count) apply under EITHER strategy: one hot
-    shingle shared by most docs makes the inverted-index self-join
-    quadratic, so the frequent-shingle cap is the default at scale —
-    similarity is then measured over the capped shingle space on both
-    sides (docs whose every shingle is capped drop out).
+    count per invocation — no cross-run memo) apply under EITHER
+    strategy: one hot shingle shared by most docs makes the
+    inverted-index self-join quadratic, so the frequent-shingle cap is
+    the default at scale — similarity is then measured over the capped
+    shingle space on both sides (docs whose every shingle is capped
+    drop out).
 
     Jaccard = c/(|A|+|B|-c) is a ratio of small ints — bit-identical
     in any engine, so the threshold compare matches the SQL oracle
@@ -148,17 +152,17 @@ def jaccard_pairs(
     if max_df_frac is not None:
         if max_df is not None:
             raise ValueError("pass max_df or max_df_frac, not both")
-        if cache_key is not None and cache_key in _COUNT_CACHE:
-            n_docs = _COUNT_CACHE[cache_key]
-        else:
-            n_docs = documents.count()
-            if cache_key is not None:
-                _COUNT_CACHE[cache_key] = n_docs
-        max_df = int(max_df_frac * n_docs)
+        # n_docs lets callers that know the corpus file resolve the
+        # fraction from the parquet footer (parquet_row_count) instead
+        # of paying a count() job; both are per-invocation reads of
+        # the input, never a memo
+        max_df = int(max_df_frac * (
+            n_docs if n_docs is not None else documents.count()
+        ))
     if strategy == "auto":
         strategy = "bitmask" if ngram == 1 and char_k is None else "index"
     if strategy == "bitmask":
-        masks = _token_masks(documents, ngram, max_df=max_df, cache_key=cache_key)
+        masks = _token_masks(documents, ngram, max_df=max_df)
         if masks is not None:
             return _jaccard_pairs_bitmask(masks, threshold)
         strategy = "index"
@@ -197,64 +201,42 @@ def jaccard_pairs(
     )
 
 
-def _probe_vocab(sh: DataFrame, max_df: int | None) -> list | None:
-    """Distinct-shingle probe: the (df-capped) vocabulary if it fits
-    in 64 entries, else None. One shuffle over all shingles."""
+def _probe_vocab_rows(sh: DataFrame, max_df: int | None) -> list | None:
+    """Distinct-shingle probe: the (df-capped) vocabulary — as rows
+    of (shingle, df, h) where h is the shingle's minhash base hash —
+    if it fits in 64 entries, else None. ONE job over all shingles;
+    carrying the base hash here lets the LSH path skip a second
+    hash-the-vocab job (the hash is a per-key expression, so it rides
+    the same aggregate output for free)."""
     vocab_src = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         vocab_src = vocab_src.filter(F.col("df") <= max_df)
-    vocab = [r.shingle for r in vocab_src.select("shingle").limit(65).collect()]
-    return None if len(vocab) > 64 else vocab
+    rows = vocab_src.select(
+        "shingle", "df",
+        F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h"),
+    ).limit(65).collect()
+    return None if len(rows) > 64 else rows
 
 
 def _masks_and_vocab(
     documents: DataFrame,
     ngram: int = 1,
     max_df: int | None = None,
-    cache_key: str | None = None,
 ) -> tuple[DataFrame | None, list | None]:
-    """((doc_id, mask), vocab) with each shingle mapped to one bit, or
-    (None, None) if the shingle vocabulary exceeds 64. The vocab is
-    tiny by construction -> collected once and broadcast as a literal
-    map. With `max_df`, frequent shingles leave the vocabulary (their
-    bits never exist), so the popcount jaccard runs over the capped
-    shingle space — same semantics as the index path's df cap.
-    With `cache_key`, the probe's verdict (vocab or doesn't-fit) is
-    reused across calls on the same corpus."""
+    """((doc_id, mask), vocab rows) with each shingle mapped to one
+    bit, or (None, None) if the shingle vocabulary exceeds 64. The
+    vocab is tiny by construction -> collected once (a single probe
+    job per invocation — no cross-run memo) and broadcast as a
+    literal map. With `max_df`, frequent shingles leave the
+    vocabulary (their bits never exist), so the popcount jaccard runs
+    over the capped shingle space — same semantics as the index
+    path's df cap."""
     sh = documents.select("doc_id", F.explode(_shingles(ngram)).alias("shingle"))
-    ck = (cache_key, ngram, max_df) if cache_key is not None else None
-    if ck is not None and ck in _VOCAB_CACHE:
-        vocab = _VOCAB_CACHE[ck]
-    elif cache_key is not None:
-        # One UNFILTERED probe (with df counts) settles every df-cap
-        # variant of this corpus at once: if the full vocab fits 64,
-        # any capped vocab is derivable driver-side — so the capped
-        # jaccard and the uncapped minhash probes share one scan.
-        rows = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .limit(65)
-            .collect()
-        )
-        if len(rows) <= 64:
-            _VOCAB_CACHE[(cache_key, ngram, None)] = sorted(r.shingle for r in rows)
-            if max_df is not None:
-                _VOCAB_CACHE[ck] = sorted(
-                    r.shingle for r in rows if r.df <= max_df
-                )
-            vocab = _VOCAB_CACHE[ck]
-        else:
-            _VOCAB_CACHE[(cache_key, ngram, None)] = None
-            if max_df is not None:
-                vocab = _probe_vocab(sh, max_df)
-                _VOCAB_CACHE[ck] = vocab
-            else:
-                vocab = None
-    else:
-        vocab = _probe_vocab(sh, max_df)
-    if vocab is None:
+    vocab_rows = _probe_vocab_rows(sh, max_df)
+    if vocab_rows is None:
         return None, None
-    bit_of = {s: i for i, s in enumerate(sorted(vocab))}
+    bit_of = {r.shingle: i
+              for i, r in enumerate(sorted(vocab_rows, key=lambda r: r.shingle))}
     mapping = F.create_map(
         *[x for s, i in bit_of.items() for x in (F.lit(s), F.lit(i))]
     )
@@ -263,25 +245,30 @@ def _masks_and_vocab(
         .filter(F.col("bit").isNotNull())
         .groupBy("doc_id")
         .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("mask"))
-    ), vocab
+    ), vocab_rows
 
 
 def _token_masks(
     documents: DataFrame,
     ngram: int = 1,
     max_df: int | None = None,
-    cache_key: str | None = None,
 ) -> DataFrame | None:
-    return _masks_and_vocab(documents, ngram, max_df, cache_key)[0]
+    return _masks_and_vocab(documents, ngram, max_df)[0]
 
 
 def _jaccard_pairs_bitmask(masks: DataFrame, threshold: float) -> DataFrame:
     """Pairwise Jaccard over DISTINCT masks (popcount arithmetic),
     expanded back to doc pairs. Mask-groups are tiny relative to
-    docs; the M×M compare broadcasts one side. (groups feeds only two
-    branches here, one of them broadcast — measured, persisting it
-    costs more in cache materialization than the saved scan.)"""
-    groups = masks.groupBy("mask").agg(F.collect_list("doc_id").alias("ids"))
+    docs; the M×M compare broadcasts one side. `groups` feeds three
+    subtrees (stream side, broadcast side, within-group pairs) that
+    Spark would otherwise each evaluate from the corpus scan —
+    persisted once per invocation (r13: replaces the corpus-keyed
+    cross-run persist registry; every invocation recomputes from
+    parquet)."""
+    groups = _fresh_persist(
+        masks.groupBy("mask").agg(F.collect_list("doc_id").alias("ids")),
+        "jaccard_bitmask_groups",
+    )
     g1 = groups.select(F.col("mask").alias("m1"), F.col("ids").alias("ids1"))
     g2 = groups.select(F.col("mask").alias("m2"), F.col("ids").alias("ids2"))
     inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2")))
@@ -398,7 +385,6 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
-    cache_key: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on all
     rows of any band land in the same bucket. O(n·bands) bucket rows;
@@ -418,11 +404,11 @@ def minhash_lsh_candidates(
     pairs are emitted directly. Same output, bucket join shrinks from
     n to #distinct-sets rows.
     """
-    masks, vocab = _masks_and_vocab(documents, ngram=1, cache_key=cache_key)
+    masks, vocab_rows = _masks_and_vocab(documents, ngram=1)
     if masks is not None:
         return _lsh_candidates_grouped(
-            documents, masks, num_hashes, bands, seed, vocab=vocab,
-            cache_key=cache_key,
+            documents, masks, num_hashes, bands, seed,
+            vocab_rows=vocab_rows,
         )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, seed)
@@ -454,38 +440,6 @@ def minhash_lsh_candidates(
     )
 
 
-#: Persisted (mask -> ids) frames, keyed by the caller's cache_key (or
-#: a single default slot when none is given). Persisting a new corpus
-#: under an occupied key unpersists the old frame first, so a session
-#: that queries many distinct corpora holds at most one cached groups
-#: frame per key instead of leaking one per call. release_lsh_caches()
-#: is the explicit eviction hook (mirrors the BPE/PQ lifecycles).
-_GROUPS_PERSISTED: dict[str, DataFrame] = {}
-
-
-def _persist_groups(cache_key: str | None, groups: DataFrame) -> DataFrame:
-    key = cache_key if cache_key is not None else "__uncached__"
-    old = _GROUPS_PERSISTED.get(key)
-    if old is not None and old is not groups:
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    groups = groups.persist()
-    _GROUPS_PERSISTED[key] = groups
-    return groups
-
-
-def release_lsh_caches() -> None:
-    """Unpersist every cached (mask -> ids) groups frame."""
-    for df in _GROUPS_PERSISTED.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _GROUPS_PERSISTED.clear()
-
-
 def _lsh_candidates_grouped(
     documents: DataFrame,
     masks: DataFrame,
@@ -494,72 +448,76 @@ def _lsh_candidates_grouped(
     seed: int,
     min_jaccard: float | None = None,
     with_jaccard: bool = False,
-    vocab: list | None = None,
-    cache_key: str | None = None,
+    vocab_rows: list | None = None,
 ) -> DataFrame:
     """LSH banding over distinct shingle-set masks (vocab <= 64).
 
     Signatures are computed per MASK from the per-bit token hashes
-    (vocab is tiny -> token base hashes collected once, embedded as a
-    bit->hash literal map); banding and bucket self-join run over the
-    distinct masks only. Doc pairs = expanded qualifying mask pairs +
-    all pairs within each identical-mask group.
+    (vocab is tiny -> token base hashes ride the strategy probe's own
+    aggregate output, embedded as a bit->hash literal map — no second
+    corpus scan and no hash-the-vocab job); banding and bucket
+    self-join run over the distinct masks only. Doc pairs = expanded
+    qualifying mask pairs + all pairs within each identical-mask
+    group.
     """
-    spark = documents.sparkSession
     rows_per_band = num_hashes // bands
     params = _perm_params(num_hashes, seed)
 
-    # vocab bit -> permuted-base hash, computed the same way the
-    # generic path hashes tokens (xxhash64 then mod P). With the probe
-    # vocab in hand, hash the <=64 literal shingles in one local job —
-    # no second corpus scan; bit order (sorted) matches the mask bits.
-    if vocab is not None:
-        lit_frame = spark.createDataFrame(
-            [(s,) for s in sorted(vocab)], "shingle string"
-        )
-        vocab_rows = lit_frame.select(
-            "shingle", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h")
-        ).collect()
-    else:
+    if vocab_rows is None:
+        # standalone call without a probe in hand: hash the distinct
+        # shingles in one corpus job (same expression as the probe)
         sh = documents.select(F.explode(_shingles(1)).alias("shingle")).distinct()
         vocab_rows = sh.select(
             "shingle", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h")
         ).collect()
     bit_h = {i: r.h for i, r in enumerate(sorted(vocab_rows, key=lambda r: r.shingle))}
 
-    # SQL-side lambdas: shiftright/map lookup with a column bit index
+    # SQL-side lambdas: shiftright/map lookup with a column bit index.
+    # The bit->hash map is ONE parsed literal (a create_map over 128
+    # F.lit Columns costs ~128 py4j round-trips of pure driver time
+    # per invocation — measured as the bulk of a 1.3s plan-build)
     bits_of = F.expr("filter(sequence(0, 63), j -> (shiftright(mask, j) & 1) = 1)")
-    hmap = F.create_map(*[x for k, v in bit_h.items() for x in (F.lit(k), F.lit(v))])
+    hmap = F.expr(
+        "map(" + ", ".join(f"{k}, {v}L" for k, v in bit_h.items()) + ")"
+    ) if bit_h else F.create_map()
     # groups feeds the bucket join AND both expansion joins AND the
     # within-group pairs — four subtree evaluations without reuse
     # (ReusedExchange doesn't fire across these shapes), each one a
     # full corpus explode+shuffle. The frame is O(n) ids total ->
-    # persist it; repeat calls share the cache via plan matching, and
-    # the keyed registry evicts the previous corpus's frame so
-    # distinct corpora don't accumulate cached frames for the session.
-    groups = _persist_groups(
-        cache_key,
+    # persisted per INVOCATION (_fresh_persist: the previous call's
+    # entry is evicted first, so no cross-run reuse is possible).
+    groups = _fresh_persist(
         masks.groupBy("mask").agg(F.collect_list("doc_id").alias("ids")),
+        "lsh_groups",
     )
     with_bits = groups.select("mask", "ids", bits_of.alias("bits"), hmap.alias("hm"))
-    sig_cols = [
-        F.expr(
-            f"array_min(transform(bits, j -> "
-            f"pmod(element_at(hm, j) * {a}L + {b}L, {_MERSENNE}L)))"
-        ).alias(f"m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = with_bits.select("mask", "ids", *sig_cols)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(bd).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"m{bd * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
+    # ONE array expression computes all K mins (identical pmod
+    # arithmetic to the former K separate columns — r13: K big
+    # py4j-built Column trees collapsed into a single parsed
+    # expression, which cuts both query-construction time and
+    # analysis/codegen size)
+    params_sql = ", ".join(
+        f"named_struct('a', {a}L, 'b', {b}L)" for a, b in params
+    )
+    sig_expr = F.expr(
+        f"transform(array({params_sql}), p -> "
+        f"array_min(transform(bits, j -> "
+        f"pmod(element_at(hm, j) * p.a + p.b, {_MERSENNE}L))))"
+    )
+    sig = with_bits.select("mask", "ids", sig_expr.alias("sig"))
+    # banding as one parsed expression too (same xxhash64-over-rows
+    # buckets; sig[i] is 0-based getItem == element_at(sig, i+1))
+    band_cols = F.expr(
+        "array(" + ", ".join(
+            "named_struct('band', {bd}, 'bucket', xxhash64({args}))".format(
+                bd=bd,
+                args=", ".join(
+                    f"element_at(sig, {bd * rows_per_band + r + 1})"
+                    for r in range(rows_per_band)
+                ),
             )
             for bd in range(bands)
-        ]
+        ) + ")"
     )
     buckets = sig.select("mask", F.explode(band_cols).alias("bb")).select(
         "mask", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -620,7 +578,6 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 8,
     seed: int = 42,
-    cache_key: str | None = None,
 ) -> DataFrame:
     """LSH candidates re-ranked by exact Jaccard (candidate-only — the
     expensive exact check runs on bucket-mates, not all pairs). On
@@ -632,14 +589,14 @@ def minhash_dedup_pairs(
     steeper collision curve (1-(1-s^8)^8) cuts band-collision volume
     ~3× on an everything-similar corpus at ≥99.6% recall measured vs
     16×4 at threshold 0.9 (s=0.9 theoretical collision 0.989)."""
-    masks, vocab = _masks_and_vocab(documents, ngram=1, cache_key=cache_key)
+    masks, vocab_rows = _masks_and_vocab(documents, ngram=1)
     if masks is not None:
         return _lsh_candidates_grouped(
             documents, masks, num_hashes, bands, seed,
-            min_jaccard=threshold, with_jaccard=True, vocab=vocab,
-            cache_key=cache_key,
+            min_jaccard=threshold, with_jaccard=True,
+            vocab_rows=vocab_rows,
         )
-    cand = minhash_lsh_candidates(documents, num_hashes, bands, seed, cache_key)
+    cand = minhash_lsh_candidates(documents, num_hashes, bands, seed)
     ranked = jaccard_for_candidates(documents, cand)
     return ranked.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"

@@ -229,11 +229,42 @@ def winnowing_fingerprints(
     # spread it when the input has fewer partitions than the cluster
     # has slots. At real scale the corpus arrives in many files and
     # this is a no-op — no shuffle added.
+    documents = respread_for_compute(documents)
+    # 0/1-element explode: Generate evaluates the whole chain once per
+    # row (a plain filter+select over the alias would re-evaluate it
+    # per reference after CollapseProject) and drops too-short docs.
+    return documents.select(
+        "doc_id", F.explode(winnow_summary_expr(k, window)).alias("r")
+    ).select("doc_id", "r.n_fingerprints", "r.min_fp")
+
+
+def respread_for_compute(documents: DataFrame) -> DataFrame:
+    """Re-spread a small-file scan across the cluster's slots for a
+    compute-heavy map stage (~|text| md5/window-min evaluations per
+    doc): a one-row-group corpus scans as a single task, serializing
+    all that arithmetic. At real scale the corpus arrives in many
+    files and this is a no-op — no shuffle added."""
     sc = documents.sparkSession.sparkContext
     slots = sc.defaultParallelism
     if documents.rdd.getNumPartitions() < max(2, slots // 2):
         documents = documents.repartition(slots)
-    summary = F.expr(
+    return documents
+
+
+def winnow_summary_expr(k: int, window: int, keep_all: bool = False) -> Column:
+    """The winnowing per-doc summary as a 0/1-element struct-array
+    Column (explode it so Generate evaluates the chain exactly once
+    per row). With keep_all=True, docs too short to yield a
+    fingerprint emit a NULL-fields struct instead of an empty array —
+    the fused fingerprint-panel form, where the LEFT-join semantics
+    of the standalone operator are inlined as nullable columns."""
+    empty = (
+        f"array(named_struct('n_fingerprints', CAST(NULL AS bigint), "
+        f"'min_fp', CAST(NULL AS string)))"
+        if keep_all
+        else "array()"
+    )
+    return F.expr(
         f"""flatten(transform(array({_NORM_SQL}), norm ->
             flatten(transform(array(CASE WHEN length(norm) >= {k} THEN
                 transform(sequence(1, length(norm) - {k} + 1),
@@ -247,13 +278,7 @@ def winnowing_fingerprints(
                   array(named_struct(
                       'n_fingerprints', cast(size(array_distinct(fps)) AS bigint),
                       'min_fp', array_min(fps)))
-                ELSE array() END))))))"""
-    )
-    # 0/1-element explode: Generate evaluates the whole chain once per
-    # row (a plain filter+select over the alias would re-evaluate it
-    # per reference after CollapseProject) and drops too-short docs.
-    return documents.select("doc_id", F.explode(summary).alias("r")).select(
-        "doc_id", "r.n_fingerprints", "r.min_fp"
+                ELSE {empty} END))))))"""
     )
 
 
@@ -897,31 +922,52 @@ def token_distribution_drift(a: DataFrame, b: DataFrame) -> DataFrame:
     (did the crawl shift?) or between train and held-out splits (is
     the split representative?). Both inputs are (doc_id, text).
 
+    Delegates to the tagged single-pass core: the two sides union
+    with a side flag, so the joint (token, ca, cb) frame falls out of
+    ONE conditional aggregation — one shuffle total instead of one
+    per side plus a vocab full-outer join (r13, guide §2.3/§2.4:
+    aggregate before you shuffle / remove shuffles outright). When
+    both sides are filters of the same table, prefer
+    token_distribution_drift_tagged directly — it runs off a single
+    corpus scan.
+    """
+    tagged = a.select("text", F.lit(False).alias("_is_b")).unionByName(
+        b.select("text", F.lit(True).alias("_is_b"))
+    )
+    return token_distribution_drift_tagged(tagged, "_is_b")
+
+
+def token_distribution_drift_tagged(
+    tagged: DataFrame, b_flag: str
+) -> DataFrame:
+    """Single-pass core of token_distribution_drift: `tagged` carries
+    text plus a boolean `b_flag` column (False = side a, True = side
+    b). One explode + one (token)-keyed conditional aggregation
+    yields the joint vocab frame directly — identical (ca, cb)
+    integer counts to the old per-side-aggregate + full-outer-join
+    shape, with one corpus pass and one shuffle.
+
     Output: token totals and vocab sizes per side, out-of-vocabulary
     mass in each direction, and the add-one-smoothed KL divergences +
-    Jensen-Shannon divergence over the joint vocabulary.
-
-    Shape at scale: each side collapses to its (token, count) frame
-    (one shuffle each, map-side partial aggregation), a full outer
-    join aligns the two VOCAB-sized frames (never corpus-sized), and
-    one global aggregate folds the divergence sums. log() is natural
-    log in both Spark and DuckDB, but float summation order differs —
-    divergences are rounded for any cross-engine comparison.
+    Jensen-Shannon divergence over the joint vocabulary. log() is
+    natural log in both Spark and DuckDB, but float summation order
+    differs — divergences are floor-quantized for any cross-engine
+    comparison.
     """
-    def _counts(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.select(F.explode(tokens(normalized_text("text"))).alias("tok"))
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).alias(name))
+    a = tagged  # sparkSession owner for the bounded result frames
+    flag = F.col(b_flag)
+    # persisted WITHIN this invocation (released before returning):
+    # the joint vocab frame feeds two aggregates — totals for
+    # smoothing, then the divergence sums
+    joint = (
+        tagged.select(flag.alias("_b"),
+                      F.explode(tokens(normalized_text("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(~F.col("_b"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("cb"),
         )
-
-    ca, cb = _counts(a, "ca"), _counts(b, "cb")
-    # persisted: the joint vocab frame feeds two aggregates (totals
-    # for smoothing, then the divergence sums) — without it both
-    # corpora's token aggregations and the outer join run twice
-    joint = ca.join(cb, "tok", "full_outer").select(
-        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
-        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        .select("ca", "cb")
     ).persist()
     # totals folded in the same aggregate pass via sum windows-free
     # arithmetic: smoothing needs vocab size + totals, so aggregate
@@ -991,7 +1037,12 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     side combine); corpus totals ride along as a broadcast one-row
     frame (no driver collect); token probabilities join back to the
     exploded stream on the token key; one per-doc aggregate. Two
-    shuffles total, both on bounded-width keys.
+    shuffles total, both on bounded-width keys. (r13 note: the
+    counts subtree feeds both the totals aggregate and the
+    probability join and is evaluated twice — measured, a
+    per-invocation persist of the vocab frame costs MORE here than
+    the duplicated vocab-sized aggregate at bench scale; the double
+    evaluation is one extra scan of the corpus + one vocab shuffle.)
     """
     tk = documents.select(
         "doc_id", F.explode(tokens("text")).alias("tok")
@@ -1194,6 +1245,155 @@ def pack_training_chunks_grouped(
         (lo - F.col("chunk_id") * budget).cast("long").alias("chunk_tok_start"),
         (hi - lo).cast("long").alias("n_toks"),
     )
+
+
+def pack_layout_panel(
+    documents: DataFrame,
+    budget: int = 512,
+    group_by: str = "source",
+    overlap_budget: int = 32,
+    overlap_stride: int = 24,
+) -> DataFrame:
+    """All three packing layouts — 'global' concat-and-chunk,
+    'by_source' (per-group streams), 'doc_overlap' sliding windows —
+    off ONE tokenization scan, ONE range partitioning and ONE
+    subtotal collect (r13, guide §2.4: two operations keyed the same
+    way share one exchange).
+
+    Bit-identical to composing pack_training_chunks +
+    pack_training_chunks_grouped + chunk_documents_overlap (each
+    layout depends only on its stream's global order, never on where
+    partition boundaries land): range-partitioning by the layout key
+    (doc_id) keeps pid order == doc_id order for the corpus AND for
+    every group subset, so ONE (group × pid) subtotal aggregate
+    yields the global offsets (sum over groups per pid, cumsum in
+    pid order) and each group's offsets (cumsum over pids per group)
+    at once. The offsets never visit the driver: the subtotal frame
+    is bounded by (#groups × #partitions), its cumsum windows are
+    bounded the same way, and it broadcast-joins back onto the
+    checkpointed counts — no collect, no literal maps (vs the
+    per-packer composition: 3 checkpoints + 2 driver collects -> 1
+    checkpoint + 0). Both row-level cumsum windows run behind the
+    same hash(_pid) exchange (HashPartitioning(_pid) satisfies the
+    (grp,_pid) clustering — the second window re-sorts, never
+    re-shuffles), and the two packed arms leave one Generate as a
+    2-struct unpivot so the shared subtree is evaluated once. The
+    overlap arm is map-only off the same checkpointed counts.
+
+    Output: (mode, source, doc_id, chunk_id, doc_tok_start,
+    chunk_tok_start, n_toks); chunk ids count from 0 per stream.
+    """
+    from pyspark.sql import Window as W
+
+    sc = documents.sparkSession.sparkContext
+    nparts = max(2, sc.defaultParallelism)
+    _NULL_GRP = "\x00<NULL>"
+    counts = pack_token_counts(documents, group_by).select(
+        F.col(group_by).alias("grp"), "doc_id", "n_tokens"
+    )
+    t = (
+        counts.repartitionByRange(nparts, F.col("doc_id").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_gkey",
+            F.coalesce(F.col("grp").cast("string"), F.lit(_NULL_GRP)),
+        )
+        # one materialization pins partition ids for the offsets
+        # subtree AND the row subtree (repartitionByRange samples per
+        # execution; see pack_training_chunks)
+        .localCheckpoint(eager=True)
+    )
+    # offsets, fully in-plan: exclusive prefix sums over the bounded
+    # subtotal frame. The frames here are (#groups x nparts) rows at
+    # most, so the unpartitioned pid-ordered window is bounded by
+    # cluster width, not data.
+    sub = t.groupBy("_gkey", "_pid").agg(F.sum("n_tokens").alias("tot"))
+    w_gp = W.orderBy(F.col("_pid").asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_sp = W.partitionBy("_gkey").orderBy(F.col("_pid").asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    g_off = (
+        sub.groupBy("_pid").agg(F.sum("tot").alias("ptot"))
+        .select("_pid",
+                F.coalesce(F.sum("ptot").over(w_gp), F.lit(0)).alias("g_off"))
+    )
+    off = (
+        sub.select("_gkey", "_pid",
+                   F.coalesce(F.sum("tot").over(w_sp), F.lit(0)).alias("s_off"))
+        .join(g_off, "_pid")
+    )
+
+    w_g = W.partitionBy("_pid").orderBy(F.col("doc_id").asc())
+    w_s = W.partitionBy("grp", "_pid").orderBy(F.col("doc_id").asc())
+    both = t.join(F.broadcast(off), ["_gkey", "_pid"]).select(
+        "grp",
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w_g) - F.col("n_tokens")
+         + F.col("g_off")).alias("g_start"),
+        (F.sum("n_tokens").over(w_s) - F.col("n_tokens")
+         + F.col("s_off")).alias("p_start"),
+    )
+    # 2-struct unpivot: one evaluation of the double-window subtree
+    # serves both packed arms
+    u = both.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("global").alias("mode"),
+                    F.lit(None).cast("string").alias("source"),
+                    F.col("g_start").alias("tok_start"),
+                ),
+                F.struct(
+                    F.lit("by_source").alias("mode"),
+                    F.col("grp").cast("string").alias("source"),
+                    F.col("p_start").alias("tok_start"),
+                ),
+            )
+        ).alias("m"),
+    ).select("doc_id", "n_tokens", "m.mode", "m.source", "m.tok_start")
+    chunk = F.explode(
+        F.sequence(
+            F.floor(F.col("tok_start") / budget),
+            F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / budget),
+        )
+    ).alias("chunk_id")
+    packed = u.select("mode", "source", "doc_id", "n_tokens", "tok_start", chunk)
+    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * budget)
+    hi = F.least(
+        F.col("tok_start") + F.col("n_tokens"), (F.col("chunk_id") + 1) * budget
+    )
+    packed = packed.select(
+        "mode",
+        "source",
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (lo - F.col("tok_start")).cast("long").alias("doc_tok_start"),
+        (lo - F.col("chunk_id") * budget).cast("long").alias("chunk_tok_start"),
+        (hi - lo).cast("long").alias("n_toks"),
+    )
+    n = F.col("n_tokens")
+    n_chunks = F.when(n <= overlap_budget, F.lit(1)).otherwise(
+        F.ceil((n - overlap_budget) / F.lit(overlap_stride)) + 1
+    )
+    i = F.explode(F.sequence(F.lit(0), n_chunks.cast("long") - 1)).alias("i")
+    ostart = F.col("i") * overlap_stride
+    overlap = t.select("doc_id", "n_tokens", i).select(
+        F.lit("doc_overlap").alias("mode"),
+        F.lit(None).cast("string").alias("source"),
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        ostart.cast("long").alias("doc_tok_start"),
+        F.lit(0).cast("long").alias("chunk_tok_start"),
+        (F.least(F.col("n_tokens"), ostart + overlap_budget) - ostart)
+        .cast("long")
+        .alias("n_toks"),
+    )
+    return packed.unionByName(overlap)
 
 
 def quality_weight(scale: float = 1.0) -> Column:

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from clickhouse_observability_spark.operators import dedup as D
 from clickhouse_observability_spark.registry import register, table
+from clickhouse_observability_spark.sources.parquet import parquet_row_count
 
 _NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
 _NTOKS = rf"list_filter(regexp_split_to_array({_NORM}, '\s+'), x -> x <> '')"
@@ -111,7 +112,7 @@ def dedup_jaccard_pairs(spark, sf_dir):
         table(spark, sf_dir, "documents"),
         threshold=0.95,
         max_df_frac=0.8,
-        cache_key=f"{sf_dir}/documents",
+        n_docs=parquet_row_count(sf_dir, "documents"),
     )
 
 
@@ -177,7 +178,6 @@ def dedup_minhash_pairs(spark, sf_dir):
     return D.minhash_dedup_pairs(
         table(spark, sf_dir, "documents"),
         threshold=0.9,
-        cache_key=f"{sf_dir}/documents",
     )
 
 
@@ -258,7 +258,7 @@ def dedup_neardup_clusters(spark, sf_dir):
     over the same pairs."""
     docs = table(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(
-        docs, threshold=0.9, cache_key=f"{sf_dir}/documents"
+        docs, threshold=0.9
     )
     comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
     return D.canonical_per_component(docs, comps)
@@ -334,7 +334,7 @@ def dedup_cluster_keeplist(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(
         docs, threshold=0.9, max_df_frac=0.8,
-        cache_key=f"{sf_dir}/documents@0.9",
+        n_docs=parquet_row_count(sf_dir, "documents"),
     )
     comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
     return D.canonical_per_component(docs, comps)
@@ -421,7 +421,7 @@ def dedup_cluster_report(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(
         docs, threshold=0.9, max_df_frac=0.8,
-        cache_key=f"{sf_dir}/documents@0.9",
+        n_docs=parquet_row_count(sf_dir, "documents"),
     )
     comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
-    return D.cluster_report(docs.count(), comps)
+    return D.cluster_report(parquet_row_count(sf_dir, "documents"), comps)

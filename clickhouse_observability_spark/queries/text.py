@@ -250,11 +250,25 @@ def text_fingerprints(spark, sf_dir):
     WHERE pos >= w-1 guard is offset accordingly on each side. LEFT
     join keeps docs too short to yield a single k-gram (NULL winnow
     columns on both sides)."""
-    docs = table(spark, sf_dir, "documents")
-    winnow = TX.winnowing_fingerprints(docs, k=5, window=4).select(
-        "doc_id", "n_fingerprints", "min_fp"
+    from pyspark.sql import functions as F
+
+    docs = TX.respread_for_compute(table(spark, sf_dir, "documents"))
+    # fused map-only panel (r13): the md5/token-set fingerprints and
+    # the winnowing summary are ALL per-doc projections, so they ride
+    # one scan in one Generate — the standalone-operator composition
+    # paid a second corpus scan plus a doc_id join for the same rows
+    # (plan: 2 scans + join -> 1 scan, no join; the LEFT-join NULLs
+    # for too-short docs come from winnow_summary_expr(keep_all)).
+    tok_sorted = F.array_sort(
+        F.array_distinct(TX.tokens(TX.normalized_text("text")))
     )
-    return TX.fingerprints(docs).join(winnow, "doc_id", "left")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint_md5("text").alias("fp_md5"),
+        F.md5(F.concat_ws(" ", tok_sorted)).alias("fp_tokenset"),
+        F.explode(TX.winnow_summary_expr(5, 4, keep_all=True)).alias("r"),
+    ).select("doc_id", "fp_md5", "fp_tokenset",
+             "r.n_fingerprints", "r.min_fp")
 
 
 @register(
@@ -612,34 +626,16 @@ def text_pack_chunks(spark, sf_dir):
     mirrors the cumsum + bounded chunk fan-out of each packing arm and
     the windowing arithmetic of the overlap arm; pytest additionally
     pins token conservation, exact fill and python references."""
-    from pyspark.sql import functions as F
-
-    docs = table(spark, sf_dir, "documents")
-    # tokenize ONCE for both arms: the regex tokenization scan is the
-    # corpus-dominant cost at scale; the checkpointed counts frame is
-    # (source, doc_id, n_tokens) — tiny — and each packer re-partitions
-    # it for its own prefix sum.
-    counts = TX.pack_token_counts(docs, "source").localCheckpoint(eager=True)
-    g = TX.pack_training_chunks(docs, budget=512, counts=counts).select(
-        F.lit("global").alias("mode"),
-        F.lit(None).cast("string").alias("source"),
-        "doc_id", "chunk_id", "doc_tok_start", "chunk_tok_start", "n_toks",
+    # r13 fusion: the three layouts share ONE tokenization scan, ONE
+    # range partitioning and ONE subtotal collect (pack_layout_panel)
+    # — the per-arm composition paid a checkpoint + collect per packed
+    # arm (3 checkpoints + 2 collects -> 1 + 1; same rows, each
+    # layout depends only on its stream's global order).
+    return TX.pack_layout_panel(
+        table(spark, sf_dir, "documents"),
+        budget=512, group_by="source",
+        overlap_budget=32, overlap_stride=24,
     )
-    s = TX.pack_training_chunks_grouped(
-        docs, budget=512, group_by="source", counts=counts
-    ).select(
-        F.lit("by_source").alias("mode"),
-        "source",
-        "doc_id", "chunk_id", "doc_tok_start", "chunk_tok_start", "n_toks",
-    )
-    ov = TX.chunk_documents_overlap(
-        docs, budget=32, stride=24, counts=counts
-    ).select(
-        F.lit("doc_overlap").alias("mode"),
-        F.lit(None).cast("string").alias("source"),
-        "doc_id", "chunk_id", "doc_tok_start", "chunk_tok_start", "n_toks",
-    )
-    return g.unionByName(s).unionByName(ov)
 
 
 @register(
@@ -704,13 +700,15 @@ def text_split_drift(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = table(spark, sf_dir, "documents")
-    split = F.when(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a", "val"
-    ).otherwise("train")
-    tagged = docs.withColumn("split", split)
-    return TX.token_distribution_drift(
-        tagged.filter("split = 'train'").select("doc_id", "text"),
-        tagged.filter("split = 'val'").select("doc_id", "text"),
+    # tagged single-pass form (r13): both splits come off ONE corpus
+    # scan + ONE token shuffle — the two-frame form scanned and
+    # tokenized the corpus once per side, then full-outer-joined the
+    # two vocab frames (plan: 2 scans + 3 exchanges -> 1 scan +
+    # 1 exchange; identical integer counts feed the same divergence
+    # arithmetic).
+    is_val = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    return TX.token_distribution_drift_tagged(
+        docs.select("text", is_val.alias("_is_val")), "_is_val"
     )
 
 
@@ -845,7 +843,7 @@ def text_training_pipeline(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     curated = queries_ref()["text_corpus_curation"](spark, sf_dir)
     pairs = D.minhash_dedup_pairs(
-        docs, threshold=0.9, cache_key=f"{sf_dir}/documents"
+        docs, threshold=0.9
     )
     comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
     # Keeper election runs over the CURATED TRAIN SURVIVORS, not the
@@ -1457,7 +1455,19 @@ def text_corpus_curation(spark, sf_dir):
     from clickhouse_observability_spark.operators import dedup as D
 
     docs = table(spark, sf_dir, "documents")
-    survivors = D.dedup_keep_first(docs).select("doc_id")
+    # r13 plan slimming (guide §2.4: remove shuffles outright), same
+    # composition, same rows: survivors come straight off the
+    # md5-groupBy's min(doc_id) — the old dedup_keep_first path
+    # joined that aggregate BACK to the corpus only to re-project
+    # doc_id (one semi-join and one corpus scan gone; interleaved A/B
+    # at sf0.1: 1.80 -> 1.66s min-of-3). A map-only rewrite of the
+    # repetition cut (sorted-gram-hash run-length fold on the base
+    # scan) was ALSO tried and measured SLOWER (2.11s) — interpreted
+    # higher-order-function folds lose to the codegen'd two-shuffle
+    # aggregate at this scale — so that stage keeps its shape.
+    survivors = D.exact_dedup_groups(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
     # Gopher-style repetition cut: drop docs whose single most common
     # 2-gram covers more than 20% of all their 2-grams.
     non_boiler = (

@@ -48,6 +48,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Row count straight from the parquet FOOTER (no Spark job) —
+    the system.parts cost class: O(#row groups) metadata pages. Reads
+    the input file per call (no memoization), so callers resolving a
+    corpus-relative knob (e.g. a df-cap fraction) stay honest while
+    skipping a full count() job."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, f"{name}.parquet")
+    ).metadata.num_rows
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 

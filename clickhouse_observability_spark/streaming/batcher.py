@@ -79,6 +79,7 @@ class IngestStream:
         views: list | None = None,  # RollupView-likes, applied per batch
         maintain_indexes: bool = False,
         enforce_ttl_every_s: float | None = None,
+        write_partitions: int | None = None,
     ):
         """Knob defaults follow the reference's env-var config
         (cmd/server/main.go:25-29): INGEST_MAX_DELAY_MS -> trigger
@@ -104,6 +105,21 @@ class IngestStream:
             else _env_int("INGEST_BATCH_SIZE", DEFAULT_FLUSH_SIZE),
         )
         self.max_files_per_trigger = max_files_per_trigger
+        # Micro-batch write width (r13, guide §6): the file source
+        # hands foreachBatch one partition PER INBOX FILE, so a
+        # 16-file trigger of 500-row files wrote ~16 tasks x months
+        # tiny parquet files per batch — task-launch + commit-rename
+        # overhead per trigger AND a small-files at-rest layout that
+        # every later scan pays for. A micro-batch is bounded by
+        # flush_size x max_files_per_trigger rows, so a few write
+        # tasks are plenty at any deployment size; the knob stays
+        # env-tunable (INGEST_WRITE_PARTITIONS, 0 = keep source
+        # partitioning) for streams configured with huge triggers.
+        self.write_partitions = (
+            write_partitions
+            if write_partitions is not None
+            else _env_int("INGEST_WRITE_PARTITIONS", 4)
+        )
         self.views = list(views or ())
         self.maintain_indexes = bool(maintain_indexes)
         # Continuous TTL enforcement (CH: background merges apply the
@@ -180,6 +196,8 @@ class IngestStream:
         marker = os.path.join(self.committed_dir, str(int(batch_id)))
         if os.path.exists(marker):
             return
+        if self.write_partitions and self.write_partitions > 0:
+            batch_df = batch_df.coalesce(self.write_partitions)
         normalized = normalize_ingest(batch_df)
         self.table.insert(normalized)
         # Materialized views (CH `CREATE MATERIALIZED VIEW` analogue):

@@ -86,24 +86,33 @@ def test_jaccard_df_cap_strategy_parity(spark):
     assert "bit_count" in plan
 
 
-def test_jaccard_probe_cache_skips_rescan(spark, monkeypatch, docs):
-    # With cache_key, the strategy probe (one distinct-scan over all
-    # shingles) and the max_df_frac corpus count run ONCE per corpus.
-    D._VOCAB_CACHE.clear()
-    D._COUNT_CACHE.clear()
+def test_jaccard_repeat_invocations_recompute_and_evict(spark, monkeypatch, docs):
+    # r13 (optimization-round contract): NO cross-run memoization —
+    # every invocation recomputes from its input (the strategy probe
+    # runs per call), and the per-invocation shared-subtree persist
+    # evicts the previous call's frame before registering the new one,
+    # so a repeat plan can never CacheManager-match stale cached data.
+    calls = []
+    orig_probe = D._probe_vocab_rows
+    monkeypatch.setattr(
+        D, "_probe_vocab_rows",
+        lambda *a, **k: (calls.append(1), orig_probe(*a, **k))[1],
+    )
+    sc = spark.sparkContext
+    base_ids = D._persisted_rdd_ids(sc)
     first = {(r.doc_a, r.doc_b): r.jaccard for r in
-             D.jaccard_pairs(docs, threshold=0.7, max_df_frac=0.9,
-                             cache_key="t").collect()}
-
-    def boom(*a, **k):
-        raise AssertionError("probe re-ran despite cache_key")
-
-    monkeypatch.setattr(D, "_probe_vocab", boom)
-    monkeypatch.setattr(docs.__class__, "count", boom, raising=True)
+             D.jaccard_pairs(docs, threshold=0.7, max_df_frac=0.9).collect()}
+    g1 = D._LIVE_PERSISTED.get("jaccard_bitmask_groups")
+    assert g1 is not None
+    first_ids = D._persisted_rdd_ids(sc) - base_ids
     second = {(r.doc_a, r.doc_b): r.jaccard for r in
-              D.jaccard_pairs(docs, threshold=0.7, max_df_frac=0.9,
-                              cache_key="t").collect()}
+              D.jaccard_pairs(docs, threshold=0.7, max_df_frac=0.9).collect()}
     assert first == second and first
+    assert len(calls) == 2, "probe must run once per invocation"
+    assert D._LIVE_PERSISTED.get("jaccard_bitmask_groups") is not g1
+    # the first invocation's cached blocks are gone (evicted at the
+    # second call's entry), so run 2 cannot have served cached data
+    assert first_ids.isdisjoint(D._persisted_rdd_ids(sc))
 
 
 def test_minhash_recall_vs_exact(spark, sf_small):
