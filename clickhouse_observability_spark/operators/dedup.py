@@ -98,14 +98,19 @@ def _char_shingles(k: int) -> Column:
     )
 
 
-# Per-invocation shared-subtree persist (r13 optimization round):
-# `groups` feeds the bucket join AND both expansion joins AND the
-# within-group pairs — four full corpus-scan+shuffle evaluations
-# without ReusedExchange — so it is persist()ed per INVOCATION via
-# session.fresh_persist (eviction-before-persist: no cross-run
-# CacheManager reuse; see session.py for the contract).
+# r13 note on caching: the r12 design persist()ed the shared `groups`
+# subtree under a CORPUS-keyed registry, which made bench runs 2..n
+# serve CacheManager-matched data — cross-run result caching, banned
+# for the bench/oracle surface. The honest replacement is
+# session.fresh_persist: persist per INVOCATION, evicting the
+# previous invocation's entry first, so a repeat plan can never
+# plan-match stale cached data and every run recomputes from
+# parquet. Where it applies is MEASURED per site (cache-cleared
+# interleaved A/B at sf0.1): the LSH groups frame (four heavy
+# consumers) needs it — 1.94s vs 7.53s plain — while the bitmask
+# jaccard and mask-component groups frames are a wash and stay
+# plain.
 from clickhouse_observability_spark.session import (  # noqa: E402
-    _FRESH_PERSISTED as _LIVE_PERSISTED,
     fresh_persist as _fresh_persist,
 )
 
@@ -260,15 +265,12 @@ def _jaccard_pairs_bitmask(masks: DataFrame, threshold: float) -> DataFrame:
     """Pairwise Jaccard over DISTINCT masks (popcount arithmetic),
     expanded back to doc pairs. Mask-groups are tiny relative to
     docs; the M×M compare broadcasts one side. `groups` feeds three
-    subtrees (stream side, broadcast side, within-group pairs) that
-    Spark would otherwise each evaluate from the corpus scan —
-    persisted once per invocation (r13: replaces the corpus-keyed
-    cross-run persist registry; every invocation recomputes from
-    parquet)."""
-    groups = _fresh_persist(
-        masks.groupBy("mask").agg(F.collect_list("doc_id").alias("ids")),
-        "jaccard_bitmask_groups",
-    )
+    subtrees (stream side, broadcast side, within-group pairs), each
+    re-evaluated from the corpus scan — a cache-cleared A/B measured
+    plain re-evaluation a wash vs a per-invocation persist here
+    (1.38 vs 1.46s at sf0.1), so the simpler plain frame stays
+    (module r13 note)."""
+    groups = masks.groupBy("mask").agg(F.collect_list("doc_id").alias("ids"))
     g1 = groups.select(F.col("mask").alias("m1"), F.col("ids").alias("ids1"))
     g2 = groups.select(F.col("mask").alias("m2"), F.col("ids").alias("ids2"))
     inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2")))
@@ -482,10 +484,8 @@ def _lsh_candidates_grouped(
     ) if bit_h else F.create_map()
     # groups feeds the bucket join AND both expansion joins AND the
     # within-group pairs — four subtree evaluations without reuse
-    # (ReusedExchange doesn't fire across these shapes), each one a
-    # full corpus explode+shuffle. The frame is O(n) ids total ->
-    # persisted per INVOCATION (_fresh_persist: the previous call's
-    # entry is evicted first, so no cross-run reuse is possible).
+    # (ReusedExchange doesn't fire across these shapes) — persisted
+    # per invocation (module r13 note).
     groups = _fresh_persist(
         masks.groupBy("mask").agg(F.collect_list("doc_id").alias("ids")),
         "lsh_groups",
@@ -570,6 +570,110 @@ def _lsh_candidates_grouped(
     # one mask), so no final distinct is needed.
     out = cross.unionByName(within)
     return out if with_jaccard else out.select("doc_a", "doc_b")
+
+
+def jaccard_neardup_components(
+    documents: DataFrame,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """(doc_id, component_id): connected components of the exact
+    token-set Jaccard pair graph — EXACTLY
+    neardup_components(jaccard_pairs(...)) but, on the bitmask path,
+    computed over the DISTINCT-MASK graph and expanded (r13, guide
+    §1.2 step 1: change the distributed algorithm).
+
+    Why identical: the doc-pair graph is the expansion of the
+    mask-pair graph (docs pair iff their masks qualify) plus the
+    within-identical-mask cliques (jaccard 1.0 >= any threshold), so
+    doc connectivity == mask connectivity with identical-mask docs
+    glued. Min-label propagation therefore runs over M distinct
+    masks and their qualifying pairs instead of the n-doc / O(pair)
+    edge list — at sf0.1 that is a few hundred nodes vs ~1M edges,
+    and every fixpoint round's joins shrink accordingly (measured:
+    the keeplist entry drops from ~10.4s to ~3s). Components expand
+    back through the (mask -> ids) groups; per-component labels are
+    re-minimized over DOC ids so labels match the doc-level fixpoint;
+    size-1 components (unpaired mask, single doc) are dropped because
+    a doc-pair-graph node always has degree >= 1. Falls back to the
+    pair-level fixpoint when the vocabulary exceeds 64 bits.
+    """
+    if max_df_frac is not None:
+        if max_df is not None:
+            raise ValueError("pass max_df or max_df_frac, not both")
+        max_df = int(max_df_frac * (
+            n_docs if n_docs is not None else documents.count()
+        ))
+    masks, _vocab = _masks_and_vocab(documents, ngram=1, max_df=max_df)
+    if masks is None:
+        pairs = jaccard_pairs(documents, threshold=threshold, max_df=max_df)
+        return neardup_components(pairs, a="doc_a", b="doc_b")
+    groups = masks.groupBy("mask").agg(F.collect_list("doc_id").alias("ids"))
+    g1 = groups.select(F.col("mask").alias("m1"))
+    g2 = groups.select(F.col("mask").alias("m2"))
+    inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2")))
+    union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
+    mask_pairs = (
+        g1.join(F.broadcast(g2), F.col("m1") < F.col("m2"))
+        .filter(inter / union >= threshold)
+        .select("m1", "m2")
+    )
+    # The qualifying mask-pair graph is a bounded SUMMARY (distinct
+    # shingle-sets, threshold-sparse by construction — j >= t implies
+    # near-identical 64-bit sets), so its closure is driver work the
+    # same way the packers' subtotal offsets are: ONE capped collect,
+    # a union-find, and a 1-partition frame back out — instead of
+    # O(log diameter) fixpoint rounds each paying 3 whole-cluster
+    # job launches (measured: the rounds were ~85% of the keeplist
+    # entry at sf0.1 with a 3.9k-node graph). The cap keeps driver
+    # memory bounded no matter how hostile the corpus: cap+1 rows
+    # collected means the graph is NOT summary-sized after all, and
+    # the distributed fixpoint (identical result) takes over.
+    edge_cap = 2_000_000
+    edge_rows = mask_pairs.limit(edge_cap + 1).collect()
+    if len(edge_rows) > edge_cap:
+        mcomp = neardup_components(mask_pairs, a="m1", b="m2").select(
+            F.col("doc_id").alias("mask"), F.col("component_id").alias("_mc")
+        )
+    else:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edge_rows:
+            ra, rb = find(row.m1), find(row.m2)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = sorted({m for row in edge_rows for m in (row.m1, row.m2)})
+        from clickhouse_observability_spark.session import local_df
+
+        mcomp = local_df(
+            documents.sparkSession,
+            [(m, find(m)) for m in labels],
+            "mask long, _mc long",
+        )
+    dc = (
+        groups.select(F.explode("ids").alias("doc_id"), "mask")
+        .join(F.broadcast(mcomp), "mask", "left")
+        .withColumn("_mc", F.coalesce(F.col("_mc"), F.col("mask")))
+    )
+    per = dc.groupBy("_mc").agg(
+        F.min("doc_id").alias("component_id"),
+        F.count(F.lit(1)).alias("_sz"),
+    )
+    return (
+        dc.join(F.broadcast(per), "_mc")
+        .filter(F.col("_sz") >= 2)
+        .select("doc_id", "component_id")
+    )
 
 
 def minhash_dedup_pairs(

@@ -1491,7 +1491,9 @@ def _md5_bucket(col: Column, n_buckets: int) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long") % n_buckets
 
 
-def _hashed_gram_features(documents: DataFrame, n_buckets: int) -> DataFrame:
+def _hashed_gram_features(
+    documents: DataFrame, n_buckets: int, extra_cols: tuple = ()
+) -> DataFrame:
     """(doc_id, bucket) stream of hashed word uni+bigram features over
     the normalized text — the DSIR feature space. The token array is
     let-bound (evaluated once per row) before fanning into unigrams
@@ -1512,8 +1514,50 @@ def _hashed_gram_features(documents: DataFrame, n_buckets: int) -> DataFrame:
         F.transform(F.array(tokens(normalized_text("text"))), with_bigrams), 1
     )
     return documents.select(
-        "doc_id", F.explode(feats).alias("feat")
-    ).select("doc_id", _md5_bucket(F.col("feat"), n_buckets).alias("b"))
+        "doc_id", *extra_cols, F.explode(feats).alias("feat")
+    ).select(
+        "doc_id", *extra_cols, _md5_bucket(F.col("feat"), n_buckets).alias("b")
+    )
+
+
+def dsir_importance_tagged(
+    documents: DataFrame, target_flag: Column, n_buckets: int = 1024
+) -> DataFrame:
+    """dsir_importance for the common case where the target domain is
+    a FLAGGED SUBSET of the scored corpus (`target_flag` boolean
+    column expression): both multinomials' bucket counts fall out of
+    ONE conditional aggregation over one feature stream, so the plan
+    tokenizes the corpus 3x (counts, totals, scoring join) instead of
+    the two-frame form's 5x (r13, guide §2.4). Per-bucket log-ratios
+    are the SAME expression over the same integer counts, so scores
+    are identical to dsir_importance(documents, documents.filter(
+    target_flag))."""
+    feats = documents.select(
+        "doc_id", target_flag.alias("_t"), "text"
+    )
+    feats = _hashed_gram_features(feats, n_buckets, extra_cols=("_t",))
+    counts = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + F.lit(float(n_buckets))))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + F.lit(float(n_buckets))))
+        ).alias("lam"),
+    )
+    return (
+        feats.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lam") / F.count(F.lit(1)), 4).alias("dsir_logratio"),
+        )
+    )
 
 
 def dsir_importance(
@@ -1541,6 +1585,12 @@ def dsir_importance(
     """
     raw_feats = _hashed_gram_features(documents, n_buckets)
     tgt_feats = _hashed_gram_features(target, n_buckets)
+    # (r13 note: the counts subtrees repeat inside the plan — the
+    # corpus is tokenized several times — but a per-invocation
+    # persist of these <=n_buckets-row frames measured ~1.3s SLOWER
+    # at sf0.1: the InMemoryRelation split costs more than the
+    # repeated whole-stage-codegen'd aggregate. Left as one fused
+    # plan on measurement.)
     raw_counts = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgt_counts = tgt_feats.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     # every doc feature exists in raw_counts by construction (raw =

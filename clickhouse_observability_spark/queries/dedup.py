@@ -332,11 +332,15 @@ def dedup_cluster_keeplist(spark, sf_dir):
     `dedup_neardup_clusters` (banded MinHash pairs, never all-pairs)
     feeding the SAME component/keeper operators proven here."""
     docs = table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(
+    # r13: connectivity computed over the distinct-mask graph and
+    # expanded (jaccard_neardup_components docstring) — identical
+    # components to pairs -> neardup_components, ~3.5x faster at
+    # sf0.1 because the fixpoint rounds join hundreds of masks
+    # instead of ~1M doc pairs.
+    comps = D.jaccard_neardup_components(
         docs, threshold=0.9, max_df_frac=0.8,
         n_docs=parquet_row_count(sf_dir, "documents"),
     )
-    comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
     return D.canonical_per_component(docs, comps)
 
 
@@ -419,9 +423,9 @@ def dedup_cluster_report(spark, sf_dir):
     path (dedup_neardup_clusters, banded, never all-pairs) feeding
     the SAME component/report operators proven here."""
     docs = table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(
+    # r13: same mask-graph components as dedup_cluster_keeplist
+    comps = D.jaccard_neardup_components(
         docs, threshold=0.9, max_df_frac=0.8,
         n_docs=parquet_row_count(sf_dir, "documents"),
     )
-    comps = D.neardup_components(pairs, a="doc_a", b="doc_b")
     return D.cluster_report(parquet_row_count(sf_dir, "documents"), comps)

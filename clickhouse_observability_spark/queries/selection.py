@@ -67,8 +67,12 @@ def text_dsir_weights(spark, sf_dir):
     resample. The 512-bucket log-ratio table broadcasts; one corpus
     shuffle (per-doc aggregate)."""
     docs = table(spark, sf_dir, "documents")
-    return TX.dsir_importance(
-        docs, docs.filter(F.col("lang") == "en"), n_buckets=512
+    # r13: the target is a flagged subset of the scored corpus, so
+    # the tagged single-input form applies — one conditional
+    # aggregation replaces the two per-side count subtrees (5 corpus
+    # tokenizations in the plan -> 3; identical per-bucket log-ratios)
+    return TX.dsir_importance_tagged(
+        docs, F.col("lang") == "en", n_buckets=512
     )
 
 

@@ -86,12 +86,13 @@ def test_jaccard_df_cap_strategy_parity(spark):
     assert "bit_count" in plan
 
 
-def test_jaccard_repeat_invocations_recompute_and_evict(spark, monkeypatch, docs):
+def test_jaccard_repeat_invocations_recompute(spark, monkeypatch, docs):
     # r13 (optimization-round contract): NO cross-run memoization —
-    # every invocation recomputes from its input (the strategy probe
-    # runs per call), and the per-invocation shared-subtree persist
-    # evicts the previous call's frame before registering the new one,
-    # so a repeat plan can never CacheManager-match stale cached data.
+    # every jaccard invocation recomputes from its input (the
+    # strategy probe runs per call) and leaves NOTHING behind in the
+    # cache manager (the bitmask path builds plain frames; only the
+    # LSH groups frame persists, per-invocation with eviction — see
+    # the dedup.py module note).
     calls = []
     orig_probe = D._probe_vocab_rows
     monkeypatch.setattr(
@@ -102,17 +103,28 @@ def test_jaccard_repeat_invocations_recompute_and_evict(spark, monkeypatch, docs
     base_ids = D._persisted_rdd_ids(sc)
     first = {(r.doc_a, r.doc_b): r.jaccard for r in
              D.jaccard_pairs(docs, threshold=0.7, max_df_frac=0.9).collect()}
-    g1 = D._LIVE_PERSISTED.get("jaccard_bitmask_groups")
-    assert g1 is not None
-    first_ids = D._persisted_rdd_ids(sc) - base_ids
     second = {(r.doc_a, r.doc_b): r.jaccard for r in
               D.jaccard_pairs(docs, threshold=0.7, max_df_frac=0.9).collect()}
     assert first == second and first
     assert len(calls) == 2, "probe must run once per invocation"
-    assert D._LIVE_PERSISTED.get("jaccard_bitmask_groups") is not g1
-    # the first invocation's cached blocks are gone (evicted at the
-    # second call's entry), so run 2 cannot have served cached data
-    assert first_ids.isdisjoint(D._persisted_rdd_ids(sc))
+    assert D._persisted_rdd_ids(sc) == base_ids, \
+        "jaccard invocations must not leave persisted frames behind"
+
+
+def test_minhash_repeat_invocations_evict_previous_cache(spark, docs):
+    # r13: the LSH groups frame persists per INVOCATION only — the
+    # next call evicts it before persisting its own, so bench run n+1
+    # can never serve run n's cached data.
+    sc = spark.sparkContext
+    base = D._persisted_rdd_ids(sc)
+    r1 = {(r.doc_a, r.doc_b) for r in
+          D.minhash_dedup_pairs(docs, threshold=0.8).collect()}
+    ids1 = D._persisted_rdd_ids(sc) - base
+    r2 = {(r.doc_a, r.doc_b) for r in
+          D.minhash_dedup_pairs(docs, threshold=0.8).collect()}
+    assert r1 == r2 and r1
+    assert ids1.isdisjoint(D._persisted_rdd_ids(sc)), \
+        "previous invocation's cached blocks must be evicted"
 
 
 def test_minhash_recall_vs_exact(spark, sf_small):
