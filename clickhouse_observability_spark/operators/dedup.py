@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from clickhouse_observability_spark.operators.text_analysis import (
     fingerprint_md5,
     normalized_text,
+    respread_for_compute,
     tokens,
 )
 
@@ -1100,7 +1101,7 @@ def duplicated_spans(
                                                       slice(toks, i, {k}))))))
             ELSE array() END))"""
     )
-    grams = documents.select(
+    grams = respread_for_compute(documents).select(
         "doc_id", F.explode(grams_expr).alias("g")
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
     dup_gh = (
@@ -1154,9 +1155,9 @@ def remove_duplicated_spans(
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("iv")
     )
-    joined = documents.join(per_doc, "doc_id", "left").withColumn(
-        "iv", F.coalesce(F.col("iv"), F.array())
-    )
+    joined = respread_for_compute(documents).join(
+        per_doc, "doc_id", "left"
+    ).withColumn("iv", F.coalesce(F.col("iv"), F.array()))
     # toks and the kept subset each bound once; transform's (t, i)
     # index is 0-based while spans are 1-based, hence i + 1
     summary = F.expr(

@@ -323,7 +323,7 @@ def _doc_gram_hashes(df: DataFrame, n: int) -> DataFrame:
     and the downstream distinct/broadcast/join all run on longs.
     Gram-hash equality stands in for gram equality (64-bit collisions
     are ~1e-9 at billions of grams)."""
-    t = df.select(
+    t = respread_for_compute(df).select(
         "doc_id", tokens(normalized_text("text")).alias("toks")
     ).filter(F.size("toks") >= n)
     hv = F.expr(
@@ -1532,7 +1532,7 @@ def dsir_importance_tagged(
     are the SAME expression over the same integer counts, so scores
     are identical to dsir_importance(documents, documents.filter(
     target_flag))."""
-    feats = documents.select(
+    feats = respread_for_compute(documents).select(
         "doc_id", target_flag.alias("_t"), "text"
     )
     feats = _hashed_gram_features(feats, n_buckets, extra_cols=("_t",))
