@@ -819,31 +819,37 @@ def pack_training_chunks(
     t = (
         toks.repartitionByRange(nparts, F.col(order_by).asc())
         .withColumn("_pid", F.spark_partition_id())
-        # one materialization serves both the subtotal collect and the
-        # final plan; lineage truncated so neither recomputes the sort
+        # one materialization pins partition ids for the offsets
+        # subtree AND the row subtree; lineage truncated so neither
+        # recomputes the sort
         .localCheckpoint(eager=True)
     )
     w_local = W.partitionBy("_pid").orderBy(F.col(order_by).asc())
     local = t.withColumn(
         "_local_start", F.sum("n_tokens").over(w_local) - F.col("n_tokens")
     )
-    subtotals = dict(
-        (r._pid, r.total)
-        for r in t.groupBy("_pid").agg(F.sum("n_tokens").alias("total")).collect()
+    # per-partition offsets fully in-plan (r13, matching
+    # pack_layout_panel): exclusive prefix sum over the <=nparts-row
+    # subtotal frame, broadcast back — no driver collect, no literal
+    # map; the unpartitioned window is bounded by cluster width
+    off = (
+        t.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptot"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_ptot").over(
+                    W.orderBy(F.col("_pid").asc()).rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_off"),
+        )
     )
-    offsets, acc = {}, 0
-    for pid in sorted(subtotals):
-        offsets[pid] = acc
-        acc += subtotals[pid]
-    offset_map = F.create_map(
-        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
-    )
-    spans = local.select(
+    spans = local.join(F.broadcast(off), "_pid").select(
         "doc_id",
         "n_tokens",
-        (F.col("_local_start")
-         + F.coalesce(F.element_at(offset_map, F.col("_pid")), F.lit(0))
-         ).alias("tok_start"),
+        (F.col("_local_start") + F.col("_off")).alias("tok_start"),
     )
     chunk = F.explode(
         F.sequence(
@@ -1201,30 +1207,30 @@ def pack_training_chunks_grouped(
     local = t.withColumn(
         "_local_start", F.sum("n_tokens").over(w_local) - F.col("n_tokens")
     )
-    subtotal_rows = (
-        t.groupBy("_gkey", "_pid").agg(F.sum("n_tokens").alias("total")).collect()
+    # per-(group, partition) offsets fully in-plan (r13, matching
+    # pack_layout_panel): exclusive prefix sum per group over the
+    # bounded (#groups x nparts) subtotal frame, broadcast back — no
+    # driver collect, no string-keyed literal map (the _gkey sentinel
+    # machinery survives only as the join key's NULL handling, which
+    # the join on the real `grp` column now does natively via _gkey)
+    off = (
+        t.groupBy("_gkey", "_pid").agg(F.sum("n_tokens").alias("_ptot"))
+        .select(
+            "_gkey", "_pid",
+            F.coalesce(
+                F.sum("_ptot").over(
+                    W.partitionBy("_gkey").orderBy(F.col("_pid").asc())
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_off"),
+        )
     )
-    offsets: dict[tuple, int] = {}
-    acc: dict = {}
-    for r in sorted(subtotal_rows, key=lambda r: (r._gkey, r._pid)):
-        offsets[(r._gkey, r._pid)] = acc.get(r._gkey, 0)
-        acc[r._gkey] = acc.get(r._gkey, 0) + r.total
-    offset_map = F.create_map(
-        *[
-            F.lit(x)
-            for (g, pid), off in offsets.items()
-            for x in (f"{g}\x01{pid}", off)
-        ]
-    ) if offsets else F.create_map()
-    key = F.concat_ws(
-        "\x01", F.col("_gkey"), F.col("_pid").cast("string")
-    )
-    spans = local.select(
+    spans = local.join(F.broadcast(off), ["_gkey", "_pid"]).select(
         "grp",
         "doc_id",
         "n_tokens",
-        (F.col("_local_start")
-         + F.coalesce(F.element_at(offset_map, key), F.lit(0))).alias("tok_start"),
+        (F.col("_local_start") + F.col("_off")).alias("tok_start"),
     )
     chunk = F.explode(
         F.sequence(

@@ -497,9 +497,13 @@ def test_pack_training_chunks_invariants_and_reference(spark, sf_small):
 
 
 def test_pack_training_chunks_no_global_window(spark, sf_small):
-    # the cumsum must be a distributed prefix sum: windows partition on
-    # the range-partition id — never an unpartitioned (single-task)
-    # global window
+    # the ROW-level cumsum must be a distributed prefix sum: it
+    # windows on the range-partition id, never an unpartitioned
+    # (single-task) global window over corpus rows. Since r13 the
+    # per-partition OFFSETS are computed in-plan instead of a driver
+    # collect: that subtree may legitimately use one single-partition
+    # window, but only over the BOUNDED (<= nparts rows) subtotal
+    # aggregate (_ptot), never over row-level data.
     from clickhouse_observability_spark.sources.parquet import load_table
 
     docs = load_table(spark, sf_small, "documents")
@@ -508,7 +512,12 @@ def test_pack_training_chunks_no_global_window(spark, sf_small):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "windowspecdefinition(_pid" in plan
-    assert "SinglePartition" not in plan
+    # any SinglePartition exchange feeds the bounded offsets frame
+    # (grouped by _pid), not corpus rows
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate(keys=[_pid" in seg.split("Exchange", 1)[0] or \
+               "HashAggregate(keys=[_gkey" in seg.split("Exchange", 1)[0], \
+            "single-partition window must sit on the subtotal aggregate"
 
 
 def test_token_distribution_drift_matches_python(spark):
