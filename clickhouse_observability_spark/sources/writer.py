@@ -44,6 +44,28 @@ from clickhouse_observability_spark.schema import (
 )
 
 
+# Unresolved-Column cache for the hot per-micro-batch projections
+# (r14, guide §4-adjacent driver-side cost): building the normalize
+# projection is ~15 py4j round-trips (~60-80ms measured inside each
+# warm streaming trigger). The Column objects wrap UNRESOLVED
+# expression trees, so the same objects can be re-selected against
+# every micro-batch's DataFrame; they are plan fragments, not data —
+# nothing is memoized across runs but the expression ASTs. Keyed on
+# the live SparkContext: a restarted JVM invalidates the old py4j
+# handles, so a stale cache entry must be rebuilt, never reused.
+_COL_CACHE: dict[str, tuple[object, object]] = {}
+
+
+def _cached_cols(key: str, build):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    hit = _COL_CACHE.get(key)
+    if hit is None or hit[0] is not sc:
+        _COL_CACHE[key] = (sc, build())
+    return _COL_CACHE[key][1]
+
+
 def normalize_ingest(df: DataFrame) -> DataFrame:
     """Wire-form -> at-rest form (F3/F4/F7, ST6).
 
@@ -52,15 +74,19 @@ def normalize_ingest(df: DataFrame) -> DataFrame:
     (db.go:160-165; keys sorted like Go's json.Marshal so at-rest
     bytes are deterministic).
     """
-    return df.select(
-        parse_ts_with_fallback("ts").alias("ts"),
-        F.coalesce(F.col("service"), F.lit("")).alias("service"),
-        F.coalesce(F.col("level"), F.lit("")).alias("level"),
-        F.col("msg"),
-        attrs_to_json(F.col("attrs")).alias("attrs"),
-        F.col("trace_id"),
-        F.col("span_id"),
+    cols = _cached_cols(
+        "normalize_ingest",
+        lambda: [
+            parse_ts_with_fallback("ts").alias("ts"),
+            F.coalesce(F.col("service"), F.lit("")).alias("service"),
+            F.coalesce(F.col("level"), F.lit("")).alias("level"),
+            F.col("msg"),
+            attrs_to_json(F.col("attrs")).alias("attrs"),
+            F.col("trace_id"),
+            F.col("span_id"),
+        ],
     )
+    return df.select(*cols)
 
 
 # reentrant-counter state for parquet_ts_micros (see its docstring)
@@ -212,12 +238,15 @@ class LogsTable:
             self._write_unscoped(df, mode)
 
     def _write_unscoped(self, df: DataFrame, mode: str) -> None:
+        month_col = _cached_cols(
+            "write_month", lambda: month_of("ts")
+        )
         (
             # Leading the sort with the partition column satisfies the
             # partitioned writer's required ordering, so Spark keeps OUR
             # (service, ts) order instead of inserting its own month-only
             # sort that would destroy it.
-            df.withColumn(PARTITION_COLUMN, month_of("ts"))
+            df.withColumn(PARTITION_COLUMN, month_col)
             .sortWithinPartitions(PARTITION_COLUMN, "service", "ts")
             .write.mode(mode)
             .partitionBy(PARTITION_COLUMN)
