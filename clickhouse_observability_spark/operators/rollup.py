@@ -100,6 +100,8 @@ def build_rollup(
     user_col: str = "user_id",
     topk_col: str | None = None,
     dec_value: bool = False,
+    hist: bool = True,
+    uniq: bool = True,
 ) -> DataFrame:
     """Raw events -> one partial-state row per (bucket_ts, dims).
 
@@ -125,6 +127,18 @@ def build_rollup(
     while a key's distinct items stay under TOPK_MAX_TRACKED,
     approximate with counted error beyond. Finalize with
     `top_items_est` / `approx_top_k_estimate`.
+
+    `hist=False` / `uniq=False` (r14, guide §2.3/§2.4) drop the
+    quantile-histogram / HLL state columns for consumers that never
+    read them: a CH operator materializes only the -State columns the
+    view declares. The optimizer already pruned the unused AGGREGATES,
+    but the histogram's downstream merge is a join whose whole second
+    subtree (one more corpus scan + two exchanges) survives pruning —
+    declaring the state away removes it structurally. The grouping
+    SHAPE (two levels through the value-bucket grain) is kept
+    bit-identical so every remaining state — including the order-
+    sensitive top-k sketch — accumulates and combines exactly as with
+    the full state set.
     """
     key = [F.date_trunc(granularity, F.col(ts_col)).alias("bucket_ts"),
            *[F.col(d) for d in dims]]
@@ -143,12 +157,23 @@ def build_rollup(
     from clickhouse_observability_spark.functions.moneydec import units4
 
     sum_in = units4(value_col) if dec_value else F.col(value_col)
+    uniq1 = (
+        [F.hll_sketch_agg(F.col(user_col), F.lit(HLL_LGK))
+         .alias("uniq_users")] if uniq else []
+    )
+    uniq2 = [F.hll_union_agg("uniq_users").alias("uniq_users")] if uniq else []
+    hist2 = (
+        [F.sort_array(
+            F.collect_list(F.struct(F.col("__vb").alias("b"),
+                                    F.col("cnt").alias("c")))
+         ).alias("value_hist")] if hist else []
+    )
     lvl1 = events.groupBy(*key, value_bucket(F.col(value_col)).alias("__vb")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(sum_in).alias("sum_value"),
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
-        F.hll_sketch_agg(F.col(user_col), F.lit(HLL_LGK)).alias("uniq_users"),
+        *uniq1,
         *topk1,
     )
     return lvl1.groupBy("bucket_ts", *dims).agg(
@@ -156,11 +181,8 @@ def build_rollup(
         F.sum("sum_value").alias("sum_value"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
-        F.hll_union_agg("uniq_users").alias("uniq_users"),
-        F.sort_array(
-            F.collect_list(F.struct(F.col("__vb").alias("b"),
-                                    F.col("cnt").alias("c")))
-        ).alias("value_hist"),
+        *uniq2,
+        *hist2,
         *topk2,
     )
 
@@ -187,14 +209,23 @@ def merge_states(
          ).alias("top_items")]
         if "top_items" in states.columns else []
     )
+    uniq = (
+        [F.hll_union_agg("uniq_users").alias("uniq_users")]
+        if "uniq_users" in states.columns else []
+    )
     scalars = states.groupBy(bucket, *[F.col(d) for d in dims]).agg(
         F.sum("cnt").alias("cnt"),
         F.sum("sum_value").alias("sum_value"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
-        F.hll_union_agg("uniq_users").alias("uniq_users"),
+        *uniq,
         *topk,
     )
+    if "value_hist" not in states.columns:
+        # state built with hist=False: nothing to merge and — because
+        # both arms group the SAME frame by the SAME key — nothing the
+        # dropped inner join could change (r14)
+        return scalars
     hist = (
         states.select(bucket, *[F.col(d) for d in dims],
                       F.explode("value_hist").alias("e"))
@@ -244,6 +275,15 @@ def finalize(
          .alias("top_items_est")]
         if "top_items" in states.columns else []
     )
+    uniq = (
+        [F.round(F.hll_sketch_estimate("uniq_users")).cast("long")
+         .alias("uniq_users_est")]
+        if "uniq_users" in states.columns else []
+    )
+    quant = (
+        [_hist_quantile(q).alias(n) for n, q in qs.items()]
+        if "value_hist" in states.columns else []
+    )
     return states.select(
         *keep,
         F.col("cnt"),
@@ -251,9 +291,8 @@ def finalize(
         (F.col("sum_value") / F.col("cnt")).alias("avg_value"),
         F.col("min_value"),
         F.col("max_value"),
-        F.round(F.hll_sketch_estimate("uniq_users")).cast("long")
-        .alias("uniq_users_est"),
-        *[_hist_quantile(q).alias(n) for n, q in qs.items()],
+        *uniq,
+        *quant,
         *topk,
     )
 

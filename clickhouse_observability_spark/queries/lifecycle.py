@@ -272,10 +272,15 @@ def lifecycle_partition_panel(spark, sf_dir):
             F.col("event_id").cast("string").alias("span_id"),
         )
     )
-    months = sorted(
-        r.month for r in t.read().select("month").distinct().collect()
+    # live months from the partition directories (CH system.parts is
+    # metadata, not a scan) — the insert's partitionBy creates exactly
+    # one dir per non-empty month, so this equals the old
+    # distinct().collect() minus one Spark job (r14, guide §5)
+    from clickhouse_observability_spark.sources.tiering import (
+        partition_months,
     )
-    first = int(months[0])
+
+    first = int(partition_months(t.path)[0])
 
     def arm(tag):
         df = ch_sql(
@@ -460,9 +465,13 @@ def lifecycle_cross_table_panel(spark, sf_dir):
             F.col("event_id").cast("string").alias("span_id"),
         )
     )
-    months = sorted(
-        int(r.month) for r in ta.read().select("month").distinct().collect()
+    # months from the partition layout (metadata, no Spark job — same
+    # rationale as lifecycle_partition_panel, r14)
+    from clickhouse_observability_spark.sources.tiering import (
+        partition_months,
     )
+
+    months = partition_months(ta.path)
     lo, mid = months[0], months[1]
     tables = {"a": ta, "b": tb}
 
@@ -484,7 +493,10 @@ def lifecycle_cross_table_panel(spark, sf_dir):
            tables=tables)
     src_arm = arm("src_after_move", ta)
     dst_arm = arm("dst_after_move", tb)
-    if {int(r.month) for r in dst_arm.select("month").collect()} != {lo}:
+    # physical-layout check straight off the destination's partition
+    # dirs (stronger than re-collecting the checkpointed arm, and one
+    # Spark job less — the arm's VALUES are what the oracle gates)
+    if partition_months(tb.path) != [lo]:
         raise RuntimeError(
             f"cross_table_panel: destination should hold exactly {lo} "
             "after MOVE PARTITION")
@@ -495,9 +507,11 @@ def lifecycle_cross_table_panel(spark, sf_dir):
            f"WHERE month = {mid}", logs=tb)
     dirty_arm = arm("dirty", tb)
     # the attach hardlinked a's files: the mutation must have
-    # REPLACED b's files, never modified the shared bytes
+    # REPLACED b's files, never modified the shared bytes — only
+    # month `mid`'s files are shared, so the check prunes to that
+    # partition (same invariant, 1/2 the scan; r14 guide §6)
     a_dirty = LogsTable(spark, paths["a"]).read().filter(
-        F.col("msg").contains("#dirty")).count()
+        (F.col("month") == mid) & F.col("msg").contains("#dirty")).count()
     if a_dirty:
         raise RuntimeError(
             "cross_table_panel: mutation on the hardlinked copy "
@@ -798,7 +812,10 @@ def lifecycle_ttl_rollup_panel(spark, sf_dir):
             F.col("event_id").cast("string").alias("span_id"),
         )
     )
-    before = t.read().count()
+    # assertion inputs from the parquet footers (exact num_rows, zero
+    # Spark jobs — system.parts-class metadata; r14 guide §5). The
+    # adjudicated VALUES still come from the full read below.
+    before = sum(p["rows"] for p in t.parts())
     ch_sql(
         spark,
         "ALTER TABLE logs MODIFY TTL ts + INTERVAL 30 DAY "
@@ -809,7 +826,7 @@ def lifecycle_ttl_rollup_panel(spark, sf_dir):
         spark, t.path,
         now=dt.datetime(2024, 3, 6, tzinfo=dt.timezone.utc),
     )
-    after = t.read().count()
+    after = sum(p["rows"] for p in t.parts())
     if after >= before or not res.get("collapsed_months"):
         raise RuntimeError(
             f"lifecycle_ttl_rollup_panel: collapse did not happen "
@@ -886,7 +903,7 @@ def lifecycle_column_ttl_panel(spark, sf_dir):
             F.col("event_id").cast("string").alias("span_id"),
         )
     )
-    before = t.read().count()
+    before = sum(p["rows"] for p in t.parts())  # footer metadata, no job (r14)
     ch_sql(spark, "ALTER TABLE logs MODIFY COLUMN msg String "
                   "TTL ts + INTERVAL 30 DAY", logs=t)
     ch_sql(spark, "ALTER TABLE logs MODIFY COLUMN trace_id String "
@@ -895,7 +912,7 @@ def lifecycle_column_ttl_panel(spark, sf_dir):
         spark, t.path,
         now=dt.datetime(2024, 3, 6, tzinfo=dt.timezone.utc),
     )
-    after = t.read().count()
+    after = sum(p["rows"] for p in t.parts())
     if after != before or not res.get("column_ttl"):
         raise RuntimeError(
             f"lifecycle_column_ttl_panel: expected a row-preserving "
@@ -984,7 +1001,7 @@ def lifecycle_conditional_ttl_panel(spark, sf_dir):
             F.col("event_id").cast("string").alias("span_id"),
         )
     )
-    before = t.read().count()
+    before = sum(p["rows"] for p in t.parts())  # footer metadata, no job (r14)
     now = dt.datetime(2024, 3, 6, tzinfo=dt.timezone.utc)
     ch_sql(spark, "ALTER TABLE logs MODIFY TTL ts + INTERVAL 30 DAY "
                   "TO VOLUME 'cold'", logs=t)
@@ -998,7 +1015,7 @@ def lifecycle_conditional_ttl_panel(spark, sf_dir):
                   "ts + INTERVAL 20 DAY DELETE WHERE level = 'ERROR'",
            logs=t)
     res2 = apply_retention(spark, t.path, now=now)
-    after = t.read().count()
+    after = sum(p["rows"] for p in t.parts())
     fired = res2.get("delete_where") or []
     if (after >= before or not fired
             or 202401 not in fired[0]["months"]
@@ -1087,14 +1104,14 @@ def lifecycle_tiering_panel(spark, sf_dir):
             F.col("event_id").cast("string").alias("span_id"),
         )
     )
-    before = t.read().count()
+    before = sum(p["rows"] for p in t.parts())  # footer metadata, no job (r14)
     ch_sql(spark, "ALTER TABLE logs MODIFY TTL ts + INTERVAL 30 DAY "
                   "TO VOLUME 'cold'", logs=t)
     res = apply_retention(
         spark, t.path,
         now=dt.datetime(2024, 3, 6, tzinfo=dt.timezone.utc),
     )
-    after = t.read().count()
+    after = sum(p["rows"] for p in t.parts())
     moved = res.get("tiered") or {}
     if after != before or not moved.get("cold"):
         raise RuntimeError(

@@ -52,9 +52,15 @@ def rollup_day_type_panel(spark, sf_dir):
         "user_bucket", (F.col("user_id") % 4).cast("int"))
     # materialize the ROLLUP-SIZED states once (hours x 5 x 4 rows):
     # both merge arms re-read them instead of re-aggregating the raw
-    # corpus (plan audit: 14 -> 6 exchanges, one corpus scan)
+    # corpus (plan audit: 14 -> 6 exchanges, one corpus scan).
+    # hist=False/uniq=False (r14): the panel reads only the additive
+    # scalar states, so the checkpoint no longer materializes HLL
+    # sketches + histograms it never reads, and each merge arm loses
+    # its histogram-join subtree (grouping shape unchanged — the
+    # scalar state math is bit-identical)
     fine = R.build_rollup(
-        ev, "hour", ("event_type", "user_bucket"), dec_value=True
+        ev, "hour", ("event_type", "user_bucket"), dec_value=True,
+        hist=False, uniq=False,
     ).localCheckpoint(eager=True)
 
     def panel(states):
@@ -118,7 +124,13 @@ def rollup_topk_counts(spark, sf_dir):
     max 67 distinct users/group at sf0.01 -> counts exact) while the
     identity-bearing entry stays rows-only with its pytest pins."""
     ev = table(spark, sf_dir, "events")
-    fine = R.build_rollup(ev, "hour", ("event_type",), topk_col="user_id")
+    # hist=False/uniq=False (r14): only cnt + the top-k state feed the
+    # output; dropping the never-read states removes the histogram
+    # merge's join subtree (one fewer corpus scan chain) while the
+    # two-level grouping keeps the top-k accumulate/combine order —
+    # and hence the sketch state — bit-identical.
+    fine = R.build_rollup(ev, "hour", ("event_type",), topk_col="user_id",
+                          hist=False, uniq=False)
     day = R.merge_states(fine, ("event_type",), "day")
     fin = R.finalize(day, topk_k=3)
     from pyspark.sql import Window
@@ -179,7 +191,13 @@ def rollup_topk_users(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
-    fine = R.build_rollup(ev, "hour", ("event_type",), topk_col="user_id")
+    # hist=False/uniq=False (r14): only cnt + the top-k state feed the
+    # output; dropping the never-read states removes the histogram
+    # merge's join subtree (one fewer corpus scan chain) while the
+    # two-level grouping keeps the top-k accumulate/combine order —
+    # and hence the sketch state — bit-identical.
+    fine = R.build_rollup(ev, "hour", ("event_type",), topk_col="user_id",
+                          hist=False, uniq=False)
     day = R.merge_states(fine, ("event_type",), "day")
     fin = R.finalize(day, topk_k=R.TOPK_MAX_TRACKED)  # full drain
     w = Window.partitionBy("bucket_ts", "event_type").orderBy(

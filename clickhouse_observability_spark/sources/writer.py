@@ -165,11 +165,18 @@ class LogsTable:
 
     # -- S2: DDL bootstrap (db.go:39-57) --------------------------------
     def init_schema(self) -> None:
-        """CREATE TABLE IF NOT EXISTS: first write creates the path;
-        an explicit empty write pins the schema for readers."""
-        if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
-            empty = self.spark.createDataFrame([], LOGS_SCHEMA)
-            self._write(empty, mode="append")
+        """CREATE TABLE IF NOT EXISTS — metadata-only, like the DDL it
+        mirrors (db.go:39-57). The at-rest state is exactly what the
+        old empty-DataFrame write produced (the directory plus an
+        empty `_SUCCESS`, zero part files — readers supply the
+        declared schema, so nothing else was ever pinned), without
+        spending a Spark job on writing zero rows (r14, guide §5:
+        the driver does no data work)."""
+        marker = os.path.join(self.path, "_SUCCESS")
+        if not os.path.exists(marker):
+            os.makedirs(self.path, exist_ok=True)
+            with open(marker, "w"):
+                pass
 
     # -- S3: batch insert (db.go:147-173) -------------------------------
     def insert(self, df: DataFrame, materialized: bool = False) -> None:

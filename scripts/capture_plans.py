@@ -33,7 +33,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    for name, _mode in HEADLINE:
+    # r14: the optimization targets include common-48 entries outside
+    # HEADLINE — capture any registered query whose name matches.
+    names = [name for name, _mode in HEADLINE]
+    names += [n for n in sorted(qs) if n not in names]
+    for name in names:
         if flt and not any(f in name for f in flt):
             continue
         df = qs[name](spark, SF_DIR)
