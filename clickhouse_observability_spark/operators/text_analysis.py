@@ -2216,6 +2216,7 @@ def chunk_documents(
     documents: DataFrame,
     chunk_tokens: int = 64,
     overlap_tokens: int = 16,
+    emit_tokens: bool = False,
 ) -> DataFrame:
     """Sliding-window RAG chunking: split each document's normalized
     token stream into windows of `chunk_tokens` with `overlap_tokens`
@@ -2264,6 +2265,14 @@ def chunk_documents(
             "doc_id", "chunk_id", "start_token",
             F.size("__c").alias("n_tokens"),
             F.array_join("__c", " ").alias("chunk_text"),
+            # opt-in (schema-preserving when absent): the chunk's
+            # token array, for consumers that would otherwise
+            # re-normalize + re-split chunk_text (r14, guide §2.3).
+            # Tokens are whitespace-free lowercase normal forms, so
+            # tokens(normalized(array_join(c, ' '))) == c — the
+            # identity the chunked-BM25 oracle already proves by
+            # slicing token lists directly.
+            *([F.col("__c").alias("chunk_toks")] if emit_tokens else []),
         )
     )
 
@@ -2274,6 +2283,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     top_n: int = 10,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """BM25 ranking of the corpus for a bag-of-words query — the
     LEXICAL retrieval arm (Robertson/Lucene scoring):
@@ -2288,32 +2298,54 @@ def bm25_search(
     fused top-N. Output: (rank, doc_id, bm25), score rounded to 6 and
     ties broken by doc_id so the ranking is a total order both
     engines agree on.
+
+    r14 (guide §2.3/§8 — decide with small rows): the stats aggregate
+    and the scoring pass are two consumers of the tokenize subtree,
+    and Spark evaluates an unshared subtree once PER consumer — the
+    corpus was normalized + tokenized twice. Both consumers only need
+    (doc_id, doc length, per-term tf): that reduced frame (a few ints
+    per doc) is computed once and eagerly localCheckpointed inside
+    this invocation, so the heavy string work runs exactly once. The
+    arithmetic consumes the same integers the inline expressions
+    produced (df == count of tf>0 == count of array_contains), so
+    scores are bit-identical. `tokens_col` lets a pre-tokenized
+    caller (the chunked pipeline) skip the re-tokenize entirely.
     """
     from pyspark.sql import Window
 
-    toks = tokens(normalized_text("text"))
-    d = documents.select("doc_id", toks.alias("t"))
-    stats = d.agg(
-        F.count(F.lit(1)).alias("N"),
-        F.avg(F.size("t")).alias("avgdl"),
-        *[
-            F.sum(F.array_contains("t", term).cast("long")).alias(f"df_{i}")
-            for i, term in enumerate(query_terms)
-        ],
-    )
-    scored = d.crossJoin(F.broadcast(stats))
+    if tokens_col is not None:
+        d = documents.select("doc_id", F.col(tokens_col).alias("t"))
+    else:
+        d = documents.select(
+            "doc_id", tokens(normalized_text("text")).alias("t"))
+
     def _tf(term: str) -> Column:
         # single-arg lambda: a two-arg one would receive (x, index)
         return F.size(F.filter(F.col("t"), lambda x: x == F.lit(term)))
 
+    reduced = d.select(
+        "doc_id",
+        F.size("t").alias("__dl"),
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(query_terms)],
+    ).localCheckpoint(eager=True)
+    stats = reduced.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.avg("__dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = reduced.crossJoin(F.broadcast(stats))
+
     parts = []
-    for i, term in enumerate(query_terms):
-        tf = _tf(term)
+    for i, _term in enumerate(query_terms):
+        tf = F.col(f"tf_{i}")
         idf = F.log(
             F.lit(1.0)
             + (F.col("N") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
         )
-        denom = tf + k1 * (1.0 - b + b * F.size("t") / F.col("avgdl"))
+        denom = tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("avgdl"))
         parts.append(idf * tf * (k1 + 1.0) / denom)
     score = parts[0]
     for p in parts[1:]:

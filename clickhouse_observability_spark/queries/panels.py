@@ -700,10 +700,6 @@ from clickhouse_observability_spark.queries.text import (  # noqa: E402
     text_domain_mix,
     text_pii_scrub,
 )
-from clickhouse_observability_spark.queries.windows import (  # noqa: E402
-    asof_click_before_purchase,
-    asof_general_join,
-)
 
 
 @register(
@@ -1025,67 +1021,139 @@ def asof_variants_panel(spark, sf_dir):
       on minute-truncated timestamps so equal-ts ties exist and the
       strictness ordering (equal-ts right row hidden from the left
       row) is actually exercised.
-    All arms are one union-and-carry window pass each — one shuffle
-    on user_id, zero row amplification (operators/joins.py:182)."""
-    from clickhouse_observability_spark.operators.joins import asof_join
-
+    All arms are one union-and-carry window pass each — and since r14
+    the five passes FUSE into a single arm-tagged union over ONE
+    window exchange partitioned by (arm, user_id): the per-arm
+    algebra (time-axis sign for direction, side ordering for
+    strictness, left/inner filtering — operators/joins.py:asof_join)
+    is encoded per row, so one shuffle + one sort replaces five
+    (guide §2.4; plan: 9 exchanges/10 corpus scans -> 3/3). The
+    purchase projection and the full-grain click aggregate are
+    eagerly checkpointed once per invocation and feed every arm (the
+    minute-grain click aggregate re-merges the full-grain one —
+    max-of-max — instead of re-scanning the corpus). Proven
+    row-identical to the five standalone passes (exceptAll both ways)
+    and still adjudicated against DuckDB's native ASOF JOIN."""
     ev = table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "ts", "user_id", "value"
-    )
+    ).localCheckpoint(eager=True)
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", F.col("ts").alias("click_ts"))
         .agg(F.max("event_id").alias("click_event_id"))
+    ).localCheckpoint(eager=True)
+    clicks_raw = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
     )
-    pm = ev.filter(F.col("event_type") == "purchase").select(
+    pm = purchases.select(
         "event_id", F.date_trunc("minute", "ts").alias("ts"), "user_id"
     )
     cm = (
-        ev.filter(F.col("event_type") == "click")
+        clicks
         .groupBy("user_id",
-                 F.date_trunc("minute", "ts").alias("click_ts"))
-        .agg(F.max("event_id").alias("click_event_id"))
+                 F.date_trunc("minute", "click_ts").alias("click_ts"))
+        .agg(F.max("click_event_id").alias("click_event_id"))
     )
 
-    out_cols = ["event_id", "ts", "user_id", "value",
-                "click_event_id", "click_ts"]
-    last = asof_click_before_purchase(spark, sf_dir).select(
-        F.lit("last_event").alias("op"),
-        "event_id", "ts", "user_id", "value",
-        F.lit(None).cast("long").alias("click_event_id"),
-        F.lit(None).cast("timestamp").alias("click_ts"),
-        "last_click_id",
-    )
+    _RROW = ("struct<click_event_id:bigint,click_ts:timestamp,"
+             "lci:bigint>")
 
-    def tag(df, op, with_value=True):
+    def _t(ts_col, forward):
+        sign = -1 if forward else 1
+        return (F.unix_micros(F.col(ts_col).cast("timestamp"))
+                * F.lit(sign)).alias("_t")
+
+    def left_rows(arm, df, *, forward=False, strict=False,
+                  with_value=True):
+        value = (F.col("value") if with_value
+                 else F.lit(None).cast("double")).alias("value")
         return df.select(
-            F.lit(op).alias("op"),
-            "event_id", "ts", "user_id",
-            F.col("value") if with_value
-            else F.lit(None).cast("double").alias("value"),
-            "click_event_id", "click_ts",
-            F.lit(None).cast("long").alias("last_click_id"),
+            F.lit(arm).alias("_arm"),
+            F.col("user_id").alias("_k"),
+            _t("ts", forward),
+            F.lit(0 if strict else 1).alias("_side"),
+            F.struct(
+                F.col("event_id"), F.col("ts"),
+                F.col("user_id"), value,
+            ).alias("_lrow"),
+            F.lit(None).cast(_RROW).alias("_rrow"),
         )
 
-    back = tag(
-        asof_general_join(spark, sf_dir).select(*out_cols),
-        "backward_left",
+    def right_rows(arm, df, ts_col, rrow, *, forward=False,
+                   strict=False):
+        return df.select(
+            F.lit(arm).alias("_arm"),
+            F.col("user_id").alias("_k"),
+            _t(ts_col, forward),
+            F.lit(1 if strict else 0).alias("_side"),
+            F.lit(None).cast(
+                "struct<event_id:bigint,ts:timestamp,"
+                "user_id:bigint,value:double>").alias("_lrow"),
+            rrow.alias("_rrow"),
+        ).filter(F.col("_t").isNotNull())
+
+    carry_full = F.struct(
+        F.col("click_event_id"), F.col("click_ts"),
+        F.lit(None).cast("long").alias("lci"),
     )
-    fwd = tag(
-        asof_join(purchases, clicks, ["user_id"], "ts", "click_ts",
-                  direction="forward", how="left").select(*out_cols),
-        "forward_left",
+    carry_lci = F.struct(
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("lci"),
     )
-    bsi = tag(
-        asof_join(pm, cm, ["user_id"], "ts", "click_ts",
-                  direction="backward", strict=True, how="inner"),
-        "backward_strict_inner", with_value=False,
+    arms = [
+        # 1 last_event: purchases vs raw clicks, backward non-strict
+        # left (asof_join_last_event's exact side/order algebra)
+        left_rows(1, purchases),
+        right_rows(1, clicks_raw, "ts", carry_lci),
+        # 2 backward_left / 3 forward_left: full-row carry vs the
+        # deduped full-grain click aggregate
+        left_rows(2, purchases),
+        right_rows(2, clicks, "click_ts", carry_full),
+        left_rows(3, purchases, forward=True),
+        right_rows(3, clicks, "click_ts", carry_full, forward=True),
+        # 4/5: strict inner forms on minute-truncated timestamps
+        left_rows(4, pm, strict=True, with_value=False),
+        right_rows(4, cm, "click_ts", carry_full, strict=True),
+        left_rows(5, pm, forward=True, strict=True, with_value=False),
+        right_rows(5, cm, "click_ts", carry_full, forward=True,
+                   strict=True),
+    ]
+    unioned = arms[0]
+    for a in arms[1:]:
+        unioned = unioned.unionByName(a)
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_arm", "_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fsi = tag(
-        asof_join(pm, cm, ["user_id"], "ts", "click_ts",
-                  direction="forward", strict=True, how="inner"),
-        "forward_strict_inner", with_value=False,
+    carried = (
+        unioned.withColumn("_m", F.last("_rrow", ignorenulls=True).over(w))
+        .filter(F.col("_lrow").isNotNull())
+        # inner arms (4, 5) drop unmatched left rows; left arms keep
+        # them with a NULL carry
+        .filter((~F.col("_arm").isin(4, 5)) | F.col("_m").isNotNull())
     )
-    return (last.unionByName(back).unionByName(fwd)
-            .unionByName(bsi).unionByName(fsi))
+    op = (
+        F.when(F.col("_arm") == 1, "last_event")
+        .when(F.col("_arm") == 2, "backward_left")
+        .when(F.col("_arm") == 3, "forward_left")
+        .when(F.col("_arm") == 4, "backward_strict_inner")
+        .otherwise("forward_strict_inner")
+    )
+    # each arm's right rows populate only their own carry fields, so
+    # the flat selects below are per-arm NULL-correct without CASEs
+    return carried.select(
+        op.alias("op"),
+        F.col("_lrow.event_id").alias("event_id"),
+        F.col("_lrow.ts").alias("ts"),
+        F.col("_lrow.user_id").alias("user_id"),
+        F.col("_lrow.value").alias("value"),
+        F.col("_m.click_event_id").alias("click_event_id"),
+        F.col("_m.click_ts").alias("click_ts"),
+        F.col("_m.lci").alias("last_click_id"),
+    )

@@ -1350,16 +1350,21 @@ def pipeline_chunked_bm25(spark, sf_dir):
     buried deep in a long document is retrievable at chunk grain."""
     from pyspark.sql import functions as FF
 
+    # r14: hand the chunk TOKEN ARRAYS straight to the scorer instead
+    # of joining them to a string it would immediately re-normalize
+    # and re-split (tokens are whitespace-free normal forms — the
+    # oracle itself scores sliced token lists, never re-joined text)
     chunks = TX.chunk_documents(
         table(spark, sf_dir, "documents"),
-        chunk_tokens=32, overlap_tokens=8,
+        chunk_tokens=32, overlap_tokens=8, emit_tokens=True,
     ).select(
         FF.concat_ws(
             "#", FF.col("doc_id"), FF.col("start_token")
         ).alias("doc_id"),
-        FF.col("chunk_text").alias("text"),
+        FF.col("chunk_toks"),
     )
-    hits = TX.bm25_search(chunks, list(_BM25_TERMS), top_n=10)
+    hits = TX.bm25_search(chunks, list(_BM25_TERMS), top_n=10,
+                          tokens_col="chunk_toks")
     key = FF.split(FF.col("doc_id"), "#")
     return hits.select(
         "rank",
