@@ -345,6 +345,17 @@ def jaccard_for_candidates(
 # near-dup estimation.
 _MERSENNE = (1 << 31) - 1
 
+# Driver budget for the mask-pair closure (jaccard_neardup_components):
+# up to this many (m1, m2) edges collect for the driver union-find;
+# over it, the distributed fixpoint (identical result) takes over.
+# r14 (advice): 200k narrow rows is ~50 MB of Row objects and well
+# under a second of union-find — the old 2M literal could materialize
+# hundreds of MB on the driver just to DECIDE the graph was too big,
+# and a 2M-edge pure-Python union-find would be slower than the
+# distributed fallback anyway. Module-level so the over-cap branch is
+# testable (tests monkeypatch it down and assert equivalence).
+MASK_EDGE_CAP = 200_000
+
 
 def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     import random
@@ -632,9 +643,8 @@ def jaccard_neardup_components(
     # memory bounded no matter how hostile the corpus: cap+1 rows
     # collected means the graph is NOT summary-sized after all, and
     # the distributed fixpoint (identical result) takes over.
-    edge_cap = 2_000_000
-    edge_rows = mask_pairs.limit(edge_cap + 1).collect()
-    if len(edge_rows) > edge_cap:
+    edge_rows = mask_pairs.limit(MASK_EDGE_CAP + 1).collect()
+    if len(edge_rows) > MASK_EDGE_CAP:
         mcomp = neardup_components(mask_pairs, a="m1", b="m2").select(
             F.col("doc_id").alias("mask"), F.col("component_id").alias("_mc")
         )

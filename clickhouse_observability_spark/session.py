@@ -84,6 +84,26 @@ def fresh_persist(df, slot: str):
     return df
 
 
+def release_fresh_persists() -> int:
+    """Unpersist every live fresh_persist slot (r14, verdict #9 —
+    the lifecycle hook the removed release_lsh_caches() used to be):
+    the last invocation's frame otherwise stays pinned in executor
+    storage until the next same-slot call or session end. Lineage
+    survives unpersist, so a caller still holding the frame lazily
+    degrades to recompute, never fails. Returns the number of slots
+    released; call from session-teardown / bench-cleanup paths."""
+    n = 0
+    for slot in list(_FRESH_PERSISTED):
+        old = _FRESH_PERSISTED.pop(slot, None)
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+            n += 1
+    return n
+
+
 def local_df(spark: SparkSession, rows, schema):
     """DataFrame from driver-local rows in ONE partition.
 

@@ -863,17 +863,29 @@ def _apply_delete_where(
         for _, cond in hits[1:]:
             removal = removal | cond
         kept = df.filter(~removal)
-        if kept.limit(1).count() == 0:
-            # every row of this location matched some rule: the
-            # rewrite would be empty — drop the directory like the
-            # unconditional arm drops a fully-aged month
-            shutil.rmtree(part_dir)
-            continue
+        # Write first, then decide emptiness from the written files'
+        # footer metadata (r14, guide §5): the old emptiness probe
+        # (`kept.limit(1).count()`) scanned the location once more
+        # before the rewrite scanned it again. An all-rows-matched
+        # location writes zero part files; it is then dropped outright
+        # — directory gone, like the unconditional arm dropping a
+        # fully-aged month — instead of swapped. Crash behavior is
+        # unchanged: the tmp dir is debris `recover_partition_swaps`
+        # already cleans up.
         tmp = _debris_path(part_dir, ".tmp")
         with parquet_ts_micros(spark):
             (kept.sortWithinPartitions("service", "ts")
              .write.mode("overwrite").option("compression", "zstd")
              .parquet(tmp))
+        import pyarrow.parquet as _pq
+
+        rows_written = sum(
+            _pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+            for f in os.listdir(tmp) if f.endswith(".parquet"))
+        if rows_written == 0:
+            shutil.rmtree(part_dir)
+            shutil.rmtree(tmp)
+            continue
         _swap_partition(part_dir, tmp)
     return [{"days": r["days"], "where": r["where"],
              "months": sorted(r["months"])}

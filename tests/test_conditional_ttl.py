@@ -251,3 +251,27 @@ def test_remove_ttl_clears_conditional_rules(spark, table):
     res = apply_retention(spark, table.path, now=NOW)
     assert res.get("skipped") is True
     assert _msgs(table) == ["aug1", "aug2", "jul1", "jul2", "sep1"]
+
+
+def test_conditional_delete_drops_fully_matched_location(spark, table):
+    """A location where EVERY row matches some armed rule must be
+    dropped as a directory (the conditional analog of the
+    unconditional arm dropping a fully-aged month) — and the table
+    must not keep an empty month dir behind. Pins the r14 rewrite
+    (write-then-footer-check replaced the pre-write emptiness probe)."""
+    # every 202507 row matches: jul1 is INFO, jul2 is WARN
+    ch_sql(spark, "ALTER TABLE logs MODIFY TTL ts + INTERVAL 40 DAY "
+                  "DELETE WHERE level = 'INFO' OR level = 'WARN'",
+           logs=table)
+    res = apply_retention(spark, table.path, now=NOW)
+    assert res["delete_where"] == [
+        {"days": 40, "where": "level = 'INFO' OR level = 'WARN'",
+         "months": [202507, 202508]}]
+    # 202507 lost both rows -> directory gone entirely
+    assert month_dirs(table.path, 202507) == []
+    assert not os.path.exists(
+        os.path.join(table.path, "month=202507"))
+    # 202508 keeps its non-matching ERROR row in place
+    assert _msgs(table) == ["aug2", "sep1"]
+    # no .tmp debris left behind by the dropped location
+    assert not any(".tmp" in d for d in os.listdir(table.path))

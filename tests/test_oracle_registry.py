@@ -64,35 +64,62 @@ def _table_hash(cols, rows):
 
 
 def test_every_oracle_entry_matches_duckdb(spark, sf_small):
+    # r14: the adjudication loop is embarrassingly parallel and was
+    # the suite's second-slowest test (~3.8 min serial for ~171
+    # entries); run it on a small driver thread pool (guide §2.6 —
+    # the Spark scheduler interleaves concurrent jobs; DuckDB gets
+    # one connection per shard because connections are not
+    # thread-safe). Shards are CONTIGUOUS slices of the sorted name
+    # list so artifact-building families (sim_*, dedup_* sidecars)
+    # stay within one thread. Assertions unchanged: every oracle
+    # entry still runs on both engines and must agree on schema, row
+    # count, and value hash.
+    from concurrent.futures import ThreadPoolExecutor
+
     qs, oracles = queries(), oracle_sql()
-    con = duckdb.connect()
-    for t in _TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'"
-        )
-    failures = []
-    n_hash = n_weak = 0
-    for name, sql in oracles.items():
-        sdf = qs[name](spark, sf_small)
-        res = con.execute(sql)
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
-        if sorted(scols) != sorted(dcols):
-            failures.append((name, "schema", scols, dcols))
-            continue
-        if len(srows) != len(drows):
-            failures.append((name, "rows", len(srows), len(drows)))
-            continue
-        if name in _HASH_EXEMPT_AT_SF0001:
-            n_weak += 1
-            continue
-        sh, dh = _table_hash(scols, srows), _table_hash(dcols, drows)
-        if sh != dh:
-            failures.append((name, "hash", sh, dh))
-            continue
-        n_hash += 1
+    names = sorted(oracles)
+
+    def adjudicate_shard(shard):
+        con = duckdb.connect()
+        for t in _TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'"
+            )
+        failures, n_hash, n_weak = [], 0, 0
+        for name in shard:
+            sdf = qs[name](spark, sf_small)
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            if sorted(scols) != sorted(dcols):
+                failures.append((name, "schema", scols, dcols))
+                continue
+            if len(srows) != len(drows):
+                failures.append((name, "rows", len(srows), len(drows)))
+                continue
+            if name in _HASH_EXEMPT_AT_SF0001:
+                n_weak += 1
+                continue
+            sh, dh = _table_hash(scols, srows), _table_hash(dcols, drows)
+            if sh != dh:
+                failures.append((name, "hash", sh, dh))
+                continue
+            n_hash += 1
+        return failures, n_hash, n_weak
+
+    n_shards = 4
+    shards = [
+        names[(len(names) * i) // n_shards:(len(names) * (i + 1)) // n_shards]
+        for i in range(n_shards)
+    ]
+    failures, n_hash, n_weak = [], 0, 0
+    with ThreadPoolExecutor(max_workers=n_shards) as pool:
+        for f, h, w in pool.map(adjudicate_shard, shards):
+            failures.extend(f)
+            n_hash += h
+            n_weak += w
     assert not failures, failures
     assert n_weak == len(_HASH_EXEMPT_AT_SF0001)
     # the gate must actually be registry-wide, not a stale snapshot

@@ -328,16 +328,41 @@ def test_registry_wide_plan_lint_no_errors(spark, sf_small, tmp_path, monkeypatc
     import __spark_entry__ as em
     from clickhouse_observability_spark.plans import lint_errors
 
+    # r14: the sweep is embarrassingly parallel and was the slowest
+    # test in the suite (~4.6 min serial — the panels EXECUTE during
+    # construction); run it on a small driver thread pool (guide §2.6
+    # — Spark schedules concurrent jobs fine). Shards are CONTIGUOUS
+    # slices of the sorted name list so artifact-building families
+    # (sim_*, dedup_* index sidecars) stay within one thread and
+    # never race a same-path build. Assertions unchanged: every
+    # registered query still constructs and lints.
+    from concurrent.futures import ThreadPoolExecutor
+
+    qs = em.queries()
+    names = sorted(qs)
     failures = {}
-    for name, fn in em.queries().items():
-        try:
-            errs = lint_errors(fn(spark, sf_small))
-        except Exception as exc:  # construction failure IS a failure
-            failures[name] = f"construction raised: {exc!r}"
-            continue
-        if errs:
-            failures[name] = errs
+
+    def lint_shard(shard):
+        out = []
+        for name in shard:
+            try:
+                out.append((name, lint_errors(qs[name](spark, sf_small))))
+            except Exception as exc:  # construction failure IS a failure
+                out.append((name, f"construction raised: {exc!r}"))
+        return out
+
+    n_shards = 4
+    shards = [
+        names[(len(names) * i) // n_shards:(len(names) * (i + 1)) // n_shards]
+        for i in range(n_shards)
+    ]
+    with ThreadPoolExecutor(max_workers=n_shards) as pool:
+        for shard_out in pool.map(lint_shard, shards):
+            for name, errs in shard_out:
+                if errs:
+                    failures[name] = errs
     assert not failures, failures
+    assert sum(len(s) for s in shards) == len(em.queries())
 
 
 def test_panel_arms_linted_individually(spark, sf_small):
