@@ -922,6 +922,20 @@ def _persisted_rdd_ids(sc) -> set:
     return set(sc._jsc.getPersistentRDDs().keySet())
 
 
+def _ckpt_rdd_id(df) -> int | None:
+    """The persisted-RDD id backing an eagerly localCheckpointed
+    DataFrame: its analyzed plan is a LogicalRDD wrapping exactly the
+    RDD the checkpoint registered (r14 — replaces a session-wide
+    persisted-ids snapshot diff that mis-attributed ids whenever
+    anything else in the session persisted concurrently). None when
+    the plan shape is unexpected; callers then skip the eager free
+    and leave the blocks to driver GC (safe, just lazier)."""
+    try:
+        return int(df._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        return None
+
+
 def _unpersist_rdd_ids(sc, ids: set) -> None:
     """Drop the storage blocks behind superseded localCheckpoints.
 
@@ -972,18 +986,20 @@ def neardup_components(
         .distinct()
     )
     # `live` tracks the RDD ids backing the CURRENT round's
-    # checkpointed frame(s); each eager checkpoint supersedes the
-    # previous round's frames, whose blocks are freed immediately
-    # instead of waiting on driver GC (snapshot-diff capture: assumes
-    # no concurrent persist in the same session during the diff — the
-    # bench/driver/API paths are single-threaded through here).
-    before = _persisted_rdd_ids(sc)
+    # checkpointed frame; each eager checkpoint supersedes the
+    # previous round's frame, whose blocks are freed immediately
+    # instead of waiting on driver GC. Ids are read DIRECTLY off the
+    # checkpointed frame (its analyzed plan is a LogicalRDD over the
+    # persisted RDD) — r14: the old session-wide persisted-ids
+    # snapshot diff mis-attributed ids under ANY concurrent persist
+    # in the session (threaded test harnesses, API servers) and could
+    # free another plan's checkpoint blocks out from under it.
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
     ).localCheckpoint(eager=True)
-    live = _persisted_rdd_ids(sc) - before
+    live = {_ckpt_rdd_id(labels)} - {None}
     edges = edges.persist()
     for _ in range(max_iterations):
         neighbor_min = (
@@ -991,7 +1007,6 @@ def neardup_components(
             .groupBy("src")
             .agg(F.min("component_id").alias("nbr_min"))
         )
-        before = _persisted_rdd_ids(sc)
         updated = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -1003,16 +1018,14 @@ def neardup_components(
                 (F.col("nbr_min") < F.col("component_id")).alias("_changed"),
             )
         ).localCheckpoint(eager=True)
-        new_ids = _persisted_rdd_ids(sc) - before
-        _unpersist_rdd_ids(sc, live - new_ids)  # prev round superseded
-        live = new_ids
+        _unpersist_rdd_ids(sc, live)  # prev round superseded
+        live = {_ckpt_rdd_id(updated)} - {None}
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
         # pointer jump: label <- label[label] (path halving)
         l1, l2 = labels.alias("l1"), labels.alias("l2")
-        before = _persisted_rdd_ids(sc)
         labels = (
             l1.join(
                 l2, F.col("l1.component_id") == F.col("l2.doc_id"), "left"
@@ -1023,9 +1036,8 @@ def neardup_components(
                 ).alias("component_id"),
             )
         ).localCheckpoint(eager=True)
-        new_ids = _persisted_rdd_ids(sc) - before
-        _unpersist_rdd_ids(sc, live - new_ids)  # updated superseded
-        live = new_ids
+        _unpersist_rdd_ids(sc, live)  # updated superseded
+        live = {_ckpt_rdd_id(labels)} - {None}
     else:
         edges.unpersist()
         raise RuntimeError(

@@ -115,6 +115,14 @@ class IngestStream:
         # tasks are plenty at any deployment size; the knob stays
         # env-tunable (INGEST_WRITE_PARTITIONS, 0 = keep source
         # partitioning) for streams configured with huge triggers.
+        # NOTE (r14, advisor): coalesce has no shuffle boundary, so
+        # it narrows the WHOLE micro-batch — normalization, view and
+        # index maintenance included, not just the write. That is
+        # deliberate (the work is bounded by the batch cap above and
+        # one task chain beats a repartition shuffle per trigger),
+        # but a wide-cluster stream with heavy per-batch work should
+        # set INGEST_WRITE_PARTITIONS higher or 0 — the default is a
+        # bounded-batch sizing, not a cluster sizing.
         self.write_partitions = (
             write_partitions
             if write_partitions is not None
